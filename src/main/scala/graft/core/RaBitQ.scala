@@ -1,0 +1,161 @@
+package graft.core
+
+/**
+ * Scalar byte/nibble vector quantization codecs ("rabitq8" / "rabitq4"
+ * column types).
+ *
+ * Same surface and metadata schema as the reference's quantized column
+ * types (reference: crates/rabitq/src/byte.rs:18-83 for the 8-bit codec,
+ * crates/rabitq/src/halfbyte.rs:18-92 for the nibble-packed 4-bit codec;
+ * metadata quadruple per src/datatype/memory_rabitq8.rs). The concrete
+ * lattice math here is our own: symmetric round-to-nearest with a
+ * norm-preserving dequantization scale
+ *
+ *     scale = sqrt(dis_u_2) / norm_of_lattice
+ *     x_hat_i = (code_i - bias) * scale
+ *
+ * which is exactly the reference's published dequantize formula
+ * (reference: src/index/vchordrq/build.rs:48-74), so dequantized vectors
+ * have the same norm as the original regardless of the code lattice.
+ *
+ * Metadata quadruple (f32, in this order, mirroring the reference type):
+ *   dis_u_2          |x|^2
+ *   norm_of_lattice  |code - bias|_2 (L2 norm of the integer lattice point)
+ *   sum_of_code      sum of stored unsigned codes
+ *   sum_of_abs_x     sum |x_i|
+ */
+object RaBitQ {
+
+  /** A quantized vector: 4 f32 metadata + packed codes. */
+  final case class Code(meta: Array[Float], codes: Array[Byte], bits: Int, dim: Int) {
+    def disU2: Float = meta(0)
+    def normOfLattice: Float = meta(1)
+    def sumOfCode: Float = meta(2)
+    def sumOfAbsX: Float = meta(3)
+    /** Dequantization scale; 0 for the zero vector. */
+    def scale: Double =
+      if (meta(1) == 0.0f) 0.0 else math.sqrt(meta(0).toDouble) / meta(1).toDouble
+  }
+
+  val Bias8 = 127 // codes in [-127,127] stored as u8 in [0,254]
+  val Bias4 = 7   // codes in [-7,7] stored as nibbles in [0,14]
+
+  private def bias(bits: Int): Int = if (bits == 8) Bias8 else Bias4
+
+  /** Quantize to `bits` in {4, 8}. */
+  def quantize(x: Array[Float], bits: Int): Code = {
+    require(bits == 4 || bits == 8, s"bits must be 4 or 8, got $bits")
+    val b = bias(bits)
+    val dim = x.length
+    var m = 0.0f
+    var i = 0
+    while (i < dim) { val a = math.abs(x(i)); if (a > m) m = a; i += 1 }
+    val lattice = new Array[Int](dim)
+    var latticeSq = 0.0
+    var sumCode = 0.0
+    var sumAbs = 0.0
+    i = 0
+    while (i < dim) {
+      val c =
+        if (m == 0.0f) 0
+        else math.round(x(i) / m * b) // in [-b, b]
+      lattice(i) = c
+      latticeSq += c.toDouble * c.toDouble
+      sumCode += (c + b).toDouble
+      sumAbs += math.abs(x(i)).toDouble
+      i += 1
+    }
+    val meta = Array(
+      VectorKernels.normSqF32(x),
+      math.sqrt(latticeSq).toFloat,
+      sumCode.toFloat,
+      sumAbs.toFloat)
+    val codes =
+      if (bits == 8) {
+        val out = new Array[Byte](dim)
+        i = 0
+        while (i < dim) { out(i) = (lattice(i) + b).toByte; i += 1 }
+        out
+      } else {
+        // two nibbles per byte, low nibble first
+        val out = new Array[Byte]((dim + 1) / 2)
+        i = 0
+        while (i < dim) {
+          val u = lattice(i) + b
+          val j = i / 2
+          if ((i & 1) == 0) out(j) = u.toByte
+          else out(j) = (out(j) | (u << 4)).toByte
+          i += 1
+        }
+        out
+      }
+    Code(meta, codes, bits, dim)
+  }
+
+  /** Unpack stored codes to unsigned ints in [0, 2*bias]. */
+  def unpack(c: Code): Array[Int] = {
+    val out = new Array[Int](c.dim)
+    if (c.bits == 8) {
+      var i = 0
+      while (i < c.dim) { out(i) = c.codes(i) & 0xff; i += 1 }
+    } else {
+      var i = 0
+      while (i < c.dim) {
+        val b = c.codes(i / 2) & 0xff
+        out(i) = if ((i & 1) == 0) b & 0x0f else (b >> 4) & 0x0f
+        i += 1
+      }
+    }
+    out
+  }
+
+  /** Dequantize back to an approximate float vector. */
+  def dequantize(c: Code): Array[Float] = {
+    val u = unpack(c)
+    val b = bias(c.bits)
+    val s = c.scale
+    val out = new Array[Float](c.dim)
+    var i = 0
+    while (i < c.dim) { out(i) = ((u(i) - b) * s).toFloat; i += 1 }
+    out
+  }
+
+  /**
+   * Estimated dot(query, x) straight from codes — the hot search kernel
+   * (role of the reference's LUT `fast_scan`, crates/simd/src/fast_scan.rs):
+   *   dot ~= scale * (sum_i u_i * q_i - bias * sum_i q_i)
+   * `qSum` must be sum(q). Integer-times-float inner loop; no decode.
+   */
+  def estimateDot(c: Code, q: Array[Float], qSum: Double): Double = {
+    require(q.length == c.dim, s"dim mismatch ${q.length} vs ${c.dim}")
+    val b = bias(c.bits)
+    var acc = 0.0
+    if (c.bits == 8) {
+      var i = 0
+      while (i < c.dim) { acc += (c.codes(i) & 0xff) * q(i); i += 1 }
+    } else {
+      var i = 0
+      while (i < c.dim) {
+        val bb = c.codes(i / 2) & 0xff
+        val u = if ((i & 1) == 0) bb & 0x0f else (bb >> 4) & 0x0f
+        acc += u * q(i)
+        i += 1
+      }
+    }
+    c.scale * (acc - b * qSum)
+  }
+
+  /**
+   * Estimated squared L2 distance + an error radius for lower-bounding:
+   *   l2s ~= |q|^2 + |x|^2 - 2*dot
+   *   err ~= 2 * |q| * (scale/2) * sqrt(dim)   (per-element code error <= scale/2)
+   * The search uses `est - epsilon * err` as the pruning lower bound
+   * (reference semantics: crates/vchordrq/src/search.rs:101-113).
+   */
+  def estimateL2s(c: Code, q: Array[Float], qSum: Double, qNormSq: Double): (Double, Double) = {
+    val d = estimateDot(c, q, qSum)
+    val est = qNormSq + c.disU2.toDouble - 2.0 * d
+    val err = math.sqrt(qNormSq) * c.scale * math.sqrt(c.dim.toDouble)
+    (math.max(est, 0.0), err)
+  }
+}

@@ -1,0 +1,217 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Document deduplication for large-scale training-data pipelines:
+ *
+ *  - exact duplicate grouping (hash group-by; one shuffle on the hash)
+ *  - exact n-gram (shingle) Jaccard similarity pairs
+ *  - MinHash + LSH banding near-duplicate candidates (the scale path:
+ *    candidate generation touches only docs sharing a band bucket, never
+ *    the n^2 pair space)
+ *  - SimHash 64-bit fingerprints with pigeonhole band blocking
+ *  - embedding-cosine near-duplicates (brute pair join at small n;
+ *    random-hyperplane LSH bucketing as the scale path)
+ *
+ * All hash functions are engine-local deterministic (FNV-1a based), no
+ * dependence on Spark's partitioning or on java hashCode.
+ */
+object Dedup {
+
+  /** FNV-1a 64-bit over a string's UTF-8 bytes; deterministic everywhere. */
+  def hash64(s: String): Long = {
+    var h = 0xcbf29ce484222325L
+    val bytes = s.getBytes("UTF-8")
+    var i = 0
+    while (i < bytes.length) { h ^= bytes(i) & 0xffL; h *= 0x100000001b3L; i += 1 }
+    h
+  }
+
+  /** Mix a base hash with a seed — cheap independent-ish hash family. */
+  @inline def mix(h: Long, seed: Int): Long = {
+    var x = h ^ (seed.toLong * 0x9E3779B97F4A7C15L)
+    x ^= x >>> 33; x *= 0xff51afd7ed558ccdL
+    x ^= x >>> 33; x *= 0xc4ceb9fe1a85ec53L
+    x ^ (x >>> 33)
+  }
+
+  /**
+   * Distinct word n-gram shingles per doc: (id, shingle). Whitespace
+   * tokenization; docs shorter than n produce no shingles.
+   */
+  def shingles(df: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame = {
+    df.select(
+        col(idCol).as("id"),
+        expr(s"transform(sequence(0, size(split($textCol, ' ')) - $n), " +
+          s"i -> concat_ws(' ', slice(split($textCol, ' '), i + 1, $n)))").as("sh"))
+      .filter(size(col("sh")) > 0)
+      .select(col("id"), explode(col("sh")).as("shingle"))
+      .distinct()
+  }
+
+  /**
+   * Exact Jaccard similarity over shingle sets for every pair sharing at
+   * least one shingle, filtered to >= threshold.
+   * Output: (da, db, jac) with da < db.
+   */
+  def jaccardPairs(sh: DataFrame, threshold: Double): DataFrame = {
+    val counts = sh.groupBy("id").agg(count(lit(1)).as("n"))
+    val a = sh.select(col("id").as("da"), col("shingle"))
+    val b = sh.select(col("id").as("db"), col("shingle"))
+    val inter = a.join(b, Seq("shingle"))
+      .filter(col("da") < col("db"))
+      .groupBy("da", "db").agg(count(lit(1)).as("i"))
+    inter
+      .join(counts.select(col("id").as("da"), col("n").as("na")), Seq("da"))
+      .join(counts.select(col("id").as("db"), col("n").as("nb")), Seq("db"))
+      .withColumn("jac", col("i").cast("double") / (col("na") + col("nb") - col("i")))
+      .filter(col("jac") >= threshold)
+      .select("da", "db", "jac")
+  }
+
+  /** Exact-duplicate groups by full-text hash (or any key expression). */
+  def exactDupGroups(df: DataFrame, idCol: String, keyExpr: org.apache.spark.sql.Column): DataFrame =
+    df.groupBy(keyExpr.as("grp"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n"))
+      .filter(col("n") > 1)
+
+  /**
+   * MinHash signatures: (id, sig Array[Long]) — one pass over each doc's
+   * shingles, H minima. Then LSH banding: docs sharing any (band, value)
+   * bucket become candidates; exact Jaccard verifies. No false positives
+   * (exact verify); false-negative rate = prod over bands of
+   * (1 - j^rowsPerBand).
+   */
+  def minhashCandidates(sh: DataFrame, numHashes: Int = 64, bands: Int = 32): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must divide into bands")
+    val r = numHashes / bands
+    val spark = sh.sparkSession
+    import spark.implicits._
+    val sigs = sh.select(col("id").cast("long"), col("shingle")).as[(Long, String)]
+      .groupByKey(_._1)
+      .mapGroups { (id, it) =>
+        val sig = Array.fill(numHashes)(Long.MaxValue)
+        it.foreach { case (_, s) =>
+          val h = hash64(s)
+          var j = 0
+          while (j < numHashes) { val v = mix(h, j); if (v < sig(j)) sig(j) = v; j += 1 }
+        }
+        (id, sig)
+      }
+    val banded = sigs.flatMap { case (id, sig) =>
+      (0 until bands).map { b =>
+        var key = 0xcbf29ce484222325L
+        var j = b * r
+        while (j < (b + 1) * r) { key = mix(key ^ sig(j), j); j += 1 }
+        (id, b, key)
+      }
+    }.toDF("id", "band", "key")
+    banded.as("x").join(banded.as("y"), Seq("band", "key"))
+      .filter(col("x.id") < col("y.id"))
+      .select(col("x.id").as("da"), col("y.id").as("db"))
+      .distinct()
+  }
+
+  /** MinHash-LSH near-dup pairs with exact-Jaccard verification. */
+  def minhashDedup(df: DataFrame, idCol: String, textCol: String, threshold: Double,
+                   n: Int = 3, numHashes: Int = 64, bands: Int = 32): DataFrame = {
+    val sh = shingles(df, idCol, textCol, n).cache()
+    val cand = minhashCandidates(sh, numHashes, bands)
+    jaccardPairs(sh, threshold)
+      .join(cand, Seq("da", "db")) // exact-verified, LSH-pruned
+  }
+
+  /** 64-bit SimHash of a doc's whitespace tokens. */
+  def simhash64(text: String): Long = {
+    val acc = new Array[Int](64)
+    text.split(' ').foreach { w =>
+      if (w.nonEmpty) {
+        val h = hash64(w)
+        var b = 0
+        while (b < 64) { if (((h >>> b) & 1L) == 1L) acc(b) += 1 else acc(b) -= 1; b += 1 }
+      }
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) { if (acc(b) > 0) out |= (1L << b); b += 1 }
+    out
+  }
+
+  /**
+   * SimHash near-dup pairs with hamming distance <= maxHamming (<= 3 for
+   * the 4-band pigeonhole blocking to be lossless).
+   */
+  def simhashDedup(df: DataFrame, idCol: String, textCol: String, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming <= 3, "4-band blocking is only lossless for hamming <= 3")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val sim = udf((t: String) => simhash64(t))
+    val sigs = df.select(col(idCol).cast("long").as("id"), sim(col(textCol)).as("sig"))
+    val banded = sigs.as[(Long, Long)].flatMap { case (id, sig) =>
+      (0 until 4).map(b => (id, sig, b, (sig >>> (b * 16)) & 0xffffL))
+    }.toDF("id", "sig", "band", "key")
+    val ham = udf((a: Long, b: Long) => java.lang.Long.bitCount(a ^ b))
+    banded.as("x").join(banded.as("y"), Seq("band", "key"))
+      .filter(col("x.id") < col("y.id"))
+      .select(col("x.id").as("da"), col("y.id").as("db"),
+        ham(col("x.sig"), col("y.sig")).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /**
+   * Embedding cosine near-duplicate pairs: cosdist(a, b) < tau, da < db.
+   * `lshBits > 0` switches to random-hyperplane bucketing (only pairs
+   * agreeing on all bits in at least one of `lshTables` tables are
+   * compared) — the 100TB path; 0 = exact pair join.
+   */
+  def embeddingNearDup(df: DataFrame, idCol: String, vecCol: String, tau: Double,
+                       lshBits: Int = 0, lshTables: Int = 8): DataFrame = {
+    import graft.core.{VectorKernels => K}
+    val cd = udf((a: Seq[Float], b: Seq[Float]) => K.cosdist(a.toArray, b.toArray))
+    val base = df.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
+    if (lshBits == 0) {
+      base.as("x").join(base.as("y"), col("x.id") < col("y.id"))
+        .withColumn("cosdist", cd(col("x.v"), col("y.v")))
+        .filter(col("cosdist") < tau)
+        .select(col("x.id").as("da"), col("y.id").as("db"), col("cosdist"))
+    } else {
+      val spark = df.sparkSession
+      import spark.implicits._
+      val bits = lshBits; val tables = lshTables
+      val sketch = udf { (v: Seq[Float]) =>
+        val va = v.toArray
+        (0 until tables).map { t =>
+          var key = 0L
+          var b = 0
+          while (b < bits) {
+            // deterministic pseudo-random hyperplane: component j weight
+            // derived from mix(t*bits+b, j)
+            var dot = 0.0
+            var j = 0
+            while (j < va.length) {
+              val w = (mix(0x9E3779B97F4A7C15L + j, t * bits + b) >>> 11).toDouble / (1L << 53).toDouble - 0.5
+              dot += va(j) * w
+              j += 1
+            }
+            if (dot > 0) key |= (1L << b)
+            b += 1
+          }
+          key
+        }
+      }
+      val keyed = base.withColumn("keys", sketch(col("v")))
+        .select(col("id"), col("v"), posexplode(col("keys")).as(Seq("t", "key")))
+      val cand = keyed.as("x").join(keyed.as("y"), Seq("t", "key"))
+        .filter(col("x.id") < col("y.id"))
+        .select(col("x.id").as("da"), col("x.v").as("va"),
+          col("y.id").as("db"), col("y.v").as("vb"))
+        .distinct()
+      cand.withColumn("cosdist", cd(col("va"), col("vb")))
+        .filter(col("cosdist") < tau)
+        .select("da", "db", "cosdist")
+    }
+  }
+}

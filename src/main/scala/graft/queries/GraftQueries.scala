@@ -1,0 +1,470 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.GraftFunctions._
+import graft.index.{IvfConfig, IvfIndex}
+import graft.ops.{Dedup, Knn, TextOps}
+
+/**
+ * The operator inventory (SURVEY.md §2) as named queries, each paired —
+ * where SQL-expressible — with ANSI SQL the DuckDB oracle replays on the
+ * same parquet tables.
+ *
+ * Determinism contract with the oracle:
+ *  - every distance is accumulated in double precision on both sides, so
+ *    values agree to ~1e-13 and round(_, 3) is stable;
+ *  - money sums go through DECIMAL(18,2) (exact) before the final double;
+ *  - every result has a total ORDER BY with id tie-breaks;
+ *  - integer outputs are cast to BIGINT on both sides.
+ */
+object GraftQueries {
+
+  final case class Q(impl: (SparkSession, String) => DataFrame, oracle: Option[String])
+
+  private def tbl(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    // events.ts is TIMESTAMP(NANOS) parquet, which Spark only reads as a
+    // raw long; the events queries do exact integer arithmetic on nanos.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$sfDir/$name.parquet")
+  }
+
+  /** Embedding of a given vec_id, collected to the driver. */
+  private def qvec(spark: SparkSession, sfDir: String, id: Long): Array[Float] = {
+    import spark.implicits._
+    tbl(spark, sfDir, "embeddings").filter(col("vec_id") === id)
+      .select(col("embedding")).as[Seq[Float]].head().toArray
+  }
+
+  private def lv(q: Array[Float]): Column = typedlit(q.toSeq)
+
+  // --- shared oracle SQL fragments (dim is 64 in all testdata tiers) ----
+
+  /** CTE computing per-vector double-precision L2/dot/norms vs vec 0. */
+  private val distCte: String =
+    """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+      |e AS (SELECT vec_id, embedding, unnest(range(0, 64)) AS i FROM embeddings),
+      |dd AS (SELECT e.vec_id AS vec_id,
+      |  sqrt(sum(power(CAST(e.embedding[i+1] AS DOUBLE) - CAST(q.qe[i+1] AS DOUBLE), 2))) AS dist,
+      |  -sum(CAST(e.embedding[i+1] AS DOUBLE) * CAST(q.qe[i+1] AS DOUBLE)) AS nd,
+      |  sqrt(sum(power(CAST(e.embedding[i+1] AS DOUBLE), 2))) AS na,
+      |  sqrt(sum(power(CAST(q.qe[i+1] AS DOUBLE), 2))) AS nb
+      |  FROM e, q GROUP BY e.vec_id)""".stripMargin
+
+  private val knnOracle: String =
+    s"""$distCte
+       |SELECT vec_id, round(dist, 3) AS dist FROM dd ORDER BY dd.dist, vec_id LIMIT 10""".stripMargin
+
+  private val enList = TextOps.stopwords.toMap.apply("en").map(w => s"'$w'").mkString(", ")
+
+  // ---------------------------------------------------------------- queries
+
+  private def embQ(spark: SparkSession, sfDir: String): (DataFrame, Array[Float]) =
+    (tbl(spark, sfDir, "embeddings"), qvec(spark, sfDir, 0))
+
+  val all: Map[String, Q] = Map(
+
+    // ---- scalar operator surface (SURVEY §2.1) ----
+
+    "s1_l2" -> Q(
+      (s, d) => { val (e, q) = embQ(s, d)
+        e.select(col("vec_id"), round(vecL2(col("embedding"), lv(q)), 3).as("dist"))
+          .orderBy("vec_id") },
+      Some(s"""$distCte
+              |SELECT vec_id, round(dist, 3) AS dist FROM dd ORDER BY vec_id""".stripMargin)),
+
+    "s2_negdot" -> Q(
+      (s, d) => { val (e, q) = embQ(s, d)
+        e.select(col("vec_id"), (round(vecNegdot(col("embedding"), lv(q)), 3) + 0.0).as("negdot"))
+          .orderBy("vec_id") },
+      Some(s"""$distCte
+              |SELECT vec_id, round(nd, 3) + 0.0 AS negdot FROM dd ORDER BY vec_id""".stripMargin)),
+
+    "s3_cosdist" -> Q(
+      (s, d) => { val (e, q) = embQ(s, d)
+        e.select(col("vec_id"), (round(vecCosdist(col("embedding"), lv(q)), 3) + 0.0).as("cosdist"))
+          .orderBy("vec_id") },
+      Some(s"""$distCte
+              |SELECT vec_id, round(1.0 - (-nd) / (na * nb), 3) + 0.0 AS cosdist FROM dd ORDER BY vec_id""".stripMargin)),
+
+    "s4_sphere_l2" -> Q(
+      (s, d) => { val (e, q) = embQ(s, d)
+        e.filter(sphereL2Contains(col("embedding"), lv(q), lit(1.3)))
+          .select(col("vec_id")).orderBy("vec_id") },
+      Some(s"""$distCte
+              |SELECT vec_id FROM dd WHERE dist < 1.3 ORDER BY vec_id""".stripMargin)),
+
+    "s5_sphere_negdot" -> Q(
+      (s, d) => { val (e, q) = embQ(s, d)
+        e.filter(sphereNegdotContains(col("embedding"), lv(q), lit(-0.15)))
+          .select(col("vec_id")).orderBy("vec_id") },
+      Some(s"""$distCte
+              |SELECT vec_id FROM dd WHERE nd < -0.15 ORDER BY vec_id""".stripMargin)),
+
+    "s6_sphere_cos" -> Q(
+      (s, d) => { val (e, q) = embQ(s, d)
+        e.filter(sphereCosContains(col("embedding"), lv(q), lit(0.8)))
+          .select(col("vec_id")).orderBy("vec_id") },
+      Some(s"""$distCte
+              |SELECT vec_id FROM dd WHERE 1.0 - (-nd) / (na * nb) < 0.8 ORDER BY vec_id""".stripMargin)),
+
+    "s7_maxsim" -> Q(
+      (s, d) => {
+        val e = tbl(s, d, "embeddings")
+        val qs = (1L to 3L).map(qvec(s, d, _))
+        val docs = e.groupBy(col("label").as("doc"))
+          .agg(collect_list(col("embedding")).as("tokens"))
+        val raw = vecMaxsim(col("tokens"), typedlit(qs.map(_.toSeq)))
+        docs.select(col("doc"), raw.as("raw"))
+          .orderBy(col("raw"), col("doc"))
+          .select(col("doc"), (round(col("raw"), 3) + 0.0).as("maxsim")) },
+      Some("""WITH qt AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id IN (1, 2, 3)),
+             |e AS (SELECT label, vec_id, embedding, unnest(range(0, 64)) AS i FROM embeddings),
+             |nd AS (SELECT e.label AS doc, e.vec_id AS did, qt.qid AS qid,
+             |  -sum(CAST(e.embedding[i+1] AS DOUBLE) * CAST(qt.qe[i+1] AS DOUBLE)) AS negdot
+             |  FROM e, qt GROUP BY 1, 2, 3),
+             |m AS (SELECT doc, qid, min(negdot) AS mind FROM nd GROUP BY doc, qid)
+             |SELECT doc, round(sum(mind), 3) + 0.0 AS maxsim FROM m GROUP BY doc ORDER BY sum(mind), doc""".stripMargin)),
+
+    "v_norm" -> Q(
+      (s, d) => tbl(s, d, "embeddings")
+        .select(col("vec_id"), round(vecNorm(col("embedding")), 3).as("nrm"))
+        .orderBy("vec_id"),
+      Some(s"""$distCte
+              |SELECT vec_id, round(na, 3) AS nrm FROM dd ORDER BY vec_id""".stripMargin)),
+
+    "v_normalize" -> Q(
+      (s, d) => tbl(s, d, "embeddings")
+        .select(col("vec_id"),
+          round(vecNorm(vecNormalize(col("embedding"))), 3).as("unit_norm"))
+        .orderBy("vec_id"),
+      Some(s"""$distCte
+              |SELECT vec_id, round(na / na, 3) AS unit_norm FROM dd ORDER BY vec_id""".stripMargin)),
+
+    "v_text_roundtrip" -> Q(
+      (s, d) => tbl(s, d, "embeddings")
+        .select(col("vec_id"),
+          (vecFromText(vecToText(col("embedding"))) === col("embedding")).as("ok"))
+        .orderBy("vec_id"),
+      Some("SELECT vec_id, TRUE AS ok FROM embeddings ORDER BY vec_id")),
+
+    // quantize/dequantize round-trips: no SQL-expressible oracle (codec is
+    // engine-defined); rows-only check + ScalaTest property bounds.
+    "v_quantize8_roundtrip" -> Q(
+      (s, d) => {
+        val relErr = udf { (v: Seq[Float]) =>
+          val x = v.toArray
+          val deq = graft.core.RaBitQ.dequantize(graft.core.RaBitQ.quantize(x, 8))
+          val n = graft.core.VectorKernels.norm(x)
+          if (n == 0.0) 0.0 else graft.core.VectorKernels.l2(deq, x) / n
+        }
+        tbl(s, d, "embeddings")
+          .select(col("vec_id"), round(relErr(col("embedding")), 4).as("rel_err"))
+          .orderBy("vec_id") },
+      None),
+
+    "v_quantize4_roundtrip" -> Q(
+      (s, d) => {
+        val relErr = udf { (v: Seq[Float]) =>
+          val x = v.toArray
+          val deq = graft.core.RaBitQ.dequantize(graft.core.RaBitQ.quantize(x, 4))
+          val n = graft.core.VectorKernels.norm(x)
+          if (n == 0.0) 0.0 else graft.core.VectorKernels.l2(deq, x) / n
+        }
+        tbl(s, d, "embeddings")
+          .select(col("vec_id"), round(relErr(col("embedding")), 4).as("rel_err"))
+          .orderBy("vec_id") },
+      None),
+
+    // ---- KNN / index scans (SURVEY §2.2) ----
+
+    "knn_topk" -> Q(
+      (s, d) => { val (e, q) = embQ(s, d)
+        Knn.topK(e, "vec_id", "embedding", q, 10)
+          .select(col("id").as("vec_id"), col("dist").as("raw"))
+          .orderBy(col("raw"), col("vec_id"))
+          .select(col("vec_id"), round(col("raw"), 3).as("dist")) },
+      Some(knnOracle)),
+
+    "knn_join" -> Q(
+      (s, d) => {
+        import s.implicits._
+        val e = tbl(s, d, "embeddings")
+        val qs = e.filter(col("vec_id") < 5)
+          .select(col("vec_id").cast("long"), col("embedding"))
+          .as[(Long, Seq[Float])].collect()
+          .map { case (id, v) => (id, v.toArray) }
+        Knn.knnJoin(e, "vec_id", "embedding", qs, 3, excludeSelf = true)
+          .select(col("qid"), col("id").as("vec_id"),
+            round(col("dist"), 3).as("dist"), col("rn").cast("long").as("rn"))
+          .orderBy("qid", "rn") },
+      Some("""WITH qt AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 5),
+             |e AS (SELECT vec_id, embedding, unnest(range(0, 64)) AS i FROM embeddings),
+             |dd AS (SELECT qt.qid, e.vec_id,
+             |  sqrt(sum(power(CAST(e.embedding[i+1] AS DOUBLE) - CAST(qt.qe[i+1] AS DOUBLE), 2))) AS dist
+             |  FROM e, qt WHERE e.vec_id <> qt.qid GROUP BY 1, 2),
+             |r AS (SELECT qid, vec_id, dist, row_number() OVER (PARTITION BY qid ORDER BY dist, vec_id) AS rn FROM dd)
+             |SELECT qid, vec_id, round(dist, 3) AS dist, CAST(rn AS BIGINT) AS rn
+             |FROM r WHERE rn <= 3 ORDER BY qid, rn""".stripMargin)),
+
+    "ivf_knn" -> Q(
+      (s, d) => { val q = qvec(s, d, 0)
+        IvfCache.get(s, d).searchExact(q, 10)
+          .select(col("id").as("vec_id"), col("dist").as("raw"))
+          .orderBy(col("raw"), col("vec_id"))
+          .select(col("vec_id"), round(col("raw"), 3).as("dist")) },
+      Some(knnOracle)),
+
+    "ivf_knn_probe" -> Q(
+      (s, d) => { val q = qvec(s, d, 0)
+        IvfCache.get(s, d).search(q, 10, probes = 4, refine = 8)
+          .select(col("id").as("vec_id"), round(col("dist"), 3).as("dist")) },
+      None),
+
+    "range_order" -> Q(
+      (s, d) => { val (e, q) = embQ(s, d)
+        e.filter(sphereL2Contains(col("embedding"), lv(q), lit(1.3)))
+          .select(col("vec_id"), vecL2(col("embedding"), lv(q)).as("raw"))
+          .orderBy(col("raw"), col("vec_id")).limit(20)
+          .select(col("vec_id"), round(col("raw"), 3).as("dist")) },
+      Some(s"""$distCte
+              |SELECT vec_id, round(dist, 3) AS dist FROM dd WHERE dist < 1.3
+              |ORDER BY dd.dist, vec_id LIMIT 20""".stripMargin)),
+
+    // ---- dedup suite (training-data pipeline ops) ----
+
+    "dedup_exact" -> Q(
+      (s, d) => Dedup.exactDupGroups(tbl(s, d, "documents"), "doc_id",
+          md5(concat_ws(" ", slice(split(col("text"), " "), 1, 5)).cast("binary")))
+        .select(col("grp"), col("keep_id"), col("n")).orderBy("grp"),
+      Some("""WITH p AS (SELECT doc_id, md5(array_to_string(string_split(text, ' ')[1:5], ' ')) AS grp FROM documents)
+             |SELECT grp, min(doc_id) AS keep_id, count(*) AS n FROM p
+             |GROUP BY grp HAVING count(*) > 1 ORDER BY grp""".stripMargin)),
+
+    "dedup_jaccard" -> Q(
+      (s, d) => Dedup.jaccardPairs(
+          Dedup.shingles(tbl(s, d, "documents"), "doc_id", "text", 3), 0.4)
+        .select(col("da"), col("db"), round(col("jac"), 3).as("jac"))
+        .orderBy("da", "db"),
+      Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+             |x AS (SELECT doc_id, toks, unnest(range(0, len(toks) - 2)) AS i FROM t WHERE len(toks) >= 3),
+             |sh AS (SELECT DISTINCT doc_id, toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] AS s FROM x),
+             |c AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+             |inter AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i FROM sh a
+             |  JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+             |j AS (SELECT da, db, CAST(i AS DOUBLE) / (ca.n + cb.n - i) AS jac FROM inter
+             |  JOIN c ca ON ca.doc_id = da JOIN c cb ON cb.doc_id = db)
+             |SELECT da, db, round(jac, 3) AS jac FROM j WHERE jac >= 0.4 ORDER BY da, db""".stripMargin)),
+
+    "dedup_minhash" -> Q(
+      (s, d) => Dedup.minhashDedup(tbl(s, d, "documents"), "doc_id", "text", 0.4)
+        .select(col("da"), col("db"), round(col("jac"), 3).as("jac"))
+        .orderBy("da", "db"),
+      None),
+
+    "dedup_simhash" -> Q(
+      (s, d) => Dedup.simhashDedup(tbl(s, d, "documents"), "doc_id", "text", 3)
+        .select(col("da"), col("db"), col("hamming").cast("long").as("hamming"))
+        .orderBy("da", "db"),
+      None),
+
+    "dedup_embedding" -> Q(
+      (s, d) => Dedup.embeddingNearDup(tbl(s, d, "embeddings"), "vec_id", "embedding", 0.5)
+        .select(col("da"), col("db"), round(col("cosdist"), 3).as("cosdist"))
+        .orderBy("da", "db"),
+      Some("""WITH e AS (SELECT vec_id, embedding, unnest(range(0, 64)) AS i FROM embeddings),
+             |n AS (SELECT vec_id, sqrt(sum(power(CAST(embedding[i+1] AS DOUBLE), 2))) AS nrm FROM e GROUP BY vec_id),
+             |p AS (SELECT a.vec_id AS va, b.vec_id AS vb,
+             |  sum(CAST(a.embedding[a.i+1] AS DOUBLE) * CAST(b.embedding[a.i+1] AS DOUBLE)) AS dot
+             |  FROM e a JOIN e b ON a.i = b.i AND a.vec_id < b.vec_id GROUP BY 1, 2)
+             |SELECT va AS da, vb AS db, round(1.0 - dot / (na.nrm * nb.nrm), 3) AS cosdist
+             |FROM p JOIN n na ON na.vec_id = p.va JOIN n nb ON nb.vec_id = p.vb
+             |WHERE 1.0 - dot / (na.nrm * nb.nrm) < 0.5 ORDER BY da, db""".stripMargin)),
+
+    // ---- text analysis suite ----
+
+    "lang_id" -> Q(
+      (s, d) => tbl(s, d, "documents")
+        .select(col("doc_id"), TextOps.langId(col("text")).as("lang_pred"))
+        .orderBy("doc_id"),
+      Some {
+        val cases = TextOps.stopwords.map { case (lang, words) =>
+          s"sum(CASE WHEN w IN (${words.map(w => s"'$w'").mkString(", ")}) THEN 1 ELSE 0 END) AS $lang"
+        }.mkString(",\n  ")
+        val langs = TextOps.stopwords.map(_._1)
+        val g = s"greatest(${langs.mkString(", ")})"
+        val branches = langs.map(l => s"WHEN $l = $g THEN '$l'").mkString(" ")
+        s"""WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+           |s AS (SELECT doc_id,
+           |  $cases
+           |  FROM t GROUP BY doc_id)
+           |SELECT doc_id, CASE WHEN $g = 0 THEN 'und' $branches ELSE 'und' END AS lang_pred
+           |FROM s ORDER BY doc_id""".stripMargin
+      }),
+
+    "text_quality" -> Q(
+      (s, d) => tbl(s, d, "documents")
+        .select(col("doc_id"),
+          TextOps.tokenCount(col("text")).cast("long").as("n_tokens"),
+          round(TextOps.avgTokenLen(col("text")), 3).as("avg_len"),
+          round(TextOps.stopRatio(col("text")), 3).as("stop_ratio"),
+          round(TextOps.qualityScore(col("text")), 3).as("score"))
+        .orderBy("doc_id"),
+      Some(s"""WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+              |h AS (SELECT doc_id, sum(CASE WHEN w IN ($enList) THEN 1 ELSE 0 END) AS hits, count(*) AS n FROM t GROUP BY doc_id),
+              |c AS (SELECT doc_id, CAST(length(replace(text, ' ', '')) AS DOUBLE) AS nc FROM documents)
+              |SELECT h.doc_id AS doc_id, CAST(h.n AS BIGINT) AS n_tokens,
+              |  round(c.nc / h.n, 3) AS avg_len,
+              |  round(CAST(h.hits AS DOUBLE) / h.n, 3) AS stop_ratio,
+              |  round(least(1.0, CAST(h.n AS DOUBLE) / 100.0) * (0.5 + 0.5 * (CAST(h.hits AS DOUBLE) / h.n)), 3) AS score
+              |FROM h JOIN c ON c.doc_id = h.doc_id ORDER BY doc_id""".stripMargin)),
+
+    "token_count" -> Q(
+      (s, d) => tbl(s, d, "documents")
+        .select(col("doc_id"),
+          TextOps.tokenCount(col("text")).cast("long").as("n_ws"),
+          TextOps.bpeTokenCount(col("n_chars")).as("n_bpe"))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws,
+             |CAST(ceil(n_chars / 4.0) AS BIGINT) AS n_bpe FROM documents ORDER BY doc_id""".stripMargin)),
+
+    "fingerprint" -> Q(
+      (s, d) => tbl(s, d, "documents")
+        .select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))
+        .orderBy("doc_id"),
+      Some("SELECT doc_id, md5(lower(text)) AS fp FROM documents ORDER BY doc_id")),
+
+    // ---- relational core (scan/filter/agg/join/window/setop/sort) ----
+
+    "q1_agg" -> Q(
+      (s, d) => tbl(s, d, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(col("l_quantity")).as("sum_qty"),
+          sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double").as("sum_base"),
+          round(avg(col("l_quantity")), 3).as("avg_qty"),
+          round(avg(col("l_discount")), 6).as("avg_disc"),
+          count(lit(1)).as("cnt"))
+        .orderBy("l_returnflag", "l_linestatus"),
+      Some("""SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,
+             |CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base,
+             |round(avg(l_quantity), 3) AS avg_qty, round(avg(l_discount), 6) AS avg_disc,
+             |count(*) AS cnt FROM lineitem
+             |GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""".stripMargin)),
+
+    "q3_join" -> Q(
+      (s, d) => tbl(s, d, "orders")
+        .join(tbl(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(tbl(s, d, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("revenue"),
+          count(lit(1)).as("n_orders"))
+        .orderBy("n_name"),
+      Some("""SELECT n_name, CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+             |count(*) AS n_orders
+             |FROM orders JOIN customer ON o_custkey = c_custkey
+             |JOIN nation ON c_nationkey = n_nationkey
+             |GROUP BY n_name ORDER BY n_name""".stripMargin)),
+
+    "q_window" -> Q(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("c_custkey"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        tbl(s, d, "orders")
+          .join(tbl(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+          .select(col("c_custkey"), col("o_orderkey"), col("o_totalprice"),
+            row_number().over(w).cast("long").as("rn"))
+          .filter(col("rn") <= 2)
+          .orderBy("c_custkey", "rn") },
+      Some("""SELECT c_custkey, o_orderkey, o_totalprice, CAST(rn AS BIGINT) AS rn FROM (
+             |  SELECT c_custkey, o_orderkey, o_totalprice,
+             |    row_number() OVER (PARTITION BY c_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+             |  FROM customer JOIN orders ON o_custkey = c_custkey) z
+             |WHERE rn <= 2 ORDER BY c_custkey, rn""".stripMargin)),
+
+    "q_setop" -> Q(
+      (s, d) => tbl(s, d, "customer").select(col("c_nationkey"))
+        .intersect(tbl(s, d, "supplier").select(col("s_nationkey").as("c_nationkey")))
+        .orderBy("c_nationkey"),
+      Some("""SELECT c_nationkey FROM customer INTERSECT SELECT s_nationkey FROM supplier
+             |ORDER BY c_nationkey""".stripMargin)),
+
+    "q_antijoin" -> Q(
+      (s, d) => tbl(s, d, "customer")
+        .join(tbl(s, d, "orders"), col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey")).orderBy("c_custkey"),
+      Some("""SELECT c_custkey FROM customer
+             |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+             |ORDER BY c_custkey""".stripMargin)),
+
+    "q_sort_limit" -> Q(
+      (s, d) => tbl(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber").cast("long").as("l_linenumber"),
+          col("l_extendedprice"))
+        .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
+        .limit(20),
+      Some("""SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber, l_extendedprice
+             |FROM lineitem ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 20""".stripMargin)),
+
+    "q_rollup" -> Q(
+      (s, d) => tbl(s, d, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("cnt"), sum(col("l_quantity")).as("sum_qty"))
+        .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first),
+      Some("""SELECT l_returnflag, l_linestatus, count(*) AS cnt, sum(l_quantity) AS sum_qty
+             |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+             |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin)),
+
+    // ---- events: windowed aggregation + sessionization (streaming analog) ----
+
+    "q_events_hourly" -> Q(
+      // ts arrives as a raw nanos long (see tbl); hour bucket via exact
+      // integer division — matches DuckDB's date_trunc on the timestamp.
+      (s, d) => tbl(s, d, "events")
+        .groupBy(expr("(ts div 3600000000000) * 3600").as("hr"), col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sv"))
+        .orderBy("hr", "event_type"),
+      Some("""SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hr, event_type,
+             |count(*) AS n, round(sum(value), 2) AS sv
+             |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    "q_sessionize" -> Q(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        tbl(s, d, "events")
+          .withColumn("pts", lag(col("ts"), 1).over(w))
+          .withColumn("brk",
+            when(col("pts").isNull || col("ts") - col("pts") > 1800000000000L, 1L)
+              .otherwise(0L))
+          .groupBy(col("user_id"))
+          .agg(sum(col("brk")).as("n_sessions"), count(lit(1)).as("n_events"))
+          .orderBy("user_id") },
+      Some("""WITH l AS (SELECT user_id, event_id, ts,
+             |  lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pts FROM events),
+             |b AS (SELECT user_id,
+             |  CASE WHEN pts IS NULL OR epoch_us(ts) - epoch_us(pts) > 1800000000 THEN 1 ELSE 0 END AS brk FROM l)
+             |SELECT user_id, CAST(sum(brk) AS BIGINT) AS n_sessions, count(*) AS n_events
+             |FROM b GROUP BY user_id ORDER BY user_id""".stripMargin))
+  )
+
+  /** Per-(session, sfDir) IVF index cache so bench loops don't rebuild. */
+  object IvfCache {
+    private val cache = new java.util.concurrent.ConcurrentHashMap[String, IvfIndex]()
+    def get(spark: SparkSession, sfDir: String): IvfIndex = {
+      val key = sfDir
+      val cached = cache.get(key)
+      if (cached != null) cached
+      else {
+        val dir = s"${sys.props("java.io.tmpdir")}/graft-ivf-${sfDir.replaceAll("[^a-zA-Z0-9.]", "_")}"
+        val idx = IvfIndex.build(
+          spark.read.parquet(s"$sfDir/embeddings.parquet"), "vec_id", "embedding",
+          dir, IvfConfig(lists = 16, bits = 8, residual = true))
+        cache.put(key, idx)
+        idx
+      }
+    }
+  }
+}

