@@ -38,17 +38,32 @@ object Dedup {
   }
 
   /**
-   * Distinct word n-gram shingles per doc: (id, shingle). Whitespace
+   * Distinct word n-gram shingles per doc: (id, shingle: Long). Each
+   * shingle is a rolling combination of per-token FNV hashes, so a doc is
+   * processed in O(tokens) with no string materialization, and
+   * deduplication happens inside the row (shingle duplicates can only
+   * occur within one doc) — no global distinct shuffle. Whitespace
    * tokenization; docs shorter than n produce no shingles.
    */
   def shingles(df: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame = {
-    df.select(
-        col(idCol).as("id"),
-        expr(s"transform(sequence(0, size(split($textCol, ' ')) - $n), " +
-          s"i -> concat_ws(' ', slice(split($textCol, ' '), i + 1, $n)))").as("sh"))
-      .filter(size(col("sh")) > 0)
-      .select(col("id"), explode(col("sh")).as("shingle"))
-      .distinct()
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(textCol)).as[(Long, String)]
+      .flatMap { case (id, text) =>
+        val toks = text.split(' ')
+        val th = toks.map(hash64)
+        val seen = new scala.collection.mutable.HashSet[Long]
+        var i = 0
+        while (i + n <= th.length) {
+          var h = 0xcbf29ce484222325L
+          var j = i
+          while (j < i + n) { h = h * 0x100000001b3L ^ th(j); j += 1 }
+          seen += h
+          i += 1
+        }
+        seen.iterator.map(h => (id, h))
+      }
+      .toDF("id", "shingle")
   }
 
   /**
@@ -84,17 +99,16 @@ object Dedup {
    * (exact verify); false-negative rate = prod over bands of
    * (1 - j^rowsPerBand).
    */
-  def minhashCandidates(sh: DataFrame, numHashes: Int = 64, bands: Int = 32): DataFrame = {
+  def minhashCandidates(sh: DataFrame, numHashes: Int = 64, bands: Int = 16): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
     val r = numHashes / bands
     val spark = sh.sparkSession
     import spark.implicits._
-    val sigs = sh.select(col("id").cast("long"), col("shingle")).as[(Long, String)]
+    val sigs = sh.select(col("id").cast("long"), col("shingle")).as[(Long, Long)]
       .groupByKey(_._1)
       .mapGroups { (id, it) =>
         val sig = Array.fill(numHashes)(Long.MaxValue)
-        it.foreach { case (_, s) =>
-          val h = hash64(s)
+        it.foreach { case (_, h) =>
           var j = 0
           while (j < numHashes) { val v = mix(h, j); if (v < sig(j)) sig(j) = v; j += 1 }
         }
@@ -114,12 +128,17 @@ object Dedup {
       .distinct()
   }
 
-  /** MinHash-LSH near-dup pairs with exact-Jaccard verification. */
+  /** MinHash-LSH near-dup pairs with exact-Jaccard verification. The
+    * exact pass runs only over docs that appear in some LSH candidate
+    * pair — at scale the n^2 shingle join never materializes. */
   def minhashDedup(df: DataFrame, idCol: String, textCol: String, threshold: Double,
-                   n: Int = 3, numHashes: Int = 64, bands: Int = 32): DataFrame = {
+                   n: Int = 3, numHashes: Int = 64, bands: Int = 16): DataFrame = {
     val sh = shingles(df, idCol, textCol, n).cache()
-    val cand = minhashCandidates(sh, numHashes, bands)
-    jaccardPairs(sh, threshold)
+    val cand = minhashCandidates(sh, numHashes, bands).cache()
+    val candDocs = cand.select(col("da").as("id"))
+      .union(cand.select(col("db").as("id"))).distinct()
+    val shCand = sh.join(candDocs, Seq("id"), "left_semi")
+    jaccardPairs(shCand, threshold)
       .join(cand, Seq("da", "db")) // exact-verified, LSH-pruned
   }
 
@@ -173,10 +192,26 @@ object Dedup {
     val cd = udf((a: Seq[Float], b: Seq[Float]) => K.cosdist(a.toArray, b.toArray))
     val base = df.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
     if (lshBits == 0) {
-      base.as("x").join(base.as("y"), col("x.id") < col("y.id"))
-        .withColumn("cosdist", cd(col("x.v"), col("y.v")))
-        .filter(col("cosdist") < tau)
-        .select(col("x.id").as("da"), col("y.id").as("db"), col("cosdist"))
+      // broadcast-block pair scan: one side broadcast as primitive arrays,
+      // the other streamed per-partition — no per-pair row machinery. At
+      // sizes past broadcast limits, use the lshBits path instead.
+      val spark = df.sparkSession
+      import spark.implicits._
+      val rows = base.as[(Long, Seq[Float])]
+      val side = spark.sparkContext.broadcast(
+        rows.collect().map { case (id, v) => (id, v.toArray, K.norm(v.toArray)) })
+      rows.mapPartitions { it =>
+        val all = side.value
+        it.flatMap { case (ida, va0) =>
+          val va = va0.toArray
+          val na = K.norm(va)
+          all.iterator.collect {
+            case (idb, vb, nb) if ida < idb =>
+              val c = if (na == 0.0 || nb == 0.0) 1.0 else 1.0 - K.dot(va, vb) / (na * nb)
+              (ida, idb, c)
+          }.filter(_._3 < tau)
+        }
+      }.toDF("da", "db", "cosdist")
     } else {
       val spark = df.sparkSession
       import spark.implicits._
