@@ -1,7 +1,9 @@
 package graft.index
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
+import java.nio.file.{Files, Paths, Path}
+import java.util.Comparator
 
 import graft.core.{RaBitQ, VectorKernels => K}
 import graft.kmeans.KMeans
@@ -15,19 +17,28 @@ import graft.kmeans.KMeans
  * crates/vchordrq/src/search.rs:36-196):
  *
  *   page "tapes" per cell      ->  Parquet files partitioned by cluster_id
- *   meta page                  ->  small `config` + `centroids` Parquet
+ *   meta page                  ->  small `config` + `centroids` Parquet +
+ *                                  a CURRENT generation pointer
  *   multi-probe tree descent   ->  driver-side centroid scoring + Parquet
  *                                  PARTITION PRUNING on cluster_id
  *   RaBitQ LUT leaf scoring    ->  code-only column scan (column pruning:
  *                                  the estimate phase never reads vectors)
  *   eps-lower-bound + rerank   ->  top (k*refine) by (est - eps*err), then
  *                                  exact re-score of just those rows
+ *   frozen + appendable tapes  ->  gen-N/ (compacted) + delta/ (appends)
+ *   aminsert (B11)             ->  appendDelta()
+ *   maintain/compaction (B12)  ->  compact(): rewrite gen-(N+1), drop delta
+ *   ambulkdelete/vacuum (B13)  ->  delete(): anti-filter rewrite
+ *   external build (B7)        ->  buildExternal() from a centroid table
+ *   prewarm                    ->  prewarm(): cache + count
  *
  * Scale design: the only full-data pass at build is one assignment +
  * shuffle-on-cluster write; k-means runs on a bounded sample
  * (lists x samplingFactor rows) on the driver, as in the reference.
  * Search reads only probed partitions, and only (id, meta, codes) columns
  * until the rerank step touches the handful of candidate vectors.
+ * Generations make compact/delete atomic: readers follow CURRENT, a
+ * rewrite lands in gen-(N+1) before the pointer moves.
  */
 final case class IvfConfig(
     lists: Int = 16,
@@ -43,22 +54,17 @@ object IvfIndex {
 
   private def spherical(cfg: IvfConfig): Boolean = cfg.metric == "cosdist"
 
-  /** Build the index from `df(idCol, vecCol)` into `dir`. */
-  def build(df: DataFrame, idCol: String, vecCol: String, dir: String,
-            cfg: IvfConfig = IvfConfig()): IvfIndex = {
+  /** Encode rows to (cluster_id, id, vec, cmeta, codes) via broadcast centroids. */
+  private[index] def encodeRows(df: DataFrame, idCol: String, vecCol: String,
+                                cfg: IvfConfig, centroids: Array[Array[Float]])
+      : Dataset[(Int, Long, Seq[Float], Seq[Float], Array[Byte])] = {
     val spark = df.sparkSession
     import spark.implicits._
-    val cap = math.max(cfg.lists * cfg.samplingFactor, cfg.lists)
-    val sample = df.select(col(vecCol)).as[Seq[Float]]
-      .limit(cap).collect().map(_.toArray)
-    require(sample.nonEmpty, "cannot build an index over an empty table")
-    val dim = sample(0).length
-    val centroids = KMeans.lloyd(sample, cfg.lists, cfg.kmeansIters, spherical(cfg))
     val bc = spark.sparkContext.broadcast(centroids)
     val residual = cfg.residual
     val bits = cfg.bits
     val sph = spherical(cfg)
-    val rows = df.select(col(idCol).cast("long"), col(vecCol)).as[(Long, Seq[Float])]
+    df.select(col(idCol).cast("long"), col(vecCol)).as[(Long, Seq[Float])]
       .map { case (id, v) =>
         val raw = v.toArray
         val vec = if (sph) K.normalize(raw) else raw
@@ -75,32 +81,164 @@ object IvfIndex {
         val code = RaBitQ.quantize(toCode, bits)
         (cid, id, vec.toSeq, code.meta.toSeq, code.codes)
       }
-      .toDF("cluster_id", "id", "vec", "cmeta", "codes")
-    rows.write.mode("overwrite").partitionBy("cluster_id").parquet(s"$dir/data")
-    // meta: tiny parquet tables (config row + centroid rows)
-    Seq((dim, cfg.lists, cfg.bits, cfg.residual, cfg.metric))
-      .toDF("dim", "lists", "bits", "residual", "metric")
+  }
+
+  private def writeMeta(spark: SparkSession, dir: String, dim: Int, cfg: IvfConfig,
+                        centroids: Array[Array[Float]]): Unit = {
+    import spark.implicits._
+    Seq((dim, cfg.lists, cfg.bits, cfg.residual, cfg.metric, cfg.samplingFactor, cfg.kmeansIters))
+      .toDF("dim", "lists", "bits", "residual", "metric", "sampling_factor", "kmeans_iters")
       .write.mode("overwrite").parquet(s"$dir/config")
     centroids.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
       .toDF("cluster_id", "centroid")
       .write.mode("overwrite").parquet(s"$dir/centroids")
+  }
+
+  private def finishBuild(df: DataFrame, idCol: String, vecCol: String, dir: String,
+                          cfg: IvfConfig, centroids: Array[Array[Float]], dim: Int): IvfIndex = {
+    val spark = df.sparkSession
+    encodeRows(df, idCol, vecCol, cfg, centroids)
+      .toDF("cluster_id", "id", "vec", "cmeta", "codes")
+      .write.mode("overwrite").partitionBy("cluster_id").parquet(s"$dir/gen-0")
+    writeMeta(spark, dir, dim, cfg, centroids)
+    Files.createDirectories(Paths.get(dir))
+    Files.writeString(Paths.get(dir, "CURRENT"), "gen-0")
     new IvfIndex(spark, dir, IvfMeta(dim, cfg, centroids))
+  }
+
+  /** Internal build: sampled driver-side k-means (reference B1-B5). */
+  def build(df: DataFrame, idCol: String, vecCol: String, dir: String,
+            cfg: IvfConfig = IvfConfig()): IvfIndex = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val cap = math.max(cfg.lists * cfg.samplingFactor, cfg.lists)
+    val sample = df.select(col(vecCol)).as[Seq[Float]]
+      .limit(cap).collect().map(_.toArray)
+    require(sample.nonEmpty, "cannot build an index over an empty table")
+    val dim = sample(0).length
+    val centroids = KMeans.lloyd(sample, cfg.lists, cfg.kmeansIters, spherical(cfg))
+    finishBuild(df, idCol, vecCol, dir, cfg, centroids, dim)
+  }
+
+  /**
+   * External build from a user-provided centroid table (reference B7:
+   * am/am_build.rs:1589-1752 — `(id, parent, vector)` rows; validated:
+   * unique ids, consistent dims, and when `parent` is present a single
+   * root, no cycles, all nodes reachable). Leaf rows become the IVF cells.
+   */
+  def buildExternal(df: DataFrame, idCol: String, vecCol: String, dir: String,
+                    centroidTable: DataFrame, cfg: IvfConfig = IvfConfig()): IvfIndex = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val hasParent = centroidTable.columns.contains("parent")
+    val rows: Array[(Long, Option[Long], Array[Float])] =
+      if (hasParent)
+        centroidTable.select(col("id").cast("long"), col("parent").cast("long"), col("vector"))
+          .as[(Long, Option[Long], Seq[Float])].collect()
+          .map { case (i, p, v) => (i, p, v.toArray) }
+      else
+        centroidTable.select(col("id").cast("long"), col("vector"))
+          .as[(Long, Seq[Float])].collect()
+          .map { case (i, v) => (i, None: Option[Long], v.toArray) }
+    require(rows.nonEmpty, "external centroid table is empty")
+    val ids = rows.map(_._1)
+    require(ids.distinct.length == ids.length, "duplicate ids in external centroid table")
+    val dims = rows.map(_._3.length).distinct
+    require(dims.length == 1, s"inconsistent centroid dims: ${dims.mkString(",")}")
+    val leaves: Array[Array[Float]] =
+      if (!hasParent || rows.forall(_._2.isEmpty)) rows.sortBy(_._1).map(_._3)
+      else {
+        val byId = rows.map(r => r._1 -> r).toMap
+        val roots = rows.filter(_._2.isEmpty)
+        require(roots.length == 1, s"expected exactly one root, got ${roots.length}")
+        // parent links must reach the root acyclically
+        rows.foreach { r =>
+          var cur = r
+          var steps = 0
+          while (cur._2.isDefined) {
+            require(steps <= rows.length, s"cycle detected at centroid id ${r._1}")
+            val p = cur._2.get
+            require(byId.contains(p), s"dangling parent $p for centroid ${r._1}")
+            cur = byId(p)
+            steps += 1
+          }
+        }
+        val parentIds = rows.flatMap(_._2).toSet
+        val leafRows = rows.filter(r => !parentIds.contains(r._1))
+        require(leafRows.nonEmpty, "centroid tree has no leaves")
+        leafRows.sortBy(_._1).map(_._3)
+      }
+    val cfgAdj = cfg.copy(lists = leaves.length)
+    finishBuild(df, idCol, vecCol, dir, cfgAdj, leaves, leaves(0).length)
   }
 
   def load(spark: SparkSession, dir: String): IvfIndex = {
     import spark.implicits._
-    val (dim, lists, bits, residual, metric) =
+    val (dim, lists, bits, residual, metric, sf, it) =
       spark.read.parquet(s"$dir/config")
-        .as[(Int, Int, Int, Boolean, String)].head()
+        .as[(Int, Int, Int, Boolean, String, Int, Int)].head()
     val centroids = spark.read.parquet(s"$dir/centroids")
       .as[(Int, Seq[Float])].collect().sortBy(_._1).map(_._2.toArray)
     new IvfIndex(spark, dir,
-      IvfMeta(dim, IvfConfig(lists, bits, residual, metric), centroids))
+      IvfMeta(dim, IvfConfig(lists, bits, residual, metric, sf, it), centroids))
   }
+
+  private[index] def rmRecursive(p: Path): Unit =
+    if (Files.exists(p))
+      Files.walk(p).sorted(Comparator.reverseOrder[Path]()).forEach(f => Files.delete(f))
 }
 
 final class IvfIndex(spark: SparkSession, dir: String, val meta: IvfMeta) {
   import spark.implicits._
+
+  private def currentGen: String =
+    Files.readString(Paths.get(dir, "CURRENT")).trim
+
+  private def deltaExists: Boolean = {
+    val p = Paths.get(dir, "delta")
+    Files.exists(p) && Files.list(p).findFirst().isPresent
+  }
+
+  private val dataCols = Seq("cluster_id", "id", "vec", "cmeta", "codes")
+
+  /** Current index contents: compacted generation plus any delta appends.
+    * A filter on cluster_id prunes partitions in BOTH branches of the
+    * union independently. */
+  def dataDf: DataFrame = {
+    val gen = spark.read.parquet(s"$dir/$currentGen")
+      .select(dataCols.map(col): _*)
+    if (deltaExists)
+      gen.unionByName(spark.read.parquet(s"$dir/delta").select(dataCols.map(col): _*))
+    else gen
+  }
+
+  /** Incremental ingest (reference `aminsert`, B11): encode rows against
+    * the existing centroids and append to the delta area. */
+  def appendDelta(df: DataFrame, idCol: String, vecCol: String): Unit =
+    IvfIndex.encodeRows(df, idCol, vecCol, meta.cfg, meta.centroids)
+      .toDF("cluster_id", "id", "vec", "cmeta", "codes")
+      .write.mode("append").partitionBy("cluster_id").parquet(s"$dir/delta")
+
+  /** Compaction (reference `maintain`, B12): fold delta into a new
+    * generation, then atomically advance CURRENT and drop old dirs. */
+  def compact(): Unit = rewrite(identity)
+
+  /** Bulk delete (reference vacuum, B13): drop rows whose id is in `ids`
+    * and rewrite — the MVCC-free Parquet analog of tape vacuuming. */
+  def delete(ids: Seq[Long]): Unit =
+    rewrite(df => df.filter(!col("id").isin(ids.map(java.lang.Long.valueOf): _*)))
+
+  private def rewrite(f: DataFrame => DataFrame): Unit = {
+    val old = currentGen
+    val next = s"gen-${old.stripPrefix("gen-").toInt + 1}"
+    f(dataDf).write.mode("overwrite").partitionBy("cluster_id").parquet(s"$dir/$next")
+    Files.writeString(Paths.get(dir, "CURRENT"), next)
+    IvfIndex.rmRecursive(Paths.get(dir, old))
+    IvfIndex.rmRecursive(Paths.get(dir, "delta"))
+  }
+
+  /** Cache the index into executor memory (reference `vchordrq_prewarm`). */
+  def prewarm(): Long = dataDf.cache().count()
 
   private def prepQuery(q: Array[Float]): Array[Float] =
     if (meta.cfg.metric == "cosdist") K.normalize(q) else q
@@ -138,8 +276,7 @@ final class IvfIndex(spark: SparkSession, dir: String, val meta: IvfMeta) {
              refine: Int = 8): DataFrame = {
     val qq = prepQuery(q)
     val probed = probe(q, probes)
-    val data = spark.read.parquet(s"$dir/data")
-      .filter(col("cluster_id").isin(probed.map(Integer.valueOf): _*))
+    val data = dataDf.filter(col("cluster_id").isin(probed.map(Integer.valueOf): _*))
     // per-probed-cluster precomputed query residual + sums (broadcast)
     val residual = meta.cfg.residual
     val perCluster: Map[Int, (Array[Float], Double, Double)] = probed.map { cid =>
@@ -199,7 +336,7 @@ final class IvfIndex(spark: SparkSession, dir: String, val meta: IvfMeta) {
   def searchExact(q: Array[Float], k: Int): DataFrame = {
     val qq = prepQuery(q)
     val exact = exactDistUdf(qq)
-    spark.read.parquet(s"$dir/data")
+    dataDf
       .select($"id", exact($"vec").as("dist"))
       .orderBy($"dist", $"id")
       .limit(k)

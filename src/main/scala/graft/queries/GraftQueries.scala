@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.GraftFunctions._
 import graft.index.{IvfConfig, IvfIndex}
-import graft.ops.{Dedup, Knn, TextOps}
+import graft.ops.{Dedup, Knn, MaxSim, Multimodal, TextOps}
 
 /**
  * The operator inventory (SURVEY.md §2) as named queries, each paired —
@@ -222,6 +222,37 @@ object GraftQueries {
           .select(col("id").as("vec_id"), round(col("dist"), 3).as("dist")) },
       None),
 
+    // distributed MaxSim: explode -> partial-agg sum(min) Aggregator —
+    // same semantics as s7_maxsim (same oracle), different physical plan
+    // (no collect_list; shuffle carries fixed-width buffers).
+    "maxsim_agg" -> Q(
+      (s, d) => {
+        val e = tbl(s, d, "embeddings")
+        val qs = (1L to 3L).map(qvec(s, d, _)).toArray
+        MaxSim.score(e.select(col("label"), col("embedding")), "label", "embedding", qs)
+          .select(col("doc").cast("int").as("doc"), col("maxsim").as("raw"))
+          .orderBy(col("raw"), col("doc"))
+          .select(col("doc"), (round(col("raw"), 3) + 0.0).as("maxsim")) },
+      Some("""WITH qt AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id IN (1, 2, 3)),
+             |e AS (SELECT label, vec_id, embedding, unnest(range(0, 64)) AS i FROM embeddings),
+             |nd AS (SELECT e.label AS doc, e.vec_id AS did, qt.qid AS qid,
+             |  -sum(CAST(e.embedding[i+1] AS DOUBLE) * CAST(qt.qe[i+1] AS DOUBLE)) AS negdot
+             |  FROM e, qt GROUP BY 1, 2, 3),
+             |m AS (SELECT doc, qid, min(negdot) AS mind FROM nd GROUP BY doc, qid)
+             |SELECT doc, round(sum(mind), 3) + 0.0 AS maxsim FROM m GROUP BY doc ORDER BY sum(mind), doc""".stripMargin)),
+
+    // recall-evaluation harness as a first-class query (reference
+    // vchordrq_evaluate_query_recall); rows-only — the value depends on
+    // the engine-defined ANN estimator.
+    "knn_recall" -> Q(
+      (s, d) => {
+        import s.implicits._
+        val q = qvec(s, d, 0)
+        val idx = IvfCache.get(s, d)
+        val r = idx.evaluateRecall(q, 10, probes = 4, refine = 8)
+        Seq((10, 4, r)).toDF("k", "probes", "recall") },
+      None),
+
     "range_order" -> Q(
       (s, d) => { val (e, q) = embQ(s, d)
         e.filter(sphereL2Contains(col("embedding"), lv(q), lit(1.3)))
@@ -334,6 +365,29 @@ object GraftQueries {
         .select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))
         .orderBy("doc_id"),
       Some("SELECT doc_id, md5(lower(text)) AS fp FROM documents ORDER BY doc_id")),
+
+    // ---- multimodal columns (opaque blob + typed metadata; stub decode) ----
+
+    "mm_blob_stats" -> Q(
+      (s, d) => Multimodal.attachBlob(tbl(s, d, "documents"), "doc_id", "text")
+        .select(col("doc_id"),
+          length(col("blob")).cast("long").as("n_bytes"),
+          md5(col("blob")).as("fp"),
+          col("mm_meta.width").as("width"))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id, CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+             |md5(text) AS fp, CAST((doc_id % 4) * 256 + 256 AS INT) AS width
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    "mm_features" -> Q(
+      (s, d) => {
+        val blobs = Multimodal.attachBlob(tbl(s, d, "documents"), "doc_id", "text")
+        Multimodal.extractFeatures(blobs, "doc_id", "blob", dim = 64)
+          .select(col("id").as("doc_id"),
+            size(col("features")).as("dim"),
+            round(vecNorm(col("features")), 3).as("unit_norm"))
+          .orderBy("doc_id") },
+      Some("SELECT doc_id, 64 AS dim, CAST(1.0 AS DOUBLE) AS unit_norm FROM documents ORDER BY doc_id")),
 
     // ---- relational core (scan/filter/agg/join/window/setop/sort) ----
 

@@ -1,0 +1,113 @@
+package graft.index
+
+import graft.SparkSpec
+import graft.core.{VectorKernels => K}
+import java.nio.file.Files
+
+/**
+ * Insert/compact/delete/reindex/external-build lifecycle — mirrors the
+ * reference's vacuum.slt, reindex.slt, external_build.slt and
+ * external_build_sql_inject.slt validation cases.
+ */
+class IvfLifecycleSpec extends SparkSpec {
+
+  private def freshDir(): String = Files.createTempDirectory("graft-ivf-life").toString
+
+  private lazy val rows: Seq[(Long, Seq[Float])] = {
+    val rng = new scala.util.Random(5)
+    (0L until 500L).map(i => i -> Seq.fill(8)(rng.nextFloat() * 2 - 1))
+  }
+
+  private def brute(data: Seq[(Long, Seq[Float])], q: Array[Float], k: Int): Seq[Long] =
+    data.map { case (id, v) => (K.l2(v.toArray, q), id) }.sorted.take(k).map(_._2)
+
+  test("appendDelta makes new rows searchable; compact folds them in") {
+    import spark.implicits._
+    val (initial, extra) = rows.splitAt(400)
+    val idx = IvfIndex.build(initial.toDF("id", "vec"), "id", "vec", freshDir(),
+      IvfConfig(lists = 8))
+    val q = Array.fill(8)(0.1f)
+    idx.appendDelta(extra.toDF("id", "vec"), "id", "vec")
+    val withDelta = idx.searchExact(q, 10).select("id").as[Long].collect().toSeq
+    assert(withDelta == brute(rows, q, 10), "delta rows must be visible")
+    idx.compact()
+    val afterCompact = idx.searchExact(q, 10).select("id").as[Long].collect().toSeq
+    assert(afterCompact == withDelta, "compaction must not change results")
+    assert(idx.prewarm() == 500L)
+  }
+
+  test("delete removes rows; survivors unchanged (vacuum semantics)") {
+    import spark.implicits._
+    val dir = freshDir()
+    val idx = IvfIndex.build(rows.toDF("id", "vec"), "id", "vec", dir, IvfConfig(lists = 8))
+    val dead = (0L until 250L)
+    idx.delete(dead)
+    val q = Array.fill(8)(-0.2f)
+    val got = idx.searchExact(q, 10).select("id").as[Long].collect().toSeq
+    val survivors = rows.filterNot { case (id, _) => id < 250L }
+    assert(got == brute(survivors, q, 10))
+    // deleted ids never reappear via ANN search either
+    val ann = idx.search(q, 10, probes = 8, refine = 16).select("id").as[Long].collect()
+    assert(ann.forall(_ >= 250L))
+  }
+
+  test("rebuild from scratch equals fresh build (reindex semantics)") {
+    import spark.implicits._
+    val d1 = freshDir(); val d2 = freshDir()
+    val df = rows.toDF("id", "vec")
+    val a = IvfIndex.build(df, "id", "vec", d1, IvfConfig(lists = 8))
+    val b = IvfIndex.build(df, "id", "vec", d2, IvfConfig(lists = 8))
+    val q = Array.fill(8)(0.33f)
+    assert(a.searchExact(q, 20).collect().toSeq == b.searchExact(q, 20).collect().toSeq)
+  }
+
+  test("external build: flat centroid table") {
+    import spark.implicits._
+    val cents = Seq((0L, Seq(0.5f, 0.5f, 0f, 0f, 0f, 0f, 0f, 0f)),
+      (1L, Seq(-0.5f, -0.5f, 0f, 0f, 0f, 0f, 0f, 0f))).toDF("id", "vector")
+    val idx = IvfIndex.buildExternal(rows.toDF("id", "vec"), "id", "vec",
+      freshDir(), cents, IvfConfig(residual = false))
+    assert(idx.meta.centroids.length == 2)
+    val q = Array.fill(8)(0.4f)
+    assert(idx.searchExact(q, 5).select("id").as[Long].collect().toSeq ==
+      brute(rows, q, 5))
+  }
+
+  test("external build: hierarchical table uses leaves") {
+    import spark.implicits._
+    val cents = Seq(
+      (0L, None: Option[Long], Seq.fill(8)(0f)),             // root
+      (1L, Some(0L), Seq.fill(8)(0.5f)),                     // leaf
+      (2L, Some(0L), Seq.fill(8)(-0.5f))                     // leaf
+    ).toDF("id", "parent", "vector")
+    val idx = IvfIndex.buildExternal(rows.toDF("id", "vec"), "id", "vec",
+      freshDir(), cents, IvfConfig(residual = false))
+    assert(idx.meta.centroids.length == 2)
+  }
+
+  test("external build: malformed tables rejected") {
+    import spark.implicits._
+    val df = rows.toDF("id", "vec")
+    // duplicate ids
+    assertThrows[IllegalArgumentException](IvfIndex.buildExternal(df, "id", "vec",
+      freshDir(), Seq((0L, Seq(1f)), (0L, Seq(2f))).toDF("id", "vector")))
+    // inconsistent dims
+    assertThrows[IllegalArgumentException](IvfIndex.buildExternal(df, "id", "vec",
+      freshDir(), Seq((0L, Seq(1f)), (1L, Seq(1f, 2f))).toDF("id", "vector")))
+    // two roots
+    assertThrows[IllegalArgumentException](IvfIndex.buildExternal(df, "id", "vec",
+      freshDir(), Seq(
+        (0L, None: Option[Long], Seq(1f)),
+        (1L, None: Option[Long], Seq(2f)),
+        (2L, Some(0L), Seq(3f))).toDF("id", "parent", "vector")))
+    // cycle
+    assertThrows[IllegalArgumentException](IvfIndex.buildExternal(df, "id", "vec",
+      freshDir(), Seq(
+        (0L, None: Option[Long], Seq(1f)),
+        (1L, Some(2L), Seq(2f)),
+        (2L, Some(1L), Seq(3f))).toDF("id", "parent", "vector")))
+    // empty
+    assertThrows[IllegalArgumentException](IvfIndex.buildExternal(df, "id", "vec",
+      freshDir(), Seq.empty[(Long, Seq[Float])].toDF("id", "vector")))
+  }
+}
