@@ -33,14 +33,16 @@ object GraftFunctions {
 
   private def arr(a: Seq[Float]): Array[Float] = a.toArray
 
-  val vecL2: UserDefinedFunction =
-    udf((a: Seq[Float], b: Seq[Float]) => K.l2(arr(a), arr(b)))
-  val vecNegdot: UserDefinedFunction =
-    udf((a: Seq[Float], b: Seq[Float]) => K.negdot(arr(a), arr(b)))
-  val vecCosdist: UserDefinedFunction =
-    udf((a: Seq[Float], b: Seq[Float]) => K.cosdist(arr(a), arr(b)))
-  val vecNorm: UserDefinedFunction =
-    udf((a: Seq[Float]) => K.norm(arr(a)))
+  import org.apache.spark.sql.graft.ColumnBridge.{column => toCol, expression => toExpr}
+
+  // Hot distance functions are native Catalyst expressions with codegen
+  // (see VecExpressions) — they stay inside WholeStageCodegen; identical
+  // double-precision results to the kernel/UDF tier.
+  def vecL2(a: Column, b: Column): Column = toCol(VecL2Expr(toExpr(a), toExpr(b)))
+  def vecNegdot(a: Column, b: Column): Column = toCol(VecNegDotExpr(toExpr(a), toExpr(b)))
+  def vecCosdist(a: Column, b: Column): Column = toCol(VecCosDistExpr(toExpr(a), toExpr(b)))
+  def vecNorm(a: Column): Column = toCol(VecNormExpr(toExpr(a)))
+
   val vecNormalize: UserDefinedFunction =
     udf((a: Seq[Float]) => K.normalize(arr(a)).toSeq)
   val vecMaxsim: UserDefinedFunction =
@@ -82,10 +84,21 @@ object GraftFunctions {
 
   /** Register everything for spark.sql(...) use. */
   def registerAll(spark: SparkSession): Unit = {
-    spark.udf.register("vec_l2", vecL2)
-    spark.udf.register("vec_negdot", vecNegdot)
-    spark.udf.register("vec_cosdist", vecCosdist)
-    spark.udf.register("vec_norm", vecNorm)
+    val reg = spark.sessionState.functionRegistry
+    import org.apache.spark.sql.catalyst.FunctionIdentifier
+    import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+    def bin(name: String, f: (org.apache.spark.sql.catalyst.expressions.Expression,
+                              org.apache.spark.sql.catalyst.expressions.Expression) =>
+        org.apache.spark.sql.catalyst.expressions.Expression): Unit =
+      reg.registerFunction(FunctionIdentifier(name),
+        new ExpressionInfo(classOf[VecL2Expr].getName, name),
+        exprs => { require(exprs.length == 2, s"$name takes 2 arguments"); f(exprs(0), exprs(1)) })
+    bin("vec_l2", VecL2Expr.apply)
+    bin("vec_negdot", VecNegDotExpr.apply)
+    bin("vec_cosdist", VecCosDistExpr.apply)
+    reg.registerFunction(FunctionIdentifier("vec_norm"),
+      new ExpressionInfo(classOf[VecNormExpr].getName, "vec_norm"),
+      exprs => { require(exprs.length == 1, "vec_norm takes 1 argument"); VecNormExpr(exprs.head) })
     spark.udf.register("vec_normalize", vecNormalize)
     spark.udf.register("vec_maxsim", vecMaxsim)
     spark.udf.register("quantize_rabitq8", quantizeRabitq8)

@@ -1,0 +1,126 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.types._
+
+/**
+ * Native Catalyst expressions for the distance operators — the codegen
+ * tier above Scala UDFs (SURVEY.md §7.3: "custom Expression
+ * (codegen-friendly) worth it for vec_l2/vec_dot hot loops").
+ *
+ * Generated code calls the static [[VecExprKernels]] loops directly over
+ * Catalyst ArrayData — no Seq materialization, no boxing, no
+ * serialization round-trip, and the expression stays inside
+ * WholeStageCodegen instead of forcing a BatchEvalPython/ScalaUDF node.
+ *
+ * Double-precision accumulation identical to VectorKernels, so results
+ * are bit-for-bit the same as the UDF tier and the SQL oracle.
+ */
+object VecExprKernels {
+
+  @inline private def checkDims(a: ArrayData, b: ArrayData): Int = {
+    val n = a.numElements()
+    require(n == b.numElements(), s"vector dim mismatch: $n vs ${b.numElements()}")
+    n
+  }
+
+  def l2(a: ArrayData, b: ArrayData): Double = {
+    val n = checkDims(a, b)
+    var s = 0.0; var i = 0
+    while (i < n) {
+      val d = a.getFloat(i).toDouble - b.getFloat(i).toDouble
+      s += d * d; i += 1
+    }
+    math.sqrt(s)
+  }
+
+  def negdot(a: ArrayData, b: ArrayData): Double = {
+    val n = checkDims(a, b)
+    var s = 0.0; var i = 0
+    while (i < n) { s += a.getFloat(i).toDouble * b.getFloat(i).toDouble; i += 1 }
+    -s
+  }
+
+  def cosdist(a: ArrayData, b: ArrayData): Double = {
+    val n = checkDims(a, b)
+    var dot = 0.0; var na2 = 0.0; var nb2 = 0.0
+    var i = 0
+    while (i < n) {
+      val x = a.getFloat(i).toDouble; val y = b.getFloat(i).toDouble
+      dot += x * y; na2 += x * x; nb2 += y * y
+      i += 1
+    }
+    // two separate sqrts — matches VectorKernels.cosdist and the oracle
+    val na = math.sqrt(na2); val nb = math.sqrt(nb2)
+    if (na == 0.0 || nb == 0.0) 1.0 else 1.0 - dot / (na * nb)
+  }
+
+  def norm(a: ArrayData): Double = {
+    val n = a.numElements()
+    var s = 0.0; var i = 0
+    while (i < n) { val x = a.getFloat(i).toDouble; s += x * x; i += 1 }
+    math.sqrt(s)
+  }
+}
+
+sealed trait VecBinaryBase extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(FloatType, _), ArrayType(FloatType, _)) => TypeCheckResult.TypeCheckSuccess
+    case (l, r) => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects two array<float> arguments, got ${l.simpleString(5)} / ${r.simpleString(5)}")
+  }
+  protected def kernelName: String
+  protected def kernel(a: ArrayData, b: ArrayData): Double
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    kernel(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.VecExprKernels.$kernelName($a, $b)")
+}
+
+/** `<->` Euclidean distance (reference crates/vector/src/vect.rs:132-135). */
+case class VecL2Expr(left: Expression, right: Expression) extends VecBinaryBase {
+  override def prettyName: String = "vec_l2"
+  override protected def kernelName: String = "l2"
+  override protected def kernel(a: ArrayData, b: ArrayData): Double = VecExprKernels.l2(a, b)
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** `<#>` negative inner product (reference vect.rs:128-130). */
+case class VecNegDotExpr(left: Expression, right: Expression) extends VecBinaryBase {
+  override def prettyName: String = "vec_negdot"
+  override protected def kernelName: String = "negdot"
+  override protected def kernel(a: ArrayData, b: ArrayData): Double = VecExprKernels.negdot(a, b)
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** `<=>` cosine distance (reference vect.rs:138-143). */
+case class VecCosDistExpr(left: Expression, right: Expression) extends VecBinaryBase {
+  override def prettyName: String = "vec_cosdist"
+  override protected def kernelName: String = "cosdist"
+  override protected def kernel(a: ArrayData, b: ArrayData): Double = VecExprKernels.cosdist(a, b)
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** Euclidean norm. */
+case class VecNormExpr(child: Expression) extends UnaryExpression {
+  override def prettyName: String = "vec_norm"
+  override def dataType: DataType = DoubleType
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"vec_norm expects array<float>, got ${t.simpleString(5)}")
+  }
+  override protected def nullSafeEval(a: Any): Any =
+    VecExprKernels.norm(a.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"graft.functions.VecExprKernels.norm($a)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}

@@ -1,0 +1,75 @@
+package graft.functions
+
+import graft.SparkSpec
+import graft.core.{VectorKernels => K}
+import org.apache.spark.sql.functions._
+
+class VecExpressionsSpec extends SparkSpec {
+
+  private lazy val df = {
+    import spark.implicits._
+    val rng = new scala.util.Random(9)
+    (0L until 100L).map(i => (i, Seq.fill(16)(rng.nextFloat() * 4 - 2),
+      Seq.fill(16)(rng.nextFloat() * 4 - 2))).toDF("id", "a", "b")
+  }
+
+  test("native expressions match kernel results bit-for-bit") {
+    import spark.implicits._
+    val got = df.select($"id",
+      GraftFunctions.vecL2($"a", $"b"), GraftFunctions.vecNegdot($"a", $"b"),
+      GraftFunctions.vecCosdist($"a", $"b"), GraftFunctions.vecNorm($"a"))
+      .as[(Long, Double, Double, Double, Double)].collect()
+    val src = df.as[(Long, Seq[Float], Seq[Float])].collect()
+      .map { case (id, a, b) => id -> (a.toArray, b.toArray) }.toMap
+    got.foreach { case (id, l2, nd, cd, nm) =>
+      val (a, b) = src(id)
+      assert(l2 == K.l2(a, b) && nd == K.negdot(a, b) &&
+        cd == K.cosdist(a, b) && nm == K.norm(a), s"row $id")
+    }
+  }
+
+  test("expressions stay inside WholeStageCodegen (no ScalaUDF node)") {
+    // parquet-backed scan: a local relation would be constant-folded away
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val plan = emb.select(
+        GraftFunctions.vecL2(col("embedding"), col("embedding")).as("d"))
+      .queryExecution.executedPlan.toString
+    // `*(n)` prefixes mark WholeStageCodegen stages in the plan string
+    assert(plan.contains("*(1) Project [vec_l2"), plan)
+    assert(!plan.contains("ScalaUDF"), plan)
+  }
+
+  test("SQL registration resolves and computes") {
+    import spark.implicits._
+    GraftFunctions.registerAll(spark)
+    df.createOrReplaceTempView("vecs")
+    val r = spark.sql(
+      "SELECT vec_l2(a, b) AS d, vec_negdot(a, b) AS nd, vec_cosdist(a, b) AS cd, vec_norm(a) AS nm FROM vecs WHERE id = 0")
+      .as[(Double, Double, Double, Double)].head()
+    val (a, b) = {
+      val row = df.as[(Long, Seq[Float], Seq[Float])].collect().find(_._1 == 0L).get
+      (row._2.toArray, row._3.toArray)
+    }
+    assert(r == ((K.l2(a, b), K.negdot(a, b), K.cosdist(a, b), K.norm(a))))
+  }
+
+  test("null inputs yield null; dim mismatch throws") {
+    import spark.implicits._
+    val withNull = Seq((Some(Seq(1f, 2f)), None: Option[Seq[Float]])).toDF("a", "b")
+    val out = withNull.select(GraftFunctions.vecL2($"a", $"b")).collect()
+    assert(out.head.isNullAt(0))
+    val bad = Seq((Seq(1f, 2f), Seq(1f))).toDF("a", "b")
+    val e = intercept[Exception](bad.select(GraftFunctions.vecL2($"a", $"b")).collect())
+    assert(e.getMessage != null)
+  }
+
+  test("golden values via expressions (distance.slt parity)") {
+    import spark.implicits._
+    val g = Seq((Seq(1f, 2f, 3f), Seq(2f, 3f, 4f))).toDF("a", "b")
+      .select(round(GraftFunctions.vecL2($"a", $"b"), 3),
+        round(GraftFunctions.vecNegdot($"a", $"b"), 3),
+        round(GraftFunctions.vecCosdist($"a", $"b"), 3))
+      .as[(Double, Double, Double)].head()
+    assert(g == ((1.732, -20.0, 0.007)))
+  }
+}
