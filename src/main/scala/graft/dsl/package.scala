@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions.{col, lit, typedlit}
+
+import graft.functions.GraftFunctions
+import graft.index.{IvfConfig, IvfIndex}
+import graft.ops.{Dedup, Knn, MaxSim}
+
+/**
+ * User-facing DSL — the library entry points a reference user would reach
+ * for (SURVEY.md §7.1 item 8: `ann.topK`, `ann.range`, `ann.maxsim`,
+ * `knnJoin`, index build):
+ *
+ * {{{
+ *   import graft.dsl._
+ *   df.annTopK("embedding", q, k = 10)                    // ORDER BY <-> LIMIT k
+ *   df.annRange("embedding", center, radius = 1.5)        // WHERE <<->> sphere
+ *   df.knnJoin("id", "embedding", queries, k = 5)         // batch KNN
+ *   tokens.annMaxsim("doc", "vec", queryTokens, k = 18)   // ORDER BY @# LIMIT k
+ *   df.buildIvfIndex("id", "embedding", dir)              // CREATE INDEX
+ *   df.nearDupPairs("id", "text", threshold = 0.8)        // MinHash-LSH dedup
+ * }}}
+ */
+package object dsl {
+
+  implicit final class GraftDataFrameOps(private val df: DataFrame) {
+
+    /** `SELECT .. ORDER BY vec <metric> q LIMIT k` — exact top-k. */
+    def annTopK(vecCol: String, q: Array[Float], k: Int,
+                metric: String = "l2", idCol: String = "id"): DataFrame =
+      Knn.topK(df, idCol, vecCol, q, k, metric)
+
+    /** `WHERE vec <<metric>> sphere(center, radius)` — strict-< range filter. */
+    def annRange(vecCol: String, center: Array[Float], radius: Double,
+                 metric: String = "l2"): DataFrame = {
+      val sph = GraftFunctions.sphere(typedlit(center.toSeq), lit(radius))
+      df.filter(GraftFunctions.sphereContains(col(vecCol), sph, metric))
+    }
+
+    /** Batch KNN: k nearest rows for every (qid, qvec). */
+    def knnJoin(idCol: String, vecCol: String, queries: Array[(Long, Array[Float])],
+                k: Int, metric: String = "l2", excludeSelf: Boolean = false): DataFrame =
+      Knn.knnJoin(df, idCol, vecCol, queries, k, metric, excludeSelf)
+
+    /** `ORDER BY multivec @# query LIMIT k` over exploded token rows. */
+    def annMaxsim(docCol: String, vecCol: String, query: Array[Array[Float]],
+                  k: Int): DataFrame =
+      MaxSim.topK(df, docCol, vecCol, query, k)
+
+    /** `CREATE INDEX ... USING vchordrq` analog: build an IVF index. */
+    def buildIvfIndex(idCol: String, vecCol: String, dir: String,
+                      cfg: IvfConfig = IvfConfig()): IvfIndex =
+      IvfIndex.build(df, idCol, vecCol, dir, cfg)
+
+    /** MinHash-LSH near-duplicate pairs with exact-Jaccard verification. */
+    def nearDupPairs(idCol: String, textCol: String, threshold: Double): DataFrame =
+      Dedup.minhashDedup(df, idCol, textCol, threshold)
+  }
+}

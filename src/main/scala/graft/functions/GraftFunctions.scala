@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.UserDefinedFunction
 
-import graft.core.{RaBitQ, VectorKernels => K}
+import graft.core.{Half, RaBitQ, VectorKernels => K}
 
 /**
  * User-visible vector function surface — the Spark analog of the
@@ -69,6 +69,73 @@ object GraftFunctions {
     RaBitQ.dequantize(RaBitQ.Code(q.meta.toArray, q.codes, q.bits, q.dim)).toSeq
   }
 
+  // ---- halfvec (f16) surface: stored as Short bit patterns, widened to
+  // f32 for math (reference: crates/vector/src/vect.rs:38-46) ----
+
+  val vecToHalf: UserDefinedFunction =
+    udf((a: Seq[Float]) => Half.encode(arr(a)).toSeq)
+  val halfToVec: UserDefinedFunction =
+    udf((h: Seq[Short]) => Half.decode(h.toArray).toSeq)
+  val halfL2: UserDefinedFunction =
+    udf((a: Seq[Short], b: Seq[Short]) => K.l2(Half.decode(a.toArray), Half.decode(b.toArray)))
+  val halfNegdot: UserDefinedFunction =
+    udf((a: Seq[Short], b: Seq[Short]) => K.negdot(Half.decode(a.toArray), Half.decode(b.toArray)))
+  val halfCosdist: UserDefinedFunction =
+    udf((a: Seq[Short], b: Seq[Short]) => K.cosdist(Half.decode(a.toArray), Half.decode(b.toArray)))
+
+  // ---- sphere composite (reference sphere_* types + sphere() constructor,
+  // sql/install/vchord--1.1.1.sql:730-748,900-910) ----
+
+  /** `sphere(center, radius)` struct constructor. */
+  def sphere(center: Column, radius: Column): Column =
+    struct(center.as("center"), radius.as("radius"))
+
+  /** `x <<metric>> sphere` — strict-< containment against a sphere struct. */
+  def sphereContains(x: Column, sph: Column, metric: String): Column = metric match {
+    case "l2"      => vecL2(x, sph.getField("center")) < sph.getField("radius")
+    case "negdot"  => vecNegdot(x, sph.getField("center")) < sph.getField("radius")
+    case "cosdist" => vecCosdist(x, sph.getField("center")) < sph.getField("radius")
+    case m         => throw new IllegalArgumentException(s"unknown metric: $m")
+  }
+
+  // ---- quantized-type text format '(m0,m1,m2,m3)[c0,c1,...]'
+  // (reference: src/datatype/text_rabitq8.rs:20-160) ----
+
+  def qcodeToText(q: QCode): String = {
+    val u = RaBitQ.unpack(RaBitQ.Code(q.meta.toArray, q.codes, q.bits, q.dim))
+    q.meta.map(_.toString).mkString("(", ",", ")") + u.mkString("[", ",", "]")
+  }
+
+  def qcodeFromText(s: String, bits: Int): QCode = {
+    val t = s.trim
+    val mEnd = t.indexOf(')')
+    require(t.startsWith("(") && mEnd > 0, s"bad rabitq literal: $s")
+    val meta = t.substring(1, mEnd).split(",").map(_.trim.toFloat).toSeq
+    require(meta.length == 4, s"expected 4 metadata floats, got ${meta.length}")
+    val rest = t.substring(mEnd + 1).trim
+    require(rest.startsWith("[") && rest.endsWith("]"), s"bad rabitq literal: $s")
+    val body = rest.substring(1, rest.length - 1).trim
+    val us = if (body.isEmpty) Array.empty[Int] else body.split(",").map(_.trim.toInt)
+    val dim = us.length
+    val codes =
+      if (bits == 8) us.map(_.toByte)
+      else {
+        val out = new Array[Byte]((dim + 1) / 2)
+        var i = 0
+        while (i < dim) {
+          if ((i & 1) == 0) out(i / 2) = us(i).toByte
+          else out(i / 2) = (out(i / 2) | (us(i) << 4)).toByte
+          i += 1
+        }
+        out
+      }
+    QCode(meta, codes, bits, dim)
+  }
+
+  val qcodeToTextUdf: UserDefinedFunction = udf((q: QCode) => qcodeToText(q))
+  def qcodeFromTextUdf(bits: Int): UserDefinedFunction =
+    udf((s: String) => qcodeFromText(s, bits))
+
   /** pgvector text format: '[1,2,3]' (reference: src/datatype/text_rabitq8.rs). */
   val vecToText: UserDefinedFunction = udf { (a: Seq[Float]) =>
     a.map(f => if (f == f.toLong.toFloat) f.toLong.toString else f.toString)
@@ -100,6 +167,11 @@ object GraftFunctions {
       new ExpressionInfo(classOf[VecNormExpr].getName, "vec_norm"),
       exprs => { require(exprs.length == 1, "vec_norm takes 1 argument"); VecNormExpr(exprs.head) })
     spark.udf.register("vec_normalize", vecNormalize)
+    spark.udf.register("vec_to_half", vecToHalf)
+    spark.udf.register("half_to_vec", halfToVec)
+    spark.udf.register("half_l2", halfL2)
+    spark.udf.register("half_negdot", halfNegdot)
+    spark.udf.register("half_cosdist", halfCosdist)
     spark.udf.register("vec_maxsim", vecMaxsim)
     spark.udf.register("quantize_rabitq8", quantizeRabitq8)
     spark.udf.register("quantize_rabitq4", quantizeRabitq4)

@@ -149,6 +149,37 @@ object GraftQueries {
         .orderBy("vec_id"),
       Some("SELECT vec_id, TRUE AS ok FROM embeddings ORDER BY vec_id")),
 
+    // halfvec round-trip: f32 -> f16 -> f32 keeps relative L2 error within
+    // fp16 precision for every stored embedding.
+    "v_half_roundtrip" -> Q(
+      (s, d) => {
+        val ok = udf { (v: Seq[Float]) =>
+          val x = v.toArray
+          val back = graft.core.Half.decode(graft.core.Half.encode(x))
+          val n = graft.core.VectorKernels.norm(x)
+          n == 0.0 || graft.core.VectorKernels.l2(back, x) / n < 2e-3
+        }
+        tbl(s, d, "embeddings")
+          .select(col("vec_id"), ok(col("embedding")).as("ok"))
+          .orderBy("vec_id") },
+      Some("SELECT vec_id, TRUE AS ok FROM embeddings ORDER BY vec_id")),
+
+    // rabitq8 text format '(m,..)[c,..]' round-trips losslessly.
+    "v_qtext_roundtrip" -> Q(
+      (s, d) => {
+        val ok = udf { (v: Seq[Float]) =>
+          val q0 = {
+            val c = graft.core.RaBitQ.quantize(v.toArray, 8)
+            QCode(c.meta.toSeq, c.codes, c.bits, c.dim)
+          }
+          val q1 = qcodeFromText(qcodeToText(q0), 8)
+          q0.meta == q1.meta && java.util.Arrays.equals(q0.codes, q1.codes) && q0.dim == q1.dim
+        }
+        tbl(s, d, "embeddings")
+          .select(col("vec_id"), ok(col("embedding")).as("ok"))
+          .orderBy("vec_id") },
+      Some("SELECT vec_id, TRUE AS ok FROM embeddings ORDER BY vec_id")),
+
     // quantize/dequantize round-trips: no SQL-expressible oracle (codec is
     // engine-defined); rows-only check + ScalaTest property bounds.
     "v_quantize8_roundtrip" -> Q(

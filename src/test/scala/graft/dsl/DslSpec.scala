@@ -1,0 +1,45 @@
+package graft.dsl
+
+import graft.SparkSpec
+import graft.core.{VectorKernels => K}
+import java.nio.file.Files
+
+class DslSpec extends SparkSpec {
+
+  private lazy val data: Seq[(Long, Seq[Float])] = {
+    val rng = new scala.util.Random(17)
+    (0L until 200L).map(i => i -> Seq.fill(6)(rng.nextFloat() * 2 - 1))
+  }
+
+  test("DSL surface composes end-to-end") {
+    import spark.implicits._
+    val df = data.toDF("id", "vec")
+    val q = data.head._2.toArray
+
+    val top = df.annTopK("vec", q, 5).select("id").as[Long].collect().toSeq
+    val want = data.map { case (id, v) => (K.l2(v.toArray, q), id) }
+      .sorted.take(5).map(_._2)
+    assert(top == want)
+
+    val inRange = df.annRange("vec", q, 1.0).select("id").as[Long].collect().toSet
+    assert(inRange == data.filter(r => K.l2(r._2.toArray, q) < 1.0).map(_._1).toSet)
+
+    val joined = df.knnJoin("id", "vec", Array(0L -> q), 3, excludeSelf = true)
+    assert(joined.count() == 3)
+
+    val idx = df.buildIvfIndex("id", "vec",
+      Files.createTempDirectory("graft-dsl").toString)
+    assert(idx.searchExact(q, 1).select("id").as[Long].head() == 0L)
+
+    val toks = data.take(30).flatMap { case (id, v) =>
+      Seq((id, v), (id, v.map(x => -x)))
+    }.toDF("doc", "v")
+    assert(toks.annMaxsim("doc", "v", Array(q), 3).count() == 3)
+
+    val docs = Seq((1L, "a b c d e f g"), (2L, "a b c d e f h"), (3L, "x y z w v u t"))
+      .toDF("doc_id", "text")
+    val dups = docs.nearDupPairs("doc_id", "text", 0.3)
+      .select("da", "db").as[(Long, Long)].collect().toSet
+    assert(dups == Set((1L, 2L)))
+  }
+}
