@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import java.nio.file.{Files, Paths, Path}
 import java.util.Comparator
 
-import graft.core.{RaBitQ, VectorKernels => K}
+import graft.core.{RaBitQ, Rotation, VectorKernels => K}
 import graft.kmeans.KMeans
 
 /**
@@ -46,9 +46,14 @@ final case class IvfConfig(
     residual: Boolean = true,
     metric: String = "l2", // l2 | cosdist | negdot
     samplingFactor: Int = 256,
-    kmeansIters: Int = 10)
+    kmeansIters: Int = 10,
+    kmeansAlgo: String = "lloyd", // lloyd | hierarchical (reference B2/B3)
+    kmeansDim: Int = 0,           // >0: cluster in rotated+truncated space (B4)
+    rotate: Boolean = false)      // store FHT-rotated vectors (B6)
 
-final case class IvfMeta(dim: Int, cfg: IvfConfig, centroids: Array[Array[Float]])
+/** `dim` = stored vector dim (padded when rotated); `origDim` = input dim. */
+final case class IvfMeta(dim: Int, origDim: Int, cfg: IvfConfig,
+                         centroids: Array[Array[Float]])
 
 object IvfIndex {
 
@@ -56,7 +61,8 @@ object IvfIndex {
 
   /** Encode rows to (cluster_id, id, vec, cmeta, codes) via broadcast centroids. */
   private[index] def encodeRows(df: DataFrame, idCol: String, vecCol: String,
-                                cfg: IvfConfig, centroids: Array[Array[Float]])
+                                cfg: IvfConfig, centroids: Array[Array[Float]],
+                                origDim: Int)
       : Dataset[(Int, Long, Seq[Float], Seq[Float], Array[Byte])] = {
     val spark = df.sparkSession
     import spark.implicits._
@@ -64,10 +70,12 @@ object IvfIndex {
     val residual = cfg.residual
     val bits = cfg.bits
     val sph = spherical(cfg)
+    val rot = if (cfg.rotate) Some(new Rotation(origDim)) else None
     df.select(col(idCol).cast("long"), col(vecCol)).as[(Long, Seq[Float])]
       .map { case (id, v) =>
         val raw = v.toArray
-        val vec = if (sph) K.normalize(raw) else raw
+        val pre = if (sph) K.normalize(raw) else raw
+        val vec = rot.map(_.apply(pre)).getOrElse(pre)
         val cs = bc.value
         val cid = KMeans.nearest(vec, cs)
         val toCode =
@@ -83,11 +91,13 @@ object IvfIndex {
       }
   }
 
-  private def writeMeta(spark: SparkSession, dir: String, dim: Int, cfg: IvfConfig,
-                        centroids: Array[Array[Float]]): Unit = {
+  private def writeMeta(spark: SparkSession, dir: String, dim: Int, origDim: Int,
+                        cfg: IvfConfig, centroids: Array[Array[Float]]): Unit = {
     import spark.implicits._
-    Seq((dim, cfg.lists, cfg.bits, cfg.residual, cfg.metric, cfg.samplingFactor, cfg.kmeansIters))
-      .toDF("dim", "lists", "bits", "residual", "metric", "sampling_factor", "kmeans_iters")
+    Seq((dim, origDim, cfg.lists, cfg.bits, cfg.residual, cfg.metric, cfg.samplingFactor,
+        cfg.kmeansIters, cfg.kmeansAlgo, cfg.kmeansDim, cfg.rotate))
+      .toDF("dim", "orig_dim", "lists", "bits", "residual", "metric", "sampling_factor",
+        "kmeans_iters", "kmeans_algo", "kmeans_dim", "rotate")
       .write.mode("overwrite").parquet(s"$dir/config")
     centroids.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
       .toDF("cluster_id", "centroid")
@@ -95,15 +105,17 @@ object IvfIndex {
   }
 
   private def finishBuild(df: DataFrame, idCol: String, vecCol: String, dir: String,
-                          cfg: IvfConfig, centroids: Array[Array[Float]], dim: Int): IvfIndex = {
+                          cfg: IvfConfig, centroids: Array[Array[Float]],
+                          origDim: Int): IvfIndex = {
     val spark = df.sparkSession
-    encodeRows(df, idCol, vecCol, cfg, centroids)
+    val dim = centroids(0).length
+    encodeRows(df, idCol, vecCol, cfg, centroids, origDim)
       .toDF("cluster_id", "id", "vec", "cmeta", "codes")
       .write.mode("overwrite").partitionBy("cluster_id").parquet(s"$dir/gen-0")
-    writeMeta(spark, dir, dim, cfg, centroids)
+    writeMeta(spark, dir, dim, origDim, cfg, centroids)
     Files.createDirectories(Paths.get(dir))
     Files.writeString(Paths.get(dir, "CURRENT"), "gen-0")
-    new IvfIndex(spark, dir, IvfMeta(dim, cfg, centroids))
+    new IvfIndex(spark, dir, IvfMeta(dim, origDim, cfg, centroids))
   }
 
   /** Internal build: sampled driver-side k-means (reference B1-B5). */
@@ -112,12 +124,23 @@ object IvfIndex {
     val spark = df.sparkSession
     import spark.implicits._
     val cap = math.max(cfg.lists * cfg.samplingFactor, cfg.lists)
-    val sample = df.select(col(vecCol)).as[Seq[Float]]
+    val sample0 = df.select(col(vecCol)).as[Seq[Float]]
       .limit(cap).collect().map(_.toArray)
-    require(sample.nonEmpty, "cannot build an index over an empty table")
-    val dim = sample(0).length
-    val centroids = KMeans.lloyd(sample, cfg.lists, cfg.kmeansIters, spherical(cfg))
-    finishBuild(df, idCol, vecCol, dir, cfg, centroids, dim)
+    require(sample0.nonEmpty, "cannot build an index over an empty table")
+    val origDim = sample0(0).length
+    // centroids live in the STORED space (rotated when cfg.rotate)
+    val sample =
+      if (cfg.rotate) { val r = new Rotation(origDim); sample0.map(r.apply) }
+      else sample0
+    val hier = cfg.kmeansAlgo == "hierarchical"
+    val centroids =
+      if (cfg.kmeansDim > 0)
+        KMeans.reducedDim(sample, cfg.lists, cfg.kmeansDim, cfg.kmeansIters,
+          hier, spherical(cfg) && !cfg.rotate)
+      else if (hier) KMeans.hierarchical(sample, cfg.lists, cfg.kmeansIters,
+        spherical(cfg) && !cfg.rotate)
+      else KMeans.lloyd(sample, cfg.lists, cfg.kmeansIters, spherical(cfg) && !cfg.rotate)
+    finishBuild(df, idCol, vecCol, dir, cfg, centroids, origDim)
   }
 
   /**
@@ -168,19 +191,21 @@ object IvfIndex {
         require(leafRows.nonEmpty, "centroid tree has no leaves")
         leafRows.sortBy(_._1).map(_._3)
       }
+    require(!cfg.rotate, "external centroid tables are in the unrotated space")
     val cfgAdj = cfg.copy(lists = leaves.length)
     finishBuild(df, idCol, vecCol, dir, cfgAdj, leaves, leaves(0).length)
   }
 
   def load(spark: SparkSession, dir: String): IvfIndex = {
     import spark.implicits._
-    val (dim, lists, bits, residual, metric, sf, it) =
+    val (dim, origDim, lists, bits, residual, metric, sf, it, algo, kdim, rotate) =
       spark.read.parquet(s"$dir/config")
-        .as[(Int, Int, Int, Boolean, String, Int, Int)].head()
+        .as[(Int, Int, Int, Int, Boolean, String, Int, Int, String, Int, Boolean)].head()
     val centroids = spark.read.parquet(s"$dir/centroids")
       .as[(Int, Seq[Float])].collect().sortBy(_._1).map(_._2.toArray)
     new IvfIndex(spark, dir,
-      IvfMeta(dim, IvfConfig(lists, bits, residual, metric, sf, it), centroids))
+      IvfMeta(dim, origDim,
+        IvfConfig(lists, bits, residual, metric, sf, it, algo, kdim, rotate), centroids))
   }
 
   private[index] def rmRecursive(p: Path): Unit =
@@ -215,7 +240,7 @@ final class IvfIndex(spark: SparkSession, dir: String, val meta: IvfMeta) {
   /** Incremental ingest (reference `aminsert`, B11): encode rows against
     * the existing centroids and append to the delta area. */
   def appendDelta(df: DataFrame, idCol: String, vecCol: String): Unit =
-    IvfIndex.encodeRows(df, idCol, vecCol, meta.cfg, meta.centroids)
+    IvfIndex.encodeRows(df, idCol, vecCol, meta.cfg, meta.centroids, meta.origDim)
       .toDF("cluster_id", "id", "vec", "cmeta", "codes")
       .write.mode("append").partitionBy("cluster_id").parquet(s"$dir/delta")
 
@@ -240,8 +265,10 @@ final class IvfIndex(spark: SparkSession, dir: String, val meta: IvfMeta) {
   /** Cache the index into executor memory (reference `vchordrq_prewarm`). */
   def prewarm(): Long = dataDf.cache().count()
 
-  private def prepQuery(q: Array[Float]): Array[Float] =
-    if (meta.cfg.metric == "cosdist") K.normalize(q) else q
+  private def prepQuery(q: Array[Float]): Array[Float] = {
+    val pre = if (meta.cfg.metric == "cosdist") K.normalize(q) else q
+    if (meta.cfg.rotate) new Rotation(meta.origDim)(pre) else pre
+  }
 
   /** User-visible distance UDF from internal stored vectors (already
     * normalized for cosine), matching reference output mapping
@@ -273,7 +300,8 @@ final class IvfIndex(spark: SparkSession, dir: String, val meta: IvfMeta) {
    * Output: (id, dist) ascending, deterministic (dist, id) ties.
    */
   def search(q: Array[Float], k: Int, probes: Int = 4, epsilon: Double = 1.9,
-             refine: Int = 8): DataFrame = {
+             refine: Int = 8,
+             rerankTable: Option[(DataFrame, String, String)] = None): DataFrame = {
     val qq = prepQuery(q)
     val probed = probe(q, probes)
     val data = dataDf.filter(col("cluster_id").isin(probed.map(Integer.valueOf): _*))
@@ -320,13 +348,31 @@ final class IvfIndex(spark: SparkSession, dir: String, val meta: IvfMeta) {
     val nCand = math.max(k * refine, k)
     val cand = est.orderBy($"lb", $"id").limit(nCand)
       .select($"id").as[Long].collect()
-    // rerank: exact distances for just the candidates (vec column read
-    // only here, with id + partition filters pushed to Parquet)
-    val exact = exactDistUdf(qq)
-    data.filter(col("id").isin(cand.map(java.lang.Long.valueOf): _*))
-      .select($"id", exact($"vec").as("dist"))
-      .orderBy($"dist", $"id")
-      .limit(k)
+    rerankTable match {
+      case None =>
+        // rerank-in-index (reference RerankMethod::Index): exact distances
+        // for just the candidates — vec column read only here, with id +
+        // partition filters pushed to Parquet
+        val exact = exactDistUdf(qq)
+        data.filter(col("id").isin(cand.map(java.lang.Long.valueOf): _*))
+          .select($"id", exact($"vec").as("dist"))
+          .orderBy($"dist", $"id")
+          .limit(k)
+      case Some((src, idCol, vecCol)) =>
+        // rerank-in-table (reference rerank_heap / rerank_in_table=true,
+        // crates/vchordrq/src/rerank.rs:111+): fetch ORIGINAL vectors from
+        // the source table by row key; smaller index, one extra fetch
+        val bq = spark.sparkContext.broadcast(q)
+        val exact = meta.cfg.metric match {
+          case "l2"      => udf((v: Seq[Float]) => K.l2(v.toArray, bq.value))
+          case "negdot"  => udf((v: Seq[Float]) => K.negdot(v.toArray, bq.value))
+          case "cosdist" => udf((v: Seq[Float]) => K.cosdist(v.toArray, bq.value))
+        }
+        src.filter(col(idCol).isin(cand.map(java.lang.Long.valueOf): _*))
+          .select(col(idCol).cast("long").as("id"), exact(col(vecCol)).as("dist"))
+          .orderBy(col("dist"), col("id"))
+          .limit(k)
+    }
   }
 
   /**

@@ -55,6 +55,103 @@ object KMeans {
     centroids
   }
 
+  /**
+   * Hierarchical (bisecting) k-means — the reference's huge-`lists`
+   * algorithm (reference: crates/k_means/src/hierarchical.rs, selected by
+   * `build.internal.kmeans_algorithm = "hierarchical"`): repeatedly
+   * 2-means-split the largest cluster until `k` clusters exist. Each
+   * split only touches that cluster's points, so cost is
+   * O(n · log k · iters) instead of O(n · k · iters) — the "100M rows in
+   * 20 minutes" build path. Deterministic (largest-cluster ties by
+   * lowest index; splits seeded from extreme points).
+   */
+  def hierarchical(sample: Array[Array[Float]], k: Int, iters: Int = 10,
+                   spherical: Boolean = false): Array[Array[Float]] = {
+    require(sample.nonEmpty, "empty k-means sample")
+    val pts = if (spherical) sample.map(K.normalize) else sample
+    val kk = math.min(k, pts.length)
+    // clusters as index lists
+    var clusters = Vector(pts.indices.toArray)
+    while (clusters.length < kk) {
+      val bi = clusters.indices.maxBy(i => (clusters(i).length, -i))
+      val members = clusters(bi)
+      if (members.length < 2) return clusters.map(m => mean(pts, m, spherical)).toArray
+      val sub = members.map(pts)
+      // deterministic 2-means seeded with the two most separated members
+      // relative to the first point
+      val d0 = sub.map(p => K.l2s(p, sub(0)))
+      val far = d0.indices.maxBy(i => (d0(i), -i))
+      val seeds = Array(sub(0).clone(), sub(far).clone())
+      var cents = seeds
+      var it = 0
+      while (it < iters) {
+        val assign = sub.map(nearest(_, cents))
+        cents = Array.tabulate(2) { c =>
+          val idx = assign.indices.filter(assign(_) == c)
+          if (idx.isEmpty) cents(c)
+          else mean(sub, idx.toArray, spherical)
+        }
+        it += 1
+      }
+      val assign = sub.map(nearest(_, cents))
+      val left = members.indices.filter(i => assign(i) == 0).map(members).toArray
+      val right = members.indices.filter(i => assign(i) == 1).map(members).toArray
+      clusters =
+        if (left.isEmpty || right.isEmpty)
+          clusters // degenerate split; stop growing this cluster
+            .updated(bi, members)
+        else clusters.updated(bi, left) :+ right
+      if (left.isEmpty || right.isEmpty)
+        return clusters.map(m => mean(pts, m, spherical)).toArray
+    }
+    clusters.map(m => mean(pts, m, spherical)).toArray
+  }
+
+  private def mean(pts: Array[Array[Float]], idx: Array[Int], spherical: Boolean): Array[Float] = {
+    val dim = pts(0).length
+    val s = new Array[Double](dim)
+    idx.foreach { i =>
+      val p = pts(i)
+      var j = 0
+      while (j < dim) { s(j) += p(j); j += 1 }
+    }
+    val out = new Array[Float](dim)
+    var j = 0
+    while (j < dim) { out(j) = (s(j) / idx.length).toFloat; j += 1 }
+    if (spherical) K.normalize(out) else out
+  }
+
+  /**
+   * Dimensionality-reduced clustering (reference B4,
+   * am/am_build.rs:1280-1291,1437-1551): cluster in a rotated+truncated
+   * space, then recompute full-dim centroids as means of the full-dim
+   * points assigned in reduced space.
+   */
+  def reducedDim(sample: Array[Array[Float]], k: Int, reducedDim: Int, iters: Int,
+                 hierarchicalAlgo: Boolean, spherical: Boolean): Array[Array[Float]] = {
+    val dim = sample(0).length
+    require(reducedDim >= 1, "reducedDim must be >= 1")
+    if (reducedDim >= dim)
+      return if (hierarchicalAlgo) hierarchical(sample, k, iters, spherical)
+             else lloyd(sample, k, iters, spherical)
+    val rot = new graft.core.Rotation(dim)
+    val reduced = sample.map(v => java.util.Arrays.copyOf(rot(v), reducedDim))
+    val rCents =
+      if (hierarchicalAlgo) hierarchical(reduced, k, iters, spherical = false)
+      else lloyd(reduced, k, iters, spherical = false)
+    val assign = reduced.map(nearest(_, rCents))
+    val pts = if (spherical) sample.map(K.normalize) else sample
+    Array.tabulate(rCents.length) { c =>
+      val idx = assign.indices.filter(assign(_) == c).toArray
+      if (idx.isEmpty) {
+        // keep a full-dim placeholder for empty cells: nearest sample to
+        // the reduced centroid
+        val ni = reduced.indices.minBy(i => K.l2s(reduced(i), rCents(c)))
+        pts(ni).clone()
+      } else mean(pts, idx, spherical)
+    }
+  }
+
   /** Index of the nearest centroid by squared L2 (ties: lowest index). */
   def nearest(v: Array[Float], centroids: Array[Array[Float]]): Int = {
     var best = 0

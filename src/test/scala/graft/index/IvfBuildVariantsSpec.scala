@@ -1,0 +1,84 @@
+package graft.index
+
+import graft.SparkSpec
+import graft.core.{VectorKernels => K}
+import graft.kmeans.KMeans
+import java.nio.file.Files
+
+/**
+ * Build-path variants: hierarchical k-means (reference B3), dim-reduced
+ * clustering (B4), rotated storage (B6), rerank-in-table (Q6 /
+ * rerank_in_table.slt).
+ */
+class IvfBuildVariantsSpec extends SparkSpec {
+
+  private def freshDir(): String = Files.createTempDirectory("graft-ivf-var").toString
+
+  private lazy val rows: Seq[(Long, Seq[Float])] = {
+    val rng = new scala.util.Random(23)
+    (0L until 800L).map(i => i -> Seq.fill(12)(rng.nextFloat() * 2 - 1))
+  }
+
+  private def brute(q: Array[Float], k: Int): Seq[Long] =
+    rows.map { case (id, v) => (K.l2(v.toArray, q), id) }.sorted.take(k).map(_._2)
+
+  test("hierarchical k-means: k clusters, deterministic, sane assignment") {
+    val sample = rows.map(_._2.toArray).toArray
+    val c1 = KMeans.hierarchical(sample, 16)
+    val c2 = KMeans.hierarchical(sample, 16)
+    assert(c1.length == 16)
+    assert(c1.zip(c2).forall { case (a, b) => a.sameElements(b) })
+    // clustering quality: mean distance to nearest centroid beats a
+    // single-centroid baseline
+    val single = KMeans.lloyd(sample, 1)
+    def cost(cents: Array[Array[Float]]): Double =
+      sample.map(p => K.l2s(p, cents(KMeans.nearest(p, cents)))).sum / sample.length
+    assert(cost(c1) < cost(single) * 0.8)
+  }
+
+  test("hierarchical build: exact search still exact, ANN recall holds") {
+    import spark.implicits._
+    val idx = IvfIndex.build(rows.toDF("id", "vec"), "id", "vec", freshDir(),
+      IvfConfig(lists = 16, kmeansAlgo = "hierarchical"))
+    val q = Array.fill(12)(0.25f)
+    assert(idx.searchExact(q, 10).select("id").as[Long].collect().toSeq == brute(q, 10))
+    assert(idx.evaluateRecall(q, 10, probes = 16, refine = 16) == 1.0)
+  }
+
+  test("dim-reduced clustering build keeps full-dim exactness") {
+    import spark.implicits._
+    val idx = IvfIndex.build(rows.toDF("id", "vec"), "id", "vec", freshDir(),
+      IvfConfig(lists = 8, kmeansDim = 4))
+    val q = Array.fill(12)(-0.15f)
+    assert(idx.meta.dim == 12, "centroids must be recomputed full-dim")
+    assert(idx.searchExact(q, 10).select("id").as[Long].collect().toSeq == brute(q, 10))
+  }
+
+  test("rotated storage: distances preserved (orthonormal), search matches brute") {
+    import spark.implicits._
+    val idx = IvfIndex.build(rows.toDF("id", "vec"), "id", "vec", freshDir(),
+      IvfConfig(lists = 8, rotate = true))
+    assert(idx.meta.dim == 16 && idx.meta.origDim == 12) // padded to pow2
+    val q = Array.fill(12)(0.4f)
+    val got = idx.searchExact(q, 10).select("id", "dist")
+      .as[(Long, Double)].collect()
+    val want = rows.map { case (id, v) => (K.l2(v.toArray, q), id) }.sorted.take(10)
+    assert(got.map(_._1).toSeq == want.map(_._2))
+    got.map(_._2).zip(want.map(_._1)).foreach { case (d, w) =>
+      assert(math.abs(d - w) < 1e-4, s"$d vs $w") // fp32 rotation noise only
+    }
+  }
+
+  test("rerank-in-table returns exact distances from the source table") {
+    import spark.implicits._
+    val df = rows.toDF("id", "vec")
+    val idx = IvfIndex.build(df, "id", "vec", freshDir(), IvfConfig(lists = 8))
+    val q = Array.fill(12)(0.1f)
+    val viaTable = idx.search(q, 10, probes = 8, refine = 80,
+        rerankTable = Some((df, "id", "vec")))
+      .as[(Long, Double)].collect().toSeq
+    val want = rows.map { case (id, v) => (K.l2(v.toArray, q), id) }
+      .sorted.take(10).map { case (d, id) => (id, d) }
+    assert(viaTable == want) // bit-exact: distances recomputed on raw table vectors
+  }
+}
