@@ -284,6 +284,17 @@ object GraftQueries {
         Seq((10, 4, r)).toDF("k", "probes", "recall") },
       None),
 
+    // graph (vchordg-style) ANN: Vamana build + beam search; rows-only
+    // (beam search is approximate by construction). Recall floor asserted
+    // in VamanaGraphSpec.
+    "graph_knn" -> Q(
+      (s, d) => {
+        val q = qvec(s, d, 0)
+        GraphCache.get(s, d).searchBatch(s, Array(0L -> q), 10)
+          .select(col("id").as("vec_id"), round(col("dist"), 3).as("dist"), col("rn"))
+          .orderBy("rn") },
+      None),
+
     "range_order" -> Q(
       (s, d) => { val (e, q) = embQ(s, d)
         e.filter(sphereL2Contains(col("embedding"), lv(q), lit(1.3)))
@@ -534,6 +545,22 @@ object GraftQueries {
              |SELECT user_id, CAST(sum(brk) AS BIGINT) AS n_sessions, count(*) AS n_events
              |FROM b GROUP BY user_id ORDER BY user_id""".stripMargin))
   )
+
+  /** Per-sfDir Vamana graph cache (built once per JVM). */
+  object GraphCache {
+    private val cache = new java.util.concurrent.ConcurrentHashMap[String, graft.index.VamanaGraph]()
+    def get(spark: SparkSession, sfDir: String): graft.index.VamanaGraph = {
+      val cached = cache.get(sfDir)
+      if (cached != null) cached
+      else {
+        val g = graft.index.VamanaGraph.build(
+          spark.read.parquet(s"$sfDir/embeddings.parquet"), "vec_id", "embedding",
+          graft.index.VamanaConfig())
+        cache.put(sfDir, g)
+        g
+      }
+    }
+  }
 
   /** Per-(session, sfDir) IVF index cache so bench loops don't rebuild. */
   object IvfCache {
