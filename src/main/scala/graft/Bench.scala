@@ -18,10 +18,42 @@ object Bench {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // scale probe: synthetic 100k x 64-dim IVF build + ANN search vs brute
+    // force — demonstrates the index path's advantage growing with N
+    // (partition pruning + code-only estimate scan).
+    val scale = scaleProbe(spark)
+    val qs = (results ++ scale).map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
+  }
+
+  private def scaleProbe(spark: org.apache.spark.sql.SparkSession): Seq[(String, Double)] = {
+    import spark.implicits._
+    try {
+      val n = sys.env.getOrElse("SPARK_GRAFT_SCALE_N", "100000").toInt
+      val dim = 64
+      val df = spark.range(n).map { i =>
+        val rng = new scala.util.Random(i)
+        (i, Seq.fill(dim)(rng.nextFloat() * 2 - 1))
+      }.toDF("id", "vec").repartition(32).cache()
+      df.count()
+      val dir = s"${sys.props("java.io.tmpdir")}/graft-bench-scale-$n"
+      val t0 = System.nanoTime()
+      val idx = graft.index.IvfIndex.build(df, "id", "vec", dir,
+        graft.index.IvfConfig(lists = 64, kmeansAlgo = "hierarchical"))
+      val tBuild = (System.nanoTime() - t0) / 1e9
+      val q = Array.tabulate(dim)(j => ((j % 7) - 3) * 0.1f)
+      val t1 = System.nanoTime()
+      val annIds = idx.search(q, 10, probes = 8, refine = 8).count()
+      val tAnn = (System.nanoTime() - t1) / 1e9
+      val t2 = System.nanoTime()
+      graft.ops.Knn.topK(df, "id", "vec", q, 10).count()
+      val tBrute = (System.nanoTime() - t2) / 1e9
+      df.unpersist()
+      Seq(s"_scale_build_${n}" -> tBuild, s"_scale_ann_$n" -> tAnn,
+        s"_scale_brute_$n" -> tBrute)
+    } catch { case _: Throwable => Seq.empty }
   }
 }

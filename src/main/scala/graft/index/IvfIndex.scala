@@ -111,6 +111,9 @@ object IvfIndex {
     val dim = centroids(0).length
     encodeRows(df, idCol, vecCol, cfg, centroids, origDim)
       .toDF("cluster_id", "id", "vec", "cmeta", "codes")
+      // co-locate each cluster before the partitioned write: one shuffle on
+      // the cluster key -> O(lists) files instead of tasks x lists
+      .repartition(col("cluster_id"))
       .write.mode("overwrite").partitionBy("cluster_id").parquet(s"$dir/gen-0")
     writeMeta(spark, dir, dim, origDim, cfg, centroids)
     Files.createDirectories(Paths.get(dir))
@@ -242,6 +245,7 @@ final class IvfIndex(spark: SparkSession, dir: String, val meta: IvfMeta) {
   def appendDelta(df: DataFrame, idCol: String, vecCol: String): Unit =
     IvfIndex.encodeRows(df, idCol, vecCol, meta.cfg, meta.centroids, meta.origDim)
       .toDF("cluster_id", "id", "vec", "cmeta", "codes")
+      .repartition(col("cluster_id"))
       .write.mode("append").partitionBy("cluster_id").parquet(s"$dir/delta")
 
   /** Compaction (reference `maintain`, B12): fold delta into a new
@@ -256,7 +260,8 @@ final class IvfIndex(spark: SparkSession, dir: String, val meta: IvfMeta) {
   private def rewrite(f: DataFrame => DataFrame): Unit = {
     val old = currentGen
     val next = s"gen-${old.stripPrefix("gen-").toInt + 1}"
-    f(dataDf).write.mode("overwrite").partitionBy("cluster_id").parquet(s"$dir/$next")
+    f(dataDf).repartition(col("cluster_id"))
+      .write.mode("overwrite").partitionBy("cluster_id").parquet(s"$dir/$next")
     Files.writeString(Paths.get(dir, "CURRENT"), next)
     IvfIndex.rmRecursive(Paths.get(dir, old))
     IvfIndex.rmRecursive(Paths.get(dir, "delta"))
