@@ -75,4 +75,62 @@ object MaxSim {
            query: Array[Array[Float]], k: Int): DataFrame =
     score(tokens, docCol, vecCol, query)
       .orderBy(col("maxsim"), col("doc")).limit(k)
+
+  // ------------------------------------------------------------ index path
+
+  /** Pack (doc, token position) into one long row key — the reference's
+    * payload encoding (reference: src/index/fetcher.rs:234-246, position
+    * in the low 16 bits). */
+  def packKey(doc: Long, pos: Int): Long = {
+    require(pos >= 0 && pos < 65536, s"position out of u16 range: $pos")
+    (doc << 16) | pos.toLong
+  }
+  def unpackDoc(key: Long): Long = key >> 16
+
+  /** Index a token table (doc, pos, vec) for approximate MaxSim: ids are
+    * position-packed, metric is negdot. */
+  def buildTokenIndex(tokens: DataFrame, docCol: String, posCol: String,
+                      vecCol: String, dir: String,
+                      cfg: graft.index.IvfConfig = graft.index.IvfConfig(metric = "negdot"))
+      : graft.index.IvfIndex = {
+    require(cfg.metric == "negdot", "MaxSim token index must use the negdot metric")
+    val packed = tokens.select(
+      ((col(docCol).cast("long") * 65536L) + col(posCol).cast("long")).as("id"),
+      col(vecCol).as("vec"))
+    graft.index.IvfIndex.build(packed, "id", "vec", dir, cfg)
+  }
+
+  /**
+   * Approximate MaxSim through the IVF index (reference `maxsim_search` +
+   * `maxsim_refine`/`maxsim_threshold`, crates/vchordrq/src/search.rs:
+   * 199-380 and scanners/maxsim.rs): each query token retrieves its
+   * `kPerToken` best token vectors; a doc's missing token contributes the
+   * token's worst retrieved distance as the pessimistic estimate for
+   * unvisited cells; docs score by the sum and the best k are returned.
+   */
+  def approxTopK(idx: graft.index.IvfIndex, query: Array[Array[Float]], k: Int,
+                 kPerToken: Int = 100, probes: Int = 4, refine: Int = 8): DataFrame = {
+    val spark = idx.spark
+    import spark.implicits._
+    // per-token candidate lists (small: kPerToken each) merged on driver —
+    // the reference's doc-keyed heap merge
+    val perToken: Seq[Array[(Long, Double)]] = query.toSeq.map { q =>
+      idx.search(q, kPerToken, probes, refine = refine)
+        .as[(Long, Double)].collect()
+    }
+    val estimates = perToken.map(c => if (c.isEmpty) 0.0 else c.map(_._2).max)
+    val docs = perToken.flatMap(_.map(t => unpackDoc(t._1))).distinct
+    val scored = docs.map { doc =>
+      var s = 0.0
+      var qi = 0
+      while (qi < perToken.length) {
+        val hits = perToken(qi).filter(t => unpackDoc(t._1) == doc)
+        s += (if (hits.nonEmpty) hits.map(_._2).min else estimates(qi))
+        qi += 1
+      }
+      (doc, s)
+    }
+    scored.sortBy { case (doc, s) => (s, doc) }.take(k)
+      .toDF("doc", "maxsim")
+  }
 }

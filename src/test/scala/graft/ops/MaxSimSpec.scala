@@ -32,6 +32,29 @@ class MaxSimSpec extends SparkSpec {
     }
   }
 
+  test("approximate MaxSim via token index recovers the exact top docs") {
+    import spark.implicits._
+    val tokens = docs.flatMap { case (id, toks) =>
+      toks.zipWithIndex.map { case (t, p) => (id, p, t.toSeq) }
+    }.toDF("doc", "pos", "v")
+    val dir = java.nio.file.Files.createTempDirectory("graft-maxsim-idx").toString
+    val idx = MaxSim.buildTokenIndex(tokens, "doc", "pos", "v", dir,
+      graft.index.IvfConfig(metric = "negdot", lists = 8, residual = false))
+    val approx = MaxSim.approxTopK(idx, query, 10,
+        kPerToken = 200, probes = 8, refine = 32)
+      .select("doc").as[Long].collect().toSet
+    val exact = docs.map { case (id, toks) => (K.maxsim(toks, query), id) }
+      .sorted.take(10).map(_._2).toSet
+    val overlap = approx.intersect(exact).size
+    assert(overlap >= 8, s"top-10 overlap $overlap; approx=$approx exact=$exact")
+  }
+
+  test("packKey/unpackDoc round-trip (u16 position payload)") {
+    assert(MaxSim.unpackDoc(MaxSim.packKey(123456L, 65535)) == 123456L)
+    assert((MaxSim.packKey(7L, 3) & 0xffffL) == 3L)
+    assertThrows[IllegalArgumentException](MaxSim.packKey(1L, 65536))
+  }
+
   test("topK orders by ascending score with doc tie-break") {
     import spark.implicits._
     val exploded = docs.flatMap { case (id, toks) => toks.map(t => (id, t.toSeq)) }
