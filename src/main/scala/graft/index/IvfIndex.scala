@@ -49,11 +49,18 @@ final case class IvfConfig(
     kmeansIters: Int = 10,
     kmeansAlgo: String = "lloyd", // lloyd | hierarchical (reference B2/B3)
     kmeansDim: Int = 0,           // >0: cluster in rotated+truncated space (B4)
-    rotate: Boolean = false)      // store FHT-rotated vectors (B6)
+    rotate: Boolean = false,      // store FHT-rotated vectors (B6)
+    lists1: Int = 0)              // >0: internal level size — 2-level tree (B5)
 
-/** `dim` = stored vector dim (padded when rotated); `origDim` = input dim. */
+/** `dim` = stored vector dim (padded when rotated); `origDim` = input dim.
+  * `l1Centroids`/`l1Children`: optional internal level (reference B5 —
+  * `lists=[l1, l2]` chains levels by nearest-centroid lookup,
+  * am/am_build.rs:1355-1385): leaf centroids grouped under l1 parents so
+  * probing scores l1 first and only then the surviving leaves. */
 final case class IvfMeta(dim: Int, origDim: Int, cfg: IvfConfig,
-                         centroids: Array[Array[Float]])
+                         centroids: Array[Array[Float]],
+                         l1Centroids: Array[Array[Float]] = Array.empty,
+                         l1Children: Array[Array[Int]] = Array.empty)
 
 object IvfIndex {
 
@@ -95,9 +102,9 @@ object IvfIndex {
                         cfg: IvfConfig, centroids: Array[Array[Float]]): Unit = {
     import spark.implicits._
     Seq((dim, origDim, cfg.lists, cfg.bits, cfg.residual, cfg.metric, cfg.samplingFactor,
-        cfg.kmeansIters, cfg.kmeansAlgo, cfg.kmeansDim, cfg.rotate))
+        cfg.kmeansIters, cfg.kmeansAlgo, cfg.kmeansDim, cfg.rotate, cfg.lists1))
       .toDF("dim", "orig_dim", "lists", "bits", "residual", "metric", "sampling_factor",
-        "kmeans_iters", "kmeans_algo", "kmeans_dim", "rotate")
+        "kmeans_iters", "kmeans_algo", "kmeans_dim", "rotate", "lists1")
       .write.mode("overwrite").parquet(s"$dir/config")
     centroids.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
       .toDF("cluster_id", "centroid")
@@ -118,7 +125,16 @@ object IvfIndex {
     writeMeta(spark, dir, dim, origDim, cfg, centroids)
     Files.createDirectories(Paths.get(dir))
     Files.writeString(Paths.get(dir, "CURRENT"), "gen-0")
-    new IvfIndex(spark, dir, IvfMeta(dim, origDim, cfg, centroids))
+    val (l1c, l1ch) =
+      if (cfg.lists1 > 0) buildL1(centroids, cfg.lists1, cfg.kmeansIters)
+      else (Array.empty[Array[Float]], Array.empty[Array[Int]])
+    if (cfg.lists1 > 0) {
+      import spark.implicits._
+      l1c.indices.map(i => (i, l1c(i).toSeq, l1ch(i).toSeq)).toSeq
+        .toDF("l1_id", "centroid", "children")
+        .write.mode("overwrite").parquet(s"$dir/l1")
+    }
+    new IvfIndex(spark, dir, IvfMeta(dim, origDim, cfg, centroids, l1c, l1ch))
   }
 
   /** Internal build: sampled driver-side k-means (reference B1-B5). */
@@ -144,6 +160,17 @@ object IvfIndex {
         spherical(cfg) && !cfg.rotate)
       else KMeans.lloyd(sample, cfg.lists, cfg.kmeansIters, spherical(cfg) && !cfg.rotate)
     finishBuild(df, idCol, vecCol, dir, cfg, centroids, origDim)
+  }
+
+  /** Cluster leaf centroids into an internal level (reference B5). */
+  private[index] def buildL1(centroids: Array[Array[Float]], lists1: Int,
+                             iters: Int): (Array[Array[Float]], Array[Array[Int]]) = {
+    val l1 = KMeans.lloyd(centroids, lists1, iters)
+    val children = Array.fill(l1.length)(scala.collection.mutable.ArrayBuffer[Int]())
+    centroids.indices.foreach { leaf =>
+      children(KMeans.nearest(centroids(leaf), l1)) += leaf
+    }
+    (l1, children.map(_.toArray))
   }
 
   /**
@@ -201,14 +228,21 @@ object IvfIndex {
 
   def load(spark: SparkSession, dir: String): IvfIndex = {
     import spark.implicits._
-    val (dim, origDim, lists, bits, residual, metric, sf, it, algo, kdim, rotate) =
+    val (dim, origDim, lists, bits, residual, metric, sf, it, algo, kdim, rotate, lists1) =
       spark.read.parquet(s"$dir/config")
-        .as[(Int, Int, Int, Int, Boolean, String, Int, Int, String, Int, Boolean)].head()
+        .as[(Int, Int, Int, Int, Boolean, String, Int, Int, String, Int, Boolean, Int)].head()
     val centroids = spark.read.parquet(s"$dir/centroids")
       .as[(Int, Seq[Float])].collect().sortBy(_._1).map(_._2.toArray)
+    val (l1c, l1ch) =
+      if (lists1 > 0) {
+        val rows = spark.read.parquet(s"$dir/l1")
+          .as[(Int, Seq[Float], Seq[Int])].collect().sortBy(_._1)
+        (rows.map(_._2.toArray), rows.map(_._3.toArray))
+      } else (Array.empty[Array[Float]], Array.empty[Array[Int]])
     new IvfIndex(spark, dir,
       IvfMeta(dim, origDim,
-        IvfConfig(lists, bits, residual, metric, sf, it, algo, kdim, rotate), centroids))
+        IvfConfig(lists, bits, residual, metric, sf, it, algo, kdim, rotate, lists1),
+        centroids, l1c, l1ch))
   }
 
   private[index] def rmRecursive(p: Path): Unit =
@@ -288,13 +322,23 @@ final class IvfIndex(val spark: SparkSession, dir: String, val meta: IvfMeta) {
     }
   }
 
-  /** Probed cluster ids: nearest `probes` centroids to the query. */
-  def probe(q: Array[Float], probes: Int): Array[Int] = {
+  /** Probed leaf cluster ids: nearest `probes` leaf centroids. With an
+    * internal level (B5), only leaves under the `probes1` best l1 groups
+    * are scored — the tree-descent pruning of the reference. */
+  def probe(q: Array[Float], probes: Int, probes1: Int = 4): Array[Int] = {
     val qq = prepQuery(q)
-    meta.centroids.zipWithIndex
-      .map { case (c, i) => (K.l2s(qq, c), i) }
+    val leafPool: Array[Int] =
+      if (meta.l1Centroids.nonEmpty) {
+        meta.l1Centroids.zipWithIndex
+          .map { case (c, i) => (K.l2s(qq, c), i) }
+          .sortBy(identity)
+          .take(math.min(probes1, meta.l1Centroids.length))
+          .flatMap { case (_, g) => meta.l1Children(g) }
+      } else meta.centroids.indices.toArray
+    leafPool
+      .map(i => (K.l2s(qq, meta.centroids(i)), i))
       .sortBy(identity)
-      .take(math.min(probes, meta.centroids.length))
+      .take(math.min(probes, leafPool.length))
       .map(_._2)
   }
 

@@ -69,6 +69,27 @@ class IvfBuildVariantsSpec extends SparkSpec {
     }
   }
 
+  test("two-level tree (B5): l1 groups partition the leaves; search still works") {
+    import spark.implicits._
+    val dir = freshDir()
+    val idx = IvfIndex.build(rows.toDF("id", "vec"), "id", "vec", dir,
+      IvfConfig(lists = 32, lists1 = 4))
+    assert(idx.meta.l1Centroids.length == 4)
+    assert(idx.meta.l1Children.flatten.sorted.toSeq == (0 until 32), "children partition leaves")
+    val q = Array.fill(12)(0.2f)
+    // descending through l1 prunes leaf scoring but recall stays high
+    val rng = new scala.util.Random(4)
+    val recalls = (0 until 5).map { _ =>
+      val qq = Array.fill(12)(rng.nextFloat() * 2 - 1)
+      idx.evaluateRecall(qq, 10, probes = 16, refine = 16)
+    }
+    assert(recalls.sum / recalls.size >= 0.8, s"recalls $recalls")
+    // load round-trips the l1 level
+    val loaded = IvfIndex.load(spark, dir)
+    assert(loaded.meta.l1Centroids.length == 4)
+    assert(loaded.probe(q, 8).toSeq == idx.probe(q, 8).toSeq)
+  }
+
   test("rerank-in-table returns exact distances from the source table") {
     import spark.implicits._
     val df = rows.toDF("id", "vec")
