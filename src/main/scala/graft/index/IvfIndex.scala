@@ -351,6 +351,7 @@ final class IvfIndex(val spark: SparkSession, dir: String, val meta: IvfMeta) {
   def search(q: Array[Float], k: Int, probes: Int = 4, epsilon: Double = 1.9,
              refine: Int = 8,
              rerankTable: Option[(DataFrame, String, String)] = None): DataFrame = {
+    graft.eval.QueryRecorder.record(dir, q)
     val qq = prepQuery(q)
     val probed = probe(q, probes)
     val data = dataDf.filter(col("cluster_id").isin(probed.map(Integer.valueOf): _*))
