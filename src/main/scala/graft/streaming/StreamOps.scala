@@ -51,6 +51,28 @@ object StreamOps {
   }
 
   /**
+   * Streaming index ingestion — the reference's `aminsert` + periodic
+   * compaction lifecycle (reference: crates/vchordrq/src/insert.rs,
+   * maintain.rs) as Structured Streaming: each micro-batch of (id, vec)
+   * rows is encoded against the existing centroids and appended to the
+   * index delta area; every `compactEvery` batches the delta folds into a
+   * new generation. Returns the StreamingQuery (caller stops it).
+   */
+  def indexIngest(vectors: DataFrame, idCol: String, vecCol: String,
+                  index: graft.index.IvfIndex,
+                  compactEvery: Int = 10): org.apache.spark.sql.streaming.StreamingQuery =
+    vectors.writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        if (!batch.isEmpty) {
+          index.appendDelta(batch.toDF(), idCol, vecCol)
+          if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
+            index.compact()
+        }
+      }
+      .start()
+
+  /**
    * Watermarked tumbling-window counts per event type — the streaming
    * equivalent of the q_events_hourly batch query.
    */

@@ -32,6 +32,32 @@ class StreamOpsSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming index ingest: appended vectors become searchable") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rng = new scala.util.Random(51)
+    val base = (0L until 100L).map(i => i -> Seq.fill(6)(rng.nextFloat()))
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream-idx").toString
+    val idx = graft.index.IvfIndex.build(
+      base.toDF("id", "vec"), "id", "vec", dir, graft.index.IvfConfig(lists = 4))
+    val input = MemoryStream[(Long, Seq[Float])]
+    val query = StreamOps.indexIngest(
+      input.toDF().toDF("id", "vec"), "id", "vec", idx, compactEvery = 2)
+    try {
+      val newVec = Seq.fill(6)(0.123f)
+      input.addData((1000L, newVec), (1001L, Seq.fill(6)(0.9f)))
+      query.processAllAvailable()
+      val top = idx.searchExact(newVec.toArray, 1).select("id").as[Long].head()
+      assert(top == 1000L, "streamed row must be the nearest neighbor of itself")
+      // second batch triggers compaction (batchId 1 -> no, but ensures append path repeats)
+      input.addData((1002L, Seq.fill(6)(0.5f)))
+      query.processAllAvailable()
+      input.addData((1003L, Seq.fill(6)(0.7f)))
+      query.processAllAvailable()
+      assert(idx.prewarm() == 104L, "all streamed rows visible after compaction cycles")
+    } finally query.stop()
+  }
+
   test("hourlyCounts windowed aggregation over a memory stream") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
