@@ -147,18 +147,23 @@ object IvfIndex {
       .limit(cap).collect().map(_.toArray)
     require(sample0.nonEmpty, "cannot build an index over an empty table")
     val origDim = sample0(0).length
-    // centroids live in the STORED space (rotated when cfg.rotate)
+    // centroids live in the STORED space: normalize first (cosine), THEN
+    // rotate — the same normalize-then-rotate order as encodeRows and
+    // prepQuery, so clustering, assignment, and probing share one space.
+    // Rotation is orthonormal, so spherical centroid renormalization
+    // remains valid after it.
+    val sampleN = if (spherical(cfg)) sample0.map(K.normalize) else sample0
     val sample =
-      if (cfg.rotate) { val r = new Rotation(origDim); sample0.map(r.apply) }
-      else sample0
+      if (cfg.rotate) { val r = new Rotation(origDim); sampleN.map(r.apply) }
+      else sampleN
     val hier = cfg.kmeansAlgo == "hierarchical"
     val centroids =
       if (cfg.kmeansDim > 0)
         KMeans.reducedDim(sample, cfg.lists, cfg.kmeansDim, cfg.kmeansIters,
-          hier, spherical(cfg) && !cfg.rotate)
+          hier, spherical(cfg))
       else if (hier) KMeans.hierarchical(sample, cfg.lists, cfg.kmeansIters,
-        spherical(cfg) && !cfg.rotate)
-      else KMeans.lloyd(sample, cfg.lists, cfg.kmeansIters, spherical(cfg) && !cfg.rotate)
+        spherical(cfg))
+      else KMeans.lloyd(sample, cfg.lists, cfg.kmeansIters, spherical(cfg))
     finishBuild(df, idCol, vecCol, dir, cfg, centroids, origDim)
   }
 
@@ -291,13 +296,21 @@ final class IvfIndex(val spark: SparkSession, dir: String, val meta: IvfMeta) {
   def delete(ids: Seq[Long]): Unit =
     rewrite(df => df.filter(!col("id").isin(ids.map(java.lang.Long.valueOf): _*)))
 
+  /** Single-writer assumption (like the reference's vacuum). The previous
+    * generation is RETAINED for one cycle so readers that resolved CURRENT
+    * just before the pointer moved keep their files; generations older
+    * than that are dropped. Delta files are folded into the new generation
+    * and removed — a reader concurrent with compaction may need to retry
+    * (known limitation; full snapshot isolation is a table-format
+    * concern). */
   private def rewrite(f: DataFrame => DataFrame): Unit = {
     val old = currentGen
-    val next = s"gen-${old.stripPrefix("gen-").toInt + 1}"
+    val oldN = old.stripPrefix("gen-").toInt
+    val next = s"gen-${oldN + 1}"
     f(dataDf).repartition(col("cluster_id"))
       .write.mode("overwrite").partitionBy("cluster_id").parquet(s"$dir/$next")
     Files.writeString(Paths.get(dir, "CURRENT"), next)
-    IvfIndex.rmRecursive(Paths.get(dir, old))
+    (0 until oldN).foreach(g => IvfIndex.rmRecursive(Paths.get(dir, s"gen-$g")))
     IvfIndex.rmRecursive(Paths.get(dir, "delta"))
   }
 
@@ -325,14 +338,20 @@ final class IvfIndex(val spark: SparkSession, dir: String, val meta: IvfMeta) {
   /** Probed leaf cluster ids: nearest `probes` leaf centroids. With an
     * internal level (B5), only leaves under the `probes1` best l1 groups
     * are scored — the tree-descent pruning of the reference. */
-  def probe(q: Array[Float], probes: Int, probes1: Int = 4): Array[Int] = {
+  def probe(q: Array[Float], probes: Int, probes1: Int = -1): Array[Int] = {
     val qq = prepQuery(q)
     val leafPool: Array[Int] =
       if (meta.l1Centroids.nonEmpty) {
+        // auto probes1: scale with requested leaf coverage so probes=lists
+        // can still reach every leaf (floor of 4 groups)
+        val p1 =
+          if (probes1 > 0) probes1
+          else math.max(4, math.ceil(
+            probes.toDouble * meta.l1Centroids.length / meta.centroids.length).toInt)
         meta.l1Centroids.zipWithIndex
           .map { case (c, i) => (K.l2s(qq, c), i) }
           .sortBy(identity)
-          .take(math.min(probes1, meta.l1Centroids.length))
+          .take(math.min(p1, meta.l1Centroids.length))
           .flatMap { case (_, g) => meta.l1Children(g) }
       } else meta.centroids.indices.toArray
     leafPool
@@ -350,17 +369,24 @@ final class IvfIndex(val spark: SparkSession, dir: String, val meta: IvfMeta) {
    */
   def search(q: Array[Float], k: Int, probes: Int = 4, epsilon: Double = 1.9,
              refine: Int = 8,
-             rerankTable: Option[(DataFrame, String, String)] = None): DataFrame = {
+             rerankTable: Option[(DataFrame, String, String)] = None,
+             probes1: Int = -1): DataFrame = {
     graft.eval.QueryRecorder.record(dir, q)
     val qq = prepQuery(q)
-    val probed = probe(q, probes)
+    val probed = probe(q, probes, probes1)
     val data = dataDf.filter(col("cluster_id").isin(probed.map(Integer.valueOf): _*))
-    // per-probed-cluster precomputed query residual + sums (broadcast)
+    // per-probed-cluster precomputed query vector + sums (broadcast).
+    // L2 is translation-invariant, so residual codes pair with the
+    // residual query (q - c). Dot metrics are NOT: dot(q-c, v-c) differs
+    // from dot(q, v) by a PER-VECTOR term — so for dot-family metrics the
+    // estimate uses the raw query against the residual code plus the
+    // per-cluster constant dot(q, c):  dot(q, v) = dot(q, v-c) + dot(q, c).
     val residual = meta.cfg.residual
-    val perCluster: Map[Int, (Array[Float], Double, Double)] = probed.map { cid =>
+    val isL2m = meta.cfg.metric == "l2"
+    val perCluster: Map[Int, (Array[Float], Double, Double, Double)] = probed.map { cid =>
+      val c = meta.centroids(cid)
       val qr =
-        if (residual) {
-          val c = meta.centroids(cid)
+        if (residual && isL2m) {
           val r = new Array[Float](qq.length)
           var j = 0
           while (j < qq.length) { r(j) = qq(j) - c(j); j += 1 }
@@ -368,7 +394,8 @@ final class IvfIndex(val spark: SparkSession, dir: String, val meta: IvfMeta) {
         } else qq
       var s = 0.0; var j = 0
       while (j < qr.length) { s += qr(j); j += 1 }
-      cid -> (qr, s, K.normSq(qr))
+      val clusterDot = if (residual && !isL2m) K.dot(qq, c) else 0.0
+      cid -> (qr, s, K.normSq(qr), clusterDot)
     }.toMap
     val bpc = spark.sparkContext.broadcast(perCluster)
     val bits = meta.cfg.bits
@@ -380,15 +407,17 @@ final class IvfIndex(val spark: SparkSession, dir: String, val meta: IvfMeta) {
       .mapPartitions { it =>
         val pc = bpc.value
         it.map { case (cid, id, cm, codes) =>
-          val (qr, qSum, qNormSq) = pc(cid)
+          val (qr, qSum, qNormSq, clusterDot) = pc(cid)
           val code = RaBitQ.Code(cm.toArray, codes, bits, dim)
           val lb =
             if (isL2) {
               val (e, err) = RaBitQ.estimateL2s(code, qr, qSum, qNormSq)
               math.sqrt(math.max(e - epsilon * err, 0.0))
             } else {
-              // dot-family estimate: -dot (negdot / shifted cosine)
-              val d = RaBitQ.estimateDot(code, qr, qSum)
+              // dot-family estimate: -dot (negdot / shifted cosine);
+              // residual codes contribute dot(q, v-c), clusterDot adds
+              // the dot(q, c) remainder
+              val d = RaBitQ.estimateDot(code, qr, qSum) + clusterDot
               val err = math.sqrt(qNormSq) * code.scale * math.sqrt(dim.toDouble)
               -d - epsilon * err
             }

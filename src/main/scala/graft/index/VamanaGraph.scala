@@ -87,6 +87,8 @@ final class VamanaGraph(
   def searchBatch(spark: SparkSession, queries: Array[(Long, Array[Float])],
                   k: Int, ef: Int = -1): DataFrame = {
     import spark.implicits._
+    if (queries.isEmpty)
+      return Seq.empty[(Long, Long, Double, Long)].toDF("qid", "id", "dist", "rn")
     val bg = spark.sparkContext.broadcast(this)
     spark.sparkContext.parallelize(queries.toSeq, math.min(queries.length, 32))
       .flatMap { case (qid, q) =>

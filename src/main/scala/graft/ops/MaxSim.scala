@@ -94,6 +94,8 @@ object MaxSim {
                       cfg: graft.index.IvfConfig = graft.index.IvfConfig(metric = "negdot"))
       : graft.index.IvfIndex = {
     require(cfg.metric == "negdot", "MaxSim token index must use the negdot metric")
+    val badPos = tokens.filter(col(posCol) < 0 || col(posCol) >= 65536).limit(1).count()
+    require(badPos == 0, "token positions must fit u16 (0 <= pos < 65536)")
     val packed = tokens.select(
       ((col(docCol).cast("long") * 65536L) + col(posCol).cast("long")).as("id"),
       col(vecCol).as("vec"))
@@ -119,13 +121,16 @@ object MaxSim {
         .as[(Long, Double)].collect()
     }
     val estimates = perToken.map(c => if (c.isEmpty) 0.0 else c.map(_._2).max)
-    val docs = perToken.flatMap(_.map(t => unpackDoc(t._1))).distinct
+    // one pass per token list: doc -> min retrieved distance
+    val perTokenMin: Seq[Map[Long, Double]] = perToken.map { c =>
+      c.groupBy(t => unpackDoc(t._1)).view.mapValues(_.map(_._2).min).toMap
+    }
+    val docs = perTokenMin.flatMap(_.keys).distinct
     val scored = docs.map { doc =>
       var s = 0.0
       var qi = 0
-      while (qi < perToken.length) {
-        val hits = perToken(qi).filter(t => unpackDoc(t._1) == doc)
-        s += (if (hits.nonEmpty) hits.map(_._2).min else estimates(qi))
+      while (qi < perTokenMin.length) {
+        s += perTokenMin(qi).getOrElse(doc, estimates(qi))
         qi += 1
       }
       (doc, s)

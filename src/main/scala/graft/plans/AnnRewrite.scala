@@ -88,6 +88,15 @@ case class AnnTopKRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
           entry <- AnnCatalog.lookup(fsRel.location.rootPaths.map(_.toString))
           if attr.name == entry.vecCol
           idAttr <- child.output.find(_.name == entry.idCol)
+          // id literals must match the column's type (plan is already
+          // analyzed — no implicit casts will be inserted)
+          idLit <- idAttr.dataType match {
+            case org.apache.spark.sql.types.LongType    => Some((id: Long) => Literal(id))
+            case org.apache.spark.sql.types.IntegerType => Some((id: Long) => Literal(id.toInt))
+            case _ => None
+          }
+          // the rule matches vec_l2 — only an l2-metric index may serve it
+          if AnnCatalog.index(spark, entry).meta.cfg.metric == "l2"
         } yield {
           val probes = spark.conf.get("graft.ann.probes", "8").toInt
           val refine = spark.conf.get("graft.ann.refine", "8").toInt
@@ -97,7 +106,7 @@ case class AnnTopKRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
             .select("id").as[Long].collect()
           if (ids.isEmpty) gl
           else {
-            val filter = Filter(In(idAttr, ids.toSeq.map(Literal(_))), child)
+            val filter = Filter(In(idAttr, ids.toSeq.map(idLit)), child)
             GlobalLimit(Literal(k), LocalLimit(Literal(k),
               Sort(sort.order, global = true, filter)))
           }

@@ -553,9 +553,11 @@ object GraftQueries {
       val cached = cache.get(sfDir)
       if (cached != null) cached
       else {
+        // driver-side sequential build: cap rows defensively (the IVF
+        // index is the at-scale path; the graph serves moderate sizes)
         val g = graft.index.VamanaGraph.build(
-          spark.read.parquet(s"$sfDir/embeddings.parquet"), "vec_id", "embedding",
-          graft.index.VamanaConfig())
+          spark.read.parquet(s"$sfDir/embeddings.parquet").limit(20000),
+          "vec_id", "embedding", graft.index.VamanaConfig())
         cache.put(sfDir, g)
         g
       }

@@ -60,17 +60,22 @@ object StreamOps {
    */
   def indexIngest(vectors: DataFrame, idCol: String, vecCol: String,
                   index: graft.index.IvfIndex,
-                  compactEvery: Int = 10): org.apache.spark.sql.streaming.StreamingQuery =
-    vectors.writeStream
+                  compactEvery: Int = 10,
+                  checkpointLocation: Option[String] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    // NOTE: appendDelta is not idempotent — for replayable sources ALWAYS
+    // pass a durable checkpointLocation so restarts resume from the last
+    // committed batch instead of re-ingesting (duplicate row keys).
+    val writer = vectors.writeStream
       .outputMode(OutputMode.Append())
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        if (!batch.isEmpty) {
-          index.appendDelta(batch.toDF(), idCol, vecCol)
-          if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
-            index.compact()
-        }
+        if (!batch.isEmpty) index.appendDelta(batch.toDF(), idCol, vecCol)
+        // compaction slot fires regardless of this batch's emptiness
+        if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
+          index.compact()
       }
-      .start()
+    checkpointLocation.fold(writer)(writer.option("checkpointLocation", _)).start()
+  }
 
   /**
    * Watermarked tumbling-window counts per event type — the streaming

@@ -90,6 +90,34 @@ class IvfBuildVariantsSpec extends SparkSpec {
     assert(loaded.probe(q, 8).toSeq == idx.probe(q, 8).toSeq)
   }
 
+  test("cosdist + rotate: one consistent normalize-then-rotate space, recall holds") {
+    import spark.implicits._
+    val idx = IvfIndex.build(rows.toDF("id", "vec"), "id", "vec", freshDir(),
+      IvfConfig(lists = 8, metric = "cosdist", rotate = true))
+    val q = Array.fill(12)(0.3f)
+    // exact path through rotated storage matches raw cosdist brute force
+    val got = idx.searchExact(q, 10).select("id").as[Long].collect().toSeq
+    val want = rows.map { case (id, v) => (K.cosdist(v.toArray, q), id) }
+      .sorted.take(10).map(_._2)
+    assert(got.toSet.intersect(want.toSet).size >= 9, s"got $got want $want")
+    // ANN path: probing must agree with the space centroids were fit in
+    val rng = new scala.util.Random(6)
+    val recalls = (0 until 5).map { _ =>
+      idx.evaluateRecall(Array.fill(12)(rng.nextFloat() * 2 - 1), 10, probes = 8, refine = 16)
+    }
+    assert(recalls.sum / recalls.size >= 0.95, s"recalls $recalls")
+  }
+
+  test("two-level tree: probes=lists reaches every leaf (auto probes1)") {
+    import spark.implicits._
+    val idx = IvfIndex.build(rows.toDF("id", "vec"), "id", "vec", freshDir(),
+      IvfConfig(lists = 32, lists1 = 16))
+    val q = Array.fill(12)(-0.4f)
+    // full-probe request must reach all 32 leaves despite 16 l1 groups
+    assert(idx.probe(q, 32).length == 32)
+    assert(idx.evaluateRecall(q, 10, probes = 32, refine = 16) == 1.0)
+  }
+
   test("rerank-in-table returns exact distances from the source table") {
     import spark.implicits._
     val df = rows.toDF("id", "vec")
