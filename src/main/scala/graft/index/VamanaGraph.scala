@@ -184,11 +184,27 @@ object VamanaGraph {
       searcher.search(q, ef, ef).map { case (id, _) =>
         java.util.Arrays.binarySearch(ids, id)
       }.filter(_ >= 0).toSeq
-    var i = 0
-    while (i < n) {
-      if (i != medoid) {
-        val visited = searchIdx(vecs(i), cfg.efConstruction)
-        val newNbrs = robustPrune(i, visited)
+    // Deterministic parallel insertion in doubling batches: every batch
+    // searches against the adjacency frozen at batch start (driver cores in
+    // parallel — the batch analogue of the reference's parallel build
+    // workers, am/am_build.rs:611-1080), then links sequentially in fixed
+    // index order. Batch size never exceeds the built prefix, so insert
+    // quality tracks the sequential build; results are order-independent
+    // of thread scheduling.
+    val pending = (0 until n).filter(_ != medoid).toArray
+    var start = 0
+    var built = 1
+    while (start < pending.length) {
+      val batch = math.min(built, pending.length - start)
+      val idxs = java.util.Arrays.copyOfRange(pending, start, start + batch)
+      val found = new Array[Seq[Int]](batch)
+      java.util.stream.IntStream.range(0, batch).parallel().forEach { bi =>
+        found(bi) = searchIdx(vecs(idxs(bi)), cfg.efConstruction)
+      }
+      var bi = 0
+      while (bi < batch) {
+        val i = idxs(bi)
+        val newNbrs = robustPrune(i, found(bi))
         adj(i).clear()
         adj(i) ++= newNbrs
         adjView(i) = newNbrs
@@ -203,8 +219,10 @@ object VamanaGraph {
             adjView(nb) = adj(nb).toArray
           }
         }
+        bi += 1
       }
-      i += 1
+      start += batch
+      built += batch
     }
     new VamanaGraph(ids, vecs, adj.map(_.toArray), medoid, cfg)
   }

@@ -100,8 +100,6 @@ object Dedup {
    * (1 - j^rowsPerBand).
    */
   def minhashCandidates(sh: DataFrame, numHashes: Int = 64, bands: Int = 16): DataFrame = {
-    require(numHashes % bands == 0, "numHashes must divide into bands")
-    val r = numHashes / bands
     val spark = sh.sparkSession
     import spark.implicits._
     val sigs = sh.select(col("id").cast("long"), col("shingle")).as[(Long, Long)]
@@ -114,7 +112,48 @@ object Dedup {
         }
         (id, sig)
       }
-    val banded = sigs.flatMap { case (id, sig) =>
+    bandPairs(sigs.toDF("id", "sig"), numHashes, bands)
+  }
+
+  /**
+   * MinHash signatures straight from text — one narrow map per doc, NO
+   * shuffle (the signature is a streaming min, so per-doc shingle
+   * deduplication is unnecessary: min over a multiset = min over its set).
+   * Docs shorter than n shingle words produce no signature.
+   */
+  def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
+                        n: Int = 3, numHashes: Int = 64): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(textCol)).as[(Long, String)]
+      .flatMap { case (id, text) =>
+        val th = text.split(' ').map(hash64)
+        if (th.length < n) Iterator.empty
+        else {
+          val sig = Array.fill(numHashes)(Long.MaxValue)
+          var i = 0
+          while (i + n <= th.length) {
+            var h = 0xcbf29ce484222325L
+            var j = i
+            while (j < i + n) { h = h * 0x100000001b3L ^ th(j); j += 1 }
+            var k = 0
+            while (k < numHashes) { val v = mix(h, k); if (v < sig(k)) sig(k) = v; k += 1 }
+            i += 1
+          }
+          Iterator.single((id, sig))
+        }
+      }
+      .toDF("id", "sig")
+  }
+
+  /** LSH banding over (id, sig) signatures: emit candidate pairs sharing
+    * any (band, bandKey) bucket. */
+  private def bandPairs(sigs: DataFrame, numHashes: Int, bands: Int): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must divide into bands")
+    val r = numHashes / bands
+    val spark = sigs.sparkSession
+    import spark.implicits._
+    val banded = sigs.as[(Long, Array[Long])].flatMap { case (id, sig) =>
       (0 until bands).map { b =>
         var key = 0xcbf29ce484222325L
         var j = b * r
@@ -128,17 +167,18 @@ object Dedup {
       .distinct()
   }
 
-  /** MinHash-LSH near-dup pairs with exact-Jaccard verification. The
-    * exact pass runs only over docs that appear in some LSH candidate
-    * pair — at scale the n^2 shingle join never materializes. */
+  /** MinHash-LSH near-dup pairs with exact-Jaccard verification.
+    * Signatures come straight from text (no shingle-table shuffle); the
+    * exact shingle pass runs only over docs that appear in some LSH
+    * candidate pair — at scale the n^2 pair space never materializes. */
   def minhashDedup(df: DataFrame, idCol: String, textCol: String, threshold: Double,
                    n: Int = 3, numHashes: Int = 64, bands: Int = 16): DataFrame = {
-    val sh = shingles(df, idCol, textCol, n).cache()
-    val cand = minhashCandidates(sh, numHashes, bands).cache()
-    val candDocs = cand.select(col("da").as("id"))
-      .union(cand.select(col("db").as("id"))).distinct()
-    val shCand = sh.join(candDocs, Seq("id"), "left_semi")
-    jaccardPairs(shCand, threshold)
+    val cand = bandPairs(minhashSignatures(df, idCol, textCol, n, numHashes),
+      numHashes, bands).cache()
+    val candDocs = cand.select(col("da").as("cid"))
+      .union(cand.select(col("db").as("cid"))).distinct()
+    val candRows = df.join(candDocs, col(idCol).cast("long") === col("cid"), "left_semi")
+    jaccardPairs(shingles(candRows, idCol, textCol, n), threshold)
       .join(cand, Seq("da", "db")) // exact-verified, LSH-pruned
   }
 

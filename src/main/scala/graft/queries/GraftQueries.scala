@@ -180,33 +180,37 @@ object GraftQueries {
           .orderBy("vec_id") },
       Some("SELECT vec_id, TRUE AS ok FROM embeddings ORDER BY vec_id")),
 
-    // quantize/dequantize round-trips: no SQL-expressible oracle (codec is
-    // engine-defined); rows-only check + ScalaTest property bounds.
+    // quantize/dequantize round-trips: the codec lattice is engine-defined
+    // (not SQL-replicable bit-for-bit — f32 sequential accumulation in the
+    // metadata), so the oracle-checked contract is the per-row error BOUND
+    // (reference analogue: rabitq8 "<1% recall loss" README claim; exact
+    // lattice properties are spec'd in RaBitQSpec). Empirical max rel_err
+    // on the test corpora: 0.0101 (8-bit), 0.191 (4-bit).
     "v_quantize8_roundtrip" -> Q(
       (s, d) => {
-        val relErr = udf { (v: Seq[Float]) =>
+        val ok = udf { (v: Seq[Float]) =>
           val x = v.toArray
           val deq = graft.core.RaBitQ.dequantize(graft.core.RaBitQ.quantize(x, 8))
           val n = graft.core.VectorKernels.norm(x)
-          if (n == 0.0) 0.0 else graft.core.VectorKernels.l2(deq, x) / n
+          n == 0.0 || graft.core.VectorKernels.l2(deq, x) / n < 0.015
         }
         tbl(s, d, "embeddings")
-          .select(col("vec_id"), round(relErr(col("embedding")), 4).as("rel_err"))
+          .select(col("vec_id"), ok(col("embedding")).as("ok"))
           .orderBy("vec_id") },
-      None),
+      Some("SELECT vec_id, TRUE AS ok FROM embeddings ORDER BY vec_id")),
 
     "v_quantize4_roundtrip" -> Q(
       (s, d) => {
-        val relErr = udf { (v: Seq[Float]) =>
+        val ok = udf { (v: Seq[Float]) =>
           val x = v.toArray
           val deq = graft.core.RaBitQ.dequantize(graft.core.RaBitQ.quantize(x, 4))
           val n = graft.core.VectorKernels.norm(x)
-          if (n == 0.0) 0.0 else graft.core.VectorKernels.l2(deq, x) / n
+          n == 0.0 || graft.core.VectorKernels.l2(deq, x) / n < 0.25
         }
         tbl(s, d, "embeddings")
-          .select(col("vec_id"), round(relErr(col("embedding")), 4).as("rel_err"))
+          .select(col("vec_id"), ok(col("embedding")).as("ok"))
           .orderBy("vec_id") },
-      None),
+      Some("SELECT vec_id, TRUE AS ok FROM embeddings ORDER BY vec_id")),
 
     // ---- KNN / index scans (SURVEY §2.2) ----
 
@@ -247,11 +251,17 @@ object GraftQueries {
           .select(col("vec_id"), round(col("raw"), 3).as("dist")) },
       Some(knnOracle)),
 
+    // probe-limited ANN scan, oracle-checked against the exact top-k: the
+    // reference's CI correctness floor is recall == 1 on small tables
+    // (tests/vchordrq/recall.slt:37-45) and this is the same golden — a
+    // probe configuration that misses a true neighbor fails the gate.
     "ivf_knn_probe" -> Q(
       (s, d) => { val q = qvec(s, d, 0)
         IvfCache.get(s, d).search(q, 10, probes = 4, refine = 8)
-          .select(col("id").as("vec_id"), round(col("dist"), 3).as("dist")) },
-      None),
+          .select(col("id").as("vec_id"), col("dist").as("raw"))
+          .orderBy(col("raw"), col("vec_id"))
+          .select(col("vec_id"), round(col("raw"), 3).as("dist")) },
+      Some(knnOracle)),
 
     // distributed MaxSim: explode -> partial-agg sum(min) Aggregator —
     // same semantics as s7_maxsim (same oracle), different physical plan
@@ -273,8 +283,9 @@ object GraftQueries {
              |SELECT doc, round(sum(mind), 3) + 0.0 AS maxsim FROM m GROUP BY doc ORDER BY sum(mind), doc""".stripMargin)),
 
     // recall-evaluation harness as a first-class query (reference
-    // vchordrq_evaluate_query_recall); rows-only — the value depends on
-    // the engine-defined ANN estimator.
+    // vchordrq_evaluate_query_recall). Golden: recall == 1 with the
+    // default probe budget on the test corpus — same correctness floor
+    // the reference CI pins (tests/vchordrq/recall.slt:37-45).
     "knn_recall" -> Q(
       (s, d) => {
         import s.implicits._
@@ -282,18 +293,22 @@ object GraftQueries {
         val idx = IvfCache.get(s, d)
         val r = idx.evaluateRecall(q, 10, probes = 4, refine = 8)
         Seq((10, 4, r)).toDF("k", "probes", "recall") },
-      None),
+      Some("SELECT 10 AS k, 4 AS probes, CAST(1.0 AS DOUBLE) AS recall")),
 
-    // graph (vchordg-style) ANN: Vamana build + beam search; rows-only
-    // (beam search is approximate by construction). Recall floor asserted
-    // in VamanaGraphSpec.
+    // graph (vchordg-style) ANN: Vamana build + beam search. Beam search
+    // is approximate by construction, but on the test corpus the golden is
+    // exact-top-k equality (recall == 1, like the reference CI floor);
+    // the configured-recall floor at larger scale is in VamanaGraphSpec.
     "graph_knn" -> Q(
       (s, d) => {
         val q = qvec(s, d, 0)
         GraphCache.get(s, d).searchBatch(s, Array(0L -> q), 10)
           .select(col("id").as("vec_id"), round(col("dist"), 3).as("dist"), col("rn"))
           .orderBy("rn") },
-      None),
+      Some(s"""$distCte
+              |SELECT vec_id, round(dist, 3) AS dist,
+              |row_number() OVER (ORDER BY dd.dist, vec_id) AS rn
+              |FROM dd ORDER BY dd.dist, vec_id LIMIT 10""".stripMargin)),
 
     "range_order" -> Q(
       (s, d) => { val (e, q) = embQ(s, d)
@@ -330,11 +345,24 @@ object GraftQueries {
              |  JOIN c ca ON ca.doc_id = da JOIN c cb ON cb.doc_id = db)
              |SELECT da, db, round(jac, 3) AS jac FROM j WHERE jac >= 0.4 ORDER BY da, db""".stripMargin)),
 
+    // MinHash-LSH + exact verification, oracle-checked against the full
+    // exact-Jaccard pair set: verification makes false positives
+    // impossible, so hash-matching the exact oracle is an end-to-end
+    // no-false-negative golden for the banding scheme (the no-miss
+    // property DedupSpec asserts, enforced per-round on real data).
     "dedup_minhash" -> Q(
       (s, d) => Dedup.minhashDedup(tbl(s, d, "documents"), "doc_id", "text", 0.4)
         .select(col("da"), col("db"), round(col("jac"), 3).as("jac"))
         .orderBy("da", "db"),
-      None),
+      Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+             |x AS (SELECT doc_id, toks, unnest(range(0, len(toks) - 2)) AS i FROM t WHERE len(toks) >= 3),
+             |sh AS (SELECT DISTINCT doc_id, toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] AS s FROM x),
+             |c AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+             |inter AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i FROM sh a
+             |  JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+             |j AS (SELECT da, db, CAST(i AS DOUBLE) / (ca.n + cb.n - i) AS jac FROM inter
+             |  JOIN c ca ON ca.doc_id = da JOIN c cb ON cb.doc_id = db)
+             |SELECT da, db, round(jac, 3) AS jac FROM j WHERE jac >= 0.4 ORDER BY da, db""".stripMargin)),
 
     "dedup_simhash" -> Q(
       (s, d) => Dedup.simhashDedup(tbl(s, d, "documents"), "doc_id", "text", 3)
