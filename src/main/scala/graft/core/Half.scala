@@ -70,4 +70,37 @@ object Half {
 
   def encode(v: Array[Float]): Array[Short] = v.map(floatToHalf)
   def decode(h: Array[Short]): Array[Float] = h.map(halfToFloat)
+
+  /** f32 vector -> packed f16 little-endian bytes (2 per element) — the
+    * halfvec STORAGE form (half the bytes of f32 on disk and over the
+    * rerank scan). */
+  def encodeBytes(v: Array[Float]): Array[Byte] = {
+    val out = new Array[Byte](v.length * 2)
+    var i = 0
+    while (i < v.length) {
+      val h = floatToHalf(v(i))
+      out(2 * i) = (h & 0xff).toByte
+      out(2 * i + 1) = ((h >> 8) & 0xff).toByte
+      i += 1
+    }
+    out
+  }
+
+  def decodeBytes(b: Array[Byte]): Array[Float] = {
+    val out = new Array[Float](b.length / 2)
+    var i = 0
+    while (i < out.length) {
+      out(i) = halfToFloat((((b(2 * i + 1) & 0xff) << 8) | (b(2 * i) & 0xff)).toShort)
+      i += 1
+    }
+    out
+  }
+
+  /** f32 -> f16 -> f32 precision round-trip (what a halfvec store keeps). */
+  def roundtrip(v: Array[Float]): Array[Float] = {
+    val out = new Array[Float](v.length)
+    var i = 0
+    while (i < v.length) { out(i) = halfToFloat(floatToHalf(v(i))); i += 1 }
+    out
+  }
 }

@@ -145,6 +145,41 @@ object RaBitQ {
     c.scale * (acc - b * qSum)
   }
 
+  /** Unpack stored codes into a caller-provided float scratch — amortizes
+    * the byte-unpack over many queries in batch scans. Unsigned code
+    * values are exactly representable in f32, so a subsequent
+    * `us(i) * q(i)` accumulation is bit-identical to [[estimateDot]]'s
+    * `(codes(i) & 0xff) * q(i)`. */
+  def unpackTo(codes: Array[Byte], bits: Int, dim: Int, out: Array[Float]): Unit = {
+    if (bits == 8) {
+      var i = 0
+      while (i < dim) { out(i) = (codes(i) & 0xff).toFloat; i += 1 }
+    } else {
+      var i = 0
+      while (i < dim) {
+        val b = codes(i / 2) & 0xff
+        out(i) = (if ((i & 1) == 0) b & 0x0f else (b >> 4) & 0x0f).toFloat
+        i += 1
+      }
+    }
+  }
+
+  /** Dequantization scale from the metadata pair (see [[Code.scale]]). */
+  @inline def scaleOf(disU2: Float, normOfLattice: Float): Double =
+    if (normOfLattice == 0.0f) 0.0 else math.sqrt(disU2.toDouble) / normOfLattice.toDouble
+
+  /** [[estimateDot]] over pre-unpacked codes — same accumulation order and
+    * types, so results are bit-identical. */
+  def estimateDotUnpacked(us: Array[Float], dim: Int, scale: Double, bias: Int,
+                          q: Array[Float], qSum: Double): Double = {
+    var acc = 0.0
+    var i = 0
+    while (i < dim) { acc += us(i) * q(i); i += 1 }
+    scale * (acc - bias * qSum)
+  }
+
+  def biasOf(bits: Int): Int = bias(bits)
+
   /**
    * Estimated squared L2 distance + an error radius for lower-bounding:
    *   l2s ~= |q|^2 + |x|^2 - 2*dot

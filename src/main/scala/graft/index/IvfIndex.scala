@@ -50,7 +50,11 @@ final case class IvfConfig(
     kmeansAlgo: String = "lloyd", // lloyd | hierarchical (reference B2/B3)
     kmeansDim: Int = 0,           // >0: cluster in rotated+truncated space (B4)
     rotate: Boolean = false,      // store FHT-rotated vectors (B6)
-    lists1: Int = 0)              // >0: internal level size — 2-level tree (B5)
+    lists1: Int = 0,              // >0: internal level size — 2-level tree (B5)
+    storage: String = "f32")      // f32 | f16 — rerank-vector storage (halfvec
+                                  // index: half the vec bytes on disk/scan;
+                                  // codes quantize the f16-roundtripped vector
+                                  // so estimate and rerank see one store)
 
 /** `dim` = stored vector dim (padded when rotated); `origDim` = input dim.
   * `l1Centroids`/`l1Children`: optional internal level (reference B5 —
@@ -66,45 +70,59 @@ object IvfIndex {
 
   private def spherical(cfg: IvfConfig): Boolean = cfg.metric == "cosdist"
 
-  /** Encode rows to (cluster_id, id, vec, cmeta, codes) via broadcast centroids. */
+  /** Encode rows to (cluster_id, id, vec, cmeta, codes) via broadcast
+    * centroids. `vec` is array<float> for f32 storage, packed f16 bytes
+    * for halfvec storage (quantization then sees the f16-roundtripped
+    * vector, so codes and stored vectors describe the same point). */
   private[index] def encodeRows(df: DataFrame, idCol: String, vecCol: String,
                                 cfg: IvfConfig, centroids: Array[Array[Float]],
-                                origDim: Int)
-      : Dataset[(Int, Long, Seq[Float], Seq[Float], Array[Byte])] = {
+                                origDim: Int): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     val bc = spark.sparkContext.broadcast(centroids)
     val residual = cfg.residual
     val bits = cfg.bits
     val sph = spherical(cfg)
+    val f16 = cfg.storage == "f16"
     val rot = if (cfg.rotate) Some(new Rotation(origDim)) else None
-    df.select(col(idCol).cast("long"), col(vecCol)).as[(Long, Seq[Float])]
-      .map { case (id, v) =>
-        val raw = v.toArray
-        val pre = if (sph) K.normalize(raw) else raw
-        val vec = rot.map(_.apply(pre)).getOrElse(pre)
-        val cs = bc.value
-        val cid = KMeans.nearest(vec, cs)
-        val toCode =
-          if (residual) {
-            val c = cs(cid)
-            val r = new Array[Float](vec.length)
-            var j = 0
-            while (j < vec.length) { r(j) = vec(j) - c(j); j += 1 }
-            r
-          } else vec
-        val code = RaBitQ.quantize(toCode, bits)
-        (cid, id, vec.toSeq, code.meta.toSeq, code.codes)
-      }
+    val base = df.select(col(idCol).cast("long"), col(vecCol)).as[(Long, Seq[Float])]
+    def encodeOne(id: Long, v: Seq[Float]): (Int, Long, Array[Float], Seq[Float], Array[Byte]) = {
+      val raw = v.toArray
+      val pre = if (sph) K.normalize(raw) else raw
+      val rotated = rot.map(_.apply(pre)).getOrElse(pre)
+      val vec = if (f16) graft.core.Half.roundtrip(rotated) else rotated
+      val cs = bc.value
+      val cid = KMeans.nearest(vec, cs)
+      val toCode =
+        if (residual) {
+          val c = cs(cid)
+          val r = new Array[Float](vec.length)
+          var j = 0
+          while (j < vec.length) { r(j) = vec(j) - c(j); j += 1 }
+          r
+        } else vec
+      val code = RaBitQ.quantize(toCode, bits)
+      (cid, id, vec, code.meta.toSeq, code.codes)
+    }
+    if (f16)
+      base.map { case (id, v) =>
+        val (cid, i, vec, m, c) = encodeOne(id, v)
+        (cid, i, graft.core.Half.encodeBytes(vec), m, c)
+      }.toDF("cluster_id", "id", "vec", "cmeta", "codes")
+    else
+      base.map { case (id, v) =>
+        val (cid, i, vec, m, c) = encodeOne(id, v)
+        (cid, i, vec.toSeq, m, c)
+      }.toDF("cluster_id", "id", "vec", "cmeta", "codes")
   }
 
   private def writeMeta(spark: SparkSession, dir: String, dim: Int, origDim: Int,
                         cfg: IvfConfig, centroids: Array[Array[Float]]): Unit = {
     import spark.implicits._
     Seq((dim, origDim, cfg.lists, cfg.bits, cfg.residual, cfg.metric, cfg.samplingFactor,
-        cfg.kmeansIters, cfg.kmeansAlgo, cfg.kmeansDim, cfg.rotate, cfg.lists1))
+        cfg.kmeansIters, cfg.kmeansAlgo, cfg.kmeansDim, cfg.rotate, cfg.lists1, cfg.storage))
       .toDF("dim", "orig_dim", "lists", "bits", "residual", "metric", "sampling_factor",
-        "kmeans_iters", "kmeans_algo", "kmeans_dim", "rotate", "lists1")
+        "kmeans_iters", "kmeans_algo", "kmeans_dim", "rotate", "lists1", "storage")
       .write.mode("overwrite").parquet(s"$dir/config")
     centroids.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
       .toDF("cluster_id", "centroid")
@@ -117,7 +135,6 @@ object IvfIndex {
     val spark = df.sparkSession
     val dim = centroids(0).length
     encodeRows(df, idCol, vecCol, cfg, centroids, origDim)
-      .toDF("cluster_id", "id", "vec", "cmeta", "codes")
       // co-locate each cluster before the partitioned write: one shuffle on
       // the cluster key -> O(lists) files instead of tasks x lists
       .repartition(col("cluster_id"))
@@ -233,9 +250,17 @@ object IvfIndex {
 
   def load(spark: SparkSession, dir: String): IvfIndex = {
     import spark.implicits._
-    val (dim, origDim, lists, bits, residual, metric, sf, it, algo, kdim, rotate, lists1) =
-      spark.read.parquet(s"$dir/config")
-        .as[(Int, Int, Int, Int, Boolean, String, Int, Int, String, Int, Boolean, Int)].head()
+    val cfgDf = spark.read.parquet(s"$dir/config")
+    // pre-halfvec indexes have no storage column
+    val withStorage =
+      if (cfgDf.columns.contains("storage")) cfgDf
+      else cfgDf.withColumn("storage", org.apache.spark.sql.functions.lit("f32"))
+    val (dim, origDim, lists, bits, residual, metric, sf, it, algo, kdim, rotate, lists1, storage) =
+      withStorage.select("dim", "orig_dim", "lists", "bits", "residual", "metric",
+          "sampling_factor", "kmeans_iters", "kmeans_algo", "kmeans_dim", "rotate",
+          "lists1", "storage")
+        .as[(Int, Int, Int, Int, Boolean, String, Int, Int, String, Int, Boolean, Int, String)]
+        .head()
     val centroids = spark.read.parquet(s"$dir/centroids")
       .as[(Int, Seq[Float])].collect().sortBy(_._1).map(_._2.toArray)
     val (l1c, l1ch) =
@@ -246,7 +271,7 @@ object IvfIndex {
       } else (Array.empty[Array[Float]], Array.empty[Array[Int]])
     new IvfIndex(spark, dir,
       IvfMeta(dim, origDim,
-        IvfConfig(lists, bits, residual, metric, sf, it, algo, kdim, rotate, lists1),
+        IvfConfig(lists, bits, residual, metric, sf, it, algo, kdim, rotate, lists1, storage),
         centroids, l1c, l1ch))
   }
 
@@ -268,24 +293,45 @@ final class IvfIndex(val spark: SparkSession, dir: String, val meta: IvfMeta) {
 
   private val dataCols = Seq("cluster_id", "id", "vec", "cmeta", "codes")
 
+  // The plan for the current generation is cached so repeated searches
+  // skip file re-listing and footer reads (at lists=256 that is hundreds
+  // of directories per query). Invalidated when CURRENT changes or this
+  // instance mutates the index (appendDelta bumps `mutations` — a delta
+  // dir gains files without changing names, so existence alone is not a
+  // valid key); `prewarm()` persists this same plan, so every subsequent
+  // search hits the in-memory columnar cache.
+  @volatile private var cachedData: (String, Boolean, Long, DataFrame) = null
+  private val mutations = new java.util.concurrent.atomic.AtomicLong()
+
   /** Current index contents: compacted generation plus any delta appends.
     * A filter on cluster_id prunes partitions in BOTH branches of the
     * union independently. */
   def dataDf: DataFrame = {
-    val gen = spark.read.parquet(s"$dir/$currentGen")
-      .select(dataCols.map(col): _*)
-    if (deltaExists)
-      gen.unionByName(spark.read.parquet(s"$dir/delta").select(dataCols.map(col): _*))
-    else gen
+    val genName = currentGen
+    val delta = deltaExists
+    val ver = mutations.get()
+    val c = cachedData
+    if (c != null && c._1 == genName && c._2 == delta && c._3 == ver) c._4
+    else {
+      val gen = spark.read.parquet(s"$dir/$genName")
+        .select(dataCols.map(col): _*)
+      val df =
+        if (delta)
+          gen.unionByName(spark.read.parquet(s"$dir/delta").select(dataCols.map(col): _*))
+        else gen
+      cachedData = (genName, delta, ver, df)
+      df
+    }
   }
 
   /** Incremental ingest (reference `aminsert`, B11): encode rows against
     * the existing centroids and append to the delta area. */
-  def appendDelta(df: DataFrame, idCol: String, vecCol: String): Unit =
+  def appendDelta(df: DataFrame, idCol: String, vecCol: String): Unit = {
     IvfIndex.encodeRows(df, idCol, vecCol, meta.cfg, meta.centroids, meta.origDim)
-      .toDF("cluster_id", "id", "vec", "cmeta", "codes")
       .repartition(col("cluster_id"))
       .write.mode("append").partitionBy("cluster_id").parquet(s"$dir/delta")
+    mutations.incrementAndGet()
+  }
 
   /** Compaction (reference `maintain`, B12): fold delta into a new
     * generation, then atomically advance CURRENT and drop old dirs. */
@@ -312,10 +358,21 @@ final class IvfIndex(val spark: SparkSession, dir: String, val meta: IvfMeta) {
     Files.writeString(Paths.get(dir, "CURRENT"), next)
     (0 until oldN).foreach(g => IvfIndex.rmRecursive(Paths.get(dir, s"gen-$g")))
     IvfIndex.rmRecursive(Paths.get(dir, "delta"))
+    mutations.incrementAndGet()
   }
 
-  /** Cache the index into executor memory (reference `vchordrq_prewarm`). */
-  def prewarm(): Long = dataDf.cache().count()
+  /** Cache the index into executor memory (reference `vchordrq_prewarm`).
+    * The cached layout is hash-partitioned on cluster_id at the session's
+    * shuffle parallelism: the on-disk layout packs many small per-cluster
+    * files into few scan splits (fine for I/O, terrible for a cached scan's
+    * parallelism), while the re-layout gives every core work and keeps each
+    * cluster contiguous so in-memory batch stats still skip unprobed
+    * clusters. Subsequent `dataDf` plans reuse this cached relation. */
+  def prewarm(): Long = {
+    val df = dataDf.repartition(col("cluster_id")).cache()
+    cachedData = (currentGen, deltaExists, mutations.get(), df)
+    df.count()
+  }
 
   private def prepQuery(q: Array[Float]): Array[Float] = {
     val pre = if (meta.cfg.metric == "cosdist") K.normalize(q) else q
@@ -328,11 +385,43 @@ final class IvfIndex(val spark: SparkSession, dir: String, val meta: IvfMeta) {
     * metric string and a broadcast query — never `this`. */
   private def exactDistUdf(qq: Array[Float]) = {
     val bq = spark.sparkContext.broadcast(qq)
-    meta.cfg.metric match {
-      case "l2"      => udf((v: Seq[Float]) => K.l2(v.toArray, bq.value))
-      case "negdot"  => udf((v: Seq[Float]) => K.negdot(v.toArray, bq.value))
-      case "cosdist" => udf((v: Seq[Float]) => 1.0 + K.negdot(v.toArray, bq.value))
+    def kern(metric: String): (Array[Float], Array[Float]) => Double = metric match {
+      case "l2"      => K.l2
+      case "negdot"  => K.negdot
+      case "cosdist" => (v, q) => 1.0 + K.negdot(v, q)
     }
+    val f = kern(meta.cfg.metric)
+    if (meta.cfg.storage == "f16")
+      udf((v: Array[Byte]) => f(graft.core.Half.decodeBytes(v), bq.value))
+    else
+      udf((v: Seq[Float]) => f(v.toArray, bq.value))
+  }
+
+  /** Per-probed-cluster precomputed query vector + sums (broadcast by the
+    * searchers). L2 is translation-invariant, so residual codes pair with
+    * the residual query (q - c). Dot metrics are NOT: dot(q-c, v-c)
+    * differs from dot(q, v) by a PER-VECTOR term — so for dot-family
+    * metrics the estimate uses the raw query against the residual code
+    * plus the per-cluster constant dot(q, c):
+    * dot(q, v) = dot(q, v-c) + dot(q, c). */
+  private def clusterPrep(qq: Array[Float], probed: Array[Int])
+      : Map[Int, (Array[Float], Double, Double, Double)] = {
+    val residual = meta.cfg.residual
+    val isL2m = meta.cfg.metric == "l2"
+    probed.map { cid =>
+      val c = meta.centroids(cid)
+      val qr =
+        if (residual && isL2m) {
+          val r = new Array[Float](qq.length)
+          var j = 0
+          while (j < qq.length) { r(j) = qq(j) - c(j); j += 1 }
+          r
+        } else qq
+      var s = 0.0; var j = 0
+      while (j < qr.length) { s += qr(j); j += 1 }
+      val clusterDot = if (residual && !isL2m) K.dot(qq, c) else 0.0
+      cid -> (qr, s, K.normSq(qr), clusterDot)
+    }.toMap
   }
 
   /** Probed leaf cluster ids: nearest `probes` leaf centroids. With an
@@ -375,28 +464,7 @@ final class IvfIndex(val spark: SparkSession, dir: String, val meta: IvfMeta) {
     val qq = prepQuery(q)
     val probed = probe(q, probes, probes1)
     val data = dataDf.filter(col("cluster_id").isin(probed.map(Integer.valueOf): _*))
-    // per-probed-cluster precomputed query vector + sums (broadcast).
-    // L2 is translation-invariant, so residual codes pair with the
-    // residual query (q - c). Dot metrics are NOT: dot(q-c, v-c) differs
-    // from dot(q, v) by a PER-VECTOR term — so for dot-family metrics the
-    // estimate uses the raw query against the residual code plus the
-    // per-cluster constant dot(q, c):  dot(q, v) = dot(q, v-c) + dot(q, c).
-    val residual = meta.cfg.residual
-    val isL2m = meta.cfg.metric == "l2"
-    val perCluster: Map[Int, (Array[Float], Double, Double, Double)] = probed.map { cid =>
-      val c = meta.centroids(cid)
-      val qr =
-        if (residual && isL2m) {
-          val r = new Array[Float](qq.length)
-          var j = 0
-          while (j < qq.length) { r(j) = qq(j) - c(j); j += 1 }
-          r
-        } else qq
-      var s = 0.0; var j = 0
-      while (j < qr.length) { s += qr(j); j += 1 }
-      val clusterDot = if (residual && !isL2m) K.dot(qq, c) else 0.0
-      cid -> (qr, s, K.normSq(qr), clusterDot)
-    }.toMap
+    val perCluster = clusterPrep(qq, probed)
     val bpc = spark.sparkContext.broadcast(perCluster)
     val bits = meta.cfg.bits
     val dim = meta.dim
@@ -452,6 +520,184 @@ final class IvfIndex(val spark: SparkSession, dir: String, val meta: IvfMeta) {
           .orderBy(col("dist"), col("id"))
           .limit(k)
     }
+  }
+
+  /**
+   * Batch ANN: all `queries` served by TWO Spark jobs total, independent
+   * of batch size — the throughput shape Spark is built for (the
+   * single-query `search` pays per-job scheduling that dominates at low
+   * latency; BASELINE.md: the Spark engine targets batch KNN-join
+   * queries/sec, not point-query latency).
+   *
+   *   job 1: one pass over the union of all probed clusters; each
+   *          partition keeps a bounded per-query heap of code-estimate
+   *          lower bounds (map-side top-nCand), then a window takes the
+   *          global nCand per query
+   *   job 2: exact rerank of each query's candidates (vec column read
+   *          only for candidate rows), window takes top k
+   *
+   * Same estimator, bounds, and (dist, id) tie-breaks as `search` — for
+   * a single query the two return identical rows.
+   * Output: (qid, id, dist, rn).
+   */
+  def searchMany(queries: Array[(Long, Array[Float])], k: Int, probes: Int = 4,
+                 epsilon: Double = 1.9, refine: Int = 8, probes1: Int = -1): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(queries.nonEmpty, "empty query batch")
+    val nCand = math.max(k * refine, k)
+    val residual = meta.cfg.residual
+    val isL2 = meta.cfg.metric == "l2"
+    val bits = meta.cfg.bits
+    val dim = meta.dim
+    // per-query prep (driver): probed clusters + per-cluster query
+    // residual/sums — the same precompute `search` does for one query
+    val preps: Array[(Long, Array[Float], Map[Int, (Array[Float], Double, Double, Double)])] =
+      queries.map { case (qid, q) =>
+        val qq = prepQuery(q)
+        val probed = probe(q, probes, probes1)
+        (qid, qq, clusterPrep(qq, probed))
+      }
+    // dense lookup tables for the scan loop: no Map lookups or tuple
+    // allocations per (row, query) — [cid] -> probing query indices, and
+    // per (query, cid) the prepped residual query + sums
+    val nLists = meta.cfg.lists
+    val nQ = preps.length
+    val qrTab = Array.ofDim[Array[Float]](nQ, nLists)
+    val qSumTab = Array.ofDim[Double](nQ, nLists)
+    val qNormSqTab = Array.ofDim[Double](nQ, nLists)
+    val cDotTab = Array.ofDim[Double](nQ, nLists)
+    val c2qBuf = Array.fill(nLists)(new scala.collection.mutable.ArrayBuffer[Int]())
+    preps.zipWithIndex.foreach { case ((_, _, pc), qi) =>
+      pc.foreach { case (cid, (qr, s, ns, cd)) =>
+        qrTab(qi)(cid) = qr; qSumTab(qi)(cid) = s
+        qNormSqTab(qi)(cid) = ns; cDotTab(qi)(cid) = cd
+        c2qBuf(cid) += qi
+      }
+    }
+    val clusterToQ: Array[Array[Int]] = c2qBuf.map(_.toArray)
+    val allProbed = clusterToQ.indices.filter(clusterToQ(_).nonEmpty).toArray
+    val bPrep = spark.sparkContext.broadcast(preps)
+    val bTabs = spark.sparkContext.broadcast((qrTab, qSumTab, qNormSqTab, cDotTab))
+    val bC2Q = spark.sparkContext.broadcast(clusterToQ)
+    val data = dataDf.filter(col("cluster_id").isin(allProbed.map(Integer.valueOf): _*))
+    // InternalRow scan: primitive accessors, no Seq boxing — this pass
+    // touches every row of every probed cluster and is the batch's hot loop
+    val estRdd = org.apache.spark.sql.graft.ColumnBridge
+      .toInternalRdd(data.select($"cluster_id", $"id", $"cmeta", $"codes"))
+      .mapPartitions { it =>
+        val preps = bPrep.value
+        val (qrT, qSumT, qNormSqT, cDotT) = bTabs.value
+        val c2q = bC2Q.value
+        // bounded per-query primitive heaps: keep the nCand smallest
+        // (lb, id) with zero boxing in the scan loop
+        val heaps = new Array[graft.core.BoundedTopK](preps.length)
+        val scratch = new Array[Float](dim)
+        val bias = RaBitQ.biasOf(bits)
+        val sqrtDim = math.sqrt(dim.toDouble)
+        it.foreach { row =>
+          val cid = row.getInt(0)
+          if (cid < c2q.length) {
+            val qis = c2q(cid)
+            if (qis.nonEmpty) {
+              val id = row.getLong(1)
+              // unpack codes ONCE per row; every probing query then runs a
+              // float-dot over the scratch (bit-identical to the
+              // single-query estimator, amortized across the batch)
+              val cm = row.getArray(2)
+              val disU2 = cm.getFloat(0)
+              val scale = RaBitQ.scaleOf(disU2, cm.getFloat(1))
+              RaBitQ.unpackTo(row.getBinary(3), bits, dim, scratch)
+              var i = 0
+              while (i < qis.length) {
+                val qi = qis(i)
+                val qr = qrT(qi)(cid)
+                val qSum = qSumT(qi)(cid)
+                val qNormSq = qNormSqT(qi)(cid)
+                val d = RaBitQ.estimateDotUnpacked(scratch, dim, scale, bias, qr, qSum)
+                val err = math.sqrt(qNormSq) * scale * sqrtDim
+                val lb =
+                  if (isL2) {
+                    val e = math.max(qNormSq + disU2 - 2.0 * d, 0.0)
+                    math.sqrt(math.max(e - epsilon * err, 0.0))
+                  } else {
+                    -(d + cDotT(qi)(cid)) - epsilon * err
+                  }
+                var h = heaps(qi)
+                if (h == null) { h = new graft.core.BoundedTopK(nCand); heaps(qi) = h }
+                h.offer(lb, id)
+                i += 1
+              }
+            }
+          }
+        }
+        val out = scala.collection.mutable.ArrayBuffer[(Long, Long, Double)]()
+        var qi = 0
+        while (qi < heaps.length) {
+          val h = heaps(qi)
+          if (h != null) {
+            val qid = preps(qi)._1
+            h.foreachPair((lb, id) => out += ((qid, id, lb)))
+          }
+          qi += 1
+        }
+        out.iterator
+      }
+    val est = estRdd.toDF("qid", "id", "lb")
+    val dbg = sys.env.contains("GRAFT_SEARCH_DEBUG")
+    val tEst0 = System.nanoTime()
+    val wCand = Window.partitionBy($"qid").orderBy($"lb", $"id")
+    val candPairs = est
+      .withColumn("crn", row_number().over(wCand))
+      .filter($"crn" <= nCand)
+      .select($"qid", $"id")
+      .as[(Long, Long)].collect()                       // job 1
+    if (dbg) System.err.println(s"[searchMany] est+window+collect: ${(System.nanoTime()-tEst0)/1e9}s, pairs=${candPairs.length}")
+    if (candPairs.isEmpty)
+      return Seq.empty[(Long, Long, Double, Long)].toDF("qid", "id", "dist", "rn")
+    // rerank (job 2): InternalRow scan of the probed clusters; candidate
+    // membership via a sorted-id binary search (no giant In list, no join
+    // machinery); scored pairs (B x nCand at most) merge on the driver
+    val tRr = System.nanoTime()
+    val qidToQi = preps.zipWithIndex.map { case ((qid, _, _), qi) => qid -> qi }.toMap
+    val idToQi = new java.util.HashMap[java.lang.Long, Array[Int]]()
+    candPairs.groupBy(_._2).foreach { case (id, qs) =>
+      idToQi.put(id, qs.map(p => qidToQi(p._1)))
+    }
+    val sortedIds = candPairs.map(_._2).distinct.sorted
+    val bI2Q = spark.sparkContext.broadcast(idToQi)
+    val bSorted = spark.sparkContext.broadcast(sortedIds)
+    val bQ = spark.sparkContext.broadcast(preps.map(_._2))
+    val metric = meta.cfg.metric
+    val f16 = meta.cfg.storage == "f16"
+    val scored: Array[(Long, Long, Double)] = org.apache.spark.sql.graft.ColumnBridge
+      .toInternalRdd(data.select($"id", $"vec"))
+      .mapPartitions { it =>
+        val sorted = bSorted.value
+        val i2q = bI2Q.value
+        val qqs = bQ.value
+        val kern: (Array[Float], Array[Float]) => Double = metric match {
+          case "l2"      => K.l2
+          case "negdot"  => K.negdot
+          case "cosdist" => (v, q) => 1.0 + K.negdot(v, q)
+        }
+        it.flatMap { row =>
+          val id = row.getLong(0)
+          if (java.util.Arrays.binarySearch(sorted, id) < 0) Iterator.empty
+          else {
+            val v =
+              if (f16) graft.core.Half.decodeBytes(row.getBinary(1))
+              else row.getArray(1).toFloatArray()
+            i2q.get(id).iterator.map(qi => (qi.toLong, id, kern(v, qqs(qi))))
+          }
+        }
+      }.collect().map { case (qi, id, d) => (preps(qi.toInt)._1, id, d) }
+    if (dbg) System.err.println(s"[searchMany] rerank scan: ${(System.nanoTime()-tRr)/1e9}s, scored=${scored.length}")
+    // driver-side final top-k per query (at most B x nCand rows)
+    val out = scored.groupBy(_._1).toSeq.flatMap { case (qid, rows) =>
+      rows.map(r => (r._3, r._2)).sorted.take(k).zipWithIndex
+        .map { case ((d, id), i) => (qid, id, d, (i + 1).toLong) }
+    }
+    out.toDF("qid", "id", "dist", "rn")
   }
 
   /**

@@ -6,36 +6,51 @@ import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+import org.apache.spark.sql.graft.ColumnBridge
 
-import graft.functions.VecL2Expr
+import graft.functions.{VecCosDistExpr, VecL2Expr, VecNegDotExpr}
 import graft.index.IvfIndex
 
 /**
  * The `CREATE INDEX` planner integration (SURVEY §4.1 row 1 / build plan
- * M7): the reference's Postgres planner matches `ORDER BY embedding <-> q
- * LIMIT k` to the vchordrq opclass and plans an index scan (reference:
+ * M7): the reference's Postgres planner matches `ORDER BY embedding <op> q
+ * LIMIT k` to a vchordrq opclass and plans an index scan (reference:
  * opclasses sql/install/vchord--1.1.1.sql:1138-1228, pushdown goldens
  * tests/vchordrq/pushdown_plan.slt). Here the same contract is a Catalyst
  * optimizer rule:
  *
- *     GlobalLimit k (Sort [vec_l2(vecCol, literal) ASC] (relation))
+ *     GlobalLimit k (Sort [vec_l2|vec_cosdist|vec_negdot(col, q) ASC]
+ *       ([Project] [Filter pred] relation))
  *
  * over a Parquet relation registered in [[AnnCatalog]] becomes
  *
- *     GlobalLimit k (Sort [...] (Filter id IN (<ANN candidates>) relation))
+ *     GlobalLimit k (Sort [...] (Filter id IN (<ANN candidates>) child))
  *
  * The index supplies candidate row ids (probe -> estimate -> rerank); the
  * IN filter pushes down to the Parquet scan, so the full-table sort
- * collapses to a k-row sort over fetched candidates. Like the reference's
- * index scan, results are the ANN answer — recall is governed by
- * `graft.ann.probes` / `graft.ann.refine` (session confs), and
- * `graft.ann.enable=false` is the `vchordrq.enable_scan` kill switch
- * (reference: src/index/gucs.rs:60).
+ * collapses to a k-row sort over fetched candidates. An index serves only
+ * its own metric (one opclass per operator, like the reference).
  *
- * Rewrite fires only when the sort child is the bare relation (optionally
- * column-pruned) — any intervening Filter changes top-k semantics and
- * conservatively disables the rewrite (the reference handles that case
- * with prefilter machinery; here Catalyst keeps the exact plan).
+ * Three planner behaviors mirror the reference's access-method glue:
+ *
+ *  - COST (reference `amcostestimate`, src/index/vchordrq/am/mod.rs:
+ *    270-385): the rewrite is taken only when the estimated index work
+ *    (code-only scan of the probed fraction + exact rerank of k*refine
+ *    rows) undercuts the exact full scan. `probes = auto` sizes the probe
+ *    budget as ceil(sqrt(lists)) (the GUC's reloption fallback role,
+ *    src/index/gucs.rs:114-133). Kill switch: graft.ann.cost.enable.
+ *
+ *  - PREFILTER (reference `vchordrq.prefilter`, scanners/default.rs:
+ *    178-224): a deterministic Filter between the Sort and the relation no
+ *    longer disables the rewrite — candidates are fetched, the filter's
+ *    survivor count is checked, and the probe/refine budget escalates
+ *    (x4 per round, like re-scanning with a larger budget) until k
+ *    survivors exist or the candidate set provably covers the table —
+ *    at which point the plan is exact. Non-deterministic predicates
+ *    conservatively keep the original plan.
+ *
+ *  - KILL SWITCH `graft.ann.enable=false` = `vchordrq.enable_scan`
+ *    (reference: src/index/gucs.rs:60).
  *
  * Enable per session:
  *   spark.experimental.extraOptimizations ++= Seq(AnnTopKRewrite(spark))
@@ -46,6 +61,7 @@ object AnnCatalog {
 
   private val entries = new java.util.concurrent.ConcurrentHashMap[String, Entry]()
   private val indexes = new java.util.concurrent.ConcurrentHashMap[String, IvfIndex]()
+  private val counts = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
 
   private def norm(p: String): String =
     new org.apache.hadoop.fs.Path(p).toUri.getPath
@@ -61,14 +77,37 @@ object AnnCatalog {
 
   def index(spark: SparkSession, e: Entry): IvfIndex =
     indexes.computeIfAbsent(e.indexDir, d => IvfIndex.load(spark, d))
+
+  /** Indexed row count, computed once per index (the cost model's N —
+    * the reference reads it from pg_class reltuples). */
+  def rowCount(spark: SparkSession, e: Entry): Long =
+    counts.computeIfAbsent(e.indexDir, _ => index(spark, e).dataDf.count()).longValue
 }
 
 case class AnnTopKRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
 
-  private def relationOf(plan: LogicalPlan): Option[LogicalRelation] = plan match {
-    case r: LogicalRelation => Some(r)
-    case Project(projList, r: LogicalRelation)
-        if projList.forall(_.isInstanceOf[AttributeReference]) => Some(r)
+  /** One distance opclass per operator, like the reference's
+    * vector_l2_ops / vector_cosine_ops / vector_ip_ops. */
+  private object DistOn {
+    def unapply(e: Expression): Option[(String, AttributeReference, ArrayData)] = e match {
+      case VecL2Expr(a: AttributeReference, Literal(v: ArrayData, _))      => Some(("l2", a, v))
+      case VecCosDistExpr(a: AttributeReference, Literal(v: ArrayData, _)) => Some(("cosdist", a, v))
+      case VecNegDotExpr(a: AttributeReference, Literal(v: ArrayData, _))  => Some(("negdot", a, v))
+      case _ => None
+    }
+  }
+
+  /** Supported sort children: bare relation, column-pruning Project,
+    * deterministic prefilter, or Project over prefilter. */
+  private def destructure(plan: LogicalPlan)
+      : Option[(LogicalRelation, Option[Expression])] = plan match {
+    case r: LogicalRelation => Some((r, None))
+    case Project(pl, r: LogicalRelation)
+        if pl.forall(_.isInstanceOf[AttributeReference]) => Some((r, None))
+    case Filter(pred, r: LogicalRelation) if pred.deterministic => Some((r, Some(pred)))
+    case Project(pl, Filter(pred, r: LogicalRelation))
+        if pl.forall(_.isInstanceOf[AttributeReference]) && pred.deterministic =>
+      Some((r, Some(pred)))
     case _ => None
   }
 
@@ -77,10 +116,10 @@ case class AnnTopKRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     plan.transformDown {
       case gl @ GlobalLimit(IntegerLiteral(k),
           LocalLimit(_, sort @ Sort(
-            Seq(SortOrder(VecL2Expr(attr: AttributeReference, Literal(qv: ArrayData, _)),
-              Ascending, _, _)), true, child, _))) =>
+            Seq(SortOrder(DistOn(metric, attr, qv), Ascending, _, _)),
+            true, child, _))) if k > 0 =>
         (for {
-          rel <- relationOf(child)
+          (rel, predOpt) <- destructure(child)
           fsRel <- rel.relation match {
             case h: HadoopFsRelation => Some(h)
             case _ => None
@@ -95,22 +134,67 @@ case class AnnTopKRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
             case org.apache.spark.sql.types.IntegerType => Some((id: Long) => Literal(id.toInt))
             case _ => None
           }
-          // the rule matches vec_l2 — only an l2-metric index may serve it
-          if AnnCatalog.index(spark, entry).meta.cfg.metric == "l2"
-        } yield {
-          val probes = spark.conf.get("graft.ann.probes", "8").toInt
-          val refine = spark.conf.get("graft.ann.refine", "8").toInt
-          val idx = AnnCatalog.index(spark, entry)
-          import spark.implicits._
-          val ids = idx.search(qv.toFloatArray(), k, probes = probes, refine = refine)
-            .select("id").as[Long].collect()
-          if (ids.isEmpty) gl
-          else {
-            val filter = Filter(In(idAttr, ids.toSeq.map(idLit)), child)
-            GlobalLimit(Literal(k), LocalLimit(Literal(k),
-              Sort(sort.order, global = true, filter)))
-          }
-        }).getOrElse(gl)
+          // an index serves only queries in its own metric
+          if AnnCatalog.index(spark, entry).meta.cfg.metric == metric
+          served <- serve(gl, sort, child, entry, idAttr, idLit, qv, k, predOpt)
+        } yield served).getOrElse(gl)
+    }
+  }
+
+  private def serve(gl: LogicalPlan, sort: Sort, child: LogicalPlan,
+                    entry: AnnCatalog.Entry, idAttr: Attribute, idLit: Long => Literal,
+                    qv: ArrayData, k: Int,
+                    predOpt: Option[Expression]): Option[LogicalPlan] = {
+    val idx = AnnCatalog.index(spark, entry)
+    val lists = idx.meta.cfg.lists
+    val probesConf = spark.conf.get("graft.ann.probes", "auto")
+    val probes0 =
+      if (probesConf == "auto") math.max(1, math.ceil(math.sqrt(lists.toDouble)).toInt)
+      else probesConf.toInt
+    val refine0 = spark.conf.get("graft.ann.refine", "8").toInt
+    val n = AnnCatalog.rowCount(spark, entry)
+
+    // cost model (reference amcostestimate): exact full scan = n rows at
+    // unit cost; index scan = code-only estimate over the probed fraction
+    // (~0.3 units/row: pruned columns, integer kernel) + exact rerank of
+    // k*refine candidate rows + per-query probe overhead.
+    val costEnabled = spark.conf.get("graft.ann.cost.enable", "true").toBoolean
+    def indexCost(p: Int, r: Int): Double =
+      n.toDouble * p / lists * 0.3 + math.min(k.toDouble * r, n.toDouble) + lists.toDouble * 0.01
+    if (costEnabled && indexCost(probes0, refine0) >= n.toDouble) return None
+
+    val qArr = qv.toFloatArray()
+    import spark.implicits._
+    def cands(p: Int, r: Int): Array[Long] =
+      idx.search(qArr, k, probes = p, refine = r).select("id").as[Long].collect()
+    def planWith(ids: Array[Long]): LogicalPlan = {
+      val filter = Filter(In(idAttr, scala.collection.immutable.ArraySeq.unsafeWrapArray(ids.map(idLit))), child)
+      GlobalLimit(Literal(k), LocalLimit(Literal(k),
+        Sort(sort.order, global = true, filter)))
+    }
+
+    predOpt match {
+      case None =>
+        val ids = cands(probes0, refine0)
+        if (ids.isEmpty) Some(gl) else Some(planWith(ids))
+      case Some(_) =>
+        // prefilter escalation: `child` already contains the user Filter,
+        // so counting the candidate-restricted child counts survivors
+        var p = probes0
+        var r = refine0
+        var ids = cands(p, r)
+        def survivors(ids: Array[Long]): Long =
+          if (ids.isEmpty) 0L
+          else ColumnBridge.ofRows(spark,
+            Filter(In(idAttr, scala.collection.immutable.ArraySeq.unsafeWrapArray(ids.map(idLit))), child)).count()
+        var covered = p >= lists && k.toLong * r >= n
+        while (survivors(ids) < k && !covered) {
+          p = math.min(lists, p * 4)
+          r = r * 4
+          ids = cands(p, r)
+          covered = p >= lists && k.toLong * r >= n
+        }
+        if (ids.isEmpty) Some(gl) else Some(planWith(ids))
     }
   }
 }

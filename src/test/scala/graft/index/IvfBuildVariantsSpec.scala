@@ -130,4 +130,33 @@ class IvfBuildVariantsSpec extends SparkSpec {
       .sorted.take(10).map { case (d, id) => (id, d) }
     assert(viaTable == want) // bit-exact: distances recomputed on raw table vectors
   }
+
+  test("f16 storage: half the vec bytes, search matches f16-roundtrip brute force") {
+    import spark.implicits._
+    val df = rows.toDF("id", "vec")
+    val dir16 = freshDir(); val dir32 = freshDir()
+    val idx16 = IvfIndex.build(df, "id", "vec", dir16,
+      IvfConfig(lists = 8, storage = "f16"))
+    IvfIndex.build(df, "id", "vec", dir32, IvfConfig(lists = 8))
+    val q = Array.fill(12)(0.2f)
+    // ground truth lives in the f16 store: brute force over roundtripped vectors
+    val want = rows.map { case (id, v) =>
+        (K.l2(graft.core.Half.roundtrip(v.toArray), q), id)
+      }.sorted.take(10).map { case (d, id) => (id, d) }
+    val got = idx16.search(q, 10, probes = 8, refine = 80)
+      .as[(Long, Double)].collect().toSeq
+    assert(got == want)
+    // reload path preserves the storage mode
+    val reloaded = IvfIndex.load(spark, dir16)
+    assert(reloaded.meta.cfg.storage == "f16")
+    assert(reloaded.searchExact(q, 5).as[(Long, Double)].collect().toSeq == want.take(5))
+    // the f16 generation is materially smaller than the f32 one
+    def bytes(d: String): Long = {
+      val p = java.nio.file.Paths.get(d, "gen-0")
+      java.nio.file.Files.walk(p).filter(java.nio.file.Files.isRegularFile(_))
+        .mapToLong(java.nio.file.Files.size(_)).sum()
+    }
+    assert(bytes(dir16) < bytes(dir32) * 0.8,
+      s"f16 gen ${bytes(dir16)}B vs f32 gen ${bytes(dir32)}B")
+  }
 }

@@ -86,4 +86,38 @@ class IvfIndexSpec extends SparkSpec {
     assert(idx.meta.cfg.lists == 4 && idx.meta.cfg.bits == 4 && !idx.meta.cfg.residual)
     assert(idx.meta.centroids.length == 4)
   }
+
+  test("searchMany equals per-query search (two jobs for the whole batch)") {
+    import spark.implicits._
+    val df = rows.toDF("id", "vec")
+    val idx = IvfIndex.build(df, "id", "vec", freshDir(), IvfConfig(lists = 16))
+    val rng = new scala.util.Random(7)
+    val queries = Array.tabulate(8)(i =>
+      i.toLong -> Array.fill(12)(rng.nextFloat() * 2 - 1))
+    val batch = idx.searchMany(queries, k = 5, probes = 6, refine = 8)
+      .select("qid", "id", "dist").as[(Long, Long, Double)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(t => (t._3, t._2)).map(t => (t._2, t._3)).toSeq).toMap
+    queries.foreach { case (qid, q) =>
+      val single = idx.search(q, 5, probes = 6, refine = 8)
+        .as[(Long, Double)].collect().toSeq
+      assert(batch(qid) == single, s"batch/single mismatch for query $qid")
+    }
+  }
+
+  test("searchMany on a cosdist index matches per-query search") {
+    import spark.implicits._
+    val df = rows.toDF("id", "vec")
+    val idx = IvfIndex.build(df, "id", "vec", freshDir(),
+      IvfConfig(lists = 8, metric = "cosdist"))
+    val q0 = Array.fill(12)(0.3f)
+    val q1 = Array.tabulate(12)(j => (j - 6) * 0.1f)
+    val batch = idx.searchMany(Array(0L -> q0, 1L -> q1), k = 5, probes = 8, refine = 20)
+      .select("qid", "id", "dist").as[(Long, Long, Double)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(t => (t._3, t._2)).map(t => (t._2, t._3)).toSeq).toMap
+    Seq(0L -> q0, 1L -> q1).foreach { case (qid, q) =>
+      val single = idx.search(q, 5, probes = 8, refine = 20)
+        .as[(Long, Double)].collect().toSeq
+      assert(batch(qid) == single)
+    }
+  }
 }

@@ -10,8 +10,10 @@ import java.nio.file.Files
 /**
  * Optimizer-rule pushdown — mirrors the reference's pushdown_plan.slt
  * EXPLAIN goldens: `ORDER BY <-> LIMIT k` over an indexed table becomes
- * an index-served plan; the expression form / un-indexed table stays a
- * full scan.
+ * an index-served plan; an un-indexed table or wrong-metric operator
+ * stays a full scan; a prefilter escalates the probe budget (reference
+ * vchordrq.prefilter); the cost model declines the rewrite when the
+ * index cannot beat the exact scan (reference amcostestimate).
  */
 class AnnRewriteSpec extends SparkSpec {
 
@@ -26,6 +28,18 @@ class AnnRewriteSpec extends SparkSpec {
     (tableDir, indexDir)
   }
 
+  private lazy val cosSetup: (String, String) = {
+    import spark.implicits._
+    val rng = new scala.util.Random(77)
+    val rows = (0L until 400L).map(i => i -> Seq.fill(8)(rng.nextFloat() * 2 - 1))
+    val tableDir = Files.createTempDirectory("graft-ann-costable").toString
+    rows.toDF("id", "vec").write.mode("overwrite").parquet(tableDir)
+    val indexDir = Files.createTempDirectory("graft-ann-cosindex").toString
+    IvfIndex.build(spark.read.parquet(tableDir), "id", "vec", indexDir,
+      IvfConfig(lists = 8, metric = "cosdist"))
+    (tableDir, indexDir)
+  }
+
   private def withRule[T](f: => T): T = {
     val rule = AnnTopKRewrite(spark)
     spark.experimental.extraOptimizations = spark.experimental.extraOptimizations :+ rule
@@ -34,33 +48,37 @@ class AnnRewriteSpec extends SparkSpec {
       spark.experimental.extraOptimizations.filterNot(_ == rule)
   }
 
+  private def withConfs[T](kv: (String, String)*)(f: => T): T = {
+    try { kv.foreach { case (k, v) => spark.conf.set(k, v) }; f }
+    finally kv.foreach { case (k, _) => spark.conf.unset(k) }
+  }
+
   test("ORDER BY vec_l2 LIMIT k over a registered table is index-served") {
     import spark.implicits._
     val (tableDir, indexDir) = setup
     AnnCatalog.register(tableDir, indexDir, "id", "vec")
     try withRule {
-      val q = Array.fill(8)(0.2f)
-      val df = spark.read.parquet(tableDir)
-        .orderBy(GraftFunctions.vecL2(col("vec"), typedlit(q.toSeq)))
-        .limit(10)
-      val optimized = df.queryExecution.optimizedPlan.toString
-      assert(optimized.contains(" IN "), s"expected candidate-id pushdown:\n$optimized")
-      // physical scan must carry the pushed In filter
-      val physical = df.queryExecution.executedPlan.toString
-      assert(physical.contains("PushedFilters: [In(id"), physical)
-      // ANN answer with full coverage settings == exact brute force
-      spark.conf.set("graft.ann.probes", "8")
-      spark.conf.set("graft.ann.refine", "50")
-      val got = df.select("id").as[Long].collect().toSeq
-      val data = spark.read.parquet(tableDir).as[(Long, Seq[Float])].collect()
-      val want = data.map { case (id, v) => (K.l2(v.toArray, q), id) }
-        .sorted.take(10).map(_._2).toSeq
-      assert(got == want)
+      // full probe coverage + generous rerank: ANN == exact on 500 rows
+      withConfs("graft.ann.probes" -> "8", "graft.ann.refine" -> "20") {
+        val q = Array.fill(8)(0.2f)
+        val df = spark.read.parquet(tableDir)
+          .orderBy(GraftFunctions.vecL2(col("vec"), typedlit(q.toSeq)))
+          .limit(10)
+        val optimized = df.queryExecution.optimizedPlan.toString
+        assert(optimized.contains(" IN "), s"expected candidate-id pushdown:\n$optimized")
+        // physical scan must carry the pushed In filter
+        val physical = df.queryExecution.executedPlan.toString
+        assert(physical.contains("PushedFilters: [In(id"), physical)
+        val got = df.select("id").as[Long].collect().toSeq
+        val data = spark.read.parquet(tableDir).as[(Long, Seq[Float])].collect()
+        val want = data.map { case (id, v) => (K.l2(v.toArray, q), id) }
+          .sorted.take(10).map(_._2).toSeq
+        assert(got == want)
+      }
     } finally AnnCatalog.unregister(tableDir)
   }
 
   test("kill switch and un-registered tables keep the exact plan") {
-    import spark.implicits._
     val (tableDir, indexDir) = setup
     val q = Array.fill(8)(0.1f)
     def plan(): String = spark.read.parquet(tableDir)
@@ -71,31 +89,79 @@ class AnnRewriteSpec extends SparkSpec {
     // registered but disabled -> no rewrite
     AnnCatalog.register(tableDir, indexDir, "id", "vec")
     try withRule {
-      spark.conf.set("graft.ann.enable", "false")
-      try assert(!plan().contains(" IN "))
-      finally spark.conf.set("graft.ann.enable", "true")
+      withConfs("graft.ann.enable" -> "false") { assert(!plan().contains(" IN ")) }
     } finally AnnCatalog.unregister(tableDir)
   }
 
-  test("intervening filter disables the rewrite (semantics preserved)") {
+  test("cost model declines the rewrite when rerank would touch every row") {
+    val (tableDir, indexDir) = setup
+    AnnCatalog.register(tableDir, indexDir, "id", "vec")
+    try withRule {
+      val q = Array.fill(8)(0.1f)
+      def plan(): String = spark.read.parquet(tableDir)
+        .orderBy(GraftFunctions.vecL2(col("vec"), typedlit(q.toSeq)))
+        .limit(5).queryExecution.optimizedPlan.toString
+      // k*refine = 500 = every row: index scan cannot beat the exact scan
+      withConfs("graft.ann.probes" -> "8", "graft.ann.refine" -> "100") {
+        assert(!plan().contains(" IN "))
+      }
+      // same budget with the cost model off: rewrite is forced
+      withConfs("graft.ann.probes" -> "8", "graft.ann.refine" -> "100",
+          "graft.ann.cost.enable" -> "false") {
+        assert(plan().contains(" IN "))
+      }
+    } finally AnnCatalog.unregister(tableDir)
+  }
+
+  test("prefilter: filter between sort and scan is served with escalation") {
     import spark.implicits._
     val (tableDir, indexDir) = setup
     AnnCatalog.register(tableDir, indexDir, "id", "vec")
     try withRule {
       val q = Array.fill(8)(0.3f)
-      val df = spark.read.parquet(tableDir)
-        .filter(col("id") > 250L)
-        .orderBy(GraftFunctions.vecL2(col("vec"), typedlit(q.toSeq)))
-        .limit(5)
-      // plan keeps the user filter; no candidate-id IN list injected
-      val optimized = df.queryExecution.optimizedPlan.toString
-      assert(!optimized.contains(" IN "), optimized)
-      val got = df.select("id").as[Long].collect().toSeq
-      val data = spark.read.parquet(tableDir).as[(Long, Seq[Float])].collect()
-      val want = data.filter(_._1 > 250L)
-        .map { case (id, v) => (K.l2(v.toArray, q), id) }
-        .sorted.take(5).map(_._2).toSeq
-      assert(got == want)
+      // highly selective predicate (exactly k matching rows): the initial
+      // candidate set cannot contain k survivors, so the rule must
+      // escalate to full coverage — making the answer exact.
+      withConfs("graft.ann.cost.enable" -> "false") {
+        val df = spark.read.parquet(tableDir)
+          .filter(col("id") >= 495L)
+          .orderBy(GraftFunctions.vecL2(col("vec"), typedlit(q.toSeq)))
+          .limit(5)
+        val optimized = df.queryExecution.optimizedPlan.toString
+        assert(optimized.contains(" IN "), s"expected prefilter index serve:\n$optimized")
+        val got = df.select("id").as[Long].collect().toSeq
+        val data = spark.read.parquet(tableDir).as[(Long, Seq[Float])].collect()
+        val want = data.filter(_._1 >= 495L)
+          .map { case (id, v) => (K.l2(v.toArray, q), id) }
+          .sorted.take(5).map(_._2).toSeq
+        assert(got == want)
+      }
+    } finally AnnCatalog.unregister(tableDir)
+  }
+
+  test("cosdist index serves vec_cosdist ORDER BY; vec_l2 stays exact (metric match)") {
+    import spark.implicits._
+    val (tableDir, indexDir) = cosSetup
+    AnnCatalog.register(tableDir, indexDir, "id", "vec")
+    try withRule {
+      val q = Array.fill(8)(0.25f)
+      withConfs("graft.ann.probes" -> "8", "graft.ann.refine" -> "40",
+          "graft.ann.cost.enable" -> "false") {
+        val df = spark.read.parquet(tableDir)
+          .orderBy(GraftFunctions.vecCosdist(col("vec"), typedlit(q.toSeq)))
+          .limit(10)
+        assert(df.queryExecution.optimizedPlan.toString.contains(" IN "))
+        val got = df.select("id").as[Long].collect().toSeq
+        val data = spark.read.parquet(tableDir).as[(Long, Seq[Float])].collect()
+        val want = data.map { case (id, v) => (K.cosdist(v.toArray, q), id) }
+          .sorted.take(10).map(_._2).toSeq
+        assert(got == want)
+        // wrong-metric operator over the same table: no rewrite
+        val l2plan = spark.read.parquet(tableDir)
+          .orderBy(GraftFunctions.vecL2(col("vec"), typedlit(q.toSeq)))
+          .limit(10).queryExecution.optimizedPlan.toString
+        assert(!l2plan.contains(" IN "), l2plan)
+      }
     } finally AnnCatalog.unregister(tableDir)
   }
 }
