@@ -201,6 +201,11 @@ object VamanaGraph {
       java.util.stream.IntStream.range(0, batch).parallel().forEach { bi =>
         found(bi) = searchIdx(vecs(idxs(bi)), cfg.efConstruction)
       }
+      // backlink slack: let a neighbor list grow to 1.5m before re-pruning
+      // (re-prune is the expensive O(cap^2) step; amortizing it is the
+      // standard DiskANN batch-build move). A final pass restores the hard
+      // degree cap m.
+      val cap = cfg.m + cfg.m / 2
       var bi = 0
       while (bi < batch) {
         val i = idxs(bi)
@@ -211,7 +216,7 @@ object VamanaGraph {
         newNbrs.foreach { nb =>
           if (!adj(nb).contains(i)) {
             adj(nb) += i
-            if (adj(nb).length > cfg.m) {
+            if (adj(nb).length > cap) {
               val pruned = robustPrune(nb, adj(nb).toSeq)
               adj(nb).clear()
               adj(nb) ++= pruned
@@ -223,6 +228,16 @@ object VamanaGraph {
       }
       start += batch
       built += batch
+    }
+    // restore the degree-cap invariant (m) everywhere
+    var v = 0
+    while (v < n) {
+      if (adj(v).length > cfg.m) {
+        val pruned = robustPrune(v, adj(v).toSeq)
+        adj(v).clear()
+        adj(v) ++= pruned
+      }
+      v += 1
     }
     new VamanaGraph(ids, vecs, adj.map(_.toArray), medoid, cfg)
   }

@@ -29,17 +29,44 @@ object KMeans {
     var centroids = Array.tabulate(kk)(i => pts((i.toLong * n / kk).toInt).clone())
     var it = 0
     while (it < iters) {
+      // parallel assignment over FIXED 1024-point chunks; per-chunk
+      // partial sums merge in chunk order, so results are independent of
+      // core count and thread scheduling (the driver-core analogue of the
+      // reference's rayon assignment pool, crates/k_means/src/lib.rs)
+      val chunkSize = 1024
+      val nChunks = (n + chunkSize - 1) / chunkSize
+      val partial = new Array[(Array[Array[Double]], Array[Long])](nChunks)
+      val cents = centroids
+      java.util.stream.IntStream.range(0, nChunks).parallel().forEach { ci =>
+        val sums = Array.fill(kk)(new Array[Double](dim))
+        val counts = new Array[Long](kk)
+        var i = ci * chunkSize
+        val end = math.min(i + chunkSize, n)
+        while (i < end) {
+          val c = nearest(pts(i), cents)
+          val s = sums(c)
+          val p = pts(i)
+          var j = 0
+          while (j < dim) { s(j) += p(j); j += 1 }
+          counts(c) += 1
+          i += 1
+        }
+        partial(ci) = (sums, counts)
+      }
       val sums = Array.fill(kk)(new Array[Double](dim))
       val counts = new Array[Long](kk)
-      var i = 0
-      while (i < n) {
-        val c = nearest(pts(i), centroids)
-        val s = sums(c)
-        val p = pts(i)
-        var j = 0
-        while (j < dim) { s(j) += p(j); j += 1 }
-        counts(c) += 1
-        i += 1
+      var ci = 0
+      while (ci < nChunks) {
+        val (ps, pc) = partial(ci)
+        var c = 0
+        while (c < kk) {
+          val s = sums(c); val p = ps(c)
+          var j = 0
+          while (j < dim) { s(j) += p(j); j += 1 }
+          counts(c) += pc(c)
+          c += 1
+        }
+        ci += 1
       }
       centroids = Array.tabulate(kk) { c =>
         if (counts(c) == 0) centroids(c) // keep empty cluster's centroid

@@ -182,12 +182,25 @@ object Dedup {
       .join(cand, Seq("da", "db")) // exact-verified, LSH-pruned
   }
 
-  /** 64-bit SimHash of a doc's whitespace tokens. */
+  /** 64-bit token hash = last 8 MD5 digest bytes, little-endian — the
+    * exact value DuckDB's `md5_number_lower(w)` produces, which makes
+    * SimHash cross-engine reproducible (the dedup_simhash oracle recomputes
+    * the whole fingerprint in SQL). */
+  def md5Hash64(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+    var h = 0L
+    var i = 15
+    while (i >= 8) { h = (h << 8) | (d(i) & 0xffL); i -= 1 }
+    h
+  }
+
+  /** 64-bit SimHash of a doc's whitespace tokens (md5-based token hash —
+    * see [[md5Hash64]]). */
   def simhash64(text: String): Long = {
     val acc = new Array[Int](64)
     text.split(' ').foreach { w =>
       if (w.nonEmpty) {
-        val h = hash64(w)
+        val h = md5Hash64(w)
         var b = 0
         while (b < 64) { if (((h >>> b) & 1L) == 1L) acc(b) += 1 else acc(b) -= 1; b += 1 }
       }

@@ -364,11 +364,25 @@ object GraftQueries {
              |  JOIN c ca ON ca.doc_id = da JOIN c cb ON cb.doc_id = db)
              |SELECT da, db, round(jac, 3) AS jac FROM j WHERE jac >= 0.4 ORDER BY da, db""".stripMargin)),
 
+    // SimHash uses an md5-based token hash (DuckDB md5_number_lower), so
+    // the ORACLE recomputes the full fingerprint in SQL: per-(doc, bit)
+    // majority sign -> pairwise hamming distance. The 4-band pigeonhole
+    // blocking is lossless for hamming <= 3, so the Spark output must
+    // equal the exhaustive pair set — an end-to-end blocking golden.
     "dedup_simhash" -> Q(
       (s, d) => Dedup.simhashDedup(tbl(s, d, "documents"), "doc_id", "text", 3)
         .select(col("da"), col("db"), col("hamming").cast("long").as("hamming"))
         .orderBy("da", "db"),
-      None),
+      Some("""WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+             |tw AS (SELECT doc_id, md5_number_lower(w) AS h FROM t WHERE w <> ''),
+             |bits AS (SELECT doc_id, b,
+             |  CASE WHEN sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) > 0 THEN 1 ELSE 0 END AS bit
+             |  FROM tw, (SELECT unnest(range(0, 64)) AS b) GROUP BY doc_id, b),
+             |p AS (SELECT a.doc_id AS da, bb.doc_id AS db,
+             |  sum(CASE WHEN a.bit <> bb.bit THEN 1 ELSE 0 END) AS hamming
+             |  FROM bits a JOIN bits bb ON a.b = bb.b AND a.doc_id < bb.doc_id GROUP BY 1, 2)
+             |SELECT da, db, CAST(hamming AS BIGINT) AS hamming FROM p
+             |WHERE hamming <= 3 ORDER BY da, db""".stripMargin)),
 
     "dedup_embedding" -> Q(
       (s, d) => Dedup.embeddingNearDup(tbl(s, d, "embeddings"), "vec_id", "embedding", 0.5)
