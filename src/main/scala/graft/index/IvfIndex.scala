@@ -51,10 +51,25 @@ final case class IvfConfig(
     kmeansDim: Int = 0,           // >0: cluster in rotated+truncated space (B4)
     rotate: Boolean = false,      // store FHT-rotated vectors (B6)
     lists1: Int = 0,              // >0: internal level size — 2-level tree (B5)
-    storage: String = "f32")      // f32 | f16 — rerank-vector storage (halfvec
+    storage: String = "f32") {    // f32 | f16 — rerank-vector storage (halfvec
                                   // index: half the vec bytes on disk/scan;
                                   // codes quantize the f16-roundtripped vector
                                   // so estimate and rerank see one store)
+  /** Option validation — the reference rejects bad reloptions at CREATE
+    * INDEX (tests/vchordrq/options.slt, src/index/vchordrq/types.rs). */
+  def validate(): Unit = {
+    require(lists >= 1, s"lists must be >= 1, got $lists")
+    require(bits == 4 || bits == 8, s"bits must be 4 or 8, got $bits")
+    require(Set("l2", "cosdist", "negdot")(metric), s"unknown metric '$metric'")
+    require(samplingFactor >= 1, s"samplingFactor must be >= 1, got $samplingFactor")
+    require(kmeansIters >= 1, s"kmeansIters must be >= 1, got $kmeansIters")
+    require(Set("lloyd", "hierarchical")(kmeansAlgo), s"unknown kmeansAlgo '$kmeansAlgo'")
+    require(kmeansDim >= 0, s"kmeansDim must be >= 0, got $kmeansDim")
+    require(lists1 >= 0 && lists1 <= lists,
+      s"lists1 must be in [0, lists], got $lists1 (lists=$lists)")
+    require(Set("f32", "f16")(storage), s"unknown storage '$storage'")
+  }
+}
 
 /** `dim` = stored vector dim (padded when rotated); `origDim` = input dim.
   * `l1Centroids`/`l1Children`: optional internal level (reference B5 —
@@ -85,7 +100,11 @@ object IvfIndex {
     val sph = spherical(cfg)
     val f16 = cfg.storage == "f16"
     val rot = if (cfg.rotate) Some(new Rotation(origDim)) else None
-    val base = df.select(col(idCol).cast("long"), col(vecCol)).as[(Long, Seq[Float])]
+    // NULL vectors never enter the index (reference: NULL rows are simply
+    // absent from the AM, tests/general/issue_427.slt indexes an all-NULL
+    // column without error)
+    val base = df.filter(col(vecCol).isNotNull && col(idCol).isNotNull)
+      .select(col(idCol).cast("long"), col(vecCol)).as[(Long, Seq[Float])]
     def encodeOne(id: Long, v: Seq[Float]): (Int, Long, Array[Float], Seq[Float], Array[Byte]) = {
       val raw = v.toArray
       val pre = if (sph) K.normalize(raw) else raw
@@ -157,12 +176,15 @@ object IvfIndex {
   /** Internal build: sampled driver-side k-means (reference B1-B5). */
   def build(df: DataFrame, idCol: String, vecCol: String, dir: String,
             cfg: IvfConfig = IvfConfig()): IvfIndex = {
+    cfg.validate()
     val spark = df.sparkSession
     import spark.implicits._
     val cap = math.max(cfg.lists * cfg.samplingFactor, cfg.lists)
-    val sample0 = df.select(col(vecCol)).as[Seq[Float]]
+    val sample0 = df.filter(col(vecCol).isNotNull).select(col(vecCol)).as[Seq[Float]]
       .limit(cap).collect().map(_.toArray)
-    require(sample0.nonEmpty, "cannot build an index over an empty table")
+    require(sample0.nonEmpty,
+      "cannot build an index without at least one non-null vector (the " +
+      "reference infers dim from the column type; here it comes from the data)")
     val origDim = sample0(0).length
     // centroids live in the STORED space: normalize first (cosine), THEN
     // rotate — the same normalize-then-rotate order as encodeRows and
@@ -203,6 +225,7 @@ object IvfIndex {
    */
   def buildExternal(df: DataFrame, idCol: String, vecCol: String, dir: String,
                     centroidTable: DataFrame, cfg: IvfConfig = IvfConfig()): IvfIndex = {
+    cfg.validate()
     val spark = df.sparkSession
     import spark.implicits._
     val hasParent = centroidTable.columns.contains("parent")

@@ -87,6 +87,33 @@ class IvfIndexSpec extends SparkSpec {
     assert(idx.meta.centroids.length == 4)
   }
 
+  test("invalid configs are rejected at build (options.slt behavior)") {
+    import spark.implicits._
+    val df = rows.take(10).toDF("id", "vec")
+    def bad(cfg: IvfConfig): Unit =
+      intercept[IllegalArgumentException](IvfIndex.build(df, "id", "vec", freshDir(), cfg))
+    bad(IvfConfig(lists = 0))
+    bad(IvfConfig(bits = 5))
+    bad(IvfConfig(metric = "cosine")) // the valid name is cosdist
+    bad(IvfConfig(storage = "f64"))
+    bad(IvfConfig(lists = 4, lists1 = 8))
+    bad(IvfConfig(kmeansAlgo = "kmeans++"))
+  }
+
+  test("null vectors are excluded from the index (issue_427 behavior)") {
+    import spark.implicits._
+    val withNulls = rows.take(100).map { case (id, v) => (id, Some(v)) } ++
+      (100L until 120L).map(i => (i, None: Option[Seq[Float]]))
+    val df = withNulls.toDF("id", "vec")
+    val idx = IvfIndex.build(df, "id", "vec", freshDir(), IvfConfig(lists = 4))
+    assert(idx.dataDf.count() == 100)
+    val q = Array.fill(12)(0.2f)
+    val got = idx.searchExact(q, 5).select("id").as[Long].collect().toSeq
+    val want = rows.take(100).map { case (id, v) => (K.l2(v.toArray, q), id) }
+      .sorted.take(5).map(_._2)
+    assert(got == want)
+  }
+
   test("searchMany equals per-query search (two jobs for the whole batch)") {
     import spark.implicits._
     val df = rows.toDF("id", "vec")
