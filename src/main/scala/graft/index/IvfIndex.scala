@@ -135,17 +135,46 @@ object IvfIndex {
       }.toDF("cluster_id", "id", "vec", "cmeta", "codes")
   }
 
+  /** Meta is driver-side data measured in kilobytes — written as plain
+    * files (properties + little-endian f32 block), NOT Spark jobs: the
+    * reference's meta page analog. Pre-round-2 indexes carried parquet
+    * meta; `load` still reads those. */
   private def writeMeta(spark: SparkSession, dir: String, dim: Int, origDim: Int,
                         cfg: IvfConfig, centroids: Array[Array[Float]]): Unit = {
-    import spark.implicits._
-    Seq((dim, origDim, cfg.lists, cfg.bits, cfg.residual, cfg.metric, cfg.samplingFactor,
-        cfg.kmeansIters, cfg.kmeansAlgo, cfg.kmeansDim, cfg.rotate, cfg.lists1, cfg.storage))
-      .toDF("dim", "orig_dim", "lists", "bits", "residual", "metric", "sampling_factor",
-        "kmeans_iters", "kmeans_algo", "kmeans_dim", "rotate", "lists1", "storage")
-      .write.mode("overwrite").parquet(s"$dir/config")
-    centroids.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
-      .toDF("cluster_id", "centroid")
-      .write.mode("overwrite").parquet(s"$dir/centroids")
+    Files.createDirectories(Paths.get(dir))
+    val p = new java.util.Properties()
+    p.setProperty("dim", dim.toString)
+    p.setProperty("orig_dim", origDim.toString)
+    p.setProperty("lists", cfg.lists.toString)
+    p.setProperty("bits", cfg.bits.toString)
+    p.setProperty("residual", cfg.residual.toString)
+    p.setProperty("metric", cfg.metric)
+    p.setProperty("sampling_factor", cfg.samplingFactor.toString)
+    p.setProperty("kmeans_iters", cfg.kmeansIters.toString)
+    p.setProperty("kmeans_algo", cfg.kmeansAlgo)
+    p.setProperty("kmeans_dim", cfg.kmeansDim.toString)
+    p.setProperty("rotate", cfg.rotate.toString)
+    p.setProperty("lists1", cfg.lists1.toString)
+    p.setProperty("storage", cfg.storage)
+    val w = Files.newBufferedWriter(Paths.get(dir, "meta.properties"))
+    try p.store(w, "graft ivf index meta") finally w.close()
+    Files.write(Paths.get(dir, "centroids.bin"), floatBlock(centroids))
+  }
+
+  private def floatBlock(rows: Array[Array[Float]]): Array[Byte] = {
+    val dim = if (rows.isEmpty) 0 else rows(0).length
+    val bb = java.nio.ByteBuffer.allocate(8 + rows.length * dim * 4)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.putInt(rows.length); bb.putInt(dim)
+    rows.foreach { r => var j = 0; while (j < dim) { bb.putFloat(r(j)); j += 1 } }
+    bb.array()
+  }
+
+  private def readFloatBlock(path: Path): Array[Array[Float]] = {
+    val bb = java.nio.ByteBuffer.wrap(Files.readAllBytes(path))
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val n = bb.getInt(); val dim = bb.getInt()
+    Array.fill(n) { val r = new Array[Float](dim); var j = 0; while (j < dim) { r(j) = bb.getFloat(); j += 1 }; r }
   }
 
   private def finishBuild(df: DataFrame, idCol: String, vecCol: String, dir: String,
@@ -153,22 +182,26 @@ object IvfIndex {
                           origDim: Int): IvfIndex = {
     val spark = df.sparkSession
     val dim = centroids(0).length
+    val dbg = sys.env.contains("GRAFT_SEARCH_DEBUG")
+    val t0 = System.nanoTime()
     encodeRows(df, idCol, vecCol, cfg, centroids, origDim)
       // co-locate each cluster before the partitioned write: one shuffle on
       // the cluster key -> O(lists) files instead of tasks x lists
       .repartition(col("cluster_id"))
       .write.mode("overwrite").partitionBy("cluster_id").parquet(s"$dir/gen-0")
+    if (dbg) System.err.println(s"[build] encode+write: ${(System.nanoTime()-t0)/1e9}s")
+    val t1 = System.nanoTime()
     writeMeta(spark, dir, dim, origDim, cfg, centroids)
+    if (dbg) System.err.println(s"[build] meta: ${(System.nanoTime()-t1)/1e9}s")
     Files.createDirectories(Paths.get(dir))
     Files.writeString(Paths.get(dir, "CURRENT"), "gen-0")
     val (l1c, l1ch) =
       if (cfg.lists1 > 0) buildL1(centroids, cfg.lists1, cfg.kmeansIters)
       else (Array.empty[Array[Float]], Array.empty[Array[Int]])
     if (cfg.lists1 > 0) {
-      import spark.implicits._
-      l1c.indices.map(i => (i, l1c(i).toSeq, l1ch(i).toSeq)).toSeq
-        .toDF("l1_id", "centroid", "children")
-        .write.mode("overwrite").parquet(s"$dir/l1")
+      Files.write(Paths.get(dir, "l1centroids.bin"), floatBlock(l1c))
+      Files.writeString(Paths.get(dir, "l1children.txt"),
+        l1ch.map(_.mkString(",")).mkString("\n"))
     }
     new IvfIndex(spark, dir, IvfMeta(dim, origDim, cfg, centroids, l1c, l1ch))
   }
@@ -179,6 +212,8 @@ object IvfIndex {
     cfg.validate()
     val spark = df.sparkSession
     import spark.implicits._
+    val dbg = sys.env.contains("GRAFT_SEARCH_DEBUG")
+    val tS = System.nanoTime()
     val cap = math.max(cfg.lists * cfg.samplingFactor, cfg.lists)
     val sample0 = df.filter(col(vecCol).isNotNull).select(col(vecCol)).as[Seq[Float]]
       .limit(cap).collect().map(_.toArray)
@@ -195,6 +230,8 @@ object IvfIndex {
     val sample =
       if (cfg.rotate) { val r = new Rotation(origDim); sampleN.map(r.apply) }
       else sampleN
+    if (dbg) System.err.println(s"[build] sample: ${(System.nanoTime()-tS)/1e9}s (${sample0.length} rows)")
+    val tK = System.nanoTime()
     val hier = cfg.kmeansAlgo == "hierarchical"
     val centroids =
       if (cfg.kmeansDim > 0)
@@ -203,6 +240,7 @@ object IvfIndex {
       else if (hier) KMeans.hierarchical(sample, cfg.lists, cfg.kmeansIters,
         spherical(cfg))
       else KMeans.lloyd(sample, cfg.lists, cfg.kmeansIters, spherical(cfg))
+    if (dbg) System.err.println(s"[build] kmeans: ${(System.nanoTime()-tK)/1e9}s")
     finishBuild(df, idCol, vecCol, dir, cfg, centroids, origDim)
   }
 
@@ -272,6 +310,35 @@ object IvfIndex {
   }
 
   def load(spark: SparkSession, dir: String): IvfIndex = {
+    if (Files.exists(Paths.get(dir, "meta.properties"))) {
+      val p = new java.util.Properties()
+      val r = Files.newBufferedReader(Paths.get(dir, "meta.properties"))
+      try p.load(r) finally r.close()
+      val cfg = IvfConfig(
+        lists = p.getProperty("lists").toInt,
+        bits = p.getProperty("bits").toInt,
+        residual = p.getProperty("residual").toBoolean,
+        metric = p.getProperty("metric"),
+        samplingFactor = p.getProperty("sampling_factor").toInt,
+        kmeansIters = p.getProperty("kmeans_iters").toInt,
+        kmeansAlgo = p.getProperty("kmeans_algo"),
+        kmeansDim = p.getProperty("kmeans_dim").toInt,
+        rotate = p.getProperty("rotate").toBoolean,
+        lists1 = p.getProperty("lists1").toInt,
+        storage = p.getProperty("storage"))
+      val centroids = readFloatBlock(Paths.get(dir, "centroids.bin"))
+      val (l1c, l1ch) =
+        if (cfg.lists1 > 0)
+          (readFloatBlock(Paths.get(dir, "l1centroids.bin")),
+            Files.readString(Paths.get(dir, "l1children.txt")).split("\n")
+              .map(line => if (line.isEmpty) Array.empty[Int]
+                           else line.split(",").map(_.toInt)))
+        else (Array.empty[Array[Float]], Array.empty[Array[Int]])
+      return new IvfIndex(spark, dir,
+        IvfMeta(p.getProperty("dim").toInt, p.getProperty("orig_dim").toInt,
+          cfg, centroids, l1c, l1ch))
+    }
+    // pre-round-2 layout: parquet config/centroids/l1
     import spark.implicits._
     val cfgDf = spark.read.parquet(s"$dir/config")
     // pre-halfvec indexes have no storage column

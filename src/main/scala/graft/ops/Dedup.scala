@@ -175,8 +175,10 @@ object Dedup {
                    n: Int = 3, numHashes: Int = 64, bands: Int = 16): DataFrame = {
     val cand = bandPairs(minhashSignatures(df, idCol, textCol, n, numHashes),
       numHashes, bands).cache()
+    // no distinct: the left-semi join below dedups implicitly (one fewer
+    // shuffle)
     val candDocs = cand.select(col("da").as("cid"))
-      .union(cand.select(col("db").as("cid"))).distinct()
+      .union(cand.select(col("db").as("cid")))
     val candRows = df.join(candDocs, col(idCol).cast("long") === col("cid"), "left_semi")
     jaccardPairs(shingles(candRows, idCol, textCol, n), threshold)
       .join(cand, Seq("da", "db")) // exact-verified, LSH-pruned
