@@ -64,9 +64,9 @@ object Bench {
       val t2 = System.nanoTime()
       graft.ops.Knn.topK(df, "id", "vec", q, 10).count()
       val tBrute = (System.nanoTime() - t2) / 1e9
-      // batch serving: 64 queries in two jobs via searchMany vs the brute
-      // partition-local-heap knnJoin — per-query job overhead amortizes,
-      // which is where the index pays off in a batch engine
+      // batch serving: nBatch queries in two jobs via searchMany vs the
+      // brute partition-local-heap knnJoin — per-query job overhead
+      // amortizes, which is where the index pays off in a batch engine
       val nBatch = 256
       val qs = Array.tabulate(nBatch) { i =>
         val rng = new scala.util.Random(1000 + i)

@@ -403,6 +403,10 @@ final class IvfIndex(val spark: SparkSession, dir: String, val meta: IvfMeta) {
     val c = cachedData
     if (c != null && c._1 == genName && c._2 == delta && c._3 == ver) c._4
     else {
+      // release the superseded plan's persisted blocks (prewarm caches the
+      // plan; without unpersist every compaction cycle would pin one full
+      // copy of the index in executor memory). No-op if never persisted.
+      if (c != null) c._4.unpersist(false)
       val gen = spark.read.parquet(s"$dir/$genName")
         .select(dataCols.map(col): _*)
       val df =
@@ -411,6 +415,20 @@ final class IvfIndex(val spark: SparkSession, dir: String, val meta: IvfMeta) {
         else gen
       cachedData = (genName, delta, ver, df)
       df
+    }
+  }
+
+  /** Indexed row count, cached until a mutation or generation change. */
+  @volatile private var rowCountCache: (String, Long, Long) = null
+  def rowCount: Long = {
+    val gen = currentGen
+    val ver = mutations.get()
+    val c = rowCountCache
+    if (c != null && c._1 == gen && c._2 == ver) c._3
+    else {
+      val n = dataDf.count()
+      rowCountCache = (gen, ver, n)
+      n
     }
   }
 
@@ -459,8 +477,10 @@ final class IvfIndex(val spark: SparkSession, dir: String, val meta: IvfMeta) {
     * cluster contiguous so in-memory batch stats still skip unprobed
     * clusters. Subsequent `dataDf` plans reuse this cached relation. */
   def prewarm(): Long = {
+    val prev = cachedData
     val df = dataDf.repartition(col("cluster_id")).cache()
     cachedData = (currentGen, deltaExists, mutations.get(), df)
+    if (prev != null && (prev._4 ne df)) prev._4.unpersist(false)
     df.count()
   }
 
@@ -634,6 +654,8 @@ final class IvfIndex(val spark: SparkSession, dir: String, val meta: IvfMeta) {
                  epsilon: Double = 1.9, refine: Int = 8, probes1: Int = -1): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(queries.nonEmpty, "empty query batch")
+    require(queries.map(_._1).distinct.length == queries.length,
+      "duplicate qids in query batch — results would silently merge")
     val nCand = math.max(k * refine, k)
     val residual = meta.cfg.residual
     val isL2 = meta.cfg.metric == "l2"

@@ -188,8 +188,11 @@ object Dedup {
     * exact value DuckDB's `md5_number_lower(w)` produces, which makes
     * SimHash cross-engine reproducible (the dedup_simhash oracle recomputes
     * the whole fingerprint in SQL). */
-  def md5Hash64(s: String): Long = {
-    val d = java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+  def md5Hash64(s: String): Long =
+    md5Hash64(java.security.MessageDigest.getInstance("MD5"), s)
+
+  private def md5Hash64(md: java.security.MessageDigest, s: String): Long = {
+    val d = md.digest(s.getBytes("UTF-8")) // digest() resets the instance
     var h = 0L
     var i = 15
     while (i >= 8) { h = (h << 8) | (d(i) & 0xffL); i -= 1 }
@@ -197,12 +200,13 @@ object Dedup {
   }
 
   /** 64-bit SimHash of a doc's whitespace tokens (md5-based token hash —
-    * see [[md5Hash64]]). */
+    * see [[md5Hash64]]; one digest instance per document, not per token). */
   def simhash64(text: String): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
     val acc = new Array[Int](64)
     text.split(' ').foreach { w =>
       if (w.nonEmpty) {
-        val h = md5Hash64(w)
+        val h = md5Hash64(md, w)
         var b = 0
         while (b < 64) { if (((h >>> b) & 1L) == 1L) acc(b) += 1 else acc(b) -= 1; b += 1 }
       }

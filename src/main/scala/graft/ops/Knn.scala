@@ -39,10 +39,10 @@ object Knn {
     val data = df.select(col(idCol).cast("long"), col(vecCol)).as[(Long, Seq[Float])]
     // per-partition heap, then tiny global merge — same shape as knnJoin
     val local = data.mapPartitions { it =>
-      val heap = new BoundedTopK(k)
+      val heap = new graft.core.BoundedTopK(k)
       val qa = q
       it.foreach { case (id, v) => heap.offer(fn(v.toArray, qa), id) }
-      heap.drain().iterator
+      heap.sorted().iterator
     }.toDF("dist", "id")
     local
       .orderBy($"dist", $"id")
@@ -65,7 +65,7 @@ object Knn {
     val data = df.select(col(idCol).cast("long"), col(vecCol)).as[(Long, Seq[Float])]
     val local: Dataset[(Long, Long, Double)] = data.mapPartitions { it =>
       val qs = bq.value
-      val heaps = qs.map(_ => new BoundedTopK(k))
+      val heaps = qs.map(_ => new graft.core.BoundedTopK(k))
       it.foreach { case (id, v) =>
         val va = v.toArray
         var i = 0
@@ -75,7 +75,7 @@ object Knn {
         }
       }
       qs.iterator.zip(heaps.iterator).flatMap { case ((qid, _), h) =>
-        h.drain().map { case (d, id) => (qid, id, d) }
+        h.sorted().map { case (d, id) => (qid, id, d) }
       }
     }
     val w = Window.partitionBy($"qid").orderBy($"dist", $"id")
@@ -84,17 +84,4 @@ object Knn {
       .filter($"rn" <= k)
   }
 
-  /**
-   * Bounded max-heap keeping the k smallest (dist, id) pairs with
-   * deterministic (dist, id) tie-breaking.
-   */
-  final class BoundedTopK(k: Int) {
-    private val ord = Ordering.Tuple2[Double, Long] // max at head via reverse
-    private val pq = new scala.collection.mutable.PriorityQueue[(Double, Long)]()(ord)
-    def offer(dist: Double, id: Long): Unit = {
-      if (pq.size < k) pq.enqueue((dist, id))
-      else if (ord.lt((dist, id), pq.head)) { pq.dequeue(); pq.enqueue((dist, id)) }
-    }
-    def drain(): Seq[(Double, Long)] = pq.dequeueAll.reverse
-  }
 }

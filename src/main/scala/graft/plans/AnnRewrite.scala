@@ -61,7 +61,6 @@ object AnnCatalog {
 
   private val entries = new java.util.concurrent.ConcurrentHashMap[String, Entry]()
   private val indexes = new java.util.concurrent.ConcurrentHashMap[String, IvfIndex]()
-  private val counts = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
 
   private def norm(p: String): String =
     new org.apache.hadoop.fs.Path(p).toUri.getPath
@@ -78,10 +77,10 @@ object AnnCatalog {
   def index(spark: SparkSession, e: Entry): IvfIndex =
     indexes.computeIfAbsent(e.indexDir, d => IvfIndex.load(spark, d))
 
-  /** Indexed row count, computed once per index (the cost model's N —
-    * the reference reads it from pg_class reltuples). */
-  def rowCount(spark: SparkSession, e: Entry): Long =
-    counts.computeIfAbsent(e.indexDir, _ => index(spark, e).dataDf.count()).longValue
+  /** Indexed row count (the cost model's N — the reference reads it from
+    * pg_class reltuples). Delegates to the index, which re-counts when a
+    * generation change or delta append invalidates the cached value. */
+  def rowCount(spark: SparkSession, e: Entry): Long = index(spark, e).rowCount
 }
 
 case class AnnTopKRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
@@ -111,13 +110,25 @@ case class AnnTopKRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     case _ => None
   }
 
+  /** Limit body: the Sort itself, or an attrs-only Project over it (column
+    * pruning places the final projection between LocalLimit and Sort for
+    * `.orderBy(dist).limit(k).select(cols)` queries). */
+  private object LimitBody {
+    def unapply(p: LogicalPlan): Option[(Option[Seq[NamedExpression]], Sort)] = p match {
+      case s: Sort => Some((None, s))
+      case Project(pl, s: Sort) if pl.forall(_.isInstanceOf[AttributeReference]) =>
+        Some((Some(pl), s))
+      case _ => None
+    }
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan = {
     if (!spark.conf.get("graft.ann.enable", "true").toBoolean) return plan
     plan.transformDown {
       case gl @ GlobalLimit(IntegerLiteral(k),
-          LocalLimit(_, sort @ Sort(
+          LocalLimit(_, LimitBody(projOpt, sort @ Sort(
             Seq(SortOrder(DistOn(metric, attr, qv), Ascending, _, _)),
-            true, child, _))) if k > 0 =>
+            true, child, _)))) if k > 0 =>
         (for {
           (rel, predOpt) <- destructure(child)
           fsRel <- rel.relation match {
@@ -136,12 +147,13 @@ case class AnnTopKRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
           }
           // an index serves only queries in its own metric
           if AnnCatalog.index(spark, entry).meta.cfg.metric == metric
-          served <- serve(gl, sort, child, entry, idAttr, idLit, qv, k, predOpt)
+          served <- serve(gl, sort, child, projOpt, entry, idAttr, idLit, qv, k, predOpt)
         } yield served).getOrElse(gl)
     }
   }
 
   private def serve(gl: LogicalPlan, sort: Sort, child: LogicalPlan,
+                    projOpt: Option[Seq[NamedExpression]],
                     entry: AnnCatalog.Entry, idAttr: Attribute, idLit: Long => Literal,
                     qv: ArrayData, k: Int,
                     predOpt: Option[Expression]): Option[LogicalPlan] = {
@@ -165,24 +177,32 @@ case class AnnTopKRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
 
     val qArr = qv.toFloatArray()
     import spark.implicits._
-    def cands(p: Int, r: Int): Array[Long] =
-      idx.search(qArr, k, probes = p, refine = r).select("id").as[Long].collect()
     def planWith(ids: Array[Long]): LogicalPlan = {
       val filter = Filter(In(idAttr, scala.collection.immutable.ArraySeq.unsafeWrapArray(ids.map(idLit))), child)
-      GlobalLimit(Literal(k), LocalLimit(Literal(k),
-        Sort(sort.order, global = true, filter)))
+      val sorted = Sort(sort.order, global = true, filter)
+      val body = projOpt.map(pl => Project(pl, sorted): LogicalPlan).getOrElse(sorted)
+      GlobalLimit(Literal(k), LocalLimit(Literal(k), body))
     }
 
     predOpt match {
       case None =>
-        val ids = cands(probes0, refine0)
+        val ids = idx.search(qArr, k, probes = probes0, refine = refine0)
+          .select("id").as[Long].collect()
         if (ids.isEmpty) Some(gl) else Some(planWith(ids))
       case Some(_) =>
-        // prefilter escalation: `child` already contains the user Filter,
-        // so counting the candidate-restricted child counts survivors
+        // prefilter escalation. The IN list must be the candidate POOL
+        // (k*refine ids by estimate order), not the final top-k — a top-k
+        // list can never contain k predicate survivors unless the
+        // predicate passes all of them. `child` already contains the user
+        // Filter, so counting the candidate-restricted child counts
+        // survivors. When p == lists and k*r >= n the pool provably covers
+        // the table and the served plan is exact.
         var p = probes0
         var r = refine0
-        var ids = cands(p, r)
+        def pool(p: Int, r: Int): Array[Long] =
+          idx.search(qArr, math.min(k.toLong * r, n).toInt, probes = p, refine = 1)
+            .select("id").as[Long].collect()
+        var ids = pool(p, r)
         def survivors(ids: Array[Long]): Long =
           if (ids.isEmpty) 0L
           else ColumnBridge.ofRows(spark,
@@ -191,7 +211,7 @@ case class AnnTopKRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
         while (survivors(ids) < k && !covered) {
           p = math.min(lists, p * 4)
           r = r * 4
-          ids = cands(p, r)
+          ids = pool(p, r)
           covered = p >= lists && k.toLong * r >= n
         }
         if (ids.isEmpty) Some(gl) else Some(planWith(ids))

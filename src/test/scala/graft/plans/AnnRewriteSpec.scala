@@ -69,11 +69,19 @@ class AnnRewriteSpec extends SparkSpec {
         // physical scan must carry the pushed In filter
         val physical = df.queryExecution.executedPlan.toString
         assert(physical.contains("PushedFilters: [In(id"), physical)
-        val got = df.select("id").as[Long].collect().toSeq
+        // collect the REWRITTEN df itself — not a derived plan
+        val got = df.collect().map(_.getLong(0)).toSeq
         val data = spark.read.parquet(tableDir).as[(Long, Seq[Float])].collect()
         val want = data.map { case (id, v) => (K.l2(v.toArray, q), id) }
           .sorted.take(10).map(_._2).toSeq
         assert(got == want)
+        // `.limit(k).select(cols)` (column pruning puts a Project between
+        // LocalLimit and Sort) must ALSO be index-served
+        val dfSel = spark.read.parquet(tableDir)
+          .orderBy(GraftFunctions.vecL2(col("vec"), typedlit(q.toSeq)))
+          .limit(10).select("id")
+        assert(dfSel.queryExecution.optimizedPlan.toString.contains(" IN "))
+        assert(dfSel.as[Long].collect().toSeq == want)
       }
     } finally AnnCatalog.unregister(tableDir)
   }
@@ -129,7 +137,9 @@ class AnnRewriteSpec extends SparkSpec {
           .limit(5)
         val optimized = df.queryExecution.optimizedPlan.toString
         assert(optimized.contains(" IN "), s"expected prefilter index serve:\n$optimized")
-        val got = df.select("id").as[Long].collect().toSeq
+        // full-row collect of the rewritten plan: must contain the k true
+        // survivors, not an unfiltered top-k that the predicate empties
+        val got = df.collect().map(_.getLong(0)).toSeq
         val data = spark.read.parquet(tableDir).as[(Long, Seq[Float])].collect()
         val want = data.filter(_._1 >= 495L)
           .map { case (id, v) => (K.l2(v.toArray, q), id) }
@@ -151,7 +161,7 @@ class AnnRewriteSpec extends SparkSpec {
           .orderBy(GraftFunctions.vecCosdist(col("vec"), typedlit(q.toSeq)))
           .limit(10)
         assert(df.queryExecution.optimizedPlan.toString.contains(" IN "))
-        val got = df.select("id").as[Long].collect().toSeq
+        val got = df.collect().map(_.getLong(0)).toSeq
         val data = spark.read.parquet(tableDir).as[(Long, Seq[Float])].collect()
         val want = data.map { case (id, v) => (K.cosdist(v.toArray, q), id) }
           .sorted.take(10).map(_._2).toSeq
