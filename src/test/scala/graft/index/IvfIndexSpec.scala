@@ -87,6 +87,25 @@ class IvfIndexSpec extends SparkSpec {
     assert(idx.meta.centroids.length == 4)
   }
 
+  test("estimate scan prunes partitions and the vec column (plan golden)") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val df = rows.toDF("id", "vec")
+    val idx = IvfIndex.build(df, "id", "vec", freshDir(), IvfConfig(lists = 8))
+    val probed = idx.probe(Array.fill(12)(0.1f), 2)
+    assert(probed.length == 2)
+    // the physical scan the estimate phase runs: cluster_id is a partition
+    // column (pruned at the source), vec is absent from the read schema
+    val scan = idx.dataDf
+      .filter(col("cluster_id").isin(probed.map(Integer.valueOf): _*))
+      .select("cluster_id", "id", "cmeta", "codes")
+    val phys = scan.queryExecution.executedPlan.toString
+    assert(phys.contains("PartitionFilters:") && phys.contains("cluster_id"),
+      s"expected cluster_id partition pruning:\n$phys")
+    val readSchema = phys.split("ReadSchema:")(1).split("\n")(0)
+    assert(!readSchema.contains("vec"), s"vec must be pruned from the estimate scan: $readSchema")
+  }
+
   test("invalid configs are rejected at build (options.slt behavior)") {
     import spark.implicits._
     val df = rows.take(10).toDF("id", "vec")
