@@ -104,14 +104,21 @@ object MaxSim {
 
   /**
    * Approximate MaxSim through the IVF index (reference `maxsim_search` +
-   * `maxsim_refine`/`maxsim_threshold`, crates/vchordrq/src/search.rs:
-   * 199-380 and scanners/maxsim.rs): each query token retrieves its
-   * `kPerToken` best token vectors; a doc's missing token contributes the
-   * token's worst retrieved distance as the pessimistic estimate for
-   * unvisited cells; docs score by the sum and the best k are returned.
+   * `maxsim_threshold`, crates/vchordrq/src/search.rs:199-380 and
+   * scanners/maxsim.rs): each query token retrieves its `kPerToken` best
+   * token vectors; a doc's missing token contributes the token's worst
+   * retrieved distance as the pessimistic estimate for unvisited cells;
+   * docs score by the sum.
+   *
+   * `refineDocs > 0` adds the reference's `maxsim_refine` step: that many
+   * of the best estimated docs are RE-SCORED EXACTLY from the index's
+   * stored token vectors (one distributed pass over just those docs'
+   * tokens), and the final top-k orders by exact score — estimate error
+   * can then only cost recall at the candidate boundary, never ordering.
    */
   def approxTopK(idx: graft.index.IvfIndex, query: Array[Array[Float]], k: Int,
-                 kPerToken: Int = 100, probes: Int = 4, refine: Int = 8): DataFrame = {
+                 kPerToken: Int = 100, probes: Int = 4, refine: Int = 8,
+                 refineDocs: Int = 0): DataFrame = {
     val spark = idx.spark
     import spark.implicits._
     // per-token candidate lists (small: kPerToken each) merged on driver —
@@ -135,7 +142,40 @@ object MaxSim {
       }
       (doc, s)
     }
-    scored.sortBy { case (doc, s) => (s, doc) }.take(k)
-      .toDF("doc", "maxsim")
+    val ranked = scored.sortBy { case (doc, s) => (s, doc) }
+    if (refineDocs <= 0)
+      ranked.take(k).toDF("doc", "maxsim")
+    else {
+      val cand = ranked.take(math.max(refineDocs, k)).map(_._1)
+      exactRescore(idx, query, cand)
+        .orderBy(org.apache.spark.sql.functions.col("maxsim"),
+          org.apache.spark.sql.functions.col("doc"))
+        .limit(k)
+    }
+  }
+
+  /** Exact MaxSim for `docs` from the index's own stored token vectors
+    * (the reference's refine fetches tuples from the index the same way). */
+  private def exactRescore(idx: graft.index.IvfIndex, query: Array[Array[Float]],
+                           docs: Seq[Long]): DataFrame = {
+    val spark = idx.spark
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // stored vectors live in the index space: rotation preserves dot
+    // products, so rotating the query tokens aligns exactly; f16 storage
+    // decodes to the same precision the estimates saw
+    val rot =
+      if (idx.meta.cfg.rotate) Some(new graft.core.Rotation(idx.meta.origDim)) else None
+    val q = query.map(t => rot.map(_.apply(t)).getOrElse(t))
+    val f16 = idx.meta.cfg.storage == "f16"
+    val rows = idx.dataDf
+      .filter(shiftright(col("id"), 16).isin(docs.map(java.lang.Long.valueOf): _*))
+      .withColumn("doc", shiftright(col("id"), 16))
+    val tokens =
+      if (f16) {
+        val dec = udf((b: Array[Byte]) => graft.core.Half.decodeBytes(b).toSeq)
+        rows.select(col("doc"), dec(col("vec")).as("v"))
+      } else rows.select(col("doc"), col("vec").as("v"))
+    score(tokens, "doc", "v", q)
   }
 }

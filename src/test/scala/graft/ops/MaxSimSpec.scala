@@ -43,10 +43,19 @@ class MaxSimSpec extends SparkSpec {
     val approx = MaxSim.approxTopK(idx, query, 10,
         kPerToken = 200, probes = 8, refine = 32)
       .select("doc").as[Long].collect().toSet
-    val exact = docs.map { case (id, toks) => (K.maxsim(toks, query), id) }
-      .sorted.take(10).map(_._2).toSet
+    val exactPairs = docs.map { case (id, toks) => (K.maxsim(toks, query), id) }
+      .sorted.take(10)
+    val exact = exactPairs.map(_._2).toSet
     val overlap = approx.intersect(exact).size
     assert(overlap >= 8, s"top-10 overlap $overlap; approx=$approx exact=$exact")
+    // maxsim_refine semantics: exact rescoring of the candidate docs makes
+    // the top-k EXACT (scores and ordering) when the candidate pool covers
+    // the true top docs
+    val refined = MaxSim.approxTopK(idx, query, 10,
+        kPerToken = 200, probes = 8, refine = 32, refineDocs = 40)
+      .as[(Long, Double)].collect().toSeq
+    assert(refined == exactPairs.map { case (s, id) => (id, s) },
+      s"refined=$refined exact=$exactPairs")
   }
 
   test("packKey/unpackDoc round-trip (u16 position payload)") {
