@@ -45,9 +45,9 @@ object GraftFunctions {
 
   val vecNormalize: UserDefinedFunction =
     udf((a: Seq[Float]) => K.normalize(arr(a)).toSeq)
-  val vecMaxsim: UserDefinedFunction =
-    udf((doc: Seq[Seq[Float]], q: Seq[Seq[Float]]) =>
-      K.maxsim(doc.map(arr).toArray, q.map(arr).toArray))
+  /** `@#` MaxSim — a native Expression so the ANN planner rule can match
+    * `ORDER BY vec_maxsim(tokens, q) LIMIT k` (reference strategy 3). */
+  def vecMaxsim(doc: Column, q: Column): Column = toCol(VecMaxSimExpr(toExpr(doc), toExpr(q)))
 
   // Range ("similarity filter") predicates — plain Catalyst predicates, so
   // they pushdown/prune like any other filter (the reference needs a custom
@@ -163,6 +163,7 @@ object GraftFunctions {
     bin("vec_l2", VecL2Expr.apply)
     bin("vec_negdot", VecNegDotExpr.apply)
     bin("vec_cosdist", VecCosDistExpr.apply)
+    bin("vec_maxsim", VecMaxSimExpr.apply)
     reg.registerFunction(FunctionIdentifier("vec_norm"),
       new ExpressionInfo(classOf[VecNormExpr].getName, "vec_norm"),
       exprs => { require(exprs.length == 1, "vec_norm takes 1 argument"); VecNormExpr(exprs.head) })
@@ -172,7 +173,6 @@ object GraftFunctions {
     spark.udf.register("half_l2", halfL2)
     spark.udf.register("half_negdot", halfNegdot)
     spark.udf.register("half_cosdist", halfCosdist)
-    spark.udf.register("vec_maxsim", vecMaxsim)
     spark.udf.register("quantize_rabitq8", quantizeRabitq8)
     spark.udf.register("quantize_rabitq4", quantizeRabitq4)
     spark.udf.register("dequantize", dequantize)

@@ -64,6 +64,29 @@ object VecExprKernels {
     while (i < n) { val x = a.getFloat(i).toDouble; s += x * x; i += 1 }
     math.sqrt(s)
   }
+
+  /** MaxSim `@#` over two array<array<float>> values — accumulation order
+    * identical to VectorKernels.maxsim (sum over query tokens of min over
+    * doc tokens of negdot). */
+  def maxsim(doc: ArrayData, q: ArrayData): Double = {
+    var total = 0.0
+    val nq = q.numElements()
+    val nd = doc.numElements()
+    var qi = 0
+    while (qi < nq) {
+      val qv = q.getArray(qi)
+      var best = Double.PositiveInfinity
+      var di = 0
+      while (di < nd) {
+        val nd2 = negdot(doc.getArray(di), qv)
+        if (nd2 < best) best = nd2
+        di += 1
+      }
+      if (best != Double.PositiveInfinity) total += best
+      qi += 1
+    }
+    total
+  }
 }
 
 sealed trait VecBinaryBase extends BinaryExpression {
@@ -105,6 +128,25 @@ case class VecCosDistExpr(left: Expression, right: Expression) extends VecBinary
   override def prettyName: String = "vec_cosdist"
   override protected def kernelName: String = "cosdist"
   override protected def kernel(a: ArrayData, b: ArrayData): Double = VecExprKernels.cosdist(a, b)
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** `@#` multi-vector MaxSim (reference src/datatype/operators_rabitq8.rs:
+  * 123-139): `sum_q min_d negdot(d, q)` over two array<array<float>>. */
+case class VecMaxSimExpr(left: Expression, right: Expression) extends BinaryExpression {
+  override def prettyName: String = "vec_maxsim"
+  override def dataType: DataType = DoubleType
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(ArrayType(FloatType, _), _), ArrayType(ArrayType(FloatType, _), _)) =>
+      TypeCheckResult.TypeCheckSuccess
+    case (l, r) => TypeCheckResult.TypeCheckFailure(
+      s"vec_maxsim expects two array<array<float>> arguments, got ${l.simpleString(5)} / ${r.simpleString(5)}")
+  }
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    VecExprKernels.maxsim(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.VecExprKernels.maxsim($a, $b)")
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
 }

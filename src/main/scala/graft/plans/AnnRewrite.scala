@@ -8,7 +8,7 @@ import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
 import org.apache.spark.sql.graft.ColumnBridge
 
-import graft.functions.{VecCosDistExpr, VecL2Expr, VecNegDotExpr}
+import graft.functions.{VecCosDistExpr, VecL2Expr, VecMaxSimExpr, VecNegDotExpr}
 import graft.index.IvfIndex
 
 /**
@@ -81,6 +81,27 @@ object AnnCatalog {
     * pg_class reltuples). Delegates to the index, which re-counts when a
     * generation change or delta append invalidates the cached value. */
   def rowCount(spark: SparkSession, e: Entry): Long = index(spark, e).rowCount
+
+  // ---- multi-vector (MaxSim, reference opclass strategy 3) entries ----
+
+  final case class MaxSimEntry(indexDir: String, docCol: String, tokensCol: String)
+
+  private val msEntries = new java.util.concurrent.ConcurrentHashMap[String, MaxSimEntry]()
+
+  /** Register: `tablePath` rows are (docCol, tokensCol: array<array<float>>)
+    * documents whose exploded tokens were indexed (MaxSim.buildTokenIndex)
+    * at `indexDir`. */
+  def registerMaxSim(tablePath: String, indexDir: String,
+                     docCol: String, tokensCol: String): Unit =
+    msEntries.put(norm(tablePath), MaxSimEntry(indexDir, docCol, tokensCol))
+
+  def unregisterMaxSim(tablePath: String): Unit = msEntries.remove(norm(tablePath))
+
+  def lookupMaxSim(rootPaths: Seq[String]): Option[MaxSimEntry] =
+    rootPaths.map(norm).flatMap(p => Option(msEntries.get(p))).headOption
+
+  def maxSimIndex(spark: SparkSession, e: MaxSimEntry): IvfIndex =
+    indexes.computeIfAbsent(e.indexDir, d => IvfIndex.load(spark, d))
 }
 
 case class AnnTopKRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
@@ -127,28 +148,86 @@ case class AnnTopKRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     plan.transformDown {
       case gl @ GlobalLimit(IntegerLiteral(k),
           LocalLimit(_, LimitBody(projOpt, sort @ Sort(
-            Seq(SortOrder(DistOn(metric, attr, qv), Ascending, _, _)),
+            Seq(SortOrder(sortExpr, Ascending, _, _)),
             true, child, _)))) if k > 0 =>
-        (for {
-          (rel, predOpt) <- destructure(child)
-          fsRel <- rel.relation match {
-            case h: HadoopFsRelation => Some(h)
-            case _ => None
-          }
-          entry <- AnnCatalog.lookup(fsRel.location.rootPaths.map(_.toString))
-          if attr.name == entry.vecCol
-          idAttr <- child.output.find(_.name == entry.idCol)
-          // id literals must match the column's type (plan is already
-          // analyzed — no implicit casts will be inserted)
-          idLit <- idAttr.dataType match {
-            case org.apache.spark.sql.types.LongType    => Some((id: Long) => Literal(id))
-            case org.apache.spark.sql.types.IntegerType => Some((id: Long) => Literal(id.toInt))
-            case _ => None
-          }
-          // an index serves only queries in its own metric
-          if AnnCatalog.index(spark, entry).meta.cfg.metric == metric
-          served <- serve(gl, sort, child, projOpt, entry, idAttr, idLit, qv, k, predOpt)
-        } yield served).getOrElse(gl)
+        sortExpr match {
+          case DistOn(metric, attr, qv) =>
+            (for {
+              (rel, predOpt) <- destructure(child)
+              fsRel <- rel.relation match {
+                case h: HadoopFsRelation => Some(h)
+                case _ => None
+              }
+              entry <- AnnCatalog.lookup(fsRel.location.rootPaths.map(_.toString))
+              if attr.name == entry.vecCol
+              idAttr <- child.output.find(_.name == entry.idCol)
+              // id literals must match the column's type (plan is already
+              // analyzed — no implicit casts will be inserted)
+              idLit <- idAttr.dataType match {
+                case org.apache.spark.sql.types.LongType    => Some((id: Long) => Literal(id))
+                case org.apache.spark.sql.types.IntegerType => Some((id: Long) => Literal(id.toInt))
+                case _ => None
+              }
+              // an index serves only queries in its own metric
+              if AnnCatalog.index(spark, entry).meta.cfg.metric == metric
+              served <- serve(gl, sort, child, projOpt, entry, idAttr, idLit, qv, k, predOpt)
+            } yield served).getOrElse(gl)
+          // multi-vector MaxSim (reference opclass strategy 3): no
+          // prefilter form — the reference's recall harness likewise
+          // rejects `@#` beyond the plain ordered scan
+          case VecMaxSimExpr(attr: AttributeReference, Literal(qv: ArrayData, _)) =>
+            (for {
+              (rel, predOpt) <- destructure(child)
+              if predOpt.isEmpty
+              fsRel <- rel.relation match {
+                case h: HadoopFsRelation => Some(h)
+                case _ => None
+              }
+              entry <- AnnCatalog.lookupMaxSim(fsRel.location.rootPaths.map(_.toString))
+              if attr.name == entry.tokensCol
+              docAttr <- child.output.find(_.name == entry.docCol)
+              idLit <- docAttr.dataType match {
+                case org.apache.spark.sql.types.LongType    => Some((id: Long) => Literal(id))
+                case org.apache.spark.sql.types.IntegerType => Some((id: Long) => Literal(id.toInt))
+                case _ => None
+              }
+              if AnnCatalog.maxSimIndex(spark,
+                AnnCatalog.MaxSimEntry(entry.indexDir, entry.docCol, entry.tokensCol))
+                .meta.cfg.metric == "negdot"
+              served <- serveMaxSim(gl, sort, child, projOpt, entry, docAttr, idLit, qv, k)
+            } yield served).getOrElse(gl)
+          case _ => gl
+        }
+    }
+  }
+
+  private def serveMaxSim(gl: LogicalPlan, sort: Sort, child: LogicalPlan,
+                          projOpt: Option[Seq[NamedExpression]],
+                          entry: AnnCatalog.MaxSimEntry, docAttr: Attribute,
+                          idLit: Long => Literal, qv: ArrayData, k: Int): Option[LogicalPlan] = {
+    val idx = AnnCatalog.maxSimIndex(spark, entry)
+    val query: Array[Array[Float]] =
+      Array.tabulate(qv.numElements())(i => qv.getArray(i).toFloatArray())
+    if (query.isEmpty) return Some(gl)
+    val probes = spark.conf.get("graft.ann.probes", "auto") match {
+      case "auto" => math.max(1, math.ceil(math.sqrt(idx.meta.cfg.lists.toDouble)).toInt)
+      case s      => s.toInt
+    }
+    val refine = spark.conf.get("graft.ann.refine", "8").toInt
+    val kPerToken = spark.conf.get("graft.ann.maxsim.kPerToken", "100").toInt
+    import spark.implicits._
+    // refineDocs = k*refine exact rescues (the reference's maxsim_refine)
+    val ids = graft.ops.MaxSim.approxTopK(idx, query, k,
+        kPerToken = kPerToken, probes = probes, refine = refine,
+        refineDocs = k * refine)
+      .select("doc").as[Long].collect()
+    if (ids.isEmpty) Some(gl)
+    else {
+      val filter = Filter(In(docAttr,
+        scala.collection.immutable.ArraySeq.unsafeWrapArray(ids.map(idLit))), child)
+      val sorted = Sort(sort.order, global = true, filter)
+      val body = projOpt.map(pl => Project(pl, sorted): LogicalPlan).getOrElse(sorted)
+      Some(GlobalLimit(Literal(k), LocalLimit(Literal(k), body)))
     }
   }
 

@@ -149,6 +149,39 @@ class AnnRewriteSpec extends SparkSpec {
     } finally AnnCatalog.unregister(tableDir)
   }
 
+  test("maxsim ORDER BY over a registered token index is index-served (strategy 3)") {
+    import spark.implicits._
+    val rng = new scala.util.Random(55)
+    def tok(): Seq[Float] = Seq.fill(8)(rng.nextFloat() * 2 - 1)
+    val docs = (0L until 200L).map(i => i -> Seq(tok(), tok(), tok()))
+    val tableDir = Files.createTempDirectory("graft-ms-table").toString
+    docs.toDF("doc", "tokens").write.mode("overwrite").parquet(tableDir)
+    val tokens = docs.flatMap { case (id, ts) =>
+      ts.zipWithIndex.map { case (t, p) => (id, p, t) }
+    }.toDF("doc", "pos", "v")
+    val indexDir = Files.createTempDirectory("graft-ms-index").toString
+    graft.ops.MaxSim.buildTokenIndex(tokens, "doc", "pos", "v", indexDir,
+      graft.index.IvfConfig(metric = "negdot", lists = 8, residual = false))
+    AnnCatalog.registerMaxSim(tableDir, indexDir, "doc", "tokens")
+    try withRule {
+      val query = Seq(docs(137)._2(0), docs(137)._2(1))
+      withConfs("graft.ann.probes" -> "8", "graft.ann.refine" -> "8",
+          "graft.ann.maxsim.kPerToken" -> "600") {
+        val df = spark.read.parquet(tableDir)
+          .orderBy(GraftFunctions.vecMaxsim(col("tokens"), typedlit(query)))
+          .limit(5)
+        val optimized = df.queryExecution.optimizedPlan.toString
+        assert(optimized.contains(" IN "), s"expected maxsim candidate pushdown:\n$optimized")
+        val got = df.collect().map(_.getLong(0)).toSeq
+        val qArr = query.map(_.toArray).toArray
+        val want = docs.map { case (id, ts) =>
+            (K.maxsim(ts.map(_.toArray).toArray, qArr), id)
+          }.sorted.take(5).map(_._2)
+        assert(got == want, s"got=$got want=$want")
+      }
+    } finally AnnCatalog.unregisterMaxSim(tableDir)
+  }
+
   test("cosdist index serves vec_cosdist ORDER BY; vec_l2 stays exact (metric match)") {
     import spark.implicits._
     val (tableDir, indexDir) = cosSetup
