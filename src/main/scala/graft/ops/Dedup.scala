@@ -147,23 +147,36 @@ object Dedup {
   }
 
   /** LSH banding over (id, sig) signatures: emit candidate pairs sharing
-    * any (band, bandKey) bucket. */
+    * any (band, bandKey) bucket. One groupBy on the bucket key with
+    * in-bucket pair generation — a self-join would evaluate the signature
+    * scan twice and shuffle both sides. */
   private def bandPairs(sigs: DataFrame, numHashes: Int, bands: Int): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
     val r = numHashes / bands
     val spark = sigs.sparkSession
     import spark.implicits._
-    val banded = sigs.as[(Long, Array[Long])].flatMap { case (id, sig) =>
+    sigs.as[(Long, Array[Long])].flatMap { case (id, sig) =>
       (0 until bands).map { b =>
         var key = 0xcbf29ce484222325L
         var j = b * r
         while (j < (b + 1) * r) { key = mix(key ^ sig(j), j); j += 1 }
-        (id, b, key)
+        // fold the band ordinal into the key: one 64-bit bucket id
+        (mix(key, 0x5bd1e995 + b), id)
       }
-    }.toDF("id", "band", "key")
-    banded.as("x").join(banded.as("y"), Seq("band", "key"))
-      .filter(col("x.id") < col("y.id"))
-      .select(col("x.id").as("da"), col("y.id").as("db"))
+    }
+      .groupByKey(_._1)
+      .flatMapGroups { (_, it) =>
+        val ids = it.map(_._2).toArray
+        if (ids.length < 2) Iterator.empty
+        else {
+          java.util.Arrays.sort(ids)
+          for {
+            i <- ids.indices.iterator
+            j <- ((i + 1) until ids.length).iterator
+          } yield (ids(i), ids(j))
+        }
+      }
+      .toDF("da", "db")
       .distinct()
   }
 
