@@ -13,6 +13,18 @@ object Bench {
     // warmup: absorb JVM/codegen/parquet-footer startup outside the timings
     try spark.read.parquet(s"$sfDir/lineitem.parquet").count()
     catch { case _: Throwable => }
+    // warm the index build/search pipeline too (Dataset-map codegen,
+    // shuffle writer, parquet committer) so per-query timings reflect
+    // steady state rather than first-use JIT
+    try {
+      import spark.implicits._
+      val tiny = (0L until 64L).map(i => (i, Seq.fill(8)(i.toFloat % 7 - 3)))
+        .toDF("id", "vec")
+      val wdir = s"${sys.props("java.io.tmpdir")}/graft-bench-warmup"
+      val widx = graft.index.IvfIndex.build(tiny, "id", "vec", wdir,
+        graft.index.IvfConfig(lists = 2))
+      widx.search(Array.fill(8)(0.1f), 3, probes = 2).count()
+    } catch { case _: Throwable => }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
