@@ -24,6 +24,11 @@ object Bench {
       val widx = graft.index.IvfIndex.build(tiny, "id", "vec", wdir,
         graft.index.IvfConfig(lists = 2))
       widx.search(Array.fill(8)(0.1f), 3, probes = 2).count()
+      // warm the brute-force side too — both halves of the ANN-vs-brute
+      // comparisons must start from steady-state JIT
+      graft.ops.Knn.topK(tiny, "id", "vec", Array.fill(8)(0.1f), 3).count()
+      graft.ops.Knn.knnJoin(tiny, "id", "vec",
+        Array(0L -> Array.fill(8)(0.1f)), 3).count()
     } catch { case _: Throwable => }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()

@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ImplicitCastInputTypes, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
@@ -89,13 +89,12 @@ object VecExprKernels {
   }
 }
 
-sealed trait VecBinaryBase extends BinaryExpression {
+sealed trait VecBinaryBase extends BinaryExpression with ImplicitCastInputTypes {
   override def dataType: DataType = DoubleType
-  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
-    case (ArrayType(FloatType, _), ArrayType(FloatType, _)) => TypeCheckResult.TypeCheckSuccess
-    case (l, r) => TypeCheckResult.TypeCheckFailure(
-      s"$prettyName expects two array<float> arguments, got ${l.simpleString(5)} / ${r.simpleString(5)}")
-  }
+  // the analyzer coerces array<double> / array<int> literals to
+  // array<float> (the surface a SQL user writing bare literals expects)
+  override def inputTypes =
+    Seq(ArrayType(FloatType), ArrayType(FloatType))
   protected def kernelName: String
   protected def kernel(a: ArrayData, b: ArrayData): Double
   override protected def nullSafeEval(a: Any, b: Any): Any =
@@ -134,15 +133,12 @@ case class VecCosDistExpr(left: Expression, right: Expression) extends VecBinary
 
 /** `@#` multi-vector MaxSim (reference src/datatype/operators_rabitq8.rs:
   * 123-139): `sum_q min_d negdot(d, q)` over two array<array<float>>. */
-case class VecMaxSimExpr(left: Expression, right: Expression) extends BinaryExpression {
+case class VecMaxSimExpr(left: Expression, right: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes {
   override def prettyName: String = "vec_maxsim"
   override def dataType: DataType = DoubleType
-  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
-    case (ArrayType(ArrayType(FloatType, _), _), ArrayType(ArrayType(FloatType, _), _)) =>
-      TypeCheckResult.TypeCheckSuccess
-    case (l, r) => TypeCheckResult.TypeCheckFailure(
-      s"vec_maxsim expects two array<array<float>> arguments, got ${l.simpleString(5)} / ${r.simpleString(5)}")
-  }
+  override def inputTypes =
+    Seq(ArrayType(ArrayType(FloatType)), ArrayType(ArrayType(FloatType)))
   override protected def nullSafeEval(a: Any, b: Any): Any =
     VecExprKernels.maxsim(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -152,14 +148,11 @@ case class VecMaxSimExpr(left: Expression, right: Expression) extends BinaryExpr
 }
 
 /** Euclidean norm. */
-case class VecNormExpr(child: Expression) extends UnaryExpression {
+case class VecNormExpr(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes {
   override def prettyName: String = "vec_norm"
   override def dataType: DataType = DoubleType
-  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
-    case t => TypeCheckResult.TypeCheckFailure(
-      s"vec_norm expects array<float>, got ${t.simpleString(5)}")
-  }
+  override def inputTypes = Seq(ArrayType(FloatType))
   override protected def nullSafeEval(a: Any): Any =
     VecExprKernels.norm(a.asInstanceOf[ArrayData])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =

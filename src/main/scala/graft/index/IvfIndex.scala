@@ -418,16 +418,19 @@ final class IvfIndex(val spark: SparkSession, dir: String, val meta: IvfMeta) {
     }
   }
 
-  /** Indexed row count, cached until a mutation or generation change. */
-  @volatile private var rowCountCache: (String, Long, Long) = null
+  /** Indexed row count, cached until a mutation, generation change, or a
+    * delta area appearing (another instance may append the first delta —
+    * same invalidation key as dataDf). */
+  @volatile private var rowCountCache: (String, Boolean, Long, Long) = null
   def rowCount: Long = {
     val gen = currentGen
+    val delta = deltaExists
     val ver = mutations.get()
     val c = rowCountCache
-    if (c != null && c._1 == gen && c._2 == ver) c._3
+    if (c != null && c._1 == gen && c._2 == delta && c._3 == ver) c._4
     else {
       val n = dataDf.count()
-      rowCountCache = (gen, ver, n)
+      rowCountCache = (gen, delta, ver, n)
       n
     }
   }

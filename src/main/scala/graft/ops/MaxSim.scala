@@ -168,8 +168,15 @@ object MaxSim {
       if (idx.meta.cfg.rotate) Some(new graft.core.Rotation(idx.meta.origDim)) else None
     val q = query.map(t => rot.map(_.apply(t)).getOrElse(t))
     val f16 = idx.meta.cfg.storage == "f16"
+    // per-doc RANGE predicates on the raw packed key — unlike a filter on
+    // shiftright(id, 16), these push down to Parquet row-group stats (the
+    // position payload occupies the low 16 bits, so a doc's tokens are
+    // exactly the keys in [doc<<16, doc<<16 | 0xFFFF])
+    val docPred = docs.map { d =>
+      col("id").between(d << 16, (d << 16) | 0xffffL)
+    }.reduce(_ || _)
     val rows = idx.dataDf
-      .filter(shiftright(col("id"), 16).isin(docs.map(java.lang.Long.valueOf): _*))
+      .filter(docPred)
       .withColumn("doc", shiftright(col("id"), 16))
     val tokens =
       if (f16) {

@@ -191,9 +191,7 @@ case class AnnTopKRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
                 case org.apache.spark.sql.types.IntegerType => Some((id: Long) => Literal(id.toInt))
                 case _ => None
               }
-              if AnnCatalog.maxSimIndex(spark,
-                AnnCatalog.MaxSimEntry(entry.indexDir, entry.docCol, entry.tokensCol))
-                .meta.cfg.metric == "negdot"
+              if AnnCatalog.maxSimIndex(spark, entry).meta.cfg.metric == "negdot"
               served <- serveMaxSim(gl, sort, child, projOpt, entry, docAttr, idLit, qv, k)
             } yield served).getOrElse(gl)
           case _ => gl
@@ -274,13 +272,18 @@ case class AnnTopKRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
         // list can never contain k predicate survivors unless the
         // predicate passes all of them. `child` already contains the user
         // Filter, so counting the candidate-restricted child counts
-        // survivors. When p == lists and k*r >= n the pool provably covers
-        // the table and the served plan is exact.
+        // survivors. Bounded: once the pool would exceed `maxInList`
+        // literals (or would have to cover the whole table), the original
+        // exact plan is equivalent-or-cheaper than a giant IN — serve that
+        // instead of multi-thousand-literal expressions.
+        val maxInList = spark.conf.get("graft.ann.maxInList", "8192").toInt
         var p = probes0
         var r = refine0
+        def poolSize(r: Int): Long = math.min(k.toLong * r, n)
         def pool(p: Int, r: Int): Array[Long] =
-          idx.search(qArr, math.min(k.toLong * r, n).toInt, probes = p, refine = 1)
+          idx.search(qArr, poolSize(r).toInt, probes = p, refine = 1)
             .select("id").as[Long].collect()
+        if (poolSize(r) > maxInList) return Some(gl)
         var ids = pool(p, r)
         def survivors(ids: Array[Long]): Long =
           if (ids.isEmpty) 0L
@@ -290,6 +293,7 @@ case class AnnTopKRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
         while (survivors(ids) < k && !covered) {
           p = math.min(lists, p * 4)
           r = r * 4
+          if (poolSize(r) > maxInList) return Some(gl) // exact plan beats a huge IN
           ids = pool(p, r)
           covered = p >= lists && k.toLong * r >= n
         }

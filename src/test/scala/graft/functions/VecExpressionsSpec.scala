@@ -53,6 +53,19 @@ class VecExpressionsSpec extends SparkSpec {
     assert(r == ((K.l2(a, b), K.negdot(a, b), K.cosdist(a, b), K.norm(a))))
   }
 
+  test("SQL double/int literals implicitly cast to array<float>") {
+    import spark.implicits._
+    GraftFunctions.registerAll(spark)
+    // bare SQL literals are double/int typed — the analyzer must coerce
+    val d = spark.sql(
+      "SELECT vec_l2(array(1.0, 2.0, 3.0), array(2, 3, 4)) AS d").as[Double].head()
+    assert(math.abs(d - math.sqrt(3.0)) < 1e-12)
+    val ms = spark.sql(
+      "SELECT vec_maxsim(array(array(1.0, 0.0)), array(array(0.5, 0.5))) AS m")
+      .as[Double].head()
+    assert(ms == -0.5)
+  }
+
   test("null inputs yield null; dim mismatch throws") {
     import spark.implicits._
     val withNull = Seq((Some(Seq(1f, 2f)), None: Option[Seq[Float]])).toDF("a", "b")
