@@ -72,11 +72,27 @@ object Dedup {
    * Output: (da, db, jac) with da < db.
    */
   def jaccardPairs(sh: DataFrame, threshold: Double): DataFrame = {
+    val spark = sh.sparkSession
+    import spark.implicits._
     val counts = sh.groupBy("id").agg(count(lit(1)).as("n"))
-    val a = sh.select(col("id").as("da"), col("shingle"))
-    val b = sh.select(col("id").as("db"), col("shingle"))
-    val inter = a.join(b, Seq("shingle"))
-      .filter(col("da") < col("db"))
+    // intersection sizes via per-shingle buckets (one groupBy + in-bucket
+    // pair emission) — a self-join would evaluate and shuffle the shingle
+    // set twice; shingles are already distinct within a doc, so each
+    // shared shingle contributes exactly one (da, db) emission
+    val inter = sh.select(col("shingle"), col("id").cast("long")).as[(Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroups { (_, it) =>
+        val ids = it.map(_._2).toArray
+        if (ids.length < 2) Iterator.empty
+        else {
+          java.util.Arrays.sort(ids)
+          for {
+            i <- ids.indices.iterator
+            j <- ((i + 1) until ids.length).iterator
+          } yield (ids(i), ids(j))
+        }
+      }
+      .toDF("da", "db")
       .groupBy("da", "db").agg(count(lit(1)).as("i"))
     inter
       .join(counts.select(col("id").as("da"), col("n").as("na")), Seq("da"))
