@@ -213,6 +213,16 @@ case class AnnTopKRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     }
     val refine = spark.conf.get("graft.ann.refine", "8").toInt
     val kPerToken = spark.conf.get("graft.ann.maxsim.kPerToken", "100").toInt
+    // cost gate (same shape as the single-vector serve): per query token,
+    // a code-only scan of the probed fraction + its candidate fetch,
+    // versus the exact scan touching every token row per query token
+    if (spark.conf.get("graft.ann.cost.enable", "true").toBoolean) {
+      val n = idx.rowCount.toDouble
+      val q = query.length.toDouble
+      val costIndex = q * (n * probes / idx.meta.cfg.lists * 0.3 + kPerToken) +
+        k.toDouble * refine * 32 // nominal per-doc exact-rescore rows
+      if (costIndex >= n * q) return None
+    }
     import spark.implicits._
     // refineDocs = k*refine exact rescues (the reference's maxsim_refine)
     val ids = graft.ops.MaxSim.approxTopK(idx, query, k,

@@ -166,7 +166,9 @@ class AnnRewriteSpec extends SparkSpec {
     try withRule {
       val query = Seq(docs(137)._2(0), docs(137)._2(1))
       withConfs("graft.ann.probes" -> "8", "graft.ann.refine" -> "8",
-          "graft.ann.maxsim.kPerToken" -> "600") {
+          "graft.ann.maxsim.kPerToken" -> "600",
+          "graft.ann.cost.enable" -> "false") { // 600 token rows: the cost
+        // model rightly prefers the exact scan; force the rewrite to test it
         val df = spark.read.parquet(tableDir)
           .orderBy(GraftFunctions.vecMaxsim(col("tokens"), typedlit(query)))
           .limit(5)
