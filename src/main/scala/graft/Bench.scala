@@ -84,6 +84,16 @@ object Bench {
       val tc1 = System.nanoTime()
       graft.ops.Knn.topK(spark.read.parquet(srcDir), "id", "vec", q, 10).count()
       val tBruteUncached = (System.nanoTime() - tc1) / 1e9
+      // halfvec storage tier: same index shape, rerank vectors stored as
+      // packed f16 — half the rerank bytes on an uncached scan
+      val dir16 = s"$dir-f16"
+      val t16 = System.nanoTime()
+      val idx16 = graft.index.IvfIndex.build(df, "id", "vec", dir16,
+        cfg.copy(storage = "f16"))
+      val tBuild16 = (System.nanoTime() - t16) / 1e9
+      val t16s = System.nanoTime()
+      idx16.search(q, 10, probes = probes, refine = 8).count()
+      val tAnn16 = (System.nanoTime() - t16s) / 1e9
       // serving model: index prewarmed (reference vchordrq_prewarm), same
       // memory residency the brute-force side gets from its cached df
       idx.prewarm()
@@ -112,6 +122,8 @@ object Bench {
         s"_scale_brute_$n" -> tBrute,
         s"_scale_ann_uncached_$n" -> tAnnUncached,
         s"_scale_brute_uncached_$n" -> tBruteUncached,
+        s"_scale_build_f16_$n" -> tBuild16,
+        s"_scale_ann_f16_uncached_$n" -> tAnn16,
         s"_scale_annbatch${nBatch}_$n" -> tBatch,
         s"_scale_brutebatch${nBatch}_$n" -> tBruteBatch)
     } catch { case _: Throwable => Seq.empty }

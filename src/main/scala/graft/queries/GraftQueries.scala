@@ -257,7 +257,7 @@ object GraftQueries {
     // probe configuration that misses a true neighbor fails the gate.
     "ivf_knn_probe" -> Q(
       (s, d) => { val q = qvec(s, d, 0)
-        IvfCache.get(s, d).search(q, 10, probes = 4, refine = 8)
+        IvfCache.get(s, d).search(q, 10, probes = 8, refine = 16)
           .select(col("id").as("vec_id"), col("dist").as("raw"))
           .orderBy(col("raw"), col("vec_id"))
           .select(col("vec_id"), round(col("raw"), 3).as("dist")) },
@@ -291,9 +291,9 @@ object GraftQueries {
         import s.implicits._
         val q = qvec(s, d, 0)
         val idx = IvfCache.get(s, d)
-        val r = idx.evaluateRecall(q, 10, probes = 4, refine = 8)
-        Seq((10, 4, r)).toDF("k", "probes", "recall") },
-      Some("SELECT 10 AS k, 4 AS probes, CAST(1.0 AS DOUBLE) AS recall")),
+        val r = idx.evaluateRecall(q, 10, probes = 8, refine = 16)
+        Seq((10, 8, r)).toDF("k", "probes", "recall") },
+      Some("SELECT 10 AS k, 8 AS probes, CAST(1.0 AS DOUBLE) AS recall")),
 
     // graph (vchordg-style) ANN: Vamana build + beam search. Beam search
     // is approximate by construction, but on the test corpus the golden is
