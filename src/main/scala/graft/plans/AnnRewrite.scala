@@ -82,6 +82,25 @@ object AnnCatalog {
     * generation change or delta append invalidates the cached value. */
   def rowCount(spark: SparkSession, e: Entry): Long = index(spark, e).rowCount
 
+  // ---- graph-index (vchordg) entries: same ORDER BY <-> LIMIT k shape,
+  // served by beam search over the broadcast Vamana graph ----
+
+  final case class GraphEntry(graphDir: String, idCol: String, vecCol: String)
+
+  private val gEntries = new java.util.concurrent.ConcurrentHashMap[String, GraphEntry]()
+  private val graphs = new java.util.concurrent.ConcurrentHashMap[String, graft.index.VamanaGraph]()
+
+  def registerGraph(tablePath: String, graphDir: String, idCol: String, vecCol: String): Unit =
+    gEntries.put(norm(tablePath), GraphEntry(graphDir, idCol, vecCol))
+
+  def unregisterGraph(tablePath: String): Unit = gEntries.remove(norm(tablePath))
+
+  def lookupGraph(rootPaths: Seq[String]): Option[GraphEntry] =
+    rootPaths.map(norm).flatMap(p => Option(gEntries.get(p))).headOption
+
+  def graph(spark: SparkSession, e: GraphEntry): graft.index.VamanaGraph =
+    graphs.computeIfAbsent(e.graphDir, d => graft.index.VamanaGraph.load(spark, d))
+
   // ---- multi-vector (MaxSim, reference opclass strategy 3) entries ----
 
   final case class MaxSimEntry(indexDir: String, docCol: String, tokensCol: String)
@@ -158,19 +177,32 @@ case class AnnTopKRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
                 case h: HadoopFsRelation => Some(h)
                 case _ => None
               }
-              entry <- AnnCatalog.lookup(fsRel.location.rootPaths.map(_.toString))
-              if attr.name == entry.vecCol
-              idAttr <- child.output.find(_.name == entry.idCol)
-              // id literals must match the column's type (plan is already
-              // analyzed — no implicit casts will be inserted)
-              idLit <- idAttr.dataType match {
-                case org.apache.spark.sql.types.LongType    => Some((id: Long) => Literal(id))
-                case org.apache.spark.sql.types.IntegerType => Some((id: Long) => Literal(id.toInt))
-                case _ => None
+              roots = fsRel.location.rootPaths.map(_.toString)
+              served <- AnnCatalog.lookup(roots) match {
+                case Some(entry) if attr.name == entry.vecCol =>
+                  for {
+                    idAttr <- child.output.find(_.name == entry.idCol)
+                    // id literals must match the column's type (plan is
+                    // already analyzed — no implicit casts will be inserted)
+                    idLit <- litFor(idAttr)
+                    // an index serves only queries in its own metric
+                    if AnnCatalog.index(spark, entry).meta.cfg.metric == metric
+                    s <- serve(gl, sort, child, projOpt, entry, idAttr, idLit, qv, k, predOpt)
+                  } yield s
+                case _ =>
+                  // no IVF entry: a vchordg-style graph index may serve the
+                  // same shape (beam search; no prefilter machinery, like
+                  // the reference's graph AM)
+                  AnnCatalog.lookupGraph(roots) match {
+                    case Some(ge) if attr.name == ge.vecCol && predOpt.isEmpty =>
+                      for {
+                        idAttr <- child.output.find(_.name == ge.idCol)
+                        idLit <- litFor(idAttr)
+                        if AnnCatalog.graph(spark, ge).cfg.metric == metric
+                      } yield serveGraph(gl, sort, child, projOpt, ge, idAttr, idLit, qv, k)
+                    case _ => None
+                  }
               }
-              // an index serves only queries in its own metric
-              if AnnCatalog.index(spark, entry).meta.cfg.metric == metric
-              served <- serve(gl, sort, child, projOpt, entry, idAttr, idLit, qv, k, predOpt)
             } yield served).getOrElse(gl)
           // multi-vector MaxSim (reference opclass strategy 3): no
           // prefilter form — the reference's recall harness likewise
@@ -236,6 +268,33 @@ case class AnnTopKRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
       val sorted = Sort(sort.order, global = true, filter)
       val body = projOpt.map(pl => Project(pl, sorted): LogicalPlan).getOrElse(sorted)
       Some(GlobalLimit(Literal(k), LocalLimit(Literal(k), body)))
+    }
+  }
+
+  private def litFor(idAttr: Attribute): Option[Long => Literal] =
+    idAttr.dataType match {
+      case org.apache.spark.sql.types.LongType    => Some((id: Long) => Literal(id))
+      case org.apache.spark.sql.types.IntegerType => Some((id: Long) => Literal(id.toInt))
+      case _ => None
+    }
+
+  /** Graph (vchordg) serve: ef-bounded beam search supplies the candidate
+    * ids; `graft.ann.efSearch` mirrors the ef_search GUC (default 64,
+    * reference src/index/gucs.rs:38-44). */
+  private def serveGraph(gl: LogicalPlan, sort: Sort, child: LogicalPlan,
+                         projOpt: Option[Seq[NamedExpression]],
+                         entry: AnnCatalog.GraphEntry, idAttr: Attribute,
+                         idLit: Long => Literal, qv: ArrayData, k: Int): LogicalPlan = {
+    val g = AnnCatalog.graph(spark, entry)
+    val ef = spark.conf.get("graft.ann.efSearch", "64").toInt
+    val ids = g.search(qv.toFloatArray(), k, ef).map(_._1)
+    if (ids.isEmpty) gl
+    else {
+      val filter = Filter(In(idAttr,
+        scala.collection.immutable.ArraySeq.unsafeWrapArray(ids.map(idLit))), child)
+      val sorted = Sort(sort.order, global = true, filter)
+      val body = projOpt.map(pl => Project(pl, sorted): LogicalPlan).getOrElse(sorted)
+      GlobalLimit(Literal(k), LocalLimit(Literal(k), body))
     }
   }
 

@@ -149,6 +149,31 @@ class AnnRewriteSpec extends SparkSpec {
     } finally AnnCatalog.unregister(tableDir)
   }
 
+  test("graph (vchordg) index serves ORDER BY vec_l2 when no IVF entry exists") {
+    import spark.implicits._
+    val (tableDir, _) = setup
+    val graphDir = Files.createTempDirectory("graft-ann-graph").toString
+    graft.index.VamanaGraph
+      .build(spark.read.parquet(tableDir), "id", "vec", graft.index.VamanaConfig())
+      .save(spark, graphDir)
+    AnnCatalog.registerGraph(tableDir, graphDir, "id", "vec")
+    try withRule {
+      val q = Array.fill(8)(0.15f)
+      withConfs("graft.ann.efSearch" -> "256") {
+        val df = spark.read.parquet(tableDir)
+          .orderBy(GraftFunctions.vecL2(col("vec"), typedlit(q.toSeq)))
+          .limit(10)
+        val optimized = df.queryExecution.optimizedPlan.toString
+        assert(optimized.contains(" IN "), s"expected graph candidate pushdown:\n$optimized")
+        val got = df.collect().map(_.getLong(0)).toSeq
+        val data = spark.read.parquet(tableDir).as[(Long, Seq[Float])].collect()
+        val want = data.map { case (id, v) => (K.l2(v.toArray, q), id) }
+          .sorted.take(10).map(_._2).toSeq
+        assert(got == want)
+      }
+    } finally AnnCatalog.unregisterGraph(tableDir)
+  }
+
   test("maxsim ORDER BY over a registered token index is index-served (strategy 3)") {
     import spark.implicits._
     val rng = new scala.util.Random(55)
