@@ -24,6 +24,9 @@ object Bench {
       val widx = graft.index.IvfIndex.build(tiny, "id", "vec", wdir,
         graft.index.IvfConfig(lists = 2))
       widx.search(Array.fill(8)(0.1f), 3, probes = 2).count()
+      val widx16 = graft.index.IvfIndex.build(tiny, "id", "vec", s"$wdir-f16",
+        graft.index.IvfConfig(lists = 2, storage = "f16"))
+      widx16.search(Array.fill(8)(0.1f), 3, probes = 2).count()
       // warm the brute-force side too — both halves of the ANN-vs-brute
       // comparisons must start from steady-state JIT
       graft.ops.Knn.topK(tiny, "id", "vec", Array.fill(8)(0.1f), 3).count()
@@ -88,9 +91,10 @@ object Bench {
       // packed f16 — half the rerank bytes on an uncached scan
       val dir16 = s"$dir-f16"
       val t16 = System.nanoTime()
-      val idx16 = graft.index.IvfIndex.build(df, "id", "vec", dir16,
-        cfg.copy(storage = "f16"))
+      graft.index.IvfIndex.build(df, "id", "vec", dir16, cfg.copy(storage = "f16"))
       val tBuild16 = (System.nanoTime() - t16) / 1e9
+      // measured like the f32 uncached tier: a freshly loaded instance
+      val idx16 = graft.index.IvfIndex.load(spark, dir16)
       val t16s = System.nanoTime()
       idx16.search(q, 10, probes = probes, refine = 8).count()
       val tAnn16 = (System.nanoTime() - t16s) / 1e9

@@ -81,17 +81,7 @@ object Dedup {
     // shared shingle contributes exactly one (da, db) emission
     val inter = sh.select(col("shingle"), col("id").cast("long")).as[(Long, Long)]
       .groupByKey(_._1)
-      .flatMapGroups { (_, it) =>
-        val ids = it.map(_._2).toArray
-        if (ids.length < 2) Iterator.empty
-        else {
-          java.util.Arrays.sort(ids)
-          for {
-            i <- ids.indices.iterator
-            j <- ((i + 1) until ids.length).iterator
-          } yield (ids(i), ids(j))
-        }
-      }
+      .flatMapGroups((_, it) => bucketPairs(it.map(_._2)))
       .toDF("da", "db")
       .groupBy("da", "db").agg(count(lit(1)).as("i"))
     inter
@@ -181,19 +171,22 @@ object Dedup {
       }
     }
       .groupByKey(_._1)
-      .flatMapGroups { (_, it) =>
-        val ids = it.map(_._2).toArray
-        if (ids.length < 2) Iterator.empty
-        else {
-          java.util.Arrays.sort(ids)
-          for {
-            i <- ids.indices.iterator
-            j <- ((i + 1) until ids.length).iterator
-          } yield (ids(i), ids(j))
-        }
-      }
+      .flatMapGroups((_, it) => bucketPairs(it.map(_._2)))
       .toDF("da", "db")
       .distinct()
+  }
+
+  /** Ordered (da < db) pairs among the ids sharing one bucket. */
+  private def bucketPairs(it: Iterator[Long]): Iterator[(Long, Long)] = {
+    val ids = it.toArray
+    if (ids.length < 2) Iterator.empty
+    else {
+      java.util.Arrays.sort(ids)
+      for {
+        i <- ids.indices.iterator
+        j <- ((i + 1) until ids.length).iterator
+      } yield (ids(i), ids(j))
+    }
   }
 
   /** MinHash-LSH near-dup pairs with exact-Jaccard verification.

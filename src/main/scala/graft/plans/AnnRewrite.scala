@@ -98,8 +98,21 @@ object AnnCatalog {
   def lookupGraph(rootPaths: Seq[String]): Option[GraphEntry] =
     rootPaths.map(norm).flatMap(p => Option(gEntries.get(p))).headOption
 
+  /** Latest modification stamp under a graph dir — a rebuild+save into the
+    * same dir (the deleteAndRebuild vacuum flow) must not be served stale. */
+  private def graphStamp(dir: String): Long = {
+    val p = java.nio.file.Paths.get(dir)
+    if (!java.nio.file.Files.exists(p)) 0L
+    else {
+      val s = java.nio.file.Files.walk(p)
+      try s.mapToLong(f => java.nio.file.Files.getLastModifiedTime(f).toMillis).max().orElse(0L)
+      finally s.close()
+    }
+  }
+
   def graph(spark: SparkSession, e: GraphEntry): graft.index.VamanaGraph =
-    graphs.computeIfAbsent(e.graphDir, d => graft.index.VamanaGraph.load(spark, d))
+    graphs.computeIfAbsent(s"${e.graphDir}@${graphStamp(e.graphDir)}",
+      _ => graft.index.VamanaGraph.load(spark, e.graphDir))
 
   // ---- multi-vector (MaxSim, reference opclass strategy 3) entries ----
 
@@ -178,30 +191,31 @@ case class AnnTopKRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
                 case _ => None
               }
               roots = fsRel.location.rootPaths.map(_.toString)
-              served <- AnnCatalog.lookup(roots) match {
-                case Some(entry) if attr.name == entry.vecCol =>
-                  for {
-                    idAttr <- child.output.find(_.name == entry.idCol)
-                    // id literals must match the column's type (plan is
-                    // already analyzed — no implicit casts will be inserted)
-                    idLit <- litFor(idAttr)
-                    // an index serves only queries in its own metric
-                    if AnnCatalog.index(spark, entry).meta.cfg.metric == metric
-                    s <- serve(gl, sort, child, projOpt, entry, idAttr, idLit, qv, k, predOpt)
-                  } yield s
-                case _ =>
-                  // no IVF entry: a vchordg-style graph index may serve the
-                  // same shape (beam search; no prefilter machinery, like
-                  // the reference's graph AM)
-                  AnnCatalog.lookupGraph(roots) match {
-                    case Some(ge) if attr.name == ge.vecCol && predOpt.isEmpty =>
-                      for {
-                        idAttr <- child.output.find(_.name == ge.idCol)
-                        idLit <- litFor(idAttr)
-                        if AnnCatalog.graph(spark, ge).cfg.metric == metric
-                      } yield serveGraph(gl, sort, child, projOpt, ge, idAttr, idLit, qv, k)
-                    case _ => None
-                  }
+              served <- {
+                val viaIvf = for {
+                  entry <- AnnCatalog.lookup(roots)
+                  if attr.name == entry.vecCol
+                  idAttr <- child.output.find(_.name == entry.idCol)
+                  // id literals must match the column's type (plan is
+                  // already analyzed — no implicit casts will be inserted)
+                  idLit <- litFor(idAttr)
+                  // an index serves only queries in its own metric
+                  if AnnCatalog.index(spark, entry).meta.cfg.metric == metric
+                  s <- serve(gl, sort, child, projOpt, entry, idAttr, idLit, qv, k, predOpt)
+                } yield s
+                // a vchordg-style graph index may serve the same shape when
+                // the IVF path cannot (no entry, wrong metric, cost-declined)
+                // — beam search; no prefilter machinery, like the
+                // reference's graph AM
+                def viaGraph = for {
+                  ge <- AnnCatalog.lookupGraph(roots)
+                  if attr.name == ge.vecCol && predOpt.isEmpty
+                  idAttr <- child.output.find(_.name == ge.idCol)
+                  idLit <- litFor(idAttr)
+                  if AnnCatalog.graph(spark, ge).cfg.metric == metric
+                  s <- serveGraph(gl, sort, child, projOpt, ge, idAttr, idLit, qv, k)
+                } yield s
+                viaIvf.orElse(viaGraph)
               }
             } yield served).getOrElse(gl)
           // multi-vector MaxSim (reference opclass strategy 3): no
@@ -218,11 +232,7 @@ case class AnnTopKRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
               entry <- AnnCatalog.lookupMaxSim(fsRel.location.rootPaths.map(_.toString))
               if attr.name == entry.tokensCol
               docAttr <- child.output.find(_.name == entry.docCol)
-              idLit <- docAttr.dataType match {
-                case org.apache.spark.sql.types.LongType    => Some((id: Long) => Literal(id))
-                case org.apache.spark.sql.types.IntegerType => Some((id: Long) => Literal(id.toInt))
-                case _ => None
-              }
+              idLit <- litFor(docAttr)
               if AnnCatalog.maxSimIndex(spark, entry).meta.cfg.metric == "negdot"
               served <- serveMaxSim(gl, sort, child, projOpt, entry, docAttr, idLit, qv, k)
             } yield served).getOrElse(gl)
@@ -280,16 +290,21 @@ case class AnnTopKRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
 
   /** Graph (vchordg) serve: ef-bounded beam search supplies the candidate
     * ids; `graft.ann.efSearch` mirrors the ef_search GUC (default 64,
-    * reference src/index/gucs.rs:38-44). */
+    * reference src/index/gucs.rs:38-44). Cost gate: the beam visits ~ef
+    * vertices plus a k-row fetch — decline when the exact scan of n rows
+    * is no more work (tiny tables). */
   private def serveGraph(gl: LogicalPlan, sort: Sort, child: LogicalPlan,
                          projOpt: Option[Seq[NamedExpression]],
                          entry: AnnCatalog.GraphEntry, idAttr: Attribute,
-                         idLit: Long => Literal, qv: ArrayData, k: Int): LogicalPlan = {
+                         idLit: Long => Literal, qv: ArrayData, k: Int): Option[LogicalPlan] = {
     val g = AnnCatalog.graph(spark, entry)
     val ef = spark.conf.get("graft.ann.efSearch", "64").toInt
+    if (spark.conf.get("graft.ann.cost.enable", "true").toBoolean &&
+        ef.toDouble + k >= g.ids.length.toDouble)
+      return None
     val ids = g.search(qv.toFloatArray(), k, ef).map(_._1)
-    if (ids.isEmpty) gl
-    else {
+    if (ids.isEmpty) Some(gl)
+    else Some {
       val filter = Filter(In(idAttr,
         scala.collection.immutable.ArraySeq.unsafeWrapArray(ids.map(idLit))), child)
       val sorted = Sort(sort.order, global = true, filter)
