@@ -56,5 +56,18 @@ package object dsl {
     /** MinHash-LSH near-duplicate pairs with exact-Jaccard verification. */
     def nearDupPairs(idCol: String, textCol: String, threshold: Double): DataFrame =
       Dedup.minhashDedup(df, idCol, textCol, threshold)
+
+    /** Build a vchordg-style Vamana graph index. */
+    def buildGraphIndex(idCol: String, vecCol: String,
+                        cfg: graft.index.VamanaConfig = graft.index.VamanaConfig())
+        : graft.index.VamanaGraph =
+      graft.index.VamanaGraph.build(df, idCol, vecCol, cfg)
+  }
+
+  implicit final class GraftIvfIndexOps(private val idx: IvfIndex) {
+    /** Batch ANN: every (qid, qvec) answered in two Spark jobs total. */
+    def annBatch(queries: Array[(Long, Array[Float])], k: Int,
+                 probes: Int = 4, refine: Int = 8): DataFrame =
+      idx.searchMany(queries, k, probes = probes, refine = refine)
   }
 }
