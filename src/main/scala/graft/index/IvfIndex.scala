@@ -654,7 +654,9 @@ final class IvfIndex(val spark: SparkSession, dir: String, val meta: IvfMeta) {
    * Output: (qid, id, dist, rn).
    */
   def searchMany(queries: Array[(Long, Array[Float])], k: Int, probes: Int = 4,
-                 epsilon: Double = 1.9, refine: Int = 8, probes1: Int = -1): DataFrame = {
+                 epsilon: Double = 1.9, refine: Int = 8,
+                 rerankTable: Option[(DataFrame, String, String)] = None,
+                 probes1: Int = -1): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(queries.nonEmpty, "empty query batch")
     require(queries.map(_._1).distinct.length == queries.length,
@@ -784,28 +786,50 @@ final class IvfIndex(val spark: SparkSession, dir: String, val meta: IvfMeta) {
     val bQ = spark.sparkContext.broadcast(preps.map(_._2))
     val metric = meta.cfg.metric
     val f16 = meta.cfg.storage == "f16"
-    val scored: Array[(Long, Long, Double)] = org.apache.spark.sql.graft.ColumnBridge
-      .toInternalRdd(data.select($"id", $"vec"))
-      .mapPartitions { it =>
-        val sorted = bSorted.value
-        val i2q = bI2Q.value
-        val qqs = bQ.value
+    val scored: Array[(Long, Long, Double)] = rerankTable match {
+      case None =>
+        org.apache.spark.sql.graft.ColumnBridge
+          .toInternalRdd(data.select($"id", $"vec"))
+          .mapPartitions { it =>
+            val sorted = bSorted.value
+            val i2q = bI2Q.value
+            val qqs = bQ.value
+            val kern: (Array[Float], Array[Float]) => Double = metric match {
+              case "l2"      => K.l2
+              case "negdot"  => K.negdot
+              case "cosdist" => (v, q) => 1.0 + K.negdot(v, q)
+            }
+            it.flatMap { row =>
+              val id = row.getLong(0)
+              if (java.util.Arrays.binarySearch(sorted, id) < 0) Iterator.empty
+              else {
+                val v =
+                  if (f16) graft.core.Half.decodeBytes(row.getBinary(1))
+                  else row.getArray(1).toFloatArray()
+                i2q.get(id).iterator.map(qi => (qi.toLong, id, kern(v, qqs(qi))))
+              }
+            }
+          }.collect().map { case (qi, id, d) => (preps(qi.toInt)._1, id, d) }
+      case Some((src, srcIdCol, srcVecCol)) =>
+        // rerank-in-table (reference rerank_in_table=true): exact distances
+        // from ORIGINAL table vectors against the RAW queries — same
+        // kernels as the single-query rerankTable path, so batch == single
+        val bRaw = spark.sparkContext.broadcast(queries.map(_._2))
         val kern: (Array[Float], Array[Float]) => Double = metric match {
           case "l2"      => K.l2
           case "negdot"  => K.negdot
-          case "cosdist" => (v, q) => 1.0 + K.negdot(v, q)
+          case "cosdist" => K.cosdist
         }
-        it.flatMap { row =>
-          val id = row.getLong(0)
-          if (java.util.Arrays.binarySearch(sorted, id) < 0) Iterator.empty
-          else {
-            val v =
-              if (f16) graft.core.Half.decodeBytes(row.getBinary(1))
-              else row.getArray(1).toFloatArray()
-            i2q.get(id).iterator.map(qi => (qi.toLong, id, kern(v, qqs(qi))))
-          }
-        }
-      }.collect().map { case (qi, id, d) => (preps(qi.toInt)._1, id, d) }
+        src.join(broadcast(sortedIds.toSeq.toDF("__cand_id")),
+            col(srcIdCol).cast("long") === col("__cand_id"))
+          .select(col(srcIdCol).cast("long"), col(srcVecCol))
+          .as[(Long, Seq[Float])]
+          .flatMap { case (id, vs) =>
+            val v = vs.toArray
+            Option(bI2Q.value.get(id)).toSeq.flatten
+              .map(qi => (qi.toLong, id, kern(v, bRaw.value(qi))))
+          }.collect().map { case (qi, id, d) => (preps(qi.toInt)._1, id, d) }
+    }
     if (dbg) System.err.println(s"[searchMany] rerank scan: ${(System.nanoTime()-tRr)/1e9}s, scored=${scored.length}")
     // driver-side final top-k per query (at most B x nCand rows)
     val out = scored.groupBy(_._1).toSeq.flatMap { case (qid, rows) =>

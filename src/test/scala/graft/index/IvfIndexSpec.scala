@@ -167,6 +167,24 @@ class IvfIndexSpec extends SparkSpec {
     }
   }
 
+  test("searchMany rerank-in-table matches per-query rerank-in-table search") {
+    import spark.implicits._
+    val df = rows.toDF("id", "vec")
+    val idx = IvfIndex.build(df, "id", "vec", freshDir(), IvfConfig(lists = 8))
+    val q0 = Array.fill(12)(0.1f)
+    val q1 = Array.tabulate(12)(j => (j - 4) * 0.07f)
+    val batch = idx.searchMany(Array(0L -> q0, 1L -> q1), k = 5, probes = 8,
+        refine = 20, rerankTable = Some((df, "id", "vec")))
+      .select("qid", "id", "dist").as[(Long, Long, Double)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(t => (t._3, t._2)).map(t => (t._2, t._3)).toSeq).toMap
+    Seq(0L -> q0, 1L -> q1).foreach { case (qid, q) =>
+      val single = idx.search(q, 5, probes = 8, refine = 20,
+          rerankTable = Some((df, "id", "vec")))
+        .as[(Long, Double)].collect().toSeq
+      assert(batch(qid) == single)
+    }
+  }
+
   test("searchMany on a cosdist index matches per-query search") {
     import spark.implicits._
     val df = rows.toDF("id", "vec")
