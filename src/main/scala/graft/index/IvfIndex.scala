@@ -215,8 +215,22 @@ object IvfIndex {
     val dbg = sys.env.contains("GRAFT_SEARCH_DEBUG")
     val tS = System.nanoTime()
     val cap = math.max(cfg.lists * cfg.samplingFactor, cfg.lists)
-    val sample0 = df.filter(col(vecCol).isNotNull).select(col(vecCol)).as[Seq[Float]]
-      .limit(cap).collect().map(_.toArray)
+    // Randomized sample, not a prefix: a limit(cap) would take the FIRST
+    // cap rows, and on data sorted/clustered by time or source (every real
+    // big table) k-means would learn one corner of the distribution. The
+    // reference does a randomized table-sample scan
+    // (reference: src/index/sample.rs:14-262). Ordering by a seeded hash of
+    // the id is (a) uniform, (b) deterministic across runs/partitionings
+    // (unlike rand(), whose streams are per-partition), and (c) scale-safe:
+    // orderBy+limit plans as TakeOrderedAndProject — a bounded per-partition
+    // heap of cap rows, no full sort shuffle.
+    val sample0 = df.filter(col(vecCol).isNotNull && col(idCol).isNotNull)
+      .select(col(vecCol), xxhash64(col(idCol).cast("long"), lit(0x9E3779B9L)).as("__rk"),
+        col(idCol).cast("long").as("__id"))
+      .orderBy(col("__rk"), col("__id"))
+      .limit(cap)
+      .select(col(vecCol)).as[Seq[Float]]
+      .collect().map(_.toArray)
     require(sample0.nonEmpty,
       "cannot build an index without at least one non-null vector (the " +
       "reference infers dim from the column type; here it comes from the data)")

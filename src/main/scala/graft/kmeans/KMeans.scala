@@ -12,10 +12,53 @@ import graft.core.{VectorKernels => K}
  * makes driver-side clustering legitimate at 100 TB — the full-data pass
  * is only the (distributed) assignment step.
  *
- * Deterministic: evenly-spaced initialization, sequential double-precision
- * accumulation, no RNG.
+ * Deterministic: fixed-seed k-means++ initialization, sequential
+ * double-precision accumulation — same inputs, same centroids, always.
  */
 object KMeans {
+
+  /** k-means++ init with a FIXED-seed splitmix64 stream: D^2-weighted
+    * seeding (standard k-means++ quality — evenly-spaced init over a
+    * randomly-ordered sample is just a uniform draw, which lands multiple
+    * seeds in dense regions and leaves sparse regions uncovered, i.e.
+    * skewed cells and probe-budget recall misses). One pass per added
+    * centroid: total cost equals ONE Lloyd assignment iteration. */
+  private def kppInit(pts: Array[Array[Float]], kk: Int): Array[Array[Float]] = {
+    val n = pts.length
+    var state = 0x9E3779B97F4A7C15L
+    def nextLong(): Long = {
+      state += 0x9E3779B97F4A7C15L
+      var z = state
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z ^ (z >>> 31)
+    }
+    def nextDouble(): Double = (nextLong() >>> 11).toDouble / (1L << 53).toDouble
+    val cents = new Array[Array[Float]](kk)
+    cents(0) = pts(((nextLong() >>> 1) % n).toInt).clone()
+    val d2 = Array.fill(n)(Double.PositiveInfinity)
+    var added = 1
+    while (added < kk) {
+      val last = cents(added - 1)
+      var sum = 0.0
+      var i = 0
+      while (i < n) {
+        val d = K.l2s(pts(i), last)
+        if (d < d2(i)) d2(i) = d
+        sum += d2(i)
+        i += 1
+      }
+      if (sum == 0) cents(added) = pts(((nextLong() >>> 1) % n).toInt).clone()
+      else {
+        var r = nextDouble() * sum
+        var j = 0
+        while (j < n - 1 && r > d2(j)) { r -= d2(j); j += 1 }
+        cents(added) = pts(j).clone()
+      }
+      added += 1
+    }
+    cents
+  }
 
   /** Returns `k` centroids (may return fewer if sample has fewer points). */
   def lloyd(sample: Array[Array[Float]], k: Int, iters: Int = 10,
@@ -25,8 +68,7 @@ object KMeans {
     val dim = sample(0).length
     val kk = math.min(k, n)
     val pts = if (spherical) sample.map(K.normalize) else sample
-    // evenly spaced init over the sample (deterministic)
-    var centroids = Array.tabulate(kk)(i => pts((i.toLong * n / kk).toInt).clone())
+    var centroids = kppInit(pts, kk)
     var it = 0
     while (it < iters) {
       // parallel assignment over FIXED 1024-point chunks; per-chunk

@@ -70,18 +70,35 @@ object Dedup {
    * Exact Jaccard similarity over shingle sets for every pair sharing at
    * least one shingle, filtered to >= threshold.
    * Output: (da, db, jac) with da < db.
+   *
+   * `maxShingleFreq > 0` drops shingles shared by more than that many docs
+   * BEFORE pairing (stop-shingle removal): the in-bucket emission is an
+   * intersection COUNT, so it cannot be star-capped without corrupting the
+   * values — the skew defense is to remove the quadratic buckets entirely
+   * and compute Jaccard consistently over the filtered shingle universe.
+   * A shingle in >10^4 docs is boilerplate carrying no dedup signal; its
+   * bucket alone would emit >5*10^7 pairs from one task. 0 = exact
+   * (all-pairs semantics — the oracle mode; use minhashDedup at scale).
    */
-  def jaccardPairs(sh: DataFrame, threshold: Double): DataFrame = {
+  def jaccardPairs(sh: DataFrame, threshold: Double,
+                   maxShingleFreq: Int = 0): DataFrame = {
     val spark = sh.sparkSession
     import spark.implicits._
-    val counts = sh.groupBy("id").agg(count(lit(1)).as("n"))
+    val shF =
+      if (maxShingleFreq <= 0) sh
+      else {
+        val w = org.apache.spark.sql.expressions.Window.partitionBy("shingle")
+        sh.withColumn("__df", count(lit(1)).over(w))
+          .filter(col("__df") <= maxShingleFreq).drop("__df")
+      }
+    val counts = shF.groupBy("id").agg(count(lit(1)).as("n"))
     // intersection sizes via per-shingle buckets (one groupBy + in-bucket
     // pair emission) — a self-join would evaluate and shuffle the shingle
     // set twice; shingles are already distinct within a doc, so each
     // shared shingle contributes exactly one (da, db) emission
-    val inter = sh.select(col("shingle"), col("id").cast("long")).as[(Long, Long)]
+    val inter = shF.select(col("shingle"), col("id").cast("long")).as[(Long, Long)]
       .groupByKey(_._1)
-      .flatMapGroups((_, it) => bucketPairs(it.map(_._2)))
+      .flatMapGroups((_, it) => bucketPairs(it.map(_._2), cap = 0))
       .toDF("da", "db")
       .groupBy("da", "db").agg(count(lit(1)).as("i"))
     inter
@@ -105,7 +122,8 @@ object Dedup {
    * (exact verify); false-negative rate = prod over bands of
    * (1 - j^rowsPerBand).
    */
-  def minhashCandidates(sh: DataFrame, numHashes: Int = 64, bands: Int = 16): DataFrame = {
+  def minhashCandidates(sh: DataFrame, numHashes: Int = 64, bands: Int = 16,
+                        maxBucket: Int = 4096): DataFrame = {
     val spark = sh.sparkSession
     import spark.implicits._
     val sigs = sh.select(col("id").cast("long"), col("shingle")).as[(Long, Long)]
@@ -118,7 +136,7 @@ object Dedup {
         }
         (id, sig)
       }
-    bandPairs(sigs.toDF("id", "sig"), numHashes, bands)
+    bandPairs(sigs.toDF("id", "sig"), numHashes, bands, maxBucket)
   }
 
   /**
@@ -135,28 +153,41 @@ object Dedup {
       .flatMap { case (id, text) =>
         val th = text.split(' ').map(hash64)
         if (th.length < n) Iterator.empty
-        else {
-          val sig = Array.fill(numHashes)(Long.MaxValue)
-          var i = 0
-          while (i + n <= th.length) {
-            var h = 0xcbf29ce484222325L
-            var j = i
-            while (j < i + n) { h = h * 0x100000001b3L ^ th(j); j += 1 }
-            var k = 0
-            while (k < numHashes) { val v = mix(h, k); if (v < sig(k)) sig(k) = v; k += 1 }
-            i += 1
-          }
-          Iterator.single((id, sig))
-        }
+        else Iterator.single((id, sigFromTokens(th, n, numHashes)))
       }
       .toDF("id", "sig")
+  }
+
+  /** Streaming-min MinHash signature over a doc's token-hash sequence. */
+  private def sigFromTokens(th: Array[Long], n: Int, numHashes: Int): Array[Long] = {
+    val sig = Array.fill(numHashes)(Long.MaxValue)
+    var i = 0
+    while (i + n <= th.length) {
+      var h = 0xcbf29ce484222325L
+      var j = i
+      while (j < i + n) { h = h * 0x100000001b3L ^ th(j); j += 1 }
+      var k = 0
+      while (k < numHashes) { val v = mix(h, k); if (v < sig(k)) sig(k) = v; k += 1 }
+      i += 1
+    }
+    sig
+  }
+
+  private def hexBytes(b: Array[Byte]): String = {
+    val sb = new java.lang.StringBuilder(b.length * 2)
+    b.foreach { x =>
+      sb.append(Character.forDigit((x >> 4) & 0xf, 16))
+        .append(Character.forDigit(x & 0xf, 16))
+    }
+    sb.toString
   }
 
   /** LSH banding over (id, sig) signatures: emit candidate pairs sharing
     * any (band, bandKey) bucket. One groupBy on the bucket key with
     * in-bucket pair generation — a self-join would evaluate the signature
     * scan twice and shuffle both sides. */
-  private def bandPairs(sigs: DataFrame, numHashes: Int, bands: Int): DataFrame = {
+  private def bandPairs(sigs: DataFrame, numHashes: Int, bands: Int,
+                        maxBucket: Int = 4096): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
     val r = numHashes / bands
     val spark = sigs.sparkSession
@@ -171,39 +202,108 @@ object Dedup {
       }
     }
       .groupByKey(_._1)
-      .flatMapGroups((_, it) => bucketPairs(it.map(_._2)))
+      .flatMapGroups((_, it) => bucketPairs(it.map(_._2), maxBucket))
       .toDF("da", "db")
       .distinct()
   }
 
-  /** Ordered (da < db) pairs among the ids sharing one bucket. */
-  private def bucketPairs(it: Iterator[Long]): Iterator[(Long, Long)] = {
+  /** Ordered (da < db) pairs among the ids sharing one bucket.
+    *
+    * Skew defense: a bucket of b ids wants b(b-1)/2 pairs inside ONE task —
+    * a stop-phrase band shared by millions of crawl docs would emit ~10^11
+    * tuples. Past `cap` ids the bucket degrades to STAR pairs (every id
+    * paired with the bucket minimum): O(b) emissions that keep the bucket
+    * CONNECTED, so dedup-by-connected-component semantics survive; only
+    * the exhaustive pair listing inside monster buckets is given up, and
+    * the exact-duplicate pre-collapse upstream means such a bucket holds
+    * > cap DISTINCT texts, not mere copies. cap <= 0 disables the defense. */
+  private def bucketPairs(it: Iterator[Long], cap: Int): Iterator[(Long, Long)] = {
     val ids = it.toArray
     if (ids.length < 2) Iterator.empty
     else {
       java.util.Arrays.sort(ids)
-      for {
-        i <- ids.indices.iterator
-        j <- ((i + 1) until ids.length).iterator
-      } yield (ids(i), ids(j))
+      if (cap > 0 && ids.length > cap)
+        ids.iterator.drop(1).map(b => (ids(0), b))
+      else
+        for {
+          i <- ids.indices.iterator
+          j <- ((i + 1) until ids.length).iterator
+        } yield (ids(i), ids(j))
     }
   }
 
   /** MinHash-LSH near-dup pairs with exact-Jaccard verification.
     * Signatures come straight from text (no shingle-table shuffle); the
     * exact shingle pass runs only over docs that appear in some LSH
-    * candidate pair — at scale the n^2 pair space never materializes. */
+    * candidate pair — at scale the n^2 pair space never materializes.
+    *
+    * Exact duplicates are COLLAPSED before LSH: a crawl with 10^6 copies
+    * of one page contributes ONE signature (a 10^6-id bucket would want
+    * ~5*10^11 in-bucket pairs), keyed by 128-bit md5 of the text (64-bit
+    * birthday collisions are expected at ~10^10 docs). The collapse is
+    * lossless: identical text => identical signature AND identical shingle
+    * set, so rep-level candidates/Jaccard transfer verbatim to every
+    * member — results are expanded back bit-identically (within-group
+    * pairs have Jaccard exactly 1.0 by definition). Groups larger than
+    * `maxBucket` expand to star pairs (member -> group min), preserving
+    * connected-component semantics while bounding output. */
   def minhashDedup(df: DataFrame, idCol: String, textCol: String, threshold: Double,
-                   n: Int = 3, numHashes: Int = 64, bands: Int = 16): DataFrame = {
-    val cand = bandPairs(minhashSignatures(df, idCol, textCol, n, numHashes),
-      numHashes, bands).cache()
+                   n: Int = 3, numHashes: Int = 64, bands: Int = 16,
+                   maxBucket: Int = 4096): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    // one narrow pass: (id, text-key, signature); docs shorter than n
+    // shingle words have no signature and (as in the uncollapsed pipeline)
+    // can never pair
+    val sigs = df.select(col(idCol).cast("long"), col(textCol)).as[(Long, String)]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.flatMap { case (id, text) =>
+          val th = text.split(' ').map(hash64)
+          if (th.length < n) Iterator.empty
+          else Iterator.single(
+            (id, hexBytes(md.digest(text.getBytes("UTF-8"))),
+              sigFromTokens(th, n, numHashes)))
+        }
+      }.toDF("id", "tk", "sig")
+    // collapse: the shuffle carries fixed-width signatures, never text;
+    // the groupBy subtree is shared by reps and duplicate groups, so
+    // ReuseExchange computes the signature scan once (no eager cache)
+    val grouped = sigs.groupBy("tk").agg(
+      min("id").as("id"),
+      sort_array(collect_list("id")).as("members"),
+      first("sig").as("sig"))
+    val repSigs = grouped.select(col("id"), col("sig"))
+    val multi = grouped.filter(size(col("members")) > 1)
+      .select(col("id").as("gid"), col("members"))
+    val cand = bandPairs(repSigs, numHashes, bands, maxBucket).cache()
     // no distinct: the left-semi join below dedups implicitly (one fewer
     // shuffle)
     val candDocs = cand.select(col("da").as("cid"))
       .union(cand.select(col("db").as("cid")))
     val candRows = df.join(candDocs, col(idCol).cast("long") === col("cid"), "left_semi")
-    jaccardPairs(shingles(candRows, idCol, textCol, n), threshold)
+    val verifiedReps = jaccardPairs(shingles(candRows, idCol, textCol, n), threshold)
       .join(cand, Seq("da", "db")) // exact-verified, LSH-pruned
+    // expand rep-level pairs across exact-duplicate groups (native
+    // explode, no UDF); singleton reps fall through the left joins
+    val crossed = verifiedReps
+      .join(multi.select(col("gid").as("da"), col("members").as("ma")), Seq("da"), "left")
+      .join(multi.select(col("gid").as("db"), col("members").as("mb")), Seq("db"), "left")
+      .select(coalesce(col("ma"), array(col("da"))).as("ma"),
+        coalesce(col("mb"), array(col("db"))).as("mb"), col("jac"))
+      .select(explode(col("ma")).as("xa"), col("mb"), col("jac"))
+      .select(col("xa"), explode(col("mb")).as("xb"), col("jac"))
+      .select(least(col("xa"), col("xb")).as("da"),
+        greatest(col("xa"), col("xb")).as("db"), col("jac"))
+    // within-group pairs: Jaccard is exactly 1.0 (identical shingle sets)
+    val internal = multi.select(col("members")).as[Seq[Long]].flatMap { ms =>
+      if (maxBucket > 0 && ms.length > maxBucket)
+        ms.iterator.drop(1).map(b => (ms.head, b, 1.0))
+      else
+        for { i <- ms.indices.iterator; j <- ((i + 1) until ms.length).iterator }
+          yield (ms(i), ms(j), 1.0)
+    }.toDF("da", "db", "jac")
+    crossed.unionByName(internal)
   }
 
   /** 64-bit token hash = last 8 MD5 digest bytes, little-endian — the
@@ -242,33 +342,90 @@ object Dedup {
   /**
    * SimHash near-dup pairs with hamming distance <= maxHamming (<= 3 for
    * the 4-band pigeonhole blocking to be lossless).
+   *
+   * Scale shape: band keys are 16-bit (65,536 buckets per band), so past
+   * ~10M docs every bucket is populated and in-bucket pairing is the
+   * quadratic risk — defended the same way as MinHash: exact duplicates
+   * (identical text => identical fingerprint) collapse to one
+   * representative before banding, in-bucket emission star-caps past
+   * `maxBucket`, and results expand back exactly (within-group hamming is
+   * 0 by definition; cross-group hamming equals the rep-level hamming).
    */
-  def simhashDedup(df: DataFrame, idCol: String, textCol: String, maxHamming: Int = 3): DataFrame = {
+  def simhashDedup(df: DataFrame, idCol: String, textCol: String, maxHamming: Int = 3,
+                   maxBucket: Int = 4096): DataFrame = {
     require(maxHamming <= 3, "4-band blocking is only lossless for hamming <= 3")
     val spark = df.sparkSession
     import spark.implicits._
-    val sim = udf((t: String) => simhash64(t))
-    val sigs = df.select(col(idCol).cast("long").as("id"), sim(col(textCol)).as("sig"))
-    val banded = sigs.as[(Long, Long)].flatMap { case (id, sig) =>
-      (0 until 4).map(b => (id, sig, b, (sig >>> (b * 16)) & 0xffffL))
-    }.toDF("id", "sig", "band", "key")
-    val ham = udf((a: Long, b: Long) => java.lang.Long.bitCount(a ^ b))
-    banded.as("x").join(banded.as("y"), Seq("band", "key"))
-      .filter(col("x.id") < col("y.id"))
-      .select(col("x.id").as("da"), col("y.id").as("db"),
-        ham(col("x.sig"), col("y.sig")).as("hamming"))
+    // one narrow pass: (id, text-key, fingerprint)
+    val sigs = df.select(col(idCol).cast("long"), col(textCol)).as[(Long, String)]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.map { case (id, text) =>
+          (id, hexBytes(md.digest(text.getBytes("UTF-8"))), simhash64(text))
+        }
+      }.toDF("id", "tk", "sig")
+    // one groupBy feeds reps AND duplicate groups; its Exchange subtree is
+    // identical across uses, so ReuseExchange computes the text scan +
+    // fingerprints once — no eager cache materialization
+    val grouped = sigs.groupBy("tk").agg(
+      min("id").as("id"),
+      sort_array(collect_list("id")).as("members"),
+      first("sig").as("sig"))
+    val repSigs = grouped.select(col("id"), col("sig"))
+    val multi = grouped.filter(size(col("members")) > 1)
+      .select(col("id").as("gid"), col("members"))
+    // bucket-groupBy pair generation (no self-join: one shuffle of the
+    // fixed-width banded keys) with the star cap; the 8-byte fingerprint
+    // rides along in the bucket so hamming needs no join-back
+    val repPairs = repSigs.as[(Long, Long)].flatMap { case (id, sig) =>
+      (0 until 4).map(b => (b.toLong << 16 | ((sig >>> (b * 16)) & 0xffffL), id, sig))
+    }
+      .groupByKey(_._1)
+      .flatMapGroups { (_, it) =>
+        val rows = it.toArray
+        val sigOf = rows.map(r => r._2 -> r._3).toMap
+        bucketPairs(rows.iterator.map(_._2), maxBucket)
+          .map { case (a, b) => (a, b, sigOf(a), sigOf(b)) }
+      }
+      .toDF("da", "db", "sa", "sb")
       .distinct()
+    val verifiedReps = repPairs
+      .withColumn("hamming", bit_count(col("sa").bitwiseXOR(col("sb"))))
       .filter(col("hamming") <= maxHamming)
+      .select(col("da"), col("db"), col("hamming"))
+    val crossed = verifiedReps
+      .join(multi.select(col("gid").as("da"), col("members").as("ma")), Seq("da"), "left")
+      .join(multi.select(col("gid").as("db"), col("members").as("mb")), Seq("db"), "left")
+      .select(coalesce(col("ma"), array(col("da"))).as("ma"),
+        coalesce(col("mb"), array(col("db"))).as("mb"), col("hamming"))
+      .select(explode(col("ma")).as("xa"), col("mb"), col("hamming"))
+      .select(col("xa"), explode(col("mb")).as("xb"), col("hamming"))
+      .select(least(col("xa"), col("xb")).as("da"),
+        greatest(col("xa"), col("xb")).as("db"), col("hamming"))
+    // within-group pairs: identical text, hamming 0
+    val internal = multi.select(col("members")).as[Seq[Long]].flatMap { ms =>
+      if (maxBucket > 0 && ms.length > maxBucket)
+        ms.iterator.drop(1).map(b => (ms.head, b, 0))
+      else
+        for { i <- ms.indices.iterator; j <- ((i + 1) until ms.length).iterator }
+          yield (ms(i), ms(j), 0)
+    }.toDF("da", "db", "hamming")
+    crossed.unionByName(internal)
   }
 
   /**
    * Embedding cosine near-duplicate pairs: cosdist(a, b) < tau, da < db.
    * `lshBits > 0` switches to random-hyperplane bucketing (only pairs
    * agreeing on all bits in at least one of `lshTables` tables are
-   * compared) — the 100TB path; 0 = exact pair join.
+   * compared) — the 100TB path; 0 = exact pair join, which broadcasts the
+   * table and is GATED at `bruteCap` rows: past the gate it fails loudly
+   * with instructions instead of silently OOMing the driver — switching
+   * to LSH implicitly would silently change recall, so the caller must
+   * choose.
    */
   def embeddingNearDup(df: DataFrame, idCol: String, vecCol: String, tau: Double,
-                       lshBits: Int = 0, lshTables: Int = 8): DataFrame = {
+                       lshBits: Int = 0, lshTables: Int = 8,
+                       bruteCap: Int = 200000): DataFrame = {
     import graft.core.{VectorKernels => K}
     val cd = udf((a: Seq[Float], b: Seq[Float]) => K.cosdist(a.toArray, b.toArray))
     val base = df.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
@@ -278,6 +435,11 @@ object Dedup {
       // sizes past broadcast limits, use the lshBits path instead.
       val spark = df.sparkSession
       import spark.implicits._
+      val n = base.count()
+      require(n <= bruteCap,
+        s"embeddingNearDup exact mode would broadcast $n rows (cap $bruteCap): " +
+        "pass lshBits > 0 (random-hyperplane bucketing, the scale path) or " +
+        "raise bruteCap explicitly")
       val rows = base.as[(Long, Seq[Float])]
       val side = spark.sparkContext.broadcast(
         rows.collect().map { case (id, v) => (id, v.toArray, K.norm(v.toArray)) })

@@ -159,4 +159,40 @@ class IvfBuildVariantsSpec extends SparkSpec {
     assert(bytes(dir16) < bytes(dir32) * 0.8,
       s"f16 gen ${bytes(dir16)}B vs f32 gen ${bytes(dir32)}B")
   }
+
+  test("B1: build sampling is randomized — clustered data in sorted order still covers every mode") {
+    import spark.implicits._
+    // 4 well-separated blobs, rows ORDERED by blob, sample cap (lists x
+    // samplingFactor = 8 x 32 = 256) below one blob's 500 rows: a prefix
+    // sample would learn all 8 centroids from blob 0 alone (reference
+    // does a randomized table-sample scan, src/index/sample.rs:14-262)
+    val rng = new scala.util.Random(7)
+    def center(b: Int): Array[Float] =
+      Array.tabulate(8)(j => if (j == b * 2) 10f * (b + 1) else 0f)
+    val blobRows: Seq[(Long, Seq[Float])] = (0 until 4).flatMap { b =>
+      (0 until 500).map { i =>
+        (b * 500 + i).toLong -> center(b).map(_ + rng.nextFloat() * 0.2f).toSeq
+      }
+    }
+    val dir = freshDir()
+    val idx = IvfIndex.build(blobRows.toDF("id", "vec"), "id", "vec", dir,
+      IvfConfig(lists = 8, samplingFactor = 32))
+    // every blob center must have a learned centroid nearby — with a
+    // prefix sample the nearest centroid to blob 3's center sits >= 10
+    // away (it was learned from blob 0)
+    (0 until 4).foreach { b =>
+      val d = math.sqrt(idx.meta.centroids.map(c => K.l2s(center(b), c)).min)
+      assert(d < 2.0, s"blob $b has no nearby centroid (nearest at $d)")
+    }
+    // and ANN at the standard budget stays perfect at each mode
+    (0 until 4).foreach { b =>
+      assert(idx.evaluateRecall(center(b), 10, probes = 4, refine = 16) == 1.0,
+        s"recall at blob $b")
+    }
+    // seeded hash ordering => bit-identical centroids on rebuild
+    val idx2 = IvfIndex.build(blobRows.toDF("id", "vec"), "id", "vec", freshDir(),
+      IvfConfig(lists = 8, samplingFactor = 32))
+    assert(idx.meta.centroids.zip(idx2.meta.centroids)
+      .forall { case (a, c) => a.sameElements(c) })
+  }
 }

@@ -63,6 +63,88 @@ class DedupSpec extends SparkSpec {
     assert(g.toSeq == Seq((0L, 2L)))
   }
 
+  test("exact-dup collapse is lossless: minhash output unchanged by duplicate copies") {
+    import spark.implicits._
+    // corpus with exact-duplicate groups layered on the near-dup fixture:
+    // collapse must reproduce the uncollapsed pipeline's pair set exactly
+    val withDups = docs ++ Seq(
+      300L -> docs(0)._2, 301L -> docs(0)._2,       // a 3-member group with doc 0
+      310L -> docs(105)._2)                           // duplicate of a near-dup doc
+    val df = withDups.toDF("doc_id", "text")
+    val got = Dedup.minhashDedup(df, "doc_id", "text", 0.6)
+      .select("da", "db", "jac").as[(Long, Long, Double)].collect().toSet
+    // ground truth: exhaustive jaccard over ALL pairs (no LSH) at threshold
+    val exact = Dedup.jaccardPairs(Dedup.shingles(df, "doc_id", "text", 3), 0.6)
+      .select("da", "db", "jac").as[(Long, Long, Double)].collect().toSet
+    assert(got.map(p => (p._1, p._2)) == exact.map(p => (p._1, p._2)))
+    // values transfer exactly too (within-group pairs are exactly 1.0)
+    assert(got == exact)
+    assert(got.contains((0L, 300L, 1.0)) && got.contains((300L, 301L, 1.0)))
+  }
+
+  test("simhash collapse is lossless and banding survives duplicates") {
+    import spark.implicits._
+    val withDups = docs ++ Seq(300L -> docs(0)._2, 301L -> docs(0)._2)
+    val df = withDups.toDF("doc_id", "text")
+    val got = Dedup.simhashDedup(df, "doc_id", "text", 3)
+      .select("da", "db", "hamming").as[(Long, Long, Int)].collect().toSet
+    // brute-force ground truth over fingerprints (blocking is lossless <= 3)
+    val sigs = withDups.map { case (id, t) => (id, Dedup.simhash64(t)) }
+    val want = (for {
+      (ida, sa) <- sigs; (idb, sb) <- sigs if ida < idb
+      h = java.lang.Long.bitCount(sa ^ sb) if h <= 3
+    } yield (ida, idb, h)).toSet
+    assert(got == want)
+  }
+
+  test("monster bucket of identical docs completes bounded (star-pair cap)") {
+    import spark.implicits._
+    val text = "the same page scraped ten thousand times over and over again"
+    val big = (0L until 10000L).map(i => i -> text) ++ docs.map { case (i, t) => (20000L + i, t) }
+    val df = big.toDF("doc_id", "text")
+    val t0 = System.nanoTime()
+    val pairs = Dedup.minhashDedup(df, "doc_id", "text", 0.6, maxBucket = 64)
+      .filter(org.apache.spark.sql.functions.col("da") < 10000L)
+      .select("da", "db").as[(Long, Long)].collect()
+    val secs = (System.nanoTime() - t0) / 1e9
+    // star expansion: 9,999 pairs all anchored at the group min, not 5*10^7
+    assert(pairs.length == 9999, s"got ${pairs.length}")
+    assert(pairs.forall(_._1 == 0L))
+    assert(secs < 60, s"took ${secs}s")
+    // connected-component semantics preserved: every copy reaches id 0
+    assert(pairs.map(_._2).toSet == (1L until 10000L).toSet)
+  }
+
+  test("jaccard stop-shingle capping drops only boilerplate buckets") {
+    import spark.implicits._
+    // every doc shares one boilerplate header; pairs driven only by it
+    // disappear under the df-cap, genuinely similar pairs survive
+    val boiler = "copyright footer legal text here"
+    val corpus = (0L until 30L).map(i => i -> s"$boiler unique${i} content${i} word${i} tail${i}") ++
+      Seq(100L -> s"$boiler shared body of the pair alpha beta gamma",
+          101L -> s"$boiler shared body of the pair alpha beta delta")
+    val df = corpus.toDF("doc_id", "text")
+    val sh = Dedup.shingles(df, "doc_id", "text", 3)
+    val uncapped = Dedup.jaccardPairs(sh, 0.2).select("da", "db").as[(Long, Long)].collect().toSet
+    val capped = Dedup.jaccardPairs(sh, 0.2, maxShingleFreq = 10)
+      .select("da", "db").as[(Long, Long)].collect().toSet
+    assert(uncapped.contains((0L, 1L)), "boilerplate alone pairs everything uncapped")
+    assert(!capped.contains((0L, 1L)), "df-cap must kill the boilerplate bucket")
+    assert(capped.contains((100L, 101L)), "true near-dup must survive the cap")
+    assert(capped.subsetOf(uncapped))
+  }
+
+  test("embedding brute path is gated at bruteCap rows") {
+    import spark.implicits._
+    val rng = new scala.util.Random(5)
+    val vecs = (0L until 40L).map(i => i -> Seq.fill(8)(rng.nextFloat()))
+    val df = vecs.toDF("vec_id", "embedding")
+    val e = intercept[IllegalArgumentException] {
+      Dedup.embeddingNearDup(df, "vec_id", "embedding", 0.1, bruteCap = 10).collect()
+    }
+    assert(e.getMessage.contains("lshBits"))
+  }
+
   test("embedding LSH near-dup finds identical vectors") {
     import spark.implicits._
     val rng = new scala.util.Random(3)
