@@ -180,6 +180,66 @@ object RaBitQ {
 
   def biasOf(bits: Int): Int = bias(bits)
 
+  // ---- code-vs-code distance operators (reference:
+  // src/datatype/operators_rabitq8.rs:21-49 / operators_rabitq4.rs:21-49,
+  // math in crates/rabitq/src/extended.rs:155-205 half_process_{l2s,dot,cos}):
+  // both sides stay quantized — the integer lattice dot plus the stored
+  // metadata reconstruct the distance between the dequantized points, no
+  // float decode. Formulas use OUR lattice (bias b = 127/7, see header):
+  //   ip    = sum_i(ua_i*ub_i) - b*(sum_ua + sum_ub) + dim*b^2
+  //   dot   = scale_a * scale_b * ip
+  //   l2s   = disU2_a + disU2_b - 2*dot   (|x_hat|^2 == disU2 exactly,
+  //                                        norm-preserving scale)
+  //   cos   = dot / sqrt(disU2_a * disU2_b)
+  // ----
+
+  /** Integer lattice dot: sum of products of the unsigned code values. */
+  private def codeDotInt(a: Code, b: Code): Double = {
+    require(a.dim == b.dim, s"dim mismatch ${a.dim} vs ${b.dim}")
+    require(a.bits == b.bits, s"bits mismatch ${a.bits} vs ${b.bits}")
+    var acc = 0L
+    if (a.bits == 8) {
+      var i = 0
+      while (i < a.dim) { acc += (a.codes(i) & 0xff).toLong * (b.codes(i) & 0xff); i += 1 }
+    } else {
+      var i = 0
+      while (i < a.dim) {
+        val ba = a.codes(i / 2) & 0xff
+        val bb = b.codes(i / 2) & 0xff
+        val ua = if ((i & 1) == 0) ba & 0x0f else (ba >> 4) & 0x0f
+        val ub = if ((i & 1) == 0) bb & 0x0f else (bb >> 4) & 0x0f
+        acc += ua.toLong * ub
+        i += 1
+      }
+    }
+    acc.toDouble
+  }
+
+  /** Estimated dot(x, y) between the two original vectors, from codes only. */
+  def dotQQ(a: Code, b: Code): Double = {
+    val bi = bias(a.bits)
+    val ip = codeDotInt(a, b) -
+      bi.toDouble * (a.sumOfCode.toDouble + b.sumOfCode.toDouble) +
+      a.dim.toDouble * bi.toDouble * bi.toDouble
+    a.scale * b.scale * ip
+  }
+
+  /** Estimated L2 distance (reference `operator_l2s(...).sqrt()`). */
+  def l2QQ(a: Code, b: Code): Double =
+    math.sqrt(math.max(a.disU2.toDouble + b.disU2.toDouble - 2.0 * dotQQ(a, b), 0.0))
+
+  /** Estimated `<#>` negative dot (the reference ip operator's sign). */
+  def negdotQQ(a: Code, b: Code): Double = -dotQQ(a, b)
+
+  /** Estimated `<=>` cosine distance 1 - cos; zero-norm input yields 1.0
+    * (the engine-wide NaN-free convention, see VectorKernels.cosdist). */
+  def cosdistQQ(a: Code, b: Code): Double = {
+    val na = a.disU2.toDouble
+    val nb = b.disU2.toDouble
+    if (na == 0.0 || nb == 0.0) 1.0
+    else 1.0 - dotQQ(a, b) / math.sqrt(na * nb)
+  }
+
   /**
    * Estimated squared L2 distance + an error radius for lower-bounding:
    *   l2s ~= |q|^2 + |x|^2 - 2*dot

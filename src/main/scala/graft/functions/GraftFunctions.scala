@@ -69,6 +69,32 @@ object GraftFunctions {
     RaBitQ.dequantize(RaBitQ.Code(q.meta.toArray, q.codes, q.bits, q.dim)).toSeq
   }
 
+  // ---- distance operators over QUANTIZED columns (reference:
+  // src/datatype/operators_rabitq8.rs:21-49, operators_rabitq4.rs:21-49):
+  // both sides stay coded — no dequantize round-trip. One function per
+  // metric serves both rabitq8 and rabitq4 (the QCode struct carries its
+  // own bits; Postgres needs a function per type, Spark does not). ----
+
+  private def qc(q: QCode): RaBitQ.Code =
+    RaBitQ.Code(q.meta.toArray, q.codes, q.bits, q.dim)
+
+  /** `<->` over coded vectors (reference `_vchord_rabitq8_operator_l2`). */
+  val rabitqL2: UserDefinedFunction = udf((a: QCode, b: QCode) => RaBitQ.l2QQ(qc(a), qc(b)))
+  /** `<#>` over coded vectors (reference `_vchord_rabitq8_operator_ip`). */
+  val rabitqNegdot: UserDefinedFunction = udf((a: QCode, b: QCode) => RaBitQ.negdotQQ(qc(a), qc(b)))
+  /** `<=>` over coded vectors (reference `_vchord_rabitq8_operator_cosine`,
+    * mapped to this engine's 1-cos convention). */
+  val rabitqCosdist: UserDefinedFunction = udf((a: QCode, b: QCode) => RaBitQ.cosdistQQ(qc(a), qc(b)))
+
+  /** `qcode <<metric>> sphere(center: qcode, radius)` — the reference's
+    * sphere operators over quantized types (operators_rabitq8.rs:52+). */
+  def rabitqSphereContains(x: Column, sph: Column, metric: String): Column = metric match {
+    case "l2"      => rabitqL2(x, sph.getField("center")) < sph.getField("radius")
+    case "negdot"  => rabitqNegdot(x, sph.getField("center")) < sph.getField("radius")
+    case "cosdist" => rabitqCosdist(x, sph.getField("center")) < sph.getField("radius")
+    case m         => throw new IllegalArgumentException(s"unknown metric: $m")
+  }
+
   // ---- halfvec (f16) surface: stored as Short bit patterns, widened to
   // f32 for math (reference: crates/vector/src/vect.rs:38-46) ----
 
@@ -176,6 +202,9 @@ object GraftFunctions {
     spark.udf.register("quantize_rabitq8", quantizeRabitq8)
     spark.udf.register("quantize_rabitq4", quantizeRabitq4)
     spark.udf.register("dequantize", dequantize)
+    spark.udf.register("rabitq_l2", rabitqL2)
+    spark.udf.register("rabitq_negdot", rabitqNegdot)
+    spark.udf.register("rabitq_cosdist", rabitqCosdist)
     spark.udf.register("vec_to_text", vecToText)
     spark.udf.register("vec_from_text", vecFromText)
   }

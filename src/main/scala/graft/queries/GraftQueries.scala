@@ -212,6 +212,47 @@ object GraftQueries {
           .orderBy("vec_id") },
       Some("SELECT vec_id, TRUE AS ok FROM embeddings ORDER BY vec_id")),
 
+    // distance operators over QUANTIZED columns (reference
+    // operators_rabitq8.rs / operators_rabitq4.rs): both sides stay coded.
+    // The codec lattice is engine-defined, so (as with the roundtrip
+    // oracles) the checked contract is the error BOUND of each coded
+    // distance against the exact distance on the raw pair — margins sized
+    // from the per-vector round-trip bounds (8-bit <3%, 4-bit <25% per
+    // side), verified per-row on the real corpus.
+    "v_qdist8_ops" -> Q(
+      (s, d) => {
+        val ok = udf { (v: Seq[Float]) =>
+          import graft.core.{RaBitQ, VectorKernels => K}
+          val x = v.toArray
+          val y = x.map(f => 0.8f * f - 1.0f)
+          val a = RaBitQ.quantize(x, 8); val b = RaBitQ.quantize(y, 8)
+          val nx = K.norm(x); val ny = K.norm(y)
+          math.abs(RaBitQ.l2QQ(a, b) - K.l2(x, y)) <= 0.03 * (1e-9 + nx + ny) &&
+            math.abs(RaBitQ.negdotQQ(a, b) - K.negdot(x, y)) <= 0.03 * (1e-9 + nx * ny) &&
+            math.abs(RaBitQ.cosdistQQ(a, b) - K.cosdist(x, y)) <= 0.05
+        }
+        tbl(s, d, "embeddings")
+          .select(col("vec_id"), ok(col("embedding")).as("ok"))
+          .orderBy("vec_id") },
+      Some("SELECT vec_id, TRUE AS ok FROM embeddings ORDER BY vec_id")),
+
+    "v_qdist4_ops" -> Q(
+      (s, d) => {
+        val ok = udf { (v: Seq[Float]) =>
+          import graft.core.{RaBitQ, VectorKernels => K}
+          val x = v.toArray
+          val y = x.map(f => 0.8f * f - 1.0f)
+          val a = RaBitQ.quantize(x, 4); val b = RaBitQ.quantize(y, 4)
+          val nx = K.norm(x); val ny = K.norm(y)
+          math.abs(RaBitQ.l2QQ(a, b) - K.l2(x, y)) <= 0.3 * (1e-9 + nx + ny) &&
+            math.abs(RaBitQ.negdotQQ(a, b) - K.negdot(x, y)) <= 0.5 * (1e-9 + nx * ny) &&
+            math.abs(RaBitQ.cosdistQQ(a, b) - K.cosdist(x, y)) <= 0.5
+        }
+        tbl(s, d, "embeddings")
+          .select(col("vec_id"), ok(col("embedding")).as("ok"))
+          .orderBy("vec_id") },
+      Some("SELECT vec_id, TRUE AS ok FROM embeddings ORDER BY vec_id")),
+
     // ---- KNN / index scans (SURVEY §2.2) ----
 
     "knn_topk" -> Q(

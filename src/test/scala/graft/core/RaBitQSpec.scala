@@ -71,4 +71,44 @@ class RaBitQSpec extends AnyFunSuite {
     val deq = RaBitQ.dequantize(RaBitQ.quantize(z, 8))
     assert(deq.forall(_ == 0.0f))
   }
+
+  test("code-vs-code operators equal the dequantized-pair distances") {
+    Seq(8, 4).foreach { bits =>
+      forAllVecs(trials = 100, seed = 7L) { x =>
+        val y = x.map(v => -0.4f * v + 2.5f)
+        val (a, b) = (RaBitQ.quantize(x, bits), RaBitQ.quantize(y, bits))
+        val (da, db) = (RaBitQ.dequantize(a), RaBitQ.dequantize(b))
+        // the metadata path computes the same quantity as decoding both
+        // sides — only f32-rounding of the decoded elements separates them
+        val l2Ref = K.l2(da, db)
+        assert(math.abs(RaBitQ.l2QQ(a, b) - l2Ref) <= 1e-4 * (1.0 + l2Ref), s"bits=$bits l2")
+        val ndRef = K.negdot(da, db)
+        assert(math.abs(RaBitQ.negdotQQ(a, b) - ndRef) <= 1e-4 * (1.0 + math.abs(ndRef)), s"bits=$bits negdot")
+        val cosRef = K.cosdist(da, db)
+        assert(math.abs(RaBitQ.cosdistQQ(a, b) - cosRef) <= 1e-4 * (1.0 + math.abs(cosRef)), s"bits=$bits cos")
+      }
+    }
+  }
+
+  test("code-vs-code operators approximate the true distances (8-bit < 3%)") {
+    forAllVecs(trials = 100, seed = 9L) { x =>
+      val y = x.map(v => 0.8f * v - 1.0f)
+      val (a, b) = (RaBitQ.quantize(x, 8), RaBitQ.quantize(y, 8))
+      val scaleMag = K.norm(x) + K.norm(y)
+      assert(math.abs(RaBitQ.l2QQ(a, b) - K.l2(x, y)) <= 0.03 * (1e-9 + scaleMag))
+      assert(math.abs(RaBitQ.negdotQQ(a, b) - K.negdot(x, y)) <=
+        0.03 * (1e-9 + K.norm(x) * K.norm(y)))
+    }
+  }
+
+  test("code-vs-code self distance: l2 == 0, cosdist == 0, zero vec cos == 1") {
+    val x = Array.tabulate(32)(i => (i - 16) * 0.25f)
+    val a = RaBitQ.quantize(x, 8)
+    assert(RaBitQ.l2QQ(a, a) == 0.0)
+    // f32 metadata rounding leaves ~1e-8 relative residue in dot/disU2
+    assert(math.abs(RaBitQ.cosdistQQ(a, a)) < 1e-6)
+    val z = RaBitQ.quantize(Array.fill(8)(0.0f), 8)
+    assert(RaBitQ.cosdistQQ(z, z) == 1.0)
+    assert(RaBitQ.l2QQ(z, z) == 0.0)
+  }
 }

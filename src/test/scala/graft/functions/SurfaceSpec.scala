@@ -52,4 +52,36 @@ class SurfaceSpec extends SparkSpec {
     assertThrows[IllegalArgumentException](GraftFunctions.qcodeFromText("nope", 8))
     assertThrows[IllegalArgumentException](GraftFunctions.qcodeFromText("(1,2)[3]", 8))
   }
+
+  test("quantized-column distance operators: SQL surface and DSL agree") {
+    import spark.implicits._
+    GraftFunctions.registerAll(spark)
+    val rng = new scala.util.Random(44)
+    val rows = (0L until 40L).map(i => (i, Seq.fill(24)(rng.nextFloat() * 4 - 2)))
+    rows.toDF("id", "v").createOrReplaceTempView("qv")
+    val got = spark.sql(
+      """SELECT id,
+        |  rabitq_l2(quantize_rabitq8(v), quantize_rabitq8(w)) AS l2q,
+        |  rabitq_negdot(quantize_rabitq8(v), quantize_rabitq8(w)) AS ndq,
+        |  rabitq_cosdist(quantize_rabitq8(v), quantize_rabitq8(w)) AS cosq
+        |FROM (SELECT id, v, transform(v, x -> -x * float(0.5)) AS w FROM qv)
+        |ORDER BY id""".stripMargin)
+      .as[(Long, Double, Double, Double)].collect()
+    rows.zip(got).foreach { case ((_, v), (_, l2q, ndq, cosq)) =>
+      val x = v.toArray
+      val y = x.map(f => -f * 0.5f)
+      val (a, b) = (RaBitQ.quantize(x, 8), RaBitQ.quantize(y, 8))
+      assert(l2q == RaBitQ.l2QQ(a, b))
+      assert(ndq == RaBitQ.negdotQQ(a, b))
+      assert(cosq == RaBitQ.cosdistQQ(a, b))
+    }
+    // rabitq sphere predicate composes the same coded distance
+    val df = rows.toDF("id", "v")
+      .withColumn("q", expr("quantize_rabitq8(v)"))
+      .withColumn("c", expr("quantize_rabitq8(transform(v, x -> x + float(0.1)))"))
+      .withColumn("sph", struct(col("c").as("center"), lit(5.0).as("radius")))
+    val inSphere = df.filter(GraftFunctions.rabitqSphereContains(col("q"), col("sph"), "l2"))
+      .count()
+    assert(inSphere > 0)
+  }
 }
