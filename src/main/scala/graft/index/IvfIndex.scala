@@ -551,6 +551,45 @@ final class IvfIndex(val spark: SparkSession, dir: String, val meta: IvfMeta) {
     }.toMap
   }
 
+  /** Per-cluster indexed row counts (cached with dataDf's invalidation
+    * key) — the analog of the reference's per-cell `tuples()` counter on
+    * jump tuples, used by MaxSim threshold pricing. */
+  @volatile private var clusterCountsCache: (String, Boolean, Long, Map[Int, Long]) = null
+  def clusterCounts: Map[Int, Long] = {
+    val gen = currentGen
+    val delta = deltaExists
+    val ver = mutations.get()
+    val c = clusterCountsCache
+    if (c != null && c._1 == gen && c._2 == delta && c._3 == ver) c._4
+    else {
+      val m = dataDf.groupBy("cluster_id").count()
+        .as[(Int, Long)].collect().toMap
+      clusterCountsCache = (gen, delta, ver, m)
+      m
+    }
+  }
+
+  /** Every leaf cell in probe order (the same l2s-to-centroid ordering
+    * `probe` uses, so the first `probes` entries ARE the probed set),
+    * carrying the INDEX-METRIC distance from the query to the centroid —
+    * the value stream of the reference's maxsim probe iterator
+    * (crates/vchordrq/src/search.rs:283-301), used to price unvisited
+    * cells. */
+  def cellOrder(q: Array[Float]): Array[(Int, Double)] = {
+    val qq = prepQuery(q)
+    meta.centroids.indices
+      .map(i => (K.l2s(qq, meta.centroids(i)), i))
+      .sortBy(identity)
+      .map { case (l2s, i) =>
+        val d = meta.cfg.metric match {
+          case "l2"      => math.sqrt(l2s)
+          case "negdot"  => K.negdot(qq, meta.centroids(i))
+          case "cosdist" => 1.0 + K.negdot(qq, meta.centroids(i))
+        }
+        (i, d)
+      }.toArray
+  }
+
   /** Probed leaf cluster ids: nearest `probes` leaf centroids. With an
     * internal level (B5), only leaves under the `probes1` best l1 groups
     * are scored — the tree-descent pruning of the reference. */

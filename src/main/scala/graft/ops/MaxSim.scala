@@ -115,19 +115,59 @@ object MaxSim {
    * stored token vectors (one distributed pass over just those docs'
    * tokens), and the final top-k orders by exact score — estimate error
    * can then only cost recall at the candidate boundary, never ordering.
+   *
+   * `maxsimThreshold > 0` enables the reference's threshold pricing
+   * (search.rs:369-380 + scanners/maxsim.rs:698-717): a token's stand-in
+   * for docs it did not retrieve becomes max(worst retrieved distance,
+   * centroid distance of the first unprobed cells covering that many
+   * tuples) — the probe iterator keeps being consumed WITHOUT scanning
+   * until `maxsimThreshold` tuples are covered. Pricing misses at an
+   * unvisited-cell distance (instead of the optimistic worst-retrieved)
+   * penalizes docs whose tokens live outside the probe horizon, which is
+   * what keeps sparse-probe rankings honest.
    */
   def approxTopK(idx: graft.index.IvfIndex, query: Array[Array[Float]], k: Int,
                  kPerToken: Int = 100, probes: Int = 4, refine: Int = 8,
-                 refineDocs: Int = 0): DataFrame = {
+                 refineDocs: Int = 0, maxsimThreshold: Int = 0): DataFrame = {
     val spark = idx.spark
     import spark.implicits._
-    // per-token candidate lists (small: kPerToken each) merged on driver —
-    // the reference's doc-keyed heap merge
-    val perToken: Seq[Array[(Long, Double)]] = query.toSeq.map { q =>
-      idx.search(q, kPerToken, probes, refine = refine)
-        .as[(Long, Double)].collect()
+    // ALL tokens retrieve through ONE batch call (qid = token index):
+    // searchMany is bit-equal to per-token `search` but costs 2 Spark jobs
+    // total instead of 2 per token — a 100-token ColBERT query would
+    // otherwise serialize 200 driver-scheduled jobs
+    val byToken: Map[Long, Array[(Long, Double)]] =
+      idx.searchMany(query.zipWithIndex.map { case (q, i) => (i.toLong, q) },
+          kPerToken, probes, refine = refine)
+        .select("qid", "id", "dist").as[(Long, Long, Double)].collect()
+        .groupBy(_._1).view.mapValues(_.map(t => (t._2, t._3))).toMap
+    val perToken: Seq[Array[(Long, Double)]] =
+      query.indices.map(i => byToken.getOrElse(i.toLong, Array.empty))
+    // estimation_by_threshold: walk the probe iterator past the probed
+    // cells, consuming per-cell tuple counts until the threshold is
+    // covered; the last consumed cell's centroid distance prices misses
+    val thresholdEst: Seq[Double] =
+      if (maxsimThreshold <= 0) query.indices.map(_ => Double.NegativeInfinity)
+      else {
+        val counts = idx.clusterCounts
+        query.toSeq.map { q =>
+          val order = idx.cellOrder(q)
+          var remaining = maxsimThreshold.toLong
+          var i = 0
+          while (i < math.min(probes, order.length)) {
+            remaining -= counts.getOrElse(order(i)._1, 0L); i += 1
+          }
+          var est = Double.NegativeInfinity
+          while (i < order.length && remaining > 0) {
+            remaining -= counts.getOrElse(order(i)._1, 0L)
+            est = order(i)._2
+            i += 1
+          }
+          est
+        }
+      }
+    val estimates = perToken.zipWithIndex.map { case (c, qi) =>
+      if (c.isEmpty) 0.0 else math.max(c.map(_._2).max, thresholdEst(qi))
     }
-    val estimates = perToken.map(c => if (c.isEmpty) 0.0 else c.map(_._2).max)
     // one pass per token list: doc -> min retrieved distance
     val perTokenMin: Seq[Map[Long, Double]] = perToken.map { c =>
       c.groupBy(t => unpackDoc(t._1)).view.mapValues(_.map(_._2).min).toMap

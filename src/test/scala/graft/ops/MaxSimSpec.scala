@@ -58,6 +58,40 @@ class MaxSimSpec extends SparkSpec {
       s"refined=$refined exact=$exactPairs")
   }
 
+  test("maxsim_threshold prices misses at unvisited cells and fixes sparse-probe ranking") {
+    import spark.implicits._
+    // dim-4 axis-aligned fixture, lists=4 (one cell per axis group),
+    // probes=1: query token q1's cell holds ONLY doc 1's token, so every
+    // other doc is "missing" for q1 and gets the stand-in price.
+    //   doc 1 (A): tokens e0, e1            exact maxsim = -2.0
+    //   doc 2 (B): tokens 1.3*e0, e2        exact maxsim = -1.3 (e2 junk for q1)
+    //   doc 3 (C): tokens 0.5*e0, e3        exact maxsim = -0.5
+    // Worst-retrieved pricing sets q1's miss price to -1.0 (its only
+    // retrieved distance), which hands B a fantasy score of -2.3 ahead of
+    // A — the optimistic failure the reference's threshold semantics
+    // exist to prevent.
+    def e(i: Int, s: Float): Seq[Float] =
+      Seq.tabulate(4)(j => if (j == i) s else 0.0f)
+    val tokens = Seq(
+      (1L, 0, e(0, 1.0f)), (1L, 1, e(1, 1.0f)),
+      (2L, 0, e(0, 1.3f)), (2L, 1, e(2, 1.0f)),
+      (3L, 0, e(0, 0.5f)), (3L, 1, e(3, 1.0f))
+    ).toDF("doc", "pos", "v")
+    val query = Array(Array(1.0f, 0, 0, 0), Array(0, 1.0f, 0, 0))
+    val dir = java.nio.file.Files.createTempDirectory("graft-maxsim-thr").toString
+    val idx = MaxSim.buildTokenIndex(tokens, "doc", "pos", "v", dir,
+      graft.index.IvfConfig(metric = "negdot", lists = 4, residual = false))
+    def run(threshold: Int): Seq[Long] =
+      MaxSim.approxTopK(idx, query, 3, kPerToken = 3, probes = 1,
+          maxsimThreshold = threshold)
+        .select("doc").as[Long].collect().toSeq
+    // optimistic pricing mis-ranks B above A
+    assert(run(0) == Seq(2L, 1L, 3L), s"got ${run(0)}")
+    // threshold pricing (probed cell covers 1 tuple; 2 more force one
+    // unvisited-cell step at ~0 distance) restores the exact order
+    assert(run(3) == Seq(1L, 2L, 3L), s"got ${run(3)}")
+  }
+
   test("packKey/unpackDoc round-trip (u16 position payload)") {
     assert(MaxSim.unpackDoc(MaxSim.packKey(123456L, 65535)) == 123456L)
     assert((MaxSim.packKey(7L, 3) & 0xffffL) == 3L)
