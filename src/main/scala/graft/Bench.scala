@@ -122,7 +122,12 @@ object Bench {
       graft.ops.Knn.knnJoin(df, "id", "vec", qs, 10).count()
       val tBruteBatch = (System.nanoTime() - t4) / 1e9
       df.unpersist()
+      // B5 deep-tree probe economics: flat vs 3-level descent over 1024
+      // synthetic centroids, 2000 probes each (driver-side cost only)
+      val (tProbeFlat, tProbeTree) = graft.index.ProbeBench.run(spark)
       Seq(s"_scale_build_${n}" -> tBuild, s"_scale_ann_$n" -> tAnn,
+        "_scale_probe2k_flat_1024" -> tProbeFlat,
+        "_scale_probe2k_tree_1024" -> tProbeTree,
         s"_scale_brute_$n" -> tBrute,
         s"_scale_ann_uncached_$n" -> tAnnUncached,
         s"_scale_brute_uncached_$n" -> tBruteUncached,

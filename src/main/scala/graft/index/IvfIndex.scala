@@ -50,11 +50,22 @@ final case class IvfConfig(
     kmeansAlgo: String = "lloyd", // lloyd | hierarchical (reference B2/B3)
     kmeansDim: Int = 0,           // >0: cluster in rotated+truncated space (B4)
     rotate: Boolean = false,      // store FHT-rotated vectors (B6)
-    lists1: Int = 0,              // >0: internal level size — 2-level tree (B5)
-    storage: String = "f32") {    // f32 | f16 — rerank-vector storage (halfvec
+    lists1: Int = 0,              // >0: one internal level — shorthand for
+                                  // upperLists = Seq(lists1)
+    storage: String = "f32",      // f32 | f16 — rerank-vector storage (halfvec
                                   // index: half the vec bytes on disk/scan;
                                   // codes quantize the f16-roundtripped vector
                                   // so estimate and rerank see one store)
+    upperLists: Seq[Int] = Nil) { // internal level sizes, coarse -> fine —
+                                  // the reference's lists=[l1,...,lk] trees
+                                  // of height 1-8 (crates/vchordrq/src/
+                                  // tuples.rs:74-76 `cells: Vec<u32>`,
+                                  // am/am_build.rs:1355-1385); leaves stay
+                                  // `lists`
+  /** Internal level sizes, coarse -> fine (lists1 is sugar for one level). */
+  def effectiveUpper: Seq[Int] =
+    if (upperLists.nonEmpty) upperLists else if (lists1 > 0) Seq(lists1) else Nil
+
   /** Option validation — the reference rejects bad reloptions at CREATE
     * INDEX (tests/vchordrq/options.slt, src/index/vchordrq/types.rs). */
   def validate(): Unit = {
@@ -67,19 +78,36 @@ final case class IvfConfig(
     require(kmeansDim >= 0, s"kmeansDim must be >= 0, got $kmeansDim")
     require(lists1 >= 0 && lists1 <= lists,
       s"lists1 must be in [0, lists], got $lists1 (lists=$lists)")
+    require(upperLists.isEmpty || lists1 == 0,
+      "set either lists1 or upperLists, not both")
+    val eu = effectiveUpper
+    require(eu.length <= 7,
+      s"at most 7 internal levels (tree height 1-8, as the reference), got ${eu.length}")
+    require(eu.forall(s => s >= 1 && s <= lists),
+      s"internal level sizes must be in [1, lists]: $eu (lists=$lists)")
+    require(eu == eu.sorted,
+      s"internal levels must be coarse -> fine (ascending): $eu")
     require(Set("f32", "f16")(storage), s"unknown storage '$storage'")
   }
 }
 
 /** `dim` = stored vector dim (padded when rotated); `origDim` = input dim.
-  * `l1Centroids`/`l1Children`: optional internal level (reference B5 —
-  * `lists=[l1, l2]` chains levels by nearest-centroid lookup,
-  * am/am_build.rs:1355-1385): leaf centroids grouped under l1 parents so
-  * probing scores l1 first and only then the surviving leaves. */
+  * `upperCentroids`/`upperChildren`: optional internal levels, coarse ->
+  * fine (reference B5 — `lists=[l1,...,lk]` chains levels by
+  * nearest-centroid lookup, am/am_build.rs:1355-1385): level i's
+  * children(j) indexes level i+1's centroid array, the FINEST level's
+  * children are leaf cell ids, so probing descends the tree and only
+  * scores surviving subtrees. */
 final case class IvfMeta(dim: Int, origDim: Int, cfg: IvfConfig,
                          centroids: Array[Array[Float]],
-                         l1Centroids: Array[Array[Float]] = Array.empty,
-                         l1Children: Array[Array[Int]] = Array.empty)
+                         upperCentroids: Seq[Array[Array[Float]]] = Nil,
+                         upperChildren: Seq[Array[Array[Int]]] = Nil) {
+  /** Finest internal level (back-compat accessors for the 2-level shape). */
+  def l1Centroids: Array[Array[Float]] =
+    if (upperCentroids.nonEmpty) upperCentroids.last else Array.empty
+  def l1Children: Array[Array[Int]] =
+    if (upperChildren.nonEmpty) upperChildren.last else Array.empty
+}
 
 object IvfIndex {
 
@@ -156,6 +184,7 @@ object IvfIndex {
     p.setProperty("rotate", cfg.rotate.toString)
     p.setProperty("lists1", cfg.lists1.toString)
     p.setProperty("storage", cfg.storage)
+    p.setProperty("upper_lists", cfg.upperLists.mkString(","))
     val w = Files.newBufferedWriter(Paths.get(dir, "meta.properties"))
     try p.store(w, "graft ivf index meta") finally w.close()
     Files.write(Paths.get(dir, "centroids.bin"), floatBlock(centroids))
@@ -195,15 +224,13 @@ object IvfIndex {
     if (dbg) System.err.println(s"[build] meta: ${(System.nanoTime()-t1)/1e9}s")
     Files.createDirectories(Paths.get(dir))
     Files.writeString(Paths.get(dir, "CURRENT"), "gen-0")
-    val (l1c, l1ch) =
-      if (cfg.lists1 > 0) buildL1(centroids, cfg.lists1, cfg.kmeansIters)
-      else (Array.empty[Array[Float]], Array.empty[Array[Int]])
-    if (cfg.lists1 > 0) {
-      Files.write(Paths.get(dir, "l1centroids.bin"), floatBlock(l1c))
-      Files.writeString(Paths.get(dir, "l1children.txt"),
-        l1ch.map(_.mkString(",")).mkString("\n"))
+    val (upC, upCh) = buildUpper(centroids, cfg.effectiveUpper, cfg.kmeansIters)
+    upC.indices.foreach { lvl =>
+      Files.write(Paths.get(dir, s"upper$lvl.centroids.bin"), floatBlock(upC(lvl)))
+      Files.writeString(Paths.get(dir, s"upper$lvl.children.txt"),
+        upCh(lvl).map(_.mkString(",")).mkString("\n"))
     }
-    new IvfIndex(spark, dir, IvfMeta(dim, origDim, cfg, centroids, l1c, l1ch))
+    new IvfIndex(spark, dir, IvfMeta(dim, origDim, cfg, centroids, upC, upCh))
   }
 
   /** Internal build: sampled driver-side k-means (reference B1-B5). */
@@ -258,15 +285,33 @@ object IvfIndex {
     finishBuild(df, idCol, vecCol, dir, cfg, centroids, origDim)
   }
 
-  /** Cluster leaf centroids into an internal level (reference B5). */
-  private[index] def buildL1(centroids: Array[Array[Float]], lists1: Int,
-                             iters: Int): (Array[Array[Float]], Array[Array[Int]]) = {
-    val l1 = KMeans.lloyd(centroids, lists1, iters)
-    val children = Array.fill(l1.length)(scala.collection.mutable.ArrayBuffer[Int]())
-    centroids.indices.foreach { leaf =>
-      children(KMeans.nearest(centroids(leaf), l1)) += leaf
+  /** Cluster one tier into a parent level; children(i) lists the indices
+    * of the tier below assigned to parent i. */
+  private def clusterLevel(below: Array[Array[Float]], size: Int,
+                           iters: Int): (Array[Array[Float]], Array[Array[Int]]) = {
+    val cents = KMeans.lloyd(below, size, iters)
+    val children = Array.fill(cents.length)(scala.collection.mutable.ArrayBuffer[Int]())
+    below.indices.foreach { i =>
+      children(KMeans.nearest(below(i), cents)) += i
     }
-    (l1, children.map(_.toArray))
+    (cents, children.map(_.toArray))
+  }
+
+  /** Assemble the internal levels bottom-up (reference B5,
+    * am/am_build.rs:1355-1385): leaf centroids cluster into the finest
+    * internal level, that level's centroids into the next coarser, and so
+    * on — `sizes` is coarse -> fine. Returned seqs are coarse -> fine;
+    * the finest level's children are LEAF cell ids. */
+  private[index] def buildUpper(centroids: Array[Array[Float]], sizes: Seq[Int],
+                                iters: Int): (Seq[Array[Array[Float]]], Seq[Array[Array[Int]]]) = {
+    var below = centroids
+    var acc = List.empty[(Array[Array[Float]], Array[Array[Int]])]
+    sizes.reverse.foreach { size =>
+      val lvl = clusterLevel(below, size, iters)
+      acc = lvl :: acc
+      below = lvl._1
+    }
+    (acc.map(_._1), acc.map(_._2))
   }
 
   /**
@@ -328,6 +373,7 @@ object IvfIndex {
       val p = new java.util.Properties()
       val r = Files.newBufferedReader(Paths.get(dir, "meta.properties"))
       try p.load(r) finally r.close()
+      val upperProp = Option(p.getProperty("upper_lists")).getOrElse("")
       val cfg = IvfConfig(
         lists = p.getProperty("lists").toInt,
         bits = p.getProperty("bits").toInt,
@@ -339,18 +385,25 @@ object IvfIndex {
         kmeansDim = p.getProperty("kmeans_dim").toInt,
         rotate = p.getProperty("rotate").toBoolean,
         lists1 = p.getProperty("lists1").toInt,
-        storage = p.getProperty("storage"))
+        storage = p.getProperty("storage"),
+        upperLists = if (upperProp.isEmpty) Nil else upperProp.split(",").map(_.toInt).toSeq)
       val centroids = readFloatBlock(Paths.get(dir, "centroids.bin"))
-      val (l1c, l1ch) =
-        if (cfg.lists1 > 0)
-          (readFloatBlock(Paths.get(dir, "l1centroids.bin")),
-            Files.readString(Paths.get(dir, "l1children.txt")).split("\n")
-              .map(line => if (line.isEmpty) Array.empty[Int]
-                           else line.split(",").map(_.toInt)))
-        else (Array.empty[Array[Float]], Array.empty[Array[Int]])
+      def readChildren(path: Path): Array[Array[Int]] =
+        Files.readString(path).split("\n")
+          .map(line => if (line.isEmpty) Array.empty[Int]
+                       else line.split(",").map(_.toInt))
+      val nUpper = cfg.effectiveUpper.length
+      val (upC, upCh) =
+        if (nUpper == 0) (Nil, Nil)
+        else if (Files.exists(Paths.get(dir, "upper0.centroids.bin")))
+          ((0 until nUpper).map(l => readFloatBlock(Paths.get(dir, s"upper$l.centroids.bin"))),
+            (0 until nUpper).map(l => readChildren(Paths.get(dir, s"upper$l.children.txt"))))
+        else // pre-round-3 single-internal-level layout
+          (Seq(readFloatBlock(Paths.get(dir, "l1centroids.bin"))),
+            Seq(readChildren(Paths.get(dir, "l1children.txt"))))
       return new IvfIndex(spark, dir,
         IvfMeta(p.getProperty("dim").toInt, p.getProperty("orig_dim").toInt,
-          cfg, centroids, l1c, l1ch))
+          cfg, centroids, upC, upCh))
     }
     // pre-round-2 layout: parquet config/centroids/l1
     import spark.implicits._
@@ -367,16 +420,16 @@ object IvfIndex {
         .head()
     val centroids = spark.read.parquet(s"$dir/centroids")
       .as[(Int, Seq[Float])].collect().sortBy(_._1).map(_._2.toArray)
-    val (l1c, l1ch) =
+    val (upC, upCh) =
       if (lists1 > 0) {
         val rows = spark.read.parquet(s"$dir/l1")
           .as[(Int, Seq[Float], Seq[Int])].collect().sortBy(_._1)
-        (rows.map(_._2.toArray), rows.map(_._3.toArray))
-      } else (Array.empty[Array[Float]], Array.empty[Array[Int]])
+        (Seq(rows.map(_._2.toArray)), Seq(rows.map(_._3.toArray)))
+      } else (Nil, Nil)
     new IvfIndex(spark, dir,
       IvfMeta(dim, origDim,
         IvfConfig(lists, bits, residual, metric, sf, it, algo, kdim, rotate, lists1, storage),
-        centroids, l1c, l1ch))
+        centroids, upC, upCh))
   }
 
   private[index] def rmRecursive(p: Path): Unit =
@@ -590,29 +643,42 @@ final class IvfIndex(val spark: SparkSession, dir: String, val meta: IvfMeta) {
       }.toArray
   }
 
-  /** Probed leaf cluster ids: nearest `probes` leaf centroids. With an
-    * internal level (B5), only leaves under the `probes1` best l1 groups
-    * are scored — the tree-descent pruning of the reference. */
+  /** Probed leaf cluster ids: nearest `probes` leaf centroids. With
+    * internal levels (B5), the probe DESCENDS the tree: each level keeps
+    * only its best groups and expands their children, so a deep tree
+    * scores O(level sizes) centroids instead of all `lists` leaves — the
+    * reason a 10^6-leaf index stays driver-probeable. `probes1` bounds the
+    * FINEST internal level (the reference's per-level probes list);
+    * coarser levels auto-scale with requested leaf coverage (floor 4). */
   def probe(q: Array[Float], probes: Int, probes1: Int = -1): Array[Int] = {
     val qq = prepQuery(q)
-    val leafPool: Array[Int] =
-      if (meta.l1Centroids.nonEmpty) {
-        // auto probes1: scale with requested leaf coverage so probes=lists
-        // can still reach every leaf (floor of 4 groups)
-        val p1 =
-          if (probes1 > 0) probes1
+    var leafPool: Array[Int] = null // null = all leaves
+    if (meta.upperCentroids.nonEmpty) {
+      val nLevels = meta.upperCentroids.length
+      // start from every root group, then narrow level by level
+      var pool: Array[Int] = meta.upperCentroids.head.indices.toArray
+      var lvl = 0
+      while (lvl < nLevels) {
+        val cents = meta.upperCentroids(lvl)
+        val budget =
+          if (lvl == nLevels - 1 && probes1 > 0) probes1
           else math.max(4, math.ceil(
-            probes.toDouble * meta.l1Centroids.length / meta.centroids.length).toInt)
-        meta.l1Centroids.zipWithIndex
-          .map { case (c, i) => (K.l2s(qq, c), i) }
+            probes.toDouble * cents.length / meta.centroids.length).toInt)
+        val kept = pool
+          .map(i => (K.l2s(qq, cents(i)), i))
           .sortBy(identity)
-          .take(math.min(p1, meta.l1Centroids.length))
-          .flatMap { case (_, g) => meta.l1Children(g) }
-      } else meta.centroids.indices.toArray
-    leafPool
+          .take(math.min(budget, pool.length))
+          .map(_._2)
+        pool = kept.flatMap(meta.upperChildren(lvl))
+        lvl += 1
+      }
+      leafPool = pool
+    }
+    val pool = if (leafPool == null) meta.centroids.indices.toArray else leafPool
+    pool
       .map(i => (K.l2s(qq, meta.centroids(i)), i))
       .sortBy(identity)
-      .take(math.min(probes, leafPool.length))
+      .take(math.min(probes, pool.length))
       .map(_._2)
   }
 

@@ -160,6 +160,42 @@ class IvfBuildVariantsSpec extends SparkSpec {
       s"f16 gen ${bytes(dir16)}B vs f32 gen ${bytes(dir32)}B")
   }
 
+  test("B5: 3-level tree (upperLists) — descent probes, exactness, recall, reload") {
+    import spark.implicits._
+    val df = rows.toDF("id", "vec")
+    val dir = freshDir()
+    val idx = IvfIndex.build(df, "id", "vec", dir,
+      IvfConfig(lists = 32, upperLists = Seq(2, 8)))
+    // tree shape: 2 roots -> 8 mid groups -> 32 leaves; children partition
+    // each tier exactly
+    assert(idx.meta.upperCentroids.map(_.length) == Seq(2, 8))
+    assert(idx.meta.upperChildren(0).flatten.sorted.toSeq == (0 until 8))
+    assert(idx.meta.upperChildren(1).flatten.sorted.toSeq == (0 until 32))
+    val q = Array.fill(12)(0.3f)
+    assert(idx.searchExact(q, 10).select("id").as[Long].collect().toSeq == brute(q, 10))
+    // full-budget recall through the descent stays perfect, and a
+    // restricted finest-level budget still probes sanely
+    assert(idx.evaluateRecall(q, 10, probes = 32, refine = 16) == 1.0)
+    val probedNarrow = idx.probe(q, 8, probes1 = 3)
+    assert(probedNarrow.length == 8)
+    // reload round-trips all levels
+    val loaded = IvfIndex.load(spark, dir)
+    assert(loaded.meta.upperCentroids.map(_.length) == Seq(2, 8))
+    assert(loaded.meta.upperChildren(1).zip(idx.meta.upperChildren(1))
+      .forall { case (a, b) => a.sameElements(b) })
+    assert(loaded.probe(q, 8).toSeq == idx.probe(q, 8).toSeq)
+    // max height enforced like the reference (1-8 levels total)
+    assertThrows[IllegalArgumentException] {
+      IvfConfig(lists = 256, upperLists = Seq(1, 2, 3, 4, 5, 6, 7, 8)).validate()
+    }
+    assertThrows[IllegalArgumentException] {
+      IvfConfig(lists = 8, lists1 = 4, upperLists = Seq(2, 4)).validate()
+    }
+    assertThrows[IllegalArgumentException] {
+      IvfConfig(lists = 8, upperLists = Seq(6, 2)).validate()
+    }
+  }
+
   test("B1: build sampling is randomized — clustered data in sorted order still covers every mode") {
     import spark.implicits._
     // 4 well-separated blobs, rows ORDERED by blob, sample cap (lists x
