@@ -39,12 +39,16 @@ object RaBitQ {
 
   val Bias8 = 127 // codes in [-127,127] stored as u8 in [0,254]
   val Bias4 = 7   // codes in [-7,7] stored as nibbles in [0,14]
+  val Bias2 = 1   // codes in [-1,1] stored as 2-bit fields in [0,2] — the
+                  // graph-vertex tier (reference vchordg stores bits=1|2
+                  // vertex codes, crates/vchordg/src/types.rs:25-45)
 
-  private def bias(bits: Int): Int = if (bits == 8) Bias8 else Bias4
+  private def bias(bits: Int): Int =
+    if (bits == 8) Bias8 else if (bits == 4) Bias4 else Bias2
 
-  /** Quantize to `bits` in {4, 8}. */
+  /** Quantize to `bits` in {2, 4, 8}. */
   def quantize(x: Array[Float], bits: Int): Code = {
-    require(bits == 4 || bits == 8, s"bits must be 4 or 8, got $bits")
+    require(bits == 2 || bits == 4 || bits == 8, s"bits must be 2, 4 or 8, got $bits")
     val b = bias(bits)
     val dim = x.length
     var m = 0.0f
@@ -76,7 +80,7 @@ object RaBitQ {
         i = 0
         while (i < dim) { out(i) = (lattice(i) + b).toByte; i += 1 }
         out
-      } else {
+      } else if (bits == 4) {
         // two nibbles per byte, low nibble first
         val out = new Array[Byte]((dim + 1) / 2)
         i = 0
@@ -88,24 +92,31 @@ object RaBitQ {
           i += 1
         }
         out
+      } else {
+        // four 2-bit fields per byte, lowest bits first
+        val out = new Array[Byte]((dim + 3) / 4)
+        i = 0
+        while (i < dim) {
+          val u = lattice(i) + b
+          out(i / 4) = (out(i / 4) | (u << ((i & 3) * 2))).toByte
+          i += 1
+        }
+        out
       }
     Code(meta, codes, bits, dim)
   }
 
+  /** Unsigned code value at position i (any supported width). */
+  @inline private def codeAt(codes: Array[Byte], bits: Int, i: Int): Int =
+    if (bits == 8) codes(i) & 0xff
+    else if (bits == 4) { val b = codes(i / 2) & 0xff; if ((i & 1) == 0) b & 0x0f else (b >> 4) & 0x0f }
+    else (codes(i / 4) >> ((i & 3) * 2)) & 0x03
+
   /** Unpack stored codes to unsigned ints in [0, 2*bias]. */
   def unpack(c: Code): Array[Int] = {
     val out = new Array[Int](c.dim)
-    if (c.bits == 8) {
-      var i = 0
-      while (i < c.dim) { out(i) = c.codes(i) & 0xff; i += 1 }
-    } else {
-      var i = 0
-      while (i < c.dim) {
-        val b = c.codes(i / 2) & 0xff
-        out(i) = if ((i & 1) == 0) b & 0x0f else (b >> 4) & 0x0f
-        i += 1
-      }
-    }
+    var i = 0
+    while (i < c.dim) { out(i) = codeAt(c.codes, c.bits, i); i += 1 }
     out
   }
 
@@ -135,12 +146,7 @@ object RaBitQ {
       while (i < c.dim) { acc += (c.codes(i) & 0xff) * q(i); i += 1 }
     } else {
       var i = 0
-      while (i < c.dim) {
-        val bb = c.codes(i / 2) & 0xff
-        val u = if ((i & 1) == 0) bb & 0x0f else (bb >> 4) & 0x0f
-        acc += u * q(i)
-        i += 1
-      }
+      while (i < c.dim) { acc += codeAt(c.codes, c.bits, i) * q(i); i += 1 }
     }
     c.scale * (acc - b * qSum)
   }
@@ -156,11 +162,7 @@ object RaBitQ {
       while (i < dim) { out(i) = (codes(i) & 0xff).toFloat; i += 1 }
     } else {
       var i = 0
-      while (i < dim) {
-        val b = codes(i / 2) & 0xff
-        out(i) = (if ((i & 1) == 0) b & 0x0f else (b >> 4) & 0x0f).toFloat
-        i += 1
-      }
+      while (i < dim) { out(i) = codeAt(codes, bits, i).toFloat; i += 1 }
     }
   }
 
@@ -204,11 +206,7 @@ object RaBitQ {
     } else {
       var i = 0
       while (i < a.dim) {
-        val ba = a.codes(i / 2) & 0xff
-        val bb = b.codes(i / 2) & 0xff
-        val ua = if ((i & 1) == 0) ba & 0x0f else (ba >> 4) & 0x0f
-        val ub = if ((i & 1) == 0) bb & 0x0f else (bb >> 4) & 0x0f
-        acc += ua.toLong * ub
+        acc += codeAt(a.codes, a.bits, i).toLong * codeAt(b.codes, b.bits, i)
         i += 1
       }
     }

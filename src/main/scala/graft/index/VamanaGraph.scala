@@ -3,7 +3,7 @@ package graft.index
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.core.{VectorKernels => K}
+import graft.core.{RaBitQ, VectorKernels => K}
 
 /**
  * DiskANN/Vamana-style graph ANN index — the `vchordg` capability
@@ -19,42 +19,87 @@ import graft.core.{VectorKernels => K}
  * the right Spark shape for moderate graph sizes (the billion-scale path
  * in this engine is the IVF index). Build is deterministic: fixed
  * insertion order, deterministic medoid, tie-breaks by id.
+ *
+ * `bits > 0` stores QUANTIZED vertex codes instead of f32 vectors
+ * (reference vchordg scores vertices from RaBitQ codes and reranks,
+ * crates/vchordg/src/search.rs:34-60, bits per types.rs:25-45): the
+ * broadcast shrinks ~16x at bits=2 (dim/4 bytes + 16B metadata vs 4*dim),
+ * beam search ranks by code estimates, and `searchBatch(rerankTable=...)`
+ * restores exact distances for the ef-bounded candidates in one join —
+ * the same estimate-then-rerank economics as the IVF path.
  */
 final case class VamanaConfig(
     m: Int = 32,                     // max degree
     efConstruction: Int = 64,
     efSearch: Int = 64,
     alphas: Seq[Double] = Seq(1.0, 1.2),
-    metric: String = "l2")
+    metric: String = "l2",
+    bits: Int = 0)                   // 0 = f32 vertices; 2|4|8 = RaBitQ codes
 
 final class VamanaGraph(
     val ids: Array[Long],
     val vecs: Array[Array[Float]],
     val adj: Array[Array[Int]],
     val medoid: Int,
-    val cfg: VamanaConfig) extends Serializable {
+    val cfg: VamanaConfig,
+    val codes: Array[RaBitQ.Code] = null) extends Serializable {
 
-  private def dist(a: Array[Float], b: Array[Float]): Double = cfg.metric match {
+  def quantized: Boolean = codes != null
+
+  private def distFn(a: Array[Float], b: Array[Float]): Double = cfg.metric match {
     case "l2"      => K.l2(a, b)
     case "negdot"  => K.negdot(a, b)
     case "cosdist" => K.cosdist(a, b)
   }
 
+  /** Vertex-to-query scorer: exact kernel, or code-estimate when the
+    * graph is quantized (reference O::process on vertex codes). */
+  private[index] def mkScorer(q: Array[Float]): Int => Double =
+    if (!quantized) { i => distFn(vecs(i), q) }
+    else {
+      var qSum = 0.0; var qNormSq = 0.0
+      var j = 0
+      while (j < q.length) { qSum += q(j); qNormSq += q(j).toDouble * q(j); j += 1 }
+      cfg.metric match {
+        case "l2" => i =>
+          math.sqrt(math.max(qNormSq + codes(i).disU2.toDouble -
+            2.0 * RaBitQ.estimateDot(codes(i), q, qSum), 0.0))
+        case "negdot" => i => -RaBitQ.estimateDot(codes(i), q, qSum)
+        case "cosdist" => i => {
+          val n = math.sqrt(qNormSq * codes(i).disU2.toDouble)
+          if (n == 0.0) 1.0 else 1.0 - RaBitQ.estimateDot(codes(i), q, qSum) / n
+        }
+      }
+    }
+
+  /** Vertex-to-vertex distance: exact, or code-vs-code when quantized
+    * (the rabitq operator family) — used by prune during inserts. */
+  private[index] def vdist(a: Int, b: Int): Double =
+    if (!quantized) distFn(vecs(a), vecs(b))
+    else cfg.metric match {
+      case "l2"      => RaBitQ.l2QQ(codes(a), codes(b))
+      case "negdot"  => RaBitQ.negdotQQ(codes(a), codes(b))
+      case "cosdist" => RaBitQ.cosdistQQ(codes(a), codes(b))
+    }
+
   /**
    * Greedy beam search (reference search.rs:34-140): best-first expansion
    * from the medoid with an ef-bounded result set; terminates when the
-   * closest unexpanded candidate is worse than the ef-th result.
+   * closest unexpanded candidate is worse than the ef-th result. On a
+   * quantized graph distances are code ESTIMATES — use
+   * `searchBatch(rerankTable=...)` for exact output.
    */
   def search(q: Array[Float], k: Int, ef: Int = -1): Array[(Long, Double)] = {
     val efUse = math.max(if (ef <= 0) cfg.efSearch else ef, k)
     if (ids.isEmpty) return Array.empty
+    val score = mkScorer(q)
     val visited = new java.util.HashSet[Integer]()
     // candidates: min-heap by (dist, idx); results: max-heap bounded to ef
     val candOrd = Ordering.by[(Double, Int), (Double, Int)](identity).reverse
     val cand = new scala.collection.mutable.PriorityQueue[(Double, Int)]()(candOrd)
     val resOrd = Ordering.by[(Double, Int), (Double, Int)](identity)
     val res = new scala.collection.mutable.PriorityQueue[(Double, Int)]()(resOrd)
-    val d0 = dist(vecs(medoid), q)
+    val d0 = score(medoid)
     cand.enqueue((d0, medoid)); res.enqueue((d0, medoid)); visited.add(medoid)
     while (cand.nonEmpty) {
       val (dc, c) = cand.dequeue()
@@ -64,7 +109,7 @@ final class VamanaGraph(
         adj(c).foreach { n =>
           if (!visited.contains(n)) {
             visited.add(n)
-            val dn = dist(vecs(n), q)
+            val dn = score(n)
             if (res.size < efUse || dn < res.head._1 ||
                 (dn == res.head._1 && ids(n) < ids(res.head._2))) {
               cand.enqueue((dn, n))
@@ -83,20 +128,62 @@ final class VamanaGraph(
   }
 
   /** Batch search: queries fan out across executors, graph broadcast.
+    * With `rerankTable` the beam's ef-bounded candidates are re-scored
+    * EXACTLY from the source table in one join (mandatory economics on a
+    * quantized graph, optional belt-and-braces on an exact one).
     * Output: (qid, id, dist, rn). */
   def searchBatch(spark: SparkSession, queries: Array[(Long, Array[Float])],
-                  k: Int, ef: Int = -1): DataFrame = {
+                  k: Int, ef: Int = -1,
+                  rerankTable: Option[(DataFrame, String, String)] = None): DataFrame = {
     import spark.implicits._
     if (queries.isEmpty)
       return Seq.empty[(Long, Long, Double, Long)].toDF("qid", "id", "dist", "rn")
     val bg = spark.sparkContext.broadcast(this)
-    spark.sparkContext.parallelize(queries.toSeq, math.min(queries.length, 32))
-      .flatMap { case (qid, q) =>
-        bg.value.search(q, k, ef).zipWithIndex.map { case ((id, d), i) =>
-          (qid, id, d, (i + 1).toLong)
+    rerankTable match {
+      case None =>
+        spark.sparkContext.parallelize(queries.toSeq, math.min(queries.length, 32))
+          .flatMap { case (qid, q) =>
+            bg.value.search(q, k, ef).zipWithIndex.map { case ((id, d), i) =>
+              (qid, id, d, (i + 1).toLong)
+            }
+          }
+          .toDF("qid", "id", "dist", "rn")
+      case Some((src, idCol, vecCol)) =>
+        // job 1: beam per query, keep the FULL ef candidate pool
+        val efUse = math.max(if (ef <= 0) cfg.efSearch else ef, k)
+        val candPairs = spark.sparkContext
+          .parallelize(queries.toSeq, math.min(queries.length, 32))
+          .flatMap { case (qid, q) =>
+            bg.value.search(q, efUse, efUse).map { case (id, _) => (qid, id) }
+          }.collect()
+        val qById = queries.toMap
+        val idToQ = candPairs.groupBy(_._2).view.mapValues(_.map(_._1)).toMap
+        val bIdToQ = spark.sparkContext.broadcast(idToQ)
+        val bQs = spark.sparkContext.broadcast(qById)
+        val metric = cfg.metric
+        // job 2: exact distances for candidate rows only
+        val candIds = candPairs.map(_._2).distinct.toSeq
+        val scored = src
+          .join(broadcast(candIds.toDF("__cand_id")),
+            col(idCol).cast("long") === col("__cand_id"))
+          .select(col(idCol).cast("long"), col(vecCol))
+          .as[(Long, Seq[Float])]
+          .flatMap { case (id, vs) =>
+            val v = vs.toArray
+            val kern: (Array[Float], Array[Float]) => Double = metric match {
+              case "l2"      => K.l2
+              case "negdot"  => K.negdot
+              case "cosdist" => K.cosdist
+            }
+            bIdToQ.value.getOrElse(id, Array.empty[Long]).toSeq
+              .map(qid => (qid, id, kern(v, bQs.value(qid))))
+          }.collect()
+        val out = scored.groupBy(_._1).toSeq.flatMap { case (qid, rows) =>
+          rows.map(r => (r._3, r._2)).sorted.take(k).zipWithIndex
+            .map { case ((d, id), i) => (qid, id, d, (i + 1).toLong) }
         }
-      }
-      .toDF("qid", "id", "dist", "rn")
+        out.toDF("qid", "id", "dist", "rn")
+    }
   }
 
   def degreeStats: (Int, Double) = {
@@ -104,13 +191,84 @@ final class VamanaGraph(
     (degs.max, degs.sum.toDouble / degs.length)
   }
 
+  /** Broadcast payload bytes of the vertex store (vectors or codes) —
+    * what the quantized tier shrinks. */
+  def vertexBytes: Long =
+    if (quantized) codes.map(c => c.codes.length.toLong + 16L).sum
+    else vecs.map(_.length.toLong * 4L).sum
+
+  /**
+   * Incremental insert (reference `aminsert`, crates/vchordg/src/
+   * insert.rs:34-395): new vertices beam-search the LIVE graph for their
+   * neighborhoods and link bidirectionally with overflow re-prune — the
+   * existing graph is reused, not rebuilt, so cost is O(batch * search)
+   * instead of O(n * search). Returns a NEW graph (this one is untouched).
+   */
+  def insertAll(rows: Array[(Long, Array[Float])]): VamanaGraph = {
+    if (rows.isEmpty) return this
+    require(rows.map(_._1).distinct.length == rows.length, "duplicate ids in insert batch")
+    rows.foreach { case (id, _) =>
+      require(java.util.Arrays.binarySearch(ids, id) < 0, s"id $id already in graph")
+    }
+    // merge keeping canonical ascending-id order; remap old adjacency
+    val newSorted = rows.sortBy(_._1)
+    val n0 = ids.length
+    val n2 = n0 + newSorted.length
+    val ids2 = new Array[Long](n2)
+    val vecs2 = if (quantized) Array.empty[Array[Float]] else new Array[Array[Float]](n2)
+    val codes2 = if (quantized) new Array[RaBitQ.Code](n2) else null
+    val oldToNew = new Array[Int](n0)
+    val isNew = new Array[Boolean](n2)
+    var oi = 0; var ni = 0; var w = 0
+    while (w < n2) {
+      val takeNew = oi >= n0 || (ni < newSorted.length && newSorted(ni)._1 < ids(oi))
+      if (takeNew) {
+        ids2(w) = newSorted(ni)._1
+        if (quantized) codes2(w) = RaBitQ.quantize(newSorted(ni)._2, cfg.bits)
+        else vecs2(w) = newSorted(ni)._2
+        isNew(w) = true
+        ni += 1
+      } else {
+        ids2(w) = ids(oi)
+        if (quantized) codes2(w) = codes(oi) else vecs2(w) = vecs(oi)
+        oldToNew(oi) = w
+        oi += 1
+      }
+      w += 1
+    }
+    val adjBuf = Array.fill(n2)(scala.collection.mutable.ArrayBuffer[Int]())
+    val adjView = new Array[Array[Int]](n2)
+    var i = 0
+    while (i < n0) {
+      val mapped = adj(i).map(oldToNew)
+      adjBuf(oldToNew(i)) ++= mapped
+      adjView(oldToNew(i)) = mapped
+      i += 1
+    }
+    (0 until n2).foreach(j => if (adjView(j) == null) adjView(j) = Array.empty)
+    val g2 = new VamanaGraph(ids2, vecs2, adjView, oldToNew(medoid), cfg, codes2)
+    // pending (merged-index order) and newSorted (id order) align: both
+    // ascend by id, so the j-th pending vertex is newSorted(j) — its RAW
+    // vector drives the insert search even on a quantized graph
+    val pending = (0 until n2).filter(isNew).toArray
+    VamanaGraph.runInsertion(g2, adjBuf, adjView, pending, pos => newSorted(pos)._2)
+    // runInsertion mutates adjBuf/adjView; materialize the final adjacency
+    new VamanaGraph(ids2, vecs2, adjBuf.map(_.toArray), oldToNew(medoid), cfg, codes2)
+  }
+
   def save(spark: SparkSession, dir: String): Unit = {
     import spark.implicits._
-    ids.indices.map(i => (ids(i), vecs(i).toSeq, adj(i).map(ids).toSeq))
-      .toDF("id", "vec", "neighbors")
-      .write.mode("overwrite").parquet(s"$dir/graph")
-    Seq((cfg.m, cfg.efConstruction, cfg.efSearch, cfg.alphas.mkString(","), cfg.metric, ids(medoid)))
-      .toDF("m", "ef_construction", "ef_search", "alphas", "metric", "medoid_id")
+    if (!quantized)
+      ids.indices.map(i => (ids(i), vecs(i).toSeq, adj(i).map(ids).toSeq))
+        .toDF("id", "vec", "neighbors")
+        .write.mode("overwrite").parquet(s"$dir/graph")
+    else
+      ids.indices.map(i => (ids(i), codes(i).meta.toSeq, codes(i).codes, adj(i).map(ids).toSeq))
+        .toDF("id", "cmeta", "codes", "neighbors")
+        .write.mode("overwrite").parquet(s"$dir/graph")
+    Seq((cfg.m, cfg.efConstruction, cfg.efSearch, cfg.alphas.mkString(","),
+        cfg.metric, ids(medoid), cfg.bits))
+      .toDF("m", "ef_construction", "ef_search", "alphas", "metric", "medoid_id", "bits")
       .write.mode("overwrite").parquet(s"$dir/config")
   }
 }
@@ -128,18 +286,107 @@ object VamanaGraph {
     build(rows.map(_._1), rows.map(_._2.toArray), cfg)
   }
 
+  /** Robust prune (reference prune.rs:19-72): ascending alpha passes; a
+    * candidate survives if no already-kept neighbor dominates it:
+    * alpha * d(kept, cand) < d(point, cand). */
+  private def robustPrune(g: VamanaGraph, p: Int, candidates: Seq[Int]): Array[Int] = {
+    val cfg = g.cfg
+    val pool = candidates.distinct.filter(_ != p)
+      .map(c => (g.vdist(p, c), c)).sortBy(identity)
+    val kept = scala.collection.mutable.ArrayBuffer[(Double, Int)]()
+    val remaining = scala.collection.mutable.ArrayBuffer(pool: _*)
+    for (alpha <- cfg.alphas if kept.length < cfg.m) {
+      var i = 0
+      while (i < remaining.length && kept.length < cfg.m) {
+        val (dc, c) = remaining(i)
+        val dominated = kept.exists { case (_, kIdx) => alpha * g.vdist(kIdx, c) < dc }
+        if (!dominated) {
+          kept += ((dc, c))
+          remaining.remove(i)
+        } else i += 1
+      }
+    }
+    kept.map(_._2).toArray
+  }
+
+  /** Deterministic parallel insertion in doubling batches: every batch
+    * searches against the adjacency frozen at batch start (driver cores in
+    * parallel — the batch analogue of the reference's parallel build
+    * workers, am/am_build.rs:611-1080), then links sequentially in fixed
+    * index order. Mutates `adjBuf`/`adjView` in place. `queryOf` supplies
+    * the RAW insert vector on a quantized graph (scoring new points via
+    * their float vector keeps insert search quality; `null` falls back to
+    * the stored vertex). */
+  private[index] def runInsertion(g: VamanaGraph,
+      adjBuf: Array[scala.collection.mutable.ArrayBuffer[Int]],
+      adjView: Array[Array[Int]], pending: Array[Int],
+      queryOf: Int => Array[Float] = _ => null): Unit = {
+    val cfg = g.cfg
+    val ids = g.ids
+    def searchIdx(q: Array[Float], self: Int, ef: Int): Seq[Int] = {
+      val qq = if (q != null) q else g.vecs(self)
+      g.search(qq, ef, ef).map { case (id, _) =>
+        java.util.Arrays.binarySearch(ids, id)
+      }.filter(_ >= 0).toSeq
+    }
+    // backlink slack: let a neighbor list grow to 1.5m before re-pruning
+    // (re-prune is the expensive O(cap^2) step; amortizing it is the
+    // standard DiskANN batch-build move). The caller restores the hard cap.
+    val cap = cfg.m + cfg.m / 2
+    var start = 0
+    var built = math.max(g.adj.count(_.nonEmpty), 1)
+    while (start < pending.length) {
+      val batch = math.min(built, pending.length - start)
+      val idxs = java.util.Arrays.copyOfRange(pending, start, start + batch)
+      val found = new Array[Seq[Int]](batch)
+      java.util.stream.IntStream.range(0, batch).parallel().forEach { bi =>
+        found(bi) = searchIdx(queryOf(start + bi), idxs(bi), cfg.efConstruction)
+      }
+      var bi = 0
+      while (bi < batch) {
+        val i = idxs(bi)
+        val newNbrs = robustPrune(g, i, found(bi))
+        adjBuf(i).clear()
+        adjBuf(i) ++= newNbrs
+        adjView(i) = newNbrs
+        newNbrs.foreach { nb =>
+          if (!adjBuf(nb).contains(i)) {
+            adjBuf(nb) += i
+            if (adjBuf(nb).length > cap) {
+              val pruned = robustPrune(g, nb, adjBuf(nb).toSeq)
+              adjBuf(nb).clear()
+              adjBuf(nb) ++= pruned
+            }
+            adjView(nb) = adjBuf(nb).toArray
+          }
+        }
+        bi += 1
+      }
+      start += batch
+      built += batch
+    }
+    // restore the degree-cap invariant (m) everywhere
+    var v = 0
+    while (v < adjBuf.length) {
+      if (adjBuf(v).length > cfg.m) {
+        val pruned = robustPrune(g, v, adjBuf(v).toSeq)
+        adjBuf(v).clear()
+        adjBuf(v) ++= pruned
+        adjView(v) = adjBuf(v).toArray
+      }
+      v += 1
+    }
+  }
+
   def build(ids0: Array[Long], vecs0: Array[Array[Float]], cfg: VamanaConfig): VamanaGraph = {
     require(ids0.nonEmpty, "empty graph build")
+    require(cfg.bits == 0 || cfg.bits == 2 || cfg.bits == 4 || cfg.bits == 8,
+      s"bits must be 0 (exact) or 2|4|8, got ${cfg.bits}")
     // canonical ascending-id order (search uses binarySearch on ids)
     val order = ids0.indices.sortBy(ids0)
     val ids = order.map(ids0).toArray
     val vecs = order.map(vecs0).toArray
     val n = ids.length
-    def dist(a: Int, b: Int): Double = cfg.metric match {
-      case "l2"      => K.l2(vecs(a), vecs(b))
-      case "negdot"  => K.negdot(vecs(a), vecs(b))
-      case "cosdist" => K.cosdist(vecs(a), vecs(b))
-    }
     // deterministic medoid: point nearest the mean
     val dim = vecs(0).length
     val mean = {
@@ -151,115 +398,63 @@ object VamanaGraph {
       out
     }
     val medoid = vecs.indices.minBy(i => (K.l2s(vecs(i), mean), i))
-    val adj = Array.fill(n)(scala.collection.mutable.ArrayBuffer[Int]())
-
-    /** Robust prune (reference prune.rs:19-72): ascending alpha passes;
-      * a candidate survives if no already-kept neighbor dominates it:
-      * alpha * d(kept, cand) < d(point, cand). */
-    def robustPrune(p: Int, candidates: Seq[Int]): Array[Int] = {
-      val pool = candidates.distinct.filter(_ != p)
-        .map(c => (dist(p, c), c)).sortBy(identity)
-      val kept = scala.collection.mutable.ArrayBuffer[(Double, Int)]()
-      val remaining = scala.collection.mutable.ArrayBuffer(pool: _*)
-      for (alpha <- cfg.alphas if kept.length < cfg.m) {
-        var i = 0
-        while (i < remaining.length && kept.length < cfg.m) {
-          val (dc, c) = remaining(i)
-          val dominated = kept.exists { case (_, kIdx) => alpha * dist(kIdx, c) < dc }
-          if (!dominated) {
-            kept += ((dc, c))
-            remaining.remove(i)
-          } else i += 1
-        }
-      }
-      kept.map(_._2).toArray
-    }
-
-    // live adjacency view shared with the searcher — updated in place as
-    // edges change (insertion pass, reference insert.rs: search with
-    // ef_construction, prune, link bidirectionally with overflow re-prune)
+    // BUILD always runs on full f32 vectors (the reference also builds
+    // from raw vectors and stores codes); quantization happens at the end
+    val adjBuf = Array.fill(n)(scala.collection.mutable.ArrayBuffer[Int]())
     val adjView: Array[Array[Int]] = Array.fill(n)(Array.empty[Int])
-    val searcher = new VamanaGraph(ids, vecs, adjView, medoid, cfg)
-    def searchIdx(q: Array[Float], ef: Int): Seq[Int] =
-      searcher.search(q, ef, ef).map { case (id, _) =>
-        java.util.Arrays.binarySearch(ids, id)
-      }.filter(_ >= 0).toSeq
-    // Deterministic parallel insertion in doubling batches: every batch
-    // searches against the adjacency frozen at batch start (driver cores in
-    // parallel — the batch analogue of the reference's parallel build
-    // workers, am/am_build.rs:611-1080), then links sequentially in fixed
-    // index order. Batch size never exceeds the built prefix, so insert
-    // quality tracks the sequential build; results are order-independent
-    // of thread scheduling.
+    val buildGraph = new VamanaGraph(ids, vecs, adjView, medoid, cfg.copy(bits = 0))
     val pending = (0 until n).filter(_ != medoid).toArray
-    var start = 0
-    var built = 1
-    while (start < pending.length) {
-      val batch = math.min(built, pending.length - start)
-      val idxs = java.util.Arrays.copyOfRange(pending, start, start + batch)
-      val found = new Array[Seq[Int]](batch)
-      java.util.stream.IntStream.range(0, batch).parallel().forEach { bi =>
-        found(bi) = searchIdx(vecs(idxs(bi)), cfg.efConstruction)
-      }
-      // backlink slack: let a neighbor list grow to 1.5m before re-pruning
-      // (re-prune is the expensive O(cap^2) step; amortizing it is the
-      // standard DiskANN batch-build move). A final pass restores the hard
-      // degree cap m.
-      val cap = cfg.m + cfg.m / 2
-      var bi = 0
-      while (bi < batch) {
-        val i = idxs(bi)
-        val newNbrs = robustPrune(i, found(bi))
-        adj(i).clear()
-        adj(i) ++= newNbrs
-        adjView(i) = newNbrs
-        newNbrs.foreach { nb =>
-          if (!adj(nb).contains(i)) {
-            adj(nb) += i
-            if (adj(nb).length > cap) {
-              val pruned = robustPrune(nb, adj(nb).toSeq)
-              adj(nb).clear()
-              adj(nb) ++= pruned
-            }
-            adjView(nb) = adj(nb).toArray
-          }
-        }
-        bi += 1
-      }
-      start += batch
-      built += batch
+    runInsertion(buildGraph, adjBuf, adjView, pending)
+    val adj = adjBuf.map(_.toArray)
+    if (cfg.bits == 0) new VamanaGraph(ids, vecs, adj, medoid, cfg)
+    else {
+      val codes = vecs.map(RaBitQ.quantize(_, cfg.bits))
+      // vectors are DROPPED: the broadcast carries codes + metadata only
+      new VamanaGraph(ids, Array.empty, adj, medoid, cfg, codes)
     }
-    // restore the degree-cap invariant (m) everywhere
-    var v = 0
-    while (v < n) {
-      if (adj(v).length > cfg.m) {
-        val pruned = robustPrune(v, adj(v).toSeq)
-        adj(v).clear()
-        adj(v) ++= pruned
-      }
-      v += 1
-    }
-    new VamanaGraph(ids, vecs, adj.map(_.toArray), medoid, cfg)
   }
 
   def load(spark: SparkSession, dir: String): VamanaGraph = {
     import spark.implicits._
-    val (m, efc, efs, alphas, metric, medoidId) =
-      spark.read.parquet(s"$dir/config")
-        .as[(Int, Int, Int, String, String, Long)].head()
-    val rows = spark.read.parquet(s"$dir/graph")
-      .as[(Long, Seq[Float], Seq[Long])].collect().sortBy(_._1)
-    val ids = rows.map(_._1)
-    val idToIdx = ids.zipWithIndex.toMap
-    val vecs = rows.map(_._2.toArray)
-    val adj = rows.map(_._3.flatMap(idToIdx.get).toArray)
-    new VamanaGraph(ids, vecs, adj, idToIdx(medoidId),
-      VamanaConfig(m, efc, efs, alphas.split(",").map(_.toDouble).toSeq, metric))
+    val cfgDf = spark.read.parquet(s"$dir/config")
+    val withBits =
+      if (cfgDf.columns.contains("bits")) cfgDf
+      else cfgDf.withColumn("bits", lit(0))
+    val (m, efc, efs, alphas, metric, medoidId, bits) =
+      withBits.select("m", "ef_construction", "ef_search", "alphas", "metric", "medoid_id", "bits")
+        .as[(Int, Int, Int, String, String, Long, Int)].head()
+    val cfg = VamanaConfig(m, efc, efs, alphas.split(",").map(_.toDouble).toSeq, metric, bits)
+    if (bits == 0) {
+      val rows = spark.read.parquet(s"$dir/graph")
+        .as[(Long, Seq[Float], Seq[Long])].collect().sortBy(_._1)
+      val ids = rows.map(_._1)
+      val idToIdx = ids.zipWithIndex.toMap
+      new VamanaGraph(ids, rows.map(_._2.toArray),
+        rows.map(_._3.flatMap(idToIdx.get).toArray), idToIdx(medoidId), cfg)
+    } else {
+      val rows = spark.read.parquet(s"$dir/graph")
+        .select("id", "cmeta", "codes", "neighbors")
+        .as[(Long, Seq[Float], Array[Byte], Seq[Long])].collect().sortBy(_._1)
+      val ids = rows.map(_._1)
+      val idToIdx = ids.zipWithIndex.toMap
+      val dim = {
+        // dim from config row count is unknown here; recover from metadata:
+        // codes length encodes it per width
+        val c = rows.head._3.length
+        if (bits == 8) c else if (bits == 4) c * 2 else c * 4
+      }
+      val codes = rows.map(r => RaBitQ.Code(r._2.toArray, r._3, bits, dim))
+      new VamanaGraph(ids, Array.empty,
+        rows.map(_._4.flatMap(idToIdx.get).toArray), idToIdx(medoidId), cfg, codes)
+    }
   }
 
   /** Vacuum (reference G4): drop vertices and rebuild — relinking through
-    * dead nodes is a rebuild in the batch engine. */
+    * dead nodes is a rebuild in the batch engine. Requires an exact graph
+    * (a quantized one has no raw vectors; rebuild from the source table). */
   def deleteAndRebuild(g: VamanaGraph, dead: Set[Long]): VamanaGraph = {
+    require(!g.quantized,
+      "vacuum on a quantized graph: rebuild from the source table instead")
     val keep = g.ids.indices.filter(i => !dead.contains(g.ids(i)))
     build(keep.map(g.ids).toArray, keep.map(g.vecs).toArray, g.cfg)
   }

@@ -642,10 +642,18 @@ object GraftQueries {
       val cached = cache.get(sfDir)
       if (cached != null) cached
       else {
-        // driver-side sequential build: cap rows defensively (the IVF
-        // index is the at-scale path; the graph serves moderate sizes)
-        val g = graft.index.VamanaGraph.build(
-          spark.read.parquet(s"$sfDir/embeddings.parquet").limit(20000),
+        // driver-side sequential build serves MODERATE sizes (the IVF
+        // index is the at-scale path). The cap must fail LOUDLY: a silent
+        // limit() would quietly index a subset while queries still claim
+        // exact-top-k goldens.
+        val cap = 20000L
+        val df = spark.read.parquet(s"$sfDir/embeddings.parquet")
+        val n = df.count()
+        require(n <= cap,
+          s"graph index build over $n rows exceeds the driver-build cap $cap: " +
+          "use the IVF index for this tier, or build a quantized graph " +
+          "(VamanaConfig(bits=2)) from a dedicated pipeline")
+        val g = graft.index.VamanaGraph.build(df,
           "vec_id", "embedding", graft.index.VamanaConfig())
         cache.put(sfDir, g)
         g

@@ -82,4 +82,73 @@ class VamanaGraphSpec extends SparkSpec {
     val q = data(5)._2 // vec of a deleted id
     assert(g2.search(q, 10).forall { case (id, _) => !dead.contains(id) })
   }
+
+  test("quantized vertices (bits=2): >=4x smaller broadcast, recall floor via rerank") {
+    import spark.implicits._
+    val qg = VamanaGraph.build(
+      data.map(_._1).toArray, data.map(_._2).toArray, VamanaConfig(m = 24, bits = 2))
+    assert(qg.quantized && qg.vecs.isEmpty)
+    // broadcast economics: 2-bit codes + 16B metadata vs 4*dim bytes —
+    // 3.2x at this fixture's dim=16 (the fixed metadata dominates small
+    // dims; at dim=64 the same math gives 8x)
+    assert(qg.vertexBytes * 3 < graph.vertexBytes,
+      s"quantized ${qg.vertexBytes}B vs f32 ${graph.vertexBytes}B")
+    // estimate-then-rerank through the source table restores exact
+    // distances; recall floor holds at the G2 level
+    val src = data.map { case (id, v) => (id, v.toSeq) }.toDF("id", "vec")
+    val rng = new scala.util.Random(3)
+    val queries = Array.tabulate(20)(i =>
+      (i.toLong, Array.fill(16)(rng.nextFloat() * 2 - 1)))
+    val got = qg.searchBatch(spark, queries, 10, ef = 64,
+        rerankTable = Some((src, "id", "vec")))
+      .select("qid", "id", "dist").as[(Long, Long, Double)].collect()
+      .groupBy(_._1).view.mapValues(_.map(r => (r._2, r._3)).toMap).toMap
+    val recalls = queries.map { case (qid, q) =>
+      val want = brute(q, 10).toSet
+      val gotIds = got.getOrElse(qid, Map.empty).keySet
+      // reranked distances are EXACT (match the brute kernel bit-for-bit)
+      gotIds.foreach { id =>
+        val v = data(id.toInt)._2
+        assert(got(qid)(id) == K.l2(v, q), s"dist mismatch for $id")
+      }
+      gotIds.intersect(want).size.toDouble / want.size
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.85, s"mean recall $mean (quantized beam + exact rerank)")
+    // quantized save/load round-trip searches identically
+    val dir = Files.createTempDirectory("graft-vamana-q").toString
+    qg.save(spark, dir)
+    val loaded = VamanaGraph.load(spark, dir)
+    val q0 = data.head._2
+    assert(loaded.search(q0, 5).toSeq == qg.search(q0, 5).toSeq)
+    assert(loaded.cfg.bits == 2)
+  }
+
+  test("incremental insert links new vertices without rebuilding (G3)") {
+    val (seed, rest) = data.splitAt(700)
+    val g0 = VamanaGraph.build(
+      seed.map(_._1).toArray, seed.map(_._2).toArray, VamanaConfig(m = 24))
+    val g1 = g0.insertAll(rest.map { case (id, v) => (id, v) }.toArray)
+    assert(g1.ids.length == 1000)
+    assert(g0.ids.length == 700, "original graph untouched")
+    // degree invariant survives the insert path
+    assert(g1.degreeStats._1 <= 24)
+    // inserted vertices are searchable with healthy recall
+    val rng = new scala.util.Random(12)
+    val recalls = (0 until 20).map { _ =>
+      val q = Array.fill(16)(rng.nextFloat() * 2 - 1)
+      val got = g1.search(q, 10).map(_._1).toSet
+      val want = brute(q, 10).toSet
+      got.intersect(want).size.toDouble / want.size
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.85, s"mean recall after insert $mean")
+    // inserted ids find themselves
+    val hits = rest.take(50).count { case (id, v) =>
+      g1.search(v, 1).headOption.exists(_._1 == id)
+    }
+    assert(hits >= 45, s"$hits/50 self-hits among inserted")
+    // duplicate insert rejected
+    assertThrows[IllegalArgumentException](g1.insertAll(Array(data.head)))
+  }
 }
