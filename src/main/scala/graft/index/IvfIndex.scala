@@ -554,6 +554,33 @@ final class IvfIndex(val spark: SparkSession, dir: String, val meta: IvfMeta) {
     df.count()
   }
 
+  // Codes-only cache for the PARTIAL prewarm tier: estimate scans read it
+  // when valid; rerank still reads the (cold) vec column from disk.
+  @volatile private var cachedCodes: (String, Boolean, Long, DataFrame) = null
+
+  /** Height-limited prewarm (reference `vchordrq_prewarm(height)`,
+    * src/index/functions.rs:44-63, which warms internal levels + code
+    * pages but not the vectors): centroid levels are always
+    * driver-resident here, so the partial tier caches the ESTIMATE-phase
+    * columns (cluster_id, id, cmeta, codes) — a fraction of full prewarm's
+    * memory — while exact rerank keeps streaming vectors from disk. */
+  def prewarmCodes(): Long = {
+    val prev = cachedCodes
+    val df = dataDf.select(dataCols.filter(_ != "vec").map(col): _*)
+      .repartition(col("cluster_id")).cache()
+    cachedCodes = (currentGen, deltaExists, mutations.get(), df)
+    if (prev != null && (prev._4 ne df)) prev._4.unpersist(false)
+    df.count()
+  }
+
+  /** Estimate-phase projection: the codes cache when warm, else a pruned
+    * scan of the current data (same columns, vec never read). */
+  private def codesDf: DataFrame = {
+    val c = cachedCodes
+    if (c != null && c._1 == currentGen && c._2 == deltaExists && c._3 == mutations.get()) c._4
+    else dataDf.select(dataCols.filter(_ != "vec").map(col): _*)
+  }
+
   private def prepQuery(q: Array[Float]): Array[Float] = {
     val pre = if (meta.cfg.metric == "cosdist") K.normalize(q) else q
     if (meta.cfg.rotate) new Rotation(meta.origDim)(pre) else pre
@@ -702,7 +729,8 @@ final class IvfIndex(val spark: SparkSession, dir: String, val meta: IvfMeta) {
     val dim = meta.dim
     val isL2 = meta.cfg.metric == "l2"
     // estimate phase: codes only — vec column is pruned from this scan
-    val est = data.select($"cluster_id", $"id", $"cmeta", $"codes")
+    // (and served from the codes cache when prewarmCodes() ran)
+    val est = codesDf.filter(col("cluster_id").isin(probed.map(Integer.valueOf): _*))
       .as[(Int, Long, Seq[Float], Array[Byte])]
       .mapPartitions { it =>
         val pc = bpc.value
@@ -818,8 +846,10 @@ final class IvfIndex(val spark: SparkSession, dir: String, val meta: IvfMeta) {
     val data = dataDf.filter(col("cluster_id").isin(allProbed.map(Integer.valueOf): _*))
     // InternalRow scan: primitive accessors, no Seq boxing — this pass
     // touches every row of every probed cluster and is the batch's hot loop
+    // (reads the codes cache when prewarmCodes() ran)
     val estRdd = org.apache.spark.sql.graft.ColumnBridge
-      .toInternalRdd(data.select($"cluster_id", $"id", $"cmeta", $"codes"))
+      .toInternalRdd(codesDf
+        .filter(col("cluster_id").isin(allProbed.map(Integer.valueOf): _*)))
       .mapPartitions { it =>
         val preps = bPrep.value
         val (qrT, qSumT, qNormSqT, cDotT) = bTabs.value

@@ -36,6 +36,23 @@ class IvfLifecycleSpec extends SparkSpec {
     assert(idx.prewarm() == 500L)
   }
 
+  test("partial prewarm (codes only) serves estimates; results unchanged; invalidated by append") {
+    import spark.implicits._
+    val idx = IvfIndex.build(rows.take(400).toDF("id", "vec"), "id", "vec", freshDir(),
+      IvfConfig(lists = 8))
+    val q = Array.fill(8)(0.15f)
+    val cold = idx.search(q, 10, probes = 8, refine = 16)
+      .as[(Long, Double)].collect().toSeq
+    assert(idx.prewarmCodes() == 400L)
+    val warm = idx.search(q, 10, probes = 8, refine = 16)
+      .as[(Long, Double)].collect().toSeq
+    assert(warm == cold, "codes cache must not change results")
+    // mutation invalidates the codes cache (same key discipline as dataDf)
+    idx.appendDelta(rows.drop(400).toDF("id", "vec"), "id", "vec")
+    val after = idx.searchExact(q, 10).select("id").as[Long].collect().toSeq
+    assert(after == brute(rows, q, 10), "appended rows visible past the cache")
+  }
+
   test("delete removes rows; survivors unchanged (vacuum semantics)") {
     import spark.implicits._
     val dir = freshDir()
