@@ -437,7 +437,7 @@ object IvfIndex {
       Files.walk(p).sorted(Comparator.reverseOrder[Path]()).forEach(f => Files.delete(f))
 }
 
-final class IvfIndex(val spark: SparkSession, dir: String, val meta: IvfMeta) {
+final class IvfIndex(val spark: SparkSession, val dir: String, val meta: IvfMeta) {
   import spark.implicits._
 
   private def currentGen: String =
