@@ -276,14 +276,27 @@ final class VamanaGraph(
 object VamanaGraph {
 
   /** Build from a DataFrame — collects vectors (moderate-scale index; see
-    * class doc) and runs the deterministic batch Vamana construction. */
+    * class doc) and runs the deterministic batch Vamana construction.
+    *
+    * The collect is CAPPED and fails loudly past `maxRows`: a silent
+    * limit() would quietly index a subset while callers still expect
+    * whole-table search, and an uncapped collect OOMs the driver with no
+    * explanation. The cap reads at most maxRows+1 rows (no extra count
+    * job, no full materialization of an oversized table). */
   def build(df: DataFrame, idCol: String, vecCol: String,
-            cfg: VamanaConfig = VamanaConfig()): VamanaGraph = {
+            cfg: VamanaConfig = VamanaConfig(), maxRows: Int = 200000): VamanaGraph = {
     val spark = df.sparkSession
     import spark.implicits._
     val rows = df.select(col(idCol).cast("long"), col(vecCol))
-      .as[(Long, Seq[Float])].collect().sortBy(_._1)
-    build(rows.map(_._1), rows.map(_._2.toArray), cfg)
+      .limit(maxRows + 1)
+      .as[(Long, Seq[Float])].collect()
+    require(rows.length <= maxRows,
+      s"graph index build exceeds the driver-build cap $maxRows rows: " +
+      "use the IVF index for this tier, build a quantized graph " +
+      "(VamanaConfig(bits=2)) from a dedicated pipeline, or raise maxRows " +
+      "explicitly")
+    val sorted = rows.sortBy(_._1)
+    build(sorted.map(_._1), sorted.map(_._2.toArray), cfg)
   }
 
   /** Robust prune (reference prune.rs:19-72): ascending alpha passes; a
@@ -449,13 +462,58 @@ object VamanaGraph {
     }
   }
 
-  /** Vacuum (reference G4): drop vertices and rebuild — relinking through
-    * dead nodes is a rebuild in the batch engine. Requires an exact graph
-    * (a quantized one has no raw vectors; rebuild from the source table). */
+  /** Full-rebuild vacuum: drop vertices and reconstruct from raw vectors.
+    * Requires an exact graph (a quantized one has no raw vectors); for the
+    * quantized tier — or to avoid the O(n) rebuild — use [[vacuum]]. */
   def deleteAndRebuild(g: VamanaGraph, dead: Set[Long]): VamanaGraph = {
     require(!g.quantized,
-      "vacuum on a quantized graph: rebuild from the source table instead")
+      "deleteAndRebuild needs raw vectors: on a quantized graph use " +
+      "VamanaGraph.vacuum (in-place relink through dead vertices)")
     val keep = g.ids.indices.filter(i => !dead.contains(g.ids(i)))
     build(keep.map(g.ids).toArray, keep.map(g.vecs).toArray, g.cfg)
+  }
+
+  /** In-place vacuum (reference G4, crates/vchordg/src/maintain.rs:38-227
+    * + bulkdelete.rs:24-94): every live vertex that pointed at a dead one
+    * RELINKS through it — candidates = its surviving neighbors plus the
+    * dead neighbor's surviving neighbors, robust-pruned — then dead
+    * vertices are compacted out. Needs only vertex-to-vertex distances,
+    * which [[VamanaGraph.vdist]] serves from codes too, so THIS is the
+    * delete path for the quantized tier (the memory-efficient tier has no
+    * raw vectors to rebuild from). Cost: O(touched vertices * prune),
+    * not O(n * search) like a rebuild. */
+  def vacuum(g: VamanaGraph, dead: Set[Long]): VamanaGraph = {
+    if (dead.isEmpty) return g
+    val n = g.ids.length
+    val isDead = g.ids.map(dead.contains)
+    val adj2 = new Array[Array[Int]](n)
+    var p = 0
+    while (p < n) {
+      if (!isDead(p)) {
+        val nbrs = g.adj(p)
+        if (nbrs.exists(isDead)) {
+          // one hop through each dead neighbor, order-stable, then prune
+          val cand = scala.collection.mutable.LinkedHashSet[Int]()
+          nbrs.foreach { nb =>
+            if (!isDead(nb)) cand += nb
+            else g.adj(nb).foreach(nn => if (!isDead(nn) && nn != p) cand += nn)
+          }
+          adj2(p) = robustPrune(g, p, cand.toSeq)
+        } else adj2(p) = nbrs
+      }
+      p += 1
+    }
+    val keep = (0 until n).filter(i => !isDead(i)).toArray
+    require(keep.nonEmpty, "vacuum removed every vertex")
+    val old2new = Array.fill(n)(-1)
+    keep.zipWithIndex.foreach { case (o, nw) => old2new(o) = nw }
+    val ids2 = keep.map(g.ids)
+    val vecs2 = if (g.quantized) Array.empty[Array[Float]] else keep.map(g.vecs)
+    val codes2 = if (g.quantized) keep.map(g.codes) else null
+    val adj3 = keep.map(o => adj2(o).collect { case x if old2new(x) >= 0 => old2new(x) })
+    val medoid2 =
+      if (!isDead(g.medoid)) old2new(g.medoid)
+      else old2new(keep.minBy(i => (g.vdist(g.medoid, i), g.ids(i))))
+    new VamanaGraph(ids2, vecs2, adj3, medoid2, g.cfg, codes2)
   }
 }

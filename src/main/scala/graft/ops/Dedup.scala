@@ -425,7 +425,7 @@ object Dedup {
    */
   def embeddingNearDup(df: DataFrame, idCol: String, vecCol: String, tau: Double,
                        lshBits: Int = 0, lshTables: Int = 8,
-                       bruteCap: Int = 200000): DataFrame = {
+                       bruteCap: Int = 200000, maxBucket: Int = 4096): DataFrame = {
     import graft.core.{VectorKernels => K}
     val cd = udf((a: Seq[Float], b: Seq[Float]) => K.cosdist(a.toArray, b.toArray))
     val base = df.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
@@ -459,37 +459,56 @@ object Dedup {
       val spark = df.sparkSession
       import spark.implicits._
       val bits = lshBits; val tables = lshTables
-      val sketch = udf { (v: Seq[Float]) =>
-        val va = v.toArray
-        (0 until tables).map { t =>
-          var key = 0L
-          var b = 0
-          while (b < bits) {
-            // deterministic pseudo-random hyperplane: component j weight
-            // derived from mix(t*bits+b, j)
-            var dot = 0.0
-            var j = 0
-            while (j < va.length) {
-              val w = (mix(0x9E3779B97F4A7C15L + j, t * bits + b) >>> 11).toDouble / (1L << 53).toDouble - 0.5
-              dot += va(j) * w
-              j += 1
+      // candidate generation over IDS ONLY: one narrow pass emits
+      // (bucket, id), one groupBy shuffles 16-byte rows — vectors never
+      // ride the candidate shuffle. In-bucket emission reuses the same
+      // star-cap as MinHash banding: a crawl where one hyperplane bucket
+      // collects millions of near-identical embeddings emits O(b) star
+      // pairs (connectivity preserved) instead of b^2/2.
+      val keyed = base.as[(Long, Seq[Float])].mapPartitions { it =>
+        var planes: Array[Array[Double]] = null // sized from the first row
+        it.flatMap { case (id, v) =>
+          val va = v.toArray
+          if (planes == null) planes = hyperplanes(va.length, tables * bits)
+          (0 until tables).iterator.map { t =>
+            var key = 0L
+            var b = 0
+            while (b < bits) {
+              val w = planes(t * bits + b)
+              var dot = 0.0
+              var j = 0
+              while (j < va.length) { dot += va(j) * w(j); j += 1 }
+              if (dot > 0) key |= (1L << b)
+              b += 1
             }
-            if (dot > 0) key |= (1L << b)
-            b += 1
+            // fold the table ordinal into the key: one 64-bit bucket id
+            (mix(key, 0x27d4eb2f + t), id)
           }
-          key
         }
       }
-      val keyed = base.withColumn("keys", sketch(col("v")))
-        .select(col("id"), col("v"), posexplode(col("keys")).as(Seq("t", "key")))
-      val cand = keyed.as("x").join(keyed.as("y"), Seq("t", "key"))
-        .filter(col("x.id") < col("y.id"))
-        .select(col("x.id").as("da"), col("x.v").as("va"),
-          col("y.id").as("db"), col("y.v").as("vb"))
+      val cand = keyed
+        .groupByKey(_._1)
+        .flatMapGroups((_, it) => bucketPairs(it.map(_._2), maxBucket))
+        .toDF("da", "db")
         .distinct()
-      cand.withColumn("cosdist", cd(col("va"), col("vb")))
+      // only surviving candidate pairs ever carry vectors: fetch both
+      // sides by id for the exact cosine verify (no false positives)
+      cand
+        .join(base.select(col("id").as("da"), col("v").as("va")), Seq("da"))
+        .join(base.select(col("id").as("db"), col("v").as("vb")), Seq("db"))
+        .withColumn("cosdist", cd(col("va"), col("vb")))
         .filter(col("cosdist") < tau)
         .select("da", "db", "cosdist")
     }
   }
+
+  /** Deterministic pseudo-random hyperplane weights: plane p, component j
+    * weight derived from mix(0x9E..15 + j, p) — identical on every
+    * executor, no broadcast needed. */
+  private def hyperplanes(dim: Int, nPlanes: Int): Array[Array[Double]] =
+    Array.tabulate(nPlanes) { p =>
+      Array.tabulate(dim) { j =>
+        (mix(0x9E3779B97F4A7C15L + j, p) >>> 11).toDouble / (1L << 53).toDouble - 0.5
+      }
+    }
 }

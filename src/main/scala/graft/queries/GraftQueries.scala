@@ -418,6 +418,28 @@ object GraftQueries {
              |  JOIN c ca ON ca.doc_id = da JOIN c cb ON cb.doc_id = db)
              |SELECT da, db, round(jac, 3) AS jac FROM j WHERE jac >= 0.4 ORDER BY da, db""".stripMargin)),
 
+    // maxShingleFreq capped mode: stop-shingles (document frequency above
+    // the cap) are REMOVED before pairing and Jaccard is computed over the
+    // filtered shingle universe — the oracle applies the identical
+    // df-filter in SQL, pinning the capped semantics (not just "fewer
+    // pairs"): counts, intersections, and values all over filtered sets.
+    "dedup_jaccard_capped" -> Q(
+      (s, d) => Dedup.jaccardPairs(
+          Dedup.shingles(tbl(s, d, "documents"), "doc_id", "text", 3), 0.4,
+          maxShingleFreq = 4)
+        .select(col("da"), col("db"), round(col("jac"), 3).as("jac"))
+        .orderBy("da", "db"),
+      Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+             |x AS (SELECT doc_id, toks, unnest(range(0, len(toks) - 2)) AS i FROM t WHERE len(toks) >= 3),
+             |sh0 AS (SELECT DISTINCT doc_id, toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] AS s FROM x),
+             |sh AS (SELECT doc_id, s FROM sh0 QUALIFY count(*) OVER (PARTITION BY s) <= 4),
+             |c AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+             |inter AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i FROM sh a
+             |  JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+             |j AS (SELECT da, db, CAST(i AS DOUBLE) / (ca.n + cb.n - i) AS jac FROM inter
+             |  JOIN c ca ON ca.doc_id = da JOIN c cb ON cb.doc_id = db)
+             |SELECT da, db, round(jac, 3) AS jac FROM j WHERE jac >= 0.4 ORDER BY da, db""".stripMargin)),
+
     // MinHash-LSH + exact verification, oracle-checked against the full
     // exact-Jaccard pair set: verification makes false positives
     // impossible, so hash-matching the exact oracle is an end-to-end
@@ -459,6 +481,27 @@ object GraftQueries {
 
     "dedup_embedding" -> Q(
       (s, d) => Dedup.embeddingNearDup(tbl(s, d, "embeddings"), "vec_id", "embedding", 0.5)
+        .select(col("da"), col("db"), round(col("cosdist"), 3).as("cosdist"))
+        .orderBy("da", "db"),
+      Some("""WITH e AS (SELECT vec_id, embedding, unnest(range(0, 64)) AS i FROM embeddings),
+             |n AS (SELECT vec_id, sqrt(sum(power(CAST(embedding[i+1] AS DOUBLE), 2))) AS nrm FROM e GROUP BY vec_id),
+             |p AS (SELECT a.vec_id AS va, b.vec_id AS vb,
+             |  sum(CAST(a.embedding[a.i+1] AS DOUBLE) * CAST(b.embedding[a.i+1] AS DOUBLE)) AS dot
+             |  FROM e a JOIN e b ON a.i = b.i AND a.vec_id < b.vec_id GROUP BY 1, 2)
+             |SELECT va AS da, vb AS db, round(1.0 - dot / (na.nrm * nb.nrm), 3) AS cosdist
+             |FROM p JOIN n na ON na.vec_id = p.va JOIN n nb ON nb.vec_id = p.vb
+             |WHERE 1.0 - dot / (na.nrm * nb.nrm) < 0.5 ORDER BY da, db""".stripMargin)),
+
+    // Random-hyperplane LSH path against the same EXACT all-pairs oracle:
+    // the cosine verify makes false positives impossible, so hash-matching
+    // the exact pair set is an end-to-end no-false-negative golden for the
+    // bucketing (this data's near-dup pairs sit at cosdist 0.40-0.50,
+    // hyperplane LSH's worst case — 4-bit keys x 16 tables is the
+    // operating point that still catches them all; real near-dups at
+    // cosdist < 0.1 are caught with far fewer tables).
+    "dedup_embedding_lsh" -> Q(
+      (s, d) => Dedup.embeddingNearDup(tbl(s, d, "embeddings"), "vec_id", "embedding", 0.5,
+          lshBits = 4, lshTables = 16)
         .select(col("da"), col("db"), round(col("cosdist"), 3).as("cosdist"))
         .orderBy("da", "db"),
       Some("""WITH e AS (SELECT vec_id, embedding, unnest(range(0, 64)) AS i FROM embeddings),
@@ -786,6 +829,17 @@ object GraftQueries {
     "graph_knn_vacuum" -> Q(
       (s, d) => { val q = qvec(s, d, 0)
         graphOut(variantGraph(s, d, "gvac").searchBatch(s, Array(0L -> q), 10)) },
+      Some(graphOracle("vec_id % 7 <> 0"))),
+
+    // QUANTIZED-tier vacuum (G4, reference maintain.rs relink-in-place):
+    // delete support on the memory-efficient tier, where no raw vectors
+    // exist to rebuild from — live vertices relink through their dead
+    // neighbors over code-vs-code distances, then rerank-in-table restores
+    // exact output.
+    "graph_knn_vacuum_quantized" -> Q(
+      (s, d) => { val q = qvec(s, d, 0)
+        graphOut(variantGraph(s, d, "gvacq").searchBatch(s, Array(0L -> q), 10,
+          rerankTable = Some((tbl(s, d, "embeddings"), "vec_id", "embedding")))) },
       Some(graphOracle("vec_id % 7 <> 0")))
   )
 
@@ -871,6 +925,11 @@ object GraftQueries {
           val dead = tbl(s, d, "embeddings").filter(col("vec_id") % 7 === 0)
             .select(col("vec_id").cast("long")).as[Long].collect().toSet
           graft.index.VamanaGraph.deleteAndRebuild(GraphCache.get(s, d), dead)
+        case "gvacq" => // in-place relink vacuum on the QUANTIZED tier (G4)
+          import s.implicits._
+          val dead = tbl(s, d, "embeddings").filter(col("vec_id") % 7 === 0)
+            .select(col("vec_id").cast("long")).as[Long].collect().toSet
+          graft.index.VamanaGraph.vacuum(variantGraph(s, d, "gq"), dead)
       }
     }
 
@@ -892,7 +951,7 @@ object GraftQueries {
     IvfCache.get(s, d); GraphCache.get(s, d)
     Seq("hier", "tree3", "rotate", "dimred", "ext", "ins", "del")
       .foreach(variantIvf(s, d, _))
-    Seq("gins", "gq", "gvac").foreach(variantGraph(s, d, _))
+    Seq("gins", "gq", "gvac", "gvacq").foreach(variantGraph(s, d, _))
     prefilterTable(s, d)
     ()
   }

@@ -83,6 +83,72 @@ class VamanaGraphSpec extends SparkSpec {
     assert(g2.search(q, 10).forall { case (id, _) => !dead.contains(id) })
   }
 
+  test("in-place vacuum relinks through dead vertices (exact graph)") {
+    val dead = (0L until 100L).toSet
+    val g2 = VamanaGraph.vacuum(graph, dead)
+    assert(g2.ids.length == 900)
+    assert(graph.ids.length == 1000, "original graph untouched")
+    // no dead vertex survives in ids or adjacency, degree cap holds
+    assert(g2.ids.forall(id => !dead.contains(id)))
+    assert(g2.adj.forall(_.forall(n => n >= 0 && n < 900)))
+    assert(g2.degreeStats._1 <= 24)
+    assert(g2.search(data(5)._2, 10).forall { case (id, _) => !dead.contains(id) })
+    // relink preserves search quality on the surviving corpus
+    val live = data.filterNot { case (id, _) => dead.contains(id) }
+    def bruteLive(q: Array[Float], k: Int): Seq[Long] =
+      live.map { case (id, v) => (K.l2(v, q), id) }.sortBy(identity).take(k).map(_._2)
+    val rng = new scala.util.Random(21)
+    val recalls = (0 until 20).map { _ =>
+      val q = Array.fill(16)(rng.nextFloat() * 2 - 1)
+      val got = g2.search(q, 10).map(_._1).toSet
+      val want = bruteLive(q, 10).toSet
+      got.intersect(want).size.toDouble / want.size
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.85, s"mean recall after vacuum $mean")
+    // dead medoid: vacuum must still produce a searchable graph
+    val g3 = VamanaGraph.vacuum(graph, Set(graph.ids(graph.medoid)))
+    assert(g3.ids.length == 999)
+    assert(g3.search(data(5)._2, 5).nonEmpty)
+  }
+
+  test("quantized graph vacuums in place (delete on the memory-efficient tier)") {
+    val qg = VamanaGraph.build(
+      data.map(_._1).toArray, data.map(_._2).toArray, VamanaConfig(m = 24, bits = 8))
+    val dead = (0L until 1000L by 7L).toSet
+    val g2 = VamanaGraph.vacuum(qg, dead)
+    assert(g2.quantized && g2.ids.length == 1000 - dead.size)
+    assert(g2.ids.forall(id => !dead.contains(id)))
+    assert(g2.degreeStats._1 <= 24)
+    // code-estimate beam over the vacuumed graph still reaches the live
+    // true neighbors (rerank restores exactness in searchBatch)
+    val live = data.filterNot { case (id, _) => dead.contains(id) }
+    def bruteLive(q: Array[Float], k: Int): Seq[Long] =
+      live.map { case (id, v) => (K.l2(v, q), id) }.sortBy(identity).take(k).map(_._2)
+    val rng = new scala.util.Random(31)
+    val recalls = (0 until 20).map { _ =>
+      val q = Array.fill(16)(rng.nextFloat() * 2 - 1)
+      val got = g2.search(q, 10, ef = 64).map(_._1).toSet
+      got.intersect(bruteLive(q, 10).toSet).size / 10.0
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.7, s"mean code-estimate recall after quantized vacuum $mean")
+    // deleteAndRebuild still refuses the quantized tier, pointing here
+    val e = intercept[IllegalArgumentException](VamanaGraph.deleteAndRebuild(qg, dead))
+    assert(e.getMessage.contains("vacuum"))
+  }
+
+  test("DataFrame build collects at most maxRows and fails loudly past the cap") {
+    import spark.implicits._
+    val df = data.take(50).map { case (id, v) => (id, v.toSeq) }.toDF("id", "vec")
+    val e = intercept[IllegalArgumentException](
+      VamanaGraph.build(df, "id", "vec", maxRows = 10))
+    assert(e.getMessage.contains("driver-build cap") &&
+      e.getMessage.contains("IVF"), e.getMessage)
+    // under the cap builds normally
+    assert(VamanaGraph.build(df, "id", "vec", maxRows = 50).ids.length == 50)
+  }
+
   test("quantized vertices (bits=2): >=4x smaller broadcast, recall floor via rerank") {
     import spark.implicits._
     val qg = VamanaGraph.build(

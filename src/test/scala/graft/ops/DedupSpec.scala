@@ -158,4 +158,26 @@ class DedupSpec extends SparkSpec {
       .select("da", "db").as[(Long, Long)].collect().toSet
     assert(lsh == Set((0L, 100L)))
   }
+
+  test("embedding LSH monster bucket completes bounded (star-pair cap)") {
+    import spark.implicits._
+    // 10k identical embeddings: every table puts them all in ONE bucket.
+    // Star cap => O(n) pairs anchored at the min id, not 5*10^7, and the
+    // candidate shuffle carries ids only (vectors fetched per-pair after).
+    val v = Seq.fill(16)(0.25f)
+    val rng = new scala.util.Random(9)
+    val rows = (0L until 10000L).map(i => i -> v) ++
+      (0L until 50L).map(i => (20000L + i) -> Seq.fill(16)(rng.nextFloat() * 2 - 1))
+    val df = rows.toDF("vec_id", "embedding")
+    val t0 = System.nanoTime()
+    val pairs = Dedup.embeddingNearDup(df, "vec_id", "embedding", 0.01,
+        lshBits = 8, lshTables = 4, maxBucket = 64)
+      .filter(org.apache.spark.sql.functions.col("da") < 10000L)
+      .select("da", "db").as[(Long, Long)].collect()
+    val secs = (System.nanoTime() - t0) / 1e9
+    assert(pairs.length == 9999, s"got ${pairs.length}")
+    assert(pairs.forall(_._1 == 0L)) // star anchored at bucket min
+    assert(pairs.map(_._2).toSet == (1L until 10000L).toSet) // connectivity
+    assert(secs < 60, s"took ${secs}s")
+  }
 }
