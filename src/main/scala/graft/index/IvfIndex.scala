@@ -803,12 +803,19 @@ final class IvfIndex(val spark: SparkSession, val dir: String, val meta: IvfMeta
   def searchMany(queries: Array[(Long, Array[Float])], k: Int, probes: Int = 4,
                  epsilon: Double = 1.9, refine: Int = 8,
                  rerankTable: Option[(DataFrame, String, String)] = None,
-                 probes1: Int = -1): DataFrame = {
+                 probes1: Int = -1, exactBudget: Int = -1): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(queries.nonEmpty, "empty query batch")
     require(queries.map(_._1).distinct.length == queries.length,
       "duplicate qids in query batch — results would silently merge")
-    val nCand = math.max(k * refine, k)
+    // exactBudget >= 0 switches to the reference's per-query refine budget
+    // (maxsim_refine, src/index/vchordrq/scanners/maxsim.rs:99-260): the
+    // output set is the top-k BY ESTIMATE, of which only the first
+    // exactBudget rows per query are re-scored exactly — the remainder
+    // keep their estimate as the distance. Callers wanting honest mixing
+    // should pass epsilon = 0 so the estimate carries no lower-bound slack.
+    val budgeted = exactBudget >= 0
+    val nCand = if (budgeted) k else math.max(k * refine, k)
     val residual = meta.cfg.residual
     val isL2 = meta.cfg.metric == "l2"
     val bits = meta.cfg.bits
@@ -912,14 +919,31 @@ final class IvfIndex(val spark: SparkSession, val dir: String, val meta: IvfMeta
     val dbg = sys.env.contains("GRAFT_SEARCH_DEBUG")
     val tEst0 = System.nanoTime()
     val wCand = Window.partitionBy($"qid").orderBy($"lb", $"id")
-    val candPairs = est
+    val candRows = est
       .withColumn("crn", row_number().over(wCand))
       .filter($"crn" <= nCand)
-      .select($"qid", $"id")
-      .as[(Long, Long)].collect()                       // job 1
-    if (dbg) System.err.println(s"[searchMany] est+window+collect: ${(System.nanoTime()-tEst0)/1e9}s, pairs=${candPairs.length}")
-    if (candPairs.isEmpty)
+      .select($"qid", $"id", $"crn", $"lb")
+      .as[(Long, Long, Int, Double)].collect()          // job 1
+    if (dbg) System.err.println(s"[searchMany] est+window+collect: ${(System.nanoTime()-tEst0)/1e9}s, pairs=${candRows.length}")
+    if (candRows.isEmpty)
       return Seq.empty[(Long, Long, Double, Long)].toDF("qid", "id", "dist", "rn")
+    // budgeted mode: only the first exactBudget candidates per query (in
+    // estimate order) are re-scored exactly; the rest keep the estimate
+    val exactPairs =
+      if (budgeted) candRows.filter(_._3 <= exactBudget).map(r => (r._1, r._2))
+      else candRows.map(r => (r._1, r._2))
+    val roughRows: Array[(Long, Long, Double)] =
+      if (budgeted) candRows.filter(_._3 > exactBudget).map(r => (r._1, r._2, r._4))
+      else Array.empty
+    if (exactPairs.isEmpty) {
+      // pure-estimate output (maxsim_refine = 0)
+      val out = roughRows.groupBy(_._1).toSeq.flatMap { case (qid, rows) =>
+        rows.map(r => (r._3, r._2)).sorted.take(k).zipWithIndex
+          .map { case ((d, id), i) => (qid, id, d, (i + 1).toLong) }
+      }
+      return out.toDF("qid", "id", "dist", "rn")
+    }
+    val candPairs = exactPairs
     // rerank (job 2): InternalRow scan of the probed clusters; candidate
     // membership via a sorted-id binary search (no giant In list, no join
     // machinery); scored pairs (B x nCand at most) merge on the driver
@@ -980,8 +1004,9 @@ final class IvfIndex(val spark: SparkSession, val dir: String, val meta: IvfMeta
           }.collect().map { case (qi, id, d) => (preps(qi.toInt)._1, id, d) }
     }
     if (dbg) System.err.println(s"[searchMany] rerank scan: ${(System.nanoTime()-tRr)/1e9}s, scored=${scored.length}")
-    // driver-side final top-k per query (at most B x nCand rows)
-    val out = scored.groupBy(_._1).toSeq.flatMap { case (qid, rows) =>
+    // driver-side final top-k per query (at most B x nCand rows); in
+    // budgeted mode the rough remainder merges in with estimate distances
+    val out = (scored ++ roughRows).groupBy(_._1).toSeq.flatMap { case (qid, rows) =>
       rows.map(r => (r._3, r._2)).sorted.take(k).zipWithIndex
         .map { case ((d, id), i) => (qid, id, d, (i + 1).toLong) }
     }

@@ -173,6 +173,28 @@ object Dedup {
     sig
   }
 
+  /** Exact-duplicate collapse: (key, (id, sig)) -> (min id, sorted member
+    * ids, sig). One map-side-combined shuffle; identical keys imply
+    * identical sigs (the key is a hash of the text the sig derives from),
+    * so keeping any one is deterministic. Returned as an RDD so every
+    * downstream consumer reuses the same shuffle files instead of
+    * recomputing the upstream scan. */
+  private def collapseByKey[S: scala.reflect.ClassTag](
+      rdd: org.apache.spark.rdd.RDD[(String, (Long, S))])
+      : org.apache.spark.rdd.RDD[(Long, Seq[Long], S)] =
+    rdd.combineByKey[(scala.collection.mutable.ArrayBuffer[Long], S)](
+        (v: (Long, S)) => (scala.collection.mutable.ArrayBuffer(v._1), v._2),
+        (c: (scala.collection.mutable.ArrayBuffer[Long], S), v: (Long, S)) =>
+          { c._1 += v._1; c },
+        (a: (scala.collection.mutable.ArrayBuffer[Long], S),
+         b: (scala.collection.mutable.ArrayBuffer[Long], S)) =>
+          { a._1 ++= b._1; a })
+      .map { case (_, (ms, sig)) =>
+        val sorted = ms.toArray
+        java.util.Arrays.sort(sorted)
+        (sorted(0), sorted.toSeq, sig)
+      }
+
   private def hexBytes(b: Array[Byte]): String = {
     val sb = new java.lang.StringBuilder(b.length * 2)
     b.foreach { x =>
@@ -252,27 +274,28 @@ object Dedup {
                    maxBucket: Int = 4096): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    // one narrow pass: (id, text-key, signature); docs shorter than n
+    // one narrow pass: (text-key, (id, signature)); docs shorter than n
     // shingle words have no signature and (as in the uncollapsed pipeline)
-    // can never pair
-    val sigs = df.select(col(idCol).cast("long"), col(textCol)).as[(Long, String)]
-      .mapPartitions { it =>
+    // can never pair. The collapse runs as ONE RDD shuffle whose files
+    // every downstream branch REUSES (skipped map stages): the DataFrame
+    // groupBy formulation re-ran the text scan + signatures once per
+    // consumer branch, because column pruning specializes each branch's
+    // aggregate and ReuseExchange never fires across them (measured: 4
+    // scans in the physical plan). The shuffle carries fixed-width
+    // signatures, never text, and no eager cache is held.
+    val sigsRdd = df.select(col(idCol).cast("long"), col(textCol)).as[(Long, String)]
+      .rdd.mapPartitions { it =>
         val md = java.security.MessageDigest.getInstance("MD5")
         it.flatMap { case (id, text) =>
           val th = text.split(' ').map(hash64)
           if (th.length < n) Iterator.empty
           else Iterator.single(
-            (id, hexBytes(md.digest(text.getBytes("UTF-8"))),
-              sigFromTokens(th, n, numHashes)))
+            (hexBytes(md.digest(text.getBytes("UTF-8"))),
+              (id, sigFromTokens(th, n, numHashes))))
         }
-      }.toDF("id", "tk", "sig")
-    // collapse: the shuffle carries fixed-width signatures, never text;
-    // the groupBy subtree is shared by reps and duplicate groups, so
-    // ReuseExchange computes the signature scan once (no eager cache)
-    val grouped = sigs.groupBy("tk").agg(
-      min("id").as("id"),
-      sort_array(collect_list("id")).as("members"),
-      first("sig").as("sig"))
+      }
+    val grouped = spark.createDataset(collapseByKey(sigsRdd))
+      .toDF("id", "members", "sig")
     val repSigs = grouped.select(col("id"), col("sig"))
     val multi = grouped.filter(size(col("members")) > 1)
       .select(col("id").as("gid"), col("members"))
@@ -356,21 +379,19 @@ object Dedup {
     require(maxHamming <= 3, "4-band blocking is only lossless for hamming <= 3")
     val spark = df.sparkSession
     import spark.implicits._
-    // one narrow pass: (id, text-key, fingerprint)
-    val sigs = df.select(col(idCol).cast("long"), col(textCol)).as[(Long, String)]
-      .mapPartitions { it =>
+    // one narrow pass: (text-key, (id, fingerprint)); the collapse runs as
+    // ONE RDD shuffle whose files all four downstream branches reuse —
+    // see minhashDedup for why the DataFrame groupBy version rescanned
+    // the text per branch
+    val sigsRdd = df.select(col(idCol).cast("long"), col(textCol)).as[(Long, String)]
+      .rdd.mapPartitions { it =>
         val md = java.security.MessageDigest.getInstance("MD5")
         it.map { case (id, text) =>
-          (id, hexBytes(md.digest(text.getBytes("UTF-8"))), simhash64(text))
+          (hexBytes(md.digest(text.getBytes("UTF-8"))), (id, simhash64(text)))
         }
-      }.toDF("id", "tk", "sig")
-    // one groupBy feeds reps AND duplicate groups; its Exchange subtree is
-    // identical across uses, so ReuseExchange computes the text scan +
-    // fingerprints once — no eager cache materialization
-    val grouped = sigs.groupBy("tk").agg(
-      min("id").as("id"),
-      sort_array(collect_list("id")).as("members"),
-      first("sig").as("sig"))
+      }
+    val grouped = spark.createDataset(collapseByKey(sigsRdd))
+      .toDF("id", "members", "sig")
     val repSigs = grouped.select(col("id"), col("sig"))
     val multi = grouped.filter(size(col("members")) > 1)
       .select(col("id").as("gid"), col("members"))

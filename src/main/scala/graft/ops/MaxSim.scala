@@ -116,6 +116,18 @@ object MaxSim {
    * tokens), and the final top-k orders by exact score — estimate error
    * can then only cost recall at the candidate boundary, never ordering.
    *
+   * `refinePerToken >= 0` switches to the reference's PER-TOKEN refine
+   * budget (`vchordrq.maxsim_refine`, scanners/maxsim.rs:99-260): each
+   * query token's retrieved candidates are ranked by code estimate and
+   * only the first `refinePerToken` get exact distances — the remainder
+   * contribute their estimate (0 = pure-estimate retrieval, the
+   * reference's maxsim_refine=0). Exact-scoring cost is then
+   * refinePerToken * |query tokens|, independent of how many tokens the
+   * candidate DOCS have (the per-doc `refineDocs` rescore costs
+   * |doc tokens| * |query tokens| per refined doc — under sparse probes
+   * the per-token budget buys more ranking fidelity per exact scoring).
+   * -1 (default) keeps the fully-exact retrieval path.
+   *
    * `maxsimThreshold > 0` enables the reference's threshold pricing
    * (search.rs:369-380 + scanners/maxsim.rs:698-717): a token's stand-in
    * for docs it did not retrieve becomes max(worst retrieved distance,
@@ -128,16 +140,25 @@ object MaxSim {
    */
   def approxTopK(idx: graft.index.IvfIndex, query: Array[Array[Float]], k: Int,
                  kPerToken: Int = 100, probes: Int = 4, refine: Int = 8,
-                 refineDocs: Int = 0, maxsimThreshold: Int = 0): DataFrame = {
+                 refineDocs: Int = 0, maxsimThreshold: Int = 0,
+                 refinePerToken: Int = -1): DataFrame = {
     val spark = idx.spark
     import spark.implicits._
     // ALL tokens retrieve through ONE batch call (qid = token index):
     // searchMany is bit-equal to per-token `search` but costs 2 Spark jobs
     // total instead of 2 per token — a 100-token ColBERT query would
-    // otherwise serialize 200 driver-scheduled jobs
+    // otherwise serialize 200 driver-scheduled jobs. With a per-token
+    // budget the batch runs in mixed exact/estimate mode (epsilon = 0 so
+    // the estimate stand-ins carry no lower-bound slack).
+    val tokQueries = query.zipWithIndex.map { case (q, i) => (i.toLong, q) }
+    val retrieved =
+      if (refinePerToken >= 0)
+        idx.searchMany(tokQueries, kPerToken, probes, epsilon = 0.0,
+          exactBudget = refinePerToken)
+      else
+        idx.searchMany(tokQueries, kPerToken, probes, refine = refine)
     val byToken: Map[Long, Array[(Long, Double)]] =
-      idx.searchMany(query.zipWithIndex.map { case (q, i) => (i.toLong, q) },
-          kPerToken, probes, refine = refine)
+      retrieved
         .select("qid", "id", "dist").as[(Long, Long, Double)].collect()
         .groupBy(_._1).view.mapValues(_.map(t => (t._2, t._3))).toMap
     val perToken: Seq[Array[(Long, Double)]] =

@@ -136,6 +136,16 @@ object AnnCatalog {
     indexes.computeIfAbsent(e.indexDir, d => IvfIndex.load(spark, d))
 }
 
+object AnnTopKRewrite {
+  /** Spark jobs launched DURING PLANNING (prefilter escalation only):
+    * each pool fetch and each survivor count is a bounded driver-blocking
+    * job inside the optimizer rule — the Spark analogue of the
+    * reference's scan-time escalation, which likewise does index work
+    * before returning rows. Observable so operators can tell "slow
+    * planning" apart from "slow execution"; reset is test-only. */
+  val planningJobs = new java.util.concurrent.atomic.AtomicLong(0)
+}
+
 case class AnnTopKRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
 
   /** One distance opclass per operator, like the reference's
@@ -364,15 +374,20 @@ case class AnnTopKRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
         var p = probes0
         var r = refine0
         def poolSize(r: Int): Long = math.min(k.toLong * r, n)
-        def pool(p: Int, r: Int): Array[Long] =
+        def pool(p: Int, r: Int): Array[Long] = {
+          AnnTopKRewrite.planningJobs.incrementAndGet()
           idx.search(qArr, poolSize(r).toInt, probes = p, refine = 1)
             .select("id").as[Long].collect()
+        }
         if (poolSize(r) > maxInList) return Some(gl)
         var ids = pool(p, r)
         def survivors(ids: Array[Long]): Long =
           if (ids.isEmpty) 0L
-          else ColumnBridge.ofRows(spark,
-            Filter(In(idAttr, scala.collection.immutable.ArraySeq.unsafeWrapArray(ids.map(idLit))), child)).count()
+          else {
+            AnnTopKRewrite.planningJobs.incrementAndGet()
+            ColumnBridge.ofRows(spark,
+              Filter(In(idAttr, scala.collection.immutable.ArraySeq.unsafeWrapArray(ids.map(idLit))), child)).count()
+          }
         var covered = p >= lists && k.toLong * r >= n
         while (survivors(ids) < k && !covered) {
           p = math.min(lists, p * 4)

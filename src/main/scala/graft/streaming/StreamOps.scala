@@ -78,6 +78,45 @@ object StreamOps {
   }
 
   /**
+   * Streaming GRAPH ingestion — the reference vchordg `aminsert` lifecycle
+   * (reference: crates/vchordg/src/insert.rs:34-395) as Structured
+   * Streaming: each micro-batch beam-searches the LIVE graph for its
+   * rows' neighborhoods and links them in (`VamanaGraph.insertAll`), no
+   * rebuild. The graph is an immutable in-memory value, so the live
+   * handle is an AtomicReference the caller shares with readers — every
+   * batch swaps in the extended graph; concurrent searches keep using the
+   * snapshot they grabbed (the same MVCC-flavored economics as the
+   * reference's live index).
+   *
+   * `maxBatchRows` bounds the per-batch driver collect the same way
+   * `VamanaGraph.build` bounds its build collect — loudly.
+   */
+  def graphIngest(vectors: DataFrame, idCol: String, vecCol: String,
+                  graphRef: java.util.concurrent.atomic.AtomicReference[graft.index.VamanaGraph],
+                  maxBatchRows: Int = 100000,
+                  checkpointLocation: Option[String] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    // NOTE: insertAll rejects duplicate ids — for replayable sources pass
+    // a durable checkpointLocation so restarts resume, not re-ingest.
+    val writer = vectors.writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        import batch.sparkSession.implicits._
+        val rows = batch.select(col(idCol).cast("long"), col(vecCol))
+          .limit(maxBatchRows + 1)
+          .as[(Long, Seq[Float])].collect()
+        require(rows.length <= maxBatchRows,
+          s"graph ingest micro-batch exceeds $maxBatchRows rows: size the " +
+          "trigger interval down, or use IvfIndex + indexIngest for this tier")
+        if (rows.nonEmpty)
+          graphRef.updateAndGet(
+            _.insertAll(rows.map { case (id, v) => (id, v.toArray) }))
+        ()
+      }
+    checkpointLocation.fold(writer)(writer.option("checkpointLocation", _)).start()
+  }
+
+  /**
    * Watermarked tumbling-window counts per event type — the streaming
    * equivalent of the q_events_hourly batch query.
    */

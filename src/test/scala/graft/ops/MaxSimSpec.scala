@@ -92,6 +92,53 @@ class MaxSimSpec extends SparkSpec {
     assert(run(3) == Seq(1L, 2L, 3L), s"got ${run(3)}")
   }
 
+  test("per-token refine budget beats per-doc refine at equal exact-scoring cost (sparse probes)") {
+    import spark.implicits._
+    // 60 docs x 16 tokens, dim-8 unit vectors, 4-bit codes: estimates are
+    // noisy enough that WHERE the exact scorings go decides the ranking.
+    // Cost accounting (exact token-pair scorings):
+    //   per-token budget r: |query tokens| * r        = 4r
+    //   per-doc refine d:   d * |doc tokens| * |query| = 64d  (min d = k)
+    // At an equal budget of 640 scorings: per-token exactly rescores the
+    // 160 best candidates of EVERY query token — enough to fix the
+    // RANKING that selects docs — while per-doc spends it all on the 10
+    // docs the noisy estimates already picked.
+    val rng = new scala.util.Random(42)
+    def vec(): Array[Float] = {
+      val v = Array.fill(8)(rng.nextFloat() * 2 - 1)
+      val n = math.sqrt(v.map(x => x.toDouble * x).sum).toFloat
+      v.map(_ / n)
+    }
+    val docs2 = (0L until 100L).map(i => i -> Array.fill(16)(vec()))
+    val queries = Seq.fill(6)(Array.fill(4)(vec()))
+    val tokens = docs2.flatMap { case (id, toks) =>
+      toks.zipWithIndex.map { case (t, p) => (id, p, t.toSeq) }
+    }.toDF("doc", "pos", "v")
+    val dir = java.nio.file.Files.createTempDirectory("graft-maxsim-ptb").toString
+    val idx = MaxSim.buildTokenIndex(tokens, "doc", "pos", "v", dir,
+      graft.index.IvfConfig(metric = "negdot", lists = 8, residual = false, bits = 4))
+    def overlap(q: Array[Array[Float]], refPerTok: Int, refDocs: Int): Int = {
+      val exactTop = docs2.map { case (id, toks) => (K.maxsim(toks, q), id) }
+        .sorted.take(10).map(_._2).toSet
+      MaxSim.approxTopK(idx, q, 10, kPerToken = 1600, probes = 4,
+          refinePerToken = refPerTok, refineDocs = refDocs)
+        .select("doc").as[Long].collect().toSet.intersect(exactTop).size
+    }
+    val perToken = queries.map(overlap(_, 160, 0)).sum // 640 scorings/query
+    val perDoc = queries.map(overlap(_, 0, 10)).sum    // 640 scorings/query
+    assert(perToken > perDoc,
+      s"per-token budget recovered $perToken/60 vs per-doc $perDoc/60")
+    // full per-token budget == fully-exact retrieval, bit-for-bit
+    val q0 = queries.head
+    val full = MaxSim.approxTopK(idx, q0, 10, kPerToken = 1600, probes = 4,
+        refinePerToken = 1600)
+      .as[(Long, Double)].collect().toSeq
+    val normal = MaxSim.approxTopK(idx, q0, 10, kPerToken = 1600, probes = 4,
+        refine = 1)
+      .as[(Long, Double)].collect().toSeq
+    assert(full == normal, s"full=$full normal=$normal")
+  }
+
   test("packKey/unpackDoc round-trip (u16 position payload)") {
     assert(MaxSim.unpackDoc(MaxSim.packKey(123456L, 65535)) == 123456L)
     assert((MaxSim.packKey(7L, 3) & 0xffffL) == 3L)

@@ -131,12 +131,17 @@ class AnnRewriteSpec extends SparkSpec {
       // candidate set cannot contain k survivors, so the rule must
       // escalate to full coverage — making the answer exact.
       withConfs("graft.ann.cost.enable" -> "false") {
+        val jobs0 = AnnTopKRewrite.planningJobs.get()
         val df = spark.read.parquet(tableDir)
           .filter(col("id") >= 495L)
           .orderBy(GraftFunctions.vecL2(col("vec"), typedlit(q.toSeq)))
           .limit(5)
         val optimized = df.queryExecution.optimizedPlan.toString
         assert(optimized.contains(" IN "), s"expected prefilter index serve:\n$optimized")
+        // escalation runs bounded Spark jobs AT PLANNING TIME; the counter
+        // makes that observable (pool fetches + survivor counts >= 2)
+        assert(AnnTopKRewrite.planningJobs.get() >= jobs0 + 2,
+          s"planningJobs ${AnnTopKRewrite.planningJobs.get()} vs start $jobs0")
         // full-row collect of the rewritten plan: must contain the k true
         // survivors, not an unfiltered top-k that the predicate empties
         val got = df.collect().map(_.getLong(0)).toSeq

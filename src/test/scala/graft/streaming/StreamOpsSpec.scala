@@ -58,6 +58,34 @@ class StreamOpsSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming graph ingest: streamed vectors searchable in the live graph") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rng = new scala.util.Random(67)
+    val base = (0L until 200L).map(i => i -> Array.fill(8)(rng.nextFloat() * 2 - 1))
+    val g0 = graft.index.VamanaGraph.build(
+      base.map(_._1).toArray, base.map(_._2).toArray, graft.index.VamanaConfig(m = 16))
+    val ref = new java.util.concurrent.atomic.AtomicReference(g0)
+    val input = MemoryStream[(Long, Seq[Float])]
+    val query = StreamOps.graphIngest(
+      input.toDF().toDF("id", "vec"), "id", "vec", ref)
+    try {
+      val v1 = Seq.fill(8)(0.111f)
+      input.addData((1000L, v1), (1001L, Seq.fill(8)(0.9f)))
+      query.processAllAvailable()
+      // live handle swapped: streamed row is its own nearest neighbor
+      assert(ref.get().ids.length == 202)
+      assert(ref.get().search(v1.toArray, 1).head._1 == 1000L)
+      // a second micro-batch extends the SAME live graph
+      input.addData((1002L, Seq.fill(8)(-0.8f)))
+      query.processAllAvailable()
+      assert(ref.get().ids.length == 203)
+      assert(ref.get().search(Array.fill(8)(-0.8f), 1).head._1 == 1002L)
+      // original snapshot untouched (readers holding it are unaffected)
+      assert(g0.ids.length == 200)
+    } finally query.stop()
+  }
+
   test("hourlyCounts windowed aggregation over a memory stream") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
