@@ -523,6 +523,58 @@ object Dedup {
     }
   }
 
+  /**
+   * Connected components over a near-dup pair set: (id, rep) where rep is
+   * the MINIMUM id reachable through the pair graph — the step a dedup
+   * pipeline runs after pair generation to pick one canonical document
+   * per duplicate cluster (keep rep, drop the rest).
+   *
+   * Iterative min-label propagation: each round, every vertex adopts the
+   * smallest label among itself and its neighbors; converged when no
+   * label changes. Rounds = graph diameter; the upstream pair generators
+   * keep components star-shaped (bucket min linked to every member), so
+   * real near-dup graphs converge in a handful of rounds. Each round is
+   * one join + one groupBy over (id, label) pairs — fixed-width rows,
+   * never text or vectors — and lineage is truncated per round so plans
+   * stay flat at scale. Fails loudly past `maxIters` (a pathological
+   * chain) rather than silently emitting unconverged labels.
+   */
+  def components(pairs: DataFrame, aCol: String = "da", bCol: String = "db",
+                 maxIters: Int = 30): DataFrame = {
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    val edges = pairs
+      .select(col(aCol).cast("long").as("a"), col(bCol).cast("long").as("b"))
+    // symmetric adjacency; one shuffle, reused every round
+    val adj = edges.union(edges.select(col("b").as("a"), col("a").as("b")))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      var labels = adj.select(col("a").as("id")).distinct()
+        .select(col("id"), col("id").as("rep"))
+        .localCheckpoint()
+      var it = 0
+      var converged = false
+      while (!converged) {
+        require(it < maxIters,
+          s"components did not converge in $maxIters rounds — pathological " +
+          "chain-shaped pair graph; raise maxIters explicitly")
+        val nbrMin = adj.join(labels, adj("b") === labels("id"))
+          .groupBy(adj("a").as("id")).agg(min("rep").as("nrep"))
+        val next = labels.join(nbrMin, Seq("id"), "left")
+          .select(col("id"),
+            least(col("rep"), coalesce(col("nrep"), col("rep"))).as("rep"))
+          .localCheckpoint() // truncate per-round lineage
+        val changed = next.join(labels.select(col("id"), col("rep").as("prev")), Seq("id"))
+          .filter(col("rep") =!= col("prev")).count()
+        labels = next
+        converged = changed == 0
+        it += 1
+      }
+      labels
+    } finally adj.unpersist()
+  }
+
   /** Deterministic pseudo-random hyperplane weights: plane p, component j
     * weight derived from mix(0x9E..15 + j, p) — identical on every
     * executor, no broadcast needed. */

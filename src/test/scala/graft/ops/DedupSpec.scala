@@ -159,6 +159,24 @@ class DedupSpec extends SparkSpec {
     assert(lsh == Set((0L, 100L)))
   }
 
+  test("components: min-reachable-id labels over stars, chains, and isolates") {
+    import spark.implicits._
+    // two components: a star {1,5,9} anchored at 1, and a CHAIN
+    // 10-11-12-13-14 (propagation must walk the diameter), plus a
+    // disjoint pair {20,21}
+    val pairs = Seq((1L, 5L), (1L, 9L), (10L, 11L), (11L, 12L), (12L, 13L),
+      (13L, 14L), (20L, 21L)).toDF("da", "db")
+    val got = Dedup.components(pairs).as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 5L -> 1L, 9L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 13L -> 10L, 14L -> 10L,
+      20L -> 20L, 21L -> 20L))
+    // non-convergence fails loudly instead of emitting wrong labels
+    val e = intercept[IllegalArgumentException] {
+      Dedup.components(pairs, maxIters = 1).collect()
+    }
+    assert(e.getMessage.contains("converge"))
+  }
+
   test("embedding LSH monster bucket completes bounded (star-pair cap)") {
     import spark.implicits._
     // 10k identical embeddings: every table puts them all in ONE bucket.
