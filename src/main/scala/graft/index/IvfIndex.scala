@@ -131,10 +131,15 @@ object IvfIndex {
     // NULL vectors never enter the index (reference: NULL rows are simply
     // absent from the AM, tests/general/issue_427.slt indexes an all-NULL
     // column without error)
+    // Array[Float], NOT Seq[Float]: the primitive-array encoder ser/deser
+    // through UnsafeArrayData.fromPrimitiveArray / toFloatArray with ZERO
+    // boxing. The Seq formulation boxed every component both ways —
+    // n*dim Float objects churned through the young gen, which turned
+    // superlinear past ~10M rows (measured 30M f32 build: 235s boxed)
     val base = df.filter(col(vecCol).isNotNull && col(idCol).isNotNull)
-      .select(col(idCol).cast("long"), col(vecCol)).as[(Long, Seq[Float])]
-    def encodeOne(id: Long, v: Seq[Float]): (Int, Long, Array[Float], Seq[Float], Array[Byte]) = {
-      val raw = v.toArray
+      .select(col(idCol).cast("long"), col(vecCol)).as[(Long, Array[Float])]
+    def encodeOne(id: Long, v: Array[Float]): (Int, Long, Array[Float], Array[Float], Array[Byte]) = {
+      val raw = v
       val pre = if (sph) K.normalize(raw) else raw
       val rotated = rot.map(_.apply(pre)).getOrElse(pre)
       val vec = if (f16) graft.core.Half.roundtrip(rotated) else rotated
@@ -149,7 +154,7 @@ object IvfIndex {
           r
         } else vec
       val code = RaBitQ.quantize(toCode, bits)
-      (cid, id, vec, code.meta.toSeq, code.codes)
+      (cid, id, vec, code.meta, code.codes)
     }
     if (f16)
       base.map { case (id, v) =>
@@ -157,10 +162,8 @@ object IvfIndex {
         (cid, i, graft.core.Half.encodeBytes(vec), m, c)
       }.toDF("cluster_id", "id", "vec", "cmeta", "codes")
     else
-      base.map { case (id, v) =>
-        val (cid, i, vec, m, c) = encodeOne(id, v)
-        (cid, i, vec.toSeq, m, c)
-      }.toDF("cluster_id", "id", "vec", "cmeta", "codes")
+      base.map { case (id, v) => encodeOne(id, v) }
+        .toDF("cluster_id", "id", "vec", "cmeta", "codes")
   }
 
   /** Meta is driver-side data measured in kilobytes — written as plain
@@ -256,8 +259,8 @@ object IvfIndex {
         col(idCol).cast("long").as("__id"))
       .orderBy(col("__rk"), col("__id"))
       .limit(cap)
-      .select(col(vecCol)).as[Seq[Float]]
-      .collect().map(_.toArray)
+      .select(col(vecCol)).as[Array[Float]]
+      .collect()
     require(sample0.nonEmpty,
       "cannot build an index without at least one non-null vector (the " +
       "reference infers dim from the column type; here it comes from the data)")

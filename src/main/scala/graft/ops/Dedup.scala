@@ -561,18 +561,40 @@ object Dedup {
           "chain-shaped pair graph; raise maxIters explicitly")
         val nbrMin = adj.join(labels, adj("b") === labels("id"))
           .groupBy(adj("a").as("id")).agg(min("rep").as("nrep"))
+        // the new label AND a did-it-change flag ride the same
+        // checkpointed rows (truncating per-round lineage), so the
+        // convergence test is a shuffle-free scan of in-memory blocks —
+        // not a second join job per round
+        val nxt = least(col("rep"), coalesce(col("nrep"), col("rep")))
         val next = labels.join(nbrMin, Seq("id"), "left")
-          .select(col("id"),
-            least(col("rep"), coalesce(col("nrep"), col("rep"))).as("rep"))
-          .localCheckpoint() // truncate per-round lineage
-        val changed = next.join(labels.select(col("id"), col("rep").as("prev")), Seq("id"))
-          .filter(col("rep") =!= col("prev")).count()
-        labels = next
-        converged = changed == 0
+          .select(col("id"), nxt.as("nxt"),
+            (nxt =!= col("rep")).cast("long").as("chg"))
+          .localCheckpoint()
+        converged = Option(next.agg(sum("chg")).first().get(0))
+          .forall(_.asInstanceOf[Long] == 0L)
+        labels = next.select(col("id"), col("nxt").as("rep"))
         it += 1
       }
       labels
     } finally adj.unpersist()
+  }
+
+  /**
+   * End-to-end dedup: drop every document that is not its duplicate
+   * cluster's canonical representative (minimum id), given near-dup
+   * pairs from ANY of the pair generators above. The final step of a
+   * training-data dedup pipeline — the output is the cleaned table.
+   *
+   * Shape at scale: components() labels ride fixed-width (id, rep) rows;
+   * the drop set joins back LEFT ANTI on the id key — broadcast when the
+   * dup fraction is small (AQE decides), shuffle-on-id otherwise. The
+   * full-width document rows are never shuffled more than that one join.
+   */
+  def dedupe(df: DataFrame, idCol: String, pairs: DataFrame): DataFrame = {
+    val drops = components(pairs)
+      .filter(col("id") =!= col("rep"))
+      .select(col("id").as("_graft_drop_id"))
+    df.join(drops, col(idCol).cast("long") === col("_graft_drop_id"), "left_anti")
   }
 
   /** Deterministic pseudo-random hyperplane weights: plane p, component j

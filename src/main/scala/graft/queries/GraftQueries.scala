@@ -484,6 +484,33 @@ object GraftQueries {
              |SELECT CAST(id AS BIGINT) AS id, CAST(min(r) AS BIGINT) AS rep
              |FROM reach GROUP BY id ORDER BY id""".stripMargin)),
 
+    // The cleaned table itself: documents minus non-canonical duplicates
+    // (keep each cluster's min doc_id) — the end-to-end output of the
+    // dedup pipeline. Oracle: same recursive-CTE labels, anti-filtered.
+    "dedup_keep" -> Q(
+      (s, d) => Dedup.dedupe(tbl(s, d, "documents"), "doc_id",
+          Dedup.minhashDedup(tbl(s, d, "documents"), "doc_id", "text", 0.4))
+        .select(col("doc_id").cast("long").as("doc_id"))
+        .orderBy("doc_id"),
+      Some("""WITH RECURSIVE t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+             |x AS (SELECT doc_id, toks, unnest(range(0, len(toks) - 2)) AS i FROM t WHERE len(toks) >= 3),
+             |sh AS (SELECT DISTINCT doc_id, toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] AS s FROM x),
+             |c AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+             |inter AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i FROM sh a
+             |  JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+             |j AS (SELECT da, db, CAST(i AS DOUBLE) / (ca.n + cb.n - i) AS jac FROM inter
+             |  JOIN c ca ON ca.doc_id = da JOIN c cb ON cb.doc_id = db),
+             |p AS (SELECT da, db FROM j WHERE jac >= 0.4),
+             |e AS (SELECT da AS a, db AS b FROM p UNION SELECT db AS a, da AS b FROM p),
+             |reach AS (
+             |  SELECT a AS id, a AS r FROM (SELECT DISTINCT a FROM e) _v
+             |  UNION
+             |  SELECT e.a AS id, reach.r FROM e JOIN reach ON reach.id = e.b),
+             |lbl AS (SELECT id, min(r) AS rep FROM reach GROUP BY id)
+             |SELECT CAST(doc_id AS BIGINT) AS doc_id FROM documents
+             |WHERE doc_id NOT IN (SELECT id FROM lbl WHERE id <> rep)
+             |ORDER BY doc_id""".stripMargin)),
+
     // SimHash uses an md5-based token hash (DuckDB md5_number_lower), so
     // the ORACLE recomputes the full fingerprint in SQL: per-(doc, bit)
     // majority sign -> pairwise hamming distance. The 4-band pigeonhole

@@ -6,11 +6,27 @@ import org.apache.spark.sql.SparkSession
  * Synthetic N x 64-dim IVF build + ANN-vs-brute scale probe (invoked by
  * Bench per round at N=100k, and standalone for big-N anchors). The
  * standalone main exists because sbt's own JVM heap caps the probe around
- * 4M rows — run the 10M anchor in a dedicated JVM:
+ * 4M rows — run the 10M+ anchors in a dedicated JVM:
  *
  *   java -Xmx100g -XX:+UseG1GC \
  *     -cp target/scala-2.13/classes:/opt/spark/jars/'*' \
  *     graft.tools.ScaleProbe 10000000
+ *
+ * Big-N switches (env), for anchors whose working set cannot double-live
+ * in RAM and on disk:
+ *   SPARK_GRAFT_SCALE_NOCACHE=1  source table lives ONLY as parquet on
+ *       disk (generate -> write -> read back); every scan including the
+ *       build pays the disk read, like a real 100 TB table would. The
+ *       RAM-cached serving tier (`_scale_ann`/`_scale_brute`) is skipped.
+ *   SPARK_GRAFT_SCALE_NOSRC=1  no parquet source table AT ALL (source
+ *       stays RAM-cached; the disk-scan brute comparisons are skipped,
+ *       the RAM-resident batch comparison is kept). For the 100M anchor:
+ *       source parquet + build shuffle + index files cannot coexist in
+ *       this box's free disk, but cache(35G) + shuffle(23G) + index(20G)
+ *       can.
+ *   SPARK_GRAFT_SCALE_STORAGE=both|f32|f16  which storage tiers to
+ *       build. 100M x 64d f32 gen + src + shuffle spill overruns this
+ *       box's disk; f16 fits.
  */
 object ScaleProbe {
   def main(args: Array[String]): Unit = {
@@ -39,12 +55,31 @@ object ScaleProbe {
     try {
       val n = nRows
       val dim = 64
-      val df = spark.range(n).map { i =>
+      val nocache = sys.env.get("SPARK_GRAFT_SCALE_NOCACHE").contains("1")
+      val nosrc = sys.env.get("SPARK_GRAFT_SCALE_NOSRC").contains("1")
+      val storage = sys.env.getOrElse("SPARK_GRAFT_SCALE_STORAGE", "both")
+      val f32Tier = storage != "f16"
+      val f16Tier = storage != "f32"
+      def say(s: String): Unit = System.err.println(s"[scale] $s")
+      val out = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
+      def timed(key: String)(body: => Unit): Unit = {
+        val t = System.nanoTime(); body
+        val sec = (System.nanoTime() - t) / 1e9
+        out += (key -> sec); say(f"$key = $sec%.2fs")
+      }
+      val gen = spark.range(n).map { i =>
         val rng = new scala.util.Random(i)
-        (i, Seq.fill(dim)(rng.nextFloat() * 2 - 1))
-      }.toDF("id", "vec").repartition(32).cache()
-      df.count()
+        (i, Array.fill(dim)(rng.nextFloat() * 2 - 1))
+      }.toDF("id", "vec").repartition(32)
       val dir = s"${sys.props("java.io.tmpdir")}/graft-bench-scale-$n"
+      val srcDir = s"$dir-src"
+      val df =
+        if (nocache) {
+          // disk-resident source: the build and every brute scan read
+          // parquet, the regime a 100 TB table actually lives in
+          gen.write.mode("overwrite").parquet(srcDir)
+          spark.read.parquet(srcDir)
+        } else { val d = gen.cache(); d.count(); d }
       // config scales with n the way the reference's build guidance does
       // (BASELINE.md: hierarchical k-means + kmeans_dimension reduction +
       // bounded sampling are what make the 100M/20min and 1B/128GB claims):
@@ -55,43 +90,55 @@ object ScaleProbe {
           graft.index.IvfConfig(lists = 256, kmeansAlgo = "hierarchical",
             kmeansDim = 16, lists1 = 16, samplingFactor = 128)
         else graft.index.IvfConfig(lists = 64, kmeansAlgo = "hierarchical")
-      val t0 = System.nanoTime()
-      val idx = graft.index.IvfIndex.build(df, "id", "vec", dir, cfg)
-      val tBuild = (System.nanoTime() - t0) / 1e9
       val q = Array.tabulate(dim)(j => ((j % 7) - 3) * 0.1f)
       val probes = math.max(8, math.ceil(math.sqrt(cfg.lists.toDouble)).toInt)
-      // UNCACHED tier first — the disk-resident regime the reference's
+      var idx: graft.index.IvfIndex = null
+      if (f32Tier) {
+        timed(s"_scale_build_$n") {
+          idx = graft.index.IvfIndex.build(df, "id", "vec", dir, cfg)
+        }
+      }
+      if (!nocache && !nosrc) df.write.mode("overwrite").parquet(srcDir)
+      // UNCACHED tier — the disk-resident regime the reference's
       // economics target: ANN touches only the probed clusters' code
       // columns; brute decodes every stored vector
-      val srcDir = s"$dir-src"
-      df.write.mode("overwrite").parquet(srcDir)
-      val coldIdx = graft.index.IvfIndex.load(spark, dir)
-      val tc0 = System.nanoTime()
-      coldIdx.search(q, 10, probes = probes, refine = 8).count()
-      val tAnnUncached = (System.nanoTime() - tc0) / 1e9
-      val tc1 = System.nanoTime()
-      graft.ops.Knn.topK(spark.read.parquet(srcDir), "id", "vec", q, 10).count()
-      val tBruteUncached = (System.nanoTime() - tc1) / 1e9
+      if (f32Tier) {
+        val coldIdx = graft.index.IvfIndex.load(spark, dir)
+        timed(s"_scale_ann_uncached_$n") {
+          coldIdx.search(q, 10, probes = probes, refine = 8).count()
+        }
+      }
+      if (!nosrc) timed(s"_scale_brute_uncached_$n") {
+        graft.ops.Knn.topK(spark.read.parquet(srcDir), "id", "vec", q, 10).count()
+      }
       // halfvec storage tier: same index shape, rerank vectors stored as
       // packed f16 — half the rerank bytes on an uncached scan
       val dir16 = s"$dir-f16"
-      val t16 = System.nanoTime()
-      graft.index.IvfIndex.build(df, "id", "vec", dir16, cfg.copy(storage = "f16"))
-      val tBuild16 = (System.nanoTime() - t16) / 1e9
-      // measured like the f32 uncached tier: a freshly loaded instance
-      val idx16 = graft.index.IvfIndex.load(spark, dir16)
-      val t16s = System.nanoTime()
-      idx16.search(q, 10, probes = probes, refine = 8).count()
-      val tAnn16 = (System.nanoTime() - t16s) / 1e9
+      var idx16: graft.index.IvfIndex = null
+      if (f16Tier) {
+        timed(s"_scale_build_f16_$n") {
+          graft.index.IvfIndex.build(df, "id", "vec", dir16, cfg.copy(storage = "f16"))
+        }
+        // measured like the f32 uncached tier: a freshly loaded instance
+        idx16 = graft.index.IvfIndex.load(spark, dir16)
+        timed(s"_scale_ann_f16_uncached_$n") {
+          idx16.search(q, 10, probes = probes, refine = 8).count()
+        }
+      }
       // serving model: index prewarmed (reference vchordrq_prewarm), same
-      // memory residency the brute-force side gets from its cached df
-      idx.prewarm()
-      val t1 = System.nanoTime()
-      val annIds = idx.search(q, 10, probes = probes, refine = 8).count()
-      val tAnn = (System.nanoTime() - t1) / 1e9
-      val t2 = System.nanoTime()
-      graft.ops.Knn.topK(df, "id", "vec", q, 10).count()
-      val tBrute = (System.nanoTime() - t2) / 1e9
+      // memory residency the brute-force side gets from its cached df.
+      // Skipped under NOCACHE: there is no RAM-resident brute side to
+      // compare against at this N.
+      val servIdx = if (idx != null) idx else idx16
+      servIdx.prewarm()
+      if (!nocache && f32Tier) {
+        timed(s"_scale_ann_$n") {
+          idx.search(q, 10, probes = probes, refine = 8).count()
+        }
+        timed(s"_scale_brute_$n") {
+          graft.ops.Knn.topK(df, "id", "vec", q, 10).count()
+        }
+      }
       // batch serving: nBatch queries in two jobs via searchMany vs the
       // brute partition-local-heap knnJoin — per-query job overhead
       // amortizes, which is where the index pays off in a batch engine
@@ -100,26 +147,23 @@ object ScaleProbe {
         val rng = new scala.util.Random(1000 + i)
         i.toLong -> Array.fill(dim)(rng.nextFloat() * 2 - 1)
       }
-      val t3 = System.nanoTime()
-      idx.searchMany(qs, 10, probes = probes, refine = 8).count()
-      val tBatch = (System.nanoTime() - t3) / 1e9
-      val t4 = System.nanoTime()
-      graft.ops.Knn.knnJoin(df, "id", "vec", qs, 10).count()
-      val tBruteBatch = (System.nanoTime() - t4) / 1e9
-      df.unpersist()
+      timed(s"_scale_annbatch${nBatch}_$n") {
+        servIdx.searchMany(qs, 10, probes = probes, refine = 8).count()
+      }
+      timed(s"_scale_brutebatch${nBatch}_$n") {
+        graft.ops.Knn.knnJoin(df, "id", "vec", qs, 10).count()
+      }
+      if (!nocache) df.unpersist()
       // B5 deep-tree probe economics: flat vs 3-level descent over 1024
       // synthetic centroids, 2000 probes each (driver-side cost only)
       val (tProbeFlat, tProbeTree) = graft.index.ProbeBench.run(spark)
-      Seq(s"_scale_build_${n}" -> tBuild, s"_scale_ann_$n" -> tAnn,
-        "_scale_probe2k_flat_1024" -> tProbeFlat,
-        "_scale_probe2k_tree_1024" -> tProbeTree,
-        s"_scale_brute_$n" -> tBrute,
-        s"_scale_ann_uncached_$n" -> tAnnUncached,
-        s"_scale_brute_uncached_$n" -> tBruteUncached,
-        s"_scale_build_f16_$n" -> tBuild16,
-        s"_scale_ann_f16_uncached_$n" -> tAnn16,
-        s"_scale_annbatch${nBatch}_$n" -> tBatch,
-        s"_scale_brutebatch${nBatch}_$n" -> tBruteBatch)
-    } catch { case _: Throwable => Seq.empty }
+      out += ("_scale_probe2k_flat_1024" -> tProbeFlat)
+      out += ("_scale_probe2k_tree_1024" -> tProbeTree)
+      out.toSeq
+    } catch {
+      case e: Throwable =>
+        System.err.println(s"[scale] probe failed: ${e.getClass.getName}: ${e.getMessage}")
+        Seq.empty
+    }
   }
 }

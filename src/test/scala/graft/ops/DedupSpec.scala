@@ -177,6 +177,16 @@ class DedupSpec extends SparkSpec {
     assert(e.getMessage.contains("converge"))
   }
 
+  test("dedupe keeps each cluster's min id and all isolates") {
+    import spark.implicits._
+    val docs = Seq((1L, "x"), (5L, "x"), (9L, "x"), (20L, "y"), (21L, "y"),
+      (30L, "alone")).toDF("doc_id", "text")
+    val pairs = Seq((1L, 5L), (1L, 9L), (20L, 21L)).toDF("da", "db")
+    val kept = Dedup.dedupe(docs, "doc_id", pairs)
+      .select($"doc_id").as[Long].collect().sorted
+    assert(kept.toSeq == Seq(1L, 20L, 30L))
+  }
+
   test("embedding LSH monster bucket completes bounded (star-pair cap)") {
     import spark.implicits._
     // 10k identical embeddings: every table puts them all in ONE bucket.
