@@ -550,8 +550,13 @@ object Dedup {
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      var labels = adj.select(col("a").as("id")).distinct()
-        .select(col("id"), col("id").as("rep"))
+      // round 1 fused into initialization: label_0 = min(id, neighbors) is
+      // one groupBy over the edge set — no join — so star-shaped graphs
+      // (the shape the upstream bucket generators emit) finish with a
+      // single confirming round after this
+      var labels = adj.groupBy("a")
+        .agg(least(col("a"), min(col("b"))).as("rep"))
+        .withColumnRenamed("a", "id")
         .localCheckpoint()
       var it = 0
       var converged = false
