@@ -1,0 +1,278 @@
+package graft.index
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+import graft.core.{RaBitQ, VectorKernels => K}
+
+/**
+ * Sharded Vamana graph — the DISTRIBUTED scale path for the graph tier.
+ *
+ * `VamanaGraph` builds on the driver and broadcasts whole — the right
+ * shape for moderate N (and it caps loudly). This shards the table by a
+ * hash of the id into `shards` subgraphs and builds EVERY shard inside
+ * an executor task (no driver collect, no table-size cap — only the
+ * SHARD must fit a task), the same decompose-build-merge pattern the
+ * DiskANN line of work uses for billion-scale graphs. Reference
+ * analogue: vchordg is a single-node disk graph
+ * (/root/reference/crates/vchordg/src/insert.rs, maintain.rs); on Spark
+ * the disk is the cluster, so the partition IS the page.
+ *
+ * Serving inverts the broadcast: shard graphs stay put as a persisted
+ * RDD (built once per load, the `prewarm` analogue) and the QUERY BATCH
+ * broadcasts over them. Every shard answers every query — the standard
+ * sharded-ANN cost — but each shard emits at most k (or ef with rerank)
+ * rows per query, so the merge shuffle is bounded at shards*k*B rows of
+ * fixed width, never vectors.
+ *
+ * Maintenance follows vchordg's lifecycle per shard: `insertAll` routes
+ * new rows to their hash shard and runs the live-graph insert inside the
+ * task (aminsert); `vacuum` relinks through dead vertices in place
+ * (maintain.rs shape) — both return a NEW handle, old one untouched.
+ */
+object ShardedVamana {
+
+  private val hashSalt = 0x517cc1b7L
+
+  private def shardOf(id: Long, shards: Int): Int = {
+    val h = org.apache.spark.unsafe.hash.Murmur3_x86_32
+      .hashLong(id ^ hashSalt, 42)
+    ((h % shards) + shards) % shards
+  }
+
+  /** Build per-shard graphs; one shuffle on the shard key, each task
+    * builds the shards it holds sequentially and emits one parquet row
+    * per vertex (neighbors stored as GLOBAL ids, per-shard medoid id
+    * denormalized). Fails loudly when a shard exceeds `maxShardRows` —
+    * pick `shards` so a shard fits executor memory. */
+  def build(df: DataFrame, idCol: String, vecCol: String, dir: String,
+            cfg: VamanaConfig = VamanaConfig(), shards: Int = 32,
+            maxShardRows: Int = 2000000): Unit = {
+    require(shards > 0, "shards must be positive")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val nShards = shards
+    val capRows = maxShardRows
+    val bcfg = cfg
+    val base = df.filter(col(vecCol).isNotNull && col(idCol).isNotNull)
+      .select(col(idCol).cast("long"), col(vecCol).cast("array<float>"))
+      .as[(Long, Array[Float])]
+    val quant = cfg.bits > 0
+    val rows = base.rdd
+      .map { case (id, v) => (shardOf(id, nShards), (id, v)) }
+      .partitionBy(new org.apache.spark.HashPartitioner(nShards))
+      .mapPartitions { it =>
+        it.toArray.groupBy(_._1).iterator.flatMap { case (shard, members) =>
+          require(members.length <= capRows,
+            s"sharded graph build: shard $shard holds ${members.length} rows, " +
+            s"over the per-shard cap $capRows — raise `shards` (or " +
+            "maxShardRows explicitly) so each shard fits an executor task")
+          val sorted = members.map(_._2).sortBy(_._1)
+          val g = VamanaGraph.build(sorted.map(_._1), sorted.map(_._2), bcfg)
+          val medoidId = g.ids(g.medoid)
+          g.ids.indices.iterator.map { i =>
+            Row(shard, g.ids(i),
+              if (quant) null else g.vecs(i).toSeq,
+              if (quant) g.codes(i).meta.toSeq else null,
+              if (quant) g.codes(i).codes else null,
+              g.adj(i).map(g.ids).toSeq, medoidId)
+          }
+        }
+      }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("shard", org.apache.spark.sql.types.IntegerType),
+      org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("vec",
+        org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType)),
+      org.apache.spark.sql.types.StructField("cmeta",
+        org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType)),
+      org.apache.spark.sql.types.StructField("codes", org.apache.spark.sql.types.BinaryType),
+      org.apache.spark.sql.types.StructField("neighbors",
+        org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.LongType)),
+      org.apache.spark.sql.types.StructField("medoid_id", org.apache.spark.sql.types.LongType)))
+    spark.createDataFrame(rows, schema)
+      .write.mode("overwrite").parquet(s"$dir/graph")
+    // driver-side meta, kilobytes — plain properties like IvfIndex
+    val p = new java.util.Properties()
+    p.setProperty("m", cfg.m.toString)
+    p.setProperty("ef_construction", cfg.efConstruction.toString)
+    p.setProperty("ef_search", cfg.efSearch.toString)
+    p.setProperty("alphas", cfg.alphas.mkString(","))
+    p.setProperty("metric", cfg.metric)
+    p.setProperty("bits", cfg.bits.toString)
+    p.setProperty("shards", shards.toString)
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    val w = java.nio.file.Files.newBufferedWriter(
+      java.nio.file.Paths.get(dir, "meta.properties"))
+    try p.store(w, "graft sharded vamana meta") finally w.close()
+  }
+
+  /** Shard graphs resident as a persisted RDD[(shard, graph)] — load
+    * once, search many (the prewarm analogue). */
+  final class Handle private[index] (
+      private[index] val graphs: org.apache.spark.rdd.RDD[(Int, VamanaGraph)],
+      val cfg: VamanaConfig, val shards: Int) {
+
+    /** Batch search, (qid, id, dist, rn) like VamanaGraph.searchBatch.
+      * Queries broadcast over the resident shard RDD; per-shard
+      * candidates are bounded (k, or ef with rerank) id/dist rows; the
+      * global top-k merge is one fixed-width shuffle. `rerankTable`
+      * re-scores the full per-shard ef pool EXACTLY from the source
+      * table — mandatory economics on quantized shards — via joins, no
+      * driver collect. */
+    def search(spark: SparkSession, queries: Array[(Long, Array[Float])],
+               k: Int, ef: Int = -1,
+               rerankTable: Option[(DataFrame, String, String)] = None): DataFrame = {
+      import spark.implicits._
+      if (queries.isEmpty)
+        return Seq.empty[(Long, Long, Double, Long)].toDF("qid", "id", "dist", "rn")
+      val bq = spark.sparkContext.broadcast(queries)
+      val metric = cfg.metric
+      def topk(cand: DataFrame, kk: Int): DataFrame = cand
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("qid").orderBy(col("dist"), col("id"))))
+        .filter(col("rn") <= kk)
+      rerankTable match {
+        case None =>
+          val cand = graphs.flatMap { case (_, g) =>
+            bq.value.iterator.flatMap { case (qid, q) =>
+              g.search(q, k, ef).iterator.map { case (id, d) => (qid, id, d) }
+            }
+          }.toDF("qid", "id", "dist")
+          topk(cand, k)
+        case Some((src, idCol, vecCol)) =>
+          val efUse = math.max(if (ef <= 0) cfg.efSearch else ef, k)
+          val cand = graphs.flatMap { case (_, g) =>
+            bq.value.iterator.flatMap { case (qid, q) =>
+              g.search(q, efUse, efUse).iterator.map { case (id, _) => (qid, id) }
+            }
+          }.toDF("qid", "id").distinct()
+          val qDf = bq.value.toSeq.toDF("qid", "qvec")
+          val kern = udf((v: Seq[Float], q: Seq[Float]) => metric match {
+            case "l2"      => K.l2(v.toArray, q.toArray)
+            case "negdot"  => K.negdot(v.toArray, q.toArray)
+            case "cosdist" => K.cosdist(v.toArray, q.toArray)
+          })
+          val scored = cand
+            .join(src.select(col(idCol).cast("long").as("id"), col(vecCol).as("__v")), Seq("id"))
+            .join(broadcast(qDf), Seq("qid"))
+            .select(col("qid"), col("id"), kern(col("__v"), col("qvec")).as("dist"))
+          topk(scored, k)
+      }
+    }
+
+    /** Route new rows to their hash shard and run the live-graph insert
+      * inside each task (vchordg aminsert per shard). Returns a NEW
+      * handle; persist survives on the new RDD, the old one is released. */
+    def insertAll(spark: SparkSession, rows: Array[(Long, Array[Float])]): Handle = {
+      val byShard = rows.groupBy { case (id, _) => shardOf(id, shards) }
+      val bNew = spark.sparkContext.broadcast(byShard)
+      val next = graphs.map { case (shard, g) =>
+        bNew.value.get(shard) match {
+          case Some(batch) => (shard, g.insertAll(batch))
+          case None        => (shard, g)
+        }
+      }.persist(StorageLevel.MEMORY_AND_DISK)
+      next.count()
+      graphs.unpersist()
+      new Handle(next, cfg, shards)
+    }
+
+    /** In-place relink vacuum per shard (vchordg maintain.rs shape via
+      * VamanaGraph.vacuum). Returns a NEW handle. */
+    def vacuum(spark: SparkSession, dead: Set[Long]): Handle = {
+      val bDead = spark.sparkContext.broadcast(dead)
+      val next = graphs.flatMap { case (shard, g) =>
+        val local = g.ids.filter(bDead.value.contains).toSet
+        if (local.isEmpty) Iterator.single((shard, g))
+        else if (local.size == g.ids.length) Iterator.empty // shard fully dead
+        else Iterator.single((shard, VamanaGraph.vacuum(g, local)))
+      }.persist(StorageLevel.MEMORY_AND_DISK)
+      next.count()
+      graphs.unpersist()
+      new Handle(next, cfg, shards)
+    }
+
+    /** Persist the current shard graphs back to `dir` (post-insert /
+      * post-vacuum snapshot), same layout as build(). */
+    def save(spark: SparkSession, dir: String): Unit = {
+      val quant = cfg.bits > 0
+      val rows = graphs.mapPartitions { it =>
+        it.flatMap { case (shard, g) =>
+          val medoidId = g.ids(g.medoid)
+          g.ids.indices.iterator.map { i =>
+            Row(shard, g.ids(i),
+              if (quant) null else g.vecs(i).toSeq,
+              if (quant) g.codes(i).meta.toSeq else null,
+              if (quant) g.codes(i).codes else null,
+              g.adj(i).map(g.ids).toSeq, medoidId)
+          }
+        }
+      }
+      val df0 = spark.read.parquet(s"$dir/graph")
+      spark.createDataFrame(rows, df0.schema)
+        .write.mode("overwrite").parquet(s"$dir/graph-next")
+      // swap: parquet has no atomic rename across dirs here; overwrite in
+      // two steps like IvfIndex's generation pointer would — for this
+      // handle-level snapshot a direct rewrite is enough
+      spark.read.parquet(s"$dir/graph-next")
+        .write.mode("overwrite").parquet(s"$dir/graph")
+    }
+
+    def unpersist(): Unit = { graphs.unpersist(); () }
+  }
+
+  def load(spark: SparkSession, dir: String): Handle = {
+    val p = new java.util.Properties()
+    val r = java.nio.file.Files.newBufferedReader(
+      java.nio.file.Paths.get(dir, "meta.properties"))
+    try p.load(r) finally r.close()
+    val cfg = VamanaConfig(
+      m = p.getProperty("m").toInt,
+      efConstruction = p.getProperty("ef_construction").toInt,
+      efSearch = p.getProperty("ef_search").toInt,
+      alphas = p.getProperty("alphas").split(",").map(_.toDouble).toSeq,
+      metric = p.getProperty("metric"),
+      bits = p.getProperty("bits").toInt)
+    val shards = p.getProperty("shards").toInt
+    val quant = cfg.bits > 0
+    val graphs = spark.read.parquet(s"$dir/graph")
+      .select("shard", "id", "vec", "cmeta", "codes", "neighbors", "medoid_id")
+      .rdd
+      .map(r => (r.getInt(0), r))
+      .partitionBy(new org.apache.spark.HashPartitioner(shards))
+      .mapPartitions { it =>
+        it.toArray.groupBy(_._1).iterator.map { case (shard, rs) =>
+          val sorted = rs.map(_._2).sortBy(_.getLong(1))
+          val ids = sorted.map(_.getLong(1))
+          val medoidId = sorted(0).getLong(6)
+          val adj = sorted.map { r =>
+            r.getSeq[Long](5).map(nid => java.util.Arrays.binarySearch(ids, nid))
+              .filter(_ >= 0).toArray
+          }
+          val medoid = java.util.Arrays.binarySearch(ids, medoidId)
+          val g =
+            if (quant) {
+              val codes = sorted.map { r =>
+                val cb = r.getAs[Array[Byte]](4)
+                // dim recovered from the packed width (as VamanaGraph.load)
+                val dim = if (cfg.bits == 8) cb.length
+                          else if (cfg.bits == 4) cb.length * 2
+                          else cb.length * 4
+                RaBitQ.Code(r.getSeq[Float](3).toArray, cb, cfg.bits, dim)
+              }
+              new VamanaGraph(ids, Array.empty, adj, medoid, cfg, codes)
+            } else {
+              val vecs = sorted.map(_.getSeq[Float](2).toArray)
+              new VamanaGraph(ids, vecs, adj, medoid, cfg)
+            }
+          (shard, g)
+        }
+      }
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    graphs.count() // materialize: load IS the prewarm
+    new Handle(graphs, cfg, shards)
+  }
+}

@@ -1,0 +1,128 @@
+package graft.index
+
+import graft.SparkSpec
+import graft.core.{VectorKernels => K}
+import java.nio.file.Files
+
+/**
+ * Sharded graph tier: executor-side builds (no driver collect), exact
+ * top-k via per-shard beams + global merge, routed insert, per-shard
+ * vacuum, quantized shards + exact rerank.
+ */
+class ShardedVamanaSpec extends SparkSpec {
+
+  private lazy val data: Seq[(Long, Array[Float])] = {
+    val rng = new scala.util.Random(41)
+    (0L until 1200L).map(i => i -> Array.fill(16)(rng.nextFloat() * 2 - 1))
+  }
+
+  private def brute(q: Array[Float], k: Int): Seq[Long] =
+    data.map { case (id, v) => (K.l2(v, q), id) }.sortBy(identity).take(k).map(_._2)
+
+  private def df = {
+    val s = spark
+    import s.implicits._
+    data.toDF("id", "vec")
+  }
+
+  private lazy val dir = {
+    val d = Files.createTempDirectory("sharded-vamana").toString
+    ShardedVamana.build(df, "id", "vec", d, VamanaConfig(m = 24), shards = 4)
+    d
+  }
+
+  test("sharded search matches brute-force top-k on every query") {
+    val s = spark
+    import s.implicits._
+    val h = ShardedVamana.load(spark, dir)
+    try {
+      val rng = new scala.util.Random(9)
+      val queries = Array.tabulate(6)(i =>
+        i.toLong -> Array.fill(16)(rng.nextFloat() * 2 - 1))
+      val got = h.search(spark, queries, 10)
+        .select("qid", "id", "rn").as[(Long, Long, Long)].collect()
+        .groupBy(_._1).view.mapValues(_.sortBy(_._3).map(_._2).toSeq).toMap
+      queries.foreach { case (qid, q) =>
+        assert(got(qid) == brute(q, 10), s"qid $qid")
+      }
+    } finally h.unpersist()
+  }
+
+  test("per-shard cap fails loudly") {
+    val e = intercept[org.apache.spark.SparkException] {
+      ShardedVamana.build(df, "id", "vec",
+        Files.createTempDirectory("sv-cap").toString,
+        VamanaConfig(), shards = 2, maxShardRows = 100)
+    }
+    assert(e.getMessage.contains("per-shard cap"))
+  }
+
+  test("insertAll routes to hash shards; new vectors searchable; vacuum removes") {
+    val s = spark
+    import s.implicits._
+    val h0 = ShardedVamana.load(spark, dir)
+    val rng = new scala.util.Random(5)
+    val extra = Array.tabulate(40)(i =>
+      (5000L + i) -> Array.fill(16)(rng.nextFloat() * 2 - 1))
+    val h1 = h0.insertAll(spark, extra)
+    try {
+      // self-queries: each inserted vector must be its own top-1
+      val qs = extra.take(8).map { case (id, v) => id -> v }
+      val top1 = h1.search(spark, qs, 1)
+        .select("qid", "id").as[(Long, Long)].collect().toMap
+      qs.foreach { case (qid, _) => assert(top1(qid) == qid, s"insert $qid") }
+      // vacuum the inserted ids back out
+      val h2 = h1.vacuum(spark, extra.map(_._1).toSet)
+      try {
+        val gone = h2.search(spark, qs, 1)
+          .select("qid", "id").as[(Long, Long)].collect().toMap
+        qs.foreach { case (qid, _) => assert(gone(qid) != qid, s"vacuum $qid") }
+        // survivors still exact
+        val q = Array.fill(16)(0.25f)
+        val got = h2.search(spark, Array(0L -> q), 10)
+          .select("id").as[Long].collect().toSeq
+        assert(got == brute(q, 10))
+      } finally h2.unpersist()
+    } finally h1.unpersist()
+  }
+
+  test("quantized shards + rerank table recover exact top-k") {
+    val s = spark
+    import s.implicits._
+    val d = Files.createTempDirectory("sv-quant").toString
+    ShardedVamana.build(df, "id", "vec", d,
+      VamanaConfig(m = 24, bits = 8), shards = 4)
+    val h = ShardedVamana.load(spark, d)
+    try {
+      assert(h.cfg.bits == 8)
+      val rng = new scala.util.Random(13)
+      val queries = Array.tabulate(4)(i =>
+        i.toLong -> Array.fill(16)(rng.nextFloat() * 2 - 1))
+      val got = h.search(spark, queries, 10, ef = 96,
+          rerankTable = Some((df, "id", "vec")))
+        .select("qid", "id", "rn").as[(Long, Long, Long)].collect()
+        .groupBy(_._1).view.mapValues(_.sortBy(_._3).map(_._2).toSeq).toMap
+      queries.foreach { case (qid, q) =>
+        assert(got(qid) == brute(q, 10), s"qid $qid")
+      }
+    } finally h.unpersist()
+  }
+
+  test("save round-trips the post-insert graph") {
+    val s = spark
+    import s.implicits._
+    val d = Files.createTempDirectory("sv-save").toString
+    ShardedVamana.build(df, "id", "vec", d, VamanaConfig(m = 24), shards = 4)
+    val h0 = ShardedVamana.load(spark, d)
+    val extra = Array(9001L -> Array.fill(16)(0.9f))
+    val h1 = h0.insertAll(spark, extra)
+    h1.save(spark, d)
+    h1.unpersist()
+    val h2 = ShardedVamana.load(spark, d)
+    try {
+      val top1 = h2.search(spark, Array(0L -> Array.fill(16)(0.9f)), 1)
+        .select("id").as[Long].collect()
+      assert(top1.headOption.contains(9001L))
+    } finally h2.unpersist()
+  }
+}
