@@ -153,6 +153,22 @@ object ScaleProbe {
       timed(s"_scale_brutebatch${nBatch}_$n") {
         graft.ops.Knn.knnJoin(df, "id", "vec", qs, 10).count()
       }
+      // sharded graph tier anchor (env-gated: Vamana build is the
+      // expensive phase; the point is that it runs INSIDE executor tasks
+      // with no driver cap, shards in parallel)
+      if (sys.env.get("SPARK_GRAFT_SCALE_GRAPH").contains("1")) {
+        val gdir = s"$dir-gshard"
+        val gShards = math.max(4, nRows / 40000)
+        timed(s"_scale_gshard_build_$n") {
+          graft.index.ShardedVamana.build(df, "id", "vec", gdir,
+            graft.index.VamanaConfig(), shards = gShards)
+        }
+        val h = graft.index.ShardedVamana.load(spark, gdir)
+        timed(s"_scale_gshard_batch64_$n") {
+          h.search(spark, qs.take(64), 10).count()
+        }
+        h.unpersist()
+      }
       if (!nocache) df.unpersist()
       // B5 deep-tree probe economics: flat vs 3-level descent over 1024
       // synthetic centroids, 2000 probes each (driver-side cost only)
