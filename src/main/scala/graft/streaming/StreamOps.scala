@@ -117,6 +117,38 @@ object StreamOps {
   }
 
   /**
+   * Streaming ingest into the SHARDED graph tier: each micro-batch is
+   * hash-routed to its shards and inserted inside executor tasks via
+   * `ShardedVamana.Handle.insertAll` — the distributed analogue of
+   * [[graphIngest]], with no whole-graph driver state. The batch still
+   * collects to the driver first (the routing table for insertAll is a
+   * broadcast of the batch, which is small by construction) — bounded
+   * loudly like graphIngest.
+   */
+  def shardedGraphIngest(vectors: DataFrame, idCol: String, vecCol: String,
+                         handleRef: java.util.concurrent.atomic.AtomicReference[graft.index.ShardedVamana.Handle],
+                         maxBatchRows: Int = 100000,
+                         checkpointLocation: Option[String] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val writer = vectors.writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        import batch.sparkSession.implicits._
+        val rows = batch.select(col(idCol).cast("long"), col(vecCol).cast("array<float>"))
+          .limit(maxBatchRows + 1)
+          .as[(Long, Array[Float])].collect()
+        require(rows.length <= maxBatchRows,
+          s"sharded graph ingest micro-batch exceeds $maxBatchRows rows: " +
+          "size the trigger interval down, or use IvfIndex + indexIngest " +
+          "for this tier")
+        if (rows.nonEmpty)
+          handleRef.updateAndGet(_.insertAll(batch.sparkSession, rows))
+        ()
+      }
+    checkpointLocation.fold(writer)(writer.option("checkpointLocation", _)).start()
+  }
+
+  /**
    * Watermarked tumbling-window counts per event type — the streaming
    * equivalent of the q_events_hourly batch query.
    */

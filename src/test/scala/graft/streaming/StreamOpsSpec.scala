@@ -86,6 +86,36 @@ class StreamOpsSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming SHARDED graph ingest: routed inserts become searchable") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rng = new scala.util.Random(73)
+    val base = (0L until 400L).map(i => i -> Array.fill(8)(rng.nextFloat()))
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream-gshard").toString
+    graft.index.ShardedVamana.build(
+      base.toDF("id", "vec"), "id", "vec", dir,
+      graft.index.VamanaConfig(), shards = 4)
+    val h0 = graft.index.ShardedVamana.load(spark, dir)
+    val ref = new java.util.concurrent.atomic.AtomicReference(h0)
+    val input = MemoryStream[(Long, Seq[Float])]
+    val query = StreamOps.shardedGraphIngest(
+      input.toDF().toDF("id", "vec"), "id", "vec", ref)
+    try {
+      val v1 = Array.fill(8)(0.111f)
+      input.addData((1000L, v1.toSeq), (1001L, Seq.fill(8)(0.9f)))
+      query.processAllAvailable()
+      val top = ref.get().search(spark, Array(0L -> v1), 1)
+        .select("id").as[Long].head()
+      assert(top == 1000L, "streamed row must be its own nearest neighbor")
+      // second micro-batch extends the live handle again
+      input.addData((1002L, Seq.fill(8)(-0.8f)))
+      query.processAllAvailable()
+      val top2 = ref.get().search(spark, Array(0L -> Array.fill(8)(-0.8f)), 1)
+        .select("id").as[Long].head()
+      assert(top2 == 1002L)
+    } finally { query.stop(); ref.get().unpersist() }
+  }
+
   test("hourlyCounts windowed aggregation over a memory stream") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
