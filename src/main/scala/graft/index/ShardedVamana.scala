@@ -115,6 +115,11 @@ object ShardedVamana {
       private[index] val graphs: org.apache.spark.rdd.RDD[(Int, VamanaGraph)],
       val cfg: VamanaConfig, val shards: Int) {
 
+    /** Total vertex count across shards (one cheap job over the resident
+      * RDD, computed on demand and memoized — the planner's cost gate). */
+    lazy val totalVertices: Long =
+      graphs.map(_._2.ids.length.toLong).fold(0L)(_ + _)
+
     /** Batch search, (qid, id, dist, rn) like VamanaGraph.searchBatch.
       * Queries broadcast over the resident shard RDD; per-shard
       * candidates are bounded (k, or ef with rerank) id/dist rows; the

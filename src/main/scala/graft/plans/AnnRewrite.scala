@@ -114,6 +114,28 @@ object AnnCatalog {
     graphs.computeIfAbsent(s"${e.graphDir}@${graphStamp(e.graphDir)}",
       _ => graft.index.VamanaGraph.load(spark, e.graphDir))
 
+  // ---- SHARDED graph entries: the distributed graph tier serves the
+  // same ORDER BY <-> LIMIT k shape when the driver-tier graph can't
+  // hold the table ----
+
+  final case class ShardedGraphEntry(dir: String, idCol: String, vecCol: String)
+
+  private val sgEntries = new java.util.concurrent.ConcurrentHashMap[String, ShardedGraphEntry]()
+  private val sgHandles =
+    new java.util.concurrent.ConcurrentHashMap[String, graft.index.ShardedVamana.Handle]()
+
+  def registerShardedGraph(tablePath: String, dir: String, idCol: String, vecCol: String): Unit =
+    sgEntries.put(norm(tablePath), ShardedGraphEntry(dir, idCol, vecCol))
+
+  def unregisterShardedGraph(tablePath: String): Unit = sgEntries.remove(norm(tablePath))
+
+  def lookupShardedGraph(rootPaths: Seq[String]): Option[ShardedGraphEntry] =
+    rootPaths.map(norm).flatMap(p => Option(sgEntries.get(p))).headOption
+
+  def shardedGraph(spark: SparkSession, e: ShardedGraphEntry): graft.index.ShardedVamana.Handle =
+    sgHandles.computeIfAbsent(s"${e.dir}@${graphStamp(e.dir)}",
+      _ => graft.index.ShardedVamana.load(spark, e.dir))
+
   // ---- multi-vector (MaxSim, reference opclass strategy 3) entries ----
 
   final case class MaxSimEntry(indexDir: String, docCol: String, tokensCol: String)
@@ -225,7 +247,18 @@ case class AnnTopKRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
                   if AnnCatalog.graph(spark, ge).cfg.metric == metric
                   s <- serveGraph(gl, sort, child, projOpt, ge, idAttr, idLit, qv, k)
                 } yield s
-                viaIvf.orElse(viaGraph)
+                // the DISTRIBUTED graph tier serves last — same shape,
+                // candidates come from the resident shard RDD (Spark jobs
+                // at planning time, like prefilter escalation)
+                def viaSharded = for {
+                  se <- AnnCatalog.lookupShardedGraph(roots)
+                  if attr.name == se.vecCol && predOpt.isEmpty
+                  idAttr <- child.output.find(_.name == se.idCol)
+                  idLit <- litFor(idAttr)
+                  if AnnCatalog.shardedGraph(spark, se).cfg.metric == metric
+                  s <- serveShardedGraph(gl, sort, child, projOpt, se, idAttr, idLit, qv, k)
+                } yield s
+                viaIvf.orElse(viaGraph).orElse(viaSharded)
               }
             } yield served).getOrElse(gl)
           // multi-vector MaxSim (reference opclass strategy 3): no
@@ -313,6 +346,33 @@ case class AnnTopKRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
         ef.toDouble + k >= g.ids.length.toDouble)
       return None
     val ids = g.search(qv.toFloatArray(), k, ef).map(_._1)
+    if (ids.isEmpty) Some(gl)
+    else Some {
+      val filter = Filter(In(idAttr,
+        scala.collection.immutable.ArraySeq.unsafeWrapArray(ids.map(idLit))), child)
+      val sorted = Sort(sort.order, global = true, filter)
+      val body = projOpt.map(pl => Project(pl, sorted): LogicalPlan).getOrElse(sorted)
+      GlobalLimit(Literal(k), LocalLimit(Literal(k), body))
+    }
+  }
+
+  /** Sharded-graph serve: every shard beams, the bounded merge supplies
+    * candidate ids. Runs Spark jobs AT PLANNING TIME over the resident
+    * shard RDD (counted in [[AnnTopKRewrite.planningJobs]], like
+    * prefilter escalation). Cost gate: total beam work is ~shards*ef —
+    * decline when the exact scan is no more work. */
+  private def serveShardedGraph(gl: LogicalPlan, sort: Sort, child: LogicalPlan,
+                                projOpt: Option[Seq[NamedExpression]],
+                                entry: AnnCatalog.ShardedGraphEntry, idAttr: Attribute,
+                                idLit: Long => Literal, qv: ArrayData, k: Int): Option[LogicalPlan] = {
+    val h = AnnCatalog.shardedGraph(spark, entry)
+    val ef = spark.conf.get("graft.ann.efSearch", "64").toInt
+    if (spark.conf.get("graft.ann.cost.enable", "true").toBoolean &&
+        h.shards.toDouble * ef + k >= h.totalVertices.toDouble)
+      return None
+    AnnTopKRewrite.planningJobs.incrementAndGet()
+    val ids = h.search(spark, Array(0L -> qv.toFloatArray()), k, ef)
+      .select("id").collect().map(_.getLong(0))
     if (ids.isEmpty) Some(gl)
     else Some {
       val filter = Filter(In(idAttr,

@@ -179,6 +179,37 @@ class AnnRewriteSpec extends SparkSpec {
     } finally AnnCatalog.unregisterGraph(tableDir)
   }
 
+  test("sharded graph tier serves ORDER BY vec_l2 when no IVF/graph entry exists") {
+    import spark.implicits._
+    val (tableDir, _) = setup
+    val gdir = Files.createTempDirectory("graft-ann-gshard").toString
+    graft.index.ShardedVamana.build(
+      spark.read.parquet(tableDir), "id", "vec",
+      gdir, graft.index.VamanaConfig(), shards = 4)
+    AnnCatalog.registerShardedGraph(tableDir, gdir, "id", "vec")
+    try withRule {
+      val q = Array.fill(8)(0.15f)
+      // cost gate OFF: on this tiny table shards*ef rightly exceeds the
+      // exact scan (the decline path is the default behavior); the serve
+      // path is what this test pins
+      withConfs("graft.ann.efSearch" -> "256", "graft.ann.cost.enable" -> "false") {
+        val jobs0 = AnnTopKRewrite.planningJobs.get()
+        val df = spark.read.parquet(tableDir)
+          .orderBy(GraftFunctions.vecL2(col("vec"), typedlit(q.toSeq)))
+          .limit(10)
+        val optimized = df.queryExecution.optimizedPlan.toString
+        assert(optimized.contains(" IN "), s"expected sharded candidate pushdown:\n$optimized")
+        assert(AnnTopKRewrite.planningJobs.get() > jobs0,
+          "planning-time sharded search must be counted")
+        val got = df.collect().map(_.getLong(0)).toSeq
+        val data = spark.read.parquet(tableDir).as[(Long, Seq[Float])].collect()
+        val want = data.map { case (id, v) => (K.l2(v.toArray, q), id) }
+          .sorted.take(10).map(_._2).toSeq
+        assert(got == want)
+      }
+    } finally AnnCatalog.unregisterShardedGraph(tableDir)
+  }
+
   test("maxsim ORDER BY over a registered token index is index-served (strategy 3)") {
     import spark.implicits._
     val rng = new scala.util.Random(55)
