@@ -734,12 +734,12 @@ final class IvfIndex(val spark: SparkSession, val dir: String, val meta: IvfMeta
     // estimate phase: codes only — vec column is pruned from this scan
     // (and served from the codes cache when prewarmCodes() ran)
     val est = codesDf.filter(col("cluster_id").isin(probed.map(Integer.valueOf): _*))
-      .as[(Int, Long, Seq[Float], Array[Byte])]
+      .as[(Int, Long, Array[Float], Array[Byte])]
       .mapPartitions { it =>
         val pc = bpc.value
         it.map { case (cid, id, cm, codes) =>
           val (qr, qSum, qNormSq, clusterDot) = pc(cid)
-          val code = RaBitQ.Code(cm.toArray, codes, bits, dim)
+          val code = RaBitQ.Code(cm, codes, bits, dim)
           val lb =
             if (isL2) {
               val (e, err) = RaBitQ.estimateL2s(code, qr, qSum, qNormSq)

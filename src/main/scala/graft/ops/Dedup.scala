@@ -486,10 +486,11 @@ object Dedup {
       // star-cap as MinHash banding: a crawl where one hyperplane bucket
       // collects millions of near-identical embeddings emits O(b) star
       // pairs (connectivity preserved) instead of b^2/2.
-      val keyed = base.as[(Long, Seq[Float])].mapPartitions { it =>
+      // Array[Float]: zero-boxing deserialization on this whole-table pass
+      val keyed = base.as[(Long, Array[Float])].mapPartitions { it =>
         var planes: Array[Array[Double]] = null // sized from the first row
         it.flatMap { case (id, v) =>
-          val va = v.toArray
+          val va = v
           if (planes == null) planes = hyperplanes(va.length, tables * bits)
           (0 until tables).iterator.map { t =>
             var key = 0L

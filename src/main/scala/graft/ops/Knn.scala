@@ -36,12 +36,15 @@ object Knn {
     val spark = df.sparkSession
     import spark.implicits._
     val fn = metricFn(metric)
-    val data = df.select(col(idCol).cast("long"), col(vecCol)).as[(Long, Seq[Float])]
+    // Array[Float] deserializes through the primitive fast path (zero
+    // boxing) — Seq[Float] boxes every component, which dominates a
+    // whole-table scan (see IvfIndex.encodeRows)
+    val data = df.select(col(idCol).cast("long"), col(vecCol)).as[(Long, Array[Float])]
     // per-partition heap, then tiny global merge — same shape as knnJoin
     val local = data.mapPartitions { it =>
       val heap = new graft.core.BoundedTopK(k)
       val qa = q
-      it.foreach { case (id, v) => heap.offer(fn(v.toArray, qa), id) }
+      it.foreach { case (id, v) => heap.offer(fn(v, qa), id) }
       heap.sorted().iterator
     }.toDF("dist", "id")
     local
@@ -62,12 +65,12 @@ object Knn {
     import spark.implicits._
     val fn = metricFn(metric)
     val bq = spark.sparkContext.broadcast(queries)
-    val data = df.select(col(idCol).cast("long"), col(vecCol)).as[(Long, Seq[Float])]
+    val data = df.select(col(idCol).cast("long"), col(vecCol)).as[(Long, Array[Float])]
     val local: Dataset[(Long, Long, Double)] = data.mapPartitions { it =>
       val qs = bq.value
       val heaps = qs.map(_ => new graft.core.BoundedTopK(k))
       it.foreach { case (id, v) =>
-        val va = v.toArray
+        val va = v
         var i = 0
         while (i < qs.length) {
           if (!(excludeSelf && qs(i)._1 == id)) heaps(i).offer(fn(va, qs(i)._2), id)

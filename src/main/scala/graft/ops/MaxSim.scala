@@ -25,12 +25,14 @@ import graft.core.{VectorKernels => K}
  */
 object MaxSim {
 
-  /** Aggregator over token vectors: buffer = per-query-token min negdot. */
+  /** Aggregator over token vectors: buffer = per-query-token min negdot.
+    * Input is Array[Float] (primitive-array encoder, zero boxing) — a
+    * Seq input would box every component of every token on the scan. */
   final class MaxSimAgg(query: Array[Array[Float]])
-      extends Aggregator[Seq[Float], Array[Double], Double] {
+      extends Aggregator[Array[Float], Array[Double], Double] {
     override def zero: Array[Double] = Array.fill(query.length)(Double.PositiveInfinity)
-    override def reduce(buf: Array[Double], tok: Seq[Float]): Array[Double] = {
-      val t = tok.toArray
+    override def reduce(buf: Array[Double], tok: Array[Float]): Array[Double] = {
+      val t = tok
       var qi = 0
       while (qi < query.length) {
         val nd = K.negdot(t, query(qi))
@@ -63,7 +65,7 @@ object MaxSim {
     val spark = tokens.sparkSession
     import spark.implicits._
     tokens.select(col(docCol).cast("long").as("doc"), col(vecCol).as("v"))
-      .as[(Long, Seq[Float])]
+      .as[(Long, Array[Float])]
       .groupByKey(_._1)
       .mapValues(_._2)
       .agg(new MaxSimAgg(query).toColumn.name("maxsim"))
