@@ -999,9 +999,8 @@ final class IvfIndex(val spark: SparkSession, val dir: String, val meta: IvfMeta
         src.join(broadcast(sortedIds.toSeq.toDF("__cand_id")),
             col(srcIdCol).cast("long") === col("__cand_id"))
           .select(col(srcIdCol).cast("long"), col(srcVecCol))
-          .as[(Long, Seq[Float])]
-          .flatMap { case (id, vs) =>
-            val v = vs.toArray
+          .as[(Long, Array[Float])]
+          .flatMap { case (id, v) =>
             Option(bI2Q.value.get(id)).toSeq.flatten
               .map(qi => (qi.toLong, id, kern(v, bRaw.value(qi))))
           }.collect().map { case (qi, id, d) => (preps(qi.toInt)._1, id, d) }

@@ -167,9 +167,8 @@ final class VamanaGraph(
           .join(broadcast(candIds.toDF("__cand_id")),
             col(idCol).cast("long") === col("__cand_id"))
           .select(col(idCol).cast("long"), col(vecCol))
-          .as[(Long, Seq[Float])]
-          .flatMap { case (id, vs) =>
-            val v = vs.toArray
+          .as[(Long, Array[Float])]
+          .flatMap { case (id, v) =>
             val kern: (Array[Float], Array[Float]) => Double = metric match {
               case "l2"      => K.l2
               case "negdot"  => K.negdot
