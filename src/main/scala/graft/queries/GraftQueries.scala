@@ -397,6 +397,21 @@ object GraftQueries {
               |row_number() OVER (ORDER BY dd.dist, vec_id) AS rn
               |FROM dd ORDER BY dd.dist, vec_id LIMIT 10""".stripMargin)),
 
+    // Quantized sharded tier: per-shard beams rank by vertex-code
+    // estimates, rerank-in-table restores exact distances for the ef pool
+    // — the memory-efficient distributed graph, end to end.
+    "graph_knn_sharded_quantized" -> Q(
+      (s, d) => {
+        val q = qvec(s, d, 0)
+        ShardGraphCache.getQuantized(s, d).search(s, Array(0L -> q), 10,
+            rerankTable = Some((tbl(s, d, "embeddings"), "vec_id", "embedding")))
+          .select(col("id").as("vec_id"), round(col("dist"), 3).as("dist"), col("rn"))
+          .orderBy("rn") },
+      Some(s"""$distCte
+              |SELECT vec_id, round(dist, 3) AS dist,
+              |row_number() OVER (ORDER BY dd.dist, vec_id) AS rn
+              |FROM dd ORDER BY dd.dist, vec_id LIMIT 10""".stripMargin)),
+
     "range_order" -> Q(
       (s, d) => { val (e, q) = embQ(s, d)
         e.filter(sphereL2Contains(col("embedding"), lv(q), lit(1.3)))
@@ -1015,6 +1030,7 @@ object GraftQueries {
     * are one-time costs reported separately (`_index_builds`). */
   def warmCaches(s: SparkSession, d: String): Unit = {
     IvfCache.get(s, d); GraphCache.get(s, d); ShardGraphCache.get(s, d)
+    ShardGraphCache.getQuantized(s, d)
     Seq("hier", "tree3", "rotate", "dimred", "ext", "ins", "del")
       .foreach(variantIvf(s, d, _))
     Seq("gins", "gq", "gvac", "gvacq").foreach(variantGraph(s, d, _))
@@ -1053,16 +1069,23 @@ object GraftQueries {
   object ShardGraphCache {
     private val cache =
       new java.util.concurrent.ConcurrentHashMap[String, graft.index.ShardedVamana.Handle]()
-    def get(spark: SparkSession, sfDir: String): graft.index.ShardedVamana.Handle = {
-      val cached = cache.get(sfDir)
+    def get(spark: SparkSession, sfDir: String): graft.index.ShardedVamana.Handle =
+      getWith(spark, sfDir, "", graft.index.VamanaConfig())
+    /** bits=8 vertex codes per shard — the memory-efficient tier. */
+    def getQuantized(spark: SparkSession, sfDir: String): graft.index.ShardedVamana.Handle =
+      getWith(spark, sfDir, "q", graft.index.VamanaConfig(bits = 8))
+    private def getWith(spark: SparkSession, sfDir: String, tag: String,
+                        cfg: graft.index.VamanaConfig): graft.index.ShardedVamana.Handle = {
+      val key = s"$sfDir#$tag"
+      val cached = cache.get(key)
       if (cached != null) cached
       else {
-        val dir = s"${sys.props("java.io.tmpdir")}/graft-gshard-${sfDir.replaceAll("[^a-zA-Z0-9.]", "_")}"
+        val dir = s"${sys.props("java.io.tmpdir")}/graft-gshard$tag-${sfDir.replaceAll("[^a-zA-Z0-9.]", "_")}"
         graft.index.ShardedVamana.build(
           spark.read.parquet(s"$sfDir/embeddings.parquet"), "vec_id", "embedding",
-          dir, graft.index.VamanaConfig(), shards = 4)
+          dir, cfg, shards = 4)
         val h = graft.index.ShardedVamana.load(spark, dir)
-        cache.put(sfDir, h)
+        cache.put(key, h)
         h
       }
     }
