@@ -174,12 +174,24 @@ object ShardedVamana {
     def insertAll(spark: SparkSession, rows: Array[(Long, Array[Float])]): Handle = {
       val byShard = rows.groupBy { case (id, _) => shardOf(id, shards) }
       val bNew = spark.sparkContext.broadcast(byShard)
-      val next = graphs.map { case (shard, g) =>
+      // a batch may route to a shard with NO resident graph (hash gap at
+      // build, or a vacuum emptied it) — those inserts must seed a fresh
+      // shard graph, not vanish in the map over existing keys
+      val existing = graphs.keys.collect().toSet
+      val updated = graphs.map { case (shard, g) =>
         bNew.value.get(shard) match {
           case Some(batch) => (shard, g.insertAll(batch))
           case None        => (shard, g)
         }
-      }.persist(StorageLevel.MEMORY_AND_DISK)
+      }
+      val fresh = (byShard.keySet -- existing).toSeq.sorted.map { s =>
+        val batch = byShard(s).sortBy(_._1)
+        (s, VamanaGraph.build(batch.map(_._1), batch.map(_._2), cfg))
+      }
+      val next = (if (fresh.isEmpty) updated
+                  else updated.union(
+                    spark.sparkContext.parallelize(fresh, fresh.size)))
+        .persist(StorageLevel.MEMORY_AND_DISK)
       next.count()
       graphs.unpersist()
       new Handle(next, cfg, shards)
@@ -224,6 +236,12 @@ object ShardedVamana {
       // handle-level snapshot a direct rewrite is enough
       spark.read.parquet(s"$dir/graph-next")
         .write.mode("overwrite").parquet(s"$dir/graph")
+      // drop the staging dir so repeated snapshots don't accumulate
+      val stage = new java.io.File(s"$dir/graph-next")
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(stage)
     }
 
     def unpersist(): Unit = { graphs.unpersist(); () }

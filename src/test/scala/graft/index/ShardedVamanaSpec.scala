@@ -108,6 +108,29 @@ class ShardedVamanaSpec extends SparkSpec {
     } finally h.unpersist()
   }
 
+  test("insert into a shard emptied by vacuum seeds a fresh shard graph") {
+    val s = spark
+    import s.implicits._
+    val d = Files.createTempDirectory("sv-reseed").toString
+    ShardedVamana.build(df, "id", "vec", d, VamanaConfig(m = 24), shards = 4)
+    val h0 = ShardedVamana.load(spark, d)
+    // vacuum EVERYTHING: every shard drops from the resident RDD
+    val h1 = h0.vacuum(spark, data.map(_._1).toSet)
+    val empty = h1.search(spark, Array(0L -> Array.fill(16)(0.1f)), 5)
+    assert(empty.count() == 0, "fully-vacuumed handle must return nothing")
+    // inserts now route to shards with NO resident graph — they must seed
+    // fresh shard graphs, not vanish
+    val rng = new scala.util.Random(21)
+    val fresh = Array.tabulate(30)(i =>
+      (7000L + i) -> Array.fill(16)(rng.nextFloat() * 2 - 1))
+    val h2 = h1.insertAll(spark, fresh)
+    try {
+      val got = h2.search(spark, fresh.take(5), 1)
+        .select("qid", "id").as[(Long, Long)].collect().toMap
+      fresh.take(5).foreach { case (qid, _) => assert(got(qid) == qid) }
+    } finally h2.unpersist()
+  }
+
   test("save round-trips the post-insert graph") {
     val s = spark
     import s.implicits._
