@@ -121,8 +121,11 @@ object AnnCatalog {
   final case class ShardedGraphEntry(dir: String, idCol: String, vecCol: String)
 
   private val sgEntries = new java.util.concurrent.ConcurrentHashMap[String, ShardedGraphEntry]()
+  // dir -> (stamp, handle): a rebuild EVICTS and unpersists the stale
+  // handle (it holds executor memory via its persisted RDD — a stamp-keyed
+  // cache would leak one resident graph per rebuild)
   private val sgHandles =
-    new java.util.concurrent.ConcurrentHashMap[String, graft.index.ShardedVamana.Handle]()
+    new java.util.concurrent.ConcurrentHashMap[String, (Long, graft.index.ShardedVamana.Handle)]()
 
   def registerShardedGraph(tablePath: String, dir: String, idCol: String, vecCol: String): Unit =
     sgEntries.put(norm(tablePath), ShardedGraphEntry(dir, idCol, vecCol))
@@ -132,9 +135,15 @@ object AnnCatalog {
   def lookupShardedGraph(rootPaths: Seq[String]): Option[ShardedGraphEntry] =
     rootPaths.map(norm).flatMap(p => Option(sgEntries.get(p))).headOption
 
-  def shardedGraph(spark: SparkSession, e: ShardedGraphEntry): graft.index.ShardedVamana.Handle =
-    sgHandles.computeIfAbsent(s"${e.dir}@${graphStamp(e.dir)}",
-      _ => graft.index.ShardedVamana.load(spark, e.dir))
+  def shardedGraph(spark: SparkSession, e: ShardedGraphEntry): graft.index.ShardedVamana.Handle = {
+    val stamp = graphStamp(e.dir)
+    sgHandles.compute(e.dir, (_, cur) =>
+      if (cur != null && cur._1 == stamp) cur
+      else {
+        if (cur != null) cur._2.unpersist()
+        (stamp, graft.index.ShardedVamana.load(spark, e.dir))
+      })._2
+  }
 
   // ---- multi-vector (MaxSim, reference opclass strategy 3) entries ----
 
