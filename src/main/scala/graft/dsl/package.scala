@@ -62,6 +62,20 @@ package object dsl {
                         cfg: graft.index.VamanaConfig = graft.index.VamanaConfig())
         : graft.index.VamanaGraph =
       graft.index.VamanaGraph.build(df, idCol, vecCol, cfg)
+
+    /** Build the DISTRIBUTED sharded graph tier (no driver-size cap) and
+      * return the resident handle. */
+    def buildShardedGraph(idCol: String, vecCol: String, dir: String,
+                          cfg: graft.index.VamanaConfig = graft.index.VamanaConfig(),
+                          shards: Int = 32): graft.index.ShardedVamana.Handle = {
+      graft.index.ShardedVamana.build(df, idCol, vecCol, dir, cfg, shards)
+      graft.index.ShardedVamana.load(df.sparkSession, dir)
+    }
+
+    /** Drop non-canonical duplicates given near-dup pairs (keep each
+      * cluster's min id) — the cleaned-table step of a dedup pipeline. */
+    def dedupeBy(idCol: String, pairs: DataFrame): DataFrame =
+      Dedup.dedupe(df, idCol, pairs)
   }
 
   implicit final class GraftIvfIndexOps(private val idx: IvfIndex) {

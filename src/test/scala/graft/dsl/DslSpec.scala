@@ -41,5 +41,17 @@ class DslSpec extends SparkSpec {
     val dups = docs.nearDupPairs("doc_id", "text", 0.3)
       .select("da", "db").as[(Long, Long)].collect().toSet
     assert(dups == Set((1L, 2L)))
+
+    val kept = docs.dedupeBy("doc_id", dups.toSeq.toDF("da", "db"))
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 3L))
+
+    val h = df.buildShardedGraph("id", "vec",
+      Files.createTempDirectory("graft-dsl-gshard").toString, shards = 2)
+    try {
+      val sg = h.search(spark, Array(0L -> q), 5)
+        .select("id").as[Long].collect().toSeq
+      assert(sg == want)
+    } finally h.unpersist()
   }
 }
