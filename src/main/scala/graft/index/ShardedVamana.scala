@@ -36,6 +36,33 @@ object ShardedVamana {
 
   private val hashSalt = 0x517cc1b7L
 
+  private val vertexSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("shard", org.apache.spark.sql.types.IntegerType),
+    org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("vec",
+      org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType)),
+    org.apache.spark.sql.types.StructField("cmeta",
+      org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType)),
+    org.apache.spark.sql.types.StructField("codes", org.apache.spark.sql.types.BinaryType),
+    org.apache.spark.sql.types.StructField("neighbors",
+      org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.LongType)),
+    org.apache.spark.sql.types.StructField("medoid_id", org.apache.spark.sql.types.LongType)))
+
+  private def writeMeta(dir: String, cfg: VamanaConfig, shards: Int): Unit = {
+    val p = new java.util.Properties()
+    p.setProperty("m", cfg.m.toString)
+    p.setProperty("ef_construction", cfg.efConstruction.toString)
+    p.setProperty("ef_search", cfg.efSearch.toString)
+    p.setProperty("alphas", cfg.alphas.mkString(","))
+    p.setProperty("metric", cfg.metric)
+    p.setProperty("bits", cfg.bits.toString)
+    p.setProperty("shards", shards.toString)
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    val w = java.nio.file.Files.newBufferedWriter(
+      java.nio.file.Paths.get(dir, "meta.properties"))
+    try p.store(w, "graft sharded vamana meta") finally w.close()
+  }
+
   private def shardOf(id: Long, shards: Int): Int = {
     val h = org.apache.spark.unsafe.hash.Murmur3_x86_32
       .hashLong(id ^ hashSalt, 42)
@@ -81,32 +108,10 @@ object ShardedVamana {
           }
         }
       }
-    val schema = org.apache.spark.sql.types.StructType(Seq(
-      org.apache.spark.sql.types.StructField("shard", org.apache.spark.sql.types.IntegerType),
-      org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
-      org.apache.spark.sql.types.StructField("vec",
-        org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType)),
-      org.apache.spark.sql.types.StructField("cmeta",
-        org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType)),
-      org.apache.spark.sql.types.StructField("codes", org.apache.spark.sql.types.BinaryType),
-      org.apache.spark.sql.types.StructField("neighbors",
-        org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.LongType)),
-      org.apache.spark.sql.types.StructField("medoid_id", org.apache.spark.sql.types.LongType)))
-    spark.createDataFrame(rows, schema)
+    spark.createDataFrame(rows, vertexSchema)
       .write.mode("overwrite").parquet(s"$dir/graph")
     // driver-side meta, kilobytes — plain properties like IvfIndex
-    val p = new java.util.Properties()
-    p.setProperty("m", cfg.m.toString)
-    p.setProperty("ef_construction", cfg.efConstruction.toString)
-    p.setProperty("ef_search", cfg.efSearch.toString)
-    p.setProperty("alphas", cfg.alphas.mkString(","))
-    p.setProperty("metric", cfg.metric)
-    p.setProperty("bits", cfg.bits.toString)
-    p.setProperty("shards", shards.toString)
-    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
-    val w = java.nio.file.Files.newBufferedWriter(
-      java.nio.file.Paths.get(dir, "meta.properties"))
-    try p.store(w, "graft sharded vamana meta") finally w.close()
+    writeMeta(dir, cfg, shards)
   }
 
   /** Shard graphs resident as a persisted RDD[(shard, graph)] — load
@@ -212,8 +217,9 @@ object ShardedVamana {
       new Handle(next, cfg, shards)
     }
 
-    /** Persist the current shard graphs back to `dir` (post-insert /
-      * post-vacuum snapshot), same layout as build(). */
+    /** Persist the current shard graphs to `dir` (post-insert /
+      * post-vacuum snapshot), same layout as build() — works for the
+      * original dir or a fresh one (meta is written either way). */
     def save(spark: SparkSession, dir: String): Unit = {
       val quant = cfg.bits > 0
       val rows = graphs.mapPartitions { it =>
@@ -228,14 +234,14 @@ object ShardedVamana {
           }
         }
       }
-      val df0 = spark.read.parquet(s"$dir/graph")
-      spark.createDataFrame(rows, df0.schema)
+      // stage then swap: the source of this write is the RESIDENT RDD,
+      // not the parquet being overwritten, so a direct overwrite would
+      // also be safe — staging keeps a readable copy through the write
+      spark.createDataFrame(rows, vertexSchema)
         .write.mode("overwrite").parquet(s"$dir/graph-next")
-      // swap: parquet has no atomic rename across dirs here; overwrite in
-      // two steps like IvfIndex's generation pointer would — for this
-      // handle-level snapshot a direct rewrite is enough
       spark.read.parquet(s"$dir/graph-next")
         .write.mode("overwrite").parquet(s"$dir/graph")
+      writeMeta(dir, cfg, shards)
       // drop the staging dir so repeated snapshots don't accumulate
       val stage = new java.io.File(s"$dir/graph-next")
       def rm(f: java.io.File): Unit = {

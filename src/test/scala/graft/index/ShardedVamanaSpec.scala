@@ -140,12 +140,17 @@ class ShardedVamanaSpec extends SparkSpec {
     val extra = Array(9001L -> Array.fill(16)(0.9f))
     val h1 = h0.insertAll(spark, extra)
     h1.save(spark, d)
+    // save must also work to a FRESH dir (snapshot-to-new-location)
+    val d2 = Files.createTempDirectory("sv-save-fresh").toString
+    h1.save(spark, d2)
     h1.unpersist()
-    val h2 = ShardedVamana.load(spark, d)
-    try {
-      val top1 = h2.search(spark, Array(0L -> Array.fill(16)(0.9f)), 1)
-        .select("id").as[Long].collect()
-      assert(top1.headOption.contains(9001L))
-    } finally h2.unpersist()
+    Seq(d, d2).foreach { dd =>
+      val h2 = ShardedVamana.load(spark, dd)
+      try {
+        val top1 = h2.search(spark, Array(0L -> Array.fill(16)(0.9f)), 1)
+          .select("id").as[Long].collect()
+        assert(top1.headOption.contains(9001L), s"dir $dd")
+      } finally h2.unpersist()
+    }
   }
 }
