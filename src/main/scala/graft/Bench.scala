@@ -32,6 +32,20 @@ object Bench {
       graft.ops.Knn.topK(tiny, "id", "vec", Array.fill(8)(0.1f), 3).count()
       graft.ops.Knn.knnJoin(tiny, "id", "vec",
         Array(0L -> Array.fill(8)(0.1f)), 3).count()
+      // warm the dedup/text pipeline (signature UDFs, groupByKey codegen,
+      // label-propagation join shape) — the dedup queries run first
+      // alphabetically and would otherwise absorb all first-use JIT
+      val docs = (0L until 64L)
+        .map(i => (i, s"doc ${i % 8} word alpha beta gamma delta ${i % 8}"))
+        .toDF("doc_id", "text")
+      val p = graft.ops.Dedup.minhashDedup(docs, "doc_id", "text", 0.4)
+      graft.ops.Dedup.components(p).count()
+      graft.ops.Dedup.simhashDedup(docs, "doc_id", "text", 6).count()
+      val embs = (0L until 64L)
+        .map(i => (i, Seq.fill(8)((i % 4).toFloat / 4 + 0.1f)))
+        .toDF("id", "emb")
+      graft.ops.Dedup.embeddingNearDup(embs, "id", "emb", 0.2,
+        lshBits = 4, lshTables = 2).count()
     } catch { case _: Throwable => }
     // one-time index/graph construction, reported separately: queries
     // amortize builds across their lifetime, so per-query timings measure

@@ -546,8 +546,15 @@ object Dedup {
     import spark.implicits._
     val edges = pairs
       .select(col(aCol).cast("long").as("a"), col(bCol).cast("long").as("b"))
-    // symmetric adjacency; one shuffle, reused every round
-    val adj = edges.union(edges.select(col("b").as("a"), col("a").as("b")))
+    // symmetric adjacency in ONE pass over the pair source (a union of
+    // two selects would run the upstream pair pipeline twice — at scale
+    // that is the whole minhash/LSH job, the expensive part); one
+    // shuffle, reused every round
+    val adj = edges
+      .select(explode(array(
+        struct(col("a"), col("b")),
+        struct(col("b").as("a"), col("a").as("b")))).as("e"))
+      .select(col("e.a").as("a"), col("e.b").as("b"))
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
