@@ -38,14 +38,22 @@ object Bench {
       val docs = (0L until 64L)
         .map(i => (i, s"doc ${i % 8} word alpha beta gamma delta ${i % 8}"))
         .toDF("doc_id", "text")
-      val p = graft.ops.Dedup.minhashDedup(docs, "doc_id", "text", 0.4)
-      graft.ops.Dedup.components(p).count()
-      graft.ops.Dedup.simhashDedup(docs, "doc_id", "text", 6).count()
-      val embs = (0L until 64L)
-        .map(i => (i, Seq.fill(8)((i % 4).toFloat / 4 + 0.1f)))
-        .toDF("id", "emb")
-      graft.ops.Dedup.embeddingNearDup(embs, "id", "emb", 0.2,
-        lshBits = 4, lshTables = 2).count()
+      // each warmup in its own try: one failing require must not silently
+      // disable the rest (a maxHamming=6 here once killed the embedding
+      // warmup for a whole round)
+      try {
+        val p = graft.ops.Dedup.minhashDedup(docs, "doc_id", "text", 0.4)
+        graft.ops.Dedup.components(p).count()
+      } catch { case _: Throwable => }
+      try graft.ops.Dedup.simhashDedup(docs, "doc_id", "text", 3).count()
+      catch { case _: Throwable => }
+      try {
+        val embs = (0L until 64L)
+          .map(i => (i, Seq.fill(8)((i % 4).toFloat / 4 + 0.1f)))
+          .toDF("id", "emb")
+        graft.ops.Dedup.embeddingNearDup(embs, "id", "emb", 0.2,
+          lshBits = 4, lshTables = 2).count()
+      } catch { case _: Throwable => }
     } catch { case _: Throwable => }
     // one-time index/graph construction, reported separately: queries
     // amortize builds across their lifetime, so per-query timings measure

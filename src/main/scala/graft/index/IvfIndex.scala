@@ -785,6 +785,145 @@ final class IvfIndex(val spark: SparkSession, val dir: String, val meta: IvfMeta
     }
   }
 
+  /** Per-cell radius: max stored-space L2 distance from a member to its
+    * centroid, cached with dataDf's invalidation key. One pruned-column
+    * aggregation on first use; the cell-level triangle bound for
+    * [[rangeSearch]] (a cell can hold a row within `r` of the query only
+    * if d(q, centroid) - cellRadius < r). */
+  @volatile private var cellRadiiCache: (String, Boolean, Long, Map[Int, Double]) = null
+  private def cellRadii: Map[Int, Double] = {
+    val gen = currentGen
+    val delta = deltaExists
+    val ver = mutations.get()
+    val c = cellRadiiCache
+    if (c != null && c._1 == gen && c._2 == delta && c._3 == ver) c._4
+    else {
+      val bc = spark.sparkContext.broadcast(meta.centroids)
+      val distToCentroid =
+        if (meta.cfg.storage == "f16")
+          udf((cid: Int, v: Array[Byte]) =>
+            K.l2(graft.core.Half.decodeBytes(v), bc.value(cid)))
+        else
+          udf((cid: Int, v: Seq[Float]) => K.l2(v.toArray, bc.value(cid)))
+      val m = dataDf
+        .select(col("cluster_id"), distToCentroid(col("cluster_id"), col("vec")).as("d"))
+        .groupBy("cluster_id").agg(max("d").as("r"))
+        .as[(Int, Double)].collect().toMap
+      cellRadiiCache = (gen, delta, ver, m)
+      m
+    }
+  }
+
+  /** Cells the sphere (center in PREPPED space `qq`, `radius` in index
+    * metric) can intersect, via the cell-radius triangle bound. L2 prunes
+    * directly; cosine maps to stored-space L2 (vectors are normalized, so
+    * l2^2 = 2*cosdist); negdot has no triangle bound — every cell stays
+    * (the codes-only estimate scan still never touches vectors). */
+  private def rangeCells(qq: Array[Float], radius: Double): Array[Int] = {
+    val l2Radius = meta.cfg.metric match {
+      case "l2"      => Some(radius)
+      case "cosdist" =>
+        if (radius <= 0) Some(0.0)
+        else Some(math.sqrt(2.0 * math.min(radius, 2.0)))
+      case _ => None
+    }
+    l2Radius match {
+      case Some(r) =>
+        val radii = cellRadii
+        meta.centroids.indices.filter { i =>
+          math.sqrt(K.l2s(qq, meta.centroids(i))) - radii.getOrElse(i, 0.0) < r
+        }.toArray
+      case None => meta.centroids.indices.toArray
+    }
+  }
+
+  /** Estimate-phase survivors of the radius cutoff: ids whose
+    * epsilon-scaled code lower bound undercuts `radius` (same bound
+    * `search` trusts), read from codes only — the vec column is never
+    * touched. Capped at `cap+1` rows so callers can detect overflow
+    * without materializing an unbounded driver set. */
+  private[graft] def rangeCandidateIds(center: Array[Float], radius: Double,
+                                       epsilon: Double, cap: Int): Array[Long] = {
+    val qq = prepQuery(center)
+    val probed = rangeCells(qq, radius)
+    if (probed.isEmpty) return Array.empty
+    val perCluster = clusterPrep(qq, probed)
+    val bpc = spark.sparkContext.broadcast(perCluster)
+    val bits = meta.cfg.bits
+    val dim = meta.dim
+    val metric = meta.cfg.metric
+    val rad = radius
+    codesDf.filter(col("cluster_id").isin(probed.map(Integer.valueOf): _*))
+      .as[(Int, Long, Array[Float], Array[Byte])]
+      .mapPartitions { it =>
+        val pc = bpc.value
+        it.flatMap { case (cid, id, cm, codes) =>
+          val (qr, qSum, qNormSq, clusterDot) = pc(cid)
+          val code = RaBitQ.Code(cm, codes, bits, dim)
+          val lb = metric match {
+            case "l2" =>
+              val (e, err) = RaBitQ.estimateL2s(code, qr, qSum, qNormSq)
+              math.sqrt(math.max(e - epsilon * err, 0.0))
+            case _ =>
+              val d = RaBitQ.estimateDot(code, qr, qSum) + clusterDot
+              val err = math.sqrt(qNormSq) * code.scale * math.sqrt(dim.toDouble)
+              val base = -d - epsilon * err
+              if (metric == "cosdist") 1.0 + base else base
+          }
+          if (lb < rad) Iterator.single(id) else Iterator.empty
+        }
+      }.limit(cap + 1).collect()
+  }
+
+  /**
+   * Sphere range query SERVED BY THE INDEX — reference opclass strategy 2
+   * (`WHERE embedding <<metric>> sphere(c, r)`): the sphere center becomes
+   * the scan vector and the radius a cutoff
+   * (src/index/vchordrq/opclass.rs:145-172, scanners/default.rs:75-117).
+   *
+   * Three-stage pruning: (1) CELL — triangle bound d(q, centroid) -
+   * cellRadius < r keeps only cells intersecting the sphere (partition
+   * pruning on cluster_id); (2) ROW — the epsilon-scaled code lower bound
+   * drops rows that cannot qualify, from the codes columns only; (3) the
+   * exact strict `dist < radius` cutoff at rerank (vec column read only
+   * for estimate survivors). Output: (id, dist) ascending (dist, id).
+   *
+   * The survivor set is bounded by `maxCandidates` and fails LOUDLY past
+   * it: a sphere that catches millions of rows is a full-scan filter, not
+   * an index range query (plan `df.filter(sphereContains(...))` instead).
+   */
+  def rangeSearch(center: Array[Float], radius: Double, epsilon: Double = 1.9,
+                  rerankTable: Option[(DataFrame, String, String)] = None,
+                  maxCandidates: Int = 4000000): DataFrame = {
+    graft.eval.QueryRecorder.record(dir, center)
+    val cand = rangeCandidateIds(center, radius, epsilon, maxCandidates)
+    require(cand.length <= maxCandidates,
+      s"rangeSearch: over $maxCandidates rows pass the radius-$radius estimate " +
+      "cutoff — this sphere is not selective enough for an index range scan; " +
+      "use the exact full-scan filter (df.filter(sphereContains(...))) or " +
+      "raise maxCandidates explicitly")
+    val qq = prepQuery(center)
+    rerankTable match {
+      case None =>
+        val exact = exactDistUdf(qq)
+        dataDf.filter(col("id").isin(cand.map(java.lang.Long.valueOf): _*))
+          .select($"id", exact($"vec").as("dist"))
+          .filter(col("dist") < radius)
+          .orderBy($"dist", $"id")
+      case Some((src, idCol, vecCol)) =>
+        val bq = spark.sparkContext.broadcast(center)
+        val exact = meta.cfg.metric match {
+          case "l2"      => udf((v: Seq[Float]) => K.l2(v.toArray, bq.value))
+          case "negdot"  => udf((v: Seq[Float]) => K.negdot(v.toArray, bq.value))
+          case "cosdist" => udf((v: Seq[Float]) => K.cosdist(v.toArray, bq.value))
+        }
+        src.filter(col(idCol).isin(cand.map(java.lang.Long.valueOf): _*))
+          .select(col(idCol).cast("long").as("id"), exact(col(vecCol)).as("dist"))
+          .filter(col("dist") < radius)
+          .orderBy(col("dist"), col("id"))
+    }
+  }
+
   /**
    * Batch ANN: all `queries` served by TWO Spark jobs total, independent
    * of batch size — the throughput shape Spark is built for (the

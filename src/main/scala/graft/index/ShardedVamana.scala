@@ -134,8 +134,17 @@ object ShardedVamana {
       * driver collect. */
     def search(spark: SparkSession, queries: Array[(Long, Array[Float])],
                k: Int, ef: Int = -1,
-               rerankTable: Option[(DataFrame, String, String)] = None): DataFrame = {
+               rerankTable: Option[(DataFrame, String, String)] = None,
+               allowEstimates: Boolean = false): DataFrame = {
       import spark.implicits._
+      // quantized shards score by code ESTIMATES; without a rerank table
+      // the output distances would silently be estimates — the reference
+      // always reranks to exact (crates/vchordg/src/search.rs:98-140)
+      require(cfg.bits == 0 || rerankTable.nonEmpty || allowEstimates,
+        "search on a quantized sharded graph without rerankTable returns " +
+        "code-ESTIMATE distances, not exact ones: pass " +
+        "rerankTable=Some((sourceDf, idCol, vecCol)) to rerank exactly " +
+        "(reference semantics), or allowEstimates=true to opt in")
       if (queries.isEmpty)
         return Seq.empty[(Long, Long, Double, Long)].toDF("qid", "id", "dist", "rn")
       val bq = spark.sparkContext.broadcast(queries)

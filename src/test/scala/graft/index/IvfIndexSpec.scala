@@ -31,6 +31,48 @@ class IvfIndexSpec extends SparkSpec {
     assert(got == brute(q, 10))
   }
 
+  test("rangeSearch returns exactly the rows inside the sphere (strategy 2)") {
+    import spark.implicits._
+    val df = rows.toDF("id", "vec")
+    val idx = IvfIndex.build(df, "id", "vec", freshDir(),
+      IvfConfig(lists = 16, residual = true))
+    val q = Array.fill(12)(0.2f)
+    Seq(0.9, 1.2, 1.6).foreach { radius =>
+      val got = idx.rangeSearch(q, radius)
+        .select("id", "dist").as[(Long, Double)].collect()
+      val want = rows.map { case (id, v) => (id, K.l2(v.toArray, q)) }
+        .filter(_._2 < radius).sortBy { case (id, d) => (d, id) }
+      assert(got.map(_._1).toSeq == want.map(_._1), s"radius $radius")
+      got.zip(want).foreach { case ((_, gd), (_, wd)) =>
+        assert(gd == wd, s"radius $radius: exact distances expected") }
+    }
+    // empty sphere
+    assert(idx.rangeSearch(Array.fill(12)(40f), 0.5).count() == 0)
+    // rerank-in-table matches rerank-in-index
+    val viaTable = idx.rangeSearch(q, 1.2, rerankTable = Some((df, "id", "vec")))
+      .select("id").as[Long].collect().toSeq
+    assert(viaTable ==
+      idx.rangeSearch(q, 1.2).select("id").as[Long].collect().toSeq)
+    // over-cap fails loudly instead of collecting an unbounded id set
+    val e = intercept[IllegalArgumentException] {
+      idx.rangeSearch(q, 100.0, maxCandidates = 10).collect()
+    }
+    assert(e.getMessage.contains("selective"))
+  }
+
+  test("rangeSearch on a cosdist index applies the cosine cutoff exactly") {
+    import spark.implicits._
+    val df = rows.toDF("id", "vec")
+    val idx = IvfIndex.build(df, "id", "vec", freshDir(),
+      IvfConfig(lists = 16, metric = "cosdist"))
+    val q = Array.fill(12)(0.3f)
+    val radius = 0.4
+    val got = idx.rangeSearch(q, radius).select("id").as[(Long)].collect().toSet
+    val want = rows.map { case (id, v) => (id, K.cosdist(v.toArray, q)) }
+      .filter(_._2 < radius).map(_._1).toSet
+    assert(got == want && got.nonEmpty, s"got ${got.size} want ${want.size}")
+  }
+
   test("full-probe ANN search has recall 1 (reference recall.slt floor)") {
     import spark.implicits._
     val df = rows.toDF("id", "vec")

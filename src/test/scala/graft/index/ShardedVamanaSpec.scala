@@ -108,6 +108,21 @@ class ShardedVamanaSpec extends SparkSpec {
     } finally h.unpersist()
   }
 
+  test("quantized search without rerank table fails loudly (no silent estimates)") {
+    val d = Files.createTempDirectory("sv-quant-guard").toString
+    ShardedVamana.build(df, "id", "vec", d,
+      VamanaConfig(m = 24, bits = 8), shards = 4)
+    val h = ShardedVamana.load(spark, d)
+    try {
+      val q = Array(0L -> Array.fill(16)(0.1f))
+      val e = intercept[IllegalArgumentException] { h.search(spark, q, 5) }
+      assert(e.getMessage.contains("code-ESTIMATE"))
+      assert(e.getMessage.contains("rerankTable"))
+      // the explicit opt-in still works
+      assert(h.search(spark, q, 5, allowEstimates = true).count() == 5)
+    } finally h.unpersist()
+  }
+
   test("insert into a shard emptied by vacuum seeds a fresh shard graph") {
     val s = spark
     import s.implicits._

@@ -149,6 +149,16 @@ class VamanaGraphSpec extends SparkSpec {
     assert(VamanaGraph.build(df, "id", "vec", maxRows = 50).ids.length == 50)
   }
 
+  test("quantized searchBatch without rerank table fails loudly (no silent estimates)") {
+    val qg = VamanaGraph.build(
+      data.map(_._1).toArray, data.map(_._2).toArray, VamanaConfig(m = 24, bits = 8))
+    val q = Array(0L -> Array.fill(16)(0.1f))
+    val e = intercept[IllegalArgumentException] { qg.searchBatch(spark, q, 5) }
+    assert(e.getMessage.contains("code-ESTIMATE"))
+    assert(e.getMessage.contains("rerankTable"))
+    assert(qg.searchBatch(spark, q, 5, allowEstimates = true).count() == 5)
+  }
+
   test("quantized vertices (bits=2): >=4x smaller broadcast, recall floor via rerank") {
     import spark.implicits._
     val qg = VamanaGraph.build(

@@ -1,6 +1,7 @@
 package graft.ops
 
 import graft.SparkSpec
+import org.apache.spark.sql.functions.col
 
 class DedupSpec extends SparkSpec {
 
@@ -185,6 +186,88 @@ class DedupSpec extends SparkSpec {
     val kept = Dedup.dedupe(docs, "doc_id", pairs)
       .select($"doc_id").as[Long].collect().sorted
     assert(kept.toSeq == Seq(1L, 20L, 30L))
+  }
+
+  test("LSH recall model: closed form pins the operating points and auto-sizing") {
+    // fnr = (1 - (1-p)^bits)^tables, p = acos(1 - tau)/pi. tau=0.5 =>
+    // theta=60deg, p=1/3: the bench operating point (4 bits x 16 tables)
+    // keeps ~97% of boundary pairs; the old 8-table default silently
+    // missed ~17% of them — the reason auto-sizing exists.
+    assert(Dedup.lshFalseNegativeRate(0.5, 4, 16) < 0.04)
+    assert(Dedup.lshFalseNegativeRate(0.5, 4, 8) > 0.15)
+    // monotone: more tables reduce misses, larger tau increases them
+    assert(Dedup.lshFalseNegativeRate(0.5, 4, 16) <
+           Dedup.lshFalseNegativeRate(0.5, 4, 8))
+    assert(Dedup.lshFalseNegativeRate(0.3, 4, 8) <
+           Dedup.lshFalseNegativeRate(0.5, 4, 8))
+    // auto-size: smallest table count reaching the target boundary recall
+    assert(Dedup.lshTablesFor(0.5, 4, targetRecall = 0.95) == 14)
+    assert(Dedup.lshFalseNegativeRate(0.5, 4, 14) <= 0.05)
+    assert(Dedup.lshFalseNegativeRate(0.5, 4, 13) > 0.05)
+    // unreachable recall fails loudly instead of emitting 10^6 tables
+    val e = intercept[IllegalArgumentException] {
+      Dedup.lshTablesFor(1.9, 48, targetRecall = 0.999)
+    }
+    assert(e.getMessage.contains("fewer bits"))
+  }
+
+  test("LSH recall model matches measured candidate recall on planted pairs") {
+    import spark.implicits._
+    // 300 pairs at EXACTLY 60 degrees (cosdist 0.5): v = u/2 + w*sqrt(3)/2
+    // with w unit-orthogonal to u. Recall is counted over the planted
+    // pairs only; the formula predicts per-pair survival probability.
+    val rng = new scala.util.Random(17)
+    val dim = 16
+    def unit(): Array[Double] = {
+      val v = Array.fill(dim)(rng.nextGaussian())
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(_ / n)
+    }
+    val rows = (0 until 300).flatMap { i =>
+      val u = unit()
+      val r = unit()
+      val proj = (0 until dim).map(j => u(j) * r(j)).sum
+      val w0 = (0 until dim).map(j => r(j) - proj * u(j)).toArray
+      val wn = math.sqrt(w0.map(x => x * x).sum)
+      val w = w0.map(_ / wn)
+      val v = (0 until dim).map(j => 0.5 * u(j) + math.sqrt(3.0) / 2.0 * w(j))
+      Seq((2L * i, u.toSeq.map(_.toFloat)), (2L * i + 1, v.map(_.toFloat)))
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val bits = 6; val tables = 4
+    val got = Dedup.embeddingNearDup(df, "vec_id", "embedding", 0.51,
+        lshBits = bits, lshTables = tables)
+      .select("da", "db").as[(Long, Long)].collect().toSet
+    val found = (0 until 300).count(i => got.contains((2L * i, 2L * i + 1)))
+    val measured = found / 300.0
+    val predicted = 1.0 - Dedup.lshFalseNegativeRate(0.5, bits, tables)
+    assert(math.abs(measured - predicted) < 0.12,
+      f"measured recall $measured%.3f vs predicted $predicted%.3f " +
+      s"(bits=$bits tables=$tables)")
+  }
+
+  test("pipeline computes pairs once: labels and cleaned table ride the shared set") {
+    import spark.implicits._
+    val df = docs.toDF("doc_id", "text")
+    val pipe = Dedup.pipeline(df, "doc_id",
+      d => Dedup.minhashDedup(d, "doc_id", "text", 0.6))
+    try {
+      val pairs = pipe.pairs.select("da", "db").as[(Long, Long)].collect().toSet
+      // pairs/labels/cleaned are mutually consistent: every pair's two ids
+      // share a label; cleaned keeps exactly one id (the min) per cluster
+      val labels = pipe.labels.as[(Long, Long)].collect().toMap
+      pairs.foreach { case (a, b) => assert(labels(a) == labels(b), s"($a,$b)") }
+      val kept = pipe.cleaned.select(col("doc_id").cast("long")).as[Long].collect().toSet
+      val reps = labels.values.toSet
+      labels.foreach { case (id, rep) =>
+        assert(kept.contains(id) == (id == rep), s"id $id rep $rep") }
+      assert(reps.forall(kept.contains))
+      // matches the separately-computed reference pipeline
+      val wantKept = Dedup.dedupe(df, "doc_id",
+          Dedup.minhashDedup(df, "doc_id", "text", 0.6))
+        .select(col("doc_id").cast("long")).as[Long].collect().toSet
+      assert(kept == wantKept)
+    } finally pipe.unpersist()
   }
 
   test("embedding LSH monster bucket completes bounded (star-pair cap)") {

@@ -245,6 +245,103 @@ class AnnRewriteSpec extends SparkSpec {
     } finally AnnCatalog.unregisterMaxSim(tableDir)
   }
 
+  test("sphere range filter with no order-by is index-served (strategy 2)") {
+    import spark.implicits._
+    val (tableDir, indexDir) = setup
+    AnnCatalog.register(tableDir, indexDir, "id", "vec")
+    try withRule {
+      val q = Array.fill(8)(0.2f)
+      val radius = 1.1
+      // DSL path: annRange builds the sphere struct; constant folding
+      // reduces it to `vec_l2(vec, center) < radius` before the rule runs
+      val df = graft.dsl.GraftDataFrameOps(spark.read.parquet(tableDir))
+        .annRange("vec", q, radius)
+      val optimized = df.queryExecution.optimizedPlan.toString
+      assert(optimized.contains(" IN "), s"expected range candidate pushdown:\n$optimized")
+      // exact: candidate superset + retained predicate = the true result
+      val got = df.select("id").as[Long].collect().toSet
+      val data = spark.read.parquet(tableDir).as[(Long, Seq[Float])].collect()
+      val want = data.filter { case (_, v) => K.l2(v.toArray, q) < radius }.map(_._1).toSet
+      assert(got == want && got.nonEmpty, s"got ${got.size} want ${want.size}")
+      // empty sphere: rewritten to an empty relation, zero rows scanned
+      val far = Array.fill(8)(50f)
+      val dfEmpty = graft.dsl.GraftDataFrameOps(spark.read.parquet(tableDir))
+        .annRange("vec", far, 0.001)
+      assert(dfEmpty.queryExecution.optimizedPlan.toString.contains("LocalRelation"))
+      assert(dfEmpty.count() == 0)
+      // kill switch restores the full-scan filter
+      withConfs("graft.ann.range.enable" -> "false") {
+        val off = graft.dsl.GraftDataFrameOps(spark.read.parquet(tableDir))
+          .annRange("vec", q, radius)
+        assert(!off.queryExecution.optimizedPlan.toString.contains(" IN "))
+      }
+    } finally AnnCatalog.unregister(tableDir)
+  }
+
+  test("sphere filter + ORDER BY metric LIMIT uses range candidates (one planning job)") {
+    import spark.implicits._
+    val (tableDir, indexDir) = setup
+    AnnCatalog.register(tableDir, indexDir, "id", "vec")
+    try withRule {
+      val q = Array.fill(8)(0.2f)
+      val radius = 1.1
+      withConfs("graft.ann.cost.enable" -> "false") {
+        val jobs0 = AnnTopKRewrite.planningJobs.get()
+        val df = spark.read.parquet(tableDir)
+          .filter(GraftFunctions.sphereL2Contains(col("vec"), typedlit(q.toSeq), lit(radius)))
+          .orderBy(GraftFunctions.vecL2(col("vec"), typedlit(q.toSeq)))
+          .limit(5)
+        val optimized = df.queryExecution.optimizedPlan.toString
+        assert(optimized.contains(" IN "), s"expected range-served prefilter:\n$optimized")
+        // the range fast path takes exactly ONE planning job — the
+        // escalation loop would take at least two (pool + survivor count)
+        assert(AnnTopKRewrite.planningJobs.get() == jobs0 + 1,
+          s"planningJobs ${AnnTopKRewrite.planningJobs.get()} vs start $jobs0")
+        val got = df.collect().map(_.getLong(0)).toSeq
+        val data = spark.read.parquet(tableDir).as[(Long, Seq[Float])].collect()
+        val want = data.map { case (id, v) => (K.l2(v.toArray, q), id) }
+          .filter(_._1 < radius).sorted.take(5).map(_._2).toSeq
+        assert(got == want)
+      }
+    } finally AnnCatalog.unregister(tableDir)
+  }
+
+  test("per-partition index registration serves partition-scoped reads (partition parity)") {
+    import spark.implicits._
+    val rng = new scala.util.Random(91)
+    val rows = (0L until 400L).map(i =>
+      (i, Seq.fill(8)(rng.nextFloat() * 2 - 1), (i % 2).toInt))
+    val tableDir = Files.createTempDirectory("graft-ann-part").toString
+    rows.toDF("id", "vec", "part")
+      .write.partitionBy("part").mode("overwrite").parquet(tableDir)
+    // one index per partition root (reference partition.slt: each child
+    // table carries its own index); lookup matches the partition's path
+    (0 to 1).foreach { p =>
+      val d = Files.createTempDirectory(s"graft-ann-part-idx$p").toString
+      IvfIndex.build(spark.read.parquet(s"$tableDir/part=$p"), "id", "vec",
+        d, IvfConfig(lists = 4))
+      AnnCatalog.register(s"$tableDir/part=$p", d, "id", "vec")
+    }
+    try withRule {
+      withConfs("graft.ann.probes" -> "4", "graft.ann.refine" -> "50",
+          "graft.ann.cost.enable" -> "false") {
+        val q = Array.fill(8)(0.1f)
+        (0 to 1).foreach { p =>
+          val df = spark.read.parquet(s"$tableDir/part=$p")
+            .orderBy(GraftFunctions.vecL2(col("vec"), typedlit(q.toSeq)))
+            .limit(5)
+          assert(df.queryExecution.optimizedPlan.toString.contains(" IN "),
+            s"partition $p not index-served")
+          val got = df.collect().map(_.getLong(0)).toSeq
+          val want = rows.filter(_._3 == p)
+            .map { case (id, v, _) => (K.l2(v.toArray, q), id) }
+            .sorted.take(5).map(_._2).toSeq
+          assert(got == want, s"partition $p")
+        }
+      }
+    } finally (0 to 1).foreach(p => AnnCatalog.unregister(s"$tableDir/part=$p"))
+  }
+
   test("cosdist index serves vec_cosdist ORDER BY; vec_l2 stays exact (metric match)") {
     import spark.implicits._
     val (tableDir, indexDir) = cosSetup
