@@ -493,8 +493,8 @@ object Dedup {
                        lshBits: Int = 0, lshTables: Int = 0,
                        bruteCap: Int = 200000, maxBucket: Int = 4096): DataFrame = {
     import graft.core.{VectorKernels => K}
-    val cd = udf((a: Seq[Float], b: Seq[Float]) => K.cosdist(a.toArray, b.toArray))
-    val base = df.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
+    val base = df.select(col(idCol).cast("long").as("id"),
+      col(vecCol).cast("array<float>").as("v"))
     if (lshBits == 0) {
       // broadcast-block pair scan: one side broadcast as primitive arrays,
       // the other streamed per-partition — no per-pair row machinery. At
@@ -560,11 +560,16 @@ object Dedup {
         .toDF("da", "db")
         .distinct()
       // only surviving candidate pairs ever carry vectors: fetch both
-      // sides by id for the exact cosine verify (no false positives)
+      // sides by id for the exact cosine verify (no false positives).
+      // The kernel is the NATIVE codegen expression — the candidate set
+      // at an adversarial tau can approach n^2/2 pairs, and a Scala UDF
+      // here deserializes two boxed Seq[Float] per pair (measured: the
+      // MapObjects loop dominated the whole query)
       cand
         .join(base.select(col("id").as("da"), col("v").as("va")), Seq("da"))
         .join(base.select(col("id").as("db"), col("v").as("vb")), Seq("db"))
-        .withColumn("cosdist", cd(col("va"), col("vb")))
+        .withColumn("cosdist",
+          graft.functions.GraftFunctions.vecCosdist(col("va"), col("vb")))
         .filter(col("cosdist") < tau)
         .select("da", "db", "cosdist")
     }
