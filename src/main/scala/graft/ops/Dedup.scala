@@ -158,8 +158,9 @@ object Dedup {
       .toDF("id", "sig")
   }
 
-  /** Streaming-min MinHash signature over a doc's token-hash sequence. */
-  private def sigFromTokens(th: Array[Long], n: Int, numHashes: Int): Array[Long] = {
+  /** Streaming-min MinHash signature over a doc's token-hash sequence
+    * (shared with the streaming dedup ingest). */
+  private[graft] def sigFromTokens(th: Array[Long], n: Int, numHashes: Int): Array[Long] = {
     val sig = Array.fill(numHashes)(Long.MaxValue)
     var i = 0
     while (i + n <= th.length) {
@@ -204,6 +205,17 @@ object Dedup {
     sb.toString
   }
 
+  /** One 64-bit LSH bucket key per band of a MinHash signature (band
+    * ordinal folded into the key) — shared by the batch banding pass and
+    * the streaming dedup ingest. */
+  private[graft] def bandKeys(sig: Array[Long], bands: Int, r: Int): Array[Long] =
+    Array.tabulate(bands) { b =>
+      var key = 0xcbf29ce484222325L
+      var j = b * r
+      while (j < (b + 1) * r) { key = mix(key ^ sig(j), j); j += 1 }
+      mix(key, 0x5bd1e995 + b)
+    }
+
   /** LSH banding over (id, sig) signatures: emit candidate pairs sharing
     * any (band, bandKey) bucket. One groupBy on the bucket key with
     * in-bucket pair generation — a self-join would evaluate the signature
@@ -215,13 +227,7 @@ object Dedup {
     val spark = sigs.sparkSession
     import spark.implicits._
     sigs.as[(Long, Array[Long])].flatMap { case (id, sig) =>
-      (0 until bands).map { b =>
-        var key = 0xcbf29ce484222325L
-        var j = b * r
-        while (j < (b + 1) * r) { key = mix(key ^ sig(j), j); j += 1 }
-        // fold the band ordinal into the key: one 64-bit bucket id
-        (mix(key, 0x5bd1e995 + b), id)
-      }
+      bandKeys(sig, bands, r).map(k => (k, id))
     }
       .groupByKey(_._1)
       .flatMapGroups((_, it) => bucketPairs(it.map(_._2), maxBucket))

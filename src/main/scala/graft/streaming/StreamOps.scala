@@ -148,6 +148,83 @@ object StreamOps {
     checkpointLocation.fold(writer)(writer.option("checkpointLocation", _)).start()
   }
 
+  final case class DedupHit(da: Long, db: Long, est_jac: Double)
+
+  /**
+   * Streaming near-duplicate detection — the incremental form of
+   * `Dedup.minhashDedup` for a document stream: each arriving doc's
+   * MinHash signature is banded into LSH bucket keys, and per-bucket
+   * state (flatMapGroupsWithState keyed by the bucket) holds the
+   * residents seen so far; an arrival emits a [[DedupHit]] against every
+   * resident whose SIGNATURE-estimated Jaccard (fraction of equal
+   * signature components — the unbiased MinHash estimator) reaches
+   * `threshold`.
+   *
+   * Two deliberate divergences from the batch path, both inherent to
+   * streaming and documented here rather than hidden:
+   *  - the verify is the signature ESTIMATE, not exact shingle Jaccard
+   *    (state cannot hold every historical text; at numHashes=64 the
+   *    estimator's sd is ~0.06 at j=0.5). Feed emitted pairs to the
+   *    batch `jaccardPairs` over the stored corpus when exactness
+   *    matters.
+   *  - a pair sharing several buckets may be emitted more than once
+   *    (append-mode state is per-bucket); consumers dedup on (da, db).
+   *
+   * Skew defense matches the batch star-cap: a bucket stores at most
+   * `maxBucket` residents (kept sorted by id, the minimum first); once
+   * full, new arrivals still compare against the bucket's ANCHOR (min
+   * id) — connectivity through the anchor survives, state stays bounded.
+   */
+  def dedupIngest(docs: DataFrame, idCol: String, textCol: String,
+                  threshold: Double, n: Int = 3, numHashes: Int = 64,
+                  bands: Int = 16, maxBucket: Int = 1024): Dataset[DedupHit] = {
+    require(numHashes % bands == 0, "numHashes must divide into bands")
+    val r = numHashes / bands
+    import docs.sparkSession.implicits._
+    val nn = n; val nh = numHashes
+    val keyed = docs.select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+      .flatMap { case (id, text) =>
+        val th = text.split(' ').map(graft.ops.Dedup.hash64)
+        if (th.length < nn) Iterator.empty
+        else {
+          val sig = graft.ops.Dedup.sigFromTokens(th, nn, nh)
+          graft.ops.Dedup.bandKeys(sig, bands, r).iterator.map(k => (k, id, sig))
+        }
+      }
+    keyed
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[List[(Long, Array[Long])], DedupHit](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (_: Long, it: Iterator[(Long, Long, Array[Long])],
+         state: GroupState[List[(Long, Array[Long])]]) =>
+          val arrivals = it.map { case (_, id, sig) => (id, sig) }
+            .toSeq.sortBy(_._1) // deterministic within the micro-batch
+          var residents = state.getOption.getOrElse(Nil) // sorted by id
+          val out = scala.collection.mutable.ListBuffer[DedupHit]()
+          arrivals.foreach { case (id, sig) =>
+            if (!residents.exists(_._1 == id)) {
+              val pool =
+                if (residents.size >= maxBucket) residents.headOption.toList
+                else residents
+              pool.foreach { case (rid, rsig) =>
+                var eq = 0; var k = 0
+                while (k < nh) { if (rsig(k) == sig(k)) eq += 1; k += 1 }
+                val est = eq.toDouble / nh
+                if (est >= threshold)
+                  out += DedupHit(math.min(rid, id), math.max(rid, id), est)
+              }
+              if (residents.size < maxBucket) {
+                val (lt, ge) = residents.span(_._1 < id)
+                residents = lt ::: ((id, sig) :: ge)
+              }
+            }
+          }
+          state.update(residents)
+          out.iterator
+      }
+  }
+
   /**
    * Watermarked tumbling-window counts per event type — the streaming
    * equivalent of the q_events_hourly batch query.

@@ -116,6 +116,71 @@ class StreamOpsSpec extends SparkSpec {
     } finally { query.stop(); ref.get().unpersist() }
   }
 
+  test("streaming dedup ingest: near-dups detected across micro-batches, state bounded") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rng = new scala.util.Random(29)
+    val vocab = Vector("spark", "scan", "join", "sort", "hash", "merge", "row",
+      "batch", "query", "filter", "group", "window", "stream", "key", "value")
+    def mk(): String = Seq.fill(30)(vocab(rng.nextInt(vocab.size))).mkString(" ")
+    val base = (0L until 40L).map(i => i -> mk())
+    val input = MemoryStream[(Long, String)]
+    val hits = StreamOps.dedupIngest(
+      input.toDF().toDF("doc_id", "text"), "doc_id", "text", threshold = 0.6)
+    val query = hits.writeStream
+      .format("memory").queryName("dedup_hits")
+      .outputMode(OutputMode.Append())
+      .start()
+    try {
+      input.addData(base: _*)
+      query.processAllAvailable()
+      // LATER micro-batch: near-dup of doc 3 (one token changed) and an
+      // exact copy of doc 7 — both must pair against state from batch 1
+      val nd = { val w = base(3)._2.split(' '); w(w.length - 1) = "changed"; w.mkString(" ") }
+      input.addData((100L, nd), (101L, base(7)._2))
+      query.processAllAvailable()
+      val got = spark.sql("SELECT da, db, est_jac FROM dedup_hits")
+        .as[(Long, Long, Double)].collect()
+      val pairs = got.map(h => (h._1, h._2)).toSet
+      assert(pairs.contains((3L, 100L)), s"near-dup missed: $pairs")
+      assert(pairs.contains((7L, 101L)), s"exact dup missed: $pairs")
+      // exact copy estimates jaccard 1.0 (identical signatures)
+      assert(got.filter(h => (h._1, h._2) == (7L, 101L)).forall(_._3 == 1.0))
+      // unrelated random docs must not pair at 0.6
+      assert(got.forall(h => Set((3L, 100L), (7L, 101L)).contains((h._1, h._2))),
+        s"false pairs: ${got.toSeq}")
+    } finally query.stop()
+  }
+
+  test("streaming dedup ingest: full bucket degrades to anchor-star, state capped") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // identical docs all land in the same buckets; cap 4 residents
+    val text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val input = MemoryStream[(Long, String)]
+    val hits = StreamOps.dedupIngest(
+      input.toDF().toDF("doc_id", "text"), "doc_id", "text",
+      threshold = 0.6, maxBucket = 4)
+    val query = hits.writeStream
+      .format("memory").queryName("dedup_hits_cap")
+      .outputMode(OutputMode.Append())
+      .start()
+    try {
+      input.addData((0L until 10L).map(i => i -> text): _*)
+      query.processAllAvailable()
+      // a straggler copy arrives after the bucket filled: it must still
+      // pair against the ANCHOR (min id 0), preserving connectivity
+      input.addData((50L, text))
+      query.processAllAvailable()
+      val pairs = spark.sql("SELECT da, db FROM dedup_hits_cap")
+        .as[(Long, Long)].collect().toSet
+      assert(pairs.contains((0L, 50L)), s"anchor link missing: $pairs")
+      // every doc is connected to the component (via anchor or full pairs)
+      val reachable = pairs.flatMap(p => Seq(p._1, p._2))
+      assert((0L until 10L).forall(reachable.contains), s"disconnected: $pairs")
+    } finally query.stop()
+  }
+
   test("hourlyCounts windowed aggregation over a memory stream") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
