@@ -438,6 +438,22 @@ object IvfIndex {
   private[index] def rmRecursive(p: Path): Unit =
     if (Files.exists(p))
       Files.walk(p).sorted(Comparator.reverseOrder[Path]()).forEach(f => Files.delete(f))
+
+  /** Executor-side strict-< cutoff kernel of [[IvfIndex.rangeSearchMany]]
+    * — a companion method so closures capture no index instance. The
+    * stored vector is already normalized/rotated; `qq` in the map is the
+    * matching prepped query. */
+  private[index] def cutStatic(qs: Map[Long, (Array[Float], Double)],
+                               qid: Long, id: Long, v: Array[Float],
+                               metric: String): Iterator[(Long, Long, Double)] = {
+    val (qq, r) = qs(qid)
+    val d = metric match {
+      case "l2"      => K.l2(v, qq)
+      case "negdot"  => K.negdot(v, qq)
+      case "cosdist" => 1.0 + K.negdot(v, qq)
+    }
+    if (d < r) Iterator.single((qid, id, d)) else Iterator.empty
+  }
 }
 
 final class IvfIndex(val spark: SparkSession, val dir: String, val meta: IvfMeta) {
@@ -949,6 +965,101 @@ final class IvfIndex(val spark: SparkSession, val dir: String, val meta: IvfMeta
           .filter(col("dist") < radius)
           .orderBy(col("dist"), col("id"))
     }
+  }
+
+  /**
+   * Batch sphere range: all `queries` (qid, center, radius) answered in
+   * ONE plan, independent of batch size — the range analogue of
+   * [[searchMany]]. The estimate side scans the UNION of all
+   * sphere-intersecting cells' code columns once, each row tested
+   * against just the queries probing its cell (epsilon-scaled lower
+   * bound, as [[rangeSearch]]); the (qid, id) survivors join back to the
+   * cell-pruned data for the exact strict-< cutoff — fully distributed,
+   * no driver candidate collect at all (the single-query path collects
+   * its bounded id list; a batch of selective spheres can exceed any
+   * driver bound, so here candidates stay a DataFrame end to end).
+   * Output: (qid, id, dist) ascending (qid, dist, id).
+   */
+  def rangeSearchMany(queries: Array[(Long, Array[Float], Double)],
+                      epsilon: Double = 1.9): DataFrame = {
+    require(queries.nonEmpty, "empty query batch")
+    require(queries.map(_._1).distinct.length == queries.length,
+      "duplicate qids in query batch — results would silently merge")
+    queries.foreach(q => graft.eval.QueryRecorder.record(dir, q._2))
+    val metric = meta.cfg.metric
+    val bits = meta.cfg.bits
+    val dim = meta.dim
+    // driver prep: per query, prepped vector + probed cells + per-cell sums
+    val preps = queries.map { case (qid, c, r) =>
+      val qq = prepQuery(c)
+      val probed = rangeCells(qq, r)
+      (qid, qq, r, probed, clusterPrep(qq, probed))
+    }
+    val allCells = preps.flatMap(_._4).distinct
+    if (allCells.isEmpty)
+      return Seq.empty[(Long, Long, Double)].toDF("qid", "id", "dist")
+    // cid -> indices of queries probing it (dense arrays, no per-row maps)
+    val byCell: Map[Int, Array[Int]] =
+      preps.zipWithIndex
+        .flatMap { case (p, qi) => p._4.map(cid => (cid, qi)) }
+        .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val bPreps = spark.sparkContext.broadcast(preps)
+    val bByCell = spark.sparkContext.broadcast(byCell)
+    // job 1 (lazy plan): code-only estimate pass over the union of cells
+    val cand = codesDf
+      .filter(col("cluster_id").isin(allCells.map(Integer.valueOf): _*))
+      .as[(Int, Long, Array[Float], Array[Byte])]
+      .mapPartitions { it =>
+        val preps = bPreps.value
+        val byCell = bByCell.value
+        it.flatMap { case (cid, id, cm, codes) =>
+          val code = RaBitQ.Code(cm, codes, bits, dim)
+          byCell.getOrElse(cid, Array.empty[Int]).iterator.flatMap { qi =>
+            val (qid, _, r, _, pc) = preps(qi)
+            val (qr, qSum, qNormSq, clusterDot) = pc(cid)
+            val lb = metric match {
+              case "l2" =>
+                val (e, err) = RaBitQ.estimateL2s(code, qr, qSum, qNormSq)
+                math.sqrt(math.max(e - epsilon * err, 0.0))
+              case _ =>
+                val d = RaBitQ.estimateDot(code, qr, qSum) + clusterDot
+                val err = math.sqrt(qNormSq) * code.scale * math.sqrt(dim.toDouble)
+                val base = -d - epsilon * err
+                if (metric == "cosdist") 1.0 + base else base
+            }
+            if (lb < r) Iterator.single((qid, id)) else Iterator.empty
+          }
+        }
+      }.toDF("qid", "id")
+    // job 2: exact cutoff — cell-pruned vectors joined to survivors, the
+    // kernel runs zero-boxing over (qid, vec) rows. Queries are PREPPED
+    // on the driver (normalize/rotate), so the closure ships only the
+    // prepped map — never `meta` or its centroid arrays.
+    val bQs = spark.sparkContext.broadcast(
+      queries.map(q => q._1 -> (prepQuery(q._2), q._3)).toMap)
+    val isF16 = meta.cfg.storage == "f16"
+    val rows = dataDf
+      .filter(col("cluster_id").isin(allCells.map(Integer.valueOf): _*))
+      .select(col("id"), col("vec"))
+    val joined = rows.join(cand, Seq("id"))
+    import IvfIndex.cutStatic
+    val scored =
+      (if (isF16)
+        joined.select(col("qid"), col("id"), col("vec")).as[(Long, Long, Array[Byte])]
+          .mapPartitions { it =>
+            val qs = bQs.value
+            it.flatMap { case (qid, id, vb) =>
+              cutStatic(qs, qid, id, graft.core.Half.decodeBytes(vb), metric)
+            }
+          }
+      else
+        joined.select(col("qid"), col("id"), col("vec").cast("array<float>"))
+          .as[(Long, Long, Array[Float])]
+          .mapPartitions { it =>
+            val qs = bQs.value
+            it.flatMap { case (qid, id, v) => cutStatic(qs, qid, id, v, metric) }
+          }).toDF("qid", "id", "dist")
+    scored.orderBy("qid", "dist", "id")
   }
 
   /**

@@ -469,6 +469,26 @@ object GraftQueries {
               |SELECT vec_id, round(dist, 3) AS dist FROM dd WHERE dist < 1.3
               |ORDER BY vec_id""".stripMargin)),
 
+    // BATCH range (the M-sphere form of strategy 2): three probe centers
+    // answered in one plan via IvfIndex.rangeSearchMany — union-of-cells
+    // codes scan, per-cell query lists, distributed exact cutoff (no
+    // driver candidate collect).
+    "range_batch_indexed" -> Q(
+      (s, d) => {
+        val idx = IvfCache.get(s, d)
+        val qs = Array(0, 1, 2).map(i => (i.toLong, qvec(s, d, i), 1.3))
+        idx.rangeSearchMany(qs)
+          .select(col("qid"), col("id").as("vec_id"), col("dist").as("raw"))
+          .orderBy(col("qid"), col("raw"), col("vec_id"))
+          .select(col("qid"), col("vec_id"), round(col("raw"), 3).as("dist")) },
+      Some("""WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id IN (0, 1, 2)),
+             |e AS (SELECT vec_id, embedding, unnest(range(0, 64)) AS i FROM embeddings),
+             |dd AS (SELECT q.qid AS qid, e.vec_id AS vec_id,
+             |  sqrt(sum(power(CAST(e.embedding[i+1] AS DOUBLE) - CAST(q.qe[i+1] AS DOUBLE), 2))) AS dist
+             |  FROM e, q GROUP BY q.qid, e.vec_id)
+             |SELECT qid, vec_id, round(dist, 3) AS dist FROM dd WHERE dist < 1.3
+             |ORDER BY qid, dd.dist, vec_id""".stripMargin)),
+
     // ---- dedup suite (training-data pipeline ops) ----
 
     "dedup_exact" -> Q(

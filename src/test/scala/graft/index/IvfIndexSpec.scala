@@ -60,6 +60,37 @@ class IvfIndexSpec extends SparkSpec {
     assert(e.getMessage.contains("selective"))
   }
 
+  test("rangeSearchMany equals per-query rangeSearch (one distributed plan)") {
+    import spark.implicits._
+    val df = rows.toDF("id", "vec")
+    val idx = IvfIndex.build(df, "id", "vec", freshDir(),
+      IvfConfig(lists = 16, residual = true))
+    val queries = Array(
+      (10L, Array.fill(12)(0.2f), 1.2),
+      (11L, Array.fill(12)(-0.3f), 0.9),
+      (12L, Array.fill(12)(0.05f), 1.5),
+      (13L, Array.fill(12)(40f), 0.5)) // empty sphere rides the batch too
+    val got = idx.rangeSearchMany(queries)
+      .select("qid", "id", "dist").as[(Long, Long, Double)].collect()
+      .groupBy(_._1).view.mapValues(_.map(r => (r._2, r._3)).toSeq).toMap
+    queries.foreach { case (qid, c, r) =>
+      val want = idx.rangeSearch(c, r)
+        .select("id", "dist").as[(Long, Double)].collect().toSeq
+      assert(got.getOrElse(qid, Seq.empty) == want, s"qid $qid")
+    }
+    // f16 storage: same equality through the decode path
+    val idx16 = IvfIndex.build(df, "id", "vec", freshDir(),
+      IvfConfig(lists = 16, storage = "f16"))
+    val got16 = idx16.rangeSearchMany(queries.take(2))
+      .select("qid", "id", "dist").as[(Long, Long, Double)].collect()
+      .groupBy(_._1).view.mapValues(_.map(r => (r._2, r._3)).toSeq).toMap
+    queries.take(2).foreach { case (qid, c, r) =>
+      val want = idx16.rangeSearch(c, r)
+        .select("id", "dist").as[(Long, Double)].collect().toSeq
+      assert(got16.getOrElse(qid, Seq.empty) == want, s"f16 qid $qid")
+    }
+  }
+
   test("rangeSearch on a cosdist index applies the cosine cutoff exactly") {
     import spark.implicits._
     val df = rows.toDF("id", "vec")
