@@ -83,5 +83,15 @@ package object dsl {
     def annBatch(queries: Array[(Long, Array[Float])], k: Int,
                  probes: Int = 4, refine: Int = 8): DataFrame =
       idx.searchMany(queries, k, probes = probes, refine = refine)
+
+    /** Index-served sphere range (opclass strategy 2): cell-pruned codes
+      * scan + exact strict-< cutoff at rerank. */
+    def annRange(center: Array[Float], radius: Double): DataFrame =
+      idx.rangeSearch(center, radius)
+
+    /** Batch sphere range: M (qid, center, radius) spheres in one plan,
+      * no driver candidate collect. */
+    def annRangeBatch(queries: Array[(Long, Array[Float], Double)]): DataFrame =
+      idx.rangeSearchMany(queries)
   }
 }

@@ -60,6 +60,23 @@ class IvfIndexSpec extends SparkSpec {
     assert(e.getMessage.contains("selective"))
   }
 
+  test("rangeSearch sees delta appends (cell-radius cache invalidation)") {
+    import spark.implicits._
+    val df = rows.toDF("id", "vec")
+    val idx = IvfIndex.build(df, "id", "vec", freshDir(), IvfConfig(lists = 8))
+    val q = Array.fill(12)(0.2f)
+    val before = idx.rangeSearch(q, 1.0).select("id").as[Long].collect().toSet
+    // append a row AT the query point: inside every sphere around q
+    idx.appendDelta(Seq((5000L, q.toSeq)).toDF("id", "vec"), "id", "vec")
+    val after = idx.rangeSearch(q, 1.0).select("id").as[Long].collect().toSet
+    assert(after.contains(5000L), "delta row inside the sphere must appear")
+    assert(before.subsetOf(after))
+    // and through compaction too
+    idx.compact()
+    val compacted = idx.rangeSearch(q, 1.0).select("id").as[Long].collect().toSet
+    assert(compacted == after)
+  }
+
   test("rangeSearchMany equals per-query rangeSearch (one distributed plan)") {
     import spark.implicits._
     val df = rows.toDF("id", "vec")

@@ -306,6 +306,30 @@ class AnnRewriteSpec extends SparkSpec {
     } finally AnnCatalog.unregister(tableDir)
   }
 
+  test("SQL form: vec_l2(...) < r over a registered temp view is range-served") {
+    import spark.implicits._
+    val (tableDir, indexDir) = setup
+    AnnCatalog.register(tableDir, indexDir, "id", "vec")
+    try withRule {
+      spark.read.parquet(tableDir).createOrReplaceTempView("ann_sql_tbl")
+      GraftFunctions.registerAll(spark)
+      val q = Array.fill(8)(0.2f)
+      val lit = q.map(_.toString).mkString("array(", "F, ", "F)")
+      val df = spark.sql(
+        s"SELECT id FROM ann_sql_tbl WHERE vec_l2(vec, $lit) < 1.1 ORDER BY id")
+      assert(df.queryExecution.optimizedPlan.toString.contains(" IN "),
+        df.queryExecution.optimizedPlan.toString)
+      val got = df.as[Long].collect().toSeq
+      val data = spark.read.parquet(tableDir).as[(Long, Seq[Float])].collect()
+      val want = data.filter { case (_, v) => K.l2(v.toArray, q) < 1.1 }
+        .map(_._1).sorted.toSeq
+      assert(got == want && got.nonEmpty)
+    } finally {
+      AnnCatalog.unregister(tableDir)
+      spark.catalog.dropTempView("ann_sql_tbl")
+    }
+  }
+
   test("per-partition index registration serves partition-scoped reads (partition parity)") {
     import spark.implicits._
     val rng = new scala.util.Random(91)
