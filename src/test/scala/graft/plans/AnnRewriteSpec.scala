@@ -366,6 +366,85 @@ class AnnRewriteSpec extends SparkSpec {
     } finally (0 to 1).foreach(p => AnnCatalog.unregister(s"$tableDir/part=$p"))
   }
 
+  test("two sphere conjuncts: one serves candidates, both stay in the exact plan") {
+    import spark.implicits._
+    val (tableDir, indexDir) = setup
+    AnnCatalog.register(tableDir, indexDir, "id", "vec")
+    try withRule {
+      // reference semantics: extra spheres set `recheck` — the scan serves
+      // one sphere, every sphere is still re-evaluated on the row
+      val q1 = Array.fill(8)(0.2f)
+      val q2 = Array.fill(8)(-0.1f)
+      val df = spark.read.parquet(tableDir)
+        .filter(GraftFunctions.sphereL2Contains(col("vec"), typedlit(q1.toSeq), lit(1.2)) &&
+                GraftFunctions.sphereL2Contains(col("vec"), typedlit(q2.toSeq), lit(1.2)))
+      val optimized = df.queryExecution.optimizedPlan.toString
+      assert(optimized.contains(" IN "), s"expected range serve:\n$optimized")
+      val got = df.select("id").as[Long].collect().toSet
+      val data = spark.read.parquet(tableDir).as[(Long, Seq[Float])].collect()
+      val want = data.filter { case (_, v) =>
+        K.l2(v.toArray, q1) < 1.2 && K.l2(v.toArray, q2) < 1.2
+      }.map(_._1).toSet
+      assert(got == want && got.nonEmpty, s"got ${got.size} want ${want.size}")
+    } finally AnnCatalog.unregister(tableDir)
+  }
+
+  test("cosdist sphere is range-served by a cosdist index; l2 sphere is not (metric match)") {
+    import spark.implicits._
+    val (tableDir, indexDir) = cosSetup
+    AnnCatalog.register(tableDir, indexDir, "id", "vec")
+    try withRule {
+      val q = Array.fill(8)(0.25f)
+      val df = spark.read.parquet(tableDir)
+        .filter(GraftFunctions.sphereCosContains(col("vec"), typedlit(q.toSeq), lit(0.35)))
+      assert(df.queryExecution.optimizedPlan.toString.contains(" IN "))
+      val got = df.select("id").as[Long].collect().toSet
+      val data = spark.read.parquet(tableDir).as[(Long, Seq[Float])].collect()
+      val want = data.filter { case (_, v) => K.cosdist(v.toArray, q) < 0.35 }
+        .map(_._1).toSet
+      assert(got == want && got.nonEmpty)
+      // l2 sphere over the cosdist index: metric mismatch, full scan kept
+      val l2df = spark.read.parquet(tableDir)
+        .filter(GraftFunctions.sphereL2Contains(col("vec"), typedlit(q.toSeq), lit(1.0)))
+      assert(!l2df.queryExecution.optimizedPlan.toString.contains(" IN "))
+    } finally AnnCatalog.unregister(tableDir)
+  }
+
+  test("per-partition GRAPH registration serves partition-scoped reads (vchordg partition parity)") {
+    import spark.implicits._
+    val rng = new scala.util.Random(93)
+    val rows = (0L until 300L).map(i =>
+      (i, Seq.fill(8)(rng.nextFloat() * 2 - 1), (i % 2).toInt))
+    val tableDir = Files.createTempDirectory("graft-ann-gpart").toString
+    rows.toDF("id", "vec", "part")
+      .write.partitionBy("part").mode("overwrite").parquet(tableDir)
+    (0 to 1).foreach { p =>
+      val d = Files.createTempDirectory(s"graft-ann-gpart-idx$p").toString
+      graft.index.VamanaGraph
+        .build(spark.read.parquet(s"$tableDir/part=$p"), "id", "vec",
+          graft.index.VamanaConfig(m = 16))
+        .save(spark, d)
+      AnnCatalog.registerGraph(s"$tableDir/part=$p", d, "id", "vec")
+    }
+    try withRule {
+      withConfs("graft.ann.efSearch" -> "256", "graft.ann.cost.enable" -> "false") {
+        val q = Array.fill(8)(0.1f)
+        (0 to 1).foreach { p =>
+          val df = spark.read.parquet(s"$tableDir/part=$p")
+            .orderBy(GraftFunctions.vecL2(col("vec"), typedlit(q.toSeq)))
+            .limit(5)
+          assert(df.queryExecution.optimizedPlan.toString.contains(" IN "),
+            s"graph partition $p not served")
+          val got = df.collect().map(_.getLong(0)).toSeq
+          val want = rows.filter(_._3 == p)
+            .map { case (id, v, _) => (K.l2(v.toArray, q), id) }
+            .sorted.take(5).map(_._2).toSeq
+          assert(got == want, s"graph partition $p")
+        }
+      }
+    } finally (0 to 1).foreach(p => AnnCatalog.unregisterGraph(s"$tableDir/part=$p"))
+  }
+
   test("cosdist index serves vec_cosdist ORDER BY; vec_l2 stays exact (metric match)") {
     import spark.implicits._
     val (tableDir, indexDir) = cosSetup
