@@ -76,6 +76,12 @@ package object dsl {
       * cluster's min id) — the cleaned-table step of a dedup pipeline. */
     def dedupeBy(idCol: String, pairs: DataFrame): DataFrame =
       Dedup.dedupe(df, idCol, pairs)
+
+    /** End-to-end dedup pipeline: pairs computed ONCE (persisted), then
+      * component labels and the cleaned table ride the shared set. */
+    def dedupPipeline(idCol: String,
+                      mkPairs: DataFrame => DataFrame): Dedup.Pipeline =
+      Dedup.pipeline(df, idCol, mkPairs)
   }
 
   implicit final class GraftIvfIndexOps(private val idx: IvfIndex) {

@@ -46,6 +46,21 @@ class DslSpec extends SparkSpec {
       .select("doc_id").as[Long].collect().toSet
     assert(kept == Set(1L, 3L))
 
+    val pipe = docs.dedupPipeline("doc_id",
+      d => d.nearDupPairs("doc_id", "text", 0.3))
+    try {
+      assert(pipe.cleaned.select("doc_id").as[Long].collect().toSet == Set(1L, 3L))
+      assert(pipe.labels.as[(Long, Long)].collect().toMap ==
+        Map(1L -> 1L, 2L -> 1L))
+    } finally pipe.unpersist()
+
+    // index-served range through the DSL (single + batch forms)
+    val rangeIds = idx.annRange(q, 1.0).select("id").as[Long].collect().toSet
+    assert(rangeIds == inRange)
+    val batchIds = idx.annRangeBatch(Array((7L, q, 1.0)))
+      .select("id").as[Long].collect().toSet
+    assert(batchIds == inRange)
+
     val h = df.buildShardedGraph("id", "vec",
       Files.createTempDirectory("graft-dsl-gshard").toString, shards = 2)
     try {
