@@ -258,6 +258,9 @@ class AnnRewriteSpec extends SparkSpec {
         .annRange("vec", q, radius)
       val optimized = df.queryExecution.optimizedPlan.toString
       assert(optimized.contains(" IN "), s"expected range candidate pushdown:\n$optimized")
+      // the candidate IN reaches the parquet scan as a pushed filter
+      val physical = df.queryExecution.executedPlan.toString
+      assert(physical.contains("PushedFilters: [In(id"), physical)
       // exact: candidate superset + retained predicate = the true result
       val got = df.select("id").as[Long].collect().toSet
       val data = spark.read.parquet(tableDir).as[(Long, Seq[Float])].collect()
