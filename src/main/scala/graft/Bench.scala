@@ -1,5 +1,6 @@
 package graft
 import org.apache.spark.sql.SparkSession
+import scala.util.control.NonFatal
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -11,8 +12,10 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // warmup: absorb JVM/codegen/parquet-footer startup outside the timings
+    // NonFatal only throughout: an OOM/VM error must kill the run loudly,
+    // not be swallowed into a clean-looking JSON with inflated timings
     try spark.read.parquet(s"$sfDir/lineitem.parquet").count()
-    catch { case _: Throwable => }
+    catch { case NonFatal(_) => }
     // warm the index build/search pipeline too (Dataset-map codegen,
     // shuffle writer, parquet committer) so per-query timings reflect
     // steady state rather than first-use JIT
@@ -44,23 +47,23 @@ object Bench {
       try {
         val p = graft.ops.Dedup.minhashDedup(docs, "doc_id", "text", 0.4)
         graft.ops.Dedup.components(p).count()
-      } catch { case _: Throwable => }
+      } catch { case NonFatal(e) => System.err.println(s"warmup minhash failed: $e") }
       try graft.ops.Dedup.simhashDedup(docs, "doc_id", "text", 3).count()
-      catch { case _: Throwable => }
+      catch { case NonFatal(e) => System.err.println(s"warmup simhash failed: $e") }
       try {
         val embs = (0L until 64L)
           .map(i => (i, Seq.fill(8)((i % 4).toFloat / 4 + 0.1f)))
           .toDF("id", "emb")
         graft.ops.Dedup.embeddingNearDup(embs, "id", "emb", 0.2,
           lshBits = 4, lshTables = 2).count()
-      } catch { case _: Throwable => }
-    } catch { case _: Throwable => }
+      } catch { case NonFatal(e) => System.err.println(s"warmup embedding failed: $e") }
+    } catch { case NonFatal(e) => System.err.println(s"warmup failed: $e") }
     // one-time index/graph construction, reported separately: queries
     // amortize builds across their lifetime, so per-query timings measure
     // query execution (build THROUGHPUT is covered by the scale probe)
     val tB = System.nanoTime()
     try graft.queries.GraftQueries.warmCaches(spark, sfDir)
-    catch { case _: Throwable => }
+    catch { case NonFatal(e) => System.err.println(s"warmCaches failed: $e") }
     val buildSec = (System.nanoTime() - tB) / 1e9
     // one full UNTIMED pass before the timed loop, reported as _warm_pass:
     // a query's first execution pays whole-stage-codegen compilation, JIT
@@ -75,14 +78,16 @@ object Bench {
       if (sys.env.getOrElse("SPARK_GRAFT_BENCH_WARMPASS", "1") == "0") 0.0
       else {
         val t0 = System.nanoTime()
-        SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (_, fn) =>
-          try { fn(spark, sfDir).count(); () } catch { case _: Throwable => }
+        SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+          try { fn(spark, sfDir).count(); () }
+          catch { case NonFatal(e) => System.err.println(s"warm pass $name failed: $e") }
         }
         (System.nanoTime() - t0) / 1e9
       }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try { fn(spark, sfDir).count() }
+      catch { case NonFatal(e) => System.err.println(s"query $name failed: $e"); -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
     // scale probe: synthetic 100k x 64-dim IVF build + ANN search vs brute

@@ -42,13 +42,20 @@ object RaBitQ {
   val Bias2 = 1   // codes in [-1,1] stored as 2-bit fields in [0,2] — the
                   // graph-vertex tier (reference vchordg stores bits=1|2
                   // vertex codes, crates/vchordg/src/types.rs:25-45)
+  val Bias1 = 1   // SIGN lattice {-1,+1} stored one bit per component
+                  // (bit = sign >= 0); the unsigned value is bit*2 in
+                  // {0,2}, so the uniform `u - bias` algebra of every
+                  // estimator below holds unchanged with bias 1 — the
+                  // reference's most-compressed vertex tier (bits=1,
+                  // crates/vchordg/src/types.rs:26-27), 8 components/byte
 
   private def bias(bits: Int): Int =
-    if (bits == 8) Bias8 else if (bits == 4) Bias4 else Bias2
+    if (bits == 8) Bias8 else if (bits == 4) Bias4 else if (bits == 2) Bias2 else Bias1
 
-  /** Quantize to `bits` in {2, 4, 8}. */
+  /** Quantize to `bits` in {1, 2, 4, 8}. */
   def quantize(x: Array[Float], bits: Int): Code = {
-    require(bits == 2 || bits == 4 || bits == 8, s"bits must be 2, 4 or 8, got $bits")
+    require(bits == 1 || bits == 2 || bits == 4 || bits == 8,
+      s"bits must be 1, 2, 4 or 8, got $bits")
     val b = bias(bits)
     val dim = x.length
     var m = 0.0f
@@ -61,7 +68,8 @@ object RaBitQ {
     i = 0
     while (i < dim) {
       val c =
-        if (m == 0.0f) 0
+        if (bits == 1) { if (x(i) >= 0.0f) 1 else -1 } // sign lattice, never 0
+        else if (m == 0.0f) 0
         else math.round(x(i) / m * b) // in [-b, b]
       lattice(i) = c
       latticeSq += c.toDouble * c.toDouble
@@ -92,13 +100,22 @@ object RaBitQ {
           i += 1
         }
         out
-      } else {
+      } else if (bits == 2) {
         // four 2-bit fields per byte, lowest bits first
         val out = new Array[Byte]((dim + 3) / 4)
         i = 0
         while (i < dim) {
           val u = lattice(i) + b
           out(i / 4) = (out(i / 4) | (u << ((i & 3) * 2))).toByte
+          i += 1
+        }
+        out
+      } else {
+        // one sign bit per component, lowest bit first (u = bit * 2)
+        val out = new Array[Byte]((dim + 7) / 8)
+        i = 0
+        while (i < dim) {
+          if (lattice(i) > 0) out(i / 8) = (out(i / 8) | (1 << (i & 7))).toByte
           i += 1
         }
         out
@@ -110,7 +127,8 @@ object RaBitQ {
   @inline private def codeAt(codes: Array[Byte], bits: Int, i: Int): Int =
     if (bits == 8) codes(i) & 0xff
     else if (bits == 4) { val b = codes(i / 2) & 0xff; if ((i & 1) == 0) b & 0x0f else (b >> 4) & 0x0f }
-    else (codes(i / 4) >> ((i & 3) * 2)) & 0x03
+    else if (bits == 2) (codes(i / 4) >> ((i & 3) * 2)) & 0x03
+    else ((codes(i / 8) >> (i & 7)) & 0x01) << 1
 
   /** Unpack stored codes to unsigned ints in [0, 2*bias]. */
   def unpack(c: Code): Array[Int] = {

@@ -111,6 +111,11 @@ final case class IvfMeta(dim: Int, origDim: Int, cfg: IvfConfig,
 
 object IvfIndex {
 
+  /** Count of [[IvfIndex.rangeSearch]] calls that delegated to the
+    * distributed candidate-join shape (survivors exceeded `maxInList`) —
+    * observability for specs and ops, like `AnnTopKRewrite.planningJobs`. */
+  val rangeDelegations = new java.util.concurrent.atomic.AtomicLong(0)
+
   private def spherical(cfg: IvfConfig): Boolean = cfg.metric == "cosdist"
 
   /** Encode rows to (cluster_id, id, vec, cmeta, codes) via broadcast
@@ -605,22 +610,44 @@ final class IvfIndex(val spark: SparkSession, val dir: String, val meta: IvfMeta
     if (meta.cfg.rotate) new Rotation(meta.origDim)(pre) else pre
   }
 
-  /** User-visible distance UDF from internal stored vectors (already
+  /** User-visible distance from internal stored vectors (already
     * normalized for cosine), matching reference output mapping
-    * (reference: src/index/vchordrq/opclass.rs:244-262). Captures only the
-    * metric string and a broadcast query — never `this`. */
-  private def exactDistUdf(qq: Array[Float]) = {
-    val bq = spark.sparkContext.broadcast(qq)
-    def kern(metric: String): (Array[Float], Array[Float]) => Double = metric match {
-      case "l2"      => K.l2
-      case "negdot"  => K.negdot
-      case "cosdist" => (v, q) => 1.0 + K.negdot(v, q)
+    * (reference: src/index/vchordrq/opclass.rs:244-262). f32 storage uses
+    * the native codegen expressions (query as an array literal — no
+    * boxed Seq[Float] deserialization, stays in WholeStageCodegen);
+    * f16 keeps a binary-input UDF for the half-float decode. */
+  private def exactDistCol(qq: Array[Float]): org.apache.spark.sql.Column => org.apache.spark.sql.Column = {
+    if (meta.cfg.storage == "f16") {
+      val bq = spark.sparkContext.broadcast(qq)
+      val f: (Array[Float], Array[Float]) => Double = meta.cfg.metric match {
+        case "l2"      => K.l2
+        case "negdot"  => K.negdot
+        case "cosdist" => (v, q) => 1.0 + K.negdot(v, q)
+      }
+      val u = udf((v: Array[Byte]) => f(graft.core.Half.decodeBytes(v), bq.value))
+      v => u(v)
+    } else {
+      val qLit = typedlit(qq.toSeq)
+      meta.cfg.metric match {
+        case "l2"      => v => graft.functions.GraftFunctions.vecL2(v, qLit)
+        case "negdot"  => v => graft.functions.GraftFunctions.vecNegdot(v, qLit)
+        // stored vectors are normalized: cosdist = 1 + negdot(v, q_normalized)
+        case "cosdist" => v => lit(1.0) + graft.functions.GraftFunctions.vecNegdot(v, qLit)
+      }
     }
-    val f = kern(meta.cfg.metric)
-    if (meta.cfg.storage == "f16")
-      udf((v: Array[Byte]) => f(graft.core.Half.decodeBytes(v), bq.value))
-    else
-      udf((v: Seq[Float]) => f(v.toArray, bq.value))
+  }
+
+  /** Exact metric distance column against the RAW query over a user
+    * table's f32 vector column (rerank-in-table fetch) — native codegen
+    * expressions with the query as an array literal; no boxed Seq[Float]
+    * UDF deserialization on the search path. */
+  private def rawDistCol(q: Array[Float]): org.apache.spark.sql.Column => org.apache.spark.sql.Column = {
+    val qLit = typedlit(q.toSeq)
+    meta.cfg.metric match {
+      case "l2"      => v => graft.functions.GraftFunctions.vecL2(v, qLit)
+      case "negdot"  => v => graft.functions.GraftFunctions.vecNegdot(v, qLit)
+      case "cosdist" => v => graft.functions.GraftFunctions.vecCosdist(v, qLit)
+    }
   }
 
   /** Per-probed-cluster precomputed query vector + sums (broadcast by the
@@ -779,7 +806,7 @@ final class IvfIndex(val spark: SparkSession, val dir: String, val meta: IvfMeta
         // rerank-in-index (reference RerankMethod::Index): exact distances
         // for just the candidates — vec column read only here, with id +
         // partition filters pushed to Parquet
-        val exact = exactDistUdf(qq)
+        val exact = exactDistCol(qq)
         data.filter(col("id").isin(cand.map(java.lang.Long.valueOf): _*))
           .select($"id", exact($"vec").as("dist"))
           .orderBy($"dist", $"id")
@@ -788,12 +815,7 @@ final class IvfIndex(val spark: SparkSession, val dir: String, val meta: IvfMeta
         // rerank-in-table (reference rerank_heap / rerank_in_table=true,
         // crates/vchordrq/src/rerank.rs:111+): fetch ORIGINAL vectors from
         // the source table by row key; smaller index, one extra fetch
-        val bq = spark.sparkContext.broadcast(q)
-        val exact = meta.cfg.metric match {
-          case "l2"      => udf((v: Seq[Float]) => K.l2(v.toArray, bq.value))
-          case "negdot"  => udf((v: Seq[Float]) => K.negdot(v.toArray, bq.value))
-          case "cosdist" => udf((v: Seq[Float]) => K.cosdist(v.toArray, bq.value))
-        }
+        val exact = rawDistCol(q)
         src.filter(col(idCol).isin(cand.map(java.lang.Long.valueOf): _*))
           .select(col(idCol).cast("long").as("id"), exact(col(vecCol)).as("dist"))
           .orderBy(col("dist"), col("id"))
@@ -858,11 +880,14 @@ final class IvfIndex(val spark: SparkSession, val dir: String, val meta: IvfMeta
     * l2^2 = 2*cosdist); negdot has no triangle bound — every cell stays
     * (the codes-only estimate scan still never touches vectors). */
   private def rangeCells(qq: Array[Float], radius: Double): Array[Int] = {
+    // strict `dist < radius` can never hold for a nonnegative metric with
+    // radius <= 0 — return no cells instead of launching estimate/rerank
+    // jobs that must come back empty (negdot distances go negative, so
+    // that metric keeps its all-cells behavior)
+    if (radius <= 0 && meta.cfg.metric != "negdot") return Array.empty
     val l2Radius = meta.cfg.metric match {
       case "l2"      => Some(radius)
-      case "cosdist" =>
-        if (radius <= 0) Some(0.0)
-        else Some(math.sqrt(2.0 * math.min(radius, 2.0)))
+      case "cosdist" => Some(math.sqrt(2.0 * math.min(radius, 2.0)))
       case _ => None
     }
     l2Radius match {
@@ -875,16 +900,17 @@ final class IvfIndex(val spark: SparkSession, val dir: String, val meta: IvfMeta
     }
   }
 
-  /** Estimate-phase survivors of the radius cutoff: ids whose
-    * epsilon-scaled code lower bound undercuts `radius` (same bound
-    * `search` trusts), read from codes only — the vec column is never
-    * touched. Capped at `cap+1` rows so callers can detect overflow
-    * without materializing an unbounded driver set. */
-  private[graft] def rangeCandidateIds(center: Array[Float], radius: Double,
-                                       epsilon: Double, cap: Int): Array[Long] = {
+  /** Estimate-phase survivors of the radius cutoff as a LAZY single-column
+    * (`id`) frame: ids whose epsilon-scaled code lower bound undercuts
+    * `radius` (same bound `search` trusts), read from codes only — the vec
+    * column is never touched. Never materialized on the driver here;
+    * callers either take a bounded `.limit(...).collect()` probe or join
+    * it distributed. */
+  private def rangeCandidateDf(center: Array[Float], radius: Double,
+                               epsilon: Double): Dataset[Long] = {
     val qq = prepQuery(center)
     val probed = rangeCells(qq, radius)
-    if (probed.isEmpty) return Array.empty
+    if (probed.isEmpty) return spark.emptyDataset[Long]
     val perCluster = clusterPrep(qq, probed)
     val bpc = spark.sparkContext.broadcast(perCluster)
     val bits = meta.cfg.bits
@@ -910,8 +936,15 @@ final class IvfIndex(val spark: SparkSession, val dir: String, val meta: IvfMeta
           }
           if (lb < rad) Iterator.single(id) else Iterator.empty
         }
-      }.limit(cap + 1).collect()
+      }
   }
+
+  /** Bounded driver probe of [[rangeCandidateDf]]: at most `cap + 1` ids
+    * (CollectLimit's incremental jobs stop early), so callers can detect
+    * overflow without materializing an unbounded driver set. */
+  private[graft] def rangeCandidateIds(center: Array[Float], radius: Double,
+                                       epsilon: Double, cap: Int): Array[Long] =
+    rangeCandidateDf(center, radius, epsilon).limit(cap + 1).collect()
 
   /**
    * Sphere range query SERVED BY THE INDEX — reference opclass strategy 2
@@ -926,24 +959,47 @@ final class IvfIndex(val spark: SparkSession, val dir: String, val meta: IvfMeta
    * exact strict `dist < radius` cutoff at rerank (vec column read only
    * for estimate survivors). Output: (id, dist) ascending (dist, id).
    *
-   * The survivor set is bounded by `maxCandidates` and fails LOUDLY past
-   * it: a sphere that catches millions of rows is a full-scan filter, not
-   * an index range query (plan `df.filter(sphereContains(...))` instead).
+   * Two serving shapes, picked by survivor count: up to `maxInList`
+   * survivors the candidate ids ride the plan as an IN filter pushed to
+   * the parquet scan (a bounded driver round-trip, the same shape the
+   * planner emits); PAST `maxInList` the candidates never touch the
+   * driver — the code-estimate survivors stay a distributed frame joined
+   * to the cell-pruned exact side (the [[rangeSearchMany]] shape), so a
+   * low-selectivity sphere over billions of rows is served without any
+   * driver candidate collect or multi-MB IN list in the plan.
    */
   def rangeSearch(center: Array[Float], radius: Double, epsilon: Double = 1.9,
                   rerankTable: Option[(DataFrame, String, String)] = None,
-                  maxCandidates: Int = 4000000): DataFrame = {
+                  maxInList: Int = 8192): DataFrame = {
     graft.eval.QueryRecorder.record(dir, center)
-    val cand = rangeCandidateIds(center, radius, epsilon, maxCandidates)
-    require(cand.length <= maxCandidates,
-      s"rangeSearch: over $maxCandidates rows pass the radius-$radius estimate " +
-      "cutoff — this sphere is not selective enough for an index range scan; " +
-      "use the exact full-scan filter (df.filter(sphereContains(...))) or " +
-      "raise maxCandidates explicitly")
+    // bounded probe: collect at most maxInList+1 ids to pick the shape
+    val cand = rangeCandidateIds(center, radius, epsilon, maxInList)
     val qq = prepQuery(center)
-    rerankTable match {
+    if (cand.length > maxInList) {
+      // DISTRIBUTED shape: candidates as a frame end-to-end, joined to
+      // the exact side — no driver id set, no giant InSet in the plan
+      IvfIndex.rangeDelegations.incrementAndGet()
+      val candDf = rangeCandidateDf(center, radius, epsilon).toDF("id")
+      rerankTable match {
+        case None =>
+          val exact = exactDistCol(qq)
+          val probed = rangeCells(qq, radius)
+          dataDf.filter(col("cluster_id").isin(probed.map(Integer.valueOf): _*))
+            .join(candDf, Seq("id"))
+            .select($"id", exact($"vec").as("dist"))
+            .filter(col("dist") < radius)
+            .orderBy($"dist", $"id")
+        case Some((src, idCol, vecCol)) =>
+          val exact = rawDistCol(center)
+          src.select(col(idCol).cast("long").as("id"), col(vecCol).as("__v"))
+            .join(candDf, Seq("id"))
+            .select($"id", exact($"__v").as("dist"))
+            .filter(col("dist") < radius)
+            .orderBy(col("dist"), col("id"))
+      }
+    } else rerankTable match {
       case None =>
-        val exact = exactDistUdf(qq)
+        val exact = exactDistCol(qq)
         // partition-prune the rerank to sphere-intersecting cells (the
         // id filter alone would touch every cell's files — the same
         // cluster_id pruning `search` applies to its rerank scan)
@@ -954,12 +1010,7 @@ final class IvfIndex(val spark: SparkSession, val dir: String, val meta: IvfMeta
           .filter(col("dist") < radius)
           .orderBy($"dist", $"id")
       case Some((src, idCol, vecCol)) =>
-        val bq = spark.sparkContext.broadcast(center)
-        val exact = meta.cfg.metric match {
-          case "l2"      => udf((v: Seq[Float]) => K.l2(v.toArray, bq.value))
-          case "negdot"  => udf((v: Seq[Float]) => K.negdot(v.toArray, bq.value))
-          case "cosdist" => udf((v: Seq[Float]) => K.cosdist(v.toArray, bq.value))
-        }
+        val exact = rawDistCol(center)
         src.filter(col(idCol).isin(cand.map(java.lang.Long.valueOf): _*))
           .select(col(idCol).cast("long").as("id"), exact(col(vecCol)).as("dist"))
           .filter(col("dist") < radius)
@@ -1298,7 +1349,7 @@ final class IvfIndex(val spark: SparkSession, val dir: String, val meta: IvfMeta
    */
   def searchExact(q: Array[Float], k: Int): DataFrame = {
     val qq = prepQuery(q)
-    val exact = exactDistUdf(qq)
+    val exact = exactDistCol(qq)
     dataDf
       .select($"id", exact($"vec").as("dist"))
       .orderBy($"dist", $"id")

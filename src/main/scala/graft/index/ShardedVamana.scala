@@ -169,11 +169,15 @@ object ShardedVamana {
             }
           }.toDF("qid", "id").distinct()
           val qDf = bq.value.toSeq.toDF("qid", "qvec")
-          val kern = udf((v: Seq[Float], q: Seq[Float]) => metric match {
-            case "l2"      => K.l2(v.toArray, q.toArray)
-            case "negdot"  => K.negdot(v.toArray, q.toArray)
-            case "cosdist" => K.cosdist(v.toArray, q.toArray)
-          })
+          // native codegen distance — no boxed Seq[Float] UDF on the
+          // rerank path (both sides are f32 array columns)
+          import graft.functions.{GraftFunctions => GF}
+          val kern: (org.apache.spark.sql.Column, org.apache.spark.sql.Column) => org.apache.spark.sql.Column =
+            metric match {
+              case "l2"      => GF.vecL2
+              case "negdot"  => GF.vecNegdot
+              case "cosdist" => GF.vecCosdist
+            }
           val scored = cand
             .join(src.select(col(idCol).cast("long").as("id"), col(vecCol).as("__v")), Seq("id"))
             .join(broadcast(qDf), Seq("qid"))
@@ -295,11 +299,15 @@ object ShardedVamana {
             if (quant) {
               val codes = sorted.map { r =>
                 val cb = r.getAs[Array[Byte]](4)
-                // dim recovered from the packed width (as VamanaGraph.load)
-                val dim = if (cfg.bits == 8) cb.length
+                // dim recovered from the packed width (as VamanaGraph.load);
+                // bits=1: from cmeta, normOfLattice = sqrt(dim) exactly
+                val cm = r.getSeq[Float](3)
+                val dim = if (cfg.bits == 1)
+                            math.round(cm(1).toDouble * cm(1).toDouble).toInt
+                          else if (cfg.bits == 8) cb.length
                           else if (cfg.bits == 4) cb.length * 2
                           else cb.length * 4
-                RaBitQ.Code(r.getSeq[Float](3).toArray, cb, cfg.bits, dim)
+                RaBitQ.Code(cm.toArray, cb, cfg.bits, dim)
               }
               new VamanaGraph(ids, Array.empty, adj, medoid, cfg, codes)
             } else {

@@ -23,7 +23,8 @@ import graft.core.{RaBitQ, VectorKernels => K}
  * `bits > 0` stores QUANTIZED vertex codes instead of f32 vectors
  * (reference vchordg scores vertices from RaBitQ codes and reranks,
  * crates/vchordg/src/search.rs:34-60, bits per types.rs:25-45): the
- * broadcast shrinks ~16x at bits=2 (dim/4 bytes + 16B metadata vs 4*dim),
+ * broadcast shrinks ~16x at bits=2 and ~32x at bits=1 (the reference's
+ * most-compressed tier: dim/8 bytes + 16B metadata vs 4*dim),
  * beam search ranks by code estimates, and `searchBatch(rerankTable=...)`
  * restores exact distances for the ef-bounded candidates in one join —
  * the same estimate-then-rerank economics as the IVF path.
@@ -34,7 +35,7 @@ final case class VamanaConfig(
     efSearch: Int = 64,
     alphas: Seq[Double] = Seq(1.0, 1.2),
     metric: String = "l2",
-    bits: Int = 0)                   // 0 = f32 vertices; 2|4|8 = RaBitQ codes
+    bits: Int = 0)                   // 0 = f32 vertices; 1|2|4|8 = RaBitQ codes
 
 final class VamanaGraph(
     val ids: Array[Long],
@@ -401,8 +402,9 @@ object VamanaGraph {
 
   def build(ids0: Array[Long], vecs0: Array[Array[Float]], cfg: VamanaConfig): VamanaGraph = {
     require(ids0.nonEmpty, "empty graph build")
-    require(cfg.bits == 0 || cfg.bits == 2 || cfg.bits == 4 || cfg.bits == 8,
-      s"bits must be 0 (exact) or 2|4|8, got ${cfg.bits}")
+    require(cfg.bits == 0 || cfg.bits == 1 || cfg.bits == 2 || cfg.bits == 4 ||
+        cfg.bits == 8,
+      s"bits must be 0 (exact) or 1|2|4|8, got ${cfg.bits}")
     // canonical ascending-id order (search uses binarySearch on ids)
     val order = ids0.indices.sortBy(ids0)
     val ids = order.map(ids0).toArray
@@ -460,9 +462,15 @@ object VamanaGraph {
       val idToIdx = ids.zipWithIndex.toMap
       val dim = {
         // dim from config row count is unknown here; recover from metadata:
-        // codes length encodes it per width
-        val c = rows.head._3.length
-        if (bits == 8) c else if (bits == 4) c * 2 else c * 4
+        // codes length encodes it per width. bits=1 packs 8/byte so byte
+        // length is padding-ambiguous — but its sign lattice is all +-1,
+        // hence normOfLattice = sqrt(dim) EXACTLY: recover from cmeta
+        if (bits == 1) math.round(
+          rows.head._2(1).toDouble * rows.head._2(1).toDouble).toInt
+        else {
+          val c = rows.head._3.length
+          if (bits == 8) c else if (bits == 4) c * 2 else c * 4
+        }
       }
       val codes = rows.map(r => RaBitQ.Code(r._2.toArray, r._3, bits, dim))
       new VamanaGraph(ids, Array.empty,

@@ -50,20 +50,39 @@ object Dedup {
     import spark.implicits._
     df.select(col(idCol).cast("long"), col(textCol)).as[(Long, String)]
       .flatMap { case (id, text) =>
-        val toks = text.split(' ')
-        val th = toks.map(hash64)
-        val seen = new scala.collection.mutable.HashSet[Long]
-        var i = 0
-        while (i + n <= th.length) {
-          var h = 0xcbf29ce484222325L
-          var j = i
-          while (j < i + n) { h = h * 0x100000001b3L ^ th(j); j += 1 }
-          seen += h
-          i += 1
-        }
-        seen.iterator.map(h => (id, h))
+        shingleSet(text.split(' ').map(hash64), n).iterator.map(h => (id, h))
       }
       .toDF("id", "shingle")
+  }
+
+  /** Distinct word n-gram shingle hashes of one doc, SORTED ascending —
+    * the per-row kernel of [[shingles]], shared with the streaming
+    * exact-verify path so both sides hash identically. */
+  private[graft] def shingleSet(th: Array[Long], n: Int): Array[Long] = {
+    val seen = new scala.collection.mutable.HashSet[Long]
+    var i = 0
+    while (i + n <= th.length) {
+      var h = 0xcbf29ce484222325L
+      var j = i
+      while (j < i + n) { h = h * 0x100000001b3L ^ th(j); j += 1 }
+      seen += h
+      i += 1
+    }
+    val out = seen.toArray
+    java.util.Arrays.sort(out)
+    out
+  }
+
+  /** Exact Jaccard of two SORTED distinct-hash arrays (merge count). */
+  private[graft] def jaccardSorted(a: Array[Long], b: Array[Long]): Double = {
+    if (a.isEmpty && b.isEmpty) return 0.0
+    var i = 0; var j = 0; var inter = 0
+    while (i < a.length && j < b.length) {
+      if (a(i) == b(j)) { inter += 1; i += 1; j += 1 }
+      else if (a(i) < b(j)) i += 1
+      else j += 1
+    }
+    inter.toDouble / (a.length + b.length - inter)
   }
 
   /**
@@ -642,6 +661,10 @@ object Dedup {
           .localCheckpoint()
         converged = Option(next.agg(sum("chg")).first().get(0))
           .forall(_.asInstanceOf[Long] == 0L)
+        // the previous round's checkpoint blocks are dead once `next` is
+        // materialized (localCheckpoint is eager) — release them now
+        // rather than pinning every round's labels until GC sweeps them
+        org.apache.spark.sql.graft.ColumnBridge.unpersistCheckpointLeaves(labels)
         labels = next.select(col("id"), col("nxt").as("rep"))
         it += 1
       }
@@ -677,9 +700,14 @@ object Dedup {
   /** Pair set + component labels + cleaned table of one dedup run. The
     * `pairs` frame is persisted (fixed-width rows) — call [[Pipeline
     * .unpersist]] when done. `labels` is already materialized (components
-    * localCheckpoints each round), so reuse never re-propagates. */
+    * localCheckpoints each round), so reuse never re-propagates;
+    * `unpersist` releases BOTH the pairs cache and the labels checkpoint
+    * blocks (which `DataFrame.unpersist` alone would leave pinned). */
   final case class Pipeline(pairs: DataFrame, labels: DataFrame, cleaned: DataFrame) {
-    def unpersist(): Unit = { pairs.unpersist(); () }
+    def unpersist(): Unit = {
+      pairs.unpersist()
+      org.apache.spark.sql.graft.ColumnBridge.unpersistCheckpointLeaves(labels)
+    }
   }
 
   /**

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /**
@@ -9,13 +9,13 @@ import org.apache.spark.sql.functions._
  * feature-extraction / resize / frame-sampling run as partition-local
  * batch kernels.
  *
- * The Spark-side plumbing — schema, batch shape, partitioning, join-back
- * by id — is real and tested. The actual media DECODING is a clearly
- * marked STUB (this environment ships no image/audio codecs): the stub
- * derives deterministic fake features from the blob bytes, so every
- * downstream operator (ANN index over media embeddings, near-dup, etc.)
- * exercises realistically shaped data. Swap `stubDecode` for a codec
- * call to productionize; nothing else changes.
+ * Image decoding is REAL: `javax.imageio` (the JDK's standard codec
+ * registry — PNG, JPEG, BMP, GIF out of the box) turns blob bytes into
+ * pixels, and features/stats are computed from the decoded raster. Blobs
+ * that are not decodable media (e.g. text packed as bytes in the demo
+ * tables) fall back to deterministic content-hash features so mixed
+ * corpora still flow — the fallback is a documented degradation for
+ * non-media rows, not the decode path.
  */
 object Multimodal {
 
@@ -35,13 +35,133 @@ object Multimodal {
         lit(0).as("sampleRate"),
         lit(0L).as("durationMs")).as("mm_meta"))
 
+  /** Deterministic synthetic 256x64 PNG for goldens and specs: a
+    * horizontal red ramp (r = x), vertical green ramp (g = 4*y), constant
+    * blue (id mod 256) — REAL encoded bytes a real decoder must parse,
+    * with channel means known in closed form (127.5, 126.0, id mod 256). */
+  def syntheticPng(id: Long): Array[Byte] = {
+    val w = 256; val h = 64
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val b = (id % 256).toInt
+    var y = 0
+    while (y < h) {
+      val g = (4 * y) << 8
+      var x = 0
+      while (x < w) { img.setRGB(x, y, (x << 16) | g | b); x += 1 }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** REAL image decode: blob bytes -> BufferedImage via the JDK codec
+    * registry. Returns null when the bytes are not a decodable image
+    * (ImageIO's own contract) — callers treat that as "not media". */
+  private[ops] def readImage(blob: Array[Byte]): java.awt.image.BufferedImage =
+    try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(blob))
+    catch { case _: java.io.IOException => null }
+
   /**
-   * STUB decode: deterministic pseudo-features from blob bytes.
-   * Production: replace body with a real decoder (JPEG -> pixels ->
-   * model features). Signature and batch shape stay identical.
+   * Per-image raster statistics from REAL decoded pixels, batch-shaped
+   * like [[extractFeatures]]: (id, width, height, mean_r, mean_g, mean_b).
+   * Rows whose blobs do not decode as an image are DROPPED — corrupt or
+   * non-media rows are a filter, not an error, in a bulk media pipeline
+   * (count in minus count out = the corrupt tally).
    */
-  private[ops] def stubDecode(blob: Array[Byte], dim: Int): Array[Float] = {
-    // ??? <- real codec goes here; deterministic fake for plumbing tests:
+  def imageStats(df: DataFrame, idCol: String, blobCol: String,
+                 batchSize: Int = 256): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(blobCol)).as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap { batch =>
+          batch.iterator.flatMap { case (id, blob) =>
+            val img = readImage(blob)
+            if (img == null) Iterator.empty
+            else {
+              val w = img.getWidth; val h = img.getHeight
+              var sr = 0L; var sg = 0L; var sb = 0L
+              var y = 0
+              while (y < h) {
+                var x = 0
+                while (x < w) {
+                  val p = img.getRGB(x, y)
+                  sr += (p >> 16) & 0xff; sg += (p >> 8) & 0xff; sb += p & 0xff
+                  x += 1
+                }
+                y += 1
+              }
+              val n = w.toDouble * h
+              Iterator.single((id, w, h, sr / n, sg / n, sb / n))
+            }
+          }
+        }
+      }
+      .toDF("id", "width", "height", "mean_r", "mean_g", "mean_b")
+  }
+
+  /** Pixel-stat feature vector from a decoded image: channel means then a
+    * side*side downsampled grayscale grid (side = ceil(sqrt(dim-3)),
+    * truncated to fill), unit-normalized. Deterministic in the pixels —
+    * independent of the encoder that produced the bytes. */
+  private[ops] def pixelFeatures(img: java.awt.image.BufferedImage,
+                                 dim: Int): Array[Float] = {
+    require(dim >= 4, s"feature dim $dim too small for pixel stats")
+    val w = img.getWidth; val h = img.getHeight
+    val out = new Array[Float](dim)
+    var sr = 0L; var sg = 0L; var sb = 0L
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val p = img.getRGB(x, y)
+        sr += (p >> 16) & 0xff; sg += (p >> 8) & 0xff; sb += p & 0xff
+        x += 1
+      }
+      y += 1
+    }
+    val n = w.toDouble * h
+    out(0) = (sr / n / 255.0).toFloat
+    out(1) = (sg / n / 255.0).toFloat
+    out(2) = (sb / n / 255.0).toFloat
+    // downsampled grayscale grid: mean luma of each cell of a side x side
+    // tiling (cells cover the image exactly; integer bounds per cell)
+    val cells = dim - 3
+    val side = math.ceil(math.sqrt(cells.toDouble)).toInt
+    var ci = 0
+    var gy = 0
+    while (gy < side && ci < cells) {
+      val y0 = gy * h / side; val y1 = math.max((gy + 1) * h / side, y0 + 1)
+      var gx = 0
+      while (gx < side && ci < cells) {
+        val x0 = gx * w / side; val x1 = math.max((gx + 1) * w / side, x0 + 1)
+        var s = 0.0; var cnt = 0
+        var yy = y0
+        while (yy < math.min(y1, h)) {
+          var xx = x0
+          while (xx < math.min(x1, w)) {
+            val p = img.getRGB(xx, yy)
+            s += 0.299 * ((p >> 16) & 0xff) + 0.587 * ((p >> 8) & 0xff) +
+              0.114 * (p & 0xff)
+            cnt += 1; xx += 1
+          }
+          yy += 1
+        }
+        out(3 + ci) = if (cnt == 0) 0f else (s / cnt / 255.0).toFloat
+        ci += 1; gx += 1
+      }
+      gy += 1
+    }
+    graft.core.VectorKernels.normalize(out)
+  }
+
+  /** Content-hash fallback features for blobs that are NOT decodable
+    * media (text bytes, corrupt files): deterministic FNV-seeded
+    * pseudo-features so mixed corpora keep flowing. Clearly a fallback —
+    * decodable images always take [[pixelFeatures]]. */
+  private[ops] def hashFeatures(blob: Array[Byte], dim: Int): Array[Float] = {
     var h = 0xcbf29ce484222325L
     var i = 0
     while (i < blob.length) { h = (h ^ (blob(i) & 0xffL)) * 0x100000001b3L; i += 1 }
@@ -59,8 +179,10 @@ object Multimodal {
   /**
    * Feature extraction over blobs, batch-shaped: rows stream through a
    * partition-local kernel in fixed-size batches (the JVM analog of an
-   * Arrow-batched vectorized UDF — amortizes any per-batch codec setup).
-   * Output: (id, features: Array[Float]) with unit norm.
+   * Arrow-batched vectorized UDF — amortizes per-batch codec setup).
+   * Decodable images yield REAL pixel-stat features ([[pixelFeatures]]);
+   * non-media blobs fall back to content-hash features. Output:
+   * (id, features: Array[Float]) with unit norm.
    */
   def extractFeatures(df: DataFrame, idCol: String, blobCol: String, dim: Int = 64,
                       batchSize: Int = 256): DataFrame = {
@@ -69,27 +191,57 @@ object Multimodal {
     df.select(col(idCol).cast("long"), col(blobCol)).as[(Long, Array[Byte])]
       .mapPartitions { it =>
         it.grouped(batchSize).flatMap { batch =>
-          // per-batch setup would init the codec/model session here
-          batch.iterator.map { case (id, blob) => (id, stubDecode(blob, dim).toSeq) }
+          // per-batch setup point for heavier codec/model sessions
+          batch.iterator.map { case (id, blob) =>
+            val img = readImage(blob)
+            val f = if (img != null) pixelFeatures(img, dim)
+                    else hashFeatures(blob, dim)
+            (id, f.toSeq)
+          }
         }
       }
       .toDF("id", "features")
   }
 
-  /** STUB resize: metadata transform is real, pixel work is the stub. */
-  def resize(df: DataFrame, targetW: Int, targetH: Int): DataFrame =
-    df.withColumn("mm_meta",
-      struct(
-        col("mm_meta.kind"),
-        lit(targetW).as("width"),
-        lit(targetH).as("height"),
-        col("mm_meta.sampleRate"),
-        col("mm_meta.durationMs")))
+  /**
+   * REAL raster resize (Graphics2D bilinear scaling): decodable image
+   * blobs are re-encoded as PNG at (targetW, targetH) and the metadata
+   * struct is rewritten to match; non-media blobs pass through with only
+   * the metadata updated (same fallback contract as [[extractFeatures]]).
+   */
+  def resize(df: DataFrame, targetW: Int, targetH: Int): DataFrame = {
+    val resizeBlob = udf { blob: Array[Byte] =>
+      val img = readImage(blob)
+      if (img == null) blob
+      else {
+        val dst = new java.awt.image.BufferedImage(
+          targetW, targetH, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val g = dst.createGraphics()
+        g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+          java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+        g.drawImage(img, 0, 0, targetW, targetH, null)
+        g.dispose()
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(dst, "png", bos)
+        bos.toByteArray
+      }
+    }
+    df.withColumn("blob", resizeBlob(col("blob")))
+      .withColumn("mm_meta",
+        struct(
+          col("mm_meta.kind"),
+          lit(targetW).as("width"),
+          lit(targetH).as("height"),
+          col("mm_meta.sampleRate"),
+          col("mm_meta.durationMs")))
+  }
 
   /**
-   * STUB frame sampling for video blobs: emits (id, frame_no, frame_blob)
-   * rows — the explode shape a real decoder would produce; frame content
-   * is a deterministic slice of the blob.
+   * Frame sampling for video blobs: emits (id, frame_no, frame_blob)
+   * rows — the explode shape a real video decoder would produce (no video
+   * codec ships with the JDK, so frame content is a deterministic slice
+   * of the blob; the schema, bounds, and explode shape are the real
+   * contract downstream operators consume).
    */
   def sampleFrames(df: DataFrame, idCol: String, blobCol: String, everyN: Int = 10,
                    maxFrames: Int = 8): DataFrame = {

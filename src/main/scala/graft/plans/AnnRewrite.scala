@@ -208,14 +208,13 @@ case class AnnTopKRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
 
   /** Sphere range predicate (reference opclass strategy 2,
     * opclass.rs:145-172): some conjunct is the folded form of
-    * `sphereContains` — `dist(attr, center) < radius`. Predicates already
-    * carrying an IN conjunct are plans this rule produced — skipped, so
-    * transformDown cannot re-serve its own output. */
+    * `sphereContains` — `dist(attr, center) < radius`. Unrelated conjuncts
+    * (including IN over non-id columns) are fine — the serve keeps the
+    * whole original predicate; idempotence vs the rule's own output is
+    * checked at the use sites against the catalog entry's id column. */
   private object SphereCond {
-    def unapply(pred: Expression): Option[(String, AttributeReference, ArrayData, Double)] = {
-      val cs = conjuncts(pred)
-      if (cs.exists { case _: In | _: InSet => true; case _ => false }) None
-      else cs.collectFirst(Function.unlift[Expression,
+    def unapply(pred: Expression): Option[(String, AttributeReference, ArrayData, Double)] =
+      conjuncts(pred).collectFirst(Function.unlift[Expression,
           (String, AttributeReference, ArrayData, Double)] {
         case LessThan(DistOn(metric, attr, qv), Literal(r, _)) =>
           numLit(r).map(rr => (metric, attr, qv, rr))
@@ -223,8 +222,17 @@ case class AnnTopKRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
           numLit(r).map(rr => (metric, attr, qv, rr))
         case _ => None
       })
-    }
   }
+
+  /** True iff some conjunct is In/InSet over `idCol` — the marker every
+    * serve in this rule stamps on its output, so transformDown (and the
+    * fixpoint user batch) cannot re-serve a plan this rule produced. */
+  private def carriesIdIn(pred: Expression, idCol: String): Boolean =
+    conjuncts(pred).exists {
+      case In(a: AttributeReference, _)    => a.name == idCol
+      case InSet(a: AttributeReference, _) => a.name == idCol
+      case _ => false
+    }
 
   /** Supported sort children: bare relation, column-pruning Project,
     * deterministic prefilter, or Project over prefilter. */
@@ -278,11 +286,7 @@ case class AnnTopKRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
                   // an IN over the id column IS a served plan (planWith /
                   // planWithMerged both produce one); re-serving it would
                   // launch redundant planning jobs every iteration
-                  if !predOpt.exists(p => conjuncts(p).exists {
-                    case In(a: AttributeReference, _)    => a.name == entry.idCol
-                    case InSet(a: AttributeReference, _) => a.name == entry.idCol
-                    case _ => false
-                  })
+                  if !predOpt.exists(p => carriesIdIn(p, entry.idCol))
                   // id literals must match the column's type (plan is
                   // already analyzed — no implicit casts will be inserted)
                   idLit <- litFor(idAttr)
@@ -364,6 +368,10 @@ case class AnnTopKRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
       }
       entry <- AnnCatalog.lookup(fsRel.location.rootPaths.map(_.toString))
       if attr.name == entry.vecCol
+      // IDEMPOTENCE: an In over the id column is this rule's own output
+      // (serveRange / planWithMerged both stamp one); unrelated In
+      // conjuncts (`category IN (...)`) do NOT block the serve
+      if !carriesIdIn(f.condition, entry.idCol)
       idAttr <- f.child.output.find(_.name == entry.idCol)
       idLit <- litFor(idAttr)
       if AnnCatalog.index(spark, entry).meta.cfg.metric == metric

@@ -736,6 +736,29 @@ object GraftQueries {
           .orderBy("doc_id") },
       Some("SELECT doc_id, 64 AS dim, CAST(1.0 AS DOUBLE) AS unit_norm FROM documents ORDER BY doc_id")),
 
+    // REAL image decode golden: synthetic PNGs (one per doc_id, channel
+    // ramps with closed-form means) are encoded with javax.imageio, then
+    // DECODED BACK by the real codec path — the oracle recomputes the
+    // expected raster stats from the generation parameters alone, so a
+    // fake decoder cannot pass (it would have to parse real PNG bytes)
+    "mm_decode" -> Q(
+      (s, d) => {
+        import s.implicits._
+        val blobs = tbl(s, d, "documents")
+          .select(col("doc_id").cast("long")).as[Long]
+          .mapPartitions(_.map(id => (id, Multimodal.syntheticPng(id))))
+          .toDF("doc_id", "blob")
+        Multimodal.imageStats(blobs, "doc_id", "blob")
+          .select(col("id").as("doc_id"), col("width"), col("height"),
+            round(col("mean_r"), 3).as("mean_r"),
+            round(col("mean_g"), 3).as("mean_g"),
+            round(col("mean_b"), 3).as("mean_b"))
+          .orderBy("doc_id") },
+      Some("""SELECT doc_id, CAST(256 AS INT) AS width, CAST(64 AS INT) AS height,
+             |CAST(127.5 AS DOUBLE) AS mean_r, CAST(126.0 AS DOUBLE) AS mean_g,
+             |round(CAST(doc_id % 256 AS DOUBLE), 3) AS mean_b
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
     // ---- relational core (scan/filter/agg/join/window/setop/sort) ----
 
     "q1_agg" -> Q(

@@ -162,22 +162,33 @@ object StreamOps {
    *
    * Two deliberate divergences from the batch path, both inherent to
    * streaming and documented here rather than hidden:
-   *  - the verify is the signature ESTIMATE, not exact shingle Jaccard
-   *    (state cannot hold every historical text; at numHashes=64 the
-   *    estimator's sd is ~0.06 at j=0.5). Feed emitted pairs to the
-   *    batch `jaccardPairs` over the stored corpus when exactness
-   *    matters.
+   *  - by default the verify is the signature ESTIMATE, not exact shingle
+   *    Jaccard (at numHashes=64 the estimator's sd is ~0.06 at j=0.5), so
+   *    the stream can emit pairs the batch path's exact verify rejects.
+   *    Pass `exactVerify=true` to carry each resident's sorted distinct
+   *    shingle-hash set in state (bounded by `maxShingles`, loud past it)
+   *    and verify candidates with EXACT Jaccard — batch `minhashDedup`
+   *    semantics: bucket collision is the only candidate filter, the
+   *    exact value gates and fills `est_jac`.
    *  - a pair sharing several buckets may be emitted more than once
    *    (append-mode state is per-bucket); consumers dedup on (da, db).
    *
    * Skew defense matches the batch star-cap: a bucket stores at most
    * `maxBucket` residents (kept sorted by id, the minimum first); once
    * full, new arrivals still compare against the bucket's ANCHOR (min
-   * id) — connectivity through the anchor survives, state stays bounded.
+   * id) — connectivity through the anchor survives, per-bucket state
+   * stays bounded. TOTAL state still grows with the number of DISTINCT
+   * band keys ever seen (unbounded over an infinite stream of novel
+   * docs): pass `stateTtlMs > 0` to expire buckets not touched within
+   * the TTL (ProcessingTimeTimeout) — expiry trades recall against old
+   * residents for bounded total state, the standard streaming-retention
+   * trade.
    */
   def dedupIngest(docs: DataFrame, idCol: String, textCol: String,
                   threshold: Double, n: Int = 3, numHashes: Int = 64,
-                  bands: Int = 16, maxBucket: Int = 1024): Dataset[DedupHit] = {
+                  bands: Int = 16, maxBucket: Int = 1024,
+                  exactVerify: Boolean = false, maxShingles: Int = 8192,
+                  stateTtlMs: Long = 0L): Dataset[DedupHit] = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
     val r = numHashes / bands
     import docs.sparkSession.implicits._
@@ -189,39 +200,66 @@ object StreamOps {
         if (th.length < nn) Iterator.empty
         else {
           val sig = graft.ops.Dedup.sigFromTokens(th, nn, nh)
-          graft.ops.Dedup.bandKeys(sig, bands, r).iterator.map(k => (k, id, sig))
+          val sh =
+            if (!exactVerify) Array.emptyLongArray
+            else {
+              val s = graft.ops.Dedup.shingleSet(th, nn)
+              require(s.length <= maxShingles,
+                s"dedupIngest(exactVerify): doc $id has ${s.length} distinct " +
+                s"shingles > maxShingles=$maxShingles — exact streaming state " +
+                "must stay bounded; raise maxShingles, or use estimate mode " +
+                "+ batch jaccardPairs for giant docs")
+              s
+            }
+          graft.ops.Dedup.bandKeys(sig, bands, r).iterator
+            .map(k => (k, id, sig, sh))
         }
       }
+    val timeout =
+      if (stateTtlMs > 0) GroupStateTimeout.ProcessingTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
     keyed
       .groupByKey(_._1)
-      .flatMapGroupsWithState[List[(Long, Array[Long])], DedupHit](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
-        (_: Long, it: Iterator[(Long, Long, Array[Long])],
-         state: GroupState[List[(Long, Array[Long])]]) =>
-          val arrivals = it.map { case (_, id, sig) => (id, sig) }
+      .flatMapGroupsWithState[List[(Long, Array[Long], Array[Long])], DedupHit](
+        OutputMode.Append(), timeout) {
+        (_: Long, it: Iterator[(Long, Long, Array[Long], Array[Long])],
+         state: GroupState[List[(Long, Array[Long], Array[Long])]]) =>
+          if (state.hasTimedOut) { // TTL expiry: drop the idle bucket
+            state.remove()
+            Iterator.empty
+          } else {
+          val arrivals = it.map { case (_, id, sig, sh) => (id, sig, sh) }
             .toSeq.sortBy(_._1) // deterministic within the micro-batch
           var residents = state.getOption.getOrElse(Nil) // sorted by id
           val out = scala.collection.mutable.ListBuffer[DedupHit]()
-          arrivals.foreach { case (id, sig) =>
+          arrivals.foreach { case (id, sig, sh) =>
             if (!residents.exists(_._1 == id)) {
               val pool =
                 if (residents.size >= maxBucket) residents.headOption.toList
                 else residents
-              pool.foreach { case (rid, rsig) =>
-                var eq = 0; var k = 0
-                while (k < nh) { if (rsig(k) == sig(k)) eq += 1; k += 1 }
-                val est = eq.toDouble / nh
-                if (est >= threshold)
-                  out += DedupHit(math.min(rid, id), math.max(rid, id), est)
+              pool.foreach { case (rid, rsig, rsh) =>
+                if (exactVerify) {
+                  val jac = graft.ops.Dedup.jaccardSorted(rsh, sh)
+                  if (jac >= threshold)
+                    out += DedupHit(math.min(rid, id), math.max(rid, id), jac)
+                } else {
+                  var eq = 0; var k = 0
+                  while (k < nh) { if (rsig(k) == sig(k)) eq += 1; k += 1 }
+                  val est = eq.toDouble / nh
+                  if (est >= threshold)
+                    out += DedupHit(math.min(rid, id), math.max(rid, id), est)
+                }
               }
               if (residents.size < maxBucket) {
                 val (lt, ge) = residents.span(_._1 < id)
-                residents = lt ::: ((id, sig) :: ge)
+                residents = lt ::: ((id, sig, sh) :: ge)
               }
             }
           }
           state.update(residents)
+          if (stateTtlMs > 0) state.setTimeoutDuration(stateTtlMs)
           out.iterator
+          }
       }
   }
 

@@ -54,7 +54,11 @@ object ScaleProbe {
     import spark.implicits._
     try {
       val n = nRows
-      val dim = 64
+      // SPARK_GRAFT_SCALE_DIM: anchor geometry. 64 is the bench default;
+      // 768 reproduces BASELINE.md's flagship rows (100M x 768d) — keys
+      // carry a _d<dim> suffix when not 64 so bench keys stay stable
+      val dim = sys.env.getOrElse("SPARK_GRAFT_SCALE_DIM", "64").toInt
+      val dimTag = if (dim == 64) "" else s"_d$dim"
       val nocache = sys.env.get("SPARK_GRAFT_SCALE_NOCACHE").contains("1")
       val nosrc = sys.env.get("SPARK_GRAFT_SCALE_NOSRC").contains("1")
       val storage = sys.env.getOrElse("SPARK_GRAFT_SCALE_STORAGE", "both")
@@ -71,7 +75,7 @@ object ScaleProbe {
         val rng = new scala.util.Random(i)
         (i, Array.fill(dim)(rng.nextFloat() * 2 - 1))
       }.toDF("id", "vec").repartition(32)
-      val dir = s"${sys.props("java.io.tmpdir")}/graft-bench-scale-$n"
+      val dir = s"${sys.props("java.io.tmpdir")}/graft-bench-scale-$n$dimTag"
       val srcDir = s"$dir-src"
       val df =
         if (nocache) {
@@ -94,7 +98,7 @@ object ScaleProbe {
       val probes = math.max(8, math.ceil(math.sqrt(cfg.lists.toDouble)).toInt)
       var idx: graft.index.IvfIndex = null
       if (f32Tier) {
-        timed(s"_scale_build_$n") {
+        timed(s"_scale_build_$n$dimTag") {
           idx = graft.index.IvfIndex.build(df, "id", "vec", dir, cfg)
         }
       }
@@ -104,11 +108,11 @@ object ScaleProbe {
       // columns; brute decodes every stored vector
       if (f32Tier) {
         val coldIdx = graft.index.IvfIndex.load(spark, dir)
-        timed(s"_scale_ann_uncached_$n") {
+        timed(s"_scale_ann_uncached_$n$dimTag") {
           coldIdx.search(q, 10, probes = probes, refine = 8).count()
         }
       }
-      if (!nosrc) timed(s"_scale_brute_uncached_$n") {
+      if (!nosrc) timed(s"_scale_brute_uncached_$n$dimTag") {
         graft.ops.Knn.topK(spark.read.parquet(srcDir), "id", "vec", q, 10).count()
       }
       // halfvec storage tier: same index shape, rerank vectors stored as
@@ -116,12 +120,12 @@ object ScaleProbe {
       val dir16 = s"$dir-f16"
       var idx16: graft.index.IvfIndex = null
       if (f16Tier) {
-        timed(s"_scale_build_f16_$n") {
+        timed(s"_scale_build_f16_$n$dimTag") {
           graft.index.IvfIndex.build(df, "id", "vec", dir16, cfg.copy(storage = "f16"))
         }
         // measured like the f32 uncached tier: a freshly loaded instance
         idx16 = graft.index.IvfIndex.load(spark, dir16)
-        timed(s"_scale_ann_f16_uncached_$n") {
+        timed(s"_scale_ann_f16_uncached_$n$dimTag") {
           idx16.search(q, 10, probes = probes, refine = 8).count()
         }
       }
@@ -132,10 +136,10 @@ object ScaleProbe {
       val servIdx = if (idx != null) idx else idx16
       servIdx.prewarm()
       if (!nocache && f32Tier) {
-        timed(s"_scale_ann_$n") {
+        timed(s"_scale_ann_$n$dimTag") {
           idx.search(q, 10, probes = probes, refine = 8).count()
         }
-        timed(s"_scale_brute_$n") {
+        timed(s"_scale_brute_$n$dimTag") {
           graft.ops.Knn.topK(df, "id", "vec", q, 10).count()
         }
       }
@@ -155,7 +159,7 @@ object ScaleProbe {
           .select("dist").collect().last.getDouble(0)
         val rangeIdx = graft.index.IvfIndex.load(spark, dir)
         rangeIdx.rangeSearch(q, radius).count()
-        timed(s"_scale_range_indexed_$n") {
+        timed(s"_scale_range_indexed_$n$dimTag") {
           rangeIdx.rangeSearch(q, radius).count()
         }
         import org.apache.spark.sql.functions.{col, lit, typedlit}
@@ -163,7 +167,7 @@ object ScaleProbe {
           graft.functions.GraftFunctions.sphereL2Contains(
             col("vec"), typedlit(q.toSeq), lit(radius)))
         scanFilter().count()
-        timed(s"_scale_range_scan_$n") { scanFilter().count() }
+        timed(s"_scale_range_scan_$n$dimTag") { scanFilter().count() }
         // CLUSTERED variant: uniform-random vectors are the adversarial
         // case for ANY geometric pruning (cell radii ≈ the whole data
         // spread, nothing prunes — same reason the cached brute scan wins
@@ -199,13 +203,13 @@ object ScaleProbe {
         val cRadius = graft.ops.Knn.topK(cdf, "id", "vec", cq, math.max(50, nc / 1000))
           .select("dist").collect().last.getDouble(0)
         cidx.rangeSearch(cq, cRadius).count()
-        timed(s"_scale_rangec_indexed_$n") {
+        timed(s"_scale_rangec_indexed_$n$dimTag") {
           cidx.rangeSearch(cq, cRadius).count()
         }
         def cScan() = cdf.filter(graft.functions.GraftFunctions.sphereL2Contains(
           col("vec"), typedlit(cq.toSeq), lit(cRadius)))
         cScan().count()
-        timed(s"_scale_rangec_scan_$n") { cScan().count() }
+        timed(s"_scale_rangec_scan_$n$dimTag") { cScan().count() }
       }
       // batch serving: nBatch queries in two jobs via searchMany vs the
       // brute partition-local-heap knnJoin — per-query job overhead
@@ -215,10 +219,10 @@ object ScaleProbe {
         val rng = new scala.util.Random(1000 + i)
         i.toLong -> Array.fill(dim)(rng.nextFloat() * 2 - 1)
       }
-      timed(s"_scale_annbatch${nBatch}_$n") {
+      timed(s"_scale_annbatch${nBatch}_$n$dimTag") {
         servIdx.searchMany(qs, 10, probes = probes, refine = 8).count()
       }
-      timed(s"_scale_brutebatch${nBatch}_$n") {
+      timed(s"_scale_brutebatch${nBatch}_$n$dimTag") {
         graft.ops.Knn.knnJoin(df, "id", "vec", qs, 10).count()
       }
       // sharded graph tier anchor (env-gated: Vamana build is the
@@ -227,12 +231,12 @@ object ScaleProbe {
       if (sys.env.get("SPARK_GRAFT_SCALE_GRAPH").contains("1")) {
         val gdir = s"$dir-gshard"
         val gShards = math.max(4, nRows / 40000)
-        timed(s"_scale_gshard_build_$n") {
+        timed(s"_scale_gshard_build_$n$dimTag") {
           graft.index.ShardedVamana.build(df, "id", "vec", gdir,
             graft.index.VamanaConfig(), shards = gShards)
         }
         val h = graft.index.ShardedVamana.load(spark, gdir)
-        timed(s"_scale_gshard_batch64_$n") {
+        timed(s"_scale_gshard_batch64_$n$dimTag") {
           h.search(spark, qs.take(64), 10).count()
         }
         h.unpersist()

@@ -29,4 +29,24 @@ object ColumnBridge {
   def toInternalRdd(df: org.apache.spark.sql.DataFrame)
       : org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow] =
     df.asInstanceOf[org.apache.spark.sql.classic.DataFrame].queryExecution.toRdd
+
+  /** Release the storage blocks pinned by `localCheckpoint()` leaves of a
+    * DataFrame's plan (a checkpointed frame is a `LogicalRDD` over cached
+    * blocks; plain `df.unpersist()` goes through the cache manager and
+    * never sees them — without this they stay resident until the RDD is
+    * GC'd and the ContextCleaner sweeps it). */
+  def unpersistCheckpointLeaves(df: org.apache.spark.sql.DataFrame): Unit =
+    df.asInstanceOf[org.apache.spark.sql.classic.DataFrame]
+      .queryExecution.analyzed.collect {
+        case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
+      }.foreach(_.unpersist(blocking = false))
+
+  /** Storage levels of a frame's `localCheckpoint()` leaves — spec
+    * observability for [[unpersistCheckpointLeaves]]. */
+  def checkpointLeafLevels(df: org.apache.spark.sql.DataFrame)
+      : Seq[org.apache.spark.storage.StorageLevel] =
+    df.asInstanceOf[org.apache.spark.sql.classic.DataFrame]
+      .queryExecution.analyzed.collect {
+        case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.getStorageLevel
+      }
 }

@@ -35,6 +35,33 @@ class RaBitQSpec extends AnyFunSuite {
     }
   }
 
+  test("1-bit sign lattice: 8 components/byte, sign-faithful, norm-preserving") {
+    forAllVecs(trials = 50) { x =>
+      val c = RaBitQ.quantize(x, 1)
+      assert(c.codes.length == (x.length + 7) / 8, "one bit per component")
+      // normOfLattice = sqrt(dim) EXACTLY (every lattice value is +-1) —
+      // the invariant the graph loaders use to recover dim at bits=1
+      assert(math.round(c.normOfLattice.toDouble * c.normOfLattice).toInt
+        == x.length)
+      val deq = RaBitQ.dequantize(c)
+      val n = K.norm(x)
+      if (n > 1e-6) {
+        // norm-preserving scale holds at 1 bit too
+        assert(math.abs(K.norm(deq) - n) / n < 1e-3)
+        // every dequantized component carries the original sign
+        x.indices.foreach { i =>
+          assert(x(i) >= 0 == deq(i) >= 0, s"sign flipped at $i")
+        }
+      }
+      // code-vs-code dot equals the dot of the dequantized points (the
+      // lattice algebra is exact; only quantization itself is lossy)
+      val y = x.map(v => -v * 0.5f)
+      val cy = RaBitQ.quantize(y, 1)
+      val want = K.negdot(RaBitQ.dequantize(c), RaBitQ.dequantize(cy)) * -1.0
+      assert(math.abs(RaBitQ.dotQQ(c, cy) - want) <= 1e-3 * (1.0 + math.abs(want)))
+    }
+  }
+
   test("nibble pack/unpack round-trips") {
     forAllVecs(trials = 50) { x =>
       val c = RaBitQ.quantize(x, 4)

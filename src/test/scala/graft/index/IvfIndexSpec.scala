@@ -53,11 +53,42 @@ class IvfIndexSpec extends SparkSpec {
       .select("id").as[Long].collect().toSeq
     assert(viaTable ==
       idx.rangeSearch(q, 1.2).select("id").as[Long].collect().toSeq)
-    // over-cap fails loudly instead of collecting an unbounded id set
-    val e = intercept[IllegalArgumentException] {
-      idx.rangeSearch(q, 100.0, maxCandidates = 10).collect()
+    // LOW-SELECTIVITY sphere (survivors >> maxInList): the candidate set
+    // must never be collected to the driver — the plan delegates to the
+    // distributed join shape (a Join over the candidate frame, no id IN
+    // list) and still returns the exact sphere contents
+    val d0 = IvfIndex.rangeDelegations.get()
+    val wide = idx.rangeSearch(q, 100.0, maxInList = 10)
+    assert(IvfIndex.rangeDelegations.get() == d0 + 1,
+      "expected the distributed-candidate delegation")
+    val plan = wide.queryExecution.optimizedPlan.toString
+    assert(plan.contains("Join"), s"expected candidate join shape:\n$plan")
+    val wideGot = wide.select("id").as[Long].collect().toSeq
+    val wideWant = rows.map { case (id, v) => (K.l2(v.toArray, q), id) }
+      .filter(_._1 < 100.0).sortBy(w => (w._1, w._2)).map(_._2)
+    assert(wideGot == wideWant, "delegated path must equal brute force")
+    // same delegation through rerank-in-table
+    val wideTbl = idx.rangeSearch(q, 100.0, rerankTable = Some((df, "id", "vec")),
+        maxInList = 10).select("id").as[Long].collect().toSeq
+    assert(wideTbl == wideWant, "delegated rerank-in-table path")
+  }
+
+  test("rangeSearch radius <= 0 returns empty without launching estimate jobs") {
+    import spark.implicits._
+    val df = rows.toDF("id", "vec")
+    val idx = IvfIndex.build(df, "id", "vec", freshDir(), IvfConfig(lists = 8))
+    Seq(0.0, -1.5).foreach { r =>
+      val out = idx.rangeSearch(Array.fill(12)(0.2f), r)
+      assert(out.count() == 0, s"radius $r must be empty")
+      // no cells probed -> every scan folds away: the optimized plan is a
+      // constant empty relation, so no estimate/rerank job can launch
+      assert(out.queryExecution.optimizedPlan.toString.contains("LocalRelation"),
+        s"radius $r: expected degenerate plan:\n${out.queryExecution.optimizedPlan}")
     }
-    assert(e.getMessage.contains("selective"))
+    // cosdist radius 0: strict < 0 can never hold either
+    val cidx = IvfIndex.build(df, "id", "vec", freshDir(),
+      IvfConfig(lists = 8, metric = "cosdist"))
+    assert(cidx.rangeSearch(Array.fill(12)(0.3f), 0.0).count() == 0)
   }
 
   test("rangeSearch sees delta appends (cell-radius cache invalidation)") {

@@ -108,6 +108,36 @@ class ShardedVamanaSpec extends SparkSpec {
     } finally h.unpersist()
   }
 
+  test("bits=1 sharded tier: odd-dim load (cmeta dim recovery) + rerank recall floor") {
+    val s = spark
+    import s.implicits._
+    val rng = new scala.util.Random(23)
+    // dim 12 is not a multiple of 8: codes bytes are padded, the loader
+    // must recover dim from cmeta (normOfLattice^2 = dim at bits=1)
+    val odd = (0L until 400L).map(i => i -> Seq.fill(12)(rng.nextFloat() * 2 - 1))
+    val odf = odd.toDF("id", "vec")
+    val d = Files.createTempDirectory("sv-b1").toString
+    ShardedVamana.build(odf, "id", "vec", d,
+      VamanaConfig(m = 16, bits = 1), shards = 4)
+    val h = ShardedVamana.load(spark, d)
+    try {
+      assert(h.cfg.bits == 1)
+      val queries = Array.tabulate(5)(i =>
+        i.toLong -> Array.fill(12)(rng.nextFloat() * 2 - 1))
+      val got = h.search(spark, queries, 10, ef = 128,
+          rerankTable = Some((odf, "id", "vec")))
+        .select("qid", "id").as[(Long, Long)].collect()
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      def bruteOdd(q: Array[Float], k: Int): Set[Long] =
+        odd.map { case (id, v) => (K.l2(v.toArray, q), id) }
+          .sorted.take(k).map(_._2).toSet
+      val recalls = queries.map { case (qid, q) =>
+        got.getOrElse(qid, Set.empty).intersect(bruteOdd(q, 10)).size / 10.0 }
+      val mean = recalls.sum / recalls.length
+      assert(mean >= 0.6, s"sharded 1-bit mean recall $mean")
+    } finally h.unpersist()
+  }
+
   test("quantized search without rerank table fails loudly (no silent estimates)") {
     val d = Files.createTempDirectory("sv-quant-guard").toString
     ShardedVamana.build(df, "id", "vec", d,

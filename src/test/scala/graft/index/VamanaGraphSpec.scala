@@ -200,6 +200,53 @@ class VamanaGraphSpec extends SparkSpec {
     assert(loaded.cfg.bits == 2)
   }
 
+  test("bits=1 vertices: smallest broadcast tier, recall floor via rerank, odd-dim load") {
+    import spark.implicits._
+    val g1 = VamanaGraph.build(
+      data.map(_._1).toArray, data.map(_._2).toArray, VamanaConfig(m = 24, bits = 1))
+    assert(g1.quantized && g1.vecs.isEmpty)
+    val g2 = VamanaGraph.build(
+      data.map(_._1).toArray, data.map(_._2).toArray, VamanaConfig(m = 24, bits = 2))
+    // the reference's most-compressed tier: strictly below bits=2
+    assert(g1.vertexBytes < g2.vertexBytes,
+      s"bits=1 ${g1.vertexBytes}B vs bits=2 ${g2.vertexBytes}B")
+    // sign-only estimates are coarse: wider beam, modest recall floor,
+    // rerank restores exact distances (reference bits=1 has the same
+    // trade — maximum compression, estimate quality bought back by ef)
+    val src = data.map { case (id, v) => (id, v.toSeq) }.toDF("id", "vec")
+    val rng = new scala.util.Random(17)
+    val queries = Array.tabulate(20)(i =>
+      (i.toLong, Array.fill(16)(rng.nextFloat() * 2 - 1)))
+    val got = g1.searchBatch(spark, queries, 10, ef = 128,
+        rerankTable = Some((src, "id", "vec")))
+      .select("qid", "id", "dist").as[(Long, Long, Double)].collect()
+      .groupBy(_._1).view.mapValues(_.map(r => (r._2, r._3)).toMap).toMap
+    val recalls = queries.map { case (qid, q) =>
+      val want = brute(q, 10).toSet
+      val gotIds = got.getOrElse(qid, Map.empty).keySet
+      gotIds.foreach { id =>
+        val v = data(id.toInt)._2
+        assert(got(qid)(id) == K.l2(v, q), s"dist mismatch for $id")
+      }
+      gotIds.intersect(want).size.toDouble / want.size
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.6, s"mean recall $mean (1-bit beam + exact rerank)")
+    // save/load with dim NOT a multiple of 8: byte length is padded, so
+    // the loader must recover dim=12 from cmeta (normOfLattice^2), not
+    // from codes.length * 8 (= 16)
+    val odd = (0L until 300L).map(i => i -> Array.fill(12)(rng.nextFloat() * 2 - 1))
+    val og = VamanaGraph.build(odd.map(_._1).toArray, odd.map(_._2).toArray,
+      VamanaConfig(m = 16, bits = 1))
+    val dir = Files.createTempDirectory("graft-vamana-b1").toString
+    og.save(spark, dir)
+    val loaded = VamanaGraph.load(spark, dir)
+    assert(loaded.cfg.bits == 1)
+    assert(loaded.codes.head.dim == 12, s"dim ${loaded.codes.head.dim}")
+    val q0 = odd.head._2
+    assert(loaded.search(q0, 5).toSeq == og.search(q0, 5).toSeq)
+  }
+
   test("incremental insert links new vertices without rebuilding (G3)") {
     val (seed, rest) = data.splitAt(700)
     val g0 = VamanaGraph.build(

@@ -270,6 +270,25 @@ class DedupSpec extends SparkSpec {
     } finally pipe.unpersist()
   }
 
+  test("Pipeline.unpersist releases pairs cache AND labels checkpoint blocks") {
+    import org.apache.spark.sql.graft.ColumnBridge
+    import org.apache.spark.storage.StorageLevel
+    import spark.implicits._
+    val df = docs.toDF("doc_id", "text")
+    val pipe = Dedup.pipeline(df, "doc_id",
+      d => Dedup.minhashDedup(d, "doc_id", "text", 0.6))
+    pipe.cleaned.count() // materialize all stages
+    val lvls = ColumnBridge.checkpointLeafLevels(pipe.labels)
+    assert(lvls.nonEmpty && lvls.forall(_ != StorageLevel.NONE),
+      s"labels checkpoint must be pinned while in use: $lvls")
+    assert(pipe.pairs.storageLevel != StorageLevel.NONE)
+    pipe.unpersist()
+    assert(pipe.pairs.storageLevel == StorageLevel.NONE, "pairs cache released")
+    assert(ColumnBridge.checkpointLeafLevels(pipe.labels)
+        .forall(_ == StorageLevel.NONE),
+      "labels checkpoint blocks must be released by unpersist")
+  }
+
   test("embedding LSH monster bucket completes bounded (star-pair cap)") {
     import spark.implicits._
     // 10k identical embeddings: every table puts them all in ONE bucket.

@@ -49,6 +49,80 @@ class MultimodalSpec extends SparkSpec {
     assert(byDoc(0L) == 3 && byDoc(2L) == 1)
   }
 
+  test("imageStats decodes REAL PNG bytes to exact channel means") {
+    import spark.implicits._
+    // synthetic ramps have closed-form means: r=x -> 127.5, g=4y -> 126.0,
+    // b = id mod 256 — the decoder must parse real PNG bytes to get these
+    val blobs = Seq(7L, 300L).map(id => (id, Multimodal.syntheticPng(id)))
+      .toDF("doc_id", "blob")
+    val got = Multimodal.imageStats(blobs, "doc_id", "blob")
+      .as[(Long, Int, Int, Double, Double, Double)].collect()
+      .map(t => t._1 -> ((t._2, t._3, t._4, t._5, t._6))).toMap
+    assert(got(7L) == ((256, 64, 127.5, 126.0, 7.0)))
+    assert(got(300L) == ((256, 64, 127.5, 126.0, 44.0))) // 300 mod 256
+  }
+
+  test("imageStats decodes JPEG (lossy: means within tolerance); drops non-images") {
+    import spark.implicits._
+    val img = new java.awt.image.BufferedImage(
+      32, 32, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    (0 until 32).foreach(y => (0 until 32).foreach(x =>
+      img.setRGB(x, y, (200 << 16) | (100 << 8) | 50)))
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", bos)
+    val rows = Seq(
+      (1L, bos.toByteArray),
+      (2L, "not an image at all".getBytes("UTF-8"))).toDF("doc_id", "blob")
+    val got = Multimodal.imageStats(rows, "doc_id", "blob")
+      .as[(Long, Int, Int, Double, Double, Double)].collect()
+    assert(got.map(_._1).toSeq == Seq(1L), "non-image row must be dropped")
+    val (_, w, h, r, g, b) = got.head
+    assert(w == 32 && h == 32)
+    assert(math.abs(r - 200) < 4 && math.abs(g - 100) < 4 && math.abs(b - 50) < 4,
+      s"jpeg means off: ($r, $g, $b)")
+  }
+
+  test("extractFeatures uses real pixel features for images, hash fallback otherwise") {
+    import spark.implicits._
+    val solid = { (rgb: Int) =>
+      val img = new java.awt.image.BufferedImage(
+        16, 16, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      (0 until 16).foreach(y => (0 until 16).foreach(x => img.setRGB(x, y, rgb)))
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val rows = Seq(
+      (1L, solid(0xff0000)), // pure red
+      (2L, solid(0x0000ff)), // pure blue
+      (3L, "plain text".getBytes("UTF-8"))).toDF("doc_id", "blob")
+    val f = Multimodal.extractFeatures(rows, "doc_id", "blob", 19)
+      .as[(Long, Seq[Float])].collect().toMap
+    // pixel features head = channel means / 255: red has f0 > 0, f1 = f2 = 0
+    assert(f(1L)(0) > 0.5f && f(1L)(1) == 0f && f(1L)(2) == 0f, f(1L).take(3))
+    assert(f(2L)(2) > 0.5f && f(2L)(0) == 0f && f(2L)(1) == 0f, f(2L).take(3))
+    assert(f(1L) != f(2L))
+    // all unit-norm, including the hash-fallback text row
+    f.values.foreach(v => assert(math.abs(K.norm(v.toArray) - 1.0) < 1e-5))
+  }
+
+  test("resize rescales real rasters; decoded dims match the target") {
+    import spark.implicits._
+    val b = Seq((1L, Multimodal.syntheticPng(1L))).toDF("doc_id", "blob")
+      .withColumn("mm_meta", org.apache.spark.sql.functions.struct(
+        org.apache.spark.sql.functions.lit("image").as("kind"),
+        org.apache.spark.sql.functions.lit(256).as("width"),
+        org.apache.spark.sql.functions.lit(64).as("height"),
+        org.apache.spark.sql.functions.lit(0).as("sampleRate"),
+        org.apache.spark.sql.functions.lit(0L).as("durationMs")))
+    val r = Multimodal.resize(b, 32, 16)
+    val blob = r.select("blob").as[Array[Byte]].head()
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(blob))
+    assert(img.getWidth == 32 && img.getHeight == 16, "raster actually resized")
+    val metas = r.select("mm_meta.width", "mm_meta.height").as[(Int, Int)].head()
+    assert(metas == ((32, 16)))
+  }
+
   test("features compose with KNN (media-embedding plumbing end-to-end)") {
     import spark.implicits._
     val b = Multimodal.attachBlob(docs, "doc_id", "text")

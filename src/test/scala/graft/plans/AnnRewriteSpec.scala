@@ -369,6 +369,53 @@ class AnnRewriteSpec extends SparkSpec {
     } finally (0 to 1).foreach(p => AnnCatalog.unregister(s"$tableDir/part=$p"))
   }
 
+  test("sphere serve survives an unrelated IN conjunct; id-IN stays the idempotence marker") {
+    import spark.implicits._
+    val rng = new scala.util.Random(41)
+    val rows = (0L until 500L).map(i =>
+      (i, Seq.fill(8)(rng.nextFloat() * 2 - 1), "c" + (i % 3)))
+    val tableDir = Files.createTempDirectory("graft-ann-inmix").toString
+    rows.toDF("id", "vec", "cat").write.mode("overwrite").parquet(tableDir)
+    val indexDir = Files.createTempDirectory("graft-ann-inmix-idx").toString
+    IvfIndex.build(spark.read.parquet(tableDir), "id", "vec", indexDir,
+      IvfConfig(lists = 8))
+    AnnCatalog.register(tableDir, indexDir, "id", "vec")
+    try withRule {
+      val q = Array.fill(8)(0.2f)
+      val radius = 1.1
+      // `sphere(...) AND cat IN (...)`: the IN over a NON-id column must
+      // not block the range serve (it used to fall back to a full scan)
+      val jobs0 = AnnTopKRewrite.planningJobs.get()
+      val df = spark.read.parquet(tableDir)
+        .filter(GraftFunctions.sphereL2Contains(col("vec"), typedlit(q.toSeq), lit(radius)) &&
+                col("cat").isin("c0", "c1"))
+      // the candidate-id IN reaches the scan as a pushed filter (it rides
+      // alongside the user's own pushed cat IN, in either order)
+      val physical = df.queryExecution.executedPlan.toString
+      assert(physical.contains("In(id"),
+        s"expected range serve despite cat IN:\n$physical")
+      assert(AnnTopKRewrite.planningJobs.get() == jobs0 + 1)
+      val got = df.select("id").as[Long].collect().toSet
+      val want = rows.filter { case (_, v, c) =>
+        K.l2(v.toArray, q) < radius && (c == "c0" || c == "c1")
+      }.map(_._1).toSet
+      assert(got == want && got.nonEmpty, s"got ${got.size} want ${want.size}")
+      // an IN over the ID column is this rule's own stamp — not re-served
+      // (no planning jobs run), results still exact
+      val jobs1 = AnnTopKRewrite.planningJobs.get()
+      val own = spark.read.parquet(tableDir)
+        .filter(GraftFunctions.sphereL2Contains(col("vec"), typedlit(q.toSeq), lit(radius)) &&
+                col("id").isin((0L until 400L).map(java.lang.Long.valueOf): _*))
+      own.queryExecution.optimizedPlan // force optimization
+      assert(AnnTopKRewrite.planningJobs.get() == jobs1,
+        "id-IN predicate must be treated as already-served (idempotence)")
+      val gotOwn = own.select("id").as[Long].collect().toSet
+      val wantOwn = rows.filter { case (id, v, _) =>
+        K.l2(v.toArray, q) < radius && id < 400L }.map(_._1).toSet
+      assert(gotOwn == wantOwn && gotOwn.nonEmpty)
+    } finally AnnCatalog.unregister(tableDir)
+  }
+
   test("two sphere conjuncts: one serves candidates, both stay in the exact plan") {
     import spark.implicits._
     val (tableDir, indexDir) = setup
@@ -446,6 +493,81 @@ class AnnRewriteSpec extends SparkSpec {
         }
       }
     } finally (0 to 1).foreach(p => AnnCatalog.unregisterGraph(s"$tableDir/part=$p"))
+  }
+
+  test("per-partition SHARDED-graph registration serves partition-scoped reads (partition parity)") {
+    import spark.implicits._
+    val rng = new scala.util.Random(97)
+    val rows = (0L until 400L).map(i =>
+      (i, Seq.fill(8)(rng.nextFloat() * 2 - 1), (i % 2).toInt))
+    val tableDir = Files.createTempDirectory("graft-ann-sgpart").toString
+    rows.toDF("id", "vec", "part")
+      .write.partitionBy("part").mode("overwrite").parquet(tableDir)
+    (0 to 1).foreach { p =>
+      val d = Files.createTempDirectory(s"graft-ann-sgpart-idx$p").toString
+      graft.index.ShardedVamana.build(
+        spark.read.parquet(s"$tableDir/part=$p"), "id", "vec",
+        d, graft.index.VamanaConfig(), shards = 2)
+      AnnCatalog.registerShardedGraph(s"$tableDir/part=$p", d, "id", "vec")
+    }
+    try withRule {
+      withConfs("graft.ann.efSearch" -> "256", "graft.ann.cost.enable" -> "false") {
+        val q = Array.fill(8)(0.1f)
+        (0 to 1).foreach { p =>
+          val df = spark.read.parquet(s"$tableDir/part=$p")
+            .orderBy(GraftFunctions.vecL2(col("vec"), typedlit(q.toSeq)))
+            .limit(5)
+          assert(df.queryExecution.optimizedPlan.toString.contains(" IN "),
+            s"sharded partition $p not served")
+          val got = df.collect().map(_.getLong(0)).toSeq
+          val want = rows.filter(_._3 == p)
+            .map { case (id, v, _) => (K.l2(v.toArray, q), id) }
+            .sorted.take(5).map(_._2).toSeq
+          assert(got == want, s"sharded partition $p")
+        }
+      }
+    } finally (0 to 1).foreach(p =>
+      AnnCatalog.unregisterShardedGraph(s"$tableDir/part=$p"))
+  }
+
+  test("per-partition MAXSIM registration serves partition-scoped reads (partition parity)") {
+    import spark.implicits._
+    val rng = new scala.util.Random(99)
+    def tok(): Seq[Float] = Seq.fill(8)(rng.nextFloat() * 2 - 1)
+    val docs = (0L until 200L).map(i => (i, Seq(tok(), tok(), tok()), (i % 2).toInt))
+    val tableDir = Files.createTempDirectory("graft-ms-part").toString
+    docs.toDF("doc", "tokens", "part")
+      .write.partitionBy("part").mode("overwrite").parquet(tableDir)
+    (0 to 1).foreach { p =>
+      val toks = docs.filter(_._3 == p).flatMap { case (id, ts, _) =>
+        ts.zipWithIndex.map { case (t, pos) => (id, pos, t) }
+      }.toDF("doc", "pos", "v")
+      val d = Files.createTempDirectory(s"graft-ms-part-idx$p").toString
+      graft.ops.MaxSim.buildTokenIndex(toks, "doc", "pos", "v", d,
+        graft.index.IvfConfig(metric = "negdot", lists = 8, residual = false))
+      AnnCatalog.registerMaxSim(s"$tableDir/part=$p", d, "doc", "tokens")
+    }
+    try withRule {
+      withConfs("graft.ann.probes" -> "8", "graft.ann.refine" -> "8",
+          "graft.ann.maxsim.kPerToken" -> "600",
+          "graft.ann.cost.enable" -> "false") {
+        val query = Seq(docs(137)._2(0), docs(137)._2(1))
+        val qArr = query.map(_.toArray).toArray
+        (0 to 1).foreach { p =>
+          val df = spark.read.parquet(s"$tableDir/part=$p")
+            .orderBy(GraftFunctions.vecMaxsim(col("tokens"), typedlit(query)))
+            .limit(5)
+          assert(df.queryExecution.optimizedPlan.toString.contains(" IN "),
+            s"maxsim partition $p not served")
+          val got = df.collect().map(_.getLong(0)).toSeq
+          val want = docs.filter(_._3 == p).map { case (id, ts, _) =>
+              (K.maxsim(ts.map(_.toArray).toArray, qArr), id)
+            }.sorted.take(5).map(_._2).toSeq
+          assert(got == want, s"maxsim partition $p")
+        }
+      }
+    } finally (0 to 1).foreach(p =>
+      AnnCatalog.unregisterMaxSim(s"$tableDir/part=$p"))
   }
 
   test("cosdist index serves vec_cosdist ORDER BY; vec_l2 stays exact (metric match)") {

@@ -181,6 +181,112 @@ class StreamOpsSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("dedupIngest exactVerify rejects estimate-only false pairs, emits exact jaccard") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.ops.{Dedup => D}
+    val thr = 0.5; val n = 3; val nh = 64; val bands = 16; val r = nh / bands
+    // hunt (deterministically) a doc pair whose minhash ESTIMATE clears
+    // the threshold while the exact shingle Jaccard does not (estimator
+    // sd ~0.06 at nh=64), sharing >= 1 LSH band so the stream compares it
+    def mk(seed: Int): (Array[String], Array[String]) = {
+      val rng = new scala.util.Random(seed)
+      val base = Array.fill(30)("w" + rng.nextInt(1000000))
+      val variant = base.clone()
+      (0 until 10).foreach(i => variant(base.length - 1 - i) = "x" + rng.nextInt(1000000))
+      (base, variant)
+    }
+    def stats(a: Array[String], b: Array[String]): (Double, Double, Boolean) = {
+      val ta = a.map(D.hash64); val tb = b.map(D.hash64)
+      val sa = D.sigFromTokens(ta, n, nh); val sb = D.sigFromTokens(tb, n, nh)
+      val est = (0 until nh).count(i => sa(i) == sb(i)).toDouble / nh
+      val exact = D.jaccardSorted(D.shingleSet(ta, n), D.shingleSet(tb, n))
+      val shared = D.bandKeys(sa, bands, r).toSet
+        .intersect(D.bandKeys(sb, bands, r).toSet).nonEmpty
+      (est, exact, shared)
+    }
+    val seed = (0 until 5000).find { s =>
+      val (a, b) = mk(s); val (est, exact, shared) = stats(a, b)
+      est >= thr && exact < thr && shared
+    }.getOrElse(sys.error("no estimate-only false pair found in 5000 seeds"))
+    val (aw, bw) = mk(seed)
+    val (aStr, bStr) = (aw.mkString(" "), bw.mkString(" "))
+    val exactJ = stats(aw, bw)._2
+    // ESTIMATE mode (default): the false pair IS emitted — the documented
+    // streaming divergence this option exists to close
+    val in1 = MemoryStream[(Long, String)]
+    val q1 = StreamOps.dedupIngest(in1.toDF().toDF("doc_id", "text"),
+        "doc_id", "text", thr)
+      .writeStream.format("memory").queryName("dedup_est_mode")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      in1.addData((1L, aStr), (2L, bStr))
+      q1.processAllAvailable()
+      val pairs = spark.sql("SELECT da, db FROM dedup_est_mode")
+        .as[(Long, Long)].collect().toSet
+      assert(pairs.contains((1L, 2L)),
+        s"estimate mode must emit the planted over-estimated pair: $pairs")
+    } finally q1.stop()
+    // EXACT mode: same arrivals, the false pair is REJECTED (batch
+    // minhashDedup semantics); a genuine dup still emits, carrying the
+    // EXACT jaccard value
+    val in2 = MemoryStream[(Long, String)]
+    val q2 = StreamOps.dedupIngest(in2.toDF().toDF("doc_id", "text"),
+        "doc_id", "text", thr, exactVerify = true)
+      .writeStream.format("memory").queryName("dedup_exact_mode")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      in2.addData((1L, aStr), (2L, bStr), (3L, aStr)) // 3 = exact copy of 1
+      q2.processAllAvailable()
+      val got = spark.sql("SELECT da, db, est_jac FROM dedup_exact_mode")
+        .as[(Long, Long, Double)].collect()
+      val pairs = got.map(h => (h._1, h._2)).toSet
+      assert(!pairs.contains((1L, 2L)),
+        s"exactVerify must reject the estimate-only pair (exact=$exactJ < $thr): $pairs")
+      assert(!pairs.contains((2L, 3L)), s"copy of 1 vs 2 must be rejected too: $pairs")
+      assert(pairs.contains((1L, 3L)), s"exact copy must still pair: $pairs")
+      assert(got.filter(h => (h._1, h._2) == (1L, 3L)).forall(_._3 == 1.0),
+        "exact mode carries the true jaccard")
+    } finally q2.stop()
+  }
+
+  test("dedupIngest stateTtlMs expires idle buckets; fresh pairs still hit inside TTL") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // NOTE: a ProcessingTimeTimeout query re-triggers batches continuously
+    // (every batch "requires another batch" to sweep timeouts), so
+    // processAllAvailable() never observes quiescence and would HANG —
+    // the test polls the memory sink with deadlines instead
+    val text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val trc = "one two three four five six seven eight nine ten eleven twelve"
+    val input = MemoryStream[(Long, String)]
+    val q = StreamOps.dedupIngest(input.toDF().toDF("doc_id", "text"),
+        "doc_id", "text", threshold = 0.6, stateTtlMs = 300L)
+      .writeStream.format("memory").queryName("dedup_ttl")
+      .outputMode(OutputMode.Append()).start()
+    def pairs(): Set[(Long, Long)] = spark.sql("SELECT da, db FROM dedup_ttl")
+      .as[(Long, Long)].collect().toSet
+    def await(cond: => Boolean, what: String, ms: Long = 60000L): Unit = {
+      val t0 = System.currentTimeMillis
+      while (!cond && System.currentTimeMillis - t0 < ms) Thread.sleep(50)
+      assert(cond, s"$what not observed within ${ms}ms: ${pairs()}")
+    }
+    try {
+      // same micro-batch: identical docs pair (robust to slow boxes —
+      // cross-batch TTL survival is timing-dependent by definition)
+      input.addData((1L, text), (2L, text))
+      await(pairs().contains((1L, 2L)), "inside-TTL pair")
+      // idle past the TTL — the continuously-running batches sweep the
+      // timed-out buckets; then a late copy plus a TRACER pair arrive:
+      // when the tracer shows up in the sink, doc 3's batch is committed
+      Thread.sleep(900)
+      input.addData((3L, text), (60L, trc), (61L, trc))
+      await(pairs().contains((60L, 61L)), "tracer pair")
+      assert(!pairs().exists(p => p._1 == 3L || p._2 == 3L),
+        s"doc 3 arrived after expiry and must not pair: ${pairs()}")
+    } finally q.stop()
+  }
+
   test("hourlyCounts windowed aggregation over a memory stream") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
