@@ -35,20 +35,20 @@ object Multimodal {
         lit(0).as("sampleRate"),
         lit(0L).as("durationMs")).as("mm_meta"))
 
-  /** Deterministic synthetic 256x64 PNG for goldens and specs: a
-    * horizontal red ramp (r = x), vertical green ramp (g = 4*y), constant
+  /** Deterministic synthetic 64x16 PNG for goldens and specs: a
+    * horizontal red ramp (r = 4x), vertical green ramp (g = 16y), constant
     * blue (id mod 256) — REAL encoded bytes a real decoder must parse,
-    * with channel means known in closed form (127.5, 126.0, id mod 256). */
+    * with channel means known in closed form (126.0, 120.0, id mod 256). */
   def syntheticPng(id: Long): Array[Byte] = {
-    val w = 256; val h = 64
+    val w = 64; val h = 16
     val img = new java.awt.image.BufferedImage(
       w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
     val b = (id % 256).toInt
     var y = 0
     while (y < h) {
-      val g = (4 * y) << 8
+      val g = (16 * y) << 8
       var x = 0
-      while (x < w) { img.setRGB(x, y, (x << 16) | g | b); x += 1 }
+      while (x < w) { img.setRGB(x, y, ((4 * x) << 16) | g | b); x += 1 }
       y += 1
     }
     val bos = new java.io.ByteArrayOutputStream()

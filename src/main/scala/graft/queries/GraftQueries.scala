@@ -744,8 +744,13 @@ object GraftQueries {
     "mm_decode" -> Q(
       (s, d) => {
         import s.implicits._
+        // capped at 2000 docs: the golden proves the codec path (encode
+        // with ImageIO, decode back through the real registry), not bulk
+        // throughput — uncapped it decoded 50k images at sf0.1 and
+        // dominated the whole bench
         val blobs = tbl(s, d, "documents")
-          .select(col("doc_id").cast("long")).as[Long]
+          .select(col("doc_id").cast("long")).filter(col("doc_id") < 2000)
+          .as[Long]
           .mapPartitions(_.map(id => (id, Multimodal.syntheticPng(id))))
           .toDF("doc_id", "blob")
         Multimodal.imageStats(blobs, "doc_id", "blob")
@@ -754,10 +759,10 @@ object GraftQueries {
             round(col("mean_g"), 3).as("mean_g"),
             round(col("mean_b"), 3).as("mean_b"))
           .orderBy("doc_id") },
-      Some("""SELECT doc_id, CAST(256 AS INT) AS width, CAST(64 AS INT) AS height,
-             |CAST(127.5 AS DOUBLE) AS mean_r, CAST(126.0 AS DOUBLE) AS mean_g,
+      Some("""SELECT doc_id, CAST(64 AS INT) AS width, CAST(16 AS INT) AS height,
+             |CAST(126.0 AS DOUBLE) AS mean_r, CAST(120.0 AS DOUBLE) AS mean_g,
              |round(CAST(doc_id % 256 AS DOUBLE), 3) AS mean_b
-             |FROM documents ORDER BY doc_id""".stripMargin)),
+             |FROM documents WHERE doc_id < 2000 ORDER BY doc_id""".stripMargin)),
 
     // ---- relational core (scan/filter/agg/join/window/setop/sort) ----
 

@@ -28,7 +28,9 @@ object RangeScale {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
-    val dim = 64
+    // SPARK_GRAFT_SCALE_DIM: 64 default; 768 = BASELINE.md's flagship
+    // geometry (key names carry the n, dims recorded in the JSON line)
+    val dim = sys.env.getOrElse("SPARK_GRAFT_SCALE_DIM", "64").toInt
     def say(s: String): Unit = System.err.println(s"[range-scale] $s")
     val out = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
     def timed(key: String)(body: => Unit): Unit = {
@@ -43,7 +45,7 @@ object RangeScale {
       val rng = new scala.util.Random(i)
       (i.toLong, center.map(x => x + rng.nextGaussian().toFloat * 0.05f))
     }.toDF("id", "vec")
-    val dir = s"${sys.props("java.io.tmpdir")}/graft-range-scale-$n"
+    val dir = s"${sys.props("java.io.tmpdir")}/graft-range-scale-$n-d$dim"
     val src = s"$dir-src"
     timed("gen_write") { gen.write.mode("overwrite").parquet(src) }
     val df = spark.read.parquet(src)
@@ -75,7 +77,7 @@ object RangeScale {
       timed(s"_range_scan_${n}_r$i") { scan().count() }
     }
     val qs = out.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-    println(s"""{"metric":"range_scale","n":$n,"hits":$hits,"timings":$qs}""")
+    println(s"""{"metric":"range_scale","n":$n,"dim":$dim,"hits":$hits,"timings":$qs}""")
     spark.stop()
   }
 }

@@ -51,15 +51,15 @@ class MultimodalSpec extends SparkSpec {
 
   test("imageStats decodes REAL PNG bytes to exact channel means") {
     import spark.implicits._
-    // synthetic ramps have closed-form means: r=x -> 127.5, g=4y -> 126.0,
-    // b = id mod 256 — the decoder must parse real PNG bytes to get these
+    // synthetic ramps have closed-form means: r=4x -> 126.0, g=16y ->
+    // 120.0, b = id mod 256 — the decoder must parse real PNG bytes
     val blobs = Seq(7L, 300L).map(id => (id, Multimodal.syntheticPng(id)))
       .toDF("doc_id", "blob")
     val got = Multimodal.imageStats(blobs, "doc_id", "blob")
       .as[(Long, Int, Int, Double, Double, Double)].collect()
       .map(t => t._1 -> ((t._2, t._3, t._4, t._5, t._6))).toMap
-    assert(got(7L) == ((256, 64, 127.5, 126.0, 7.0)))
-    assert(got(300L) == ((256, 64, 127.5, 126.0, 44.0))) // 300 mod 256
+    assert(got(7L) == ((64, 16, 126.0, 120.0, 7.0)))
+    assert(got(300L) == ((64, 16, 126.0, 120.0, 44.0))) // 300 mod 256
   }
 
   test("imageStats decodes JPEG (lossy: means within tolerance); drops non-images") {
@@ -111,8 +111,8 @@ class MultimodalSpec extends SparkSpec {
     val b = Seq((1L, Multimodal.syntheticPng(1L))).toDF("doc_id", "blob")
       .withColumn("mm_meta", org.apache.spark.sql.functions.struct(
         org.apache.spark.sql.functions.lit("image").as("kind"),
-        org.apache.spark.sql.functions.lit(256).as("width"),
-        org.apache.spark.sql.functions.lit(64).as("height"),
+        org.apache.spark.sql.functions.lit(64).as("width"),
+        org.apache.spark.sql.functions.lit(16).as("height"),
         org.apache.spark.sql.functions.lit(0).as("sampleRate"),
         org.apache.spark.sql.functions.lit(0L).as("durationMs")))
     val r = Multimodal.resize(b, 32, 16)
