@@ -71,17 +71,26 @@ object ScaleProbe {
         val sec = (System.nanoTime() - t) / 1e9
         out += (key -> sec); say(f"$key = $sec%.2fs")
       }
+      // NO repartition: spark.range already yields defaultParallelism
+      // partitions — a repartition here round-robin-shuffled the ENTIRE
+      // generated table (42 GB at 10M x 768d) for nothing, and the
+      // shuffle files stay pinned while `gen` is referenced
       val gen = spark.range(n).map { i =>
         val rng = new scala.util.Random(i)
         (i, Array.fill(dim)(rng.nextFloat() * 2 - 1))
-      }.toDF("id", "vec").repartition(32)
+      }.toDF("id", "vec")
       val dir = s"${sys.props("java.io.tmpdir")}/graft-bench-scale-$n$dimTag"
       val srcDir = s"$dir-src"
       val df =
         if (nocache) {
           // disk-resident source: the build and every brute scan read
-          // parquet, the regime a 100 TB table actually lives in
-          gen.write.mode("overwrite").parquet(srcDir)
+          // parquet, the regime a 100 TB table actually lives in.
+          // Generation is deterministic per row id, so a completed
+          // previous write (_SUCCESS present) is byte-equivalent — reuse
+          // it instead of paying the multi-GB generate+write again
+          val done = new java.io.File(s"$srcDir/_SUCCESS").exists()
+          if (!done) gen.write.mode("overwrite").parquet(srcDir)
+          else say(s"reusing existing source parquet at $srcDir")
           spark.read.parquet(srcDir)
         } else { val d = gen.cache(); d.count(); d }
       // config scales with n the way the reference's build guidance does
