@@ -259,13 +259,30 @@ object IvfIndex {
     // (unlike rand(), whose streams are per-partition), and (c) scale-safe:
     // orderBy+limit plans as TakeOrderedAndProject — a bounded per-partition
     // heap of cap rows, no full sort shuffle.
-    val sample0 = df.filter(col(vecCol).isNotNull && col(idCol).isNotNull)
-      .select(col(vecCol), xxhash64(col(idCol).cast("long"), lit(0x9E3779B9L)).as("__rk"),
+    // Two-phase so driver task-result volume is bounded by cap VECTORS, not
+    // cap-per-task: a single orderBy+limit over the vector column plans as
+    // TakeOrderedAndProject, whose per-partition partials (up to cap FULL
+    // rows each) all ship to the driver — megabytes at 64d, but at 768d
+    // (3 KB/row) the partials total partitions x cap x rowBytes and break
+    // spark.driver.maxResultSize (measured: >8 GiB at 10M x 768d). Phase 1
+    // takes the global top-cap over narrow (rk, id) pairs — 16 bytes/row,
+    // tiny at any dim/partition count; phase 2 fetches exactly those rows'
+    // vectors via a broadcast semi-join (one more scan, bounded output).
+    val sampleBase = df.filter(col(vecCol).isNotNull && col(idCol).isNotNull)
+    val topIds: Array[Long] = sampleBase
+      .select(xxhash64(col(idCol).cast("long"), lit(0x9E3779B9L)).as("__rk"),
         col(idCol).cast("long").as("__id"))
       .orderBy(col("__rk"), col("__id"))
       .limit(cap)
-      .select(col(vecCol)).as[Array[Float]]
-      .collect()
+      .select(col("__id")).as[Long].collect()
+    val rkRank: Map[Long, Int] = topIds.zipWithIndex.toMap
+    val sample0: Array[Array[Float]] = sampleBase
+      .select(col(idCol).cast("long").as("__id"), col(vecCol))
+      .join(broadcast(topIds.toSeq.toDF("__sid")), col("__id") === col("__sid"), "leftsemi")
+      .as[(Long, Array[Float])].collect()
+      .sortBy { case (id, _) => rkRank.getOrElse(id, Int.MaxValue) }
+      .take(cap)
+      .map(_._2)
     require(sample0.nonEmpty,
       "cannot build an index without at least one non-null vector (the " +
       "reference infers dim from the column type; here it comes from the data)")
