@@ -56,12 +56,19 @@ final case class IvfConfig(
                                   // index: half the vec bytes on disk/scan;
                                   // codes quantize the f16-roundtripped vector
                                   // so estimate and rerank see one store)
-    upperLists: Seq[Int] = Nil) { // internal level sizes, coarse -> fine —
+    upperLists: Seq[Int] = Nil,   // internal level sizes, coarse -> fine —
                                   // the reference's lists=[l1,...,lk] trees
                                   // of height 1-8 (crates/vchordrq/src/
                                   // tuples.rs:74-76 `cells: Vec<u32>`,
                                   // am/am_build.rs:1355-1385); leaves stay
                                   // `lists`
+    dim: Int = 0) {               // >0: declared vector dim — the
+                                  // reference's `vector(3)` typmod (S13).
+                                  // Optional when data has vectors (then
+                                  // it must MATCH); required to build over
+                                  // a column with no non-null vectors
+                                  // (tests/general/issue_427.slt indexes
+                                  // an all-NULL column without error)
   /** Internal level sizes, coarse -> fine (lists1 is sugar for one level). */
   def effectiveUpper: Seq[Int] =
     if (upperLists.nonEmpty) upperLists else if (lists1 > 0) Seq(lists1) else Nil
@@ -88,6 +95,7 @@ final case class IvfConfig(
     require(eu == eu.sorted,
       s"internal levels must be coarse -> fine (ascending): $eu")
     require(Set("f32", "f16")(storage), s"unknown storage '$storage'")
+    require(dim >= 0, s"dim must be >= 0, got $dim")
   }
 }
 
@@ -283,10 +291,24 @@ object IvfIndex {
       .sortBy { case (id, _) => rkRank.getOrElse(id, Int.MaxValue) }
       .take(cap)
       .map(_._2)
-    require(sample0.nonEmpty,
-      "cannot build an index without at least one non-null vector (the " +
-      "reference infers dim from the column type; here it comes from the data)")
+    // Empty build (reference tests/general/issue_427.slt: CREATE INDEX on
+    // an all-NULL column succeeds — the standard create-then-insert
+    // lifecycle). Dim cannot come from the data, so it must be declared;
+    // a single zero centroid makes every later appendDelta/search well
+    // defined (inserts land in cell 0 until a post-load rebuild).
+    if (sample0.isEmpty) {
+      require(cfg.dim > 0,
+        "cannot build an index without at least one non-null vector unless " +
+        "IvfConfig(dim=...) declares the dimension (the reference takes dim " +
+        "from the column typmod and builds empty, tests/general/issue_427.slt)")
+      val storedDim = if (cfg.rotate) new Rotation(cfg.dim).paddedDim else cfg.dim
+      return finishBuild(df, idCol, vecCol, dir, cfg,
+        Array(new Array[Float](storedDim)), cfg.dim)
+    }
     val origDim = sample0(0).length
+    require(cfg.dim == 0 || cfg.dim == origDim,
+      s"declared dim ${cfg.dim} does not match the data's dim $origDim " +
+      "(the reference rejects typmod-mismatched vectors, S13)")
     // centroids live in the STORED space: normalize first (cosine), THEN
     // rotate — the same normalize-then-rotate order as encodeRows and
     // prepQuery, so clustering, assignment, and probing share one space.
@@ -491,6 +513,23 @@ final class IvfIndex(val spark: SparkSession, val dir: String, val meta: IvfMeta
 
   private val dataCols = Seq("cluster_id", "id", "vec", "cmeta", "codes")
 
+  /** Explicit read schema: an EMPTY generation (built over a table with no
+    * non-null vectors, issue_427 lifecycle) writes no part files, and a
+    * schema-inferred read would fail on the fileless directory. Partition
+    * column first; Spark fills it from the directory names when files
+    * exist. */
+  private def dataSchema: org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    val vecType: DataType =
+      if (meta.cfg.storage == "f16") BinaryType else ArrayType(FloatType)
+    StructType(Seq(
+      StructField("cluster_id", IntegerType),
+      StructField("id", LongType),
+      StructField("vec", vecType),
+      StructField("cmeta", ArrayType(FloatType)),
+      StructField("codes", BinaryType)))
+  }
+
   // The plan for the current generation is cached so repeated searches
   // skip file re-listing and footer reads (at lists=256 that is hundreds
   // of directories per query). Invalidated when CURRENT changes or this
@@ -515,11 +554,12 @@ final class IvfIndex(val spark: SparkSession, val dir: String, val meta: IvfMeta
       // plan; without unpersist every compaction cycle would pin one full
       // copy of the index in executor memory). No-op if never persisted.
       if (c != null) c._4.unpersist(false)
-      val gen = spark.read.parquet(s"$dir/$genName")
+      val gen = spark.read.schema(dataSchema).parquet(s"$dir/$genName")
         .select(dataCols.map(col): _*)
       val df =
         if (delta)
-          gen.unionByName(spark.read.parquet(s"$dir/delta").select(dataCols.map(col): _*))
+          gen.unionByName(spark.read.schema(dataSchema).parquet(s"$dir/delta")
+            .select(dataCols.map(col): _*))
         else gen
       cachedData = (genName, delta, ver, df)
       df

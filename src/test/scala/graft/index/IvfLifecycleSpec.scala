@@ -127,4 +127,40 @@ class IvfLifecycleSpec extends SparkSpec {
     assertThrows[IllegalArgumentException](IvfIndex.buildExternal(df, "id", "vec",
       freshDir(), Seq.empty[(Long, Seq[Float])].toDF("id", "vector")))
   }
+
+  test("empty build over an all-NULL column (issue_427): declared dim, " +
+       "searchable after inserts, compact, reload") {
+    import spark.implicits._
+    val allNull = (0L until 100L).map(i => (i, null: Seq[Float])).toDF("id", "vec")
+    // dim cannot come from the data — undeclared must fail loudly
+    assertThrows[IllegalArgumentException](
+      IvfIndex.build(allNull, "id", "vec", freshDir(), IvfConfig(lists = 8)))
+    // declared dim on NON-empty data must match (typmod check, S13)
+    assertThrows[IllegalArgumentException](
+      IvfIndex.build(rows.toDF("id", "vec"), "id", "vec", freshDir(),
+        IvfConfig(lists = 8, dim = 9)))
+    val dir = freshDir()
+    val idx = IvfIndex.build(allNull, "id", "vec", dir,
+      IvfConfig(lists = 8, dim = 8))
+    val q = Array.fill(8)(0.1f)
+    assert(idx.rowCount == 0L)
+    assert(idx.search(q, 10).isEmpty)
+    assert(idx.rangeSearch(q, 0.5).isEmpty)
+    // the create-then-insert lifecycle the reference's AM serves
+    val extra = rows.take(50)
+    idx.appendDelta(extra.toDF("id", "vec"), "id", "vec")
+    assert(idx.searchExact(q, 10).select("id").as[Long].collect().toSeq ==
+      brute(extra, q, 10), "inserted rows searchable in the empty-built index")
+    idx.compact()
+    assert(idx.searchExact(q, 10).select("id").as[Long].collect().toSeq ==
+      brute(extra, q, 10), "compaction preserves results")
+    // reload exercises the explicit-schema read of the (fileless) gen dir
+    val re = IvfIndex.load(spark, dir)
+    assert(re.searchExact(q, 10).select("id").as[Long].collect().toSeq ==
+      brute(extra, q, 10), "reloaded index serves the same results")
+    // f16 storage variant: binary vec schema on an empty generation
+    val idx16 = IvfIndex.build(allNull, "id", "vec", freshDir(),
+      IvfConfig(lists = 4, dim = 8, storage = "f16"))
+    assert(idx16.rowCount == 0L && idx16.search(q, 5).isEmpty)
+  }
 }
