@@ -196,6 +196,7 @@ final class VamanaGraph(
   }
 
   def degreeStats: (Int, Double) = {
+    if (adj.isEmpty) return (0, 0.0)
     val degs = adj.map(_.length)
     (degs.max, degs.sum.toDouble / degs.length)
   }
@@ -215,6 +216,9 @@ final class VamanaGraph(
    */
   def insertAll(rows: Array[(Long, Array[Float])]): VamanaGraph = {
     if (rows.isEmpty) return this
+    // first insert into an empty graph = the initial build (no medoid to
+    // beam from yet)
+    if (ids.isEmpty) return VamanaGraph.build(rows.map(_._1), rows.map(_._2), cfg)
     require(rows.map(_._1).distinct.length == rows.length, "duplicate ids in insert batch")
     rows.foreach { case (id, _) =>
       require(java.util.Arrays.binarySearch(ids, id) < 0, s"id $id already in graph")
@@ -296,7 +300,12 @@ object VamanaGraph {
             cfg: VamanaConfig = VamanaConfig(), maxRows: Int = 200000): VamanaGraph = {
     val spark = df.sparkSession
     import spark.implicits._
-    val rows = df.select(col(idCol).cast("long"), col(vecCol))
+    // NULL vectors never enter the graph (reference: NULL rows are absent
+    // from the AM — tests/general/issue_427.slt builds vchordg over an
+    // all-NULL column; the resulting EMPTY graph serves empty results and
+    // bootstraps on the first insert)
+    val rows = df.filter(col(idCol).isNotNull && col(vecCol).isNotNull)
+      .select(col(idCol).cast("long"), col(vecCol))
       .limit(maxRows + 1)
       .as[(Long, Seq[Float])].collect()
     require(rows.length <= maxRows,
@@ -401,10 +410,15 @@ object VamanaGraph {
   }
 
   def build(ids0: Array[Long], vecs0: Array[Array[Float]], cfg: VamanaConfig): VamanaGraph = {
-    require(ids0.nonEmpty, "empty graph build")
     require(cfg.bits == 0 || cfg.bits == 1 || cfg.bits == 2 || cfg.bits == 4 ||
         cfg.bits == 8,
       s"bits must be 0 (exact) or 1|2|4|8, got ${cfg.bits}")
+    // empty graph (issue_427: CREATE INDEX on an all-NULL column): search
+    // returns no rows (beam guards ids.isEmpty); the first insertAll
+    // bootstraps a real build
+    if (ids0.isEmpty)
+      return new VamanaGraph(Array.empty, Array.empty, Array.empty, -1, cfg,
+        if (cfg.bits > 0) Array.empty[RaBitQ.Code] else null)
     // canonical ascending-id order (search uses binarySearch on ids)
     val order = ids0.indices.sortBy(ids0)
     val ids = order.map(ids0).toArray
@@ -520,7 +534,12 @@ object VamanaGraph {
       p += 1
     }
     val keep = (0 until n).filter(i => !isDead(i)).toArray
-    require(keep.nonEmpty, "vacuum removed every vertex")
+    // vacuuming every vertex leaves the EMPTY graph (the reference's
+    // bulkdelete of all rows leaves a servable empty index), which the
+    // next insertAll re-bootstraps
+    if (keep.isEmpty)
+      return new VamanaGraph(Array.empty, Array.empty, Array.empty, -1, g.cfg,
+        if (g.quantized) Array.empty[RaBitQ.Code] else null)
     val old2new = Array.fill(n)(-1)
     keep.zipWithIndex.foreach { case (o, nw) => old2new(o) = nw }
     val ids2 = keep.map(g.ids)

@@ -274,4 +274,32 @@ class VamanaGraphSpec extends SparkSpec {
     // duplicate insert rejected
     assertThrows[IllegalArgumentException](g1.insertAll(Array(data.head)))
   }
+
+  test("empty graph (issue_427): all-NULL build serves empty, first insert " +
+       "bootstraps, vacuum-to-empty re-bootstraps") {
+    import spark.implicits._
+    // DataFrame build over an all-NULL vector column — the reference's
+    // CREATE INDEX ... USING vchordg on such a table succeeds
+    val allNull = (0L until 50L).map(i => (i, null: Seq[Float])).toDF("id", "vec")
+    val g0 = VamanaGraph.build(allNull, "id", "vec", VamanaConfig(m = 8))
+    assert(g0.ids.isEmpty && !g0.quantized)
+    assert(g0.search(Array.fill(16)(0.1f), 5).isEmpty)
+    assert(g0.degreeStats == ((0, 0.0)))
+    // first insert = initial build; results match brute force
+    val g1 = g0.insertAll(data.take(200).toArray)
+    val q = Array.fill(16)(0.2f)
+    val want = data.take(200).map { case (id, v) => (K.l2(v, q), id) }
+      .sortBy(identity).take(5).map(_._2)
+    assert(g1.search(q, 5, ef = 200).map(_._1).toSeq == want)
+    // vacuuming every vertex leaves a servable empty graph
+    val g2 = VamanaGraph.vacuum(g1, data.take(200).map(_._1).toSet)
+    assert(g2.ids.isEmpty && g2.search(q, 5).isEmpty)
+    assert(g2.insertAll(data.take(100).toArray).search(q, 3).nonEmpty)
+    // quantized tier: empty build keeps the codes store, bootstrap works
+    val q0 = VamanaGraph.build(Array.empty[Long], Array.empty[Array[Float]],
+      VamanaConfig(m = 8, bits = 2))
+    assert(q0.ids.isEmpty && q0.quantized && q0.search(q, 5).isEmpty)
+    val q1 = q0.insertAll(data.take(100).toArray)
+    assert(q1.quantized && q1.search(q, 3).nonEmpty)
+  }
 }
