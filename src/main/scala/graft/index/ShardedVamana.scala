@@ -252,7 +252,7 @@ object ShardedVamana {
       // also be safe — staging keeps a readable copy through the write
       spark.createDataFrame(rows, vertexSchema)
         .write.mode("overwrite").parquet(s"$dir/graph-next")
-      spark.read.parquet(s"$dir/graph-next")
+      spark.read.schema(vertexSchema).parquet(s"$dir/graph-next")
         .write.mode("overwrite").parquet(s"$dir/graph")
       writeMeta(dir, cfg, shards)
       // drop the staging dir so repeated snapshots don't accumulate
@@ -280,7 +280,9 @@ object ShardedVamana {
       bits = p.getProperty("bits").toInt)
     val shards = p.getProperty("shards").toInt
     val quant = cfg.bits > 0
-    val graphs = spark.read.parquet(s"$dir/graph")
+    // explicit schema: a fileless graph dir (built over a table with no
+    // non-null vectors, issue_427 lifecycle) loads as zero shards
+    val graphs = spark.read.schema(vertexSchema).parquet(s"$dir/graph")
       .select("shard", "id", "vec", "cmeta", "codes", "neighbors", "medoid_id")
       .rdd
       .map(r => (r.getInt(0), r))

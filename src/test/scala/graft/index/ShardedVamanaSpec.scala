@@ -198,4 +198,32 @@ class ShardedVamanaSpec extends SparkSpec {
       } finally h2.unpersist()
     }
   }
+
+  test("empty sharded build (issue_427): all-NULL column loads as zero " +
+       "shards, first insert seeds, snapshot round-trips") {
+    import spark.implicits._
+    val allNull = (0L until 40L).map(i => (i, null: Seq[Float])).toDF("id", "vec")
+    val d = Files.createTempDirectory("sv-empty").toString
+    ShardedVamana.build(allNull, "id", "vec", d, VamanaConfig(m = 8), shards = 4)
+    val h0 = ShardedVamana.load(spark, d)
+    try {
+      assert(h0.totalVertices == 0L)
+      assert(h0.search(spark, Array(0L -> Array.fill(16)(0.5f)), 3).isEmpty)
+      // first inserts seed fresh shard graphs (the `fresh` path)
+      val rows = (0L until 60L).map { i =>
+        val rng = new scala.util.Random(i)
+        i -> Array.fill(16)(rng.nextFloat())
+      }.toArray
+      val h1 = h0.insertAll(spark, rows)
+      try {
+        assert(h1.totalVertices == 60L)
+        val got = h1.search(spark, Array(0L -> rows(7)._2), 1)
+          .select("id").as[Long].collect()
+        assert(got.headOption.contains(7L))
+        h1.save(spark, d)
+        val h2 = ShardedVamana.load(spark, d)
+        try assert(h2.totalVertices == 60L) finally h2.unpersist()
+      } finally h1.unpersist()
+    } finally h0.unpersist()
+  }
 }
