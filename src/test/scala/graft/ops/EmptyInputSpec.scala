@@ -1,0 +1,54 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/**
+ * Empty-input robustness across the pipeline operators: a real ingest
+ * pipeline routinely hands an operator an empty slice (empty partition,
+ * empty day, filtered-out shard), and every operator must return an
+ * empty, correctly-shaped result rather than fail — the batch analogue
+ * of the issue_427 empty-index lifecycle.
+ */
+class EmptyInputSpec extends SparkSpec {
+
+  private def emptyDocs = {
+    import spark.implicits._
+    Seq.empty[(Long, String)].toDF("doc_id", "text")
+  }
+
+  private def emptyVecs = {
+    import spark.implicits._
+    Seq.empty[(Long, Seq[Float])].toDF("id", "vec")
+  }
+
+  test("dedup operators over empty input return empty") {
+    import spark.implicits._
+    assert(Dedup.exactDupGroups(emptyDocs, "doc_id", md5(col("text"))).isEmpty)
+    assert(Dedup.minhashDedup(emptyDocs, "doc_id", "text", 0.7).isEmpty)
+    assert(Dedup.simhashDedup(emptyDocs, "doc_id", "text").isEmpty)
+    assert(Dedup.embeddingNearDup(emptyVecs, "id", "vec", tau = 0.1).isEmpty)
+    assert(Dedup.embeddingNearDup(emptyVecs, "id", "vec", tau = 0.1,
+      lshBits = 8, lshTables = 4).isEmpty)
+    val noPairs = Seq.empty[(Long, Long)].toDF("da", "db")
+    assert(Dedup.components(noPairs).isEmpty)
+    val p = Dedup.pipeline(emptyDocs, "doc_id",
+      d => Dedup.minhashDedup(d, "doc_id", "text", 0.7))
+    try {
+      assert(p.pairs.isEmpty && p.labels.isEmpty && p.cleaned.isEmpty)
+    } finally p.unpersist()
+  }
+
+  test("text and multimodal operators over empty input return empty") {
+    import spark.implicits._
+    val t = emptyDocs.select(
+      TextOps.langId(col("text")).as("lang"),
+      TextOps.tokenCount(col("text")).as("toks"),
+      TextOps.qualityScore(col("text")).as("q"),
+      TextOps.fingerprint(col("text")).as("fp"))
+    assert(t.isEmpty && t.columns.length == 4)
+    val blobs = Seq.empty[(Long, Array[Byte])].toDF("doc_id", "blob")
+    assert(Multimodal.imageStats(blobs, "doc_id", "blob").isEmpty)
+    assert(Multimodal.extractFeatures(blobs, "doc_id", "blob").isEmpty)
+  }
+}
