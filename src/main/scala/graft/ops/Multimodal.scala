@@ -63,6 +63,66 @@ object Multimodal {
     try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(blob))
     catch { case _: java.io.IOException => null }
 
+  /** Deterministic synthetic WAV for goldens and specs: 100 ms of an
+    * alternating-sign square wave (16-bit mono PCM, 8 kHz) at amplitude
+    * amp = 512*(2 + id%60) — REAL encoded bytes a real decoder must
+    * parse. amp is a multiple of 512 so rms = peak = amp/32768 = k/64 is
+    * EXACT in double arithmetic and terminates within 6 decimal digits
+    * (no round-half ties between the Spark and oracle sides). */
+  def syntheticWav(id: Long): Array[Byte] = {
+    val rate = 8000; val n = 800
+    val amp = (512 * (2 + id % 60)).toInt
+    val pcm = new Array[Byte](n * 2)
+    var i = 0
+    while (i < n) {
+      val v = if ((i & 1) == 0) amp else -amp
+      pcm(2 * i) = (v & 0xff).toByte
+      pcm(2 * i + 1) = ((v >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(rate.toFloat, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** REAL audio decode: blob bytes -> (sampleRate, channels, samples in
+    * [-1, 1]) via javax.sound.sampled (WAV/AIFF/AU in the JDK registry).
+    * Non-16-bit-LE-PCM encodings go through the JDK's own converters;
+    * undecodable blobs return null ("not media", like readImage). */
+  private[ops] def readAudio(blob: Array[Byte]): (Int, Int, Array[Double]) = {
+    import javax.sound.sampled._
+    try {
+      val ais0 = AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(blob))
+      val f0 = ais0.getFormat
+      val ais =
+        if (f0.getEncoding == AudioFormat.Encoding.PCM_SIGNED &&
+            f0.getSampleSizeInBits == 16 && !f0.isBigEndian) ais0
+        else AudioSystem.getAudioInputStream(
+          new AudioFormat(f0.getSampleRate, 16, f0.getChannels, true, false), ais0)
+      val bos = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](8192)
+      var r = ais.read(buf)
+      while (r > 0) { bos.write(buf, 0, r); r = ais.read(buf) }
+      val bytes = bos.toByteArray
+      val ns = bytes.length / 2
+      val out = new Array[Double](ns)
+      var i = 0
+      while (i < ns) {
+        out(i) = ((bytes(2 * i) & 0xff) | (bytes(2 * i + 1) << 8)).toShort / 32768.0
+        i += 1
+      }
+      (math.round(ais.getFormat.getSampleRate).toInt, ais.getFormat.getChannels, out)
+    } catch {
+      case _: UnsupportedAudioFileException | _: java.io.IOException |
+           _: IllegalArgumentException => null
+    }
+  }
+
   /**
    * Per-image raster statistics from REAL decoded pixels, batch-shaped
    * like [[extractFeatures]]: (id, width, height, mean_r, mean_g, mean_b).
@@ -100,6 +160,44 @@ object Multimodal {
         }
       }
       .toDF("id", "width", "height", "mean_r", "mean_g", "mean_b")
+  }
+
+  /**
+   * Per-clip audio statistics from REAL decoded samples, batch-shaped
+   * like [[imageStats]]: (id, sample_rate, channels, duration_ms, rms,
+   * peak) — rms/peak over all channels' interleaved samples, normalized
+   * to [-1, 1]. Undecodable blobs are DROPPED (a filter, not an error,
+   * like imageStats).
+   */
+  def audioStats(df: DataFrame, idCol: String, blobCol: String,
+                 batchSize: Int = 256): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(blobCol)).as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap { batch =>
+          batch.iterator.flatMap { case (id, blob) =>
+            val dec = readAudio(blob)
+            if (dec == null || dec._3.isEmpty || dec._1 <= 0 || dec._2 <= 0)
+              Iterator.empty
+            else {
+              val (rate, channels, samples) = dec
+              var sq = 0.0; var peak = 0.0
+              var i = 0
+              while (i < samples.length) {
+                val s = samples(i)
+                sq += s * s
+                val a = math.abs(s); if (a > peak) peak = a
+                i += 1
+              }
+              val durMs = math.round(1000.0 * (samples.length / channels) / rate)
+              Iterator.single((id, rate, channels, durMs,
+                math.sqrt(sq / samples.length), peak))
+            }
+          }
+        }
+      }
+      .toDF("id", "sample_rate", "channels", "duration_ms", "rms", "peak")
   }
 
   /** Pixel-stat feature vector from a decoded image: channel means then a

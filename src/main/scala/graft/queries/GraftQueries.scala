@@ -764,6 +764,34 @@ object GraftQueries {
              |round(CAST(doc_id % 256 AS DOUBLE), 3) AS mean_b
              |FROM documents WHERE doc_id < 2000 ORDER BY doc_id""".stripMargin)),
 
+    // REAL audio decode golden, the WAV analogue of mm_decode: synthetic
+    // square-wave clips (amp = 512*(2 + id%60), chosen so rms = peak =
+    // amp/32768 = k/64 is exact in double math and 6-decimal rounding)
+    // are encoded with javax.sound.sampled, then DECODED BACK by the real
+    // codec path — the oracle recomputes rms/peak/duration from the
+    // generation parameters alone, so a fake decoder cannot pass
+    "mm_audio" -> Q(
+      (s, d) => {
+        import s.implicits._
+        // capped at 2000 docs like mm_decode: the golden proves the codec
+        // path, not bulk throughput
+        val blobs = tbl(s, d, "documents")
+          .select(col("doc_id").cast("long")).filter(col("doc_id") < 2000)
+          .as[Long]
+          .mapPartitions(_.map(id => (id, Multimodal.syntheticWav(id))))
+          .toDF("doc_id", "blob")
+        Multimodal.audioStats(blobs, "doc_id", "blob")
+          .select(col("id").as("doc_id"), col("sample_rate"), col("channels"),
+            col("duration_ms"),
+            round(col("rms"), 6).as("rms"),
+            round(col("peak"), 6).as("peak"))
+          .orderBy("doc_id") },
+      Some("""SELECT doc_id, CAST(8000 AS INT) AS sample_rate,
+             |CAST(1 AS INT) AS channels, CAST(100 AS BIGINT) AS duration_ms,
+             |round((512 * (2 + doc_id % 60)) / 32768.0, 6) AS rms,
+             |round((512 * (2 + doc_id % 60)) / 32768.0, 6) AS peak
+             |FROM documents WHERE doc_id < 2000 ORDER BY doc_id""".stripMargin)),
+
     // ---- relational core (scan/filter/agg/join/window/setop/sort) ----
 
     "q1_agg" -> Q(

@@ -50,5 +50,6 @@ class EmptyInputSpec extends SparkSpec {
     val blobs = Seq.empty[(Long, Array[Byte])].toDF("doc_id", "blob")
     assert(Multimodal.imageStats(blobs, "doc_id", "blob").isEmpty)
     assert(Multimodal.extractFeatures(blobs, "doc_id", "blob").isEmpty)
+    assert(Multimodal.audioStats(blobs, "doc_id", "blob").isEmpty)
   }
 }

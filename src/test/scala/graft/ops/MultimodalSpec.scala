@@ -123,6 +123,26 @@ class MultimodalSpec extends SparkSpec {
     assert(metas == ((32, 16)))
   }
 
+  test("audioStats decodes real WAV bytes: closed-form rms/peak/duration; " +
+       "non-audio dropped") {
+    import spark.implicits._
+    val rows = Seq(
+      7L  -> Multimodal.syntheticWav(7L),
+      42L -> Multimodal.syntheticWav(42L),
+      1L  -> "not audio at all".getBytes("UTF-8"),   // non-media bytes
+      2L  -> Multimodal.syntheticPng(2L))            // real media, wrong modality
+      .toDF("doc_id", "blob")
+    val got = Multimodal.audioStats(rows, "doc_id", "blob")
+      .as[(Long, Int, Int, Long, Double, Double)].collect().sortBy(_._1).toSeq
+    assert(got.map(_._1) == Seq(7L, 42L), "only decodable audio rows survive")
+    got.foreach { case (id, rate, ch, durMs, rms, peak) =>
+      val expect = 512.0 * (2 + id % 60) / 32768.0
+      assert(rate == 8000 && ch == 1 && durMs == 100L, s"id=$id meta")
+      assert(rms == expect, s"id=$id rms $rms != $expect (exact by construction)")
+      assert(peak == expect, s"id=$id peak")
+    }
+  }
+
   test("features compose with KNN (media-embedding plumbing end-to-end)") {
     import spark.implicits._
     val b = Multimodal.attachBlob(docs, "doc_id", "text")
