@@ -334,25 +334,73 @@ object Multimodal {
           col("mm_meta.durationMs")))
   }
 
+  /** Deterministic synthetic MJPEG clip for goldens and specs: `frames`
+    * solid-gray JPEG frames (gray level 16*((id + frameNo) % 16))
+    * concatenated back-to-back — the raw MJPEG stream shape IP cameras
+    * emit. REAL encoded bytes: every frame is a complete ImageIO JPEG a
+    * real decoder must parse. */
+  def syntheticMjpeg(id: Long, frames: Int = 8, w: Int = 32,
+                     h: Int = 16): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    var f = 0
+    while (f < frames) {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val gray = (16 * ((id + f) % 16)).toInt
+      val rgb = (gray << 16) | (gray << 8) | gray
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) { img.setRGB(x, y, rgb); x += 1 }
+        y += 1
+      }
+      javax.imageio.ImageIO.write(img, "jpg", bos)
+      f += 1
+    }
+    bos.toByteArray
+  }
+
+  /** REAL MJPEG parse: split a raw MJPEG stream (concatenated JPEGs) into
+    * complete per-frame JPEG blobs by scanning for SOI markers
+    * (FF D8 FF). Inside JPEG entropy-coded data every FF is stuffed
+    * (FF 00) or a restart marker (FF D0-D7), so a genuine FF D8 FF only
+    * starts a frame; metadata segments that could embed one (EXIF
+    * thumbnails) are absent from camera MJPEG streams. Returns empty when
+    * the bytes hold no JPEG at all ("not media"). */
+  private[ops] def mjpegFrames(blob: Array[Byte]): Array[Array[Byte]] = {
+    val starts = scala.collection.mutable.ArrayBuffer.empty[Int]
+    var i = 0
+    while (i + 2 < blob.length) {
+      if ((blob(i) & 0xff) == 0xff && (blob(i + 1) & 0xff) == 0xd8 &&
+          (blob(i + 2) & 0xff) == 0xff) { starts += i; i += 2 }
+      i += 1
+    }
+    if (starts.isEmpty) return Array.empty
+    val bounds = starts :+ blob.length
+    Array.tabulate(starts.length)(k =>
+      java.util.Arrays.copyOfRange(blob, bounds(k), bounds(k + 1)))
+  }
+
   /**
-   * Frame sampling for video blobs: emits (id, frame_no, frame_blob)
-   * rows — the explode shape a real video decoder would produce (no video
-   * codec ships with the JDK, so frame content is a deterministic slice
-   * of the blob; the schema, bounds, and explode shape are the real
-   * contract downstream operators consume).
+   * Frame sampling for video blobs, REAL for MJPEG streams (the format a
+   * JDK-only pipeline can fully decode — each emitted `frame_blob` is a
+   * complete JPEG that [[imageStats]]/[[extractFeatures]] decode
+   * downstream): emits (id, frame_no, frame_blob) for every `everyN`-th
+   * frame up to `maxFrames`, with `frame_no` the ORIGINAL stream
+   * position. Blobs containing no JPEG frames are DROPPED (a filter, not
+   * an error — same contract as the other decoders; containers the JDK
+   * cannot parse, e.g. H.264 in MP4, need an external decode service).
    */
   def sampleFrames(df: DataFrame, idCol: String, blobCol: String, everyN: Int = 10,
                    maxFrames: Int = 8): DataFrame = {
+    require(everyN >= 1, s"everyN must be >= 1, got $everyN")
     val spark = df.sparkSession
     import spark.implicits._
     df.select(col(idCol).cast("long"), col(blobCol)).as[(Long, Array[Byte])]
       .flatMap { case (id, blob) =>
-        val n = math.min(maxFrames, math.max(1, blob.length / math.max(1, everyN)))
-        (0 until n).map { f =>
-          val start = f * everyN
-          val end = math.min(blob.length, start + everyN)
-          (id, f, java.util.Arrays.copyOfRange(blob, math.min(start, blob.length), end))
-        }
+        val frames = mjpegFrames(blob)
+        (frames.indices by everyN).take(maxFrames).iterator
+          .map(f => (id, f, frames(f)))
       }
       .toDF("id", "frame_no", "frame_blob")
   }

@@ -792,6 +792,37 @@ object GraftQueries {
              |round((512 * (2 + doc_id % 60)) / 32768.0, 6) AS peak
              |FROM documents WHERE doc_id < 2000 ORDER BY doc_id""".stripMargin)),
 
+    // REAL video-path golden: synthetic MJPEG clips (6 concatenated
+    // solid-gray JPEG frames, gray = 16*((doc_id + frame)%16)) are frame-
+    // sampled by the real SOI-scanning parser, every sampled frame decoded
+    // by the real JPEG codec, and the decoded mean SNAPPED to the nearest
+    // 16-step recovers the planted level exactly (JPEG DC error on a
+    // solid frame is far under the 8-level snap radius) — the oracle
+    // recomputes plant levels from the generation parameters alone
+    "mm_frames" -> Q(
+      (s, d) => {
+        import s.implicits._
+        val blobs = tbl(s, d, "documents")
+          .select(col("doc_id").cast("long")).filter(col("doc_id") < 500)
+          .as[Long]
+          .mapPartitions(_.map(id => (id, Multimodal.syntheticMjpeg(id, frames = 6))))
+          .toDF("doc_id", "blob")
+        val frames = Multimodal.sampleFrames(blobs, "doc_id", "blob",
+          everyN = 2, maxFrames = 3)
+        val stats = Multimodal.imageStats(
+          frames.select((col("id") * 8 + col("frame_no")).as("fid"),
+            col("frame_blob")),
+          "fid", "frame_blob")
+        stats.select(
+          floor(col("id") / 8).cast("long").as("doc_id"),
+          pmod(col("id"), lit(8)).cast("int").as("frame_no"),
+          (round(col("mean_r") / 16, 0) * 16).cast("int").as("gray"))
+          .orderBy("doc_id", "frame_no") },
+      Some("""SELECT doc_id, CAST(f AS INT) AS frame_no,
+             |CAST(16 * ((doc_id + f) % 16) AS INT) AS gray
+             |FROM documents CROSS JOIN (SELECT unnest([0, 2, 4]) AS f)
+             |WHERE doc_id < 500 ORDER BY doc_id, frame_no""".stripMargin)),
+
     // ---- relational core (scan/filter/agg/join/window/setop/sort) ----
 
     "q1_agg" -> Q(

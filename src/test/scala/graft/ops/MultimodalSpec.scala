@@ -39,14 +39,34 @@ class MultimodalSpec extends SparkSpec {
     assert(r.select("blob").collect().toSeq == b.select("blob").collect().toSeq)
   }
 
-  test("sampleFrames explodes deterministic frame rows") {
+  test("sampleFrames parses REAL MJPEG streams: every-Nth frame, each a " +
+       "decodable JPEG with the planted gray level; non-video dropped") {
     import spark.implicits._
-    val b = Multimodal.attachBlob(docs, "doc_id", "text")
-    val frames = Multimodal.sampleFrames(b, "doc_id", "blob", everyN = 4, maxFrames = 3)
-    val byDoc = frames.select("id", "frame_no").as[(Long, Int)].collect()
-      .groupBy(_._1).view.mapValues(_.length).toMap
-    // "alpha beta gamma" = 16 bytes -> min(3, 16/4) = 3 frames; "zeta" = 4 -> 1
-    assert(byDoc(0L) == 3 && byDoc(2L) == 1)
+    val rows = Seq(
+      3L -> Multimodal.syntheticMjpeg(3L, frames = 8),
+      9L -> "definitely not a video".getBytes("UTF-8"))
+      .toDF("doc_id", "blob")
+    val frames = Multimodal.sampleFrames(rows, "doc_id", "blob",
+      everyN = 2, maxFrames = 3)
+      .as[(Long, Int, Array[Byte])].collect().sortBy(_._2)
+    assert(frames.map(_._1).toSet == Set(3L), "non-video blob dropped")
+    assert(frames.map(_._2).toSeq == Seq(0, 2, 4), "every 2nd frame, original frame_no")
+    frames.foreach { case (_, f, blob) =>
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(blob))
+      assert(img != null, s"frame $f is a complete decodable JPEG")
+      assert(img.getWidth == 32 && img.getHeight == 16)
+      val planted = 16.0 * ((3 + f) % 16)
+      val p = img.getRGB(16, 8)
+      val mean = (((p >> 16) & 0xff) + ((p >> 8) & 0xff) + (p & 0xff)) / 3.0
+      assert(math.abs(mean - planted) <= 4.0,
+        s"frame $f gray $mean vs planted $planted (JPEG lossy tolerance)")
+    }
+    // frames compose with the image decoder downstream (explode -> stats)
+    val stats = Multimodal.imageStats(
+      Multimodal.sampleFrames(rows, "doc_id", "blob", everyN = 1, maxFrames = 8)
+        .select($"frame_no".cast("long").as("fid"), $"frame_blob"),
+      "fid", "frame_blob")
+    assert(stats.count() == 8L, "all 8 frames decode through imageStats")
   }
 
   test("imageStats decodes REAL PNG bytes to exact channel means") {
