@@ -57,6 +57,23 @@ package object dsl {
     def nearDupPairs(idCol: String, textCol: String, threshold: Double): DataFrame =
       Dedup.minhashDedup(df, idCol, textCol, threshold)
 
+    /** Real image decode: per-row raster stats from a binary blob column. */
+    def imageStats(idCol: String, blobCol: String): DataFrame =
+      graft.ops.Multimodal.imageStats(df, idCol, blobCol)
+
+    /** Real audio decode: per-clip sample stats from a binary blob column. */
+    def audioStats(idCol: String, blobCol: String): DataFrame =
+      graft.ops.Multimodal.audioStats(df, idCol, blobCol)
+
+    /** Real MJPEG frame sampling: every `everyN`-th decodable JPEG frame. */
+    def sampleFrames(idCol: String, blobCol: String, everyN: Int = 10,
+                     maxFrames: Int = 8): DataFrame =
+      graft.ops.Multimodal.sampleFrames(df, idCol, blobCol, everyN, maxFrames)
+
+    /** Media feature vectors (decoded-pixel stats, hash fallback). */
+    def mediaFeatures(idCol: String, blobCol: String, dim: Int = 64): DataFrame =
+      graft.ops.Multimodal.extractFeatures(df, idCol, blobCol, dim)
+
     /** Build a vchordg-style Vamana graph index. */
     def buildGraphIndex(idCol: String, vecCol: String,
                         cfg: graft.index.VamanaConfig = graft.index.VamanaConfig())

@@ -68,5 +68,17 @@ class DslSpec extends SparkSpec {
         .select("id").as[Long].collect().toSeq
       assert(sg == want)
     } finally h.unpersist()
+
+    // multimodal through the DSL: real decoders end-to-end
+    import graft.ops.Multimodal
+    val media = Seq(
+      (1L, Multimodal.syntheticPng(1L)),
+      (2L, Multimodal.syntheticWav(2L)),
+      (3L, Multimodal.syntheticMjpeg(3L, frames = 4))).toDF("doc_id", "blob")
+    // 2: the PNG, plus the MJPEG clip whose FIRST frame ImageIO reads
+    assert(media.imageStats("doc_id", "blob").count() == 2)
+    assert(media.audioStats("doc_id", "blob").count() == 1)
+    assert(media.sampleFrames("doc_id", "blob", everyN = 1).count() == 4)
+    assert(media.mediaFeatures("doc_id", "blob", dim = 16).count() == 3)
   }
 }
