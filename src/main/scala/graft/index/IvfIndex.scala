@@ -1036,9 +1036,16 @@ final class IvfIndex(val spark: SparkSession, val dir: String, val meta: IvfMeta
       // DISTRIBUTED shape: candidates as a frame end-to-end, joined to
       // the exact side — no driver id set, no giant InSet in the plan
       IvfIndex.rangeDelegations.incrementAndGet()
-      val candDf = rangeCandidateDf(center, radius, epsilon).toDF("id")
+      // distinct(): the estimate pass emits one survivor row per DATA row,
+      // so an id present in both gen and delta would appear twice and the
+      // join would MULTIPLY result rows (2x2) — the IN shape filters and
+      // never multiplies; distinct keeps the two shapes cardinality-equal
+      val candDf = rangeCandidateDf(center, radius, epsilon).toDF("id").distinct()
       rerankTable match {
         case None =>
+          // dataDf is the index's own parquet — never a catalog-registered
+          // source table, so the expression-level cutoff cannot be
+          // re-matched by the range-serve planner rule
           val exact = exactDistCol(qq)
           val probed = rangeCells(qq, radius)
           dataDf.filter(col("cluster_id").isin(probed.map(Integer.valueOf): _*))
@@ -1047,11 +1054,30 @@ final class IvfIndex(val spark: SparkSession, val dir: String, val meta: IvfMeta
             .filter(col("dist") < radius)
             .orderBy($"dist", $"id")
         case Some((src, idCol, vecCol)) =>
-          val exact = rawDistCol(center)
-          src.select(col(idCol).cast("long").as("id"), col(vecCol).as("__v"))
+          // OPAQUE typed cutoff, not an expression filter: `src` may be an
+          // AnnCatalog-registered table, and an expression-level
+          // `dist < radius` would be pushed below the join by Catalyst
+          // into Filter(sphereCond, relation) — which the range-serve rule
+          // would re-match, paying an extra planning job and re-pruning at
+          // the CONF epsilon over the caller's explicit one. mapPartitions
+          // cannot be pushed or re-matched (same design as rangeSearchMany).
+          val met = meta.cfg.metric
+          val bQ = spark.sparkContext.broadcast((center, radius))
+          src.select(col(idCol).cast("long").as("id"),
+              col(vecCol).cast("array<float>").as("__v"))
             .join(candDf, Seq("id"))
-            .select($"id", exact($"__v").as("dist"))
-            .filter(col("dist") < radius)
+            .select($"id", $"__v").as[(Long, Array[Float])]
+            .mapPartitions { it =>
+              val (q, r) = bQ.value
+              it.flatMap { case (id, v) =>
+                val d = met match {
+                  case "l2"      => K.l2(v, q)
+                  case "negdot"  => K.negdot(v, q)
+                  case "cosdist" => K.cosdist(v, q)
+                }
+                if (d < r) Iterator.single((id, d)) else Iterator.empty
+              }
+            }.toDF("id", "dist")
             .orderBy(col("dist"), col("id"))
       }
     } else rerankTable match {
@@ -1139,6 +1165,9 @@ final class IvfIndex(val spark: SparkSession, val dir: String, val meta: IvfMeta
           }
         }
       }.toDF("qid", "id")
+      // one survivor row per DATA row: dedupe so an id stored twice
+      // (gen + delta) does not multiply through the join below
+      .distinct()
     // job 2: exact cutoff — cell-pruned vectors joined to survivors, the
     // kernel runs zero-boxing over (qid, vec) rows. Queries are PREPPED
     // on the driver (normalize/rotate), so the closure ships only the

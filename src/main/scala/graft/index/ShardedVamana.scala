@@ -46,7 +46,10 @@ object ShardedVamana {
     org.apache.spark.sql.types.StructField("codes", org.apache.spark.sql.types.BinaryType),
     org.apache.spark.sql.types.StructField("neighbors",
       org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.LongType)),
-    org.apache.spark.sql.types.StructField("medoid_id", org.apache.spark.sql.types.LongType)))
+    org.apache.spark.sql.types.StructField("medoid_id", org.apache.spark.sql.types.LongType),
+    // vector dim, persisted per vertex (graph-constant): byte-length
+    // recovery is ambiguous for dims the bit width does not divide evenly
+    org.apache.spark.sql.types.StructField("dim", org.apache.spark.sql.types.IntegerType)))
 
   private def writeMeta(dir: String, cfg: VamanaConfig, shards: Int): Unit = {
     val p = new java.util.Properties()
@@ -104,7 +107,8 @@ object ShardedVamana {
               if (quant) null else g.vecs(i).toSeq,
               if (quant) g.codes(i).meta.toSeq else null,
               if (quant) g.codes(i).codes else null,
-              g.adj(i).map(g.ids).toSeq, medoidId)
+              g.adj(i).map(g.ids).toSeq, medoidId,
+              if (quant) g.codes(i).dim else g.vecs(i).length)
           }
         }
       }
@@ -243,7 +247,8 @@ object ShardedVamana {
               if (quant) null else g.vecs(i).toSeq,
               if (quant) g.codes(i).meta.toSeq else null,
               if (quant) g.codes(i).codes else null,
-              g.adj(i).map(g.ids).toSeq, medoidId)
+              g.adj(i).map(g.ids).toSeq, medoidId,
+              if (quant) g.codes(i).dim else g.vecs(i).length)
           }
         }
       }
@@ -283,7 +288,7 @@ object ShardedVamana {
     // explicit schema: a fileless graph dir (built over a table with no
     // non-null vectors, issue_427 lifecycle) loads as zero shards
     val graphs = spark.read.schema(vertexSchema).parquet(s"$dir/graph")
-      .select("shard", "id", "vec", "cmeta", "codes", "neighbors", "medoid_id")
+      .select("shard", "id", "vec", "cmeta", "codes", "neighbors", "medoid_id", "dim")
       .rdd
       .map(r => (r.getInt(0), r))
       .partitionBy(new org.apache.spark.HashPartitioner(shards))
@@ -301,14 +306,18 @@ object ShardedVamana {
             if (quant) {
               val codes = sorted.map { r =>
                 val cb = r.getAs[Array[Byte]](4)
-                // dim recovered from the packed width (as VamanaGraph.load);
-                // bits=1: from cmeta, normOfLattice = sqrt(dim) exactly
                 val cm = r.getSeq[Float](3)
-                val dim = if (cfg.bits == 1)
-                            math.round(cm(1).toDouble * cm(1).toDouble).toInt
-                          else if (cfg.bits == 8) cb.length
-                          else if (cfg.bits == 4) cb.length * 2
-                          else cb.length * 4
+                // dim is persisted per vertex; legacy dirs (null column)
+                // fall back to recovery — exact for bits=1 (cmeta lattice
+                // norm = sqrt(dim)), byte-length-derived otherwise, which
+                // is exact only when the bit width divides the dim
+                val dim =
+                  if (!r.isNullAt(7)) r.getInt(7)
+                  else if (cfg.bits == 1)
+                    math.round(cm(1).toDouble * cm(1).toDouble).toInt
+                  else if (cfg.bits == 8) cb.length
+                  else if (cfg.bits == 4) cb.length * 2
+                  else cb.length * 4
                 RaBitQ.Code(cm.toArray, cb, cfg.bits, dim)
               }
               new VamanaGraph(ids, Array.empty, adj, medoid, cfg, codes)

@@ -216,10 +216,10 @@ final class VamanaGraph(
    */
   def insertAll(rows: Array[(Long, Array[Float])]): VamanaGraph = {
     if (rows.isEmpty) return this
-    // first insert into an empty graph = the initial build (no medoid to
-    // beam from yet)
-    if (ids.isEmpty) return VamanaGraph.build(rows.map(_._1), rows.map(_._2), cfg)
     require(rows.map(_._1).distinct.length == rows.length, "duplicate ids in insert batch")
+    // first insert into an empty graph = the initial build (no medoid to
+    // beam from yet); batch validation above still applies
+    if (ids.isEmpty) return VamanaGraph.build(rows.map(_._1), rows.map(_._2), cfg)
     rows.foreach { case (id, _) =>
       require(java.util.Arrays.binarySearch(ids, id) < 0, s"id $id already in graph")
     }
@@ -279,9 +279,17 @@ final class VamanaGraph(
       ids.indices.map(i => (ids(i), codes(i).meta.toSeq, codes(i).codes, adj(i).map(ids).toSeq))
         .toDF("id", "cmeta", "codes", "neighbors")
         .write.mode("overwrite").parquet(s"$dir/graph")
+    // dim is persisted explicitly: recovering it from packed code byte
+    // length is ambiguous for dims the bit width does not divide evenly
+    // (bits=2 packs 4/byte, so 10-dim and 12-dim codes are byte-identical
+    // in length). -1 marks the empty graph (dim unknown AND unneeded).
+    val dimVal =
+      if (ids.isEmpty) -1 else if (quantized) codes(0).dim else vecs(0).length
+    val medoidId = if (ids.isEmpty) -1L else ids(medoid)
     Seq((cfg.m, cfg.efConstruction, cfg.efSearch, cfg.alphas.mkString(","),
-        cfg.metric, ids(medoid), cfg.bits))
-      .toDF("m", "ef_construction", "ef_search", "alphas", "metric", "medoid_id", "bits")
+        cfg.metric, medoidId, cfg.bits, dimVal))
+      .toDF("m", "ef_construction", "ef_search", "alphas", "metric",
+        "medoid_id", "bits", "dim")
       .write.mode("overwrite").parquet(s"$dir/config")
   }
 }
@@ -457,35 +465,58 @@ object VamanaGraph {
     val withBits =
       if (cfgDf.columns.contains("bits")) cfgDf
       else cfgDf.withColumn("bits", lit(0))
-    val (m, efc, efs, alphas, metric, medoidId, bits) =
-      withBits.select("m", "ef_construction", "ef_search", "alphas", "metric", "medoid_id", "bits")
-        .as[(Int, Int, Int, String, String, Long, Int)].head()
+    // pre-round-6 dirs carry no dim column: -1 triggers the byte-length
+    // fallback below (exact only where the bit width divides the dim)
+    val withDim =
+      if (withBits.columns.contains("dim")) withBits
+      else withBits.withColumn("dim", lit(-1))
+    val (m, efc, efs, alphas, metric, medoidId, bits, dimCfg) =
+      withDim.select("m", "ef_construction", "ef_search", "alphas", "metric",
+          "medoid_id", "bits", "dim")
+        .as[(Int, Int, Int, String, String, Long, Int, Int)].head()
     val cfg = VamanaConfig(m, efc, efs, alphas.split(",").map(_.toDouble).toSeq, metric, bits)
+    // explicit read schemas: an EMPTY graph's save writes no part files,
+    // and a schema-inferred read would fail on the fileless directory
+    import org.apache.spark.sql.types._
     if (bits == 0) {
-      val rows = spark.read.parquet(s"$dir/graph")
+      val rows = spark.read.schema(StructType(Seq(
+          StructField("id", LongType),
+          StructField("vec", ArrayType(FloatType)),
+          StructField("neighbors", ArrayType(LongType)))))
+        .parquet(s"$dir/graph")
         .as[(Long, Seq[Float], Seq[Long])].collect().sortBy(_._1)
+      if (rows.isEmpty)
+        return new VamanaGraph(Array.empty, Array.empty, Array.empty, -1, cfg)
       val ids = rows.map(_._1)
       val idToIdx = ids.zipWithIndex.toMap
       new VamanaGraph(ids, rows.map(_._2.toArray),
         rows.map(_._3.flatMap(idToIdx.get).toArray), idToIdx(medoidId), cfg)
     } else {
-      val rows = spark.read.parquet(s"$dir/graph")
+      val rows = spark.read.schema(StructType(Seq(
+          StructField("id", LongType),
+          StructField("cmeta", ArrayType(FloatType)),
+          StructField("codes", BinaryType),
+          StructField("neighbors", ArrayType(LongType)))))
+        .parquet(s"$dir/graph")
         .select("id", "cmeta", "codes", "neighbors")
         .as[(Long, Seq[Float], Array[Byte], Seq[Long])].collect().sortBy(_._1)
-      val ids = rows.map(_._1)
-      val idToIdx = ids.zipWithIndex.toMap
-      val dim = {
-        // dim from config row count is unknown here; recover from metadata:
-        // codes length encodes it per width. bits=1 packs 8/byte so byte
-        // length is padding-ambiguous — but its sign lattice is all +-1,
-        // hence normOfLattice = sqrt(dim) EXACTLY: recover from cmeta
-        if (bits == 1) math.round(
+      if (rows.isEmpty)
+        return new VamanaGraph(Array.empty, Array.empty, Array.empty, -1, cfg,
+          Array.empty[RaBitQ.Code])
+      val dim =
+        if (dimCfg > 0) dimCfg
+        // legacy fallback for dirs saved before dim was persisted: bits=1
+        // recovers exactly from cmeta (normOfLattice = sqrt(dim) on the
+        // +-1 lattice); wider bits only from packed byte length, which is
+        // exact only when the width divides the dim
+        else if (bits == 1) math.round(
           rows.head._2(1).toDouble * rows.head._2(1).toDouble).toInt
         else {
           val c = rows.head._3.length
           if (bits == 8) c else if (bits == 4) c * 2 else c * 4
         }
-      }
+      val ids = rows.map(_._1)
+      val idToIdx = ids.zipWithIndex.toMap
       val codes = rows.map(r => RaBitQ.Code(r._2.toArray, r._3, bits, dim))
       new VamanaGraph(ids, Array.empty,
         rows.map(_._4.flatMap(idToIdx.get).toArray), idToIdx(medoidId), cfg, codes)

@@ -68,7 +68,14 @@ object Dedup {
       seen += h
       i += 1
     }
-    val out = seen.toArray
+    seen.toArray
+  }
+
+  /** [[shingleSet]] sorted — the canonical form [[jaccardSorted]] needs;
+    * the batch explode path skips the per-doc O(s log s) sort since row
+    * order is lost in the shuffle anyway. */
+  private[graft] def sortedShingleSet(th: Array[Long], n: Int): Array[Long] = {
+    val out = shingleSet(th, n)
     java.util.Arrays.sort(out)
     out
   }
@@ -704,6 +711,12 @@ object Dedup {
     * `unpersist` releases BOTH the pairs cache and the labels checkpoint
     * blocks (which `DataFrame.unpersist` alone would leave pinned). */
   final case class Pipeline(pairs: DataFrame, labels: DataFrame, cleaned: DataFrame) {
+    /** Releases ALL pipeline storage: the pairs cache and the labels
+      * localCheckpoint blocks. Call it AFTER consuming the outputs — a
+      * locally-checkpointed plan cannot be recomputed once its blocks are
+      * dropped, so actions on `labels`/`cleaned` after unpersist() fail
+      * (by design: the alternative was pinning the checkpoint blocks in
+      * executor storage for the session, the round-5 leak). */
     def unpersist(): Unit = {
       pairs.unpersist()
       org.apache.spark.sql.graft.ColumnBridge.unpersistCheckpointLeaves(labels)

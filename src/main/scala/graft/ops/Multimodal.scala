@@ -142,17 +142,7 @@ object Multimodal {
             if (img == null) Iterator.empty
             else {
               val w = img.getWidth; val h = img.getHeight
-              var sr = 0L; var sg = 0L; var sb = 0L
-              var y = 0
-              while (y < h) {
-                var x = 0
-                while (x < w) {
-                  val p = img.getRGB(x, y)
-                  sr += (p >> 16) & 0xff; sg += (p >> 8) & 0xff; sb += p & 0xff
-                  x += 1
-                }
-                y += 1
-              }
+              val (sr, sg, sb) = channelSums(argbRaster(img))
               val n = w.toDouble * h
               Iterator.single((id, w, h, sr / n, sg / n, sb / n))
             }
@@ -204,22 +194,30 @@ object Multimodal {
     * side*side downsampled grayscale grid (side = ceil(sqrt(dim-3)),
     * truncated to fill), unit-normalized. Deterministic in the pixels —
     * independent of the encoder that produced the bytes. */
+  /** One bulk ARGB fetch: row-batch getRGB skips the per-call ColorModel
+    * conversion of pixel-at-a-time getRGB(x, y) — shared by the stats and
+    * feature kernels. */
+  private def argbRaster(img: java.awt.image.BufferedImage): Array[Int] =
+    img.getRGB(0, 0, img.getWidth, img.getHeight, null, 0, img.getWidth)
+
+  private def channelSums(px: Array[Int]): (Long, Long, Long) = {
+    var sr = 0L; var sg = 0L; var sb = 0L
+    var i = 0
+    while (i < px.length) {
+      val p = px(i)
+      sr += (p >> 16) & 0xff; sg += (p >> 8) & 0xff; sb += p & 0xff
+      i += 1
+    }
+    (sr, sg, sb)
+  }
+
   private[ops] def pixelFeatures(img: java.awt.image.BufferedImage,
                                  dim: Int): Array[Float] = {
     require(dim >= 4, s"feature dim $dim too small for pixel stats")
     val w = img.getWidth; val h = img.getHeight
     val out = new Array[Float](dim)
-    var sr = 0L; var sg = 0L; var sb = 0L
-    var y = 0
-    while (y < h) {
-      var x = 0
-      while (x < w) {
-        val p = img.getRGB(x, y)
-        sr += (p >> 16) & 0xff; sg += (p >> 8) & 0xff; sb += p & 0xff
-        x += 1
-      }
-      y += 1
-    }
+    val px = argbRaster(img)
+    val (sr, sg, sb) = channelSums(px)
     val n = w.toDouble * h
     out(0) = (sr / n / 255.0).toFloat
     out(1) = (sg / n / 255.0).toFloat
@@ -240,7 +238,7 @@ object Multimodal {
         while (yy < math.min(y1, h)) {
           var xx = x0
           while (xx < math.min(x1, w)) {
-            val p = img.getRGB(xx, yy)
+            val p = px(yy * w + xx)
             s += 0.299 * ((p >> 16) & 0xff) + 0.587 * ((p >> 8) & 0xff) +
               0.114 * (p & 0xff)
             cnt += 1; xx += 1

@@ -169,7 +169,12 @@ object StreamOps {
    *    shingle-hash set in state (bounded by `maxShingles`, loud past it)
    *    and verify candidates with EXACT Jaccard — batch `minhashDedup`
    *    semantics: bucket collision is the only candidate filter, the
-   *    exact value gates and fills `est_jac`.
+   *    exact value gates and fills `est_jac`. COST: the shingle array
+   *    rides every band-key row, so exact mode multiplies both the
+   *    per-batch shuffle and the resident state by `bands` (default 16)
+   *    relative to signatures alone — worst case maxBucket x maxShingles
+   *    x 8 bytes per bucket. Size maxShingles/maxBucket to the executor,
+   *    or stay in estimate mode and batch-verify downstream.
    *  - a pair sharing several buckets may be emitted more than once
    *    (append-mode state is per-bucket); consumers dedup on (da, db).
    *
@@ -203,7 +208,7 @@ object StreamOps {
           val sh =
             if (!exactVerify) Array.emptyLongArray
             else {
-              val s = graft.ops.Dedup.shingleSet(th, nn)
+              val s = graft.ops.Dedup.sortedShingleSet(th, nn)
               require(s.length <= maxShingles,
                 s"dedupIngest(exactVerify): doc $id has ${s.length} distinct " +
                 s"shingles > maxShingles=$maxShingles — exact streaming state " +

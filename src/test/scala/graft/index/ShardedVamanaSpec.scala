@@ -199,6 +199,24 @@ class ShardedVamanaSpec extends SparkSpec {
     }
   }
 
+  test("quantized sharded load at a dim the bit width does not divide " +
+       "(dim=10, bits=2): search works after load") {
+    import spark.implicits._
+    val rng = new scala.util.Random(23)
+    val rows = (0L until 200L).map(i => (i, Seq.fill(10)(rng.nextFloat())))
+    val d = Files.createTempDirectory("sv-d10").toString
+    ShardedVamana.build(rows.toDF("id", "vec"), "id", "vec", d,
+      VamanaConfig(m = 8, bits = 2), shards = 3)
+    val h = ShardedVamana.load(spark, d)
+    try {
+      val q = rows(5)._2.toArray
+      val got = h.search(spark, Array(0L -> q), 1,
+          rerankTable = Some((rows.toDF("id", "vec"), "id", "vec")))
+        .select("id").as[Long].collect()
+      assert(got.headOption.contains(5L))
+    } finally h.unpersist()
+  }
+
   test("empty sharded build (issue_427): all-NULL column loads as zero " +
        "shards, first insert seeds, snapshot round-trips") {
     import spark.implicits._

@@ -275,6 +275,22 @@ class VamanaGraphSpec extends SparkSpec {
     assertThrows[IllegalArgumentException](g1.insertAll(Array(data.head)))
   }
 
+  test("quantized save/load at a dim the bit width does not divide " +
+       "(dim=10, bits=2): searches identically after reload") {
+    // byte-length dim recovery is ambiguous here ((10+3)/4 = 3 bytes =
+    // 12-dim's length); dim is persisted in config since round 6
+    val rng = new scala.util.Random(11)
+    val d10 = (0L until 300L).map(i => i -> Array.fill(10)(rng.nextFloat()))
+    val g = VamanaGraph.build(d10.map(_._1).toArray, d10.map(_._2).toArray,
+      VamanaConfig(m = 12, bits = 2))
+    val dir = Files.createTempDirectory("graft-vam-d10").toString
+    g.save(spark, dir)
+    val loaded = VamanaGraph.load(spark, dir)
+    val q = Array.fill(10)(0.4f)
+    assert(loaded.search(q, 5).toSeq == g.search(q, 5).toSeq)
+    assert(loaded.codes(0).dim == 10)
+  }
+
   test("empty graph (issue_427): all-NULL build serves empty, first insert " +
        "bootstraps, vacuum-to-empty re-bootstraps") {
     import spark.implicits._

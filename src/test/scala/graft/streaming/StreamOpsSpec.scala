@@ -200,7 +200,7 @@ class StreamOpsSpec extends SparkSpec {
       val ta = a.map(D.hash64); val tb = b.map(D.hash64)
       val sa = D.sigFromTokens(ta, n, nh); val sb = D.sigFromTokens(tb, n, nh)
       val est = (0 until nh).count(i => sa(i) == sb(i)).toDouble / nh
-      val exact = D.jaccardSorted(D.shingleSet(ta, n), D.shingleSet(tb, n))
+      val exact = D.jaccardSorted(D.sortedShingleSet(ta, n), D.sortedShingleSet(tb, n))
       val shared = D.bandKeys(sa, bands, r).toSet
         .intersect(D.bandKeys(sb, bands, r).toSet).nonEmpty
       (est, exact, shared)
