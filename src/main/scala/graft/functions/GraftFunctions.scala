@@ -43,6 +43,13 @@ object GraftFunctions {
   def vecCosdist(a: Column, b: Column): Column = toCol(VecCosDistExpr(toExpr(a), toExpr(b)))
   def vecNorm(a: Column): Column = toCol(VecNormExpr(toExpr(a)))
 
+  // Same metrics with the LEFT side in packed-f16 binary (the halfvec
+  // STORAGE form, Half.encodeBytes) — decode-on-the-fly codegen, no
+  // boxed UDF on the f16 rerank/range path.
+  def vecL2Half(a: Column, b: Column): Column = toCol(VecL2HalfExpr(toExpr(a), toExpr(b)))
+  def vecNegdotHalf(a: Column, b: Column): Column = toCol(VecNegDotHalfExpr(toExpr(a), toExpr(b)))
+  def vecCosdistHalf(a: Column, b: Column): Column = toCol(VecCosDistHalfExpr(toExpr(a), toExpr(b)))
+
   val vecNormalize: UserDefinedFunction =
     udf((a: Seq[Float]) => K.normalize(arr(a)).toSeq)
   /** `@#` MaxSim — a native Expression so the ANN planner rule can match
@@ -190,6 +197,9 @@ object GraftFunctions {
     bin("vec_negdot", VecNegDotExpr.apply)
     bin("vec_cosdist", VecCosDistExpr.apply)
     bin("vec_maxsim", VecMaxSimExpr.apply)
+    bin("vec_l2_half", VecL2HalfExpr.apply)
+    bin("vec_negdot_half", VecNegDotHalfExpr.apply)
+    bin("vec_cosdist_half", VecCosDistHalfExpr.apply)
     reg.registerFunction(FunctionIdentifier("vec_norm"),
       new ExpressionInfo(classOf[VecNormExpr].getName, "vec_norm"),
       exprs => { require(exprs.length == 1, "vec_norm takes 1 argument"); VecNormExpr(exprs.head) })

@@ -65,6 +65,53 @@ object VecExprKernels {
     math.sqrt(s)
   }
 
+  // ---- halfvec (f16-packed binary) tier: decode-on-the-fly kernels.
+  // The byte layout is Half.encodeBytes' little-endian f16 pairs; each
+  // element widens to f32 then accumulates in double — bit-identical to
+  // `kernel(Half.decodeBytes(bytes), q)` without materializing the
+  // decoded array, and it keeps the f16 rerank/range path inside
+  // WholeStageCodegen instead of a boxed Array[Byte] UDF. ----
+
+  @inline private def halfAt(b: Array[Byte], i: Int): Float =
+    graft.core.Half.halfToFloat(
+      (((b(2 * i + 1) & 0xff) << 8) | (b(2 * i) & 0xff)).toShort)
+
+  @inline private def checkHalfDims(a: Array[Byte], b: ArrayData): Int = {
+    val n = b.numElements()
+    require(a.length == n * 2, s"halfvec byte length ${a.length} != 2*$n")
+    n
+  }
+
+  def l2Half(a: Array[Byte], b: ArrayData): Double = {
+    val n = checkHalfDims(a, b)
+    var s = 0.0; var i = 0
+    while (i < n) {
+      val d = halfAt(a, i).toDouble - b.getFloat(i).toDouble
+      s += d * d; i += 1
+    }
+    math.sqrt(s)
+  }
+
+  def negdotHalf(a: Array[Byte], b: ArrayData): Double = {
+    val n = checkHalfDims(a, b)
+    var s = 0.0; var i = 0
+    while (i < n) { s += halfAt(a, i).toDouble * b.getFloat(i).toDouble; i += 1 }
+    -s
+  }
+
+  def cosdistHalf(a: Array[Byte], b: ArrayData): Double = {
+    val n = checkHalfDims(a, b)
+    var dot = 0.0; var na2 = 0.0; var nb2 = 0.0
+    var i = 0
+    while (i < n) {
+      val x = halfAt(a, i).toDouble; val y = b.getFloat(i).toDouble
+      dot += x * y; na2 += x * x; nb2 += y * y
+      i += 1
+    }
+    val na = math.sqrt(na2); val nb = math.sqrt(nb2)
+    if (na == 0.0 || nb == 0.0) 1.0 else 1.0 - dot / (na * nb)
+  }
+
   /** MaxSim `@#` over two array<array<float>> values — accumulation order
     * identical to VectorKernels.maxsim (sum over query tokens of min over
     * doc tokens of negdot). */
@@ -143,6 +190,50 @@ case class VecMaxSimExpr(left: Expression, right: Expression)
     VecExprKernels.maxsim(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, (a, b) => s"graft.functions.VecExprKernels.maxsim($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** Halfvec distance expressions: left = packed-f16 binary (the halfvec
+  * storage form, Half.encodeBytes), right = array<float> query. Same
+  * double accumulation as the f32 tier, decoded element-at-a-time —
+  * the codegen replacement for the f16 rerank UDF the round-6 verdict
+  * flagged (de-boxing item #6). */
+sealed trait VecHalfBinaryBase extends BinaryExpression with ImplicitCastInputTypes {
+  override def dataType: DataType = DoubleType
+  override def inputTypes = Seq(BinaryType, ArrayType(FloatType))
+  protected def kernelName: String
+  protected def kernel(a: Array[Byte], b: ArrayData): Double
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    kernel(a.asInstanceOf[Array[Byte]], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.VecExprKernels.$kernelName($a, $b)")
+}
+
+/** `<->` over halfvec storage. */
+case class VecL2HalfExpr(left: Expression, right: Expression) extends VecHalfBinaryBase {
+  override def prettyName: String = "vec_l2_half"
+  override protected def kernelName: String = "l2Half"
+  override protected def kernel(a: Array[Byte], b: ArrayData): Double = VecExprKernels.l2Half(a, b)
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** `<#>` over halfvec storage. */
+case class VecNegDotHalfExpr(left: Expression, right: Expression) extends VecHalfBinaryBase {
+  override def prettyName: String = "vec_negdot_half"
+  override protected def kernelName: String = "negdotHalf"
+  override protected def kernel(a: Array[Byte], b: ArrayData): Double = VecExprKernels.negdotHalf(a, b)
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** `<=>` over halfvec storage. */
+case class VecCosDistHalfExpr(left: Expression, right: Expression) extends VecHalfBinaryBase {
+  override def prettyName: String = "vec_cosdist_half"
+  override protected def kernelName: String = "cosdistHalf"
+  override protected def kernel(a: Array[Byte], b: ArrayData): Double = VecExprKernels.cosdistHalf(a, b)
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
 }

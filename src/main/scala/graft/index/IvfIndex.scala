@@ -62,13 +62,24 @@ final case class IvfConfig(
                                   // tuples.rs:74-76 `cells: Vec<u32>`,
                                   // am/am_build.rs:1355-1385); leaves stay
                                   // `lists`
-    dim: Int = 0) {               // >0: declared vector dim — the
+    dim: Int = 0,                 // >0: declared vector dim — the
                                   // reference's `vector(3)` typmod (S13).
                                   // Optional when data has vectors (then
                                   // it must MATCH); required to build over
                                   // a column with no non-null vectors
                                   // (tests/general/issue_427.slt indexes
                                   // an all-NULL column without error)
+    storeVectors: Boolean = true) { // false = CODES-ONLY index: no vec
+                                  // column is written — the reference's
+                                  // small-index economics behind
+                                  // `rerank_in_table=true` (src/index/
+                                  // vchordrq/types.rs:19-45, rerank from
+                                  // the heap crates/vchordrq/src/rerank.rs
+                                  // :111+). At 768d the vec column is
+                                  // ~12-24x the code bytes, so this cuts
+                                  // build IO and index size ~10x; every
+                                  // search/range call must then pass
+                                  // rerankTable=Some((sourceDf, id, vec))
   /** Internal level sizes, coarse -> fine (lists1 is sugar for one level). */
   def effectiveUpper: Seq[Int] =
     if (upperLists.nonEmpty) upperLists else if (lists1 > 0) Seq(lists1) else Nil
@@ -169,7 +180,15 @@ object IvfIndex {
       val code = RaBitQ.quantize(toCode, bits)
       (cid, id, vec, code.meta, code.codes)
     }
-    if (f16)
+    if (!cfg.storeVectors)
+      // codes-only: the full vector is still computed (quantization input)
+      // but never ships past this map — no Half encode, no array column,
+      // ~10x fewer written bytes at 768d (the measured 87%-IO build wall)
+      base.map { case (id, v) =>
+        val (cid, i, _, m, c) = encodeOne(id, v)
+        (cid, i, m, c)
+      }.toDF("cluster_id", "id", "cmeta", "codes")
+    else if (f16)
       base.map { case (id, v) =>
         val (cid, i, vec, m, c) = encodeOne(id, v)
         (cid, i, graft.core.Half.encodeBytes(vec), m, c)
@@ -200,6 +219,7 @@ object IvfIndex {
     p.setProperty("rotate", cfg.rotate.toString)
     p.setProperty("lists1", cfg.lists1.toString)
     p.setProperty("storage", cfg.storage)
+    p.setProperty("store_vectors", cfg.storeVectors.toString)
     p.setProperty("upper_lists", cfg.upperLists.mkString(","))
     val w = Files.newBufferedWriter(Paths.get(dir, "meta.properties"))
     try p.store(w, "graft ivf index meta") finally w.close()
@@ -433,7 +453,9 @@ object IvfIndex {
         rotate = p.getProperty("rotate").toBoolean,
         lists1 = p.getProperty("lists1").toInt,
         storage = p.getProperty("storage"),
-        upperLists = if (upperProp.isEmpty) Nil else upperProp.split(",").map(_.toInt).toSeq)
+        upperLists = if (upperProp.isEmpty) Nil else upperProp.split(",").map(_.toInt).toSeq,
+        // pre-round-7 indexes always stored vectors
+        storeVectors = Option(p.getProperty("store_vectors")).forall(_.toBoolean))
       val centroids = readFloatBlock(Paths.get(dir, "centroids.bin"))
       def readChildren(path: Path): Array[Array[Int]] =
         Files.readString(path).split("\n")
@@ -498,6 +520,22 @@ object IvfIndex {
     }
     if (d < r) Iterator.single((qid, id, d)) else Iterator.empty
   }
+
+  /** [[cutStatic]] against RAW source-table vectors and raw queries (the
+    * rerank-in-table shape): cosine must renormalize — the table's
+    * vectors are the user's originals, not the index's normalized
+    * store. */
+  private[index] def cutStaticRaw(qs: Map[Long, (Array[Float], Double)],
+                                  qid: Long, id: Long, v: Array[Float],
+                                  metric: String): Iterator[(Long, Long, Double)] = {
+    val (q, r) = qs(qid)
+    val d = metric match {
+      case "l2"      => K.l2(v, q)
+      case "negdot"  => K.negdot(v, q)
+      case "cosdist" => K.cosdist(v, q)
+    }
+    if (d < r) Iterator.single((qid, id, d)) else Iterator.empty
+  }
 }
 
 final class IvfIndex(val spark: SparkSession, val dir: String, val meta: IvfMeta) {
@@ -511,7 +549,9 @@ final class IvfIndex(val spark: SparkSession, val dir: String, val meta: IvfMeta
     Files.exists(p) && Files.list(p).findFirst().isPresent
   }
 
-  private val dataCols = Seq("cluster_id", "id", "vec", "cmeta", "codes")
+  private val dataCols: Seq[String] =
+    if (meta.cfg.storeVectors) Seq("cluster_id", "id", "vec", "cmeta", "codes")
+    else Seq("cluster_id", "id", "cmeta", "codes")
 
   /** Explicit read schema: an EMPTY generation (built over a table with no
     * non-null vectors, issue_427 lifecycle) writes no part files, and a
@@ -522,10 +562,11 @@ final class IvfIndex(val spark: SparkSession, val dir: String, val meta: IvfMeta
     import org.apache.spark.sql.types._
     val vecType: DataType =
       if (meta.cfg.storage == "f16") BinaryType else ArrayType(FloatType)
+    val vecField =
+      if (meta.cfg.storeVectors) Seq(StructField("vec", vecType)) else Nil
     StructType(Seq(
       StructField("cluster_id", IntegerType),
-      StructField("id", LongType),
-      StructField("vec", vecType),
+      StructField("id", LongType)) ++ vecField ++ Seq(
       StructField("cmeta", ArrayType(FloatType)),
       StructField("codes", BinaryType)))
   }
@@ -662,6 +703,16 @@ final class IvfIndex(val spark: SparkSession, val dir: String, val meta: IvfMeta
     else dataDf.select(dataCols.filter(_ != "vec").map(col): _*)
   }
 
+  /** Codes-only indexes have no stored vectors to rerank against — every
+    * exact-distance phase must fetch from the source table, the pairing
+    * the reference enforces for its small-index mode (rerank_in_table,
+    * src/index/vchordrq/types.rs:19-45). */
+  private def requireRerankSource(rt: Option[(DataFrame, String, String)]): Unit =
+    require(meta.cfg.storeVectors || rt.nonEmpty,
+      "codes-only index (storeVectors=false) stores no vectors: pass " +
+      "rerankTable=Some((sourceDf, idCol, vecCol)) so the exact phase can " +
+      "fetch original vectors from the source table")
+
   private def prepQuery(q: Array[Float]): Array[Float] = {
     val pre = if (meta.cfg.metric == "cosdist") K.normalize(q) else q
     if (meta.cfg.rotate) new Rotation(meta.origDim)(pre) else pre
@@ -669,27 +720,26 @@ final class IvfIndex(val spark: SparkSession, val dir: String, val meta: IvfMeta
 
   /** User-visible distance from internal stored vectors (already
     * normalized for cosine), matching reference output mapping
-    * (reference: src/index/vchordrq/opclass.rs:244-262). f32 storage uses
-    * the native codegen expressions (query as an array literal — no
-    * boxed Seq[Float] deserialization, stays in WholeStageCodegen);
-    * f16 keeps a binary-input UDF for the half-float decode. */
+    * (reference: src/index/vchordrq/opclass.rs:244-262). Both storage
+    * tiers use native codegen expressions (query as an array literal —
+    * no boxed deserialization, stays in WholeStageCodegen); the f16 tier
+    * decodes half floats element-at-a-time inside the generated loop. */
   private def exactDistCol(qq: Array[Float]): org.apache.spark.sql.Column => org.apache.spark.sql.Column = {
+    val qLit = typedlit(qq.toSeq)
+    import graft.functions.GraftFunctions._
     if (meta.cfg.storage == "f16") {
-      val bq = spark.sparkContext.broadcast(qq)
-      val f: (Array[Float], Array[Float]) => Double = meta.cfg.metric match {
-        case "l2"      => K.l2
-        case "negdot"  => K.negdot
-        case "cosdist" => (v, q) => 1.0 + K.negdot(v, q)
-      }
-      val u = udf((v: Array[Byte]) => f(graft.core.Half.decodeBytes(v), bq.value))
-      v => u(v)
-    } else {
-      val qLit = typedlit(qq.toSeq)
       meta.cfg.metric match {
-        case "l2"      => v => graft.functions.GraftFunctions.vecL2(v, qLit)
-        case "negdot"  => v => graft.functions.GraftFunctions.vecNegdot(v, qLit)
+        case "l2"      => v => vecL2Half(v, qLit)
+        case "negdot"  => v => vecNegdotHalf(v, qLit)
         // stored vectors are normalized: cosdist = 1 + negdot(v, q_normalized)
-        case "cosdist" => v => lit(1.0) + graft.functions.GraftFunctions.vecNegdot(v, qLit)
+        case "cosdist" => v => lit(1.0) + vecNegdotHalf(v, qLit)
+      }
+    } else {
+      meta.cfg.metric match {
+        case "l2"      => v => vecL2(v, qLit)
+        case "negdot"  => v => vecNegdot(v, qLit)
+        // stored vectors are normalized: cosdist = 1 + negdot(v, q_normalized)
+        case "cosdist" => v => lit(1.0) + vecNegdot(v, qLit)
       }
     }
   }
@@ -822,6 +872,7 @@ final class IvfIndex(val spark: SparkSession, val dir: String, val meta: IvfMeta
              refine: Int = 8,
              rerankTable: Option[(DataFrame, String, String)] = None,
              probes1: Int = -1): DataFrame = {
+    requireRerankSource(rerankTable)
     graft.eval.QueryRecorder.record(dir, q)
     val qq = prepQuery(q)
     val probed = probe(q, probes, probes1)
@@ -881,15 +932,26 @@ final class IvfIndex(val spark: SparkSession, val dir: String, val meta: IvfMeta
   }
 
   /** Per-cell radius: max stored-space L2 distance from a member to its
-    * centroid, cached with dataDf's invalidation key. One ZERO-BOXING
-    * pruned-column pass on first use — partition-local maxima collected
-    * and merged on the driver (≤ partitions·lists fixed-width pairs, no
-    * shuffle; a UDF formulation here deserialized a boxed Seq[Float] per
-    * row and was 50x slower at 1M rows). The cell-level triangle bound
-    * for [[rangeSearch]]: a cell can hold a row within `r` of the query
-    * only if d(q, centroid) - cellRadius < r. */
-  @volatile private var cellRadiiCache: (String, Boolean, Long, Map[Int, Double]) = null
-  private def cellRadii: Map[Int, Double] = {
+    * centroid, cached with dataDf's invalidation key. The cell-level
+    * triangle bound for [[rangeSearch]]: a cell can hold a row within `r`
+    * of the query only if d(q, centroid) - cellRadius < r.
+    *
+    * With residual codes (the default), the radius comes from the CODES
+    * METADATA alone: RaBitQ stores disU2 = |quantizer input|^2 and the
+    * residual input IS (v - centroid) in stored space, so sqrt(disU2) is
+    * exactly the member->centroid distance — no vector column touched
+    * (works on codes-only indexes, and turns the first-range-query pass
+    * into a narrow cmeta scan on every index). Radii are inflated by a
+    * hair to cover f32-vs-f64 accumulation differences: an INFLATED
+    * radius only ever keeps extra cells (the exact cutoff filters them),
+    * an underestimated one could wrongly prune a boundary row.
+    *
+    * Non-residual indexes fall back to the vec-column pass (zero-boxing
+    * partition-local maxima, ≤ partitions·lists pairs to the driver, no
+    * shuffle); non-residual AND codes-only returns None — callers then
+    * skip cell pruning (correct, just unpruned). */
+  @volatile private var cellRadiiCache: (String, Boolean, Long, Option[Map[Int, Double]]) = null
+  private def cellRadii: Option[Map[Int, Double]] = {
     val gen = currentGen
     val delta = deltaExists
     val ver = mutations.get()
@@ -912,22 +974,30 @@ final class IvfIndex(val spark: SparkSession, val dir: String, val meta: IvfMeta
           acc.entrySet().iterator().asScala
             .map(e => (e.getKey.intValue, e.getValue.doubleValue))
         }.collect()
-      val parts =
-        if (meta.cfg.storage == "f16")
-          partials[Array[Byte]](
+      val parts: Option[Array[(Int, Double)]] =
+        if (meta.cfg.residual)
+          Some(partials[Array[Float]](
+            codesDf.select(col("cluster_id"), col("cmeta")).as[(Int, Array[Float])],
+            (cm, _) => math.sqrt(cm(0).toDouble) * (1.0 + 1e-3) + 1e-6))
+        else if (!meta.cfg.storeVectors) None
+        else if (meta.cfg.storage == "f16")
+          Some(partials[Array[Byte]](
             dataDf.select(col("cluster_id"), col("vec")).as[(Int, Array[Byte])],
-            (b, c) => K.l2(graft.core.Half.decodeBytes(b), c))
+            (b, c) => K.l2(graft.core.Half.decodeBytes(b), c)))
         else
-          partials[Array[Float]](
+          Some(partials[Array[Float]](
             dataDf.select(col("cluster_id"), col("vec").cast("array<float>"))
               .as[(Int, Array[Float])],
-            (v, c) => K.l2(v, c))
-      val m = scala.collection.mutable.HashMap[Int, Double]()
-      parts.foreach { case (cid, d) =>
-        if (d > m.getOrElse(cid, -1.0)) m(cid) = d
+            (v, c) => K.l2(v, c)))
+      val res = parts.map { ps =>
+        val m = scala.collection.mutable.HashMap[Int, Double]()
+        ps.foreach { case (cid, d) =>
+          if (d > m.getOrElse(cid, -1.0)) m(cid) = d
+        }
+        m.toMap
       }
-      cellRadiiCache = (gen, delta, ver, m.toMap)
-      m.toMap
+      cellRadiiCache = (gen, delta, ver, res)
+      res
     }
   }
 
@@ -947,13 +1017,14 @@ final class IvfIndex(val spark: SparkSession, val dir: String, val meta: IvfMeta
       case "cosdist" => Some(math.sqrt(2.0 * math.min(radius, 2.0)))
       case _ => None
     }
-    l2Radius match {
-      case Some(r) =>
-        val radii = cellRadii
+    (l2Radius, cellRadii) match {
+      case (Some(r), Some(radii)) =>
         meta.centroids.indices.filter { i =>
           math.sqrt(K.l2s(qq, meta.centroids(i))) - radii.getOrElse(i, 0.0) < r
         }.toArray
-      case None => meta.centroids.indices.toArray
+      // no radii (non-residual codes-only) or no triangle bound (negdot):
+      // every cell stays — the codes-only estimate scan still prunes rows
+      case _ => meta.centroids.indices.toArray
     }
   }
 
@@ -1028,6 +1099,7 @@ final class IvfIndex(val spark: SparkSession, val dir: String, val meta: IvfMeta
   def rangeSearch(center: Array[Float], radius: Double, epsilon: Double = 1.9,
                   rerankTable: Option[(DataFrame, String, String)] = None,
                   maxInList: Int = 8192): DataFrame = {
+    requireRerankSource(rerankTable)
     graft.eval.QueryRecorder.record(dir, center)
     // bounded probe: collect at most maxInList+1 ids to pick the shape
     val cand = rangeCandidateIds(center, radius, epsilon, maxInList)
@@ -1115,10 +1187,12 @@ final class IvfIndex(val spark: SparkSession, val dir: String, val meta: IvfMeta
    * Output: (qid, id, dist) ascending (qid, dist, id).
    */
   def rangeSearchMany(queries: Array[(Long, Array[Float], Double)],
-                      epsilon: Double = 1.9): DataFrame = {
+                      epsilon: Double = 1.9,
+                      rerankTable: Option[(DataFrame, String, String)] = None): DataFrame = {
     require(queries.nonEmpty, "empty query batch")
     require(queries.map(_._1).distinct.length == queries.length,
       "duplicate qids in query batch — results would silently merge")
+    requireRerankSource(rerankTable)
     queries.foreach(q => graft.eval.QueryRecorder.record(dir, q._2))
     val metric = meta.cfg.metric
     val bits = meta.cfg.bits
@@ -1172,30 +1246,46 @@ final class IvfIndex(val spark: SparkSession, val dir: String, val meta: IvfMeta
     // kernel runs zero-boxing over (qid, vec) rows. Queries are PREPPED
     // on the driver (normalize/rotate), so the closure ships only the
     // prepped map — never `meta` or its centroid arrays.
-    val bQs = spark.sparkContext.broadcast(
-      queries.map(q => q._1 -> (prepQuery(q._2), q._3)).toMap)
-    val isF16 = meta.cfg.storage == "f16"
-    val rows = dataDf
-      .filter(col("cluster_id").isin(allCells.map(Integer.valueOf): _*))
-      .select(col("id"), col("vec"))
-    val joined = rows.join(cand, Seq("id"))
-    import IvfIndex.cutStatic
-    val scored =
-      (if (isF16)
-        joined.select(col("qid"), col("id"), col("vec")).as[(Long, Long, Array[Byte])]
+    import IvfIndex.{cutStatic, cutStaticRaw}
+    val scored = rerankTable match {
+      case None =>
+        val bQs = spark.sparkContext.broadcast(
+          queries.map(q => q._1 -> (prepQuery(q._2), q._3)).toMap)
+        val isF16 = meta.cfg.storage == "f16"
+        val rows = dataDf
+          .filter(col("cluster_id").isin(allCells.map(Integer.valueOf): _*))
+          .select(col("id"), col("vec"))
+        val joined = rows.join(cand, Seq("id"))
+        if (isF16)
+          joined.select(col("qid"), col("id"), col("vec")).as[(Long, Long, Array[Byte])]
+            .mapPartitions { it =>
+              val qs = bQs.value
+              it.flatMap { case (qid, id, vb) =>
+                cutStatic(qs, qid, id, graft.core.Half.decodeBytes(vb), metric)
+              }
+            }.toDF("qid", "id", "dist")
+        else
+          joined.select(col("qid"), col("id"), col("vec").cast("array<float>"))
+            .as[(Long, Long, Array[Float])]
+            .mapPartitions { it =>
+              val qs = bQs.value
+              it.flatMap { case (qid, id, v) => cutStatic(qs, qid, id, v, metric) }
+            }.toDF("qid", "id", "dist")
+      case Some((src, idCol, vecCol)) =>
+        // rerank-in-table: candidates join the SOURCE table (original f32
+        // vectors, RAW queries) — the only exact path a codes-only index
+        // has, and the batch analogue of rangeSearch's table branch
+        val bQs = spark.sparkContext.broadcast(
+          queries.map(q => q._1 -> (q._2, q._3)).toMap)
+        src.select(col(idCol).cast("long").as("id"),
+            col(vecCol).cast("array<float>").as("__v"))
+          .join(cand, Seq("id"))
+          .select(col("qid"), col("id"), col("__v")).as[(Long, Long, Array[Float])]
           .mapPartitions { it =>
             val qs = bQs.value
-            it.flatMap { case (qid, id, vb) =>
-              cutStatic(qs, qid, id, graft.core.Half.decodeBytes(vb), metric)
-            }
-          }
-      else
-        joined.select(col("qid"), col("id"), col("vec").cast("array<float>"))
-          .as[(Long, Long, Array[Float])]
-          .mapPartitions { it =>
-            val qs = bQs.value
-            it.flatMap { case (qid, id, v) => cutStatic(qs, qid, id, v, metric) }
-          }).toDF("qid", "id", "dist")
+            it.flatMap { case (qid, id, v) => cutStaticRaw(qs, qid, id, v, metric) }
+          }.toDF("qid", "id", "dist")
+    }
     scored.orderBy("qid", "dist", "id")
   }
 
@@ -1225,6 +1315,9 @@ final class IvfIndex(val spark: SparkSession, val dir: String, val meta: IvfMeta
     require(queries.nonEmpty, "empty query batch")
     require(queries.map(_._1).distinct.length == queries.length,
       "duplicate qids in query batch — results would silently merge")
+    // exactBudget == 0 is pure-estimate output (maxsim_refine = 0): no
+    // exact phase runs, so a codes-only index serves it without a source
+    if (exactBudget != 0) requireRerankSource(rerankTable)
     // exactBudget >= 0 switches to the reference's per-query refine budget
     // (maxsim_refine, src/index/vchordrq/scanners/maxsim.rs:99-260): the
     // output set is the top-k BY ESTIMATE, of which only the first
@@ -1431,15 +1524,28 @@ final class IvfIndex(val spark: SparkSession, val dir: String, val meta: IvfMeta
 
   /**
    * Exact search through the index path (all partitions, no estimate) —
-   * the recall ground truth, and the oracle-checkable mode.
+   * the recall ground truth, and the oracle-checkable mode. On a
+   * codes-only index the scan runs over the rerank table's original
+   * vectors instead (same distances; the index stores nothing exact).
    */
-  def searchExact(q: Array[Float], k: Int): DataFrame = {
-    val qq = prepQuery(q)
-    val exact = exactDistCol(qq)
-    dataDf
-      .select($"id", exact($"vec").as("dist"))
-      .orderBy($"dist", $"id")
-      .limit(k)
+  def searchExact(q: Array[Float], k: Int,
+                  rerankTable: Option[(DataFrame, String, String)] = None): DataFrame = {
+    requireRerankSource(rerankTable)
+    rerankTable match {
+      case Some((src, idCol, vecCol)) if !meta.cfg.storeVectors =>
+        val exact = rawDistCol(q)
+        src.filter(col(vecCol).isNotNull && col(idCol).isNotNull)
+          .select(col(idCol).cast("long").as("id"), exact(col(vecCol)).as("dist"))
+          .orderBy(col("dist"), col("id"))
+          .limit(k)
+      case _ =>
+        val qq = prepQuery(q)
+        val exact = exactDistCol(qq)
+        dataDf
+          .select($"id", exact($"vec").as("dist"))
+          .orderBy($"dist", $"id")
+          .limit(k)
+    }
   }
 
   /**
@@ -1448,9 +1554,11 @@ final class IvfIndex(val spark: SparkSession, val dir: String, val meta: IvfMeta
    * sql/install/vchord--1.1.1.sql:1021-1092).
    */
   def evaluateRecall(q: Array[Float], k: Int, probes: Int = 4, epsilon: Double = 1.9,
-                     refine: Int = 8): Double = {
-    val ann = search(q, k, probes, epsilon, refine).select("id").as[Long].collect().toSet
-    val exact = searchExact(q, k).select("id").as[Long].collect().toSet
+                     refine: Int = 8,
+                     rerankTable: Option[(DataFrame, String, String)] = None): Double = {
+    val ann = search(q, k, probes, epsilon, refine, rerankTable)
+      .select("id").as[Long].collect().toSet
+    val exact = searchExact(q, k, rerankTable).select("id").as[Long].collect().toSet
     if (exact.isEmpty) Double.NaN
     else ann.intersect(exact).size.toDouble / exact.size
   }

@@ -57,7 +57,10 @@ import graft.index.IvfIndex
  * or globally with spark.sql.extensions=graft.plans.GraftSparkExtensions.
  */
 object AnnCatalog {
-  final case class Entry(indexDir: String, idCol: String, vecCol: String)
+  /** `tablePath` kept on the entry so a CODES-ONLY index (storeVectors =
+    * false) can fetch rerank vectors from its source table at serve time. */
+  final case class Entry(indexDir: String, idCol: String, vecCol: String,
+                         tablePath: String = "")
 
   private val entries = new java.util.concurrent.ConcurrentHashMap[String, Entry]()
   private val indexes = new java.util.concurrent.ConcurrentHashMap[String, IvfIndex]()
@@ -67,7 +70,7 @@ object AnnCatalog {
 
   /** Register: reads of `tablePath` may be served by the index at `indexDir`. */
   def register(tablePath: String, indexDir: String, idCol: String, vecCol: String): Unit =
-    entries.put(norm(tablePath), Entry(indexDir, idCol, vecCol))
+    entries.put(norm(tablePath), Entry(indexDir, idCol, vecCol, tablePath))
 
   def unregister(tablePath: String): Unit = entries.remove(norm(tablePath))
 
@@ -521,6 +524,13 @@ case class AnnTopKRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
 
     val qArr = qv.toFloatArray()
     import spark.implicits._
+    // codes-only index: candidate pools rerank against the SOURCE table
+    // (the reference's rerank_in_table pairing); a full index keeps the
+    // cheaper in-index rerank. Exactness of the final output is the
+    // rewritten plan's Sort+Limit either way.
+    val rt: Option[(org.apache.spark.sql.DataFrame, String, String)] =
+      if (idx.meta.cfg.storeVectors || entry.tablePath.isEmpty) None
+      else Some((spark.read.parquet(entry.tablePath), entry.idCol, entry.vecCol))
     def planWith(ids: Array[Long]): LogicalPlan = {
       val filter = Filter(In(idAttr, scala.collection.immutable.ArraySeq.unsafeWrapArray(ids.map(idLit))), child)
       val sorted = Sort(sort.order, global = true, filter)
@@ -560,7 +570,8 @@ case class AnnTopKRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
         def poolSize(r: Int): Long = math.min(k.toLong * r, n)
         def pool(p: Int, r: Int): Array[Long] = {
           AnnTopKRewrite.planningJobs.incrementAndGet()
-          idx.search(qArr, poolSize(r).toInt, probes = p, refine = 1)
+          idx.search(qArr, poolSize(r).toInt, probes = p, refine = 1,
+              rerankTable = rt)
             .select("id").as[Long].collect()
         }
         if (poolSize(r) > maxInList) return Some(gl)
@@ -585,7 +596,8 @@ case class AnnTopKRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
 
     predOpt match {
       case None =>
-        val ids = idx.search(qArr, k, probes = probes0, refine = refine0)
+        val ids = idx.search(qArr, k, probes = probes0, refine = refine0,
+            rerankTable = rt)
           .select("id").as[Long].collect()
         if (ids.isEmpty) Some(gl) else Some(planWith(ids))
       // sphere prefilter in the INDEX METRIC (reference opclass strategy 2

@@ -713,7 +713,8 @@ object GraftQueries {
         .orderBy("doc_id"),
       Some("SELECT doc_id, md5(lower(text)) AS fp FROM documents ORDER BY doc_id")),
 
-    // ---- multimodal columns (opaque blob + typed metadata; stub decode) ----
+    // ---- multimodal columns (opaque blob + typed metadata; real
+    // ImageIO/javax.sound/MJPEG decode in ops/Multimodal.scala) ----
 
     "mm_blob_stats" -> Q(
       (s, d) => Multimodal.attachBlob(tbl(s, d, "documents"), "doc_id", "text")
@@ -949,6 +950,31 @@ object GraftQueries {
           rerankTable = Some((tbl(s, d, "embeddings"), "vec_id", "embedding")))) },
       Some(knnOracle)),
 
+    // CODES-ONLY index (storeVectors=false — the reference's actual
+    // rerank_in_table design: the index holds codes, the heap holds
+    // vectors; src/index/vchordrq/types.rs:19-45). Same exact-top-k
+    // golden through an index that never wrote a vec column.
+    "ivf_knn_novec" -> Q(
+      (s, d) => { val q = qvec(s, d, 0)
+        topkOut(variantIvf(s, d, "novec").search(q, 10, probes = 16, refine = 16,
+          rerankTable = Some((tbl(s, d, "embeddings"), "vec_id", "embedding")))) },
+      Some(knnOracle)),
+
+    // Sphere range served by the codes-only index: cell pruning from the
+    // CODES METADATA radii (disU2 = |v - centroid|^2), exact cutoff from
+    // the source table — no stored vectors anywhere on the path.
+    "range_novec" -> Q(
+      (s, d) => { val q = qvec(s, d, 0)
+        variantIvf(s, d, "novec").rangeSearch(q, 1.3,
+            rerankTable = Some((tbl(s, d, "embeddings"), "vec_id", "embedding")))
+          .limit(20)
+          .select(col("id").as("vec_id"), col("dist").as("raw"))
+          .orderBy(col("raw"), col("vec_id"))
+          .select(col("vec_id"), round(col("raw"), 3).as("dist")) },
+      Some(s"""$distCte
+              |SELECT vec_id, round(dist, 3) AS dist FROM dd WHERE dist < 1.3
+              |ORDER BY dd.dist, vec_id LIMIT 20""".stripMargin)),
+
     // hierarchical (bisecting) k-means build (B3).
     "ivf_knn_hier" -> Q(
       (s, d) => { val q = qvec(s, d, 0)
@@ -1131,6 +1157,11 @@ object GraftQueries {
             .select(col("vec_id").cast("long")).as[Long].collect()
           idx.delete(dead.toSeq)
           idx
+        case "novec" => // CODES-ONLY index: no vec column written, every
+          // exact phase fetches from the source table (the reference's
+          // rerank_in_table=true small-index mode)
+          IvfIndex.build(e, "vec_id", "embedding", dir,
+            cfg16.copy(storeVectors = false))
       }
     }
 
@@ -1199,7 +1230,7 @@ object GraftQueries {
   def warmCaches(s: SparkSession, d: String): Unit = {
     IvfCache.get(s, d); GraphCache.get(s, d); ShardGraphCache.get(s, d)
     ShardGraphCache.getQuantized(s, d)
-    Seq("hier", "tree3", "rotate", "dimred", "ext", "ins", "del")
+    Seq("hier", "tree3", "rotate", "dimred", "ext", "ins", "del", "novec")
       .foreach(variantIvf(s, d, _))
     Seq("gins", "gq", "gvac", "gvacq").foreach(variantGraph(s, d, _))
     prefilterTable(s, d)

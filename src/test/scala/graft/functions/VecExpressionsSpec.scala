@@ -85,4 +85,43 @@ class VecExpressionsSpec extends SparkSpec {
       .as[(Double, Double, Double)].head()
     assert(g == ((1.732, -20.0, 0.007)))
   }
+
+  test("halfvec expressions are bit-identical to decode-then-kernel") {
+    import spark.implicits._
+    val rng = new scala.util.Random(3)
+    val rows = (0 until 50).map { i =>
+      val v = Array.fill(37)(rng.nextFloat() * 4 - 2)
+      val q = Array.fill(37)(rng.nextFloat() * 4 - 2)
+      (i, graft.core.Half.encodeBytes(v), q.toSeq)
+    }
+    val df = rows.toDF("id", "hv", "q")
+    val got = df.select($"id",
+        GraftFunctions.vecL2Half($"hv", $"q"),
+        GraftFunctions.vecNegdotHalf($"hv", $"q"),
+        GraftFunctions.vecCosdistHalf($"hv", $"q"))
+      .as[(Int, Double, Double, Double)].collect().sortBy(_._1)
+    rows.foreach { case (i, hv, q) =>
+      val v = graft.core.Half.decodeBytes(hv)
+      val (_, l2, nd, cd) = got(i)
+      assert(l2 == K.l2(v, q.toArray), s"l2 row $i")
+      assert(nd == K.negdot(v, q.toArray), s"negdot row $i")
+      assert(cd == K.cosdist(v, q.toArray), s"cosdist row $i")
+    }
+  }
+
+  test("halfvec expressions registered for SQL; null-safe; length mismatch throws") {
+    import spark.implicits._
+    GraftFunctions.registerAll(spark)
+    val hv = graft.core.Half.encodeBytes(Array(1f, 2f, 3f))
+    Seq((hv, Seq(2f, 3f, 4f))).toDF("hv", "q").createOrReplaceTempView("halfrows")
+    val d = spark.sql("SELECT round(vec_l2_half(hv, q), 3) AS d FROM halfrows")
+      .as[Double].head()
+    assert(d == 1.732)
+    val withNull = Seq((None: Option[Array[Byte]], Some(Seq(1f, 2f)))).toDF("hv", "q")
+    assert(withNull.select(GraftFunctions.vecL2Half($"hv", $"q")).collect().head.isNullAt(0))
+    val bad = Seq((hv, Seq(1f))).toDF("hv", "q")
+    val e = intercept[Exception](
+      bad.select(GraftFunctions.vecL2Half($"hv", $"q")).collect())
+    assert(e.getMessage != null)
+  }
 }
