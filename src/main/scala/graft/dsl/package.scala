@@ -65,10 +65,14 @@ package object dsl {
     def audioStats(idCol: String, blobCol: String): DataFrame =
       graft.ops.Multimodal.audioStats(df, idCol, blobCol)
 
-    /** Real MJPEG frame sampling: every `everyN`-th decodable JPEG frame. */
+    /** Frame sampling: every `everyN`-th decoded frame. Default decoder is
+      * the JDK-pure MJPEG parser; plug a [[graft.ops.Multimodal.FrameDecoder]]
+      * for containers needing an external codec (H.264/MP4). */
     def sampleFrames(idCol: String, blobCol: String, everyN: Int = 10,
-                     maxFrames: Int = 8): DataFrame =
-      graft.ops.Multimodal.sampleFrames(df, idCol, blobCol, everyN, maxFrames)
+                     maxFrames: Int = 8,
+                     decoder: graft.ops.Multimodal.FrameDecoder =
+                       graft.ops.Multimodal.MjpegDecoder): DataFrame =
+      graft.ops.Multimodal.sampleFrames(df, idCol, blobCol, everyN, maxFrames, decoder)
 
     /** Media feature vectors (decoded-pixel stats, hash fallback). */
     def mediaFeatures(idCol: String, blobCol: String, dim: Int = 64): DataFrame =

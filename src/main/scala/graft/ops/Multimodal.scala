@@ -305,7 +305,8 @@ object Multimodal {
    * struct is rewritten to match; non-media blobs pass through with only
    * the metadata updated (same fallback contract as [[extractFeatures]]).
    */
-  def resize(df: DataFrame, targetW: Int, targetH: Int): DataFrame = {
+  def resize(df: DataFrame, targetW: Int, targetH: Int,
+             blobCol: String = "blob"): DataFrame = {
     val resizeBlob = udf { blob: Array[Byte] =>
       val img = readImage(blob)
       if (img == null) blob
@@ -322,14 +323,18 @@ object Multimodal {
         bos.toByteArray
       }
     }
-    df.withColumn("blob", resizeBlob(col("blob")))
-      .withColumn("mm_meta",
+    val resized = df.withColumn(blobCol, resizeBlob(col(blobCol)))
+    // rewrite the metadata struct only when the frame follows the
+    // readMedia/attachBlob schema — a bare (id, blob) frame resizes too
+    if (resized.columns.contains("mm_meta"))
+      resized.withColumn("mm_meta",
         struct(
           col("mm_meta.kind"),
           lit(targetW).as("width"),
           lit(targetH).as("height"),
           col("mm_meta.sampleRate"),
           col("mm_meta.durationMs")))
+    else resized
   }
 
   /** Deterministic synthetic MJPEG clip for goldens and specs: `frames`
@@ -359,46 +364,123 @@ object Multimodal {
   }
 
   /** REAL MJPEG parse: split a raw MJPEG stream (concatenated JPEGs) into
-    * complete per-frame JPEG blobs by scanning for SOI markers
-    * (FF D8 FF). Inside JPEG entropy-coded data every FF is stuffed
-    * (FF 00) or a restart marker (FF D0-D7), so a genuine FF D8 FF only
-    * starts a frame; metadata segments that could embed one (EXIF
-    * thumbnails) are absent from camera MJPEG streams. Returns empty when
-    * the bytes hold no JPEG at all ("not media"). */
+    * complete per-frame JPEG blobs by WALKING THE MARKER STRUCTURE, not by
+    * scanning for SOI byte patterns: marker-segment payloads (DQT/DHT/
+    * APPn, EXIF thumbnails) may legitimately contain FF D8 FF, so a naive
+    * scan can false-split and silently corrupt frames. Each frame spans
+    * SOI to its matching EOI; tables/headers are skipped by their length
+    * fields, entropy-coded data after SOS by the stuffed-FF rule (FF 00
+    * and restart markers FF D0-D7 are data, anything else ends the scan).
+    * A structurally broken frame is SKIPPED (rescan from past its SOI) —
+    * corrupt frames are a filter, not an error, and never a garbage blob
+    * handed downstream. Returns empty when the bytes hold no complete
+    * JPEG at all ("not media"). */
   private[ops] def mjpegFrames(blob: Array[Byte]): Array[Array[Byte]] = {
-    val starts = scala.collection.mutable.ArrayBuffer.empty[Int]
+    val out = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+    val n = blob.length
+    @inline def u(i: Int): Int = blob(i) & 0xff
     var i = 0
-    while (i + 2 < blob.length) {
-      if ((blob(i) & 0xff) == 0xff && (blob(i + 1) & 0xff) == 0xd8 &&
-          (blob(i + 2) & 0xff) == 0xff) { starts += i; i += 2 }
-      i += 1
+    while (i + 1 < n) {
+      if (u(i) == 0xff && u(i + 1) == 0xd8) {
+        val start = i
+        var p = i + 2
+        var end = -1
+        var broken = false
+        while (!broken && end < 0 && p + 1 < n) {
+          if (u(p) != 0xff) broken = true
+          else u(p + 1) match {
+            case 0xd9 => end = p + 2                       // EOI: frame complete
+            case 0xd8 => broken = true                     // nested SOI: malformed
+            case 0xff => p += 1                            // fill byte
+            case m if m == 0x01 || (m >= 0xd0 && m <= 0xd7) =>
+              p += 2                                       // standalone marker
+            case 0xda =>                                   // SOS: header, then
+              if (p + 3 >= n) broken = true                // entropy-coded data
+              else {
+                var q = p + 2 + ((u(p + 2) << 8) | u(p + 3))
+                var next = -1
+                while (next < 0 && q + 1 < n) {
+                  if (u(q) != 0xff) q += 1
+                  else {
+                    val m2 = u(q + 1)
+                    if (m2 == 0x00 || (m2 >= 0xd0 && m2 <= 0xd7)) q += 2
+                    else next = q                          // real marker ends scan
+                  }
+                }
+                if (next < 0) broken = true else p = next
+              }
+            case _ =>                                      // length-field segment
+              if (p + 3 >= n) broken = true
+              else {
+                val len = (u(p + 2) << 8) | u(p + 3)
+                if (len < 2) broken = true else p += 2 + len
+              }
+          }
+        }
+        if (end > 0) {
+          out += java.util.Arrays.copyOfRange(blob, start, end)
+          i = end
+        } else i = start + 2 // truncated/malformed frame: skip its SOI, rescan
+      } else i += 1
     }
-    if (starts.isEmpty) return Array.empty
-    val bounds = starts :+ blob.length
-    Array.tabulate(starts.length)(k =>
-      java.util.Arrays.copyOfRange(blob, bounds(k), bounds(k + 1)))
+    out.toArray
   }
 
   /**
-   * Frame sampling for video blobs, REAL for MJPEG streams (the format a
-   * JDK-only pipeline can fully decode — each emitted `frame_blob` is a
-   * complete JPEG that [[imageStats]]/[[extractFeatures]] decode
-   * downstream): emits (id, frame_no, frame_blob) for every `everyN`-th
-   * frame up to `maxFrames`, with `frame_no` the ORIGINAL stream
-   * position. Blobs containing no JPEG frames are DROPPED (a filter, not
-   * an error — same contract as the other decoders; containers the JDK
-   * cannot parse, e.g. H.264 in MP4, need an external decode service).
+   * Pluggable frame source — the SPI for video containers the JDK cannot
+   * decode (H.264/MP4 is the dominant real-world format and has no JDK
+   * codec; see [[sampleFrames]]). Implementations wrap an external decode
+   * service or native library OUTSIDE this engine; the engine ships only
+   * the JDK-pure [[MjpegDecoder]]. Contract:
+   *  - `frames(blob)` yields (frameNo, frameBytes) in stream order, where
+   *    frameBytes is a complete single-image blob that [[imageStats]] /
+   *    [[extractFeatures]] can decode downstream (JPEG/PNG/...);
+   *  - a blob that is not this decoder's media yields an EMPTY iterator
+   *    (the row is then dropped — a filter, not an error, like every
+   *    decoder in this pipeline); decoders must not throw on garbage;
+   *  - implementations must be Serializable (they ship inside the
+   *    partition-local task closure) and stateless or cheaply
+   *    re-initializable per partition.
+   */
+  trait FrameDecoder extends Serializable {
+    def name: String
+    def frames(blob: Array[Byte]): Iterator[(Int, Array[Byte])]
+  }
+
+  /** Built-in raw-MJPEG frame source (see [[mjpegFrames]]). */
+  object MjpegDecoder extends FrameDecoder {
+    override def name: String = "mjpeg"
+    override def frames(blob: Array[Byte]): Iterator[(Int, Array[Byte])] =
+      mjpegFrames(blob).iterator.zipWithIndex.map { case (b, k) => (k, b) }
+  }
+
+  /**
+   * Frame sampling for video blobs: emits (id, frame_no, frame_blob) for
+   * every `everyN`-th DECODED frame up to `maxFrames`, with `frame_no`
+   * the decoder's stream position. The default [[MjpegDecoder]] is fully
+   * JDK-pure (each emitted `frame_blob` is a complete JPEG that
+   * [[imageStats]]/[[extractFeatures]] decode downstream); containers the
+   * JDK cannot parse — H.264 in MP4 foremost — plug in via a custom
+   * [[FrameDecoder]] wrapping an external decode service, with no native
+   * dependency entering the engine. Blobs the decoder yields no frames
+   * for are DROPPED (a filter, not an error — the pipeline-wide decoder
+   * contract).
    */
   def sampleFrames(df: DataFrame, idCol: String, blobCol: String, everyN: Int = 10,
-                   maxFrames: Int = 8): DataFrame = {
+                   maxFrames: Int = 8,
+                   decoder: FrameDecoder = MjpegDecoder): DataFrame = {
     require(everyN >= 1, s"everyN must be >= 1, got $everyN")
     val spark = df.sparkSession
     import spark.implicits._
+    val dec = decoder // ship the decoder, not the enclosing object
     df.select(col(idCol).cast("long"), col(blobCol)).as[(Long, Array[Byte])]
       .flatMap { case (id, blob) =>
-        val frames = mjpegFrames(blob)
-        (frames.indices by everyN).take(maxFrames).iterator
-          .map(f => (id, f, frames(f)))
+        // sample by POSITION in the decoder's emission (robust to sparse
+        // frame numbering, e.g. a keyframe-only decoder), report the
+        // decoder's frame_no
+        dec.frames(blob).zipWithIndex
+          .collect { case ((fno, fb), pos) if pos % everyN == 0 => (id, fno, fb) }
+          .take(maxFrames)
       }
       .toDF("id", "frame_no", "frame_blob")
   }

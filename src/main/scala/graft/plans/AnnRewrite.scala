@@ -178,6 +178,15 @@ object AnnTopKRewrite {
     * before returning rows. Observable so operators can tell "slow
     * planning" apart from "slow execution"; reset is test-only. */
   val planningJobs = new java.util.concurrent.atomic.AtomicLong(0)
+
+  /** Stamped on every Filter this rule produces. Provenance the fixpoint
+    * checks EXPLICITLY instead of inferring it from an In-over-id-column
+    * conjunct: a legitimate user predicate `id IN (...) AND dist < r`
+    * must stay servable, while the rule's own output must never be
+    * re-served (Spark preserves tags through withNewChildren/makeCopy, so
+    * the stamp survives the optimizer's own rewrites of the node). */
+  val ServedFilterTag =
+    new org.apache.spark.sql.catalyst.trees.TreeNodeTag[Boolean]("graft.ann.served")
 }
 
 case class AnnTopKRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
@@ -227,15 +236,22 @@ case class AnnTopKRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
       })
   }
 
-  /** True iff some conjunct is In/InSet over `idCol` — the marker every
-    * serve in this rule stamps on its output, so transformDown (and the
-    * fixpoint user batch) cannot re-serve a plan this rule produced. */
-  private def carriesIdIn(pred: Expression, idCol: String): Boolean =
-    conjuncts(pred).exists {
-      case In(a: AttributeReference, _)    => a.name == idCol
-      case InSet(a: AttributeReference, _) => a.name == idCol
+  /** True iff the subtree contains a Filter this rule produced (the
+    * [[AnnTopKRewrite.ServedFilterTag]] stamp) — the idempotence guard for
+    * the fixpoint user batch. Explicit provenance, not inference: a USER
+    * predicate `id IN (...) AND dist < r` carries no tag and is served
+    * normally. */
+  private def isServedPlan(p: LogicalPlan): Boolean =
+    p.exists {
+      case f: Filter => f.getTagValue(AnnTopKRewrite.ServedFilterTag).contains(true)
       case _ => false
     }
+
+  /** Stamp + return (Filter construction sites below). */
+  private def stamped(f: Filter): Filter = {
+    f.setTagValue(AnnTopKRewrite.ServedFilterTag, true)
+    f
+  }
 
   /** Supported sort children: bare relation, column-pruning Project,
     * deterministic prefilter, or Project over prefilter. */
@@ -285,11 +301,11 @@ case class AnnTopKRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
                   if attr.name == entry.vecCol
                   idAttr <- child.output.find(_.name == entry.idCol)
                   // IDEMPOTENCE: the user batch runs to fixpoint, so the
-                  // rule sees its own output — a filter already carrying
-                  // an IN over the id column IS a served plan (planWith /
-                  // planWithMerged both produce one); re-serving it would
-                  // launch redundant planning jobs every iteration
-                  if !predOpt.exists(p => carriesIdIn(p, entry.idCol))
+                  // rule sees its own output — every serve stamps its
+                  // Filter with ServedFilterTag; re-serving would launch
+                  // redundant planning jobs every iteration. A USER
+                  // `id IN (...)` conjunct carries no tag and still serves.
+                  if !isServedPlan(child)
                   // id literals must match the column's type (plan is
                   // already analyzed — no implicit casts will be inserted)
                   idLit <- litFor(idAttr)
@@ -371,10 +387,10 @@ case class AnnTopKRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
       }
       entry <- AnnCatalog.lookup(fsRel.location.rootPaths.map(_.toString))
       if attr.name == entry.vecCol
-      // IDEMPOTENCE: an In over the id column is this rule's own output
-      // (serveRange / planWithMerged both stamp one); unrelated In
-      // conjuncts (`category IN (...)`) do NOT block the serve
-      if !carriesIdIn(f.condition, entry.idCol)
+      // IDEMPOTENCE: this rule's own output carries ServedFilterTag;
+      // user In conjuncts (`id IN (...)`, `category IN (...)`) do NOT
+      // block the serve
+      if !isServedPlan(f)
       idAttr <- f.child.output.find(_.name == entry.idCol)
       idLit <- litFor(idAttr)
       if AnnCatalog.index(spark, entry).meta.cfg.metric == metric
@@ -386,9 +402,9 @@ case class AnnTopKRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
         val ids = idx.rangeCandidateIds(cv.toFloatArray(), radius, eps, maxInList)
         if (ids.length > maxInList) None
         else if (ids.isEmpty) Some(LocalRelation(f.output))
-        else Some(Filter(And(f.condition,
+        else Some(stamped(Filter(And(f.condition,
           In(idAttr, scala.collection.immutable.ArraySeq.unsafeWrapArray(ids.map(idLit)))),
-          f.child))
+          f.child)))
       }
     } yield served
 
@@ -424,8 +440,8 @@ case class AnnTopKRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
       .select("doc").as[Long].collect()
     if (ids.isEmpty) Some(gl)
     else {
-      val filter = Filter(In(docAttr,
-        scala.collection.immutable.ArraySeq.unsafeWrapArray(ids.map(idLit))), child)
+      val filter = stamped(Filter(In(docAttr,
+        scala.collection.immutable.ArraySeq.unsafeWrapArray(ids.map(idLit))), child))
       val sorted = Sort(sort.order, global = true, filter)
       val body = projOpt.map(pl => Project(pl, sorted): LogicalPlan).getOrElse(sorted)
       Some(GlobalLimit(Literal(k), LocalLimit(Literal(k), body)))
@@ -459,8 +475,8 @@ case class AnnTopKRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     val ids = g.search(qv.toFloatArray(), kCand, ef).map(_._1)
     if (ids.isEmpty) Some(gl)
     else Some {
-      val filter = Filter(In(idAttr,
-        scala.collection.immutable.ArraySeq.unsafeWrapArray(ids.map(idLit))), child)
+      val filter = stamped(Filter(In(idAttr,
+        scala.collection.immutable.ArraySeq.unsafeWrapArray(ids.map(idLit))), child))
       val sorted = Sort(sort.order, global = true, filter)
       val body = projOpt.map(pl => Project(pl, sorted): LogicalPlan).getOrElse(sorted)
       GlobalLimit(Literal(k), LocalLimit(Literal(k), body))
@@ -491,8 +507,8 @@ case class AnnTopKRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
       .select("id").collect().map(_.getLong(0))
     if (ids.isEmpty) Some(gl)
     else Some {
-      val filter = Filter(In(idAttr,
-        scala.collection.immutable.ArraySeq.unsafeWrapArray(ids.map(idLit))), child)
+      val filter = stamped(Filter(In(idAttr,
+        scala.collection.immutable.ArraySeq.unsafeWrapArray(ids.map(idLit))), child))
       val sorted = Sort(sort.order, global = true, filter)
       val body = projOpt.map(pl => Project(pl, sorted): LogicalPlan).getOrElse(sorted)
       GlobalLimit(Literal(k), LocalLimit(Literal(k), body))
@@ -532,22 +548,23 @@ case class AnnTopKRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
       if (idx.meta.cfg.storeVectors || entry.tablePath.isEmpty) None
       else Some((spark.read.parquet(entry.tablePath), entry.idCol, entry.vecCol))
     def planWith(ids: Array[Long]): LogicalPlan = {
-      val filter = Filter(In(idAttr, scala.collection.immutable.ArraySeq.unsafeWrapArray(ids.map(idLit))), child)
+      val filter = stamped(
+        Filter(In(idAttr, scala.collection.immutable.ArraySeq.unsafeWrapArray(ids.map(idLit))), child))
       val sorted = Sort(sort.order, global = true, filter)
       val body = projOpt.map(pl => Project(pl, sorted): LogicalPlan).getOrElse(sorted)
       GlobalLimit(Literal(k), LocalLimit(Literal(k), body))
     }
 
     // merge the IN into the EXISTING Filter node (sphere prefilter path):
-    // the inner Filter then carries an In conjunct, so the standalone
-    // range-filter case cannot re-serve a plan this rewrite produced
+    // the inner Filter is stamped, so the standalone range-filter case
+    // cannot re-serve a plan this rewrite produced
     def planWithMerged(ids: Array[Long]): LogicalPlan = {
       val inExpr = In(idAttr,
         scala.collection.immutable.ArraySeq.unsafeWrapArray(ids.map(idLit)))
       val newChild = child match {
-        case Filter(p, r)              => Filter(And(p, inExpr), r)
-        case Project(pl, Filter(p, r)) => Project(pl, Filter(And(p, inExpr), r))
-        case other                     => Filter(inExpr, other)
+        case Filter(p, r)              => stamped(Filter(And(p, inExpr), r))
+        case Project(pl, Filter(p, r)) => Project(pl, stamped(Filter(And(p, inExpr), r)))
+        case other                     => stamped(Filter(inExpr, other))
       }
       val sorted = Sort(sort.order, global = true, newChild)
       val body = projOpt.map(pl => Project(pl, sorted): LogicalPlan).getOrElse(sorted)

@@ -22,14 +22,35 @@ object StreamOps {
   /**
    * Gap-based sessionization with per-key state: a session closes when no
    * event arrives within `gapNanos`. Emits closed sessions.
+   *
+   * `idleTimeoutMs > 0` arms a ProcessingTimeTimeout per user: a user with
+   * no arrivals within the timeout has their OPEN session emitted and
+   * their state removed. Without it (the default, kept for the batch-like
+   * finite-stream tests) per-user state lives forever and an idle user's
+   * last session never emits — exactly the unbounded-state class
+   * `dedupIngest.stateTtlMs` already defends against, so a long-running
+   * stream over a growing user population should always set it. The
+   * timeout doubles as the idle-session close: sessions end
+   * deterministically after ~idleTimeoutMs of silence instead of waiting
+   * for the user's next event (which may never come).
    */
-  def sessionize(events: Dataset[Event], gapNanos: Long): Dataset[SessionOut] = {
+  def sessionize(events: Dataset[Event], gapNanos: Long,
+                 idleTimeoutMs: Long = 0L): Dataset[SessionOut] = {
     import events.sparkSession.implicits._
+    val timeout =
+      if (idleTimeoutMs > 0) GroupStateTimeout.ProcessingTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
     events
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[List[SessionState], SessionOut](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        OutputMode.Append(), timeout) {
         (uid: Long, it: Iterator[Event], state: GroupState[List[SessionState]]) =>
+          if (state.hasTimedOut) {
+            // idle user: close and emit every open session, free the state
+            val open = state.getOption.getOrElse(Nil)
+            state.remove()
+            open.reverseIterator.map(s => SessionOut(uid, s.start, s.last, s.n))
+          } else {
           // order within the micro-batch for determinism
           val evs = it.toSeq.sortBy(e => (e.ts, e.event_id))
           var sessions = state.getOption.getOrElse(Nil)
@@ -46,7 +67,9 @@ object StreamOps {
             }
           }
           state.update(sessions)
+          if (idleTimeoutMs > 0) state.setTimeoutDuration(idleTimeoutMs)
           closed.iterator
+          }
       }
   }
 
@@ -188,12 +211,29 @@ object StreamOps {
    * the TTL (ProcessingTimeTimeout) — expiry trades recall against old
    * residents for bounded total state, the standard streaming-retention
    * trade.
+   *
+   * Oversized docs in exact mode: by default a doc with more than
+   * `maxShingles` distinct shingles FAILS the query loudly (bounded state
+   * is a hard invariant). A long-running production stream usually cannot
+   * afford one poison doc killing it: `dropOversized=true` instead
+   * excludes that doc from dedup entirely (no band keys emitted — never a
+   * resident, never compared) and counts it in `droppedDocs` when
+   * provided, so the operator can alert on the side channel and
+   * batch-verify the oversized tail separately.
+   *
+   * CHECKPOINT COMPATIBILITY: exact mode's state rows carry the resident
+   * shingle array (a third tuple element added when `exactVerify` landed).
+   * A checkpoint written by the earlier signature-only build has a
+   * different state encoder schema and CANNOT be resumed by this version
+   * — restart exact-mode streams from a fresh checkpoint.
    */
   def dedupIngest(docs: DataFrame, idCol: String, textCol: String,
                   threshold: Double, n: Int = 3, numHashes: Int = 64,
                   bands: Int = 16, maxBucket: Int = 1024,
                   exactVerify: Boolean = false, maxShingles: Int = 8192,
-                  stateTtlMs: Long = 0L): Dataset[DedupHit] = {
+                  stateTtlMs: Long = 0L,
+                  dropOversized: Boolean = false,
+                  droppedDocs: Option[org.apache.spark.util.LongAccumulator] = None): Dataset[DedupHit] = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
     val r = numHashes / bands
     import docs.sparkSession.implicits._
@@ -205,19 +245,27 @@ object StreamOps {
         if (th.length < nn) Iterator.empty
         else {
           val sig = graft.ops.Dedup.sigFromTokens(th, nn, nh)
-          val sh =
-            if (!exactVerify) Array.emptyLongArray
+          val shOpt: Option[Array[Long]] =
+            if (!exactVerify) Some(Array.emptyLongArray)
             else {
               val s = graft.ops.Dedup.sortedShingleSet(th, nn)
-              require(s.length <= maxShingles,
+              if (s.length <= maxShingles) Some(s)
+              else if (dropOversized) {
+                // poison-doc defense: exclude from dedup, count and move on
+                droppedDocs.foreach(_.add(1L))
+                None
+              } else throw new IllegalArgumentException(
                 s"dedupIngest(exactVerify): doc $id has ${s.length} distinct " +
                 s"shingles > maxShingles=$maxShingles — exact streaming state " +
-                "must stay bounded; raise maxShingles, or use estimate mode " +
-                "+ batch jaccardPairs for giant docs")
-              s
+                "must stay bounded; raise maxShingles, set dropOversized=true, " +
+                "or use estimate mode + batch jaccardPairs for giant docs")
             }
-          graft.ops.Dedup.bandKeys(sig, bands, r).iterator
-            .map(k => (k, id, sig, sh))
+          shOpt match {
+            case None => Iterator.empty
+            case Some(sh) =>
+              graft.ops.Dedup.bandKeys(sig, bands, r).iterator
+                .map(k => (k, id, sig, sh))
+          }
         }
       }
     val timeout =

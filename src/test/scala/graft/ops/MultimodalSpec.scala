@@ -163,6 +163,82 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("mjpegFrames walks marker structure: FF D8 FF inside an APP1 payload " +
+       "does not false-split; truncated tail frame dropped, not emitted as garbage") {
+    // hand-build frame 1 = a real JPEG with an APP1 segment whose payload
+    // embeds FF D8 FF (the EXIF-thumbnail shape the naive SOI scan split on)
+    val plain = Multimodal.syntheticMjpeg(3L, frames = 1)
+    val payload = Array[Byte](1, 2, 0xff.toByte, 0xd8.toByte, 0xff.toByte, 7, 8)
+    val len = payload.length + 2
+    val app1 = Array[Byte](0xff.toByte, 0xe1.toByte,
+      ((len >> 8) & 0xff).toByte, (len & 0xff).toByte) ++ payload
+    val withApp1 = plain.take(2) ++ app1 ++ plain.drop(2)
+    val second = Multimodal.syntheticMjpeg(4L, frames = 1)
+    val frames = Multimodal.mjpegFrames(withApp1 ++ second)
+    assert(frames.length == 2,
+      s"embedded SOI bytes must not split a frame: got ${frames.length}")
+    // both split frames decode, and the first kept its APP1 bytes
+    frames.foreach(f => assert(Multimodal.readImage(f) != null, "frame decodes"))
+    assert(frames(0).length == withApp1.length, "frame 0 spans SOI..EOI exactly")
+    // a truncated final frame (no EOI) is skipped entirely
+    val three = Multimodal.syntheticMjpeg(5L, frames = 3)
+    val cut = three.dropRight(10)
+    val kept = Multimodal.mjpegFrames(cut)
+    assert(kept.length == 2, s"truncated tail frame must drop: got ${kept.length}")
+    kept.foreach(f => assert(Multimodal.readImage(f) != null))
+  }
+
+  test("FrameDecoder SPI: an external decoder plugs into sampleFrames") {
+    import spark.implicits._
+    // fake external decoder standing in for an H.264 service: "container"
+    // = 4-byte magic then length-prefixed PNG frames, emitting every
+    // SECOND stream position (sparse frame numbering)
+    object FakeContainerDecoder extends Multimodal.FrameDecoder {
+      override def name: String = "fake-h264"
+      override def frames(blob: Array[Byte]): Iterator[(Int, Array[Byte])] = {
+        if (blob.length < 4 || blob(0) != 'F' || blob(1) != 'A' ||
+            blob(2) != 'K' || blob(3) != 'E') return Iterator.empty
+        val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Array[Byte])]
+        var p = 4; var k = 0
+        while (p + 4 <= blob.length) {
+          val n = java.nio.ByteBuffer.wrap(blob, p, 4).getInt
+          out += ((2 * k, java.util.Arrays.copyOfRange(blob, p + 4, p + 4 + n)))
+          p += 4 + n; k += 1
+        }
+        out.iterator
+      }
+    }
+    def pack(frames: Seq[Array[Byte]]): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      bos.write("FAKE".getBytes)
+      frames.foreach { f =>
+        bos.write(java.nio.ByteBuffer.allocate(4).putInt(f.length).array()); bos.write(f)
+      }
+      bos.toByteArray
+    }
+    val clip = pack((0 until 5).map(i => Multimodal.syntheticPng(i.toLong)))
+    val rows = Seq(1L -> clip, 2L -> "not a container".getBytes("UTF-8"))
+      .toDF("doc_id", "blob")
+    val got = Multimodal.sampleFrames(rows, "doc_id", "blob",
+        everyN = 2, maxFrames = 2, decoder = FakeContainerDecoder)
+      .as[(Long, Int, Array[Byte])].collect().sortBy(r => (r._1, r._2))
+    // position sampling (0, 2) with the decoder's sparse numbering (x2)
+    assert(got.map(r => (r._1, r._2)).toSeq == Seq((1L, 0), (1L, 4)),
+      s"got ${got.map(r => (r._1, r._2)).toSeq}")
+    // emitted frames decode downstream like any media blob
+    got.foreach(r => assert(Multimodal.readImage(r._3) != null))
+  }
+
+  test("resize takes a custom blob column and works without mm_meta") {
+    import spark.implicits._
+    val rows = Seq((9L, Multimodal.syntheticPng(9L))).toDF("doc_id", "img_bytes")
+    val r = Multimodal.resize(rows, 20, 10, blobCol = "img_bytes")
+    val out = r.select("img_bytes").as[Array[Byte]].head()
+    val img = Multimodal.readImage(out)
+    assert(img.getWidth == 20 && img.getHeight == 10)
+    assert(r.columns.toSeq == Seq("doc_id", "img_bytes"), "no phantom columns")
+  }
+
   test("features compose with KNN (media-embedding plumbing end-to-end)") {
     import spark.implicits._
     val b = Multimodal.attachBlob(docs, "doc_id", "text")

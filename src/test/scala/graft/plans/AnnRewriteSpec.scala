@@ -333,6 +333,88 @@ class AnnRewriteSpec extends SparkSpec {
     }
   }
 
+  test("SQL form over an F16-STORAGE index: range + top-k served, exact results") {
+    import spark.implicits._
+    val rng = new scala.util.Random(53)
+    val rows = (0L until 500L).map(i => (i, Seq.fill(8)(rng.nextFloat() * 2 - 1)))
+    val tableDir = Files.createTempDirectory("graft-ann-f16sql").toString
+    rows.toDF("id", "vec").write.mode("overwrite").parquet(tableDir)
+    val indexDir = Files.createTempDirectory("graft-ann-f16sql-idx").toString
+    // halfvec index tier: codes quantize the f16-roundtripped vectors and
+    // the rerank decodes packed f16 — the pure-SQL user sees none of it
+    IvfIndex.build(spark.read.parquet(tableDir), "id", "vec", indexDir,
+      IvfConfig(lists = 8, storage = "f16"))
+    AnnCatalog.register(tableDir, indexDir, "id", "vec")
+    try withRule {
+      spark.read.parquet(tableDir).createOrReplaceTempView("ann_f16_tbl")
+      GraftFunctions.registerAll(spark)
+      val q = Array.fill(8)(0.15f)
+      val qSql = q.map(_.toString).mkString("array(", "F, ", "F)")
+      // range shape (strategy 2)
+      val range = spark.sql(
+        s"SELECT id FROM ann_f16_tbl WHERE vec_l2(vec, $qSql) < 1.1 ORDER BY id")
+      assert(range.queryExecution.optimizedPlan.toString.contains(" IN "),
+        range.queryExecution.optimizedPlan.toString)
+      val gotR = range.as[Long].collect().toSeq
+      val wantR = rows.filter { case (_, v) => K.l2(v.toArray, q) < 1.1 }
+        .map(_._1).sorted
+      assert(gotR == wantR && gotR.nonEmpty, "f16-index range serve must stay exact")
+      // top-k shape (strategy 1); f16 rerank storage must not perturb the
+      // exact output (rerank reranks f16-roundtripped vectors, final Sort
+      // +Limit re-scores the ORIGINAL f32 table rows)
+      withConfs("graft.ann.cost.enable" -> "false", "graft.ann.probes" -> "8") {
+        // probes = lists: the recall==1 configuration (estimate-quality
+        // gate, not probe luck — the same discipline as the oracle rows)
+        val top = spark.sql(
+          s"SELECT id FROM ann_f16_tbl ORDER BY vec_l2(vec, $qSql) LIMIT 5")
+        assert(top.queryExecution.optimizedPlan.toString.contains(" IN "),
+          top.queryExecution.optimizedPlan.toString)
+        val gotT = top.as[Long].collect().toSeq
+        val wantT = rows.map { case (id, v) => (K.l2(v.toArray, q), id) }
+          .sorted.take(5).map(_._2)
+        assert(gotT == wantT, "f16-index top-k serve must stay exact")
+      }
+    } finally {
+      AnnCatalog.unregister(tableDir)
+      spark.catalog.dropTempView("ann_f16_tbl")
+    }
+  }
+
+  test("SQL batch range: UNION ALL of sphere branches — every branch index-served") {
+    import spark.implicits._
+    val (tableDir, indexDir) = setup
+    AnnCatalog.register(tableDir, indexDir, "id", "vec")
+    try withRule {
+      spark.read.parquet(tableDir).createOrReplaceTempView("ann_batch_tbl")
+      GraftFunctions.registerAll(spark)
+      val q1 = Array.fill(8)(0.2f)
+      val q2 = Array.fill(8)(-0.25f)
+      def sqlLit(q: Array[Float]) = q.map(_.toString).mkString("array(", "F, ", "F)")
+      val jobs0 = AnnTopKRewrite.planningJobs.get()
+      // the pure-SQL batch shape: one statement, N spheres; transformDown
+      // serves each branch's Filter independently in the same pass
+      val df = spark.sql(
+        s"""SELECT 1 AS qid, id FROM ann_batch_tbl WHERE vec_l2(vec, ${sqlLit(q1)}) < 1.1
+           |UNION ALL
+           |SELECT 2 AS qid, id FROM ann_batch_tbl WHERE vec_l2(vec, ${sqlLit(q2)}) < 1.2
+           |ORDER BY qid, id""".stripMargin)
+      val optimized = df.queryExecution.optimizedPlan.toString
+      assert(optimized.split(" IN ").length >= 3,
+        s"both union branches must carry candidate INs:\n$optimized")
+      assert(AnnTopKRewrite.planningJobs.get() == jobs0 + 2,
+        "exactly one planning job per sphere branch")
+      val got = df.as[(Int, Long)].collect().toSeq
+      val data = spark.read.parquet(tableDir).as[(Long, Seq[Float])].collect()
+      val want =
+        data.filter { case (_, v) => K.l2(v.toArray, q1) < 1.1 }.map(r => (1, r._1)) ++
+        data.filter { case (_, v) => K.l2(v.toArray, q2) < 1.2 }.map(r => (2, r._1))
+      assert(got == want.sortBy(identity).toSeq && got.nonEmpty)
+    } finally {
+      AnnCatalog.unregister(tableDir)
+      spark.catalog.dropTempView("ann_batch_tbl")
+    }
+  }
+
   test("per-partition index registration serves partition-scoped reads (partition parity)") {
     import spark.implicits._
     val rng = new scala.util.Random(91)
@@ -369,7 +451,7 @@ class AnnRewriteSpec extends SparkSpec {
     } finally (0 to 1).foreach(p => AnnCatalog.unregister(s"$tableDir/part=$p"))
   }
 
-  test("sphere serve survives an unrelated IN conjunct; id-IN stays the idempotence marker") {
+  test("sphere serve survives an unrelated IN conjunct; provenance is the tag, not id-IN") {
     import spark.implicits._
     val rng = new scala.util.Random(41)
     val rows = (0L until 500L).map(i =>
@@ -400,15 +482,20 @@ class AnnRewriteSpec extends SparkSpec {
         K.l2(v.toArray, q) < radius && (c == "c0" || c == "c1")
       }.map(_._1).toSet
       assert(got == want && got.nonEmpty, s"got ${got.size} want ${want.size}")
-      // an IN over the ID column is this rule's own stamp — not re-served
-      // (no planning jobs run), results still exact
+      // a USER predicate over the ID column is NOT the rule's own output:
+      // provenance is the ServedFilterTag stamp, so `id IN (...) AND
+      // sphere` is served like any other prefilter (round-6 advice — the
+      // name-based inference permanently declined this legitimate query).
+      // EXACTLY one planning job proves both the serve AND fixpoint
+      // idempotence: if the rule re-matched its own tagged output, the
+      // fixpoint batch would launch a job per iteration.
       val jobs1 = AnnTopKRewrite.planningJobs.get()
       val own = spark.read.parquet(tableDir)
         .filter(GraftFunctions.sphereL2Contains(col("vec"), typedlit(q.toSeq), lit(radius)) &&
                 col("id").isin((0L until 400L).map(java.lang.Long.valueOf): _*))
       own.queryExecution.optimizedPlan // force optimization
-      assert(AnnTopKRewrite.planningJobs.get() == jobs1,
-        "id-IN predicate must be treated as already-served (idempotence)")
+      assert(AnnTopKRewrite.planningJobs.get() == jobs1 + 1,
+        "user id-IN + sphere must be index-served exactly once (tagged provenance)")
       val gotOwn = own.select("id").as[Long].collect().toSet
       val wantOwn = rows.filter { case (id, v, _) =>
         K.l2(v.toArray, q) < radius && id < 400L }.map(_._1).toSet

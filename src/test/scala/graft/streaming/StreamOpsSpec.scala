@@ -32,6 +32,42 @@ class StreamOpsSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("sessionize idleTimeoutMs closes and emits the open session of an idle user") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // ProcessingTimeTimeout queries re-trigger continuously, so poll the
+    // sink with deadlines instead of processAllAvailable (see dedup TTL)
+    val input = MemoryStream[StreamOps.Event]
+    val sessions = StreamOps.sessionize(input.toDS(), gapNanos = 30 * SEC,
+      idleTimeoutMs = 300L)
+    val query = sessions.writeStream
+      .format("memory").queryName("sessions_ttl")
+      .outputMode(OutputMode.Append())
+      .start()
+    def rows(): Set[(Long, Long, Long, Int)] =
+      spark.sql("SELECT user_id, start, `end`, n_events FROM sessions_ttl")
+        .as[(Long, Long, Long, Int)].collect().toSet
+    def await(cond: => Boolean, what: String, ms: Long = 60000L): Unit = {
+      val t0 = System.currentTimeMillis
+      while (!cond && System.currentTimeMillis - t0 < ms) Thread.sleep(50)
+      assert(cond, s"$what not observed within ${ms}ms: ${rows()}")
+    }
+    try {
+      // user 7 sends two events then goes idle — WITHOUT the timeout this
+      // session would never emit (the round-6 sessionize gap)
+      input.addData(
+        StreamOps.Event(1, 0L, 7L, "a", 1.0),
+        StreamOps.Event(2, 5 * SEC, 7L, "a", 1.0))
+      await(rows().contains((7L, 0L, 5 * SEC, 2)), "idle-session close on timeout")
+      // the user returns after expiry: a FRESH session starts (state was
+      // freed), closing normally by gap when a later event arrives
+      input.addData(StreamOps.Event(3, 200 * SEC, 7L, "b", 1.0))
+      input.addData(StreamOps.Event(4, 500 * SEC, 7L, "b", 1.0))
+      await(rows().contains((7L, 200 * SEC, 200 * SEC, 1)),
+        "post-expiry session closes independently")
+    } finally query.stop()
+  }
+
   test("streaming index ingest: appended vectors become searchable") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
@@ -284,6 +320,35 @@ class StreamOpsSpec extends SparkSpec {
       await(pairs().contains((60L, 61L)), "tracer pair")
       assert(!pairs().exists(p => p._1 == 3L || p._2 == 3L),
         s"doc 3 arrived after expiry and must not pair: ${pairs()}")
+    } finally q.stop()
+  }
+
+  test("dedupIngest dropOversized excludes poison docs without killing the query") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val small = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    // >12 distinct 3-shingles with a tiny maxShingles forces the oversized path
+    val big = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val acc = spark.sparkContext.longAccumulator("dedup.oversizedDropped")
+    val input = MemoryStream[(Long, String)]
+    val q = StreamOps.dedupIngest(input.toDF().toDF("doc_id", "text"),
+        "doc_id", "text", threshold = 0.6, exactVerify = true,
+        maxShingles = 12, dropOversized = true, droppedDocs = Some(acc))
+      .writeStream.format("memory").queryName("dedup_drop_oversized")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData((1L, small), (2L, small), (3L, big), (4L, big))
+      q.processAllAvailable()
+      val pairs = spark.sql("SELECT da, db FROM dedup_drop_oversized")
+        .as[(Long, Long)].collect().toSet
+      assert(pairs.contains((1L, 2L)), s"small exact pair must still emit: $pairs")
+      assert(!pairs.exists(p => p._1 >= 3L || p._2 >= 3L),
+        s"oversized docs must not participate: $pairs")
+      assert(acc.value == 2L, s"both oversized docs counted, got ${acc.value}")
+      // the query is still alive — a later batch processes normally
+      input.addData((5L, small))
+      q.processAllAvailable()
+      assert(spark.sql("SELECT da, db FROM dedup_drop_oversized").count() >= 2)
     } finally q.stop()
   }
 
