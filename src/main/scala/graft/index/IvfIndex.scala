@@ -42,7 +42,18 @@ import graft.kmeans.KMeans
  */
 final case class IvfConfig(
     lists: Int = 16,
-    bits: Int = 8,
+    bits: Int = 8,                // estimate-code width: 1 = the reference
+                                  // index's CLASSIC RaBitQ binary code
+                                  // (crates/rabitq/src/bit.rs — what
+                                  // vchordrq tuples store for the fast
+                                  // scan; 8x smaller codes, refine/rerank
+                                  // restores exactness), 4|8 = the
+                                  // extended rabitq4/8 codecs. 2 is NOT
+                                  // an index tier (nor in the reference):
+                                  // the b=1 round lattice zeroes most
+                                  // mid-range components — it exists only
+                                  // as a graph VERTEX code where big ef
+                                  // pools + rerank absorb the coarseness
     residual: Boolean = true,
     metric: String = "l2", // l2 | cosdist | negdot
     samplingFactor: Int = 256,
@@ -88,7 +99,9 @@ final case class IvfConfig(
     * INDEX (tests/vchordrq/options.slt, src/index/vchordrq/types.rs). */
   def validate(): Unit = {
     require(lists >= 1, s"lists must be >= 1, got $lists")
-    require(bits == 4 || bits == 8, s"bits must be 4 or 8, got $bits")
+    require(bits == 1 || bits == 4 || bits == 8,
+      s"bits must be 1, 4 or 8, got $bits (2-bit codes are a graph-vertex " +
+      "tier, not an index estimate tier — see IvfConfig.bits)")
     require(Set("l2", "cosdist", "negdot")(metric), s"unknown metric '$metric'")
     require(samplingFactor >= 1, s"samplingFactor must be >= 1, got $samplingFactor")
     require(kmeansIters >= 1, s"kmeansIters must be >= 1, got $kmeansIters")

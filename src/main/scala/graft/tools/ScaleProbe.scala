@@ -251,6 +251,52 @@ object ScaleProbe {
         h.unpersist()
       }
       if (!nocache) df.unpersist()
+      // BULK media-decode throughput (round-7): the goldens prove the
+      // codec path on capped doc counts; these keys measure decode
+      // rows/sec at bulk through the same partition-local batch kernels.
+      // Blobs are generated+cached UNTIMED (real encoded bytes — PNG via
+      // ImageIO, WAV via javax.sound, MJPEG concatenation), so the timed
+      // pass is pure decode+stats work.
+      if (!sys.env.get("SPARK_GRAFT_SCALE_MM").contains("0")) {
+        val nMm = sys.env.getOrElse("SPARK_GRAFT_SCALE_MM_N", "50000").toInt
+        val imgs = spark.range(nMm)
+          .map(i => (i, graft.ops.Multimodal.syntheticPng(i)))
+          .toDF("id", "blob").cache()
+        imgs.count()
+        timed(s"_scale_mm_decode${nMm / 1000}k") {
+          assert(graft.ops.Multimodal.imageStats(imgs, "id", "blob").count() == nMm)
+        }
+        timed(s"_scale_mm_features${nMm / 1000}k") {
+          assert(graft.ops.Multimodal.extractFeatures(imgs, "id", "blob", dim = 64)
+            .count() == nMm)
+        }
+        imgs.unpersist()
+        val wavs = spark.range(nMm)
+          .map(i => (i, graft.ops.Multimodal.syntheticWav(i)))
+          .toDF("id", "blob").cache()
+        wavs.count()
+        timed(s"_scale_mm_audio${nMm / 1000}k") {
+          assert(graft.ops.Multimodal.audioStats(wavs, "id", "blob").count() == nMm)
+        }
+        wavs.unpersist()
+        // video tier: fewer clips, 8 real JPEG frames each — sampleFrames
+        // walks the marker structure, the downstream decode re-parses the
+        // sampled frames (frames emitted = clips x 4 at everyN=2)
+        val nClips = nMm / 10
+        val clips = spark.range(nClips)
+          .map(i => (i, graft.ops.Multimodal.syntheticMjpeg(i, frames = 8)))
+          .toDF("id", "blob").cache()
+        clips.count()
+        val clipTag = if (nClips >= 1000) s"${nClips / 1000}k" else nClips.toString
+        timed(s"_scale_mm_frames$clipTag") {
+          val fr = graft.ops.Multimodal.sampleFrames(clips, "id", "blob",
+            everyN = 2, maxFrames = 4)
+          assert(graft.ops.Multimodal.imageStats(
+            fr.selectExpr("id * 10 + frame_no AS fid", "frame_blob"),
+            "fid", "frame_blob").count() == nClips.toLong * 4)
+        }
+        clips.unpersist()
+      }
       // B5 deep-tree probe economics: flat vs 3-level descent over 1024
       // synthetic centroids, 2000 probes each (driver-side cost only)
       val (tProbeFlat, tProbeTree) = graft.index.ProbeBench.run(spark)

@@ -45,6 +45,36 @@ class IvfBuildVariantsSpec extends SparkSpec {
     assert(idx.evaluateRecall(q, 10, probes = 16, refine = 16) == 1.0)
   }
 
+  test("bits=1 (classic RaBitQ binary code, the reference index's fast-scan " +
+       "tier): refine recovers exact top-k; range stays exact; 8x smaller codes") {
+    import spark.implicits._
+    val idx = IvfIndex.build(rows.toDF("id", "vec"), "id", "vec", freshDir(),
+      IvfConfig(lists = 8, bits = 1))
+    val q = Array.fill(12)(0.2f)
+    // 1-bit estimates are the coarsest tier — a generous refine pool
+    // (like the reference's rerank) must still recover the exact top-k
+    // with every cell probed
+    assert(idx.search(q, 10, probes = 8, refine = 40)
+      .select("id").as[Long].collect().toSeq == brute(q, 10), "bits=1 knn")
+    // sphere range: the epsilon-scaled lower bound must stay a true
+    // lower bound at 1 bit — no qualifying row lost before the exact cut
+    val ds = rows.map { case (_, v) => K.l2(v.toArray, q) }.sorted
+    val r = (ds(79) + ds(80)) / 2.0
+    val got = idx.rangeSearch(q, r).select("id").as[Long].collect().toSeq
+    val want = rows.map { case (id, v) => (K.l2(v.toArray, q), id) }
+      .filter(_._1 < r).sorted.map(_._2)
+    assert(got == want, s"bits=1 range: got ${got.length} want ${want.length}")
+    // codes shrink 8x: 12d packs to 2 bytes at 1 bit vs 12 at 8 bits
+    val codeLen = spark.read.parquet(s"${idx.dir}/gen-0")
+      .select(org.apache.spark.sql.functions.length(
+        org.apache.spark.sql.functions.col("codes")))
+      .as[Int].head()
+    assert(codeLen == 2, s"bits=1 code bytes $codeLen")
+    // 2-bit codes are rejected as an INDEX tier (graph-vertex only)
+    val e = intercept[IllegalArgumentException](IvfConfig(bits = 2).validate())
+    assert(e.getMessage.contains("graph-vertex"))
+  }
+
   test("dim-reduced clustering build keeps full-dim exactness") {
     import spark.implicits._
     val idx = IvfIndex.build(rows.toDF("id", "vec"), "id", "vec", freshDir(),
