@@ -655,6 +655,38 @@ final class IvfIndex(val spark: SparkSession, val dir: String, val meta: IvfMeta
   def delete(ids: Seq[Long]): Unit =
     rewrite(df => df.filter(!col("id").isin(ids.map(java.lang.Long.valueOf): _*)))
 
+  /** Shrink THIS full index into a codes-only sibling at `dstDir` —
+    * the reference's `rerank_in_table=true` small-index economics
+    * (src/index/vchordrq/types.rs:19-45) applied RETROACTIVELY: no
+    * re-sample, no k-means, no re-encode. One narrow-column pass copies
+    * (cluster_id, id, cmeta, codes) — parquet column pruning means the
+    * dominant vec bytes (~12-24x the codes at 768d) are never read — and
+    * the centroid tree/meta are carried over verbatim, with any delta
+    * appends folded in (the copy is born compacted). Every search on the
+    * result must pass `rerankTable` (see [[IvfConfig.storeVectors]]).
+    * Answers are identical to a fresh `storeVectors=false` build with the
+    * same config: codes, centroids, and probe order are byte-equal. */
+  def dropVectors(dstDir: String): IvfIndex = {
+    require(meta.cfg.storeVectors,
+      s"index at $dir is already codes-only (storeVectors=false)")
+    require(dstDir != dir, "dstDir must differ from the source index dir")
+    IvfIndex.rmRecursive(Paths.get(dstDir))
+    // no repartition: the source generation is already co-located by
+    // cluster_id, so the narrow copy is shuffle-free
+    codesDf.write.mode("overwrite").partitionBy("cluster_id")
+      .parquet(s"$dstDir/gen-0")
+    IvfIndex.writeMeta(spark, dstDir, meta.dim, meta.origDim,
+      meta.cfg.copy(storeVectors = false), meta.centroids)
+    Files.writeString(Paths.get(dstDir, "CURRENT"), "gen-0")
+    meta.upperCentroids.indices.foreach { lvl =>
+      Files.write(Paths.get(dstDir, s"upper$lvl.centroids.bin"),
+        IvfIndex.floatBlock(meta.upperCentroids(lvl)))
+      Files.writeString(Paths.get(dstDir, s"upper$lvl.children.txt"),
+        meta.upperChildren(lvl).map(_.mkString(",")).mkString("\n"))
+    }
+    IvfIndex.load(spark, dstDir)
+  }
+
   /** Single-writer assumption (like the reference's vacuum). The previous
     * generation is RETAINED for one cycle so readers that resolved CURRENT
     * just before the pointer moved keep their files; generations older

@@ -24,10 +24,28 @@ object GraftQueries {
   final case class Q(impl: (SparkSession, String) => DataFrame, oracle: Option[String])
 
   private def tbl(spark: SparkSession, sfDir: String, name: String): DataFrame = {
-    // events.ts is TIMESTAMP(NANOS) parquet, which Spark only reads as a
-    // raw long; the events queries do exact integer arithmetic on nanos.
+    // events.ts is parquet TIMESTAMP(NANOS); the events queries do exact
+    // integer arithmetic on raw nanos longs. Environments differ on how
+    // that type reads:
+    //  - where spark.sql.legacy.parquet.nanosAsLong is honored, ts
+    //    arrives as the raw nanos long directly;
+    //  - Spark 4.1.2 here IGNORES the legacy conf even when set before
+    //    the session (verified: conf reads back true, schema is still
+    //    timestamp_ntz at microsecond precision), so the read is
+    //    normalized back to nanos: UTC-interpreted micros * 1000. The
+    //    testdata's nano values are exact microsecond multiples
+    //    (verified against DuckDB epoch_ns row-by-row), so the
+    //    round-trip is lossless.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$sfDir/$name.parquet")
+    val df = spark.read.parquet(s"$sfDir/$name.parquet")
+    if (name == "events" && df.schema.exists(f => f.name == "ts" &&
+        f.dataType == org.apache.spark.sql.types.TimestampNTZType)) {
+      // cast NTZ->timestamp interprets the wall time in the SESSION zone;
+      // pin it to UTC so the epoch arithmetic matches DuckDB regardless
+      // of the host's zone
+      spark.conf.set("spark.sql.session.timeZone", "UTC")
+      df.withColumn("ts", expr("unix_micros(cast(ts as timestamp)) * 1000"))
+    } else df
   }
 
   /** Embedding of a given vec_id, collected to the driver. */
@@ -1157,11 +1175,14 @@ object GraftQueries {
             .select(col("vec_id").cast("long")).as[Long].collect()
           idx.delete(dead.toSeq)
           idx
-        case "novec" => // CODES-ONLY index: no vec column written, every
-          // exact phase fetches from the source table (the reference's
-          // rerank_in_table=true small-index mode)
-          IvfIndex.build(e, "vec_id", "embedding", dir,
-            cfg16.copy(storeVectors = false))
+        case "novec" => // CODES-ONLY index: no vec column, every exact
+          // phase fetches from the source table (the reference's
+          // rerank_in_table=true small-index mode). Derived from the
+          // shared base index via dropVectors — a shuffle-free
+          // narrow-column copy instead of a second full k-means build
+          // (same config, so codes/centroids/answers are identical; the
+          // conversion path itself is spec'd against a fresh build)
+          IvfCache.get(s, d).dropVectors(dir)
       }
     }
 

@@ -167,6 +167,56 @@ class IvfNoVecSpec extends SparkSpec {
       .select("id").as[Long].collect().nonEmpty, "bootstrap inserts searchable")
   }
 
+  test("dropVectors: converted index is byte-identical to a fresh codes-only build") {
+    import spark.implicits._
+    val fullDir = freshDir(); val dropDir = freshDir(); val freshBuildDir = freshDir()
+    val cfg = IvfConfig(lists = 8)
+    val full = IvfIndex.build(df, "id", "vec", fullDir, cfg)
+    // include a delta append: the conversion must fold it in (born compacted)
+    val conv = full.dropVectors(dropDir)
+    assert(!conv.meta.cfg.storeVectors)
+    val written = spark.read.parquet(s"$dropDir/gen-0")
+    assert(!written.columns.contains("vec"),
+      s"dropVectors wrote a vec column: ${written.columns.mkString(",")}")
+    // same config + same data => the fresh codes-only build must agree on
+    // every stored code row AND every answer
+    val fresh = IvfIndex.build(df, "id", "vec", freshBuildDir,
+      cfg.copy(storeVectors = false))
+    def codeRows(d: String) =
+      spark.read.parquet(s"$d/gen-0")
+        .select("id", "cluster_id", "cmeta", "codes")
+        .as[(Long, Int, Seq[Float], Array[Byte])]
+        .collect().map { case (i, c, m, b) => (i, c, m, b.toSeq) }
+        .sortBy(_._1).toSeq
+    assert(codeRows(dropDir) == codeRows(freshBuildDir),
+      "converted codes differ from a fresh codes-only build")
+    val q = Array.fill(16)(0.15f)
+    val got = conv.search(q, 10, probes = 8, refine = 16, rerankTable = rt)
+      .select("id").as[Long].collect().toSeq
+    assert(got == brute(rows, q, 10))
+    // converting an already-codes-only index fails loudly
+    val e = intercept[IllegalArgumentException](conv.dropVectors(freshDir()))
+    assert(e.getMessage.contains("codes-only"), e.getMessage)
+  }
+
+  test("dropVectors folds delta appends and keeps the centroid tree") {
+    import spark.implicits._
+    val fullDir = freshDir(); val dropDir = freshDir()
+    val (initial, extra) = rows.splitAt(450)
+    val full = IvfIndex.build(initial.toDF("id", "vec"), "id", "vec", fullDir,
+      IvfConfig(lists = 8, upperLists = Seq(2))) // 2 internal levels
+    full.appendDelta(extra.toDF("id", "vec"), "id", "vec")
+    val conv = full.dropVectors(dropDir)
+    assert(!Files.exists(java.nio.file.Paths.get(dropDir, "delta")),
+      "conversion output must be born compacted")
+    assert(conv.meta.upperCentroids.nonEmpty && conv.meta.upperChildren.nonEmpty,
+      "upper centroid levels must carry over")
+    val q = Array.fill(16)(-0.1f)
+    val got = conv.search(q, 10, probes = 8, refine = 16, probes1 = 2, rerankTable = rt)
+      .select("id").as[Long].collect().toSeq
+    assert(got == brute(rows, q, 10), "delta rows must be searchable after conversion")
+  }
+
   test("cosine metric codes-only: range + knn via source-table renormalization") {
     import spark.implicits._
     val dir = freshDir()
