@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.GraftFunctions._
 import graft.index.{IvfConfig, IvfIndex}
-import graft.ops.{Dedup, Knn, MaxSim, Multimodal, TextOps}
+import graft.ops.{Curation, Dedup, Knn, MaxSim, Multimodal, TextOps}
 
 /**
  * The operator inventory (SURVEY.md §2) as named queries, each paired —
@@ -730,6 +730,86 @@ object GraftQueries {
         .select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))
         .orderBy("doc_id"),
       Some("SELECT doc_id, md5(lower(text)) AS fp FROM documents ORDER BY doc_id")),
+
+    // ---- training-data curation (ops/Curation.scala): benchmark
+    // decontamination, deterministic mix sampling, context-window
+    // chunking, repetition signals — all native column functions ----
+
+    // Benchmark decontamination: docs sharing >= 2 distinct trigram
+    // shingles with the "benchmark" slice (doc_id % 37 == 0). The corpus
+    // side never shuffles wide data: distinct eval shingles broadcast,
+    // overlap counts aggregate contaminated ids only.
+    "decontaminate" -> Q(
+      (s, d) => {
+        val docs = tbl(s, d, "documents")
+        Curation.decontaminate(
+          docs.filter(col("doc_id") % 37 =!= 0), "doc_id", "text",
+          docs.filter(col("doc_id") % 37 === 0), "text",
+          n = 3, minOverlap = 2)
+          .orderBy("doc_id")
+      },
+      Some("""WITH tk AS (SELECT doc_id, string_split(text,' ') AS t FROM documents),
+             |ix AS (SELECT doc_id, t, unnest(range(1, len(t)-1)) AS i FROM tk),
+             |sh AS (SELECT doc_id, array_to_string(t[i:i+2], ' ') AS sh FROM ix),
+             |ev AS (SELECT DISTINCT sh FROM sh WHERE doc_id % 37 = 0),
+             |ds AS (SELECT DISTINCT doc_id, sh FROM sh WHERE doc_id % 37 <> 0)
+             |SELECT ds.doc_id AS doc_id, count(*) AS n_overlap
+             |FROM ds JOIN ev ON ds.sh = ev.sh
+             |GROUP BY 1 HAVING count(*) >= 2 ORDER BY doc_id""".stripMargin)),
+
+    // Deterministic weighted training-mix sampling: md5-hash unit keys,
+    // per-source rates (down-weight src0, boost src1, drop src2, half
+    // everything else) — reproducible row-for-row in any md5-bearing
+    // engine, no RNG state, no shuffle.
+    "sample_mix" -> Q(
+      (s, d) => Curation.sampleMix(tbl(s, d, "documents"), "doc_id", "source",
+          Map("src0" -> 0.2, "src1" -> 0.8, "src2" -> 0.0), defaultRate = 0.5)
+        .select(col("doc_id"), col("source"))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id, source FROM documents
+             |WHERE CAST(concat('0x', substr(md5(concat('mix:', CAST(doc_id AS VARCHAR))),1,8)) AS BIGINT) / 4294967296.0
+             |  < (CASE WHEN source = 'src0' THEN 0.2 WHEN source = 'src1' THEN 0.8
+             |          WHEN source = 'src2' THEN 0.0 ELSE 0.5 END)
+             |ORDER BY doc_id""".stripMargin)),
+
+    // Context-window chunking: 32-token windows every 24 tokens (8-token
+    // overlap); every token covered, short tails kept, chunk_no 0-based.
+    "chunk_docs" -> Q(
+      (s, d) => Curation.chunkTokens(tbl(s, d, "documents"), "doc_id", "text",
+          window = 32, stride = 24)
+        .orderBy("doc_id", "chunk_no"),
+      Some("""WITH tk AS (SELECT doc_id, string_split(text,' ') AS t FROM documents),
+             |c AS (SELECT doc_id, t, len(t) AS n,
+             |  CASE WHEN len(t) <= 32 THEN 1 ELSE CAST(ceil((len(t)-32)/24.0) AS BIGINT)+1 END AS nc FROM tk),
+             |e AS (SELECT doc_id, t, n, unnest(range(0, nc)) AS chunk_no FROM c)
+             |SELECT doc_id, CAST(chunk_no AS BIGINT) AS chunk_no,
+             |  array_to_string(t[chunk_no*24+1 : chunk_no*24+32], ' ') AS chunk_text,
+             |  CAST(least(n - chunk_no*24, 32) AS BIGINT) AS n_tokens
+             |FROM e ORDER BY doc_id, chunk_no""".stripMargin)),
+
+    // Gopher-style repetition/diversity signals per doc.
+    "text_repetition" -> Q(
+      (s, d) => {
+        val (topFrac, distinctRatio, dupGram) =
+          Curation.repetitionSignals(col("text"))
+        tbl(s, d, "documents")
+          .select(col("doc_id"),
+            round(topFrac, 3).as("top_word_frac"),
+            round(distinctRatio, 3).as("distinct_ratio"),
+            round(dupGram, 3).as("dup_2gram_frac"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH t AS (SELECT doc_id, unnest(string_split(text,' ')) AS w FROM documents),
+             |wc AS (SELECT doc_id, w, count(*) AS c FROM t GROUP BY 1,2),
+             |s AS (SELECT doc_id, max(c) AS topc, count(*) AS nd, sum(c) AS n FROM wc GROUP BY 1),
+             |tk AS (SELECT doc_id, string_split(text,' ') AS tt FROM documents),
+             |gx AS (SELECT doc_id, tt, unnest(range(1, len(tt))) AS i FROM tk),
+             |g AS (SELECT doc_id, array_to_string(tt[i:i+1],' ') AS gm FROM gx),
+             |g2 AS (SELECT doc_id, count(*) AS ng, count(DISTINCT gm) AS ndg FROM g GROUP BY 1)
+             |SELECT s.doc_id AS doc_id, round(CAST(topc AS DOUBLE)/n, 3) AS top_word_frac,
+             | round(CAST(nd AS DOUBLE)/n, 3) AS distinct_ratio,
+             | round(CASE WHEN ng IS NULL OR ng = 0 THEN 0.0 ELSE 1.0 - CAST(ndg AS DOUBLE)/ng END, 3) AS dup_2gram_frac
+             |FROM s LEFT JOIN g2 ON s.doc_id = g2.doc_id ORDER BY doc_id""".stripMargin)),
 
     // ---- multimodal columns (opaque blob + typed metadata; real
     // ImageIO/javax.sound/MJPEG decode in ops/Multimodal.scala) ----

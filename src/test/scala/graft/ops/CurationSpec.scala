@@ -1,0 +1,139 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/**
+ * Training-data curation operators (ops/Curation.scala): benchmark
+ * decontamination, deterministic mix sampling, token-window chunking,
+ * repetition signals. Hand-computed goldens on tiny fixtures; the
+ * corpus-scale behavior is oracle-checked end-to-end by the
+ * `decontaminate` / `sample_mix` / `chunk_docs` / `text_repetition`
+ * driver queries.
+ */
+class CurationSpec extends SparkSpec {
+
+  import Curation._
+
+  private def docs(rows: (Long, String)*) = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  test("shingles: n-gram construction and short-doc edge") {
+    import spark.implicits._
+    val out = docs(1L -> "a b c d", 2L -> "a b")
+      .select(col("doc_id"), shingles(col("text"), 3).as("sh"))
+      .as[(Long, Seq[String])].collect().toMap
+    assert(out(1L) == Seq("a b c", "b c d"))
+    assert(out(2L) == Seq.empty, "docs shorter than n have no shingles")
+  }
+
+  test("decontaminate: overlap counting, minOverlap, and keep complement") {
+    import spark.implicits._
+    val train = docs(
+      1L -> "the quick brown fox jumps over the lazy dog",   // shares 2 trigrams
+      2L -> "completely unrelated text about spark engines", // shares 0
+      3L -> "quick brown fox is here and brown fox jumps too") // shares 2
+    val eval_ = docs(10L -> "a quick brown fox jumps high")
+    val flagged = decontaminate(train, "doc_id", "text", eval_, "text",
+      n = 3, minOverlap = 2)
+      .as[(Long, Long)].collect().toMap
+    // eval trigrams: {a quick brown, quick brown fox, brown fox jumps, fox jumps high}
+    assert(flagged == Map(1L -> 2L, 3L -> 2L), s"got $flagged")
+    val kept = decontaminateKeep(train, "doc_id", "text", eval_, "text",
+      n = 3, minOverlap = 2).select("doc_id").as[Long].collect().toSeq
+    assert(kept == Seq(2L))
+    // minOverlap = 3 clears everything in this fixture
+    assert(decontaminate(train, "doc_id", "text", eval_, "text", 3, 3).count() == 0)
+  }
+
+  test("decontaminate counts DISTINCT shingle types, not occurrences") {
+    import spark.implicits._
+    // "x y z" appears twice in the train doc but is ONE shared type
+    val train = docs(1L -> "x y z q x y z")
+    val eval_ = docs(9L -> "x y z")
+    val got = decontaminate(train, "doc_id", "text", eval_, "text", 3, 1)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L), s"got $got")
+  }
+
+  test("sampleMix: deterministic, rate-monotone, 0 drops, 1 keeps") {
+    import spark.implicits._
+    val n = 2000
+    val df = (0 until n).map(i => (i.toLong, if (i % 2 == 0) "a" else "b"))
+      .toDF("id", "src")
+    def kept(rates: Map[String, Double], default: Double = 1.0): Seq[Long] =
+      sampleMix(df, "id", "src", rates, default).select("id").as[Long]
+        .collect().toSeq.sorted
+    val half = kept(Map("a" -> 0.5, "b" -> 0.0))
+    assert(half == kept(Map("a" -> 0.5, "b" -> 0.0)), "must be deterministic")
+    assert(half.forall(_ % 2 == 0), "rate 0.0 must drop source b entirely")
+    // binomial(1000, 0.5): expect ~500, allow 6 sigma (~95)
+    assert(math.abs(half.length - 500) < 100, s"rate 0.5 kept ${half.length}/1000")
+    val quarter = kept(Map("a" -> 0.25, "b" -> 0.0))
+    assert(quarter.toSet.subsetOf(half.toSet),
+      "lower rate must select a SUBSET of the higher rate (threshold nesting)")
+    assert(kept(Map.empty, default = 1.0).length == n, "rate 1.0 keeps all")
+    // a different seed draws an (almost surely) different sample
+    val reseeded = sampleMix(df, "id", "src", Map("a" -> 0.5, "b" -> 0.0),
+      seed = "other").select("id").as[Long].collect().toSeq.sorted
+    assert(reseeded != half, "seed must change the draw")
+  }
+
+  test("chunkTokens: coverage, overlap, short docs, tail") {
+    import spark.implicits._
+    val text10 = (1 to 10).map(i => s"w$i").mkString(" ")
+    val out = chunkTokens(docs(1L -> text10, 2L -> "a b"), "doc_id", "text",
+      window = 4, stride = 3)
+      .as[(Long, Long, String, Long)].collect().sortBy(r => (r._1, r._2)).toSeq
+    val d1 = out.filter(_._1 == 1L)
+    // n=10, w=4, s=3: nc = ceil(6/3)+1 = 3 -> starts 0,3,6 ... wait last
+    // start 6 covers w7..w10; chunk count = 3
+    assert(d1.map(_._3) == Seq(
+      "w1 w2 w3 w4", "w4 w5 w6 w7", "w7 w8 w9 w10"), s"got ${d1.map(_._3)}")
+    assert(d1.map(_._4) == Seq(4L, 4L, 4L))
+    assert(d1.map(_._2) == Seq(0L, 1L, 2L), "chunk_no 0-based sequential")
+    val d2 = out.filter(_._1 == 2L)
+    assert(d2 == Seq((2L, 0L, "a b", 2L)), "short doc is one short chunk")
+    // every token appears in at least one chunk
+    val covered = d1.flatMap(_._3.split(' ')).toSet
+    assert(covered == (1 to 10).map(i => s"w$i").toSet)
+    // tail shorter than window is kept
+    val tail = chunkTokens(docs(3L -> text10), "doc_id", "text", 4, 4)
+      .as[(Long, Long, String, Long)].collect().sortBy(_._2).toSeq
+    assert(tail.map(_._4) == Seq(4L, 4L, 2L), s"got ${tail.map(_._4)}")
+    intercept[IllegalArgumentException](
+      chunkTokens(docs(1L -> "a"), "doc_id", "text", 4, 5))
+  }
+
+  test("repetitionSignals: hand-computed goldens") {
+    import spark.implicits._
+    val (topF, distR, dupG) = repetitionSignals(col("text"))
+    val out = docs(
+      1L -> "buy buy buy now",       // top=3/4, distinct=2/4, 2grams: [buy buy, buy buy, buy now] dup = 1 - 2/3
+      2L -> "all words are different", // top=1/4, distinct=1, dup=0
+      3L -> "x")                     // single token: top=1, distinct=1, grams empty -> 0
+      .select(col("doc_id"), topF.as("t"), distR.as("d"), dupG.as("g"))
+      .as[(Long, Double, Double, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out(1L)._1 == 0.75 && out(1L)._2 == 0.5)
+    assert(math.abs(out(1L)._3 - (1.0 - 2.0 / 3.0)) < 1e-12)
+    assert(out(2L) == ((0.25, 1.0, 0.0)))
+    assert(out(3L) == ((1.0, 1.0, 0.0)))
+  }
+
+  test("hashUnit lies in [0,1) and is stable across partitionings") {
+    import spark.implicits._
+    val df = (0L until 500L).toDF("id")
+    val a = df.repartition(7).select(hashUnit(col("id"), "s").as("u"))
+      .as[Double].collect().sorted.toSeq
+    val b = df.repartition(2).select(hashUnit(col("id"), "s").as("u"))
+      .as[Double].collect().sorted.toSeq
+    assert(a == b, "hash keys must not depend on partitioning")
+    assert(a.forall(u => u >= 0.0 && u < 1.0))
+    // roughly uniform: mean within [0.4, 0.6]
+    val mean = a.sum / a.length
+    assert(mean > 0.4 && mean < 0.6, s"suspicious mean $mean")
+  }
+}
