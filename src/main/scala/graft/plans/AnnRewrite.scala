@@ -267,13 +267,18 @@ case class AnnTopKRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     case _ => None
   }
 
-  /** Limit body: the Sort itself, or an attrs-only Project over it (column
-    * pruning places the final projection between LocalLimit and Sort for
-    * `.orderBy(dist).limit(k).select(cols)` queries). */
+  /** Limit body: the Sort itself, or a deterministic Project over it.
+    * Column pruning places the final projection between LocalLimit and
+    * Sort for `.orderBy(dist).limit(k).select(cols)` queries; SQL
+    * subselects (`SELECT id, round(vec_l2(...),3) AS dist FROM
+    * (... ORDER BY vec_l2(...) LIMIT k)`) put COMPUTED columns there, so
+    * the project list admits any deterministic expressions — the serve
+    * rebuilds the identical projection over the candidate-filtered sort,
+    * which stays well-formed because its inputs are the sort's output. */
   private object LimitBody {
     def unapply(p: LogicalPlan): Option[(Option[Seq[NamedExpression]], Sort)] = p match {
       case s: Sort => Some((None, s))
-      case Project(pl, s: Sort) if pl.forall(_.isInstanceOf[AttributeReference]) =>
+      case Project(pl, s: Sort) if pl.forall(_.deterministic) =>
         Some((Some(pl), s))
       case _ => None
     }

@@ -307,6 +307,38 @@ object GraftQueries {
           .select(col("vec_id"), round(col("raw"), 3).as("dist")) },
       Some(knnOracle)),
 
+    // The reference's SQL surface end-to-end: the exact query text a
+    // pgvector/VectorChord user writes (`SELECT ... ORDER BY embedding
+    // <-> q LIMIT k` with <-> spelled vec_l2) goes through spark.sql(),
+    // the registered function resolves, and the injected AnnTopKRewrite
+    // serves the Sort+Limit from the IVF index — asserted in-query, so
+    // this row FAILS rather than silently degrading to a full scan.
+    "sql_knn" -> Q(
+      (s, d) => {
+        val q = qvec(s, d, 0)
+        val idx = IvfCache.get(s, d)
+        val path = prefilterTable(s, d)
+        graft.plans.AnnCatalog.register(path, idx.dir, "vec_id", "embedding")
+        if (!s.experimental.extraOptimizations.exists(_.isInstanceOf[graft.plans.AnnTopKRewrite]))
+          s.experimental.extraOptimizations =
+            s.experimental.extraOptimizations :+ graft.plans.AnnTopKRewrite(s)
+        graft.functions.GraftFunctions.registerAll(s)
+        s.conf.set("graft.ann.probes", "16")
+        s.conf.set("graft.ann.refine", "16")
+        s.read.parquet(path).createOrReplaceTempView("emb_sql")
+        val qSql = q.map(_.toString).mkString("array(", "F, ", "F)")
+        val served = s.sql(
+          s"""SELECT vec_id, round(vec_l2(embedding, $qSql), 3) AS dist FROM (
+             |  SELECT vec_id, embedding FROM emb_sql
+             |  ORDER BY vec_l2(embedding, $qSql) LIMIT 10
+             |) ORDER BY dist, vec_id""".stripMargin)
+        require(served.queryExecution.optimizedPlan.toString.contains(" IN "),
+          "sql_knn was NOT index-served — the planner rule failed to match " +
+          "the SQL Sort+Limit shape:\n" + served.queryExecution.optimizedPlan)
+        served
+      },
+      Some(knnOracle)),
+
     "knn_join" -> Q(
       (s, d) => {
         import s.implicits._

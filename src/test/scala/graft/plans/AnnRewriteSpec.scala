@@ -309,6 +309,41 @@ class AnnRewriteSpec extends SparkSpec {
     } finally AnnCatalog.unregister(tableDir)
   }
 
+  test("SQL subselect shape: computed dist in the outer SELECT list is still served") {
+    import spark.implicits._
+    val (tableDir, indexDir) = setup
+    AnnCatalog.register(tableDir, indexDir, "id", "vec")
+    try withRule {
+      spark.read.parquet(tableDir).createOrReplaceTempView("ann_sub_tbl")
+      GraftFunctions.registerAll(spark)
+      val q = Array.fill(8)(0.1f)
+      val qSql = q.map(_.toString).mkString("array(", "F, ", "F)")
+      withConfs("graft.ann.cost.enable" -> "false", "graft.ann.probes" -> "8") {
+        // the natural "give me ids AND distances" SQL: the optimizer
+        // plans it as Limit(Project(round(vec_l2(...)), Sort(vec_l2)))
+        // — a COMPUTED projection between limit and sort, which the
+        // attrs-only LimitBody used to reject
+        val df = spark.sql(
+          s"""SELECT id, round(vec_l2(vec, $qSql), 3) AS dist FROM (
+             |  SELECT id, vec FROM ann_sub_tbl
+             |  ORDER BY vec_l2(vec, $qSql) LIMIT 5
+             |) ORDER BY dist, id""".stripMargin)
+        assert(df.queryExecution.optimizedPlan.toString.contains(" IN "),
+          df.queryExecution.optimizedPlan.toString)
+        val got = df.as[(Long, Double)].collect().toSeq
+        val data = spark.read.parquet(tableDir).as[(Long, Seq[Float])].collect()
+        val want = data.map { case (id, v) => (K.l2(v.toArray, q), id) }
+          .sorted.take(5)
+          .map { case (dd, id) => (id, math.rint(dd * 1000) / 1000) }
+          .sortBy { case (id, dd) => (dd, id) }.toSeq
+        assert(got == want, s"got $got want $want")
+      }
+    } finally {
+      AnnCatalog.unregister(tableDir)
+      spark.catalog.dropTempView("ann_sub_tbl")
+    }
+  }
+
   test("SQL form: vec_l2(...) < r over a registered temp view is range-served") {
     import spark.implicits._
     val (tableDir, indexDir) = setup
