@@ -843,6 +843,56 @@ object GraftQueries {
              | round(CASE WHEN ng IS NULL OR ng = 0 THEN 0.0 ELSE 1.0 - CAST(ndg AS DOUBLE)/ng END, 3) AS dup_2gram_frac
              |FROM s LEFT JOIN g2 ON s.doc_id = g2.doc_id ORDER BY doc_id""".stripMargin)),
 
+    // The FLAGSHIP curation pipeline: every stage a real training-data
+    // pipeline runs, composed end-to-end and hash-matched against one
+    // oracle — signals filter (length + repetition), prefix-5 exact
+    // dedup (canonical = min doc_id), benchmark decontamination vs the
+    // eval slice, then deterministic mix sampling. Scale shape: two
+    // narrow scans + one dedup shuffle + one broadcast semi-join — no
+    // stage is corpus x corpus.
+    "curate_corpus" -> Q(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val docs = tbl(s, d, "documents")
+        val train = docs.filter(col("doc_id") % 37 =!= 0)
+        val evalDf = docs.filter(col("doc_id") % 37 === 0)
+        val (topF, _, _) = Curation.repetitionSignals(col("text"))
+        val signaled = train
+          .withColumn("n_tokens", TextOps.tokenCount(col("text")).cast("long"))
+          .filter(col("n_tokens") >= 15 && topF <= 0.13)
+        // same grouping key as dedup_exact: md5 of the first 5 tokens
+        val grp = md5(concat_ws(" ", slice(split(col("text"), " "), 1, 5)).cast("binary"))
+        val canon = signaled.withColumn("__keep", min(col("doc_id")).over(Window.partitionBy(grp)))
+          .filter(col("doc_id") === col("__keep")).drop("__keep")
+        val clean = Curation.decontaminateKeep(canon, "doc_id", "text", evalDf, "text",
+          n = 3, minOverlap = 2)
+        Curation.sampleMix(clean, "doc_id", "source", Map("src0" -> 0.2), defaultRate = 0.9)
+          .select(col("doc_id"), col("source"), col("n_tokens"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH train AS (SELECT * FROM documents WHERE doc_id % 37 <> 0),
+             |t AS (SELECT doc_id, unnest(string_split(text,' ')) AS w FROM train),
+             |wc AS (SELECT doc_id, w, count(*) AS c FROM t GROUP BY 1,2),
+             |sig AS (SELECT doc_id, max(c) AS topc, sum(c) AS n FROM wc GROUP BY 1),
+             |keepsig AS (SELECT d.doc_id, d.source, d.text, s.n AS n_tokens
+             |  FROM train d JOIN sig s ON d.doc_id = s.doc_id
+             |  WHERE s.n >= 15 AND CAST(s.topc AS DOUBLE)/s.n <= 0.13),
+             |pfx AS (SELECT doc_id, md5(array_to_string(string_split(text,' ')[1:5], ' ')) AS grp FROM keepsig),
+             |canon AS (SELECT k.* FROM keepsig k JOIN
+             |  (SELECT grp, min(doc_id) AS keep_id FROM pfx GROUP BY grp) g
+             |  ON md5(array_to_string(string_split(k.text,' ')[1:5], ' ')) = g.grp AND k.doc_id = g.keep_id),
+             |tk AS (SELECT doc_id, string_split(text,' ') AS tt FROM documents),
+             |ix AS (SELECT doc_id, tt, unnest(range(1, len(tt)-1)) AS i FROM tk),
+             |sh AS (SELECT doc_id, array_to_string(tt[i:i+2], ' ') AS sh FROM ix),
+             |ev AS (SELECT DISTINCT sh FROM sh WHERE doc_id % 37 = 0),
+             |ds AS (SELECT DISTINCT doc_id, sh FROM sh WHERE doc_id % 37 <> 0),
+             |contaminated AS (SELECT ds.doc_id FROM ds JOIN ev ON ds.sh = ev.sh GROUP BY 1 HAVING count(*) >= 2),
+             |clean AS (SELECT * FROM canon WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)),
+             |mixed AS (SELECT doc_id, source, n_tokens FROM clean
+             |  WHERE CAST(concat('0x', substr(md5(concat('mix:', CAST(doc_id AS VARCHAR))),1,8)) AS BIGINT) / 4294967296.0
+             |    < (CASE WHEN source = 'src0' THEN 0.2 ELSE 0.9 END))
+             |SELECT doc_id, source, CAST(n_tokens AS BIGINT) AS n_tokens FROM mixed ORDER BY doc_id""".stripMargin)),
+
     // ---- multimodal columns (opaque blob + typed metadata; real
     // ImageIO/javax.sound/MJPEG decode in ops/Multimodal.scala) ----
 
