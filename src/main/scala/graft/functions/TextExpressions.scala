@@ -1,0 +1,64 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/**
+ * Native text-shingling kernel. The Column-function formulation
+ * (`transform(sequence(...), i => array_join(slice(toks, i+1, n), " "))`)
+ * is semantically right but executes through Catalyst's INTERPRETED
+ * higher-order-function path — measured ~4.4 us per shingle at sf0.1,
+ * which made shingle construction the dominant cost of every n-gram
+ * operator (decontamination, repetition signals). This expression
+ * computes the same array in one generated-code call into a static
+ * kernel: byte-level UTF8String window concats, no per-shingle Catalyst
+ * evaluation.
+ */
+object TextExprKernels {
+  private val SEP = UTF8String.fromString(" ")
+
+  /** All n-token shingles of a token array, space-joined — exactly
+    * `transform(sequence(0, m-n), i => array_join(slice(toks,i+1,n), " "))`
+    * for m >= n, and an empty array otherwise. */
+  def tokenShingles(arr: ArrayData, n: Int): ArrayData = {
+    val m = arr.numElements()
+    if (m < n) new GenericArrayData(Array.empty[Any])
+    else {
+      val toks = new Array[UTF8String](m)
+      var i = 0
+      while (i < m) { toks(i) = arr.getUTF8String(i); i += 1 }
+      val out = new Array[Any](m - n + 1)
+      val window = new Array[UTF8String](n)
+      var s = 0
+      while (s <= m - n) {
+        var j = 0
+        while (j < n) { window(j) = toks(s + j); j += 1 }
+        out(s) = UTF8String.concatWs(SEP, window: _*)
+        s += 1
+      }
+      new GenericArrayData(out)
+    }
+  }
+}
+
+/** `token_shingles(array<string>, n)`: every n-consecutive-token window
+  * space-joined; `[]` when the array is shorter than n. Codegen-friendly
+  * replacement for the interpreted HOF formulation (see
+  * [[TextExprKernels]]). */
+case class TokenShinglesExpr(child: Expression, n: Int)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  require(n >= 1, s"shingle size must be >= 1, got $n")
+  override def prettyName: String = "token_shingles"
+  override def inputTypes = Seq(ArrayType(StringType))
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override protected def nullSafeEval(a: Any): Any =
+    TextExprKernels.tokenShingles(a.asInstanceOf[ArrayData], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.TextExprKernels.tokenShingles($c, $n)")
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
