@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /**
@@ -42,6 +42,43 @@ object TextExprKernels {
       new GenericArrayData(out)
     }
   }
+
+  /** One-pass token statistics: [max multiplicity, distinct count].
+    * `[0, 0]` for an empty array. */
+  def tokenStats(arr: ArrayData): ArrayData = {
+    val m = arr.numElements()
+    val counts = new java.util.HashMap[UTF8String, Integer](math.max(16, m * 2))
+    var top = 0
+    var i = 0
+    while (i < m) {
+      val t = arr.getUTF8String(i)
+      val prev = counts.get(t)
+      val c = if (prev == null) 1 else prev.intValue + 1
+      counts.put(t, Integer.valueOf(c))
+      if (c > top) top = c
+      i += 1
+    }
+    new GenericArrayData(Array[Any](top.toLong, counts.size.toLong))
+  }
+}
+
+/** `token_stats(array<string>)` -> `array<long> [topCount, distinctCount]`
+  * in ONE hash pass. The HOF formulation of the top-word count
+  * (`array_max(transform(array_distinct(t), w => size(filter(t, _ === w))))`)
+  * is O(distinct x n) AND interpreted — measured 55k docs/s at bulk;
+  * this kernel is linear and codegen'd. */
+case class TokenStatsExpr(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def prettyName: String = "token_stats"
+  override def inputTypes = Seq(ArrayType(StringType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override protected def nullSafeEval(a: Any): Any =
+    TextExprKernels.tokenStats(a.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.TextExprKernels.tokenStats($c)")
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
 }
 
 /** `token_shingles(array<string>, n)`: every n-consecutive-token window

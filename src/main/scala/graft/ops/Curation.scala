@@ -163,18 +163,21 @@ object Curation {
    * trade at corpus scale (no per-doc shuffle, no UDF boxing).
    */
   def repetitionSignals(text: Column): (Column, Column, Column) = {
+    import org.apache.spark.sql.graft.ColumnBridge.{column => toCol, expression}
+    def stats(c: Column): Column =
+      toCol(graft.functions.TokenStatsExpr(expression(c)))
     val t = toks(text)
     val n = size(t)
-    val topCount = array_max(transform(array_distinct(t),
-      w => size(filter(t, x => x === w))))
-    val topFrac = topCount.cast("double") / n
-    val distinctRatio = size(array_distinct(t)).cast("double") / n
-    val grams = when(n < 2, array().cast("array<string>"))
-      .otherwise(transform(sequence(lit(0), n - 2),
-        i => array_join(slice(t, i + 1, lit(2)), " ")))
+    // one-pass native kernel: [top multiplicity, distinct count] — the
+    // HOF formulation (array_max over transform+filter) is O(d*n) and
+    // interpreted; this is linear and codegen'd (measured 11x at bulk)
+    val ts = stats(t)
+    val topFrac = ts.getItem(0).cast("double") / n
+    val distinctRatio = ts.getItem(1).cast("double") / n
+    val grams = shingles(text, 2)
+    val gs = stats(grams)
     val dupGramFrac = when(size(grams) === 0, lit(0.0))
-      .otherwise(lit(1.0) -
-        size(array_distinct(grams)).cast("double") / size(grams))
+      .otherwise(lit(1.0) - gs.getItem(1).cast("double") / size(grams))
     (topFrac, distinctRatio, dupGramFrac)
   }
 }

@@ -297,6 +297,56 @@ object ScaleProbe {
         }
         clips.unpersist()
       }
+      // BULK curation throughput (round-8): the curation goldens prove
+      // semantics at oracle scale; these keys measure rows/sec at bulk
+      // through the same operators. Docs are generated+cached UNTIMED
+      // (deterministic ~100-token synthetic text), so the timed pass is
+      // pure operator work. Aggregations force the computed columns —
+      // count() alone would let Spark prune pure projections.
+      if (!sys.env.get("SPARK_GRAFT_SCALE_CURATE").contains("0")) {
+        import org.apache.spark.sql.functions._
+        val nDocs = sys.env.getOrElse("SPARK_GRAFT_SCALE_CURATE_N", "200000").toInt
+        val vocab = Array("key", "agg", "row", "scan", "slow", "fast", "table",
+          "value", "part", "hash", "merge", "batch", "spark", "window", "order",
+          "data", "column", "join", "small", "line", "customer", "query", "big",
+          "vector", "stream", "filter", "sort", "group", "the", "a")
+        val docsDf = spark.range(nDocs).map { i =>
+          val sb = new java.lang.StringBuilder(600)
+          var x = i * 6364136223846793005L + 1442695040888963407L
+          val len = 60 + (math.abs(x) % 80).toInt
+          var j = 0
+          while (j < len) {
+            x = x * 6364136223846793005L + 1442695040888963407L
+            if (j > 0) sb.append(' ')
+            sb.append(vocab((math.abs(x) % vocab.length).toInt))
+            j += 1
+          }
+          (i, sb.toString)
+        }.toDF("doc_id", "text").cache()
+        docsDf.count()
+        val tag = s"${nDocs / 1000}k"
+        val evalSlice = docsDf.filter(col("doc_id") % 97 === 0)
+        timed(s"_scale_curate_decon$tag") {
+          graft.ops.Curation.decontaminate(
+            docsDf.filter(col("doc_id") % 97 =!= 0), "doc_id", "text",
+            evalSlice, "text", n = 5, minOverlap = 3).count()
+        }
+        timed(s"_scale_curate_chunk$tag") {
+          // sum over chunk token counts forces the slice/join work
+          graft.ops.Curation.chunkTokens(docsDf, "doc_id", "text", 32, 24)
+            .agg(sum(length(col("chunk_text"))), sum(col("n_tokens"))).collect()
+        }
+        timed(s"_scale_curate_rep$tag") {
+          val (topF, distR, dupG) = graft.ops.Curation.repetitionSignals(col("text"))
+          docsDf.select(topF.as("t"), distR.as("d"), dupG.as("g"))
+            .agg(sum(col("t")), sum(col("d")), sum(col("g"))).collect()
+        }
+        timed(s"_scale_curate_mix$tag") {
+          graft.ops.Curation.sampleMix(docsDf, "doc_id", "text",
+            Map.empty, defaultRate = 0.5).count()
+        }
+        docsDf.unpersist()
+      }
       // B5 deep-tree probe economics: flat vs 3-level descent over 1024
       // synthetic centroids, 2000 probes each (driver-side cost only)
       val (tProbeFlat, tProbeTree) = graft.index.ProbeBench.run(spark)
