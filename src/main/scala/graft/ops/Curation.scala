@@ -88,6 +88,45 @@ object Curation {
     df.join(bad, df(idCol) === bad("doc_id"), "left_anti")
   }
 
+  /**
+   * STREAMING-shaped decontamination: [[decontaminate]] aggregates
+   * per-doc overlap through a shuffle, which a streaming ingest stage
+   * cannot do statelessly — this variant counts each row's distinct
+   * shingle-hash overlap against a BROADCAST eval set entirely in-row
+   * (no aggregation, no shuffle), so it drops contaminated documents in
+   * any batch OR streaming pipeline. The eval set (benchmarks: small)
+   * is hashed once on the driver via [[Dedup.hash64]] token shingles
+   * and shared as a sorted array (binary search per shingle).
+   *
+   * Same keep/drop decision as [[decontaminateKeep]] up to 64-bit hash
+   * collisions (the batch path compares shingle STRINGS; this one
+   * compares FNV-64 hashes — collision odds ~n²/2⁶⁴).
+   */
+  def decontaminateIngest(docs: DataFrame, idCol: String, textCol: String,
+                          evalDf: DataFrame, evalTextCol: String,
+                          n: Int = 3, minOverlap: Int = 1): DataFrame = {
+    require(n >= 1, s"shingle size must be >= 1, got $n")
+    require(minOverlap >= 1, s"minOverlap must be >= 1, got $minOverlap")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val evalSh: Array[Long] = evalDf.select(col(evalTextCol).cast("string"))
+      .as[String]
+      .flatMap(t => Dedup.sortedShingleSet(t.split(' ').map(Dedup.hash64), n))
+      .distinct().collect().sorted
+    val bEval = spark.sparkContext.broadcast(evalSh)
+    val overlaps = udf { (text: String) =>
+      val ev = bEval.value
+      val sh = Dedup.sortedShingleSet(text.split(' ').map(Dedup.hash64), n)
+      var i = 0; var hits = 0
+      while (i < sh.length && hits < minOverlap) {
+        if (java.util.Arrays.binarySearch(ev, sh(i)) >= 0) hits += 1
+        i += 1
+      }
+      hits >= minOverlap
+    }
+    docs.filter(!overlaps(col(textCol).cast("string")))
+  }
+
   /** Uniform deterministic unit sample key in [0, 1): the first 8 hex
     * chars of md5(seed:id) as a 32-bit integer over 2^32. Identical in
     * any engine with md5 (the DuckDB oracle recomputes it verbatim), no

@@ -54,4 +54,36 @@ class CurationStreamSpec extends SparkSpec {
         "rate-0 source must be dropped in both modes")
     } finally query.stop()
   }
+
+  test("decontaminateIngest drops contaminated docs in a stream, matching batch keep") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val evalDf = Seq((10L, "a quick brown fox jumps high")).toDF("id", "text")
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"), // 2 shared trigrams
+      (2L, "completely unrelated text about spark engines"),
+      (3L, "quick brown fox is here and brown fox jumps too"), // 2 shared
+      (4L, "nothing in common either honestly"))
+    // batch reference: string-shingle decontaminateKeep
+    val batchKept = Curation.decontaminateKeep(
+      docs.toDF("doc_id", "text"), "doc_id", "text", evalDf, "text", 3, 2)
+      .select("doc_id").as[Long].collect().toSet
+    assert(batchKept == Set(2L, 4L))
+    // streaming: hashed broadcast-set filter inside a streaming query
+    val input = MemoryStream[(Long, String)]
+    val query = Curation.decontaminateIngest(
+        input.toDF().toDF("doc_id", "text"), "doc_id", "text", evalDf, "text", 3, 2)
+      .writeStream.format("memory").queryName("decon_stream")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(docs.take(2))
+      query.processAllAvailable()
+      input.addData(docs.drop(2))
+      query.processAllAvailable()
+      val streamed = spark.sql("SELECT doc_id FROM decon_stream")
+        .as[Long].collect().toSet
+      assert(streamed == batchKept,
+        s"streaming keep-set $streamed must equal batch $batchKept")
+    } finally query.stop()
+  }
 }
