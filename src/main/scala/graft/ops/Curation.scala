@@ -41,10 +41,13 @@ object Curation {
     * interpreted HOF path — measured ~7x slower end-to-end on the
     * decontamination query at sf0.1. The DuckDB oracles compute the
     * identical set from `array_to_string(t[i:i+n-1], ' ')`. */
-  def shingles(text: Column, n: Int): Column =
+  def shingles(text: Column, n: Int): Column = tokenShingles(toks(text), n)
+
+  /** [[shingles]] over an already-tokenized array column. */
+  def tokenShingles(tokens: Column, n: Int): Column =
     org.apache.spark.sql.graft.ColumnBridge.column(
       graft.functions.TokenShinglesExpr(
-        org.apache.spark.sql.graft.ColumnBridge.expression(toks(text)), n))
+        org.apache.spark.sql.graft.ColumnBridge.expression(tokens), n))
 
   /**
    * Benchmark decontamination: count, per training document, the distinct
@@ -218,5 +221,118 @@ object Curation {
     val dupGramFrac = when(size(grams) === 0, lit(0.0))
       .otherwise(lit(1.0) - gs.getItem(1).cast("double") / size(grams))
     (topFrac, distinctRatio, dupGramFrac)
+  }
+
+  /** PII patterns shared by [[redactPii]] and the SQL oracles. Kept in
+    * the common Java-regex / RE2 dialect subset (character classes,
+    * bounded repetition, `\b`) so Spark's `regexp_replace` (Java) and
+    * DuckDB's (RE2) match the same spans. */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  val PhoneRe = "\\b\\d{3}[-. ]\\d{3}[-. ]\\d{4}\\b"
+
+  /**
+   * PII redaction — the standard pre-training scrub (emails, IPv4
+   * addresses, US-style phone numbers) replaced with typed placeholder
+   * tokens. Returns (redacted text, number of redactions).
+   *
+   * Replacement is STAGED (emails, then IPs on the email-redacted text,
+   * then phones) and the count counts matches at each stage, so count ==
+   * number of placeholders inserted even when patterns could overlap.
+   * All three passes are native `regexp_replace`/`regexp_count` column
+   * functions — one narrow projection scan, codegen'd, no UDFs, no
+   * shuffle; at 100 TB this is a pure map over the corpus.
+   */
+  def redactPii(text: Column): (Column, Column) = {
+    val afterEmail = regexp_replace(text, EmailRe, "<EMAIL>")
+    val afterIp = regexp_replace(afterEmail, Ipv4Re, "<IP>")
+    val redacted = regexp_replace(afterIp, PhoneRe, "<PHONE>")
+    val n = regexp_count(text, lit(EmailRe)) +
+      regexp_count(afterEmail, lit(Ipv4Re)) +
+      regexp_count(afterIp, lit(PhoneRe))
+    (redacted, n.cast("long"))
+  }
+
+  /**
+   * C4-style line-level cleaning: keep only lines with at least
+   * `minWords` whitespace words that end in terminal punctuation
+   * (`. ! ? " '`) and contain none of `banned` (case-insensitive),
+   * rejoined with newlines. Returns (cleaned text, lines kept, lines
+   * total).
+   *
+   * Per-row array work over the line list (the HOF path — lines per doc
+   * are few, unlike token shingles, so interpretation cost is
+   * negligible); no shuffle. The kept/total counts let callers drop
+   * documents that lose most of their lines (the usual follow-on rule).
+   */
+  def cleanLines(text: Column, minWords: Int = 3,
+                 banned: Seq[String] = Seq("lorem ipsum", "{")): (Column, Column, Column) = {
+    require(minWords >= 1, s"minWords must be >= 1, got $minWords")
+    val lines = split(text, "\n")
+    val kept = filter(lines, l => {
+      val wordsOk = size(split(l, " ")) >= minWords
+      val termOk = l.rlike("[.!?\"']$")
+      banned.foldLeft(wordsOk && termOk) { (acc, b) =>
+        acc && !lower(l).contains(b.toLowerCase)
+      }
+    })
+    (array_join(kept, "\n"), size(kept).cast("long"), size(lines).cast("long"))
+  }
+
+  /**
+   * EXACT SUBSTRING deduplication (the Lee et al. 2022 "Deduplicating
+   * Training Data Makes Language Models Better" operator): remove every
+   * token covered by a `k`-token shingle whose exact text occurs at
+   * least `minCount` times across the whole corpus (multiplicity counts,
+   * so within-document repeats are removed too). Document-level dedup
+   * ([[Dedup]]) drops whole near-identical documents; this removes the
+   * boilerplate SPANS (headers, license blocks, templated paragraphs)
+   * that survive document-level passes.
+   *
+   * Output: (doc_id, text_clean, n_removed) for every input document —
+   * docs with no duplicated span pass through unchanged, docs shorter
+   * than k tokens are never touched.
+   *
+   * Scale shape (nothing is corpus x corpus):
+   *  1. one narrow scan emits (shingle-md5, doc, pos) — fixed-width
+   *     16-byte keys, n_tokens rows, like the decontamination scan;
+   *  2. occurrence counts by key: partial-agg shuffle (hot boilerplate
+   *     shingles combine map-side — skew-safe);
+   *  3. occurrences join the (small) duplicated-key set — AQE picks
+   *     broadcast when it fits;
+   *  4. covered positions aggregate per doc (bounded by doc length) and
+   *     a final per-row array filter rebuilds the text.
+   * The md5 key makes a cross-document collision a 2^-128 event — at
+   * 100 TB shingle cardinality a 64-bit key WOULD collide (birthday at
+   * ~4B) and silently delete unique text, so the wider key is the
+   * correctness choice, not a style choice.
+   */
+  def substringDedup(df: DataFrame, idCol: String, textCol: String,
+                     k: Int = 8, minCount: Int = 2): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(minCount >= 2, s"minCount must be >= 2, got $minCount")
+    val docs = df.select(col(idCol).as("doc_id"), toks(col(textCol)).as("__t"))
+    // (key, doc, 0-based shingle start) — every occurrence, not distinct
+    val occ = docs
+      .select(col("doc_id"),
+        posexplode(tokenShingles(col("__t"), k)).as(Seq("__i", "__sh")))
+      .select(col("doc_id"), col("__i"), unhex(md5(col("__sh").cast("binary"))).as("__h"))
+    val dupKeys = occ.groupBy("__h")
+      .agg(count(lit(1)).as("__c"))
+      .filter(col("__c") >= minCount)
+      .select("__h")
+    val cover = occ.join(dupKeys, Seq("__h"))
+      .select(col("doc_id"), explode(sequence(col("__i") + 1, col("__i") + k)).as("__p"))
+      .groupBy("doc_id")
+      .agg(collect_set(col("__p")).as("__cover"))
+    docs.join(cover, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("__cover").isNull, col("__t"))
+          .otherwise(filter(col("__t"),
+            (_, i) => !array_contains(col("__cover"), i + 1))).as("__kept"),
+        col("__t"))
+      .select(col("doc_id"),
+        array_join(col("__kept"), " ").as("text_clean"),
+        (size(col("__t")) - size(col("__kept"))).cast("long").as("n_removed"))
   }
 }

@@ -893,6 +893,89 @@ object GraftQueries {
              |    < (CASE WHEN source = 'src0' THEN 0.2 ELSE 0.9 END))
              |SELECT doc_id, source, CAST(n_tokens AS BIGINT) AS n_tokens FROM mixed ORDER BY doc_id""".stripMargin)),
 
+    // PII redaction: the docs text carries no PII, so the query plants
+    // deterministic PII (email on even ids, an IPv4 always, a phone on
+    // ids % 3 == 0) and both engines redact it with the same
+    // Java-regex/RE2-compatible patterns. n_pii varies 1..3 per row and
+    // the md5 fingerprint pins the exact replacement spans.
+    "redact_pii" -> Q(
+      (s, d) => {
+        val aug = tbl(s, d, "documents").withColumn("__aug",
+          concat(col("text"),
+            when(col("doc_id") % 2 === 0,
+              concat(lit(" mail u"), col("doc_id").cast("string"), lit("@ex.org")))
+              .otherwise(lit("")),
+            lit(" ip 10.1."), (col("doc_id") % 256).cast("string"), lit(".9"),
+            when(col("doc_id") % 3 === 0,
+              concat(lit(" tel 555-"),
+                lpad((col("doc_id") % 1000).cast("string"), 3, "0"), lit("-1234")))
+              .otherwise(lit(""))))
+        val (red, n) = Curation.redactPii(col("__aug"))
+        aug.select(col("doc_id"), md5(red.cast("binary")).as("fp"), n.as("n_pii"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH aug AS (SELECT doc_id, concat(text,
+             |    CASE WHEN doc_id % 2 = 0 THEN concat(' mail u', CAST(doc_id AS VARCHAR), '@ex.org') ELSE '' END,
+             |    ' ip 10.1.', CAST(doc_id % 256 AS VARCHAR), '.9',
+             |    CASE WHEN doc_id % 3 = 0 THEN concat(' tel 555-', lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0'), '-1234') ELSE '' END
+             |  ) AS t FROM documents),
+             |s1 AS (SELECT doc_id, t, regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS t1 FROM aug),
+             |s2 AS (SELECT doc_id, t, t1, regexp_replace(t1, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS t2 FROM s1),
+             |s3 AS (SELECT doc_id, t, t1, t2, regexp_replace(t2, '\b\d{3}[-. ]\d{3}[-. ]\d{4}\b', '<PHONE>', 'g') AS t3 FROM s2)
+             |SELECT doc_id, md5(t3) AS fp,
+             |  CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+             |     + len(regexp_extract_all(t1, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b'))
+             |     + len(regexp_extract_all(t2, '\b\d{3}[-. ]\d{3}[-. ]\d{4}\b')) AS BIGINT) AS n_pii
+             |FROM s3 ORDER BY doc_id""".stripMargin)),
+
+    // C4-style line cleaning: the docs text is single-line, so the query
+    // first manufactures lines deterministically (every ' value ' becomes
+    // '.\n' in BOTH engines), then keeps lines with >= 4 words ending in
+    // terminal punctuation. Kept/total counts + cleaned-text fingerprint.
+    "clean_lines" -> Q(
+      (s, d) => {
+        val docs = tbl(s, d, "documents")
+          .withColumn("__ml", expr("replace(text, ' value ', concat('.', chr(10)))"))
+        val (cleaned, kept, total) = Curation.cleanLines(col("__ml"), minWords = 4)
+        docs.select(col("doc_id"), md5(cleaned.cast("binary")).as("fp"),
+            kept.as("n_kept"), total.as("n_lines"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH ml AS (SELECT doc_id, replace(text, ' value ', '.' || chr(10)) AS t FROM documents),
+             |ls AS (SELECT doc_id, string_split(t, chr(10)) AS lines FROM ml),
+             |k AS (SELECT doc_id, lines, list_filter(lines, l ->
+             |    len(string_split(l, ' ')) >= 4 AND regexp_matches(l, '[.!?"'']$')
+             |    AND NOT contains(lower(l), 'lorem ipsum') AND NOT contains(lower(l), '{')) AS kept FROM ls)
+             |SELECT doc_id, md5(coalesce(array_to_string(kept, chr(10)), '')) AS fp,
+             |  CAST(len(kept) AS BIGINT) AS n_kept, CAST(len(lines) AS BIGINT) AS n_lines
+             |FROM k ORDER BY doc_id""".stripMargin)),
+
+    // EXACT SUBSTRING dedup (Lee et al. 2022): remove tokens covered by
+    // any 5-token shingle occurring >= 2 times corpus-wide. The oracle
+    // recomputes the duplicated-shingle set and the covered positions
+    // from scratch in SQL.
+    "dedup_substrings" -> Q(
+      (s, d) => Curation.substringDedup(tbl(s, d, "documents"), "doc_id", "text",
+          k = 5, minCount = 2)
+        .select(col("doc_id"), md5(col("text_clean").cast("binary")).as("fp"),
+          col("n_removed"))
+        .orderBy("doc_id"),
+      Some("""WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+             |ix AS (SELECT doc_id, t, unnest(range(1, len(t) - 3)) AS i FROM tk),
+             |sh AS (SELECT doc_id, i, array_to_string(t[i:i+4], ' ') AS sh FROM ix),
+             |dup AS (SELECT sh FROM sh GROUP BY sh HAVING count(*) >= 2),
+             |cov AS (SELECT DISTINCT s.doc_id, unnest(range(s.i, s.i + 5)) AS p
+             |        FROM sh s JOIN dup d ON s.sh = d.sh),
+             |pos AS (SELECT doc_id, t, unnest(range(1, len(t) + 1)) AS p FROM tk),
+             |kept AS (SELECT pos.doc_id, pos.p, pos.t[pos.p] AS w FROM pos
+             |         LEFT JOIN cov ON pos.doc_id = cov.doc_id AND pos.p = cov.p
+             |         WHERE cov.p IS NULL),
+             |agg AS (SELECT doc_id, array_to_string(list(w ORDER BY p), ' ') AS clean,
+             |        count(*) AS nk FROM kept GROUP BY doc_id)
+             |SELECT tk.doc_id AS doc_id, md5(coalesce(agg.clean, '')) AS fp,
+             |  CAST(len(tk.t) - coalesce(agg.nk, 0) AS BIGINT) AS n_removed
+             |FROM tk LEFT JOIN agg ON tk.doc_id = agg.doc_id ORDER BY doc_id""".stripMargin)),
+
     // ---- multimodal columns (opaque blob + typed metadata; real
     // ImageIO/javax.sound/MJPEG decode in ops/Multimodal.scala) ----
 

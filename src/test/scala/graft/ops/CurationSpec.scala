@@ -136,4 +136,74 @@ class CurationSpec extends SparkSpec {
     val mean = a.sum / a.length
     assert(mean > 0.4 && mean < 0.6, s"suspicious mean $mean")
   }
+
+  test("redactPii: typed placeholders, staged counts, clean text untouched") {
+    import spark.implicits._
+    val (red, n) = redactPii(col("text"))
+    val out = docs(
+      1L -> "mail bob.smith+x@corp.example.org now",
+      2L -> "server at 192.168.0.17 port 80",
+      3L -> "call 555-867-5309 or 555.867.5309",
+      4L -> "no pii here at all",
+      5L -> "a@b.io and 10.0.0.1 and 555-123-4567")
+      .select(col("doc_id"), red.as("r"), n.as("n"))
+      .as[(Long, String, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out(1L) == (("mail <EMAIL> now", 1L)))
+    assert(out(2L) == (("server at <IP> port 80", 1L)))
+    assert(out(3L) == (("call <PHONE> or <PHONE>", 2L)))
+    assert(out(4L) == (("no pii here at all", 0L)))
+    assert(out(5L) == (("<EMAIL> and <IP> and <PHONE>", 3L)))
+  }
+
+  test("cleanLines: word floor, terminal punctuation, banned substrings") {
+    import spark.implicits._
+    val text = Seq(
+      "this line is long enough.",   // kept
+      "too short.",                  // < 3 words
+      "no terminal punctuation here",// no [.!?"'] ending
+      "Lorem Ipsum filler text.",    // banned (case-insensitive)
+      "ends with a question?"        // kept
+    ).mkString("\n")
+    val (cleaned, kept, total) = cleanLines(col("text"), minWords = 3)
+    val r = docs(1L -> text)
+      .select(cleaned.as("c"), kept.as("k"), total.as("t"))
+      .as[(String, Long, Long)].head()
+    assert(r._1 == "this line is long enough.\nends with a question?")
+    assert(r._2 == 2L && r._3 == 5L)
+    // a document that loses every line cleans to the empty string
+    val e = docs(1L -> "tiny.")
+      .select(cleaned.as("c"), kept.as("k"), total.as("t"))
+      .as[(String, Long, Long)].head()
+    assert(e == (("", 0L, 1L)))
+  }
+
+  test("substringDedup: cross-doc spans removed, within-doc repeats removed, unique text kept") {
+    import spark.implicits._
+    val shared = "one two three four five" // the duplicated 5-token span
+    val d = docs(
+      1L -> s"alpha $shared beta",
+      2L -> s"gamma delta $shared",
+      3L -> "all unique words in this document only",
+      4L -> "r s t u v r s t u v", // 5-gram "r s t u v" occurs twice IN-doc
+      5L -> "shorter than k")
+    val out = substringDedup(d, "doc_id", "text", k = 5, minCount = 2)
+      .as[(Long, String, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out(1L) == (("alpha beta", 5L)))
+    assert(out(2L) == (("gamma delta", 5L)))
+    assert(out(3L) == (("all unique words in this document only", 0L)))
+    assert(out(4L) == (("", 10L)), "within-doc repeated span is removed too")
+    assert(out(5L) == (("shorter than k", 0L)), "docs under k tokens never touched")
+  }
+
+  test("substringDedup: overlapping duplicated windows merge their cover") {
+    import spark.implicits._
+    // "a b c d e f" in both docs: k=5 windows "a b c d e" and "b c d e f"
+    // both duplicate; cover = positions 1..6, not double-removed
+    val d = docs(1L -> "a b c d e f x", 2L -> "y a b c d e f")
+    val out = substringDedup(d, "doc_id", "text", k = 5, minCount = 2)
+      .as[(Long, String, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out(1L) == (("x", 6L)))
+    assert(out(2L) == (("y", 6L)))
+  }
 }
