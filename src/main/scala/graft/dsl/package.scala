@@ -103,6 +103,29 @@ package object dsl {
     def dedupPipeline(idCol: String,
                       mkPairs: DataFrame => DataFrame): Dedup.Pipeline =
       Dedup.pipeline(df, idCol, mkPairs)
+
+    /** EXACT SUBSTRING dedup: remove tokens covered by any k-token span
+      * occurring >= minCount times corpus-wide (Lee et al. 2022). */
+    def dedupSubstrings(idCol: String, textCol: String,
+                        k: Int = 8, minCount: Int = 2): DataFrame =
+      graft.ops.Curation.substringDedup(df, idCol, textCol, k, minCount)
+
+    /** PII scrub: adds `<redactedCol>` and `<countCol>` from the staged
+      * email/IPv4/phone redaction of `textCol`. */
+    def redactPii(textCol: String, redactedCol: String = "text_redacted",
+                  countCol: String = "n_pii"): DataFrame = {
+      val (red, n) = graft.ops.Curation.redactPii(df(textCol))
+      df.withColumn(redactedCol, red).withColumn(countCol, n)
+    }
+
+    /** C4-style line cleaning of `textCol` into `<cleanedCol>` (+ kept /
+      * total line counts). */
+    def cleanLines(textCol: String, minWords: Int = 3,
+                   cleanedCol: String = "text_clean"): DataFrame = {
+      val (cleaned, kept, total) = graft.ops.Curation.cleanLines(df(textCol), minWords)
+      df.withColumn(cleanedCol, cleaned)
+        .withColumn("n_lines_kept", kept).withColumn("n_lines_total", total)
+    }
   }
 
   implicit final class GraftIvfIndexOps(private val idx: IvfIndex) {

@@ -345,6 +345,19 @@ object ScaleProbe {
           graft.ops.Curation.sampleMix(docsDf, "doc_id", "text",
             Map.empty, defaultRate = 0.5).count()
         }
+        timed(s"_scale_curate_pii$tag") {
+          val (red, n) = graft.ops.Curation.redactPii(
+            concat(col("text"), lit(" u"), col("doc_id").cast("string"),
+              lit("@ex.org at 10.0."), (col("doc_id") % 256).cast("string"), lit(".9")))
+          docsDf.select(length(red).as("l"), n.as("n"))
+            .agg(sum(col("l")), sum(col("n"))).collect()
+        }
+        timed(s"_scale_curate_substr$tag") {
+          // k=8 over the 30-word vocab: plenty of genuinely duplicated
+          // 8-grams at 200k docs, so the cover join + rebuild do real work
+          graft.ops.Curation.substringDedup(docsDf, "doc_id", "text", k = 8)
+            .agg(sum(length(col("text_clean"))), sum(col("n_removed"))).collect()
+        }
         docsDf.unpersist()
       }
       // B5 deep-tree probe economics: flat vs 3-level descent over 1024

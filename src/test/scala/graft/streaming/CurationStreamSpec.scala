@@ -86,4 +86,36 @@ class CurationStreamSpec extends SparkSpec {
         s"streaming keep-set $streamed must equal batch $batchKept")
     } finally query.stop()
   }
+
+  test("redactPii + cleanLines run stateless in a streaming pipeline") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    def pipeline(df: org.apache.spark.sql.DataFrame) = {
+      val (red, nPii) = Curation.redactPii(col("text"))
+      val (cleaned, kept, total) = Curation.cleanLines(red, minWords = 3)
+      df.select(col("doc_id"), cleaned.as("clean"), nPii.as("n_pii"),
+        kept.as("n_kept"), total.as("n_total"))
+    }
+    val query = pipeline(input.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("redact_stream")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      val docs = (0L until 60L).map { i =>
+        val pii = if (i % 2 == 0) s" u$i@ex.org" else s" 10.0.0.$i"
+        (i, s"first line has$pii in it.\nshort.\nthe last full line stays here.")
+      }
+      input.addData(docs.take(30)); query.processAllAvailable()
+      input.addData(docs.drop(30)); query.processAllAvailable()
+      val streamed = spark.sql(
+        "SELECT doc_id, clean, n_pii, n_kept, n_total FROM redact_stream")
+        .as[(Long, String, Long, Long, Long)].collect().toSet
+      val batch = pipeline(docs.toDF("doc_id", "text"))
+        .as[(Long, String, Long, Long, Long)].collect().toSet
+      assert(streamed == batch, "streaming output must equal the batch run")
+      assert(batch.forall(_._3 == 1L), "each doc planted exactly one PII item")
+      assert(batch.forall(r => r._4 == 2L && r._5 == 3L),
+        "'short.' line dropped, the two real lines kept")
+    } finally query.stop()
+  }
 }
