@@ -148,6 +148,13 @@ object IvfIndex {
     * observability for specs and ops, like `AnnTopKRewrite.planningJobs`. */
   val rangeDelegations = new java.util.concurrent.atomic.AtomicLong(0)
 
+  /** Largest delegated-range candidate set shipped as a broadcast id set
+    * instead of a shuffle join (10M ids ~ 80 MB broadcast). Below this,
+    * broadcasting beats re-shuffling the (much wider) data/source side by
+    * orders of magnitude; above it the sphere covers so much of the table
+    * that the shuffle join is the honest plan. */
+  val rangeBroadcastCap = 10000000L
+
   private def spherical(cfg: IvfConfig): Boolean = cfg.metric == "cosdist"
 
   /** Encode rows to (cluster_id, id, vec, cmeta, codes) via broadcast
@@ -552,6 +559,27 @@ object IvfIndex {
 }
 
 final class IvfIndex(val spark: SparkSession, val dir: String, val meta: IvfMeta) {
+
+  /** Point-fetch pushdown guard. Spark pushes an `In` filter to Parquet
+    * as the exact value set only while the list is at most
+    * `spark.sql.parquet.pushdown.inFilterThreshold` (default 10); past
+    * it the pushed filter DEGRADES to the min/max range, which for a
+    * bounded candidate set scattered across a big table prunes nothing —
+    * measured on the 10M x 768d codes-only anchor: the k*refine=80-id
+    * rerank-in-table fetch scanned the entire 29 GB source (89.8s)
+    * instead of the ~80 pages the ids live in. Raising the threshold
+    * (never lowering it, never touching semantics — it is purely a
+    * pushdown-form knob) keeps the exact set pushed, so Parquet
+    * row-group stats and page column indexes prune the fetch to the
+    * touched pages. Session-level set: the returned DataFrames plan
+    * lazily at action time, so the conf must outlive this call. */
+  private def ensureInPushdown(n: Int): Unit = {
+    val key = "spark.sql.parquet.pushdown.inFilterThreshold"
+    val cur =
+      try spark.conf.get(key).toInt
+      catch { case scala.util.control.NonFatal(_) => 10 }
+    if (cur < n) spark.conf.set(key, n.toString)
+  }
   import spark.implicits._
 
   private def currentGen: String =
@@ -954,6 +982,7 @@ final class IvfIndex(val spark: SparkSession, val dir: String, val meta: IvfMeta
     val nCand = math.max(k * refine, k)
     val cand = est.orderBy($"lb", $"id").limit(nCand)
       .select($"id").as[Long].collect()
+    ensureInPushdown(cand.length)
     rerankTable match {
       case None =>
         // rerank-in-index (reference RerankMethod::Index): exact distances
@@ -1143,7 +1172,14 @@ final class IvfIndex(val spark: SparkSession, val dir: String, val meta: IvfMeta
    */
   def rangeSearch(center: Array[Float], radius: Double, epsilon: Double = 1.9,
                   rerankTable: Option[(DataFrame, String, String)] = None,
-                  maxInList: Int = 8192): DataFrame = {
+                  maxInList: Int = 65536): DataFrame = {
+    // maxInList: the IN-shape fetch stays the plan while the candidate
+    // set fits this driver-side cap (64k longs = 512 KB — trivial to
+    // collect, and with ensureInPushdown the exact set reaches Parquet's
+    // row-group/page pruning, so the fetch reads only touched pages).
+    // Past it, the distributed candidate-join shape takes over. 8192 was
+    // the cap while big INs degraded to un-pruning range filters; with
+    // that fixed, the wider fast regime is strictly better.
     requireRerankSource(rerankTable)
     graft.eval.QueryRecorder.record(dir, center)
     // bounded probe: collect at most maxInList+1 ids to pick the shape
@@ -1157,7 +1193,19 @@ final class IvfIndex(val spark: SparkSession, val dir: String, val meta: IvfMeta
       // so an id present in both gen and delta would appear twice and the
       // join would MULTIPLY result rows (2x2) — the IN shape filters and
       // never multiplies; distinct keeps the two shapes cardinality-equal
-      val candDf = rangeCandidateDf(center, radius, epsilon).toDF("id").distinct()
+      val candDf0 = rangeCandidateDf(center, radius, epsilon).toDF("id").distinct()
+      // Join shape: Catalyst cannot size a mapPartitions-derived frame, so
+      // it plans SortMergeJoin — which SHUFFLES the full data/source side
+      // (measured at 10M x 768d: a ~30 GB sort shuffle for a 10k-id
+      // candidate set; AQE only downgrades to broadcast AFTER that map
+      // stage is written). The candidate count is cheap to know exactly
+      // (one codes-only scan, vec never touched): broadcast the id set
+      // while it is bounded, keep the shuffle join only for genuinely
+      // huge spheres where shipping the table is the honest cost.
+      val nCandDistributed = candDf0.count()
+      val candDf =
+        if (nCandDistributed <= IvfIndex.rangeBroadcastCap) broadcast(candDf0)
+        else candDf0
       rerankTable match {
         case None =>
           // dataDf is the index's own parquet — never a catalog-registered
@@ -1197,7 +1245,9 @@ final class IvfIndex(val spark: SparkSession, val dir: String, val meta: IvfMeta
             }.toDF("id", "dist")
             .orderBy(col("dist"), col("id"))
       }
-    } else rerankTable match {
+    } else {
+      ensureInPushdown(cand.length)
+      rerankTable match {
       case None =>
         val exact = exactDistCol(qq)
         // partition-prune the rerank to sphere-intersecting cells (the
@@ -1215,6 +1265,7 @@ final class IvfIndex(val spark: SparkSession, val dir: String, val meta: IvfMeta
           .select(col(idCol).cast("long").as("id"), exact(col(vecCol)).as("dist"))
           .filter(col("dist") < radius)
           .orderBy(col("dist"), col("id"))
+      }
     }
   }
 
@@ -1259,7 +1310,7 @@ final class IvfIndex(val spark: SparkSession, val dir: String, val meta: IvfMeta
     val bPreps = spark.sparkContext.broadcast(preps)
     val bByCell = spark.sparkContext.broadcast(byCell)
     // job 1 (lazy plan): code-only estimate pass over the union of cells
-    val cand = codesDf
+    val cand0 = codesDf
       .filter(col("cluster_id").isin(allCells.map(Integer.valueOf): _*))
       .as[(Int, Long, Array[Float], Array[Byte])]
       .mapPartitions { it =>
@@ -1287,6 +1338,13 @@ final class IvfIndex(val spark: SparkSession, val dir: String, val meta: IvfMeta
       // one survivor row per DATA row: dedupe so an id stored twice
       // (gen + delta) does not multiply through the join below
       .distinct()
+    // Same join-shape decision as the delegated single-query path: the
+    // survivor frame is un-sizable to Catalyst, so without help the join
+    // below plans SortMergeJoin and shuffles the wide data/source side.
+    // Count the survivors (codes-only scan) and broadcast while bounded.
+    val nSurvivors = cand0.count()
+    val cand =
+      if (nSurvivors <= IvfIndex.rangeBroadcastCap) broadcast(cand0) else cand0
     // job 2: exact cutoff — cell-pruned vectors joined to survivors, the
     // kernel runs zero-boxing over (qid, vec) rows. Queries are PREPPED
     // on the driver (normalize/rotate), so the closure ships only the

@@ -191,6 +191,21 @@ object AnnTopKRewrite {
 
 case class AnnTopKRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
 
+  /** The served plans inject `id IN (candidates)` over the SOURCE table;
+    * Spark only pushes an In to Parquet as the exact value set while it
+    * is at most spark.sql.parquet.pushdown.inFilterThreshold (default
+    * 10) — past that the pushed form degrades to a min/max range, which
+    * prunes nothing for ids scattered across the table and turns the
+    * candidate fetch into a full scan (see IvfIndex.ensureInPushdown,
+    * measured 7x on the 10M x 768d codes-only anchor). Raise-only. */
+  private def ensureInPushdown(n: Int): Unit = {
+    val key = "spark.sql.parquet.pushdown.inFilterThreshold"
+    val cur =
+      try spark.conf.get(key).toInt
+      catch { case scala.util.control.NonFatal(_) => 10 }
+    if (cur < n) spark.conf.set(key, n.toString)
+  }
+
   /** One distance opclass per operator, like the reference's
     * vector_l2_ops / vector_cosine_ops / vector_ip_ops. */
   private object DistOn {
@@ -407,9 +422,12 @@ case class AnnTopKRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
         val ids = idx.rangeCandidateIds(cv.toFloatArray(), radius, eps, maxInList)
         if (ids.length > maxInList) None
         else if (ids.isEmpty) Some(LocalRelation(f.output))
-        else Some(stamped(Filter(And(f.condition,
-          In(idAttr, scala.collection.immutable.ArraySeq.unsafeWrapArray(ids.map(idLit)))),
-          f.child)))
+        else {
+          ensureInPushdown(ids.length)
+          Some(stamped(Filter(And(f.condition,
+            In(idAttr, scala.collection.immutable.ArraySeq.unsafeWrapArray(ids.map(idLit)))),
+            f.child)))
+        }
       }
     } yield served
 
@@ -553,6 +571,7 @@ case class AnnTopKRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
       if (idx.meta.cfg.storeVectors || entry.tablePath.isEmpty) None
       else Some((spark.read.parquet(entry.tablePath), entry.idCol, entry.vecCol))
     def planWith(ids: Array[Long]): LogicalPlan = {
+      ensureInPushdown(ids.length)
       val filter = stamped(
         Filter(In(idAttr, scala.collection.immutable.ArraySeq.unsafeWrapArray(ids.map(idLit))), child))
       val sorted = Sort(sort.order, global = true, filter)
@@ -564,6 +583,7 @@ case class AnnTopKRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     // the inner Filter is stamped, so the standalone range-filter case
     // cannot re-serve a plan this rewrite produced
     def planWithMerged(ids: Array[Long]): LogicalPlan = {
+      ensureInPushdown(ids.length)
       val inExpr = In(idAttr,
         scala.collection.immutable.ArraySeq.unsafeWrapArray(ids.map(idLit)))
       val newChild = child match {
@@ -602,6 +622,7 @@ case class AnnTopKRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
           if (ids.isEmpty) 0L
           else {
             AnnTopKRewrite.planningJobs.incrementAndGet()
+            ensureInPushdown(ids.length)
             ColumnBridge.ofRows(spark,
               Filter(In(idAttr, scala.collection.immutable.ArraySeq.unsafeWrapArray(ids.map(idLit))), child)).count()
           }

@@ -70,7 +70,15 @@ object NovecScale {
       kmeansAlgo = "hierarchical", kmeansDim = 16, lists1 = 16,
       samplingFactor = 128, storeVectors = false)
     var idx: graft.index.IvfIndex = null
-    timed(s"_novec_build_$tag") {
+    // SPARK_GRAFT_NOVEC_REUSE=1: reload a previously built index instead
+    // of rebuilding — re-measures the query side only (the build anchor
+    // comes from the original run)
+    val reuse = sys.env.get("SPARK_GRAFT_NOVEC_REUSE").contains("1") &&
+      new java.io.File(s"$dir/CURRENT").exists()
+    if (reuse) {
+      say(s"reusing index at $dir (build untimed)")
+      idx = graft.index.IvfIndex.load(spark, dir)
+    } else timed(s"_novec_build_$tag") {
       idx = graft.index.IvfIndex.build(df, "id", "vec", dir, cfg)
     }
     // index bytes on disk — THE economics of the codes-only mode
