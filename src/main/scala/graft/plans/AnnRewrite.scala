@@ -251,6 +251,34 @@ case class AnnTopKRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
       })
   }
 
+  /** Distance between a data vector COLUMN and a per-row query COLUMN —
+    * the join-condition form of the sphere predicate (`vec_l2(d.vec,
+    * q.center) < q.radius`). Either argument order: the metrics are
+    * symmetric in their operands (l2/cosdist) or the reference treats the
+    * query side uniformly (negdot), so side assignment happens at the
+    * join matcher from attribute membership, not argument position. */
+  private object DistCols {
+    def unapply(e: Expression): Option[(String, AttributeReference, AttributeReference)] = e match {
+      case VecL2Expr(a: AttributeReference, b: AttributeReference)      => Some(("l2", a, b))
+      case VecCosDistExpr(a: AttributeReference, b: AttributeReference) => Some(("cosdist", a, b))
+      case VecNegDotExpr(a: AttributeReference, b: AttributeReference)  => Some(("negdot", a, b))
+      case _ => None
+    }
+  }
+
+  /** Per-row radius: a queries-side column (possibly wrapped in the
+    * analyzer's numeric widening Cast) or a plain literal. */
+  private object RadiusExpr {
+    def unapply(e: Expression): Option[Either[AttributeReference, Double]] = e match {
+      case a: AttributeReference if a.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType] =>
+        Some(scala.util.Left(a))
+      case Cast(a: AttributeReference, _, _, _)
+          if a.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType] => Some(scala.util.Left(a))
+      case Literal(v, _) => numLit(v).map(scala.util.Right(_))
+      case _ => None
+    }
+  }
+
   /** True iff the subtree contains a Filter this rule produced (the
     * [[AnnTopKRewrite.ServedFilterTag]] stamp) — the idempotence guard for
     * the fixpoint user batch. Explicit provenance, not inference: a USER
@@ -387,7 +415,127 @@ case class AnnTopKRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
       case f @ Filter(SphereCond(metric, attr, cv, radius), rel: LogicalRelation)
           if spark.conf.get("graft.ann.range.enable", "true").toBoolean =>
         serveRange(f, metric, attr, cv, radius, rel).getOrElse(f)
+
+      // BATCH range as a JOIN (the SQL surface of rangeSearchMany):
+      //   SELECT ... FROM queries q JOIN docs d
+      //     ON vec_l2(d.vec, q.center) < q.radius
+      // — an index nested-loop range join. The queries side is collected
+      // at planning time (bounded), each sphere's estimate survivors come
+      // from the index's codes-only range scan, and the UNION of candidate
+      // ids restricts the indexed side; the original join condition is
+      // retained, so output is exact. Without the serve this shape plans
+      // as a broadcast nested-loop join over the FULL table per query row.
+      case j @ Join(_, _, org.apache.spark.sql.catalyst.plans.Inner, Some(_), _)
+          if spark.conf.get("graft.ann.range.join.enable", "true").toBoolean &&
+            !isServedPlan(j) =>
+        serveRangeJoin(j).getOrElse(j)
     }
+  }
+
+  /** Index-served range join (see the match site). Declines — leaving the
+    * original exact plan — when: no sphere conjunct over a registered
+    * indexed relation, the queries side exceeds `graft.ann.range.join
+    * .maxQueries`, any non-deterministic expression feeds the queries side
+    * (its rows must be identical at planning and execution), or the
+    * candidate union exceeds `graft.ann.maxInList` (a giant IN loses to
+    * the exact join). Planning cost: one bounded collect of the queries
+    * side + one codes-only probe job per query row (all counted in
+    * [[AnnTopKRewrite.planningJobs]]) — for bulk M use the DSL's
+    * `rangeSearchMany`, which answers every sphere in one plan. */
+  private def serveRangeJoin(j: Join): Option[LogicalPlan] = {
+    val cond = j.condition.get
+    val sphere = conjuncts(cond).collectFirst(Function.unlift[Expression,
+        (String, AttributeReference, AttributeReference, Either[AttributeReference, Double])] {
+      case LessThan(DistCols(m, a, b), RadiusExpr(r)) => Some((m, a, b, r))
+      case GreaterThan(RadiusExpr(r), DistCols(m, a, b)) => Some((m, a, b, r))
+      case _ => None
+    })
+    sphere.flatMap { case (metric, x, y, rad) =>
+      // side assignment: the operands are positionally symmetric, so try
+      // BOTH (vecAttr, centerAttr) readings on both join sides and keep
+      // the first whose vec attr resolves against a registered index —
+      // `vec_l2(q.center, e.vec)` must serve the same as
+      // `vec_l2(e.vec, q.center)`
+      val assignments = Seq((x, y), (y, x)).flatMap { case (v, c) =>
+        if (j.left.outputSet.contains(v) && j.right.outputSet.contains(c))
+          Seq((j.left, j.right, v, c))
+        else if (j.right.outputSet.contains(v) && j.left.outputSet.contains(c))
+          Seq((j.right, j.left, v, c))
+        else Nil
+      }
+      assignments.view.flatMap { case (indexedSide, queriesSide, vecAttr, centerAttr) =>
+        tryServeRangeJoin(j, metric, rad, indexedSide, queriesSide, vecAttr, centerAttr)
+      }.headOption
+    }
+  }
+
+  private def tryServeRangeJoin(j: Join, metric: String,
+      rad: Either[AttributeReference, Double],
+      indexedSide: LogicalPlan, queriesSide: LogicalPlan,
+      vecAttr: AttributeReference, centerAttr: AttributeReference): Option[LogicalPlan] = {
+    for {
+      _ <- Some(())
+      radOk = rad match {
+        case scala.util.Left(a)  => queriesSide.outputSet.contains(a)
+        case scala.util.Right(_) => true
+      }
+      if radOk
+      // queries-side rows must reproduce identically at execution time
+      if !queriesSide.exists(p => !p.expressions.forall(_.deterministic))
+      (rel, _) <- destructure(indexedSide)
+      fsRel <- rel.relation match {
+        case h: HadoopFsRelation => Some(h)
+        case _ => None
+      }
+      entry <- AnnCatalog.lookup(fsRel.location.rootPaths.map(_.toString))
+      if vecAttr.name == entry.vecCol
+      idAttr <- indexedSide.output.find(_.name == entry.idCol)
+      idLit <- litFor(idAttr)
+      if AnnCatalog.index(spark, entry).meta.cfg.metric == metric
+      served <- {
+        val idx = AnnCatalog.index(spark, entry)
+        val maxQ = spark.conf.get("graft.ann.range.join.maxQueries", "256").toInt
+        val maxInList = spark.conf.get("graft.ann.maxInList", "8192").toInt
+        val eps = spark.conf.get("graft.ann.epsilon", "1.9").toDouble
+        AnnTopKRewrite.planningJobs.incrementAndGet()
+        val projOut = Seq(
+          Alias(centerAttr, "c")(),
+          Alias(Cast(rad match {
+            case scala.util.Left(a)  => a
+            case scala.util.Right(d) => Literal(d)
+          }, org.apache.spark.sql.types.DoubleType), "r")())
+        val qRows = ColumnBridge.ofRows(spark, Project(projOut, queriesSide))
+          .limit(maxQ + 1).collect()
+        if (qRows.length > maxQ) None
+        else {
+          val union = new java.util.HashSet[java.lang.Long]()
+          var overflow = false
+          var i = 0
+          while (i < qRows.length && !overflow) {
+            val row = qRows(i)
+            if (!row.isNullAt(0) && !row.isNullAt(1)) {
+              val center = row.getSeq[Float](0).toArray
+              val radius = row.getDouble(1)
+              AnnTopKRewrite.planningJobs.incrementAndGet()
+              val ids = idx.rangeCandidateIds(center, radius, eps, maxInList)
+              if (ids.length > maxInList) overflow = true
+              else { ids.foreach(union.add(_)); overflow = union.size > maxInList }
+            }
+            i += 1
+          }
+          if (overflow) None
+          else if (union.isEmpty) Some(LocalRelation(j.output))
+          else {
+            val ids = union.toArray(Array.empty[java.lang.Long]).map(_.longValue())
+            ensureInPushdown(ids.length)
+            val restricted = stamped(Filter(In(idAttr,
+              scala.collection.immutable.ArraySeq.unsafeWrapArray(ids.map(idLit))), indexedSide))
+            Some(if (indexedSide eq j.left) j.copy(left = restricted)
+                 else j.copy(right = restricted))
+          }
+        }
+      }
+    } yield served
   }
 
   /** Range-filter serve (opclass strategy 2): candidate ids = the index's

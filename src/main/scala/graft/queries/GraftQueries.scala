@@ -539,6 +539,49 @@ object GraftQueries {
              |SELECT qid, vec_id, round(dist, 3) AS dist FROM dd WHERE dist < 1.3
              |ORDER BY qid, dd.dist, vec_id""".stripMargin)),
 
+    // The SQL surface of the batch range: an index nested-loop RANGE JOIN
+    // — `queries JOIN docs ON vec_l2(docs.vec, q.center) < q.radius` with
+    // a PER-ROW center and radius, the query text a SQL user writes for
+    // "all matches within each query's own radius". AnnTopKRewrite's join
+    // serve collects the (bounded) queries side at planning time, unions
+    // each sphere's codes-only candidate ids, and restricts the indexed
+    // side to that union while keeping the join condition — exact output,
+    // no full-table nested-loop scan. Asserted in-query: a silent
+    // regression to the BNL join fails the run rather than just slowing it.
+    "range_join_indexed" -> Q(
+      (s, d) => {
+        val idx = IvfCache.get(s, d)
+        val path = prefilterTable(s, d)
+        graft.plans.AnnCatalog.register(path, idx.dir, "vec_id", "embedding")
+        if (!s.experimental.extraOptimizations.exists(_.isInstanceOf[graft.plans.AnnTopKRewrite]))
+          s.experimental.extraOptimizations =
+            s.experimental.extraOptimizations :+ graft.plans.AnnTopKRewrite(s)
+        graft.functions.GraftFunctions.registerAll(s)
+        s.read.parquet(path).createOrReplaceTempView("emb_rj")
+        val served = s.sql(
+          """SELECT q.qid, e.vec_id, round(vec_l2(e.embedding, q.center), 3) AS dist
+            |FROM (SELECT vec_id AS qid, embedding AS center,
+            |        0.9 + CAST(vec_id AS DOUBLE) * 0.2 AS radius
+            |      FROM emb_rj WHERE vec_id IN (0, 1, 2)) q
+            |JOIN emb_rj e ON vec_l2(e.embedding, q.center) < q.radius
+            |ORDER BY q.qid, vec_l2(e.embedding, q.center), e.vec_id""".stripMargin)
+        // the queries-side subquery carries its own user IN — the serve
+        // adds a SECOND one (the candidate union on the indexed side)
+        require(served.queryExecution.optimizedPlan.toString.split(" IN ").length >= 3,
+          "range_join_indexed was NOT index-served — the join rule failed to " +
+          "match the range-join shape:\n" + served.queryExecution.optimizedPlan)
+        served
+      },
+      Some("""WITH q AS (SELECT vec_id AS qid, embedding AS qe,
+             |  0.9 + CAST(vec_id AS DOUBLE) * 0.2 AS radius
+             |  FROM embeddings WHERE vec_id IN (0, 1, 2)),
+             |e AS (SELECT vec_id, embedding, unnest(range(0, 64)) AS i FROM embeddings),
+             |dd AS (SELECT q.qid AS qid, q.radius AS radius, e.vec_id AS vec_id,
+             |  sqrt(sum(power(CAST(e.embedding[i+1] AS DOUBLE) - CAST(q.qe[i+1] AS DOUBLE), 2))) AS dist
+             |  FROM e, q GROUP BY q.qid, q.radius, e.vec_id)
+             |SELECT qid, vec_id, round(dist, 3) AS dist FROM dd WHERE dist < radius
+             |ORDER BY qid, dd.dist, vec_id""".stripMargin)),
+
     // ---- dedup suite (training-data pipeline ops) ----
 
     "dedup_exact" -> Q(

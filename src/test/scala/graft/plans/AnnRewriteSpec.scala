@@ -450,6 +450,74 @@ class AnnRewriteSpec extends SparkSpec {
     }
   }
 
+  test("range JOIN: per-row center+radius join is index-served; bounds decline") {
+    import spark.implicits._
+    val (tableDir, indexDir) = setup
+    AnnCatalog.register(tableDir, indexDir, "id", "vec")
+    try withRule {
+      spark.read.parquet(tableDir).createOrReplaceTempView("ann_rj_tbl")
+      GraftFunctions.registerAll(spark)
+      val data = spark.read.parquet(tableDir).as[(Long, Seq[Float])].collect()
+      // three query rows drawn from the table itself, each with its OWN
+      // radius — the shape rangeSearchMany answers in the DSL
+      val sql =
+        """SELECT q.qid, e.id
+          |FROM (SELECT id AS qid, vec AS center,
+          |        0.7 + CAST(id AS DOUBLE) * 0.2 AS radius
+          |      FROM ann_rj_tbl WHERE id IN (0, 1, 2)) q
+          |JOIN ann_rj_tbl e ON vec_l2(e.vec, q.center) < q.radius
+          |ORDER BY q.qid, e.id""".stripMargin
+      val df = spark.sql(sql)
+      val optimized = df.queryExecution.optimizedPlan.toString
+      // the queries-side user predicate is itself an IN — the serve adds a
+      // SECOND one (the candidate union on the indexed side)
+      assert(optimized.split(" IN ").length >= 3,
+        s"range join must carry the candidate-union IN:\n$optimized")
+      val got = df.as[(Long, Long)].collect().toSeq
+      val centers = data.filter(r => r._1 <= 2)
+      val want = (for {
+        (qid, c) <- centers
+        (id, v) <- data
+        if K.l2(v.toArray, c.toArray) < 0.7 + qid * 0.2
+      } yield (qid, id)).sortBy(identity).toSeq
+      assert(got == want && got.nonEmpty, s"got=$got want=$want")
+
+      // reversed operand order (vec_l2(q.center, e.vec)) serves too —
+      // the matcher assigns sides by attribute membership, not position
+      val dfRev = spark.sql(sql.replace("vec_l2(e.vec, q.center)",
+        "vec_l2(q.center, e.vec)"))
+      assert(dfRev.queryExecution.optimizedPlan.toString.split(" IN ").length >= 3)
+      assert(dfRev.as[(Long, Long)].collect().toSeq == want)
+
+      // queries side past maxQueries: decline — plan keeps the exact
+      // nested-loop join (no IN), results identical
+      withConfs("graft.ann.range.join.maxQueries" -> "2") {
+        val dfBig = spark.sql(sql)
+        assert(dfBig.queryExecution.optimizedPlan.toString.split(" IN ").length == 2,
+          "3 query rows over maxQueries=2 must keep the exact plan " +
+          "(only the user IN may remain)")
+        assert(dfBig.as[(Long, Long)].collect().toSeq == want)
+      }
+
+      // kill switch
+      withConfs("graft.ann.range.join.enable" -> "false") {
+        assert(spark.sql(sql).queryExecution.optimizedPlan.toString
+          .split(" IN ").length == 2)
+      }
+
+      // a non-deterministic queries side must decline: its rows could
+      // differ between the planning-time collect and execution
+      val ndSql = sql.replace("0.7 + CAST(id AS DOUBLE) * 0.2",
+        "0.7 + rand() * 0.001")
+      assert(spark.sql(ndSql).queryExecution.optimizedPlan.toString
+          .split(" IN ").length == 2,
+        "non-deterministic radius must keep the exact plan")
+    } finally {
+      AnnCatalog.unregister(tableDir)
+      spark.catalog.dropTempView("ann_rj_tbl")
+    }
+  }
+
   test("per-partition index registration serves partition-scoped reads (partition parity)") {
     import spark.implicits._
     val rng = new scala.util.Random(91)
