@@ -126,6 +126,22 @@ package object dsl {
       df.withColumn(cleanedCol, cleaned)
         .withColumn("n_lines_kept", kept).withColumn("n_lines_total", total)
     }
+
+    /** Domain diversification: keep at most `n` rows per key (skew-safe
+      * two-stage top-n, no hot-key window reducer). */
+    def capPerKey(keyCol: String, orderCol: String, n: Int): DataFrame =
+      graft.ops.Curation.capPerKey(df, keyCol, orderCol, n)
+
+    /** Corpus-wide exact line dedup: duplicate lines keep only their
+      * first (doc, pos) occurrence (the C4/RefinedWeb line rule). */
+    def dedupLines(idCol: String, textCol: String): DataFrame =
+      graft.ops.Curation.dedupLinesCorpus(df, idCol, textCol)
+
+    /** Linear bag-of-words quality scoring against a (term, weight)
+      * vocabulary table — the fastText-classifier shape. */
+    def scoreQuality(idCol: String, textCol: String, weights: DataFrame,
+                     bias: Double = 0.0): DataFrame =
+      graft.ops.Curation.scoreWithModel(df, idCol, textCol, weights, bias = bias)
   }
 
   implicit final class GraftIvfIndexOps(private val idx: IvfIndex) {

@@ -307,6 +307,122 @@ object Curation {
    * ~4B) and silently delete unique text, so the wider key is the
    * correctness choice, not a style choice.
    */
+  /**
+   * Per-key document cap — "domain diversification": keep at most `n`
+   * rows per key (domain / source / site), chosen as the `n` SMALLEST
+   * `orderCol` values (ids = first-crawled under monotonic ids). The
+   * standard defense against a handful of giant domains dominating a
+   * training mix (RefinedWeb / C4 keep per-host caps).
+   *
+   * `orderCol` must be unique per row (a document id) — it is both the
+   * selection order and the join-back key.
+   *
+   * Scale shape — deliberately NOT a `row_number()` window: a window
+   * partitioned by key sends EVERY row of a hot key through one reducer
+   * (the exact skew a per-domain cap exists to fight — the biggest
+   * domain is by definition the hottest key). Instead:
+   *  1. per input partition, each key keeps its n smallest orders
+   *     (bounded local state, hot keys spread across all partitions);
+   *  2. the per-partition survivors (<= partitions x n per key) shuffle
+   *     on the key and reduce to the global n smallest;
+   *  3. the tiny keep set joins back on (key, order) — AQE broadcasts it.
+   * No stage ever concentrates a hot key's full row set.
+   */
+  def capPerKey(df: DataFrame, keyCol: String, orderCol: String,
+                n: Int): DataFrame = {
+    require(n >= 1, s"cap must be >= 1, got $n")
+    val topn = (c: Column) => slice(array_sort(c), 1, n)
+    val local = df.select(col(keyCol), col(orderCol))
+      .withColumn("__pid", spark_partition_id())
+      .groupBy(col(keyCol), col("__pid"))
+      .agg(topn(collect_list(col(orderCol))).as("__top"))
+    val keep = local.groupBy(col(keyCol))
+      .agg(topn(flatten(collect_list(col("__top")))).as("__keep"))
+      .select(col(keyCol), explode(col("__keep")).as(orderCol))
+    df.join(keep, Seq(keyCol, orderCol))
+  }
+
+  /**
+   * Corpus-wide EXACT LINE deduplication (the C4/RefinedWeb line rule):
+   * every line whose exact text occurs more than once in the corpus
+   * keeps only its FIRST occurrence — smallest (doc, position) in
+   * `idCol` order — and every other occurrence is removed. Catches the
+   * navigation bars / cookie banners / footer boilerplate that repeat
+   * across pages of a site but never form whole duplicate documents.
+   *
+   * Output: (doc_id, text_clean, n_removed) for every input document.
+   *
+   * Scale shape (the [[substringDedup]] pattern at line granularity):
+   *  1. one narrow scan emits (line-md5, doc, pos) — 16-byte keys;
+   *  2. per-key count + lexicographic-min keeper via ONE partial-agg
+   *     shuffle (a million-occurrence boilerplate line combines
+   *     map-side into a single (count, min) pair — skew-safe);
+   *  3. occurrences join the (small) duplicated-key set, survivors
+   *     minus keepers aggregate removal positions per doc;
+   *  4. a final per-row array filter rebuilds the text.
+   * The 128-bit key is the same correctness choice as substringDedup:
+   * 64-bit birthday-collides at 100 TB line cardinality and would
+   * silently delete unique lines.
+   */
+  def dedupLinesCorpus(df: DataFrame, idCol: String, textCol: String,
+                       sep: String = "\n"): DataFrame = {
+    val docs = df.select(col(idCol).as("doc_id"), split(col(textCol), sep).as("__l"))
+    val occ = docs
+      .select(col("doc_id"), posexplode(col("__l")).as(Seq("__p", "__line")))
+      .select(col("doc_id"), col("__p"),
+        unhex(md5(col("__line").cast("binary"))).as("__h"))
+    val dups = occ.groupBy("__h")
+      .agg(count(lit(1)).as("__c"),
+        min(struct(col("doc_id").as("d"), col("__p").as("p"))).as("__keep"))
+      .filter(col("__c") >= 2)
+      .select("__h", "__keep")
+    val removals = occ.join(dups, Seq("__h"))
+      .filter(struct(col("doc_id").as("d"), col("__p").as("p")) =!= col("__keep"))
+      .groupBy("doc_id")
+      .agg(collect_set(col("__p")).as("__rm"))
+    docs.join(removals, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("__rm").isNull, col("__l"))
+          .otherwise(filter(col("__l"),
+            (_, i) => !array_contains(col("__rm"), i))).as("__kept"),
+        col("__l"))
+      .select(col("doc_id"),
+        array_join(col("__kept"), sep).as("text_clean"),
+        (size(col("__l")) - size(col("__kept"))).cast("long").as("n_removed"))
+  }
+
+  /**
+   * Linear bag-of-words quality scoring — the fastText-classifier shape
+   * every major pipeline uses for model-based quality filtering (CCNet /
+   * LLaMA "looks like Wikipedia" filters): score = sigmoid(bias +
+   * mean(weight(token))), tokens absent from the vocabulary contributing
+   * 0. The model is DATA (`weights`: one (term, weight) row per
+   * vocabulary entry) — train it anywhere, score with it here.
+   *
+   * Output: (doc_id, n_tokens, score).
+   *
+   * Scale shape: tokens explode in a narrow scan and LEFT-join the
+   * broadcast vocabulary (vocabularies are 10⁵-10⁶ terms — always the
+   * broadcast side); the per-doc reduce is a partial aggregation, so the
+   * shuffle carries one (sum, count) pair per doc per partition, never
+   * token rows. Everything stays in whole-stage codegen — no UDF.
+   */
+  def scoreWithModel(df: DataFrame, idCol: String, textCol: String,
+                     weights: DataFrame, termCol: String = "term",
+                     weightCol: String = "weight",
+                     bias: Double = 0.0): DataFrame = {
+    val w = broadcast(weights.select(col(termCol).as("__tok"),
+      col(weightCol).cast("double").as("__w")))
+    df.select(col(idCol).as("doc_id"), explode(toks(col(textCol))).as("__tok"))
+      .join(w, Seq("__tok"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        coalesce(sum(col("__w")), lit(0.0)).as("__s"))
+      .select(col("doc_id"), col("n_tokens"),
+        (lit(1.0) / (lit(1.0) +
+          exp(-(lit(bias) + col("__s") / col("n_tokens"))))).as("score"))
+  }
+
   def substringDedup(df: DataFrame, idCol: String, textCol: String,
                      k: Int = 8, minCount: Int = 2): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")

@@ -1019,6 +1019,73 @@ object GraftQueries {
              |  CAST(len(tk.t) - coalesce(agg.nk, 0) AS BIGINT) AS n_removed
              |FROM tk LEFT JOIN agg ON tk.doc_id = agg.doc_id ORDER BY doc_id""".stripMargin)),
 
+    // Per-source document cap (domain diversification): keep at most 5
+    // docs per source, smallest doc_ids. The Spark side deliberately
+    // avoids a row_number window (hot-key reducer concentration) — the
+    // oracle IS the window, pinning the equivalence of the skew-safe
+    // two-stage top-n to the textbook formulation.
+    "cap_per_source" -> Q(
+      (s, d) => Curation.capPerKey(tbl(s, d, "documents"), "source", "doc_id", 5)
+        .select(col("doc_id"), col("source"))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id, source FROM documents
+             |QUALIFY row_number() OVER (PARTITION BY source ORDER BY doc_id) <= 5
+             |ORDER BY doc_id""".stripMargin)),
+
+    // Corpus-wide exact line dedup (C4/RefinedWeb line rule): duplicate
+    // lines keep only their first (doc, pos) occurrence. Lines are
+    // synthesized from the single-line test docs the same way as
+    // clean_lines; the oracle recomputes keepers and removals from
+    // scratch by grouping the LINE TEXT itself.
+    "dedup_lines" -> Q(
+      (s, d) => {
+        val docs = tbl(s, d, "documents").withColumn("__ml",
+          expr("replace(replace(text, ' value ', chr(10)), ' query ', chr(10))"))
+        Curation.dedupLinesCorpus(docs, "doc_id", "__ml")
+          .select(col("doc_id"), md5(col("text_clean").cast("binary")).as("fp"),
+            col("n_removed"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH ml AS (SELECT doc_id, replace(replace(text, ' value ', chr(10)), ' query ', chr(10)) AS t FROM documents),
+             |ls AS (SELECT doc_id, string_split(t, chr(10)) AS lines FROM ml),
+             |occ AS (SELECT doc_id, generate_subscripts(lines, 1) - 1 AS p, unnest(lines) AS line FROM ls),
+             |dup AS (SELECT line, min(struct_pack(d := doc_id, p := p)) AS keep FROM occ
+             |  GROUP BY line HAVING count(*) >= 2),
+             |rm AS (SELECT o.doc_id, o.p FROM occ o JOIN dup ON o.line = dup.line
+             |  WHERE NOT (o.doc_id = dup.keep.d AND o.p = dup.keep.p)),
+             |ko AS (SELECT o.doc_id, o.p, o.line FROM occ o LEFT JOIN rm r
+             |  ON o.doc_id = r.doc_id AND o.p = r.p WHERE r.doc_id IS NULL),
+             |agg AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY p) AS tc,
+             |  count(*) AS kept FROM ko GROUP BY doc_id)
+             |SELECT ls.doc_id, md5(coalesce(agg.tc, '')) AS fp,
+             |  CAST(len(ls.lines) - coalesce(agg.kept, 0) AS BIGINT) AS n_removed
+             |FROM ls LEFT JOIN agg ON ls.doc_id = agg.doc_id ORDER BY ls.doc_id""".stripMargin)),
+
+    // Model-based quality scoring (the fastText linear-classifier shape):
+    // sigmoid(bias + mean token weight) against a vocabulary table. The
+    // demo model's weights are hash-derived (md5-unit - 0.5, the
+    // sample_mix construction) so BOTH engines rebuild the identical
+    // model from scratch — the op itself takes any (term, weight) table.
+    "quality_score" -> Q(
+      (s, d) => {
+        val docs = tbl(s, d, "documents")
+        val vocab = docs.select(explode(split(col("text"), " ")).as("term")).distinct()
+          .withColumn("weight", Curation.hashUnit(col("term"), "w") - 0.5)
+        Curation.scoreWithModel(docs, "doc_id", "text", vocab, bias = 0.1)
+          .select(col("doc_id"), col("n_tokens"),
+            (round(col("score"), 3) + 0.0).as("score"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH tk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+             |w AS (SELECT DISTINCT term,
+             |  CAST(concat('0x', substr(md5(concat('w:', term)), 1, 8)) AS BIGINT) / 4294967296.0 - 0.5 AS wt
+             |  FROM tk),
+             |sc AS (SELECT tk.doc_id, count(*) AS n_tokens, sum(w.wt) AS s
+             |  FROM tk JOIN w ON tk.term = w.term GROUP BY tk.doc_id)
+             |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+             |  round(1.0 / (1.0 + exp(-(0.1 + s / n_tokens))), 3) + 0.0 AS score
+             |FROM sc ORDER BY doc_id""".stripMargin)),
+
     // ---- multimodal columns (opaque blob + typed metadata; real
     // ImageIO/javax.sound/MJPEG decode in ops/Multimodal.scala) ----
 

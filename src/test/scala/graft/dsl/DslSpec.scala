@@ -80,5 +80,15 @@ class DslSpec extends SparkSpec {
     assert(media.audioStats("doc_id", "blob").count() == 1)
     assert(media.sampleFrames("doc_id", "blob", everyN = 1).count() == 4)
     assert(media.mediaFeatures("doc_id", "blob", dim = 16).count() == 3)
+
+    // curation surface: per-key cap, corpus line dedup, model scoring
+    val srcDocs = Seq((1L, "s0", "dup line"), (2L, "s0", "dup line"),
+      (3L, "s0", "third"), (4L, "s1", "solo")).toDF("doc_id", "source", "text")
+    assert(srcDocs.capPerKey("source", "doc_id", 2)
+      .select("doc_id").as[Long].collect().toSet == Set(1L, 2L, 4L))
+    assert(srcDocs.dedupLines("doc_id", "text")
+      .filter($"n_removed" > 0).select("doc_id").as[Long].head() == 2L)
+    val w = Seq(("dup", 1.0)).toDF("term", "weight")
+    assert(srcDocs.scoreQuality("doc_id", "text", w).count() == 4)
   }
 }

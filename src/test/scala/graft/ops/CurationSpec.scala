@@ -206,4 +206,43 @@ class CurationSpec extends SparkSpec {
     assert(out(1L) == (("x", 6L)))
     assert(out(2L) == (("y", 6L)))
   }
+
+  test("capPerKey: n smallest per key survive; equals the window formulation") {
+    import spark.implicits._
+    val rows = (0L until 100L).map(i => (s"k${i % 3}", i))
+    val df = rows.toDF("key", "id").repartition(7) // spread keys over partitions
+    val got = capPerKey(df, "key", "id", 4)
+      .as[(String, Long)].collect().sorted.toSeq
+    val want = rows.groupBy(_._1).toSeq
+      .flatMap { case (_, g) => g.sortBy(_._2).take(4) }.sorted
+    assert(got == want)
+    // cap above group size keeps everything
+    assert(capPerKey(df, "key", "id", 50).count() == 100)
+  }
+
+  test("dedupLinesCorpus: duplicate lines keep first (doc,pos); uniques untouched") {
+    import spark.implicits._
+    val d = docs(
+      1L -> "dup\nunique one\ndup",         // in-doc repeat: pos 2 removed
+      2L -> "other\ndup\nlast",             // cross-doc: removed (doc1 pos0 keeps)
+      3L -> "only original lines here")
+    val out = dedupLinesCorpus(d, "doc_id", "text")
+      .as[(Long, String, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out(1L) == (("dup\nunique one", 1L)), "second in-doc occurrence removed")
+    assert(out(2L) == (("other\nlast", 1L)), "cross-doc occurrence removed")
+    assert(out(3L) == (("only original lines here", 0L)))
+  }
+
+  test("scoreWithModel: mean-weight sigmoid, OOV tokens contribute zero") {
+    import spark.implicits._
+    val w = Seq(("good", 2.0), ("bad", -2.0)).toDF("term", "weight")
+    val d = docs(1L -> "good good bad zzz", 2L -> "zzz yyy")
+    val out = scoreWithModel(d, "doc_id", "text", w)
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    def sig(x: Double) = 1.0 / (1.0 + math.exp(-x))
+    assert(out(1L)._1 == 4L)
+    assert(math.abs(out(1L)._2 - sig((2.0 + 2.0 - 2.0 + 0.0) / 4)) < 1e-12)
+    assert(out(2L)._1 == 2L)
+    assert(math.abs(out(2L)._2 - sig(0.0)) < 1e-12, "all-OOV doc scores sigmoid(bias)")
+  }
 }
