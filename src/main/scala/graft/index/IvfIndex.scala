@@ -63,6 +63,17 @@ final case class IvfConfig(
     rotate: Boolean = false,      // store FHT-rotated vectors (B6)
     lists1: Int = 0,              // >0: one internal level — shorthand for
                                   // upperLists = Seq(lists1)
+    assignByTree: Boolean = false, // build-time assignment DESCENDS the
+                                  // centroid tree (score each level's
+                                  // survivors' children, not all leaves)
+                                  // — the reference's hierarchical build
+                                  // assignment. At lists=256/lists1=16 x
+                                  // 768d this is 8x fewer flops per row
+                                  // and was the dominant build cost at
+                                  // scale; assignment near cell borders
+                                  // may differ from flat argmin (same
+                                  // trade the reference takes — probes
+                                  // cover neighbor cells at search)
     storage: String = "f32",      // f32 | f16 — rerank-vector storage (halfvec
                                   // index: half the vec bytes on disk/scan;
                                   // codes quantize the f16-roundtripped vector
@@ -120,6 +131,8 @@ final case class IvfConfig(
       s"internal levels must be coarse -> fine (ascending): $eu")
     require(Set("f32", "f16")(storage), s"unknown storage '$storage'")
     require(dim >= 0, s"dim must be >= 0, got $dim")
+    require(!assignByTree || eu.nonEmpty,
+      "assignByTree needs an internal level (set lists1 or upperLists)")
   }
 }
 
@@ -163,10 +176,17 @@ object IvfIndex {
     * vector, so codes and stored vectors describe the same point). */
   private[index] def encodeRows(df: DataFrame, idCol: String, vecCol: String,
                                 cfg: IvfConfig, centroids: Array[Array[Float]],
-                                origDim: Int): DataFrame = {
+                                origDim: Int,
+                                upper: Option[(Seq[Array[Array[Float]]], Seq[Array[Array[Int]]])] = None): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     val bc = spark.sparkContext.broadcast(centroids)
+    // assignByTree: descend the internal levels — at each level score only
+    // the surviving parent's children (the reference's hierarchical build
+    // assignment; flat argmin over all leaves is O(lists*dim) per row and
+    // dominated the 768d build)
+    val bUp = upper.filter(_ => cfg.assignByTree)
+      .map(u => spark.sparkContext.broadcast(u))
     val residual = cfg.residual
     val bits = cfg.bits
     val sph = spherical(cfg)
@@ -188,7 +208,28 @@ object IvfIndex {
       val rotated = rot.map(_.apply(pre)).getOrElse(pre)
       val vec = if (f16) graft.core.Half.roundtrip(rotated) else rotated
       val cs = bc.value
-      val cid = KMeans.nearest(vec, cs)
+      val cid = bUp match {
+        case Some(b) =>
+          // root level scores all its centroids; each subsequent level
+          // scores only the chosen parent's children; the finest level's
+          // children are LEAF cell ids scored against the leaf centroids.
+          // A childless internal centroid (k-means can strand one) falls
+          // back to the flat argmin for that row.
+          val (upC, upCh) = b.value
+          var ok = true
+          var pick = KMeans.nearest(vec, upC(0))
+          var lvl = 0
+          while (ok && lvl < upC.length - 1) {
+            val kids = upCh(lvl)(pick)
+            if (kids.isEmpty) ok = false
+            else pick = KMeans.nearestAmong(vec, upC(lvl + 1), kids)
+            lvl += 1
+          }
+          val leafKids = if (ok) upCh(upC.length - 1)(pick) else Array.empty[Int]
+          if (leafKids.isEmpty) KMeans.nearest(vec, cs)
+          else KMeans.nearestAmong(vec, cs, leafKids)
+        case None => KMeans.nearest(vec, cs)
+      }
       val toCode =
         if (residual) {
           val c = cs(cid)
@@ -240,6 +281,7 @@ object IvfIndex {
     p.setProperty("lists1", cfg.lists1.toString)
     p.setProperty("storage", cfg.storage)
     p.setProperty("store_vectors", cfg.storeVectors.toString)
+    p.setProperty("assign_by_tree", cfg.assignByTree.toString)
     p.setProperty("upper_lists", cfg.upperLists.mkString(","))
     val w = Files.newBufferedWriter(Paths.get(dir, "meta.properties"))
     try p.store(w, "graft ivf index meta") finally w.close()
@@ -268,8 +310,12 @@ object IvfIndex {
     val spark = df.sparkSession
     val dim = centroids(0).length
     val dbg = sys.env.contains("GRAFT_SEARCH_DEBUG")
+    // internal levels first (driver-side, centroid-count work): the
+    // encode pass needs them when cfg.assignByTree descends
+    val (upC, upCh) = buildUpper(centroids, cfg.effectiveUpper, cfg.kmeansIters)
     val t0 = System.nanoTime()
-    encodeRows(df, idCol, vecCol, cfg, centroids, origDim)
+    encodeRows(df, idCol, vecCol, cfg, centroids, origDim,
+        upper = if (upC.nonEmpty) Some((upC, upCh)) else None)
       // co-locate each cluster before the partitioned write: one shuffle on
       // the cluster key -> O(lists) files instead of tasks x lists
       .repartition(col("cluster_id"))
@@ -280,7 +326,6 @@ object IvfIndex {
     if (dbg) System.err.println(s"[build] meta: ${(System.nanoTime()-t1)/1e9}s")
     Files.createDirectories(Paths.get(dir))
     Files.writeString(Paths.get(dir, "CURRENT"), "gen-0")
-    val (upC, upCh) = buildUpper(centroids, cfg.effectiveUpper, cfg.kmeansIters)
     upC.indices.foreach { lvl =>
       Files.write(Paths.get(dir, s"upper$lvl.centroids.bin"), floatBlock(upC(lvl)))
       Files.writeString(Paths.get(dir, s"upper$lvl.children.txt"),
@@ -475,7 +520,8 @@ object IvfIndex {
         storage = p.getProperty("storage"),
         upperLists = if (upperProp.isEmpty) Nil else upperProp.split(",").map(_.toInt).toSeq,
         // pre-round-7 indexes always stored vectors
-        storeVectors = Option(p.getProperty("store_vectors")).forall(_.toBoolean))
+        storeVectors = Option(p.getProperty("store_vectors")).forall(_.toBoolean),
+        assignByTree = Option(p.getProperty("assign_by_tree")).exists(_.toBoolean))
       val centroids = readFloatBlock(Paths.get(dir, "centroids.bin"))
       def readChildren(path: Path): Array[Array[Int]] =
         Files.readString(path).split("\n")
@@ -517,7 +563,8 @@ object IvfIndex {
       } else (Nil, Nil)
     new IvfIndex(spark, dir,
       IvfMeta(dim, origDim,
-        IvfConfig(lists, bits, residual, metric, sf, it, algo, kdim, rotate, lists1, storage),
+        IvfConfig(lists, bits, residual, metric, sf, it, algo, kdim, rotate,
+          lists1 = lists1, storage = storage),
         centroids, upC, upCh))
   }
 
@@ -668,7 +715,9 @@ final class IvfIndex(val spark: SparkSession, val dir: String, val meta: IvfMeta
   /** Incremental ingest (reference `aminsert`, B11): encode rows against
     * the existing centroids and append to the delta area. */
   def appendDelta(df: DataFrame, idCol: String, vecCol: String): Unit = {
-    IvfIndex.encodeRows(df, idCol, vecCol, meta.cfg, meta.centroids, meta.origDim)
+    IvfIndex.encodeRows(df, idCol, vecCol, meta.cfg, meta.centroids, meta.origDim,
+        upper = if (meta.upperCentroids.nonEmpty)
+          Some((meta.upperCentroids, meta.upperChildren)) else None)
       .repartition(col("cluster_id"))
       .write.mode("append").partitionBy("cluster_id").parquet(s"$dir/delta")
     mutations.incrementAndGet()

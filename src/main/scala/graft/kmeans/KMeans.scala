@@ -233,4 +233,22 @@ object KMeans {
     }
     best
   }
+
+  /** [[nearest]] restricted to a candidate index set (tree-descent
+    * assignment: score only one parent's children, not every centroid).
+    * Ties: lowest candidate-array position. */
+  def nearestAmong(v: Array[Float], centroids: Array[Array[Float]],
+                   candidates: Array[Int]): Int = {
+    require(candidates.nonEmpty, "nearestAmong needs at least one candidate")
+    var best = candidates(0)
+    var bestD = Double.PositiveInfinity
+    var i = 0
+    while (i < candidates.length) {
+      val c = candidates(i)
+      val d = K.l2s(v, centroids(c))
+      if (d < bestD) { bestD = d; best = c }
+      i += 1
+    }
+    best
+  }
 }

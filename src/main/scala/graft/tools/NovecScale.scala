@@ -68,7 +68,7 @@ object NovecScale {
       } else gen // generator-as-source: deterministic rows, no storage
     val cfg = graft.index.IvfConfig(lists = 256, bits = bits,
       kmeansAlgo = "hierarchical", kmeansDim = 16, lists1 = 16,
-      samplingFactor = 128, storeVectors = false)
+      samplingFactor = 128, storeVectors = false, assignByTree = true)
     var idx: graft.index.IvfIndex = null
     // SPARK_GRAFT_NOVEC_REUSE=1: reload a previously built index instead
     // of rebuilding — re-measures the query side only (the build anchor

@@ -101,7 +101,8 @@ object ScaleProbe {
       val cfg =
         if (n >= 500000)
           graft.index.IvfConfig(lists = 256, kmeansAlgo = "hierarchical",
-            kmeansDim = 16, lists1 = 16, samplingFactor = 128)
+            kmeansDim = 16, lists1 = 16, samplingFactor = 128,
+            assignByTree = true)
         else graft.index.IvfConfig(lists = 64, kmeansAlgo = "hierarchical")
       val q = Array.tabulate(dim)(j => ((j % 7) - 3) * 0.1f)
       val probes = math.max(8, math.ceil(math.sqrt(cfg.lists.toDouble)).toInt)

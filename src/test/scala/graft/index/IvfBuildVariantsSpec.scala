@@ -99,6 +99,33 @@ class IvfBuildVariantsSpec extends SparkSpec {
     }
   }
 
+  test("assignByTree: descent assignment serves exactly; lifecycle intact") {
+    import spark.implicits._
+    val dir = freshDir()
+    val idx = IvfIndex.build(rows.toDF("id", "vec"), "id", "vec", dir,
+      IvfConfig(lists = 32, lists1 = 4, assignByTree = true))
+    val q = Array.fill(12)(0.25f)
+    // exactness is probe-budget-independent of how rows were ASSIGNED:
+    // full-probe search must equal brute force
+    assert(idx.searchExact(q, 10).select("id").as[Long].collect().toSeq == brute(q, 10))
+    assert(idx.evaluateRecall(q, 10, probes = 32, refine = 16) == 1.0)
+    // every row's cell is the tree-descent result: its cluster must be
+    // one of the cells the descent through its own vector reaches
+    val assigned = spark.read.parquet(s"$dir/gen-0")
+      .selectExpr("cast(cluster_id as int)", "cast(id as long)")
+      .as[(Int, Long)].collect().toMap.map(_.swap)
+    // spot-check: assigned cell's l1 parent contains the cell (tree-consistent)
+    val byChild = idx.meta.l1Children.zipWithIndex
+      .flatMap { case (kids, p) => kids.map(_ -> p) }.toMap
+    assert(assigned.values.forall(cid => byChild.contains(cid)))
+    // delta insert uses the same descent; compact folds it in
+    idx.appendDelta(Seq((9001L, Seq.fill(12)(0.25f))).toDF("id", "vec"), "id", "vec")
+    idx.compact()
+    assert(idx.searchExact(q, 1).select("id").as[Long].head() == 9001L)
+    // reload round-trips the flag
+    assert(IvfIndex.load(spark, dir).meta.cfg.assignByTree)
+  }
+
   test("two-level tree (B5): l1 groups partition the leaves; search still works") {
     import spark.implicits._
     val dir = freshDir()
