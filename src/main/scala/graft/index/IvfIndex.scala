@@ -161,6 +161,17 @@ object IvfIndex {
     * observability for specs and ops, like `AnnTopKRewrite.planningJobs`. */
   val rangeDelegations = new java.util.concurrent.atomic.AtomicLong(0)
 
+  /** Count of delegated range queries that fell back to the straight
+    * exact scan because the code bound kept more than
+    * [[rangeScanFallbackFrac]] of the table (no pruning to exploit). */
+  val rangeScanFallbacks = new java.util.concurrent.atomic.AtomicLong(0)
+
+  /** Candidate fraction above which the delegated range shape abandons
+    * the candidate join for a direct exact scan: past this the estimate
+    * pass retained most rows, so the join adds cost without removing
+    * work (measured 10x brute on uniform 768d bits=1). */
+  val rangeScanFallbackFrac = 0.25
+
   /** Largest delegated-range candidate set shipped as a broadcast id set
     * instead of a shuffle join (10M ids ~ 80 MB broadcast). Below this,
     * broadcasting beats re-shuffling the (much wider) data/source side by
@@ -1221,7 +1232,8 @@ final class IvfIndex(val spark: SparkSession, val dir: String, val meta: IvfMeta
    */
   def rangeSearch(center: Array[Float], radius: Double, epsilon: Double = 1.9,
                   rerankTable: Option[(DataFrame, String, String)] = None,
-                  maxInList: Int = 65536): DataFrame = {
+                  maxInList: Int = 65536,
+                  scanFallbackFrac: Double = IvfIndex.rangeScanFallbackFrac): DataFrame = {
     // maxInList: the IN-shape fetch stays the plan while the candidate
     // set fits this driver-side cap (64k longs = 512 KB — trivial to
     // collect, and with ensureInPushdown the exact set reaches Parquet's
@@ -1252,6 +1264,43 @@ final class IvfIndex(val spark: SparkSession, val dir: String, val meta: IvfMeta
       // while it is bounded, keep the shuffle join only for genuinely
       // huge spheres where shipping the table is the honest cost.
       val nCandDistributed = candDf0.count()
+      // NO-PRUNE FALLBACK: when the code bound keeps most of the table
+      // (coarse bits=1 codes + a wide sphere on unclustered data — the
+      // measured pathology: a 0.1%-selectivity sphere over uniform
+      // 768d/bits=1 kept millions of "candidates" and the join+fetch ran
+      // 10x the brute scan), the estimate pass is not pruning and the
+      // honest plan is the straight exact scan with the cutoff — same
+      // rows rescored, none of the join machinery.
+      if (nCandDistributed > rowCount * scanFallbackFrac) {
+        IvfIndex.rangeScanFallbacks.incrementAndGet()
+        return (rerankTable match {
+          case None =>
+            val exact = exactDistCol(qq)
+            val probed = rangeCells(qq, radius)
+            dataDf.filter(col("cluster_id").isin(probed.map(Integer.valueOf): _*))
+              .select($"id", exact($"vec").as("dist"))
+              .filter(col("dist") < radius)
+          case Some((src, idCol, vecCol)) =>
+            // same opaque typed cutoff as the join shape (see below for
+            // why an expression filter must not be used here)
+            val met = meta.cfg.metric
+            val bQ = spark.sparkContext.broadcast((center, radius))
+            src.select(col(idCol).cast("long").as("id"),
+                col(vecCol).cast("array<float>").as("__v"))
+              .as[(Long, Array[Float])]
+              .mapPartitions { it =>
+                val (q, r) = bQ.value
+                it.flatMap { case (id, v) =>
+                  val d = met match {
+                    case "l2"      => K.l2(v, q)
+                    case "negdot"  => K.negdot(v, q)
+                    case "cosdist" => K.cosdist(v, q)
+                  }
+                  if (d < r) Iterator.single((id, d)) else Iterator.empty
+                }
+              }.toDF("id", "dist")
+        }).orderBy(col("dist"), col("id"))
+      }
       val candDf =
         if (nCandDistributed <= IvfIndex.rangeBroadcastCap) broadcast(candDf0)
         else candDf0

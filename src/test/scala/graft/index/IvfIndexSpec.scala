@@ -58,7 +58,10 @@ class IvfIndexSpec extends SparkSpec {
     // distributed join shape (a Join over the candidate frame, no id IN
     // list) and still returns the exact sphere contents
     val d0 = IvfIndex.rangeDelegations.get()
-    val wide = idx.rangeSearch(q, 100.0, maxInList = 10)
+    // scanFallbackFrac = 2: keep the JOIN shape observable even though a
+    // radius-100 sphere keeps every row (the no-prune fallback below
+    // would otherwise take over, by design)
+    val wide = idx.rangeSearch(q, 100.0, maxInList = 10, scanFallbackFrac = 2.0)
     assert(IvfIndex.rangeDelegations.get() == d0 + 1,
       "expected the distributed-candidate delegation")
     val plan = wide.queryExecution.optimizedPlan.toString
@@ -69,8 +72,25 @@ class IvfIndexSpec extends SparkSpec {
     assert(wideGot == wideWant, "delegated path must equal brute force")
     // same delegation through rerank-in-table
     val wideTbl = idx.rangeSearch(q, 100.0, rerankTable = Some((df, "id", "vec")),
-        maxInList = 10).select("id").as[Long].collect().toSeq
+        maxInList = 10, scanFallbackFrac = 2.0).select("id").as[Long].collect().toSeq
     assert(wideTbl == wideWant, "delegated rerank-in-table path")
+    // NO-PRUNE FALLBACK (default threshold): the same all-keeping sphere
+    // abandons the candidate join for a straight exact scan — no Join in
+    // the plan, identical rows, counter observable
+    val f0 = IvfIndex.rangeScanFallbacks.get()
+    val flat = idx.rangeSearch(q, 100.0, maxInList = 10)
+    assert(IvfIndex.rangeScanFallbacks.get() == f0 + 1,
+      "expected the no-prune scan fallback")
+    assert(!flat.queryExecution.optimizedPlan.toString.contains("Join"),
+      s"fallback must not join:\n${flat.queryExecution.optimizedPlan}")
+    assert(flat.select("id").as[Long].collect().toSeq == wideWant,
+      "fallback path must equal brute force")
+    // fallback through rerank-in-table too
+    val f1 = IvfIndex.rangeScanFallbacks.get()
+    val flatTbl = idx.rangeSearch(q, 100.0, rerankTable = Some((df, "id", "vec")),
+        maxInList = 10).select("id").as[Long].collect().toSeq
+    assert(IvfIndex.rangeScanFallbacks.get() == f1 + 1)
+    assert(flatTbl == wideWant, "fallback rerank-in-table path")
   }
 
   test("rangeSearch radius <= 0 returns empty without launching estimate jobs") {
