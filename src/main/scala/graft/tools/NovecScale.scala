@@ -108,6 +108,14 @@ object NovecScale {
       timed(s"_novec_ann_uncached_$tag") {
         cold.search(q, 10, probes = probes, refine = 8, rerankTable = rt).count()
       }
+      // second single query, DIFFERENT vector (different cells/pages):
+      // separates one-time JVM/codegen warmup from per-query cost — the
+      // first Spark SQL query of a fresh JVM pays codegen+JIT measured at
+      // 5-30x steady state on this box (COVERAGE round-5 note)
+      val q2 = Array.tabulate(dim)(j => (((j + 3) % 5) - 2) * 0.12f)
+      timed(s"_novec_ann_warm2_$tag") {
+        cold.search(q2, 10, probes = probes, refine = 8, rerankTable = rt).count()
+      }
       timed(s"_novec_brute_uncached_$tag") {
         graft.ops.Knn.topK(spark.read.parquet(srcDir), "id", "vec", q, 10).count()
       }
