@@ -142,6 +142,12 @@ package object dsl {
     def scoreQuality(idCol: String, textCol: String, weights: DataFrame,
                      bias: Double = 0.0): DataFrame =
       graft.ops.Curation.scoreWithModel(df, idCol, textCol, weights, bias = bias)
+
+    /** Deterministic sequence packing: greedy token-budget bins inside
+      * hash buckets — same corpus, same packs, on any run or engine. */
+    def packSequences(idCol: String, nTokensCol: String, budget: Long,
+                      buckets: Int): DataFrame =
+      graft.ops.Curation.packSequences(df, idCol, nTokensCol, budget, buckets)
   }
 
   implicit final class GraftIvfIndexOps(private val idx: IvfIndex) {

@@ -423,6 +423,54 @@ object Curation {
           exp(-(lit(bias) + col("__s") / col("n_tokens"))))).as("score"))
   }
 
+  /**
+   * Deterministic SEQUENCE PACKING — the training-prep step that bins
+   * documents into fixed token budgets (one "pack" ≈ one training
+   * sequence): documents are dealt into `buckets` by id hash, ordered
+   * deterministically inside each bucket (hash, then id), and greedily
+   * packed — a pack closes when adding the next document would exceed
+   * `budget` tokens (a single over-budget document still gets a pack).
+   * No RNG state: the same corpus packs identically on any run,
+   * partitioning, or engine.
+   *
+   * Output: (doc_id, bucket, pack_no, n_tokens) — pack_no is 0-based
+   * within its bucket; (bucket, pack_no) is the global pack key.
+   *
+   * Scale shape: one hash-partition shuffle + an in-partition sort, then
+   * a single sequential pass per bucket. Parallelism is `buckets` —
+   * size it so a bucket's documents fit one task comfortably (packing
+   * is order-sensitive WITHIN a bucket by construction, so buckets are
+   * the parallel unit; at corpus scale use thousands).
+   */
+  def packSequences(df: DataFrame, idCol: String, nTokensCol: String,
+                    budget: Long, buckets: Int,
+                    seed: String = "pack"): DataFrame = {
+    require(budget >= 1, s"budget must be >= 1, got $budget")
+    require(buckets >= 1, s"buckets must be >= 1, got $buckets")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val keyed = df.select(col(idCol).cast("long").as("doc_id"),
+        col(nTokensCol).cast("long").as("n_tokens"),
+        hashUnit(col(idCol), seed).as("__r"))
+      .withColumn("bucket", floor(col("__r") * buckets).cast("int"))
+    keyed.repartition(col("bucket"))
+      .sortWithinPartitions(col("bucket"), col("__r"), col("doc_id"))
+      .select(col("bucket"), col("doc_id"), col("n_tokens"))
+      .as[(Int, Long, Long)]
+      .mapPartitions { it =>
+        var curBucket = Int.MinValue
+        var pack = 0L
+        var cum = 0L
+        it.map { case (b, id, n) =>
+          if (b != curBucket) { curBucket = b; pack = 0L; cum = n }
+          else if (cum + n > budget) { pack += 1; cum = n }
+          else cum += n
+          (id, b, pack, n)
+        }
+      }
+      .toDF("doc_id", "bucket", "pack_no", "n_tokens")
+  }
+
   def substringDedup(df: DataFrame, idCol: String, textCol: String,
                      k: Int = 8, minCount: Int = 2): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")

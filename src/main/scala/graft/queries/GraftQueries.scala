@@ -1061,6 +1061,30 @@ object GraftQueries {
              |  CAST(len(ls.lines) - coalesce(agg.kept, 0) AS BIGINT) AS n_removed
              |FROM ls LEFT JOIN agg ON ls.doc_id = agg.doc_id ORDER BY ls.doc_id""".stripMargin)),
 
+    // Deterministic sequence packing: docs dealt into 8 hash buckets,
+    // greedily binned into 512-token packs in (hash, id) order. The
+    // oracle replays the greedy scan as a recursive CTE over the same
+    // hash ordering — pack assignments match row-for-row, pinning the
+    // determinism claim (same corpus -> same packs in any engine).
+    "pack_sequences" -> Q(
+      (s, d) => Curation.packSequences(
+          tbl(s, d, "documents").withColumn("__n", size(split(col("text"), " "))),
+          "doc_id", "__n", budget = 512, buckets = 8)
+        .orderBy("doc_id"),
+      Some("""WITH RECURSIVE d AS (SELECT doc_id, CAST(len(string_split(text,' ')) AS BIGINT) AS n,
+             |  CAST(concat('0x', substr(md5(concat('pack:', CAST(doc_id AS VARCHAR))),1,8)) AS BIGINT) / 4294967296.0 AS r
+             |  FROM documents),
+             |b AS (SELECT doc_id, n, r, CAST(floor(r * 8) AS INT) AS bucket FROM d),
+             |o AS (SELECT *, row_number() OVER (PARTITION BY bucket ORDER BY r, doc_id) AS rn FROM b),
+             |p AS (
+             |  SELECT bucket, rn, doc_id, n, CAST(0 AS BIGINT) AS pack_no, n AS cum FROM o WHERE rn = 1
+             |  UNION ALL
+             |  SELECT o.bucket, o.rn, o.doc_id, o.n,
+             |    CASE WHEN p.cum + o.n > 512 THEN p.pack_no + 1 ELSE p.pack_no END,
+             |    CASE WHEN p.cum + o.n > 512 THEN o.n ELSE p.cum + o.n END
+             |  FROM o JOIN p ON o.bucket = p.bucket AND o.rn = p.rn + 1)
+             |SELECT doc_id, bucket, pack_no, n AS n_tokens FROM p ORDER BY doc_id""".stripMargin)),
+
     // Model-based quality scoring (the fastText linear-classifier shape):
     // sigmoid(bias + mean token weight) against a vocabulary table. The
     // demo model's weights are hash-derived (md5-unit - 0.5, the

@@ -233,6 +233,36 @@ class CurationSpec extends SparkSpec {
     assert(out(3L) == (("only original lines here", 0L)))
   }
 
+  test("packSequences: greedy budget fill, bucket isolation, determinism") {
+    import spark.implicits._
+    val d = (0L until 60L).map(i => (i, 10L + (i % 5) * 7)).toDF("doc_id", "n")
+    val out = packSequences(d, "doc_id", "n", budget = 50, buckets = 4)
+      .as[(Long, Int, Long, Long)].collect()
+    assert(out.length == 60, "every doc is packed")
+    // replay the greedy scan per bucket: pack contents must match, and no
+    // pack of >1 doc may exceed the budget
+    val byBucket = out.groupBy(_._2)
+    byBucket.foreach { case (_, docs) =>
+      val packs = docs.groupBy(_._3).values
+      packs.foreach { p =>
+        val tot = p.map(_._4).sum
+        assert(p.length == 1 || tot <= 50, s"overfull pack: $p")
+      }
+      // pack numbers are contiguous from 0
+      val ns = docs.map(_._3).distinct.sorted
+      assert(ns.toList == (0L until ns.length).toList)
+    }
+    // deterministic under repartitioning
+    val out2 = packSequences(d.repartition(7), "doc_id", "n", budget = 50, buckets = 4)
+      .as[(Long, Int, Long, Long)].collect()
+    assert(out.sortBy(_._1).toSeq == out2.sortBy(_._1).toSeq)
+    // an over-budget doc still gets a pack of its own
+    val big = Seq((1L, 500L), (2L, 10L)).toDF("doc_id", "n")
+    val outBig = packSequences(big, "doc_id", "n", budget = 50, buckets = 1)
+      .as[(Long, Int, Long, Long)].collect().sortBy(_._1)
+    assert(outBig.map(_._3).distinct.length == 2, "oversize doc isolated in its own pack")
+  }
+
   test("scoreWithModel: mean-weight sigmoid, OOV tokens contribute zero") {
     import spark.implicits._
     val w = Seq(("good", 2.0), ("bad", -2.0)).toDF("term", "weight")
