@@ -424,6 +424,42 @@ object Curation {
   }
 
   /**
+   * STREAMING-shaped model scoring: [[scoreWithModel]] aggregates through
+   * an explode + shuffle, which an append-mode streaming ingest cannot do
+   * statelessly — this variant scores each row IN-ROW against a
+   * driver-collected broadcast vocabulary (the [[decontaminateIngest]]
+   * pattern), so a quality gate runs identically in batch or streaming.
+   * Scores match the batch operator to double-summation reordering
+   * (~1e-15 relative — the shuffle sums tokens in partition order, this
+   * sums in document order). Vocabulary must fit the driver (the same
+   * bound the broadcast join has); `maxVocab` fails loudly past it.
+   */
+  def scoreWithModelIngest(df: DataFrame, idCol: String, textCol: String,
+                           weights: DataFrame, termCol: String = "term",
+                           weightCol: String = "weight", bias: Double = 0.0,
+                           maxVocab: Int = 5000000): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val w: Array[(String, Double)] = weights
+      .select(col(termCol).cast("string"), col(weightCol).cast("double"))
+      .as[(String, Double)].limit(maxVocab + 1).collect()
+    require(w.length <= maxVocab,
+      s"vocabulary exceeds maxVocab=$maxVocab — raise the cap or score in batch")
+    val bW = spark.sparkContext.broadcast(w.toMap)
+    val score = udf { (text: String) =>
+      val m = bW.value
+      val toks = text.split(' ')
+      var s = 0.0
+      var i = 0
+      while (i < toks.length) { s += m.getOrElse(toks(i), 0.0); i += 1 }
+      1.0 / (1.0 + math.exp(-(bias + s / toks.length)))
+    }
+    df.select(col(idCol).as("doc_id"),
+      size(split(col(textCol), " ")).cast("long").as("n_tokens"),
+      score(col(textCol).cast("string")).as("score"))
+  }
+
+  /**
    * Deterministic SEQUENCE PACKING — the training-prep step that bins
    * documents into fixed token budgets (one "pack" ≈ one training
    * sequence): documents are dealt into `buckets` by id hash, ordered

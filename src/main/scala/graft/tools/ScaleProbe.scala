@@ -359,6 +359,33 @@ object ScaleProbe {
           graft.ops.Curation.substringDedup(docsDf, "doc_id", "text", k = 8)
             .agg(sum(length(col("text_clean"))), sum(col("n_removed"))).collect()
         }
+        timed(s"_scale_curate_lines$tag") {
+          // ' value ' occurs naturally in the vocab stream — the line
+          // synthesis mirrors the dedup_lines oracle query
+          graft.ops.Curation.dedupLinesCorpus(
+            docsDf.withColumn("__ml",
+              expr("replace(text, ' value ', chr(10))")), "doc_id", "__ml")
+            .agg(sum(length(col("text_clean"))), sum(col("n_removed"))).collect()
+        }
+        timed(s"_scale_curate_score$tag") {
+          val vocabDf = docsDf
+            .select(explode(split(col("text"), " ")).as("term")).distinct()
+            .withColumn("weight",
+              graft.ops.Curation.hashUnit(col("term"), "w") - 0.5)
+          graft.ops.Curation.scoreWithModel(docsDf, "doc_id", "text", vocabDf)
+            .agg(sum(col("score"))).collect()
+        }
+        timed(s"_scale_curate_pack$tag") {
+          graft.ops.Curation.packSequences(
+            docsDf.withColumn("__n", size(split(col("text"), " "))),
+            "doc_id", "__n", budget = 512, buckets = 256)
+            .agg(max(col("pack_no")), sum(col("n_tokens"))).collect()
+        }
+        timed(s"_scale_curate_cap$tag") {
+          graft.ops.Curation.capPerKey(
+            docsDf.withColumn("__src", (col("doc_id") % 1000).cast("string")),
+            "__src", "doc_id", 50).count()
+        }
         docsDf.unpersist()
       }
       // B5 deep-tree probe economics: flat vs 3-level descent over 1024

@@ -55,6 +55,39 @@ class CurationStreamSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("scoreWithModelIngest scores in-row in a stream, matching batch scores") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val w = Seq(("good", 2.0), ("bad", -2.0), ("meh", 0.3)).toDF("term", "weight")
+    val docs = (0L until 50L).map { i =>
+      (i, Seq("good", "bad", "meh", "zzz", s"w$i").take(2 + (i % 3).toInt).mkString(" "))
+    }
+    val batch = Curation.scoreWithModel(docs.toDF("doc_id", "text"),
+        "doc_id", "text", w)
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    val input = MemoryStream[(Long, String)]
+    val query = Curation.scoreWithModelIngest(
+        input.toDF().toDF("doc_id", "text"), "doc_id", "text", w)
+      .writeStream.format("memory").queryName("score_stream")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(docs.take(25)); query.processAllAvailable()
+      input.addData(docs.drop(25)); query.processAllAvailable()
+      val streamed = spark.sql("SELECT doc_id, n_tokens, score FROM score_stream")
+        .as[(Long, Long, Double)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+      assert(streamed.keySet == batch.keySet)
+      streamed.foreach { case (id, (n, s)) =>
+        assert(n == batch(id)._1, s"doc $id token count")
+        assert(math.abs(s - batch(id)._2) < 1e-12, s"doc $id score")
+      }
+      // loud vocabulary cap
+      intercept[IllegalArgumentException] {
+        Curation.scoreWithModelIngest(docs.toDF("doc_id", "text"),
+          "doc_id", "text", w, maxVocab = 2)
+      }
+    } finally query.stop()
+  }
+
   test("decontaminateIngest drops contaminated docs in a stream, matching batch keep") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
