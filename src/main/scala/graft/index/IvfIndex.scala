@@ -1439,10 +1439,23 @@ final class IvfIndex(val spark: SparkSession, val dir: String, val meta: IvfMeta
     // Same join-shape decision as the delegated single-query path: the
     // survivor frame is un-sizable to Catalyst, so without help the join
     // below plans SortMergeJoin and shuffles the wide data/source side.
-    // Count the survivors (codes-only scan) and broadcast while bounded.
-    val nSurvivors = cand0.count()
+    // The survivor count job doubles as the PER-QUERY no-prune check:
+    // queries whose code bound kept more than rangeScanFallbackFrac of
+    // the table take the DIRECT-SCAN fallback (the single-query path's
+    // defense — the join adds cost without removing work there), while
+    // pruning queries keep the candidate join. Mixed batches split row
+    // sets, not plans.
+    val perQ = cand0.groupBy("qid").count().as[(Long, Long)].collect()
+    val nTable = rowCount
+    val scanQids: Set[Long] =
+      perQ.filter(_._2 > nTable * IvfIndex.rangeScanFallbackFrac).map(_._1).toSet
+    if (scanQids.nonEmpty) IvfIndex.rangeScanFallbacks.addAndGet(scanQids.size)
+    val candJoin0 =
+      if (scanQids.isEmpty) cand0
+      else cand0.filter(!col("qid").isin(scanQids.toSeq.map(java.lang.Long.valueOf): _*))
+    val nJoinSurvivors = perQ.collect { case (q, c) if !scanQids.contains(q) => c }.sum
     val cand =
-      if (nSurvivors <= IvfIndex.rangeBroadcastCap) broadcast(cand0) else cand0
+      if (nJoinSurvivors <= IvfIndex.rangeBroadcastCap) broadcast(candJoin0) else candJoin0
     // job 2: exact cutoff — cell-pruned vectors joined to survivors, the
     // kernel runs zero-boxing over (qid, vec) rows. Queries are PREPPED
     // on the driver (normalize/rotate), so the closure ships only the
@@ -1487,7 +1500,52 @@ final class IvfIndex(val spark: SparkSession, val dir: String, val meta: IvfMeta
             it.flatMap { case (qid, id, v) => cutStaticRaw(qs, qid, id, v, metric) }
           }.toDF("qid", "id", "dist")
     }
-    scored.orderBy("qid", "dist", "id")
+    // direct-scan rows for the no-prune queries: one pass over the
+    // (cell-pruned) data or source, every scan query tested per row —
+    // the same kernels, none of the join machinery
+    val scanned: Option[DataFrame] =
+      if (scanQids.isEmpty) None
+      else Some(rerankTable match {
+        case None =>
+          val bQs = spark.sparkContext.broadcast(
+            queries.filter(q => scanQids.contains(q._1))
+              .map(q => q._1 -> (prepQuery(q._2), q._3)).toMap)
+          val cells = preps.filter(p => scanQids.contains(p._1)).flatMap(_._4).distinct
+          val isF16 = meta.cfg.storage == "f16"
+          val rows = dataDf
+            .filter(col("cluster_id").isin(cells.map(Integer.valueOf): _*))
+            .select(col("id"), col("vec"))
+          if (isF16)
+            rows.as[(Long, Array[Byte])].mapPartitions { it =>
+              val qs = bQs.value
+              it.flatMap { case (id, vb) =>
+                val v = graft.core.Half.decodeBytes(vb)
+                qs.keysIterator.flatMap(qid => cutStatic(qs, qid, id, v, metric))
+              }
+            }.toDF("qid", "id", "dist")
+          else
+            rows.select(col("id"), col("vec").cast("array<float>"))
+              .as[(Long, Array[Float])].mapPartitions { it =>
+                val qs = bQs.value
+                it.flatMap { case (id, v) =>
+                  qs.keysIterator.flatMap(qid => cutStatic(qs, qid, id, v, metric))
+                }
+              }.toDF("qid", "id", "dist")
+        case Some((src, idCol, vecCol)) =>
+          val bQs = spark.sparkContext.broadcast(
+            queries.filter(q => scanQids.contains(q._1))
+              .map(q => q._1 -> (q._2, q._3)).toMap)
+          src.select(col(idCol).cast("long").as("id"),
+              col(vecCol).cast("array<float>").as("__v"))
+            .as[(Long, Array[Float])].mapPartitions { it =>
+              val qs = bQs.value
+              it.flatMap { case (id, v) =>
+                qs.keysIterator.flatMap(qid => cutStaticRaw(qs, qid, id, v, metric))
+              }
+            }.toDF("qid", "id", "dist")
+      })
+    scanned.map(s => scored.unionByName(s)).getOrElse(scored)
+      .orderBy("qid", "dist", "id")
   }
 
   /**

@@ -157,6 +157,22 @@ class IvfIndexSpec extends SparkSpec {
         .select("id", "dist").as[(Long, Double)].collect().toSeq
       assert(got16.getOrElse(qid, Seq.empty) == want, s"f16 qid $qid")
     }
+    // MIXED batch with a no-prune query (radius 100 keeps every row): the
+    // wide query takes the direct-scan fallback, the selective ones keep
+    // the candidate join — same rows as brute per query either way
+    val f0 = IvfIndex.rangeScanFallbacks.get()
+    val mixed = queries.take(2) :+ ((99L, Array.fill(12)(0.1f), 100.0))
+    val gotMix = idx.rangeSearchMany(mixed)
+      .select("qid", "id", "dist").as[(Long, Long, Double)].collect()
+      .groupBy(_._1).view.mapValues(_.map(r => (r._2, r._3)).toSeq).toMap
+    assert(IvfIndex.rangeScanFallbacks.get() == f0 + 1,
+      "exactly the wide query falls back to the direct scan")
+    mixed.foreach { case (qid, c, r) =>
+      val want = rows.map { case (id, v) => (id, K.l2(v.toArray, c)) }
+        .filter(_._2 < r).sortBy { case (id, d) => (d, id) }
+      assert(gotMix.getOrElse(qid, Seq.empty).map(_._1) == want.map(_._1),
+        s"mixed-batch qid $qid")
+    }
   }
 
   test("rangeSearch on a cosdist index applies the cosine cutoff exactly") {
