@@ -608,6 +608,89 @@ object Dedup {
   }
 
   /**
+   * SemDeDup (Abbas et al. 2023, arXiv:2303.09540) — semantic
+   * deduplication at corpus scale: assign every embedding to its nearest
+   * centroid (cosine), then search near-duplicate pairs
+   * (`cosdist < eps`) only WITHIN each cluster. Cost drops from O(n^2)
+   * all-pairs to O(n·k) assignment + Σ|cluster|^2 in-cluster pairs; with
+   * k sized so clusters stay in the tens of thousands (the paper uses
+   * k ≈ 100k on web-scale corpora), per-cluster work is bounded and the
+   * whole operator is one narrow assignment scan + one shuffle on
+   * `cluster`. The trade is recall at cluster boundaries: a pair split
+   * across two clusters is missed — that is the published algorithm's
+   * semantics, not an approximation of this implementation.
+   *
+   * Scale shape: centroids ride into the assignment scan as literal
+   * arrays inside a native codegen expression (k cosine distances per
+   * row, no shuffle, no UDF); pair generation self-joins on `cluster`
+   * (hash shuffle on a small int key) with the exact-distance filter
+   * fused into the join output — vectors cross the wire once per side.
+   * A cluster exceeding `maxCluster` fails LOUDLY (the fix is more
+   * centroids, the knob the algorithm already has) instead of letting
+   * one mega-cluster degenerate to n^2/2.
+   *
+   * Assignment ties break to the LOWEST centroid index
+   * (`array_position` returns the first minimum) — deterministic and
+   * replicated by the oracle's `ORDER BY cd, cid` row_number.
+   *
+   * Production centroids come from [[graft.kmeans.KMeans.lloyd]] over a
+   * bounded sample ([[semDedupAuto]]); any externally-trained codebook
+   * works too — centroids are data, not state.
+   *
+   * Output: (cluster, da, db, cosdist) with da < db.
+   */
+  def semDedup(df: DataFrame, idCol: String, vecCol: String, eps: Double,
+               centroids: Array[Array[Float]],
+               maxCluster: Int = 100000): DataFrame = {
+    require(centroids.nonEmpty, "semDedup needs at least one centroid")
+    require(eps > 0.0 && eps <= 2.0, s"eps must be in (0, 2], got $eps")
+    val dim = centroids.head.length
+    require(centroids.forall(_.length == dim),
+      "semDedup centroids must share one dimensionality")
+    import graft.functions.GraftFunctions.vecCosdist
+    val base = df.select(col(idCol).cast("long").as("id"),
+      col(vecCol).cast("array<float>").as("v"))
+    val dists = array(centroids.toSeq.map(c =>
+      vecCosdist(col("v"), typedlit(c.toSeq))): _*)
+    val assigned = base.withColumn("cluster",
+      (array_position(dists, array_min(dists)) - 1).cast("int"))
+    // loud skew guard: one cheap partial-agg pass over (cluster) ids only
+    // — vectors don't ride it. Recompute of the assignment scan is the
+    // price of failing BEFORE the quadratic join, not after.
+    val over = assigned.groupBy("cluster").count()
+      .filter(col("count") > maxCluster).limit(1).collect()
+    require(over.isEmpty, {
+      val r = over.head
+      s"semDedup cluster ${r.getInt(0)} holds ${r.getLong(1)} rows " +
+        s"(cap $maxCluster): use more centroids (SemDeDup's own scale " +
+        "knob) or raise maxCluster explicitly"
+    })
+    val left = assigned.select(col("cluster"), col("id").as("da"), col("v").as("va"))
+    val right = assigned.select(col("cluster").as("__cb"), col("id").as("db"), col("v").as("vb"))
+    left.join(right, col("cluster") === col("__cb") && col("da") < col("db"))
+      .withColumn("cosdist", vecCosdist(col("va"), col("vb")))
+      .filter(col("cosdist") < eps)
+      .select("cluster", "da", "db", "cosdist")
+  }
+
+  /** [[semDedup]] with centroids trained in place: deterministic
+    * fixed-seed k-means over a bounded sample of the corpus itself
+    * (same sampling/seeding discipline as the IVF index build). */
+  def semDedupAuto(df: DataFrame, idCol: String, vecCol: String, eps: Double,
+                   k: Int, sampleCap: Int = 65536,
+                   maxCluster: Int = 100000): DataFrame = {
+    import df.sparkSession.implicits._
+    val sample = df
+      .select(col(idCol).cast("long").as("id"), col(vecCol).cast("array<float>").as("v"))
+      .orderBy(xxhash64(col("id")))
+      .limit(sampleCap)
+      .select(col("v")).as[Array[Float]].collect()
+    require(sample.nonEmpty, "semDedupAuto: no vectors to train centroids on")
+    semDedup(df, idCol, vecCol, eps, graft.kmeans.KMeans.lloyd(sample, k),
+      maxCluster)
+  }
+
+  /**
    * Connected components over a near-dup pair set: (id, rep) where rep is
    * the MINIMUM id reachable through the pair graph — the step a dedup
    * pipeline runs after pair generation to pick one canonical document

@@ -753,6 +753,53 @@ object GraftQueries {
              |FROM p JOIN n na ON na.vec_id = p.va JOIN n nb ON nb.vec_id = p.vb
              |WHERE 1.0 - dot / (na.nrm * nb.nrm) < 0.5 ORDER BY da, db""".stripMargin)),
 
+    // SemDeDup (Abbas et al. 2023): cluster-then-dedup — near-dup pairs
+    // searched only WITHIN each embedding cluster. The golden pins the
+    // full algorithm (assignment argmin + in-cluster pair search) with
+    // deterministic per-label mean centroids the oracle recomputes from
+    // scratch; production uses KMeans centroids (Dedup.semDedupAuto).
+    "semdedup" -> Q(
+      (s, d) => {
+        val e = tbl(s, d, "embeddings")
+        val rows = e.select(col("label").cast("int").as("cid"),
+            posexplode(col("embedding")))
+          .groupBy("cid", "pos").agg(avg(col("col").cast("double")).as("cv"))
+          .collect()
+        val k = rows.map(_.getInt(0)).max + 1
+        val dim = rows.map(_.getInt(1)).max + 1
+        val cents = Array.fill(k)(new Array[Float](dim))
+        rows.foreach(r => cents(r.getInt(0))(r.getInt(1)) = r.getDouble(2).toFloat)
+        Dedup.semDedup(e, "vec_id", "embedding", 0.6, cents)
+          .select(col("cluster"), col("da"), col("db"),
+            round(col("cosdist"), 3).as("cosdist"))
+          .orderBy("da", "db")
+      },
+      // centroid components round through REAL exactly like the engine's
+      // float centroid arrays; every distance accumulates in double on
+      // both sides. Assignment ties break (cd, cid) = array_position's
+      // first minimum.
+      Some("""WITH e AS (SELECT vec_id, embedding, unnest(range(0, 64)) AS i FROM embeddings),
+             |cm AS (SELECT label AS cid, i,
+             |  CAST(CAST(avg(CAST(embedding[i+1] AS DOUBLE)) AS REAL) AS DOUBLE) AS cv
+             |  FROM (SELECT label, embedding, unnest(range(0, 64)) AS i FROM embeddings) GROUP BY 1, 2),
+             |ad AS (SELECT e.vec_id, cm.cid,
+             |  1.0 - sum(CAST(e.embedding[e.i+1] AS DOUBLE) * cm.cv)
+             |      / (sqrt(sum(power(CAST(e.embedding[e.i+1] AS DOUBLE), 2))) * sqrt(sum(power(cm.cv, 2)))) AS cd
+             |  FROM e JOIN cm ON e.i = cm.i GROUP BY 1, 2),
+             |asn AS (SELECT vec_id, cid FROM (SELECT vec_id, cid,
+             |  row_number() OVER (PARTITION BY vec_id ORDER BY cd, cid) AS rn FROM ad) t WHERE rn = 1),
+             |pp AS (SELECT a.cid, a.vec_id AS va, b.vec_id AS vb
+             |  FROM asn a JOIN asn b ON a.cid = b.cid AND a.vec_id < b.vec_id),
+             |n AS (SELECT vec_id, sqrt(sum(power(CAST(embedding[i+1] AS DOUBLE), 2))) AS nrm FROM e GROUP BY vec_id),
+             |p AS (SELECT pp.cid, pp.va, pp.vb,
+             |  sum(CAST(a.embedding[a.i+1] AS DOUBLE) * CAST(b.embedding[a.i+1] AS DOUBLE)) AS dot
+             |  FROM pp JOIN e a ON a.vec_id = pp.va JOIN e b ON b.vec_id = pp.vb AND b.i = a.i
+             |  GROUP BY 1, 2, 3)
+             |SELECT CAST(p.cid AS INT) AS cluster, va AS da, vb AS db,
+             |  round(1.0 - dot / (na.nrm * nb.nrm), 3) AS cosdist
+             |FROM p JOIN n na ON na.vec_id = p.va JOIN n nb ON nb.vec_id = p.vb
+             |WHERE 1.0 - dot / (na.nrm * nb.nrm) < 0.6 ORDER BY da, db""".stripMargin)),
+
     // ---- text analysis suite ----
 
     "lang_id" -> Q(
