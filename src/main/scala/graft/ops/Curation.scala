@@ -161,6 +161,98 @@ object Curation {
   }
 
   /**
+   * DSIR importance weights — Data Selection via Importance Resampling
+   * (Xie et al. 2023, arXiv:2302.03169): score every corpus document by
+   * how much its hashed n-gram distribution looks like a TARGET corpus
+   * (the data you wish you had more of) relative to the raw corpus
+   * (the data you actually have). weight(doc) = Σ_g [ln p̂_target(b(g))
+   * − ln p̂_raw(b(g))] over the document's n-gram shingles g with
+   * multiplicity, where b hashes shingles into `buckets` counts and both
+   * distributions are add-alpha smoothed — the paper's bag-of-hashed-
+   * n-grams likelihood ratio, exactly.
+   *
+   * Scale shape: two narrow count passes build the hashed histograms —
+   * the target side is small by definition, the raw side is one
+   * partial-agg shuffle whose result is at most `buckets` rows (the
+   * histogram, not the corpus). The per-bucket log-ratio table then
+   * BROADCASTS into a third narrow pass (shingle → bucket → ratio
+   * lookup), and the per-doc reduce is a partial aggregation carrying
+   * one (count, sum) pair per doc per partition. Shingle construction
+   * is the codegen [[graft.functions.TokenShinglesExpr]]; the bucket
+   * hash is the engine-neutral md5 form any SQL oracle can replicate.
+   * Nothing in the plan is proportional to corpus × target.
+   *
+   * Documents with fewer than n tokens have no shingles and no weight —
+   * they are absent from the output (gate such docs on length upstream).
+   *
+   * Output: (doc_id, n_shingles, weight).
+   */
+  def importanceWeights(df: DataFrame, idCol: String, textCol: String,
+                        target: DataFrame, targetTextCol: String,
+                        n: Int = 2, buckets: Int = 8192,
+                        alpha: Double = 0.01): DataFrame = {
+    require(n >= 1, s"shingle size must be >= 1, got $n")
+    require(buckets >= 2, s"need >= 2 hash buckets, got $buckets")
+    require(alpha > 0, s"smoothing alpha must be > 0, got $alpha")
+    val spark = df.sparkSession
+    def bucketed(d: DataFrame, t: String, keep: Column*): DataFrame =
+      d.select(keep :+ explode(shingles(col(t), n)).as("__g"): _*)
+        .withColumn("__b",
+          pmod(conv(substring(md5(col("__g").cast("binary")), 1, 8), 16, 10)
+            .cast("long"), lit(buckets.toLong)))
+        .drop("__g")
+    val tgtCounts = bucketed(target, targetTextCol).groupBy("__b")
+      .agg(count(lit(1)).as("__ct"))
+    val rawCounts = bucketed(df, textCol).groupBy("__b")
+      .agg(count(lit(1)).as("__cr"))
+    def total(counts: DataFrame, what: String): Long = {
+      val t = counts.agg(coalesce(sum(counts.columns.last), lit(0L))).first().getLong(0)
+      require(t > 0, s"importanceWeights: $what corpus has no $n-gram shingles")
+      t
+    }
+    val tTot = total(tgtCounts, "target")
+    val rTot = total(rawCounts, "raw")
+    val lr = broadcast(spark.range(buckets).toDF("__b")
+      .join(tgtCounts, Seq("__b"), "left")
+      .join(rawCounts, Seq("__b"), "left")
+      .select(col("__b"),
+        (log((coalesce(col("__ct"), lit(0L)) + lit(alpha)) /
+             lit(tTot + alpha * buckets)) -
+         log((coalesce(col("__cr"), lit(0L)) + lit(alpha)) /
+             lit(rTot + alpha * buckets))).as("__w")))
+    bucketed(df, textCol, col(idCol).as("doc_id"))
+      .join(lr, Seq("__b"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"), sum(col("__w")).as("weight"))
+  }
+
+  /**
+   * DSIR selection: [[importanceWeights]] + the paper's Gumbel-top-k
+   * resampling, made DETERMINISTIC — the Gumbel noise −ln(−ln u) draws
+   * its uniform u from [[hashUnit]](id, seed) instead of an RNG, so the
+   * selected set is reproducible across runs, partitionings, and
+   * engines while still sampling ∝ exp(weight/temperature) in
+   * distribution. temperature → 0 degenerates to hard top-k by weight;
+   * large temperature approaches uniform sampling. The selection is a
+   * bounded TakeOrdered (top-nKeep merge), never a full sort shuffle.
+   */
+  def dsirResample(df: DataFrame, idCol: String, textCol: String,
+                   target: DataFrame, targetTextCol: String, nKeep: Int,
+                   n: Int = 2, buckets: Int = 8192, alpha: Double = 0.01,
+                   temperature: Double = 1.0,
+                   seed: String = "dsir"): DataFrame = {
+    require(nKeep >= 1, s"nKeep must be >= 1, got $nKeep")
+    require(temperature > 0, s"temperature must be > 0, got $temperature")
+    val w = importanceWeights(df, idCol, textCol, target, targetTextCol,
+      n, buckets, alpha)
+    w.withColumn("__key",
+        col("weight") / lit(temperature) - log(-log(hashUnit(col("doc_id"), seed))))
+      .orderBy(col("__key").desc, col("doc_id"))
+      .limit(nKeep)
+      .drop("__key")
+  }
+
+  /**
    * Overlapping token-window chunking: split each document's token
    * sequence into windows of `window` tokens starting every `stride`
    * tokens — the standard context-length preprocessing before

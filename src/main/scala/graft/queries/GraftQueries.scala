@@ -60,6 +60,24 @@ object GraftQueries {
   // --- shared oracle SQL fragments (dim is 64 in all testdata tiers) ----
 
   /** CTE computing per-vector double-precision L2/dot/norms vs vec 0. */
+  /** DSIR oracle scaffolding: hashed-bigram histograms for target (zh
+    * docs) and raw corpus, the add-alpha log-ratio table, per-doc sums.
+    * Mirrors Curation.importanceWeights(n=2, buckets=256, alpha=0.01). */
+  private val dsirCte: String =
+    """WITH tk AS (SELECT doc_id, lang, string_split(text, ' ') AS t FROM documents),
+      |sh AS (SELECT doc_id, lang, array_to_string(t[i:i+1], ' ') AS g
+      |  FROM (SELECT doc_id, lang, t, unnest(range(1, len(t))) AS i FROM tk) _x),
+      |bk AS (SELECT doc_id, lang, CAST(concat('0x', substr(md5(g),1,8)) AS BIGINT) % 256 AS b FROM sh),
+      |tc AS (SELECT b, count(*) AS ct FROM bk WHERE lang = 'zh' GROUP BY b),
+      |rc AS (SELECT b, count(*) AS cr FROM bk GROUP BY b),
+      |tot AS (SELECT (SELECT sum(ct) FROM tc) AS tt, (SELECT sum(cr) FROM rc) AS rt),
+      |lr AS (SELECT rc.b AS b,
+      |  ln((coalesce(tc.ct, 0) + 0.01) / (tot.tt + 0.01 * 256)) -
+      |  ln((rc.cr + 0.01) / (tot.rt + 0.01 * 256)) AS w
+      |  FROM rc CROSS JOIN tot LEFT JOIN tc ON tc.b = rc.b),
+      |w AS (SELECT bk.doc_id, count(*) AS n_shingles, sum(lr.w) AS wt
+      |  FROM bk JOIN lr ON lr.b = bk.b GROUP BY 1)""".stripMargin
+
   private val distCte: String =
     """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
       |e AS (SELECT vec_id, embedding, unnest(range(0, 64)) AS i FROM embeddings),
@@ -893,6 +911,40 @@ object GraftQueries {
              |  < (CASE WHEN source = 'src0' THEN 0.2 WHEN source = 'src1' THEN 0.8
              |          WHEN source = 'src2' THEN 0.0 ELSE 0.5 END)
              |ORDER BY doc_id""".stripMargin)),
+
+    // DSIR (Xie et al. 2023): hashed-bigram importance weights of every
+    // document against a target slice (the zh docs), and the
+    // deterministic Gumbel-top-k selection over those weights. The
+    // oracle rebuilds both hashed histograms, the smoothed log-ratio
+    // table, and the per-doc sums from scratch.
+    "dsir_weights" -> Q(
+      (s, d) => {
+        val docs = tbl(s, d, "documents")
+        Curation.importanceWeights(docs, "doc_id", "text",
+            docs.filter(col("lang") === "zh"), "text",
+            n = 2, buckets = 256, alpha = 0.01)
+          .select(col("doc_id"), col("n_shingles"),
+            round(col("weight"), 3).as("weight"))
+          .orderBy("doc_id")
+      },
+      Some(s"""$dsirCte
+             |SELECT doc_id, n_shingles, round(wt, 3) + 0.0 AS weight FROM w ORDER BY doc_id""".stripMargin)),
+
+    "dsir_sample" -> Q(
+      (s, d) => {
+        val docs = tbl(s, d, "documents")
+        Curation.dsirResample(docs, "doc_id", "text",
+            docs.filter(col("lang") === "zh"), "text", nKeep = 200,
+            n = 2, buckets = 256, alpha = 0.01)
+          .select(col("doc_id"), (round(col("weight"), 3) + 0.0).as("weight"))
+          .orderBy("doc_id")
+      },
+      Some(s"""$dsirCte,
+             |s AS (SELECT doc_id, wt,
+             |  wt - ln(-ln(CAST(concat('0x', substr(md5(concat('dsir:', CAST(doc_id AS VARCHAR))),1,8)) AS BIGINT) / 4294967296.0)) AS k
+             |  FROM w),
+             |sel AS (SELECT doc_id, wt FROM s ORDER BY k DESC, doc_id LIMIT 200)
+             |SELECT doc_id, round(wt, 3) + 0.0 AS weight FROM sel ORDER BY doc_id""".stripMargin)),
 
     // Context-window chunking: 32-token windows every 24 tokens (8-token
     // overlap); every token covered, short tails kept, chunk_no 0-based.

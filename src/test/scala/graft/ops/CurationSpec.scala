@@ -275,4 +275,48 @@ class CurationSpec extends SparkSpec {
     assert(out(2L)._1 == 2L)
     assert(math.abs(out(2L)._2 - sig(0.0)) < 1e-12, "all-OOV doc scores sigmoid(bias)")
   }
+
+  test("importanceWeights: target-like docs outweigh off-target docs; counts exact") {
+    import spark.implicits._
+    // target distribution = 'alpha beta' world; off-target = 'delta echo'
+    val target = (100L until 110L).map(i => i -> "alpha beta alpha beta alpha beta")
+      .toDF("doc_id", "text")
+    val corpus = Seq(
+      (0L, "alpha beta alpha beta alpha beta"), // looks like target
+      (1L, "delta echo delta echo delta echo"), // does not
+      (2L, "alpha beta delta echo alpha beta"), // mixed
+      (3L, "x")                                 // < n tokens: no shingles
+    ).toDF("doc_id", "text")
+    val w = Curation.importanceWeights(corpus, "doc_id", "text", target, "text",
+        n = 2, buckets = 64, alpha = 0.01)
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(!w.contains(3L), "sub-shingle docs are absent by contract")
+    assert(w(0L)._1 == 5L, "bigram count with multiplicity")
+    assert(w(0L)._2 > w(2L)._2 && w(2L)._2 > w(1L)._2,
+      s"weight ordering target-like > mixed > off-target: $w")
+    assert(w(1L)._2 < 0.0, "off-target doc has negative log-ratio")
+  }
+
+  test("dsirResample: near-zero temperature = hard top-k; deterministic under repartition") {
+    import spark.implicits._
+    val target = Seq((9L, "alpha beta alpha beta")).toDF("doc_id", "text")
+    // 20 target-like docs, 20 off-target; tiny temperature makes the
+    // Gumbel noise negligible against the weight gap
+    val corpus = ((0L until 20L).map(i => i -> "alpha beta alpha beta alpha beta") ++
+      (20L until 40L).map(i => i -> "delta echo foxtrot golf hotel india"))
+      .toDF("doc_id", "text")
+    def run(parts: Int): Set[Long] =
+      Curation.dsirResample(corpus.repartition(parts), "doc_id", "text",
+          target, "text", nKeep = 20, n = 2, buckets = 64,
+          temperature = 1e-6)
+        .select("doc_id").as[Long].collect().toSet
+    val got = run(3)
+    assert(got == (0L until 20L).toSet, s"top-20 must be the target-like docs: $got")
+    assert(got == run(7), "selection is repartition-invariant")
+    val e = intercept[IllegalArgumentException] {
+      Curation.importanceWeights(corpus, "doc_id", "text",
+        target.filter($"doc_id" < 0), "text", n = 2, buckets = 64)
+    }
+    assert(e.getMessage.contains("no 2-gram shingles"))
+  }
 }
