@@ -113,11 +113,25 @@ object Bench {
     try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_FULL.json"),
       (full + "\n").getBytes("UTF-8"))
     catch { case NonFatal(e) => System.err.println(s"BENCH_FULL write failed: $e") }
-    def rounded(dp: Int): String =
-      jline(results ++ aggs,
-        v => s"%.${dp}f".formatLocal(java.util.Locale.ROOT, v))
-    val compact2 = rounded(2)
-    println(if (compact2.length <= 1870) compact2 else rounded(1))
+    // Rounded values with trailing zeros trimmed ("0.10" -> 0.1, "0.00"
+    // -> 0 — still valid JSON numbers); precision then query-set degrade
+    // until the line fits the window.
+    def fmt(dp: Int)(v: Double): String = {
+      val s0 = s"%.${dp}f".formatLocal(java.util.Locale.ROOT, v)
+      val s = if (s0.contains('.'))
+        s0.reverse.dropWhile(_ == '0').reverse.stripSuffix(".") else s0
+      if (s.isEmpty) "0" else s
+    }
+    // adaptive: hundredths below 1s (where the per-query resolution
+    // matters), tenths above — the sub-second majority keeps 2 digits
+    def adaptive(v: Double): String = fmt(if (v < 0.995) 2 else 1)(v)
+    val candidates = Seq(
+      jline(results ++ aggs, fmt(3)),
+      jline(results ++ aggs, fmt(2)),
+      jline(results, fmt(2)),
+      jline(results, adaptive),
+      jline(results, fmt(1)))
+    println(candidates.find(_.length <= 1900).getOrElse(candidates.last))
     spark.stop()
   }
 

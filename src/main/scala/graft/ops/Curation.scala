@@ -187,43 +187,120 @@ object Curation {
    *
    * Output: (doc_id, n_shingles, weight).
    */
+  /** Engine-neutral shingle→bucket hash: first 8 hex chars of md5 as a
+    * 32-bit integer mod `buckets` (the bucket form of [[hashUnit]]). */
+  private def bucketOf(g: Column, buckets: Int): Column =
+    pmod(conv(substring(md5(g.cast("binary")), 1, 8), 16, 10)
+      .cast("long"), lit(buckets.toLong))
+
+  private def bucketedShingles(d: DataFrame, t: String, n: Int,
+                               buckets: Int, keep: Column*): DataFrame =
+    d.select(keep :+ explode(shingles(col(t), n)).as("__g"): _*)
+      .withColumn("__b", bucketOf(col("__g"), buckets))
+      .drop("__g")
+
+  /**
+   * The DSIR model as DATA: the per-bucket smoothed log-ratio table
+   * (bucket, logratio) between a target and a raw corpus — train it
+   * here or anywhere, persist it, score with [[importanceWeights]]
+   * (batch) or [[importanceIngest]] (streaming). At most `buckets`
+   * rows regardless of corpus size.
+   */
+  def importanceModel(target: DataFrame, targetTextCol: String,
+                      raw: DataFrame, rawTextCol: String,
+                      n: Int = 2, buckets: Int = 8192,
+                      alpha: Double = 0.01): DataFrame = {
+    require(n >= 1, s"shingle size must be >= 1, got $n")
+    require(buckets >= 2, s"need >= 2 hash buckets, got $buckets")
+    require(alpha > 0, s"smoothing alpha must be > 0, got $alpha")
+    val spark = target.sparkSession
+    import spark.implicits._
+    // the histograms are <= `buckets` rows by construction: collect them
+    // ONCE and finish on the driver — the alternative (separate total()
+    // jobs + a re-computed histogram under the ratio join) scans each
+    // corpus twice for no reason
+    def hist(d: DataFrame, t: String, what: String): Array[Long] = {
+      val h = new Array[Long](buckets)
+      bucketedShingles(d, t, n, buckets).groupBy("__b")
+        .agg(count(lit(1)).as("__c")).as[(Long, Long)].collect()
+        .foreach { case (b, c) => h(b.toInt) = c }
+      require(h.exists(_ > 0),
+        s"importance model: $what corpus has no $n-gram shingles")
+      h
+    }
+    val th = hist(target, targetTextCol, "target")
+    val rh = hist(raw, rawTextCol, "raw")
+    val tTot = th.sum
+    val rTot = rh.sum
+    spark.createDataset((0 until buckets).map(b =>
+        (b.toLong,
+          math.log((th(b) + alpha) / (tTot + alpha * buckets)) -
+          math.log((rh(b) + alpha) / (rTot + alpha * buckets)))))
+      .toDF("bucket", "logratio")
+  }
+
   def importanceWeights(df: DataFrame, idCol: String, textCol: String,
                         target: DataFrame, targetTextCol: String,
                         n: Int = 2, buckets: Int = 8192,
                         alpha: Double = 0.01): DataFrame = {
-    require(n >= 1, s"shingle size must be >= 1, got $n")
-    require(buckets >= 2, s"need >= 2 hash buckets, got $buckets")
-    require(alpha > 0, s"smoothing alpha must be > 0, got $alpha")
-    val spark = df.sparkSession
-    def bucketed(d: DataFrame, t: String, keep: Column*): DataFrame =
-      d.select(keep :+ explode(shingles(col(t), n)).as("__g"): _*)
-        .withColumn("__b",
-          pmod(conv(substring(md5(col("__g").cast("binary")), 1, 8), 16, 10)
-            .cast("long"), lit(buckets.toLong)))
-        .drop("__g")
-    val tgtCounts = bucketed(target, targetTextCol).groupBy("__b")
-      .agg(count(lit(1)).as("__ct"))
-    val rawCounts = bucketed(df, textCol).groupBy("__b")
-      .agg(count(lit(1)).as("__cr"))
-    def total(counts: DataFrame, what: String): Long = {
-      val t = counts.agg(coalesce(sum(counts.columns.last), lit(0L))).first().getLong(0)
-      require(t > 0, s"importanceWeights: $what corpus has no $n-gram shingles")
-      t
-    }
-    val tTot = total(tgtCounts, "target")
-    val rTot = total(rawCounts, "raw")
-    val lr = broadcast(spark.range(buckets).toDF("__b")
-      .join(tgtCounts, Seq("__b"), "left")
-      .join(rawCounts, Seq("__b"), "left")
-      .select(col("__b"),
-        (log((coalesce(col("__ct"), lit(0L)) + lit(alpha)) /
-             lit(tTot + alpha * buckets)) -
-         log((coalesce(col("__cr"), lit(0L)) + lit(alpha)) /
-             lit(rTot + alpha * buckets))).as("__w")))
-    bucketed(df, textCol, col(idCol).as("doc_id"))
+    val lr = broadcast(
+      importanceModel(target, targetTextCol, df, textCol, n, buckets, alpha)
+        .select(col("bucket").as("__b"), col("logratio").as("__w")))
+    bucketedShingles(df, textCol, n, buckets, col(idCol).as("doc_id"))
       .join(lr, Seq("__b"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_shingles"), sum(col("__w")).as("weight"))
+  }
+
+  /**
+   * STREAMING-shaped DSIR scoring: [[importanceWeights]] aggregates
+   * per-doc sums through an explode + shuffle, which an append-mode
+   * streaming ingest cannot do statelessly — this variant scores each
+   * row IN-ROW against the driver-collected [[importanceModel]] table
+   * (a dense Array[Double] of at most `buckets` entries — bounded by
+   * construction, unlike a vocabulary). The in-row bucket hash
+   * recomputes the same md5 form, so weights match the batch operator
+   * to double-summation reordering (~1e-15 relative). Use for a
+   * quality gate on a document stream: score, then filter on weight.
+   */
+  def importanceIngest(df: DataFrame, idCol: String, textCol: String,
+                       model: DataFrame, n: Int = 2): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val rows = model.select(col("bucket").cast("int"), col("logratio").cast("double"))
+      .as[(Int, Double)].collect()
+    require(rows.nonEmpty, "importanceIngest: empty model")
+    val buckets = rows.map(_._1).max + 1
+    val table = new Array[Double](buckets)
+    rows.foreach { case (b, w) => table(b) = w }
+    val bTable = spark.sparkContext.broadcast(table)
+    val nn = n
+    val score = udf { (text: String) =>
+      val t = bTable.value
+      val b = t.length
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val toks = text.split(' ')
+      var s = 0.0
+      var cnt = 0L
+      var i = 0
+      while (i + nn <= toks.length) {
+        val sb = new java.lang.StringBuilder(64)
+        var j = 0
+        while (j < nn) { if (j > 0) sb.append(' '); sb.append(toks(i + j)); j += 1 }
+        val d = md.digest(sb.toString.getBytes("UTF-8"))
+        md.reset()
+        val u = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+                ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+        s += t((u % b).toInt)
+        cnt += 1
+        i += 1
+      }
+      (cnt, s)
+    }
+    df.select(col(idCol).as("doc_id"), score(col(textCol).cast("string")).as("__r"))
+      .filter(col("__r._1") > 0)
+      .select(col("doc_id"), col("__r._1").as("n_shingles"),
+        col("__r._2").as("weight"))
   }
 
   /**

@@ -386,7 +386,39 @@ object ScaleProbe {
             docsDf.withColumn("__src", (col("doc_id") % 1000).cast("string")),
             "__src", "doc_id", 50).count()
         }
+        timed(s"_scale_curate_dsir$tag") {
+          // DSIR bulk: both histogram passes + the broadcast-ratio scoring
+          // pass over all docs (target = the 1/97 eval slice)
+          graft.ops.Curation.importanceWeights(docsDf, "doc_id", "text",
+              evalSlice, "text", n = 2, buckets = 8192)
+            .agg(sum(col("weight")), sum(col("n_shingles"))).collect()
+        }
         docsDf.unpersist()
+      }
+      // SemDeDup bulk: 100k x 16d embeddings in 256 planted clusters —
+      // assignment scan (argmin over 256 codegen cosdists) + the
+      // in-cluster quadratic pair join, the operator's real cost shape
+      if (!sys.env.get("SPARK_GRAFT_SCALE_SEMDEDUP").contains("0")) {
+        import org.apache.spark.sql.functions.col
+        val nEmb = sys.env.getOrElse("SPARK_GRAFT_SCALE_SEMDEDUP_N", "100000").toInt
+        val kC = 256
+        val dimE = 16
+        def lcg(x0: Long): Long = x0 * 6364136223846793005L + 1442695040888963407L
+        def unit(x0: Long): Double = {
+          val x = lcg(x0); ((x >>> 11).toDouble / (1L << 53).toDouble) * 2.0 - 1.0
+        }
+        val cents = Array.tabulate(kC)(c =>
+          Array.tabulate(dimE)(j => unit(c * 131L + j).toFloat))
+        val embDf = spark.range(nEmb).map { i =>
+          val c = cents((i % kC).toInt)
+          val v = Array.tabulate(dimE)(j => c(j) + 0.05f * unit(i * 17L + j).toFloat)
+          (i, v.toSeq)
+        }.toDF("vec_id", "embedding").cache()
+        embDf.count()
+        timed(s"_scale_semdedup${nEmb / 1000}k") {
+          graft.ops.Dedup.semDedup(embDf, "vec_id", "embedding", 0.01, cents).count()
+        }
+        embDf.unpersist()
       }
       // B5 deep-tree probe economics: flat vs 3-level descent over 1024
       // synthetic centroids, 2000 probes each (driver-side cost only)

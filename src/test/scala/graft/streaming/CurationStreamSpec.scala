@@ -151,4 +151,36 @@ class CurationStreamSpec extends SparkSpec {
         "'short.' line dropped, the two real lines kept")
     } finally query.stop()
   }
+
+  test("importanceIngest scores a stream in-row, matching batch DSIR weights") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val target = Seq((100L, "alpha beta alpha beta alpha beta")).toDF("doc_id", "text")
+    val docs = (0L until 40L).map { i =>
+      val w = if (i % 2 == 0) "alpha beta gamma alpha beta" else "delta echo fox delta echo"
+      (i, s"$w tail${i % 5}")
+    }
+    val docsDf = docs.toDF("doc_id", "text")
+    val batch = Curation.importanceWeights(docsDf, "doc_id", "text",
+        target, "text", n = 2, buckets = 64)
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    val model = Curation.importanceModel(target, "text", docsDf, "text",
+      n = 2, buckets = 64)
+    val input = MemoryStream[(Long, String)]
+    val query = Curation.importanceIngest(
+        input.toDF().toDF("doc_id", "text"), "doc_id", "text", model, n = 2)
+      .writeStream.format("memory").queryName("dsir_stream")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(docs.take(20)); query.processAllAvailable()
+      input.addData(docs.drop(20)); query.processAllAvailable()
+      val streamed = spark.sql("SELECT doc_id, n_shingles, weight FROM dsir_stream")
+        .as[(Long, Long, Double)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+      assert(streamed.keySet == batch.keySet)
+      streamed.foreach { case (id, (ns, w)) =>
+        assert(ns == batch(id)._1, s"doc $id shingle count")
+        assert(math.abs(w - batch(id)._2) < 1e-9, s"doc $id weight")
+      }
+    } finally query.stop()
+  }
 }
