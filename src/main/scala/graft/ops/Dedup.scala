@@ -361,6 +361,93 @@ object Dedup {
     crossed.unionByName(internal)
   }
 
+  /**
+   * Cross-corpus MinHash dedup — the A-vs-B form of [[minhashDedup]]:
+   * near-duplicate pairs BETWEEN `df` (the incoming corpus, e.g. a new
+   * crawl) and `refDf` (the corpus already held, e.g. the current
+   * training set), answering the ingestion question "which new documents
+   * duplicate something we already have" without ever touching the
+   * |df| × |refDf| pair space: candidates come only from BIPARTITE LSH
+   * buckets (a band bucket containing docs of one side alone emits
+   * nothing).
+   *
+   * Same discipline as [[minhashDedup]]: exact duplicates collapse per
+   * side before banding (128-bit md5 text key), candidates are
+   * exact-Jaccard verified over hashed shingle sets (only candidate docs
+   * are ever re-read), results expand back across both sides' member
+   * lists. A bipartite monster bucket (> `maxBucket` DISTINCT texts on
+   * either side) degrades to star pairs anchored at each side's min id —
+   * every doc in the bucket keeps at least one candidate, only the
+   * exhaustive cross listing is given up.
+   *
+   * Output: (da, db, jac) with da from `df`, db from `refDf` — the two
+   * id spaces are independent and may overlap.
+   */
+  def minhashDedupAgainst(df: DataFrame, idCol: String, textCol: String,
+                          refDf: DataFrame, refIdCol: String, refTextCol: String,
+                          threshold: Double, n: Int = 3, numHashes: Int = 64,
+                          bands: Int = 16, maxBucket: Int = 4096): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must divide into bands")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val r = numHashes / bands
+    def side(d: DataFrame, id: String, t: String): DataFrame = {
+      val rdd = d.select(col(id).cast("long"), col(t)).as[(Long, String)]
+        .rdd.mapPartitions { it =>
+          val md = java.security.MessageDigest.getInstance("MD5")
+          it.flatMap { case (i, text) =>
+            val th = text.split(' ').map(hash64)
+            if (th.length < n) Iterator.empty
+            else Iterator.single((hexBytes(md.digest(text.getBytes("UTF-8"))),
+              (i, sigFromTokens(th, n, numHashes))))
+          }
+        }
+      spark.createDataset(collapseByKey(rdd)).toDF("id", "members", "sig")
+    }
+    val a = side(df, idCol, textCol)
+    val b = side(refDf, refIdCol, refTextCol)
+    def bandRdd(s: DataFrame) = s.select(col("id"), col("sig"))
+      .as[(Long, Array[Long])]
+      .rdd.flatMap { case (i, sig) => bandKeys(sig, bands, r).map(k => (k, i)) }
+    val cand = bandRdd(a).cogroup(bandRdd(b)).flatMap { case (_, (as, bs)) =>
+      if (as.isEmpty || bs.isEmpty) Iterator.empty
+      else {
+        val na = as.toArray; java.util.Arrays.sort(na)
+        val nb = bs.toArray; java.util.Arrays.sort(nb)
+        if (maxBucket > 0 && (na.length > maxBucket || nb.length > maxBucket))
+          na.iterator.map(x => (x, nb(0))) ++ nb.iterator.map(y => (na(0), y))
+        else na.iterator.flatMap(x => nb.iterator.map(y => (x, y)))
+      }
+    }.toDF("na", "rb").distinct()
+    // exact verify: hashed shingle sets for CANDIDATE docs only (left-semi
+    // against the candidate ids), joined pairwise — the jac is computed by
+    // the same sorted-set kernel the within-corpus verify uses
+    def sets(d: DataFrame, id: String, t: String, ids: DataFrame,
+             as_ : String): DataFrame =
+      d.join(ids, d(id).cast("long") === ids(as_), "left_semi")
+        .select(col(id).cast("long"), col(t).cast("string")).as[(Long, String)]
+        .map { case (i, text) =>
+          (i, sortedShingleSet(text.split(' ').map(hash64), n)) }
+        .toDF(as_, s"__s$as_")
+    val aSets = sets(df, idCol, textCol, cand.select("na"), "na")
+    val bSets = sets(refDf, refIdCol, refTextCol, cand.select("rb"), "rb")
+    val verified = cand.join(aSets, "na").join(bSets, "rb")
+      .select(col("na"), col("rb"), col("__sna"), col("__srb"))
+      .as[(Long, Long, Array[Long], Array[Long])]
+      .map { case (na, rb, sa, sb) => (na, rb, jaccardSorted(sa, sb)) }
+      .toDF("na", "rb", "jac")
+      .filter(col("jac") >= threshold)
+    val aMulti = a.filter(size(col("members")) > 1)
+      .select(col("id").as("na"), col("members").as("ma"))
+    val bMulti = b.filter(size(col("members")) > 1)
+      .select(col("id").as("rb"), col("members").as("mb"))
+    verified.join(aMulti, Seq("na"), "left").join(bMulti, Seq("rb"), "left")
+      .select(coalesce(col("ma"), array(col("na"))).as("ma"),
+        coalesce(col("mb"), array(col("rb"))).as("mb"), col("jac"))
+      .select(explode(col("ma")).as("da"), col("mb"), col("jac"))
+      .select(col("da"), explode(col("mb")).as("db"), col("jac"))
+  }
+
   /** 64-bit token hash = last 8 MD5 digest bytes, little-endian — the
     * exact value DuckDB's `md5_number_lower(w)` produces, which makes
     * SimHash cross-engine reproducible (the dedup_simhash oracle recomputes

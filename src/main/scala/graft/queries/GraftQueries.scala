@@ -771,6 +771,29 @@ object GraftQueries {
              |FROM p JOIN n na ON na.vec_id = p.va JOIN n nb ON nb.vec_id = p.vb
              |WHERE 1.0 - dot / (na.nrm * nb.nrm) < 0.5 ORDER BY da, db""".stripMargin)),
 
+    // Cross-corpus dedup: odd doc_ids are the "new crawl", even ids the
+    // held corpus — pairs must cross sides only. The oracle is the same
+    // exact-Jaccard no-false-negative form as dedup_minhash restricted
+    // to cross-parity pairs.
+    "dedup_against" -> Q(
+      (s, d) => {
+        val docs = tbl(s, d, "documents")
+        Dedup.minhashDedupAgainst(
+            docs.filter(col("doc_id") % 2 === 1), "doc_id", "text",
+            docs.filter(col("doc_id") % 2 === 0), "doc_id", "text", 0.4)
+          .select(col("da"), col("db"), round(col("jac"), 3).as("jac"))
+          .orderBy("da", "db")
+      },
+      Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+             |x AS (SELECT doc_id, toks, unnest(range(0, len(toks) - 2)) AS i FROM t WHERE len(toks) >= 3),
+             |sh AS (SELECT DISTINCT doc_id, toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] AS s FROM x),
+             |c AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+             |inter AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i FROM sh a
+             |  JOIN sh b ON a.s = b.s AND a.doc_id % 2 = 1 AND b.doc_id % 2 = 0 GROUP BY 1, 2),
+             |j AS (SELECT da, db, CAST(i AS DOUBLE) / (ca.n + cb.n - i) AS jac FROM inter
+             |  JOIN c ca ON ca.doc_id = da JOIN c cb ON cb.doc_id = db)
+             |SELECT da, db, round(jac, 3) AS jac FROM j WHERE jac >= 0.4 ORDER BY da, db""".stripMargin)),
+
     // SemDeDup (Abbas et al. 2023): cluster-then-dedup — near-dup pairs
     // searched only WITHIN each embedding cluster. The golden pins the
     // full algorithm (assignment argmin + in-cluster pair search) with

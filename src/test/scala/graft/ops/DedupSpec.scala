@@ -311,6 +311,62 @@ class DedupSpec extends SparkSpec {
     assert(secs < 60, s"took ${secs}s")
   }
 
+  test("minhashDedupAgainst: cross-side pairs only, exact-dup collapse spans sides") {
+    import spark.implicits._
+    // new side: docs 0-9; ref side: 100-109. 0 is an exact copy of 100,
+    // 1 a near-dup of 101; 2 and 3 are near-dups OF EACH OTHER (same
+    // side — must NOT pair); the rest are noise.
+    val rng = new scala.util.Random(31)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta",
+      "eta", "theta", "iota", "kappa", "mu", "nu")
+    def mk(): String = Seq.fill(30)(vocab(rng.nextInt(vocab.size))).mkString(" ")
+    val shared = mk()
+    val near = shared.split(' ').updated(3, "changed").mkString(" ")
+    val sameSide = mk()
+    val newDocs = Seq(0L -> shared, 1L -> near, 2L -> sameSide,
+      3L -> sameSide.split(' ').updated(5, "flip").mkString(" ")) ++
+      (4L until 10L).map(_ -> mk())
+    val refDocs = Seq(100L -> shared, 101L -> shared) ++
+      (102L until 110L).map(_ -> mk())
+    val got = Dedup.minhashDedupAgainst(
+        newDocs.toDF("doc_id", "text"), "doc_id", "text",
+        refDocs.toDF("doc_id", "text"), "doc_id", "text", 0.4)
+      .select("da", "db", "jac").as[(Long, Long, Double)].collect()
+      .map(t => (t._1, t._2) -> t._3).toMap
+    // brute cross reference
+    def shSet(t: String) = Dedup.sortedShingleSet(t.split(' ').map(Dedup.hash64), 3)
+    val want = (for {
+      (na, ta) <- newDocs; (rb, tb) <- refDocs
+      j = Dedup.jaccardSorted(shSet(ta), shSet(tb)) if j >= 0.4
+    } yield (na, rb) -> j).toMap
+    assert(want.keySet.contains((0L, 100L)) && want.keySet.contains((0L, 101L)),
+      "fixture must plant exact cross dups (incl. a ref-side dup group)")
+    assert(got.keySet == want.keySet, s"got ${got.keySet} want ${want.keySet}")
+    got.foreach { case (k, j) => assert(math.abs(j - want(k)) < 1e-12) }
+    assert(got((0L, 100L)) == 1.0)
+    assert(!got.keySet.exists { case (a, b) => a >= 100L || b < 100L },
+      "pairs must cross sides only")
+  }
+
+  test("minhashDedupAgainst: bipartite monster bucket degrades to bounded stars") {
+    import spark.implicits._
+    val t = "alpha beta gamma delta eps zeta eta theta"
+    val newDocs = (0L until 20L).map(i => i -> (t + s" tail$i"))
+    val refDocs = (100L until 120L).map(i => i -> (t + s" tail$i"))
+    val pairs = Dedup.minhashDedupAgainst(
+        newDocs.toDF("doc_id", "text"), "doc_id", "text",
+        refDocs.toDF("doc_id", "text"), "doc_id", "text", 0.5,
+        maxBucket = 4)
+      .select("da", "db").as[(Long, Long)].collect().toSet
+    // every doc keeps at least one cross candidate via the star anchors
+    assert(pairs.nonEmpty)
+    assert(pairs.size < 20 * 20, "exhaustive cross listing must be given up")
+    val newCovered = pairs.map(_._1)
+    val refCovered = pairs.map(_._2)
+    assert(newCovered.size >= 10 && refCovered.size >= 10,
+      s"stars must cover both sides: $pairs")
+  }
+
   test("semDedup equals brute pairs restricted to same-cluster, misses cross-cluster") {
     import spark.implicits._
     val rng = new scala.util.Random(23)
