@@ -330,6 +330,71 @@ object Curation {
   }
 
   /**
+   * Perplexity-style quality scoring — per-document CROSS-ENTROPY under
+   * an add-alpha hashed bigram language model trained on a reference
+   * corpus (the CCNet signal: score web documents under a Wikipedia LM
+   * and drop the high-perplexity tail). For tokens t1..tm:
+   * xent = −(1/(m−1)) Σ ln p(ti | ti−1) with p(w2|w1) =
+   * (c(w1 w2) + alpha) / (c(w1) + alpha·buckets), both counts living in
+   * md5-hashed bucket histograms — the model is two tables of at most
+   * `buckets` rows each, engine-neutral and SQL-replicable like the
+   * DSIR model. Perplexity = exp(xent) if you want the headline number;
+   * the log form is what you should threshold on.
+   *
+   * Scale shape: one narrow histogram pass over the LM corpus (two
+   * partial-agg shuffles whose results are <= `buckets` rows, collected
+   * and re-emitted as literal tables), then one scoring pass — aligned
+   * context/bigram arrays zip IN-ROW, the two model tables broadcast-
+   * join, the per-doc reduce is a partial aggregation. No UDF anywhere;
+   * nothing is proportional to corpus × LM-corpus.
+   *
+   * Documents with fewer than 2 tokens have no bigrams and are absent.
+   *
+   * Output: (doc_id, n_bigrams, xent).
+   */
+  def ngramCrossEntropy(df: DataFrame, idCol: String, textCol: String,
+                        lmDf: DataFrame, lmTextCol: String,
+                        buckets: Int = 8192, alpha: Double = 0.1): DataFrame = {
+    require(buckets >= 2, s"need >= 2 hash buckets, got $buckets")
+    require(alpha > 0, s"smoothing alpha must be > 0, got $alpha")
+    val spark = df.sparkSession
+    import spark.implicits._
+    def ctxArr(t: Column): Column =
+      slice(t, lit(1), greatest(size(t) - 1, lit(0)))
+    // histograms over the LM corpus: bigram buckets + context buckets
+    def hist(mk: Column => Column): Array[Long] = {
+      val h = new Array[Long](buckets)
+      lmDf.select(explode(mk(toks(col(lmTextCol)))).as("__g"))
+        .select(bucketOf(col("__g"), buckets).as("__b"))
+        .groupBy("__b").agg(count(lit(1)).as("__c"))
+        .as[(Long, Long)].collect()
+        .foreach { case (b, c) => h(b.toInt) = c }
+      h
+    }
+    val cb = hist(t => tokenShingles(t, 2))
+    val cu = hist(ctxArr)
+    require(cb.exists(_ > 0), "ngramCrossEntropy: LM corpus has no bigrams")
+    val cbDf = broadcast(spark.createDataset(
+      (0 until buckets).map(b => (b.toLong, cb(b)))).toDF("__b2", "__cb"))
+    val cuDf = broadcast(spark.createDataset(
+      (0 until buckets).map(b => (b.toLong, cu(b)))).toDF("__b1", "__cu"))
+    val t = toks(col(textCol))
+    df.select(col(idCol).as("doc_id"),
+        explode(arrays_zip(ctxArr(t).as("c"), tokenShingles(t, 2).as("g"))).as("__z"))
+      .select(col("doc_id"),
+        bucketOf(col("__z.c"), buckets).as("__b1"),
+        bucketOf(col("__z.g"), buckets).as("__b2"))
+      .join(cbDf, Seq("__b2"))
+      .join(cuDf, Seq("__b1"))
+      .withColumn("__lp",
+        log((col("__cb") + lit(alpha)) / (col("__cu") + lit(alpha * buckets))))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("__lp")).as("__s"))
+      .select(col("doc_id"), col("n_bigrams"),
+        (-col("__s") / col("n_bigrams")).as("xent"))
+  }
+
+  /**
    * Overlapping token-window chunking: split each document's token
    * sequence into windows of `window` tokens starting every `stride`
    * tokens — the standard context-length preprocessing before

@@ -771,6 +771,38 @@ object GraftQueries {
              |FROM p JOIN n na ON na.vec_id = p.va JOIN n nb ON nb.vec_id = p.vb
              |WHERE 1.0 - dot / (na.nrm * nb.nrm) < 0.5 ORDER BY da, db""".stripMargin)),
 
+    // CCNet-style perplexity filtering: cross-entropy of every document
+    // under a hashed bigram LM trained on the en slice. The oracle
+    // rebuilds both histograms and re-scores every bigram from scratch.
+    "lm_xent" -> Q(
+      (s, d) => {
+        val docs = tbl(s, d, "documents")
+        Curation.ngramCrossEntropy(docs, "doc_id", "text",
+            docs.filter(col("lang") === "en"), "text",
+            buckets = 256, alpha = 0.1)
+          .select(col("doc_id"), col("n_bigrams"),
+            (round(col("xent"), 3) + 0.0).as("xent"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH lt AS (SELECT string_split(text, ' ') AS t FROM documents WHERE lang = 'en'),
+             |lb AS (SELECT CAST(concat('0x', substr(md5(t[i] || ' ' || t[i+1]),1,8)) AS BIGINT) % 256 AS b
+             |  FROM (SELECT t, unnest(range(1, len(t))) AS i FROM lt) _a),
+             |cb AS (SELECT b, count(*) AS c FROM lb GROUP BY b),
+             |lc AS (SELECT CAST(concat('0x', substr(md5(t[i]),1,8)) AS BIGINT) % 256 AS b
+             |  FROM (SELECT t, unnest(range(1, len(t))) AS i FROM lt) _c),
+             |cu AS (SELECT b, count(*) AS c FROM lc GROUP BY b),
+             |dk AS (SELECT doc_id, t, unnest(range(1, len(t))) AS i
+             |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents) _d),
+             |q AS (SELECT doc_id,
+             |  CAST(concat('0x', substr(md5(t[i]),1,8)) AS BIGINT) % 256 AS b1,
+             |  CAST(concat('0x', substr(md5(t[i] || ' ' || t[i+1]),1,8)) AS BIGINT) % 256 AS b2
+             |  FROM dk),
+             |sc AS (SELECT doc_id,
+             |  ln((coalesce(cb.c, 0) + 0.1) / (coalesce(cu.c, 0) + 0.1 * 256)) AS lp
+             |  FROM q LEFT JOIN cb ON cb.b = q.b2 LEFT JOIN cu ON cu.b = q.b1),
+             |w AS (SELECT doc_id, count(*) AS n_bigrams, -sum(lp) / count(*) AS xe FROM sc GROUP BY 1)
+             |SELECT doc_id, n_bigrams, round(xe, 3) + 0.0 AS xent FROM w ORDER BY doc_id""".stripMargin)),
+
     // Cross-corpus dedup: odd doc_ids are the "new crawl", even ids the
     // held corpus — pairs must cross sides only. The oracle is the same
     // exact-Jaccard no-false-negative form as dedup_minhash restricted

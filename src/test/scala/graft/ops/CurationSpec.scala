@@ -297,6 +297,43 @@ class CurationSpec extends SparkSpec {
     assert(w(1L)._2 < 0.0, "off-target doc has negative log-ratio")
   }
 
+  test("ngramCrossEntropy: in-domain docs score lower; exact value on a hand case") {
+    import spark.implicits._
+    val lm = Seq((0L, "a b a b a b a b")).toDF("doc_id", "text")
+    val docs = Seq(
+      (1L, "a b a b"),   // pure in-domain bigrams
+      (2L, "x y x y"),   // fully out-of-domain
+      (3L, "a")          // no bigrams: absent
+    ).toDF("doc_id", "text")
+    val got = Curation.ngramCrossEntropy(docs, "doc_id", "text", lm, "text",
+        buckets = 64, alpha = 0.1)
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(!got.contains(3L))
+    assert(got(1L)._1 == 3L && got(2L)._1 == 3L)
+    assert(got(1L)._2 < got(2L)._2, "in-domain must be lower cross-entropy")
+    // independent reimplementation of the hashed add-alpha model
+    def bucket(s: String, b: Int): Int = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      ((((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+        ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)) % b).toInt
+    }
+    val cb = new Array[Long](64); val cu = new Array[Long](64)
+    val lmToks = "a b a b a b a b".split(' ')
+    lmToks.sliding(2).foreach(w => cb(bucket(w.mkString(" "), 64)) += 1)
+    lmToks.dropRight(1).foreach(w => cu(bucket(w, 64)) += 1)
+    def xent(text: String): Double = {
+      val t = text.split(' ')
+      val lps = t.sliding(2).map { w =>
+        math.log((cb(bucket(w.mkString(" "), 64)) + 0.1) /
+                 (cu(bucket(w(0), 64)) + 0.1 * 64))
+      }.toSeq
+      -lps.sum / lps.length
+    }
+    assert(math.abs(got(1L)._2 - xent("a b a b")) < 1e-12)
+    assert(math.abs(got(2L)._2 - xent("x y x y")) < 1e-12)
+  }
+
   test("dsirResample: near-zero temperature = hard top-k; deterministic under repartition") {
     import spark.implicits._
     val target = Seq((9L, "alpha beta alpha beta")).toDF("doc_id", "text")
