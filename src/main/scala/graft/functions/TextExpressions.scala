@@ -60,6 +60,52 @@ object TextExprKernels {
     }
     new GenericArrayData(Array[Any](top.toLong, counts.size.toLong))
   }
+
+  /** Unicode normalization for curation pipelines: canonical/compat
+    * normalization (NFC=0 / NFKC=1), optional accent stripping (NFD →
+    * drop non-spacing marks → renormalize — the utf8proc
+    * `strip_accents` semantics, so a SQL oracle can replicate it),
+    * optional ROOT-locale lowercasing, applied in that order. */
+  def normalize(s: UTF8String, form: Int, toLower: Boolean,
+                stripAccents: Boolean): UTF8String = {
+    import java.text.Normalizer
+    val f = if (form == 1) Normalizer.Form.NFKC else Normalizer.Form.NFC
+    var str = Normalizer.normalize(s.toString, f)
+    if (stripAccents) {
+      val d = Normalizer.normalize(str, Normalizer.Form.NFD)
+      val sb = new java.lang.StringBuilder(d.length)
+      var i = 0
+      while (i < d.length) {
+        val ch = d.charAt(i)
+        if (Character.getType(ch) != Character.NON_SPACING_MARK) sb.append(ch)
+        i += 1
+      }
+      str = Normalizer.normalize(sb.toString, f)
+    }
+    if (toLower) str = str.toLowerCase(java.util.Locale.ROOT)
+    UTF8String.fromString(str)
+  }
+}
+
+/** `normalize_text(string)` — Unicode NFC/NFKC + accent strip + lower
+  * in one generated call (Spark has no built-in Unicode normalizer; a
+  * Scala UDF here would deserialize every document to a boxed String
+  * through the interpreted path). */
+case class NormalizeTextExpr(child: Expression, form: String,
+                             toLower: Boolean, stripAccents: Boolean)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  require(form == "nfc" || form == "nfkc", s"form must be nfc|nfkc, got $form")
+  private val formId = if (form == "nfkc") 1 else 0
+  override def prettyName: String = "normalize_text"
+  override def inputTypes = Seq(StringType)
+  override def dataType: DataType = StringType
+  override protected def nullSafeEval(a: Any): Any =
+    TextExprKernels.normalize(a.asInstanceOf[UTF8String], formId, toLower, stripAccents)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.TextExprKernels.normalize($c, $formId, $toLower, $stripAccents)")
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
 }
 
 /** `token_stats(array<string>)` -> `array<long> [topCount, distinctCount]`

@@ -23,6 +23,21 @@ object TextOps {
 
   private def toks(text: Column): Column = split(text, " ")
 
+  /** Unicode normalization — the curation step that must run BEFORE any
+    * hashing/dedup/shingling so that visually-identical byte sequences
+    * (precomposed é vs e+combining accent, full-width forms, ligatures)
+    * dedup together: NFC or NFKC, optional accent strip (NFD → drop
+    * non-spacing marks → renormalize, the utf8proc `strip_accents`
+    * semantics), optional ROOT-locale lowercase — applied in that
+    * order, as one codegen expression (Spark has no built-in). */
+  def normalizeText(text: Column, form: String = "nfc",
+                    lower: Boolean = true,
+                    stripAccents: Boolean = false): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.functions.NormalizeTextExpr(
+        org.apache.spark.sql.graft.ColumnBridge.expression(text),
+        form, lower, stripAccents))
+
   /** Count of tokens that are in `words` (occurrences, not distinct). */
   def stopwordHits(text: Column, words: Seq[String]): Column = {
     val set = words.map(w => s"'${w}'").mkString("array(", ",", ")")

@@ -875,6 +875,20 @@ object GraftQueries {
 
     // ---- text analysis suite ----
 
+    // Unicode normalization: NFC + accent strip + lower over text with a
+    // PLANTED precomposed-É / decomposed-e+U+0301 prefix — the oracle
+    // replays it through DuckDB's nfc_normalize/strip_accents/lower.
+    "normalize_text" -> Q(
+      (s, d) => tbl(s, d, "documents")
+        .select(col("doc_id"),
+          TextOps.normalizeText(
+            concat(lit("CAFÉ Naïve Ça Café "), col("text")),
+            "nfc", lower = true, stripAccents = true).as("text_norm"))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+             |  lower(strip_accents(nfc_normalize('CAF' || chr(201) || ' Na' || chr(239) || 've ' || chr(199) || 'a Cafe' || chr(769) || ' ' || text))) AS text_norm
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
     "lang_id" -> Q(
       (s, d) => tbl(s, d, "documents")
         .select(col("doc_id"), TextOps.langId(col("text")).as("lang_pred"))

@@ -297,6 +297,31 @@ class CurationSpec extends SparkSpec {
     assert(w(1L)._2 < 0.0, "off-target doc has negative log-ratio")
   }
 
+  test("normalizeText: NFC composition, NFKC compat, accent strip, lower") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "Cafe\u0301"),  // decomposed e + combining acute
+      (2L, "Caf\u00e9"),   // precomposed e-acute
+      (3L, "ﬁn Ａ"),  // ﬁ ligature + fullwidth A
+      (4L, "MiXeD ASCII")
+    ).toDF("id", "t")
+    def run(form: String, lower: Boolean, strip: Boolean): Map[Long, String] =
+      df.select($"id", TextOps.normalizeText($"t", form, lower, strip).as("n"))
+        .as[(Long, String)].collect().toMap
+    val nfc = run("nfc", lower = false, strip = false)
+    assert(nfc(1L) == nfc(2L) && nfc(2L) == "Café",
+      "NFC must compose the decomposed form")
+    val stripped = run("nfc", lower = true, strip = true)
+    assert(stripped(1L) == "cafe" && stripped(2L) == "cafe")
+    assert(stripped(4L) == "mixed ascii")
+    val nfkc = run("nfkc", lower = true, strip = false)
+    assert(nfkc(3L) == "fin a", "NFKC folds ligature + fullwidth; NFC must not")
+    assert(run("nfc", lower = true, strip = false)(3L) == "ﬁn ａ")
+    intercept[IllegalArgumentException] {
+      TextOps.normalizeText($"t", "nfd")
+    }
+  }
+
   test("ngramCrossEntropy: in-domain docs score lower; exact value on a hand case") {
     import spark.implicits._
     val lm = Seq((0L, "a b a b a b a b")).toDF("doc_id", "text")
