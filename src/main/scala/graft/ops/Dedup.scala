@@ -448,6 +448,100 @@ object Dedup {
       .select(col("da"), explode(col("mb")).as("db"), col("jac"))
   }
 
+  /**
+   * STREAMING form of [[minhashDedupAgainst]]: flag documents of a
+   * STREAM that near-duplicate a STATIC reference corpus (an ingestion
+   * gate: "drop arrivals we already hold"). The reference side is
+   * collapsed, signed, and collected ONCE — a band-bucket index plus
+   * per-rep hashed shingle sets, broadcast to executors; each arriving
+   * row computes its signature and band keys IN-ROW, probes the
+   * broadcast buckets, exact-verifies Jaccard against candidate refs'
+   * shingle sets, and emits its matches. Stateless and shuffle-free, so
+   * it runs identically in batch or append-mode Structured Streaming,
+   * and output matches [[minhashDedupAgainst]] (same signatures, same
+   * buckets, same verify) whenever no bucket tripped that operator's
+   * star cap.
+   *
+   * The broadcast holds the whole reference model in memory —
+   * `maxRefDocs` fails loudly past the cap (size the cap to executor
+   * memory: ~(shingles + 2·numHashes)·8 bytes per distinct ref text).
+   *
+   * Output: (da, db, jac) — da stream doc, db ref doc (expanded across
+   * the ref side's exact-duplicate members).
+   */
+  def minhashDedupAgainstIngest(df: DataFrame, idCol: String, textCol: String,
+                                refDf: DataFrame, refIdCol: String,
+                                refTextCol: String, threshold: Double,
+                                n: Int = 3, numHashes: Int = 64,
+                                bands: Int = 16,
+                                maxRefDocs: Int = 2000000): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must divide into bands")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val r = numHashes / bands
+    val refRdd = refDf
+      .select(col(refIdCol).cast("long"), col(refTextCol).cast("string"))
+      .as[(Long, String)]
+      .rdd.mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.flatMap { case (i, text) =>
+          val th = text.split(' ').map(hash64)
+          if (th.length < n) Iterator.empty
+          else Iterator.single((hexBytes(md.digest(text.getBytes("UTF-8"))),
+            (i, (sigFromTokens(th, n, numHashes), sortedShingleSet(th, n)))))
+        }
+      }
+    val reps: Array[(Long, Seq[Long], (Array[Long], Array[Long]))] =
+      collapseByKey(refRdd).collect()
+    require(reps.length <= maxRefDocs,
+      s"minhashDedupAgainstIngest reference holds ${reps.length} distinct " +
+        s"texts (cap $maxRefDocs): raise maxRefDocs to match executor " +
+        "memory or run the batch operator")
+    // band-bucket index over rep ordinals
+    val buckets = {
+      val tmp = new java.util.HashMap[java.lang.Long,
+        scala.collection.mutable.ArrayBuffer[Int]]()
+      var i = 0
+      while (i < reps.length) {
+        bandKeys(reps(i)._3._1, bands, r).foreach { k =>
+          tmp.computeIfAbsent(k, _ =>
+            scala.collection.mutable.ArrayBuffer.empty[Int]) += i
+        }
+        i += 1
+      }
+      val out = new java.util.HashMap[java.lang.Long, Array[Int]](tmp.size * 2)
+      tmp.forEach((k, v) => out.put(k, v.toArray))
+      out
+    }
+    val bModel = spark.sparkContext.broadcast(
+      (reps.map { case (id, ms, (_, sh)) => (id, ms.toArray, sh) }, buckets))
+    val (nn, bb, rr, thr) = (n, bands, r, threshold)
+    val nh = numHashes
+    df.select(col(idCol).cast("long"), col(textCol).cast("string"))
+      .as[(Long, String)]
+      .flatMap { case (da, text) =>
+        val (repArr, bIdx) = bModel.value
+        val th = text.split(' ').map(hash64)
+        if (th.length < nn) Iterator.empty
+        else {
+          val sig = sigFromTokens(th, nn, nh)
+          val sh = sortedShingleSet(th, nn)
+          val seen = scala.collection.mutable.Set.empty[Int]
+          bandKeys(sig, bb, rr).foreach { k =>
+            val hit = bIdx.get(k)
+            if (hit != null) hit.foreach(seen += _)
+          }
+          seen.iterator.flatMap { ix =>
+            val (_, members, refSh) = repArr(ix)
+            val j = jaccardSorted(sh, refSh)
+            if (j >= thr) members.iterator.map(db => (da, db, j))
+            else Iterator.empty
+          }
+        }
+      }
+      .toDF("da", "db", "jac")
+  }
+
   /** 64-bit token hash = last 8 MD5 digest bytes, little-endian — the
     * exact value DuckDB's `md5_number_lower(w)` produces, which makes
     * SimHash cross-engine reproducible (the dedup_simhash oracle recomputes

@@ -393,6 +393,18 @@ object ScaleProbe {
               evalSlice, "text", n = 2, buckets = 8192)
             .agg(sum(col("weight")), sum(col("n_shingles"))).collect()
         }
+        timed(s"_scale_curate_xent$tag") {
+          // bigram-LM scoring bulk: LM histograms from the eval slice +
+          // the zip/join/reduce scoring pass over every doc
+          graft.ops.Curation.ngramCrossEntropy(docsDf, "doc_id", "text",
+              evalSlice, "text", buckets = 8192)
+            .agg(sum(col("xent")), sum(col("n_bigrams"))).collect()
+        }
+        timed(s"_scale_curate_norm$tag") {
+          docsDf.select(length(graft.ops.TextOps.normalizeText(
+              col("text"), "nfkc", lower = true, stripAccents = true)).as("l"))
+            .agg(sum(col("l"))).collect()
+        }
         docsDf.unpersist()
       }
       // SemDeDup bulk: 100k x 16d embeddings in 256 planted clusters —

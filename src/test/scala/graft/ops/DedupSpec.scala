@@ -348,6 +348,35 @@ class DedupSpec extends SparkSpec {
       "pairs must cross sides only")
   }
 
+  test("minhashDedupAgainstIngest matches the batch operator; loud ref cap") {
+    import spark.implicits._
+    val rng = new scala.util.Random(37)
+    val vocab = Vector("ant", "bee", "cat", "dog", "elk", "fox", "gnu",
+      "hen", "ibis", "jay", "kit", "lark")
+    def mk(): String = Seq.fill(25)(vocab(rng.nextInt(vocab.size))).mkString(" ")
+    val shared = mk()
+    val newDocs = Seq(0L -> shared,
+      1L -> shared.split(' ').updated(2, "mut").mkString(" ")) ++
+      (2L until 12L).map(_ -> mk())
+    val refDocs = Seq(100L -> shared, 101L -> shared) ++
+      (102L until 112L).map(_ -> mk())
+    val nd = newDocs.toDF("doc_id", "text")
+    val rd = refDocs.toDF("doc_id", "text")
+    def norm(d: org.apache.spark.sql.DataFrame) =
+      d.select("da", "db", "jac").as[(Long, Long, Double)].collect().toSet
+    val batch = norm(Dedup.minhashDedupAgainst(nd, "doc_id", "text",
+      rd, "doc_id", "text", 0.4))
+    val ingest = norm(Dedup.minhashDedupAgainstIngest(nd, "doc_id", "text",
+      rd, "doc_id", "text", 0.4))
+    assert(batch.nonEmpty && ingest == batch,
+      s"ingest $ingest must equal batch $batch")
+    val e = intercept[IllegalArgumentException] {
+      Dedup.minhashDedupAgainstIngest(nd, "doc_id", "text",
+        rd, "doc_id", "text", 0.4, maxRefDocs = 3)
+    }
+    assert(e.getMessage.contains("distinct"))
+  }
+
   test("minhashDedupAgainst: bipartite monster bucket degrades to bounded stars") {
     import spark.implicits._
     val t = "alpha beta gamma delta eps zeta eta theta"

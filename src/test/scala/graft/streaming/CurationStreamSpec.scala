@@ -152,6 +152,33 @@ class CurationStreamSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("minhashDedupAgainstIngest flags near-dups of a static corpus in a stream") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = "red blue green gold pink teal gray cyan lime navy plum rust"
+    val refDf = Seq(100L -> base, 101L -> "one two three four five six seven")
+      .toDF("doc_id", "text")
+    val docs = Seq(
+      0L -> base,                                                // exact dup
+      1L -> base.split(' ').updated(1, "mut").mkString(" "),     // near dup
+      2L -> "totally different words about engines and rows here")
+    val input = MemoryStream[(Long, String)]
+    val query = graft.ops.Dedup.minhashDedupAgainstIngest(
+        input.toDF().toDF("doc_id", "text"), "doc_id", "text",
+        refDf, "doc_id", "text", 0.4)
+      .writeStream.format("memory").queryName("against_stream")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(docs.take(1)); query.processAllAvailable()
+      input.addData(docs.drop(1)); query.processAllAvailable()
+      val streamed = spark.sql("SELECT da, db, jac FROM against_stream")
+        .as[(Long, Long, Double)].collect().toSet
+      assert(streamed.map(t => (t._1, t._2)) == Set((0L, 100L), (1L, 100L)),
+        s"got $streamed")
+      assert(streamed.find(_._1 == 0L).get._3 == 1.0)
+    } finally query.stop()
+  }
+
   test("importanceIngest scores a stream in-row, matching batch DSIR weights") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
