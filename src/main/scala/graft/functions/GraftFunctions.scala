@@ -41,6 +41,9 @@ object GraftFunctions {
   def vecL2(a: Column, b: Column): Column = toCol(VecL2Expr(toExpr(a), toExpr(b)))
   def vecNegdot(a: Column, b: Column): Column = toCol(VecNegDotExpr(toExpr(a), toExpr(b)))
   def vecCosdist(a: Column, b: Column): Column = toCol(VecCosDistExpr(toExpr(a), toExpr(b)))
+  /** Nearest-centroid index over a fixed codebook (cosine argmin). */
+  def vecNearest(a: Column, centroids: Array[Array[Float]]): Column =
+    toCol(VecNearestExpr(toExpr(a), centroids))
   def vecNorm(a: Column): Column = toCol(VecNormExpr(toExpr(a)))
 
   // Same metrics with the LEFT side in packed-f16 binary (the halfvec

@@ -65,6 +65,41 @@ object VecExprKernels {
     math.sqrt(s)
   }
 
+  /** Nearest-centroid assignment (cosine distance argmin, ties to the
+    * LOWEST index): one fused loop over a k×dim codebook. Distance math
+    * is bit-identical to [[cosdist]] — same double accumulation order,
+    * same zero-norm => 1.0 — so an argmin over k separate cosdist calls
+    * gives the same winner. Exists because the expression-tree
+    * formulation (`array_position(array(cosdist×k), array_min(...))`)
+    * carries k child expressions: past ~100 centroids the generated
+    * method outgrows JIT limits and Catalyst falls back to interpreted
+    * per-row eval of every child (measured 20x slower at k=256). */
+  def nearestCosdist(v: ArrayData, cents: Array[Array[Float]],
+                     cnorms: Array[Double]): Int = {
+    val n = v.numElements()
+    var vn2 = 0.0
+    var i = 0
+    while (i < n) { val x = v.getFloat(i).toDouble; vn2 += x * x; i += 1 }
+    val vn = math.sqrt(vn2)
+    var best = Double.PositiveInfinity
+    var bi = 0
+    var c = 0
+    while (c < cents.length) {
+      val ca = cents(c)
+      if (ca.length != n)
+        throw new IllegalArgumentException(
+          s"vec_nearest dim mismatch: vector $n vs centroid ${ca.length}")
+      var dot = 0.0
+      var j = 0
+      while (j < n) { dot += v.getFloat(j).toDouble * ca(j).toDouble; j += 1 }
+      val d = if (vn == 0.0 || cnorms(c) == 0.0) 1.0
+              else 1.0 - dot / (vn * cnorms(c))
+      if (d < best) { best = d; bi = c }
+      c += 1
+    }
+    bi
+  }
+
   // ---- halfvec (f16-packed binary) tier: decode-on-the-fly kernels.
   // The byte layout is Half.encodeBytes' little-endian f16 pairs; each
   // element widens to f32 then accumulates in double — bit-identical to
@@ -192,6 +227,35 @@ case class VecMaxSimExpr(left: Expression, right: Expression)
     defineCodeGen(ctx, ev, (a, b) => s"graft.functions.VecExprKernels.maxsim($a, $b)")
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
+}
+
+/** `vec_nearest(vec)` → nearest-centroid index over a fixed codebook
+  * (cosine argmin, ties to lowest index) — the SemDeDup assignment
+  * primitive as ONE expression. The codebook rides into generated code
+  * as a referenced object, so k=100k centroids cost one virtual call
+  * per row instead of k child expressions (which stop fitting JIT
+  * method limits past ~100). */
+case class VecNearestExpr(child: Expression, centroids: Array[Array[Float]])
+    extends UnaryExpression with ImplicitCastInputTypes {
+  require(centroids.nonEmpty, "vec_nearest needs a non-empty codebook")
+  override def prettyName: String = "vec_nearest"
+  override def inputTypes = Seq(ArrayType(FloatType))
+  override def dataType: DataType = IntegerType
+  @transient private lazy val cnorms: Array[Double] = centroids.map { c =>
+    var s = 0.0; var i = 0
+    while (i < c.length) { val x = c(i).toDouble; s += x * x; i += 1 }
+    math.sqrt(s)
+  }
+  override protected def nullSafeEval(a: Any): Any =
+    VecExprKernels.nearestCosdist(a.asInstanceOf[ArrayData], centroids, cnorms)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cRef = ctx.addReferenceObj("centroids", centroids, "float[][]")
+    val nRef = ctx.addReferenceObj("cnorms", cnorms, "double[]")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.VecExprKernels.nearestCosdist($c, $cRef, $nRef)")
+  }
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
 }
 
 /** Halfvec distance expressions: left = packed-f16 binary (the halfvec

@@ -219,17 +219,21 @@ object Curation {
     // ONCE and finish on the driver — the alternative (separate total()
     // jobs + a re-computed histogram under the ratio join) scans each
     // corpus twice for no reason
-    def hist(d: DataFrame, t: String, what: String): Array[Long] = {
+    def hist(d: DataFrame, t: String): Array[Long] = {
       val h = new Array[Long](buckets)
       bucketedShingles(d, t, n, buckets).groupBy("__b")
         .agg(count(lit(1)).as("__c")).as[(Long, Long)].collect()
         .foreach { case (b, c) => h(b.toInt) = c }
-      require(h.exists(_ > 0),
-        s"importance model: $what corpus has no $n-gram shingles")
       h
     }
-    val th = hist(target, targetTextCol, "target")
-    val rh = hist(raw, rawTextCol, "raw")
+    val th = hist(target, targetTextCol)
+    // a target with no shingles has no signal to model — loud. An EMPTY
+    // raw corpus is fine: zero counts smooth to the uniform 1/buckets
+    // distribution (and there is nothing to score anyway), so empty
+    // pipeline slices flow through instead of failing.
+    require(th.exists(_ > 0),
+      s"importance model: target corpus has no $n-gram shingles")
+    val rh = hist(raw, rawTextCol)
     val tTot = th.sum
     val rTot = rh.sum
     spark.createDataset((0 until buckets).map(b =>

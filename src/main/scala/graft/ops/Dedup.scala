@@ -828,13 +828,15 @@ object Dedup {
     val dim = centroids.head.length
     require(centroids.forall(_.length == dim),
       "semDedup centroids must share one dimensionality")
-    import graft.functions.GraftFunctions.vecCosdist
+    import graft.functions.GraftFunctions.{vecCosdist, vecNearest}
     val base = df.select(col(idCol).cast("long").as("id"),
       col(vecCol).cast("array<float>").as("v"))
-    val dists = array(centroids.toSeq.map(c =>
-      vecCosdist(col("v"), typedlit(c.toSeq))): _*)
-    val assigned = base.withColumn("cluster",
-      (array_position(dists, array_min(dists)) - 1).cast("int"))
+    // ONE fused argmin expression, not array_position over k cosdist
+    // children: the k-child tree stops fitting JIT method limits past
+    // ~100 centroids and Catalyst quietly degrades to interpreted
+    // per-row eval of every child (measured 20x at k=256); the codebook
+    // rides into codegen as a referenced object instead
+    val assigned = base.withColumn("cluster", vecNearest(col("v"), centroids))
     // loud skew guard: one cheap partial-agg pass over (cluster) ids only
     // — vectors don't ride it. Recompute of the assignment scan is the
     // price of failing BEFORE the quadratic join, not after.

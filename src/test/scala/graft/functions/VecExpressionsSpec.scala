@@ -124,4 +124,35 @@ class VecExpressionsSpec extends SparkSpec {
       bad.select(GraftFunctions.vecL2Half($"hv", $"q")).collect())
     assert(e.getMessage != null)
   }
+
+  test("vecNearest equals the k-cosdist argmin; ties to lowest; zero norms; dim throw") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{array, array_min, array_position, col, typedlit}
+    val rng = new scala.util.Random(41)
+    val k = 7
+    val cents = Array.fill(k)(Array.fill(8)(rng.nextFloat() * 2 - 1))
+    val rows = (0L until 300L).map(i => (i, Seq.fill(8)(rng.nextFloat() * 2 - 1))) :+
+      (999L, Seq.fill(8)(0.0f)) // zero vector: every cosdist = 1.0 -> index 0
+    val df = rows.toDF("id", "v")
+    val viaTree = df.select($"id",
+        (array_position(
+          array(cents.toSeq.map(c => GraftFunctions.vecCosdist($"v", typedlit(c.toSeq))): _*),
+          array_min(array(cents.toSeq.map(c =>
+            GraftFunctions.vecCosdist($"v", typedlit(c.toSeq))): _*))) - 1)
+          .cast("int").as("c"))
+      .as[(Long, Int)].collect().toMap
+    val viaExpr = df.select($"id", GraftFunctions.vecNearest($"v", cents).as("c"))
+      .as[(Long, Int)].collect().toMap
+    assert(viaExpr == viaTree)
+    assert(viaExpr(999L) == 0, "all-ties must pick the lowest index")
+    val dup = Array(cents(3), cents(3)) // identical centroids: tie -> 0
+    val t = df.limit(5).select(GraftFunctions.vecNearest($"v", dup).as("c"))
+      .as[Int].collect()
+    assert(t.forall(_ == 0))
+    val e = intercept[Exception] {
+      df.select(GraftFunctions.vecNearest($"v",
+        Array(Array.fill(5)(0.1f)))).collect()
+    }
+    assert(e.getMessage != null)
+  }
 }

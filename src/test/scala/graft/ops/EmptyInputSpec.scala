@@ -39,6 +39,31 @@ class EmptyInputSpec extends SparkSpec {
     } finally p.unpersist()
   }
 
+  test("round-8 curation/dedup additions over empty input return empty") {
+    import spark.implicits._
+    val ref = Seq((1L, "a b c d e f")).toDF("doc_id", "text")
+    assert(Dedup.semDedup(emptyVecs, "id", "vec", 0.2,
+      Array(Array.fill(4)(0.1f))).isEmpty)
+    assert(Dedup.minhashDedupAgainst(emptyDocs, "doc_id", "text",
+      ref, "doc_id", "text", 0.5).isEmpty)
+    assert(Dedup.minhashDedupAgainst(ref, "doc_id", "text",
+      emptyDocs, "doc_id", "text", 0.5).isEmpty)
+    assert(Dedup.minhashDedupAgainstIngest(emptyDocs, "doc_id", "text",
+      ref, "doc_id", "text", 0.5).isEmpty)
+    assert(Dedup.minhashDedupAgainstIngest(ref, "doc_id", "text",
+      emptyDocs, "doc_id", "text", 0.5).isEmpty)
+    assert(Curation.importanceWeights(emptyDocs, "doc_id", "text",
+      ref, "text").isEmpty)
+    assert(Curation.dsirResample(emptyDocs, "doc_id", "text",
+      ref, "text", nKeep = 5).isEmpty)
+    assert(Curation.ngramCrossEntropy(emptyDocs, "doc_id", "text",
+      ref, "text").isEmpty)
+    assert(Curation.importanceIngest(emptyDocs, "doc_id", "text",
+      Curation.importanceModel(ref, "text", emptyDocs, "text",
+        buckets = 64)).isEmpty)
+    assert(emptyDocs.select(TextOps.normalizeText(col("text"))).isEmpty)
+  }
+
   test("text and multimodal operators over empty input return empty") {
     import spark.implicits._
     val t = emptyDocs.select(
