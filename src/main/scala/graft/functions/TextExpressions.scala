@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /**
@@ -61,6 +61,38 @@ object TextExprKernels {
     new GenericArrayData(Array[Any](top.toLong, counts.size.toLong))
   }
 
+  /** Tokens NOT covered by any k-token window starting at one of
+    * `starts` (0-based shingle starts): token j is removed iff some
+    * start s has s <= j <= s+k-1 — an interval sweep over the sorted
+    * starts, linear in tokens + starts. Replaces
+    * `filter(t, (_, i) => !array_contains(cover, i+1))` over an
+    * `explode(sequence(i+1, i+k))`-built cover set: the HOF filter is
+    * interpreted AND O(tokens × cover), and the explode multiplies the
+    * dup-occurrence rows by k before the aggregation. */
+  def tokenCoverFilter(t: ArrayData, starts: ArrayData, k: Int): ArrayData = {
+    val n = t.numElements()
+    val m = starts.numElements()
+    val ss = new Array[Int](m)
+    var i = 0
+    while (i < m) { ss(i) = starts.getInt(i); i += 1 }
+    java.util.Arrays.sort(ss)
+    val out = new Array[Any](n)
+    var cnt = 0
+    var si = 0
+    var maxEnd = -1
+    var j = 0
+    while (j < n) {
+      while (si < m && ss(si) <= j) {
+        val e = ss(si) + k - 1
+        if (e > maxEnd) maxEnd = e
+        si += 1
+      }
+      if (j > maxEnd) { out(cnt) = t.getUTF8String(j); cnt += 1 }
+      j += 1
+    }
+    new GenericArrayData(out.slice(0, cnt))
+  }
+
   /** Unicode normalization for curation pipelines: canonical/compat
     * normalization (NFC=0 / NFKC=1), optional accent stripping (NFD →
     * drop non-spacing marks → renormalize — the utf8proc
@@ -85,6 +117,26 @@ object TextExprKernels {
     if (toLower) str = str.toLowerCase(java.util.Locale.ROOT)
     UTF8String.fromString(str)
   }
+}
+
+/** `token_cover_filter(tokens, starts)` — tokens surviving removal of
+  * every k-window at the given shingle starts, one generated call
+  * (see [[TextExprKernels.tokenCoverFilter]]). */
+case class TokenCoverFilterExpr(left: Expression, right: Expression, k: Int)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+    with ImplicitCastInputTypes {
+  require(k >= 1, s"k must be >= 1, got $k")
+  override def prettyName: String = "token_cover_filter"
+  override def inputTypes = Seq(ArrayType(StringType), ArrayType(IntegerType))
+  override def dataType: DataType = ArrayType(StringType)
+  override protected def nullSafeEval(t: Any, s: Any): Any =
+    TextExprKernels.tokenCoverFilter(
+      t.asInstanceOf[ArrayData], s.asInstanceOf[ArrayData], k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (t, s) =>
+      s"graft.functions.TextExprKernels.tokenCoverFilter($t, $s, $k)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
 }
 
 /** `normalize_text(string)` — Unicode NFC/NFKC + accent strip + lower

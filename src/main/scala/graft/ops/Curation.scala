@@ -759,15 +759,24 @@ object Curation {
       .agg(count(lit(1)).as("__c"))
       .filter(col("__c") >= minCount)
       .select("__h")
+    // dup-shingle STARTS aggregate per doc (bounded by doc length); the
+    // k-window cover + token rebuild happen inside one codegen kernel.
+    // The previous shape exploded each occurrence into k covered
+    // positions (k x the aggregation input) and rebuilt via an
+    // interpreted HOF filter with a linear array_contains per token —
+    // together they dominated the bulk run (49s -> see bench key).
     val cover = occ.join(dupKeys, Seq("__h"))
-      .select(col("doc_id"), explode(sequence(col("__i") + 1, col("__i") + k)).as("__p"))
       .groupBy("doc_id")
-      .agg(collect_set(col("__p")).as("__cover"))
+      .agg(collect_list(col("__i")).as("__starts"))
+    def coverFilter(t: Column, s: Column): Column =
+      org.apache.spark.sql.graft.ColumnBridge.column(
+        graft.functions.TokenCoverFilterExpr(
+          org.apache.spark.sql.graft.ColumnBridge.expression(t),
+          org.apache.spark.sql.graft.ColumnBridge.expression(s), k))
     docs.join(cover, Seq("doc_id"), "left")
       .select(col("doc_id"),
-        when(col("__cover").isNull, col("__t"))
-          .otherwise(filter(col("__t"),
-            (_, i) => !array_contains(col("__cover"), i + 1))).as("__kept"),
+        when(col("__starts").isNull, col("__t"))
+          .otherwise(coverFilter(col("__t"), col("__starts"))).as("__kept"),
         col("__t"))
       .select(col("doc_id"),
         array_join(col("__kept"), " ").as("text_clean"),
