@@ -618,11 +618,18 @@ object Curation {
       .filter(struct(col("doc_id").as("d"), col("__p").as("p")) =!= col("__keep"))
       .groupBy("doc_id")
       .agg(collect_set(col("__p")).as("__rm"))
+    // positional removal = the k=1 case of the substring-dedup cover
+    // kernel (one generated interval sweep instead of an interpreted
+    // HOF filter with a linear array_contains per line)
+    def rmFilter(l: Column, s: Column): Column =
+      org.apache.spark.sql.graft.ColumnBridge.column(
+        graft.functions.TokenCoverFilterExpr(
+          org.apache.spark.sql.graft.ColumnBridge.expression(l),
+          org.apache.spark.sql.graft.ColumnBridge.expression(s), 1))
     docs.join(removals, Seq("doc_id"), "left")
       .select(col("doc_id"),
         when(col("__rm").isNull, col("__l"))
-          .otherwise(filter(col("__l"),
-            (_, i) => !array_contains(col("__rm"), i))).as("__kept"),
+          .otherwise(rmFilter(col("__l"), col("__rm"))).as("__kept"),
         col("__l"))
       .select(col("doc_id"),
         array_join(col("__kept"), sep).as("text_clean"),
