@@ -220,5 +220,76 @@ object GraftFunctions {
     spark.udf.register("rabitq_cosdist", rabitqCosdist)
     spark.udf.register("vec_to_text", vecToText)
     spark.udf.register("vec_from_text", vecFromText)
+    // text/curation expressions — literal config args are folded at
+    // registration-call time (they configure the generated code)
+    def litInt(e: org.apache.spark.sql.catalyst.expressions.Expression,
+               what: String): Int = {
+      require(e.foldable, s"$what must be a literal")
+      e.eval() match {
+        case i: Int => i
+        case l: Long => l.toInt
+        case other => throw new IllegalArgumentException(
+          s"$what must be an integer literal, got $other")
+      }
+    }
+    def litBool(e: org.apache.spark.sql.catalyst.expressions.Expression,
+                what: String): Boolean = {
+      require(e.foldable, s"$what must be a literal")
+      e.eval().asInstanceOf[Boolean]
+    }
+    def litStr(e: org.apache.spark.sql.catalyst.expressions.Expression,
+               what: String): String = {
+      require(e.foldable, s"$what must be a literal")
+      String.valueOf(e.eval())
+    }
+    reg.registerFunction(FunctionIdentifier("token_shingles"),
+      new ExpressionInfo(classOf[TokenShinglesExpr].getName, "token_shingles"),
+      exprs => {
+        require(exprs.length == 2, "token_shingles(tokens, n)")
+        TokenShinglesExpr(exprs(0), litInt(exprs(1), "token_shingles n"))
+      })
+    reg.registerFunction(FunctionIdentifier("token_stats"),
+      new ExpressionInfo(classOf[TokenStatsExpr].getName, "token_stats"),
+      exprs => {
+        require(exprs.length == 1, "token_stats(tokens)")
+        TokenStatsExpr(exprs.head)
+      })
+    reg.registerFunction(FunctionIdentifier("normalize_text"),
+      new ExpressionInfo(classOf[NormalizeTextExpr].getName, "normalize_text"),
+      exprs => {
+        require(exprs.nonEmpty && exprs.length <= 4,
+          "normalize_text(text[, form[, lower[, strip_accents]]])")
+        NormalizeTextExpr(exprs.head,
+          if (exprs.length > 1) litStr(exprs(1), "normalize_text form") else "nfc",
+          if (exprs.length > 2) litBool(exprs(2), "normalize_text lower") else true,
+          if (exprs.length > 3) litBool(exprs(3), "normalize_text strip_accents") else false)
+      })
+    reg.registerFunction(FunctionIdentifier("vec_nearest"),
+      new ExpressionInfo(classOf[VecNearestExpr].getName, "vec_nearest"),
+      exprs => {
+        require(exprs.length == 2, "vec_nearest(vec, array(array(...), ...))")
+        require(exprs(1).foldable, "vec_nearest codebook must be a literal")
+        val ad = exprs(1).eval()
+          .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+        val elemType = exprs(1).dataType
+          .asInstanceOf[org.apache.spark.sql.types.ArrayType].elementType
+          .asInstanceOf[org.apache.spark.sql.types.ArrayType].elementType
+        val cents = Array.tabulate(ad.numElements()) { i =>
+          val row = ad.getArray(i)
+          Array.tabulate(row.numElements()) { j =>
+            elemType match {
+              case org.apache.spark.sql.types.FloatType => row.getFloat(j)
+              case org.apache.spark.sql.types.DoubleType => row.getDouble(j).toFloat
+              case org.apache.spark.sql.types.IntegerType => row.getInt(j).toFloat
+              case org.apache.spark.sql.types.LongType => row.getLong(j).toFloat
+              case d: org.apache.spark.sql.types.DecimalType =>
+                row.getDecimal(j, d.precision, d.scale).toFloat
+              case t => throw new IllegalArgumentException(
+                s"vec_nearest codebook element type $t unsupported")
+            }
+          }
+        }
+        VecNearestExpr(exprs.head, cents)
+      })
   }
 }

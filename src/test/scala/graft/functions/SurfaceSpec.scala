@@ -84,4 +84,32 @@ class SurfaceSpec extends SparkSpec {
       .count()
     assert(inSphere > 0)
   }
+
+  test("text/curation SQL functions: registered forms equal the DSL forms") {
+    import spark.implicits._
+    GraftFunctions.registerAll(spark)
+    Seq((1L, "a b a b c", Seq(0.9f, 0.1f)), (2L, "x y", Seq(0.1f, 0.8f)))
+      .toDF("id", "t", "v").createOrReplaceTempView("surf_txt")
+    val sql = spark.sql(
+      """SELECT id,
+        |  token_shingles(split(t, ' '), 2) AS sh,
+        |  token_stats(split(t, ' ')) AS st,
+        |  normalize_text('CAFÉ ' || t, 'nfc', true, true) AS nm,
+        |  vec_nearest(v, CAST(array(array(1.0, 0.0), array(0.0, 1.0)) AS ARRAY<ARRAY<FLOAT>>)) AS c
+        |FROM surf_txt ORDER BY id""".stripMargin)
+      .collect()
+    val cents = Array(Array(1.0f, 0.0f), Array(0.0f, 1.0f))
+    val dsl = spark.table("surf_txt")
+      .select(col("id"),
+        graft.ops.Curation.tokenShingles(split(col("t"), " "), 2).as("sh"),
+        org.apache.spark.sql.graft.ColumnBridge.column(
+          TokenStatsExpr(org.apache.spark.sql.graft.ColumnBridge
+            .expression(split(col("t"), " ")))).as("st"),
+        graft.ops.TextOps.normalizeText(concat(lit("CAFÉ "), col("t")),
+          "nfc", lower = true, stripAccents = true).as("nm"),
+        GraftFunctions.vecNearest(col("v"), cents).as("c"))
+      .orderBy("id").collect()
+    assert(sql.toSeq.map(_.toSeq) == dsl.toSeq.map(_.toSeq))
+    assert(sql(0).getAs[Int]("c") == 0 && sql(1).getAs[Int]("c") == 1)
+  }
 }
