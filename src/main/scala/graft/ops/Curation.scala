@@ -356,16 +356,15 @@ object Curation {
    *
    * Output: (doc_id, n_bigrams, xent).
    */
-  def ngramCrossEntropy(df: DataFrame, idCol: String, textCol: String,
-                        lmDf: DataFrame, lmTextCol: String,
-                        buckets: Int = 8192, alpha: Double = 0.1): DataFrame = {
+  /** The hashed bigram LM as two dense histograms: (bigram counts,
+    * context counts), each indexed by md5 bucket — the model behind
+    * [[ngramCrossEntropy]] and [[ngramCrossEntropyIngest]]. Loud when
+    * the LM corpus has no bigrams (a model from nothing is an error). */
+  def ngramLm(lmDf: DataFrame, lmTextCol: String,
+              buckets: Int = 8192): (Array[Long], Array[Long]) = {
     require(buckets >= 2, s"need >= 2 hash buckets, got $buckets")
-    require(alpha > 0, s"smoothing alpha must be > 0, got $alpha")
-    val spark = df.sparkSession
+    val spark = lmDf.sparkSession
     import spark.implicits._
-    def ctxArr(t: Column): Column =
-      slice(t, lit(1), greatest(size(t) - 1, lit(0)))
-    // histograms over the LM corpus: bigram buckets + context buckets
     def hist(mk: Column => Column): Array[Long] = {
       val h = new Array[Long](buckets)
       lmDf.select(explode(mk(toks(col(lmTextCol)))).as("__g"))
@@ -376,8 +375,69 @@ object Curation {
       h
     }
     val cb = hist(t => tokenShingles(t, 2))
-    val cu = hist(ctxArr)
-    require(cb.exists(_ > 0), "ngramCrossEntropy: LM corpus has no bigrams")
+    val cu = hist(t => slice(t, lit(1), greatest(size(t) - 1, lit(0))))
+    require(cb.exists(_ > 0), "ngram LM corpus has no bigrams")
+    (cb, cu)
+  }
+
+  /**
+   * STREAMING-shaped LM scoring: [[ngramCrossEntropy]]'s per-doc reduce
+   * runs through an explode + shuffle — this variant scores each row
+   * IN-ROW against the collected [[ngramLm]] histograms (dense arrays,
+   * bounded by `buckets`), the [[importanceIngest]] pattern: identical
+   * xent up to double-summation reordering, append-mode safe.
+   */
+  def ngramCrossEntropyIngest(df: DataFrame, idCol: String, textCol: String,
+                              lm: (Array[Long], Array[Long]),
+                              alpha: Double = 0.1): DataFrame = {
+    require(alpha > 0, s"smoothing alpha must be > 0, got $alpha")
+    val (cb, cu) = lm
+    require(cb.length == cu.length && cb.nonEmpty,
+      "ngram LM histograms must be same-length and non-empty")
+    val spark = df.sparkSession
+    val bCb = spark.sparkContext.broadcast(cb)
+    val bCu = spark.sparkContext.broadcast(cu)
+    val aa = alpha
+    val score = udf { (text: String) =>
+      val hb = bCb.value
+      val hc = bCu.value
+      val b = hb.length
+      val md = java.security.MessageDigest.getInstance("MD5")
+      def bucket(s: String): Int = {
+        val d = md.digest(s.getBytes("UTF-8"))
+        md.reset()
+        (((((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+           ((d(2) & 0xffL) << 8) | (d(3) & 0xffL))) % b).toInt
+      }
+      val toks = text.split(' ')
+      var s = 0.0
+      var cnt = 0L
+      var i = 0
+      while (i + 2 <= toks.length) {
+        val b2 = bucket(toks(i) + " " + toks(i + 1))
+        val b1 = bucket(toks(i))
+        s += math.log((hb(b2) + aa) / (hc(b1) + aa * b))
+        cnt += 1
+        i += 1
+      }
+      (cnt, s)
+    }
+    df.select(col(idCol).as("doc_id"), score(col(textCol).cast("string")).as("__r"))
+      .filter(col("__r._1") > 0)
+      .select(col("doc_id"), col("__r._1").as("n_bigrams"),
+        (-col("__r._2") / col("__r._1")).as("xent"))
+  }
+
+  def ngramCrossEntropy(df: DataFrame, idCol: String, textCol: String,
+                        lmDf: DataFrame, lmTextCol: String,
+                        buckets: Int = 8192, alpha: Double = 0.1): DataFrame = {
+    require(buckets >= 2, s"need >= 2 hash buckets, got $buckets")
+    require(alpha > 0, s"smoothing alpha must be > 0, got $alpha")
+    val spark = df.sparkSession
+    import spark.implicits._
+    def ctxArr(t: Column): Column =
+      slice(t, lit(1), greatest(size(t) - 1, lit(0)))
+    val (cb, cu) = ngramLm(lmDf, lmTextCol, buckets)
     val cbDf = broadcast(spark.createDataset(
       (0 until buckets).map(b => (b.toLong, cb(b)))).toDF("__b2", "__cb"))
     val cuDf = broadcast(spark.createDataset(

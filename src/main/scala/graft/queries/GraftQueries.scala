@@ -771,6 +771,82 @@ object GraftQueries {
              |FROM p JOIN n na ON na.vec_id = p.va JOIN n nb ON nb.vec_id = p.vb
              |WHERE 1.0 - dot / (na.nrm * nb.nrm) < 0.5 ORDER BY da, db""".stripMargin)),
 
+    // The round-8 flagship composition — every NEW curation stage in one
+    // pipeline, hash-matched against a single DuckDB CTE chain:
+    // Unicode-normalize -> bigram-LM perplexity gate (en LM) ->
+    // cross-corpus near-dup drop vs the eval slice -> DSIR top-100
+    // toward the en distribution.
+    "curate_corpus_v2" -> Q(
+      (s, d) => {
+        val docs = tbl(s, d, "documents")
+        val nd = docs.select(col("doc_id"), col("lang"), col("source"),
+          TextOps.normalizeText(col("text"), "nfc", lower = true,
+            stripAccents = true).as("tn"))
+        val evalDf = nd.filter(col("doc_id") % 7 === 0)
+        val train = nd.filter(col("doc_id") % 7 =!= 0)
+        val enLm = train.filter(col("lang") === "en")
+        val scored = Curation.ngramCrossEntropy(train, "doc_id", "tn",
+          enLm, "tn", buckets = 256, alpha = 0.1)
+        val gated = train.join(
+          scored.filter(col("xent") <= 2.15).select("doc_id"), Seq("doc_id"))
+        val dupHits = Dedup.minhashDedupAgainst(gated, "doc_id", "tn",
+            evalDf, "doc_id", "tn", 0.4)
+          .select(col("da").as("doc_id")).distinct()
+        val dd = gated.join(dupHits, Seq("doc_id"), "left_anti")
+        Curation.dsirResample(dd, "doc_id", "tn", enLm, "tn", nKeep = 100,
+            n = 2, buckets = 256, alpha = 0.01)
+          .select(col("doc_id"), (round(col("weight"), 3) + 0.0).as("weight"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH nd AS (SELECT doc_id, lang, source, lower(strip_accents(nfc_normalize(text))) AS tn FROM documents),
+             |tr AS (SELECT * FROM nd WHERE doc_id % 7 <> 0),
+             |lt AS (SELECT string_split(tn, ' ') AS t FROM tr WHERE lang = 'en'),
+             |lb AS (SELECT CAST(concat('0x', substr(md5(t[i] || ' ' || t[i+1]),1,8)) AS BIGINT) % 256 AS b
+             |  FROM (SELECT t, unnest(range(1, len(t))) AS i FROM lt) _a),
+             |cb AS (SELECT b, count(*) AS c FROM lb GROUP BY b),
+             |lc AS (SELECT CAST(concat('0x', substr(md5(t[i]),1,8)) AS BIGINT) % 256 AS b
+             |  FROM (SELECT t, unnest(range(1, len(t))) AS i FROM lt) _c),
+             |cu AS (SELECT b, count(*) AS c FROM lc GROUP BY b),
+             |dk AS (SELECT doc_id, t, unnest(range(1, len(t))) AS i
+             |  FROM (SELECT doc_id, string_split(tn, ' ') AS t FROM tr) _d),
+             |q AS (SELECT doc_id,
+             |  CAST(concat('0x', substr(md5(t[i]),1,8)) AS BIGINT) % 256 AS b1,
+             |  CAST(concat('0x', substr(md5(t[i] || ' ' || t[i+1]),1,8)) AS BIGINT) % 256 AS b2
+             |  FROM dk),
+             |sc AS (SELECT doc_id, ln((coalesce(cb.c, 0) + 0.1) / (coalesce(cu.c, 0) + 0.1 * 256)) AS lp
+             |  FROM q LEFT JOIN cb ON cb.b = q.b2 LEFT JOIN cu ON cu.b = q.b1),
+             |x AS (SELECT doc_id, -sum(lp) / count(*) AS xe FROM sc GROUP BY 1),
+             |gated AS (SELECT tr.* FROM tr JOIN x ON x.doc_id = tr.doc_id WHERE x.xe <= 2.15),
+             |t3 AS (SELECT doc_id, string_split(tn, ' ') AS toks FROM nd),
+             |x3 AS (SELECT doc_id, toks, unnest(range(0, len(toks) - 2)) AS i FROM t3 WHERE len(toks) >= 3),
+             |s3 AS (SELECT DISTINCT doc_id, toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] AS sh FROM x3),
+             |c3 AS (SELECT doc_id, count(*) AS n FROM s3 GROUP BY 1),
+             |inter AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i FROM s3 a
+             |  JOIN s3 b ON a.sh = b.sh AND a.doc_id % 7 <> 0 AND b.doc_id % 7 = 0
+             |  WHERE a.doc_id IN (SELECT doc_id FROM gated) GROUP BY 1, 2),
+             |hits AS (SELECT DISTINCT da FROM inter
+             |  JOIN c3 ca ON ca.doc_id = da JOIN c3 cc ON cc.doc_id = db
+             |  WHERE CAST(i AS DOUBLE) / (ca.n + cc.n - i) >= 0.4),
+             |dd AS (SELECT * FROM gated WHERE doc_id NOT IN (SELECT da FROM hits)),
+             |g2 AS (SELECT doc_id, array_to_string(t[i:i+1], ' ') AS g
+             |  FROM (SELECT doc_id, t, unnest(range(1, len(t))) AS i
+             |        FROM (SELECT doc_id, string_split(tn, ' ') AS t FROM dd) _q) _g),
+             |bk AS (SELECT doc_id, CAST(concat('0x', substr(md5(g),1,8)) AS BIGINT) % 256 AS b FROM g2),
+             |tg AS (SELECT CAST(concat('0x', substr(md5(array_to_string(t[i:i+1], ' ')),1,8)) AS BIGINT) % 256 AS b
+             |  FROM (SELECT t, unnest(range(1, len(t))) AS i FROM lt) _t),
+             |tc AS (SELECT b, count(*) AS ct FROM tg GROUP BY b),
+             |rc AS (SELECT b, count(*) AS cr FROM bk GROUP BY b),
+             |tot AS (SELECT (SELECT sum(ct) FROM tc) AS tt, (SELECT sum(cr) FROM rc) AS rt),
+             |lr AS (SELECT rc.b AS b,
+             |  ln((coalesce(tc.ct, 0) + 0.01) / (tot.tt + 0.01 * 256)) -
+             |  ln((rc.cr + 0.01) / (tot.rt + 0.01 * 256)) AS w
+             |  FROM rc CROSS JOIN tot LEFT JOIN tc ON tc.b = rc.b),
+             |wt AS (SELECT bk.doc_id, sum(lr.w) AS wv FROM bk JOIN lr ON lr.b = bk.b GROUP BY 1),
+             |sel AS (SELECT doc_id, wv FROM (SELECT doc_id, wv,
+             |    wv - ln(-ln(CAST(concat('0x', substr(md5(concat('dsir:', CAST(doc_id AS VARCHAR))),1,8)) AS BIGINT) / 4294967296.0)) AS k
+             |  FROM wt) _s ORDER BY k DESC, doc_id LIMIT 100)
+             |SELECT doc_id, round(wv, 3) + 0.0 AS weight FROM sel ORDER BY doc_id""".stripMargin)),
+
     // CCNet-style perplexity filtering: cross-entropy of every document
     // under a hashed bigram LM trained on the en slice. The oracle
     // rebuilds both histograms and re-scores every bigram from scratch.

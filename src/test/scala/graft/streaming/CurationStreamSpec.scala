@@ -179,6 +179,35 @@ class CurationStreamSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("ngramCrossEntropyIngest scores a stream in-row, matching batch xent") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val lmDf = Seq((0L, "a b a b c a b")).toDF("doc_id", "text")
+    val docs = (0L until 30L).map(i =>
+      (i, if (i % 2 == 0) "a b a b" else "p q r s t"))
+    val docsDf = docs.toDF("doc_id", "text")
+    val batch = Curation.ngramCrossEntropy(docsDf, "doc_id", "text",
+        lmDf, "text", buckets = 64)
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    val lm = Curation.ngramLm(lmDf, "text", buckets = 64)
+    val input = MemoryStream[(Long, String)]
+    val query = Curation.ngramCrossEntropyIngest(
+        input.toDF().toDF("doc_id", "text"), "doc_id", "text", lm)
+      .writeStream.format("memory").queryName("xent_stream")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(docs.take(15)); query.processAllAvailable()
+      input.addData(docs.drop(15)); query.processAllAvailable()
+      val streamed = spark.sql("SELECT doc_id, n_bigrams, xent FROM xent_stream")
+        .as[(Long, Long, Double)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+      assert(streamed.keySet == batch.keySet)
+      streamed.foreach { case (id, (nb, x)) =>
+        assert(nb == batch(id)._1, s"doc $id bigram count")
+        assert(math.abs(x - batch(id)._2) < 1e-9, s"doc $id xent")
+      }
+    } finally query.stop()
+  }
+
   test("importanceIngest scores a stream in-row, matching batch DSIR weights") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
