@@ -35,9 +35,26 @@ object DedupScale {
     import spark.implicits._
     val dim = 64
     val nDup = n / 100
+    // SPARK_GRAFT_DEDUP_CLUSTERED=1: draw base vectors around 256
+    // Gaussian blob centers (the geometry real embedding corpora have)
+    // instead of uniform — the regime where SemDeDup's nearest-centroid
+    // clusters align with the data and boundary losses vanish
+    val clustered = sys.env.get("SPARK_GRAFT_DEDUP_CLUSTERED").contains("1")
+    val centers: Array[Array[Float]] =
+      if (!clustered) null
+      else Array.tabulate(256) { c =>
+        val rng = new scala.util.Random(c * 977L + 13)
+        Array.fill(dim)(rng.nextFloat() * 2 - 1)
+      }
     def baseVec(i: Long): Array[Float] = {
       val rng = new scala.util.Random(i)
-      Array.fill(dim)(rng.nextFloat() * 2 - 1)
+      if (!clustered) Array.fill(dim)(rng.nextFloat() * 2 - 1)
+      else {
+        val c = centers((i % 256).toInt)
+        // blob spread sized so same-blob strangers sit at cosdist ~0.2-0.4
+        // (NOT near-dups at tau=0.05) while planted twins stay at ~0.03
+        Array.tabulate(dim)(j => c(j) + 0.4f * rng.nextGaussian().toFloat)
+      }
     }
     val base = spark.range(n).map(i => (i.toLong, baseVec(i)))
     // planted near-dups: id n+i duplicates id i at cosdist ~ eps^2/2 = 0.03
@@ -88,6 +105,26 @@ object DedupScale {
           bruteCap = n + nDup).count()
       }
       say(s"brute pairs=$brutePairs (ground truth)")
+    }
+    if (mode == "semdedup" || mode == "all") {
+      // SemDeDup on the same fixture: k-means clusters + in-cluster pairs.
+      // Timed END TO END including centroid training (the honest number);
+      // recall < 1 is the algorithm's cluster-boundary trade, reported.
+      val k = sys.env.getOrElse("SPARK_GRAFT_SEMDEDUP_K", "512").toInt
+      graft.ops.Dedup.semDedupAuto(df.limit(5000), "id", "vec", tau, k = 16)
+        .count() // JIT warm
+      var semPairs = 0L
+      var semPlanted = 0L
+      timed(s"semdedup_$n") {
+        val pairs = graft.ops.Dedup.semDedupAuto(df, "id", "vec", tau,
+            k = k, maxCluster = 400000)
+          .select(col("da"), col("db")).persist()
+        semPairs = pairs.count()
+        semPlanted = pairs.filter(col("db") === col("da") + n).count()
+        pairs.unpersist()
+      }
+      say(s"semdedup k=$k pairs=$semPairs plantedFound=$semPlanted/$nDup " +
+        f"(plantedRecall=${semPlanted.toDouble / nDup}%.4f)")
     }
     val qs = out.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     println(s"""{"metric":"dedup_scale","n":$n,"timings":$qs,"lsh_pairs":$lshPairs,"planted_found":$lshPlanted}""")
