@@ -949,6 +949,46 @@ object GraftQueries {
              |FROM p JOIN n na ON na.vec_id = p.va JOIN n nb ON nb.vec_id = p.vb
              |WHERE 1.0 - dot / (na.nrm * nb.nrm) < 0.6 ORDER BY da, db""".stripMargin)),
 
+    // Diversity filtering (the SemDeDup paper's companion op): cluster
+    // embeddings, keep a deterministic per-cluster quota — assignment via
+    // the same label-mean centroids, quota via capPerKey over the md5
+    // unit hash (the skew-safe non-window top-n).
+    "cluster_diversify" -> Q(
+      (s, d) => {
+        val e = tbl(s, d, "embeddings")
+        val rows = e.select(col("label").cast("int").as("cid"),
+            posexplode(col("embedding")))
+          .groupBy("cid", "pos").agg(avg(col("col").cast("double")).as("cv"))
+          .collect()
+        val k = rows.map(_.getInt(0)).max + 1
+        val dim = rows.map(_.getInt(1)).max + 1
+        val cents = Array.fill(k)(new Array[Float](dim))
+        rows.foreach(r => cents(r.getInt(0))(r.getInt(1)) = r.getDouble(2).toFloat)
+        val assigned = e.select(col("vec_id"),
+            graft.functions.GraftFunctions.vecNearest(col("embedding"), cents)
+              .as("cluster"))
+          .withColumn("u", Curation.hashUnit(col("vec_id"), "div"))
+        Curation.capPerKey(assigned, "cluster", "u", 20)
+          .select(col("vec_id"), col("cluster"))
+          .orderBy("vec_id")
+      },
+      Some("""WITH e AS (SELECT vec_id, embedding, unnest(range(0, 64)) AS i FROM embeddings),
+             |cm AS (SELECT label AS cid, i,
+             |  CAST(CAST(avg(CAST(embedding[i+1] AS DOUBLE)) AS REAL) AS DOUBLE) AS cv
+             |  FROM (SELECT label, embedding, unnest(range(0, 64)) AS i FROM embeddings) GROUP BY 1, 2),
+             |ad AS (SELECT e.vec_id, cm.cid,
+             |  1.0 - sum(CAST(e.embedding[e.i+1] AS DOUBLE) * cm.cv)
+             |      / (sqrt(sum(power(CAST(e.embedding[e.i+1] AS DOUBLE), 2))) * sqrt(sum(power(cm.cv, 2)))) AS cd
+             |  FROM e JOIN cm ON e.i = cm.i GROUP BY 1, 2),
+             |asn AS (SELECT vec_id, cid FROM (SELECT vec_id, cid,
+             |  row_number() OVER (PARTITION BY vec_id ORDER BY cd, cid) AS rn FROM ad) t WHERE rn = 1),
+             |u AS (SELECT vec_id, cid,
+             |  CAST(concat('0x', substr(md5(concat('div:', CAST(vec_id AS VARCHAR))),1,8)) AS BIGINT) / 4294967296.0 AS uu
+             |  FROM asn),
+             |sel AS (SELECT vec_id, cid FROM (SELECT vec_id, cid,
+             |  row_number() OVER (PARTITION BY cid ORDER BY uu) AS rn FROM u) _t WHERE rn <= 20)
+             |SELECT vec_id, CAST(cid AS INT) AS cluster FROM sel ORDER BY vec_id""".stripMargin)),
+
     // ---- text analysis suite ----
 
     // Unicode normalization: NFC + accent strip + lower over text with a
