@@ -820,23 +820,33 @@ object Dedup {
    *
    * Output: (cluster, da, db, cosdist) with da < db.
    */
+  /** Nearest-centroid cluster assignment (cosine argmin, ties to the
+    * lowest index): (id, v, cluster) — the shared substrate of
+    * [[semDedup]] and per-cluster diversity quotas
+    * (`Curation.capPerKey` over the cluster column). ONE fused argmin
+    * expression, not `array_position` over k cosdist children: the
+    * k-child tree stops fitting JIT method limits past ~100 centroids
+    * and Catalyst quietly degrades to interpreted per-row eval of every
+    * child (measured 20x at k=256); the codebook rides into generated
+    * code as a referenced object instead. */
+  def assignClusters(df: DataFrame, idCol: String, vecCol: String,
+                     centroids: Array[Array[Float]]): DataFrame = {
+    require(centroids.nonEmpty, "assignClusters needs at least one centroid")
+    val dim = centroids.head.length
+    require(centroids.forall(_.length == dim),
+      "centroids must share one dimensionality")
+    df.select(col(idCol).cast("long").as("id"),
+        col(vecCol).cast("array<float>").as("v"))
+      .withColumn("cluster",
+        graft.functions.GraftFunctions.vecNearest(col("v"), centroids))
+  }
+
   def semDedup(df: DataFrame, idCol: String, vecCol: String, eps: Double,
                centroids: Array[Array[Float]],
                maxCluster: Int = 100000): DataFrame = {
-    require(centroids.nonEmpty, "semDedup needs at least one centroid")
     require(eps > 0.0 && eps <= 2.0, s"eps must be in (0, 2], got $eps")
-    val dim = centroids.head.length
-    require(centroids.forall(_.length == dim),
-      "semDedup centroids must share one dimensionality")
-    import graft.functions.GraftFunctions.{vecCosdist, vecNearest}
-    val base = df.select(col(idCol).cast("long").as("id"),
-      col(vecCol).cast("array<float>").as("v"))
-    // ONE fused argmin expression, not array_position over k cosdist
-    // children: the k-child tree stops fitting JIT method limits past
-    // ~100 centroids and Catalyst quietly degrades to interpreted
-    // per-row eval of every child (measured 20x at k=256); the codebook
-    // rides into codegen as a referenced object instead
-    val assigned = base.withColumn("cluster", vecNearest(col("v"), centroids))
+    import graft.functions.GraftFunctions.vecCosdist
+    val assigned = assignClusters(df, idCol, vecCol, centroids)
     // loud skew guard: one cheap partial-agg pass over (cluster) ids only
     // — vectors don't ride it. Recompute of the assignment scan is the
     // price of failing BEFORE the quadratic join, not after.

@@ -964,9 +964,8 @@ object GraftQueries {
         val dim = rows.map(_.getInt(1)).max + 1
         val cents = Array.fill(k)(new Array[Float](dim))
         rows.foreach(r => cents(r.getInt(0))(r.getInt(1)) = r.getDouble(2).toFloat)
-        val assigned = e.select(col("vec_id"),
-            graft.functions.GraftFunctions.vecNearest(col("embedding"), cents)
-              .as("cluster"))
+        val assigned = Dedup.assignClusters(e, "vec_id", "embedding", cents)
+          .select(col("id").as("vec_id"), col("cluster"))
           .withColumn("u", Curation.hashUnit(col("vec_id"), "div"))
         Curation.capPerKey(assigned, "cluster", "u", 20)
           .select(col("vec_id"), col("cluster"))
