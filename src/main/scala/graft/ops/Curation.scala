@@ -729,6 +729,105 @@ object Curation {
   }
 
   /**
+   * Train the quality classifier [[scoreWithModel]] serves — the
+   * fastText-style bag-of-words logistic regression every major
+   * pipeline uses for quality filtering (CCNet wiki-likeness, LLaMA):
+   * score = sigmoid(bias + mean token weight). Training runs
+   * full-batch gradient descent over HASHED unigram features on a
+   * bounded, deterministically-drawn sample (ordered by the md5 unit
+   * hash — no RNG, stable under repartitioning), collected to the
+   * driver: classifier training corpora are labeled subsets in the
+   * 10^5-10^6 range, so the driver loop is the right engineering —
+   * Spark does the distributed feature pass here and the corpus-scale
+   * SERVING in [[scoreWithModel]]/[[scoreWithModelIngest]].
+   * `sampleCap` bounds driver memory loudly.
+   *
+   * Returns the (term, weight) vocabulary over the sample's distinct
+   * terms (each term carrying its hash bucket's learned weight — OOV
+   * terms score 0 at serve time, as scoreWithModel defines) plus the
+   * learned bias: exactly the inputs scoreWithModel takes.
+   */
+  def trainQualityModel(docs: DataFrame, textCol: String, labelCol: String,
+                        buckets: Int = 32768, iters: Int = 100,
+                        lr: Double = 2.0, sampleCap: Int = 200000,
+                        seed: String = "train"): (DataFrame, Double) = {
+    require(buckets >= 2, s"need >= 2 hash buckets, got $buckets")
+    require(iters >= 1 && lr > 0, "iters >= 1 and lr > 0 required")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val rows: Array[(Double, String)] = docs
+      .select(col(labelCol).cast("double"), col(textCol).cast("string"))
+      .withColumn("__r", hashUnit(col(textCol), seed))
+      .orderBy(col("__r"), col(labelCol))
+      .limit(sampleCap + 1)
+      .select(col(labelCol).cast("double"), col(textCol).cast("string"))
+      .as[(Double, String)].collect()
+    require(rows.length <= sampleCap,
+      s"training sample exceeds sampleCap=$sampleCap — raise the cap or " +
+        "pre-sample the labeled set")
+    require(rows.nonEmpty, "trainQualityModel: empty training set")
+    require(rows.forall(r => r._1 == 0.0 || r._1 == 1.0),
+      "labels must be 0.0 or 1.0")
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def bucket(s: String): Int = {
+      val d = md.digest(s.getBytes("UTF-8"))
+      md.reset()
+      (((((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+         ((d(2) & 0xffL) << 8) | (d(3) & 0xffL))) % buckets).toInt
+    }
+    // sparse per-doc features: (bucket -> count)/m
+    val feats: Array[(Double, Array[Int], Array[Double])] = rows.map {
+      case (y, text) =>
+        val toks = text.split(' ')
+        val m = new java.util.HashMap[Integer, Integer]()
+        toks.foreach { t =>
+          val b = Integer.valueOf(bucket(t))
+          val p = m.get(b); m.put(b, Integer.valueOf(if (p == null) 1 else p + 1))
+        }
+        val ks = new Array[Int](m.size)
+        val vs = new Array[Double](m.size)
+        var i = 0
+        val it = m.entrySet().iterator()
+        // deterministic feature order: sort by bucket
+        val entries = new Array[(Int, Int)](m.size)
+        while (it.hasNext) { val e = it.next(); entries(i) = (e.getKey.intValue, e.getValue.intValue); i += 1 }
+        java.util.Arrays.sort(entries, Ordering.by((p: (Int, Int)) => p._1))
+        i = 0
+        while (i < entries.length) {
+          ks(i) = entries(i)._1
+          vs(i) = entries(i)._2.toDouble / toks.length
+          i += 1
+        }
+        (y, ks, vs)
+    }
+    val w = new Array[Double](buckets)
+    var bias = 0.0
+    val n = feats.length.toDouble
+    var iter = 0
+    while (iter < iters) {
+      val gw = new Array[Double](buckets)
+      var gb = 0.0
+      feats.foreach { case (y, ks, vs) =>
+        var s = bias
+        var i = 0
+        while (i < ks.length) { s += w(ks(i)) * vs(i); i += 1 }
+        val r = 1.0 / (1.0 + math.exp(-s)) - y
+        gb += r
+        i = 0
+        while (i < ks.length) { gw(ks(i)) += r * vs(i); i += 1 }
+      }
+      var b = 0
+      while (b < buckets) { w(b) -= lr * gw(b) / n; b += 1 }
+      bias -= lr * gb / n
+      iter += 1
+    }
+    val terms: Array[(String, Double)] = rows
+      .iterator.flatMap(_._2.split(' ')).toSet[String].toArray.sorted
+      .map(t => t -> w(bucket(t)))
+    (spark.createDataset(terms.toSeq).toDF("term", "weight"), bias)
+  }
+
+  /**
    * STREAMING-shaped model scoring: [[scoreWithModel]] aggregates through
    * an explode + shuffle, which an append-mode streaming ingest cannot do
    * statelessly — this variant scores each row IN-ROW against a

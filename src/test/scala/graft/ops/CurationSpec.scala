@@ -297,6 +297,36 @@ class CurationSpec extends SparkSpec {
     assert(w(1L)._2 < 0.0, "off-target doc has negative log-ratio")
   }
 
+  test("trainQualityModel: separates planted classes, deterministic, serves via scoreWithModel") {
+    import spark.implicits._
+    val rng = new scala.util.Random(47)
+    val posW = Vector("good", "great", "fine", "nice", "clear", "solid")
+    val negW = Vector("bad", "awful", "poor", "sad", "noisy", "junk")
+    def mk(v: Vector[String]) = Seq.fill(12)(v(rng.nextInt(v.size))).mkString(" ")
+    val train = ((0 until 60).map(i => (1.0, mk(posW))) ++
+      (0 until 60).map(i => (0.0, mk(negW)))).toDF("label", "text")
+    val (w, bias) = Curation.trainQualityModel(train, "text", "label",
+      buckets = 1024, iters = 200, lr = 2.0)
+    // determinism across repartitionings
+    val (w2, bias2) = Curation.trainQualityModel(train.repartition(7), "text", "label",
+      buckets = 1024, iters = 200, lr = 2.0)
+    assert(bias == bias2)
+    assert(w.orderBy("term").collect().toSeq == w2.orderBy("term").collect().toSeq)
+    // held-out docs (same vocab, fresh combinations) separate cleanly
+    val held = ((100L until 110L).map(i => (i, mk(posW))) ++
+      (200L until 210L).map(i => (i, mk(negW)))).toDF("doc_id", "text")
+    val scores = Curation.scoreWithModel(held, "doc_id", "text", w, bias = bias)
+      .select("doc_id", "score").as[(Long, Double)].collect().toMap
+    val posS = scores.filter(_._1 < 200).values
+    val negS = scores.filter(_._1 >= 200).values
+    assert(posS.min > 0.8 && negS.max < 0.2,
+      s"separation failed: pos=[${posS.min}..] neg=[..${negS.max}]")
+    val e = intercept[IllegalArgumentException] {
+      Curation.trainQualityModel(train, "text", "label", sampleCap = 10)
+    }
+    assert(e.getMessage.contains("sampleCap"))
+  }
+
   test("normalizeText: NFC composition, NFKC compat, accent strip, lower") {
     import spark.implicits._
     val df = Seq(
