@@ -161,6 +161,34 @@ object Curation {
   }
 
   /**
+   * Deterministic dataset splitting (train/val/test): assign each row a
+   * split name by where its md5 unit hash lands in the cumulative
+   * weight ranges — no RNG, stable under repartitioning, reproducible
+   * in any md5 engine, and rows NEVER migrate between splits when a
+   * split's weight grows (ranges extend monotonically in declaration
+   * order). Weights are normalized; declaration order fixes the ranges.
+   * One codegen CASE over a hash — no shuffle.
+   */
+  def assignSplit(df: DataFrame, idCol: String,
+                  splits: Seq[(String, Double)],
+                  seed: String = "split"): DataFrame = {
+    require(splits.nonEmpty && splits.forall(_._2 >= 0) &&
+      splits.map(_._2).sum > 0, "splits need nonnegative weights, sum > 0")
+    val total = splits.map(_._2).sum
+    val u = hashUnit(col(idCol), seed)
+    // CASE from the top: u < c1 -> s1, u < c2 -> s2, ..., else last
+    var cum = 0.0
+    val bounds = splits.dropRight(1).map { case (name, wt) =>
+      cum += wt / total
+      (name, cum)
+    }
+    val expr = bounds.reverse.foldLeft(lit(splits.last._1): Column) {
+      case (acc, (name, bound)) => when(u < bound, name).otherwise(acc)
+    }
+    df.withColumn("split", expr)
+  }
+
+  /**
    * DSIR importance weights — Data Selection via Importance Resampling
    * (Xie et al. 2023, arXiv:2302.03169): score every corpus document by
    * how much its hashed n-gram distribution looks like a TARGET corpus

@@ -1096,6 +1096,18 @@ object GraftQueries {
              |          WHEN source = 'src2' THEN 0.0 ELSE 0.5 END)
              |ORDER BY doc_id""".stripMargin)),
 
+    // Deterministic train/val/test assignment by cumulative hash ranges.
+    "assign_split" -> Q(
+      (s, d) => Curation.assignSplit(tbl(s, d, "documents"), "doc_id",
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .select(col("doc_id"), col("split"))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+             |  CASE WHEN u < 0.8 THEN 'train' WHEN u < 0.9 THEN 'val' ELSE 'test' END AS split
+             |FROM (SELECT doc_id,
+             |  CAST(concat('0x', substr(md5(concat('split:', CAST(doc_id AS VARCHAR))),1,8)) AS BIGINT) / 4294967296.0 AS u
+             |  FROM documents) _u ORDER BY doc_id""".stripMargin)),
+
     // DSIR (Xie et al. 2023): hashed-bigram importance weights of every
     // document against a target slice (the zh docs), and the
     // deterministic Gumbel-top-k selection over those weights. The

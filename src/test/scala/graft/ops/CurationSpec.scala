@@ -297,6 +297,27 @@ class CurationSpec extends SparkSpec {
     assert(w(1L)._2 < 0.0, "off-target doc has negative log-ratio")
   }
 
+  test("assignSplit: proportions, determinism, and no-migration when a split grows") {
+    import spark.implicits._
+    val df = (0L until 4000L).toDF("id")
+    def splits(ws: Seq[(String, Double)]): Map[Long, String] =
+      Curation.assignSplit(df, "id", ws).select("id", "split")
+        .as[(Long, String)].collect().toMap
+    val a = splits(Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+    assert(a == splits(Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)))
+    val counts = a.values.groupBy(identity).view.mapValues(_.size).toMap
+    assert(math.abs(counts("train") - 3200) < 200, s"got $counts")
+    assert(math.abs(counts("val") - 400) < 120 && math.abs(counts("test") - 400) < 120)
+    // growing train's share must only CONVERT val/test rows into train,
+    // never shuffle train rows out (monotone cumulative ranges)
+    val b = splits(Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05))
+    val aTrain = a.collect { case (id, "train") => id }.toSet
+    val bTrain = b.collect { case (id, "train") => id }.toSet
+    assert(aTrain.subsetOf(bTrain))
+    intercept[IllegalArgumentException](
+      Curation.assignSplit(df, "id", Seq("x" -> 0.0)))
+  }
+
   test("trainQualityModel: separates planted classes, deterministic, serves via scoreWithModel") {
     import spark.implicits._
     val rng = new scala.util.Random(47)
