@@ -160,6 +160,52 @@ object Curation {
     df.filter(hashUnit(col(idCol), seed) < rate)
   }
 
+  /** The [[gopherRules]] signal bundle. */
+  final case class GopherSignals(nWords: Column, meanWordLen: Column,
+                                 symbolRatio: Column, bulletFrac: Column,
+                                 ellipsisFrac: Column, alphaFrac: Column,
+                                 stopHits: Column, keep: Column)
+
+  /**
+   * Gopher quality rules (Rae et al. 2021, appendix A1.1) — the
+   * published heuristic gate most pipelines start from: word-count
+   * bounds, mean-word-length bounds, symbol-to-word ratio (# and …),
+   * bullet-started / ellipsis-ended line fractions, fraction of words
+   * with an alphabetic character, and a minimum stop-word hit count.
+   * Complements [[repetitionSignals]] (the paper's repetition table)
+   * and the classifier path ([[trainQualityModel]]/[[scoreWithModel]]).
+   * All signals are native column expressions over one row — no
+   * shuffle, engine-neutral (the oracle recomputes each from scratch).
+   */
+  def gopherRules(text: Column, sep: String = "\n",
+                  minWords: Int = 50, maxWords: Int = 100000,
+                  minMeanLen: Double = 3.0, maxMeanLen: Double = 10.0,
+                  maxSymbolRatio: Double = 0.1, maxBulletFrac: Double = 0.9,
+                  maxEllipsisFrac: Double = 0.3, minAlphaFrac: Double = 0.8,
+                  minStopHits: Int = 2): GopherSignals = {
+    val words = split(text, s"[ $sep]")
+    val nW = size(words).cast("double")
+    val meanLen = (length(regexp_replace(text, s"[ $sep]", "")).cast("double")) / nW
+    val nHash = (length(text) - length(regexp_replace(text, "#", ""))).cast("double")
+    val nEll = ((length(text) - length(replace(text, lit("..."), lit("")))) / 3).cast("double")
+    val symRatio = (nHash + nEll) / nW
+    val lines = split(text, sep)
+    val nL = size(lines).cast("double")
+    val bulletFrac = size(filter(lines, l => l.rlike("^[-*•]"))).cast("double") / nL
+    val ellipsisFrac = size(filter(lines, l => l.rlike("\\.\\.\\.$"))).cast("double") / nL
+    val alphaFrac = size(filter(words, w => w.rlike("[a-zA-Z]"))).cast("double") / nW
+    // stop-hits over the SAME word split the other signals use
+    val enStops = graft.ops.TextOps.stopwords.toMap.apply("en")
+    val stopHits = size(filter(words, w => w.isInCollection(enStops))).cast("long")
+    val keep = nW.between(minWords, maxWords) &&
+      meanLen.between(minMeanLen, maxMeanLen) &&
+      symRatio <= maxSymbolRatio && bulletFrac <= maxBulletFrac &&
+      ellipsisFrac <= maxEllipsisFrac && alphaFrac >= minAlphaFrac &&
+      stopHits >= minStopHits
+    GopherSignals(nW.cast("long"), meanLen, symRatio, bulletFrac,
+      ellipsisFrac, alphaFrac, stopHits, keep)
+  }
+
   /**
    * Deterministic dataset splitting (train/val/test): assign each row a
    * split name by where its md5 unit hash lands in the cumulative

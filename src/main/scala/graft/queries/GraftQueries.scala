@@ -1096,6 +1096,53 @@ object GraftQueries {
              |          WHEN source = 'src2' THEN 0.0 ELSE 0.5 END)
              |ORDER BY doc_id""".stripMargin)),
 
+    // Gopher rules (Rae et al. 2021 A1.1) over documents with PLANTED
+    // line/bullet/ellipsis/symbol structure (deterministic replaces both
+    // engines run identically); every signal + the keep decision
+    // recomputed from scratch by the oracle.
+    "gopher_rules" -> Q(
+      (s, d) => {
+        val tx = replace(replace(replace(col("text"),
+            lit(" value "), lit("\n- ")),
+            lit(" slow "), lit("...\n")),
+            lit(" fast "), lit(" # "))
+        val g = Curation.gopherRules(tx)
+        // arithmetic 3dp rounding (floor(x*1000+0.5)/1000): Spark's
+        // round() rounds the double's DECIMAL string (4.0375 -> 4.038)
+        // while DuckDB rounds the binary double (…749999 -> 4.037);
+        // this form evaluates identically on the identical doubles
+        def r3(c: Column) = floor(c * 1000 + 0.5) / 1000
+        tbl(s, d, "documents")
+          .select(col("doc_id"), g.nWords.as("n_words"),
+            r3(g.meanWordLen).as("mean_len"),
+            r3(g.symbolRatio).as("symbol_ratio"),
+            r3(g.bulletFrac).as("bullet_frac"),
+            r3(g.ellipsisFrac).as("ellipsis_frac"),
+            r3(g.alphaFrac).as("alpha_frac"),
+            g.stopHits.as("stop_hits"), g.keep.as("keep"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH p AS (SELECT doc_id, replace(replace(replace(text, ' value ', chr(10) || '- '), ' slow ', '...' || chr(10)), ' fast ', ' # ') AS tx FROM documents),
+             |w AS (SELECT doc_id, tx,
+             |  string_split_regex(tx, '[ ' || chr(10) || ']') AS ws,
+             |  string_split(tx, chr(10)) AS ls FROM p),
+             |s AS (SELECT doc_id, len(ws) AS nw,
+             |  CAST(length(regexp_replace(tx, '[ ' || chr(10) || ']', '', 'g')) AS DOUBLE) / len(ws) AS ml,
+             |  (CAST(length(tx) - length(replace(tx, '#', '')) AS DOUBLE)
+             |   + (length(tx) - length(replace(tx, '...', ''))) / 3) / len(ws) AS sym,
+             |  CAST(len(list_filter(ls, l -> regexp_matches(l, '^[-*•]'))) AS DOUBLE) / len(ls) AS bf,
+             |  CAST(len(list_filter(ls, l -> regexp_matches(l, '\\.\\.\\.$$'))) AS DOUBLE) / len(ls) AS ef,
+             |  CAST(len(list_filter(ws, x -> regexp_matches(x, '[a-zA-Z]'))) AS DOUBLE) / len(ws) AS af,
+             |  len(list_filter(ws, x -> x IN ($enList))) AS sh
+             |  FROM w)
+             |SELECT doc_id, CAST(nw AS BIGINT) AS n_words, floor(ml * 1000 + 0.5) / 1000 AS mean_len,
+             |  floor(sym * 1000 + 0.5) / 1000 AS symbol_ratio, floor(bf * 1000 + 0.5) / 1000 AS bullet_frac,
+             |  floor(ef * 1000 + 0.5) / 1000 AS ellipsis_frac, floor(af * 1000 + 0.5) / 1000 AS alpha_frac,
+             |  CAST(sh AS BIGINT) AS stop_hits,
+             |  ((nw BETWEEN 50 AND 100000) AND (ml BETWEEN 3 AND 10) AND sym <= 0.1
+             |   AND bf <= 0.9 AND ef <= 0.3 AND af >= 0.8 AND sh >= 2) AS keep
+             |FROM s ORDER BY doc_id""".stripMargin)),
+
     // Deterministic train/val/test assignment by cumulative hash ranges.
     "assign_split" -> Q(
       (s, d) => Curation.assignSplit(tbl(s, d, "documents"), "doc_id",

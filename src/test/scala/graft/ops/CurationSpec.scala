@@ -297,6 +297,30 @@ class CurationSpec extends SparkSpec {
     assert(w(1L)._2 < 0.0, "off-target doc has negative log-ratio")
   }
 
+  test("gopherRules: hand-computed signals and the keep decision") {
+    import spark.implicits._
+    val good = Seq.fill(60)("the quick brown foxes of it is in").mkString(" ")
+    val rows = Seq(
+      (1L, good),                              // passes every rule
+      (2L, "too short but the a of it"),       // < 50 words
+      (3L, Seq.fill(60)("### ##").mkString(" ")), // symbol storm + no alpha
+      (4L, "- one\n- two\n- three\n" + good),  // bullets but under 0.9 frac
+      (5L, ("x...\ny...\nz...\n" * 4) + good)  // ellipsis lines > 0.3
+    ).toDF("doc_id", "text")
+    val g = Curation.gopherRules(col("text"))
+    val out = rows.select(col("doc_id"), g.nWords.as("n"), g.symbolRatio.as("sym"),
+        g.bulletFrac.as("bf"), g.ellipsisFrac.as("ef"), g.alphaFrac.as("af"),
+        g.stopHits.as("sh"), g.keep.as("k"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getBoolean(7), "clean doc must pass")
+    assert(!out(2L).getBoolean(7) && out(2L).getLong(1) < 50)
+    assert(!out(3L).getBoolean(7) && out(3L).getDouble(5) == 0.0, "no alpha")
+    assert(out(3L).getDouble(2) > 0.1, "symbol ratio breaches")
+    assert(out(4L).getBoolean(7), "3 bullet lines of 4 total = 0.75 <= 0.9")
+    assert(out(4L).getDouble(3) == 0.75)
+    assert(!out(5L).getBoolean(7) && out(5L).getDouble(4) > 0.3, "ellipsis lines")
+  }
+
   test("assignSplit: proportions, determinism, and no-migration when a split grows") {
     import spark.implicits._
     val df = (0L until 4000L).toDF("id")
