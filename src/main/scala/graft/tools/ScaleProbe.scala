@@ -400,6 +400,14 @@ object ScaleProbe {
               evalSlice, "text", buckets = 8192)
             .agg(sum(col("xent")), sum(col("n_bigrams"))).collect()
         }
+        timed(s"_scale_curate_gopher$tag") {
+          val g = graft.ops.Curation.gopherRules(
+            expr("replace(text, ' value ', chr(10))"))
+          docsDf.select(g.meanWordLen.as("m"), g.bulletFrac.as("b"),
+              g.alphaFrac.as("a"), g.keep.cast("int").as("k"))
+            .agg(sum(col("m")), sum(col("b")), sum(col("a")), sum(col("k")))
+            .collect()
+        }
         timed(s"_scale_curate_norm$tag") {
           docsDf.select(length(graft.ops.TextOps.normalizeText(
               col("text"), "nfkc", lower = true, stripAccents = true)).as("l"))
