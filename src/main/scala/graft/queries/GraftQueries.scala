@@ -782,17 +782,23 @@ object GraftQueries {
         val nd = docs.select(col("doc_id"), col("lang"), col("source"),
           TextOps.normalizeText(col("text"), "nfc", lower = true,
             stripAccents = true).as("tn"))
+        // persist the stage boundaries: the model-building stages
+        // (bigram-LM + DSIR histograms) COLLECT driver-side, and without
+        // materialization each collect re-runs normalize + every earlier
+        // gate — measured ~6 upstream recomputations across the chain.
+        // Exactly what a production pipeline does between stages.
         val evalDf = nd.filter(col("doc_id") % 7 === 0)
-        val train = nd.filter(col("doc_id") % 7 =!= 0)
+        val train = nd.filter(col("doc_id") % 7 =!= 0).persist()
         val enLm = train.filter(col("lang") === "en")
         val scored = Curation.ngramCrossEntropy(train, "doc_id", "tn",
           enLm, "tn", buckets = 256, alpha = 0.1)
         val gated = train.join(
           scored.filter(col("xent") <= 2.15).select("doc_id"), Seq("doc_id"))
+          .persist()
         val dupHits = Dedup.minhashDedupAgainst(gated, "doc_id", "tn",
             evalDf, "doc_id", "tn", 0.4)
           .select(col("da").as("doc_id")).distinct()
-        val dd = gated.join(dupHits, Seq("doc_id"), "left_anti")
+        val dd = gated.join(dupHits, Seq("doc_id"), "left_anti").persist()
         Curation.dsirResample(dd, "doc_id", "tn", enLm, "tn", nKeep = 100,
             n = 2, buckets = 256, alpha = 0.01)
           .select(col("doc_id"), (round(col("weight"), 3) + 0.0).as("weight"))
