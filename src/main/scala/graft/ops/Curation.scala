@@ -375,10 +375,13 @@ object Curation {
       }
       (cnt, s)
     }
-    df.select(col(idCol).as("doc_id"), score(col(textCol).cast("string")).as("__r"))
+    // COLUMN-PRESERVING (unlike the batch op's narrow output): ingest
+    // stages compose — a later in-row stage still sees the text
+    df.withColumn("__r", score(col(textCol).cast("string")))
       .filter(col("__r._1") > 0)
-      .select(col("doc_id"), col("__r._1").as("n_shingles"),
-        col("__r._2").as("weight"))
+      .withColumn("n_shingles", col("__r._1"))
+      .withColumn("weight", col("__r._2"))
+      .drop("__r")
   }
 
   /**
@@ -496,10 +499,12 @@ object Curation {
       }
       (cnt, s)
     }
-    df.select(col(idCol).as("doc_id"), score(col(textCol).cast("string")).as("__r"))
+    // COLUMN-PRESERVING (see importanceIngest): ingest stages compose
+    df.withColumn("__r", score(col(textCol).cast("string")))
       .filter(col("__r._1") > 0)
-      .select(col("doc_id"), col("__r._1").as("n_bigrams"),
-        (-col("__r._2") / col("__r._1")).as("xent"))
+      .withColumn("n_bigrams", col("__r._1"))
+      .withColumn("xent", (-col("__r._2") / col("__r._1")))
+      .drop("__r")
   }
 
   def ngramCrossEntropy(df: DataFrame, idCol: String, textCol: String,

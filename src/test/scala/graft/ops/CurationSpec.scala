@@ -297,6 +297,26 @@ class CurationSpec extends SparkSpec {
     assert(w(1L)._2 < 0.0, "off-target doc has negative log-ratio")
   }
 
+  test("tokenCoverFilter kernel: fuzz vs brute set-based removal") {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.unsafe.types.UTF8String
+    val rng = new scala.util.Random(53)
+    for (_ <- 0 until 200) {
+      val n = rng.nextInt(30)
+      val k = 1 + rng.nextInt(5)
+      val toks = Array.tabulate(n)(i => s"t$i")
+      val m = rng.nextInt(8)
+      val starts = Array.fill(m)(rng.nextInt(math.max(1, n)))
+      val covered = starts.flatMap(s => s until math.min(n, s + k)).toSet
+      val want = toks.zipWithIndex.collect { case (t, i) if !covered.contains(i) => t }
+      val got = graft.functions.TextExprKernels.tokenCoverFilter(
+        new GenericArrayData(toks.map(t => UTF8String.fromString(t): Any)),
+        new GenericArrayData(starts.map(i => Integer.valueOf(i): Any)), k)
+      val gotArr = (0 until got.numElements()).map(got.getUTF8String(_).toString)
+      assert(gotArr == want.toSeq, s"n=$n k=$k starts=${starts.toSeq}")
+    }
+  }
+
   test("gopherRules: hand-computed signals and the keep decision") {
     import spark.implicits._
     val good = Seq.fill(60)("the quick brown foxes of it is in").mkString(" ")

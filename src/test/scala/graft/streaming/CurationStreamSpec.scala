@@ -179,6 +179,56 @@ class CurationStreamSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("composed streaming pipeline: normalize -> xent gate -> DSIR score == batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.DataFrame
+    val docs = (0L until 40L).map { i =>
+      val w = if (i % 2 == 0) "Alpha Beta alpha beta gamma alpha beta"
+              else "delta echo fox delta echo golf hotel"
+      (i, s"$w tail${i % 5}")
+    }
+    val docsDf = docs.toDF("doc_id", "text")
+    def norm(d: DataFrame): DataFrame =
+      d.withColumn("tn", graft.ops.TextOps.normalizeText(col("text"), "nfc",
+        lower = true, stripAccents = true))
+    val target = Seq((100L, "alpha beta alpha beta")).toDF("doc_id", "text")
+    val tnT = norm(target)
+    // models trained ONCE batch-side (they are data)
+    val lm = Curation.ngramLm(tnT, "tn", buckets = 64)
+    val model = Curation.importanceModel(tnT, "tn", norm(docsDf), "tn",
+      n = 2, buckets = 64)
+    val gate = 4.0
+    // batch reference chain over the same models
+    val bx = Curation.ngramCrossEntropyIngest(norm(docsDf), "doc_id", "tn", lm)
+      .filter(col("xent") <= gate)
+    val batch = Curation.importanceIngest(bx, "doc_id", "tn", model)
+      .select("doc_id", "xent", "weight").as[(Long, Double, Double)]
+      .collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(batch.nonEmpty && batch.size < docs.size,
+      s"the xent gate must bite: kept ${batch.size}/${docs.size}")
+    val input = MemoryStream[(Long, String)]
+    val staged = Curation.importanceIngest(
+      Curation.ngramCrossEntropyIngest(
+        norm(input.toDF().toDF("doc_id", "text")), "doc_id", "tn", lm)
+        .filter(col("xent") <= gate),
+      "doc_id", "tn", model)
+    val query = staged.select("doc_id", "xent", "weight")
+      .writeStream.format("memory").queryName("pipe_stream")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(docs.take(20)); query.processAllAvailable()
+      input.addData(docs.drop(20)); query.processAllAvailable()
+      val streamed = spark.sql("SELECT doc_id, xent, weight FROM pipe_stream")
+        .as[(Long, Double, Double)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+      assert(streamed.keySet == batch.keySet)
+      streamed.foreach { case (id, (x, w)) =>
+        assert(math.abs(x - batch(id)._1) < 1e-12 &&
+          math.abs(w - batch(id)._2) < 1e-12, s"doc $id")
+      }
+    } finally query.stop()
+  }
+
   test("ngramCrossEntropyIngest scores a stream in-row, matching batch xent") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
