@@ -955,6 +955,56 @@ object GraftQueries {
              |FROM p JOIN n na ON na.vec_id = p.va JOIN n nb ON nb.vec_id = p.vb
              |WHERE 1.0 - dot / (na.nrm * nb.nrm) < 0.6 ORDER BY da, db""".stripMargin)),
 
+    // End-to-end SEMANTIC dedup: semDedup pairs -> connected components
+    // -> cleaned table (the semantic analogue of dedup_keep; oracle
+    // replays assignment, in-cluster pairs, and min-reachable-id via a
+    // recursive CTE, then anti-selects non-canonical ids).
+    "semdedup_keep" -> Q(
+      (s, d) => {
+        val e = tbl(s, d, "embeddings")
+        val rows = e.select(col("label").cast("int").as("cid"),
+            posexplode(col("embedding")))
+          .groupBy("cid", "pos").agg(avg(col("col").cast("double")).as("cv"))
+          .collect()
+        val k = rows.map(_.getInt(0)).max + 1
+        val dim = rows.map(_.getInt(1)).max + 1
+        val cents = Array.fill(k)(new Array[Float](dim))
+        rows.foreach(r => cents(r.getInt(0))(r.getInt(1)) = r.getDouble(2).toFloat)
+        val pairs = Dedup.semDedup(e, "vec_id", "embedding", 0.6, cents)
+        Dedup.dedupe(e, "vec_id", pairs)
+          .select(col("vec_id").cast("long").as("vec_id"))
+          .orderBy("vec_id")
+      },
+      Some("""WITH RECURSIVE e AS (SELECT vec_id, embedding, unnest(range(0, 64)) AS i FROM embeddings),
+             |cm AS (SELECT label AS cid, i,
+             |  CAST(CAST(avg(CAST(embedding[i+1] AS DOUBLE)) AS REAL) AS DOUBLE) AS cv
+             |  FROM (SELECT label, embedding, unnest(range(0, 64)) AS i FROM embeddings) GROUP BY 1, 2),
+             |ad AS (SELECT e.vec_id, cm.cid,
+             |  1.0 - sum(CAST(e.embedding[e.i+1] AS DOUBLE) * cm.cv)
+             |      / (sqrt(sum(power(CAST(e.embedding[e.i+1] AS DOUBLE), 2))) * sqrt(sum(power(cm.cv, 2)))) AS cd
+             |  FROM e JOIN cm ON e.i = cm.i GROUP BY 1, 2),
+             |asn AS (SELECT vec_id, cid FROM (SELECT vec_id, cid,
+             |  row_number() OVER (PARTITION BY vec_id ORDER BY cd, cid) AS rn FROM ad) t WHERE rn = 1),
+             |pp AS (SELECT a.vec_id AS va, b.vec_id AS vb
+             |  FROM asn a JOIN asn b ON a.cid = b.cid AND a.vec_id < b.vec_id),
+             |n AS (SELECT vec_id, sqrt(sum(power(CAST(embedding[i+1] AS DOUBLE), 2))) AS nrm FROM e GROUP BY vec_id),
+             |pd AS (SELECT pp.va, pp.vb,
+             |  sum(CAST(a.embedding[a.i+1] AS DOUBLE) * CAST(b.embedding[a.i+1] AS DOUBLE)) AS dot
+             |  FROM pp JOIN e a ON a.vec_id = pp.va JOIN e b ON b.vec_id = pp.vb AND b.i = a.i
+             |  GROUP BY 1, 2),
+             |p AS (SELECT va AS da, vb AS db FROM pd
+             |  JOIN n na ON na.vec_id = pd.va JOIN n nb ON nb.vec_id = pd.vb
+             |  WHERE 1.0 - dot / (na.nrm * nb.nrm) < 0.6),
+             |ed AS (SELECT da AS a, db AS b FROM p UNION SELECT db AS a, da AS b FROM p),
+             |reach AS (
+             |  SELECT a AS id, a AS r FROM (SELECT DISTINCT a FROM ed) _v
+             |  UNION
+             |  SELECT ed.a AS id, reach.r FROM ed JOIN reach ON reach.id = ed.b),
+             |lbl AS (SELECT id, min(r) AS rep FROM reach GROUP BY id)
+             |SELECT CAST(vec_id AS BIGINT) AS vec_id FROM embeddings
+             |WHERE vec_id NOT IN (SELECT id FROM lbl WHERE id <> rep)
+             |ORDER BY vec_id""".stripMargin)),
+
     // Diversity filtering (the SemDeDup paper's companion op): cluster
     // embeddings, keep a deterministic per-cluster quota — assignment via
     // the same label-mean centroids, quota via capPerKey over the md5
