@@ -130,6 +130,49 @@ object Curation {
     docs.filter(!overlaps(col(textCol).cast("string")))
   }
 
+  /**
+   * SPAN-level decontamination: instead of dropping a contaminated
+   * document ([[decontaminateKeep]]), remove only the token spans
+   * covered by an eval-set k-gram — the right tool when documents are
+   * long and the leak is a quoted benchmark item, not the whole doc.
+   * Same skeleton as [[substringDedup]] with the dup-key set replaced
+   * by the BROADCAST eval shingle set (128-bit md5 keys for the same
+   * birthday-at-scale reason); the cover + rebuild run through the
+   * native interval-sweep kernel.
+   *
+   * Output: (doc_id, text_clean, n_removed).
+   */
+  def decontaminateSpans(df: DataFrame, idCol: String, textCol: String,
+                         evalDf: DataFrame, evalTextCol: String,
+                         k: Int = 8): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val evalKeys = evalDf
+      .select(explode(shingles(col(evalTextCol), k)).as("__sh"))
+      .select(unhex(md5(col("__sh").cast("binary"))).as("__h")).distinct()
+    val docs = df.select(col(idCol).as("doc_id"), toks(col(textCol)).as("__t"))
+    val occ = docs
+      .select(col("doc_id"),
+        posexplode(tokenShingles(col("__t"), k)).as(Seq("__i", "__sh")))
+      .select(col("doc_id"), col("__i"),
+        unhex(md5(col("__sh").cast("binary"))).as("__h"))
+    val cover = occ.join(broadcast(evalKeys), Seq("__h"))
+      .groupBy("doc_id")
+      .agg(collect_list(col("__i")).as("__starts"))
+    def coverFilter(t: Column, s: Column): Column =
+      org.apache.spark.sql.graft.ColumnBridge.column(
+        graft.functions.TokenCoverFilterExpr(
+          org.apache.spark.sql.graft.ColumnBridge.expression(t),
+          org.apache.spark.sql.graft.ColumnBridge.expression(s), k))
+    docs.join(cover, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("__starts").isNull, col("__t"))
+          .otherwise(coverFilter(col("__t"), col("__starts"))).as("__kept"),
+        col("__t"))
+      .select(col("doc_id"),
+        array_join(col("__kept"), " ").as("text_clean"),
+        (size(col("__t")) - size(col("__kept"))).cast("long").as("n_removed"))
+  }
+
   /** Uniform deterministic unit sample key in [0, 1): the first 8 hex
     * chars of md5(seed:id) as a 32-bit integer over 2^32. Identical in
     * any engine with md5 (the DuckDB oracle recomputes it verbatim), no

@@ -1152,6 +1152,35 @@ object GraftQueries {
              |          WHEN source = 'src2' THEN 0.0 ELSE 0.5 END)
              |ORDER BY doc_id""".stripMargin)),
 
+    // Span-level decontamination: remove eval-set trigram spans from the
+    // train docs instead of dropping the docs.
+    "decon_spans" -> Q(
+      (s, d) => {
+        val docs = tbl(s, d, "documents")
+        Curation.decontaminateSpans(
+            docs.filter(col("doc_id") % 37 =!= 0), "doc_id", "text",
+            docs.filter(col("doc_id") % 37 === 0), "text", k = 3)
+          .select(col("doc_id"), md5(col("text_clean").cast("binary")).as("fp"),
+            col("n_removed"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+             |ix AS (SELECT doc_id, t, unnest(range(1, len(t) - 1)) AS i FROM tk),
+             |sh AS (SELECT doc_id, i, array_to_string(t[i:i+2], ' ') AS sh FROM ix),
+             |ev AS (SELECT DISTINCT sh FROM sh WHERE doc_id % 37 = 0),
+             |cov AS (SELECT DISTINCT s.doc_id, unnest(range(s.i, s.i + 3)) AS p
+             |        FROM sh s JOIN ev ON s.sh = ev.sh WHERE s.doc_id % 37 <> 0),
+             |tr AS (SELECT doc_id, t FROM tk WHERE doc_id % 37 <> 0),
+             |pos AS (SELECT doc_id, t, unnest(range(1, len(t) + 1)) AS p FROM tr),
+             |kept AS (SELECT pos.doc_id, pos.p, pos.t[pos.p] AS w FROM pos
+             |         LEFT JOIN cov ON pos.doc_id = cov.doc_id AND pos.p = cov.p
+             |         WHERE cov.p IS NULL),
+             |agg AS (SELECT doc_id, array_to_string(list(w ORDER BY p), ' ') AS clean,
+             |        count(*) AS nk FROM kept GROUP BY doc_id)
+             |SELECT tr.doc_id AS doc_id, md5(coalesce(agg.clean, '')) AS fp,
+             |  CAST(len(tr.t) - coalesce(agg.nk, 0) AS BIGINT) AS n_removed
+             |FROM tr LEFT JOIN agg ON tr.doc_id = agg.doc_id ORDER BY doc_id""".stripMargin)),
+
     // Gopher rules (Rae et al. 2021 A1.1) over documents with PLANTED
     // line/bullet/ellipsis/symbol structure (deterministic replaces both
     // engines run identically); every signal + the keep decision

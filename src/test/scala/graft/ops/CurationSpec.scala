@@ -297,6 +297,21 @@ class CurationSpec extends SparkSpec {
     assert(w(1L)._2 < 0.0, "off-target doc has negative log-ratio")
   }
 
+  test("decontaminateSpans removes only the leaked spans, keeps clean docs intact") {
+    import spark.implicits._
+    val evalDf = Seq((9L, "secret bench answer here")).toDF("doc_id", "text")
+    val train = docs(
+      1L -> "intro words secret bench answer here outro words", // leaked 4-gram span
+      2L -> "totally clean document with no leaks at all",
+      3L -> "secret bench answer here") // entire doc is the leak
+    val out = Curation.decontaminateSpans(train, "doc_id", "text",
+        evalDf, "text", k = 4)
+      .as[(Long, String, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out(1L) == (("intro words outro words", 4L)))
+    assert(out(2L) == (("totally clean document with no leaks at all", 0L)))
+    assert(out(3L) == (("", 4L)), "fully-leaked doc empties out")
+  }
+
   test("tokenCoverFilter kernel: fuzz vs brute set-based removal") {
     import org.apache.spark.sql.catalyst.util.GenericArrayData
     import org.apache.spark.unsafe.types.UTF8String
