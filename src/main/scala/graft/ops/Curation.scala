@@ -386,6 +386,8 @@ object Curation {
    */
   def importanceIngest(df: DataFrame, idCol: String, textCol: String,
                        model: DataFrame, n: Int = 2): DataFrame = {
+    require(df.columns.contains(idCol) && df.columns.contains(textCol),
+      s"importanceIngest needs columns $idCol and $textCol")
     val spark = df.sparkSession
     import spark.implicits._
     val rows = model.select(col("bucket").cast("int"), col("logratio").cast("double"))
@@ -511,6 +513,8 @@ object Curation {
                               lm: (Array[Long], Array[Long]),
                               alpha: Double = 0.1): DataFrame = {
     require(alpha > 0, s"smoothing alpha must be > 0, got $alpha")
+    require(df.columns.contains(idCol) && df.columns.contains(textCol),
+      s"ngramCrossEntropyIngest needs columns $idCol and $textCol")
     val (cb, cu) = lm
     require(cb.length == cu.length && cb.nonEmpty,
       "ngram LM histograms must be same-length and non-empty")
