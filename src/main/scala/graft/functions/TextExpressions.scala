@@ -43,6 +43,24 @@ object TextExprKernels {
     }
   }
 
+  /** Per-term term frequencies for a FIXED query-term list in one hash
+    * pass: out(i) = multiplicity of term i in the token array. The HOF
+    * formulation (`size(filter(t, _ === term))` per term) is |terms|
+    * interpreted passes; this is one generated-code call. */
+  def tokenTf(arr: ArrayData, idx: java.util.HashMap[UTF8String, Integer],
+              nTerms: Int): ArrayData = {
+    val out = new Array[Long](nTerms)
+    val m = arr.numElements()
+    var i = 0
+    while (i < m) {
+      val t = idx.get(arr.getUTF8String(i))
+      if (t != null) out(t.intValue) += 1L
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(out)
+  }
+
   /** One-pass token statistics: [max multiplicity, distinct count].
     * `[0, 0]` for an empty array. */
   def tokenStats(arr: ArrayData): ArrayData = {
@@ -175,6 +193,33 @@ case class TokenStatsExpr(child: Expression)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c =>
       s"graft.functions.TextExprKernels.tokenStats($c)")
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+/** `token_tf(array<string>)` -> `array<long>`: multiplicity of each of a
+  * fixed query-term list (BM25 tf) in ONE codegen hash pass — see
+  * [[TextExprKernels.tokenTf]]. */
+case class TokenTfExpr(child: Expression, terms: Seq[String])
+    extends UnaryExpression with ImplicitCastInputTypes {
+  require(terms.nonEmpty, "token_tf: empty term list")
+  override def prettyName: String = "token_tf"
+  override def inputTypes = Seq(ArrayType(StringType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  @transient private lazy val index: java.util.HashMap[UTF8String, Integer] = {
+    val m = new java.util.HashMap[UTF8String, Integer](terms.size * 2)
+    terms.zipWithIndex.foreach { case (t, i) =>
+      m.putIfAbsent(UTF8String.fromString(t), Integer.valueOf(i))
+    }
+    m
+  }
+  override protected def nullSafeEval(a: Any): Any =
+    TextExprKernels.tokenTf(a.asInstanceOf[ArrayData], index, terms.size)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("termIndex", index, "java.util.HashMap")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.TextExprKernels.tokenTf($c, $ref, ${terms.size})")
+  }
   override protected def withNewChildInternal(c: Expression): Expression =
     copy(child = c)
 }

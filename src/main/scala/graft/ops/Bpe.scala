@@ -1,0 +1,234 @@
+package graft.ops
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/**
+ * Byte-pair-encoding tokenizer training and encoding (Sennrich et al.
+ * 2016; the GPT-2 min-rank encoder) — the tokenizer-construction stage of
+ * a training-data pipeline, trained IN the engine over the corpus.
+ *
+ * 100 TB shape: the corpus is touched exactly once — [[wordFreq]] is one
+ * partial-agg shuffle that collapses 100 TB of text to its DISTINCT-WORD
+ * frequency dictionary (vocabulary-sized, not corpus-sized). Training
+ * then iterates over that dictionary only:
+ *  - when the dictionary fits on the driver (`collectLimit`, default 2M
+ *    distinct words — covers most natural-language corpora after
+ *    normalization), the merge loop runs locally, exactly like the
+ *    published subword-nmt trainer;
+ *  - otherwise each merge round is a distributed pair-count
+ *    (flatMap -> reduceByKey over the dictionary RDD) + a map applying
+ *    the chosen merge, with periodic localCheckpoints to keep lineage
+ *    flat. Same tie-breaks, bit-identical merge sequence (spec'd).
+ *
+ * Both paths pick, per round, the highest-count pair with a deterministic
+ * lexicographic tie-break, so training is reproducible across engines,
+ * partitionings, and path choice.
+ */
+object Bpe {
+
+  /** End-of-word marker appended to every word's symbol sequence (the
+    * Sennrich convention: lets merges distinguish word-final contexts). */
+  val EndOfWord = "</w>"
+
+  /** A trained merge table, in learned order. Encoding follows the GPT-2
+    * reference encoder: repeatedly merge ALL occurrences of the
+    * lowest-rank adjacent pair present until none remains. */
+  final case class BpeModel(merges: IndexedSeq[(String, String)]) extends Serializable {
+    @transient private lazy val ranks: java.util.HashMap[(String, String), Integer] = {
+      val m = new java.util.HashMap[(String, String), Integer](merges.size * 2)
+      merges.zipWithIndex.foreach { case (p, i) => m.putIfAbsent(p, Integer.valueOf(i)) }
+      m
+    }
+
+    /** Encode one word (no whitespace) to BPE symbols. */
+    def encodeWord(word: String): Seq[String] = {
+      if (word.isEmpty) return Seq.empty
+      var parts: mutable.ArrayBuffer[String] =
+        mutable.ArrayBuffer(word.map(_.toString): _*) += EndOfWord
+      var done = merges.isEmpty
+      while (!done && parts.length > 1) {
+        // lowest-rank adjacent pair present
+        var bestRank = Int.MaxValue
+        var i = 0
+        while (i < parts.length - 1) {
+          val r = ranks.get((parts(i), parts(i + 1)))
+          if (r != null && r.intValue < bestRank) bestRank = r.intValue
+          i += 1
+        }
+        if (bestRank == Int.MaxValue) done = true
+        else {
+          val (a, b) = merges(bestRank)
+          val next = new mutable.ArrayBuffer[String](parts.length)
+          var j = 0
+          while (j < parts.length) {
+            if (j < parts.length - 1 && parts(j) == a && parts(j + 1) == b) {
+              next += a + b; j += 2
+            } else { next += parts(j); j += 1 }
+          }
+          parts = next
+        }
+      }
+      parts.toSeq
+    }
+
+    /** Encode whitespace-tokenized text; returns the BPE symbol stream. */
+    def encode(text: String): Seq[String] =
+      text.split(" ").iterator.filter(_.nonEmpty).flatMap(encodeWord).toSeq
+  }
+
+  /** The corpus's distinct-word frequency dictionary `(word, freq)` —
+    * the single full-corpus pass of BPE training. */
+  def wordFreq(docs: DataFrame, textCol: String): DataFrame =
+    docs.select(explode(split(col(textCol), " ")).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+
+  /** Frequency-weighted adjacent symbol-pair counts over the INITIAL
+    * (character-level + end marker) dictionary — the statistic the first
+    * merge round maximizes; exposed for the DuckDB oracle. */
+  def pairCounts(wf: DataFrame, wordCol: String = "word",
+                 freqCol: String = "freq"): DataFrame = {
+    // explicit per-codepoint substring (split-by-empty-regex leaves a
+    // trailing "" on this JDK); + the end-of-word marker
+    val chars = expr(
+      s"transform(sequence(1, length($wordCol)), i -> substring($wordCol, i, 1))")
+    val syms = concat(chars, array(lit(EndOfWord)))
+    wf.select(syms.as("s"), col(freqCol).as("f"))
+      .select(explode(expr(
+        "transform(sequence(0, size(s) - 2), i -> struct(s[i] AS a, s[i+1] AS b))"))
+        .as("p"), col("f"))
+      .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+      .agg(sum("f").as("cnt"))
+  }
+
+  /** Train `nMerges` merges over the corpus. See class doc for the two
+    * execution paths; both produce the identical merge sequence. */
+  def train(docs: DataFrame, textCol: String, nMerges: Int,
+            collectLimit: Long = 2L * 1000 * 1000): BpeModel = {
+    require(nMerges >= 0, "bpe: nMerges must be >= 0")
+    val spark = docs.sparkSession
+    val wf = wordFreq(docs, textCol).persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val nWords = wf.count()
+      if (nWords <= collectLimit) {
+        val local = wf.collect().map(r => (r.getString(0), r.getLong(1)))
+        BpeModel(trainLocal(local, nMerges))
+      } else BpeModel(trainDistributed(spark, wf, nMerges))
+    } finally { wf.unpersist(); () }
+  }
+
+  /** Best pair under (count desc, a asc, b asc) — the deterministic
+    * tie-break both paths share. */
+  private def better(c1: Long, p1: (String, String),
+                     c2: Long, p2: (String, String)): Boolean =
+    c1 > c2 || (c1 == c2 && (p1._1 < p2._1 ||
+      (p1._1 == p2._1 && p1._2 < p2._2)))
+
+  /** Left-to-right non-overlapping replacement of one pair (the training
+    * merge step — identical in both paths). */
+  private def mergePair(toks: Array[String], a: String, b: String): Array[String] = {
+    val out = new mutable.ArrayBuffer[String](toks.length)
+    var j = 0
+    while (j < toks.length) {
+      if (j < toks.length - 1 && toks(j) == a && toks(j + 1) == b) {
+        out += a + b; j += 2
+      } else { out += toks(j); j += 1 }
+    }
+    out.toArray
+  }
+
+  private def trainLocal(words: Array[(String, Long)],
+                         nMerges: Int): IndexedSeq[(String, String)] = {
+    var dict: Array[(Array[String], Long)] = words.map { case (w, f) =>
+      ((w.map(_.toString) :+ EndOfWord).toArray, f)
+    }
+    val merges = mutable.ArrayBuffer.empty[(String, String)]
+    var it = 0
+    var exhausted = false
+    while (it < nMerges && !exhausted) {
+      val counts = new java.util.HashMap[(String, String), Array[Long]]()
+      dict.foreach { case (toks, f) =>
+        var j = 0
+        while (j < toks.length - 1) {
+          val k = (toks(j), toks(j + 1))
+          val cell = counts.get(k)
+          if (cell == null) counts.put(k, Array(f)) else cell(0) += f
+          j += 1
+        }
+      }
+      if (counts.isEmpty) exhausted = true
+      else {
+        var bestPair: (String, String) = null
+        var bestCount = 0L
+        counts.forEach { (p, c) =>
+          if (bestPair == null || better(c(0), p, bestCount, bestPair)) {
+            bestPair = p; bestCount = c(0)
+          }
+        }
+        merges += bestPair
+        dict = dict.map { case (toks, f) =>
+          (mergePair(toks, bestPair._1, bestPair._2), f)
+        }
+        it += 1
+      }
+    }
+    merges.toIndexedSeq
+  }
+
+  private def trainDistributed(spark: SparkSession, wf: DataFrame,
+                               nMerges: Int): IndexedSeq[(String, String)] = {
+    var dict = wf.rdd
+      .map(r => ((r.getString(0).map(_.toString) :+ EndOfWord).toArray, r.getLong(1)))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    dict.count() // materialize before iterating
+    val merges = mutable.ArrayBuffer.empty[(String, String)]
+    var it = 0
+    var exhausted = false
+    while (it < nMerges && !exhausted) {
+      val counts = dict.flatMap { case (toks, f) =>
+        (0 until toks.length - 1).iterator.map(j => ((toks(j), toks(j + 1)), f))
+      }.reduceByKey(_ + _)
+      val zero = (("", ""), -1L) // seed that loses to any real pair
+      val top = counts.fold(zero) { (x, y) =>
+        if (x._2 < 0) y
+        else if (y._2 < 0) x
+        else if (better(x._2, x._1, y._2, y._1)) x else y
+      }
+      if (top._2 < 0) exhausted = true
+      else {
+        val (a, b) = top._1
+        merges += top._1
+        val next = dict.map { case (toks, f) => (mergePair(toks, a, b), f) }
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        // flatten lineage periodically: each round adds a map stage
+        if ((it + 1) % 16 == 0) next.localCheckpoint()
+        next.count()
+        dict.unpersist(blocking = false)
+        dict = next
+        it += 1
+      }
+    }
+    dict.unpersist(blocking = false)
+    merges.toIndexedSeq
+  }
+
+  /** `(idCol, n_tokens)`: BPE token count per document under `model` —
+    * the packing/budgeting statistic. Runs as a typed map over the
+    * corpus partition-locally (no shuffle). */
+  def tokenCounts(docs: DataFrame, idCol: String, textCol: String,
+                  model: BpeModel): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(model)
+    val src: Dataset[(Long, String)] =
+      docs.select(col(idCol).cast("long"), col(textCol)).as[(Long, String)]
+    src.mapPartitions { it =>
+      val m = bc.value
+      it.map { case (id, text) => (id, m.encode(text).length.toLong) }
+    }.toDF(idCol, "n_tokens")
+  }
+}

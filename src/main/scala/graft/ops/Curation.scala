@@ -1074,4 +1074,66 @@ object Curation {
         array_join(col("__kept"), " ").as("text_clean"),
         (size(col("__t")) - size(col("__kept"))).cast("long").as("n_removed"))
   }
+
+  /**
+   * Per-slice corpus profile — the report a curation run starts and ends
+   * with: document/token/char volume, mean doc length, distinct exact
+   * fingerprints (-> exact-dup rate) per grouping key. ONE partial-agg
+   * shuffle on the grouping keys; the distinct-count is Spark's native
+   * count(DISTINCT) (expand + partial agg — still one pass over the
+   * data, and the key space is bounded by the slice's fingerprints).
+   */
+  def corpusStats(df: DataFrame, textCol: String,
+                  keys: Seq[String]): DataFrame = {
+    require(keys.nonEmpty, "corpusStats: no grouping keys")
+    val t = toks(col(textCol))
+    df.groupBy(keys.map(col): _*)
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(size(t)).cast("long").as("n_tokens"),
+        sum(length(col(textCol))).cast("long").as("n_chars"),
+        (sum(size(t)).cast("double") / count(lit(1))).as("avg_tokens"),
+        countDistinct(md5(to_binary(lower(col(textCol)), lit("utf-8"))))
+          .as("n_distinct"))
+  }
+
+  /**
+   * Deterministic global shuffle + fixed-count shard assignment — the
+   * final stage before training: `(row..., shard, pos)` where `shard` is
+   * md5-uniform over `numShards` and `pos` is the row's 0-based position
+   * within its shard in md5 order. Engine-neutral and stable under any
+   * input partitioning (the property a seeded `repartition` does NOT
+   * have); changing `seed` draws an independent permutation.
+   *
+   * Scale shape: one hash-partition exchange on `shard` + an in-partition
+   * sort (Spark's window over `partitionBy(shard)`) — exactly the
+   * write-side shuffle a sharded training-set writer pays anyway. Size
+   * `numShards` so a shard fits an executor (100 TB / numShards).
+   */
+  def shuffleShards(df: DataFrame, idCol: String, numShards: Int,
+                    seed: String = "shard"): DataFrame = {
+    require(numShards >= 1, s"numShards must be >= 1, got $numShards")
+    val hx = substring(md5(to_binary(
+      concat(lit(seed), lit(":"), col(idCol).cast("string")), lit("utf-8"))), 1, 16)
+    val h = conv(substring(hx, 1, 8), 16, 10).cast("long")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard")).orderBy(col("__h"), col(idCol))
+    df.withColumn("__h", hx)
+      .withColumn("shard", pmod(h, lit(numShards.toLong)).cast("int"))
+      .withColumn("pos", (row_number().over(w) - 1).cast("long"))
+      .drop("__h")
+  }
+
+  /** Write [[shuffleShards]] output as one file per shard under `path`
+    * (parquet, `shard=<n>/` directories), rows in-shard ordered by
+    * `pos`. Returns the assignment for auditing. */
+  def writeShards(df: DataFrame, idCol: String, numShards: Int,
+                  path: String, seed: String = "shard"): DataFrame = {
+    val assigned = shuffleShards(df, idCol, numShards, seed)
+    assigned
+      .repartition(numShards, col("shard"))
+      .sortWithinPartitions(col("shard"), col("pos"))
+      .write.mode("overwrite").partitionBy("shard").parquet(path)
+    assigned
+  }
 }

@@ -125,6 +125,34 @@ object GraftQueries {
   private def embQ(spark: SparkSession, sfDir: String): (DataFrame, Array[Float]) =
     (tbl(spark, sfDir, "embeddings"), qvec(spark, sfDir, 0))
 
+  // ---- keyword-retrieval oracle scaffolding (ops/Search.scala) ----
+
+  /** Query terms for the BM25/hybrid goldens (mid-frequency corpus words). */
+  private def bm25Terms: Seq[String] = Seq("spark", "merge", "window")
+
+  /** DuckDB CTEs mirroring Search.bm25Score exactly: per-doc tf/dl, the
+    * (N, avgdl, df) stats row, and the per-term BM25 sum with the SAME
+    * literal constants and parenthesization as the Spark expression
+    * (constants interpolated from the same Scala doubles, so both engines
+    * parse the identical double). */
+  private def bm25Cte(terms: Seq[String]): String = {
+    val k1 = 1.2; val b = 0.75
+    val tfs = terms.zipWithIndex.map { case (t, i) =>
+      s"CAST(len(list_filter(t, x -> x = '$t')) AS DOUBLE) AS tf$i" }.mkString(", ")
+    val dfs = terms.zipWithIndex.map { case (t, i) =>
+      s"CAST(sum(CASE WHEN list_contains(t, '$t') THEN 1 ELSE 0 END) AS DOUBLE) AS df$i"
+    }.mkString(", ")
+    val score = terms.indices.map { i =>
+      s"ln((st.n - st.df$i + 0.5) / (st.df$i + 0.5) + 1.0) * tf$i * ${k1 + 1.0} / " +
+        s"(tf$i + $k1 * (${1.0 - b} + $b * (dl / st.avgdl)))"
+    }.mkString(" + ")
+    val hasAny = terms.indices.map(i => s"tf$i > 0").mkString(" OR ")
+    s"""WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       |pt AS (SELECT doc_id, CAST(len(t) AS DOUBLE) AS dl, $tfs FROM tk),
+       |st AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(len(t)) AS avgdl, $dfs FROM tk),
+       |sc AS (SELECT doc_id, ($score) AS score FROM pt, st WHERE $hasAny)""".stripMargin
+  }
+
   val all: Map[String, Q] = Map(
 
     // ---- scalar operator surface (SURVEY §2.1) ----
@@ -1924,7 +1952,123 @@ object GraftQueries {
       (s, d) => { val q = qvec(s, d, 0)
         graphOut(variantGraph(s, d, "gvacq").searchBatch(s, Array(0L -> q), 10,
           rerankTable = Some((tbl(s, d, "embeddings"), "vec_id", "embedding")))) },
-      Some(graphOracle("vec_id % 7 <> 0")))
+      Some(graphOracle("vec_id % 7 <> 0"))),
+
+    // ---- keyword & hybrid retrieval (ops/Search.scala) ----
+
+    // Okapi BM25 top-k: shuffle-free scoring (one codegen tf pass per
+    // doc via TokenTfExpr, df/idf baked in from one bounded stats pass),
+    // (rounded-score, id) cutoff so both engines pick the same set.
+    "bm25_topk" -> Q(
+      (s, d) => {
+        val sc = graft.ops.Search.bm25Score(
+          tbl(s, d, "documents"), "doc_id", "text", bm25Terms)
+        sc.orderBy(round(col("score"), 3).desc, col("doc_id")).limit(20)
+          .select(col("doc_id"), round(col("score"), 3).as("score"))
+      },
+      Some(s"""${bm25Cte(bm25Terms)}
+              |SELECT doc_id, round(score, 3) AS score FROM sc
+              |ORDER BY round(score, 3) DESC, doc_id LIMIT 20""".stripMargin)),
+
+    // Hybrid retrieval: BM25 top-20 fused with ANN top-20 (L2 to query
+    // vec 0; doc_id == vec_id in the testdata) by reciprocal-rank fusion,
+    // k_rrf = 60 (Cormack et al. 2009). Ranks are over (rounded metric,
+    // id) so both engines agree rank-for-rank; rrf contributions are
+    // exact dyadic rationals, so the fused sum matches bit-for-bit.
+    "hybrid_rrf" -> Q(
+      (s, d) => {
+        val (e, q) = embQ(s, d)
+        val bm = graft.ops.Search.bm25Score(
+          tbl(s, d, "documents"), "doc_id", "text", bm25Terms)
+          .orderBy(round(col("score"), 3).desc, col("doc_id")).limit(20)
+        val ann = e.select(col("vec_id").as("doc_id"),
+            round(vecL2(col("embedding"), lv(q)), 3).as("dist"))
+          .orderBy(col("dist"), col("doc_id")).limit(20)
+        graft.ops.Search.rrfFuse(Seq(
+            bm -> round(col("score"), 3).desc,
+            ann -> col("dist").asc), "doc_id", kRrf = 60, topK = 10)
+          .select(col("doc_id"), round(col("rrf_score"), 6).as("rrf"))
+      },
+      Some(s"""${bm25Cte(bm25Terms)},
+              |bmr AS (SELECT doc_id,
+              |  row_number() OVER (ORDER BY round(score, 3) DESC, doc_id) AS r
+              |  FROM sc QUALIFY r <= 20),
+              |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+              |e AS (SELECT vec_id, embedding, unnest(range(0, 64)) AS i FROM embeddings),
+              |dd AS (SELECT e.vec_id AS vec_id,
+              |  sqrt(sum(power(CAST(e.embedding[i+1] AS DOUBLE) - CAST(q.qe[i+1] AS DOUBLE), 2))) AS dist
+              |  FROM e, q GROUP BY e.vec_id),
+              |annr AS (SELECT vec_id AS doc_id,
+              |  row_number() OVER (ORDER BY round(dist, 3) ASC, vec_id) AS r
+              |  FROM dd QUALIFY r <= 20),
+              |u AS (SELECT doc_id, 1.0 / (60 + r) AS c FROM bmr
+              |  UNION ALL SELECT doc_id, 1.0 / (60 + r) AS c FROM annr)
+              |SELECT doc_id, round(sum(c), 6) AS rrf FROM u GROUP BY doc_id
+              |ORDER BY sum(c) DESC, doc_id LIMIT 10""".stripMargin)),
+
+    // ---- tokenizer training (ops/Bpe.scala) ----
+
+    // The statistic BPE's first merge round maximizes: frequency-weighted
+    // adjacent symbol-pair counts over the char-level + </w> dictionary —
+    // the corpus-pass half of training, hash-matched against DuckDB.
+    "bpe_pairs" -> Q(
+      (s, d) => graft.ops.Bpe.pairCounts(
+          graft.ops.Bpe.wordFreq(tbl(s, d, "documents"), "text"))
+        .orderBy(col("cnt").desc, col("a"), col("b")).limit(30)
+        .select(col("a"), col("b"), col("cnt").cast("long").as("cnt")),
+      Some("""WITH w AS (SELECT word, count(*) AS freq FROM
+             |  (SELECT unnest(string_split(text, ' ')) AS word FROM documents) _
+             |  WHERE length(word) > 0 GROUP BY word),
+             |p AS (
+             |  SELECT substr(word, i, 1) AS a, substr(word, i + 1, 1) AS b, freq
+             |  FROM (SELECT word, freq, unnest(range(1, len(word))) AS i FROM w) _
+             |  UNION ALL
+             |  SELECT substr(word, len(word), 1) AS a, '</w>' AS b, freq FROM w)
+             |SELECT a, b, CAST(sum(freq) AS BIGINT) AS cnt FROM p GROUP BY a, b
+             |ORDER BY cnt DESC, a, b LIMIT 30""".stripMargin)),
+
+    // End-to-end: train 64 merges over the corpus dictionary (driver path;
+    // the distributed path is spec'd bit-identical), encode every doc with
+    // the GPT-2 min-rank encoder, count tokens. Not SQL-expressible —
+    // rows-only check; the merge semantics are golden-spec'd in BpeSpec.
+    "bpe_encode" -> Q(
+      (s, d) => {
+        val docs = tbl(s, d, "documents")
+        val model = BpeCache.get(s, d)
+        graft.ops.Bpe.tokenCounts(docs, "doc_id", "text", model)
+          .orderBy("doc_id")
+      }, None),
+
+    // ---- corpus reporting + training-set sharding (ops/Curation.scala) ----
+
+    // Per-(lang, source) corpus profile: volume, mean length, exact-dup
+    // fingerprint cardinality — one partial-agg shuffle.
+    "corpus_stats" -> Q(
+      (s, d) => Curation.corpusStats(tbl(s, d, "documents"), "text",
+          Seq("lang", "source"))
+        .withColumn("avg_tokens", round(col("avg_tokens"), 3))
+        .orderBy("lang", "source"),
+      Some("""SELECT lang, source, count(*) AS n_docs,
+             |CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+             |CAST(sum(length(text)) AS BIGINT) AS n_chars,
+             |round(CAST(sum(len(string_split(text, ' '))) AS DOUBLE) / count(*), 3) AS avg_tokens,
+             |CAST(count(DISTINCT md5(lower(text))) AS BIGINT) AS n_distinct
+             |FROM documents GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // Deterministic md5-order global shuffle + 8-way shard assignment —
+    // the training-set writer's permutation, engine-replayable exactly.
+    "shard_assign" -> Q(
+      (s, d) => Curation.shuffleShards(
+          tbl(s, d, "documents").select("doc_id"), "doc_id", 8)
+        .select(col("doc_id"), col("shard"), col("pos"))
+        .orderBy("doc_id"),
+      Some("""WITH h AS (SELECT doc_id,
+             |  substr(md5('shard:' || CAST(doc_id AS VARCHAR)), 1, 16) AS hx FROM documents),
+             |a AS (SELECT doc_id, hx,
+             |  CAST(CAST(concat('0x', substr(hx, 1, 8)) AS BIGINT) % 8 AS INT) AS shard FROM h)
+             |SELECT doc_id, shard,
+             |CAST(row_number() OVER (PARTITION BY shard ORDER BY hx, doc_id) - 1 AS BIGINT) AS pos
+             |FROM a ORDER BY doc_id""".stripMargin))
   )
 
   // ---- build/maintenance variant caches (one build per JVM per tier) ----
@@ -2116,6 +2260,16 @@ object GraftQueries {
         h
       }
     }
+  }
+
+  /** Per-sfDir trained BPE model (training is deterministic, so one
+    * model per tier serves every loop iteration). */
+  object BpeCache {
+    private val cache =
+      new java.util.concurrent.ConcurrentHashMap[String, graft.ops.Bpe.BpeModel]()
+    def get(spark: SparkSession, sfDir: String): graft.ops.Bpe.BpeModel =
+      cache.computeIfAbsent(sfDir, _ =>
+        graft.ops.Bpe.train(tbl(spark, sfDir, "documents"), "text", nMerges = 64))
   }
 
   /** Per-(session, sfDir) IVF index cache so bench loops don't rebuild. */

@@ -1,0 +1,66 @@
+package graft.ops
+
+import graft.SparkSpec
+
+class BpeSpec extends SparkSpec {
+  import spark.implicits._
+
+  // corpus: "ab" x3, "abc" x2 — merge sequence hand-derived:
+  //   pairs (a,b):5 (b,</w>):3 (b,c):2 (c,</w>):2      -> merge (a,b)
+  //   pairs (ab,</w>):3 (ab,c):2 (c,</w>):2            -> merge (ab,</w>)
+  //   pairs (ab,c):2 (c,</w>):2, tie -> lexicographic  -> merge (ab,c)
+  //   pairs (abc,</w>):2                               -> merge (abc,</w>)
+  private val expectedMerges = IndexedSeq(
+    ("a", "b"), ("ab", "</w>"), ("ab", "c"), ("abc", "</w>"))
+
+  private lazy val docs = Seq(
+    (0L, "ab ab abc"),
+    (1L, "ab abc")
+  ).toDF("doc_id", "text")
+
+  test("train: hand-derived merge sequence (driver path)") {
+    val m = Bpe.train(docs, "text", nMerges = 10)
+    assert(m.merges == expectedMerges) // exhausts after 4 merges
+  }
+
+  test("distributed path produces the identical merge sequence") {
+    val m = Bpe.train(docs, "text", nMerges = 10, collectLimit = 0L)
+    assert(m.merges == expectedMerges)
+  }
+
+  test("encodeWord: GPT-2 min-rank merging") {
+    val m = Bpe.BpeModel(expectedMerges)
+    assert(m.encodeWord("ab") == Seq("ab</w>"))
+    assert(m.encodeWord("abc") == Seq("abc</w>"))
+    // unseen continuation: (a,b) merges, nothing else applies
+    assert(m.encodeWord("abd") == Seq("ab", "d", "</w>"))
+    assert(m.encodeWord("xyz") == Seq("x", "y", "z", "</w>"))
+    assert(m.encodeWord("") == Seq.empty)
+  }
+
+  test("encode splits on whitespace and concatenates") {
+    val m = Bpe.BpeModel(expectedMerges)
+    assert(m.encode("ab  abd") == Seq("ab</w>", "ab", "d", "</w>"))
+  }
+
+  test("pairCounts matches the first-round statistics") {
+    val got = Bpe.pairCounts(Bpe.wordFreq(docs, "text"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got == Map(
+      ("a", "b") -> 5L, ("b", "</w>") -> 3L, ("b", "c") -> 2L, ("c", "</w>") -> 2L))
+  }
+
+  test("tokenCounts: per-doc BPE token counts, no shuffle") {
+    val m = Bpe.train(docs, "text", nMerges = 10)
+    val tc = Bpe.tokenCounts(docs, "doc_id", "text", m)
+    val got = tc.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(0L -> 3L, 1L -> 2L)) // every word -> one token
+    import org.apache.spark.sql.execution.exchange.Exchange
+    assert(tc.queryExecution.executedPlan.collect { case e: Exchange => e }.isEmpty)
+  }
+
+  test("zero merges: character-level encoding") {
+    val m = Bpe.BpeModel(IndexedSeq.empty)
+    assert(m.encodeWord("abc") == Seq("a", "b", "c", "</w>"))
+  }
+}

@@ -1,0 +1,86 @@
+package graft.ops
+
+import org.apache.spark.sql.execution.exchange.Exchange
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class SearchSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (0L, "cat dog cat"),
+    (1L, "dog dog dog dog"),
+    (2L, "cat fish"),
+    (3L, "bird bird bird"),
+    (4L, "cat dog fish bird cat")
+  ).toDF("doc_id", "text")
+
+  test("bm25Stats: N, avgdl, per-term df") {
+    val st = Search.bm25Stats(docs, "text", Seq("cat", "dog", "whale"))
+    assert(st.nDocs == 5)
+    assert(math.abs(st.avgDl - 3.4) < 1e-12) // (3+4+2+3+5)/5
+    assert(st.df == Map("cat" -> 3L, "dog" -> 3L)) // absent term -> no row
+  }
+
+  test("bm25Score matches a hand-computed BM25") {
+    val terms = Seq("cat", "dog")
+    val st = Search.bm25Stats(docs, "text", terms)
+    def idf(df: Long): Double = math.log((5 - df + 0.5) / (df + 0.5) + 1.0)
+    def part(tf: Double, dl: Double, df: Long): Double =
+      if (tf == 0) 0.0
+      else idf(df) * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * (dl / 3.4)))
+    val got = Search.bm25Score(docs, "doc_id", "text", terms, stats = Some(st))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // doc 3 has neither term -> filtered out entirely
+    assert(got.keySet == Set(0L, 1L, 2L, 4L))
+    val want = Map(
+      0L -> (part(2, 3, 3) + part(1, 3, 3)),
+      1L -> part(4, 4, 3),
+      2L -> part(1, 2, 3),
+      4L -> (part(2, 5, 3) + part(1, 5, 3)))
+    want.foreach { case (id, w) => assert(math.abs(got(id) - w) < 1e-12, s"doc $id") }
+  }
+
+  test("bm25TopK order: score desc with id tie-break") {
+    val ids = Search.bm25TopK(docs, "doc_id", "text", Seq("cat"), 3)
+      .select("doc_id").as[Long].collect().toSeq
+    // tf=2 docs first (shorter doc wins), then tf=1 shorter-first
+    assert(ids.head == 0L) // tf=2, dl=3 beats tf=2, dl=5
+    assert(ids(1) == 4L)
+    assert(ids(2) == 2L) // tf=1, dl=2
+  }
+
+  test("bm25Score plan is shuffle-free (stats precomputed)") {
+    val st = Search.bm25Stats(docs, "text", Seq("cat"))
+    val plan = Search.bm25Score(docs, "doc_id", "text", Seq("cat"), stats = Some(st))
+      .queryExecution.executedPlan
+    assert(plan.collect { case e: Exchange => e }.isEmpty, plan.toString)
+  }
+
+  test("rrfFuse: fused score and ordering") {
+    val a = Seq((10L, 1.0), (20L, 2.0), (30L, 3.0)).toDF("id", "dist")
+    val b = Seq((20L, 9.0), (40L, 5.0)).toDF("id", "score")
+    val got = Search.rrfFuse(Seq(
+        a -> col("dist").asc, b -> col("score").desc), "id", kRrf = 60)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(math.abs(got(20L) - (1.0 / 62 + 1.0 / 61)) < 1e-15) // rank 2 + rank 1
+    assert(math.abs(got(10L) - 1.0 / 61) < 1e-15)
+    assert(math.abs(got(40L) - 1.0 / 62) < 1e-15)
+    assert(math.abs(got(30L) - 1.0 / 63) < 1e-15)
+    // 20 fused first (two runs beat any single-run contribution here)
+    val order = Search.rrfFuse(Seq(
+        a -> col("dist").asc, b -> col("score").desc), "id", topK = 2)
+      .select("id").as[Long].collect().toSeq
+    assert(order == Seq(20L, 10L))
+  }
+
+  test("empty term list and missing column are rejected") {
+    intercept[IllegalArgumentException] {
+      Search.bm25Score(docs, "doc_id", "text", Seq.empty)
+    }
+    intercept[IllegalArgumentException] {
+      Search.bm25Score(docs, "doc_id", "nope", Seq("cat"))
+    }
+  }
+}
