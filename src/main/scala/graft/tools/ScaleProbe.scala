@@ -71,6 +71,12 @@ object ScaleProbe {
         val sec = (System.nanoTime() - t) / 1e9
         out += (key -> sec); say(f"$key = $sec%.2fs")
       }
+      def timedRet[A](key: String)(body: => A): A = {
+        val t = System.nanoTime(); val r = body
+        val sec = (System.nanoTime() - t) / 1e9
+        out += (key -> sec); say(f"$key = $sec%.2fs")
+        r
+      }
       // NO repartition: spark.range already yields defaultParallelism
       // partitions — a repartition here round-robin-shuffled the ENTIRE
       // generated table (42 GB at 10M x 768d) for nothing, and the
@@ -412,6 +418,30 @@ object ScaleProbe {
           docsDf.select(length(graft.ops.TextOps.normalizeText(
               col("text"), "nfkc", lower = true, stripAccents = true)).as("l"))
             .agg(sum(col("l"))).collect()
+        }
+        timed(s"_scale_bm25$tag") {
+          // stats pass + shuffle-free scoring scan + TakeOrdered top-100
+          graft.ops.Search.bm25TopK(docsDf, "doc_id", "text",
+            Seq("spark", "merge", "window"), 100).collect()
+        }
+        val bpeModel = timedRet(s"_scale_bpe_train$tag") {
+          // corpus word-freq pass + 200 merge rounds over the dictionary
+          graft.ops.Bpe.train(docsDf, "text", nMerges = 200)
+        }
+        timed(s"_scale_bpe_encode$tag") {
+          // per-doc min-rank encode under the trained model (no shuffle)
+          graft.ops.Bpe.tokenCounts(docsDf, "doc_id", "text", bpeModel)
+            .agg(sum(col("n_tokens"))).collect()
+        }
+        timed(s"_scale_shard$tag") {
+          // md5-deterministic shuffle + 32-way shard/pos assignment
+          graft.ops.Curation.shuffleShards(docsDf, "doc_id", 32)
+            .agg(max(col("pos")), sum(col("shard"))).collect()
+        }
+        timed(s"_scale_corpstats$tag") {
+          graft.ops.Curation.corpusStats(
+            docsDf.withColumn("__lang", (col("doc_id") % 5).cast("string")),
+            "text", Seq("__lang")).collect()
         }
         docsDf.unpersist()
       }
