@@ -61,6 +61,36 @@ object TextExprKernels {
       .fromPrimitiveArray(out)
   }
 
+  /** Full term-frequency map of a token array as
+    * `array<struct<term,tf>>` in ONE hash pass, first-occurrence order
+    * (deterministic). The explode+groupBy formulation materializes and
+    * SHUFFLES one row per token occurrence; this emits one row per
+    * DISTINCT term with no shuffle at all — the postings-build kernel. */
+  def tokenTfAll(arr: ArrayData): ArrayData = {
+    val m = arr.numElements()
+    val counts = new java.util.LinkedHashMap[UTF8String, Array[Int]](
+      math.max(16, m * 2))
+    var i = 0
+    while (i < m) {
+      val t = arr.getUTF8String(i)
+      if (t != null && t.numBytes > 0) {
+        val cell = counts.get(t)
+        if (cell == null) counts.put(t, Array(1)) else cell(0) += 1
+      }
+      i += 1
+    }
+    val out = new Array[Any](counts.size)
+    val it = counts.entrySet().iterator()
+    var j = 0
+    while (it.hasNext) {
+      val e = it.next()
+      out(j) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](e.getKey, e.getValue()(0)))
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** One-pass token statistics: [max multiplicity, distinct count].
     * `[0, 0]` for an empty array. */
   def tokenStats(arr: ArrayData): ArrayData = {
@@ -220,6 +250,27 @@ case class TokenTfExpr(child: Expression, terms: Seq[String])
     defineCodeGen(ctx, ev, c =>
       s"graft.functions.TextExprKernels.tokenTf($c, $ref, ${terms.size})")
   }
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+/** `token_tf_all(array<string>)` -> `array<struct<term,tf>>`: the full
+  * per-document term-frequency map in one codegen hash pass (see
+  * [[TextExprKernels.tokenTfAll]]). */
+case class TokenTfAllExpr(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def prettyName: String = "token_tf_all"
+  override def inputTypes = Seq(ArrayType(StringType))
+  override def dataType: DataType = ArrayType(
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("term", StringType, nullable = false),
+      org.apache.spark.sql.types.StructField("tf", IntegerType, nullable = false))),
+    containsNull = false)
+  override protected def nullSafeEval(a: Any): Any =
+    TextExprKernels.tokenTfAll(a.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.TextExprKernels.tokenTfAll($c)")
   override protected def withNewChildInternal(c: Expression): Expression =
     copy(child = c)
 }

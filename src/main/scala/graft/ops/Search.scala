@@ -20,9 +20,13 @@ import org.apache.spark.sql.functions._
  *    statistics.
  *  - [[bm25Score]] is shuffle-free: docs that contain no query term are
  *    dropped by an `arrays_overlap` filter at the scan, and the score is
- *    one native column expression (per-term tf via array `filter`, df/idf
- *    baked in as literals). Top-k goes through Spark's TakeOrdered — no
- *    global sort materialization.
+ *    one native column expression (ALL per-term tfs from one codegen hash
+ *    pass — `TokenTfExpr` — with df/idf baked in as literals). Top-k goes
+ *    through Spark's TakeOrdered — no global sort materialization.
+ *  - [[buildPostings]]/[[PostingsIndex.search]] is the standing-corpus
+ *    index path: a query reads only its terms' posting buckets
+ *    (partition-pruned), so per-query cost is ∝ Σ df(term) instead of
+ *    corpus size — and results are bit-identical to the scan path.
  *  - [[rrfFuse]] runs over BOUNDED runs (each a top-k result set), so the
  *    single-partition rank windows are deliberate and cheap; the fusion
  *    itself is one tiny union + aggregate.
@@ -33,6 +37,23 @@ import org.apache.spark.sql.functions._
 object Search {
 
   private def toks(text: Column): Column = split(text, " ")
+
+  /** Engine-neutral term -> bucket: first 8 hex chars of md5(term) mod
+    * nBuckets (the same md5-key idiom the dedup/sharding ops use —
+    * stable across JVMs, replayable in any engine). */
+  private[ops] def termBucket(term: String, nBuckets: Int): Int = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(term.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val v = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+      ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+    (v % nBuckets).toInt
+  }
+
+  /** Column form of [[termBucket]] — identical arithmetic via native
+    * functions (md5 hex prefix as a 32-bit value). */
+  private def termBucketCol(term: Column, nBuckets: Int): Column =
+    pmod(conv(substring(md5(to_binary(term, lit("utf-8"))), 1, 8), 16, 10)
+      .cast("long"), lit(nBuckets.toLong)).cast("int")
 
   /** Corpus-level BM25 statistics: document count, mean document length
     * (in whitespace tokens), and per-query-term document frequency. */
@@ -104,6 +125,129 @@ object Search {
                b: Double = 0.75, stats: Option[Bm25Stats] = None): DataFrame =
     bm25Score(docs, idCol, textCol, terms, k1, b, stats)
       .orderBy(col("score").desc, col(idCol)).limit(k)
+
+  // ------------------------------------------------------------------
+  // Inverted-index (postings) path — the keyword analogue of the vector
+  // tiers' scan-vs-index story. The scan path above reads the CORPUS per
+  // query; this builds a term-bucketed postings table once, after which
+  // a query reads only its own terms' buckets: cost ∝ Σ df(term), flat
+  // in corpus size. Bucketing by term hash (not one partition per term)
+  // keeps the directory count fixed at any vocabulary size; Parquet
+  // partition pruning eliminates the other buckets at the scan, and the
+  // term filter prunes row groups inside a bucket via dictionary/stats.
+  // ------------------------------------------------------------------
+
+  /** Handle to a built postings index: `dir/postings` is
+    * (bucket=<b>/) (term, doc_id, tf, dl) parquet, `dir/df` is
+    * (bucket=<b>/) (term, df), `dir/meta.properties` holds (nDocs,
+    * avgDl, nBuckets). */
+  final case class PostingsIndex(dir: String, nDocs: Long, avgDl: Double,
+                                 nBuckets: Int) {
+    private def bucketOf(term: String): Int = Search.termBucket(term, nBuckets)
+
+    /** BM25 stats for `terms` from the index alone: one pruned read of
+      * at most |terms| df rows. */
+    def stats(spark: org.apache.spark.sql.SparkSession,
+              terms: Seq[String]): Bm25Stats = {
+      val ts = terms.distinct
+      val buckets = ts.map(bucketOf).distinct.toArray
+      val dfMap = spark.read.parquet(s"$dir/df")
+        .filter(col("bucket").isin(buckets: _*) && col("term").isin(ts: _*))
+        .collect().map(r => r.getString(r.fieldIndex("term")) ->
+          r.getLong(r.fieldIndex("df"))).toMap
+      Bm25Stats(nDocs, avgDl, dfMap)
+    }
+
+    /** Index-served BM25 scores `(doc_id, score)` for every matching
+      * doc: reads ONLY the query terms' posting buckets (partition-
+      * pruned), pivots each doc's per-term contributions into fixed
+      * positions so the score sums in the same order as the scan path —
+      * bit-identical results. One shuffle over the matched postings. */
+    def score(spark: org.apache.spark.sql.SparkSession, terms: Seq[String],
+              k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+      require(terms.nonEmpty, "bm25: empty term list")
+      val ts = terms.distinct
+      val st = stats(spark, ts)
+      val buckets = ts.map(bucketOf).distinct.toArray
+      val posts = spark.read.parquet(s"$dir/postings")
+        .filter(col("bucket").isin(buckets: _*) && col("term").isin(ts: _*))
+      val dl = col("dl").cast("double")
+      val denomBase = lit(k1) * (lit(1.0 - b) + lit(b) * (dl / lit(st.avgDl)))
+      val tf = col("tf").cast("double")
+      // per-row contribution of this (doc, term) posting — the same
+      // expression, operand for operand, as the scan path's term slice
+      val contrib = ts.map { term =>
+        when(col("term") === term,
+          lit(st.idf(term)) * tf * lit(k1 + 1.0) / (tf + denomBase))
+          .otherwise(lit(0.0))
+      }
+      // fixed-order sum: each doc has at most one posting per term, so
+      // sum(c_i) is exact and c_0 + c_1 + ... reproduces the scan order
+      val pivoted = posts.groupBy(col("doc_id"))
+        .agg(contrib.zipWithIndex.map { case (c, i) =>
+          coalesce(sum(c), lit(0.0)).as(s"__c$i")
+        }.head, contrib.zipWithIndex.tail.map { case (c, i) =>
+          coalesce(sum(c), lit(0.0)).as(s"__c$i")
+        }: _*)
+      val total = ts.indices.map(i => col(s"__c$i")).reduce(_ + _)
+      pivoted.select(col("doc_id"), total.as("score"))
+    }
+
+    /** Index-served BM25 top-k: [[score]] + deterministic TakeOrdered. */
+    def search(spark: org.apache.spark.sql.SparkSession, terms: Seq[String],
+               k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame =
+      score(spark, terms, k1, b)
+        .orderBy(col("score").desc, col("doc_id")).limit(k)
+  }
+
+  /** Build the postings index under `dir`. SHUFFLE-FREE tf pass: the
+    * per-doc term-frequency map comes from one codegen hash pass
+    * (`TokenTfAllExpr` — the explode+groupBy formulation shuffles one
+    * row per token OCCURRENCE; this emits one row per distinct
+    * (doc, term) with no exchange at all), written straight out
+    * bucket-partitioned; df is one partial-agg pass over the written
+    * postings (column-pruned to `term`). Idempotent overwrite. */
+  def buildPostings(docs: DataFrame, idCol: String, textCol: String,
+                    dir: String, nBuckets: Int = 64): PostingsIndex = {
+    require(nBuckets >= 1, s"nBuckets must be >= 1, got $nBuckets")
+    val spark = docs.sparkSession
+    val t = toks(col(textCol))
+    val head = docs.agg(
+      count(lit(1)).as("n"),
+      coalesce(avg(size(t)), lit(0.0)).as("avgdl")).head()
+    val (n, avgDl) = (head.getLong(0), head.getDouble(1))
+    val tfAll = org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.functions.TokenTfAllExpr(
+        org.apache.spark.sql.graft.ColumnBridge.expression(t)))
+    docs
+      .select(col(idCol).cast("long").as("doc_id"), size(t).as("dl"),
+        explode(tfAll).as("p"))
+      .select(col("doc_id"), col("p.term").as("term"), col("p.tf").as("tf"),
+        col("dl"), termBucketCol(col("p.term"), nBuckets).as("bucket"))
+      .write.mode("overwrite").partitionBy("bucket").parquet(s"$dir/postings")
+    spark.read.parquet(s"$dir/postings")
+      .groupBy(col("bucket"), col("term"))
+      .agg(count(lit(1)).as("df"))
+      .write.mode("overwrite").partitionBy("bucket").parquet(s"$dir/df")
+    val p = new java.util.Properties()
+    p.setProperty("nDocs", n.toString)
+    p.setProperty("avgDl", avgDl.toString)
+    p.setProperty("nBuckets", nBuckets.toString)
+    val w = java.nio.file.Files.newBufferedWriter(
+      java.nio.file.Paths.get(dir, "meta.properties"))
+    try p.store(w, "graft postings meta") finally w.close()
+    PostingsIndex(dir, n, avgDl, nBuckets)
+  }
+
+  /** Load a postings index built by [[buildPostings]]. */
+  def loadPostings(dir: String): PostingsIndex = {
+    val p = new java.util.Properties()
+    val r = java.nio.file.Files.newBufferedReader(
+      java.nio.file.Paths.get(dir, "meta.properties"))
+    try p.load(r) finally r.close()
+    PostingsIndex(dir, p.getProperty("nDocs").toLong,
+      p.getProperty("avgDl").toDouble, p.getProperty("nBuckets").toInt)
+  }
 
   /**
    * Reciprocal-rank fusion (Cormack et al. 2009) over bounded runs.

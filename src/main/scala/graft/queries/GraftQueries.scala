@@ -2006,6 +2006,22 @@ object GraftQueries {
               |SELECT doc_id, round(sum(c), 6) AS rrf FROM u GROUP BY doc_id
               |ORDER BY sum(c) DESC, doc_id LIMIT 10""".stripMargin)),
 
+    // INDEX-served BM25: the same query through the term-bucketed
+    // postings index — reads only the query terms' buckets (partition-
+    // pruned), per-term contributions pivoted to fixed positions so the
+    // score sums in scan order. Same oracle SQL as bm25_topk: the index
+    // path must be bit-identical to the corpus scan.
+    "bm25_topk_indexed" -> Q(
+      (s, d) => {
+        val idx = PostingsCache.get(s, d)
+        idx.score(s, bm25Terms)
+          .orderBy(round(col("score"), 3).desc, col("doc_id")).limit(20)
+          .select(col("doc_id"), round(col("score"), 3).as("score"))
+      },
+      Some(s"""${bm25Cte(bm25Terms)}
+              |SELECT doc_id, round(score, 3) AS score FROM sc
+              |ORDER BY round(score, 3) DESC, doc_id LIMIT 20""".stripMargin)),
+
     // ---- tokenizer training (ops/Bpe.scala) ----
 
     // The statistic BPE's first merge round maximizes: frequency-weighted
@@ -2260,6 +2276,18 @@ object GraftQueries {
         h
       }
     }
+  }
+
+  /** Per-sfDir BM25 postings index (built once per tier per JVM). */
+  object PostingsCache {
+    private val cache =
+      new java.util.concurrent.ConcurrentHashMap[String, graft.ops.Search.PostingsIndex]()
+    def get(spark: SparkSession, sfDir: String): graft.ops.Search.PostingsIndex =
+      cache.computeIfAbsent(sfDir, _ => {
+        val dir = s"${sys.props("java.io.tmpdir")}/graft-postings-${sfDir.replaceAll("[^a-zA-Z0-9.]", "_")}"
+        graft.ops.Search.buildPostings(
+          tbl(spark, sfDir, "documents"), "doc_id", "text", dir, nBuckets = 16)
+      })
   }
 
   /** Per-sfDir trained BPE model (training is deterministic, so one

@@ -424,6 +424,17 @@ object ScaleProbe {
           graft.ops.Search.bm25TopK(docsDf, "doc_id", "text",
             Seq("spark", "merge", "window"), 100).collect()
         }
+        val postingsDir =
+          s"${sys.props("java.io.tmpdir")}/graft-scale-postings$tag"
+        val postings = timedRet(s"_scale_bm25_build$tag") {
+          graft.ops.Search.buildPostings(docsDf, "doc_id", "text",
+            postingsDir, nBuckets = 64)
+        }
+        timed(s"_scale_bm25_indexed$tag") {
+          // postings path: reads only the 3 query terms' buckets
+          postings.search(spark, Seq("spark", "merge", "window"), 100)
+            .collect()
+        }
         val bpeModel = timedRet(s"_scale_bpe_train$tag") {
           // corpus word-freq pass + 200 merge rounds over the dictionary
           graft.ops.Bpe.train(docsDf, "text", nMerges = 200)
@@ -444,6 +455,50 @@ object ScaleProbe {
             "text", Seq("__lang")).collect()
         }
         docsDf.unpersist()
+      }
+      // Keyword-retrieval scan-vs-index economics: a 10k-word Zipf-ish
+      // vocab (u² rank bias) makes the probe terms SELECTIVE — the
+      // shared 30-word curate fixture is the adversarial case where
+      // Σ df ≈ corpus and an inverted index cannot win. Corpus is
+      // written to parquet (the standing-corpus regime both paths
+      // actually serve — a RAM-cached scan baseline would be comparing
+      // memory against disk); scan cost grows with the corpus, the
+      // postings path reads only the query terms' buckets.
+      if (!sys.env.get("SPARK_GRAFT_SCALE_KW").contains("0")) {
+        import org.apache.spark.sql.functions.col
+        val nKw = sys.env.getOrElse("SPARK_GRAFT_SCALE_KW_N", "200000").toInt
+        val kwTag = s"${nKw / 1000}k"
+        val kwBase = s"${sys.props("java.io.tmpdir")}/graft-scale-kw$kwTag"
+        spark.range(nKw).map { i =>
+          val sb = new java.lang.StringBuilder(800)
+          var x = i * 2862933555777941757L + 3037000493L
+          var j = 0
+          while (j < 100) {
+            x = x * 6364136223846793005L + 1442695040888963407L
+            val u = (x >>> 11).toDouble / (1L << 53).toDouble
+            if (j > 0) sb.append(' ')
+            sb.append('w').append((u * u * 10000).toInt)
+            j += 1
+          }
+          (i, sb.toString)
+        }.toDF("doc_id", "text")
+          .write.mode("overwrite").parquet(s"$kwBase/docs")
+        val kwDocs = spark.read.parquet(s"$kwBase/docs")
+        val kwTerms = Seq("w8111", "w9222", "w9333")
+        val kwStats = graft.ops.Search.bm25Stats(kwDocs, "text", kwTerms)
+        timed(s"_scale_kwscan$kwTag") {
+          // per-query scan cost with standing stats: the corpus read +
+          // shuffle-free scoring + TakeOrdered
+          graft.ops.Search.bm25TopK(kwDocs, "doc_id", "text", kwTerms, 100,
+            stats = Some(kwStats)).collect()
+        }
+        val kwIdx = timedRet(s"_scale_kwbuild$kwTag") {
+          graft.ops.Search.buildPostings(kwDocs, "doc_id", "text",
+            s"$kwBase/postings", nBuckets = 64)
+        }
+        timed(s"_scale_kwindexed$kwTag") {
+          kwIdx.search(spark, kwTerms, 100).collect()
+        }
       }
       // SemDeDup bulk: 100k x 16d embeddings in 256 planted clusters —
       // assignment scan (argmin over 256 codegen cosdists) + the

@@ -75,6 +75,46 @@ class SearchSpec extends SparkSpec {
     assert(order == Seq(20L, 10L))
   }
 
+  test("postings index: bit-identical to the scan path") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-postings").toString
+    val idx = Search.buildPostings(docs, "doc_id", "text", dir, nBuckets = 4)
+    val terms = Seq("cat", "dog")
+    val scan = Search.bm25Score(docs, "doc_id", "text", terms)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val served = idx.score(spark, terms)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(served == scan) // exact double equality, same operand order
+    // top-k form agrees too
+    val topScan = Search.bm25TopK(docs, "doc_id", "text", terms, 3)
+      .select("doc_id").as[Long].collect().toSeq
+    val topIdx = idx.search(spark, terms, 3)
+      .select("doc_id").as[Long].collect().toSeq
+    assert(topIdx == topScan)
+  }
+
+  test("postings index: load round-trip and bucket pruning") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-postings2").toString
+    val built = Search.buildPostings(docs, "doc_id", "text", dir, nBuckets = 8)
+    val loaded = Search.loadPostings(dir)
+    assert(loaded == built)
+    // the scan reads only the query terms' buckets: partition filters
+    // appear in the FileSourceScan and prune to <= |terms| buckets
+    // executedPlan is AQE-wrapped before execution; sparkPlan has the
+    // file scans resolved and is what this assertion is about
+    val plan = loaded.score(spark, Seq("cat")).queryExecution.sparkPlan
+    val scans = plan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(scans.nonEmpty)
+    val postingsScan = scans.find(_.relation.location.rootPaths
+      .exists(_.toString.contains("postings"))).get
+    assert(postingsScan.partitionFilters.nonEmpty, postingsScan.toString)
+    assert(postingsScan.relation.location.inputFiles
+      .count(_.contains("bucket=")) >= 1)
+    val prunedParts = postingsScan.selectedPartitions.partitionCount
+    assert(prunedParts <= 1, s"expected 1 pruned bucket, scanned $prunedParts")
+  }
+
   test("empty term list and missing column are rejected") {
     intercept[IllegalArgumentException] {
       Search.bm25Score(docs, "doc_id", "text", Seq.empty)
