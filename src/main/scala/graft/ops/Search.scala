@@ -49,6 +49,29 @@ object Search {
     (v % nBuckets).toInt
   }
 
+  // explicit index-file schemas: an EMPTY corpus writes no part files
+  // under the partitioned dirs, and schema inference would fail on the
+  // read — the create-then-insert lifecycle must serve (issue_427
+  // semantics). bucket is last (partition column).
+  private val postingsSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("doc_id",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("term",
+      org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("tf",
+      org.apache.spark.sql.types.IntegerType),
+    org.apache.spark.sql.types.StructField("dl",
+      org.apache.spark.sql.types.IntegerType),
+    org.apache.spark.sql.types.StructField("bucket",
+      org.apache.spark.sql.types.IntegerType)))
+  private val dfSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("term",
+      org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("df",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("bucket",
+      org.apache.spark.sql.types.IntegerType)))
+
   /** Column form of [[termBucket]] — identical arithmetic via native
     * functions (md5 hex prefix as a 32-bit value). */
   private def termBucketCol(term: Column, nBuckets: Int): Column =
@@ -145,13 +168,14 @@ object Search {
                                  nBuckets: Int) {
     private def bucketOf(term: String): Int = Search.termBucket(term, nBuckets)
 
+
     /** BM25 stats for `terms` from the index alone: one pruned read of
       * at most |terms| df rows. */
     def stats(spark: org.apache.spark.sql.SparkSession,
               terms: Seq[String]): Bm25Stats = {
       val ts = terms.distinct
       val buckets = ts.map(bucketOf).distinct.toArray
-      val dfMap = spark.read.parquet(s"$dir/df")
+      val dfMap = spark.read.schema(dfSchema).parquet(s"$dir/df")
         .filter(col("bucket").isin(buckets: _*) && col("term").isin(ts: _*))
         .collect().map(r => r.getString(r.fieldIndex("term")) ->
           r.getLong(r.fieldIndex("df"))).toMap
@@ -169,7 +193,7 @@ object Search {
       val ts = terms.distinct
       val st = stats(spark, ts)
       val buckets = ts.map(bucketOf).distinct.toArray
-      val posts = spark.read.parquet(s"$dir/postings")
+      val posts = spark.read.schema(postingsSchema).parquet(s"$dir/postings")
         .filter(col("bucket").isin(buckets: _*) && col("term").isin(ts: _*))
       val dl = col("dl").cast("double")
       val denomBase = lit(k1) * (lit(1.0 - b) + lit(b) * (dl / lit(st.avgDl)))
@@ -225,7 +249,7 @@ object Search {
       .select(col("doc_id"), col("p.term").as("term"), col("p.tf").as("tf"),
         col("dl"), termBucketCol(col("p.term"), nBuckets).as("bucket"))
       .write.mode("overwrite").partitionBy("bucket").parquet(s"$dir/postings")
-    spark.read.parquet(s"$dir/postings")
+    spark.read.schema(postingsSchema).parquet(s"$dir/postings")
       .groupBy(col("bucket"), col("term"))
       .agg(count(lit(1)).as("df"))
       .write.mode("overwrite").partitionBy("bucket").parquet(s"$dir/df")

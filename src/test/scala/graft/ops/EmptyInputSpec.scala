@@ -64,6 +64,29 @@ class EmptyInputSpec extends SparkSpec {
     assert(emptyDocs.select(TextOps.normalizeText(col("text"))).isEmpty)
   }
 
+  test("search, tokenizer, and shard operators over empty input") {
+    // BM25 scan path: stats degrade to (0, 0.0, no df rows); scores empty
+    val st = Search.bm25Stats(emptyDocs, "text", Seq("cat"))
+    assert(st.nDocs == 0 && st.avgDl == 0.0 && st.df.isEmpty)
+    assert(Search.bm25Score(emptyDocs, "doc_id", "text", Seq("cat")).isEmpty)
+    // postings path: the create-then-insert lifecycle — an empty build
+    // must load and serve (explicit-schema reads over fileless dirs)
+    val dir = java.nio.file.Files.createTempDirectory("graft-empty-postings").toString
+    val idx = Search.buildPostings(emptyDocs, "doc_id", "text", dir)
+    assert(Search.loadPostings(dir) == idx)
+    assert(idx.score(spark, Seq("cat")).isEmpty)
+    assert(idx.search(spark, Seq("cat"), 5).isEmpty)
+    // BPE: empty corpus -> empty merge table; encoding still works
+    val m = Bpe.train(emptyDocs, "text", nMerges = 5)
+    assert(m.merges.isEmpty)
+    assert(m.encodeWord("ab") == Seq("a", "b", "</w>"))
+    assert(Bpe.pairCounts(Bpe.wordFreq(emptyDocs, "text")).isEmpty)
+    assert(Bpe.tokenCounts(emptyDocs, "doc_id", "text", m).isEmpty)
+    // reporting + sharding
+    assert(Curation.corpusStats(emptyDocs, "text", Seq("doc_id")).isEmpty)
+    assert(Curation.shuffleShards(emptyDocs, "doc_id", 8).isEmpty)
+  }
+
   test("text and multimodal operators over empty input return empty") {
     import spark.implicits._
     val t = emptyDocs.select(

@@ -55,6 +55,32 @@ class CurationStreamSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("bm25Score with standing stats scores a stream in-row, matching batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val docs = (0L until 120L).map { i =>
+      (i, (0 until 6).map(j => Seq("cat", "dog", "fish", "bird")(((i + j) % 4).toInt)).mkString(" "))
+    }
+    val batchDf = docs.toDF("doc_id", "text")
+    // standing-corpus stats, as a keyword-alert pipeline would hold them
+    val st = graft.ops.Search.bm25Stats(batchDf, "text", Seq("cat", "dog"))
+    val batch = graft.ops.Search.bm25Score(batchDf, "doc_id", "text",
+      Seq("cat", "dog"), stats = Some(st))
+      .as[(Long, Double)].collect().toSet
+    val input = MemoryStream[(Long, String)]
+    val query = graft.ops.Search.bm25Score(input.toDF().toDF("doc_id", "text"),
+        "doc_id", "text", Seq("cat", "dog"), stats = Some(st))
+      .writeStream.format("memory").queryName("bm25_stream")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(docs.take(60)); query.processAllAvailable()
+      input.addData(docs.drop(60)); query.processAllAvailable()
+      val streamed = spark.sql("SELECT doc_id, score FROM bm25_stream")
+        .as[(Long, Double)].collect().toSet
+      assert(streamed == batch && batch.nonEmpty)
+    } finally query.stop()
+  }
+
   test("scoreWithModelIngest scores in-row in a stream, matching batch scores") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
