@@ -274,6 +274,89 @@ object Search {
   }
 
   /**
+   * Maximal Marginal Relevance re-ranking (Carbonell & Goldstein 1998)
+   * over a BOUNDED candidate set — the diversification stage after
+   * retrieval: greedily pick argmax `lambda*rel - (1-lambda)*maxSim`
+   * where maxSim is the picked doc's highest cosine similarity to the
+   * already-selected set. First pick is the highest-rel candidate; all
+   * argmaxes break ties by id; scores are rounded to 6dp before
+   * comparison so the selection is engine-replayable (the oracle replays
+   * it in SQL).
+   *
+   * Candidates are a top-N result set (ids + vectors + a relevance
+   * column, e.g. `1 - cosdist` or a fused RRF score) and are collected
+   * to the driver — the greedy loop is inherently sequential and N is
+   * bounded by construction; `maxCandidates` fails loudly on misuse.
+   * Returns (id, rank, mmr) with rank 1-based in selection order.
+   */
+  def mmr(candidates: DataFrame, idCol: String, vecCol: String,
+          relCol: String, k: Int, lambda: Double = 0.5,
+          maxCandidates: Int = 10000): DataFrame = {
+    require(k >= 1, s"mmr: k must be >= 1, got $k")
+    require(lambda >= 0.0 && lambda <= 1.0, s"mmr: lambda in [0,1], got $lambda")
+    val spark = candidates.sparkSession
+    import spark.implicits._
+    val rows = candidates
+      .select(col(idCol).cast("long"), col(vecCol).cast("array<float>"),
+        col(relCol).cast("double"))
+      .as[(Long, Seq[Float], Double)].collect()
+      .map { case (id, v, rel) => (id, v.toArray, rel) }
+    require(rows.length <= maxCandidates,
+      s"mmr: ${rows.length} candidates exceed maxCandidates=$maxCandidates — " +
+      "MMR diversifies a bounded top-N result set, not a corpus")
+    val n = rows.length
+    def r6(v: Double): Double = // Spark round() semantics (decimal string);
+      // + 0.0 kills -0.0 so zero scores tie identically in every engine
+      BigDecimal(java.lang.Double.toString(v))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble + 0.0
+    def cosSim(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < math.min(a.length, b.length)) {
+        dot += a(i).toDouble * b(i).toDouble
+        na += a(i).toDouble * a(i).toDouble
+        nb += b(i).toDouble * b(i).toDouble
+        i += 1
+      }
+      if (na == 0.0 || nb == 0.0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val selected = scala.collection.mutable.ArrayBuffer.empty[(Long, Double)]
+    val picked = new Array[Boolean](n)
+    val maxSim = Array.fill(n)(Double.NegativeInfinity)
+    var step = 0
+    while (step < math.min(k, n)) {
+      var best = -1
+      var bestScore = 0.0
+      var i = 0
+      while (i < n) {
+        if (!picked(i)) {
+          val s = r6(if (step == 0) rows(i)._3
+            else lambda * rows(i)._3 - (1.0 - lambda) * maxSim(i))
+          if (best < 0 || s > bestScore ||
+              (s == bestScore && rows(i)._1 < rows(best)._1)) {
+            best = i; bestScore = s
+          }
+        }
+        i += 1
+      }
+      picked(best) = true
+      selected += ((rows(best)._1, bestScore))
+      var j = 0
+      while (j < n) {
+        if (!picked(j)) {
+          val s = cosSim(rows(j)._2, rows(best)._2)
+          if (s > maxSim(j)) maxSim(j) = s
+        }
+        j += 1
+      }
+      step += 1
+    }
+    selected.zipWithIndex
+      .map { case ((id, s), r) => (id, (r + 1).toLong, s) }.toSeq
+      .toDF(idCol, "rank", "mmr")
+  }
+
+  /**
    * Reciprocal-rank fusion (Cormack et al. 2009) over bounded runs.
    * Each run is a (resultSet, orderColumn) pair; rank within a run is
    * `row_number` over (orderColumn, id) — pass e.g. `col("score").desc`

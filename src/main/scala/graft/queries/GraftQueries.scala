@@ -153,6 +153,42 @@ object GraftQueries {
        |sc AS (SELECT doc_id, ($score) AS score FROM pt, st WHERE $hasAny)""".stripMargin
   }
 
+  /** DuckDB replay of the MMR greedy loop, unrolled: candidates = ANN
+    * top-10 by cosine rel to vec 0, pairwise sims among them, then one
+    * CTE per greedy step picking argmax round(λ·rel − (1−λ)·maxSimToSel,
+    * 6) with id tie-breaks — exactly [[graft.ops.Search.mmr]]'s
+    * selection rule. */
+  private def mmrOracle(k: Int, lambda: Double): String = {
+    val relExpr = "1.0 - (1.0 - (-nd) / (na * nb))"
+    def selUnion(upto: Int): String =
+      (1 to upto).map(i => s"SELECT vec_id FROM p$i").mkString(" UNION ALL ")
+    val steps = (2 to k).map { i =>
+      s"""p$i AS (SELECT c.vec_id, round($lambda * c.rel - ${1.0 - lambda} * (
+         |  SELECT max(ps.s) FROM ps WHERE ps.va = c.vec_id
+         |    AND ps.vb IN (${selUnion(i - 1)})), 6) + 0.0 AS sc
+         |  FROM cand c WHERE c.vec_id NOT IN (${selUnion(i - 1)})
+         |  ORDER BY sc DESC, c.vec_id LIMIT 1)""".stripMargin
+    }.mkString(",\n")
+    val out = (1 to k).map(i =>
+      s"SELECT vec_id, CAST($i AS BIGINT) AS rank, sc AS mmr FROM p$i")
+      .mkString(" UNION ALL ")
+    s"""$distCte,
+       |cand AS (SELECT dd.vec_id AS vec_id, $relExpr AS rel FROM dd
+       |  ORDER BY round($relExpr, 6) DESC, dd.vec_id LIMIT 10),
+       |pe AS (SELECT e.vec_id, e.embedding, e.i FROM e
+       |  JOIN cand ON cand.vec_id = e.vec_id),
+       |ps AS (SELECT a.vec_id AS va, b.vec_id AS vb,
+       |  sum(CAST(a.embedding[a.i+1] AS DOUBLE) * CAST(b.embedding[a.i+1] AS DOUBLE)) /
+       |  (sqrt(sum(power(CAST(a.embedding[a.i+1] AS DOUBLE), 2))) *
+       |   sqrt(sum(power(CAST(b.embedding[a.i+1] AS DOUBLE), 2)))) AS s
+       |  FROM pe a JOIN pe b ON a.i = b.i AND a.vec_id <> b.vec_id
+       |  GROUP BY 1, 2),
+       |p1 AS (SELECT vec_id, round(rel, 6) + 0.0 AS sc FROM cand
+       |  ORDER BY round(rel, 6) DESC, vec_id LIMIT 1),
+       |$steps
+       |SELECT * FROM ($out) _m ORDER BY rank""".stripMargin
+  }
+
   val all: Map[String, Q] = Map(
 
     // ---- scalar operator surface (SURVEY §2.1) ----
@@ -2021,6 +2057,24 @@ object GraftQueries {
       Some(s"""${bm25Cte(bm25Terms)}
               |SELECT doc_id, round(score, 3) AS score FROM sc
               |ORDER BY round(score, 3) DESC, doc_id LIMIT 20""".stripMargin)),
+
+    // MMR diversification (Carbonell & Goldstein 1998): ANN top-10 by
+    // cosine rel, greedily re-ranked to k=5 with λ=0.5 — the stage after
+    // retrieval that stops near-duplicate results crowding the page.
+    // The oracle replays the greedy loop step-by-step in SQL.
+    "mmr_rerank" -> Q(
+      (s, d) => {
+        val (e, q) = embQ(s, d)
+        val rel = lit(1.0) - vecCosdist(col("embedding"), lv(q))
+        val cand = e.select(col("vec_id"), col("embedding"), rel.as("rel"))
+          .orderBy(round(col("rel"), 6).desc, col("vec_id")).limit(10)
+        graft.ops.Search.mmr(cand, "vec_id", "embedding", "rel",
+            k = 5, lambda = 0.5)
+          .select(col("vec_id"), col("rank"),
+            (round(col("mmr"), 6) + 0.0).as("mmr"))
+          .orderBy("rank")
+      },
+      Some(mmrOracle(k = 5, lambda = 0.5))),
 
     // ---- tokenizer training (ops/Bpe.scala) ----
 

@@ -115,6 +115,42 @@ class SearchSpec extends SparkSpec {
     assert(prunedParts <= 1, s"expected 1 pruned bucket, scanned $prunedParts")
   }
 
+  test("mmr: relevance-first pick, then diversity penalizes near-dups") {
+    // candidates: two near-identical high-rel vectors + one orthogonal
+    // mid-rel vector. Pure relevance ranks (1, 2, 3); MMR at λ=0.5 must
+    // pick the orthogonal doc second because doc 2 duplicates doc 1.
+    val cand = Seq(
+      (1L, Seq(1.0f, 0.0f), 0.95),
+      (2L, Seq(0.999f, 0.001f), 0.94), // near-dup of 1
+      (3L, Seq(0.0f, 1.0f), 0.60) // orthogonal, less relevant
+    ).toDF("id", "vec", "rel")
+    val got = Search.mmr(cand, "id", "vec", "rel", k = 3, lambda = 0.5)
+      .select("id", "rank").as[(Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 1L), (3L, 2L), (2L, 3L)))
+    // λ=1 degenerates to pure relevance order
+    val pureRel = Search.mmr(cand, "id", "vec", "rel", k = 3, lambda = 1.0)
+      .select("id").as[Long].collect().toSeq
+    assert(pureRel == Seq(1L, 2L, 3L))
+    // scores: rank1 = rel; rank2 = 0.5*rel - 0.5*sim(3,1) = 0.5*0.6 - 0
+    val scores = Search.mmr(cand, "id", "vec", "rel", k = 2, lambda = 0.5)
+      .select("id", "mmr").as[(Long, Double)].collect().toMap
+    assert(scores(1L) == 0.95)
+    assert(math.abs(scores(3L) - 0.3) < 1e-9)
+  }
+
+  test("mmr: k > candidates, ties, and the loud candidate cap") {
+    val cand = Seq(
+      (5L, Seq(1.0f, 0.0f), 0.5),
+      (4L, Seq(0.0f, 1.0f), 0.5) // tie -> lower id first
+    ).toDF("id", "vec", "rel")
+    val got = Search.mmr(cand, "id", "vec", "rel", k = 10)
+      .select("id").as[Long].collect().toSeq
+    assert(got == Seq(4L, 5L)) // both returned, id tie-break
+    intercept[IllegalArgumentException] {
+      Search.mmr(cand, "id", "vec", "rel", k = 1, maxCandidates = 1)
+    }
+  }
+
   test("empty term list and missing column are rejected") {
     intercept[IllegalArgumentException] {
       Search.bm25Score(docs, "doc_id", "text", Seq.empty)
