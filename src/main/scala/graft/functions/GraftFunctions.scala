@@ -264,6 +264,23 @@ object GraftFunctions {
           if (exprs.length > 2) litBool(exprs(2), "normalize_text lower") else true,
           if (exprs.length > 3) litBool(exprs(3), "normalize_text strip_accents") else false)
       })
+    reg.registerFunction(FunctionIdentifier("token_tf"),
+      new ExpressionInfo(classOf[TokenTfExpr].getName, "token_tf"),
+      exprs => {
+        require(exprs.length == 2, "token_tf(tokens, array('term', ...))")
+        require(exprs(1).foldable, "token_tf term list must be a literal")
+        val ad = exprs(1).eval()
+          .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+        val terms = Array.tabulate(ad.numElements())(i =>
+          ad.getUTF8String(i).toString).toSeq
+        TokenTfExpr(exprs(0), terms)
+      })
+    reg.registerFunction(FunctionIdentifier("token_tf_all"),
+      new ExpressionInfo(classOf[TokenTfAllExpr].getName, "token_tf_all"),
+      exprs => {
+        require(exprs.length == 1, "token_tf_all(tokens)")
+        TokenTfAllExpr(exprs.head)
+      })
     reg.registerFunction(FunctionIdentifier("vec_nearest"),
       new ExpressionInfo(classOf[VecNearestExpr].getName, "vec_nearest"),
       exprs => {

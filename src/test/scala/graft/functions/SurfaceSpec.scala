@@ -112,4 +112,25 @@ class SurfaceSpec extends SparkSpec {
     assert(sql.toSeq.map(_.toSeq) == dsl.toSeq.map(_.toSeq))
     assert(sql(0).getAs[Int]("c") == 0 && sql(1).getAs[Int]("c") == 1)
   }
+
+  test("token_tf / token_tf_all SQL forms match the kernel semantics") {
+    import spark.implicits._
+    GraftFunctions.registerAll(spark)
+    Seq((1L, "a b a c"), (2L, "b b")).toDF("id", "t")
+      .createOrReplaceTempView("surf_tf")
+    val rows = spark.sql(
+      """SELECT id,
+        |  token_tf(split(t, ' '), array('a', 'b', 'z')) AS tf,
+        |  token_tf_all(split(t, ' ')) AS tfa
+        |FROM surf_tf ORDER BY id""".stripMargin).collect()
+    assert(rows(0).getSeq[Long](1).toSeq == Seq(2L, 1L, 0L))
+    assert(rows(1).getSeq[Long](1).toSeq == Seq(0L, 2L, 0L))
+    val tfa0 = rows(0).getSeq[org.apache.spark.sql.Row](2)
+      .map(r => (r.getString(0), r.getInt(1))).toSeq
+    assert(tfa0 == Seq(("a", 2), ("b", 1), ("c", 1))) // first-occurrence order
+    intercept[Exception] { // non-literal term list rejected loudly
+      spark.sql("SELECT token_tf(split(t, ' '), split(t, ' ')) FROM surf_tf")
+        .collect()
+    }
+  }
 }

@@ -63,4 +63,39 @@ class BpeSpec extends SparkSpec {
     val m = Bpe.BpeModel(IndexedSeq.empty)
     assert(m.encodeWord("abc") == Seq("a", "b", "c", "</w>"))
   }
+
+  test("property: encoding is lossless for any corpus and any word") {
+    val rng = new scala.util.Random(1234)
+    def word(): String =
+      (0 until 1 + rng.nextInt(8)).map(_ => ('a' + rng.nextInt(4)).toChar).mkString
+    (0 until 5).foreach { trial =>
+      val corpus = (0L until 40L)
+        .map(i => (i, (0 until 1 + rng.nextInt(6)).map(_ => word()).mkString(" ")))
+        .toDF("doc_id", "text")
+      val m = Bpe.train(corpus, "text", nMerges = 10 + rng.nextInt(30))
+      (0 until 40).foreach { _ =>
+        val w = word()
+        val toks = m.encodeWord(w)
+        // reconstruction: concatenating the symbols and stripping the
+        // end-of-word marker restores the word exactly
+        assert(toks.mkString.stripSuffix(Bpe.EndOfWord)
+          .replace(Bpe.EndOfWord, "") == w, s"trial $trial word $w -> $toks")
+        // the marker appears exactly once, at the end of the stream
+        assert(toks.mkString.indexOf(Bpe.EndOfWord) ==
+          toks.mkString.length - Bpe.EndOfWord.length)
+      }
+    }
+  }
+
+  test("property: distributed merges equal local merges on a random corpus") {
+    val rng = new scala.util.Random(77)
+    val corpus = (0L until 30L)
+      .map(i => (i, (0 until 3).map(_ =>
+        (0 until 1 + rng.nextInt(5)).map(_ => ('a' + rng.nextInt(3)).toChar).mkString)
+        .mkString(" ")))
+      .toDF("doc_id", "text")
+    val local = Bpe.train(corpus, "text", nMerges = 8)
+    val dist = Bpe.train(corpus, "text", nMerges = 8, collectLimit = 0L)
+    assert(local.merges == dist.merges)
+  }
 }
