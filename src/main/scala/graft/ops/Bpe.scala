@@ -121,6 +121,24 @@ object Bpe {
     } finally { wf.unpersist(); () }
   }
 
+  /** Persist a trained model: the ordered merge table as parquet
+    * `(rank, a, b)` — the interchange format tokenizer tooling expects
+    * (a merges.txt equivalent, but columnar). */
+  def save(spark: SparkSession, model: BpeModel, dir: String): Unit = {
+    import spark.implicits._
+    model.merges.zipWithIndex
+      .map { case ((a, b), r) => (r, a, b) }.toDF("rank", "a", "b")
+      .coalesce(1).write.mode("overwrite").parquet(dir)
+  }
+
+  /** Load a model written by [[save]] (merge order restored by rank). */
+  def load(spark: SparkSession, dir: String): BpeModel = {
+    import spark.implicits._
+    BpeModel(spark.read.parquet(dir).select("rank", "a", "b")
+      .as[(Int, String, String)].collect()
+      .sortBy(_._1).map { case (_, a, b) => (a, b) }.toIndexedSeq)
+  }
+
   /** Best pair under (count desc, a asc, b asc) — the deterministic
     * tie-break both paths share. */
   private def better(c1: Long, p1: (String, String),

@@ -163,10 +163,41 @@ object Search {
   /** Handle to a built postings index: `dir/postings` is
     * (bucket=<b>/) (term, doc_id, tf, dl) parquet, `dir/df` is
     * (bucket=<b>/) (term, df), `dir/meta.properties` holds (nDocs,
-    * avgDl, nBuckets). */
-  final case class PostingsIndex(dir: String, nDocs: Long, avgDl: Double,
+    * nTokens, nBuckets). `avgDl` is derived (nTokens/nDocs) — exact-
+    * integer sums, so incremental [[append]] and a fresh build agree
+    * bit-for-bit. */
+  final case class PostingsIndex(dir: String, nDocs: Long, nTokens: Long,
                                  nBuckets: Int) {
+    /** Mean document length — nTokens/nDocs in double, the identical
+      * value Spark's avg() computes on the scan path (exact integer sum
+      * up to 2^53, same division). */
+    def avgDl: Double = if (nDocs == 0) 0.0 else nTokens.toDouble / nDocs
+
     private def bucketOf(term: String): Int = Search.termBucket(term, nBuckets)
+
+    /**
+     * Incremental insert — the create-then-insert lifecycle: appends the
+     * new docs' postings into the bucket dirs (parquet append, no
+     * rewrite of existing files), re-aggregates the small df table from
+     * the full postings (one column-pruned pass), and extends the meta
+     * counts. Returns the updated handle; search results are
+     * bit-identical to a fresh build over the union (spec'd).
+     * Caller contract: `docs` must be NEW doc ids — re-appending an id
+     * double-counts it (same contract as any postings append).
+     */
+    def append(docs: DataFrame, idCol: String, textCol: String): PostingsIndex = {
+      val spark = docs.sparkSession
+      val t = toks(col(textCol))
+      val head = docs.agg(
+        count(lit(1)).as("n"),
+        coalesce(sum(size(t)), lit(0L)).cast("long").as("ntok")).head()
+      val (dn, dtok) = (head.getLong(0), head.getLong(1))
+      writePostings(docs, idCol, textCol, dir, nBuckets, append = true)
+      writeDf(spark, dir, nBuckets)
+      val updated = PostingsIndex(dir, nDocs + dn, nTokens + dtok, nBuckets)
+      Search.writeMeta(updated)
+      updated
+    }
 
 
     /** BM25 stats for `terms` from the index alone: one pruned read of
@@ -238,8 +269,20 @@ object Search {
     val t = toks(col(textCol))
     val head = docs.agg(
       count(lit(1)).as("n"),
-      coalesce(avg(size(t)), lit(0.0)).as("avgdl")).head()
-    val (n, avgDl) = (head.getLong(0), head.getDouble(1))
+      coalesce(sum(size(t)), lit(0L)).cast("long").as("ntok")).head()
+    val (n, ntok) = (head.getLong(0), head.getLong(1))
+    writePostings(docs, idCol, textCol, dir, nBuckets, append = false)
+    writeDf(spark, dir, nBuckets)
+    val idx = PostingsIndex(dir, n, ntok, nBuckets)
+    writeMeta(idx)
+    idx
+  }
+
+  /** The shuffle-free postings write shared by build and append. */
+  private def writePostings(docs: DataFrame, idCol: String, textCol: String,
+                            dir: String, nBuckets: Int,
+                            append: Boolean): Unit = {
+    val t = toks(col(textCol))
     val tfAll = org.apache.spark.sql.graft.ColumnBridge.column(
       graft.functions.TokenTfAllExpr(
         org.apache.spark.sql.graft.ColumnBridge.expression(t)))
@@ -248,19 +291,26 @@ object Search {
         explode(tfAll).as("p"))
       .select(col("doc_id"), col("p.term").as("term"), col("p.tf").as("tf"),
         col("dl"), termBucketCol(col("p.term"), nBuckets).as("bucket"))
-      .write.mode("overwrite").partitionBy("bucket").parquet(s"$dir/postings")
+      .write.mode(if (append) "append" else "overwrite")
+      .partitionBy("bucket").parquet(s"$dir/postings")
+  }
+
+  /** df = one column-pruned partial-agg pass over the written postings. */
+  private def writeDf(spark: org.apache.spark.sql.SparkSession, dir: String,
+                      nBuckets: Int): Unit =
     spark.read.schema(postingsSchema).parquet(s"$dir/postings")
       .groupBy(col("bucket"), col("term"))
       .agg(count(lit(1)).as("df"))
       .write.mode("overwrite").partitionBy("bucket").parquet(s"$dir/df")
+
+  private def writeMeta(idx: PostingsIndex): Unit = {
     val p = new java.util.Properties()
-    p.setProperty("nDocs", n.toString)
-    p.setProperty("avgDl", avgDl.toString)
-    p.setProperty("nBuckets", nBuckets.toString)
+    p.setProperty("nDocs", idx.nDocs.toString)
+    p.setProperty("nTokens", idx.nTokens.toString)
+    p.setProperty("nBuckets", idx.nBuckets.toString)
     val w = java.nio.file.Files.newBufferedWriter(
-      java.nio.file.Paths.get(dir, "meta.properties"))
+      java.nio.file.Paths.get(idx.dir, "meta.properties"))
     try p.store(w, "graft postings meta") finally w.close()
-    PostingsIndex(dir, n, avgDl, nBuckets)
   }
 
   /** Load a postings index built by [[buildPostings]]. */
@@ -269,8 +319,11 @@ object Search {
     val r = java.nio.file.Files.newBufferedReader(
       java.nio.file.Paths.get(dir, "meta.properties"))
     try p.load(r) finally r.close()
-    PostingsIndex(dir, p.getProperty("nDocs").toLong,
-      p.getProperty("avgDl").toDouble, p.getProperty("nBuckets").toInt)
+    val nDocs = p.getProperty("nDocs").toLong
+    // pre-append-era metas stored avgDl instead of the exact token sum
+    val nTokens = Option(p.getProperty("nTokens")).map(_.toLong)
+      .getOrElse(math.round(p.getProperty("avgDl").toDouble * nDocs))
+    PostingsIndex(dir, nDocs, nTokens, p.getProperty("nBuckets").toInt)
   }
 
   /**

@@ -469,7 +469,12 @@ object ScaleProbe {
         val nKw = sys.env.getOrElse("SPARK_GRAFT_SCALE_KW_N", "200000").toInt
         val kwTag = s"${nKw / 1000}k"
         val kwBase = s"${sys.props("java.io.tmpdir")}/graft-scale-kw$kwTag"
-        spark.range(nKw).map { i =>
+        // SPARK_GRAFT_SCALE_KW_REUSE=1 reuses an existing corpus+index
+        // (skip gen+build; re-measure the serving paths on a quiet box)
+        val kwReuse = sys.env.get("SPARK_GRAFT_SCALE_KW_REUSE").contains("1") &&
+          java.nio.file.Files.exists(
+            java.nio.file.Paths.get(s"$kwBase/postings/meta.properties"))
+        if (!kwReuse) spark.range(nKw).map { i =>
           val sb = new java.lang.StringBuilder(800)
           var x = i * 2862933555777941757L + 3037000493L
           var j = 0
@@ -492,10 +497,12 @@ object ScaleProbe {
           graft.ops.Search.bm25TopK(kwDocs, "doc_id", "text", kwTerms, 100,
             stats = Some(kwStats)).collect()
         }
-        val kwIdx = timedRet(s"_scale_kwbuild$kwTag") {
-          graft.ops.Search.buildPostings(kwDocs, "doc_id", "text",
-            s"$kwBase/postings", nBuckets = 64)
-        }
+        val kwIdx =
+          if (kwReuse) graft.ops.Search.loadPostings(s"$kwBase/postings")
+          else timedRet(s"_scale_kwbuild$kwTag") {
+            graft.ops.Search.buildPostings(kwDocs, "doc_id", "text",
+              s"$kwBase/postings", nBuckets = 64)
+          }
         timed(s"_scale_kwindexed$kwTag") {
           kwIdx.search(spark, kwTerms, 100).collect()
         }

@@ -64,6 +64,19 @@ class BpeSpec extends SparkSpec {
     assert(m.encodeWord("abc") == Seq("a", "b", "c", "</w>"))
   }
 
+  test("save/load round-trips the merge table in order") {
+    val m = Bpe.train(docs, "text", nMerges = 10)
+    val dir = java.nio.file.Files.createTempDirectory("graft-bpe").toString
+    Bpe.save(spark, m, dir)
+    val back = Bpe.load(spark, dir)
+    assert(back.merges == m.merges)
+    assert(back.encodeWord("abc") == m.encodeWord("abc"))
+    // empty model round-trips too
+    val dirE = java.nio.file.Files.createTempDirectory("graft-bpe-e").toString
+    Bpe.save(spark, Bpe.BpeModel(IndexedSeq.empty), dirE)
+    assert(Bpe.load(spark, dirE).merges.isEmpty)
+  }
+
   test("property: encoding is lossless for any corpus and any word") {
     val rng = new scala.util.Random(1234)
     def word(): String =

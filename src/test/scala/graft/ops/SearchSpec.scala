@@ -115,6 +115,40 @@ class SearchSpec extends SparkSpec {
     assert(prunedParts <= 1, s"expected 1 pruned bucket, scanned $prunedParts")
   }
 
+  test("postings append: incremental insert equals a fresh build") {
+    val more = Seq(
+      (10L, "dog whale"),
+      (11L, "cat cat whale fish")
+    ).toDF("doc_id", "text")
+    val dirInc = java.nio.file.Files.createTempDirectory("graft-pinc").toString
+    val dirAll = java.nio.file.Files.createTempDirectory("graft-pall").toString
+    val inc = Search.buildPostings(docs, "doc_id", "text", dirInc, nBuckets = 4)
+      .append(more, "doc_id", "text")
+    val fresh = Search.buildPostings(docs.unionByName(more), "doc_id", "text",
+      dirAll, nBuckets = 4)
+    assert(inc.nDocs == fresh.nDocs && inc.nTokens == fresh.nTokens)
+    assert(inc.avgDl == fresh.avgDl) // exact integer sums -> same double
+    val terms = Seq("cat", "dog", "whale")
+    val a = inc.score(spark, terms)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val b = fresh.score(spark, terms)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(a == b && a.contains(10L) && a.contains(11L))
+    // and both equal the corpus scan over the union
+    val scan = Search.bm25Score(docs.unionByName(more), "doc_id", "text", terms)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(a == scan)
+    // create-then-insert: append into an EMPTY index serves too
+    val dirE = java.nio.file.Files.createTempDirectory("graft-pempty").toString
+    val e = Search.buildPostings(docs.limit(0), "doc_id", "text", dirE, 4)
+      .append(docs, "doc_id", "text")
+    val eScores = e.score(spark, Seq("cat"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val fScores = Search.bm25Score(docs, "doc_id", "text", Seq("cat"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(eScores == fScores)
+  }
+
   test("mmr: relevance-first pick, then diversity penalizes near-dups") {
     // candidates: two near-identical high-rel vectors + one orthogonal
     // mid-rel vector. Pure relevance ranks (1, 2, 3); MMR at λ=0.5 must
