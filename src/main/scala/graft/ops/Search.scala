@@ -71,6 +71,14 @@ object Search {
       org.apache.spark.sql.types.LongType),
     org.apache.spark.sql.types.StructField("bucket",
       org.apache.spark.sql.types.IntegerType)))
+  // doc-length sidecar (Lucene's norms analogue): lets remove() shrink
+  // the meta counts exactly, including docs whose text produced no
+  // postings
+  private val normsSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("doc_id",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("dl",
+      org.apache.spark.sql.types.IntegerType)))
 
   /** Column form of [[termBucket]] — identical arithmetic via native
     * functions (md5 hex prefix as a 32-bit value). */
@@ -193,11 +201,80 @@ object Search {
         coalesce(sum(size(t)), lit(0L)).cast("long").as("ntok")).head()
       val (dn, dtok) = (head.getLong(0), head.getLong(1))
       writePostings(docs, idCol, textCol, dir, nBuckets, append = true)
+      writeNorms(docs, idCol, textCol, dir, append = true)
       writeDf(spark, dir, nBuckets)
       val updated = PostingsIndex(dir, nDocs + dn, nTokens + dtok, nBuckets)
       Search.writeMeta(updated)
       updated
     }
+
+    /**
+     * Bulk delete (the vacuum analogue): drops the given doc ids from
+     * the postings, norms, and df tables and shrinks the meta counts
+     * EXACTLY (token counts come from the norms sidecar, so stats stay
+     * bit-identical to a fresh build over the survivors — spec'd).
+     * Rewrites into fresh table files via [[compact]]'s swap machinery.
+     */
+    def remove(ids: DataFrame, idCol: String): PostingsIndex = {
+      val spark = ids.sparkSession
+      val drop = ids.select(col(idCol).cast("long").as("__drop_id"))
+      val gone = readNorms(spark)
+        .join(drop, col("doc_id") === col("__drop_id"), "left_semi")
+        .agg(count(lit(1)).as("n"),
+          coalesce(sum(col("dl")), lit(0L)).cast("long").as("ntok")).head()
+      val (dn, dtok) = (gone.getLong(0), gone.getLong(1))
+      rewrite(spark, drop, PostingsIndex(dir, nDocs - dn, nTokens - dtok, nBuckets))
+    }
+
+    /**
+     * Compaction (the maintain analogue): after many [[append]] batches
+     * each bucket dir holds one small file per batch task — the classic
+     * small-file problem. Rewrites postings and norms into one file per
+     * bucket partition, results unchanged.
+     */
+    def compact(spark: org.apache.spark.sql.SparkSession): PostingsIndex =
+      rewrite(spark, spark.emptyDataFrame
+        .withColumn("__drop_id", lit(0L)).limit(0), this)
+
+    /** Shared rewrite: filter out dropped ids, write to side dirs, swap
+      * atomically-enough (rename), refresh df + meta. */
+    private def rewrite(spark: org.apache.spark.sql.SparkSession,
+                        drop: DataFrame, next: PostingsIndex): PostingsIndex = {
+      import java.nio.file.{Files, Paths}
+      def swap(sub: String, write: String => Unit): Unit = {
+        val tmp = s"$dir/$sub-rewrite"
+        write(tmp)
+        val live = Paths.get(s"$dir/$sub")
+        val old = Paths.get(s"$dir/$sub-old")
+        deleteTree(old)
+        Files.move(live, old)
+        Files.move(Paths.get(tmp), live)
+        deleteTree(old)
+      }
+      swap("postings", tmp =>
+        spark.read.schema(postingsSchema).parquet(s"$dir/postings")
+          .join(drop, col("doc_id") === col("__drop_id"), "left_anti")
+          .repartition(col("bucket"))
+          .write.partitionBy("bucket").parquet(tmp))
+      swap("norms", tmp =>
+        readNorms(spark)
+          .join(drop, col("doc_id") === col("__drop_id"), "left_anti")
+          .write.parquet(tmp))
+      writeDf(spark, dir, nBuckets)
+      Search.writeMeta(next)
+      next
+    }
+
+    private[ops] def readNorms(
+        spark: org.apache.spark.sql.SparkSession): DataFrame =
+      spark.read.schema(normsSchema).parquet(s"$dir/norms")
+
+    private def deleteTree(p: java.nio.file.Path): Unit =
+      if (java.nio.file.Files.exists(p)) {
+        java.nio.file.Files.walk(p)
+          .sorted(java.util.Comparator.reverseOrder())
+          .forEach(f => { java.nio.file.Files.delete(f); () })
+      }
 
 
     /** BM25 stats for `terms` from the index alone: one pruned read of
@@ -272,11 +349,20 @@ object Search {
       coalesce(sum(size(t)), lit(0L)).cast("long").as("ntok")).head()
     val (n, ntok) = (head.getLong(0), head.getLong(1))
     writePostings(docs, idCol, textCol, dir, nBuckets, append = false)
+    writeNorms(docs, idCol, textCol, dir, append = false)
     writeDf(spark, dir, nBuckets)
     val idx = PostingsIndex(dir, n, ntok, nBuckets)
     writeMeta(idx)
     idx
   }
+
+  /** The per-doc length sidecar shared by build and append. */
+  private def writeNorms(docs: DataFrame, idCol: String, textCol: String,
+                         dir: String, append: Boolean): Unit =
+    docs.select(col(idCol).cast("long").as("doc_id"),
+        size(toks(col(textCol))).as("dl"))
+      .write.mode(if (append) "append" else "overwrite")
+      .parquet(s"$dir/norms")
 
   /** The shuffle-free postings write shared by build and append. */
   private def writePostings(docs: DataFrame, idCol: String, textCol: String,

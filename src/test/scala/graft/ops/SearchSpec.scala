@@ -149,6 +149,50 @@ class SearchSpec extends SparkSpec {
     assert(eScores == fScores)
   }
 
+  test("postings remove: bulk delete equals a fresh build over survivors") {
+    val dirR = java.nio.file.Files.createTempDirectory("graft-prem").toString
+    val dirS = java.nio.file.Files.createTempDirectory("graft-psurv").toString
+    val idx = Search.buildPostings(docs, "doc_id", "text", dirR, nBuckets = 4)
+    val dropIds = Seq(1L, 3L).toDF("doc_id")
+    val after = idx.remove(dropIds, "doc_id")
+    val fresh = Search.buildPostings(
+      docs.filter(!col("doc_id").isin(1L, 3L)), "doc_id", "text", dirS, 4)
+    assert(after.nDocs == fresh.nDocs && after.nTokens == fresh.nTokens)
+    val terms = Seq("cat", "dog")
+    val a = after.score(spark, terms)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val b = fresh.score(spark, terms)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(a == b && !a.contains(1L))
+    // removing an id that is not in the index changes nothing
+    val same = after.remove(Seq(999L).toDF("doc_id"), "doc_id")
+    assert(same.nDocs == after.nDocs && same.nTokens == after.nTokens)
+  }
+
+  test("postings compact: many appends collapse to one file per bucket") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-pcomp").toString
+    var idx = Search.buildPostings(docs.limit(2), "doc_id", "text", dir, 2)
+    docs.collect().drop(2).foreach { r =>
+      idx = idx.append(Seq((r.getLong(0), r.getString(1)))
+        .toDF("doc_id", "text"), "doc_id", "text")
+    }
+    def nFiles: Int = {
+      val p = java.nio.file.Paths.get(s"$dir/postings")
+      java.nio.file.Files.walk(p).filter(_.toString.endsWith(".parquet"))
+        .count().toInt
+    }
+    val before = nFiles
+    val scoresBefore = idx.score(spark, Seq("cat", "dog"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val compacted = idx.compact(spark)
+    assert(nFiles < before, s"compaction must shrink file count ($before -> $nFiles)")
+    assert(nFiles <= 2) // one file per non-empty bucket
+    val scoresAfter = compacted.score(spark, Seq("cat", "dog"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(scoresAfter == scoresBefore)
+    assert(compacted.nDocs == idx.nDocs && compacted.nTokens == idx.nTokens)
+  }
+
   test("mmr: relevance-first pick, then diversity penalizes near-dups") {
     // candidates: two near-identical high-rel vectors + one orthogonal
     // mid-rel vector. Pure relevance ranks (1, 2, 3); MMR at λ=0.5 must
