@@ -34,6 +34,25 @@ object Bpe {
     * Sennrich convention: lets merges distinguish word-final contexts). */
   val EndOfWord = "</w>"
 
+  /** Word -> initial symbol sequence: one symbol per Unicode CODE POINT
+    * (not UTF-16 unit — a lone surrogate half is not a valid string and
+    * would corrupt on any UTF-8 round-trip, e.g. model save/load), plus
+    * the end-of-word marker. Matches the SQL `substring`/`length`
+    * semantics the `bpe_pairs` oracle uses. */
+  private[ops] def symbols(word: String): Array[String] = {
+    val out = new Array[String](word.codePointCount(0, word.length) + 1)
+    var i = 0
+    var j = 0
+    while (i < word.length) {
+      val cp = word.codePointAt(i)
+      out(j) = new String(Character.toChars(cp))
+      i += Character.charCount(cp)
+      j += 1
+    }
+    out(j) = EndOfWord
+    out
+  }
+
   /** A trained merge table, in learned order. Encoding follows the GPT-2
     * reference encoder: repeatedly merge ALL occurrences of the
     * lowest-rank adjacent pair present until none remains. */
@@ -47,8 +66,7 @@ object Bpe {
     /** Encode one word (no whitespace) to BPE symbols. */
     def encodeWord(word: String): Seq[String] = {
       if (word.isEmpty) return Seq.empty
-      var parts: mutable.ArrayBuffer[String] =
-        mutable.ArrayBuffer(word.map(_.toString): _*) += EndOfWord
+      var parts: Array[String] = symbols(word)
       var done = merges.isEmpty
       while (!done && parts.length > 1) {
         // lowest-rank adjacent pair present
@@ -62,17 +80,10 @@ object Bpe {
         if (bestRank == Int.MaxValue) done = true
         else {
           val (a, b) = merges(bestRank)
-          val next = new mutable.ArrayBuffer[String](parts.length)
-          var j = 0
-          while (j < parts.length) {
-            if (j < parts.length - 1 && parts(j) == a && parts(j + 1) == b) {
-              next += a + b; j += 2
-            } else { next += parts(j); j += 1 }
-          }
-          parts = next
+          parts = mergePair(parts, a, b) // same replace as the trainer
         }
       }
-      parts.toSeq
+      scala.collection.immutable.ArraySeq.unsafeWrapArray(parts)
     }
 
     /** Encode whitespace-tokenized text; returns the BPE symbol stream. */
@@ -159,37 +170,102 @@ object Bpe {
     out.toArray
   }
 
+  /**
+   * Driver merge loop with INCREMENTAL pair-count maintenance (the
+   * published subword-nmt trainer's design): a merge round touches only
+   * the words that actually contain the merged pair (tracked by an
+   * occurrence index), and the argmax comes from a lazy max-heap whose
+   * stale entries are discarded against the live count table. Cost per
+   * round ∝ touched-word length sum, not dictionary size — 32k merges
+   * over a 2M-word dictionary is feasible where the naive
+   * recount-everything loop (O(nMerges x dict)) is not. Counts, picks,
+   * and tie-breaks are exactly the naive semantics (adjacent positions,
+   * overlaps included) — the local==distributed property test pins this
+   * against the naive distributed path on random corpora.
+   */
   private def trainLocal(words: Array[(String, Long)],
                          nMerges: Int): IndexedSeq[(String, String)] = {
-    var dict: Array[(Array[String], Long)] = words.map { case (w, f) =>
-      ((w.map(_.toString) :+ EndOfWord).toArray, f)
+    type P = (String, String)
+    val dict: Array[Array[String]] = words.map { case (w, _) => symbols(w) }
+    val freqs: Array[Long] = words.map(_._2)
+    val counts = new java.util.HashMap[P, Array[Long]]()
+    val occurs = new java.util.HashMap[P, mutable.ArrayBuffer[Int]]()
+    // max-heap by (count, then lexicographically SMALLEST pair wins)
+    val heap = mutable.PriorityQueue.empty[(Long, P)](new Ordering[(Long, P)] {
+      def compare(x: (Long, P), y: (Long, P)): Int = {
+        val c = java.lang.Long.compare(x._1, y._1)
+        if (c != 0) c
+        else {
+          val a = y._2._1.compareTo(x._2._1) // smaller string = higher priority
+          if (a != 0) a else y._2._2.compareTo(x._2._2)
+        }
+      }
+    })
+    def add(p: P, f: Long, wi: Int): Unit = {
+      val c = counts.get(p)
+      if (c == null) counts.put(p, Array(f)) else c(0) += f
+      var o = occurs.get(p)
+      if (o == null) { o = mutable.ArrayBuffer.empty[Int]; occurs.put(p, o) }
+      if (o.isEmpty || o(o.length - 1) != wi) o += wi
     }
-    val merges = mutable.ArrayBuffer.empty[(String, String)]
+    def sub(p: P, f: Long): Unit = {
+      val c = counts.get(p)
+      if (c != null) { c(0) -= f; if (c(0) <= 0) { counts.remove(p); () } }
+    }
+    dict.indices.foreach { wi =>
+      val t = dict(wi)
+      var j = 0
+      while (j < t.length - 1) { add((t(j), t(j + 1)), freqs(wi), wi); j += 1 }
+    }
+    counts.forEach((p, c) => heap.enqueue((c(0), p)))
+    val merges = mutable.ArrayBuffer.empty[P]
     var it = 0
     var exhausted = false
     while (it < nMerges && !exhausted) {
-      val counts = new java.util.HashMap[(String, String), Array[Long]]()
-      dict.foreach { case (toks, f) =>
-        var j = 0
-        while (j < toks.length - 1) {
-          val k = (toks(j), toks(j + 1))
-          val cell = counts.get(k)
-          if (cell == null) counts.put(k, Array(f)) else cell(0) += f
-          j += 1
-        }
+      // pop until the top entry matches its live count (lazy deletion);
+      // every live (pair, count) has an entry, so the first valid pop is
+      // the exact naive argmax including the lexicographic tie-break
+      var best: P = null
+      while (best == null && heap.nonEmpty) {
+        val (c, p) = heap.dequeue()
+        val live = counts.get(p)
+        if (live != null && live(0) == c) best = p
       }
-      if (counts.isEmpty) exhausted = true
+      if (best == null) exhausted = true
       else {
-        var bestPair: (String, String) = null
-        var bestCount = 0L
-        counts.forEach { (p, c) =>
-          if (bestPair == null || better(c(0), p, bestCount, bestPair)) {
-            bestPair = p; bestCount = c(0)
+        merges += best
+        val changed = mutable.HashSet.empty[P]
+        val touched = occurs.remove(best)
+        if (touched != null) {
+          val seen = mutable.HashSet.empty[Int]
+          touched.foreach { wi =>
+            if (seen.add(wi)) {
+              val t = dict(wi)
+              var has = false
+              var j = 0
+              while (!has && j < t.length - 1) {
+                has = t(j) == best._1 && t(j + 1) == best._2; j += 1
+              }
+              if (has) { // stale occurrence entries are skipped
+                val f = freqs(wi)
+                j = 0
+                while (j < t.length - 1) {
+                  val p = (t(j), t(j + 1)); sub(p, f); changed += p; j += 1
+                }
+                val nt = mergePair(t, best._1, best._2)
+                dict(wi) = nt
+                j = 0
+                while (j < nt.length - 1) {
+                  val p = (nt(j), nt(j + 1)); add(p, f, wi); changed += p
+                  j += 1
+                }
+              }
+            }
           }
         }
-        merges += bestPair
-        dict = dict.map { case (toks, f) =>
-          (mergePair(toks, bestPair._1, bestPair._2), f)
+        changed.foreach { p =>
+          val c = counts.get(p)
+          if (c != null) heap.enqueue((c(0), p))
         }
         it += 1
       }
@@ -200,7 +276,7 @@ object Bpe {
   private def trainDistributed(spark: SparkSession, wf: DataFrame,
                                nMerges: Int): IndexedSeq[(String, String)] = {
     var dict = wf.rdd
-      .map(r => ((r.getString(0).map(_.toString) :+ EndOfWord).toArray, r.getLong(1)))
+      .map(r => (symbols(r.getString(0)), r.getLong(1)))
       .persist(StorageLevel.MEMORY_AND_DISK)
     dict.count() // materialize before iterating
     val merges = mutable.ArrayBuffer.empty[(String, String)]
@@ -253,7 +329,7 @@ object Bpe {
       val memo = new java.util.HashMap[String, Integer](1024)
       it.map { case (id, text) =>
         var total = 0L
-        val words = text.split(" ")
+        val words = if (text == null) Array.empty[String] else text.split(" ")
         var i = 0
         while (i < words.length) {
           val w = words(i)

@@ -38,6 +38,17 @@ object Search {
 
   private def toks(text: Column): Column = split(text, " ")
 
+  /** Shared term-list validation: non-empty list of non-empty terms (an
+    * empty-string "term" would match the empty tokens double spaces
+    * produce on the scan path while the postings index stores none —
+    * reject it loudly instead of diverging). */
+  private def checkTerms(terms: Seq[String]): Seq[String] = {
+    require(terms.nonEmpty, "bm25: empty term list")
+    require(terms.forall(t => t != null && t.nonEmpty),
+      "bm25: null/empty query term")
+    terms.distinct
+  }
+
   /** Engine-neutral term -> bucket: first 8 hex chars of md5(term) mod
     * nBuckets (the same md5-key idiom the dedup/sharding ops use —
     * stable across JVMs, replayable in any engine). */
@@ -100,14 +111,17 @@ object Search {
   /** One stats pass for the given query terms (see class doc for the
     * scale shape). `terms` must be non-empty. */
   def bm25Stats(docs: DataFrame, textCol: String, terms: Seq[String]): Bm25Stats = {
-    require(terms.nonEmpty, "bm25: empty term list")
-    val ts = terms.distinct
+    val ts = checkTerms(terms)
     val t = toks(col(textCol))
+    // avgdl = exact token sum / ALL docs (a null/empty text row counts as
+    // a zero-length doc, not a skipped one) — the same value the postings
+    // index derives from its meta, so scan and index stats are identical
+    // even on corpora with null rows
     val head = docs.agg(
       count(lit(1)).as("n"),
-      coalesce(avg(size(t)), lit(0.0)).as("avgdl")).head()
+      coalesce(sum(size(t)), lit(0L)).cast("long").as("ntok")).head()
     val n = head.getLong(0)
-    val avgDl = head.getDouble(1)
+    val avgDl = if (n == 0) 0.0 else head.getLong(1).toDouble / n
     val dfMap = docs
       .select(explode(array_intersect(array_distinct(t),
         lit(ts.toArray))).as("term"))
@@ -124,10 +138,9 @@ object Search {
   def bm25Score(docs: DataFrame, idCol: String, textCol: String,
                 terms: Seq[String], k1: Double = 1.2, b: Double = 0.75,
                 stats: Option[Bm25Stats] = None): DataFrame = {
-    require(terms.nonEmpty, "bm25: empty term list")
     require(docs.columns.contains(idCol) && docs.columns.contains(textCol),
       s"bm25: missing column $idCol/$textCol")
-    val ts = terms.distinct
+    val ts = checkTerms(terms)
     val st = stats.getOrElse(bm25Stats(docs, textCol, ts))
     val t = toks(col(textCol))
     // all per-term tfs in ONE codegen hash pass (the HOF-per-term
@@ -195,6 +208,7 @@ object Search {
      */
     def append(docs: DataFrame, idCol: String, textCol: String): PostingsIndex = {
       val spark = docs.sparkSession
+      ensureNorms(spark)
       val t = toks(col(textCol))
       val head = docs.agg(
         count(lit(1)).as("n"),
@@ -217,6 +231,7 @@ object Search {
      */
     def remove(ids: DataFrame, idCol: String): PostingsIndex = {
       val spark = ids.sparkSession
+      ensureNorms(spark)
       val drop = ids.select(col(idCol).cast("long").as("__drop_id"))
       val gone = readNorms(spark)
         .join(drop, col("doc_id") === col("__drop_id"), "left_semi")
@@ -232,9 +247,25 @@ object Search {
      * small-file problem. Rewrites postings and norms into one file per
      * bucket partition, results unchanged.
      */
-    def compact(spark: org.apache.spark.sql.SparkSession): PostingsIndex =
+    def compact(spark: org.apache.spark.sql.SparkSession): PostingsIndex = {
+      ensureNorms(spark)
       rewrite(spark, spark.emptyDataFrame
         .withColumn("__drop_id", lit(0L)).limit(0), this)
+    }
+
+    /** Pre-norms-era indexes (built before the sidecar existed) get
+      * their norms BACKFILLED from the postings (exact for every doc
+      * with at least one posting; a doc whose text produced no postings
+      * cannot be recovered and its later removal will not shrink the
+      * token count — documented drift, loud nowhere else to be). Must
+      * run BEFORE an append writes partial norms. */
+    private def ensureNorms(spark: org.apache.spark.sql.SparkSession): Unit =
+      if (!java.nio.file.Files.exists(
+          java.nio.file.Paths.get(s"$dir/norms"))) {
+        spark.read.schema(postingsSchema).parquet(s"$dir/postings")
+          .groupBy(col("doc_id")).agg(first(col("dl")).as("dl"))
+          .write.parquet(s"$dir/norms")
+      }
 
     /** Shared rewrite: filter out dropped ids, write to side dirs, swap
       * atomically-enough (rename), refresh df + meta. */
@@ -243,6 +274,7 @@ object Search {
       import java.nio.file.{Files, Paths}
       def swap(sub: String, write: String => Unit): Unit = {
         val tmp = s"$dir/$sub-rewrite"
+        deleteTree(Paths.get(tmp)) // a crashed prior rewrite must not brick us
         write(tmp)
         val live = Paths.get(s"$dir/$sub")
         val old = Paths.get(s"$dir/$sub-old")
@@ -297,8 +329,7 @@ object Search {
       * bit-identical results. One shuffle over the matched postings. */
     def score(spark: org.apache.spark.sql.SparkSession, terms: Seq[String],
               k1: Double = 1.2, b: Double = 0.75): DataFrame = {
-      require(terms.nonEmpty, "bm25: empty term list")
-      val ts = terms.distinct
+      val ts = Search.checkTerms(terms)
       val st = stats(spark, ts)
       val buckets = ts.map(bucketOf).distinct.toArray
       val posts = spark.read.schema(postingsSchema).parquet(s"$dir/postings")

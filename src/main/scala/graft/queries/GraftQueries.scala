@@ -2276,6 +2276,8 @@ object GraftQueries {
     Seq("gins", "gq", "gvac", "gvacq").foreach(variantGraph(s, d, _))
     prefilterTable(s, d)
     dedupPipe(s, d)
+    PostingsCache.get(s, d)
+    BpeCache.get(s, d)
     ()
   }
 

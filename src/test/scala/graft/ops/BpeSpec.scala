@@ -77,6 +77,36 @@ class BpeSpec extends SparkSpec {
     assert(Bpe.load(spark, dirE).merges.isEmpty)
   }
 
+  test("non-BMP text: symbols are code points, model round-trips intact") {
+    val emoji = new String(Character.toChars(0x1F600)) // outside the BMP
+    val corpus = Seq((0L, s"$emoji$emoji a$emoji a$emoji"))
+      .toDF("doc_id", "text")
+    val m = Bpe.train(corpus, "text", nMerges = 5)
+    // every merge symbol survives a UTF-8 round-trip (a lone surrogate
+    // half from UTF-16 splitting would mangle to '?')
+    m.merges.foreach { case (a, b) =>
+      Seq(a, b).foreach { sym =>
+        assert(new String(sym.getBytes("UTF-8"), "UTF-8") == sym,
+          s"symbol not UTF-8 round-trippable: $sym")
+      }
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft-bpe-sg").toString
+    Bpe.save(spark, m, dir)
+    val back = Bpe.load(spark, dir)
+    assert(back.merges == m.merges) // would be '?'-mangled with UTF-16 split
+    assert(back.encodeWord(s"a$emoji") == m.encodeWord(s"a$emoji"))
+    assert(m.encodeWord(emoji).mkString.stripSuffix(Bpe.EndOfWord) == emoji)
+  }
+
+  test("null text rows are tolerated as zero-token docs") {
+    val withNull = Seq((0L, "ab ab"), (1L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val m = Bpe.train(withNull, "text", nMerges = 5)
+    val got = Bpe.tokenCounts(withNull, "doc_id", "text", m)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got(1L) == 0L && got(0L) > 0L)
+  }
+
   test("property: encoding is lossless for any corpus and any word") {
     val rng = new scala.util.Random(1234)
     def word(): String =

@@ -149,6 +149,24 @@ class SearchSpec extends SparkSpec {
     assert(eScores == fScores)
   }
 
+  test("null-text rows: scan and index stats stay identical") {
+    val withNull = Seq(
+      (0L, "cat dog"), (1L, null.asInstanceOf[String]), (2L, "cat")
+    ).toDF("doc_id", "text")
+    val st = Search.bm25Stats(withNull, "text", Seq("cat"))
+    assert(st.nDocs == 3) // the null row is a zero-length doc, not skipped
+    assert(st.avgDl == 1.0) // (2 + 0 + 1) / 3
+    val dir = java.nio.file.Files.createTempDirectory("graft-pnull").toString
+    val idx = Search.buildPostings(withNull, "doc_id", "text", dir, 4)
+    assert(idx.nDocs == st.nDocs && idx.avgDl == st.avgDl)
+    val scan = Search.bm25Score(withNull, "doc_id", "text", Seq("cat"),
+        stats = Some(st))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val served = idx.score(spark, Seq("cat"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(served == scan)
+  }
+
   test("postings remove: bulk delete equals a fresh build over survivors") {
     val dirR = java.nio.file.Files.createTempDirectory("graft-prem").toString
     val dirS = java.nio.file.Files.createTempDirectory("graft-psurv").toString
