@@ -101,6 +101,33 @@ object StreamOps {
   }
 
   /**
+   * Streaming KEYWORD-index ingestion — the postings analogue of
+   * [[indexIngest]]: each micro-batch appends its docs' postings/norms
+   * into the live index (`PostingsIndex.append` — parquet append, df
+   * re-agg, exact meta extension), and every `compactEvery` batches the
+   * accumulated small files collapse (`compact`). The live handle is an
+   * AtomicReference the caller shares with query-side readers; append
+   * returns the extended handle, which the batch swaps in.
+   */
+  def postingsIngest(docs: DataFrame, idCol: String, textCol: String,
+                     indexRef: java.util.concurrent.atomic.AtomicReference[graft.ops.Search.PostingsIndex],
+                     compactEvery: Int = 10,
+                     checkpointLocation: Option[String] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    // NOTE: append is not idempotent (a replayed doc double-counts) — for
+    // replayable sources ALWAYS pass a durable checkpointLocation.
+    val writer = docs.writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        if (!batch.isEmpty)
+          indexRef.set(indexRef.get().append(batch.toDF(), idCol, textCol))
+        if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
+          indexRef.set(indexRef.get().compact(batch.sparkSession))
+      }
+    checkpointLocation.fold(writer)(writer.option("checkpointLocation", _)).start()
+  }
+
+  /**
    * Streaming GRAPH ingestion — the reference vchordg `aminsert` lifecycle
    * (reference: crates/vchordg/src/insert.rs:34-395) as Structured
    * Streaming: each micro-batch beam-searches the LIVE graph for its

@@ -94,6 +94,44 @@ class StreamOpsSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming postings ingest: streamed docs keyword-searchable, compaction cycles") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream-post").toString
+    val base = Seq((0L, "cat dog"), (1L, "dog dog")).toDF("doc_id", "text")
+    val ref = new java.util.concurrent.atomic.AtomicReference(
+      graft.ops.Search.buildPostings(base, "doc_id", "text", dir, nBuckets = 2))
+    val input = MemoryStream[(Long, String)]
+    val query = StreamOps.postingsIngest(
+      input.toDF().toDF("doc_id", "text"), "doc_id", "text", ref,
+      compactEvery = 2)
+    try {
+      input.addData((10L, "whale cat"), (11L, "whale whale"))
+      query.processAllAvailable()
+      input.addData((12L, "cat"))
+      query.processAllAvailable() // batchId 1
+      input.addData((13L, "dog whale"))
+      query.processAllAvailable() // batchId 2 -> compaction fires
+      val live = ref.get()
+      assert(live.nDocs == 6)
+      val hits = live.search(spark, Seq("whale"), 10)
+        .select("doc_id").as[Long].collect().toSet
+      assert(hits == Set(10L, 11L, 13L))
+      // the live index equals a fresh batch build over everything seen
+      val allDocs = base.unionByName(Seq((10L, "whale cat"),
+        (11L, "whale whale"), (12L, "cat"), (13L, "dog whale"))
+        .toDF("doc_id", "text"))
+      val freshDir = java.nio.file.Files.createTempDirectory("graft-stream-post2").toString
+      val fresh = graft.ops.Search.buildPostings(allDocs, "doc_id", "text",
+        freshDir, nBuckets = 2)
+      val a = live.score(spark, Seq("cat", "dog", "whale"))
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      val b = fresh.score(spark, Seq("cat", "dog", "whale"))
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      assert(a == b)
+    } finally query.stop()
+  }
+
   test("streaming graph ingest: streamed vectors searchable in the live graph") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
