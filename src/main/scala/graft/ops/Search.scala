@@ -75,13 +75,6 @@ object Search {
       org.apache.spark.sql.types.IntegerType),
     org.apache.spark.sql.types.StructField("bucket",
       org.apache.spark.sql.types.IntegerType)))
-  private val dfSchema = org.apache.spark.sql.types.StructType(Seq(
-    org.apache.spark.sql.types.StructField("term",
-      org.apache.spark.sql.types.StringType),
-    org.apache.spark.sql.types.StructField("df",
-      org.apache.spark.sql.types.LongType),
-    org.apache.spark.sql.types.StructField("bucket",
-      org.apache.spark.sql.types.IntegerType)))
   // doc-length sidecar (Lucene's norms analogue): lets remove() shrink
   // the meta counts exactly, including docs whose text produced no
   // postings
@@ -182,9 +175,9 @@ object Search {
   // ------------------------------------------------------------------
 
   /** Handle to a built postings index: `dir/postings` is
-    * (bucket=<b>/) (term, doc_id, tf, dl) parquet, `dir/df` is
-    * (bucket=<b>/) (term, df), `dir/meta.properties` holds (nDocs,
-    * nTokens, nBuckets). `avgDl` is derived (nTokens/nDocs) — exact-
+    * (bucket=<b>/) (term, doc_id, tf, dl) parquet, `dir/norms` the
+    * per-doc length sidecar, `dir/meta.properties` (nDocs, nTokens,
+    * nBuckets); df is derived at query time from the pruned postings. `avgDl` is derived (nTokens/nDocs) — exact-
     * integer sums, so incremental [[append]] and a fresh build agree
     * bit-for-bit. */
   final case class PostingsIndex(dir: String, nDocs: Long, nTokens: Long,
@@ -198,13 +191,15 @@ object Search {
 
     /**
      * Incremental insert — the create-then-insert lifecycle: appends the
-     * new docs' postings into the bucket dirs (parquet append, no
-     * rewrite of existing files), re-aggregates the small df table from
-     * the full postings (one column-pruned pass), and extends the meta
-     * counts. Returns the updated handle; search results are
-     * bit-identical to a fresh build over the union (spec'd).
-     * Caller contract: `docs` must be NEW doc ids — re-appending an id
-     * double-counts it (same contract as any postings append).
+     * new docs' postings/norms into the bucket dirs (parquet append, no
+     * rewrite of existing files) and extends the meta counts. Per-append
+     * cost is proportional to the BATCH, never the standing index (df is
+     * derived at query time from the pruned posting rows, so there is no
+     * index-wide table to re-aggregate). Returns the updated handle;
+     * search results are bit-identical to a fresh build over the union
+     * (spec'd). Caller contract: `docs` must be NEW doc ids —
+     * re-appending an id double-counts it (same contract as any postings
+     * append).
      */
     def append(docs: DataFrame, idCol: String, textCol: String): PostingsIndex = {
       val spark = docs.sparkSession
@@ -216,7 +211,6 @@ object Search {
       val (dn, dtok) = (head.getLong(0), head.getLong(1))
       writePostings(docs, idCol, textCol, dir, nBuckets, append = true)
       writeNorms(docs, idCol, textCol, dir, append = true)
-      writeDf(spark, dir, nBuckets)
       val updated = PostingsIndex(dir, nDocs + dn, nTokens + dtok, nBuckets)
       Search.writeMeta(updated)
       updated
@@ -224,7 +218,7 @@ object Search {
 
     /**
      * Bulk delete (the vacuum analogue): drops the given doc ids from
-     * the postings, norms, and df tables and shrinks the meta counts
+     * the postings and norms tables and shrinks the meta counts
      * EXACTLY (token counts come from the norms sidecar, so stats stay
      * bit-identical to a fresh build over the survivors — spec'd).
      * Rewrites into fresh table files via [[compact]]'s swap machinery.
@@ -256,9 +250,10 @@ object Search {
     /** Pre-norms-era indexes (built before the sidecar existed) get
       * their norms BACKFILLED from the postings (exact for every doc
       * with at least one posting; a doc whose text produced no postings
-      * cannot be recovered and its later removal will not shrink the
-      * token count — documented drift, loud nowhere else to be). Must
-      * run BEFORE an append writes partial norms. */
+      * cannot be recovered, so removing such a doc later will shrink
+      * neither nDocs nor nTokens — a documented, bounded drift on
+      * legacy indexes only; current builds write norms for every row).
+      * Must run BEFORE an append writes partial norms. */
     private def ensureNorms(spark: org.apache.spark.sql.SparkSession): Unit =
       if (!java.nio.file.Files.exists(
           java.nio.file.Paths.get(s"$dir/norms"))) {
@@ -268,10 +263,24 @@ object Search {
       }
 
     /** Shared rewrite: filter out dropped ids, write to side dirs, swap
-      * atomically-enough (rename), refresh df + meta. */
+      * via rename, refresh meta. Crash healing: a crash during the tmp
+      * write leaves the live dir untouched (stale tmp cleared on the
+      * next rewrite); a crash BETWEEN the two renames is healed by
+      * restoring the -old backup at the start of the next rewrite (the
+      * backup is only deleted after the new dir is in place). A crash
+      * between the postings swap and the norms/meta refresh can leave
+      * the sidecars one step behind the postings — rerun the
+      * remove/compact to reconverge (documented; single-writer
+      * maintenance is assumed, as with any on-disk index). */
     private def rewrite(spark: org.apache.spark.sql.SparkSession,
                         drop: DataFrame, next: PostingsIndex): PostingsIndex = {
       import java.nio.file.{Files, Paths}
+      def heal(sub: String): Unit = {
+        val live = Paths.get(s"$dir/$sub")
+        val old = Paths.get(s"$dir/$sub-old")
+        if (!Files.exists(live) && Files.exists(old)) Files.move(old, live)
+      }
+      heal("postings"); heal("norms")
       def swap(sub: String, write: String => Unit): Unit = {
         val tmp = s"$dir/$sub-rewrite"
         deleteTree(Paths.get(tmp)) // a crashed prior rewrite must not brick us
@@ -292,7 +301,6 @@ object Search {
         readNorms(spark)
           .join(drop, col("doc_id") === col("__drop_id"), "left_anti")
           .write.parquet(tmp))
-      writeDf(spark, dir, nBuckets)
       Search.writeMeta(next)
       next
     }
@@ -309,14 +317,18 @@ object Search {
       }
 
 
-    /** BM25 stats for `terms` from the index alone: one pruned read of
-      * at most |terms| df rows. */
+    /** BM25 stats for `terms` from the index alone: df(term) is exactly
+      * the term's posting-row count (one row per (doc, term)), computed
+      * from the SAME pruned bucket read the query itself pays — no
+      * separate df table to keep consistent, so [[append]] never has to
+      * re-aggregate anything corpus-sized. */
     def stats(spark: org.apache.spark.sql.SparkSession,
               terms: Seq[String]): Bm25Stats = {
       val ts = terms.distinct
       val buckets = ts.map(bucketOf).distinct.toArray
-      val dfMap = spark.read.schema(dfSchema).parquet(s"$dir/df")
+      val dfMap = spark.read.schema(postingsSchema).parquet(s"$dir/postings")
         .filter(col("bucket").isin(buckets: _*) && col("term").isin(ts: _*))
+        .groupBy("term").agg(count(lit(1)).as("df"))
         .collect().map(r => r.getString(r.fieldIndex("term")) ->
           r.getLong(r.fieldIndex("df"))).toMap
       Bm25Stats(nDocs, avgDl, dfMap)
@@ -381,7 +393,6 @@ object Search {
     val (n, ntok) = (head.getLong(0), head.getLong(1))
     writePostings(docs, idCol, textCol, dir, nBuckets, append = false)
     writeNorms(docs, idCol, textCol, dir, append = false)
-    writeDf(spark, dir, nBuckets)
     val idx = PostingsIndex(dir, n, ntok, nBuckets)
     writeMeta(idx)
     idx
@@ -411,14 +422,6 @@ object Search {
       .write.mode(if (append) "append" else "overwrite")
       .partitionBy("bucket").parquet(s"$dir/postings")
   }
-
-  /** df = one column-pruned partial-agg pass over the written postings. */
-  private def writeDf(spark: org.apache.spark.sql.SparkSession, dir: String,
-                      nBuckets: Int): Unit =
-    spark.read.schema(postingsSchema).parquet(s"$dir/postings")
-      .groupBy(col("bucket"), col("term"))
-      .agg(count(lit(1)).as("df"))
-      .write.mode("overwrite").partitionBy("bucket").parquet(s"$dir/df")
 
   private def writeMeta(idx: PostingsIndex): Unit = {
     val p = new java.util.Properties()

@@ -103,11 +103,19 @@ object StreamOps {
   /**
    * Streaming KEYWORD-index ingestion — the postings analogue of
    * [[indexIngest]]: each micro-batch appends its docs' postings/norms
-   * into the live index (`PostingsIndex.append` — parquet append, df
-   * re-agg, exact meta extension), and every `compactEvery` batches the
-   * accumulated small files collapse (`compact`). The live handle is an
-   * AtomicReference the caller shares with query-side readers; append
-   * returns the extended handle, which the batch swaps in.
+   * into the live index (`PostingsIndex.append` — parquet append of the
+   * batch only, exact meta extension; per-batch cost is proportional to
+   * the batch, never the standing index), and every `compactEvery`
+   * batches the accumulated small files collapse (`compact`). The
+   * AtomicReference tracks the current handle for the INGEST pipeline
+   * and for readers that query BETWEEN maintenance slots. Unlike
+   * [[graphIngest]]'s immutable in-memory graph, this index is an
+   * on-disk directory: plain appends are safe to race (a reader's
+   * planned file list just misses the newest batch), but `compact`
+   * swaps the directory out from under an in-flight scan — a reader
+   * concurrent with a compaction slot can fail and should retry, or
+   * disable compaction here (`compactEvery = 0`) and run `compact()` in
+   * a quiesced window, exactly like any on-disk index maintenance.
    */
   def postingsIngest(docs: DataFrame, idCol: String, textCol: String,
                      indexRef: java.util.concurrent.atomic.AtomicReference[graft.ops.Search.PostingsIndex],
@@ -119,10 +127,16 @@ object StreamOps {
     val writer = docs.writeStream
       .outputMode(OutputMode.Append())
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        if (!batch.isEmpty)
-          indexRef.set(indexRef.get().append(batch.toDF(), idCol, textCol))
-        if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
-          indexRef.set(indexRef.get().compact(batch.sparkSession))
+        // append evaluates the batch three times (count agg, postings
+        // write, norms write) — persist so the source transformation
+        // runs once per trigger
+        val b = batch.persist()
+        try {
+          if (!b.isEmpty)
+            indexRef.set(indexRef.get().append(b.toDF(), idCol, textCol))
+          if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
+            indexRef.set(indexRef.get().compact(b.sparkSession))
+        } finally { b.unpersist(); () }
       }
     checkpointLocation.fold(writer)(writer.option("checkpointLocation", _)).start()
   }
