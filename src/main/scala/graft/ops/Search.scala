@@ -125,12 +125,15 @@ object Search {
     Bm25Stats(n, avgDl, dfMap)
   }
 
-  /** BM25 scores for every document containing at least one query term:
-    * `(idCol, score)`. Pass precomputed `stats` to skip the corpus pass
-    * (standing-corpus usage); k1/b are the standard Robertson defaults. */
+  /** BM25 scores for every document containing at least one query term
+    * (`requireAll = true` keeps only docs containing EVERY term — AND
+    * semantics): `(idCol, score)`. Pass precomputed `stats` to skip the
+    * corpus pass (standing-corpus usage); k1/b are the standard
+    * Robertson defaults. */
   def bm25Score(docs: DataFrame, idCol: String, textCol: String,
                 terms: Seq[String], k1: Double = 1.2, b: Double = 0.75,
-                stats: Option[Bm25Stats] = None): DataFrame = {
+                stats: Option[Bm25Stats] = None,
+                requireAll: Boolean = false): DataFrame = {
     require(docs.columns.contains(idCol) && docs.columns.contains(textCol),
       s"bm25: missing column $idCol/$textCol")
     val ts = checkTerms(terms)
@@ -149,8 +152,13 @@ object Search {
       val tf = tfOf(i)
       lit(st.idf(term)) * tf * lit(k1 + 1.0) / (tf + denomBase)
     }.reduce(_ + _)
-    docs.filter(arrays_overlap(t, lit(ts.toArray)))
+    val scored = docs.filter(arrays_overlap(t, lit(ts.toArray)))
       .withColumn("_graft_tf", tfArr) // materialize: one tf pass per row
+    val gate =
+      if (!requireAll) lit(true)
+      else ts.indices.map(i => element_at(col("_graft_tf"), i + 1) > 0)
+        .reduce(_ && _)
+    scored.filter(gate)
       .select(col(idCol),
         score(i => element_at(col("_graft_tf"), i + 1).cast("double"))
           .as("score"))
@@ -159,8 +167,9 @@ object Search {
   /** Top-k BM25: deterministic (score desc, id asc) TakeOrdered. */
   def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
                terms: Seq[String], k: Int, k1: Double = 1.2,
-               b: Double = 0.75, stats: Option[Bm25Stats] = None): DataFrame =
-    bm25Score(docs, idCol, textCol, terms, k1, b, stats)
+               b: Double = 0.75, stats: Option[Bm25Stats] = None,
+               requireAll: Boolean = false): DataFrame =
+    bm25Score(docs, idCol, textCol, terms, k1, b, stats, requireAll)
       .orderBy(col("score").desc, col(idCol)).limit(k)
 
   // ------------------------------------------------------------------
@@ -340,7 +349,8 @@ object Search {
       * positions so the score sums in the same order as the scan path —
       * bit-identical results. One shuffle over the matched postings. */
     def score(spark: org.apache.spark.sql.SparkSession, terms: Seq[String],
-              k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+              k1: Double = 1.2, b: Double = 0.75,
+              requireAll: Boolean = false): DataFrame = {
       val ts = Search.checkTerms(terms)
       val st = stats(spark, ts)
       val buckets = ts.map(bucketOf).distinct.toArray
@@ -365,13 +375,19 @@ object Search {
           coalesce(sum(c), lit(0.0)).as(s"__c$i")
         }: _*)
       val total = ts.indices.map(i => col(s"__c$i")).reduce(_ + _)
-      pivoted.select(col("doc_id"), total.as("score"))
+      // AND semantics: a doc has term i iff its pivoted contribution is
+      // positive (idf > 0 always under the +1-floor formulation)
+      val gate =
+        if (!requireAll) lit(true)
+        else ts.indices.map(i => col(s"__c$i") > 0.0).reduce(_ && _)
+      pivoted.filter(gate).select(col("doc_id"), total.as("score"))
     }
 
     /** Index-served BM25 top-k: [[score]] + deterministic TakeOrdered. */
     def search(spark: org.apache.spark.sql.SparkSession, terms: Seq[String],
-               k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame =
-      score(spark, terms, k1, b)
+               k: Int, k1: Double = 1.2, b: Double = 0.75,
+               requireAll: Boolean = false): DataFrame =
+      score(spark, terms, k1, b, requireAll)
         .orderBy(col("score").desc, col("doc_id")).limit(k)
   }
 

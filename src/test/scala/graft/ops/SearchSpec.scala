@@ -149,6 +149,26 @@ class SearchSpec extends SparkSpec {
     assert(eScores == fScores)
   }
 
+  test("requireAll: AND semantics agree between scan and index paths") {
+    val terms = Seq("cat", "dog")
+    val scan = Search.bm25Score(docs, "doc_id", "text", terms, requireAll = true)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // only docs 0 and 4 contain BOTH cat and dog
+    assert(scan.keySet == Set(0L, 4L))
+    // same scores as OR mode on the surviving docs (the gate filters,
+    // never rescales)
+    val orMode = Search.bm25Score(docs, "doc_id", "text", terms)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(scan == orMode.filter(kv => scan.keySet(kv._1)))
+    val dir = java.nio.file.Files.createTempDirectory("graft-pand").toString
+    val idx = Search.buildPostings(docs, "doc_id", "text", dir, nBuckets = 4)
+    val served = idx.score(spark, terms, requireAll = true)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(served == scan)
+    assert(idx.search(spark, terms, 5, requireAll = true)
+      .select("doc_id").as[Long].collect().toSet == Set(0L, 4L))
+  }
+
   test("null-text rows: scan and index stats stay identical") {
     val withNull = Seq(
       (0L, "cat dog"), (1L, null.asInstanceOf[String]), (2L, "cat")
