@@ -233,6 +233,12 @@ case class TokenStatsExpr(child: Expression)
 case class TokenTfExpr(child: Expression, terms: Seq[String])
     extends UnaryExpression with ImplicitCastInputTypes {
   require(terms.nonEmpty, "token_tf: empty term list")
+  // a duplicate term would silently report tf=0 at its later position
+  // (the index map keeps the first slot) — fail loudly at construction
+  // instead; library callers dedupe via Search.checkTerms, this guards
+  // the registered SQL form token_tf(tokens, array('a','a'))
+  require(terms.distinct.size == terms.size,
+    s"token_tf: duplicate query terms ${terms.diff(terms.distinct).distinct.mkString(", ")}")
   override def prettyName: String = "token_tf"
   override def inputTypes = Seq(ArrayType(StringType))
   override def dataType: DataType = ArrayType(LongType, containsNull = false)

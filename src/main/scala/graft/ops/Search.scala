@@ -94,10 +94,15 @@ object Search {
     * (in whitespace tokens), and per-query-term document frequency. */
   final case class Bm25Stats(nDocs: Long, avgDl: Double, df: Map[String, Long]) {
     /** Standard BM25 idf with the +1 floor (Lucene's formulation):
-      * ln((N - df + 0.5) / (df + 0.5) + 1). */
+      * ln((N - df + 0.5) / (df + 0.5) + 1). StrictMath.log, NOT
+      * Math.log: Catalyst's `log` codegen calls StrictMath, and the
+      * postings path ([[PostingsIndex.score]]) computes idf as a column
+      * — using the same fdlibm log here keeps the scan path's idf
+      * literals bit-identical to the index path's (Math.log is JIT-
+      * intrinsified and can differ in the last ulp). */
     def idf(term: String): Double = {
       val n = df.getOrElse(term, 0L).toDouble
-      math.log((nDocs - n + 0.5) / (n + 0.5) + 1.0)
+      java.lang.StrictMath.log((nDocs - n + 0.5) / (n + 0.5) + 1.0)
     }
   }
 
@@ -305,6 +310,7 @@ object Search {
         spark.read.schema(postingsSchema).parquet(s"$dir/postings")
           .join(drop, col("doc_id") === col("__drop_id"), "left_anti")
           .repartition(col("bucket"))
+          .sortWithinPartitions(col("bucket"), col("term"))
           .write.partitionBy("bucket").parquet(tmp))
       swap("norms", tmp =>
         readNorms(spark)
@@ -344,43 +350,64 @@ object Search {
     }
 
     /** Index-served BM25 scores `(doc_id, score)` for every matching
-      * doc: reads ONLY the query terms' posting buckets (partition-
-      * pruned), pivots each doc's per-term contributions into fixed
-      * positions so the score sums in the same order as the scan path —
-      * bit-identical results. One shuffle over the matched postings. */
+      * doc — SINGLE-PASS: reads ONLY the query terms' posting buckets
+      * (partition-pruned), pivots each doc's per-term tf into fixed
+      * positions, and derives df(term) from the SAME pivoted exchange
+      * (a 1-row aggregate broadcast back over the per-doc rows).
+      * Because both the df aggregate and the scoring projection consume
+      * the identical shuffle subtree, Spark's exchange reuse
+      * (`ReusedExchange` / AQE stage reuse) executes the parquet scan
+      * and the per-doc shuffle ONCE per query — no separate stats job,
+      * buckets read once. idf is computed as a column with operand-for-
+      * operand the same double arithmetic as [[Bm25Stats.idf]], and the
+      * per-term contributions sum in fixed term order, so results stay
+      * bit-identical to the scan path ([[bm25Score]] — spec'd). */
     def score(spark: org.apache.spark.sql.SparkSession, terms: Seq[String],
               k1: Double = 1.2, b: Double = 0.75,
               requireAll: Boolean = false): DataFrame = {
       val ts = Search.checkTerms(terms)
-      val st = stats(spark, ts)
       val buckets = ts.map(bucketOf).distinct.toArray
       val posts = spark.read.schema(postingsSchema).parquet(s"$dir/postings")
         .filter(col("bucket").isin(buckets: _*) && col("term").isin(ts: _*))
-      val dl = col("dl").cast("double")
-      val denomBase = lit(k1) * (lit(1.0 - b) + lit(b) * (dl / lit(st.avgDl)))
-      val tf = col("tf").cast("double")
-      // per-row contribution of this (doc, term) posting — the same
-      // expression, operand for operand, as the scan path's term slice
-      val contrib = ts.map { term =>
-        when(col("term") === term,
-          lit(st.idf(term)) * tf * lit(k1 + 1.0) / (tf + denomBase))
-          .otherwise(lit(0.0))
+      // pivot: one row per matched doc, per-term tf in fixed slots (each
+      // doc has at most one posting per term, so the sums are exact).
+      // dl rides as a GROUPING key, not first(dl): every doc has one dl,
+      // so the groups are identical — and a grouping key can't be
+      // column-pruned away, which keeps this exchange subtree IDENTICAL
+      // in both consumers below so exchange reuse fires (an aggregated
+      // first(dl) gets pruned out of the df branch, splitting the plans
+      // and scanning the buckets twice).
+      val tfCols = ts.zipWithIndex.map { case (term, i) =>
+        coalesce(sum(when(col("term") === term, col("tf"))), lit(0))
+          .as(s"__tf$i")
       }
-      // fixed-order sum: each doc has at most one posting per term, so
-      // sum(c_i) is exact and c_0 + c_1 + ... reproduces the scan order
-      val pivoted = posts.groupBy(col("doc_id"))
-        .agg(contrib.zipWithIndex.map { case (c, i) =>
-          coalesce(sum(c), lit(0.0)).as(s"__c$i")
-        }.head, contrib.zipWithIndex.tail.map { case (c, i) =>
-          coalesce(sum(c), lit(0.0)).as(s"__c$i")
-        }: _*)
-      val total = ts.indices.map(i => col(s"__c$i")).reduce(_ + _)
-      // AND semantics: a doc has term i iff its pivoted contribution is
-      // positive (idf > 0 always under the +1-floor formulation)
+      val pivoted = posts.groupBy(col("doc_id"), col("dl"))
+        .agg(tfCols.head, tfCols.tail: _*)
+      // df(term) = docs with tf > 0, over the SAME exchange as `pivoted`
+      val dfCols = ts.indices.map(i =>
+        coalesce(sum(when(col(s"__tf$i") > 0, lit(1L)).otherwise(lit(0L))),
+          lit(0L)).as(s"__df$i"))
+      val dfAgg = pivoted.agg(dfCols.head, dfCols.tail: _*)
+      val dl = col("dl").cast("double")
+      val denomBase = lit(k1) * (lit(1.0 - b) + lit(b) * (dl / lit(avgDl)))
+      // idf as a column: the identical left-to-right double arithmetic
+      // as Bm25Stats.idf (ln((N - df + 0.5) / (df + 0.5) + 1))
+      def idfCol(i: Int): Column = {
+        val n = col(s"__df$i").cast("double")
+        log((lit(nDocs.toDouble) - n + lit(0.5)) / (n + lit(0.5)) + lit(1.0))
+      }
+      // fixed-order sum: tf = 0 contributes exactly 0.0 (idf > 0 under
+      // the +1 floor, denom > 0), reproducing the scan path's term slice
+      val contrib = ts.indices.map { i =>
+        val tf = col(s"__tf$i").cast("double")
+        idfCol(i) * tf * lit(k1 + 1.0) / (tf + denomBase)
+      }
+      val total = contrib.reduce(_ + _)
       val gate =
         if (!requireAll) lit(true)
-        else ts.indices.map(i => col(s"__c$i") > 0.0).reduce(_ && _)
-      pivoted.filter(gate).select(col("doc_id"), total.as("score"))
+        else ts.indices.map(i => col(s"__tf$i") > 0).reduce(_ && _)
+      pivoted.crossJoin(broadcast(dfAgg))
+        .filter(gate).select(col("doc_id"), total.as("score"))
     }
 
     /** Index-served BM25 top-k: [[score]] + deterministic TakeOrdered. */
@@ -422,7 +449,19 @@ object Search {
       .write.mode(if (append) "append" else "overwrite")
       .parquet(s"$dir/norms")
 
-  /** The shuffle-free postings write shared by build and append. */
+  /** The postings write shared by build and append: one codegen tf pass
+    * per doc (`TokenTfAllExpr` — the explode+groupBy formulation shuffles
+    * one row per token OCCURRENCE; this emits one row per distinct
+    * (doc, term)), then ONE fixed-width shuffle clustering rows by
+    * bucket and sorting (bucket, term) within each task. Without the
+    * repartition, every write task sees all `nBuckets` partition values
+    * and pays a dynamic-partition sort PLUS emits up to `nBuckets`
+    * files (measured: the in-task sort was the wall of the 10M-doc
+    * build); with it, each task writes a handful of bucket files whose
+    * rows are term-sorted — the clustering [[PostingsIndex.score]]'s
+    * row-group pruning depends on. The explicit (bucket, term) sort
+    * satisfies the writer's partition-column ordering requirement, so
+    * no second sort is inserted. */
   private def writePostings(docs: DataFrame, idCol: String, textCol: String,
                             dir: String, nBuckets: Int,
                             append: Boolean): Unit = {
@@ -435,18 +474,34 @@ object Search {
         explode(tfAll).as("p"))
       .select(col("doc_id"), col("p.term").as("term"), col("p.tf").as("tf"),
         col("dl"), termBucketCol(col("p.term"), nBuckets).as("bucket"))
+      .repartition(col("bucket"))
+      .sortWithinPartitions(col("bucket"), col("term"))
       .write.mode(if (append) "append" else "overwrite")
       .partitionBy("bucket").parquet(s"$dir/postings")
   }
 
+  /** Atomic meta commit: write to a tmp file, then rename over the live
+    * one — a crash mid-write can never leave a truncated/corrupt
+    * meta.properties (the data dirs already get full swap/heal
+    * treatment in `rewrite`). The remaining [[PostingsIndex.append]]
+    * crash window is data-before-meta: a crash AFTER the postings/norms
+    * appends but BEFORE this commit leaves meta undercounting the
+    * landed batch — rerunning the append double-counts; see
+    * [[graft.streaming.StreamOps.postingsIngest]]'s batch-id guard for
+    * the streaming treatment, and rebuild or restore-and-replay for a
+    * batch crash (single-writer maintenance assumed, like `rewrite`). */
   private def writeMeta(idx: PostingsIndex): Unit = {
     val p = new java.util.Properties()
     p.setProperty("nDocs", idx.nDocs.toString)
     p.setProperty("nTokens", idx.nTokens.toString)
     p.setProperty("nBuckets", idx.nBuckets.toString)
-    val w = java.nio.file.Files.newBufferedWriter(
-      java.nio.file.Paths.get(idx.dir, "meta.properties"))
+    val tmp = java.nio.file.Paths.get(idx.dir, "meta.properties.tmp")
+    val w = java.nio.file.Files.newBufferedWriter(tmp)
     try p.store(w, "graft postings meta") finally w.close()
+    java.nio.file.Files.move(tmp,
+      java.nio.file.Paths.get(idx.dir, "meta.properties"),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
   }
 
   /** Load a postings index built by [[buildPostings]]. */

@@ -149,7 +149,8 @@ object GraftQueries {
     val hasAny = terms.indices.map(i => s"tf$i > 0").mkString(" OR ")
     s"""WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
        |pt AS (SELECT doc_id, CAST(len(t) AS DOUBLE) AS dl, $tfs FROM tk),
-       |st AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(len(t)) AS avgdl, $dfs FROM tk),
+       |st AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+       |  CAST(coalesce(sum(len(t)), 0) AS DOUBLE) / count(*) AS avgdl, $dfs FROM tk),
        |sc AS (SELECT doc_id, ($score) AS score FROM pt, st WHERE $hasAny)""".stripMargin
   }
 
@@ -2097,17 +2098,32 @@ object GraftQueries {
              |SELECT a, b, CAST(sum(freq) AS BIGINT) AS cnt FROM p GROUP BY a, b
              |ORDER BY cnt DESC, a, b LIMIT 30""".stripMargin)),
 
-    // End-to-end: train 64 merges over the corpus dictionary (driver path;
-    // the distributed path is spec'd bit-identical), encode every doc with
-    // the GPT-2 min-rank encoder, count tokens. Not SQL-expressible —
-    // rows-only check; the merge semantics are golden-spec'd in BpeSpec.
+    // Per-doc token counts through the GPT-2 min-rank encoder under a
+    // FIXED 2-merge model — the SQL-expressible restricted golden for
+    // the encode path. With single-codepoint merge components, min-rank
+    // encoding degenerates to sequential left-to-right non-overlapping
+    // replacement (one mergePair pass exhausts each rank: a merged
+    // symbol is a 2-char string, so it can never re-form a single-char
+    // pair), which DuckDB replays exactly with nested replace() onto
+    // sentinel chars absent from the corpus. Exercises the identical
+    // encodeWord/memo machinery as a trained model; full-model merge
+    // sequences + trained-encode goldens live in BpeSpec (training is
+    // not SQL-replayable).
     "bpe_encode" -> Q(
       (s, d) => {
         val docs = tbl(s, d, "documents")
-        val model = BpeCache.get(s, d)
+        val model = graft.ops.Bpe.BpeModel(IndexedSeq(("e", "r"), ("i", "n")))
         graft.ops.Bpe.tokenCounts(docs, "doc_id", "text", model)
           .orderBy("doc_id")
-      }, None),
+      },
+      Some("""WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+             |  FROM documents),
+             |c AS (SELECT doc_id,
+             |  sum(length(replace(replace(word, 'er', chr(1)), 'in', chr(2))) + 1) AS n
+             |  FROM w WHERE length(word) > 0 GROUP BY doc_id)
+             |SELECT d.doc_id, CAST(coalesce(c.n, 0) AS BIGINT) AS n_tokens
+             |FROM documents d LEFT JOIN c ON d.doc_id = c.doc_id
+             |ORDER BY d.doc_id""".stripMargin)),
 
     // ---- corpus reporting + training-set sharding (ops/Curation.scala) ----
 

@@ -122,23 +122,75 @@ object StreamOps {
                      compactEvery: Int = 10,
                      checkpointLocation: Option[String] = None)
       : org.apache.spark.sql.streaming.StreamingQuery = {
-    // NOTE: append is not idempotent (a replayed doc double-counts) — for
-    // replayable sources ALWAYS pass a durable checkpointLocation.
+    // IDEMPOTENT SINK: append is not idempotent (a replayed doc double-
+    // counts), and a streaming checkpoint only skips FULLY-acknowledged
+    // batches — after a crash the in-flight batch is RE-EXECUTED, even
+    // with a durable checkpointLocation. So the applied batch id is
+    // recorded in a sidecar next to the index (atomic rename) and a
+    // replayed batch with id <= lastApplied is skipped — the standard
+    // idempotent-foreachBatch pattern. Residual window: a crash AFTER
+    // append() returns but BEFORE the sidecar rename still double-counts
+    // that one batch on replay (data + marker are two files, not one
+    // transaction); the window is a single ~100-byte atomic rename
+    // instead of the whole batch write. Pair with a durable
+    // checkpointLocation so restarts resume at the right batch at all.
     val writer = docs.writeStream
       .outputMode(OutputMode.Append())
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        // append evaluates the batch three times (count agg, postings
-        // write, norms write) — persist so the source transformation
-        // runs once per trigger
-        val b = batch.persist()
-        try {
-          if (!b.isEmpty)
-            indexRef.set(indexRef.get().append(b.toDF(), idCol, textCol))
-          if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
-            indexRef.set(indexRef.get().compact(b.sparkSession))
-        } finally { b.unpersist(); () }
+        applyPostingsBatch(batch, batchId, idCol, textCol, indexRef, compactEvery)
       }
     checkpointLocation.fold(writer)(writer.option("checkpointLocation", _)).start()
+  }
+
+  /** The [[postingsIngest]] per-batch body, factored out so the
+    * replay-skip contract is directly testable. A batch with
+    * `batchId <= lastAppliedBatch` is a crash replay of work already in
+    * the index — skipped (its doc counts would double otherwise). */
+  private[streaming] def applyPostingsBatch(
+      batch: Dataset[org.apache.spark.sql.Row], batchId: Long,
+      idCol: String, textCol: String,
+      indexRef: java.util.concurrent.atomic.AtomicReference[graft.ops.Search.PostingsIndex],
+      compactEvery: Int): Unit = {
+    val dir = indexRef.get().dir
+    if (batchId > lastAppliedBatch(dir)) {
+      // append evaluates the batch three times (count agg, postings
+      // write, norms write) — persist so the source transformation
+      // runs once per trigger
+      val b = batch.persist()
+      try {
+        if (!b.isEmpty)
+          indexRef.set(indexRef.get().append(b.toDF(), idCol, textCol))
+        recordAppliedBatch(dir, batchId)
+      } finally { b.unpersist(); () }
+    }
+    // compaction slot fires regardless (compact is idempotent)
+    if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
+      indexRef.set(indexRef.get().compact(batch.sparkSession))
+  }
+
+  /** Last batch id [[postingsIngest]] fully applied to the index at
+    * `dir` (-1 if none recorded). */
+  def lastAppliedBatch(dir: String): Long = {
+    val f = java.nio.file.Paths.get(dir, "ingest.properties")
+    if (!java.nio.file.Files.exists(f)) -1L
+    else {
+      val p = new java.util.Properties()
+      val r = java.nio.file.Files.newBufferedReader(f)
+      try p.load(r) finally r.close()
+      Option(p.getProperty("lastAppliedBatchId")).map(_.toLong).getOrElse(-1L)
+    }
+  }
+
+  private def recordAppliedBatch(dir: String, batchId: Long): Unit = {
+    val p = new java.util.Properties()
+    p.setProperty("lastAppliedBatchId", batchId.toString)
+    val tmp = java.nio.file.Paths.get(dir, "ingest.properties.tmp")
+    val w = java.nio.file.Files.newBufferedWriter(tmp)
+    try p.store(w, "graft postings ingest watermark") finally w.close()
+    java.nio.file.Files.move(tmp,
+      java.nio.file.Paths.get(dir, "ingest.properties"),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
   }
 
   /**

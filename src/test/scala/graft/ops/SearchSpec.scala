@@ -115,6 +115,35 @@ class SearchSpec extends SparkSpec {
     assert(prunedParts <= 1, s"expected 1 pruned bucket, scanned $prunedParts")
   }
 
+  test("postings score: single pass — df folded in, postings scanned once") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-p1pass").toString
+    val idx = Search.buildPostings(docs, "doc_id", "text", dir, nBuckets = 4)
+    val df = idx.score(spark, Seq("cat", "dog"))
+    df.collect() // materialize so AQE resolves the final plan
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+    // descend through AQE wrappers/stages; ReusedExchange is a LEAF
+    // referencing an exchange counted elsewhere, so don't re-count it
+    def scans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case q: QueryStageExec => scans(q.plan)
+      case _: ReusedExchangeExec => Seq.empty
+      case s: FileSourceScanExec => Seq(s)
+      case other => other.children.flatMap(scans)
+    }
+    val plan = df.queryExecution.executedPlan
+    val postingsScans = scans(plan).filter(_.relation.location.rootPaths
+      .exists(_.toString.contains("postings")))
+    // the df aggregate and the scoring projection share the pivoted
+    // exchange (ReusedExchange / AQE stage reuse): the pruned term
+    // buckets are read ONCE per query
+    val distinctScans = postingsScans.map(s => System.identityHashCode(s)).distinct
+    assert(distinctScans.size == 1,
+      s"expected one postings scan, got ${postingsScans.size} (plan:\n$plan)")
+  }
+
   test("postings append: incremental insert equals a fresh build") {
     val more = Seq(
       (10L, "dog whale"),
