@@ -1037,27 +1037,57 @@ object Curation {
       .toDF("doc_id", "bucket", "pack_no", "n_tokens")
   }
 
+  /**
+   * Exact substring (k-token-gram) deduplication: every k-gram occurring
+   * `minCount`+ times corpus-wide has all its occurrences' token spans
+   * removed from every document (the exact-substring pass of dedup
+   * pipelines); output (doc_id, text_clean, n_removed).
+   *
+   * Scale shape: one occurrence explode, one count aggregation, one
+   * occurrence-side join back, one per-doc starts aggregation (bounded
+   * by doc length), and the cover/rebuild in a codegen kernel.
+   * `maxKeyFreq` is the skew valve (results UNCHANGED): keys with more
+   * occurrences than it match via a broadcast semi-join instead of the
+   * shuffle join — see the split below.
+   */
   def substringDedup(df: DataFrame, idCol: String, textCol: String,
-                     k: Int = 8, minCount: Int = 2): DataFrame = {
+                     k: Int = 8, minCount: Int = 2,
+                     maxKeyFreq: Int = 4096): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     require(minCount >= 2, s"minCount must be >= 2, got $minCount")
+    require(maxKeyFreq >= minCount,
+      s"maxKeyFreq ($maxKeyFreq) must be >= minCount ($minCount)")
     val docs = df.select(col(idCol).as("doc_id"), toks(col(textCol)).as("__t"))
     // (key, doc, 0-based shingle start) — every occurrence, not distinct
     val occ = docs
       .select(col("doc_id"),
         posexplode(tokenShingles(col("__t"), k)).as(Seq("__i", "__sh")))
       .select(col("doc_id"), col("__i"), unhex(md5(col("__sh").cast("binary"))).as("__h"))
-    val dupKeys = occ.groupBy("__h")
+    val counts = occ.groupBy("__h")
       .agg(count(lit(1)).as("__c"))
       .filter(col("__c") >= minCount)
-      .select("__h")
+    // SKEW SPLIT, results unchanged: a corpus-saturating k-gram (the
+    // same boilerplate header in every doc) routes ALL its occurrences
+    // to one task of the occurrence-side shuffle join — the straggler
+    // that turned the adversarial tiny-vocab bulk run superlinear. Keys
+    // past `maxKeyFreq` occurrences instead match through a BROADCAST
+    // semi-join (there are at most totalOccurrences / maxKeyFreq such
+    // keys, so the broadcast is small by construction); keys at or
+    // under the cap keep the shuffle join, whose per-key row count is
+    // now bounded. The two count ranges are disjoint, so each
+    // occurrence matches exactly one branch — the union is exactly the
+    // old single join's output, and the oracle goldens are unchanged.
+    val dupKeys = counts.filter(col("__c") <= maxKeyFreq).select("__h")
+    val hotKeys = counts.filter(col("__c") > maxKeyFreq).select("__h")
+    val matched = occ.join(dupKeys, Seq("__h"), "left_semi")
+      .unionByName(occ.join(broadcast(hotKeys), Seq("__h"), "left_semi"))
     // dup-shingle STARTS aggregate per doc (bounded by doc length); the
     // k-window cover + token rebuild happen inside one codegen kernel.
     // The previous shape exploded each occurrence into k covered
     // positions (k x the aggregation input) and rebuilt via an
     // interpreted HOF filter with a linear array_contains per token —
     // together they dominated the bulk run (49s -> see bench key).
-    val cover = occ.join(dupKeys, Seq("__h"))
+    val cover = matched
       .groupBy("doc_id")
       .agg(collect_list(col("__i")).as("__starts"))
     def coverFilter(t: Column, s: Column): Column =

@@ -78,6 +78,39 @@ object MaxSim {
     score(tokens, docCol, vecCol, query)
       .orderBy(col("maxsim"), col("doc")).limit(k)
 
+  /** Aggregator over RETRIEVED candidate rows `(tokenIdx, dist)`: buffer
+    * = per-query-token min retrieved distance in fixed slots; finish
+    * sums in token order with `estimates(i)` standing in for tokens that
+    * did not retrieve this doc — the distributed form of
+    * [[approxTopK]]'s doc scoring (min is order-insensitive and the
+    * final sum runs in fixed token order, so the result is
+    * byte-identical to the sequential loop under any partitioning). */
+  final class RetrievedMinAgg(nTokens: Int, estimates: Array[Double])
+      extends Aggregator[(Long, Double), Array[Double], Double] {
+    override def zero: Array[Double] = Array.fill(nTokens)(Double.PositiveInfinity)
+    override def reduce(buf: Array[Double], r: (Long, Double)): Array[Double] = {
+      val qi = r._1.toInt
+      if (r._2 < buf(qi)) buf(qi) = r._2
+      buf
+    }
+    override def merge(a: Array[Double], b: Array[Double]): Array[Double] = {
+      var i = 0
+      while (i < a.length) { if (b(i) < a(i)) a(i) = b(i); i += 1 }
+      a
+    }
+    override def finish(buf: Array[Double]): Double = {
+      var s = 0.0
+      var i = 0
+      while (i < buf.length) {
+        s += (if (buf(i) == Double.PositiveInfinity) estimates(i) else buf(i))
+        i += 1
+      }
+      s
+    }
+    override def bufferEncoder: Encoder[Array[Double]] = ExpressionEncoder()
+    override def outputEncoder: Encoder[Double] = Encoders.scalaDouble
+  }
+
   // ------------------------------------------------------------ index path
 
   /** Pack (doc, token position) into one long row key — the reference's
@@ -153,68 +186,79 @@ object MaxSim {
     // budget the batch runs in mixed exact/estimate mode (epsilon = 0 so
     // the estimate stand-ins carry no lower-bound slack).
     val tokQueries = query.zipWithIndex.map { case (q, i) => (i.toLong, q) }
-    val retrieved =
+    val retrieved0 =
       if (refinePerToken >= 0)
         idx.searchMany(tokQueries, kPerToken, probes, epsilon = 0.0,
           exactBudget = refinePerToken)
       else
         idx.searchMany(tokQueries, kPerToken, probes, refine = refine)
-    val byToken: Map[Long, Array[(Long, Double)]] =
-      retrieved
-        .select("qid", "id", "dist").as[(Long, Long, Double)].collect()
-        .groupBy(_._1).view.mapValues(_.map(t => (t._2, t._3))).toMap
-    val perToken: Seq[Array[(Long, Double)]] =
-      query.indices.map(i => byToken.getOrElse(i.toLong, Array.empty))
-    // estimation_by_threshold: walk the probe iterator past the probed
-    // cells, consuming per-cell tuple counts until the threshold is
-    // covered; the last consumed cell's centroid distance prices misses
-    val thresholdEst: Seq[Double] =
-      if (maxsimThreshold <= 0) query.indices.map(_ => Double.NegativeInfinity)
-      else {
-        val counts = idx.clusterCounts
-        query.toSeq.map { q =>
-          val order = idx.cellOrder(q)
-          var remaining = maxsimThreshold.toLong
-          var i = 0
-          while (i < math.min(probes, order.length)) {
-            remaining -= counts.getOrElse(order(i)._1, 0L); i += 1
+    // the retrieved candidate set feeds TWO passes (per-token worst
+    // distance, then doc scoring) — persist so the retrieval plan runs
+    // once; everything downstream is bounded, so both passes are cheap
+    val retrieved = retrieved0.select(col("qid"), col("id"), col("dist")).persist()
+    try {
+      // per-token WORST retrieved distance — |tokens| rows, the only
+      // driver-side collect left on this path (doc scoring itself runs
+      // distributed below; at kPerToken=1000 x 100 tokens the old
+      // collect-and-loop shape shipped 100k rows to the driver)
+      val worst: Map[Long, Double] = retrieved.groupBy("qid")
+        .agg(max(col("dist")).as("w"))
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      // estimation_by_threshold: walk the probe iterator past the probed
+      // cells, consuming per-cell tuple counts until the threshold is
+      // covered; the last consumed cell's centroid distance prices misses
+      val thresholdEst: Seq[Double] =
+        if (maxsimThreshold <= 0) query.indices.map(_ => Double.NegativeInfinity)
+        else {
+          val counts = idx.clusterCounts
+          query.toSeq.map { q =>
+            val order = idx.cellOrder(q)
+            var remaining = maxsimThreshold.toLong
+            var i = 0
+            while (i < math.min(probes, order.length)) {
+              remaining -= counts.getOrElse(order(i)._1, 0L); i += 1
+            }
+            var est = Double.NegativeInfinity
+            while (i < order.length && remaining > 0) {
+              remaining -= counts.getOrElse(order(i)._1, 0L)
+              est = order(i)._2
+              i += 1
+            }
+            est
           }
-          var est = Double.NegativeInfinity
-          while (i < order.length && remaining > 0) {
-            remaining -= counts.getOrElse(order(i)._1, 0L)
-            est = order(i)._2
-            i += 1
-          }
-          est
         }
+      val estimates: Array[Double] = query.indices.map { qi =>
+        worst.get(qi.toLong) match {
+          case Some(w) => math.max(w, thresholdEst(qi))
+          case None    => 0.0 // token retrieved nothing
+        }
+      }.toArray
+      // DISTRIBUTED doc scoring: per-doc fixed-slot min aggregation with
+      // estimate fallbacks (map-side combine carries one |tokens|-wide
+      // buffer per doc — never the candidate rows), then a bounded
+      // TakeOrdered; byte-identical to the former driver loop (spec'd)
+      val scored = retrieved
+        .select(shiftright(col("id"), 16).as("doc"), col("qid"), col("dist"))
+        .as[(Long, Long, Double)]
+        .groupByKey(_._1)
+        .mapValues(r => (r._2, r._3))
+        .agg(new RetrievedMinAgg(query.length, estimates).toColumn.name("maxsim"))
+        .toDF("doc", "maxsim")
+      if (refineDocs <= 0) {
+        // bounded: k rows to the driver, returned as a local result so
+        // the persisted retrieval can be released eagerly
+        val top = scored.orderBy(col("maxsim"), col("doc")).limit(k)
+          .as[(Long, Double)].collect()
+        top.toSeq.toDF("doc", "maxsim")
+      } else {
+        val cand = scored.orderBy(col("maxsim"), col("doc"))
+          .limit(math.max(refineDocs, k))
+          .select("doc").as[Long].collect()
+        exactRescore(idx, query, scala.collection.immutable.ArraySeq.unsafeWrapArray(cand))
+          .orderBy(col("maxsim"), col("doc"))
+          .limit(k)
       }
-    val estimates = perToken.zipWithIndex.map { case (c, qi) =>
-      if (c.isEmpty) 0.0 else math.max(c.map(_._2).max, thresholdEst(qi))
-    }
-    // one pass per token list: doc -> min retrieved distance
-    val perTokenMin: Seq[Map[Long, Double]] = perToken.map { c =>
-      c.groupBy(t => unpackDoc(t._1)).view.mapValues(_.map(_._2).min).toMap
-    }
-    val docs = perTokenMin.flatMap(_.keys).distinct
-    val scored = docs.map { doc =>
-      var s = 0.0
-      var qi = 0
-      while (qi < perTokenMin.length) {
-        s += perTokenMin(qi).getOrElse(doc, estimates(qi))
-        qi += 1
-      }
-      (doc, s)
-    }
-    val ranked = scored.sortBy { case (doc, s) => (s, doc) }
-    if (refineDocs <= 0)
-      ranked.take(k).toDF("doc", "maxsim")
-    else {
-      val cand = ranked.take(math.max(refineDocs, k)).map(_._1)
-      exactRescore(idx, query, cand)
-        .orderBy(org.apache.spark.sql.functions.col("maxsim"),
-          org.apache.spark.sql.functions.col("doc"))
-        .limit(k)
-    }
+    } finally { retrieved.unpersist(); () }
   }
 
   /** Exact MaxSim for `docs` from the index's own stored token vectors

@@ -74,8 +74,79 @@ object AnnCatalog {
 
   def unregister(tablePath: String): Unit = entries.remove(norm(tablePath))
 
+  /** An entry may serve a relation only when it covers EVERY root:
+    * first-match semantics on a multi-root read would silently restrict
+    * the scan to one root's candidates and drop the other roots' rows
+    * from the top-k (distinct per-root entries are the [[lookupAll]] /
+    * union-serve case instead). */
+  private def covering[T](rootPaths: Seq[String], get: String => T): Option[T] = {
+    val vs = rootPaths.map(norm).map(p => Option(get(p)))
+    if (vs.nonEmpty && vs.forall(_.isDefined)) {
+      val d = vs.flatten.distinct
+      if (d.size == 1) Some(d.head) else None
+    } else None
+  }
+
   def lookup(rootPaths: Seq[String]): Option[Entry] =
-    rootPaths.map(norm).flatMap(p => Option(entries.get(p))).headOption
+    covering(rootPaths, entries.get)
+
+  /** Multi-root relation (`spark.read.parquet(rootA, rootB)` over a
+    * manually-partitioned table): every root resolves to its own entry.
+    * None unless EVERY root is registered — serving a subset would
+    * silently drop the unindexed roots' rows from the result. */
+  def lookupAll(rootPaths: Seq[String]): Option[Seq[Entry]] = {
+    val es = rootPaths.map(p => Option(entries.get(norm(p))))
+    if (es.nonEmpty && es.forall(_.isDefined)) Some(es.flatten.distinct)
+    else None
+  }
+
+  /** Partitioned-table serving under ONE discovered root (a `tableDir`
+    * whose `part=*` children each carry their own index, the reference's
+    * per-partition indexes — tests/vchordrq/partition.slt:1-35): Some
+    * iff every FILE the scan would read lies under a registered child
+    * path, i.e. the per-child indexes jointly cover the whole scan. */
+  def coverByFiles(files: Seq[String]): Option[Seq[Entry]] = {
+    import scala.jdk.CollectionConverters._
+    if (files.isEmpty || entries.isEmpty) return None
+    val regs = entries.asScala.toSeq
+    val covered = files.map { f =>
+      val nf = norm(f)
+      regs.collectFirst { case (p, e) if nf.startsWith(p + "/") => e }
+    }
+    if (covered.forall(_.isDefined)) Some(covered.flatten.distinct) else None
+  }
+
+  // ---- PARTIAL (predicate-scoped) indexes — the reference's
+  // `CREATE INDEX ... WHERE (category_id = 1)` (partition.slt:40-48):
+  // the index covers only rows satisfying the predicate, and may serve
+  // only queries whose own predicate implies it ----
+
+  final case class PartialEntry(predicateSql: String, entry: Entry)
+
+  private val partials =
+    new java.util.concurrent.ConcurrentHashMap[String, List[PartialEntry]]()
+
+  /** Register a partial index: `indexDir` indexes exactly the rows of
+    * `tablePath` satisfying `predicateSql` (caller contract, like
+    * [[register]]). A query is served only when its own predicate
+    * contains every conjunct of `predicateSql` (semantic equality) —
+    * the restricted implication Postgres partial indexes use. */
+  def registerPartial(tablePath: String, indexDir: String, idCol: String,
+                      vecCol: String, predicateSql: String): Unit =
+    partials.compute(norm(tablePath), (_, cur) =>
+      PartialEntry(predicateSql, Entry(indexDir, idCol, vecCol, tablePath)) ::
+        (if (cur == null) Nil else cur.filterNot(_.entry.indexDir == indexDir)))
+
+  def unregisterPartial(tablePath: String, indexDir: String): Unit =
+    partials.computeIfPresent(norm(tablePath),
+      (_, cur) => cur.filterNot(_.entry.indexDir == indexDir) match {
+        case Nil => null
+        case rest => rest
+      })
+
+  def lookupPartials(rootPaths: Seq[String]): Seq[PartialEntry] =
+    rootPaths.map(norm).flatMap(p =>
+      Option(partials.get(p)).getOrElse(Nil))
 
   def index(spark: SparkSession, e: Entry): IvfIndex =
     indexes.computeIfAbsent(e.indexDir, d => IvfIndex.load(spark, d))
@@ -99,7 +170,7 @@ object AnnCatalog {
   def unregisterGraph(tablePath: String): Unit = gEntries.remove(norm(tablePath))
 
   def lookupGraph(rootPaths: Seq[String]): Option[GraphEntry] =
-    rootPaths.map(norm).flatMap(p => Option(gEntries.get(p))).headOption
+    covering(rootPaths, gEntries.get)
 
   /** Latest modification stamp under a graph dir — a rebuild+save into the
     * same dir (the deleteAndRebuild vacuum flow) must not be served stale. */
@@ -136,7 +207,7 @@ object AnnCatalog {
   def unregisterShardedGraph(tablePath: String): Unit = sgEntries.remove(norm(tablePath))
 
   def lookupShardedGraph(rootPaths: Seq[String]): Option[ShardedGraphEntry] =
-    rootPaths.map(norm).flatMap(p => Option(sgEntries.get(p))).headOption
+    covering(rootPaths, sgEntries.get)
 
   def shardedGraph(spark: SparkSession, e: ShardedGraphEntry): graft.index.ShardedVamana.Handle = {
     val stamp = graphStamp(e.dir)
@@ -164,7 +235,7 @@ object AnnCatalog {
   def unregisterMaxSim(tablePath: String): Unit = msEntries.remove(norm(tablePath))
 
   def lookupMaxSim(rootPaths: Seq[String]): Option[MaxSimEntry] =
-    rootPaths.map(norm).flatMap(p => Option(msEntries.get(p))).headOption
+    covering(rootPaths, msEntries.get)
 
   def maxSimIndex(spark: SparkSession, e: MaxSimEntry): IvfIndex =
     indexes.computeIfAbsent(e.indexDir, d => IvfIndex.load(spark, d))
@@ -361,6 +432,44 @@ case class AnnTopKRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
                   if AnnCatalog.index(spark, entry).meta.cfg.metric == metric
                   s <- serve(gl, sort, child, projOpt, entry, idAttr, idLit, qv, k, predOpt)
                 } yield s
+                // PARTITIONED table (reference partition.slt): several
+                // parquet roots — or one discovered root whose child
+                // dirs — each carry their own index; candidates are the
+                // bounded UNION of per-root pools. Prefiltered shapes
+                // keep the exact plan (escalation is per-index).
+                def viaMulti = for {
+                  es <- AnnCatalog.lookupAll(roots).filter(_.size > 1)
+                    .orElse(AnnCatalog.coverByFiles(
+                      fsRel.location.inputFiles.toSeq))
+                  if es.forall(_.vecCol == attr.name)
+                  if es.map(_.idCol).distinct.size == 1
+                  if predOpt.isEmpty && !isServedPlan(child)
+                  idAttr <- child.output.find(_.name == es.head.idCol)
+                  idLit <- litFor(idAttr)
+                  if es.forall(e =>
+                    AnnCatalog.index(spark, e).meta.cfg.metric == metric)
+                  s <- serveMulti(gl, sort, child, projOpt, es, idAttr, idLit, qv, k)
+                } yield s
+                // PARTIAL index (reference partition.slt:40-48): served
+                // only when the query predicate IMPLIES the index
+                // predicate (index conjuncts ⊆ query conjuncts);
+                // leftover conjuncts run the prefilter escalation
+                // against the partial index's own row population.
+                def viaPartial = for {
+                  pred <- predOpt
+                  if !isServedPlan(child)
+                  (pe, remaining) <- AnnCatalog.lookupPartials(roots)
+                    .iterator.flatMap(pe =>
+                      partialMatch(pe.predicateSql, pred, rel.output)
+                        .map(pe -> _))
+                    .nextOption()
+                  if attr.name == pe.entry.vecCol
+                  idAttr <- child.output.find(_.name == pe.entry.idCol)
+                  idLit <- litFor(idAttr)
+                  if AnnCatalog.index(spark, pe.entry).meta.cfg.metric == metric
+                  s <- serve(gl, sort, child, projOpt, pe.entry, idAttr,
+                    idLit, qv, k, remaining)
+                } yield s
                 // a vchordg-style graph index may serve the same shape when
                 // the IVF path cannot (no entry, wrong metric, cost-declined)
                 // — beam search; no prefilter machinery, like the
@@ -384,7 +493,8 @@ case class AnnTopKRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
                   if AnnCatalog.shardedGraph(spark, se).cfg.metric == metric
                   s <- serveShardedGraph(gl, sort, child, projOpt, se, idAttr, idLit, qv, k)
                 } yield s
-                viaIvf.orElse(viaGraph).orElse(viaSharded)
+                viaIvf.orElse(viaMulti).orElse(viaPartial)
+                  .orElse(viaGraph).orElse(viaSharded)
               }
             } yield served).getOrElse(gl)
           // multi-vector MaxSim (reference opclass strategy 3): no
@@ -683,6 +793,84 @@ case class AnnTopKRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
       val sorted = Sort(sort.order, global = true, filter)
       val body = projOpt.map(pl => Project(pl, sorted): LogicalPlan).getOrElse(sorted)
       GlobalLimit(Literal(k), LocalLimit(Literal(k), body))
+    }
+  }
+
+  /** Partial-index predicate implication, the restricted form Postgres
+    * uses: parse + resolve the registered predicate against the
+    * relation's attributes, then require every index conjunct to appear
+    * among the query's conjuncts (semantic equality). Returns the
+    * REMAINING query conjuncts (None = exact predicate match — the
+    * partial index's population IS the qualifying set; Some(expr) =
+    * extra conjuncts, caller escalates like any prefilter). Parse or
+    * resolution failure, or a missing conjunct, declines (None result)
+    * — a partial index must never serve a query it doesn't cover. */
+  private def partialMatch(predicateSql: String, queryPred: Expression,
+      output: Seq[Attribute]): Option[Option[Expression]] = {
+    val parsed =
+      try spark.sessionState.sqlParser.parseExpression(predicateSql)
+      catch { case scala.util.control.NonFatal(_) => return None }
+    var ok = true
+    val resolved = parsed.transformUp {
+      case ua: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+        output.find(a => spark.sessionState.conf.resolver(a.name, ua.name))
+          .getOrElse { ok = false; ua }
+    }
+    if (!ok || !resolved.resolved) return None
+    val idxConj = conjuncts(resolved)
+    val qConj = conjuncts(queryPred)
+    if (!idxConj.forall(ic => qConj.exists(_.semanticEquals(ic)))) None
+    else Some(qConj.filterNot(qc => idxConj.exists(_.semanticEquals(qc)))
+      .reduceOption(And))
+  }
+
+  /** Partitioned-table serve: one bounded top-k pool per per-root index,
+    * unioned (≤ roots×k ids — the same bounded merge rangeSearchMany
+    * uses), then the standard exact Sort+Limit over the IN-restricted
+    * scan. Cost model sums the per-root index costs against the total
+    * exact scan. Declines past `graft.ann.maxInList`. */
+  private def serveMulti(gl: LogicalPlan, sort: Sort, child: LogicalPlan,
+                         projOpt: Option[Seq[NamedExpression]],
+                         es: Seq[AnnCatalog.Entry], idAttr: Attribute,
+                         idLit: Long => Literal, qv: ArrayData,
+                         k: Int): Option[LogicalPlan] = {
+    val idxs = es.map(e => (e, AnnCatalog.index(spark, e)))
+    val probesConf = spark.conf.get("graft.ann.probes", "auto")
+    def probesFor(lists: Int): Int =
+      if (probesConf == "auto") math.max(1, math.ceil(math.sqrt(lists.toDouble)).toInt)
+      else probesConf.toInt
+    val refine0 = spark.conf.get("graft.ann.refine", "8").toInt
+    val maxInList = spark.conf.get("graft.ann.maxInList", "8192").toInt
+    if (spark.conf.get("graft.ann.cost.enable", "true").toBoolean) {
+      val nTotal = idxs.map(_._2.rowCount).sum.toDouble
+      val costIdx = idxs.map { case (_, ix) =>
+        val lists = ix.meta.cfg.lists
+        ix.rowCount.toDouble * probesFor(lists) / lists * 0.3 +
+          math.min(k.toDouble * refine0, ix.rowCount.toDouble) +
+          lists.toDouble * 0.01
+      }.sum
+      if (costIdx >= nTotal) return None
+    }
+    val qArr = qv.toFloatArray()
+    import spark.implicits._
+    val ids = idxs.flatMap { case (e, ix) =>
+      AnnTopKRewrite.planningJobs.incrementAndGet()
+      val rt: Option[(org.apache.spark.sql.DataFrame, String, String)] =
+        if (ix.meta.cfg.storeVectors || e.tablePath.isEmpty) None
+        else Some((spark.read.parquet(e.tablePath), e.idCol, e.vecCol))
+      ix.search(qArr, k, probes = probesFor(ix.meta.cfg.lists),
+          refine = refine0, rerankTable = rt)
+        .select("id").as[Long].collect()
+    }.distinct.toArray
+    if (ids.isEmpty) Some(gl)
+    else if (ids.length > maxInList) Some(gl)
+    else {
+      ensureInPushdown(ids.length)
+      val filter = stamped(Filter(In(idAttr,
+        scala.collection.immutable.ArraySeq.unsafeWrapArray(ids.map(idLit))), child))
+      val sorted = Sort(sort.order, global = true, filter)
+      val body = projOpt.map(pl => Project(pl, sorted): LogicalPlan).getOrElse(sorted)
+      Some(GlobalLimit(Literal(k), LocalLimit(Literal(k), body)))
     }
   }
 

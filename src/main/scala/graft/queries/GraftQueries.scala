@@ -422,6 +422,39 @@ object GraftQueries {
       },
       Some(knnOracle)),
 
+    // Partitioned-table ANN serving (reference tests/vchordrq/
+    // partition.slt: per-child indexes answer parent-table queries):
+    // embeddings split into two parquet roots (pt = vec_id % 2), each
+    // root carrying its OWN index; the whole-table read is served by
+    // the UNION of the per-root candidate pools — asserted in-query, so
+    // this row FAILS rather than silently degrading to a full scan.
+    // Same oracle as knn_topk: the partitioned copy holds identical rows.
+    "knn_partitioned" -> Q(
+      (s, d) => {
+        val q = qvec(s, d, 0)
+        val path = partitionedEmbTable(s, d)
+        if (!s.experimental.extraOptimizations.exists(_.isInstanceOf[graft.plans.AnnTopKRewrite]))
+          s.experimental.extraOptimizations =
+            s.experimental.extraOptimizations :+ graft.plans.AnnTopKRewrite(s)
+        s.conf.set("graft.ann.probes", "16")
+        s.conf.set("graft.ann.refine", "16")
+        // at verify scale the per-root overheads double and the cost
+        // model rightly declines (a 250-row root IS cheaper to scan) —
+        // force the serve so the partitioned plumbing is exercised;
+        // decline behavior itself is spec'd in AnnRewriteSpec
+        s.conf.set("graft.ann.cost.enable", "false")
+        val served = s.read.parquet(path)
+          .orderBy(vecL2(col("embedding"), lv(q)))
+          .limit(10)
+        require(served.queryExecution.optimizedPlan.toString.contains(" IN "),
+          "knn_partitioned was NOT index-served — the per-partition index " +
+          "cover failed to match:\n" + served.queryExecution.optimizedPlan)
+        served.select(col("vec_id"), vecL2(col("embedding"), lv(q)).as("raw"))
+          .orderBy(col("raw"), col("vec_id"))
+          .select(col("vec_id"), round(col("raw"), 3).as("dist"))
+      },
+      Some(knnOracle)),
+
     "knn_join" -> Q(
       (s, d) => {
         import s.implicits._
@@ -2281,6 +2314,24 @@ object GraftQueries {
       dst
     }
 
+  /** Two-root partitioned copy of embeddings (pt = vec_id % 2) with one
+    * IVF index per root, both registered — the partition.slt serving
+    * fixture (`knn_partitioned`). */
+  private def partitionedEmbTable(s: SparkSession, d: String): String =
+    cached(s"parttbl:$d") {
+      val dst = vdir(d, "parttbl")
+      tbl(s, d, "embeddings")
+        .withColumn("pt", (col("vec_id") % 2).cast("int"))
+        .write.partitionBy("pt").mode("overwrite").parquet(dst)
+      (0 to 1).foreach { p =>
+        val idir = s"$dst-idx$p"
+        IvfIndex.build(s.read.parquet(s"$dst/pt=$p"), "vec_id", "embedding",
+          idir, IvfConfig(lists = 8, bits = 8, residual = true))
+        graft.plans.AnnCatalog.register(s"$dst/pt=$p", idir, "vec_id", "embedding")
+      }
+      dst
+    }
+
   /** Build every index/graph the queries cache. Bench calls this in
     * warmup so per-query timings measure query execution; index builds
     * are one-time costs reported separately (`_index_builds`). */
@@ -2291,6 +2342,7 @@ object GraftQueries {
       .foreach(variantIvf(s, d, _))
     Seq("gins", "gq", "gvac", "gvacq").foreach(variantGraph(s, d, _))
     prefilterTable(s, d)
+    partitionedEmbTable(s, d)
     dedupPipe(s, d)
     PostingsCache.get(s, d)
     BpeCache.get(s, d)

@@ -36,6 +36,10 @@ object NovecScale {
     val dim = if (args.length > 1) args(1).toInt else 768
     val bits = if (args.length > 2) args(2).toInt else 8
     val withSrc = args.length <= 3 || args(3) == "src"
+    // lists scales with N (the reference sizes lists ~ sqrt(n) tiers);
+    // default 256 preserves the prior anchors' config byte-for-byte
+    val lists = if (args.length > 4) args(4).toInt else 256
+    val lists1 = math.max(16, math.ceil(math.sqrt(lists.toDouble)).toInt)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -66,8 +70,8 @@ object NovecScale {
         else say(s"reusing source parquet at $srcDir")
         spark.read.parquet(srcDir)
       } else gen // generator-as-source: deterministic rows, no storage
-    val cfg = graft.index.IvfConfig(lists = 256, bits = bits,
-      kmeansAlgo = "hierarchical", kmeansDim = 16, lists1 = 16,
+    val cfg = graft.index.IvfConfig(lists = lists, bits = bits,
+      kmeansAlgo = "hierarchical", kmeansDim = 16, lists1 = lists1,
       samplingFactor = 128, storeVectors = false, assignByTree = true)
     var idx: graft.index.IvfIndex = null
     // SPARK_GRAFT_NOVEC_REUSE=1: reload a previously built index instead

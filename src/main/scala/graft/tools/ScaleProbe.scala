@@ -474,7 +474,12 @@ object ScaleProbe {
         val kwReuse = sys.env.get("SPARK_GRAFT_SCALE_KW_REUSE").contains("1") &&
           java.nio.file.Files.exists(
             java.nio.file.Paths.get(s"$kwBase/postings/meta.properties"))
-        if (!kwReuse) spark.range(nKw).map { i =>
+        // corpus content is deterministic in doc_id — an existing docs
+        // parquet is identical to a fresh gen, so reuse it even when
+        // re-measuring the build (kwReuse skips gen AND build)
+        val kwHaveDocs = java.nio.file.Files.exists(
+          java.nio.file.Paths.get(s"$kwBase/docs/_SUCCESS"))
+        if (!kwReuse && !kwHaveDocs) spark.range(nKw).map { i =>
           val sb = new java.lang.StringBuilder(800)
           var x = i * 2862933555777941757L + 3037000493L
           var j = 0
@@ -505,6 +510,39 @@ object ScaleProbe {
           }
         timed(s"_scale_kwindexed$kwTag") {
           kwIdx.search(spark, kwTerms, 100).collect()
+        }
+      }
+      // MaxSim approximate retrieval at ColBERT-ish width: 64 query
+      // tokens x kPerToken=1000 -> 64k retrieved candidate rows, scored
+      // DISTRIBUTED (fixed-slot min aggregation; the former driver loop
+      // shipped every candidate row to the driver)
+      if (!sys.env.get("SPARK_GRAFT_SCALE_MAXSIM").contains("0")) {
+        val nMsDocs = sys.env.getOrElse("SPARK_GRAFT_SCALE_MAXSIM_N", "20000").toInt
+        val toksPerDoc = 10
+        val dimMs = 32
+        def unitMs(x0: Long): Float = {
+          val x = x0 * 6364136223846793005L + 1442695040888963407L
+          (((x >>> 11).toDouble / (1L << 53).toDouble) * 2.0 - 1.0).toFloat
+        }
+        val tokDf = spark.range(nMsDocs.toLong * toksPerDoc).map { r =>
+          val doc = r / toksPerDoc
+          val pos = (r % toksPerDoc).toInt
+          (doc, pos, Array.tabulate(dimMs)(j => unitMs(r * 31L + j)).toSeq)
+        }.toDF("doc", "pos", "v")
+        val msDir = s"${sys.props("java.io.tmpdir")}/graft-scale-maxsim$nMsDocs"
+        val msIdx = timedRet(s"_scale_maxsim_build${nMsDocs / 1000}k") {
+          graft.ops.MaxSim.buildTokenIndex(tokDf, "doc", "pos", "v", msDir,
+            graft.index.IvfConfig(metric = "negdot", lists = 64, residual = false))
+        }
+        val msQuery = Array.tabulate(64)(qi =>
+          Array.tabulate(dimMs)(j => unitMs(qi * 977L + j)))
+        timed(s"_scale_maxsim_approx${nMsDocs / 1000}k") {
+          graft.ops.MaxSim.approxTopK(msIdx, msQuery, 100,
+            kPerToken = 1000, probes = 8, refine = 8).count()
+        }
+        timed(s"_scale_maxsim_refine${nMsDocs / 1000}k") {
+          graft.ops.MaxSim.approxTopK(msIdx, msQuery, 100,
+            kPerToken = 1000, probes = 8, refine = 8, refineDocs = 400).count()
         }
       }
       // SemDeDup bulk: 100k x 16d embeddings in 256 planted clusters —

@@ -58,6 +58,46 @@ class MaxSimSpec extends SparkSpec {
       s"refined=$refined exact=$exactPairs")
   }
 
+  test("distributed doc scoring is byte-identical to the sequential reference loop") {
+    import spark.implicits._
+    val tokens = docs.flatMap { case (id, toks) =>
+      toks.zipWithIndex.map { case (t, p) => (id, p, t.toSeq) }
+    }.toDF("doc", "pos", "v")
+    val dir = java.nio.file.Files.createTempDirectory("graft-maxsim-par").toString
+    val idx = MaxSim.buildTokenIndex(tokens, "doc", "pos", "v", dir,
+      graft.index.IvfConfig(metric = "negdot", lists = 8, residual = false))
+    // sparse probes so some docs MISS tokens (the estimate-fallback path
+    // must agree too) + a third query token retrieving its own docs
+    val q3 = query :+ tok(55L, 0)
+    val kPerToken = 20
+    val probes = 2
+    val got = MaxSim.approxTopK(idx, q3, 15,
+        kPerToken = kPerToken, probes = probes, refine = 8)
+      .as[(Long, Double)].collect().toSeq
+    // sequential reference: the collect-and-loop formulation the
+    // distributed aggregation replaced — per-token min with worst-
+    // retrieved fallback, summed in token order, ranked (score, doc)
+    val tokQueries = q3.zipWithIndex.map { case (q, i) => (i.toLong, q) }
+    val retrieved = idx.searchMany(tokQueries, kPerToken, probes, refine = 8)
+      .select("qid", "id", "dist").as[(Long, Long, Double)].collect()
+    val byToken = retrieved.groupBy(_._1)
+      .view.mapValues(_.map(t => (t._2, t._3))).toMap
+    val perToken = q3.indices.map(i => byToken.getOrElse(i.toLong, Array.empty[(Long, Double)]))
+    val estimates = perToken.map(c => if (c.isEmpty) 0.0 else c.map(_._2).max)
+    val perTokenMin = perToken.map(_.groupBy(t => MaxSim.unpackDoc(t._1))
+      .view.mapValues(_.map(_._2).min).toMap)
+    val want = perTokenMin.flatMap(_.keys).distinct.map { doc =>
+      var s = 0.0
+      var qi = 0
+      while (qi < perTokenMin.length) {
+        s += perTokenMin(qi).getOrElse(doc, estimates(qi)); qi += 1
+      }
+      (doc, s)
+    }.sortBy { case (doc, s) => (s, doc) }.take(15)
+      .map { case (doc, s) => (doc, s) }
+    assert(got == want) // exact double equality: same mins, same sum order
+  }
+
   test("maxsim_threshold prices misses at unvisited cells and fixes sparse-probe ranking") {
     import spark.implicits._
     // dim-4 axis-aligned fixture, lists=4 (one cell per axis group),

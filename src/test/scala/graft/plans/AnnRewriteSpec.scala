@@ -554,6 +554,110 @@ class AnnRewriteSpec extends SparkSpec {
     } finally (0 to 1).foreach(p => AnnCatalog.unregister(s"$tableDir/part=$p"))
   }
 
+  test("whole-table read over a partitioned dir: per-child indexes serve the union") {
+    import spark.implicits._
+    val rng = new scala.util.Random(93)
+    val rows = (0L until 600L).map(i =>
+      (i, Seq.fill(8)(rng.nextFloat() * 2 - 1), (i % 3).toInt))
+    val tableDir = Files.createTempDirectory("graft-ann-mpart").toString
+    rows.toDF("id", "vec", "part")
+      .write.partitionBy("part").mode("overwrite").parquet(tableDir)
+    (0 to 2).foreach { p =>
+      val d = Files.createTempDirectory(s"graft-ann-mpart-idx$p").toString
+      IvfIndex.build(spark.read.parquet(s"$tableDir/part=$p"), "id", "vec",
+        d, IvfConfig(lists = 4))
+      AnnCatalog.register(s"$tableDir/part=$p", d, "id", "vec")
+    }
+    try withRule {
+      withConfs("graft.ann.probes" -> "4", "graft.ann.refine" -> "50",
+          "graft.ann.cost.enable" -> "false") {
+        val q = Array.fill(8)(0.1f)
+        // the PARENT-table query (reference partition.slt:28-30): one
+        // discovered root, files covered by the three child indexes
+        val df = spark.read.parquet(tableDir)
+          .orderBy(GraftFunctions.vecL2(col("vec"), typedlit(q.toSeq)))
+          .limit(7)
+        assert(df.queryExecution.optimizedPlan.toString.contains(" IN "),
+          "whole-table read not served by the per-partition indexes:\n" +
+            df.queryExecution.optimizedPlan)
+        val got = df.select("id").collect().map(_.getLong(0)).toSeq
+        val want = rows.map { case (id, v, _) => (K.l2(v.toArray, q), id) }
+          .sorted.take(7).map(_._2).toSeq
+        assert(got == want)
+        // multi-root form of the same table: explicit child paths
+        val df2 = spark.read.parquet(s"$tableDir/part=0", s"$tableDir/part=2")
+          .orderBy(GraftFunctions.vecL2(col("vec"), typedlit(q.toSeq)))
+          .limit(5)
+        assert(df2.queryExecution.optimizedPlan.toString.contains(" IN "))
+        val got2 = df2.select("id").collect().map(_.getLong(0)).toSeq
+        val want2 = rows.filter(r => r._3 == 0 || r._3 == 2)
+          .map { case (id, v, _) => (K.l2(v.toArray, q), id) }
+          .sorted.take(5).map(_._2).toSeq
+        assert(got2 == want2)
+        // UNINDEXED sibling root: with part=1's entry gone the cover is
+        // incomplete — the whole-table query must keep the exact plan
+        AnnCatalog.unregister(s"$tableDir/part=1")
+        val df3 = spark.read.parquet(tableDir)
+          .orderBy(GraftFunctions.vecL2(col("vec"), typedlit(q.toSeq)))
+          .limit(7)
+        assert(!df3.queryExecution.optimizedPlan.toString.contains(" IN "),
+          "partial cover must NOT serve — rows of part=1 would be dropped")
+        assert(df3.select("id").collect().map(_.getLong(0)).toSeq == want)
+      }
+    } finally (0 to 2).foreach(p => AnnCatalog.unregister(s"$tableDir/part=$p"))
+  }
+
+  test("partial index: serves only queries whose predicate implies its own") {
+    import spark.implicits._
+    val rng = new scala.util.Random(95)
+    val rows = (0L until 500L).map(i =>
+      (i, Seq.fill(8)(rng.nextFloat() * 2 - 1), (i % 4).toInt))
+    val tableDir = Files.createTempDirectory("graft-ann-partial").toString
+    rows.toDF("id", "vec", "cat").write.mode("overwrite").parquet(tableDir)
+    // the reference's CREATE INDEX ... WHERE (category_id = 1)
+    val idxDir = Files.createTempDirectory("graft-ann-partial-idx").toString
+    IvfIndex.build(spark.read.parquet(tableDir).filter(col("cat") === 1),
+      "id", "vec", idxDir, IvfConfig(lists = 4))
+    AnnCatalog.registerPartial(tableDir, idxDir, "id", "vec", "cat = 1")
+    def brute(q: Array[Float], pred: ((Long, Seq[Float], Int)) => Boolean, k: Int) =
+      rows.filter(pred).map { case (id, v, _) => (K.l2(v.toArray, q), id) }
+        .sorted.take(k).map(_._2).toSeq
+    try withRule {
+      withConfs("graft.ann.probes" -> "4", "graft.ann.refine" -> "50",
+          "graft.ann.cost.enable" -> "false") {
+        val q = Array.fill(8)(0.2f)
+        def base = spark.read.parquet(tableDir)
+        // exact predicate match -> served
+        val served = base.filter(col("cat") === 1)
+          .orderBy(GraftFunctions.vecL2(col("vec"), typedlit(q.toSeq))).limit(5)
+        assert(served.queryExecution.optimizedPlan.toString.contains(" IN "),
+          "cat = 1 query not served by the partial index:\n" +
+            served.queryExecution.optimizedPlan)
+        assert(served.select("id").collect().map(_.getLong(0)).toSeq ==
+          brute(q, _._3 == 1, 5))
+        // extra conjunct -> served via escalation, still exact
+        val extra = base.filter(col("cat") === 1 && col("id") < 250L)
+          .orderBy(GraftFunctions.vecL2(col("vec"), typedlit(q.toSeq))).limit(5)
+        assert(extra.queryExecution.optimizedPlan.toString.contains(" IN "))
+        assert(extra.select("id").collect().map(_.getLong(0)).toSeq ==
+          brute(q, r => r._3 == 1 && r._1 < 250L, 5))
+        // WRONG predicate -> the partial index must NOT serve
+        val wrong = base.filter(col("cat") === 2)
+          .orderBy(GraftFunctions.vecL2(col("vec"), typedlit(q.toSeq))).limit(5)
+        assert(!wrong.queryExecution.optimizedPlan.toString.contains(" IN "),
+          "cat = 2 query must not be served by the cat = 1 partial index")
+        assert(wrong.select("id").collect().map(_.getLong(0)).toSeq ==
+          brute(q, _._3 == 2, 5))
+        // NO predicate -> not served either (the index misses 3/4 rows)
+        val nopred = base
+          .orderBy(GraftFunctions.vecL2(col("vec"), typedlit(q.toSeq))).limit(5)
+        assert(!nopred.queryExecution.optimizedPlan.toString.contains(" IN "))
+        assert(nopred.select("id").collect().map(_.getLong(0)).toSeq ==
+          brute(q, _ => true, 5))
+      }
+    } finally AnnCatalog.unregisterPartial(tableDir, idxDir)
+  }
+
   test("sphere serve survives an unrelated IN conjunct; provenance is the tag, not id-IN") {
     import spark.implicits._
     val rng = new scala.util.Random(41)
