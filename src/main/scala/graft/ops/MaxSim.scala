@@ -254,7 +254,11 @@ object MaxSim {
         val cand = scored.orderBy(col("maxsim"), col("doc"))
           .limit(math.max(refineDocs, k))
           .select("doc").as[Long].collect()
-        exactRescore(idx, query, scala.collection.immutable.ArraySeq.unsafeWrapArray(cand))
+        if (cand.isEmpty) // nothing retrieved: exactRescore's per-doc
+          // range predicate would be an empty reduce
+          Seq.empty[(Long, Double)].toDF("doc", "maxsim")
+        else exactRescore(idx, query,
+            scala.collection.immutable.ArraySeq.unsafeWrapArray(cand))
           .orderBy(col("maxsim"), col("doc"))
           .limit(k)
       }

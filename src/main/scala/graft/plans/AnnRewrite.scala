@@ -104,16 +104,34 @@ object AnnCatalog {
     * whose `part=*` children each carry their own index, the reference's
     * per-partition indexes — tests/vchordrq/partition.slt:1-35): Some
     * iff every FILE the scan would read lies under a registered child
-    * path, i.e. the per-child indexes jointly cover the whole scan. */
-  def coverByFiles(files: Seq[String]): Option[Seq[Entry]] = {
+    * path, i.e. the per-child indexes jointly cover the whole scan.
+    *
+    * Only entries STRICTLY BELOW one of the scan's root paths are
+    * considered: an entry above the root (an index registered for the
+    * whole table while the scan reads one child dir) indexes MORE rows
+    * than the scan — its global top-k is not the subset's top-k, so
+    * "covering" through it would silently drop rows. Candidate prefixes
+    * are pre-normalized and the walk exits on the first uncovered file
+    * (this runs at plan time for every unserved ANN-shaped query). */
+  def coverByFiles(rootPaths: Seq[String], files: Seq[String]): Option[Seq[Entry]] = {
     import scala.jdk.CollectionConverters._
     if (files.isEmpty || entries.isEmpty) return None
-    val regs = entries.asScala.toSeq
-    val covered = files.map { f =>
-      val nf = norm(f)
-      regs.collectFirst { case (p, e) if nf.startsWith(p + "/") => e }
+    val rootPrefixes = rootPaths.map(p => norm(p) + "/")
+    val regs = entries.asScala.toSeq.collect {
+      case (p, e) if rootPrefixes.exists(r => (p + "/").startsWith(r)) =>
+        (p + "/", e)
     }
-    if (covered.forall(_.isDefined)) Some(covered.flatten.distinct) else None
+    if (regs.isEmpty) return None
+    val out = scala.collection.mutable.LinkedHashSet.empty[Entry]
+    val it = files.iterator
+    while (it.hasNext) {
+      val nf = norm(it.next())
+      regs.find { case (prefix, _) => nf.startsWith(prefix) } match {
+        case Some((_, e)) => out += e
+        case None => return None // first uncovered file decides
+      }
+    }
+    Some(out.toSeq)
   }
 
   // ---- PARTIAL (predicate-scoped) indexes — the reference's
@@ -144,9 +162,12 @@ object AnnCatalog {
         case rest => rest
       })
 
+  /** Covering semantics like [[lookup]]: every root must resolve to the
+    * SAME partial-entry list — a partial index registered on one root of
+    * a multi-root read indexes none of the other roots' qualifying rows
+    * and must not serve the union. */
   def lookupPartials(rootPaths: Seq[String]): Seq[PartialEntry] =
-    rootPaths.map(norm).flatMap(p =>
-      Option(partials.get(p)).getOrElse(Nil))
+    covering(rootPaths, partials.get).getOrElse(Nil)
 
   def index(spark: SparkSession, e: Entry): IvfIndex =
     indexes.computeIfAbsent(e.indexDir, d => IvfIndex.load(spark, d))
@@ -439,7 +460,7 @@ case class AnnTopKRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
                 // keep the exact plan (escalation is per-index).
                 def viaMulti = for {
                   es <- AnnCatalog.lookupAll(roots).filter(_.size > 1)
-                    .orElse(AnnCatalog.coverByFiles(
+                    .orElse(AnnCatalog.coverByFiles(roots,
                       fsRel.location.inputFiles.toSeq))
                   if es.forall(_.vecCol == attr.name)
                   if es.map(_.idCol).distinct.size == 1

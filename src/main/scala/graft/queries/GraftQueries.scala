@@ -440,16 +440,30 @@ object GraftQueries {
         s.conf.set("graft.ann.refine", "16")
         // at verify scale the per-root overheads double and the cost
         // model rightly declines (a 250-row root IS cheaper to scan) —
-        // force the serve so the partitioned plumbing is exercised;
-        // decline behavior itself is spec'd in AnnRewriteSpec
+        // force the serve WHILE BUILDING this plan so the partitioned
+        // plumbing is exercised and plan-asserted, then restore the
+        // model so later queries' plans don't depend on run order
+        // (decline behavior itself is spec'd in AnnRewriteSpec)
         s.conf.set("graft.ann.cost.enable", "false")
-        val served = s.read.parquet(path)
-          .orderBy(vecL2(col("embedding"), lv(q)))
-          .limit(10)
-        require(served.queryExecution.optimizedPlan.toString.contains(" IN "),
-          "knn_partitioned was NOT index-served — the per-partition index " +
-          "cover failed to match:\n" + served.queryExecution.optimizedPlan)
-        served.select(col("vec_id"), vecL2(col("embedding"), lv(q)).as("raw"))
+        val served =
+          try {
+            val df = s.read.parquet(path)
+              .orderBy(vecL2(col("embedding"), lv(q)))
+              .limit(10)
+            require(df.queryExecution.optimizedPlan.toString.contains(" IN "),
+              "knn_partitioned was NOT index-served — the per-partition index " +
+              "cover failed to match:\n" + df.queryExecution.optimizedPlan)
+            // pin the served rows: downstream actions build fresh
+            // QueryExecutions (with the cost model back on, they would
+            // re-plan exact — same rows, but then the timed path is not
+            // the index serve this query exists to measure)
+            df.collect()
+          } finally s.conf.unset("graft.ann.cost.enable")
+        import s.implicits._
+        served.map(r => (r.getLong(r.fieldIndex("vec_id")),
+            r.getSeq[Float](r.fieldIndex("embedding"))))
+          .toSeq.toDF("vec_id", "embedding")
+          .select(col("vec_id"), vecL2(col("embedding"), lv(q)).as("raw"))
           .orderBy(col("raw"), col("vec_id"))
           .select(col("vec_id"), round(col("raw"), 3).as("dist"))
       },

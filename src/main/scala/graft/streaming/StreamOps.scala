@@ -137,22 +137,31 @@ object StreamOps {
     val writer = docs.writeStream
       .outputMode(OutputMode.Append())
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        applyPostingsBatch(batch, batchId, idCol, textCol, indexRef, compactEvery)
+        applyPostingsBatch(batch, batchId, idCol, textCol, indexRef,
+          compactEvery, checkpointLocation)
       }
     checkpointLocation.fold(writer)(writer.option("checkpointLocation", _)).start()
   }
 
   /** The [[postingsIngest]] per-batch body, factored out so the
-    * replay-skip contract is directly testable. A batch with
-    * `batchId <= lastAppliedBatch` is a crash replay of work already in
-    * the index — skipped (its doc counts would double otherwise). */
+    * replay-skip contract is directly testable. The watermark is keyed
+    * to the CHECKPOINT, not just the index: batch ids are
+    * per-streaming-query, so a fresh ingest (new or absent checkpoint)
+    * into an existing index restarts them at 0 — comparing those
+    * against an older run's watermark would silently DROP new data.
+    * Only a batch replayed under the SAME durable checkpoint is a
+    * crash re-execution of work already in the index; without a
+    * durable checkpoint no cross-run replay exists, so no skip logic
+    * applies (and none is recorded). */
   private[streaming] def applyPostingsBatch(
       batch: Dataset[org.apache.spark.sql.Row], batchId: Long,
       idCol: String, textCol: String,
       indexRef: java.util.concurrent.atomic.AtomicReference[graft.ops.Search.PostingsIndex],
-      compactEvery: Int): Unit = {
+      compactEvery: Int, checkpointLocation: Option[String]): Unit = {
     val dir = indexRef.get().dir
-    if (batchId > lastAppliedBatch(dir)) {
+    val replayed = checkpointLocation.exists(cp =>
+      batchId <= lastAppliedBatch(dir, cp))
+    if (!replayed) {
       // append evaluates the batch three times (count agg, postings
       // write, norms write) — persist so the source transformation
       // runs once per trigger
@@ -160,7 +169,7 @@ object StreamOps {
       try {
         if (!b.isEmpty)
           indexRef.set(indexRef.get().append(b.toDF(), idCol, textCol))
-        recordAppliedBatch(dir, batchId)
+        checkpointLocation.foreach(cp => recordAppliedBatch(dir, cp, batchId))
       } finally { b.unpersist(); () }
     }
     // compaction slot fires regardless (compact is idempotent)
@@ -169,20 +178,25 @@ object StreamOps {
   }
 
   /** Last batch id [[postingsIngest]] fully applied to the index at
-    * `dir` (-1 if none recorded). */
-  def lastAppliedBatch(dir: String): Long = {
+    * `dir` under `checkpoint` (-1 if none recorded, or if the recorded
+    * watermark belongs to a DIFFERENT checkpoint — a fresh query's
+    * batch ids restart and must not be skipped against an old run's). */
+  def lastAppliedBatch(dir: String, checkpoint: String): Long = {
     val f = java.nio.file.Paths.get(dir, "ingest.properties")
     if (!java.nio.file.Files.exists(f)) -1L
     else {
       val p = new java.util.Properties()
       val r = java.nio.file.Files.newBufferedReader(f)
       try p.load(r) finally r.close()
-      Option(p.getProperty("lastAppliedBatchId")).map(_.toLong).getOrElse(-1L)
+      if (p.getProperty("checkpoint") != checkpoint) -1L
+      else Option(p.getProperty("lastAppliedBatchId")).map(_.toLong).getOrElse(-1L)
     }
   }
 
-  private def recordAppliedBatch(dir: String, batchId: Long): Unit = {
+  private def recordAppliedBatch(dir: String, checkpoint: String,
+                                 batchId: Long): Unit = {
     val p = new java.util.Properties()
+    p.setProperty("checkpoint", checkpoint)
     p.setProperty("lastAppliedBatchId", batchId.toString)
     val tmp = java.nio.file.Paths.get(dir, "ingest.properties.tmp")
     val w = java.nio.file.Files.newBufferedWriter(tmp)

@@ -142,6 +142,12 @@ class SearchSpec extends SparkSpec {
     val distinctScans = postingsScans.map(s => System.identityHashCode(s)).distinct
     assert(distinctScans.size == 1,
       s"expected one postings scan, got ${postingsScans.size} (plan:\n$plan)")
+    // the standalone stats() API (standing-corpus usage) must agree
+    // with the df values the single-pass score folds in — pinned here
+    // so the two derivations cannot silently diverge
+    val st = idx.stats(spark, Seq("cat", "dog", "whale"))
+    assert(st.df == Map("cat" -> 3L, "dog" -> 3L)) // absent term -> no row
+    assert(st.nDocs == 5 && math.abs(st.avgDl - 3.4) < 1e-12)
   }
 
   test("postings append: incremental insert equals a fresh build") {

@@ -603,6 +603,25 @@ class AnnRewriteSpec extends SparkSpec {
         assert(!df3.queryExecution.optimizedPlan.toString.contains(" IN "),
           "partial cover must NOT serve — rows of part=1 would be dropped")
         assert(df3.select("id").collect().map(_.getLong(0)).toSeq == want)
+        // ANCESTOR entry vs child scan: an index registered for the
+        // WHOLE table indexes more rows than a one-child scan — its
+        // global top-k is not the subset's top-k, so the child read
+        // must keep the exact plan (not be "covered" by the parent)
+        val allDir = Files.createTempDirectory("graft-ann-mpart-all").toString
+        IvfIndex.build(spark.read.parquet(tableDir), "id", "vec",
+          allDir, IvfConfig(lists = 4))
+        AnnCatalog.register(tableDir, allDir, "id", "vec")
+        try {
+          val child = spark.read.parquet(s"$tableDir/part=1")
+            .orderBy(GraftFunctions.vecL2(col("vec"), typedlit(q.toSeq)))
+            .limit(7)
+          assert(!child.queryExecution.optimizedPlan.toString.contains(" IN "),
+            "a parent-table index must not serve a child-subset scan")
+          val wantChild = rows.filter(_._3 == 1)
+            .map { case (id, v, _) => (K.l2(v.toArray, q), id) }
+            .sorted.take(7).map(_._2).toSeq
+          assert(child.select("id").collect().map(_.getLong(0)).toSeq == wantChild)
+        } finally AnnCatalog.unregister(tableDir)
       }
     } finally (0 to 2).foreach(p => AnnCatalog.unregister(s"$tableDir/part=$p"))
   }

@@ -135,24 +135,25 @@ class StreamOpsSpec extends SparkSpec {
   test("postings ingest replay: a re-executed batch id is skipped, not double-counted") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-replay-post").toString
+    val cp = Some("/tmp/graft-replay-cp-1")
     val base = Seq((0L, "cat dog")).toDF("doc_id", "text")
     val ref = new java.util.concurrent.atomic.AtomicReference(
       graft.ops.Search.buildPostings(base, "doc_id", "text", dir, nBuckets = 2))
     val batch = Seq((10L, "whale cat"), (11L, "whale")).toDF("doc_id", "text")
-    StreamOps.applyPostingsBatch(batch, 0L, "doc_id", "text", ref, compactEvery = 0)
+    StreamOps.applyPostingsBatch(batch, 0L, "doc_id", "text", ref, 0, cp)
     assert(ref.get().nDocs == 3)
-    assert(StreamOps.lastAppliedBatch(dir) == 0L)
+    assert(StreamOps.lastAppliedBatch(dir, cp.get) == 0L)
     // the crash-replay case: foreachBatch re-executes batch 0 after a
-    // restart whose checkpoint commit never landed — must be a no-op
-    StreamOps.applyPostingsBatch(batch, 0L, "doc_id", "text", ref, compactEvery = 0)
+    // restart from the SAME checkpoint whose commit never landed — no-op
+    StreamOps.applyPostingsBatch(batch, 0L, "doc_id", "text", ref, 0, cp)
     assert(ref.get().nDocs == 3, "replayed batch must not double-count")
     val scores = ref.get().score(spark, Seq("whale"))
       .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
     // a new batch id still applies
     StreamOps.applyPostingsBatch(
       Seq((12L, "whale dog")).toDF("doc_id", "text"), 1L,
-      "doc_id", "text", ref, compactEvery = 0)
-    assert(ref.get().nDocs == 4 && StreamOps.lastAppliedBatch(dir) == 1L)
+      "doc_id", "text", ref, 0, cp)
+    assert(ref.get().nDocs == 4 && StreamOps.lastAppliedBatch(dir, cp.get) == 1L)
     // and the replayed batch changed no postings: doc scores only moved
     // because of the legitimate batch 1 (df/avgdl shift), set-wise the
     // whale matches are exactly the three expected docs
@@ -160,6 +161,19 @@ class StreamOpsSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSet
     assert(hits == Set(10L, 11L, 12L))
     assert(scores.keySet == Set(10L, 11L))
+    // a FRESH ingest (new checkpoint, batch ids restarting at 0) into
+    // the same index must NOT be skipped against the old watermark —
+    // that would silently drop new data
+    StreamOps.applyPostingsBatch(
+      Seq((13L, "whale")).toDF("doc_id", "text"), 0L,
+      "doc_id", "text", ref, 0, Some("/tmp/graft-replay-cp-2"))
+    assert(ref.get().nDocs == 5, "fresh-checkpoint batch 0 must apply")
+    // ...and with NO durable checkpoint there is no cross-run replay:
+    // every batch applies, nothing is recorded or compared
+    StreamOps.applyPostingsBatch(
+      Seq((14L, "whale")).toDF("doc_id", "text"), 0L,
+      "doc_id", "text", ref, 0, None)
+    assert(ref.get().nDocs == 6, "uncheckpointed batch must always apply")
   }
 
   test("streaming graph ingest: streamed vectors searchable in the live graph") {
