@@ -675,7 +675,11 @@ case class AnnTopKRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     * predicate and adds `id IN (candidates)` — pushed to the Parquet scan
     * — so output is exact as long as candidates are a superset of
     * qualifying rows. Declines past `graft.ann.maxInList` (a huge IN loses
-    * to the exact scan) — the same bound the prefilter escalation uses. */
+    * to the exact scan) — the same bound the prefilter escalation uses.
+    * PARTITIONED tables serve too (one entry per root / per covered
+    * child dir, like the top-k union path): each root's index answers
+    * the sphere over its own rows, the candidate union is exact-superset
+    * for the whole scan. */
   private def serveRange(f: Filter, metric: String, attr: AttributeReference,
                          cv: ArrayData, radius: Double,
                          rel: LogicalRelation): Option[LogicalPlan] =
@@ -684,24 +688,36 @@ case class AnnTopKRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
         case h: HadoopFsRelation => Some(h)
         case _ => None
       }
-      entry <- AnnCatalog.lookup(fsRel.location.rootPaths.map(_.toString))
-      if attr.name == entry.vecCol
+      roots = fsRel.location.rootPaths.map(_.toString)
+      es <- AnnCatalog.lookupAll(roots)
+        .orElse(AnnCatalog.coverByFiles(roots, fsRel.location.inputFiles.toSeq))
+      if es.forall(_.vecCol == attr.name)
+      if es.map(_.idCol).distinct.size == 1
       // IDEMPOTENCE: this rule's own output carries ServedFilterTag;
       // user In conjuncts (`id IN (...)`, `category IN (...)`) do NOT
       // block the serve
       if !isServedPlan(f)
-      idAttr <- f.child.output.find(_.name == entry.idCol)
+      idAttr <- f.child.output.find(_.name == es.head.idCol)
       idLit <- litFor(idAttr)
-      if AnnCatalog.index(spark, entry).meta.cfg.metric == metric
+      if es.forall(e => AnnCatalog.index(spark, e).meta.cfg.metric == metric)
       served <- {
-        val idx = AnnCatalog.index(spark, entry)
         val maxInList = spark.conf.get("graft.ann.maxInList", "8192").toInt
         val eps = spark.conf.get("graft.ann.epsilon", "1.9").toDouble
-        AnnTopKRewrite.planningJobs.incrementAndGet()
-        val ids = idx.rangeCandidateIds(cv.toFloatArray(), radius, eps, maxInList)
-        if (ids.length > maxInList) None
-        else if (ids.isEmpty) Some(LocalRelation(f.output))
+        val union = new java.util.LinkedHashSet[java.lang.Long]()
+        var overflow = false
+        es.foreach { e =>
+          if (!overflow) {
+            AnnTopKRewrite.planningJobs.incrementAndGet()
+            val ids = AnnCatalog.index(spark, e)
+              .rangeCandidateIds(cv.toFloatArray(), radius, eps, maxInList)
+            if (ids.length > maxInList) overflow = true
+            else { ids.foreach(union.add(_)); overflow = union.size > maxInList }
+          }
+        }
+        if (overflow) None
+        else if (union.isEmpty) Some(LocalRelation(f.output))
         else {
+          val ids = union.toArray(Array.empty[java.lang.Long]).map(_.longValue())
           ensureInPushdown(ids.length)
           Some(stamped(Filter(And(f.condition,
             In(idAttr, scala.collection.immutable.ArraySeq.unsafeWrapArray(ids.map(idLit)))),

@@ -626,6 +626,36 @@ class AnnRewriteSpec extends SparkSpec {
     } finally (0 to 2).foreach(p => AnnCatalog.unregister(s"$tableDir/part=$p"))
   }
 
+  test("sphere range filter over a partitioned dir is served by the per-child union") {
+    import spark.implicits._
+    val rng = new scala.util.Random(97)
+    val rows = (0L until 400L).map(i =>
+      (i, Seq.fill(8)(rng.nextFloat() * 2 - 1), (i % 2).toInt))
+    val tableDir = Files.createTempDirectory("graft-ann-rpart").toString
+    rows.toDF("id", "vec", "part")
+      .write.partitionBy("part").mode("overwrite").parquet(tableDir)
+    (0 to 1).foreach { p =>
+      val d = Files.createTempDirectory(s"graft-ann-rpart-idx$p").toString
+      IvfIndex.build(spark.read.parquet(s"$tableDir/part=$p"), "id", "vec",
+        d, IvfConfig(lists = 4))
+      AnnCatalog.register(s"$tableDir/part=$p", d, "id", "vec")
+    }
+    try withRule {
+      val q = Array.fill(8)(0.15f)
+      val radius = 1.2
+      val df = spark.read.parquet(tableDir)
+        .filter(GraftFunctions.sphereL2Contains(col("vec"),
+          typedlit(q.toSeq), lit(radius)))
+      assert(df.queryExecution.optimizedPlan.toString.contains(" IN "),
+        "partitioned range filter not index-served:\n" +
+          df.queryExecution.optimizedPlan)
+      val got = df.select("id").collect().map(_.getLong(0)).toSet
+      val want = rows.filter { case (_, v, _) => K.l2(v.toArray, q) < radius }
+        .map(_._1).toSet
+      assert(got == want)
+    } finally (0 to 1).foreach(p => AnnCatalog.unregister(s"$tableDir/part=$p"))
+  }
+
   test("partial index: serves only queries whose predicate implies its own") {
     import spark.implicits._
     val rng = new scala.util.Random(95)
