@@ -656,6 +656,42 @@ class AnnRewriteSpec extends SparkSpec {
     } finally (0 to 1).foreach(p => AnnCatalog.unregister(s"$tableDir/part=$p"))
   }
 
+  test("partitioned serve declines on a metric-mismatched child index") {
+    import spark.implicits._
+    val rng = new scala.util.Random(99)
+    val rows = (0L until 200L).map(i =>
+      (i, Seq.fill(8)(rng.nextFloat() * 2 - 1), (i % 2).toInt))
+    val tableDir = Files.createTempDirectory("graft-ann-mmix").toString
+    rows.toDF("id", "vec", "part")
+      .write.partitionBy("part").mode("overwrite").parquet(tableDir)
+    // part=0 indexed in l2, part=1 in cosdist: an l2 query cannot be
+    // served by the union (one member answers a different metric)
+    val d0 = Files.createTempDirectory("graft-ann-mmix-idx0").toString
+    val d1 = Files.createTempDirectory("graft-ann-mmix-idx1").toString
+    IvfIndex.build(spark.read.parquet(s"$tableDir/part=0"), "id", "vec",
+      d0, IvfConfig(lists = 4))
+    IvfIndex.build(spark.read.parquet(s"$tableDir/part=1"), "id", "vec",
+      d1, IvfConfig(lists = 4, metric = "cosdist"))
+    AnnCatalog.register(s"$tableDir/part=0", d0, "id", "vec")
+    AnnCatalog.register(s"$tableDir/part=1", d1, "id", "vec")
+    try withRule {
+      withConfs("graft.ann.cost.enable" -> "false") {
+        val q = Array.fill(8)(0.1f)
+        val df = spark.read.parquet(tableDir)
+          .orderBy(GraftFunctions.vecL2(col("vec"), typedlit(q.toSeq)))
+          .limit(5)
+        assert(!df.queryExecution.optimizedPlan.toString.contains(" IN "),
+          "metric-mismatched union must keep the exact plan")
+        val want = rows.map { case (id, v, _) => (K.l2(v.toArray, q), id) }
+          .sorted.take(5).map(_._2).toSeq
+        assert(df.select("id").collect().map(_.getLong(0)).toSeq == want)
+      }
+    } finally {
+      AnnCatalog.unregister(s"$tableDir/part=0")
+      AnnCatalog.unregister(s"$tableDir/part=1")
+    }
+  }
+
   test("partial index: serves only queries whose predicate implies its own") {
     import spark.implicits._
     val rng = new scala.util.Random(95)
@@ -703,6 +739,15 @@ class AnnRewriteSpec extends SparkSpec {
         assert(!nopred.queryExecution.optimizedPlan.toString.contains(" IN "))
         assert(nopred.select("id").collect().map(_.getLong(0)).toSeq ==
           brute(q, _ => true, 5))
+        // conjunct that merely RESEMBLES the index predicate (different
+        // literal type -> analyzer inserts a cast, semantic mismatch):
+        // implication cannot be proven, so the partial must decline —
+        // a wrong serve here would return cat=1's top-k for a cat=1L
+        // double-typed comparison only by luck
+        val typed = base.filter(col("cat") === 1.5)
+          .orderBy(GraftFunctions.vecL2(col("vec"), typedlit(q.toSeq))).limit(5)
+        assert(!typed.queryExecution.optimizedPlan.toString.contains(" IN "),
+          "non-matching literal must not be served by the partial index")
       }
     } finally AnnCatalog.unregisterPartial(tableDir, idxDir)
   }
