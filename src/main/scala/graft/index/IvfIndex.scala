@@ -91,6 +91,24 @@ final case class IvfConfig(
                                   // a column with no non-null vectors
                                   // (tests/general/issue_427.slt indexes
                                   // an all-NULL column without error)
+    buildPasses: Int = 1,         // >1: STAGED build — encode+shuffle+write
+                                  // in this many disjoint cluster-range
+                                  // passes instead of one job. Each pass
+                                  // shuffles only ~n/passes rows and its
+                                  // shuffle scratch is released before the
+                                  // next starts, so peak build scratch is
+                                  // (final index bytes) + (one pass's
+                                  // shuffle) instead of (index) + (full
+                                  // shuffle). The trade: the map side
+                                  // (scan + assignment) reruns per pass —
+                                  // CPU ∝ passes, IO unchanged (every row
+                                  // still shuffles and writes exactly
+                                  // once). Results are byte-identical to a
+                                  // one-pass build: same centroids, same
+                                  // assignment, same per-cluster rows —
+                                  // only the write order differs. This is
+                                  // how a 1B x 96d build fits a disk that
+                                  // a single-shot shuffle would overflow
     storeVectors: Boolean = true) { // false = CODES-ONLY index: no vec
                                   // column is written — the reference's
                                   // small-index economics behind
@@ -133,6 +151,7 @@ final case class IvfConfig(
     require(dim >= 0, s"dim must be >= 0, got $dim")
     require(!assignByTree || eu.nonEmpty,
       "assignByTree needs an internal level (set lists1 or upperLists)")
+    require(buildPasses >= 1, s"buildPasses must be >= 1, got $buildPasses")
   }
 }
 
@@ -188,7 +207,8 @@ object IvfIndex {
   private[index] def encodeRows(df: DataFrame, idCol: String, vecCol: String,
                                 cfg: IvfConfig, centroids: Array[Array[Float]],
                                 origDim: Int,
-                                upper: Option[(Seq[Array[Array[Float]]], Seq[Array[Array[Int]]])] = None): DataFrame = {
+                                upper: Option[(Seq[Array[Array[Float]]], Seq[Array[Array[Int]]])] = None,
+                                clusterRange: Option[(Int, Int)] = None): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     val bc = spark.sparkContext.broadcast(centroids)
@@ -252,22 +272,30 @@ object IvfIndex {
       val code = RaBitQ.quantize(toCode, bits)
       (cid, id, vec, code.meta, code.codes)
     }
+    // staged-build pass restriction: only rows assigned to [lo, hi) survive
+    // the map — the filter runs BEFORE the shuffle, so a pass's shuffle
+    // carries only its range's rows (the whole point of buildPasses)
+    val range = clusterRange
+    @inline def inRange(cid: Int): Boolean =
+      range match { case Some((lo, hi)) => cid >= lo && cid < hi; case None => true }
     if (!cfg.storeVectors)
       // codes-only: the full vector is still computed (quantization input)
       // but never ships past this map — no Half encode, no array column,
       // ~10x fewer written bytes at 768d (the measured 87%-IO build wall)
-      base.map { case (id, v) =>
+      base.flatMap { case (id, v) =>
         val (cid, i, _, m, c) = encodeOne(id, v)
-        (cid, i, m, c)
+        if (inRange(cid)) Some((cid, i, m, c)) else None
       }.toDF("cluster_id", "id", "cmeta", "codes")
     else if (f16)
-      base.map { case (id, v) =>
+      base.flatMap { case (id, v) =>
         val (cid, i, vec, m, c) = encodeOne(id, v)
-        (cid, i, graft.core.Half.encodeBytes(vec), m, c)
+        if (inRange(cid)) Some((cid, i, graft.core.Half.encodeBytes(vec), m, c)) else None
       }.toDF("cluster_id", "id", "vec", "cmeta", "codes")
     else
-      base.map { case (id, v) => encodeOne(id, v) }
-        .toDF("cluster_id", "id", "vec", "cmeta", "codes")
+      base.flatMap { case (id, v) =>
+        val t = encodeOne(id, v)
+        if (inRange(t._1)) Some(t) else None
+      }.toDF("cluster_id", "id", "vec", "cmeta", "codes")
   }
 
   /** Meta is driver-side data measured in kilobytes — written as plain
@@ -315,6 +343,39 @@ object IvfIndex {
     Array.fill(n) { val r = new Array[Float](dim); var j = 0; while (j < dim) { r(j) = bb.getFloat(); j += 1 }; r }
   }
 
+  /** Bytes currently held by this JVM's local-mode shuffle scratch
+    * (blockmgr-* dirs under java.io.tmpdir). Observability for the staged
+    * build and for [[tools.NovecScale]]'s peak-scratch sampler. */
+  private[graft] def shuffleScratchBytes(): Long = {
+    val tmp = new java.io.File(sys.props("java.io.tmpdir"))
+    Option(tmp.listFiles()).getOrElse(Array.empty[java.io.File])
+      .filter(f => f.isDirectory && f.getName.startsWith("blockmgr-"))
+      .map { d =>
+        val root = d.toPath
+        try {
+          val s = Files.walk(root)
+          try s.filter(Files.isRegularFile(_)).mapToLong(p =>
+            try Files.size(p) catch { case _: java.io.IOException => 0L }).sum()
+          finally s.close()
+        } catch { case _: java.io.IOException => 0L }
+      }.sum
+  }
+
+  /** Between staged-build passes: drop the finished pass's shuffle files.
+    * Spark removes shuffle scratch when the ShuffleDependency is GC'd
+    * (ContextCleaner), which in a tight pass loop can lag arbitrarily —
+    * exactly what staging exists to prevent. Force GCs and poll until the
+    * blockmgr footprint drops below 1 GB (or attempts run out; stale files
+    * then still clear on the NEXT pass's GC pressure). */
+  private def releaseShuffleScratch(): Unit = {
+    var attempts = 0
+    while (attempts < 15 && shuffleScratchBytes() > (1L << 30)) {
+      System.gc()
+      Thread.sleep(1000)
+      attempts += 1
+    }
+  }
+
   private def finishBuild(df: DataFrame, idCol: String, vecCol: String, dir: String,
                           cfg: IvfConfig, centroids: Array[Array[Float]],
                           origDim: Int): IvfIndex = {
@@ -325,12 +386,39 @@ object IvfIndex {
     // encode pass needs them when cfg.assignByTree descends
     val (upC, upCh) = buildUpper(centroids, cfg.effectiveUpper, cfg.kmeansIters)
     val t0 = System.nanoTime()
-    encodeRows(df, idCol, vecCol, cfg, centroids, origDim,
-        upper = if (upC.nonEmpty) Some((upC, upCh)) else None)
-      // co-locate each cluster before the partitioned write: one shuffle on
-      // the cluster key -> O(lists) files instead of tasks x lists
-      .repartition(col("cluster_id"))
-      .write.mode("overwrite").partitionBy("cluster_id").parquet(s"$dir/gen-0")
+    val up = if (upC.nonEmpty) Some((upC, upCh)) else None
+    val passes = math.min(math.max(1, cfg.buildPasses), centroids.length)
+    if (passes <= 1)
+      encodeRows(df, idCol, vecCol, cfg, centroids, origDim, upper = up)
+        // co-locate each cluster before the partitioned write: one shuffle on
+        // the cluster key -> O(lists) files instead of tasks x lists
+        .repartition(col("cluster_id"))
+        .write.mode("overwrite").partitionBy("cluster_id").parquet(s"$dir/gen-0")
+    else {
+      // STAGED build (cfg.buildPasses): disjoint cluster-range passes, each
+      // its own shuffle+write job over only its range's rows, shuffle
+      // scratch released between passes. Ranges partition [0, lists), so
+      // every row lands exactly once and the union of passes equals the
+      // one-pass output row-for-row.
+      val per = (centroids.length + passes - 1) / passes
+      var p = 0
+      while (p < passes) {
+        val lo = p * per
+        val hi = math.min(centroids.length, lo + per)
+        if (lo < hi) {
+          val tp = System.nanoTime()
+          encodeRows(df, idCol, vecCol, cfg, centroids, origDim, upper = up,
+              clusterRange = Some((lo, hi)))
+            .repartition(col("cluster_id"))
+            .write.mode(if (p == 0) "overwrite" else "append")
+            .partitionBy("cluster_id").parquet(s"$dir/gen-0")
+          releaseShuffleScratch()
+          if (dbg) System.err.println(
+            s"[build] pass $p clusters [$lo,$hi): ${(System.nanoTime()-tp)/1e9}s")
+        }
+        p += 1
+      }
+    }
     if (dbg) System.err.println(s"[build] encode+write: ${(System.nanoTime()-t0)/1e9}s")
     val t1 = System.nanoTime()
     writeMeta(spark, dir, dim, origDim, cfg, centroids)

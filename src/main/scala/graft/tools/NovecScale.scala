@@ -10,7 +10,14 @@ import org.apache.spark.sql.SparkSession
  *
  *   java -Xmx100g -XX:+UseG1GC \
  *     -cp target/scala-2.13/classes:/opt/spark/jars/'*' \
- *     graft.tools.NovecScale <nRows> <dim> <bits> <src|nosrc>
+ *     graft.tools.NovecScale <nRows> <dim> <bits> <src|nosrc> [lists] [passes]
+ *
+ * passes > 1 stages the build in cluster-range passes
+ * (IvfConfig.buildPasses): peak scratch = index bytes + ONE pass's shuffle
+ * instead of index + the full-table shuffle — the knob that fits a 1B-row
+ * build under this sandbox's ~80 GB free disk. A background sampler
+ * reports the observed peak (blockmgr shuffle dirs + index dir) as
+ * `_novec_peak_disk_gb_*`.
  *
  * Modes:
  *   src    source table also written as parquet (disk-resident regime):
@@ -39,6 +46,7 @@ object NovecScale {
     // lists scales with N (the reference sizes lists ~ sqrt(n) tiers);
     // default 256 preserves the prior anchors' config byte-for-byte
     val lists = if (args.length > 4) args(4).toInt else 256
+    val passes = if (args.length > 5) args(5).toInt else 1
     val lists1 = math.max(16, math.ceil(math.sqrt(lists.toDouble)).toInt)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -72,19 +80,14 @@ object NovecScale {
       } else gen // generator-as-source: deterministic rows, no storage
     val cfg = graft.index.IvfConfig(lists = lists, bits = bits,
       kmeansAlgo = "hierarchical", kmeansDim = 16, lists1 = lists1,
-      samplingFactor = 128, storeVectors = false, assignByTree = true)
+      samplingFactor = 128, storeVectors = false, assignByTree = true,
+      buildPasses = passes)
     var idx: graft.index.IvfIndex = null
     // SPARK_GRAFT_NOVEC_REUSE=1: reload a previously built index instead
     // of rebuilding — re-measures the query side only (the build anchor
     // comes from the original run)
     val reuse = sys.env.get("SPARK_GRAFT_NOVEC_REUSE").contains("1") &&
       new java.io.File(s"$dir/CURRENT").exists()
-    if (reuse) {
-      say(s"reusing index at $dir (build untimed)")
-      idx = graft.index.IvfIndex.load(spark, dir)
-    } else timed(s"_novec_build_$tag") {
-      idx = graft.index.IvfIndex.build(df, "id", "vec", dir, cfg)
-    }
     // index bytes on disk — THE economics of the codes-only mode
     def du(p: String): Long = {
       val root = java.nio.file.Paths.get(p)
@@ -92,9 +95,36 @@ object NovecScale {
       else {
         val s = java.nio.file.Files.walk(root)
         try s.filter(java.nio.file.Files.isRegularFile(_))
-          .mapToLong(java.nio.file.Files.size(_)).sum()
+          .mapToLong(q => try java.nio.file.Files.size(q)
+            catch { case _: java.io.IOException => 0L })
+          .sum()
         finally s.close()
       }
+    }
+    if (reuse) {
+      say(s"reusing index at $dir (build untimed)")
+      idx = graft.index.IvfIndex.load(spark, dir)
+    } else {
+      // peak transient disk demand during the build: shuffle scratch
+      // (blockmgr dirs) + the accumulating index — what the staged build
+      // exists to bound (single-shot 1B demanded ~94 GB vs 79 GB free)
+      @volatile var sampling = true
+      @volatile var peak = 0L
+      val sampler = new Thread(() => {
+        while (sampling) {
+          val now = graft.index.IvfIndex.shuffleScratchBytes() + du(dir)
+          if (now > peak) peak = now
+          Thread.sleep(3000)
+        }
+      }, "novec-disk-sampler")
+      sampler.setDaemon(true)
+      sampler.start()
+      timed(s"_novec_build_$tag") {
+        idx = graft.index.IvfIndex.build(df, "id", "vec", dir, cfg)
+      }
+      sampling = false
+      say(f"peak build disk (shuffle + index) = ${peak / 1e9}%.2f GB (passes=$passes)")
+      out += (s"_novec_peak_disk_gb_$tag" -> peak / 1e9)
     }
     val bytes = du(dir)
     say(f"index bytes = ${bytes / 1e9}%.2f GB (${bytes.toDouble / n}%.0f B/row)")
