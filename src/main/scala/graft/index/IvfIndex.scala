@@ -175,6 +175,13 @@ final case class IvfMeta(dim: Int, origDim: Int, cfg: IvfConfig,
 
 object IvfIndex {
 
+  /** Largest IN value list pushed to parquet as the exact set. Past this,
+    * parquet's left-deep or-chain visitor recursion overflows the task
+    * stack (measured on this JVM: 1024 values ok, 2048 SOE), so
+    * ensureInPushdown stops raising the threshold and the scan falls back
+    * to min/max-range push + the exact Catalyst filter. */
+  val inPushdownCap = 1000
+
   /** Count of [[IvfIndex.rangeSearch]] calls that delegated to the
     * distributed candidate-join shape (survivors exceeded `maxInList`) —
     * observability for specs and ops, like `AnnTopKRewrite.planningJobs`. */
@@ -233,6 +240,14 @@ object IvfIndex {
     // superlinear past ~10M rows (measured 30M f32 build: 235s boxed)
     val base = df.filter(col(vecCol).isNotNull && col(idCol).isNotNull)
       .select(col(idCol).cast("long"), col(vecCol)).as[(Long, Array[Float])]
+    // staged-build pass restriction: rows assigned outside [lo, hi) exit
+    // BEFORE quantization (the range check sits right after assignment),
+    // so an out-of-range row costs only vector prep + tree assignment —
+    // and nothing ships into the pass's shuffle
+    val range = clusterRange
+    @inline def inRange(cid: Int): Boolean =
+      range match { case Some((lo, hi)) => cid >= lo && cid < hi; case None => true }
+    /** null = assigned outside this pass's cluster range (skip row). */
     def encodeOne(id: Long, v: Array[Float]): (Int, Long, Array[Float], Array[Float], Array[Byte]) = {
       val raw = v
       val pre = if (sph) K.normalize(raw) else raw
@@ -261,41 +276,36 @@ object IvfIndex {
           else KMeans.nearestAmong(vec, cs, leafKids)
         case None => KMeans.nearest(vec, cs)
       }
-      val toCode =
-        if (residual) {
-          val c = cs(cid)
-          val r = new Array[Float](vec.length)
-          var j = 0
-          while (j < vec.length) { r(j) = vec(j) - c(j); j += 1 }
-          r
-        } else vec
-      val code = RaBitQ.quantize(toCode, bits)
-      (cid, id, vec, code.meta, code.codes)
+      if (!inRange(cid)) null
+      else {
+        val toCode =
+          if (residual) {
+            val c = cs(cid)
+            val r = new Array[Float](vec.length)
+            var j = 0
+            while (j < vec.length) { r(j) = vec(j) - c(j); j += 1 }
+            r
+          } else vec
+        val code = RaBitQ.quantize(toCode, bits)
+        (cid, id, vec, code.meta, code.codes)
+      }
     }
-    // staged-build pass restriction: only rows assigned to [lo, hi) survive
-    // the map — the filter runs BEFORE the shuffle, so a pass's shuffle
-    // carries only its range's rows (the whole point of buildPasses)
-    val range = clusterRange
-    @inline def inRange(cid: Int): Boolean =
-      range match { case Some((lo, hi)) => cid >= lo && cid < hi; case None => true }
     if (!cfg.storeVectors)
       // codes-only: the full vector is still computed (quantization input)
       // but never ships past this map — no Half encode, no array column,
       // ~10x fewer written bytes at 768d (the measured 87%-IO build wall)
       base.flatMap { case (id, v) =>
-        val (cid, i, _, m, c) = encodeOne(id, v)
-        if (inRange(cid)) Some((cid, i, m, c)) else None
+        Option(encodeOne(id, v)).map { case (cid, i, _, m, c) => (cid, i, m, c) }
       }.toDF("cluster_id", "id", "cmeta", "codes")
     else if (f16)
       base.flatMap { case (id, v) =>
-        val (cid, i, vec, m, c) = encodeOne(id, v)
-        if (inRange(cid)) Some((cid, i, graft.core.Half.encodeBytes(vec), m, c)) else None
+        Option(encodeOne(id, v)).map { case (cid, i, vec, m, c) =>
+          (cid, i, graft.core.Half.encodeBytes(vec), m, c)
+        }
       }.toDF("cluster_id", "id", "vec", "cmeta", "codes")
     else
-      base.flatMap { case (id, v) =>
-        val t = encodeOne(id, v)
-        if (inRange(t._1)) Some(t) else None
-      }.toDF("cluster_id", "id", "vec", "cmeta", "codes")
+      base.flatMap { case (id, v) => Option(encodeOne(id, v)) }
+        .toDF("cluster_id", "id", "vec", "cmeta", "codes")
   }
 
   /** Meta is driver-side data measured in kilobytes — written as plain
@@ -718,13 +728,21 @@ final class IvfIndex(val spark: SparkSession, val dir: String, val meta: IvfMeta
     * pushdown-form knob) keeps the exact set pushed, so Parquet
     * row-group stats and page column indexes prune the fetch to the
     * touched pages. Session-level set: the returned DataFrames plan
-    * lazily at action time, so the conf must outlive this call. */
+    * lazily at action time, so the conf must outlive this call.
+    *
+    * Capped at [[IvfIndex.inPushdownCap]]: parquet evaluates the pushed
+    * value set as a left-deep or-chain whose recursive visitor OVERFLOWS
+    * THE TASK STACK past ~1-2k values (measured on this JVM: 1024 ok,
+    * 2048 StackOverflowError) — a big candidate list then keeps the
+    * min/max range push plus the exact Catalyst filter instead of
+    * crashing the scan. */
   private def ensureInPushdown(n: Int): Unit = {
     val key = "spark.sql.parquet.pushdown.inFilterThreshold"
     val cur =
       try spark.conf.get(key).toInt
       catch { case scala.util.control.NonFatal(_) => 10 }
-    if (cur < n) spark.conf.set(key, n.toString)
+    val want = math.min(n, IvfIndex.inPushdownCap)
+    if (cur < want) spark.conf.set(key, want.toString)
   }
   import spark.implicits._
 
@@ -1083,29 +1101,21 @@ final class IvfIndex(val spark: SparkSession, val dir: String, val meta: IvfMeta
       .map(_._2)
   }
 
-  /**
-   * ANN top-k. `probes` = clusters scanned; `epsilon` scales the code
-   * error bound (reference default 1.9, src/index/gucs.rs:66); `refine` =
-   * candidate multiplier for the exact rerank (refine*k candidates).
-   * Output: (id, dist) ascending, deterministic (dist, id) ties.
-   */
-  def search(q: Array[Float], k: Int, probes: Int = 4, epsilon: Double = 1.9,
-             refine: Int = 8,
-             rerankTable: Option[(DataFrame, String, String)] = None,
-             probes1: Int = -1): DataFrame = {
-    requireRerankSource(rerankTable)
-    graft.eval.QueryRecorder.record(dir, q)
-    val qq = prepQuery(q)
-    val probed = probe(q, probes, probes1)
-    val data = dataDf.filter(col("cluster_id").isin(probed.map(Integer.valueOf): _*))
+  /** Estimate-phase frame for a prepped query over the given probed
+    * cells: LAZY (id, cluster_id, lb) rows, lb = epsilon-scaled code
+    * lower bound in metric order. Codes only — the vec column is pruned
+    * from this scan (and served from the codes cache when prewarmCodes()
+    * ran). Shared by [[search]] (which collects the top-nCand) and
+    * [[estimateCandidates]] (which returns the frame for callers that
+    * union MANY indexes' candidates into one job). */
+  private def estFrame(qq: Array[Float], probed: Array[Int],
+                       epsilon: Double): DataFrame = {
     val perCluster = clusterPrep(qq, probed)
     val bpc = spark.sparkContext.broadcast(perCluster)
     val bits = meta.cfg.bits
     val dim = meta.dim
     val isL2 = meta.cfg.metric == "l2"
-    // estimate phase: codes only — vec column is pruned from this scan
-    // (and served from the codes cache when prewarmCodes() ran)
-    val est = codesDf.filter(col("cluster_id").isin(probed.map(Integer.valueOf): _*))
+    codesDf.filter(col("cluster_id").isin(probed.map(Integer.valueOf): _*))
       .as[(Int, Long, Array[Float], Array[Byte])]
       .mapPartitions { it =>
         val pc = bpc.value
@@ -1127,8 +1137,41 @@ final class IvfIndex(val spark: SparkSession, val dir: String, val meta: IvfMeta
           (id, cid, lb)
         }
       }.toDF("id", "cluster_id", "lb")
+  }
+
+  /** Lazy top-`nCand` estimate candidates (id column only) — [[search]]'s
+    * estimate stage WITHOUT the collect. The partitioned-table planner
+    * ([[graft.plans.AnnTopKRewrite]] serveMulti) unions one of these per
+    * per-root index and collects ONCE, so planning cost stays one Spark
+    * job however many children a date-partitioned corpus has; exactness
+    * then comes from the rewritten plan's own Sort+Limit over the
+    * IN-restricted scan (the same rerank the reference does in-table). */
+  def estimateCandidates(q: Array[Float], nCand: Int, probes: Int = 4,
+                         epsilon: Double = 1.9, probes1: Int = -1): DataFrame = {
+    graft.eval.QueryRecorder.record(dir, q)
+    val qq = prepQuery(q)
+    val probed = probe(q, probes, probes1)
+    estFrame(qq, probed, epsilon).orderBy($"lb", $"id")
+      .limit(math.max(nCand, 1)).select($"id")
+  }
+
+  /**
+   * ANN top-k. `probes` = clusters scanned; `epsilon` scales the code
+   * error bound (reference default 1.9, src/index/gucs.rs:66); `refine` =
+   * candidate multiplier for the exact rerank (refine*k candidates).
+   * Output: (id, dist) ascending, deterministic (dist, id) ties.
+   */
+  def search(q: Array[Float], k: Int, probes: Int = 4, epsilon: Double = 1.9,
+             refine: Int = 8,
+             rerankTable: Option[(DataFrame, String, String)] = None,
+             probes1: Int = -1): DataFrame = {
+    requireRerankSource(rerankTable)
+    graft.eval.QueryRecorder.record(dir, q)
+    val qq = prepQuery(q)
+    val probed = probe(q, probes, probes1)
+    val data = dataDf.filter(col("cluster_id").isin(probed.map(Integer.valueOf): _*))
     val nCand = math.max(k * refine, k)
-    val cand = est.orderBy($"lb", $"id").limit(nCand)
+    val cand = estFrame(qq, probed, epsilon).orderBy($"lb", $"id").limit(nCand)
       .select($"id").as[Long].collect()
     ensureInPushdown(cand.length)
     rerankTable match {

@@ -983,4 +983,58 @@ class AnnRewriteSpec extends SparkSpec {
       }
     } finally AnnCatalog.unregister(tableDir)
   }
+
+  test("partitioned serve planning stays ONE job at 8 roots (scale-safe " +
+       "planner: unioned estimate frames, memoized cover decisions)") {
+    import spark.implicits._
+    val rng = new scala.util.Random(181)
+    val nParts = 8
+    val rows = (0L until 1600L).map(i =>
+      (i, Seq.fill(8)(rng.nextFloat() * 2 - 1), (i % nParts).toInt))
+    val tableDir = Files.createTempDirectory("graft-ann-8part").toString
+    rows.toDF("id", "vec", "part")
+      .write.partitionBy("part").mode("overwrite").parquet(tableDir)
+    (0 until nParts).foreach { p =>
+      val d = Files.createTempDirectory(s"graft-ann-8part-idx$p").toString
+      IvfIndex.build(spark.read.parquet(s"$tableDir/part=$p"), "id", "vec",
+        d, IvfConfig(lists = 4))
+      AnnCatalog.register(s"$tableDir/part=$p", d, "id", "vec")
+    }
+    try withRule {
+      withConfs("graft.ann.probes" -> "4", "graft.ann.refine" -> "50",
+          "graft.ann.cost.enable" -> "false") {
+        val q = Array.fill(8)(0.15f)
+        def serve(): Seq[Long] = {
+          // one Dataset end-to-end: a .select() after planning would spawn
+          // a second QueryExecution and double-count planning jobs
+          val df = spark.read.parquet(tableDir)
+            .orderBy(GraftFunctions.vecL2(col("vec"), typedlit(q.toSeq)))
+            .limit(9).select("id")
+          assert(df.queryExecution.optimizedPlan.toString.contains(" IN "),
+            "8-root whole-table read not index-served")
+          df.collect().map(_.getLong(0)).toSeq
+        }
+        // planning cost must be FLAT in root count: exactly one planning
+        // job for the 8-root serve (the old shape paid one per root)
+        val jobs0 = AnnTopKRewrite.planningJobs.get()
+        val got = serve()
+        assert(AnnTopKRewrite.planningJobs.get() == jobs0 + 1,
+          s"expected ONE planning job for 8 roots, got " +
+            s"${AnnTopKRewrite.planningJobs.get() - jobs0}")
+        val want = rows.map { case (id, v, _) => (K.l2(v.toArray, q), id) }
+          .sorted.take(9).map(_._2).toSeq
+        assert(got == want)
+        // replan the same table: cover decisions come from the memo (same
+        // serve, same answer) — and a catalog mutation invalidates it
+        assert(serve() == want)
+        AnnCatalog.unregister(s"$tableDir/part=3")
+        val df3 = spark.read.parquet(tableDir)
+          .orderBy(GraftFunctions.vecL2(col("vec"), typedlit(q.toSeq)))
+          .limit(9)
+        assert(!df3.queryExecution.optimizedPlan.toString.contains(" IN "),
+          "stale cover memo served after unregister — part=3 rows at risk")
+      }
+    } finally (0 until nParts).foreach(p =>
+      AnnCatalog.unregister(s"$tableDir/part=$p"))
+  }
 }
