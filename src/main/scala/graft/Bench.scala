@@ -84,6 +84,30 @@ object Bench {
         }
         (System.nanoTime() - t0) / 1e9
       }
+    // CONTENTION SENTINEL: fixed CPU+shuffle work (independent of sf and
+    // of the query set) timed immediately before and after the timed
+    // section. Its ratio to the committed quiet-box reference
+    // (sentinelRef, overridable via SPARK_GRAFT_SENTINEL_REF) stamps how
+    // contended THIS capture was: ~1.0 = clean box; well above that, the
+    // per-query numbers carry box noise and regressions/improvements
+    // should be discounted by the ratio before adjudication (round 10's
+    // _scale_corpstats200k moved 3.3x on byte-identical code — exactly
+    // the variance this key exists to expose). One untimed run first
+    // absorbs the probe's own codegen/JIT.
+    def sentinel(): Double = {
+      import org.apache.spark.sql.functions._
+      val t0 = System.nanoTime()
+      spark.range(16000000L)
+        .select(xxhash64(col("id")).as("h"))
+        .groupBy(pmod(col("h"), lit(1024)).as("b"))
+        .agg(count(lit(1)).as("n"), sum(col("h")).as("s"))
+        .agg(sum(col("n")), sum(col("s"))).collect()
+      (System.nanoTime() - t0) / 1e9
+    }
+    val sentinelRef =
+      sys.env.getOrElse("SPARK_GRAFT_SENTINEL_REF", "0.55").toDouble
+    try sentinel() catch { case NonFatal(_) => } // untimed JIT absorb
+    val sentinelPre = try sentinel() catch { case NonFatal(_) => -1.0 }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() }
@@ -94,8 +118,14 @@ object Bench {
     // force — demonstrates the index path's advantage growing with N
     // (partition pruning + code-only estimate scan).
     val scale = graft.tools.ScaleProbe.run(spark)
+    val sentinelPost = try sentinel() catch { case NonFatal(_) => -1.0 }
+    val sentinelRatio =
+      if (sentinelPre <= 0 || sentinelPost <= 0) -1.0
+      else math.max(sentinelPre, sentinelPost) / sentinelRef
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    val aggs = Seq("_index_builds" -> buildSec, "_warm_pass" -> warmPassSec)
+    val aggs = Seq("_index_builds" -> buildSec, "_warm_pass" -> warmPassSec,
+      "_sentinel_pre" -> sentinelPre, "_sentinel_post" -> sentinelPost,
+      "_sentinel_ratio" -> sentinelRatio)
     def jline(entries: Seq[(String, Double)], fmt: Double => String): String = {
       val qs = entries.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
         .mkString("{", ",", "}")

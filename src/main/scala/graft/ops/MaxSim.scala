@@ -265,6 +265,42 @@ object MaxSim {
     } finally { retrieved.unpersist(); () }
   }
 
+  /** Cap on the pushed rescore range count — few enough that parquet's
+    * per-row-group Or evaluation stays cheap and nowhere near its
+    * recursion limit, enough that scattered candidate docs still prune
+    * to their own row groups. */
+  private[ops] val maxRescoreRanges = 64
+
+  /** Coalesce sorted candidate docs into ≤ [[maxRescoreRanges]] packed-key
+    * spans. Adjacent docs merge EXACTLY (doc d's span ends one key before
+    * doc d+1's). Past the cap, the widest inter-range gaps survive as
+    * separators (1-D clustering) and everything between merges — the
+    * widened spans may admit foreign docs' keys into the SCAN, which the
+    * caller's membership filter removes before scoring. */
+  private[ops] def coalesceDocRanges(docs: Seq[Long],
+                                     maxRanges: Int = maxRescoreRanges): Seq[(Long, Long)] = {
+    val s = docs.distinct.sorted
+    val merged = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    s.foreach { d =>
+      if (merged.nonEmpty && d == merged.last._2 + 1)
+        merged(merged.size - 1) = (merged.last._1, d)
+      else merged += ((d, d))
+    }
+    if (merged.length <= maxRanges) merged.toSeq
+    else {
+      val seps = (1 until merged.length)
+        .map(i => (merged(i)._1 - merged(i - 1)._2, i))
+        .sortBy(-_._1).take(maxRanges - 1).map(_._2).sorted
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+      var start = 0
+      (seps :+ merged.length).foreach { sep =>
+        out += ((merged(start)._1, merged(sep - 1)._2))
+        start = sep
+      }
+      out.toSeq
+    }
+  }
+
   /** Exact MaxSim for `docs` from the index's own stored token vectors
     * (the reference's refine fetches tuples from the index the same way). */
   private def exactRescore(idx: graft.index.IvfIndex, query: Array[Array[Float]],
@@ -279,15 +315,22 @@ object MaxSim {
       if (idx.meta.cfg.rotate) Some(new graft.core.Rotation(idx.meta.origDim)) else None
     val q = query.map(t => rot.map(_.apply(t)).getOrElse(t))
     val f16 = idx.meta.cfg.storage == "f16"
-    // per-doc RANGE predicates on the raw packed key — unlike a filter on
+    // RANGE predicates on the raw packed key — unlike a filter on
     // shiftright(id, 16), these push down to Parquet row-group stats (the
     // position payload occupies the low 16 bits, so a doc's tokens are
-    // exactly the keys in [doc<<16, doc<<16 | 0xFFFF])
-    val docPred = docs.map { d =>
-      col("id").between(d << 16, (d << 16) | 0xffffL)
+    // exactly the keys in [doc<<16, doc<<16 | 0xFFFF]). The per-DOC
+    // formulation produced an O(docs)-deep Or chain (400 clauses in the
+    // bench plans; parquet evaluates O(clauses) per row group and its
+    // recursive visitor overflows the stack past ~1-2k): the sorted docs
+    // COALESCE into at most [[maxRescoreRanges]] spans instead, and the
+    // cheap exact membership filter keeps semantics identical however
+    // wide the capped spans get.
+    val uniq = docs.distinct
+    val docPred = coalesceDocRanges(uniq).map { case (a, b) =>
+      col("id").between(a << 16, (b << 16) | 0xffffL)
     }.reduce(_ || _)
     val rows = idx.dataDf
-      .filter(docPred)
+      .filter(docPred && shiftright(col("id"), 16).isInCollection(uniq))
       .withColumn("doc", shiftright(col("id"), 16))
     val tokens =
       if (f16) {

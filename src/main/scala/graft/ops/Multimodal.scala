@@ -455,6 +455,71 @@ object Multimodal {
   }
 
   /**
+   * External-binary [[FrameDecoder]] for containers the JDK cannot parse —
+   * H.264/H.265 in MP4/MKV/WebM foremost: each blob round-trips through an
+   * `ffmpeg` CLI subprocess (`-f image2pipe -vcodec mjpeg`), whose stdout
+   * is a raw MJPEG stream the existing [[mjpegFrames]] splitter turns into
+   * per-frame JPEGs. No native library enters the engine: the dependency
+   * is a PATH binary, probed once per JVM ([[FfmpegDecoder.available]]).
+   *
+   * LOUD on an absent binary: [[frames]] throws IllegalStateException
+   * rather than yielding zero frames — [[sampleFrames]] treats
+   * zero-frame blobs as a filter, and a missing decoder silently
+   * filtering out an entire corpus is the exact failure mode this
+   * refuses. Garbage BLOBS still yield zero frames (ffmpeg exits nonzero
+   * with empty output), per the pipeline-wide decoder contract.
+   *
+   * `maxDecodedFrames` bounds the subprocess output (`-frames:v`) — pass
+   * everyN*maxFrames from the [[sampleFrames]] call site so a long video
+   * decodes only the prefix the sampler can ever emit; `fps` > 0
+   * re-samples the stream by wall-clock rate instead (`-vf fps=`),
+   * giving time-uniform frames independent of the container's frame
+   * rate. Blobs land in a task-local temp file first: MP4s with a
+   * trailing moov atom are not stdin-streamable.
+   */
+  final case class FfmpegDecoder(maxDecodedFrames: Int = 256,
+                                 fps: Double = 0.0) extends FrameDecoder {
+    require(maxDecodedFrames >= 1,
+      s"maxDecodedFrames must be >= 1, got $maxDecodedFrames")
+    override def name: String = "ffmpeg"
+    override def frames(blob: Array[Byte]): Iterator[(Int, Array[Byte])] = {
+      if (!FfmpegDecoder.available)
+        throw new IllegalStateException(
+          "ffmpeg not found on PATH — FfmpegDecoder cannot run. Install " +
+          "ffmpeg on every executor (it is probed as a CLI binary), or use " +
+          "MjpegDecoder / a custom FrameDecoder for this corpus.")
+      if (blob == null || blob.isEmpty) return Iterator.empty
+      val tmp = java.nio.file.Files.createTempFile("graft-ffmpeg", ".bin")
+      try {
+        java.nio.file.Files.write(tmp, blob)
+        val cmd = Seq("ffmpeg", "-v", "error", "-i", tmp.toString) ++
+          (if (fps > 0) Seq("-vf", f"fps=$fps%.4f") else Nil) ++
+          Seq("-frames:v", maxDecodedFrames.toString,
+            "-f", "image2pipe", "-vcodec", "mjpeg", "-q:v", "2", "pipe:1")
+        val pb = new ProcessBuilder(cmd: _*)
+        pb.redirectError(ProcessBuilder.Redirect.DISCARD)
+        val p = pb.start()
+        p.getOutputStream.close()
+        val out = p.getInputStream.readAllBytes()
+        p.waitFor()
+        // nonzero exit on garbage input leaves `out` empty -> zero frames
+        mjpegFrames(out).iterator.zipWithIndex.map { case (b, k) => (k, b) }
+      } finally { java.nio.file.Files.deleteIfExists(tmp); () }
+    }
+  }
+
+  object FfmpegDecoder {
+    /** One PATH probe per JVM (executors probe independently). */
+    lazy val available: Boolean =
+      try {
+        val p = new ProcessBuilder("ffmpeg", "-version")
+          .redirectErrorStream(true).start()
+        p.getInputStream.readAllBytes()
+        p.waitFor() == 0
+      } catch { case _: java.io.IOException => false }
+  }
+
+  /**
    * Frame sampling for video blobs: emits (id, frame_no, frame_blob) for
    * every `everyN`-th DECODED frame up to `maxFrames`, with `frame_no`
    * the decoder's stream position. The default [[MjpegDecoder]] is fully

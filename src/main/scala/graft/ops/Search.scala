@@ -216,17 +216,45 @@ object Search {
      * append).
      */
     def append(docs: DataFrame, idCol: String, textCol: String): PostingsIndex = {
+      val updated = stageAppend(docs, idCol, textCol)
+      require(Search.healStage(dir), s"postings append commit failed: $dir")
+      updated
+    }
+
+    /** First half of [[append]] — stages the batch and writes the COMMIT
+      * marker but does NOT promote. On return the on-disk state equals a
+      * crash immediately after the commit point; package-private as the
+      * crash-injection test seam (PostingsCrashSpec). */
+    private[ops] def stageAppend(docs: DataFrame, idCol: String,
+                                 textCol: String): PostingsIndex = {
       val spark = docs.sparkSession
-      ensureNorms(spark)
+      // finish (or discard) an interrupted previous append first; a healed
+      // COMMIT changed the on-disk meta, so re-derive the running counts
+      val cur =
+        if (Search.healStage(dir)) Search.loadPostings(dir) else this
+      cur.ensureNorms(spark)
       val t = toks(col(textCol))
       val head = docs.agg(
         count(lit(1)).as("n"),
         coalesce(sum(size(t)), lit(0L)).cast("long").as("ntok")).head()
       val (dn, dtok) = (head.getLong(0), head.getLong(1))
-      writePostings(docs, idCol, textCol, dir, nBuckets, append = true)
-      writeNorms(docs, idCol, textCol, dir, append = true)
-      val updated = PostingsIndex(dir, nDocs + dn, nTokens + dtok, nBuckets)
-      Search.writeMeta(updated)
+      // STAGED COMMIT (the vector tiers' generation-pointer pattern): the
+      // batch lands under stage/ first, then an atomically-renamed COMMIT
+      // marker carries the updated counts, and only then do the staged
+      // files promote into the live dirs + meta. A crash BEFORE the
+      // marker discards the stage (the batch never logically landed —
+      // rerunning the append cannot double-count); a crash AFTER it is
+      // finished idempotently by the next heal (file moves are unique
+      // part names, meta rewrite carries absolute counts). The promote +
+      // meta + cleanup ARE [[Search.healStage]] — the recovery path runs
+      // on every append, so it cannot rot.
+      Search.writePostings(docs, idCol, textCol, s"$dir/stage/postings",
+        cur.nBuckets, append = false)
+      Search.writeNorms(docs, idCol, textCol, s"$dir/stage/norms",
+        append = false)
+      val updated =
+        PostingsIndex(dir, cur.nDocs + dn, cur.nTokens + dtok, cur.nBuckets)
+      Search.writeCommitMarker(updated)
       updated
     }
 
@@ -239,14 +267,20 @@ object Search {
      */
     def remove(ids: DataFrame, idCol: String): PostingsIndex = {
       val spark = ids.sparkSession
-      ensureNorms(spark)
+      // a committed-but-unpromoted append stage must land BEFORE the
+      // rewrite reads the live dirs (else its files would promote into
+      // the rewritten index later and double-count)
+      val cur =
+        if (Search.healStage(dir)) Search.loadPostings(dir) else this
+      cur.ensureNorms(spark)
       val drop = ids.select(col(idCol).cast("long").as("__drop_id"))
-      val gone = readNorms(spark)
+      val gone = cur.readNorms(spark)
         .join(drop, col("doc_id") === col("__drop_id"), "left_semi")
         .agg(count(lit(1)).as("n"),
           coalesce(sum(col("dl")), lit(0L)).cast("long").as("ntok")).head()
       val (dn, dtok) = (gone.getLong(0), gone.getLong(1))
-      rewrite(spark, drop, PostingsIndex(dir, nDocs - dn, nTokens - dtok, nBuckets))
+      cur.rewrite(spark, drop,
+        PostingsIndex(dir, cur.nDocs - dn, cur.nTokens - dtok, cur.nBuckets))
     }
 
     /**
@@ -256,9 +290,11 @@ object Search {
      * bucket partition, results unchanged.
      */
     def compact(spark: org.apache.spark.sql.SparkSession): PostingsIndex = {
-      ensureNorms(spark)
-      rewrite(spark, spark.emptyDataFrame
-        .withColumn("__drop_id", lit(0L)).limit(0), this)
+      val cur =
+        if (Search.healStage(dir)) Search.loadPostings(dir) else this
+      cur.ensureNorms(spark)
+      cur.rewrite(spark, spark.emptyDataFrame
+        .withColumn("__drop_id", lit(0L)).limit(0), cur)
     }
 
     /** Pre-norms-era indexes (built before the sidecar existed) get
@@ -434,20 +470,21 @@ object Search {
       count(lit(1)).as("n"),
       coalesce(sum(size(t)), lit(0L)).cast("long").as("ntok")).head()
     val (n, ntok) = (head.getLong(0), head.getLong(1))
-    writePostings(docs, idCol, textCol, dir, nBuckets, append = false)
-    writeNorms(docs, idCol, textCol, dir, append = false)
+    writePostings(docs, idCol, textCol, s"$dir/postings", nBuckets, append = false)
+    writeNorms(docs, idCol, textCol, s"$dir/norms", append = false)
     val idx = PostingsIndex(dir, n, ntok, nBuckets)
     writeMeta(idx)
     idx
   }
 
-  /** The per-doc length sidecar shared by build and append. */
+  /** The per-doc length sidecar shared by build and append. `target` is
+    * the norms directory itself (live for build, stage/ for append). */
   private def writeNorms(docs: DataFrame, idCol: String, textCol: String,
-                         dir: String, append: Boolean): Unit =
+                         target: String, append: Boolean): Unit =
     docs.select(col(idCol).cast("long").as("doc_id"),
         size(toks(col(textCol))).as("dl"))
       .write.mode(if (append) "append" else "overwrite")
-      .parquet(s"$dir/norms")
+      .parquet(target)
 
   /** The postings write shared by build and append: one codegen tf pass
     * per doc (`TokenTfAllExpr` — the explode+groupBy formulation shuffles
@@ -463,7 +500,7 @@ object Search {
     * satisfies the writer's partition-column ordering requirement, so
     * no second sort is inserted. */
   private def writePostings(docs: DataFrame, idCol: String, textCol: String,
-                            dir: String, nBuckets: Int,
+                            target: String, nBuckets: Int,
                             append: Boolean): Unit = {
     val t = toks(col(textCol))
     val tfAll = org.apache.spark.sql.graft.ColumnBridge.column(
@@ -477,19 +514,15 @@ object Search {
       .repartition(col("bucket"))
       .sortWithinPartitions(col("bucket"), col("term"))
       .write.mode(if (append) "append" else "overwrite")
-      .partitionBy("bucket").parquet(s"$dir/postings")
+      .partitionBy("bucket").parquet(target)
   }
 
   /** Atomic meta commit: write to a tmp file, then rename over the live
     * one — a crash mid-write can never leave a truncated/corrupt
     * meta.properties (the data dirs already get full swap/heal
-    * treatment in `rewrite`). The remaining [[PostingsIndex.append]]
-    * crash window is data-before-meta: a crash AFTER the postings/norms
-    * appends but BEFORE this commit leaves meta undercounting the
-    * landed batch — rerunning the append double-counts; see
-    * [[graft.streaming.StreamOps.postingsIngest]]'s batch-id guard for
-    * the streaming treatment, and rebuild or restore-and-replay for a
-    * batch crash (single-writer maintenance assumed, like `rewrite`). */
+    * treatment in `rewrite`; [[PostingsIndex.append]] stages each batch
+    * behind a COMMIT marker so there is no data-before-meta window —
+    * see [[healStage]]). */
   private def writeMeta(idx: PostingsIndex): Unit = {
     val p = new java.util.Properties()
     p.setProperty("nDocs", idx.nDocs.toString)
@@ -504,8 +537,80 @@ object Search {
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)
   }
 
+  /** The in-flight append's COMMIT marker: updated ABSOLUTE counts,
+    * written tmp-then-atomic-rename so its existence is all-or-nothing.
+    * Existence = the batch is logically committed (heal finishes the
+    * promote); absence with a stage/ dir = the batch never landed (heal
+    * discards it). */
+  private def writeCommitMarker(idx: PostingsIndex): Unit = {
+    val p = new java.util.Properties()
+    p.setProperty("nDocs", idx.nDocs.toString)
+    p.setProperty("nTokens", idx.nTokens.toString)
+    p.setProperty("nBuckets", idx.nBuckets.toString)
+    val tmp = java.nio.file.Paths.get(idx.dir, "stage", "COMMIT.tmp")
+    val w = java.nio.file.Files.newBufferedWriter(tmp)
+    try p.store(w, "graft postings append commit") finally w.close()
+    java.nio.file.Files.move(tmp,
+      java.nio.file.Paths.get(idx.dir, "stage", "COMMIT"),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  /** Resolve an append's stage/ dir, in either direction. With a COMMIT
+    * marker: promote every staged part file into the live postings/norms
+    * dirs (moves are idempotent — unique part names, already-moved files
+    * are simply absent from the stage), rewrite meta from the marker's
+    * absolute counts, clear the stage; returns true. Without one: the
+    * append never logically committed — discard the stage so a rerun
+    * cannot double-count; returns false. No stage dir: returns false.
+    * Runs at the head of every append/load/rewrite AND as the commit step
+    * of every successful append, so the recovery path is exercised
+    * constantly rather than only after crashes. */
+  private[ops] def healStage(dir: String): Boolean = {
+    import java.nio.file.{Files, Paths, Path}
+    val stage = Paths.get(dir, "stage")
+    if (!Files.exists(stage)) return false
+    val commit = stage.resolve("COMMIT")
+    if (!Files.exists(commit)) { deleteTreeAt(stage); return false }
+    def promote(sub: String): Unit = {
+      val from = stage.resolve(sub)
+      if (!Files.exists(from)) return
+      // walk stage/<sub>/** and move each part file to the same relative
+      // spot under the live dir (bucket=N subdirs created as needed)
+      val s = Files.walk(from)
+      try {
+        s.filter(Files.isRegularFile(_)).forEach { f: Path =>
+          val name = f.getFileName.toString
+          if (name.startsWith("part-")) {
+            val rel = from.relativize(f)
+            val dest = Paths.get(dir, sub).resolve(rel)
+            Files.createDirectories(dest.getParent)
+            Files.move(f, dest,
+              java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+          }
+        }
+      } finally s.close()
+    }
+    promote("postings")
+    promote("norms")
+    val p = new java.util.Properties()
+    val r = Files.newBufferedReader(commit)
+    try p.load(r) finally r.close()
+    writeMeta(PostingsIndex(dir, p.getProperty("nDocs").toLong,
+      p.getProperty("nTokens").toLong, p.getProperty("nBuckets").toInt))
+    deleteTreeAt(stage)
+    true
+  }
+
+  private def deleteTreeAt(p: java.nio.file.Path): Unit =
+    if (java.nio.file.Files.exists(p)) {
+      java.nio.file.Files.walk(p)
+        .sorted(java.util.Comparator.reverseOrder())
+        .forEach(f => { java.nio.file.Files.delete(f); () })
+    }
+
   /** Load a postings index built by [[buildPostings]]. */
   def loadPostings(dir: String): PostingsIndex = {
+    healStage(dir) // finish or discard an interrupted append first
     val p = new java.util.Properties()
     val r = java.nio.file.Files.newBufferedReader(
       java.nio.file.Paths.get(dir, "meta.properties"))

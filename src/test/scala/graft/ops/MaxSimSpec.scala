@@ -195,4 +195,48 @@ class MaxSimSpec extends SparkSpec {
       .sorted.take(18).map(_._2)
     assert(got == want) // golden exact ordering, multivector.slt-style
   }
+
+  test("coalesceDocRanges: exact adjacency merge, widest-gap separators " +
+       "under the cap, every doc covered") {
+    // adjacent docs merge exactly — no cap pressure
+    assert(MaxSim.coalesceDocRanges(Seq(5L, 6L, 7L, 20L, 21L, 40L)) ==
+      Seq((5L, 7L), (20L, 21L), (40L, 40L)))
+    // order/dup insensitive
+    assert(MaxSim.coalesceDocRanges(Seq(7L, 5L, 6L, 7L)) == Seq((5L, 7L)))
+    // past the cap: the widest gaps survive as separators
+    val r = MaxSim.coalesceDocRanges(Seq(1L, 2L, 100L, 200L, 5000L), maxRanges = 2)
+    assert(r == Seq((1L, 200L), (5000L, 5000L)), r.toString)
+    // 500 scattered docs, cap 64: ≤ 64 spans, every doc inside some span
+    val docs500 = (0 until 500).map(i => (i * 7919L) % 1000000L)
+    val spans = MaxSim.coalesceDocRanges(docs500)
+    assert(spans.length <= MaxSim.maxRescoreRanges)
+    assert(docs500.forall(d => spans.exists(s => d >= s._1 && d <= s._2)),
+      "doc escaped every span")
+    // spans are sorted + disjoint (well-formed pushdown predicate)
+    assert(spans == spans.sortBy(_._1))
+    assert(spans.sliding(2).forall {
+      case Seq((_, b), (c, _)) => c > b
+      case _ => true
+    })
+  }
+
+  test("refine over MANY scattered candidate docs (past the range cap) " +
+       "stays exact — the membership filter removes foreign docs the " +
+       "widened spans admit") {
+    import spark.implicits._
+    val tokens = docs.flatMap { case (id, toks) =>
+      toks.zipWithIndex.map { case (t, p) => (id, p, t.toSeq) }
+    }.toDF("doc", "pos", "v")
+    val dir = java.nio.file.Files.createTempDirectory("graft-maxsim-cap").toString
+    val idx = MaxSim.buildTokenIndex(tokens, "doc", "pos", "v", dir,
+      graft.index.IvfConfig(metric = "negdot", lists = 8, residual = false))
+    // refineDocs = 150 over 200 docs: far past maxRescoreRanges once
+    // coalesced candidates scatter; exactness must be unchanged
+    val refined = MaxSim.approxTopK(idx, query, 10,
+        kPerToken = 200, probes = 8, refine = 32, refineDocs = 150)
+      .as[(Long, Double)].collect().toSeq
+    val exactPairs = docs.map { case (id, toks) => (K.maxsim(toks, query), id) }
+      .sorted.take(10).map { case (s, id) => (id, s) }
+    assert(refined == exactPairs, s"refined=$refined exact=$exactPairs")
+  }
 }

@@ -247,4 +247,58 @@ class MultimodalSpec extends SparkSpec {
     val top = Knn.topK(feats, "id", "features", q, 1).select("id").as[Long].head()
     assert(top == 0L) // self is its own nearest neighbor
   }
+
+  test("FfmpegDecoder absent from PATH: LOUD failure, not a silent " +
+       "zero-frame filter (a missing decoder must never empty a corpus)") {
+    assume(!Multimodal.FfmpegDecoder.available,
+      "ffmpeg IS installed here — the absent-binary path cannot be driven")
+    val e = intercept[IllegalStateException] {
+      Multimodal.FfmpegDecoder().frames(Multimodal.syntheticMjpeg(1L))
+    }
+    assert(e.getMessage.contains("ffmpeg"), e.getMessage)
+    // and through the Spark path: the task must FAIL, not return 0 rows
+    import spark.implicits._
+    val df = Seq((1L, Multimodal.syntheticMjpeg(1L))).toDF("id", "blob")
+    val thrown = intercept[Throwable] {
+      Multimodal.sampleFrames(df, "id", "blob", everyN = 1,
+        decoder = Multimodal.FfmpegDecoder()).count()
+    }
+    def chain(t: Throwable): Seq[Throwable] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(10).toSeq
+    assert(chain(thrown).exists(_.getMessage != null) &&
+      chain(thrown).exists(c =>
+        Option(c.getMessage).exists(_.contains("ffmpeg"))),
+      s"expected the ffmpeg error to surface, got: $thrown")
+  }
+
+  test("FfmpegDecoder config validation is decoder-local (no binary needed)") {
+    val e = intercept[IllegalArgumentException](
+      Multimodal.FfmpegDecoder(maxDecodedFrames = 0))
+    assert(e.getMessage.contains("maxDecodedFrames"))
+  }
+
+  test("mm_frames_mp4 golden: ffmpeg-synthesized H.264 MP4 decodes to " +
+       "sampled JPEG frames with real pixel stats [gated on ffmpeg]") {
+    assume(Multimodal.FfmpegDecoder.available,
+      "ffmpeg not on PATH — golden runs only where the binary exists")
+    import spark.implicits._
+    import scala.sys.process._
+    // synthesize a 16-frame H.264 MP4 test pattern with ffmpeg itself
+    val mp4 = java.nio.file.Files.createTempFile("graft-mm", ".mp4")
+    val rc = Seq("ffmpeg", "-y", "-v", "error", "-f", "lavfi", "-i",
+      "testsrc=duration=2:size=64x48:rate=8", "-pix_fmt", "yuv420p",
+      mp4.toString).!
+    assert(rc == 0, s"ffmpeg synthesis failed rc=$rc")
+    val blob = java.nio.file.Files.readAllBytes(mp4)
+    val df = Seq((7L, blob)).toDF("id", "blob")
+    val frames = Multimodal.sampleFrames(df, "id", "blob", everyN = 4,
+      maxFrames = 3, decoder = Multimodal.FfmpegDecoder(maxDecodedFrames = 16))
+    val got = frames.collect()
+    assert(got.length == 3, s"expected 3 sampled frames, got ${got.length}")
+    // each emitted frame is a real JPEG the imageStats path can decode
+    val stats = Multimodal.imageStats(frames, "id", "frame_blob")
+      .select("width", "height").as[(Int, Int)].collect()
+    assert(stats.forall(_ == ((64, 48))), stats.mkString(","))
+    java.nio.file.Files.deleteIfExists(mp4)
+  }
 }

@@ -752,6 +752,98 @@ class AnnRewriteSpec extends SparkSpec {
     } finally AnnCatalog.unregisterPartial(tableDir, idxDir)
   }
 
+  test("partial index RANGE implication (predicate_implied_by subset): " +
+       "x > 6 and x = 7 and BETWEEN narrowing serve a 'x > 5' index; " +
+       "weaker or unprovable predicates decline") {
+    import spark.implicits._
+    val rng = new scala.util.Random(97)
+    val rows = (0L until 500L).map(i =>
+      (i, Seq.fill(8)(rng.nextFloat() * 2 - 1), (i % 10).toInt))
+    val tableDir = Files.createTempDirectory("graft-ann-pimpl").toString
+    rows.toDF("id", "vec", "x").write.mode("overwrite").parquet(tableDir)
+    // the date-scoped-index shape: CREATE INDEX ... WHERE (x > 5)
+    val idxDir = Files.createTempDirectory("graft-ann-pimpl-idx").toString
+    IvfIndex.build(spark.read.parquet(tableDir).filter(col("x") > 5),
+      "id", "vec", idxDir, IvfConfig(lists = 4))
+    AnnCatalog.registerPartial(tableDir, idxDir, "id", "vec", "x > 5")
+    def brute(q: Array[Float], pred: Int => Boolean, k: Int) =
+      rows.filter(r => pred(r._3)).map { case (id, v, _) => (K.l2(v.toArray, q), id) }
+        .sorted.take(k).map(_._2).toSeq
+    try withRule {
+      withConfs("graft.ann.probes" -> "4", "graft.ann.refine" -> "50",
+          "graft.ann.cost.enable" -> "false") {
+        val q = Array.fill(8)(0.2f)
+        def base = spark.read.parquet(tableDir)
+        def dist = GraftFunctions.vecL2(col("vec"), typedlit(q.toSeq))
+        def check(df: org.apache.spark.sql.DataFrame, serve: Boolean,
+                  pred: Int => Boolean, tag: String): Unit = {
+          val plan = df.queryExecution.optimizedPlan.toString
+          assert(plan.contains(" IN ") == serve,
+            s"$tag: expected serve=$serve\n$plan")
+          assert(df.select("id").collect().map(_.getLong(0)).toSeq ==
+            brute(q, pred, 5), s"$tag: wrong rows")
+        }
+        // SERVE: strictly narrower predicates (index rows ⊇ query rows;
+        // the stronger conjunct stays in the plan as a prefilter)
+        check(base.filter(col("x") > 6).orderBy(dist).limit(5),
+          serve = true, _ > 6, "x > 6 ⇒ x > 5")
+        check(base.filter(col("x") === 7).orderBy(dist).limit(5),
+          serve = true, _ == 7, "x = 7 ⇒ x > 5")
+        check(base.filter(col("x") >= 6).orderBy(dist).limit(5),
+          serve = true, _ >= 6, "x >= 6 ⇒ x > 5")
+        check(base.filter(col("x").between(6, 8)).orderBy(dist).limit(5),
+          serve = true, v => v >= 6 && v <= 8, "BETWEEN 6 AND 8 ⇒ x > 5")
+        // DECLINE: weaker or incomparable predicates (query rows the
+        // index never saw could be the true top-k)
+        check(base.filter(col("x") > 4).orderBy(dist).limit(5),
+          serve = false, _ > 4, "x > 4 does NOT imply x > 5")
+        check(base.filter(col("x") >= 5).orderBy(dist).limit(5),
+          serve = false, _ >= 5, "x >= 5 does NOT imply x > 5")
+        check(base.filter(col("x") === 3).orderBy(dist).limit(5),
+          serve = false, _ == 3, "x = 3 does NOT imply x > 5")
+        check(base.filter(col("x") < 9).orderBy(dist).limit(5),
+          serve = false, _ < 9, "x < 9 does NOT imply x > 5")
+      }
+    } finally AnnCatalog.unregisterPartial(tableDir, idxDir)
+  }
+
+  test("partial index UPPER-BOUND implication: x <= 3 serves a 'x < 5' " +
+       "index; equality on the boundary declines") {
+    import spark.implicits._
+    val rng = new scala.util.Random(99)
+    val rows = (0L until 400L).map(i =>
+      (i, Seq.fill(8)(rng.nextFloat() * 2 - 1), (i % 10).toInt))
+    val tableDir = Files.createTempDirectory("graft-ann-pimpl-ub").toString
+    rows.toDF("id", "vec", "x").write.mode("overwrite").parquet(tableDir)
+    val idxDir = Files.createTempDirectory("graft-ann-pimpl-ub-idx").toString
+    IvfIndex.build(spark.read.parquet(tableDir).filter(col("x") < 5),
+      "id", "vec", idxDir, IvfConfig(lists = 4))
+    AnnCatalog.registerPartial(tableDir, idxDir, "id", "vec", "x < 5")
+    def brute(q: Array[Float], pred: Int => Boolean, k: Int) =
+      rows.filter(r => pred(r._3)).map { case (id, v, _) => (K.l2(v.toArray, q), id) }
+        .sorted.take(k).map(_._2).toSeq
+    try withRule {
+      withConfs("graft.ann.probes" -> "4", "graft.ann.refine" -> "50",
+          "graft.ann.cost.enable" -> "false") {
+        val q = Array.fill(8)(-0.1f)
+        def base = spark.read.parquet(tableDir)
+        def dist = GraftFunctions.vecL2(col("vec"), typedlit(q.toSeq))
+        val s1 = base.filter(col("x") <= 3).orderBy(dist).limit(5)
+        assert(s1.queryExecution.optimizedPlan.toString.contains(" IN "),
+          "x <= 3 must serve the x < 5 partial index")
+        assert(s1.select("id").collect().map(_.getLong(0)).toSeq ==
+          brute(q, _ <= 3, 5))
+        // x = 5 fails x < 5 outright; x <= 5 admits the boundary row the
+        // index never indexed
+        val d1 = base.filter(col("x") <= 5).orderBy(dist).limit(5)
+        assert(!d1.queryExecution.optimizedPlan.toString.contains(" IN "),
+          "x <= 5 must NOT serve the x < 5 partial index")
+        assert(d1.select("id").collect().map(_.getLong(0)).toSeq ==
+          brute(q, _ <= 5, 5))
+      }
+    } finally AnnCatalog.unregisterPartial(tableDir, idxDir)
+  }
+
   test("sphere serve survives an unrelated IN conjunct; provenance is the tag, not id-IN") {
     import spark.implicits._
     val rng = new scala.util.Random(41)
