@@ -1337,7 +1337,15 @@ final class IvfIndex(val spark: SparkSession, val dir: String, val meta: IvfMeta
     * overflow without materializing an unbounded driver set. */
   private[graft] def rangeCandidateIds(center: Array[Float], radius: Double,
                                        epsilon: Double, cap: Int): Array[Long] =
-    rangeCandidateDf(center, radius, epsilon).limit(cap + 1).collect()
+    rangeCandidateFrame(center, radius, epsilon, cap).collect()
+
+  /** LAZY capped range-candidate frame — [[rangeCandidateIds]] without the
+    * collect, for callers that union MANY per-root indexes' candidates
+    * into one planning job (AnnTopKRewrite.serveRange over a partitioned
+    * table). cap+1 rows lets the caller detect overflow. */
+  private[graft] def rangeCandidateFrame(center: Array[Float], radius: Double,
+                                         epsilon: Double, cap: Int): Dataset[Long] =
+    rangeCandidateDf(center, radius, epsilon).limit(cap + 1)
 
   /**
    * Sphere range query SERVED BY THE INDEX — reference opclass strategy 2

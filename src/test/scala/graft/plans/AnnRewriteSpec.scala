@@ -1119,6 +1119,22 @@ class AnnRewriteSpec extends SparkSpec {
         // replan the same table: cover decisions come from the memo (same
         // serve, same answer) — and a catalog mutation invalidates it
         assert(serve() == want)
+        // the partitioned RANGE serve must also plan in ONE job
+        val radius = 0.9
+        val rdf = spark.read.parquet(tableDir)
+          .filter(GraftFunctions.vecL2(col("vec"), typedlit(q.toSeq)) < radius)
+          .select("id")
+        val rj0 = AnnTopKRewrite.planningJobs.get()
+        assert(rdf.queryExecution.optimizedPlan.toString.contains(" IN "),
+          "8-root range filter not index-served")
+        assert(AnnTopKRewrite.planningJobs.get() == rj0 + 1,
+          s"expected ONE planning job for the 8-root range serve, got " +
+            s"${AnnTopKRewrite.planningJobs.get() - rj0}")
+        val rGot = rdf.collect().map(_.getLong(0)).toSet
+        val rWant = rows.collect {
+          case (id, v, _) if K.l2(v.toArray, q) < radius => id
+        }.toSet
+        assert(rGot == rWant)
         AnnCatalog.unregister(s"$tableDir/part=3")
         val df3 = spark.read.parquet(tableDir)
           .orderBy(GraftFunctions.vecL2(col("vec"), typedlit(q.toSeq)))
