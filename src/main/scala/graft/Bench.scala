@@ -97,15 +97,19 @@ object Bench {
     def sentinel(): Double = {
       import org.apache.spark.sql.functions._
       val t0 = System.nanoTime()
+      // h is bounded (mod) before summing: a raw sum of 16M xxhash64
+      // longs overflows under ANSI arithmetic and kills the probe
       spark.range(16000000L)
-        .select(xxhash64(col("id")).as("h"))
+        .select((xxhash64(col("id")) % 1000000007L).as("h"))
         .groupBy(pmod(col("h"), lit(1024)).as("b"))
         .agg(count(lit(1)).as("n"), sum(col("h")).as("s"))
         .agg(sum(col("n")), sum(col("s"))).collect()
       (System.nanoTime() - t0) / 1e9
     }
+    // committed quiet-box reference: measured 0.44-0.60 s across repeats
+    // on this box with nothing else running (2026-08-15 calibration)
     val sentinelRef =
-      sys.env.getOrElse("SPARK_GRAFT_SENTINEL_REF", "0.55").toDouble
+      sys.env.getOrElse("SPARK_GRAFT_SENTINEL_REF", "0.50").toDouble
     try sentinel() catch { case NonFatal(_) => } // untimed JIT absorb
     val sentinelPre = try sentinel() catch { case NonFatal(_) => -1.0 }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
