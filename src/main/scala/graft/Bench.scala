@@ -107,9 +107,11 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
     // committed quiet-box reference: measured 0.44-0.60 s across repeats
-    // on this box with nothing else running (2026-08-15 calibration)
+    // on this box with nothing else running (2026-08-15 calibration);
+    // malformed overrides fall back rather than killing the whole bench
     val sentinelRef =
-      sys.env.getOrElse("SPARK_GRAFT_SENTINEL_REF", "0.50").toDouble
+      scala.util.Try(sys.env("SPARK_GRAFT_SENTINEL_REF").toDouble)
+        .toOption.filter(_ > 0).getOrElse(0.50)
     try sentinel() catch { case NonFatal(_) => } // untimed JIT absorb
     val sentinelPre = try sentinel() catch { case NonFatal(_) => -1.0 }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>

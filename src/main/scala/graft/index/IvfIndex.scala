@@ -375,11 +375,14 @@ object IvfIndex {
     * Spark removes shuffle scratch when the ShuffleDependency is GC'd
     * (ContextCleaner), which in a tight pass loop can lag arbitrarily —
     * exactly what staging exists to prevent. Force GCs and poll until the
-    * blockmgr footprint drops below 1 GB (or attempts run out; stale files
-    * then still clear on the NEXT pass's GC pressure). */
-  private def releaseShuffleScratch(): Unit = {
+    * blockmgr footprint drops within 1 GB of `baseline` — the footprint
+    * measured before this build's passes began, so scratch owned by OTHER
+    * JVMs sharing the tmpdir never traps the loop in futile full GCs —
+    * or attempts run out (stale files then still clear on the next pass's
+    * GC pressure). */
+  private def releaseShuffleScratch(baseline: Long): Unit = {
     var attempts = 0
-    while (attempts < 15 && shuffleScratchBytes() > (1L << 30)) {
+    while (attempts < 15 && shuffleScratchBytes() > baseline + (1L << 30)) {
       System.gc()
       Thread.sleep(1000)
       attempts += 1
@@ -398,12 +401,19 @@ object IvfIndex {
     val t0 = System.nanoTime()
     val up = if (upC.nonEmpty) Some((upC, upCh)) else None
     val passes = math.min(math.max(1, cfg.buildPasses), centroids.length)
+    // partitionOverwriteMode pinned STATIC on every build write: under a
+    // session-level dynamic mode, "overwrite" would only replace the
+    // partitions present in THIS job's output — a rebuild into an
+    // existing dir would interleave stale clusters from the previous
+    // generation (and the staged path's later append passes would append
+    // next to them)
     if (passes <= 1)
       encodeRows(df, idCol, vecCol, cfg, centroids, origDim, upper = up)
         // co-locate each cluster before the partitioned write: one shuffle on
         // the cluster key -> O(lists) files instead of tasks x lists
         .repartition(col("cluster_id"))
-        .write.mode("overwrite").partitionBy("cluster_id").parquet(s"$dir/gen-0")
+        .write.mode("overwrite").option("partitionOverwriteMode", "static")
+        .partitionBy("cluster_id").parquet(s"$dir/gen-0")
     else {
       // STAGED build (cfg.buildPasses): disjoint cluster-range passes, each
       // its own shuffle+write job over only its range's rows, shuffle
@@ -411,6 +421,11 @@ object IvfIndex {
       // every row lands exactly once and the union of passes equals the
       // one-pass output row-for-row.
       val per = (centroids.length + passes - 1) / passes
+      // baseline AFTER the k-means/sample phase: foreign JVMs sharing
+      // java.io.tmpdir (or a crashed run's leftovers) contribute scratch
+      // this JVM can never release — the release loop targets growth
+      // above this run's own starting footprint, not an absolute floor
+      val scratch0 = shuffleScratchBytes()
       var p = 0
       while (p < passes) {
         val lo = p * per
@@ -421,8 +436,9 @@ object IvfIndex {
               clusterRange = Some((lo, hi)))
             .repartition(col("cluster_id"))
             .write.mode(if (p == 0) "overwrite" else "append")
+            .option("partitionOverwriteMode", "static")
             .partitionBy("cluster_id").parquet(s"$dir/gen-0")
-          releaseShuffleScratch()
+          releaseShuffleScratch(scratch0)
           if (dbg) System.err.println(
             s"[build] pass $p clusters [$lo,$hi): ${(System.nanoTime()-tp)/1e9}s")
         }
@@ -1139,20 +1155,23 @@ final class IvfIndex(val spark: SparkSession, val dir: String, val meta: IvfMeta
       }.toDF("id", "cluster_id", "lb")
   }
 
-  /** Lazy top-`nCand` estimate candidates (id column only) — [[search]]'s
+  /** Lazy top-`nCand` estimate candidates `(id, lb)` — [[search]]'s
     * estimate stage WITHOUT the collect. The partitioned-table planner
     * ([[graft.plans.AnnTopKRewrite]] serveMulti) unions one of these per
     * per-root index and collects ONCE, so planning cost stays one Spark
     * job however many children a date-partitioned corpus has; exactness
     * then comes from the rewritten plan's own Sort+Limit over the
-    * IN-restricted scan (the same rerank the reference does in-table). */
+    * IN-restricted scan (the same rerank the reference does in-table).
+    * `lb` rides along so callers over many roots can budget a bounded
+    * global candidate set by estimate order instead of truncating each
+    * root blindly. */
   def estimateCandidates(q: Array[Float], nCand: Int, probes: Int = 4,
                          epsilon: Double = 1.9, probes1: Int = -1): DataFrame = {
     graft.eval.QueryRecorder.record(dir, q)
     val qq = prepQuery(q)
     val probed = probe(q, probes, probes1)
     estFrame(qq, probed, epsilon).orderBy($"lb", $"id")
-      .limit(math.max(nCand, 1)).select($"id")
+      .limit(math.max(nCand, 1)).select($"id", $"lb")
   }
 
   /**

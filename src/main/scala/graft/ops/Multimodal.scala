@@ -492,18 +492,28 @@ object Multimodal {
       val tmp = java.nio.file.Files.createTempFile("graft-ffmpeg", ".bin")
       try {
         java.nio.file.Files.write(tmp, blob)
+        // Locale.ROOT: the default locale can render 7.5 as "7,5", and a
+        // comma is the ffmpeg filtergraph separator — the filter would
+        // fail and silently zero-frame the whole corpus
+        val fpsArg = String.format(java.util.Locale.ROOT, "fps=%.4f",
+          java.lang.Double.valueOf(fps))
         val cmd = Seq("ffmpeg", "-v", "error", "-i", tmp.toString) ++
-          (if (fps > 0) Seq("-vf", f"fps=$fps%.4f") else Nil) ++
+          (if (fps > 0) Seq("-vf", fpsArg) else Nil) ++
           Seq("-frames:v", maxDecodedFrames.toString,
             "-f", "image2pipe", "-vcodec", "mjpeg", "-q:v", "2", "pipe:1")
         val pb = new ProcessBuilder(cmd: _*)
         pb.redirectError(ProcessBuilder.Redirect.DISCARD)
         val p = pb.start()
-        p.getOutputStream.close()
-        val out = p.getInputStream.readAllBytes()
-        p.waitFor()
-        // nonzero exit on garbage input leaves `out` empty -> zero frames
-        mjpegFrames(out).iterator.zipWithIndex.map { case (b, k) => (k, b) }
+        // destroy on EVERY exit path: an interrupted/failed read would
+        // otherwise leave a live child blocked on its full stdout pipe —
+        // retried tasks would accumulate zombie decoders per executor
+        try {
+          p.getOutputStream.close()
+          val out = p.getInputStream.readAllBytes()
+          p.waitFor()
+          // nonzero exit on garbage input leaves `out` empty -> zero frames
+          mjpegFrames(out).iterator.zipWithIndex.map { case (b, k) => (k, b) }
+        } finally { p.destroyForcibly(); () }
       } finally { java.nio.file.Files.deleteIfExists(tmp); () }
     }
   }

@@ -559,18 +559,29 @@ object Search {
     * marker: promote every staged part file into the live postings/norms
     * dirs (moves are idempotent — unique part names, already-moved files
     * are simply absent from the stage), rewrite meta from the marker's
-    * absolute counts, clear the stage; returns true. Without one: the
-    * append never logically committed — discard the stage so a rerun
-    * cannot double-count; returns false. No stage dir: returns false.
-    * Runs at the head of every append/load/rewrite AND as the commit step
-    * of every successful append, so the recovery path is exercised
-    * constantly rather than only after crashes. */
-  private[ops] def healStage(dir: String): Boolean = {
+    * absolute counts, clear the stage; returns true. Without one, and
+    * `discardUncommitted`: the append never logically committed — discard
+    * the stage so a rerun cannot double-count; returns false. No stage
+    * dir: returns false. Runs at the head of every append/rewrite AND as
+    * the commit step of every successful append, so the recovery path is
+    * exercised constantly rather than only after crashes.
+    *
+    * `discardUncommitted = false` is the READ-path mode (loadPostings):
+    * a reader cannot tell a crashed append's leftovers from one that is
+    * IN FLIGHT right now, and deleting a live writer's stage would
+    * corrupt its commit — so loads promote committed stages but leave
+    * uncommitted ones for the next WRITE operation (whose single-writer
+    * contract makes the discard safe) to resolve. */
+  private[ops] def healStage(dir: String,
+                             discardUncommitted: Boolean = true): Boolean = {
     import java.nio.file.{Files, Paths, Path}
     val stage = Paths.get(dir, "stage")
     if (!Files.exists(stage)) return false
     val commit = stage.resolve("COMMIT")
-    if (!Files.exists(commit)) { deleteTreeAt(stage); return false }
+    if (!Files.exists(commit)) {
+      if (discardUncommitted) deleteTreeAt(stage)
+      return false
+    }
     def promote(sub: String): Unit = {
       val from = stage.resolve(sub)
       if (!Files.exists(from)) return
@@ -610,7 +621,9 @@ object Search {
 
   /** Load a postings index built by [[buildPostings]]. */
   def loadPostings(dir: String): PostingsIndex = {
-    healStage(dir) // finish or discard an interrupted append first
+    // finish an interrupted COMMITTED append; leave an uncommitted stage
+    // alone — it may be a live writer's in-flight batch (read-path mode)
+    healStage(dir, discardUncommitted = false)
     val p = new java.util.Properties()
     val r = java.nio.file.Files.newBufferedReader(
       java.nio.file.Paths.get(dir, "meta.properties"))

@@ -358,4 +358,35 @@ class IvfIndexSpec extends SparkSpec {
       assert(batch(qid) == single)
     }
   }
+
+  test("candidate pools past the parquet IN-pushdown cap (1000) do not " +
+       "crash the scan and stay exact") {
+    // regression: parquet evaluates a pushed IN value set as a left-deep
+    // or-chain whose recursive visitor overflows the task stack past
+    // ~1-2k values (measured in-session: 1024 ok, 2048 SOE). A refine
+    // pool bigger than the cap must fall back to min/max-range push +
+    // the exact Catalyst filter, not crash.
+    import spark.implicits._
+    val bigRows = {
+      val rng = new scala.util.Random(7)
+      (0L until 2500L).map(i => i -> Seq.fill(12)(rng.nextFloat() * 2 - 1))
+    }
+    val df = bigRows.toDF("id", "vec")
+    val idx = IvfIndex.build(df, "id", "vec", freshDir(), IvfConfig(lists = 4))
+    val q = Array.fill(12)(0.15f)
+    // k*refine = 2400 candidate ids — above inPushdownCap, below the
+    // table size; rerank-in-index AND rerank-in-table both exercise the
+    // capped isin fetch
+    val want = bigRows.map { case (id, v) => (K.l2(v.toArray, q), id) }
+      .sorted.take(12).map(_._2)
+    val got = idx.search(q, 12, probes = 4, refine = 200)
+      .select("id").as[Long].collect().toSeq
+    assert(got == want, "rerank-in-index over a >cap pool")
+    val gotRt = idx.search(q, 12, probes = 4, refine = 200,
+        rerankTable = Some((df, "id", "vec")))
+      .select("id").as[Long].collect().toSeq
+    assert(gotRt == want, "rerank-in-table over a >cap pool")
+    assert(IvfIndex.inPushdownCap <= 1024,
+      "cap must stay below the measured parquet or-chain SOE point")
+  }
 }

@@ -58,8 +58,9 @@ class PostingsCrashSpec extends SparkSpec {
     assert(scores(Search.loadPostings(dir)) == want)
   }
 
-  test("crash BEFORE the commit marker: the batch never landed — heal " +
-       "discards the stage and a rerun appends exactly once") {
+  test("crash BEFORE the commit marker: the batch never landed — a LOAD " +
+       "leaves the stage alone (it could be a live writer's), the rerun " +
+       "APPEND discards it and lands exactly once") {
     val dir = freshDir()
     val idx = Search.buildPostings(batch1, "doc_id", "text", dir, nBuckets = 4)
     // manufacture a mid-write crash: staged parquet present, NO marker
@@ -67,10 +68,16 @@ class PostingsCrashSpec extends SparkSpec {
       .parquet(s"$dir/stage/postings")
     val reloaded = Search.loadPostings(dir)
     assert(reloaded.nDocs == 3, "uncommitted stage must not change counts")
-    assert(!Files.exists(Paths.get(dir, "stage")), "uncommitted stage kept")
-    // the caller reruns the append — lands exactly once
+    // read path must NOT delete the stage — a concurrent reader cannot
+    // distinguish crash leftovers from an in-flight append, and deleting
+    // a live writer's stage would corrupt its commit
+    assert(Files.exists(Paths.get(dir, "stage")),
+      "read path destroyed an uncommitted stage")
+    // the caller reruns the append (single-writer) — the write path
+    // discards the dead stage and lands the batch exactly once
     val after = reloaded.append(batch2, "doc_id", "text")
     assert(after.nDocs == 5)
+    assert(!Files.exists(Paths.get(dir, "stage")), "stage not cleaned")
     assert(scores(after) == want, "rerun after discard broke score parity")
   }
 
