@@ -1145,4 +1145,57 @@ class AnnRewriteSpec extends SparkSpec {
     } finally (0 until nParts).foreach(p =>
       AnnCatalog.unregister(s"$tableDir/part=$p"))
   }
+
+  test("partitioned serve candidate budget: over maxInList the pool keeps " +
+       "every root's top-k floor and fills globally by lb; under the " +
+       "k-floor it declines") {
+    import spark.implicits._
+    val rng = new scala.util.Random(83)
+    val nParts = 6
+    val rows = (0L until 1200L).map(i =>
+      (i, Seq.fill(8)(rng.nextFloat() * 2 - 1), (i % nParts).toInt))
+    val tableDir = Files.createTempDirectory("graft-ann-budget").toString
+    rows.toDF("id", "vec", "part")
+      .write.partitionBy("part").mode("overwrite").parquet(tableDir)
+    (0 until nParts).foreach { p =>
+      val d = Files.createTempDirectory(s"graft-ann-budget-idx$p").toString
+      IvfIndex.build(spark.read.parquet(s"$tableDir/part=$p"), "id", "vec",
+        d, IvfConfig(lists = 4))
+      AnnCatalog.register(s"$tableDir/part=$p", d, "id", "vec")
+    }
+    try withRule {
+      val q = Array.fill(8)(0.1f)
+      def plan(k: Int) = spark.read.parquet(tableDir)
+        .orderBy(GraftFunctions.vecL2(col("vec"), typedlit(q.toSeq)))
+        .limit(k).select("id")
+      // budgeted regime: pools (6 roots x k*refine = 6*250 rows capped by
+      // root size 200) far exceed maxInList=60; floor = 6 roots x k=5 =
+      // 30 <= 60, so it SERVES with a bounded IN and stays one job
+      withConfs("graft.ann.probes" -> "4", "graft.ann.refine" -> "50",
+          "graft.ann.cost.enable" -> "false", "graft.ann.maxInList" -> "60") {
+        val df = plan(5)
+        val jobs0 = AnnTopKRewrite.planningJobs.get()
+        val planStr = df.queryExecution.optimizedPlan.toString
+        assert(planStr.contains(" IN "), s"budgeted serve declined\n$planStr")
+        assert(AnnTopKRewrite.planningJobs.get() == jobs0 + 1, "not one job")
+        // the IN list respects the budget: count literals in the plan
+        val inList = planStr.split(" IN \\(")(1).split("\\)")(0)
+        assert(inList.split(",").length <= 60,
+          s"IN list exceeds maxInList: ${inList.split(",").length}")
+        assert(df.collect().length == 5)
+      }
+      // below the k-floor (6 roots x k=20 = 120 > 60): decline to exact
+      withConfs("graft.ann.probes" -> "4", "graft.ann.refine" -> "50",
+          "graft.ann.cost.enable" -> "false", "graft.ann.maxInList" -> "60") {
+        val df = plan(20)
+        assert(!df.queryExecution.optimizedPlan.toString.contains(" IN "),
+          "must decline when even the per-root k floor overflows maxInList")
+        val got = df.collect().map(_.getLong(0)).toSeq
+        val want = rows.map { case (id, v, _) => (K.l2(v.toArray, q), id) }
+          .sorted.take(20).map(_._2).toSeq
+        assert(got == want)
+      }
+    } finally (0 until nParts).foreach(p =>
+      AnnCatalog.unregister(s"$tableDir/part=$p"))
+  }
 }
