@@ -497,19 +497,20 @@ case class AnnTopKRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
                 // parquet roots — or one discovered root whose child
                 // dirs — each carry their own index; candidates are the
                 // bounded UNION of per-root pools. Prefiltered shapes
-                // keep the exact plan (escalation is per-index).
+                // escalate the whole union (one job per round).
                 def viaMulti = for {
                   es <- AnnCatalog.lookupAll(roots).filter(_.size > 1)
                     .orElse(AnnCatalog.coverByFiles(roots,
                       fsRel.location.inputFiles.toSeq))
                   if es.forall(_.vecCol == attr.name)
                   if es.map(_.idCol).distinct.size == 1
-                  if predOpt.isEmpty && !isServedPlan(child)
+                  if !isServedPlan(child)
                   idAttr <- child.output.find(_.name == es.head.idCol)
                   idLit <- litFor(idAttr)
                   if es.forall(e =>
                     AnnCatalog.index(spark, e).meta.cfg.metric == metric)
-                  s <- serveMulti(gl, sort, child, projOpt, es, idAttr, idLit, qv, k)
+                  s <- serveMulti(gl, sort, child, projOpt, es, idAttr, idLit,
+                    qv, k, predOpt)
                 } yield s
                 // PARTIAL index (reference partition.slt:40-48): served
                 // only when the query predicate IMPLIES the index
@@ -969,7 +970,8 @@ case class AnnTopKRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
                          projOpt: Option[Seq[NamedExpression]],
                          es: Seq[AnnCatalog.Entry], idAttr: Attribute,
                          idLit: Long => Literal, qv: ArrayData,
-                         k: Int): Option[LogicalPlan] = {
+                         k: Int,
+                         predOpt: Option[Expression] = None): Option[LogicalPlan] = {
     val idxs = es.map(e => (e, AnnCatalog.index(spark, e)))
     val probesConf = spark.conf.get("graft.ann.probes", "auto")
     def probesFor(lists: Int): Int =
@@ -1001,43 +1003,89 @@ case class AnnTopKRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     // Planning latency stays flat as a date-partitioned corpus grows to
     // hundreds of children; codes-only indexes need no rerank-table read
     // at all.
-    AnnTopKRewrite.planningJobs.incrementAndGet()
     // the k-floor is the serve/decline line, as in the old per-root
     // shape: if even k ids per root overflow maxInList, decline to exact
     if (idxs.length.toLong * k > maxInList) return Some(gl)
-    val nCand = math.max(k * refine0, k)
-    val pool = idxs.zipWithIndex.map { case ((_, ix), r) =>
-      ix.estimateCandidates(qArr, nCand, probes = probesFor(ix.meta.cfg.lists))
-        .withColumn("root", org.apache.spark.sql.functions.lit(r))
-    }.reduce(_ union _).as[(Long, Double, Int)].collect()
+    // one unioned collect per call: (id, lb, root) for the per-root top
+    // k*refineScale estimate candidates at the given probe scale
+    def unionPool(probeScale: Int, refineScale: Int): Array[(Long, Double, Int)] = {
+      AnnTopKRewrite.planningJobs.incrementAndGet()
+      val nCand = math.max(k * refineScale, k)
+      idxs.zipWithIndex.map { case ((_, ix), r) =>
+        val pr = math.min(ix.meta.cfg.lists,
+          probesFor(ix.meta.cfg.lists) * probeScale)
+        ix.estimateCandidates(qArr, nCand, probes = pr)
+          .withColumn("root", org.apache.spark.sql.functions.lit(r))
+      }.reduce(_ union _).as[(Long, Double, Int)].collect()
+    }
     // dedup ids across roots (keep the best lb for budgeting)
-    val distinctPool = pool.groupBy(_._1).valuesIterator
-      .map(_.minBy(t => (t._2, t._3))).toArray
-    // over the IN budget: keep every root's estimated top-k (no root
-    // loses representation — its local winners must reach the exact
-    // rerank), then spend the rest of the budget globally by lb. This is
-    // the single-index cell-pool policy applied across roots, instead of
-    // blind per-root truncation.
-    val ids: Array[Long] =
-      if (distinctPool.length <= maxInList) distinctPool.map(_._1)
-      else {
-        val floor = distinctPool.groupBy(_._3).valuesIterator
-          .flatMap(_.sortBy(t => (t._2, t._1)).take(k)).toArray
-        val floorIds = floor.map(_._1).toSet
-        val rest = distinctPool.filter(t => !floorIds.contains(t._1))
-          .sortBy(t => (t._2, t._1))
-        floor.map(_._1) ++
-          rest.take(maxInList - floorIds.size).map(_._1)
-      }
-    if (ids.isEmpty) Some(gl)
-    else if (ids.length > maxInList) Some(gl)
-    else {
+    def dedup(pool: Array[(Long, Double, Int)]): Array[(Long, Double, Int)] =
+      pool.groupBy(_._1).valuesIterator.map(_.minBy(t => (t._2, t._3))).toArray
+    def planWith(ids: Array[Long]): LogicalPlan = {
       ensureInPushdown(ids.length)
       val filter = stamped(Filter(In(idAttr,
         scala.collection.immutable.ArraySeq.unsafeWrapArray(ids.map(idLit))), child))
       val sorted = Sort(sort.order, global = true, filter)
       val body = projOpt.map(pl => Project(pl, sorted): LogicalPlan).getOrElse(sorted)
-      Some(GlobalLimit(Literal(k), LocalLimit(Literal(k), body)))
+      GlobalLimit(Literal(k), LocalLimit(Literal(k), body))
+    }
+
+    predOpt match {
+      case None =>
+        val distinctPool = dedup(unionPool(1, refine0))
+        // over the IN budget: keep every root's estimated top-k (no root
+        // loses representation — its local winners must reach the exact
+        // rerank), then spend the rest of the budget globally by lb. This
+        // is the single-index cell-pool policy applied across roots,
+        // instead of blind per-root truncation.
+        val ids: Array[Long] =
+          if (distinctPool.length <= maxInList) distinctPool.map(_._1)
+          else {
+            val floor = distinctPool.groupBy(_._3).valuesIterator
+              .flatMap(_.sortBy(t => (t._2, t._1)).take(k)).toArray
+            val floorIds = floor.map(_._1).toSet
+            val rest = distinctPool.filter(t => !floorIds.contains(t._1))
+              .sortBy(t => (t._2, t._1))
+            floor.map(_._1) ++
+              rest.take(maxInList - floorIds.size).map(_._1)
+          }
+        if (ids.isEmpty) Some(gl) else Some(planWith(ids))
+      case Some(_) =>
+        // PREFILTER over a partitioned table: the same escalation contract
+        // as the single-root serve — pool candidates, count the
+        // predicate's survivors among them (child already contains the
+        // user Filter), escalate probes/refine x4 until k survivors exist
+        // or every root is provably covered. Each round is ONE unioned
+        // pool job + ONE survivor count, regardless of root count. The
+        // budget contract also matches: a pool past maxInList means the
+        // exact plan is equivalent-or-cheaper than a giant IN.
+        var scale = 1
+        var r = refine0
+        def covered: Boolean = idxs.forall { case (_, ix) =>
+          math.min(ix.meta.cfg.lists,
+            probesFor(ix.meta.cfg.lists) * scale) >= ix.meta.cfg.lists &&
+            k.toLong * r >= ix.rowCount
+        }
+        def survivors(ids: Array[Long]): Long =
+          if (ids.isEmpty) 0L
+          else {
+            AnnTopKRewrite.planningJobs.incrementAndGet()
+            ensureInPushdown(ids.length)
+            ColumnBridge.ofRows(spark,
+              Filter(In(idAttr, scala.collection.immutable.ArraySeq
+                .unsafeWrapArray(ids.map(idLit))), child)).count()
+          }
+        var ids = dedup(unionPool(scale, r)).map(_._1)
+        if (ids.length > maxInList) return Some(gl)
+        var cov = covered
+        while (survivors(ids) < k && !cov) {
+          scale *= 4
+          r *= 4
+          ids = dedup(unionPool(scale, r)).map(_._1)
+          if (ids.length > maxInList) return Some(gl)
+          cov = covered
+        }
+        if (ids.isEmpty) Some(gl) else Some(planWith(ids))
     }
   }
 

@@ -1146,6 +1146,63 @@ class AnnRewriteSpec extends SparkSpec {
       AnnCatalog.unregister(s"$tableDir/part=$p"))
   }
 
+  test("PREFILTERED query over a partitioned table is served with " +
+       "escalation: exact results, selective and non-selective predicates") {
+    import spark.implicits._
+    val rng = new scala.util.Random(71)
+    val nParts = 4
+    val rows = (0L until 800L).map(i =>
+      (i, Seq.fill(8)(rng.nextFloat() * 2 - 1), (i % nParts).toInt))
+    val tableDir = Files.createTempDirectory("graft-ann-mpref").toString
+    rows.toDF("id", "vec", "part")
+      .write.partitionBy("part").mode("overwrite").parquet(tableDir)
+    (0 until nParts).foreach { p =>
+      val d = Files.createTempDirectory(s"graft-ann-mpref-idx$p").toString
+      IvfIndex.build(spark.read.parquet(s"$tableDir/part=$p"), "id", "vec",
+        d, IvfConfig(lists = 4))
+      AnnCatalog.register(s"$tableDir/part=$p", d, "id", "vec")
+    }
+    try withRule {
+      val q = Array.fill(8)(0.2f)
+      def brute(pred: Long => Boolean, k: Int) =
+        rows.filter(r => pred(r._1))
+          .map { case (id, v, _) => (K.l2(v.toArray, q), id) }
+          .sorted.take(k).map(_._2).toSeq
+      // ULTRA-selective predicate (8 of 800 rows): the first pools cannot
+      // hold k survivors, so escalation must widen x4 per round until the
+      // pools provably cover every root — the terminal state is exact by
+      // construction (all qualifying rows are candidates)
+      withConfs("graft.ann.probes" -> "2", "graft.ann.refine" -> "4",
+          "graft.ann.cost.enable" -> "false") {
+        val jobs0 = AnnTopKRewrite.planningJobs.get()
+        val sel = spark.read.parquet(tableDir)
+          .filter(col("id") % 100 === 0)
+          .orderBy(GraftFunctions.vecL2(col("vec"), typedlit(q.toSeq)))
+          .limit(7).select("id")
+        assert(sel.queryExecution.optimizedPlan.toString.contains(" IN "),
+          "prefiltered partitioned query not served:\n" +
+            sel.queryExecution.optimizedPlan)
+        assert(AnnTopKRewrite.planningJobs.get() > jobs0 + 2,
+          "ultra-selective predicate should have escalated past round 1")
+        assert(sel.collect().map(_.getLong(0)).toSeq ==
+          brute(_ % 100 == 0, 7), "selective prefilter wrong rows")
+      }
+      // generous budget: pools cover every root in ROUND 1 (k*refine >=
+      // per-root rows), so any deterministic predicate serves exactly
+      withConfs("graft.ann.probes" -> "4", "graft.ann.refine" -> "50",
+          "graft.ann.cost.enable" -> "false") {
+        val loose = spark.read.parquet(tableDir)
+          .filter(col("id") % 3 === 1)
+          .orderBy(GraftFunctions.vecL2(col("vec"), typedlit(q.toSeq)))
+          .limit(5).select("id")
+        assert(loose.queryExecution.optimizedPlan.toString.contains(" IN "))
+        assert(loose.collect().map(_.getLong(0)).toSeq ==
+          brute(_ % 3 == 1, 5))
+      }
+    } finally (0 until nParts).foreach(p =>
+      AnnCatalog.unregister(s"$tableDir/part=$p"))
+  }
+
   test("partitioned serve candidate budget: over maxInList the pool keeps " +
        "every root's top-k floor and fills globally by lb; under the " +
        "k-floor it declines") {
