@@ -469,6 +469,46 @@ object GraftQueries {
       },
       Some(knnOracle)),
 
+    // PREFILTERED partitioned serving (round 11): a deterministic filter
+    // between the Sort and the partitioned scan no longer declines to the
+    // exact plan — the per-root estimate pools escalate (x4 probes/refine
+    // per round, ONE unioned pool job + ONE survivor count each round)
+    // until k survivors exist or every root is provably covered. The
+    // predicate here keeps fewer than k rows at every tier, so the serve
+    // always terminates at full coverage and the output is exact —
+    // hash-compared against DuckDB recomputing the filtered top-k.
+    "knn_partitioned_prefilter" -> Q(
+      (s, d) => {
+        val q = qvec(s, d, 0)
+        val path = partitionedEmbTable(s, d)
+        if (!s.experimental.extraOptimizations.exists(_.isInstanceOf[graft.plans.AnnTopKRewrite]))
+          s.experimental.extraOptimizations =
+            s.experimental.extraOptimizations :+ graft.plans.AnnTopKRewrite(s)
+        s.conf.set("graft.ann.probes", "16")
+        s.conf.set("graft.ann.refine", "16")
+        s.conf.set("graft.ann.cost.enable", "false")
+        val served =
+          try {
+            val df = s.read.parquet(path)
+              .filter(col("vec_id") % 251 === 3)
+              .orderBy(vecL2(col("embedding"), lv(q)))
+              .limit(10)
+            require(df.queryExecution.optimizedPlan.toString.contains(" IN "),
+              "knn_partitioned_prefilter was NOT index-served — the " +
+              "prefiltered partitioned escalation failed to match:\n" +
+              df.queryExecution.optimizedPlan)
+            df.collect()
+          } finally s.conf.unset("graft.ann.cost.enable")
+        import s.implicits._
+        served.map(r => (r.getLong(r.fieldIndex("vec_id")),
+            r.getSeq[Float](r.fieldIndex("embedding"))))
+          .toSeq.toDF("vec_id", "embedding")
+          .select(col("vec_id"), vecL2(col("embedding"), lv(q)).as("raw"))
+          .orderBy(col("raw"), col("vec_id"))
+          .select(col("vec_id"), round(col("raw"), 3).as("dist"))
+      },
+      Some(knnOracleWhere("vec_id % 251 = 3"))),
+
     "knn_join" -> Q(
       (s, d) => {
         import s.implicits._
