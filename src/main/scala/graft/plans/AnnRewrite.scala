@@ -313,6 +313,26 @@ object AnnTopKRewrite {
     * the stamp survives the optimizer's own rewrites of the node). */
   val ServedFilterTag =
     new org.apache.spark.sql.catalyst.trees.TreeNodeTag[Boolean]("graft.ann.served")
+
+  /** True while THIS thread is inside a planning-time helper job (the
+    * prefilter survivor counts). The rule no-ops under the guard: a
+    * survivor-count plan contains the user's own Filter, and optimizing
+    * it would otherwise RE-FIRE the Filter-rooted serve cases (a sphere
+    * conjunct re-launching range-candidate jobs once per escalation
+    * round) — recursive serving of the planner's own internal queries.
+    * ThreadLocal: Catalyst plans the nested query synchronously on the
+    * calling thread, so the guard scopes exactly to the helper job. */
+  private val inPlanning = new ThreadLocal[java.lang.Boolean] {
+    override def initialValue(): java.lang.Boolean = java.lang.Boolean.FALSE
+  }
+
+  private[plans] def planningGuardActive: Boolean = inPlanning.get()
+
+  private[plans] def withPlanningGuard[T](body: => T): T = {
+    val prev = inPlanning.get()
+    inPlanning.set(java.lang.Boolean.TRUE)
+    try body finally inPlanning.set(prev)
+  }
 }
 
 case class AnnTopKRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
@@ -460,6 +480,7 @@ case class AnnTopKRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
   }
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
+    if (AnnTopKRewrite.planningGuardActive) return plan
     if (!spark.conf.get("graft.ann.enable", "true").toBoolean) return plan
     plan.transformDown {
       case gl @ GlobalLimit(IntegerLiteral(k),
@@ -1050,7 +1071,7 @@ case class AnnTopKRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
               rest.take(maxInList - floorIds.size).map(_._1)
           }
         if (ids.isEmpty) Some(gl) else Some(planWith(ids))
-      case Some(_) =>
+      case Some(pred) =>
         // PREFILTER over a partitioned table: the same escalation contract
         // as the single-root serve — pool candidates, count the
         // predicate's survivors among them (child already contains the
@@ -1058,34 +1079,91 @@ case class AnnTopKRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
         // or every root is provably covered. Each round is ONE unioned
         // pool job + ONE survivor count, regardless of root count. The
         // budget contract also matches: a pool past maxInList means the
-        // exact plan is equivalent-or-cheaper than a giant IN.
-        var scale = 1
-        var r = refine0
-        def covered: Boolean = idxs.forall { case (_, ix) =>
-          math.min(ix.meta.cfg.lists,
-            probesFor(ix.meta.cfg.lists) * scale) >= ix.meta.cfg.lists &&
-            k.toLong * r >= ix.rowCount
-        }
-        def survivors(ids: Array[Long]): Long =
-          if (ids.isEmpty) 0L
-          else {
-            AnnTopKRewrite.planningJobs.incrementAndGet()
-            ensureInPushdown(ids.length)
-            ColumnBridge.ofRows(spark,
-              Filter(In(idAttr, scala.collection.immutable.ArraySeq
-                .unsafeWrapArray(ids.map(idLit))), child)).count()
+        // exact plan is equivalent-or-cheaper than a giant IN — declined
+        // BEFORE the pool job runs, like the single-root escalate().
+        def escalateMulti(): Option[LogicalPlan] = {
+          var scale = 1
+          var r = refine0
+          // tight at full probes, conservative below — the single-root
+          // contract (poolSize pre-decline) summed per root
+          def poolBound: Long =
+            idxs.map { case (_, ix) => math.min(k.toLong * r, ix.rowCount) }.sum
+          def covered: Boolean = idxs.forall { case (_, ix) =>
+            math.min(ix.meta.cfg.lists,
+              probesFor(ix.meta.cfg.lists) * scale) >= ix.meta.cfg.lists &&
+              k.toLong * r >= ix.rowCount
           }
-        var ids = dedup(unionPool(scale, r)).map(_._1)
-        if (ids.length > maxInList) return Some(gl)
-        var cov = covered
-        while (survivors(ids) < k && !cov) {
-          scale *= 4
-          r *= 4
-          ids = dedup(unionPool(scale, r)).map(_._1)
+          def survivors(ids: Array[Long]): Long =
+            if (ids.isEmpty) 0L
+            else {
+              AnnTopKRewrite.planningJobs.incrementAndGet()
+              ensureInPushdown(ids.length)
+              AnnTopKRewrite.withPlanningGuard {
+                ColumnBridge.ofRows(spark,
+                  Filter(In(idAttr, scala.collection.immutable.ArraySeq
+                    .unsafeWrapArray(ids.map(idLit))), child)).count()
+              }
+            }
+          if (poolBound > maxInList) return Some(gl)
+          var ids = dedup(unionPool(scale, r)).map(_._1)
           if (ids.length > maxInList) return Some(gl)
-          cov = covered
+          // check coverage FIRST: a covered pool serves regardless of the
+          // survivor count, so the count job is pure waste there
+          var cov = covered
+          while (!cov && survivors(ids) < k) {
+            scale *= 4
+            r *= 4
+            if (poolBound > maxInList) return Some(gl)
+            ids = dedup(unionPool(scale, r)).map(_._1)
+            if (ids.length > maxInList) return Some(gl)
+            cov = covered
+          }
+          if (ids.isEmpty) Some(gl) else Some(planWith(ids))
         }
-        if (ids.isEmpty) Some(gl) else Some(planWith(ids))
+        pred match {
+          // sphere prefilter in the shared index metric: per-root RANGE
+          // candidates (cell + code lower bounds — a SUPERSET of every
+          // qualifying row per root) union into one job, exactly the
+          // single-root SphereCond branch generalized; no escalation
+          // rounds, exact output. Oversized pools fall back to the
+          // generic escalation. Without this branch the generic loop
+          // would stop at k pool-order survivors — approximate where the
+          // single-root path (and the pre-partitioned decline) was exact.
+          case SphereCond(sphMetric, sphAttr, sphCv, sphRadius)
+              if idxs.forall(_._2.meta.cfg.metric == sphMetric) &&
+                 sphAttr.name == es.head.vecCol =>
+            val eps = spark.conf.get("graft.ann.epsilon", "1.9").toDouble
+            AnnTopKRewrite.planningJobs.incrementAndGet()
+            val raw = idxs.map { case (_, ix) =>
+              ix.rangeCandidateFrame(sphCv.toFloatArray(), sphRadius, eps, maxInList)
+            }.reduce(_ union _).limit(maxInList + 1).collect()
+            // overflow BEFORE dedup: a truncated-then-deduped list could
+            // silently miss qualifying candidates past the limit
+            if (raw.length > maxInList) escalateMulti()
+            else if (raw.isEmpty) Some(LocalRelation(gl.output))
+            else {
+              // merge the IN into the EXISTING Filter and stamp it (the
+              // single-root planWithMerged contract): a fresh In-Filter
+              // wrapped AROUND the unstamped sphere Filter would leave
+              // the inner node servable by the standalone range case —
+              // a second planning job re-serving this rule's own output
+              val ids = raw.distinct
+              ensureInPushdown(ids.length)
+              val inExpr = In(idAttr, scala.collection.immutable.ArraySeq
+                .unsafeWrapArray(ids.map(idLit)))
+              val newChild = child match {
+                case Filter(p, rel0)              => stamped(Filter(And(p, inExpr), rel0))
+                case Project(pl, Filter(p, rel0)) =>
+                  Project(pl, stamped(Filter(And(p, inExpr), rel0)))
+                case other                        => stamped(Filter(inExpr, other))
+              }
+              val sorted = Sort(sort.order, global = true, newChild)
+              val body = projOpt.map(pl => Project(pl, sorted): LogicalPlan)
+                .getOrElse(sorted)
+              Some(GlobalLimit(Literal(k), LocalLimit(Literal(k), body)))
+            }
+          case _ => escalateMulti()
+        }
     }
   }
 
@@ -1174,11 +1252,17 @@ case class AnnTopKRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
           else {
             AnnTopKRewrite.planningJobs.incrementAndGet()
             ensureInPushdown(ids.length)
-            ColumnBridge.ofRows(spark,
-              Filter(In(idAttr, scala.collection.immutable.ArraySeq.unsafeWrapArray(ids.map(idLit))), child)).count()
+            // guard: the count plan contains the user's own Filter —
+            // optimizing it must not re-fire this rule's Filter cases
+            AnnTopKRewrite.withPlanningGuard {
+              ColumnBridge.ofRows(spark,
+                Filter(In(idAttr, scala.collection.immutable.ArraySeq.unsafeWrapArray(ids.map(idLit))), child)).count()
+            }
           }
+        // coverage FIRST: a covered pool serves regardless of the
+        // survivor count, so that count job would be pure waste
         var covered = p >= lists && k.toLong * r >= n
-        while (survivors(ids) < k && !covered) {
+        while (!covered && survivors(ids) < k) {
           p = math.min(lists, p * 4)
           r = r * 4
           if (poolSize(r) > maxInList) return Some(gl) // exact plan beats a huge IN

@@ -1199,6 +1199,32 @@ class AnnRewriteSpec extends SparkSpec {
         assert(loose.collect().map(_.getLong(0)).toSeq ==
           brute(_ % 3 == 1, 5))
       }
+      // SPHERE prefilter + ORDER BY over the partitioned table: served by
+      // the per-root RANGE candidate union (a superset of every
+      // qualifying row), so the result is EXACT — and it is ONE planning
+      // job, no escalation rounds (the generic loop would stop at k
+      // pool-order survivors and could return approximate rows here)
+      withConfs("graft.ann.probes" -> "2", "graft.ann.refine" -> "4",
+          "graft.ann.cost.enable" -> "false") {
+        val radius = 0.95
+        val jobs0 = AnnTopKRewrite.planningJobs.get()
+        val sph = spark.read.parquet(tableDir)
+          .filter(GraftFunctions.vecL2(col("vec"), typedlit(q.toSeq)) < radius)
+          .orderBy(GraftFunctions.vecL2(col("vec"), typedlit(q.toSeq)))
+          .limit(6).select("id")
+        assert(sph.queryExecution.optimizedPlan.toString.contains(" IN "),
+          "sphere+orderBy over partitioned table not served:\n" +
+            sph.queryExecution.optimizedPlan)
+        assert(AnnTopKRewrite.planningJobs.get() == jobs0 + 1,
+          s"sphere multi-root serve must be ONE job, got " +
+            s"${AnnTopKRewrite.planningJobs.get() - jobs0}")
+        val want = rows
+          .filter { case (_, v, _) => K.l2(v.toArray, q) < radius }
+          .map { case (id, v, _) => (K.l2(v.toArray, q), id) }
+          .sorted.take(6).map(_._2).toSeq
+        assert(sph.collect().map(_.getLong(0)).toSeq == want,
+          "sphere multi-root serve not exact")
+      }
     } finally (0 until nParts).foreach(p =>
       AnnCatalog.unregister(s"$tableDir/part=$p"))
   }
