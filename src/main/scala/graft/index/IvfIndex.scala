@@ -759,6 +759,12 @@ final class IvfIndex(val spark: SparkSession, val dir: String, val meta: IvfMeta
       catch { case scala.util.control.NonFatal(_) => 10 }
     val want = math.min(n, IvfIndex.inPushdownCap)
     if (cur < want) spark.conf.set(key, want.toString)
+    // clamp DOWN too: a threshold someone else raised above the cap still
+    // pushes >cap-value IN sets into parquet's recursive or-chain visitor
+    // (StackOverflowError past ~1-2k values) — crash prevention must not
+    // depend on who set the conf
+    else if (cur > IvfIndex.inPushdownCap)
+      spark.conf.set(key, IvfIndex.inPushdownCap.toString)
   }
   import spark.implicits._
 

@@ -476,11 +476,21 @@ object Multimodal {
    * giving time-uniform frames independent of the container's frame
    * rate. Blobs land in a task-local temp file first: MP4s with a
    * trailing moov atom are not stdin-streamable.
+   *
+   * `timeoutSec` bounds each blob's subprocess wall clock: a pathological
+   * container that makes ffmpeg probe forever would otherwise block
+   * `readAllBytes()` indefinitely and hang the Spark task (destroyForcibly
+   * only ran after the read returned). On expiry a shared daemon watchdog
+   * destroys the child — the read unblocks at pipe EOF — and the row
+   * FAILS LOUDLY (RuntimeException), not a silent zero-frame filter: a
+   * timeout is a decode-infrastructure pathology, not a garbage blob.
    */
   final case class FfmpegDecoder(maxDecodedFrames: Int = 256,
-                                 fps: Double = 0.0) extends FrameDecoder {
+                                 fps: Double = 0.0,
+                                 timeoutSec: Double = 120.0) extends FrameDecoder {
     require(maxDecodedFrames >= 1,
       s"maxDecodedFrames must be >= 1, got $maxDecodedFrames")
+    require(timeoutSec > 0, s"timeoutSec must be > 0, got $timeoutSec")
     override def name: String = "ffmpeg"
     override def frames(blob: Array[Byte]): Iterator[(Int, Array[Byte])] = {
       if (!FfmpegDecoder.available)
@@ -507,18 +517,32 @@ object Multimodal {
         // destroy on EVERY exit path: an interrupted/failed read would
         // otherwise leave a live child blocked on its full stdout pipe —
         // retried tasks would accumulate zombie decoders per executor
+        val timedOut = new java.util.concurrent.atomic.AtomicBoolean(false)
+        val kill = new java.util.TimerTask {
+          override def run(): Unit = { timedOut.set(true); p.destroyForcibly(); () }
+        }
+        FfmpegDecoder.watchdog.schedule(kill, (timeoutSec * 1000).toLong)
         try {
           p.getOutputStream.close()
           val out = p.getInputStream.readAllBytes()
           p.waitFor()
+          if (timedOut.get())
+            throw new RuntimeException(
+              s"ffmpeg decode exceeded ${timeoutSec}s on a ${blob.length}-byte " +
+              "blob — subprocess killed by the decode watchdog")
           // nonzero exit on garbage input leaves `out` empty -> zero frames
           mjpegFrames(out).iterator.zipWithIndex.map { case (b, k) => (k, b) }
-        } finally { p.destroyForcibly(); () }
+        } finally { kill.cancel(); p.destroyForcibly(); () }
       } finally { java.nio.file.Files.deleteIfExists(tmp); () }
     }
   }
 
   object FfmpegDecoder {
+    /** Shared daemon watchdog timer for decode timeouts (one thread per
+      * JVM, never blocks shutdown). */
+    private[ops] lazy val watchdog =
+      new java.util.Timer("graft-ffmpeg-watchdog", true)
+
     /** One PATH probe per JVM (executors probe independently). */
     lazy val available: Boolean =
       try {

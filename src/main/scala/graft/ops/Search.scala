@@ -217,7 +217,18 @@ object Search {
      */
     def append(docs: DataFrame, idCol: String, textCol: String): PostingsIndex = {
       val updated = stageAppend(docs, idCol, textCol)
-      require(Search.healStage(dir), s"postings append commit failed: $dir")
+      // healStage == false here does NOT always mean failure: a concurrent
+      // READER (loadPostings promotes committed stages too) can heal the
+      // freshly-committed stage first, leaving this writer's heal with no
+      // stage dir to resolve. The commit is real either way — accept iff
+      // the on-disk meta already carries the marker's absolute counts.
+      if (!Search.healStage(dir)) {
+        val onDisk = Search.loadPostings(dir)
+        require(onDisk.nDocs == updated.nDocs && onDisk.nTokens == updated.nTokens,
+          s"postings append commit failed: $dir (meta " +
+          s"${onDisk.nDocs}/${onDisk.nTokens} != committed " +
+          s"${updated.nDocs}/${updated.nTokens})")
+      }
       updated
     }
 
@@ -595,8 +606,11 @@ object Search {
             val rel = from.relativize(f)
             val dest = Paths.get(dir, sub).resolve(rel)
             Files.createDirectories(dest.getParent)
-            Files.move(f, dest,
+            // a RACING healer (writer commit + concurrent reader load) may
+            // have moved this part already — absence means done, not error
+            try Files.move(f, dest,
               java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+            catch { case _: java.nio.file.NoSuchFileException => () }
           }
         }
       } finally s.close()
@@ -614,9 +628,15 @@ object Search {
 
   private def deleteTreeAt(p: java.nio.file.Path): Unit =
     if (java.nio.file.Files.exists(p)) {
-      java.nio.file.Files.walk(p)
+      // racing healers may delete concurrently — vanished entries are fine
+      try java.nio.file.Files.walk(p)
         .sorted(java.util.Comparator.reverseOrder())
-        .forEach(f => { java.nio.file.Files.delete(f); () })
+        .forEach(f => {
+          try java.nio.file.Files.delete(f)
+          catch { case _: java.nio.file.NoSuchFileException => () }
+          ()
+        })
+      catch { case _: java.nio.file.NoSuchFileException => () }
     }
 
   /** Load a postings index built by [[buildPostings]]. */

@@ -356,6 +356,12 @@ case class AnnTopKRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
       catch { case scala.util.control.NonFatal(_) => 10 }
     val want = math.min(n, IvfIndex.inPushdownCap)
     if (cur < want) spark.conf.set(key, want.toString)
+    // clamp DOWN too: a session whose threshold was set above the cap (by
+    // the user or other code) still pushes >cap-value IN sets — the exact
+    // parquet or-chain SOE this cap exists to prevent, regardless of who
+    // raised the threshold
+    else if (cur > IvfIndex.inPushdownCap)
+      spark.conf.set(key, IvfIndex.inPushdownCap.toString)
   }
 
   /** One distance opclass per operator, like the reference's
@@ -1059,6 +1065,15 @@ case class AnnTopKRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
         // rerank), then spend the rest of the budget globally by lb. This
         // is the single-index cell-pool policy applied across roots,
         // instead of blind per-root truncation.
+        // ANN CONTRACT NOTE: the per-root floor ranks by estimate lower
+        // bound (lb), not exact distance — a root's true top-k member
+        // whose lb ranks past k AND past the global fill can be dropped.
+        // This is the same estimate-order candidate admission every IVF
+        // pool uses (cells admit by code bound before any exact rerank);
+        // the epsilon-scaled lb makes it rare, and it only arises at all
+        // when the pool exceeds maxInList (where the old per-root exact
+        // shape paid one serialized Spark job per root to avoid it —
+        // the wrong trade at hundreds of roots).
         val ids: Array[Long] =
           if (distinctPool.length <= maxInList) distinctPool.map(_._1)
           else {
