@@ -1372,6 +1372,66 @@ final class IvfIndex(val spark: SparkSession, val dir: String, val meta: IvfMeta
                                          epsilon: Double, cap: Int): Dataset[Long] =
     rangeCandidateDf(center, radius, epsilon).limit(cap + 1)
 
+  /** Batched [[rangeCandidateIds]]: the UNION of every sphere's
+    * estimate-phase survivors in ONE Spark job — a single codes pass over
+    * the union of all spheres' intersecting cells, each row tested
+    * against just the spheres probing its cell (the [[rangeSearchMany]]
+    * estimate kernel, candidates only; a row exits at its FIRST passing
+    * sphere). Distinct ids, capped at `cap + 1` so callers detect
+    * overflow without an unbounded driver collect. The range-JOIN planner
+    * (AnnTopKRewrite.serveRangeJoin) pools all query rows through this,
+    * so planning cost is flat in the queries-side row count — the old
+    * shape paid one serialized driver-blocking job per query row. */
+  private[graft] def rangeCandidateIdsMany(spheres: Array[(Array[Float], Double)],
+                                           epsilon: Double, cap: Int): Array[Long] = {
+    if (spheres.isEmpty) return Array.empty
+    val metric = meta.cfg.metric
+    val bits = meta.cfg.bits
+    val dim = meta.dim
+    val preps = spheres.map { case (c, r) =>
+      val qq = prepQuery(c)
+      val probed = rangeCells(qq, r)
+      (r, probed, clusterPrep(qq, probed))
+    }
+    val allCells = preps.flatMap(_._2).distinct
+    if (allCells.isEmpty) return Array.empty
+    val byCell: Map[Int, Array[Int]] =
+      preps.zipWithIndex
+        .flatMap { case (p, qi) => p._2.map(cid => (cid, qi)) }
+        .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val bPreps = spark.sparkContext.broadcast(preps)
+    val bByCell = spark.sparkContext.broadcast(byCell)
+    codesDf.filter(col("cluster_id").isin(allCells.map(Integer.valueOf): _*))
+      .as[(Int, Long, Array[Float], Array[Byte])]
+      .mapPartitions { it =>
+        val preps = bPreps.value
+        val byCell = bByCell.value
+        it.flatMap { case (cid, id, cm, codes) =>
+          val code = RaBitQ.Code(cm, codes, bits, dim)
+          val qis = byCell.getOrElse(cid, Array.empty[Int])
+          var hit = false
+          var i = 0
+          while (!hit && i < qis.length) {
+            val (r, _, pc) = preps(qis(i))
+            val (qr, qSum, qNormSq, clusterDot) = pc(cid)
+            val lb = metric match {
+              case "l2" =>
+                val (e, err) = RaBitQ.estimateL2s(code, qr, qSum, qNormSq)
+                math.sqrt(math.max(e - epsilon * err, 0.0))
+              case _ =>
+                val d = RaBitQ.estimateDot(code, qr, qSum) + clusterDot
+                val err = math.sqrt(qNormSq) * code.scale * math.sqrt(dim.toDouble)
+                val base = -d - epsilon * err
+                if (metric == "cosdist") 1.0 + base else base
+            }
+            if (lb < r) hit = true
+            i += 1
+          }
+          if (hit) Iterator.single(id) else Iterator.empty
+        }
+      }.distinct().limit(cap + 1).collect()
+  }
+
   /**
    * Sphere range query SERVED BY THE INDEX — reference opclass strategy 2
    * (`WHERE embedding <<metric>> sphere(c, r)`): the sphere center becomes

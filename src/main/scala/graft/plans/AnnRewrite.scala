@@ -637,10 +637,14 @@ case class AnnTopKRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     * .maxQueries`, any non-deterministic expression feeds the queries side
     * (its rows must be identical at planning and execution), or the
     * candidate union exceeds `graft.ann.maxInList` (a giant IN loses to
-    * the exact join). Planning cost: one bounded collect of the queries
-    * side + one codes-only probe job per query row (all counted in
-    * [[AnnTopKRewrite.planningJobs]]) — for bulk M use the DSL's
-    * `rangeSearchMany`, which answers every sphere in one plan. */
+    * the exact join). Planning cost: EXACTLY TWO bounded driver-blocking
+    * jobs regardless of query-row count (both counted in
+    * [[AnnTopKRewrite.planningJobs]]) — one collect of the capped queries
+    * side, then ONE pooled codes pass answering every sphere
+    * ([[IvfIndex.rangeCandidateIdsMany]], the rangeSearchMany estimate
+    * kernel). The old shape serialized one probe job per query row (up to
+    * maxQueries=256 planner-stalling jobs per range-join plan). For bulk
+    * M past the cap use the DSL's `rangeSearchMany`. */
   private def serveRangeJoin(j: Join): Option[LogicalPlan] = {
     val cond = j.condition.get
     val sphere = conjuncts(cond).collectFirst(Function.unlift[Expression,
@@ -707,30 +711,29 @@ case class AnnTopKRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
           .limit(maxQ + 1).collect()
         if (qRows.length > maxQ) None
         else {
-          val union = new java.util.HashSet[java.lang.Long]()
-          var overflow = false
-          var i = 0
-          while (i < qRows.length && !overflow) {
-            val row = qRows(i)
-            if (!row.isNullAt(0) && !row.isNullAt(1)) {
-              val center = row.getSeq[Float](0).toArray
-              val radius = row.getDouble(1)
-              AnnTopKRewrite.planningJobs.incrementAndGet()
-              val ids = idx.rangeCandidateIds(center, radius, eps, maxInList)
-              if (ids.length > maxInList) overflow = true
-              else { ids.foreach(union.add(_)); overflow = union.size > maxInList }
-            }
-            i += 1
-          }
-          if (overflow) None
-          else if (union.isEmpty) Some(LocalRelation(j.output))
+          // rows with a null center or radius can match nothing (the join
+          // condition evaluates to null) — they contribute no sphere
+          val spheres = qRows.iterator
+            .filter(r => !r.isNullAt(0) && !r.isNullAt(1))
+            .map(r => (r.getSeq[Float](0).toArray, r.getDouble(1)))
+            .toArray
+          if (spheres.isEmpty) Some(LocalRelation(j.output))
           else {
-            val ids = union.toArray(Array.empty[java.lang.Long]).map(_.longValue())
-            ensureInPushdown(ids.length)
-            val restricted = stamped(Filter(In(idAttr,
-              scala.collection.immutable.ArraySeq.unsafeWrapArray(ids.map(idLit))), indexedSide))
-            Some(if (indexedSide eq j.left) j.copy(left = restricted)
-                 else j.copy(right = restricted))
+            // ONE pooled candidate job for the whole batch: every
+            // sphere's estimate survivors from a single codes pass,
+            // distinct, capped so overflow detection is itself bounded
+            AnnTopKRewrite.planningJobs.incrementAndGet()
+            val ids = idx.rangeCandidateIdsMany(spheres, eps, maxInList)
+            if (ids.length > maxInList) None
+            else if (ids.isEmpty) Some(LocalRelation(j.output))
+            else {
+              ensureInPushdown(ids.length)
+              val restricted = stamped(Filter(In(idAttr,
+                scala.collection.immutable.ArraySeq.unsafeWrapArray(
+                  ids.sorted.map(idLit))), indexedSide))
+              Some(if (indexedSide eq j.left) j.copy(left = restricted)
+                   else j.copy(right = restricted))
+            }
           }
         }
       }
@@ -931,9 +934,48 @@ case class AnnTopKRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     val idxConj = conjuncts(resolved)
     val qConj = conjuncts(queryPred)
     if (!idxConj.forall(ic =>
-        qConj.exists(qc => qc.semanticEquals(ic) || impliesCmp(qc, ic)))) None
+        qConj.exists(qc => qc.semanticEquals(ic) || impliesPred(qc, ic)))) None
     else Some(qConj.filterNot(qc => idxConj.exists(_.semanticEquals(qc)))
       .reduceOption(And))
+  }
+
+  /** Predicate implication with DISJUNCTIONS, the subset of Postgres
+    * `predicate_implied_by` the partial-index serve needs beyond
+    * [[impliesCmp]]'s literal ranges:
+    *
+    *  - query side: `x IN (6,7)` / `x = 6 OR x = 7` implies `ic` iff
+    *    EVERY disjunct implies it (a disjunction is true when any arm is,
+    *    so all arms must land inside ic's value set);
+    *  - index side: `q` implies `x IN (1,2)` / `a OR b` iff q implies
+    *    SOME disjunct (any arm true makes the disjunction true).
+    *
+    * IN lists decompose to equality disjuncts only when every element is
+    * a literal (a non-literal element can't be proven); a null element
+    * fails [[impliesCmp]]'s null guard and declines the whole proof —
+    * conservative, like Postgres's predtest. Non-disjunctive shapes fall
+    * through to [[impliesCmp]] unchanged. */
+  private def impliesPred(q: Expression, ic: Expression): Boolean = {
+    (q, ic) match {
+      case _ if q.semanticEquals(ic) => true
+      // query-side disjunction: every arm must imply ic
+      case (Or(l, r), _)    => impliesPred(l, ic) && impliesPred(r, ic)
+      case (InD(qds), _)    => qds.forall(d => impliesPred(d, ic))
+      // index-side disjunction: q need only imply one arm
+      case (_, Or(l, r))    => impliesPred(q, l) || impliesPred(q, r)
+      case (_, InD(ids))    => ids.exists(d => impliesPred(q, d))
+      case _                => impliesCmp(q, ic)
+    }
+  }
+
+  /** IN-over-literals decomposed to equality disjuncts (see
+    * [[impliesPred]]). */
+  private object InD {
+    def unapply(e: Expression): Option[Seq[Expression]] = e match {
+      case In(a: Attribute, vs)
+          if vs.nonEmpty && vs.forall(_.isInstanceOf[Literal]) =>
+        Some(vs.map(v => EqualTo(a, v.asInstanceOf[Literal])))
+      case _ => None
+    }
   }
 
   /** Literal-comparison implication: does query conjunct `q` imply index

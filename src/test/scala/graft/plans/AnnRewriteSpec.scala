@@ -489,6 +489,25 @@ class AnnRewriteSpec extends SparkSpec {
       assert(dfRev.queryExecution.optimizedPlan.toString.split(" IN ").length >= 3)
       assert(dfRev.as[(Long, Long)].collect().toSeq == want)
 
+      // planning cost must be FLAT in queries-side row count: exactly TWO
+      // bounded jobs (the capped queries collect + ONE pooled candidate
+      // pass answering every sphere) for an 8-row queries side — the old
+      // shape serialized one probe job per query row
+      val sql8 = sql.replace("id IN (0, 1, 2)", "id IN (0, 1, 2, 3, 4, 5, 6, 7)")
+      val j0 = AnnTopKRewrite.planningJobs.get()
+      val df8 = spark.sql(sql8)
+      assert(df8.queryExecution.optimizedPlan.toString.split(" IN ").length >= 3,
+        "8-row range join not index-served")
+      assert(AnnTopKRewrite.planningJobs.get() == j0 + 2,
+        s"expected 2 planning jobs for an 8-row range join, got " +
+          s"${AnnTopKRewrite.planningJobs.get() - j0}")
+      val want8 = (for {
+        (qid, c) <- data.filter(_._1 <= 7)
+        (id, v) <- data
+        if K.l2(v.toArray, c.toArray) < 0.7 + qid * 0.2
+      } yield (qid, id)).sortBy(identity).toSeq
+      assert(df8.as[(Long, Long)].collect().toSeq == want8)
+
       // queries side past maxQueries: decline — plan keeps the exact
       // nested-loop join (no IN), results identical
       withConfs("graft.ann.range.join.maxQueries" -> "2") {
@@ -793,6 +812,36 @@ class AnnRewriteSpec extends SparkSpec {
           serve = true, _ >= 6, "x >= 6 ⇒ x > 5")
         check(base.filter(col("x").between(6, 8)).orderBy(dist).limit(5),
           serve = true, v => v >= 6 && v <= 8, "BETWEEN 6 AND 8 ⇒ x > 5")
+        // DISJUNCTIVE implication (the predicate_implied_by disjunction
+        // subset): an IN / OR query conjunct serves iff EVERY disjunct
+        // lands inside the index predicate's value set. IN-carrying
+        // queries count IN occurrences (the user predicate itself prints
+        // one) instead of mere presence.
+        def checkIn(df: org.apache.spark.sql.DataFrame, serve: Boolean,
+                    pred: Int => Boolean, tag: String): Unit = {
+          val plan = df.queryExecution.optimizedPlan.toString
+          val ins = plan.split(" IN ").length - 1
+          assert((ins >= 2) == serve,
+            s"$tag: expected serve=$serve (IN count $ins)\n$plan")
+          assert(df.select("id").collect().map(_.getLong(0)).toSeq ==
+            brute(q, pred, 5), s"$tag: wrong rows")
+        }
+        checkIn(base.filter(col("x").isin(6, 7)).orderBy(dist).limit(5),
+          serve = true, v => v == 6 || v == 7, "x IN (6,7) ⇒ x > 5")
+        check(base.filter(col("x") === 6 || col("x") === 7)
+            .orderBy(dist).limit(5),
+          serve = true, v => v == 6 || v == 7, "x = 6 OR x = 7 ⇒ x > 5")
+        check(base.filter(col("x") === 9 || col("x") > 7)
+            .orderBy(dist).limit(5),
+          serve = true, v => v == 9 || v > 7, "x = 9 OR x > 7 ⇒ x > 5")
+        // one violating disjunct poisons the whole disjunction
+        checkIn(base.filter(col("x").isin(5, 7)).orderBy(dist).limit(5),
+          serve = false, v => v == 5 || v == 7,
+          "x IN (5,7): 5 is outside x > 5")
+        check(base.filter(col("x") === 7 || col("x") > 4)
+            .orderBy(dist).limit(5),
+          serve = false, v => v == 7 || v > 4,
+          "x = 7 OR x > 4: the x > 4 arm is weaker")
         // DECLINE: weaker or incomparable predicates (query rows the
         // index never saw could be the true top-k)
         check(base.filter(col("x") > 4).orderBy(dist).limit(5),
@@ -803,6 +852,60 @@ class AnnRewriteSpec extends SparkSpec {
           serve = false, _ == 3, "x = 3 does NOT imply x > 5")
         check(base.filter(col("x") < 9).orderBy(dist).limit(5),
           serve = false, _ < 9, "x < 9 does NOT imply x > 5")
+      }
+    } finally AnnCatalog.unregisterPartial(tableDir, idxDir)
+  }
+
+  test("partial index with an IN predicate (index-side disjunction): " +
+       "x = 6 and x IN (7,6) serve a 'x IN (6,7)' index; outsiders decline") {
+    import spark.implicits._
+    val rng = new scala.util.Random(103)
+    val rows = (0L until 400L).map(i =>
+      (i, Seq.fill(8)(rng.nextFloat() * 2 - 1), (i % 10).toInt))
+    val tableDir = Files.createTempDirectory("graft-ann-pimpl-in").toString
+    rows.toDF("id", "vec", "x").write.mode("overwrite").parquet(tableDir)
+    val idxDir = Files.createTempDirectory("graft-ann-pimpl-in-idx").toString
+    IvfIndex.build(spark.read.parquet(tableDir).filter(col("x").isin(6, 7)),
+      "id", "vec", idxDir, IvfConfig(lists = 4))
+    AnnCatalog.registerPartial(tableDir, idxDir, "id", "vec", "x IN (6, 7)")
+    def brute(q: Array[Float], pred: Int => Boolean, k: Int) =
+      rows.filter(r => pred(r._3)).map { case (id, v, _) => (K.l2(v.toArray, q), id) }
+        .sorted.take(k).map(_._2).toSeq
+    try withRule {
+      withConfs("graft.ann.probes" -> "4", "graft.ann.refine" -> "50",
+          "graft.ann.cost.enable" -> "false") {
+        val q = Array.fill(8)(0.3f)
+        def base = spark.read.parquet(tableDir)
+        def dist = GraftFunctions.vecL2(col("vec"), typedlit(q.toSeq))
+        def check(df: org.apache.spark.sql.DataFrame, serve: Boolean,
+                  pred: Int => Boolean, tag: String): Unit = {
+          val plan = df.queryExecution.optimizedPlan.toString
+          assert(plan.contains(" IN ") == serve,
+            s"$tag: expected serve=$serve\n$plan")
+          assert(df.select("id").collect().map(_.getLong(0)).toSeq ==
+            brute(q, pred, 5), s"$tag: wrong rows")
+        }
+        def checkIn(df: org.apache.spark.sql.DataFrame, serve: Boolean,
+                    pred: Int => Boolean, tag: String): Unit = {
+          val plan = df.queryExecution.optimizedPlan.toString
+          val ins = plan.split(" IN ").length - 1
+          assert((ins >= 2) == serve,
+            s"$tag: expected serve=$serve (IN count $ins)\n$plan")
+          assert(df.select("id").collect().map(_.getLong(0)).toSeq ==
+            brute(q, pred, 5), s"$tag: wrong rows")
+        }
+        // q implies an index-side disjunction when it implies SOME arm
+        check(base.filter(col("x") === 6).orderBy(dist).limit(5),
+          serve = true, _ == 6, "x = 6 ⇒ x IN (6,7)")
+        // query IN ⊆ index IN (every query arm implies some index arm)
+        checkIn(base.filter(col("x").isin(7, 6)).orderBy(dist).limit(5),
+          serve = true, v => v == 6 || v == 7, "x IN (7,6) ⇒ x IN (6,7)")
+        // outsiders: an arm outside the index set declines
+        check(base.filter(col("x") === 8).orderBy(dist).limit(5),
+          serve = false, _ == 8, "x = 8 does NOT imply x IN (6,7)")
+        checkIn(base.filter(col("x").isin(6, 8)).orderBy(dist).limit(5),
+          serve = false, v => v == 6 || v == 8,
+          "x IN (6,8): 8 is outside the index set")
       }
     } finally AnnCatalog.unregisterPartial(tableDir, idxDir)
   }
