@@ -774,15 +774,22 @@ case class AnnTopKRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
       served <- {
         val maxInList = spark.conf.get("graft.ann.maxInList", "8192").toInt
         val eps = spark.conf.get("graft.ann.epsilon", "1.9").toDouble
-        // ONE planning job however many roots (same shape as serveMulti):
-        // per-root LAZY capped candidate frames union and collect once;
-        // the union-level limit makes overflow detection itself bounded —
-        // a sphere covering most of a 500-child corpus stops after
-        // maxInList+1 ids instead of materializing every root's pool
+        // ONE planning job AND one analyzed relation however many roots
+        // (same flat shape as serveMulti): all roots' sphere-intersecting
+        // cluster dirs read as a single scan, the union-level limit makes
+        // overflow detection itself bounded — a sphere covering most of a
+        // 500-child corpus stops after maxInList+1 ids instead of
+        // materializing every root's pool. A single root keeps the
+        // cache-aware per-index frame.
         AnnTopKRewrite.planningJobs.incrementAndGet()
-        val raw = es.map(e => AnnCatalog.index(spark, e)
-            .rangeCandidateFrame(cv.toFloatArray(), radius, eps, maxInList))
-          .reduce(_ union _).limit(maxInList + 1).collect()
+        val raw =
+          if (es.length == 1)
+            AnnCatalog.index(spark, es.head)
+              .rangeCandidateFrame(cv.toFloatArray(), radius, eps, maxInList)
+              .collect()
+          else
+            IvfIndex.multiRangeCandidateIds(es.map(AnnCatalog.index(spark, _)),
+              cv.toFloatArray(), radius, eps, maxInList)
         // overflow check BEFORE dedup: a truncated-then-deduped list could
         // sneak under the cap while silently missing candidates past the
         // limit — serving it would drop qualifying rows
@@ -1060,18 +1067,21 @@ case class AnnTopKRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     }
     val qArr = qv.toFloatArray()
     import spark.implicits._
-    // ONE planning job however many roots: each per-root index contributes
-    // its LAZY estimate-candidate frame (top k*refine (id, lb) rows by
-    // code lower bound — `search`'s estimate stage without the collect),
-    // the frames union, and everything collects once. The per-root exact
-    // rerank the old shape paid one serialized Spark job each for is
-    // unnecessary here: the rewritten plan's own Sort+Limit over the
-    // IN-restricted scan reranks the pooled candidates exactly, and the
-    // full-depth pool per root is a superset of what per-root rerank
+    // ONE planning job AND one analyzed relation however many roots: all
+    // roots' probed cluster dirs read as a single flat parquet scan
+    // (IvfIndex.multiEstimateCandidates), each row scored with its own
+    // root's prep from a broadcast dir map, per-root top k*refine (id,
+    // lb) merged from bounded partition-local heaps. The per-root
+    // union-of-frames shape this replaces was one JOB but linear DRIVER
+    // cost — Catalyst analyzed R union branches and listed R relations
+    // (measured 0.44 s at 4 roots -> 3.09 s at 32). The per-root exact
+    // rerank the pre-round-11 shape paid one serialized Spark job each
+    // for stays unnecessary: the rewritten plan's own Sort+Limit over
+    // the IN-restricted scan reranks the pooled candidates exactly, and
+    // the full-depth pool per root is a superset of what per-root rerank
     // would have kept — end-to-end recall is the old path's or better.
-    // Planning latency stays flat as a date-partitioned corpus grows to
-    // hundreds of children; codes-only indexes need no rerank-table read
-    // at all.
+    // A SINGLE covered root keeps the per-index frame (cache-aware and
+    // branch-free anyway).
     // the k-floor is the serve/decline line, as in the old per-root
     // shape: if even k ids per root overflow maxInList, decline to exact
     if (idxs.length.toLong * k > maxInList) return Some(gl)
@@ -1080,12 +1090,14 @@ case class AnnTopKRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     def unionPool(probeScale: Int, refineScale: Int): Array[(Long, Double, Int)] = {
       AnnTopKRewrite.planningJobs.incrementAndGet()
       val nCand = math.max(k * refineScale, k)
-      idxs.zipWithIndex.map { case ((_, ix), r) =>
-        val pr = math.min(ix.meta.cfg.lists,
-          probesFor(ix.meta.cfg.lists) * probeScale)
-        ix.estimateCandidates(qArr, nCand, probes = pr)
-          .withColumn("root", org.apache.spark.sql.functions.lit(r))
-      }.reduce(_ union _).as[(Long, Double, Int)].collect()
+      val prs = idxs.map { case (_, ix) =>
+        math.min(ix.meta.cfg.lists, probesFor(ix.meta.cfg.lists) * probeScale) }
+      if (idxs.length == 1)
+        idxs.head._2.estimateCandidates(qArr, nCand, probes = prs.head)
+          .withColumn("root", org.apache.spark.sql.functions.lit(0))
+          .as[(Long, Double, Int)].collect()
+      else
+        IvfIndex.multiEstimateCandidates(idxs.map(_._2), qArr, nCand, prs)
     }
     // dedup ids across roots (keep the best lb for budgeting)
     def dedup(pool: Array[(Long, Double, Int)]): Array[(Long, Double, Int)] =
@@ -1191,9 +1203,15 @@ case class AnnTopKRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
                  sphAttr.name == es.head.vecCol =>
             val eps = spark.conf.get("graft.ann.epsilon", "1.9").toDouble
             AnnTopKRewrite.planningJobs.incrementAndGet()
-            val raw = idxs.map { case (_, ix) =>
-              ix.rangeCandidateFrame(sphCv.toFloatArray(), sphRadius, eps, maxInList)
-            }.reduce(_ union _).limit(maxInList + 1).collect()
+            // >1 roots: one flat read over every root's sphere-intersecting
+            // cluster dirs (no per-root union branches — see unionPool)
+            val raw =
+              if (idxs.length == 1)
+                idxs.head._2.rangeCandidateFrame(sphCv.toFloatArray(),
+                  sphRadius, eps, maxInList).collect()
+              else
+                IvfIndex.multiRangeCandidateIds(idxs.map(_._2),
+                  sphCv.toFloatArray(), sphRadius, eps, maxInList)
             // overflow BEFORE dedup: a truncated-then-deduped list could
             // silently miss qualifying candidates past the limit
             if (raw.length > maxInList) escalateMulti()
