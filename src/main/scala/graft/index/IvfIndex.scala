@@ -752,15 +752,18 @@ object IvfIndex {
   // path (callers branch on root count).
   // ------------------------------------------------------------------
 
-  /** Per-dir scoring info for the flat read: (root, bits, dim, isL2,
-    * isCos, qr, qSum, qNormSq, clusterDot). */
-  private type DirInfo =
-    (Int, Int, Int, Boolean, Boolean, Array[Float], Double, Double, Double)
+  /** Per-dir structural info for the flat read: (root, clusterId, bits,
+    * dim, isL2, isCos). Query preps ride a separate broadcast keyed
+    * (root, cid, query). */
+  private type DirInfo = (Int, Int, Int, Int, Boolean, Boolean)
+
+  /** Per-(cluster, query) scoring prep: (queryIdx, qr, qSum, qNormSq,
+    * clusterDot). */
+  private type QPrep = (Int, Array[Float], Double, Double, Double)
 
   /** List the EXISTING probed-cluster leaf dirs of `ix` (current
-    * generation + delta) and register their scoring info. */
-  private def probedDirs(ix: IvfIndex, root: Int, probed: Array[Int],
-                         pc: Map[Int, (Array[Float], Double, Double, Double)],
+    * generation + delta) and register their structural info. */
+  private def probedDirs(ix: IvfIndex, root: Int, probed: Iterable[Int],
                          into: scala.collection.mutable.HashMap[String, DirInfo],
                          dirs: scala.collection.mutable.ArrayBuffer[String]): Unit = {
     val gen = ix.currentGen
@@ -770,71 +773,114 @@ object IvfIndex {
     val isL2 = ix.meta.cfg.metric == "l2"
     val isCos = ix.meta.cfg.metric == "cosdist"
     probed.foreach { cid =>
-      val (qr, qSum, qNormSq, cDot) = pc(cid)
       val cands = s"${ix.dir}/$gen/cluster_id=$cid" ::
         (if (delta) s"${ix.dir}/delta/cluster_id=$cid" :: Nil else Nil)
       cands.foreach { d =>
         if (Files.exists(Paths.get(d))) {
           val key = new org.apache.hadoop.fs.Path(d).toUri.getPath
-          into(key) = (root, bits, dim, isL2, isCos, qr, qSum, qNormSq, cDot)
+          into(key) = (root, cid, bits, dim, isL2, isCos)
           dirs += d
         }
       }
     }
   }
 
-  /** One-read multi-root top-k candidate pool: per root, the exact top
-    * `nCand` (id, lb) by epsilon-scaled code lower bound over that
-    * root's `probes(r)` probed cells — the same rows (and (lb, id) tie
-    * order) as unioning per-root `estimateCandidates` frames, from a
-    * SINGLE parquet relation spanning all roots' probed cluster dirs.
-    * Partition-local [[graft.core.BoundedTopK]] heaps bound the shuffle
-    * to ≤ partitions x roots x nCand tuples; the driver merges exact
-    * per-root top-nCand from those partials. Returns (id, lb, root). */
-  private[graft] def multiEstimateCandidates(idxs: Seq[IvfIndex], q: Array[Float],
-      nCand: Int, probes: Seq[Int],
-      epsilon: Double = 1.9): Array[(Long, Double, Int)] = {
+  /** One-read multi-root MULTI-QUERY estimate pools: per (root, query),
+    * the exact top `nCand` (id, lb) by epsilon-scaled code lower bound
+    * over that root's probed cells for that query — from a SINGLE
+    * parquet relation spanning every root's probed cluster dirs (union
+    * over queries). Partition-local [[graft.core.BoundedTopK]] heaps
+    * bound the collect to ≤ partitions x roots x queries x nCand
+    * tuples; the driver merges exact per-(root, query) top-nCand from
+    * those partials. Returns (root, queryIdx, id, lb) — lb WITHOUT the
+    * cosdist output shift (ordering-only, like estimateCandidates).
+    * One Spark job for R roots x T queries: the partitioned MaxSim
+    * serve's shape (T = query tokens) and, at T = 1, serveMulti's. */
+  private[graft] def multiEstimatePools(idxs: Seq[IvfIndex],
+      queries: Array[Array[Float]], nCand: Int, probes: Seq[Int],
+      epsilon: Double): Array[(Int, Int, Long, Double)] = {
     require(idxs.nonEmpty && probes.length == idxs.length,
       "one probe budget per root index")
+    require(queries.nonEmpty, "empty query batch")
     val spark = idxs.head.spark
     import spark.implicits._
+    val nQ = queries.length
     val info = scala.collection.mutable.HashMap.empty[String, DirInfo]
     val dirs = scala.collection.mutable.ArrayBuffer.empty[String]
+    // per root: cid -> the preps of queries probing it
+    val prepByRoot = Array.fill(idxs.length)(
+      scala.collection.mutable.HashMap.empty[Int, List[QPrep]])
     idxs.zipWithIndex.foreach { case (ix, r) =>
-      graft.eval.QueryRecorder.record(ix.dir, q)
-      val qq = ix.prepQuery(q)
-      val probed = ix.probe(q, probes(r))
-      probedDirs(ix, r, probed, ix.clusterPrep(qq, probed), info, dirs)
+      val allProbed = scala.collection.mutable.LinkedHashSet.empty[Int]
+      queries.zipWithIndex.foreach { case (q, qi) =>
+        graft.eval.QueryRecorder.record(ix.dir, q)
+        val qq = ix.prepQuery(q)
+        val probed = ix.probe(q, probes(r))
+        val pc = ix.clusterPrep(qq, probed)
+        probed.foreach { cid =>
+          val (qr, qSum, qNormSq, cDot) = pc(cid)
+          prepByRoot(r)(cid) = (qi, qr, qSum, qNormSq, cDot) ::
+            prepByRoot(r).getOrElse(cid, Nil)
+          allProbed += cid
+        }
+      }
+      probedDirs(ix, r, allProbed, info, dirs)
     }
     if (dirs.isEmpty) return Array.empty
     val nRoots = idxs.length
     val eps = epsilon
     val bInfo = spark.sparkContext.broadcast(info.toMap)
+    val bPreps = spark.sparkContext.broadcast(
+      prepByRoot.map(_.view.mapValues(_.toArray).toMap))
     val partials = flatCodesRead(spark, dirs.toSeq)
       .mapPartitions { it =>
         val info = bInfo.value
+        val preps = bPreps.value
         val dirCache = new java.util.HashMap[String, DirInfo]()
-        val heaps = new Array[graft.core.BoundedTopK](nRoots)
+        val heaps = new Array[graft.core.BoundedTopK](nRoots * nQ)
         it.foreach { case (id, cm, codes, path) =>
-          val inf = dirInfoFor(info, dirCache, path)
-          val lb = lbOf(inf, cm, codes, eps)
-          var h = heaps(inf._1)
-          if (h == null) { h = new graft.core.BoundedTopK(nCand); heaps(inf._1) = h }
-          h.offer(lb, id)
+          val (root, cid, bits, dim, isL2, _) = dirInfoFor(info, dirCache, path)
+          val qps = preps(root).getOrElse(cid, Array.empty[QPrep])
+          if (qps.nonEmpty) {
+            val code = RaBitQ.Code(cm, codes, bits, dim)
+            var i = 0
+            while (i < qps.length) {
+              val (qi, qr, qSum, qNormSq, cDot) = qps(i)
+              val lb = lbOf(code, bits, dim, isL2, qr, qSum, qNormSq, cDot, eps)
+              val slot = root * nQ + qi
+              var h = heaps(slot)
+              if (h == null) { h = new graft.core.BoundedTopK(nCand); heaps(slot) = h }
+              h.offer(lb, id)
+              i += 1
+            }
+          }
         }
-        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Double, Int)]
-        var r = 0
-        while (r < heaps.length) {
-          val h = heaps(r)
-          if (h != null) { val rr = r; h.foreachPair((lb, id) => out += ((id, lb, rr))) }
-          r += 1
+        val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, Long, Double)]
+        var s = 0
+        while (s < heaps.length) {
+          val h = heaps(s)
+          if (h != null) {
+            val r = s / nQ; val qi = s % nQ
+            h.foreachPair((lb, id) => out += ((r, qi, id, lb)))
+          }
+          s += 1
         }
         out.iterator
       }.collect()
-    partials.groupBy(_._3).valuesIterator.flatMap { rows =>
-      rows.sortBy(t => (t._2, t._1)).take(nCand)
+    partials.groupBy(t => (t._1, t._2)).valuesIterator.flatMap { rows =>
+      rows.sortBy(t => (t._4, t._3)).take(nCand)
     }.toArray
   }
+
+  /** One-read multi-root top-k candidate pool (the T = 1 face of
+    * [[multiEstimatePools]]): per root, the exact top `nCand` (id, lb)
+    * — the same rows (and (lb, id) tie order) as unioning per-root
+    * `estimateCandidates` frames. Returns (id, lb, root). */
+  private[graft] def multiEstimateCandidates(idxs: Seq[IvfIndex], q: Array[Float],
+      nCand: Int, probes: Seq[Int],
+      epsilon: Double = 1.9): Array[(Long, Double, Int)] =
+    multiEstimatePools(idxs, Array(q), nCand, probes, epsilon)
+      .map { case (r, _, id, lb) => (id, lb, r) }
 
   /** One-read multi-root RANGE candidates: ids whose code lower bound
     * undercuts `radius` in ANY root's sphere-intersecting cells (the
@@ -850,24 +896,32 @@ object IvfIndex {
     import spark.implicits._
     val info = scala.collection.mutable.HashMap.empty[String, DirInfo]
     val dirs = scala.collection.mutable.ArrayBuffer.empty[String]
+    val prepByRoot = Array.fill(idxs.length)(
+      Map.empty[Int, (Array[Float], Double, Double, Double)])
     idxs.zipWithIndex.foreach { case (ix, r) =>
       graft.eval.QueryRecorder.record(ix.dir, center)
       val qq = ix.prepQuery(center)
       val probed = ix.rangeCells(qq, radius)
-      probedDirs(ix, r, probed, ix.clusterPrep(qq, probed), info, dirs)
+      prepByRoot(r) = ix.clusterPrep(qq, probed)
+      probedDirs(ix, r, probed, info, dirs)
     }
     if (dirs.isEmpty) return Array.empty
     val eps = epsilon
     val rad = radius
     val bInfo = spark.sparkContext.broadcast(info.toMap)
+    val bPreps = spark.sparkContext.broadcast(prepByRoot)
     flatCodesRead(spark, dirs.toSeq)
       .mapPartitions { it =>
         val info = bInfo.value
+        val preps = bPreps.value
         val dirCache = new java.util.HashMap[String, DirInfo]()
         it.flatMap { case (id, cm, codes, path) =>
-          val inf = dirInfoFor(info, dirCache, path)
-          val lb0 = lbOf(inf, cm, codes, eps)
-          val lb = if (inf._5) 1.0 + lb0 else lb0 // cosdist output shift
+          val (root, cid, bits, dim, isL2, isCos) =
+            dirInfoFor(info, dirCache, path)
+          val (qr, qSum, qNormSq, cDot) = preps(root)(cid)
+          val code = RaBitQ.Code(cm, codes, bits, dim)
+          val lb0 = lbOf(code, bits, dim, isL2, qr, qSum, qNormSq, cDot, eps)
+          val lb = if (isCos) 1.0 + lb0 else lb0 // cosdist output shift
           if (lb < rad) Iterator.single(id) else Iterator.empty
         }
       }.limit(cap + 1).collect()
@@ -905,14 +959,13 @@ object IvfIndex {
     inf
   }
 
-  /** The estFrame estimator over a DirInfo: epsilon-scaled code lower
-    * bound in the root's own metric (dot-family WITHOUT the cosdist
-    * output shift — ordering-only callers match estimateCandidates;
-    * range callers apply the shift at the cutoff). */
-  private def lbOf(inf: DirInfo, cm: Array[Float], codes: Array[Byte],
-                   epsilon: Double): Double = {
-    val (_, bits, dim, isL2, _, qr, qSum, qNormSq, cDot) = inf
-    val code = RaBitQ.Code(cm, codes, bits, dim)
+  /** The estFrame estimator: epsilon-scaled code lower bound in the
+    * root's own metric (dot-family WITHOUT the cosdist output shift —
+    * ordering-only callers match estimateCandidates; range callers
+    * apply the shift at the cutoff). */
+  private def lbOf(code: RaBitQ.Code, bits: Int, dim: Int, isL2: Boolean,
+                   qr: Array[Float], qSum: Double, qNormSq: Double,
+                   cDot: Double, epsilon: Double): Double =
     if (isL2) {
       val (e, err) = RaBitQ.estimateL2s(code, qr, qSum, qNormSq)
       math.sqrt(math.max(e - epsilon * err, 0.0))
@@ -921,7 +974,6 @@ object IvfIndex {
       val err = math.sqrt(qNormSq) * code.scale * math.sqrt(dim.toDouble)
       -d - epsilon * err
     }
-  }
 }
 
 final class IvfIndex(val spark: SparkSession, val dir: String, val meta: IvfMeta) {

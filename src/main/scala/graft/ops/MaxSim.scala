@@ -265,6 +265,57 @@ object MaxSim {
     } finally { retrieved.unpersist(); () }
   }
 
+  /**
+   * Candidate docs for a PARTITIONED multivector corpus — per-child
+   * token indexes serving a whole-table MaxSim query (reference
+   * scanners/maxsim.rs semantics over partition.slt-style per-child
+   * indexes). ONE Spark job retrieves every (root, token) pool from a
+   * single flat parquet read spanning all roots' probed cells
+   * (IvfIndex.multiEstimatePools, epsilon = 0 — unbiased estimates, the
+   * reference's maxsim_refine=0 retrieval mode); docs then score on the
+   * driver over the BOUNDED pools (≤ roots x tokens x kPerToken rows):
+   * per (root, doc), per-token min retrieved estimate, with the token's
+   * worst retrieved distance in that root standing in for misses (the
+   * [[approxTopK]] estimate contract applied per root — a doc never
+   * competes against another root's stand-ins). Returns per root the
+   * top `docsPerRoot` (root, doc, score) by ascending estimate.
+   *
+   * Callers MUST rerank exactly (the served plan's own Sort over the
+   * source table does) — estimate error costs recall at the candidate
+   * boundary only, never final ordering. Docs are unique across roots
+   * (a partitioned corpus holds each doc's tokens in exactly one child).
+   */
+  def multiRootCandidateDocs(idxs: Seq[graft.index.IvfIndex],
+      query: Array[Array[Float]], docsPerRoot: Int, kPerToken: Int,
+      probes: Seq[Int]): Array[(Int, Long, Double)] = {
+    require(query.nonEmpty, "empty token query")
+    val pools = graft.index.IvfIndex.multiEstimatePools(idxs, query,
+      kPerToken, probes, epsilon = 0.0)
+    val nQ = query.length
+    val worst = pools.groupBy(t => (t._1, t._2)).view
+      .mapValues(_.map(_._4).max).toMap
+    pools.groupBy(_._1).iterator.flatMap { case (root, rows) =>
+      // token retrieved nothing in this root -> 0.0 (the approxTopK
+      // no-retrieval stand-in)
+      val est = Array.tabulate(nQ)(qi => worst.getOrElse((root, qi), 0.0))
+      val perDoc = scala.collection.mutable.HashMap.empty[Long, Array[Double]]
+      rows.foreach { case (_, qi, id, lb) =>
+        val buf = perDoc.getOrElseUpdate(unpackDoc(id),
+          Array.fill(nQ)(Double.PositiveInfinity))
+        if (lb < buf(qi)) buf(qi) = lb
+      }
+      perDoc.iterator.map { case (doc, buf) =>
+        var s = 0.0
+        var i = 0
+        while (i < nQ) {
+          s += (if (buf(i) == Double.PositiveInfinity) est(i) else buf(i))
+          i += 1
+        }
+        (root, doc, s)
+      }.toArray.sortBy(t => (t._3, t._2)).take(docsPerRoot)
+    }.toArray
+  }
+
   /** Cap on the pushed rescore range count — few enough that parquet's
     * per-row-group Or evaluation stays cheap and nowhere near its
     * recursion limit, enough that scattered candidate docs still prune

@@ -127,17 +127,24 @@ object AnnCatalog {
     * (cheap: re-deciding a directory is one prefix scan). Appends add
     * files to EXISTING partition dirs or new dirs — cached dirs stay
     * valid, new dirs get decided and cached on first sight. */
-  def coverByFiles(rootPaths: Seq[String], files: Seq[String]): Option[Seq[Entry]] = {
+  def coverByFiles(rootPaths: Seq[String], files: Seq[String]): Option[Seq[Entry]] =
+    coverByFilesIn(rootPaths, files, entries, coverCache)
+
+  /** [[coverByFiles]] generalized over an entry map + decision cache (the
+    * same machinery serves the MaxSim catalog). */
+  private def coverByFilesIn[E <: AnyRef](rootPaths: Seq[String], files: Seq[String],
+      all: java.util.concurrent.ConcurrentHashMap[String, E],
+      cache: java.util.concurrent.ConcurrentHashMap[String, Option[E]]): Option[Seq[E]] = {
     import scala.jdk.CollectionConverters._
-    if (files.isEmpty || entries.isEmpty) return None
+    if (files.isEmpty || all.isEmpty) return None
     val rootPrefixes = rootPaths.map(p => norm(p) + "/")
     val rootsKey = rootPrefixes.sorted.mkString("|")
-    val regs = entries.asScala.toSeq.collect {
+    val regs = all.asScala.toSeq.collect {
       case (p, e) if rootPrefixes.exists(r => (p + "/").startsWith(r)) =>
         (p + "/", e)
     }
     if (regs.isEmpty) return None
-    val out = scala.collection.mutable.LinkedHashSet.empty[Entry]
+    val out = scala.collection.mutable.LinkedHashSet.empty[E]
     val seenDirs = scala.collection.mutable.HashSet.empty[String]
     val it = files.iterator
     while (it.hasNext) {
@@ -146,11 +153,11 @@ object AnnCatalog {
       val dir = if (cut >= 0) nf.substring(0, cut + 1) else nf
       if (seenDirs.add(dir)) { // each distinct leaf dir decided once per plan
         val key = rootsKey + "|#|" + dir
-        var dec = coverCache.get(key)
+        var dec = cache.get(key)
         if (dec == null) {
           dec = regs.find { case (prefix, _) => dir.startsWith(prefix) }
             .map(_._2)
-          coverCache.put(key, dec)
+          cache.put(key, dec)
         }
         dec match {
           case Some(e) => out += e
@@ -284,13 +291,35 @@ object AnnCatalog {
     * documents whose exploded tokens were indexed (MaxSim.buildTokenIndex)
     * at `indexDir`. */
   def registerMaxSim(tablePath: String, indexDir: String,
-                     docCol: String, tokensCol: String): Unit =
+                     docCol: String, tokensCol: String): Unit = {
     msEntries.put(norm(tablePath), MaxSimEntry(indexDir, docCol, tokensCol))
+    msCoverCache.clear()
+  }
 
-  def unregisterMaxSim(tablePath: String): Unit = msEntries.remove(norm(tablePath))
+  def unregisterMaxSim(tablePath: String): Unit = {
+    msEntries.remove(norm(tablePath))
+    msCoverCache.clear()
+  }
 
   def lookupMaxSim(rootPaths: Seq[String]): Option[MaxSimEntry] =
     covering(rootPaths, msEntries.get)
+
+  /** Multi-root MaxSim lookups (the partitioned multivector corpus,
+    * strategy-3 analogue of [[lookupAll]] / [[coverByFiles]]): every
+    * root — or every scanned child dir — must resolve to its own
+    * registered per-child token index. */
+  def lookupAllMaxSim(rootPaths: Seq[String]): Option[Seq[MaxSimEntry]] = {
+    val es = rootPaths.map(p => Option(msEntries.get(norm(p))))
+    if (es.nonEmpty && es.forall(_.isDefined)) Some(es.flatten.distinct)
+    else None
+  }
+
+  def coverMaxSimByFiles(rootPaths: Seq[String],
+                         files: Seq[String]): Option[Seq[MaxSimEntry]] =
+    coverByFilesIn(rootPaths, files, msEntries, msCoverCache)
+
+  private val msCoverCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Option[MaxSimEntry]]()
 
   def maxSimIndex(spark: SparkSession, e: MaxSimEntry): IvfIndex =
     indexes.computeIfAbsent(e.indexDir, d => IvfIndex.load(spark, d))
@@ -597,12 +626,37 @@ case class AnnTopKRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
                 case h: HadoopFsRelation => Some(h)
                 case _ => None
               }
-              entry <- AnnCatalog.lookupMaxSim(fsRel.location.rootPaths.map(_.toString))
-              if attr.name == entry.tokensCol
-              docAttr <- child.output.find(_.name == entry.docCol)
-              idLit <- litFor(docAttr)
-              if AnnCatalog.maxSimIndex(spark, entry).meta.cfg.metric == "negdot"
-              served <- serveMaxSim(gl, sort, child, projOpt, entry, docAttr, idLit, qv, k)
+              roots = fsRel.location.rootPaths.map(_.toString)
+              served <- {
+                val viaSingle = for {
+                  entry <- AnnCatalog.lookupMaxSim(roots)
+                  if attr.name == entry.tokensCol
+                  docAttr <- child.output.find(_.name == entry.docCol)
+                  idLit <- litFor(docAttr)
+                  if AnnCatalog.maxSimIndex(spark, entry).meta.cfg.metric == "negdot"
+                  s <- serveMaxSim(gl, sort, child, projOpt, entry, docAttr, idLit, qv, k)
+                } yield s
+                // PARTITIONED multivector corpus (per-child token
+                // indexes, the strategy-3 analogue of serveMulti):
+                // candidate docs from one flat retrieval job over every
+                // root's probed cells; the plan's own exact Sort+Limit
+                // reranks the pooled docs
+                def viaMulti = for {
+                  es <- AnnCatalog.lookupAllMaxSim(roots).filter(_.size > 1)
+                    .orElse(AnnCatalog.coverMaxSimByFiles(roots,
+                      fsRel.location.inputFiles.toSeq))
+                  if es.forall(_.tokensCol == attr.name)
+                  if es.map(_.docCol).distinct.size == 1
+                  if !isServedPlan(child)
+                  docAttr <- child.output.find(_.name == es.head.docCol)
+                  idLit <- litFor(docAttr)
+                  if es.forall(e =>
+                    AnnCatalog.maxSimIndex(spark, e).meta.cfg.metric == "negdot")
+                  s <- serveMaxSimMulti(gl, sort, child, projOpt, es, docAttr,
+                    idLit, qv, k)
+                } yield s
+                viaSingle.orElse(viaMulti)
+              }
             } yield served).getOrElse(gl)
           case _ => gl
         }
@@ -843,6 +897,70 @@ case class AnnTopKRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
       val body = projOpt.map(pl => Project(pl, sorted): LogicalPlan).getOrElse(sorted)
       Some(GlobalLimit(Literal(k), LocalLimit(Literal(k), body)))
     }
+  }
+
+  /** Partitioned MaxSim serve (strategy 3 over per-child indexes —
+    * reference scanners/maxsim.rs semantics across partition.slt-style
+    * children): ONE flat retrieval job pools every (root, token)'s
+    * estimate candidates, docs score per root on the driver with per-root
+    * miss stand-ins (MaxSim.multiRootCandidateDocs), and the rewritten
+    * plan's own exact Sort+Limit over the IN-restricted scan restores
+    * exact ordering. Candidate budget: k*refine docs per root, floored
+    * at each root's top-k then filled globally by estimate when over
+    * `graft.ann.maxInList` (the serveMulti policy — same ANN-contract
+    * note as there). Cost gate: summed per-root token-index work vs the
+    * total exact scan of every root's token rows. */
+  private def serveMaxSimMulti(gl: LogicalPlan, sort: Sort, child: LogicalPlan,
+                               projOpt: Option[Seq[NamedExpression]],
+                               es: Seq[AnnCatalog.MaxSimEntry], docAttr: Attribute,
+                               idLit: Long => Literal, qv: ArrayData,
+                               k: Int): Option[LogicalPlan] = {
+    val idxs = es.map(e => AnnCatalog.maxSimIndex(spark, e))
+    val query: Array[Array[Float]] =
+      Array.tabulate(qv.numElements())(i => qv.getArray(i).toFloatArray())
+    if (query.isEmpty) return Some(gl)
+    val probesConf = spark.conf.get("graft.ann.probes", "auto")
+    def probesFor(lists: Int): Int =
+      if (probesConf == "auto") math.max(1, math.ceil(math.sqrt(lists.toDouble)).toInt)
+      else probesConf.toInt
+    val refine = spark.conf.get("graft.ann.refine", "8").toInt
+    val kPerToken = spark.conf.get("graft.ann.maxsim.kPerToken", "100").toInt
+    val maxInList = spark.conf.get("graft.ann.maxInList", "8192").toInt
+    if (spark.conf.get("graft.ann.cost.enable", "true").toBoolean) {
+      val qn = query.length.toDouble
+      val nTotal = idxs.map(_.rowCount).sum.toDouble
+      val costIdx = idxs.map { ix =>
+        qn * (ix.rowCount.toDouble * probesFor(ix.meta.cfg.lists) /
+          ix.meta.cfg.lists * 0.3 + kPerToken)
+      }.sum + k.toDouble * refine * 32
+      if (costIdx >= nTotal * qn) return None
+    }
+    // the k-floor is the serve/decline line (as serveMulti): if even k
+    // docs per root overflow the IN budget, the exact plan wins
+    if (idxs.length.toLong * k > maxInList) return Some(gl)
+    AnnTopKRewrite.planningJobs.incrementAndGet()
+    val probes = idxs.map(ix => probesFor(ix.meta.cfg.lists))
+    val perRoot = graft.ops.MaxSim.multiRootCandidateDocs(idxs, query,
+      docsPerRoot = k * math.max(refine, 1), kPerToken = kPerToken,
+      probes = probes)
+    if (perRoot.isEmpty) return Some(gl)
+    val ids: Array[Long] =
+      if (perRoot.length <= maxInList) perRoot.map(_._2).distinct
+      else {
+        val floor = perRoot.groupBy(_._1).valuesIterator
+          .flatMap(_.sortBy(t => (t._3, t._2)).take(k)).toArray
+        val floorIds = floor.map(_._2).toSet
+        val rest = perRoot.filter(t => !floorIds.contains(t._2))
+          .sortBy(t => (t._3, t._2))
+        (floor.map(_._2) ++
+          rest.take(maxInList - floorIds.size).map(_._2)).distinct
+      }
+    ensureInPushdown(ids.length)
+    val filter = stamped(Filter(In(docAttr,
+      scala.collection.immutable.ArraySeq.unsafeWrapArray(ids.map(idLit))), child))
+    val sorted = Sort(sort.order, global = true, filter)
+    val body = projOpt.map(pl => Project(pl, sorted): LogicalPlan).getOrElse(sorted)
+    Some(GlobalLimit(Literal(k), LocalLimit(Literal(k), body)))
   }
 
   private def litFor(idAttr: Attribute): Option[Long => Literal] =

@@ -509,6 +509,59 @@ object GraftQueries {
       },
       Some(knnOracleWhere("vec_id % 251 = 3"))),
 
+    // Partitioned MAXSIM serving (round 12; reference scanners/maxsim.rs
+    // over partition.slt-style per-child indexes): the doc corpus split
+    // into two parquet roots (pt = doc % 2), each with its own token
+    // index; the whole-table `ORDER BY @# LIMIT k` is served by ONE flat
+    // retrieval job pooling both roots' per-token candidates, then the
+    // plan's own exact Sort reranks — asserted in-query. k covers every
+    // doc and kPerToken covers every token row, so the output is exact
+    // and hash-matches the same DuckDB oracle as s7_maxsim/maxsim_agg.
+    "maxsim_partitioned" -> Q(
+      (s, d) => {
+        val path = partitionedMaxSimTable(s, d)
+        val qs = (1L to 3L).map(qvec(s, d, _))
+        if (!s.experimental.extraOptimizations.exists(_.isInstanceOf[graft.plans.AnnTopKRewrite]))
+          s.experimental.extraOptimizations =
+            s.experimental.extraOptimizations :+ graft.plans.AnnTopKRewrite(s)
+        s.conf.set("graft.ann.probes", "8")
+        s.conf.set("graft.ann.maxsim.kPerToken", "1024")
+        s.conf.set("graft.ann.cost.enable", "false")
+        val served =
+          try {
+            val df = s.read.parquet(path)
+              .orderBy(vecMaxsim(col("tokens"), typedlit(qs.map(_.toSeq))))
+              .limit(10)
+            require(df.queryExecution.optimizedPlan.toString.contains(" IN "),
+              "maxsim_partitioned was NOT index-served — the per-partition " +
+              "token-index cover failed to match:\n" +
+              df.queryExecution.optimizedPlan)
+            df.collect()
+          } finally {
+            s.conf.unset("graft.ann.cost.enable")
+            s.conf.unset("graft.ann.maxsim.kPerToken")
+          }
+        import s.implicits._
+        served.map { r =>
+          // runtime element type is mutable.ArraySeq — type the inner Seq
+          // loosely and convert, or the encoder cast fails
+          val toks = r.getSeq[scala.collection.Seq[Float]](r.fieldIndex("tokens"))
+            .map(_.toSeq).toSeq
+          (r.getLong(r.fieldIndex("doc")), toks)
+        }.toSeq.toDF("doc", "tokens")
+          .select(col("doc").cast("int").as("doc"),
+            vecMaxsim(col("tokens"), typedlit(qs.map(_.toSeq))).as("raw"))
+          .orderBy(col("raw"), col("doc"))
+          .select(col("doc"), (round(col("raw"), 3) + 0.0).as("maxsim"))
+      },
+      Some("""WITH qt AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id IN (1, 2, 3)),
+             |e AS (SELECT label, vec_id, embedding, unnest(range(0, 64)) AS i FROM embeddings),
+             |nd AS (SELECT e.label AS doc, e.vec_id AS did, qt.qid AS qid,
+             |  -sum(CAST(e.embedding[i+1] AS DOUBLE) * CAST(qt.qe[i+1] AS DOUBLE)) AS negdot
+             |  FROM e, qt GROUP BY 1, 2, 3),
+             |m AS (SELECT doc, qid, min(negdot) AS mind FROM nd GROUP BY doc, qid)
+             |SELECT doc, round(sum(mind), 3) + 0.0 AS maxsim FROM m GROUP BY doc ORDER BY sum(mind), doc""".stripMargin)),
+
     "knn_join" -> Q(
       (s, d) => {
         import s.implicits._
@@ -2386,6 +2439,33 @@ object GraftQueries {
       dst
     }
 
+  /** Two-root partitioned MULTIVECTOR corpus (docs = labels, pt = doc % 2)
+    * with one token index per root, both registered — the strategy-3
+    * per-partition-index fixture (`maxsim_partitioned`; reference
+    * scanners/maxsim.rs over partition.slt-style children). */
+  private def partitionedMaxSimTable(s: SparkSession, d: String): String =
+    cached(s"msparttbl:$d") {
+      val dst = vdir(d, "msparttbl")
+      val e = tbl(s, d, "embeddings")
+      e.groupBy(col("label").cast("long").as("doc"))
+        .agg(collect_list(col("embedding")).as("tokens"))
+        .withColumn("pt", (col("doc") % 2).cast("int"))
+        .write.partitionBy("pt").mode("overwrite").parquet(dst)
+      (0 to 1).foreach { p =>
+        val idir = s"$dst-idx$p"
+        val toks = e.filter(col("label") % 2 === p)
+          .withColumn("pos", row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy(col("label")).orderBy(col("vec_id"))) - 1)
+          .select(col("label").cast("long").as("doc"), col("pos"),
+            col("embedding").as("v"))
+        MaxSim.buildTokenIndex(toks, "doc", "pos", "v", idir,
+          IvfConfig(metric = "negdot", lists = 8))
+        graft.plans.AnnCatalog.registerMaxSim(s"$dst/pt=$p", idir, "doc", "tokens")
+      }
+      dst
+    }
+
   /** Build every index/graph the queries cache. Bench calls this in
     * warmup so per-query timings measure query execution; index builds
     * are one-time costs reported separately (`_index_builds`). */
@@ -2397,6 +2477,7 @@ object GraftQueries {
     Seq("gins", "gq", "gvac", "gvacq").foreach(variantGraph(s, d, _))
     prefilterTable(s, d)
     partitionedEmbTable(s, d)
+    partitionedMaxSimTable(s, d)
     dedupPipe(s, d)
     PostingsCache.get(s, d)
     BpeCache.get(s, d)

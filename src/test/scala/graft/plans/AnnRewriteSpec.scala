@@ -1148,6 +1148,34 @@ class AnnRewriteSpec extends SparkSpec {
             }.sorted.take(5).map(_._2).toSeq
           assert(got == want, s"maxsim partition $p")
         }
+        // WHOLE-TABLE read over the partitioned corpus (strategy 3's
+        // serveMulti analogue): ONE flat retrieval job pools both roots'
+        // per-token candidates; the served plan's own exact Sort reranks,
+        // so the result equals the brute-force whole-corpus top-k
+        val jm0 = AnnTopKRewrite.planningJobs.get()
+        val dfAll = spark.read.parquet(tableDir)
+          .orderBy(GraftFunctions.vecMaxsim(col("tokens"), typedlit(query)))
+          .limit(5)
+        assert(dfAll.queryExecution.optimizedPlan.toString.contains(" IN "),
+          "whole-table maxsim read over per-partition indexes not served:\n" +
+            dfAll.queryExecution.optimizedPlan)
+        assert(AnnTopKRewrite.planningJobs.get() == jm0 + 1,
+          s"expected ONE planning job for the 2-root maxsim serve, got " +
+            s"${AnnTopKRewrite.planningJobs.get() - jm0}")
+        val gotAll = dfAll.collect().map(_.getLong(0)).toSeq
+        val wantAll = docs.map { case (id, ts, _) =>
+            (K.maxsim(ts.map(_.toArray).toArray, qArr), id)
+          }.sorted.take(5).map(_._2).toSeq
+        assert(gotAll == wantAll,
+          s"maxsim union serve: got=$gotAll want=$wantAll")
+        // a root whose index goes unregistered must DECLINE the union
+        // serve (its docs would silently vanish from the top-k)
+        AnnCatalog.unregisterMaxSim(s"$tableDir/part=1")
+        val dfGone = spark.read.parquet(tableDir)
+          .orderBy(GraftFunctions.vecMaxsim(col("tokens"), typedlit(query)))
+          .limit(5)
+        assert(!dfGone.queryExecution.optimizedPlan.toString.contains(" IN "),
+          "partial maxsim cover must NOT serve the whole-table read")
       }
     } finally (0 to 1).foreach(p =>
       AnnCatalog.unregisterMaxSim(s"$tableDir/part=$p"))
