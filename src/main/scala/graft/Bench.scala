@@ -124,14 +124,30 @@ object Bench {
     // force — demonstrates the index path's advantage growing with N
     // (partition pruning + code-only estimate scan).
     val scale = graft.tools.ScaleProbe.run(spark)
+    // drop dead heap before the post reading so it measures steady-state
+    // work, not a GC backlog the timed section left behind
+    System.gc()
     val sentinelPost = try sentinel() catch { case NonFatal(_) => -1.0 }
+    // RATIO IS THE PRE READING vs the quiet-box reference — the box's
+    // state when the capture STARTED. The post reading is reported as
+    // _sentinel_drift = post/pre instead: measured in round 12, a fresh
+    // JVM launched seconds after a full run whose post read 0.62-0.64
+    // measures pre ~0.35-0.41 again on the same idle box — so the post
+    // inflation is IN-JVM drag accumulated over the ~1500-job run
+    // (scheduler/JIT/heap state), not external contention, and folding
+    // it into the ratio blamed the box for the JVM's own aging (r11's
+    // committed 1.28 was exactly this). Drift is still worth reporting:
+    // it inflates LATE-alphabet queries relative to early ones within a
+    // capture, bounded by the drift factor.
     val sentinelRatio =
+      if (sentinelPre <= 0) -1.0 else sentinelPre / sentinelRef
+    val sentinelDrift =
       if (sentinelPre <= 0 || sentinelPost <= 0) -1.0
-      else math.max(sentinelPre, sentinelPost) / sentinelRef
+      else sentinelPost / sentinelPre
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     val aggs = Seq("_index_builds" -> buildSec, "_warm_pass" -> warmPassSec,
       "_sentinel_pre" -> sentinelPre, "_sentinel_post" -> sentinelPost,
-      "_sentinel_ratio" -> sentinelRatio)
+      "_sentinel_ratio" -> sentinelRatio, "_sentinel_drift" -> sentinelDrift)
     def jline(entries: Seq[(String, Double)], fmt: Double => String): String = {
       val qs = entries.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
         .mkString("{", ",", "}")
