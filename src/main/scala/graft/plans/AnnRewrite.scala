@@ -846,7 +846,16 @@ case class AnnTopKRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
               cv.toFloatArray(), radius, eps, maxInList)
         // overflow check BEFORE dedup: a truncated-then-deduped list could
         // sneak under the cap while silently missing candidates past the
-        // limit — serving it would drop qualifying rows
+        // limit — serving it would drop qualifying rows.
+        // DECISION (round 12, deliberate): overflow DECLINES to the exact
+        // plan rather than escalating. Unlike top-k, a range's output is
+        // every qualifying row — there is no k-floor to fill toward, and
+        // past maxInList candidates the IN plan loses to the exact
+        // cell-pruned scan anyway (the same economics that cap the
+        // single-root path). Callers with genuinely huge spheres have the
+        // DSL's rangeSearch/rangeSearchMany, which serve the >maxInList
+        // regime with a DISTRIBUTED candidate join and a no-prune scan
+        // fallback — machinery a planner rewrite cannot express as an IN.
         val all = if (raw.length > maxInList) raw else raw.distinct
         if (raw.length > maxInList) None
         else if (all.isEmpty) Some(LocalRelation(f.output))

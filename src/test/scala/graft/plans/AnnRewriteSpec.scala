@@ -573,6 +573,66 @@ class AnnRewriteSpec extends SparkSpec {
     } finally (0 to 1).foreach(p => AnnCatalog.unregister(s"$tableDir/part=$p"))
   }
 
+  test("flat multi-root read serves MIXED-CONFIG children with delta appends " +
+       "(per-root bits/storage/rotation; gen + delta dirs in one relation)") {
+    import spark.implicits._
+    val rng = new scala.util.Random(107)
+    val rows = (0L until 900L).map(i =>
+      (i, Seq.fill(8)(rng.nextFloat() * 2 - 1), (i % 3).toInt))
+    val tableDir = Files.createTempDirectory("graft-ann-mixed").toString
+    rows.toDF("id", "vec", "part")
+      .write.partitionBy("part").mode("overwrite").parquet(tableDir)
+    // children deliberately heterogeneous: the broadcast dir map must
+    // carry each root's own bits/dim/metric prep, not a shared config
+    val cfgs = Seq(
+      IvfConfig(lists = 4, bits = 8),
+      IvfConfig(lists = 4, bits = 4, storage = "f16", rotate = true),
+      IvfConfig(lists = 4, bits = 1))
+    (0 to 2).foreach { p =>
+      val d = Files.createTempDirectory(s"graft-ann-mixed-idx$p").toString
+      val src = spark.read.parquet(s"$tableDir/part=$p")
+      if (p == 0) {
+        // build over a prefix, append the rest as a DELTA: the flat read
+        // must list delta cluster dirs too or root 0's newest rows vanish
+        val idx = IvfIndex.build(src.filter(col("id") < 600), "id", "vec",
+          d, cfgs(p))
+        idx.appendDelta(src.filter(col("id") >= 600), "id", "vec")
+      } else IvfIndex.build(src, "id", "vec", d, cfgs(p))
+      AnnCatalog.register(s"$tableDir/part=$p", d, "id", "vec")
+    }
+    try withRule {
+      withConfs("graft.ann.probes" -> "4", "graft.ann.refine" -> "50",
+          "graft.ann.cost.enable" -> "false") {
+        val q = Array.fill(8)(0.12f)
+        val df = spark.read.parquet(tableDir)
+          .orderBy(GraftFunctions.vecL2(col("vec"), typedlit(q.toSeq)))
+          .limit(9).select("id")
+        assert(df.queryExecution.optimizedPlan.toString.contains(" IN "),
+          "mixed-config whole-table read not served")
+        val got = df.collect().map(_.getLong(0)).toSeq
+        val want = rows.map { case (id, v, _) => (K.l2(v.toArray, q), id) }
+          .sorted.take(9).map(_._2).toSeq
+        assert(got == want, s"got=$got want=$want")
+        // the partitioned RANGE serve over the same mixed roots. Radius
+        // sits in the widest inter-distance gap of the mid-range so the
+        // set equality cannot flake on f16/quantization boundary rows.
+        val ds = rows.map { case (_, v, _) => K.l2(v.toArray, q) }.sorted
+        val gi = (50 until 250).maxBy(j => ds(j + 1) - ds(j))
+        val radius = (ds(gi) + ds(gi + 1)) / 2
+        val rdf = spark.read.parquet(tableDir)
+          .filter(GraftFunctions.vecL2(col("vec"), typedlit(q.toSeq)) < radius)
+          .select("id")
+        assert(rdf.queryExecution.optimizedPlan.toString.contains(" IN "),
+          "mixed-config range filter not served")
+        val rGot = rdf.collect().map(_.getLong(0)).toSet
+        val rWant = rows.collect {
+          case (id, v, _) if K.l2(v.toArray, q) < radius => id
+        }.toSet
+        assert(rGot == rWant, s"range: got ${rGot.size} want ${rWant.size}")
+      }
+    } finally (0 to 2).foreach(p => AnnCatalog.unregister(s"$tableDir/part=$p"))
+  }
+
   test("whole-table read over a partitioned dir: per-child indexes serve the union") {
     import spark.implicits._
     val rng = new scala.util.Random(93)
