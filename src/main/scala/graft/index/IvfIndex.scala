@@ -882,34 +882,50 @@ object IvfIndex {
     multiEstimatePools(idxs, Array(q), nCand, probes, epsilon)
       .map { case (r, _, id, lb) => (id, lb, r) }
 
-  /** One-read multi-root RANGE candidates: ids whose code lower bound
-    * undercuts `radius` in ANY root's sphere-intersecting cells (the
-    * rangeCandidateDf cutoff, cos-shifted like the single-root path),
-    * capped at `cap + 1` rows so callers detect overflow without an
-    * unbounded collect. May contain gen+delta duplicates (like the
-    * per-root frames) — callers dedup after the overflow check. */
+  /** One-read multi-root MULTI-SPHERE range candidates: ids whose code
+    * lower bound undercuts SOME sphere's radius in that sphere's
+    * intersecting cells of ANY root (the rangeCandidateDf cutoff,
+    * cos-shifted like the single-root path; a row exits at its first
+    * passing sphere), capped at `cap + 1` rows so callers detect
+    * overflow without an unbounded collect. One Spark job and ONE
+    * analyzed relation for R roots x M spheres — the standalone range
+    * serve (M = 1) and the partitioned range-JOIN serve both pool
+    * through this. May contain gen+delta duplicates (like the per-root
+    * frames) — callers dedup after the overflow check. */
   private[graft] def multiRangeCandidateIds(idxs: Seq[IvfIndex],
-      center: Array[Float], radius: Double, epsilon: Double,
+      spheres: Array[(Array[Float], Double)], epsilon: Double,
       cap: Int): Array[Long] = {
     require(idxs.nonEmpty, "no root indexes")
+    require(spheres.nonEmpty, "no spheres")
     val spark = idxs.head.spark
     import spark.implicits._
     val info = scala.collection.mutable.HashMap.empty[String, DirInfo]
     val dirs = scala.collection.mutable.ArrayBuffer.empty[String]
-    val prepByRoot = Array.fill(idxs.length)(
-      Map.empty[Int, (Array[Float], Double, Double, Double)])
+    // per root: cid -> preps of the spheres whose range cells include it
+    // ((radius, qr, qSum, qNormSq, clusterDot) per sphere)
+    val prepByRoot = Array.fill(idxs.length)(scala.collection.mutable
+      .HashMap.empty[Int, List[(Double, Array[Float], Double, Double, Double)]])
     idxs.zipWithIndex.foreach { case (ix, r) =>
-      graft.eval.QueryRecorder.record(ix.dir, center)
-      val qq = ix.prepQuery(center)
-      val probed = ix.rangeCells(qq, radius)
-      prepByRoot(r) = ix.clusterPrep(qq, probed)
-      probedDirs(ix, r, probed, info, dirs)
+      val allProbed = scala.collection.mutable.LinkedHashSet.empty[Int]
+      spheres.foreach { case (center, radius) =>
+        graft.eval.QueryRecorder.record(ix.dir, center)
+        val qq = ix.prepQuery(center)
+        val probed = ix.rangeCells(qq, radius)
+        val pc = ix.clusterPrep(qq, probed)
+        probed.foreach { cid =>
+          val (qr, qSum, qNormSq, cDot) = pc(cid)
+          prepByRoot(r)(cid) = (radius, qr, qSum, qNormSq, cDot) ::
+            prepByRoot(r).getOrElse(cid, Nil)
+          allProbed += cid
+        }
+      }
+      probedDirs(ix, r, allProbed, info, dirs)
     }
     if (dirs.isEmpty) return Array.empty
     val eps = epsilon
-    val rad = radius
     val bInfo = spark.sparkContext.broadcast(info.toMap)
-    val bPreps = spark.sparkContext.broadcast(prepByRoot)
+    val bPreps = spark.sparkContext.broadcast(
+      prepByRoot.map(_.view.mapValues(_.toArray).toMap))
     flatCodesRead(spark, dirs.toSeq)
       .mapPartitions { it =>
         val info = bInfo.value
@@ -918,11 +934,22 @@ object IvfIndex {
         it.flatMap { case (id, cm, codes, path) =>
           val (root, cid, bits, dim, isL2, isCos) =
             dirInfoFor(info, dirCache, path)
-          val (qr, qSum, qNormSq, cDot) = preps(root)(cid)
-          val code = RaBitQ.Code(cm, codes, bits, dim)
-          val lb0 = lbOf(code, bits, dim, isL2, qr, qSum, qNormSq, cDot, eps)
-          val lb = if (isCos) 1.0 + lb0 else lb0 // cosdist output shift
-          if (lb < rad) Iterator.single(id) else Iterator.empty
+          val sps = preps(root).getOrElse(cid,
+            Array.empty[(Double, Array[Float], Double, Double, Double)])
+          if (sps.isEmpty) Iterator.empty
+          else {
+            val code = RaBitQ.Code(cm, codes, bits, dim)
+            var hit = false
+            var i = 0
+            while (!hit && i < sps.length) {
+              val (rad, qr, qSum, qNormSq, cDot) = sps(i)
+              val lb0 = lbOf(code, bits, dim, isL2, qr, qSum, qNormSq, cDot, eps)
+              val lb = if (isCos) 1.0 + lb0 else lb0 // cosdist output shift
+              if (lb < rad) hit = true
+              i += 1
+            }
+            if (hit) Iterator.single(id) else Iterator.empty
+          }
         }
       }.limit(cap + 1).collect()
   }

@@ -685,20 +685,25 @@ case class AnnTopKRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     }
   }
 
-  /** Index-served range join (see the match site). Declines — leaving the
-    * original exact plan — when: no sphere conjunct over a registered
-    * indexed relation, the queries side exceeds `graft.ann.range.join
-    * .maxQueries`, any non-deterministic expression feeds the queries side
-    * (its rows must be identical at planning and execution), or the
-    * candidate union exceeds `graft.ann.maxInList` (a giant IN loses to
-    * the exact join). Planning cost: EXACTLY TWO bounded driver-blocking
-    * jobs regardless of query-row count (both counted in
-    * [[AnnTopKRewrite.planningJobs]]) — one collect of the capped queries
-    * side, then ONE pooled codes pass answering every sphere
-    * ([[IvfIndex.rangeCandidateIdsMany]], the rangeSearchMany estimate
-    * kernel). The old shape serialized one probe job per query row (up to
-    * maxQueries=256 planner-stalling jobs per range-join plan). For bulk
-    * M past the cap use the DSL's `rangeSearchMany`. */
+  /** Index-served range join (see the match site). The indexed side may
+    * be a single registered table OR a PARTITIONED one whose children
+    * each carry their own index (the serveMulti lookup chain — every
+    * scanned child must be covered or the serve declines). Declines —
+    * leaving the original exact plan — when: no sphere conjunct over a
+    * registered indexed relation, the queries side exceeds
+    * `graft.ann.range.join.maxQueries`, any non-deterministic expression
+    * feeds the queries side (its rows must be identical at planning and
+    * execution), or the candidate union exceeds `graft.ann.maxInList` (a
+    * giant IN loses to the exact join). Planning cost: EXACTLY TWO
+    * bounded driver-blocking jobs regardless of query-row count AND root
+    * count (both counted in [[AnnTopKRewrite.planningJobs]]) — one
+    * collect of the capped queries side, then ONE pooled codes pass
+    * answering every sphere ([[IvfIndex.rangeCandidateIdsMany]] on a
+    * single index; the flat multi-root relation of
+    * [[IvfIndex.multiRangeCandidateIds]] on a partitioned side). The old
+    * shape serialized one probe job per query row (up to maxQueries=256
+    * planner-stalling jobs per range-join plan). For bulk M past the cap
+    * use the DSL's `rangeSearchMany`. */
   private def serveRangeJoin(j: Join): Option[LogicalPlan] = {
     val cond = j.condition.get
     val sphere = conjuncts(cond).collectFirst(Function.unlift[Expression,
@@ -744,13 +749,20 @@ case class AnnTopKRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
         case h: HadoopFsRelation => Some(h)
         case _ => None
       }
-      entry <- AnnCatalog.lookup(fsRel.location.rootPaths.map(_.toString))
-      if vecAttr.name == entry.vecCol
-      idAttr <- indexedSide.output.find(_.name == entry.idCol)
+      roots = fsRel.location.rootPaths.map(_.toString)
+      // single covering entry, or a PARTITIONED indexed side: per-child
+      // indexes jointly covering the scan (the serveMulti lookup chain)
+      es <- AnnCatalog.lookup(roots).map(Seq(_))
+        .orElse(AnnCatalog.lookupAll(roots).filter(_.size > 1))
+        .orElse(AnnCatalog.coverByFiles(roots,
+          fsRel.location.inputFiles.toSeq))
+      if es.forall(_.vecCol == vecAttr.name)
+      if es.map(_.idCol).distinct.size == 1
+      idAttr <- indexedSide.output.find(_.name == es.head.idCol)
       idLit <- litFor(idAttr)
-      if AnnCatalog.index(spark, entry).meta.cfg.metric == metric
+      if es.forall(e => AnnCatalog.index(spark, e).meta.cfg.metric == metric)
       served <- {
-        val idx = AnnCatalog.index(spark, entry)
+        val idxs = es.map(e => AnnCatalog.index(spark, e))
         val maxQ = spark.conf.get("graft.ann.range.join.maxQueries", "256").toInt
         val maxInList = spark.conf.get("graft.ann.maxInList", "8192").toInt
         val eps = spark.conf.get("graft.ann.epsilon", "1.9").toDouble
@@ -774,17 +786,27 @@ case class AnnTopKRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
           if (spheres.isEmpty) Some(LocalRelation(j.output))
           else {
             // ONE pooled candidate job for the whole batch: every
-            // sphere's estimate survivors from a single codes pass,
+            // sphere's estimate survivors from a single codes pass
+            // (single index) or one flat multi-root relation spanning
+            // every child's intersecting cells (partitioned side) —
             // distinct, capped so overflow detection is itself bounded
             AnnTopKRewrite.planningJobs.incrementAndGet()
-            val ids = idx.rangeCandidateIdsMany(spheres, eps, maxInList)
+            val ids =
+              if (idxs.length == 1)
+                idxs.head.rangeCandidateIdsMany(spheres, eps, maxInList)
+              else
+                IvfIndex.multiRangeCandidateIds(idxs, spheres, eps, maxInList)
+            // overflow BEFORE dedup (the flat multi-root rows may carry
+            // gen+delta duplicates): a truncated-then-deduped list could
+            // sneak under the cap while missing candidates past it
             if (ids.length > maxInList) None
             else if (ids.isEmpty) Some(LocalRelation(j.output))
             else {
-              ensureInPushdown(ids.length)
+              val dids = ids.distinct.sorted
+              ensureInPushdown(dids.length)
               val restricted = stamped(Filter(In(idAttr,
                 scala.collection.immutable.ArraySeq.unsafeWrapArray(
-                  ids.sorted.map(idLit))), indexedSide))
+                  dids.map(idLit))), indexedSide))
               Some(if (indexedSide eq j.left) j.copy(left = restricted)
                    else j.copy(right = restricted))
             }
@@ -843,7 +865,7 @@ case class AnnTopKRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
               .collect()
           else
             IvfIndex.multiRangeCandidateIds(es.map(AnnCatalog.index(spark, _)),
-              cv.toFloatArray(), radius, eps, maxInList)
+              Array((cv.toFloatArray(), radius)), eps, maxInList)
         // overflow check BEFORE dedup: a truncated-then-deduped list could
         // sneak under the cap while silently missing candidates past the
         // limit — serving it would drop qualifying rows.
@@ -1338,7 +1360,7 @@ case class AnnTopKRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
                   sphRadius, eps, maxInList).collect()
               else
                 IvfIndex.multiRangeCandidateIds(idxs.map(_._2),
-                  sphCv.toFloatArray(), sphRadius, eps, maxInList)
+                  Array((sphCv.toFloatArray(), sphRadius)), eps, maxInList)
             // overflow BEFORE dedup: a truncated-then-deduped list could
             // silently miss qualifying candidates past the limit
             if (raw.length > maxInList) escalateMulti()

@@ -1326,12 +1326,43 @@ class AnnRewriteSpec extends SparkSpec {
           case (id, v, _) if K.l2(v.toArray, q) < radius => id
         }.toSet
         assert(rGot == rWant)
+        // partitioned RANGE JOIN: per-row spheres against the whole
+        // 8-root table — still exactly TWO planning jobs (queries
+        // collect + ONE flat multi-root candidate pool)
+        val qSpheres = Seq((0L, rows(5)._2, 0.8), (1L, rows(13)._2, 0.9))
+        val qdf = qSpheres.toDF("qid", "center", "radius")
+        val rjJ = AnnTopKRewrite.planningJobs.get()
+        val joined = qdf.join(spark.read.parquet(tableDir),
+            GraftFunctions.vecL2(col("vec"), col("center")) < col("radius"))
+          .select("qid", "id")
+        assert(joined.queryExecution.optimizedPlan.toString.contains(" IN "),
+          "8-root range join not index-served:\n" +
+            joined.queryExecution.optimizedPlan)
+        assert(AnnTopKRewrite.planningJobs.get() == rjJ + 2,
+          s"expected 2 planning jobs for the 8-root range join, got " +
+            s"${AnnTopKRewrite.planningJobs.get() - rjJ}")
+        val gotJ = joined.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        val wantJ = (for {
+          (qid, c, rad) <- qSpheres
+          (id, v, _) <- rows
+          if K.l2(v.toArray, c.toArray) < rad
+        } yield (qid, id)).toSet
+        assert(gotJ == wantJ && gotJ.nonEmpty,
+          s"range join: got ${gotJ.size} want ${wantJ.size}")
         AnnCatalog.unregister(s"$tableDir/part=3")
         val df3 = spark.read.parquet(tableDir)
           .orderBy(GraftFunctions.vecL2(col("vec"), typedlit(q.toSeq)))
           .limit(9)
         assert(!df3.queryExecution.optimizedPlan.toString.contains(" IN "),
           "stale cover memo served after unregister — part=3 rows at risk")
+        // ...and the range JOIN declines too once a child is uncovered
+        val joinedGone = qdf.join(spark.read.parquet(tableDir),
+            GraftFunctions.vecL2(col("vec"), col("center")) < col("radius"))
+          .select("qid", "id")
+        assert(!joinedGone.queryExecution.optimizedPlan.toString.contains(" IN "),
+          "partial cover must NOT serve the range join")
+        assert(joinedGone.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+          == wantJ)
       }
     } finally (0 until nParts).foreach(p =>
       AnnCatalog.unregister(s"$tableDir/part=$p"))
