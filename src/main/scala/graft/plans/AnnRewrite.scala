@@ -226,13 +226,35 @@ object AnnCatalog {
   private val gEntries = new java.util.concurrent.ConcurrentHashMap[String, GraphEntry]()
   private val graphs = new java.util.concurrent.ConcurrentHashMap[String, graft.index.VamanaGraph]()
 
-  def registerGraph(tablePath: String, graphDir: String, idCol: String, vecCol: String): Unit =
+  def registerGraph(tablePath: String, graphDir: String, idCol: String, vecCol: String): Unit = {
     gEntries.put(norm(tablePath), GraphEntry(graphDir, idCol, vecCol))
+    gCoverCache.clear()
+  }
 
-  def unregisterGraph(tablePath: String): Unit = gEntries.remove(norm(tablePath))
+  def unregisterGraph(tablePath: String): Unit = {
+    gEntries.remove(norm(tablePath))
+    gCoverCache.clear()
+  }
 
   def lookupGraph(rootPaths: Seq[String]): Option[GraphEntry] =
     covering(rootPaths, gEntries.get)
+
+  /** Multi-root graph lookups (a partitioned corpus with one driver-tier
+    * graph per child — the graph-tier analogue of [[lookupAll]] /
+    * [[coverByFiles]]): every root, or every scanned child dir, must
+    * resolve to its own registered graph. */
+  def lookupAllGraphs(rootPaths: Seq[String]): Option[Seq[GraphEntry]] = {
+    val es = rootPaths.map(p => Option(gEntries.get(norm(p))))
+    if (es.nonEmpty && es.forall(_.isDefined)) Some(es.flatten.distinct)
+    else None
+  }
+
+  def coverGraphsByFiles(rootPaths: Seq[String],
+                         files: Seq[String]): Option[Seq[GraphEntry]] =
+    coverByFilesIn(rootPaths, files, gEntries, gCoverCache)
+
+  private val gCoverCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Option[GraphEntry]]()
 
   /** Latest modification stamp under a graph dir — a rebuild+save into the
     * same dir (the deleteAndRebuild vacuum flow) must not be served stale. */
@@ -600,6 +622,23 @@ case class AnnTopKRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
                   if AnnCatalog.graph(spark, ge).cfg.metric == metric
                   s <- serveGraph(gl, sort, child, projOpt, ge, idAttr, idLit, qv, k)
                 } yield s
+                // PARTITIONED table with one driver-tier graph per child:
+                // each root's broadcast-resident graph beams (driver-side,
+                // zero Spark jobs), candidates union, the plan's exact
+                // Sort+Limit reranks — the graph-tier serveMulti analogue
+                def viaGraphMulti = for {
+                  ges <- AnnCatalog.lookupAllGraphs(roots).filter(_.size > 1)
+                    .orElse(AnnCatalog.coverGraphsByFiles(roots,
+                      fsRel.location.inputFiles.toSeq))
+                  if ges.forall(_.vecCol == attr.name) && predOpt.isEmpty
+                  if ges.map(_.idCol).distinct.size == 1
+                  if !isServedPlan(child)
+                  idAttr <- child.output.find(_.name == ges.head.idCol)
+                  idLit <- litFor(idAttr)
+                  if ges.forall(ge => AnnCatalog.graph(spark, ge).cfg.metric == metric)
+                  s <- serveGraphMulti(gl, sort, child, projOpt, ges, idAttr,
+                    idLit, qv, k)
+                } yield s
                 // the DISTRIBUTED graph tier serves last — same shape,
                 // candidates come from the resident shard RDD (Spark jobs
                 // at planning time, like prefilter escalation)
@@ -612,7 +651,7 @@ case class AnnTopKRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
                   s <- serveShardedGraph(gl, sort, child, projOpt, se, idAttr, idLit, qv, k)
                 } yield s
                 viaIvf.orElse(viaMulti).orElse(viaPartial)
-                  .orElse(viaGraph).orElse(viaSharded)
+                  .orElse(viaGraph).orElse(viaGraphMulti).orElse(viaSharded)
               }
             } yield served).getOrElse(gl)
           // multi-vector MaxSim (reference opclass strategy 3): no
@@ -1023,6 +1062,42 @@ case class AnnTopKRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     else Some {
       val filter = stamped(Filter(In(idAttr,
         scala.collection.immutable.ArraySeq.unsafeWrapArray(ids.map(idLit))), child))
+      val sorted = Sort(sort.order, global = true, filter)
+      val body = projOpt.map(pl => Project(pl, sorted): LogicalPlan).getOrElse(sorted)
+      GlobalLimit(Literal(k), LocalLimit(Literal(k), body))
+    }
+  }
+
+  /** Partitioned-graph serve (one driver-tier Vamana graph per child):
+    * every root's graph beams with the per-root candidate budget
+    * serveGraph uses (k, or the ef pool on quantized graphs, whose code
+    * estimates the plan's exact Sort corrects), the ids union (docs are
+    * unique across roots), and the standard exact Sort+Limit runs over
+    * the IN-restricted scan. Driver-side only — zero Spark jobs at
+    * planning. Cost gate: summed beam work (~roots*ef + k) vs the total
+    * exact scan. The IN budget declines past `graft.ann.maxInList`. */
+  private def serveGraphMulti(gl: LogicalPlan, sort: Sort, child: LogicalPlan,
+                              projOpt: Option[Seq[NamedExpression]],
+                              ges: Seq[AnnCatalog.GraphEntry], idAttr: Attribute,
+                              idLit: Long => Literal, qv: ArrayData,
+                              k: Int): Option[LogicalPlan] = {
+    val gs = ges.map(ge => AnnCatalog.graph(spark, ge))
+    val ef = spark.conf.get("graft.ann.efSearch", "64").toInt
+    if (spark.conf.get("graft.ann.cost.enable", "true").toBoolean &&
+        gs.length.toDouble * ef + k >= gs.map(_.ids.length.toDouble).sum)
+      return None
+    val maxInList = spark.conf.get("graft.ann.maxInList", "8192").toInt
+    val q = qv.toFloatArray()
+    val ids = gs.flatMap { g =>
+      val kCand = if (g.quantized) math.max(ef, k) else k
+      g.search(q, kCand, ef).map(_._1)
+    }.distinct
+    if (ids.length > maxInList) return Some(gl)
+    if (ids.isEmpty) Some(gl)
+    else Some {
+      ensureInPushdown(ids.length)
+      val filter = stamped(Filter(In(idAttr,
+        scala.collection.immutable.ArraySeq.unsafeWrapArray(ids.map(idLit).toArray)), child))
       val sorted = Sort(sort.order, global = true, filter)
       val body = projOpt.map(pl => Project(pl, sorted): LogicalPlan).getOrElse(sorted)
       GlobalLimit(Literal(k), LocalLimit(Literal(k), body))

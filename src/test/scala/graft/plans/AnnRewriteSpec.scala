@@ -1134,6 +1134,29 @@ class AnnRewriteSpec extends SparkSpec {
             .sorted.take(5).map(_._2).toSeq
           assert(got == want, s"graph partition $p")
         }
+        // WHOLE-TABLE read: per-child graphs union-serve — every root's
+        // broadcast-resident graph beams on the DRIVER (zero planning
+        // jobs), the plan's exact Sort+Limit reranks the pooled ids
+        val jg0 = AnnTopKRewrite.planningJobs.get()
+        val dfAll = spark.read.parquet(tableDir)
+          .orderBy(GraftFunctions.vecL2(col("vec"), typedlit(q.toSeq)))
+          .limit(5)
+        assert(dfAll.queryExecution.optimizedPlan.toString.contains(" IN "),
+          "whole-table read over per-partition graphs not served:\n" +
+            dfAll.queryExecution.optimizedPlan)
+        assert(AnnTopKRewrite.planningJobs.get() == jg0,
+          "driver-tier graph union serve must launch no planning jobs")
+        val gotAll = dfAll.collect().map(_.getLong(0)).toSeq
+        val wantAll = rows.map { case (id, v, _) => (K.l2(v.toArray, q), id) }
+          .sorted.take(5).map(_._2).toSeq
+        assert(gotAll == wantAll, s"graph union serve: got=$gotAll want=$wantAll")
+        // a child unregistered -> decline (its rows would silently vanish)
+        AnnCatalog.unregisterGraph(s"$tableDir/part=1")
+        val dfGone = spark.read.parquet(tableDir)
+          .orderBy(GraftFunctions.vecL2(col("vec"), typedlit(q.toSeq)))
+          .limit(5)
+        assert(!dfGone.queryExecution.optimizedPlan.toString.contains(" IN "),
+          "partial graph cover must NOT serve the whole-table read")
       }
     } finally (0 to 1).foreach(p => AnnCatalog.unregisterGraph(s"$tableDir/part=$p"))
   }
