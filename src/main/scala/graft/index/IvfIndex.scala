@@ -182,6 +182,27 @@ object IvfIndex {
     * to min/max-range push + the exact Catalyst filter. */
   val inPushdownCap = 1000
 
+  /** Ensure the session's parquet IN-pushdown threshold admits an
+    * `n`-value list — RAISED when below (the exact value set then
+    * reaches parquet row-group/page pruning; past the threshold the
+    * push degrades to a min/max range that prunes nothing for
+    * scattered ids — measured 7x on the 10M x 768d codes-only anchor),
+    * and CLAMPED DOWN to [[inPushdownCap]] when anyone set it above
+    * (parquet evaluates the pushed set as a left-deep or-chain whose
+    * recursive visitor overflows the task stack past ~1-2k values —
+    * measured on this JVM: 1024 ok, 2048 StackOverflowError — so the
+    * crash guard must not depend on who raised the conf). The single
+    * implementation behind both the index and the planner rule. */
+  def ensureInPushdown(spark: SparkSession, n: Int): Unit = {
+    val key = "spark.sql.parquet.pushdown.inFilterThreshold"
+    val cur =
+      try spark.conf.get(key).toInt
+      catch { case scala.util.control.NonFatal(_) => 10 }
+    val want = math.min(n, inPushdownCap)
+    if (cur < want) spark.conf.set(key, want.toString)
+    else if (cur > inPushdownCap) spark.conf.set(key, inPushdownCap.toString)
+  }
+
   /** Count of [[IvfIndex.rangeSearch]] calls that delegated to the
     * distributed candidate-join shape (survivors exceeded `maxInList`) —
     * observability for specs and ops, like `AnnTopKRewrite.planningJobs`. */
@@ -776,10 +797,18 @@ object IvfIndex {
       val cands = s"${ix.dir}/$gen/cluster_id=$cid" ::
         (if (delta) s"${ix.dir}/delta/cluster_id=$cid" :: Nil else Nil)
       cands.foreach { d =>
-        if (Files.exists(Paths.get(d))) {
-          val key = new org.apache.hadoop.fs.Path(d).toUri.getPath
+        val p = Paths.get(d)
+        if (Files.exists(p)) {
+          // ABSOLUTIZE before keying and before handing to spark.read: an
+          // index registered under a relative dir would otherwise key the
+          // map with a relative URI path while executors resolve
+          // _metadata.file_path to the absolute one — a guaranteed lookup
+          // miss only on this flat path (spark.read resolves relative
+          // paths itself)
+          val abs = p.toAbsolutePath.normalize.toString
+          val key = new org.apache.hadoop.fs.Path(abs).toUri.getPath
           into(key) = (root, cid, bits, dim, isL2, isCos)
-          dirs += d
+          dirs += abs
         }
       }
     }
@@ -980,7 +1009,10 @@ object IvfIndex {
     val dirStr = if (cut >= 0) path.substring(0, cut) else path
     var inf = cache.get(dirStr)
     if (inf == null) {
-      inf = info(new org.apache.hadoop.fs.Path(dirStr).toUri.getPath)
+      val key = new org.apache.hadoop.fs.Path(dirStr).toUri.getPath
+      inf = info.getOrElse(key, throw new IllegalStateException(
+        s"flat multi-root read: file dir '$dirStr' (key '$key') matches no " +
+        "registered probed-cluster dir — a path-normalization mismatch"))
       cache.put(dirStr, inf)
     }
     inf
@@ -1025,20 +1057,8 @@ final class IvfIndex(val spark: SparkSession, val dir: String, val meta: IvfMeta
     * 2048 StackOverflowError) — a big candidate list then keeps the
     * min/max range push plus the exact Catalyst filter instead of
     * crashing the scan. */
-  private def ensureInPushdown(n: Int): Unit = {
-    val key = "spark.sql.parquet.pushdown.inFilterThreshold"
-    val cur =
-      try spark.conf.get(key).toInt
-      catch { case scala.util.control.NonFatal(_) => 10 }
-    val want = math.min(n, IvfIndex.inPushdownCap)
-    if (cur < want) spark.conf.set(key, want.toString)
-    // clamp DOWN too: a threshold someone else raised above the cap still
-    // pushes >cap-value IN sets into parquet's recursive or-chain visitor
-    // (StackOverflowError past ~1-2k values) — crash prevention must not
-    // depend on who set the conf
-    else if (cur > IvfIndex.inPushdownCap)
-      spark.conf.set(key, IvfIndex.inPushdownCap.toString)
-  }
+  private def ensureInPushdown(n: Int): Unit =
+    IvfIndex.ensureInPushdown(spark, n)
   import spark.implicits._
 
   private def currentGen: String =
@@ -1416,19 +1436,10 @@ final class IvfIndex(val spark: SparkSession, val dir: String, val meta: IvfMeta
         val pc = bpc.value
         it.map { case (cid, id, cm, codes) =>
           val (qr, qSum, qNormSq, clusterDot) = pc(cid)
-          val code = RaBitQ.Code(cm, codes, bits, dim)
-          val lb =
-            if (isL2) {
-              val (e, err) = RaBitQ.estimateL2s(code, qr, qSum, qNormSq)
-              math.sqrt(math.max(e - epsilon * err, 0.0))
-            } else {
-              // dot-family estimate: -dot (negdot / shifted cosine);
-              // residual codes contribute dot(q, v-c), clusterDot adds
-              // the dot(q, c) remainder
-              val d = RaBitQ.estimateDot(code, qr, qSum) + clusterDot
-              val err = math.sqrt(qNormSq) * code.scale * math.sqrt(dim.toDouble)
-              -d - epsilon * err
-            }
+          // dot-family estimate inside lbOf: residual codes contribute
+          // dot(q, v-c), clusterDot adds the dot(q, c) remainder
+          val lb = IvfIndex.lbOf(RaBitQ.Code(cm, codes, bits, dim), bits, dim,
+            isL2, qr, qSum, qNormSq, clusterDot, epsilon)
           (id, cid, lb)
         }
       }.toDF("id", "cluster_id", "lb")
@@ -1614,17 +1625,9 @@ final class IvfIndex(val spark: SparkSession, val dir: String, val meta: IvfMeta
         val pc = bpc.value
         it.flatMap { case (cid, id, cm, codes) =>
           val (qr, qSum, qNormSq, clusterDot) = pc(cid)
-          val code = RaBitQ.Code(cm, codes, bits, dim)
-          val lb = metric match {
-            case "l2" =>
-              val (e, err) = RaBitQ.estimateL2s(code, qr, qSum, qNormSq)
-              math.sqrt(math.max(e - epsilon * err, 0.0))
-            case _ =>
-              val d = RaBitQ.estimateDot(code, qr, qSum) + clusterDot
-              val err = math.sqrt(qNormSq) * code.scale * math.sqrt(dim.toDouble)
-              val base = -d - epsilon * err
-              if (metric == "cosdist") 1.0 + base else base
-          }
+          val lb0 = IvfIndex.lbOf(RaBitQ.Code(cm, codes, bits, dim), bits, dim,
+            metric == "l2", qr, qSum, qNormSq, clusterDot, epsilon)
+          val lb = if (metric == "cosdist") 1.0 + lb0 else lb0
           if (lb < rad) Iterator.single(id) else Iterator.empty
         }
       }
@@ -1687,16 +1690,9 @@ final class IvfIndex(val spark: SparkSession, val dir: String, val meta: IvfMeta
           while (!hit && i < qis.length) {
             val (r, _, pc) = preps(qis(i))
             val (qr, qSum, qNormSq, clusterDot) = pc(cid)
-            val lb = metric match {
-              case "l2" =>
-                val (e, err) = RaBitQ.estimateL2s(code, qr, qSum, qNormSq)
-                math.sqrt(math.max(e - epsilon * err, 0.0))
-              case _ =>
-                val d = RaBitQ.estimateDot(code, qr, qSum) + clusterDot
-                val err = math.sqrt(qNormSq) * code.scale * math.sqrt(dim.toDouble)
-                val base = -d - epsilon * err
-                if (metric == "cosdist") 1.0 + base else base
-            }
+            val lb0 = IvfIndex.lbOf(code, bits, dim, metric == "l2",
+              qr, qSum, qNormSq, clusterDot, epsilon)
+            val lb = if (metric == "cosdist") 1.0 + lb0 else lb0
             if (lb < r) hit = true
             i += 1
           }

@@ -525,8 +525,15 @@ object Multimodal {
         try {
           p.getOutputStream.close()
           val out = p.getInputStream.readAllBytes()
-          p.waitFor()
-          if (timedOut.get())
+          val exit = p.waitFor()
+          // timedOut alone is not proof of a stuck decode: the timer can
+          // fire in the window between a SUCCESSFUL completion and
+          // kill.cancel() below (destroyForcibly no-ops on an exited
+          // process). Only a kill that actually interrupted the child —
+          // nonzero exit with the flag set — is a watchdog timeout; a
+          // garbage blob's own nonzero exit (flag unset) stays the
+          // documented zero-frames filter.
+          if (timedOut.get() && exit != 0)
             throw new RuntimeException(
               s"ffmpeg decode exceeded ${timeoutSec}s on a ${blob.length}-byte " +
               "blob — subprocess killed by the decode watchdog")

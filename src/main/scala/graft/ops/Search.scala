@@ -593,6 +593,26 @@ object Search {
       if (discardUncommitted) deleteTreeAt(stage)
       return false
     }
+    // a RACING healer (writer commit + concurrent reader load) can
+    // promote, rewrite meta, and clear the stage under us at ANY point
+    // from here on: a vanished commit/stage means the OTHER healer
+    // finished the job — report "nothing left to heal" (false), which
+    // append() then validates against the on-disk meta. Files.walk wraps
+    // mid-traversal IO errors in UncheckedIOException, so both shapes
+    // are handled.
+    def raced(e: Throwable): Boolean = e match {
+      case _: java.nio.file.NoSuchFileException => true
+      case u: java.io.UncheckedIOException =>
+        u.getCause.isInstanceOf[java.nio.file.NoSuchFileException]
+      case _ => false
+    }
+    try healCommitted(dir, stage, commit)
+    catch { case e if raced(e) => false }
+  }
+
+  private def healCommitted(dir: String, stage: java.nio.file.Path,
+                            commit: java.nio.file.Path): Boolean = {
+    import java.nio.file.{Files, Paths, Path}
     def promote(sub: String): Unit = {
       val from = stage.resolve(sub)
       if (!Files.exists(from)) return
@@ -628,15 +648,25 @@ object Search {
 
   private def deleteTreeAt(p: java.nio.file.Path): Unit =
     if (java.nio.file.Files.exists(p)) {
-      // racing healers may delete concurrently — vanished entries are fine
+      // racing healers may delete concurrently — vanished entries are
+      // fine. Files.walk wraps mid-traversal IO errors (a subdirectory
+      // deleted between listing and visit) in UncheckedIOException, so
+      // both the direct and the wrapped NoSuchFileException must pass.
       try java.nio.file.Files.walk(p)
         .sorted(java.util.Comparator.reverseOrder())
         .forEach(f => {
           try java.nio.file.Files.delete(f)
-          catch { case _: java.nio.file.NoSuchFileException => () }
+          catch {
+            case _: java.nio.file.NoSuchFileException => ()
+            case _: java.nio.file.DirectoryNotEmptyException => ()
+          }
           ()
         })
-      catch { case _: java.nio.file.NoSuchFileException => () }
+      catch {
+        case _: java.nio.file.NoSuchFileException => ()
+        case e: java.io.UncheckedIOException
+            if e.getCause.isInstanceOf[java.nio.file.NoSuchFileException] => ()
+      }
     }
 
   /** Load a postings index built by [[buildPostings]]. */

@@ -388,32 +388,12 @@ object AnnTopKRewrite {
 
 case class AnnTopKRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
 
-  /** The served plans inject `id IN (candidates)` over the SOURCE table;
-    * Spark only pushes an In to Parquet as the exact value set while it
-    * is at most spark.sql.parquet.pushdown.inFilterThreshold (default
-    * 10) — past that the pushed form degrades to a min/max range, which
-    * prunes nothing for ids scattered across the table and turns the
-    * candidate fetch into a full scan (see IvfIndex.ensureInPushdown,
-    * measured 7x on the 10M x 768d codes-only anchor). Raise-only, capped:
-    * parquet evaluates the pushed value set as a left-deep or-chain whose
-    * recursive visitor OVERFLOWS THE TASK STACK past ~1-2k values
-    * (measured on this JVM: 1024 ok, 2048 StackOverflowError), so lists
-    * beyond the cap keep the min/max range push + the exact Catalyst
-    * filter instead of crashing the scan. */
-  private def ensureInPushdown(n: Int): Unit = {
-    val key = "spark.sql.parquet.pushdown.inFilterThreshold"
-    val cur =
-      try spark.conf.get(key).toInt
-      catch { case scala.util.control.NonFatal(_) => 10 }
-    val want = math.min(n, IvfIndex.inPushdownCap)
-    if (cur < want) spark.conf.set(key, want.toString)
-    // clamp DOWN too: a session whose threshold was set above the cap (by
-    // the user or other code) still pushes >cap-value IN sets — the exact
-    // parquet or-chain SOE this cap exists to prevent, regardless of who
-    // raised the threshold
-    else if (cur > IvfIndex.inPushdownCap)
-      spark.conf.set(key, IvfIndex.inPushdownCap.toString)
-  }
+  /** The served plans inject `id IN (candidates)` over the SOURCE table —
+    * the pushdown-threshold management (raise to the list size, clamp
+    * down past the or-chain-SOE cap) is [[IvfIndex.ensureInPushdown]],
+    * shared with the index's own candidate fetches. */
+  private def ensureInPushdown(n: Int): Unit =
+    IvfIndex.ensureInPushdown(spark, n)
 
   /** One distance opclass per operator, like the reference's
     * vector_l2_ops / vector_cosine_ops / vector_ip_ops. */

@@ -524,6 +524,11 @@ object GraftQueries {
         if (!s.experimental.extraOptimizations.exists(_.isInstanceOf[graft.plans.AnnTopKRewrite]))
           s.experimental.extraOptimizations =
             s.experimental.extraOptimizations :+ graft.plans.AnnTopKRewrite(s)
+        // snapshot-and-restore probes: this query wants 8 (full coverage
+        // of lists=8 children) but other ANN queries in the same session
+        // rely on their own 16 or the auto default — a leaked 8 would
+        // silently shrink their probe budget depending on run order
+        val prevProbes = s.conf.getOption("graft.ann.probes")
         s.conf.set("graft.ann.probes", "8")
         s.conf.set("graft.ann.maxsim.kPerToken", "1024")
         s.conf.set("graft.ann.cost.enable", "false")
@@ -540,6 +545,10 @@ object GraftQueries {
           } finally {
             s.conf.unset("graft.ann.cost.enable")
             s.conf.unset("graft.ann.maxsim.kPerToken")
+            prevProbes match {
+              case Some(v) => s.conf.set("graft.ann.probes", v)
+              case None    => s.conf.unset("graft.ann.probes")
+            }
           }
         import s.implicits._
         served.map { r =>

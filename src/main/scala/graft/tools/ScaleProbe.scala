@@ -574,62 +574,14 @@ object ScaleProbe {
       // cost): 8 children x 2k rows, one index per child, time the
       // OPTIMIZER producing the served plan (the flat multi-root codes
       // read runs inside it — one pool job, one analyzed relation at any
-      // width; `tools/ManyRootPlanProbe` measures the width sweep).
-      // Fixtures cache in tmp across runs; warm once, report min of 3.
+      // width). Fixture + timing shared with the width-sweep tool
+      // (`ManyRootFixture` / `ManyRootPlanProbe`); cached in tmp across
+      // runs; warm once, report min of 3.
       if (!sys.env.get("SPARK_GRAFT_SCALE_MANYROOT").contains("0")) {
-        import org.apache.spark.sql.functions.{col, typedlit}
         val nR = 8
-        val mrBase = s"${sys.props("java.io.tmpdir")}/graft-scale-manyroot$nR"
-        val mrTable = s"$mrBase-table"
-        val fresh = !java.nio.file.Files.exists(java.nio.file.Paths.get(mrTable))
-        if (fresh) {
-          val rng = new scala.util.Random(181)
-          (0 until nR).foreach { p =>
-            (0L until 2000L)
-              .map(i => (p * 2000L + i, Seq.fill(8)(rng.nextFloat() * 2 - 1)))
-              .toDF("id", "vec")
-              .write.mode("overwrite").parquet(s"$mrTable/part=$p")
-          }
-        }
-        (0 until nR).foreach { p =>
-          val d = s"$mrBase-idx$p"
-          if (fresh || !java.nio.file.Files.exists(java.nio.file.Paths.get(d, "CURRENT")))
-            graft.index.IvfIndex.build(spark.read.parquet(s"$mrTable/part=$p"),
-              "id", "vec", d, graft.index.IvfConfig(lists = 4))
-          graft.plans.AnnCatalog.register(s"$mrTable/part=$p", d, "id", "vec")
-        }
-        val mrRule = graft.plans.AnnTopKRewrite(spark)
-        spark.experimental.extraOptimizations =
-          spark.experimental.extraOptimizations :+ mrRule
-        val prevCost = spark.conf.getOption("graft.ann.cost.enable")
-        spark.conf.set("graft.ann.cost.enable", "false")
-        try {
-          val qMr = Array.fill(8)(0.15f)
-          def planOnce(): Double = {
-            val df = spark.read.parquet(mrTable)
-              .orderBy(graft.functions.GraftFunctions.vecL2(
-                col("vec"), typedlit(qMr.toSeq)))
-              .limit(10).select("id")
-            val t = System.nanoTime()
-            val plan = df.queryExecution.optimizedPlan
-            val sec = (System.nanoTime() - t) / 1e9
-            assert(plan.toString.contains(" IN "), "manyroot probe not served")
-            sec
-          }
-          planOnce() // warm: index loads, cover memo, codegen
-          val best = (1 to 3).map(_ => planOnce()).min
-          out += (s"_scale_manyroot${nR}_plan" -> best)
-          say(f"_scale_manyroot${nR}_plan = $best%.3fs")
-        } finally {
-          spark.experimental.extraOptimizations =
-            spark.experimental.extraOptimizations.filterNot(_ == mrRule)
-          prevCost match {
-            case Some(v) => spark.conf.set("graft.ann.cost.enable", v)
-            case None    => spark.conf.unset("graft.ann.cost.enable")
-          }
-          (0 until nR).foreach(p =>
-            graft.plans.AnnCatalog.unregister(s"$mrTable/part=$p"))
-        }
+        val best = graft.tools.ManyRootFixture.planRuns(spark, nR).min
+        out += (s"_scale_manyroot${nR}_plan" -> best)
+        say(f"_scale_manyroot${nR}_plan = $best%.3fs")
       }
       // B5 deep-tree probe economics: flat vs 3-level descent over 1024
       // synthetic centroids, 2000 probes each (driver-side cost only)
