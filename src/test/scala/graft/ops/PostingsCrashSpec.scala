@@ -58,6 +58,34 @@ class PostingsCrashSpec extends SparkSpec {
     assert(scores(Search.loadPostings(dir)) == want)
   }
 
+  test("RACING healer: a concurrent reader promoting the freshly-committed " +
+       "stage must not fail the writer's commit step") {
+    // the deterministic form of the race: writer stages + commits, a
+    // READER (loadPostings) heals first, then the writer's own heal runs
+    // against the already-cleared stage — it must report 'nothing to
+    // heal' (false), NOT throw, and the on-disk meta must already carry
+    // the marker's absolute counts (append()'s acceptance condition)
+    val dir = freshDir()
+    val idx = Search.buildPostings(batch1, "doc_id", "text", dir, nBuckets = 4)
+    val staged = idx.stageAppend(batch2, "doc_id", "text")
+    val reader = Search.loadPostings(dir) // the racing reader's heal
+    assert(reader.nDocs == staged.nDocs && reader.nTokens == staged.nTokens)
+    assert(!Files.exists(Paths.get(dir, "stage")), "reader heal left the stage")
+    // writer side: heal finds nothing, returns false without throwing
+    assert(!Search.healStage(dir),
+      "writer heal after a racing reader must report nothing-to-heal")
+    // and the full append() path accepts the same interleaving end to
+    // end: stage, let a reader heal, then append's own verification
+    val dir2 = freshDir()
+    val idx2 = Search.buildPostings(batch1, "doc_id", "text", dir2, nBuckets = 4)
+    // append() heals any prior stage first, stages, commits, then heals;
+    // a reader racing BETWEEN those steps is emulated by the scenario
+    // above — here we assert the normal path still converges and is
+    // score-identical to the fresh build
+    val appended = idx2.append(batch2, "doc_id", "text")
+    assert(scores(appended) == want)
+  }
+
   test("crash BEFORE the commit marker: the batch never landed — a LOAD " +
        "leaves the stage alone (it could be a live writer's), the rerun " +
        "APPEND discards it and lands exactly once") {
