@@ -571,6 +571,45 @@ object GraftQueries {
              |m AS (SELECT doc, qid, min(negdot) AS mind FROM nd GROUP BY doc, qid)
              |SELECT doc, round(sum(mind), 3) + 0.0 AS maxsim FROM m GROUP BY doc ORDER BY sum(mind), doc""".stripMargin)),
 
+    // Partitioned GRAPH serving (round 12): the same two-root split with
+    // one driver-tier Vamana graph per root; the whole-table read is
+    // served by the union of per-child beams (zero planning jobs — the
+    // graphs are broadcast-resident) and the plan's exact Sort+Limit
+    // reranks. Same oracle as knn_topk.
+    "graph_knn_partitioned" -> Q(
+      (s, d) => {
+        val q = qvec(s, d, 0)
+        val path = partitionedGraphTable(s, d)
+        if (!s.experimental.extraOptimizations.exists(_.isInstanceOf[graft.plans.AnnTopKRewrite]))
+          s.experimental.extraOptimizations =
+            s.experimental.extraOptimizations :+ graft.plans.AnnTopKRewrite(s)
+        // generous beam (ef=256 over ~half-tier-sized children) — the
+        // same exact-recall regime the graph_knn golden relies on
+        s.conf.set("graft.ann.efSearch", "256")
+        s.conf.set("graft.ann.cost.enable", "false")
+        val served =
+          try {
+            val df = s.read.parquet(path)
+              .orderBy(vecL2(col("embedding"), lv(q)))
+              .limit(10)
+            require(df.queryExecution.optimizedPlan.toString.contains(" IN "),
+              "graph_knn_partitioned was NOT index-served — the per-partition " +
+              "graph cover failed to match:\n" + df.queryExecution.optimizedPlan)
+            df.collect()
+          } finally {
+            s.conf.unset("graft.ann.cost.enable")
+            s.conf.unset("graft.ann.efSearch")
+          }
+        import s.implicits._
+        served.map(r => (r.getLong(r.fieldIndex("vec_id")),
+            r.getSeq[Float](r.fieldIndex("embedding"))))
+          .toSeq.toDF("vec_id", "embedding")
+          .select(col("vec_id"), vecL2(col("embedding"), lv(q)).as("raw"))
+          .orderBy(col("raw"), col("vec_id"))
+          .select(col("vec_id"), round(col("raw"), 3).as("dist"))
+      },
+      Some(knnOracle)),
+
     "knn_join" -> Q(
       (s, d) => {
         import s.implicits._
@@ -802,6 +841,42 @@ object GraftQueries {
         require(served.queryExecution.optimizedPlan.toString.split(" IN ").length >= 3,
           "range_join_indexed was NOT index-served — the join rule failed to " +
           "match the range-join shape:\n" + served.queryExecution.optimizedPlan)
+        served
+      },
+      Some("""WITH q AS (SELECT vec_id AS qid, embedding AS qe,
+             |  0.9 + CAST(vec_id AS DOUBLE) * 0.2 AS radius
+             |  FROM embeddings WHERE vec_id IN (0, 1, 2)),
+             |e AS (SELECT vec_id, embedding, unnest(range(0, 64)) AS i FROM embeddings),
+             |dd AS (SELECT q.qid AS qid, q.radius AS radius, e.vec_id AS vec_id,
+             |  sqrt(sum(power(CAST(e.embedding[i+1] AS DOUBLE) - CAST(q.qe[i+1] AS DOUBLE), 2))) AS dist
+             |  FROM e, q GROUP BY q.qid, q.radius, e.vec_id)
+             |SELECT qid, vec_id, round(dist, 3) AS dist FROM dd WHERE dist < radius
+             |ORDER BY qid, dd.dist, vec_id""".stripMargin)),
+
+    // The same range JOIN against the PARTITIONED copy (round 12): the
+    // indexed side resolves through the per-child cover, all spheres x
+    // all roots pool in ONE flat candidate job. Identical rows to
+    // range_join_indexed (the partitioned copy holds the same data), so
+    // the same oracle.
+    "range_join_partitioned" -> Q(
+      (s, d) => {
+        val path = partitionedEmbTable(s, d)
+        if (!s.experimental.extraOptimizations.exists(_.isInstanceOf[graft.plans.AnnTopKRewrite]))
+          s.experimental.extraOptimizations =
+            s.experimental.extraOptimizations :+ graft.plans.AnnTopKRewrite(s)
+        graft.functions.GraftFunctions.registerAll(s)
+        s.read.parquet(path).createOrReplaceTempView("emb_rj_part")
+        val served = s.sql(
+          """SELECT q.qid, e.vec_id, round(vec_l2(e.embedding, q.center), 3) AS dist
+            |FROM (SELECT vec_id AS qid, embedding AS center,
+            |        0.9 + CAST(vec_id AS DOUBLE) * 0.2 AS radius
+            |      FROM emb_rj_part WHERE vec_id IN (0, 1, 2)) q
+            |JOIN emb_rj_part e ON vec_l2(e.embedding, q.center) < q.radius
+            |ORDER BY q.qid, vec_l2(e.embedding, q.center), e.vec_id""".stripMargin)
+        require(served.queryExecution.optimizedPlan.toString.split(" IN ").length >= 3,
+          "range_join_partitioned was NOT index-served — the partitioned " +
+          "range-join cover failed to match:\n" +
+          served.queryExecution.optimizedPlan)
         served
       },
       Some("""WITH q AS (SELECT vec_id AS qid, embedding AS qe,
@@ -2448,6 +2523,27 @@ object GraftQueries {
       dst
     }
 
+  /** Two-root partitioned copy of embeddings with one driver-tier Vamana
+    * GRAPH per root, both registered — the graph-tier per-partition-index
+    * fixture (`graph_knn_partitioned`). */
+  private def partitionedGraphTable(s: SparkSession, d: String): String =
+    cached(s"gparttbl:$d") {
+      val dst = vdir(d, "gparttbl")
+      tbl(s, d, "embeddings")
+        .withColumn("pt", (col("vec_id") % 2).cast("int"))
+        .write.partitionBy("pt").mode("overwrite").parquet(dst)
+      (0 to 1).foreach { p =>
+        val gdir = s"$dst-g$p"
+        graft.index.VamanaGraph
+          .build(s.read.parquet(s"$dst/pt=$p"), "vec_id", "embedding",
+            graft.index.VamanaConfig())
+          .save(s, gdir)
+        graft.plans.AnnCatalog.registerGraph(s"$dst/pt=$p", gdir,
+          "vec_id", "embedding")
+      }
+      dst
+    }
+
   /** Two-root partitioned MULTIVECTOR corpus (docs = labels, pt = doc % 2)
     * with one token index per root, both registered — the strategy-3
     * per-partition-index fixture (`maxsim_partitioned`; reference
@@ -2487,6 +2583,7 @@ object GraftQueries {
     prefilterTable(s, d)
     partitionedEmbTable(s, d)
     partitionedMaxSimTable(s, d)
+    partitionedGraphTable(s, d)
     dedupPipe(s, d)
     PostingsCache.get(s, d)
     BpeCache.get(s, d)
