@@ -19,9 +19,10 @@ object ManyRootFixture {
     * registered in [[graft.plans.AnnCatalog]] for the duration and
     * always unregistered. Returns the per-run seconds. */
   def planRuns(spark: SparkSession, roots: Int, rowsPerRoot: Int = 2000,
-               runs: Int = 3): Seq[Double] = {
+               runs: Int = 3, lists: Int = 4): Seq[Double] = {
     import spark.implicits._
-    val base = s"${sys.props("java.io.tmpdir")}/graft-manyroot-$roots-$rowsPerRoot"
+    val base =
+      s"${sys.props("java.io.tmpdir")}/graft-manyroot-$roots-$rowsPerRoot-l$lists"
     val tableDir = s"$base-table"
     val fresh = !java.nio.file.Files.exists(java.nio.file.Paths.get(tableDir))
     if (fresh) {
@@ -37,7 +38,7 @@ object ManyRootFixture {
       val d = s"$base-idx$p"
       if (fresh || !java.nio.file.Files.exists(java.nio.file.Paths.get(d, "CURRENT")))
         graft.index.IvfIndex.build(spark.read.parquet(s"$tableDir/part=$p"),
-          "id", "vec", d, graft.index.IvfConfig(lists = 4))
+          "id", "vec", d, graft.index.IvfConfig(lists = lists))
       graft.plans.AnnCatalog.register(s"$tableDir/part=$p", d, "id", "vec")
     }
     val rule = graft.plans.AnnTopKRewrite(spark)

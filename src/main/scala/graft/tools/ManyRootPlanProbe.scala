@@ -27,6 +27,10 @@ object ManyRootPlanProbe {
     val widths = (if (args.nonEmpty) args(0) else "4,8,16,32,128")
       .split(",").map(_.trim.toInt)
     val rowsPerRoot = sys.env.getOrElse("SPARK_GRAFT_ROOT_ROWS", "2000").toInt
+    // per-child index width: real date-partitioned children carry
+    // hundreds of cells, and the flat read lists R x probes(lists) dirs
+    // per plan — SPARK_GRAFT_ROOT_LISTS grades that dir-listing cost
+    val lists = sys.env.getOrElse("SPARK_GRAFT_ROOT_LISTS", "4").toInt
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -37,7 +41,7 @@ object ManyRootPlanProbe {
     def say(s: String): Unit = System.err.println(s"[manyroot] $s")
     val out = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     widths.foreach { r =>
-      val times = ManyRootFixture.planRuns(spark, r, rowsPerRoot)
+      val times = ManyRootFixture.planRuns(spark, r, rowsPerRoot, lists = lists)
       val best = times.min
       out(s"plan_roots_$r") = best
       say(f"roots=$r%3d planning ${best}%.3f s (runs: ${times.map(t => f"$t%.3f").mkString(", ")})")
