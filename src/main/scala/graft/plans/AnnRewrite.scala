@@ -988,6 +988,17 @@ case class AnnTopKRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     // the k-floor is the serve/decline line (as serveMulti): if even k
     // docs per root overflow the IN budget, the exact plan wins
     if (idxs.length.toLong * k > maxInList) return Some(gl)
+    // DRIVER-POOL budget: the pooled retrieval collects up to
+    // roots x tokens x kPerToken (root, token, id, lb) tuples to the
+    // driver for scoring — bounded by construction, but a 256-child
+    // corpus x a 64-token query x kPerToken=1000 would be 16M tuples
+    // (~0.5 GB boxed). Past the cap the serve DECLINES LOUDLY to the
+    // exact scan instead of silently truncating pools (the no-silent-
+    // caps rule); lower kPerToken or raise the conf to serve wider.
+    val maxPoolTuples =
+      spark.conf.get("graft.ann.maxsim.maxPoolTuples", "4000000").toLong
+    if (idxs.length.toLong * query.length * kPerToken > maxPoolTuples)
+      return Some(gl)
     AnnTopKRewrite.planningJobs.incrementAndGet()
     val probes = idxs.map(ix => probesFor(ix.meta.cfg.lists))
     val perRoot = graft.ops.MaxSim.multiRootCandidateDocs(idxs, query,

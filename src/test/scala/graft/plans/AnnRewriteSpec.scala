@@ -1251,6 +1251,16 @@ class AnnRewriteSpec extends SparkSpec {
           }.sorted.take(5).map(_._2).toSeq
         assert(gotAll == wantAll,
           s"maxsim union serve: got=$gotAll want=$wantAll")
+        // driver-pool budget: roots x tokens x kPerToken past the cap
+        // must DECLINE to the exact plan (no silent pool truncation)
+        withConfs("graft.ann.maxsim.maxPoolTuples" -> "100") {
+          val dfBudget = spark.read.parquet(tableDir)
+            .orderBy(GraftFunctions.vecMaxsim(col("tokens"), typedlit(query)))
+            .limit(5)
+          assert(!dfBudget.queryExecution.optimizedPlan.toString.contains(" IN "),
+            "over-budget maxsim pool must decline, not truncate")
+          assert(dfBudget.collect().map(_.getLong(0)).toSeq == wantAll)
+        }
         // a root whose index goes unregistered must DECLINE the union
         // serve (its docs would silently vanish from the top-k)
         AnnCatalog.unregisterMaxSim(s"$tableDir/part=1")
