@@ -8,9 +8,12 @@ package graft.core
  * loops that evaluate millions of candidates).
  *
  * Deterministic: ordering is total on (key, id), so the kept set is
- * independent of offer order.
+ * independent of offer order — which also makes heap MERGES exact: offering
+ * one heap's pairs into another yields the same kept set as a global sort,
+ * so partition-local heaps can combine on executors (Serializable for the
+ * aggregateByKey merge path in [[graft.index.IvfIndex]]).
  */
-final class BoundedTopK(k: Int) {
+final class BoundedTopK(k: Int) extends Serializable {
   require(k > 0, "k must be positive")
   private val keys = new Array[Double](k)
   private val ids = new Array[Long](k)
@@ -50,6 +53,14 @@ final class BoundedTopK(k: Int) {
         if (m != i) { swap(i, m); i = m } else cont = false
       }
     }
+  }
+
+  /** Offer every kept pair of `other` into this heap — exact because the
+    * (key, id) order is total, so the merged kept set equals a global
+    * top-k over both heaps' inputs. */
+  def mergeFrom(other: BoundedTopK): BoundedTopK = {
+    other.foreachPair((k, id) => offer(k, id))
+    this
   }
 
   /** Visit kept pairs (heap order, NOT sorted). */

@@ -819,9 +819,12 @@ object IvfIndex {
     * over that root's probed cells for that query — from a SINGLE
     * parquet relation spanning every root's probed cluster dirs (union
     * over queries). Partition-local [[graft.core.BoundedTopK]] heaps
-    * bound the collect to ≤ partitions x roots x queries x nCand
-    * tuples; the driver merges exact per-(root, query) top-nCand from
-    * those partials. Returns (root, queryIdx, id, lb) — lb WITHOUT the
+    * bound each partition's output, and a map-side-combined
+    * aggregateByKey merges them per (root, query) slot ON EXECUTORS —
+    * the driver collect is exactly ≤ roots x queries x nCand tuples
+    * regardless of how many partitions the scan has (the bound the
+    * serve-side maxPoolTuples budget checks).
+    * Returns (root, queryIdx, id, lb) — lb WITHOUT the
     * cosdist output shift (ordering-only, like estimateCandidates).
     * One Spark job for R roots x T queries: the partitioned MaxSim
     * serve's shape (T = query tokens) and, at T = 1, serveMulti's. */
@@ -895,10 +898,25 @@ object IvfIndex {
           s += 1
         }
         out.iterator
-      }.collect()
-    partials.groupBy(t => (t._1, t._2)).valuesIterator.flatMap { rows =>
-      rows.sortBy(t => (t._4, t._3)).take(nCand)
-    }.toArray
+      }
+    // merge partials per (root, query) slot ON EXECUTORS (map-side
+    // combined aggregateByKey): the driver collect is then EXACTLY
+    // ≤ roots x queries x nCand — the figure serveMaxSimMulti's
+    // maxPoolTuples guard budgets — instead of growing with the scan's
+    // partition count (a wide scan could otherwise collect
+    // partitions x that many tuples, 1-2 orders over budget). The heap's
+    // total (lb, id) order makes the merge exact: same kept set and tie
+    // order as the previous driver-side global sort.
+    partials.rdd
+      .map { case (r, qi, id, lb) => (r * nQ + qi, (lb, id)) }
+      .aggregateByKey(new graft.core.BoundedTopK(nCand))(
+        (h, t) => { h.offer(t._1, t._2); h },
+        (a, b) => a.mergeFrom(b))
+      .collect()
+      .flatMap { case (slot, h) =>
+        val r = slot / nQ; val qi = slot % nQ
+        h.sorted().map { case (lb, id) => (r, qi, id, lb) }
+      }
   }
 
   /** One-read multi-root top-k candidate pool (the T = 1 face of

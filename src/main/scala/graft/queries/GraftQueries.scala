@@ -118,6 +118,22 @@ object GraftQueries {
     res.select(col("id").as("vec_id"), round(col("dist"), 3).as("dist"), col("rn"))
       .orderBy("rn")
 
+  /** Run `body` with session confs set, snapshotting EVERY key first and
+    * restoring afterward (set back, or unset only if previously absent) —
+    * a query's per-plan tuning must never clobber a session-level value
+    * another query (or the user) set, in any run order. Only safe around
+    * bodies that COLLECT inside: a lazily-returned DataFrame re-plans on
+    * the next action with the restored confs. */
+  private def withConfs[T](s: SparkSession, kvs: (String, String)*)(body: => T): T = {
+    val prev = kvs.map { case (k, _) => k -> s.conf.getOption(k) }
+    kvs.foreach { case (k, v) => s.conf.set(k, v) }
+    try body
+    finally prev.foreach {
+      case (k, Some(v)) => s.conf.set(k, v)
+      case (k, None)    => s.conf.unset(k)
+    }
+  }
+
   private val enList = TextOps.stopwords.toMap.apply("en").map(w => s"'$w'").mkString(", ")
 
   // ---------------------------------------------------------------- queries
@@ -436,17 +452,14 @@ object GraftQueries {
         if (!s.experimental.extraOptimizations.exists(_.isInstanceOf[graft.plans.AnnTopKRewrite]))
           s.experimental.extraOptimizations =
             s.experimental.extraOptimizations :+ graft.plans.AnnTopKRewrite(s)
-        s.conf.set("graft.ann.probes", "16")
-        s.conf.set("graft.ann.refine", "16")
         // at verify scale the per-root overheads double and the cost
         // model rightly declines (a 250-row root IS cheaper to scan) —
         // force the serve WHILE BUILDING this plan so the partitioned
         // plumbing is exercised and plan-asserted, then restore the
         // model so later queries' plans don't depend on run order
         // (decline behavior itself is spec'd in AnnRewriteSpec)
-        s.conf.set("graft.ann.cost.enable", "false")
-        val served =
-          try {
+        val served = withConfs(s, "graft.ann.probes" -> "16",
+          "graft.ann.refine" -> "16", "graft.ann.cost.enable" -> "false") {
             val df = s.read.parquet(path)
               .orderBy(vecL2(col("embedding"), lv(q)))
               .limit(10)
@@ -458,7 +471,7 @@ object GraftQueries {
             // re-plan exact — same rows, but then the timed path is not
             // the index serve this query exists to measure)
             df.collect()
-          } finally s.conf.unset("graft.ann.cost.enable")
+          }
         import s.implicits._
         served.map(r => (r.getLong(r.fieldIndex("vec_id")),
             r.getSeq[Float](r.fieldIndex("embedding"))))
@@ -484,11 +497,8 @@ object GraftQueries {
         if (!s.experimental.extraOptimizations.exists(_.isInstanceOf[graft.plans.AnnTopKRewrite]))
           s.experimental.extraOptimizations =
             s.experimental.extraOptimizations :+ graft.plans.AnnTopKRewrite(s)
-        s.conf.set("graft.ann.probes", "16")
-        s.conf.set("graft.ann.refine", "16")
-        s.conf.set("graft.ann.cost.enable", "false")
-        val served =
-          try {
+        val served = withConfs(s, "graft.ann.probes" -> "16",
+          "graft.ann.refine" -> "16", "graft.ann.cost.enable" -> "false") {
             val df = s.read.parquet(path)
               .filter(col("vec_id") % 251 === 3)
               .orderBy(vecL2(col("embedding"), lv(q)))
@@ -498,7 +508,7 @@ object GraftQueries {
               "prefiltered partitioned escalation failed to match:\n" +
               df.queryExecution.optimizedPlan)
             df.collect()
-          } finally s.conf.unset("graft.ann.cost.enable")
+          }
         import s.implicits._
         served.map(r => (r.getLong(r.fieldIndex("vec_id")),
             r.getSeq[Float](r.fieldIndex("embedding"))))
@@ -524,16 +534,14 @@ object GraftQueries {
         if (!s.experimental.extraOptimizations.exists(_.isInstanceOf[graft.plans.AnnTopKRewrite]))
           s.experimental.extraOptimizations =
             s.experimental.extraOptimizations :+ graft.plans.AnnTopKRewrite(s)
-        // snapshot-and-restore probes: this query wants 8 (full coverage
-        // of lists=8 children) but other ANN queries in the same session
-        // rely on their own 16 or the auto default — a leaked 8 would
-        // silently shrink their probe budget depending on run order
-        val prevProbes = s.conf.getOption("graft.ann.probes")
-        s.conf.set("graft.ann.probes", "8")
-        s.conf.set("graft.ann.maxsim.kPerToken", "1024")
-        s.conf.set("graft.ann.cost.enable", "false")
-        val served =
-          try {
+        // probes=8 (full coverage of lists=8 children) while other ANN
+        // queries in the same session rely on their own 16 or the auto
+        // default — withConfs snapshots ALL THREE keys so neither the
+        // probe budget nor a session-level kPerToken/cost setting leaks
+        // in any run order
+        val served = withConfs(s, "graft.ann.probes" -> "8",
+          "graft.ann.maxsim.kPerToken" -> "1024",
+          "graft.ann.cost.enable" -> "false") {
             val df = s.read.parquet(path)
               .orderBy(vecMaxsim(col("tokens"), typedlit(qs.map(_.toSeq))))
               .limit(10)
@@ -542,13 +550,6 @@ object GraftQueries {
               "token-index cover failed to match:\n" +
               df.queryExecution.optimizedPlan)
             df.collect()
-          } finally {
-            s.conf.unset("graft.ann.cost.enable")
-            s.conf.unset("graft.ann.maxsim.kPerToken")
-            prevProbes match {
-              case Some(v) => s.conf.set("graft.ann.probes", v)
-              case None    => s.conf.unset("graft.ann.probes")
-            }
           }
         import s.implicits._
         served.map { r =>
@@ -584,11 +585,11 @@ object GraftQueries {
           s.experimental.extraOptimizations =
             s.experimental.extraOptimizations :+ graft.plans.AnnTopKRewrite(s)
         // generous beam (ef=256 over ~half-tier-sized children) — the
-        // same exact-recall regime the graph_knn golden relies on
-        s.conf.set("graft.ann.efSearch", "256")
-        s.conf.set("graft.ann.cost.enable", "false")
-        val served =
-          try {
+        // same exact-recall regime the graph_knn golden relies on;
+        // withConfs snapshot-restores so a session-level efSearch or
+        // cost setting is never clobbered
+        val served = withConfs(s, "graft.ann.efSearch" -> "256",
+          "graft.ann.cost.enable" -> "false") {
             val df = s.read.parquet(path)
               .orderBy(vecL2(col("embedding"), lv(q)))
               .limit(10)
@@ -596,9 +597,6 @@ object GraftQueries {
               "graph_knn_partitioned was NOT index-served — the per-partition " +
               "graph cover failed to match:\n" + df.queryExecution.optimizedPlan)
             df.collect()
-          } finally {
-            s.conf.unset("graft.ann.cost.enable")
-            s.conf.unset("graft.ann.efSearch")
           }
         import s.implicits._
         served.map(r => (r.getLong(r.fieldIndex("vec_id")),

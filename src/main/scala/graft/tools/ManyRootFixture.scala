@@ -41,9 +41,17 @@ object ManyRootFixture {
           "id", "vec", d, graft.index.IvfConfig(lists = lists))
       graft.plans.AnnCatalog.register(s"$tableDir/part=$p", d, "id", "vec")
     }
+    // register our own rule instance only if none is present, and remove
+    // it BY REFERENCE on exit: AnnTopKRewrite is a case class, so
+    // equality-based filterNot would also strip a rule the CALLER had
+    // registered before this probe (and an unconditional append would
+    // double-run the rewrite for the probe's duration)
     val rule = graft.plans.AnnTopKRewrite(spark)
-    spark.experimental.extraOptimizations =
-      spark.experimental.extraOptimizations :+ rule
+    val added =
+      !spark.experimental.extraOptimizations.exists(_.isInstanceOf[graft.plans.AnnTopKRewrite])
+    if (added)
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ rule
     val prevCost = spark.conf.getOption("graft.ann.cost.enable")
     spark.conf.set("graft.ann.cost.enable", "false")
     try {
@@ -61,8 +69,9 @@ object ManyRootFixture {
       planOnce() // warm
       (1 to runs).map(_ => planOnce())
     } finally {
-      spark.experimental.extraOptimizations =
-        spark.experimental.extraOptimizations.filterNot(_ == rule)
+      if (added)
+        spark.experimental.extraOptimizations =
+          spark.experimental.extraOptimizations.filter(r => !(r eq rule))
       prevCost match {
         case Some(v) => spark.conf.set("graft.ann.cost.enable", v)
         case None    => spark.conf.unset("graft.ann.cost.enable")
