@@ -484,20 +484,29 @@ object Multimodal {
    * destroys the child — the read unblocks at pipe EOF — and the row
    * FAILS LOUDLY (RuntimeException), not a silent zero-frame filter: a
    * timeout is a decode-infrastructure pathology, not a garbage blob.
+   *
+   * `bin` is the binary invoked (default `ffmpeg` from PATH) — point it
+   * at an absolute path when executors carry a pinned/static build.
+   * Java resolves bare subprocess names against the PATH the JVM
+   * STARTED with (not `ProcessBuilder.environment`), so an explicit
+   * path is also the only way to redirect the binary per-decoder —
+   * which is how the stub-driven specs execute every branch of this
+   * plumbing on hosts with no ffmpeg at all.
    */
   final case class FfmpegDecoder(maxDecodedFrames: Int = 256,
                                  fps: Double = 0.0,
-                                 timeoutSec: Double = 120.0) extends FrameDecoder {
+                                 timeoutSec: Double = 120.0,
+                                 bin: String = "ffmpeg") extends FrameDecoder {
     require(maxDecodedFrames >= 1,
       s"maxDecodedFrames must be >= 1, got $maxDecodedFrames")
     require(timeoutSec > 0, s"timeoutSec must be > 0, got $timeoutSec")
     override def name: String = "ffmpeg"
     override def frames(blob: Array[Byte]): Iterator[(Int, Array[Byte])] = {
-      if (!FfmpegDecoder.available)
+      if (!FfmpegDecoder.available(bin))
         throw new IllegalStateException(
-          "ffmpeg not found on PATH — FfmpegDecoder cannot run. Install " +
-          "ffmpeg on every executor (it is probed as a CLI binary), or use " +
-          "MjpegDecoder / a custom FrameDecoder for this corpus.")
+          s"ffmpeg binary '$bin' not found — FfmpegDecoder cannot run. " +
+          "Install ffmpeg on every executor (it is probed as a CLI binary), " +
+          "or use MjpegDecoder / a custom FrameDecoder for this corpus.")
       if (blob == null || blob.isEmpty) return Iterator.empty
       val tmp = java.nio.file.Files.createTempFile("graft-ffmpeg", ".bin")
       try {
@@ -507,7 +516,7 @@ object Multimodal {
         // fail and silently zero-frame the whole corpus
         val fpsArg = String.format(java.util.Locale.ROOT, "fps=%.4f",
           java.lang.Double.valueOf(fps))
-        val cmd = Seq("ffmpeg", "-v", "error", "-i", tmp.toString) ++
+        val cmd = Seq(bin, "-v", "error", "-i", tmp.toString) ++
           (if (fps > 0) Seq("-vf", fpsArg) else Nil) ++
           Seq("-frames:v", maxDecodedFrames.toString,
             "-f", "image2pipe", "-vcodec", "mjpeg", "-q:v", "2", "pipe:1")
@@ -550,14 +559,21 @@ object Multimodal {
     private[ops] lazy val watchdog =
       new java.util.Timer("graft-ffmpeg-watchdog", true)
 
-    /** One PATH probe per JVM (executors probe independently). */
-    lazy val available: Boolean =
-      try {
-        val p = new ProcessBuilder("ffmpeg", "-version")
-          .redirectErrorStream(true).start()
-        p.getInputStream.readAllBytes()
-        p.waitFor() == 0
-      } catch { case _: java.io.IOException => false }
+    /** One probe per (JVM, binary path) — executors probe independently. */
+    private val probes =
+      new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
+
+    def available(bin: String): Boolean =
+      probes.computeIfAbsent(bin, b =>
+        try {
+          val p = new ProcessBuilder(b, "-version")
+            .redirectErrorStream(true).start()
+          p.getInputStream.readAllBytes()
+          p.waitFor() == 0
+        } catch { case _: java.io.IOException => java.lang.Boolean.FALSE })
+
+    /** The default PATH binary's probe. */
+    def available: Boolean = available("ffmpeg")
   }
 
   /**
