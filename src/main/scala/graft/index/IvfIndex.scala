@@ -782,34 +782,34 @@ object IvfIndex {
     * clusterDot). */
   private type QPrep = (Int, Array[Float], Double, Double, Double)
 
-  /** List the EXISTING probed-cluster leaf dirs of `ix` (current
-    * generation + delta) and register their structural info. */
+  /** Register the probed-cluster leaf dirs of `ix` (current generation +
+    * delta): structural info into `into`, and the dirs' pre-listed data
+    * FileStatuses into `files`. Existence and listing both resolve
+    * against caches ([[clusterDirSets]], [[rootFiles]]) — no per-plan
+    * filesystem walk at all. */
   private def probedDirs(ix: IvfIndex, root: Int, probed: Iterable[Int],
-                         into: scala.collection.mutable.HashMap[String, DirInfo],
-                         dirs: scala.collection.mutable.ArrayBuffer[String]): Unit = {
-    val gen = ix.currentGen
-    val delta = ix.deltaExists
+      into: scala.collection.mutable.HashMap[String, DirInfo],
+      files: scala.collection.mutable.ArrayBuffer[org.apache.hadoop.fs.FileStatus])
+      : Unit = {
+    val (gen, genCids, deltaCids) = ix.clusterDirSets
+    val rfiles = rootFiles(ix)
     val bits = ix.meta.cfg.bits
     val dim = ix.meta.dim
     val isL2 = ix.meta.cfg.metric == "l2"
     val isCos = ix.meta.cfg.metric == "cosdist"
     probed.foreach { cid =>
-      val cands = s"${ix.dir}/$gen/cluster_id=$cid" ::
-        (if (delta) s"${ix.dir}/delta/cluster_id=$cid" :: Nil else Nil)
+      val cands =
+        (if (genCids.contains(cid)) s"${ix.dir}/$gen/cluster_id=$cid" :: Nil else Nil) :::
+        (if (deltaCids.contains(cid)) s"${ix.dir}/delta/cluster_id=$cid" :: Nil else Nil)
       cands.foreach { d =>
-        val p = Paths.get(d)
-        if (Files.exists(p)) {
-          // ABSOLUTIZE before keying and before handing to spark.read: an
-          // index registered under a relative dir would otherwise key the
-          // map with a relative URI path while executors resolve
-          // _metadata.file_path to the absolute one — a guaranteed lookup
-          // miss only on this flat path (spark.read resolves relative
-          // paths itself)
-          val abs = p.toAbsolutePath.normalize.toString
-          val key = new org.apache.hadoop.fs.Path(abs).toUri.getPath
-          into(key) = (root, cid, bits, dim, isL2, isCos)
-          dirs += abs
-        }
+        // ABSOLUTIZE before keying: an index registered under a relative
+        // dir would otherwise key the map with a relative URI path while
+        // executors resolve _metadata.file_path to the absolute one — a
+        // guaranteed lookup miss only on this flat path
+        val abs = Paths.get(d).toAbsolutePath.normalize.toString
+        val key = new org.apache.hadoop.fs.Path(abs).toUri.getPath
+        into(key) = (root, cid, bits, dim, isL2, isCos)
+        rfiles.get(key).foreach(files ++= _)
       }
     }
   }
@@ -836,9 +836,17 @@ object IvfIndex {
     require(queries.nonEmpty, "empty query batch")
     val spark = idxs.head.spark
     import spark.implicits._
+    val dbg = sys.env.contains("GRAFT_DEBUG_FLAT")
+    var tMark = System.nanoTime()
+    def mark(label: String): Unit = if (dbg) {
+      val now = System.nanoTime()
+      System.err.println(f"[flatdebug] $label ${(now - tMark) / 1e9}%.3f s")
+      tMark = now
+    }
     val nQ = queries.length
     val info = scala.collection.mutable.HashMap.empty[String, DirInfo]
-    val dirs = scala.collection.mutable.ArrayBuffer.empty[String]
+    val files =
+      scala.collection.mutable.ArrayBuffer.empty[org.apache.hadoop.fs.FileStatus]
     // per root: cid -> the preps of queries probing it
     val prepByRoot = Array.fill(idxs.length)(
       scala.collection.mutable.HashMap.empty[Int, List[QPrep]])
@@ -856,15 +864,18 @@ object IvfIndex {
           allProbed += cid
         }
       }
-      probedDirs(ix, r, allProbed, info, dirs)
+      probedDirs(ix, r, allProbed, info, files)
     }
-    if (dirs.isEmpty) return Array.empty
+    mark("prep+probe")
+    if (files.isEmpty) return Array.empty
     val nRoots = idxs.length
     val eps = epsilon
     val bInfo = spark.sparkContext.broadcast(info.toMap)
     val bPreps = spark.sparkContext.broadcast(
       prepByRoot.map(_.view.mapValues(_.toArray).toMap))
-    val partials = flatCodesRead(spark, dirs.toSeq)
+    val pruned = flatCodesFor(spark, files.toArray)
+    mark("relation+prune")
+    val partials = pruned
       .mapPartitions { it =>
         val info = bInfo.value
         val preps = bPreps.value
@@ -899,25 +910,44 @@ object IvfIndex {
         }
         out.iterator
       }
-    // merge partials per (root, query) slot ON EXECUTORS (map-side
-    // combined aggregateByKey): the driver collect is then EXACTLY
-    // ≤ roots x queries x nCand — the figure serveMaxSimMulti's
-    // maxPoolTuples guard budgets — instead of growing with the scan's
-    // partition count (a wide scan could otherwise collect
-    // partitions x that many tuples, 1-2 orders over budget). The heap's
-    // total (lb, id) order makes the merge exact: same kept set and tie
-    // order as the previous driver-side global sort.
-    partials.rdd
-      .map { case (r, qi, id, lb) => (r * nQ + qi, (lb, id)) }
-      .aggregateByKey(new graft.core.BoundedTopK(nCand))(
-        (h, t) => { h.offer(t._1, t._2); h },
-        (a, b) => a.mergeFrom(b))
-      .collect()
-      .flatMap { case (slot, h) =>
-        val r = slot / nQ; val qi = slot % nQ
-        h.sorted().map { case (lb, id) => (r, qi, id, lb) }
-      }
+    // The driver collect must not grow with the scan's partition count:
+    // each partition emits up to roots x queries x nCand heap rows, so a
+    // wide scan's direct collect would be 1-2 orders over the
+    // roots x queries x nCand figure the serve-side maxPoolTuples guard
+    // budgets. Narrow scans (the common planning-latency path) keep the
+    // one-stage direct collect; past the budget, a map-side-combined
+    // aggregateByKey merges heaps per (root, query) slot ON EXECUTORS
+    // first, making the collect exactly ≤ roots x queries x nCand at one
+    // extra (tiny) shuffle stage. Both paths are exact and identically
+    // tie-ordered: the heap's (lb, id) order is total, so merge order is
+    // irrelevant.
+    val prdd = partials.rdd
+    val directBound = prdd.getNumPartitions.toLong * nRoots * nQ * nCand
+    mark("physical-plan")
+    if (directBound <= IvfIndex.directPoolCollectMax) {
+      val out = prdd.collect().groupBy(t => (t._1, t._2)).valuesIterator
+        .flatMap { rows => rows.sortBy(t => (t._4, t._3)).take(nCand) }.toArray
+      mark("pool-job")
+      out
+    } else {
+      prdd
+        .map { case (r, qi, id, lb) => (r * nQ + qi, (lb, id)) }
+        .aggregateByKey(new graft.core.BoundedTopK(nCand))(
+          (h, t) => { h.offer(t._1, t._2); h },
+          (a, b) => a.mergeFrom(b))
+        .collect()
+        .flatMap { case (slot, h) =>
+          val r = slot / nQ; val qi = slot % nQ
+          h.sorted().map { case (lb, id) => (r, qi, id, lb) }
+        }
+    }
   }
+
+  /** Worst-case driver tuple count under which [[multiEstimatePools]]
+    * collects partition-local heap rows directly (one stage); above it,
+    * heaps merge on executors first. ~4M tuples ≈ 130 MB boxed —
+    * comfortably inside any driver sized for planning work. */
+  private val directPoolCollectMax: Long = 4000000L
 
   /** One-read multi-root top-k candidate pool (the T = 1 face of
     * [[multiEstimatePools]]): per root, the exact top `nCand` (id, lb)
@@ -947,7 +977,8 @@ object IvfIndex {
     val spark = idxs.head.spark
     import spark.implicits._
     val info = scala.collection.mutable.HashMap.empty[String, DirInfo]
-    val dirs = scala.collection.mutable.ArrayBuffer.empty[String]
+    val files =
+      scala.collection.mutable.ArrayBuffer.empty[org.apache.hadoop.fs.FileStatus]
     // per root: cid -> preps of the spheres whose range cells include it
     // ((radius, qr, qSum, qNormSq, clusterDot) per sphere)
     val prepByRoot = Array.fill(idxs.length)(scala.collection.mutable
@@ -966,14 +997,14 @@ object IvfIndex {
           allProbed += cid
         }
       }
-      probedDirs(ix, r, allProbed, info, dirs)
+      probedDirs(ix, r, allProbed, info, files)
     }
-    if (dirs.isEmpty) return Array.empty
+    if (files.isEmpty) return Array.empty
     val eps = epsilon
     val bInfo = spark.sparkContext.broadcast(info.toMap)
     val bPreps = spark.sparkContext.broadcast(
       prepByRoot.map(_.view.mapValues(_.toArray).toMap))
-    flatCodesRead(spark, dirs.toSeq)
+    flatCodesFor(spark, files.toArray)
       .mapPartitions { it =>
         val info = bInfo.value
         val preps = bPreps.value
@@ -1001,10 +1032,82 @@ object IvfIndex {
       }.limit(cap + 1).collect()
   }
 
-  /** The single flat relation over explicit leaf cluster dirs: pruned to
-    * the estimate columns plus the file path (no vec bytes read — same
-    * column economics as codesDf). */
-  private def flatCodesRead(spark: SparkSession, dirs: Seq[String])
+  /** Per-root cluster-dir file listings, keyed by the root's (dir, gen,
+    * delta, mutations) — the dataDf invalidation contract — so a
+    * compaction or same-JVM append re-lists ONLY that root. Values map
+    * the leaf dir's scheme-less URI path to its data-file statuses.
+    * This is what makes flat multi-root planning O(probed cells) at ANY
+    * corpus width: no per-plan directory walk, and no distributed
+    * listing job ever (re-listing 16k dirs through spark.read measured
+    * ~20 s, and a relation-level cache would re-pay it after EVERY
+    * append/compact of ANY root; per-root listings re-pay only the
+    * mutated root). 1024 root-generations of FileStatus is a few MB. */
+  private val rootFilesCache =
+    new java.util.LinkedHashMap[String, Map[String, Array[org.apache.hadoop.fs.FileStatus]]](
+        64, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, Map[String, Array[org.apache.hadoop.fs.FileStatus]]])
+          : Boolean = size > 1024
+    }
+
+  private def rootFiles(ix: IvfIndex)
+      : Map[String, Array[org.apache.hadoop.fs.FileStatus]] =
+    rootFilesCache.synchronized {
+      val (gen, genCids, deltaCids) = ix.clusterDirSets
+      val key = s"${ix.dir}|$gen|${deltaCids.nonEmpty}|${ix.mutations.get()}"
+      val hit = rootFilesCache.get(key)
+      if (hit != null) hit
+      else {
+        val conf = ix.spark.sparkContext.hadoopConfiguration
+        val dirs =
+          genCids.toSeq.sorted.map(c => s"${ix.dir}/$gen/cluster_id=$c") ++
+            deltaCids.toSeq.sorted.map(c => s"${ix.dir}/delta/cluster_id=$c")
+        val listed = dirs.map { d =>
+          val p = new org.apache.hadoop.fs.Path(
+            Paths.get(d).toAbsolutePath.normalize.toString)
+          val fs = p.getFileSystem(conf)
+          val files = (try fs.listStatus(p)
+            catch { case _: java.io.FileNotFoundException =>
+              Array.empty[org.apache.hadoop.fs.FileStatus] })
+            .filter(st => st.isFile && {
+              val n = st.getPath.getName
+              !n.startsWith("_") && !n.startsWith(".")
+            })
+          p.toUri.getPath -> files
+        }.toMap
+        rootFilesCache.put(key, listed)
+        listed
+      }
+    }
+
+  /** Minimal static [[org.apache.spark.sql.execution.datasources.FileIndex]]:
+    * serves a pre-resolved file set with ZERO filesystem access at plan
+    * time (the extension point Delta-style table formats use). */
+  private final class StaticFileIndex(
+      override val rootPaths: Seq[org.apache.hadoop.fs.Path],
+      files: Array[org.apache.hadoop.fs.FileStatus])
+      extends org.apache.spark.sql.execution.datasources.FileIndex {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.Expression
+    import org.apache.spark.sql.execution.datasources.PartitionDirectory
+    override def listFiles(partitionFilters: Seq[Expression],
+                           dataFilters: Seq[Expression]): Seq[PartitionDirectory] =
+      Seq(PartitionDirectory(InternalRow.empty, files))
+    override def inputFiles: Array[String] = files.map(_.getPath.toString)
+    override def refresh(): Unit = ()
+    override def sizeInBytes: Long = files.map(_.getLen).sum
+    override def partitionSchema: org.apache.spark.sql.types.StructType =
+      org.apache.spark.sql.types.StructType(Nil)
+  }
+
+  /** The flat codes read over exactly `files`: a parquet
+    * HadoopFsRelation over a [[StaticFileIndex]] — the statuses come
+    * from the per-root [[rootFiles]] cache, so building this relation
+    * does NO listing and the job scans ONLY the probed cells' files.
+    * Pruned to the estimate columns plus the file path (no vec bytes
+    * read — same column economics as codesDf). */
+  private def flatCodesFor(spark: SparkSession,
+      files: Array[org.apache.hadoop.fs.FileStatus])
       : Dataset[(Long, Array[Float], Array[Byte], String)] = {
     import spark.implicits._
     import org.apache.spark.sql.types._
@@ -1012,7 +1115,16 @@ object IvfIndex {
       StructField("id", LongType),
       StructField("cmeta", ArrayType(FloatType)),
       StructField("codes", BinaryType)))
-    spark.read.schema(schema).parquet(dirs: _*)
+    val roots = files.map(_.getPath.getParent).distinct.toSeq
+    val rel = org.apache.spark.sql.execution.datasources.HadoopFsRelation(
+      new StaticFileIndex(roots, files),
+      partitionSchema = StructType(Nil),
+      dataSchema = schema,
+      bucketSpec = None,
+      fileFormat =
+        new org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat,
+      options = Map.empty)(spark)
+    spark.baseRelationToDataFrame(rel)
       .select(col("id"), col("cmeta"), col("codes"),
         col("_metadata.file_path").as("__path"))
       .as[(Long, Array[Float], Array[Byte], String)]
@@ -1085,6 +1197,49 @@ final class IvfIndex(val spark: SparkSession, val dir: String, val meta: IvfMeta
   private def deltaExists: Boolean = {
     val p = Paths.get(dir, "delta")
     Files.exists(p) && Files.list(p).findFirst().isPresent
+  }
+
+  // Existing cluster-dir ids under the current generation (and delta),
+  // cached with the dataDf invalidation key: a generation dir is
+  // IMMUTABLE once CURRENT points at it (compact/delete write a fresh
+  // gen then flip the pointer), and same-JVM delta appends bump
+  // `mutations`. One directory listing per (re)build replaces the
+  // per-PLAN Files.exists walk the flat multi-root read did over every
+  // probed cell — O(probes x roots) driver syscalls per plan, the last
+  // linear planning term at date-partitioned widths (measured ~1 s at
+  // 512 probed dirs). Cross-JVM delta appends are seen when the delta
+  // area first appears, like dataDf (same documented contract).
+  @volatile private var cachedClusterDirs: (String, Boolean, Long, (Set[Int], Set[Int])) = null
+
+  /** (current gen name, cluster ids under it, cluster ids under delta). */
+  private[graft] def clusterDirSets: (String, Set[Int], Set[Int]) = {
+    val gen = currentGen
+    val delta = deltaExists
+    val ver = mutations.get()
+    val c = cachedClusterDirs
+    if (c != null && c._1 == gen && c._2 == delta && c._3 == ver)
+      (gen, c._4._1, c._4._2)
+    else {
+      def cids(p: java.nio.file.Path): Set[Int] =
+        if (!Files.isDirectory(p)) Set.empty
+        else {
+          val s = Files.list(p)
+          try {
+            val out = Set.newBuilder[Int]
+            s.iterator().forEachRemaining { q =>
+              val n = q.getFileName.toString
+              if (n.startsWith("cluster_id="))
+                try out += n.substring("cluster_id=".length).toInt
+                catch { case _: NumberFormatException => }
+            }
+            out.result()
+          } finally s.close()
+        }
+      val r = (cids(Paths.get(dir, gen)),
+        if (delta) cids(Paths.get(dir, "delta")) else Set.empty[Int])
+      cachedClusterDirs = (gen, delta, ver, r)
+      (gen, r._1, r._2)
+    }
   }
 
   private val dataCols: Seq[String] =
