@@ -127,31 +127,44 @@ object AnnCatalog {
     * (cheap: re-deciding a directory is one prefix scan). Appends add
     * files to EXISTING partition dirs or new dirs — cached dirs stay
     * valid, new dirs get decided and cached on first sight. */
-  def coverByFiles(rootPaths: Seq[String], files: Seq[String]): Option[Seq[Entry]] =
+  def coverByFiles(rootPaths: Seq[String], files: => Seq[String]): Option[Seq[Entry]] =
     coverByFilesIn(rootPaths, files, entries, coverCache)
 
   /** [[coverByFiles]] generalized over an entry map + decision cache (the
     * same machinery serves the MaxSim catalog). */
-  private def coverByFilesIn[E <: AnyRef](rootPaths: Seq[String], files: Seq[String],
+  private def coverByFilesIn[E <: AnyRef](rootPaths: Seq[String], files: => Seq[String],
       all: java.util.concurrent.ConcurrentHashMap[String, E],
       cache: java.util.concurrent.ConcurrentHashMap[String, Option[E]]): Option[Seq[E]] = {
     import scala.jdk.CollectionConverters._
-    if (files.isEmpty || all.isEmpty) return None
+    if (all.isEmpty) return None
     val rootPrefixes = rootPaths.map(p => norm(p) + "/")
     val rootsKey = rootPrefixes.sorted.mkString("|")
     val regs = all.asScala.toSeq.collect {
       case (p, e) if rootPrefixes.exists(r => (p + "/").startsWith(r)) =>
         (p + "/", e)
     }
+    // the registered-entry gate runs BEFORE `files` is forced: the
+    // common unserved case (an ANN-shaped query over a table with no
+    // child registrations at all) must not pay the O(files) inputFiles
+    // materialization the caller passes by name — at 50k-file tables
+    // that array build is the only per-plan cost that scales with the
+    // table, and it buys nothing when no entry sits under the roots
     if (regs.isEmpty) return None
+    val fileSeq = files
+    if (fileSeq.isEmpty) return None
     val out = scala.collection.mutable.LinkedHashSet.empty[E]
     val seenDirs = scala.collection.mutable.HashSet.empty[String]
-    val it = files.iterator
+    val it = fileSeq.iterator
     while (it.hasNext) {
-      val nf = norm(it.next())
-      val cut = nf.lastIndexOf('/')
-      val dir = if (cut >= 0) nf.substring(0, cut + 1) else nf
-      if (seenDirs.add(dir)) { // each distinct leaf dir decided once per plan
+      val f = it.next()
+      // dedupe on the RAW dir substring before normalizing: norm builds
+      // a Hadoop Path + URI per call (~1 us), and paying it per FILE was
+      // the walk's dominant term at 50k files (~50 ms/plan measured);
+      // per distinct DIR it is O(partitions)
+      val rawCut = f.lastIndexOf('/')
+      val rawDir = if (rawCut >= 0) f.substring(0, rawCut) else f
+      if (seenDirs.add(rawDir)) { // each distinct leaf dir decided once per plan
+        val dir = norm(rawDir) + "/"
         val key = rootsKey + "|#|" + dir
         var dec = cache.get(key)
         if (dec == null) {
@@ -250,7 +263,7 @@ object AnnCatalog {
   }
 
   def coverGraphsByFiles(rootPaths: Seq[String],
-                         files: Seq[String]): Option[Seq[GraphEntry]] =
+                         files: => Seq[String]): Option[Seq[GraphEntry]] =
     coverByFilesIn(rootPaths, files, gEntries, gCoverCache)
 
   private val gCoverCache =
@@ -337,7 +350,7 @@ object AnnCatalog {
   }
 
   def coverMaxSimByFiles(rootPaths: Seq[String],
-                         files: Seq[String]): Option[Seq[MaxSimEntry]] =
+                         files: => Seq[String]): Option[Seq[MaxSimEntry]] =
     coverByFilesIn(rootPaths, files, msEntries, msCoverCache)
 
   private val msCoverCache =

@@ -1536,4 +1536,145 @@ class AnnRewriteSpec extends SparkSpec {
     } finally (0 until nParts).foreach(p =>
       AnnCatalog.unregister(s"$tableDir/part=$p"))
   }
+
+  test("coverByFiles gate: an unregistered root never materializes the " +
+       "scan's file list (by-name files stays unforced)") {
+    var forced = false
+    val got = AnnCatalog.coverByFiles(Seq("/graft-no-such-root"), {
+      forced = true
+      Seq("/graft-no-such-root/part=0/f.parquet")
+    })
+    assert(got.isEmpty)
+    assert(!forced,
+      "inputFiles must not be materialized when no entry sits under the " +
+      "scan roots — that O(files) array build is pure per-plan overhead")
+  }
+
+  test("coverByFiles at 50k files: per-plan walk is O(distinct dirs) " +
+       "decisions + one dir-extraction pass, bounded well under 100 ms") {
+    val root = "/graft-cover-scale"
+    val children = (0 until 64).map(c => s"$root/part=$c")
+    children.foreach(c => AnnCatalog.register(c, s"$c-idx", "id", "vec"))
+    try {
+      // ~50k synthetic file paths over the 64 registered children (no
+      // filesystem involved: the walk's cost is string work + memo hits)
+      val files = (0 until 50000).map(i =>
+        s"$root/part=${i % 64}/part-${i / 64}-x.snappy.parquet")
+      val cover = AnnCatalog.coverByFiles(Seq(root), files)
+      assert(cover.isDefined && cover.get.size == 64, s"cover: $cover")
+      // warm (memoized dirs), then time — generous bound: catches an
+      // O(files x entries) or memo-loss regression, not box noise
+      val t0 = System.nanoTime()
+      val runs = 5
+      (1 to runs).foreach { _ =>
+        assert(AnnCatalog.coverByFiles(Seq(root), files).isDefined)
+      }
+      val perPlanMs = (System.nanoTime() - t0) / 1e6 / runs
+      info(f"coverByFiles over 50k files, 64 children: $perPlanMs%.2f ms/plan")
+      assert(perPlanMs < 100.0,
+        f"cover walk took $perPlanMs%.1f ms per plan at 50k files")
+    } finally children.foreach(AnnCatalog.unregister)
+  }
+
+  test("sharded-graph tier does NOT union across children: a whole-table " +
+       "read over per-child SHARDED graphs declines to the exact plan " +
+       "(documented resident-memory economics), while per-child reads serve") {
+    import spark.implicits._
+    val rng = new scala.util.Random(131)
+    val rows = (0L until 300L).map(i =>
+      (i, Seq.fill(8)(rng.nextFloat() * 2 - 1), (i % 2).toInt))
+    val tableDir = Files.createTempDirectory("graft-ann-sgdecline").toString
+    rows.toDF("id", "vec", "part")
+      .write.partitionBy("part").mode("overwrite").parquet(tableDir)
+    (0 to 1).foreach { p =>
+      val d = Files.createTempDirectory(s"graft-ann-sgdecline-idx$p").toString
+      graft.index.ShardedVamana.build(
+        spark.read.parquet(s"$tableDir/part=$p"), "id", "vec",
+        d, graft.index.VamanaConfig(), shards = 2)
+      AnnCatalog.registerShardedGraph(s"$tableDir/part=$p", d, "id", "vec")
+    }
+    try withRule {
+      withConfs("graft.ann.efSearch" -> "256", "graft.ann.cost.enable" -> "false") {
+        val q = Array.fill(8)(0.2f)
+        // whole-table: no multi-root union exists for the SHARDED tier
+        // (each child graph pins its own resident shard RDD; unioning R
+        // of them is R live RDD tiers — declined by design, documented
+        // in COVERAGE). The decline must be to the EXACT plan, not a
+        // partial serve that silently drops a child's rows.
+        val whole = spark.read.parquet(tableDir)
+          .orderBy(GraftFunctions.vecL2(col("vec"), typedlit(q.toSeq)))
+          .limit(5)
+        assert(!whole.queryExecution.optimizedPlan.toString.contains(" IN "),
+          "whole-table read over per-child sharded graphs must DECLINE " +
+          "to exact, got:\n" + whole.queryExecution.optimizedPlan)
+        val got = whole.collect().map(_.getLong(0)).toSeq
+        val want = rows.map { case (id, v, _) => (K.l2(v.toArray, q), id) }
+          .sorted.take(5).map(_._2).toSeq
+        assert(got == want, "exact fallback must return the true top-k")
+        // and the same registrations still serve partition-scoped reads
+        val child = spark.read.parquet(s"$tableDir/part=1")
+          .orderBy(GraftFunctions.vecL2(col("vec"), typedlit(q.toSeq)))
+          .limit(5)
+        assert(child.queryExecution.optimizedPlan.toString.contains(" IN "),
+          "per-child read must still be sharded-graph served")
+      }
+    } finally (0 to 1).foreach(p =>
+      AnnCatalog.unregisterShardedGraph(s"$tableDir/part=$p"))
+  }
+
+  test("partitioned-MaxSim TIGHT-budget regime (partial probes, small " +
+       "kPerToken): estimate-driven candidate pools keep a recall floor " +
+       "vs whole-corpus brute force") {
+    import spark.implicits._
+    val rng = new scala.util.Random(202)
+    def tok(): Seq[Float] = Seq.fill(8)(rng.nextFloat() * 2 - 1)
+    val docs = (0L until 300L).map(i => (i, Seq(tok(), tok(), tok()), (i % 2).toInt))
+    val tableDir = Files.createTempDirectory("graft-ms-recall").toString
+    docs.toDF("doc", "tokens", "part")
+      .write.partitionBy("part").mode("overwrite").parquet(tableDir)
+    (0 to 1).foreach { p =>
+      val toks = docs.filter(_._3 == p).flatMap { case (id, ts, _) =>
+        ts.zipWithIndex.map { case (t, pos) => (id, pos, t) }
+      }.toDF("doc", "pos", "v")
+      val d = Files.createTempDirectory(s"graft-ms-recall-idx$p").toString
+      graft.ops.MaxSim.buildTokenIndex(toks, "doc", "pos", "v", d,
+        graft.index.IvfConfig(metric = "negdot", lists = 8, residual = false))
+      AnnCatalog.registerMaxSim(s"$tableDir/part=$p", d, "doc", "tokens")
+    }
+    try withRule {
+      // the regime real corpora run in: 2 of 8 lists probed per token,
+      // 32 candidates per (root, token) — the oracled golden's exact
+      // regime (probes=8, kPerToken=1024) covers every row instead
+      withConfs("graft.ann.probes" -> "2", "graft.ann.refine" -> "8",
+          "graft.ann.maxsim.kPerToken" -> "32",
+          "graft.ann.cost.enable" -> "false") {
+        val k = 10
+        val queries = Seq(11, 47, 123, 222).map(i =>
+          Seq(docs(i)._2(0), docs(i)._2(1)))
+        val recalls = queries.map { query =>
+          val df = spark.read.parquet(tableDir)
+            .orderBy(GraftFunctions.vecMaxsim(col("tokens"), typedlit(query)))
+            .limit(k)
+          assert(df.queryExecution.optimizedPlan.toString.contains(" IN "),
+            "tight-budget maxsim read not served")
+          val got = df.collect().map(_.getLong(0)).toSet
+          val qArr = query.map(_.toArray).toArray
+          val want = docs.map { case (id, ts, _) =>
+              (K.maxsim(ts.map(_.toArray).toArray, qArr), id)
+            }.sorted.take(k).map(_._2).toSet
+          got.intersect(want).size.toDouble / k
+        }
+        val mean = recalls.sum / recalls.size
+        info(f"partitioned MaxSim recall@$k at probes=2/8, kPerToken=32: " +
+          f"mean $mean%.2f (per-query ${recalls.map(r => f"$r%.1f").mkString(", ")})")
+        // floor, not equality: candidate-boundary misses are the ANN
+        // contract in this regime; ordering of surfaced docs stays exact
+        // (the plan's own Sort reranks true maxsim)
+        assert(mean >= 0.7, f"mean recall $mean%.2f under the 0.7 floor")
+        assert(recalls.forall(_ >= 0.5),
+          s"a query fell under the 0.5 per-query floor: $recalls")
+      }
+    } finally (0 to 1).foreach(p =>
+      AnnCatalog.unregisterMaxSim(s"$tableDir/part=$p"))
+  }
 }
