@@ -114,7 +114,26 @@ object Bench {
         .toOption.filter(_ > 0).getOrElse(0.50)
     try sentinel() catch { case NonFatal(_) => } // untimed JIT absorb
     val sentinelPre = try sentinel() catch { case NonFatal(_) => -1.0 }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // FIXED-HASH run order, not alphabetical: in-JVM drag grows over the
+    // ~1500-job run, so whatever runs late carries it — alphabetical
+    // order made the same families (semdedup_*, sql_*, v_*) absorb it
+    // every capture, skewing cross-round per-query comparisons for
+    // exactly those keys. A deterministic hash scatters families across
+    // the run while keeping the order identical between rounds. A
+    // sentinel reading at the HALFWAY point catches contention arriving
+    // mid-capture (the pre reading alone cannot) and anchors the
+    // per-query drift interpolation below.
+    val ordered = SparkEntry.queries.toSeq
+      .sortBy { case (n, _) => (scala.util.hashing.MurmurHash3.stringHash(n), n) }
+    val halfAt = ordered.length / 2
+    var sentinelMid = -1.0
+    val results = ordered.zipWithIndex.map { case ((name, fn), i) =>
+      if (i == halfAt)
+        sentinelMid = try sentinel() catch { case NonFatal(_) => -1.0 }
+      // drop dead heap between queries (untimed): a GC backlog one query
+      // leaves behind otherwise lands in a later query's timing and
+      // compounds into the late-run drag the drift keys measure
+      if (i % 24 == 23) System.gc()
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() }
       catch { case NonFatal(e) => System.err.println(s"query $name failed: $e"); -1L }
@@ -141,13 +160,49 @@ object Bench {
     // capture, bounded by the drift factor.
     val sentinelRatio =
       if (sentinelPre <= 0) -1.0 else sentinelPre / sentinelRef
+    // post (and mid) vs the quiet-box reference gate the capture END and
+    // MIDDLE the way ratio gates the start: contention arriving after
+    // the capture began shows up here, where the pre reading alone would
+    // report a clean box (the drift key folds external late arrival and
+    // in-JVM aging together; these separate them against the absolute
+    // reference)
+    val sentinelMidRatio =
+      if (sentinelMid <= 0) -1.0 else sentinelMid / sentinelRef
+    val sentinelPostRatio =
+      if (sentinelPost <= 0) -1.0 else sentinelPost / sentinelRef
     val sentinelDrift =
       if (sentinelPre <= 0 || sentinelPost <= 0) -1.0
       else sentinelPost / sentinelPre
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     val aggs = Seq("_index_builds" -> buildSec, "_warm_pass" -> warmPassSec,
-      "_sentinel_pre" -> sentinelPre, "_sentinel_post" -> sentinelPost,
-      "_sentinel_ratio" -> sentinelRatio, "_sentinel_drift" -> sentinelDrift)
+      "_sentinel_pre" -> sentinelPre, "_sentinel_mid" -> sentinelMid,
+      "_sentinel_post" -> sentinelPost,
+      "_sentinel_ratio" -> sentinelRatio,
+      "_sentinel_mid_ratio" -> sentinelMidRatio,
+      "_sentinel_post_ratio" -> sentinelPostRatio,
+      "_sentinel_drift" -> sentinelDrift)
+    // per-query drift factors (BENCH_FULL only): piecewise-linear
+    // interpolation of the sentinel's in-run inflation at each query's
+    // RUN POSITION (pre before query 0, mid at the halfway mark, post
+    // after the last) — divide a query's seconds by its factor to
+    // normalize late-run drag out of cross-capture comparisons
+    val driftFactors: Seq[(String, Double)] =
+      if (sentinelPre <= 0 || sentinelMid <= 0 || sentinelPost <= 0) Nil
+      else {
+        val n = results.length
+        val anchors = Seq(-0.5 -> 1.0, (halfAt - 0.5) -> sentinelMid / sentinelPre,
+          (n - 0.5) -> sentinelPost / sentinelPre)
+        def factorAt(pos: Double): Double = {
+          val segs = anchors.sliding(2).collectFirst {
+            case Seq((x0, y0), (x1, y1)) if pos <= x1 =>
+              y0 + (y1 - y0) * ((pos - x0) / (x1 - x0))
+          }
+          segs.getOrElse(anchors.last._2)
+        }
+        results.zipWithIndex.map { case ((name, _), i) =>
+          s"_drift_$name" -> factorAt(i.toDouble)
+        }
+      }
     def jline(entries: Seq[(String, Double)], fmt: Double => String): String = {
       val qs = entries.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
         .mkString("{", ",", "}")
@@ -161,7 +216,7 @@ object Bench {
     // rounds 6-7 recorded a truncated, unparseable tail. The stdout line is
     // the COMPACT form (real queries rounded to 2dp + the two aggregates),
     // sized to survive that window with sbt's trailing [success] line.
-    val full = jline(results ++ scale ++ aggs, v => v.toString)
+    val full = jline(results ++ scale ++ aggs ++ driftFactors, v => v.toString)
     try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_FULL.json"),
       (full + "\n").getBytes("UTF-8"))
     catch { case NonFatal(e) => System.err.println(s"BENCH_FULL write failed: $e") }
