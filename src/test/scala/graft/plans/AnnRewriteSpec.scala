@@ -1677,4 +1677,61 @@ class AnnRewriteSpec extends SparkSpec {
     } finally (0 to 1).foreach(p =>
       AnnCatalog.unregisterMaxSim(s"$tableDir/part=$p"))
   }
+
+  test("flat-read listing caches invalidate on appends landing AFTER a " +
+       "serve: a first delta (cross-instance, deltaExists flip) and a " +
+       "second append (same-instance mutations bump) are both visible") {
+    import spark.implicits._
+    val rng = new scala.util.Random(307)
+    val base = (0L until 400L).map(i =>
+      (i, Seq.fill(8)(rng.nextFloat() * 0.5f + 1.0f), (i % 2).toInt))
+    val tableDir = Files.createTempDirectory("graft-ann-inval").toString
+    base.toDF("id", "vec", "part")
+      .write.partitionBy("part").mode("overwrite").parquet(tableDir)
+    val idxDirs = (0 to 1).map { p =>
+      val d = Files.createTempDirectory(s"graft-ann-inval-idx$p").toString
+      IvfIndex.build(spark.read.parquet(s"$tableDir/part=$p"), "id", "vec",
+        d, IvfConfig(lists = 4))
+      AnnCatalog.register(s"$tableDir/part=$p", d, "id", "vec")
+      d
+    }
+    try withRule {
+      withConfs("graft.ann.probes" -> "4", "graft.ann.refine" -> "50",
+          "graft.ann.cost.enable" -> "false") {
+        val q = Array.fill(8)(0.0f)
+        def topIds(): Seq[Long] = {
+          val df = spark.read.parquet(tableDir)
+            .orderBy(GraftFunctions.vecL2(col("vec"), typedlit(q.toSeq)))
+            .limit(3).select("id")
+          assert(df.queryExecution.optimizedPlan.toString.contains(" IN "),
+            "whole-table read not served")
+          df.collect().map(_.getLong(0)).toSeq
+        }
+        // base corpus sits in [1.0, 1.5]^8 — far from q — so any
+        // near-zero appended row strictly wins the top-k
+        topIds() // warm: clusterDirSets + rootFiles now cached pre-append
+        // FIRST append through a FRESH instance (not the catalog's):
+        // the delta area APPEARING is the cross-instance invalidation
+        // signal (deltaExists in every cache key)
+        def appendRows(ix: IvfIndex, ids: Seq[Long], part: Int): Unit = {
+          val rows = ids.map(i => (i, Seq.fill(8)(0.01f), part))
+          // write through the table too so the exact rerank finds the rows
+          rows.toDF("id", "vec", "part").write.mode("append")
+            .partitionBy("part").parquet(tableDir)
+          ix.appendDelta(rows.toDF("id", "vec", "part"), "id", "vec")
+        }
+        appendRows(IvfIndex.load(spark, idxDirs(0)), Seq(9000L), 0)
+        assert(topIds().contains(9000L),
+          "a delta append from a fresh instance (delta dir appearing) " +
+          "must invalidate the cached flat-read listings")
+        // SECOND append through the CATALOG's own instance: the delta
+        // dir already exists, so only the mutations bump invalidates
+        val entry = AnnCatalog.lookupAll(Seq(s"$tableDir/part=1")).get.head
+        appendRows(AnnCatalog.index(spark, entry), Seq(9001L), 1)
+        val got = topIds()
+        assert(got.contains(9001L) && got.contains(9000L),
+          s"same-instance second append must invalidate via mutations: $got")
+      }
+    } finally (0 to 1).foreach(p => AnnCatalog.unregister(s"$tableDir/part=$p"))
+  }
 }
