@@ -924,7 +924,10 @@ object IvfIndex {
     val prdd = partials.rdd
     val directBound = prdd.getNumPartitions.toLong * nRoots * nQ * nCand
     mark("physical-plan")
-    if (directBound <= IvfIndex.directPoolCollectMax) {
+    val directMax = scala.util.Try(
+        spark.conf.get("graft.ann.flat.directCollectMax").toLong)
+      .getOrElse(IvfIndex.directPoolCollectMax)
+    if (directBound <= directMax) {
       val out = prdd.collect().groupBy(t => (t._1, t._2)).valuesIterator
         .flatMap { rows => rows.sortBy(t => (t._4, t._3)).take(nCand) }.toArray
       mark("pool-job")
@@ -946,7 +949,9 @@ object IvfIndex {
   /** Worst-case driver tuple count under which [[multiEstimatePools]]
     * collects partition-local heap rows directly (one stage); above it,
     * heaps merge on executors first. ~4M tuples ≈ 130 MB boxed —
-    * comfortably inside any driver sized for planning work. */
+    * comfortably inside any driver sized for planning work. Session
+    * conf `graft.ann.flat.directCollectMax` overrides (the merge-path
+    * equality spec forces 0). */
   private val directPoolCollectMax: Long = 4000000L
 
   /** One-read multi-root top-k candidate pool (the T = 1 face of

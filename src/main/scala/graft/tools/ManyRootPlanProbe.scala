@@ -17,7 +17,13 @@ import org.apache.spark.sql.SparkSession
  * multi-root read (IvfIndex.multiEstimatePools: ONE relation over
  * every root's probed cluster dirs) is what this probe grades —
  * round-12 measured 0.11/0.10/0.09/0.23/0.59/1.08 s at
- * 4/8/16/32/128/256 roots.
+ * 4/8/16/32/128/256 roots. Round 13 replaced the per-plan dir
+ * existence walk + spark.read re-listing with cached per-root file
+ * listings feeding a StaticFileIndex relation: 0.11/0.11/0.09/0.09/
+ * 0.17/0.29 s at the same widths (lists=4), and at the realistic
+ * lists=64 width 0.35 s at 64 roots (512 probed dirs/plan, was 1.30)
+ * and 0.85 s at 256 roots (2048 dirs) — the planning side is ~0.12 s
+ * flat; the remainder is the pool job reading the probed cells.
  *
  *   java -Xmx16g -cp target/scala-2.13/classes:/opt/spark/jars/'*' \
  *     graft.tools.ManyRootPlanProbe 4,8,16,32,128

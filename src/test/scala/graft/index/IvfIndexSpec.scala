@@ -389,4 +389,32 @@ class IvfIndexSpec extends SparkSpec {
     assert(IvfIndex.inPushdownCap <= 1024,
       "cap must stay below the measured parquet or-chain SOE point")
   }
+
+  test("multiEstimatePools: executor-side heap merge (forced via " +
+       "graft.ann.flat.directCollectMax=0) returns EXACTLY the direct " +
+       "collect's per-(root, query) pools") {
+    import spark.implicits._
+    val rng = new scala.util.Random(53)
+    val idxs = (0 to 1).map { r =>
+      val part = (0L until 300L).map(i =>
+        (r * 1000L + i, Seq.fill(8)(rng.nextFloat() * 2 - 1)))
+      IvfIndex.build(part.toDF("id", "vec"), "id", "vec", freshDir(),
+        IvfConfig(lists = 4))
+    }
+    val queries = Array(Array.fill(8)(0.1f), Array.fill(8)(-0.2f),
+      Array.fill(8)(0.3f))
+    def pools(): Set[(Int, Int, Long, Double)] =
+      IvfIndex.multiEstimatePools(idxs, queries, nCand = 20,
+        probes = Seq(4, 4), epsilon = 1.9).toSet
+    val direct = pools()
+    spark.conf.set("graft.ann.flat.directCollectMax", "0")
+    val merged =
+      try pools()
+      finally spark.conf.unset("graft.ann.flat.directCollectMax")
+    assert(merged == direct,
+      s"merge path diverged: only-direct=${(direct -- merged).take(5)} " +
+      s"only-merged=${(merged -- direct).take(5)}")
+    assert(direct.nonEmpty &&
+      direct.groupBy(t => (t._1, t._2)).forall(_._2.size <= 20))
+  }
 }
