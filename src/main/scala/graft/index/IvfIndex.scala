@@ -784,15 +784,18 @@ object IvfIndex {
 
   /** Register the probed-cluster leaf dirs of `ix` (current generation +
     * delta): structural info into `into`, and the dirs' pre-listed data
-    * FileStatuses into `files`. Existence and listing both resolve
-    * against caches ([[clusterDirSets]], [[rootFiles]]) — no per-plan
-    * filesystem walk at all. */
+    * FileStatuses into `files`. Existence and listing resolve against
+    * ONE atomic cached snapshot ([[IvfIndex.dirListing]]) — no per-plan
+    * filesystem walk, and no torn view if a compact flips CURRENT
+    * mid-plan (cids and file map come from the same snapshot). */
   private def probedDirs(ix: IvfIndex, root: Int, probed: Iterable[Int],
       into: scala.collection.mutable.HashMap[String, DirInfo],
       files: scala.collection.mutable.ArrayBuffer[org.apache.hadoop.fs.FileStatus])
       : Unit = {
-    val (gen, genCids, deltaCids) = ix.clusterDirSets
-    val rfiles = rootFiles(ix)
+    val dl = ix.dirListing
+    val gen = dl.gen
+    val genCids = dl.genCids
+    val deltaCids = dl.deltaCids
     val bits = ix.meta.cfg.bits
     val dim = ix.meta.dim
     val isL2 = ix.meta.cfg.metric == "l2"
@@ -809,7 +812,7 @@ object IvfIndex {
         val abs = Paths.get(d).toAbsolutePath.normalize.toString
         val key = new org.apache.hadoop.fs.Path(abs).toUri.getPath
         into(key) = (root, cid, bits, dim, isL2, isCos)
-        rfiles.get(key).foreach(files ++= _)
+        dl.filesByDir.get(key).foreach(files ++= _)
       }
     }
   }
@@ -819,11 +822,13 @@ object IvfIndex {
     * over that root's probed cells for that query — from a SINGLE
     * parquet relation spanning every root's probed cluster dirs (union
     * over queries). Partition-local [[graft.core.BoundedTopK]] heaps
-    * bound each partition's output, and a map-side-combined
-    * aggregateByKey merges them per (root, query) slot ON EXECUTORS —
-    * the driver collect is exactly ≤ roots x queries x nCand tuples
-    * regardless of how many partitions the scan has (the bound the
-    * serve-side maxPoolTuples budget checks).
+    * bound each partition's output; the driver collect is bounded by
+    * the fixed direct-collect budget (4M tuples, conf-overridable) on
+    * narrow scans, and EXACTLY ≤ roots x queries x nCand past it, when
+    * a map-side-combined aggregateByKey merges the heaps per
+    * (root, query) slot ON EXECUTORS first — so no scan width can push
+    * the collect past max(4M, the figure the serve-side maxPoolTuples
+    * budget checks).
     * Returns (root, queryIdx, id, lb) — lb WITHOUT the
     * cosdist output shift (ordering-only, like estimateCandidates).
     * One Spark job for R roots x T queries: the partitioned MaxSim
@@ -933,9 +938,15 @@ object IvfIndex {
       mark("pool-job")
       out
     } else {
+      // reducer count sized to the SLOT count, not inherited from the
+      // wide scan: the default partitioner would schedule one reduce
+      // task per scan partition (thousands, on exactly the wide-scan
+      // path this branch exists for) for at most roots x queries keys
+      val reducers = math.max(1, math.min(nRoots * nQ,
+        spark.sparkContext.defaultParallelism))
       prdd
         .map { case (r, qi, id, lb) => (r * nQ + qi, (lb, id)) }
-        .aggregateByKey(new graft.core.BoundedTopK(nCand))(
+        .aggregateByKey(new graft.core.BoundedTopK(nCand), reducers)(
           (h, t) => { h.offer(t._1, t._2); h },
           (a, b) => a.mergeFrom(b))
         .collect()
@@ -1037,53 +1048,18 @@ object IvfIndex {
       }.limit(cap + 1).collect()
   }
 
-  /** Per-root cluster-dir file listings, keyed by the root's (dir, gen,
-    * delta, mutations) — the dataDf invalidation contract — so a
-    * compaction or same-JVM append re-lists ONLY that root. Values map
-    * the leaf dir's scheme-less URI path to its data-file statuses.
-    * This is what makes flat multi-root planning O(probed cells) at ANY
-    * corpus width: no per-plan directory walk, and no distributed
-    * listing job ever (re-listing 16k dirs through spark.read measured
-    * ~20 s, and a relation-level cache would re-pay it after EVERY
-    * append/compact of ANY root; per-root listings re-pay only the
-    * mutated root). 1024 root-generations of FileStatus is a few MB. */
-  private val rootFilesCache =
-    new java.util.LinkedHashMap[String, Map[String, Array[org.apache.hadoop.fs.FileStatus]]](
-        64, 0.75f, true) {
-      override def removeEldestEntry(
-          e: java.util.Map.Entry[String, Map[String, Array[org.apache.hadoop.fs.FileStatus]]])
-          : Boolean = size > 1024
-    }
-
-  private def rootFiles(ix: IvfIndex)
-      : Map[String, Array[org.apache.hadoop.fs.FileStatus]] =
-    rootFilesCache.synchronized {
-      val (gen, genCids, deltaCids) = ix.clusterDirSets
-      val key = s"${ix.dir}|$gen|${deltaCids.nonEmpty}|${ix.mutations.get()}"
-      val hit = rootFilesCache.get(key)
-      if (hit != null) hit
-      else {
-        val conf = ix.spark.sparkContext.hadoopConfiguration
-        val dirs =
-          genCids.toSeq.sorted.map(c => s"${ix.dir}/$gen/cluster_id=$c") ++
-            deltaCids.toSeq.sorted.map(c => s"${ix.dir}/delta/cluster_id=$c")
-        val listed = dirs.map { d =>
-          val p = new org.apache.hadoop.fs.Path(
-            Paths.get(d).toAbsolutePath.normalize.toString)
-          val fs = p.getFileSystem(conf)
-          val files = (try fs.listStatus(p)
-            catch { case _: java.io.FileNotFoundException =>
-              Array.empty[org.apache.hadoop.fs.FileStatus] })
-            .filter(st => st.isFile && {
-              val n = st.getPath.getName
-              !n.startsWith("_") && !n.startsWith(".")
-            })
-          p.toUri.getPath -> files
-        }.toMap
-        rootFilesCache.put(key, listed)
-        listed
-      }
-    }
+  /** One index's on-disk layout snapshot: current generation name, the
+    * cluster ids under it and under delta, and every cluster dir's
+    * data-file statuses keyed by the dir's scheme-less URI path. Cached
+    * PER INSTANCE under the dataDf invalidation key
+    * ([[IvfIndex.dirListing]]) — an append/compact re-lists only the
+    * mutated root, and flat multi-root planning does no per-plan
+    * directory walk and never a distributed listing job (re-listing
+    * 16k dirs through spark.read measured ~20 s, and a relation-level
+    * cache would re-pay it after EVERY append/compact of ANY root). */
+  private[graft] final case class DirListing(gen: String, genCids: Set[Int],
+      deltaCids: Set[Int],
+      filesByDir: Map[String, Array[org.apache.hadoop.fs.FileStatus]])
 
   /** Minimal static [[org.apache.spark.sql.execution.datasources.FileIndex]]:
     * serves a pre-resolved file set with ZERO filesystem access at plan
@@ -1204,46 +1180,74 @@ final class IvfIndex(val spark: SparkSession, val dir: String, val meta: IvfMeta
     Files.exists(p) && Files.list(p).findFirst().isPresent
   }
 
-  // Existing cluster-dir ids under the current generation (and delta),
-  // cached with the dataDf invalidation key: a generation dir is
-  // IMMUTABLE once CURRENT points at it (compact/delete write a fresh
-  // gen then flip the pointer), and same-JVM delta appends bump
-  // `mutations`. One directory listing per (re)build replaces the
-  // per-PLAN Files.exists walk the flat multi-root read did over every
-  // probed cell — O(probes x roots) driver syscalls per plan, the last
-  // linear planning term at date-partitioned widths (measured ~1 s at
-  // 512 probed dirs). Cross-JVM delta appends are seen when the delta
-  // area first appears, like dataDf (same documented contract).
-  @volatile private var cachedClusterDirs: (String, Boolean, Long, (Set[Int], Set[Int])) = null
+  // One atomic on-disk layout snapshot for the flat multi-root read:
+  // the current generation name, the cluster ids under it and under
+  // delta, and every cluster dir's data-file statuses — cached with the
+  // dataDf invalidation key (a generation dir is IMMUTABLE once CURRENT
+  // points at it; same-JVM delta appends bump `mutations`). PER
+  // INSTANCE, like cachedData: a globally-keyed cache collided across
+  // instance lifetimes (an in-place rebuild re-creates gen-0 with
+  // mutations back at 0 — the same key, stale listings), and this
+  // instance's staleness contract is exactly dataDf's. One listing per
+  // (re)build replaces the per-PLAN Files.exists walk + spark.read
+  // re-listing that were the last linear planning terms at
+  // date-partitioned widths (~1.3 s/plan at 512 probed dirs).
+  // Single-call atomicity matters: resolving cids and files in separate
+  // snapshots let a concurrent compact flip CURRENT between them, and
+  // old-gen dir keys would miss a new-gen file map — silently emptying
+  // that root's candidates even though old-gen dirs are deliberately
+  // retained one cycle for live readers.
+  @volatile private var cachedListing: (String, Boolean, Long, IvfIndex.DirListing) = null
 
-  /** (current gen name, cluster ids under it, cluster ids under delta). */
-  private[graft] def clusterDirSets: (String, Set[Int], Set[Int]) = {
+  private[graft] def dirListing: IvfIndex.DirListing = {
     val gen = currentGen
     val delta = deltaExists
     val ver = mutations.get()
-    val c = cachedClusterDirs
-    if (c != null && c._1 == gen && c._2 == delta && c._3 == ver)
-      (gen, c._4._1, c._4._2)
+    val c = cachedListing
+    if (c != null && c._1 == gen && c._2 == delta && c._3 == ver) c._4
     else {
-      def cids(p: java.nio.file.Path): Set[Int] =
-        if (!Files.isDirectory(p)) Set.empty
-        else {
-          val s = Files.list(p)
-          try {
-            val out = Set.newBuilder[Int]
-            s.iterator().forEachRemaining { q =>
-              val n = q.getFileName.toString
-              if (n.startsWith("cluster_id="))
-                try out += n.substring("cluster_id=".length).toInt
-                catch { case _: NumberFormatException => }
+      val conf = spark.sparkContext.hadoopConfiguration
+      def listArea(area: String)
+          : (Set[Int], Map[String, Array[org.apache.hadoop.fs.FileStatus]]) = {
+        val basePath = new org.apache.hadoop.fs.Path(
+          Paths.get(dir, area).toAbsolutePath.normalize.toString)
+        val fs = basePath.getFileSystem(conf)
+        val children =
+          try fs.listStatus(basePath)
+          catch { case _: java.io.FileNotFoundException =>
+            Array.empty[org.apache.hadoop.fs.FileStatus] }
+        val cids = Set.newBuilder[Int]
+        val files = Map.newBuilder[String, Array[org.apache.hadoop.fs.FileStatus]]
+        children.foreach { st =>
+          val n = st.getPath.getName
+          if (st.isDirectory && n.startsWith("cluster_id=")) {
+            val cid =
+              try n.substring("cluster_id=".length).toInt
+              catch { case _: NumberFormatException => -1 }
+            if (cid >= 0) {
+              cids += cid
+              val fsts =
+                (try fs.listStatus(st.getPath)
+                 catch { case _: java.io.FileNotFoundException =>
+                   Array.empty[org.apache.hadoop.fs.FileStatus] })
+                .filter { f =>
+                  val fn = f.getPath.getName
+                  f.isFile && !fn.startsWith("_") && !fn.startsWith(".")
+                }
+              files += st.getPath.toUri.getPath -> fsts
             }
-            out.result()
-          } finally s.close()
+          }
         }
-      val r = (cids(Paths.get(dir, gen)),
-        if (delta) cids(Paths.get(dir, "delta")) else Set.empty[Int])
-      cachedClusterDirs = (gen, delta, ver, r)
-      (gen, r._1, r._2)
+        (cids.result(), files.result())
+      }
+      val (gc, gf) = listArea(gen)
+      val (dc, dfm) =
+        if (delta) listArea("delta")
+        else (Set.empty[Int],
+          Map.empty[String, Array[org.apache.hadoop.fs.FileStatus]])
+      val r = IvfIndex.DirListing(gen, gc, dc, gf ++ dfm)
+      cachedListing = (gen, delta, ver, r)
+      r
     }
   }
 

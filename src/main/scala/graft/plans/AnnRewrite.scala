@@ -1003,12 +1003,12 @@ case class AnnTopKRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     if (idxs.length.toLong * k > maxInList) return Some(gl)
     // DRIVER-POOL budget: the pooled retrieval collects up to
     // roots x tokens x kPerToken (root, token, id, lb) tuples to the
-    // driver for scoring — an EXACT bound, not per-partition: when the
-    // per-partition heap rows would exceed a fixed direct-collect budget,
-    // the flat read merges them per (root, token) slot on executors
-    // before collecting (IvfIndex.multiEstimatePools), so the guard
-    // below budgets the true collect regardless of how many partitions
-    // the scan has. Bounded by construction, but a 256-child
+    // driver for scoring. The flat read caps the collect at
+    // max(4M direct-collect budget, that figure): past the budget it
+    // merges partition-local heaps per (root, token) slot on executors
+    // before collecting (IvfIndex.multiEstimatePools), so no scan
+    // width can blow the guard below out by its partition count.
+    // Bounded by construction, but a 256-child
     // corpus x a 64-token query x kPerToken=1000 would be 16M tuples
     // (~0.5 GB boxed). Past the cap the serve DECLINES LOUDLY to the
     // exact scan instead of silently truncating pools (the no-silent-

@@ -118,21 +118,13 @@ object GraftQueries {
     res.select(col("id").as("vec_id"), round(col("dist"), 3).as("dist"), col("rn"))
       .orderBy("rn")
 
-  /** Run `body` with session confs set, snapshotting EVERY key first and
-    * restoring afterward (set back, or unset only if previously absent) —
-    * a query's per-plan tuning must never clobber a session-level value
-    * another query (or the user) set, in any run order. Only safe around
-    * bodies that COLLECT inside: a lazily-returned DataFrame re-plans on
-    * the next action with the restored confs. */
-  private def withConfs[T](s: SparkSession, kvs: (String, String)*)(body: => T): T = {
-    val prev = kvs.map { case (k, _) => k -> s.conf.getOption(k) }
-    kvs.foreach { case (k, v) => s.conf.set(k, v) }
-    try body
-    finally prev.foreach {
-      case (k, Some(v)) => s.conf.set(k, v)
-      case (k, None)    => s.conf.unset(k)
-    }
-  }
+  /** [[graft.core.Confs.withConfs]] — snapshot-and-restore every key so
+    * a query's per-plan tuning never clobbers a session-level value in
+    * any run order. Only safe around bodies that COLLECT inside: a
+    * lazily-returned DataFrame re-plans on the next action with the
+    * restored confs. */
+  private def withConfs[T](s: SparkSession, kvs: (String, String)*)(body: => T): T =
+    graft.core.Confs.withConfs(s, kvs: _*)(body)
 
   private val enList = TextOps.stopwords.toMap.apply("en").map(w => s"'$w'").mkString(", ")
 
@@ -422,19 +414,27 @@ object GraftQueries {
           s.experimental.extraOptimizations =
             s.experimental.extraOptimizations :+ graft.plans.AnnTopKRewrite(s)
         graft.functions.GraftFunctions.registerAll(s)
-        s.conf.set("graft.ann.probes", "16")
-        s.conf.set("graft.ann.refine", "16")
         s.read.parquet(path).createOrReplaceTempView("emb_sql")
         val qSql = q.map(_.toString).mkString("array(", "F, ", "F)")
-        val served = s.sql(
-          s"""SELECT vec_id, round(vec_l2(embedding, $qSql), 3) AS dist FROM (
-             |  SELECT vec_id, embedding FROM emb_sql
-             |  ORDER BY vec_l2(embedding, $qSql) LIMIT 10
-             |) ORDER BY dist, vec_id""".stripMargin)
-        require(served.queryExecution.optimizedPlan.toString.contains(" IN "),
-          "sql_knn was NOT index-served — the planner rule failed to match " +
-          "the SQL Sort+Limit shape:\n" + served.queryExecution.optimizedPlan)
-        served
+        // collect INSIDE withConfs: the served rows are pinned while the
+        // probe budget is in effect, and the session confs restore —
+        // returning the lazy frame would both leak probes=16 into the
+        // session AND re-plan downstream actions under restored confs
+        val served = withConfs(s, "graft.ann.probes" -> "16",
+          "graft.ann.refine" -> "16") {
+            val df = s.sql(
+              s"""SELECT vec_id, round(vec_l2(embedding, $qSql), 3) AS dist FROM (
+                 |  SELECT vec_id, embedding FROM emb_sql
+                 |  ORDER BY vec_l2(embedding, $qSql) LIMIT 10
+                 |) ORDER BY dist, vec_id""".stripMargin)
+            require(df.queryExecution.optimizedPlan.toString.contains(" IN "),
+              "sql_knn was NOT index-served — the planner rule failed to match " +
+              "the SQL Sort+Limit shape:\n" + df.queryExecution.optimizedPlan)
+            df.collect()
+          }
+        import s.implicits._
+        served.map(r => (r.getLong(0), r.getDouble(1))).toSeq
+          .toDF("vec_id", "dist").orderBy("dist", "vec_id")
       },
       Some(knnOracle)),
 
@@ -2169,14 +2169,22 @@ object GraftQueries {
         if (!s.experimental.extraOptimizations.exists(_.isInstanceOf[graft.plans.AnnTopKRewrite]))
           s.experimental.extraOptimizations =
             s.experimental.extraOptimizations :+ graft.plans.AnnTopKRewrite(s)
-        s.conf.set("graft.ann.probes", "16")
-        s.conf.set("graft.ann.refine", "16")
-        val served = s.read.parquet(path)
-          .filter(col("vec_id") % 2 === 0)
-          .orderBy(vecL2(col("embedding"), lv(q)))
-          .limit(10)
-          .select(col("vec_id"), vecL2(col("embedding"), lv(q)).as("raw"))
-        served.orderBy(col("raw"), col("vec_id"))
+        // collect inside withConfs (see sql_knn): pins the escalation
+        // serve under probes=16 and restores the session confs
+        val served = withConfs(s, "graft.ann.probes" -> "16",
+          "graft.ann.refine" -> "16") {
+            s.read.parquet(path)
+              .filter(col("vec_id") % 2 === 0)
+              .orderBy(vecL2(col("embedding"), lv(q)))
+              .limit(10)
+              .select(col("vec_id"),
+                vecL2(col("embedding"), lv(q)).as("raw"))
+              .collect()
+          }
+        import s.implicits._
+        served.map(r => (r.getLong(0), r.getDouble(1))).toSeq
+          .toDF("vec_id", "raw")
+          .orderBy(col("raw"), col("vec_id"))
           .select(col("vec_id"), round(col("raw"), 3).as("dist")) },
       Some(knnOracleWhere("vec_id % 2 = 0"))),
 

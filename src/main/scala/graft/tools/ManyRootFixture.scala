@@ -52,9 +52,7 @@ object ManyRootFixture {
     if (added)
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ rule
-    val prevCost = spark.conf.getOption("graft.ann.cost.enable")
-    spark.conf.set("graft.ann.cost.enable", "false")
-    try {
+    try graft.core.Confs.withConfs(spark, "graft.ann.cost.enable" -> "false") {
       val q = Array.fill(8)(0.15f)
       def planOnce(): Double = {
         val df = spark.read.parquet(tableDir)
@@ -72,10 +70,6 @@ object ManyRootFixture {
       if (added)
         spark.experimental.extraOptimizations =
           spark.experimental.extraOptimizations.filter(r => !(r eq rule))
-      prevCost match {
-        case Some(v) => spark.conf.set("graft.ann.cost.enable", v)
-        case None    => spark.conf.unset("graft.ann.cost.enable")
-      }
       (0 until roots).foreach(p =>
         graft.plans.AnnCatalog.unregister(s"$tableDir/part=$p"))
     }

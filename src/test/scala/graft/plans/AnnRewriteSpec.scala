@@ -48,10 +48,8 @@ class AnnRewriteSpec extends SparkSpec {
       spark.experimental.extraOptimizations.filterNot(_ == rule)
   }
 
-  private def withConfs[T](kv: (String, String)*)(f: => T): T = {
-    try { kv.foreach { case (k, v) => spark.conf.set(k, v) }; f }
-    finally kv.foreach { case (k, _) => spark.conf.unset(k) }
-  }
+  private def withConfs[T](kv: (String, String)*)(f: => T): T =
+    graft.core.Confs.withConfs(spark, kv: _*)(f)
 
   test("ORDER BY vec_l2 LIMIT k over a registered table is index-served") {
     import spark.implicits._
