@@ -397,6 +397,31 @@ object AnnTopKRewrite {
     inPlanning.set(java.lang.Boolean.TRUE)
     try body finally inPlanning.set(prev)
   }
+
+  /** The candidate-id restriction over `ids`: a literal In( ) chain up
+    * to Spark's own OptimizeIn threshold, an InSet past it. This rule
+    * runs in extraOptimizations — AFTER the main optimizer batches — so
+    * OptimizeIn never revisits the Filter it emits; at thousands of ids
+    * a raw In chain blows Janino's 64KB method limit, whole-stage
+    * codegen falls back to interpreted evaluation, and the restricted
+    * scan ran ~10x SLOWER than the exact scan it replaced (measured at
+    * 1280 ids on a 16-root partitioned serve). Parquet pushdown
+    * translates both forms to the same sources.In filter. */
+  private[graft] def idsInExpr(attr: Expression, ids: Seq[Long],
+                               idLit: Long => Literal): Expression = {
+    val thresh = org.apache.spark.sql.internal.SQLConf.get
+      .optimizerInSetConversionThreshold
+    if (ids.length > thresh)
+      InSet(attr, ids.iterator.map(id => idLit(id).value).toSet)
+    else
+      In(attr, ids.iterator.map(idLit).toSeq)
+  }
+
+  /** Does an optimized-plan string show the rule's id restriction, in
+    * either literal form? The one predicate every plan assert
+    * (specs, goldens, probes) should use. */
+  def inServed(planStr: String): Boolean =
+    planStr.contains(" IN ") || planStr.contains(" INSET ")
 }
 
 case class AnnTopKRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
@@ -836,9 +861,8 @@ case class AnnTopKRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
             else {
               val dids = ids.distinct.sorted
               ensureInPushdown(dids.length)
-              val restricted = stamped(Filter(In(idAttr,
-                scala.collection.immutable.ArraySeq.unsafeWrapArray(
-                  dids.map(idLit))), indexedSide))
+              val restricted = stamped(Filter(
+                AnnTopKRewrite.idsInExpr(idAttr, dids, idLit), indexedSide))
               Some(if (indexedSide eq j.left) j.copy(left = restricted)
                    else j.copy(right = restricted))
             }
@@ -916,7 +940,7 @@ case class AnnTopKRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
         else {
           ensureInPushdown(all.length)
           Some(stamped(Filter(And(f.condition,
-            In(idAttr, scala.collection.immutable.ArraySeq.unsafeWrapArray(all.map(idLit)))),
+            AnnTopKRewrite.idsInExpr(idAttr, all, idLit)),
             f.child)))
         }
       }
@@ -954,8 +978,8 @@ case class AnnTopKRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
       .select("doc").as[Long].collect()
     if (ids.isEmpty) Some(gl)
     else {
-      val filter = stamped(Filter(In(docAttr,
-        scala.collection.immutable.ArraySeq.unsafeWrapArray(ids.map(idLit))), child))
+      val filter = stamped(Filter(
+        AnnTopKRewrite.idsInExpr(docAttr, ids, idLit), child))
       val sorted = Sort(sort.order, global = true, filter)
       val body = projOpt.map(pl => Project(pl, sorted): LogicalPlan).getOrElse(sorted)
       Some(GlobalLimit(Literal(k), LocalLimit(Literal(k), body)))
@@ -1035,8 +1059,8 @@ case class AnnTopKRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
           rest.take(maxInList - floorIds.size).map(_._2)).distinct
       }
     ensureInPushdown(ids.length)
-    val filter = stamped(Filter(In(docAttr,
-      scala.collection.immutable.ArraySeq.unsafeWrapArray(ids.map(idLit))), child))
+    val filter = stamped(Filter(
+      AnnTopKRewrite.idsInExpr(docAttr, ids, idLit), child))
     val sorted = Sort(sort.order, global = true, filter)
     val body = projOpt.map(pl => Project(pl, sorted): LogicalPlan).getOrElse(sorted)
     Some(GlobalLimit(Literal(k), LocalLimit(Literal(k), body)))
@@ -1069,8 +1093,8 @@ case class AnnTopKRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     val ids = g.search(qv.toFloatArray(), kCand, ef).map(_._1)
     if (ids.isEmpty) Some(gl)
     else Some {
-      val filter = stamped(Filter(In(idAttr,
-        scala.collection.immutable.ArraySeq.unsafeWrapArray(ids.map(idLit))), child))
+      val filter = stamped(Filter(
+        AnnTopKRewrite.idsInExpr(idAttr, ids, idLit), child))
       val sorted = Sort(sort.order, global = true, filter)
       val body = projOpt.map(pl => Project(pl, sorted): LogicalPlan).getOrElse(sorted)
       GlobalLimit(Literal(k), LocalLimit(Literal(k), body))
@@ -1105,8 +1129,8 @@ case class AnnTopKRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     if (ids.isEmpty) Some(gl)
     else Some {
       ensureInPushdown(ids.length)
-      val filter = stamped(Filter(In(idAttr,
-        scala.collection.immutable.ArraySeq.unsafeWrapArray(ids.map(idLit).toArray)), child))
+      val filter = stamped(Filter(
+        AnnTopKRewrite.idsInExpr(idAttr, ids, idLit), child))
       val sorted = Sort(sort.order, global = true, filter)
       val body = projOpt.map(pl => Project(pl, sorted): LogicalPlan).getOrElse(sorted)
       GlobalLimit(Literal(k), LocalLimit(Literal(k), body))
@@ -1137,8 +1161,8 @@ case class AnnTopKRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
       .select("id").collect().map(_.getLong(0))
     if (ids.isEmpty) Some(gl)
     else Some {
-      val filter = stamped(Filter(In(idAttr,
-        scala.collection.immutable.ArraySeq.unsafeWrapArray(ids.map(idLit))), child))
+      val filter = stamped(Filter(
+        AnnTopKRewrite.idsInExpr(idAttr, ids, idLit), child))
       val sorted = Sort(sort.order, global = true, filter)
       val body = projOpt.map(pl => Project(pl, sorted): LogicalPlan).getOrElse(sorted)
       GlobalLimit(Literal(k), LocalLimit(Literal(k), body))
@@ -1337,8 +1361,8 @@ case class AnnTopKRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
       pool.groupBy(_._1).valuesIterator.map(_.minBy(t => (t._2, t._3))).toArray
     def planWith(ids: Array[Long]): LogicalPlan = {
       ensureInPushdown(ids.length)
-      val filter = stamped(Filter(In(idAttr,
-        scala.collection.immutable.ArraySeq.unsafeWrapArray(ids.map(idLit))), child))
+      val filter = stamped(Filter(
+        AnnTopKRewrite.idsInExpr(idAttr, ids, idLit), child))
       val sorted = Sort(sort.order, global = true, filter)
       val body = projOpt.map(pl => Project(pl, sorted): LogicalPlan).getOrElse(sorted)
       GlobalLimit(Literal(k), LocalLimit(Literal(k), body))
@@ -1402,8 +1426,8 @@ case class AnnTopKRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
               ensureInPushdown(ids.length)
               AnnTopKRewrite.withPlanningGuard {
                 ColumnBridge.ofRows(spark,
-                  Filter(In(idAttr, scala.collection.immutable.ArraySeq
-                    .unsafeWrapArray(ids.map(idLit))), child)).count()
+                  Filter(AnnTopKRewrite.idsInExpr(idAttr, ids, idLit),
+                    child)).count()
               }
             }
           if (poolBound > maxInList) return Some(gl)
@@ -1457,8 +1481,7 @@ case class AnnTopKRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
               // a second planning job re-serving this rule's own output
               val ids = raw.distinct
               ensureInPushdown(ids.length)
-              val inExpr = In(idAttr, scala.collection.immutable.ArraySeq
-                .unsafeWrapArray(ids.map(idLit)))
+              val inExpr = AnnTopKRewrite.idsInExpr(idAttr, ids, idLit)
               val newChild = child match {
                 case Filter(p, rel0)              => stamped(Filter(And(p, inExpr), rel0))
                 case Project(pl, Filter(p, rel0)) =>
@@ -1510,7 +1533,7 @@ case class AnnTopKRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     def planWith(ids: Array[Long]): LogicalPlan = {
       ensureInPushdown(ids.length)
       val filter = stamped(
-        Filter(In(idAttr, scala.collection.immutable.ArraySeq.unsafeWrapArray(ids.map(idLit))), child))
+        Filter(AnnTopKRewrite.idsInExpr(idAttr, ids, idLit), child))
       val sorted = Sort(sort.order, global = true, filter)
       val body = projOpt.map(pl => Project(pl, sorted): LogicalPlan).getOrElse(sorted)
       GlobalLimit(Literal(k), LocalLimit(Literal(k), body))
@@ -1521,8 +1544,7 @@ case class AnnTopKRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     // cannot re-serve a plan this rewrite produced
     def planWithMerged(ids: Array[Long]): LogicalPlan = {
       ensureInPushdown(ids.length)
-      val inExpr = In(idAttr,
-        scala.collection.immutable.ArraySeq.unsafeWrapArray(ids.map(idLit)))
+      val inExpr = AnnTopKRewrite.idsInExpr(idAttr, ids, idLit)
       val newChild = child match {
         case Filter(p, r)              => stamped(Filter(And(p, inExpr), r))
         case Project(pl, Filter(p, r)) => Project(pl, stamped(Filter(And(p, inExpr), r)))
@@ -1564,7 +1586,8 @@ case class AnnTopKRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
             // optimizing it must not re-fire this rule's Filter cases
             AnnTopKRewrite.withPlanningGuard {
               ColumnBridge.ofRows(spark,
-                Filter(In(idAttr, scala.collection.immutable.ArraySeq.unsafeWrapArray(ids.map(idLit))), child)).count()
+                Filter(AnnTopKRewrite.idsInExpr(idAttr, ids, idLit),
+                  child)).count()
             }
           }
         // coverage FIRST: a covered pool serves regardless of the

@@ -118,6 +118,14 @@ object GraftQueries {
     res.select(col("id").as("vec_id"), round(col("dist"), 3).as("dist"), col("rn"))
       .orderBy("rn")
 
+  /** Occurrences of the planner's candidate restriction in a plan
+    * string — literal In prints " IN ", the large-set form " INSET "
+    * (disjoint substrings); counting asserts must accept both. */
+  private def candInCount(plan: String): Int = {
+    def c(n: String) = plan.split(java.util.regex.Pattern.quote(n), -1).length - 1
+    c(" IN ") + c(" INSET ")
+  }
+
   /** [[graft.core.Confs.withConfs]] — snapshot-and-restore every key so
     * a query's per-plan tuning never clobbers a session-level value in
     * any run order. Only safe around bodies that COLLECT inside: a
@@ -427,7 +435,7 @@ object GraftQueries {
                  |  SELECT vec_id, embedding FROM emb_sql
                  |  ORDER BY vec_l2(embedding, $qSql) LIMIT 10
                  |) ORDER BY dist, vec_id""".stripMargin)
-            require(df.queryExecution.optimizedPlan.toString.contains(" IN "),
+            require(graft.plans.AnnTopKRewrite.inServed(df.queryExecution.optimizedPlan.toString),
               "sql_knn was NOT index-served — the planner rule failed to match " +
               "the SQL Sort+Limit shape:\n" + df.queryExecution.optimizedPlan)
             df.collect()
@@ -463,7 +471,7 @@ object GraftQueries {
             val df = s.read.parquet(path)
               .orderBy(vecL2(col("embedding"), lv(q)))
               .limit(10)
-            require(df.queryExecution.optimizedPlan.toString.contains(" IN "),
+            require(graft.plans.AnnTopKRewrite.inServed(df.queryExecution.optimizedPlan.toString),
               "knn_partitioned was NOT index-served — the per-partition index " +
               "cover failed to match:\n" + df.queryExecution.optimizedPlan)
             // pin the served rows: downstream actions build fresh
@@ -503,7 +511,7 @@ object GraftQueries {
               .filter(col("vec_id") % 251 === 3)
               .orderBy(vecL2(col("embedding"), lv(q)))
               .limit(10)
-            require(df.queryExecution.optimizedPlan.toString.contains(" IN "),
+            require(graft.plans.AnnTopKRewrite.inServed(df.queryExecution.optimizedPlan.toString),
               "knn_partitioned_prefilter was NOT index-served — the " +
               "prefiltered partitioned escalation failed to match:\n" +
               df.queryExecution.optimizedPlan)
@@ -545,7 +553,7 @@ object GraftQueries {
             val df = s.read.parquet(path)
               .orderBy(vecMaxsim(col("tokens"), typedlit(qs.map(_.toSeq))))
               .limit(10)
-            require(df.queryExecution.optimizedPlan.toString.contains(" IN "),
+            require(graft.plans.AnnTopKRewrite.inServed(df.queryExecution.optimizedPlan.toString),
               "maxsim_partitioned was NOT index-served — the per-partition " +
               "token-index cover failed to match:\n" +
               df.queryExecution.optimizedPlan)
@@ -593,7 +601,7 @@ object GraftQueries {
             val df = s.read.parquet(path)
               .orderBy(vecL2(col("embedding"), lv(q)))
               .limit(10)
-            require(df.queryExecution.optimizedPlan.toString.contains(" IN "),
+            require(graft.plans.AnnTopKRewrite.inServed(df.queryExecution.optimizedPlan.toString),
               "graph_knn_partitioned was NOT index-served — the per-partition " +
               "graph cover failed to match:\n" + df.queryExecution.optimizedPlan)
             df.collect()
@@ -836,7 +844,7 @@ object GraftQueries {
             |ORDER BY q.qid, vec_l2(e.embedding, q.center), e.vec_id""".stripMargin)
         // the queries-side subquery carries its own user IN — the serve
         // adds a SECOND one (the candidate union on the indexed side)
-        require(served.queryExecution.optimizedPlan.toString.split(" IN ").length >= 3,
+        require(candInCount(served.queryExecution.optimizedPlan.toString) >= 2,
           "range_join_indexed was NOT index-served — the join rule failed to " +
           "match the range-join shape:\n" + served.queryExecution.optimizedPlan)
         served
@@ -871,7 +879,7 @@ object GraftQueries {
             |      FROM emb_rj_part WHERE vec_id IN (0, 1, 2)) q
             |JOIN emb_rj_part e ON vec_l2(e.embedding, q.center) < q.radius
             |ORDER BY q.qid, vec_l2(e.embedding, q.center), e.vec_id""".stripMargin)
-        require(served.queryExecution.optimizedPlan.toString.split(" IN ").length >= 3,
+        require(candInCount(served.queryExecution.optimizedPlan.toString) >= 2,
           "range_join_partitioned was NOT index-served — the partitioned " +
           "range-join cover failed to match:\n" +
           served.queryExecution.optimizedPlan)

@@ -61,7 +61,7 @@ object ManyRootFixture {
         val t = System.nanoTime()
         val plan = df.queryExecution.optimizedPlan
         val sec = (System.nanoTime() - t) / 1e9
-        require(plan.toString.contains(" IN "), s"$roots-root query not served")
+        require(graft.plans.AnnTopKRewrite.inServed(plan.toString), s"$roots-root query not served")
         sec
       }
       planOnce() // warm

@@ -51,6 +51,14 @@ class AnnRewriteSpec extends SparkSpec {
   private def withConfs[T](kv: (String, String)*)(f: => T): T =
     graft.core.Confs.withConfs(spark, kv: _*)(f)
 
+  /** Occurrences of the rule's candidate restriction in a plan string —
+    * literal In prints " IN ", the large-set form prints " INSET "
+    * (disjoint substrings). Counting sites must accept both. */
+  private def candInCount(plan: String): Int = {
+    def c(n: String) = plan.split(java.util.regex.Pattern.quote(n), -1).length - 1
+    c(" IN ") + c(" INSET ")
+  }
+
   test("ORDER BY vec_l2 LIMIT k over a registered table is index-served") {
     import spark.implicits._
     val (tableDir, indexDir) = setup
@@ -63,7 +71,7 @@ class AnnRewriteSpec extends SparkSpec {
           .orderBy(GraftFunctions.vecL2(col("vec"), typedlit(q.toSeq)))
           .limit(10)
         val optimized = df.queryExecution.optimizedPlan.toString
-        assert(optimized.contains(" IN "), s"expected candidate-id pushdown:\n$optimized")
+        assert(AnnTopKRewrite.inServed(optimized), s"expected candidate-id pushdown:\n$optimized")
         // physical scan must carry the pushed In filter
         val physical = df.queryExecution.executedPlan.toString
         assert(physical.contains("PushedFilters: [In(id"), physical)
@@ -78,7 +86,7 @@ class AnnRewriteSpec extends SparkSpec {
         val dfSel = spark.read.parquet(tableDir)
           .orderBy(GraftFunctions.vecL2(col("vec"), typedlit(q.toSeq)))
           .limit(10).select("id")
-        assert(dfSel.queryExecution.optimizedPlan.toString.contains(" IN "))
+        assert(AnnTopKRewrite.inServed(dfSel.queryExecution.optimizedPlan.toString))
         assert(dfSel.as[Long].collect().toSeq == want)
       }
     } finally AnnCatalog.unregister(tableDir)
@@ -91,11 +99,11 @@ class AnnRewriteSpec extends SparkSpec {
       .orderBy(GraftFunctions.vecL2(col("vec"), typedlit(q.toSeq)))
       .limit(5).queryExecution.optimizedPlan.toString
     // not registered -> no rewrite
-    withRule { assert(!plan().contains(" IN ")) }
+    withRule { assert(!AnnTopKRewrite.inServed(plan())) }
     // registered but disabled -> no rewrite
     AnnCatalog.register(tableDir, indexDir, "id", "vec")
     try withRule {
-      withConfs("graft.ann.enable" -> "false") { assert(!plan().contains(" IN ")) }
+      withConfs("graft.ann.enable" -> "false") { assert(!AnnTopKRewrite.inServed(plan())) }
     } finally AnnCatalog.unregister(tableDir)
   }
 
@@ -109,12 +117,12 @@ class AnnRewriteSpec extends SparkSpec {
         .limit(5).queryExecution.optimizedPlan.toString
       // k*refine = 500 = every row: index scan cannot beat the exact scan
       withConfs("graft.ann.probes" -> "8", "graft.ann.refine" -> "100") {
-        assert(!plan().contains(" IN "))
+        assert(!AnnTopKRewrite.inServed(plan()))
       }
       // same budget with the cost model off: rewrite is forced
       withConfs("graft.ann.probes" -> "8", "graft.ann.refine" -> "100",
           "graft.ann.cost.enable" -> "false") {
-        assert(plan().contains(" IN "))
+        assert(AnnTopKRewrite.inServed(plan()))
       }
     } finally AnnCatalog.unregister(tableDir)
   }
@@ -135,7 +143,7 @@ class AnnRewriteSpec extends SparkSpec {
           .orderBy(GraftFunctions.vecL2(col("vec"), typedlit(q.toSeq)))
           .limit(5)
         val optimized = df.queryExecution.optimizedPlan.toString
-        assert(optimized.contains(" IN "), s"expected prefilter index serve:\n$optimized")
+        assert(AnnTopKRewrite.inServed(optimized), s"expected prefilter index serve:\n$optimized")
         // escalation runs bounded Spark jobs AT PLANNING TIME; the counter
         // makes that observable (pool fetches + survivor counts >= 2)
         assert(AnnTopKRewrite.planningJobs.get() >= jobs0 + 2,
@@ -167,7 +175,7 @@ class AnnRewriteSpec extends SparkSpec {
           .orderBy(GraftFunctions.vecL2(col("vec"), typedlit(q.toSeq)))
           .limit(10)
         val optimized = df.queryExecution.optimizedPlan.toString
-        assert(optimized.contains(" IN "), s"expected graph candidate pushdown:\n$optimized")
+        assert(AnnTopKRewrite.inServed(optimized), s"expected graph candidate pushdown:\n$optimized")
         val got = df.collect().map(_.getLong(0)).toSeq
         val data = spark.read.parquet(tableDir).as[(Long, Seq[Float])].collect()
         val want = data.map { case (id, v) => (K.l2(v.toArray, q), id) }
@@ -196,7 +204,7 @@ class AnnRewriteSpec extends SparkSpec {
           .orderBy(GraftFunctions.vecL2(col("vec"), typedlit(q.toSeq)))
           .limit(10)
         val optimized = df.queryExecution.optimizedPlan.toString
-        assert(optimized.contains(" IN "), s"expected sharded candidate pushdown:\n$optimized")
+        assert(AnnTopKRewrite.inServed(optimized), s"expected sharded candidate pushdown:\n$optimized")
         assert(AnnTopKRewrite.planningJobs.get() > jobs0,
           "planning-time sharded search must be counted")
         val got = df.collect().map(_.getLong(0)).toSeq
@@ -232,7 +240,7 @@ class AnnRewriteSpec extends SparkSpec {
           .orderBy(GraftFunctions.vecMaxsim(col("tokens"), typedlit(query)))
           .limit(5)
         val optimized = df.queryExecution.optimizedPlan.toString
-        assert(optimized.contains(" IN "), s"expected maxsim candidate pushdown:\n$optimized")
+        assert(AnnTopKRewrite.inServed(optimized), s"expected maxsim candidate pushdown:\n$optimized")
         val got = df.collect().map(_.getLong(0)).toSeq
         val qArr = query.map(_.toArray).toArray
         val want = docs.map { case (id, ts) =>
@@ -255,7 +263,7 @@ class AnnRewriteSpec extends SparkSpec {
       val df = graft.dsl.GraftDataFrameOps(spark.read.parquet(tableDir))
         .annRange("vec", q, radius)
       val optimized = df.queryExecution.optimizedPlan.toString
-      assert(optimized.contains(" IN "), s"expected range candidate pushdown:\n$optimized")
+      assert(AnnTopKRewrite.inServed(optimized), s"expected range candidate pushdown:\n$optimized")
       // the candidate IN reaches the parquet scan as a pushed filter
       val physical = df.queryExecution.executedPlan.toString
       assert(physical.contains("PushedFilters: [In(id"), physical)
@@ -274,7 +282,7 @@ class AnnRewriteSpec extends SparkSpec {
       withConfs("graft.ann.range.enable" -> "false") {
         val off = graft.dsl.GraftDataFrameOps(spark.read.parquet(tableDir))
           .annRange("vec", q, radius)
-        assert(!off.queryExecution.optimizedPlan.toString.contains(" IN "))
+        assert(!AnnTopKRewrite.inServed(off.queryExecution.optimizedPlan.toString))
       }
     } finally AnnCatalog.unregister(tableDir)
   }
@@ -293,7 +301,7 @@ class AnnRewriteSpec extends SparkSpec {
           .orderBy(GraftFunctions.vecL2(col("vec"), typedlit(q.toSeq)))
           .limit(5)
         val optimized = df.queryExecution.optimizedPlan.toString
-        assert(optimized.contains(" IN "), s"expected range-served prefilter:\n$optimized")
+        assert(AnnTopKRewrite.inServed(optimized), s"expected range-served prefilter:\n$optimized")
         // the range fast path takes exactly ONE planning job — the
         // escalation loop would take at least two (pool + survivor count)
         assert(AnnTopKRewrite.planningJobs.get() == jobs0 + 1,
@@ -326,7 +334,7 @@ class AnnRewriteSpec extends SparkSpec {
              |  SELECT id, vec FROM ann_sub_tbl
              |  ORDER BY vec_l2(vec, $qSql) LIMIT 5
              |) ORDER BY dist, id""".stripMargin)
-        assert(df.queryExecution.optimizedPlan.toString.contains(" IN "),
+        assert(AnnTopKRewrite.inServed(df.queryExecution.optimizedPlan.toString),
           df.queryExecution.optimizedPlan.toString)
         val got = df.as[(Long, Double)].collect().toSeq
         val data = spark.read.parquet(tableDir).as[(Long, Seq[Float])].collect()
@@ -353,7 +361,7 @@ class AnnRewriteSpec extends SparkSpec {
       val lit = q.map(_.toString).mkString("array(", "F, ", "F)")
       val df = spark.sql(
         s"SELECT id FROM ann_sql_tbl WHERE vec_l2(vec, $lit) < 1.1 ORDER BY id")
-      assert(df.queryExecution.optimizedPlan.toString.contains(" IN "),
+      assert(AnnTopKRewrite.inServed(df.queryExecution.optimizedPlan.toString),
         df.queryExecution.optimizedPlan.toString)
       val got = df.as[Long].collect().toSeq
       val data = spark.read.parquet(tableDir).as[(Long, Seq[Float])].collect()
@@ -386,7 +394,7 @@ class AnnRewriteSpec extends SparkSpec {
       // range shape (strategy 2)
       val range = spark.sql(
         s"SELECT id FROM ann_f16_tbl WHERE vec_l2(vec, $qSql) < 1.1 ORDER BY id")
-      assert(range.queryExecution.optimizedPlan.toString.contains(" IN "),
+      assert(AnnTopKRewrite.inServed(range.queryExecution.optimizedPlan.toString),
         range.queryExecution.optimizedPlan.toString)
       val gotR = range.as[Long].collect().toSeq
       val wantR = rows.filter { case (_, v) => K.l2(v.toArray, q) < 1.1 }
@@ -400,7 +408,7 @@ class AnnRewriteSpec extends SparkSpec {
         // gate, not probe luck — the same discipline as the oracle rows)
         val top = spark.sql(
           s"SELECT id FROM ann_f16_tbl ORDER BY vec_l2(vec, $qSql) LIMIT 5")
-        assert(top.queryExecution.optimizedPlan.toString.contains(" IN "),
+        assert(AnnTopKRewrite.inServed(top.queryExecution.optimizedPlan.toString),
           top.queryExecution.optimizedPlan.toString)
         val gotT = top.as[Long].collect().toSeq
         val wantT = rows.map { case (id, v) => (K.l2(v.toArray, q), id) }
@@ -432,7 +440,7 @@ class AnnRewriteSpec extends SparkSpec {
            |SELECT 2 AS qid, id FROM ann_batch_tbl WHERE vec_l2(vec, ${sqlLit(q2)}) < 1.2
            |ORDER BY qid, id""".stripMargin)
       val optimized = df.queryExecution.optimizedPlan.toString
-      assert(optimized.split(" IN ").length >= 3,
+      assert(candInCount(optimized) >= 2,
         s"both union branches must carry candidate INs:\n$optimized")
       assert(AnnTopKRewrite.planningJobs.get() == jobs0 + 2,
         "exactly one planning job per sphere branch")
@@ -469,7 +477,7 @@ class AnnRewriteSpec extends SparkSpec {
       val optimized = df.queryExecution.optimizedPlan.toString
       // the queries-side user predicate is itself an IN — the serve adds a
       // SECOND one (the candidate union on the indexed side)
-      assert(optimized.split(" IN ").length >= 3,
+      assert(candInCount(optimized) >= 2,
         s"range join must carry the candidate-union IN:\n$optimized")
       val got = df.as[(Long, Long)].collect().toSeq
       val centers = data.filter(r => r._1 <= 2)
@@ -484,7 +492,7 @@ class AnnRewriteSpec extends SparkSpec {
       // the matcher assigns sides by attribute membership, not position
       val dfRev = spark.sql(sql.replace("vec_l2(e.vec, q.center)",
         "vec_l2(q.center, e.vec)"))
-      assert(dfRev.queryExecution.optimizedPlan.toString.split(" IN ").length >= 3)
+      assert(candInCount(dfRev.queryExecution.optimizedPlan.toString) >= 2)
       assert(dfRev.as[(Long, Long)].collect().toSeq == want)
 
       // planning cost must be FLAT in queries-side row count: exactly TWO
@@ -494,7 +502,7 @@ class AnnRewriteSpec extends SparkSpec {
       val sql8 = sql.replace("id IN (0, 1, 2)", "id IN (0, 1, 2, 3, 4, 5, 6, 7)")
       val j0 = AnnTopKRewrite.planningJobs.get()
       val df8 = spark.sql(sql8)
-      assert(df8.queryExecution.optimizedPlan.toString.split(" IN ").length >= 3,
+      assert(candInCount(df8.queryExecution.optimizedPlan.toString) >= 2,
         "8-row range join not index-served")
       assert(AnnTopKRewrite.planningJobs.get() == j0 + 2,
         s"expected 2 planning jobs for an 8-row range join, got " +
@@ -510,7 +518,7 @@ class AnnRewriteSpec extends SparkSpec {
       // nested-loop join (no IN), results identical
       withConfs("graft.ann.range.join.maxQueries" -> "2") {
         val dfBig = spark.sql(sql)
-        assert(dfBig.queryExecution.optimizedPlan.toString.split(" IN ").length == 2,
+        assert(candInCount(dfBig.queryExecution.optimizedPlan.toString) == 1,
           "3 query rows over maxQueries=2 must keep the exact plan " +
           "(only the user IN may remain)")
         assert(dfBig.as[(Long, Long)].collect().toSeq == want)
@@ -518,16 +526,16 @@ class AnnRewriteSpec extends SparkSpec {
 
       // kill switch
       withConfs("graft.ann.range.join.enable" -> "false") {
-        assert(spark.sql(sql).queryExecution.optimizedPlan.toString
-          .split(" IN ").length == 2)
+        assert(candInCount(
+          spark.sql(sql).queryExecution.optimizedPlan.toString) == 1)
       }
 
       // a non-deterministic queries side must decline: its rows could
       // differ between the planning-time collect and execution
       val ndSql = sql.replace("0.7 + CAST(id AS DOUBLE) * 0.2",
         "0.7 + rand() * 0.001")
-      assert(spark.sql(ndSql).queryExecution.optimizedPlan.toString
-          .split(" IN ").length == 2,
+      assert(candInCount(
+          spark.sql(ndSql).queryExecution.optimizedPlan.toString) == 1,
         "non-deterministic radius must keep the exact plan")
     } finally {
       AnnCatalog.unregister(tableDir)
@@ -559,7 +567,7 @@ class AnnRewriteSpec extends SparkSpec {
           val df = spark.read.parquet(s"$tableDir/part=$p")
             .orderBy(GraftFunctions.vecL2(col("vec"), typedlit(q.toSeq)))
             .limit(5)
-          assert(df.queryExecution.optimizedPlan.toString.contains(" IN "),
+          assert(AnnTopKRewrite.inServed(df.queryExecution.optimizedPlan.toString),
             s"partition $p not index-served")
           val got = df.collect().map(_.getLong(0)).toSeq
           val want = rows.filter(_._3 == p)
@@ -605,7 +613,7 @@ class AnnRewriteSpec extends SparkSpec {
         val df = spark.read.parquet(tableDir)
           .orderBy(GraftFunctions.vecL2(col("vec"), typedlit(q.toSeq)))
           .limit(9).select("id")
-        assert(df.queryExecution.optimizedPlan.toString.contains(" IN "),
+        assert(AnnTopKRewrite.inServed(df.queryExecution.optimizedPlan.toString),
           "mixed-config whole-table read not served")
         val got = df.collect().map(_.getLong(0)).toSeq
         val want = rows.map { case (id, v, _) => (K.l2(v.toArray, q), id) }
@@ -620,7 +628,7 @@ class AnnRewriteSpec extends SparkSpec {
         val rdf = spark.read.parquet(tableDir)
           .filter(GraftFunctions.vecL2(col("vec"), typedlit(q.toSeq)) < radius)
           .select("id")
-        assert(rdf.queryExecution.optimizedPlan.toString.contains(" IN "),
+        assert(AnnTopKRewrite.inServed(rdf.queryExecution.optimizedPlan.toString),
           "mixed-config range filter not served")
         val rGot = rdf.collect().map(_.getLong(0)).toSet
         val rWant = rows.collect {
@@ -654,7 +662,7 @@ class AnnRewriteSpec extends SparkSpec {
         val df = spark.read.parquet(tableDir)
           .orderBy(GraftFunctions.vecL2(col("vec"), typedlit(q.toSeq)))
           .limit(7)
-        assert(df.queryExecution.optimizedPlan.toString.contains(" IN "),
+        assert(AnnTopKRewrite.inServed(df.queryExecution.optimizedPlan.toString),
           "whole-table read not served by the per-partition indexes:\n" +
             df.queryExecution.optimizedPlan)
         val got = df.select("id").collect().map(_.getLong(0)).toSeq
@@ -665,7 +673,7 @@ class AnnRewriteSpec extends SparkSpec {
         val df2 = spark.read.parquet(s"$tableDir/part=0", s"$tableDir/part=2")
           .orderBy(GraftFunctions.vecL2(col("vec"), typedlit(q.toSeq)))
           .limit(5)
-        assert(df2.queryExecution.optimizedPlan.toString.contains(" IN "))
+        assert(AnnTopKRewrite.inServed(df2.queryExecution.optimizedPlan.toString))
         val got2 = df2.select("id").collect().map(_.getLong(0)).toSeq
         val want2 = rows.filter(r => r._3 == 0 || r._3 == 2)
           .map { case (id, v, _) => (K.l2(v.toArray, q), id) }
@@ -677,7 +685,7 @@ class AnnRewriteSpec extends SparkSpec {
         val df3 = spark.read.parquet(tableDir)
           .orderBy(GraftFunctions.vecL2(col("vec"), typedlit(q.toSeq)))
           .limit(7)
-        assert(!df3.queryExecution.optimizedPlan.toString.contains(" IN "),
+        assert(!AnnTopKRewrite.inServed(df3.queryExecution.optimizedPlan.toString),
           "partial cover must NOT serve — rows of part=1 would be dropped")
         assert(df3.select("id").collect().map(_.getLong(0)).toSeq == want)
         // ANCESTOR entry vs child scan: an index registered for the
@@ -692,7 +700,7 @@ class AnnRewriteSpec extends SparkSpec {
           val child = spark.read.parquet(s"$tableDir/part=1")
             .orderBy(GraftFunctions.vecL2(col("vec"), typedlit(q.toSeq)))
             .limit(7)
-          assert(!child.queryExecution.optimizedPlan.toString.contains(" IN "),
+          assert(!AnnTopKRewrite.inServed(child.queryExecution.optimizedPlan.toString),
             "a parent-table index must not serve a child-subset scan")
           val wantChild = rows.filter(_._3 == 1)
             .map { case (id, v, _) => (K.l2(v.toArray, q), id) }
@@ -723,7 +731,7 @@ class AnnRewriteSpec extends SparkSpec {
       val df = spark.read.parquet(tableDir)
         .filter(GraftFunctions.sphereL2Contains(col("vec"),
           typedlit(q.toSeq), lit(radius)))
-      assert(df.queryExecution.optimizedPlan.toString.contains(" IN "),
+      assert(AnnTopKRewrite.inServed(df.queryExecution.optimizedPlan.toString),
         "partitioned range filter not index-served:\n" +
           df.queryExecution.optimizedPlan)
       val got = df.select("id").collect().map(_.getLong(0)).toSet
@@ -757,7 +765,7 @@ class AnnRewriteSpec extends SparkSpec {
         val df = spark.read.parquet(tableDir)
           .orderBy(GraftFunctions.vecL2(col("vec"), typedlit(q.toSeq)))
           .limit(5)
-        assert(!df.queryExecution.optimizedPlan.toString.contains(" IN "),
+        assert(!AnnTopKRewrite.inServed(df.queryExecution.optimizedPlan.toString),
           "metric-mismatched union must keep the exact plan")
         val want = rows.map { case (id, v, _) => (K.l2(v.toArray, q), id) }
           .sorted.take(5).map(_._2).toSeq
@@ -792,7 +800,7 @@ class AnnRewriteSpec extends SparkSpec {
         // exact predicate match -> served
         val served = base.filter(col("cat") === 1)
           .orderBy(GraftFunctions.vecL2(col("vec"), typedlit(q.toSeq))).limit(5)
-        assert(served.queryExecution.optimizedPlan.toString.contains(" IN "),
+        assert(AnnTopKRewrite.inServed(served.queryExecution.optimizedPlan.toString),
           "cat = 1 query not served by the partial index:\n" +
             served.queryExecution.optimizedPlan)
         assert(served.select("id").collect().map(_.getLong(0)).toSeq ==
@@ -800,20 +808,20 @@ class AnnRewriteSpec extends SparkSpec {
         // extra conjunct -> served via escalation, still exact
         val extra = base.filter(col("cat") === 1 && col("id") < 250L)
           .orderBy(GraftFunctions.vecL2(col("vec"), typedlit(q.toSeq))).limit(5)
-        assert(extra.queryExecution.optimizedPlan.toString.contains(" IN "))
+        assert(AnnTopKRewrite.inServed(extra.queryExecution.optimizedPlan.toString))
         assert(extra.select("id").collect().map(_.getLong(0)).toSeq ==
           brute(q, r => r._3 == 1 && r._1 < 250L, 5))
         // WRONG predicate -> the partial index must NOT serve
         val wrong = base.filter(col("cat") === 2)
           .orderBy(GraftFunctions.vecL2(col("vec"), typedlit(q.toSeq))).limit(5)
-        assert(!wrong.queryExecution.optimizedPlan.toString.contains(" IN "),
+        assert(!AnnTopKRewrite.inServed(wrong.queryExecution.optimizedPlan.toString),
           "cat = 2 query must not be served by the cat = 1 partial index")
         assert(wrong.select("id").collect().map(_.getLong(0)).toSeq ==
           brute(q, _._3 == 2, 5))
         // NO predicate -> not served either (the index misses 3/4 rows)
         val nopred = base
           .orderBy(GraftFunctions.vecL2(col("vec"), typedlit(q.toSeq))).limit(5)
-        assert(!nopred.queryExecution.optimizedPlan.toString.contains(" IN "))
+        assert(!AnnTopKRewrite.inServed(nopred.queryExecution.optimizedPlan.toString))
         assert(nopred.select("id").collect().map(_.getLong(0)).toSeq ==
           brute(q, _ => true, 5))
         // conjunct that merely RESEMBLES the index predicate (different
@@ -823,7 +831,7 @@ class AnnRewriteSpec extends SparkSpec {
         // double-typed comparison only by luck
         val typed = base.filter(col("cat") === 1.5)
           .orderBy(GraftFunctions.vecL2(col("vec"), typedlit(q.toSeq))).limit(5)
-        assert(!typed.queryExecution.optimizedPlan.toString.contains(" IN "),
+        assert(!AnnTopKRewrite.inServed(typed.queryExecution.optimizedPlan.toString),
           "non-matching literal must not be served by the partial index")
       }
     } finally AnnCatalog.unregisterPartial(tableDir, idxDir)
@@ -855,7 +863,7 @@ class AnnRewriteSpec extends SparkSpec {
         def check(df: org.apache.spark.sql.DataFrame, serve: Boolean,
                   pred: Int => Boolean, tag: String): Unit = {
           val plan = df.queryExecution.optimizedPlan.toString
-          assert(plan.contains(" IN ") == serve,
+          assert(AnnTopKRewrite.inServed(plan) == serve,
             s"$tag: expected serve=$serve\n$plan")
           assert(df.select("id").collect().map(_.getLong(0)).toSeq ==
             brute(q, pred, 5), s"$tag: wrong rows")
@@ -878,7 +886,7 @@ class AnnRewriteSpec extends SparkSpec {
         def checkIn(df: org.apache.spark.sql.DataFrame, serve: Boolean,
                     pred: Int => Boolean, tag: String): Unit = {
           val plan = df.queryExecution.optimizedPlan.toString
-          val ins = plan.split(" IN ").length - 1
+          val ins = candInCount(plan)
           assert((ins >= 2) == serve,
             s"$tag: expected serve=$serve (IN count $ins)\n$plan")
           assert(df.select("id").collect().map(_.getLong(0)).toSeq ==
@@ -938,7 +946,7 @@ class AnnRewriteSpec extends SparkSpec {
         def check(df: org.apache.spark.sql.DataFrame, serve: Boolean,
                   pred: Int => Boolean, tag: String): Unit = {
           val plan = df.queryExecution.optimizedPlan.toString
-          assert(plan.contains(" IN ") == serve,
+          assert(AnnTopKRewrite.inServed(plan) == serve,
             s"$tag: expected serve=$serve\n$plan")
           assert(df.select("id").collect().map(_.getLong(0)).toSeq ==
             brute(q, pred, 5), s"$tag: wrong rows")
@@ -946,7 +954,7 @@ class AnnRewriteSpec extends SparkSpec {
         def checkIn(df: org.apache.spark.sql.DataFrame, serve: Boolean,
                     pred: Int => Boolean, tag: String): Unit = {
           val plan = df.queryExecution.optimizedPlan.toString
-          val ins = plan.split(" IN ").length - 1
+          val ins = candInCount(plan)
           assert((ins >= 2) == serve,
             s"$tag: expected serve=$serve (IN count $ins)\n$plan")
           assert(df.select("id").collect().map(_.getLong(0)).toSeq ==
@@ -990,14 +998,14 @@ class AnnRewriteSpec extends SparkSpec {
         def base = spark.read.parquet(tableDir)
         def dist = GraftFunctions.vecL2(col("vec"), typedlit(q.toSeq))
         val s1 = base.filter(col("x") <= 3).orderBy(dist).limit(5)
-        assert(s1.queryExecution.optimizedPlan.toString.contains(" IN "),
+        assert(AnnTopKRewrite.inServed(s1.queryExecution.optimizedPlan.toString),
           "x <= 3 must serve the x < 5 partial index")
         assert(s1.select("id").collect().map(_.getLong(0)).toSeq ==
           brute(q, _ <= 3, 5))
         // x = 5 fails x < 5 outright; x <= 5 admits the boundary row the
         // index never indexed
         val d1 = base.filter(col("x") <= 5).orderBy(dist).limit(5)
-        assert(!d1.queryExecution.optimizedPlan.toString.contains(" IN "),
+        assert(!AnnTopKRewrite.inServed(d1.queryExecution.optimizedPlan.toString),
           "x <= 5 must NOT serve the x < 5 partial index")
         assert(d1.select("id").collect().map(_.getLong(0)).toSeq ==
           brute(q, _ <= 5, 5))
@@ -1070,7 +1078,7 @@ class AnnRewriteSpec extends SparkSpec {
         .filter(GraftFunctions.sphereL2Contains(col("vec"), typedlit(q1.toSeq), lit(1.2)) &&
                 GraftFunctions.sphereL2Contains(col("vec"), typedlit(q2.toSeq), lit(1.2)))
       val optimized = df.queryExecution.optimizedPlan.toString
-      assert(optimized.contains(" IN "), s"expected range serve:\n$optimized")
+      assert(AnnTopKRewrite.inServed(optimized), s"expected range serve:\n$optimized")
       val got = df.select("id").as[Long].collect().toSet
       val data = spark.read.parquet(tableDir).as[(Long, Seq[Float])].collect()
       val want = data.filter { case (_, v) =>
@@ -1088,7 +1096,7 @@ class AnnRewriteSpec extends SparkSpec {
       val q = Array.fill(8)(0.25f)
       val df = spark.read.parquet(tableDir)
         .filter(GraftFunctions.sphereCosContains(col("vec"), typedlit(q.toSeq), lit(0.35)))
-      assert(df.queryExecution.optimizedPlan.toString.contains(" IN "))
+      assert(AnnTopKRewrite.inServed(df.queryExecution.optimizedPlan.toString))
       val got = df.select("id").as[Long].collect().toSet
       val data = spark.read.parquet(tableDir).as[(Long, Seq[Float])].collect()
       val want = data.filter { case (_, v) => K.cosdist(v.toArray, q) < 0.35 }
@@ -1097,7 +1105,7 @@ class AnnRewriteSpec extends SparkSpec {
       // l2 sphere over the cosdist index: metric mismatch, full scan kept
       val l2df = spark.read.parquet(tableDir)
         .filter(GraftFunctions.sphereL2Contains(col("vec"), typedlit(q.toSeq), lit(1.0)))
-      assert(!l2df.queryExecution.optimizedPlan.toString.contains(" IN "))
+      assert(!AnnTopKRewrite.inServed(l2df.queryExecution.optimizedPlan.toString))
     } finally AnnCatalog.unregister(tableDir)
   }
 
@@ -1124,7 +1132,7 @@ class AnnRewriteSpec extends SparkSpec {
           val df = spark.read.parquet(s"$tableDir/part=$p")
             .orderBy(GraftFunctions.vecL2(col("vec"), typedlit(q.toSeq)))
             .limit(5)
-          assert(df.queryExecution.optimizedPlan.toString.contains(" IN "),
+          assert(AnnTopKRewrite.inServed(df.queryExecution.optimizedPlan.toString),
             s"graph partition $p not served")
           val got = df.collect().map(_.getLong(0)).toSeq
           val want = rows.filter(_._3 == p)
@@ -1139,7 +1147,7 @@ class AnnRewriteSpec extends SparkSpec {
         val dfAll = spark.read.parquet(tableDir)
           .orderBy(GraftFunctions.vecL2(col("vec"), typedlit(q.toSeq)))
           .limit(5)
-        assert(dfAll.queryExecution.optimizedPlan.toString.contains(" IN "),
+        assert(AnnTopKRewrite.inServed(dfAll.queryExecution.optimizedPlan.toString),
           "whole-table read over per-partition graphs not served:\n" +
             dfAll.queryExecution.optimizedPlan)
         assert(AnnTopKRewrite.planningJobs.get() == jg0,
@@ -1153,7 +1161,7 @@ class AnnRewriteSpec extends SparkSpec {
         val dfGone = spark.read.parquet(tableDir)
           .orderBy(GraftFunctions.vecL2(col("vec"), typedlit(q.toSeq)))
           .limit(5)
-        assert(!dfGone.queryExecution.optimizedPlan.toString.contains(" IN "),
+        assert(!AnnTopKRewrite.inServed(dfGone.queryExecution.optimizedPlan.toString),
           "partial graph cover must NOT serve the whole-table read")
       }
     } finally (0 to 1).foreach(p => AnnCatalog.unregisterGraph(s"$tableDir/part=$p"))
@@ -1181,7 +1189,7 @@ class AnnRewriteSpec extends SparkSpec {
           val df = spark.read.parquet(s"$tableDir/part=$p")
             .orderBy(GraftFunctions.vecL2(col("vec"), typedlit(q.toSeq)))
             .limit(5)
-          assert(df.queryExecution.optimizedPlan.toString.contains(" IN "),
+          assert(AnnTopKRewrite.inServed(df.queryExecution.optimizedPlan.toString),
             s"sharded partition $p not served")
           val got = df.collect().map(_.getLong(0)).toSeq
           val want = rows.filter(_._3 == p)
@@ -1221,7 +1229,7 @@ class AnnRewriteSpec extends SparkSpec {
           val df = spark.read.parquet(s"$tableDir/part=$p")
             .orderBy(GraftFunctions.vecMaxsim(col("tokens"), typedlit(query)))
             .limit(5)
-          assert(df.queryExecution.optimizedPlan.toString.contains(" IN "),
+          assert(AnnTopKRewrite.inServed(df.queryExecution.optimizedPlan.toString),
             s"maxsim partition $p not served")
           val got = df.collect().map(_.getLong(0)).toSeq
           val want = docs.filter(_._3 == p).map { case (id, ts, _) =>
@@ -1237,7 +1245,7 @@ class AnnRewriteSpec extends SparkSpec {
         val dfAll = spark.read.parquet(tableDir)
           .orderBy(GraftFunctions.vecMaxsim(col("tokens"), typedlit(query)))
           .limit(5)
-        assert(dfAll.queryExecution.optimizedPlan.toString.contains(" IN "),
+        assert(AnnTopKRewrite.inServed(dfAll.queryExecution.optimizedPlan.toString),
           "whole-table maxsim read over per-partition indexes not served:\n" +
             dfAll.queryExecution.optimizedPlan)
         assert(AnnTopKRewrite.planningJobs.get() == jm0 + 1,
@@ -1255,7 +1263,7 @@ class AnnRewriteSpec extends SparkSpec {
           val dfBudget = spark.read.parquet(tableDir)
             .orderBy(GraftFunctions.vecMaxsim(col("tokens"), typedlit(query)))
             .limit(5)
-          assert(!dfBudget.queryExecution.optimizedPlan.toString.contains(" IN "),
+          assert(!AnnTopKRewrite.inServed(dfBudget.queryExecution.optimizedPlan.toString),
             "over-budget maxsim pool must decline, not truncate")
           assert(dfBudget.collect().map(_.getLong(0)).toSeq == wantAll)
         }
@@ -1265,7 +1273,7 @@ class AnnRewriteSpec extends SparkSpec {
         val dfGone = spark.read.parquet(tableDir)
           .orderBy(GraftFunctions.vecMaxsim(col("tokens"), typedlit(query)))
           .limit(5)
-        assert(!dfGone.queryExecution.optimizedPlan.toString.contains(" IN "),
+        assert(!AnnTopKRewrite.inServed(dfGone.queryExecution.optimizedPlan.toString),
           "partial maxsim cover must NOT serve the whole-table read")
       }
     } finally (0 to 1).foreach(p =>
@@ -1283,7 +1291,7 @@ class AnnRewriteSpec extends SparkSpec {
         val df = spark.read.parquet(tableDir)
           .orderBy(GraftFunctions.vecCosdist(col("vec"), typedlit(q.toSeq)))
           .limit(10)
-        assert(df.queryExecution.optimizedPlan.toString.contains(" IN "))
+        assert(AnnTopKRewrite.inServed(df.queryExecution.optimizedPlan.toString))
         val got = df.collect().map(_.getLong(0)).toSeq
         val data = spark.read.parquet(tableDir).as[(Long, Seq[Float])].collect()
         val want = data.map { case (id, v) => (K.cosdist(v.toArray, q), id) }
@@ -1293,7 +1301,7 @@ class AnnRewriteSpec extends SparkSpec {
         val l2plan = spark.read.parquet(tableDir)
           .orderBy(GraftFunctions.vecL2(col("vec"), typedlit(q.toSeq)))
           .limit(10).queryExecution.optimizedPlan.toString
-        assert(!l2plan.contains(" IN "), l2plan)
+        assert(!AnnTopKRewrite.inServed(l2plan), l2plan)
       }
     } finally AnnCatalog.unregister(tableDir)
   }
@@ -1324,7 +1332,7 @@ class AnnRewriteSpec extends SparkSpec {
           val df = spark.read.parquet(tableDir)
             .orderBy(GraftFunctions.vecL2(col("vec"), typedlit(q.toSeq)))
             .limit(9).select("id")
-          assert(df.queryExecution.optimizedPlan.toString.contains(" IN "),
+          assert(AnnTopKRewrite.inServed(df.queryExecution.optimizedPlan.toString),
             "8-root whole-table read not index-served")
           df.collect().map(_.getLong(0)).toSeq
         }
@@ -1347,7 +1355,7 @@ class AnnRewriteSpec extends SparkSpec {
           .filter(GraftFunctions.vecL2(col("vec"), typedlit(q.toSeq)) < radius)
           .select("id")
         val rj0 = AnnTopKRewrite.planningJobs.get()
-        assert(rdf.queryExecution.optimizedPlan.toString.contains(" IN "),
+        assert(AnnTopKRewrite.inServed(rdf.queryExecution.optimizedPlan.toString),
           "8-root range filter not index-served")
         assert(AnnTopKRewrite.planningJobs.get() == rj0 + 1,
           s"expected ONE planning job for the 8-root range serve, got " +
@@ -1366,7 +1374,7 @@ class AnnRewriteSpec extends SparkSpec {
         val joined = qdf.join(spark.read.parquet(tableDir),
             GraftFunctions.vecL2(col("vec"), col("center")) < col("radius"))
           .select("qid", "id")
-        assert(joined.queryExecution.optimizedPlan.toString.contains(" IN "),
+        assert(AnnTopKRewrite.inServed(joined.queryExecution.optimizedPlan.toString),
           "8-root range join not index-served:\n" +
             joined.queryExecution.optimizedPlan)
         assert(AnnTopKRewrite.planningJobs.get() == rjJ + 2,
@@ -1384,13 +1392,13 @@ class AnnRewriteSpec extends SparkSpec {
         val df3 = spark.read.parquet(tableDir)
           .orderBy(GraftFunctions.vecL2(col("vec"), typedlit(q.toSeq)))
           .limit(9)
-        assert(!df3.queryExecution.optimizedPlan.toString.contains(" IN "),
+        assert(!AnnTopKRewrite.inServed(df3.queryExecution.optimizedPlan.toString),
           "stale cover memo served after unregister — part=3 rows at risk")
         // ...and the range JOIN declines too once a child is uncovered
         val joinedGone = qdf.join(spark.read.parquet(tableDir),
             GraftFunctions.vecL2(col("vec"), col("center")) < col("radius"))
           .select("qid", "id")
-        assert(!joinedGone.queryExecution.optimizedPlan.toString.contains(" IN "),
+        assert(!AnnTopKRewrite.inServed(joinedGone.queryExecution.optimizedPlan.toString),
           "partial cover must NOT serve the range join")
         assert(joinedGone.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
           == wantJ)
@@ -1432,7 +1440,7 @@ class AnnRewriteSpec extends SparkSpec {
           .filter(col("id") % 100 === 0)
           .orderBy(GraftFunctions.vecL2(col("vec"), typedlit(q.toSeq)))
           .limit(7).select("id")
-        assert(sel.queryExecution.optimizedPlan.toString.contains(" IN "),
+        assert(AnnTopKRewrite.inServed(sel.queryExecution.optimizedPlan.toString),
           "prefiltered partitioned query not served:\n" +
             sel.queryExecution.optimizedPlan)
         assert(AnnTopKRewrite.planningJobs.get() > jobs0 + 2,
@@ -1448,7 +1456,7 @@ class AnnRewriteSpec extends SparkSpec {
           .filter(col("id") % 3 === 1)
           .orderBy(GraftFunctions.vecL2(col("vec"), typedlit(q.toSeq)))
           .limit(5).select("id")
-        assert(loose.queryExecution.optimizedPlan.toString.contains(" IN "))
+        assert(AnnTopKRewrite.inServed(loose.queryExecution.optimizedPlan.toString))
         assert(loose.collect().map(_.getLong(0)).toSeq ==
           brute(_ % 3 == 1, 5))
       }
@@ -1465,7 +1473,7 @@ class AnnRewriteSpec extends SparkSpec {
           .filter(GraftFunctions.vecL2(col("vec"), typedlit(q.toSeq)) < radius)
           .orderBy(GraftFunctions.vecL2(col("vec"), typedlit(q.toSeq)))
           .limit(6).select("id")
-        assert(sph.queryExecution.optimizedPlan.toString.contains(" IN "),
+        assert(AnnTopKRewrite.inServed(sph.queryExecution.optimizedPlan.toString),
           "sphere+orderBy over partitioned table not served:\n" +
             sph.queryExecution.optimizedPlan)
         assert(AnnTopKRewrite.planningJobs.get() == jobs0 + 1,
@@ -1512,19 +1520,24 @@ class AnnRewriteSpec extends SparkSpec {
         val df = plan(5)
         val jobs0 = AnnTopKRewrite.planningJobs.get()
         val planStr = df.queryExecution.optimizedPlan.toString
-        assert(planStr.contains(" IN "), s"budgeted serve declined\n$planStr")
+        assert(AnnTopKRewrite.inServed(planStr), s"budgeted serve declined\n$planStr")
         assert(AnnTopKRewrite.planningJobs.get() == jobs0 + 1, "not one job")
-        // the IN list respects the budget: count literals in the plan
-        val inList = planStr.split(" IN \\(")(1).split("\\)")(0)
+        // the candidate list respects the budget: count literals in the
+        // plan — the large-set form prints "INSET v1, v2, ..." (no
+        // parens), the literal form "IN (v1,v2,...)"
+        val inList =
+          if (planStr.contains(" INSET "))
+            planStr.split(" INSET ")(1).split("\n")(0)
+          else planStr.split(" IN \\(")(1).split("\\)")(0)
         assert(inList.split(",").length <= 60,
-          s"IN list exceeds maxInList: ${inList.split(",").length}")
+          s"candidate list exceeds maxInList: ${inList.split(",").length}")
         assert(df.collect().length == 5)
       }
       // below the k-floor (6 roots x k=20 = 120 > 60): decline to exact
       withConfs("graft.ann.probes" -> "4", "graft.ann.refine" -> "50",
           "graft.ann.cost.enable" -> "false", "graft.ann.maxInList" -> "60") {
         val df = plan(20)
-        assert(!df.queryExecution.optimizedPlan.toString.contains(" IN "),
+        assert(!AnnTopKRewrite.inServed(df.queryExecution.optimizedPlan.toString),
           "must decline when even the per-root k floor overflows maxInList")
         val got = df.collect().map(_.getLong(0)).toSeq
         val want = rows.map { case (id, v, _) => (K.l2(v.toArray, q), id) }
@@ -1602,7 +1615,7 @@ class AnnRewriteSpec extends SparkSpec {
         val whole = spark.read.parquet(tableDir)
           .orderBy(GraftFunctions.vecL2(col("vec"), typedlit(q.toSeq)))
           .limit(5)
-        assert(!whole.queryExecution.optimizedPlan.toString.contains(" IN "),
+        assert(!AnnTopKRewrite.inServed(whole.queryExecution.optimizedPlan.toString),
           "whole-table read over per-child sharded graphs must DECLINE " +
           "to exact, got:\n" + whole.queryExecution.optimizedPlan)
         val got = whole.collect().map(_.getLong(0)).toSeq
@@ -1613,7 +1626,7 @@ class AnnRewriteSpec extends SparkSpec {
         val child = spark.read.parquet(s"$tableDir/part=1")
           .orderBy(GraftFunctions.vecL2(col("vec"), typedlit(q.toSeq)))
           .limit(5)
-        assert(child.queryExecution.optimizedPlan.toString.contains(" IN "),
+        assert(AnnTopKRewrite.inServed(child.queryExecution.optimizedPlan.toString),
           "per-child read must still be sharded-graph served")
       }
     } finally (0 to 1).foreach(p =>
@@ -1653,7 +1666,7 @@ class AnnRewriteSpec extends SparkSpec {
           val df = spark.read.parquet(tableDir)
             .orderBy(GraftFunctions.vecMaxsim(col("tokens"), typedlit(query)))
             .limit(k)
-          assert(df.queryExecution.optimizedPlan.toString.contains(" IN "),
+          assert(AnnTopKRewrite.inServed(df.queryExecution.optimizedPlan.toString),
             "tight-budget maxsim read not served")
           val got = df.collect().map(_.getLong(0)).toSet
           val qArr = query.map(_.toArray).toArray
@@ -1701,7 +1714,7 @@ class AnnRewriteSpec extends SparkSpec {
           val df = spark.read.parquet(tableDir)
             .orderBy(GraftFunctions.vecL2(col("vec"), typedlit(q.toSeq)))
             .limit(3).select("id")
-          assert(df.queryExecution.optimizedPlan.toString.contains(" IN "),
+          assert(AnnTopKRewrite.inServed(df.queryExecution.optimizedPlan.toString),
             "whole-table read not served")
           df.collect().map(_.getLong(0)).toSeq
         }
