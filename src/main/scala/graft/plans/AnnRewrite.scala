@@ -422,6 +422,17 @@ object AnnTopKRewrite {
     * (specs, goldens, probes) should use. */
   def inServed(planStr: String): Boolean =
     planStr.contains(" IN ") || planStr.contains(" INSET ")
+
+  /** Occurrences of the id restriction in a plan string — literal In
+    * prints " IN ", the large-set form " INSET " (disjoint substrings).
+    * The counting companion of [[inServed]]: asserts that distinguish
+    * "user IN only" from "user IN + candidate restriction" count
+    * through this, so a new literal form is added HERE once. */
+  def candInCount(planStr: String): Int = {
+    def c(n: String) =
+      planStr.split(java.util.regex.Pattern.quote(n), -1).length - 1
+    c(" IN ") + c(" INSET ")
+  }
 }
 
 case class AnnTopKRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
@@ -978,6 +989,7 @@ case class AnnTopKRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
       .select("doc").as[Long].collect()
     if (ids.isEmpty) Some(gl)
     else {
+      ensureInPushdown(ids.length)
       val filter = stamped(Filter(
         AnnTopKRewrite.idsInExpr(docAttr, ids, idLit), child))
       val sorted = Sort(sort.order, global = true, filter)
@@ -1093,6 +1105,7 @@ case class AnnTopKRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     val ids = g.search(qv.toFloatArray(), kCand, ef).map(_._1)
     if (ids.isEmpty) Some(gl)
     else Some {
+      ensureInPushdown(ids.length)
       val filter = stamped(Filter(
         AnnTopKRewrite.idsInExpr(idAttr, ids, idLit), child))
       val sorted = Sort(sort.order, global = true, filter)
@@ -1161,6 +1174,7 @@ case class AnnTopKRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
       .select("id").collect().map(_.getLong(0))
     if (ids.isEmpty) Some(gl)
     else Some {
+      ensureInPushdown(ids.length)
       val filter = stamped(Filter(
         AnnTopKRewrite.idsInExpr(idAttr, ids, idLit), child))
       val sorted = Sort(sort.order, global = true, filter)

@@ -118,13 +118,8 @@ object GraftQueries {
     res.select(col("id").as("vec_id"), round(col("dist"), 3).as("dist"), col("rn"))
       .orderBy("rn")
 
-  /** Occurrences of the planner's candidate restriction in a plan
-    * string — literal In prints " IN ", the large-set form " INSET "
-    * (disjoint substrings); counting asserts must accept both. */
-  private def candInCount(plan: String): Int = {
-    def c(n: String) = plan.split(java.util.regex.Pattern.quote(n), -1).length - 1
-    c(" IN ") + c(" INSET ")
-  }
+  private def candInCount(plan: String): Int =
+    graft.plans.AnnTopKRewrite.candInCount(plan)
 
   /** [[graft.core.Confs.withConfs]] — snapshot-and-restore every key so
     * a query's per-plan tuning never clobbers a session-level value in

@@ -149,12 +149,12 @@ object PartitionedServeProbe {
       say(f"served @defaults (plan+execute): $servedSec%.3f s — " +
         f"${exactSec / servedSec}%.1fx vs exact, recall@10 $recall%.1f")
       // full coverage: every cell probed + generous rerank = exact rows
-      val (fullSec, fullRecall) = graft.core.Confs.withConfs(spark,
+      val fullSec = graft.core.Confs.withConfs(spark,
           "graft.ann.probes" -> lists.toString,
           "graft.ann.refine" -> "50") {
         val fr = query().collect().map(_.getLong(0)).toSeq
         require(fr == exactRows, s"full-probe serve != exact: $fr vs $exactRows")
-        (best(() => { query().collect(); () }), 1.0)
+        best(() => { query().collect(); () })
       }
       say(f"served @full-probes: $fullSec%.3f s — ${exactSec / fullSec}%.1fx vs exact (exact rows)")
       println(f"""{"partserve_roots":$roots,"rows_per_root":$rowsPerRoot,"lists":$lists,"exact_sec":$exactSec%.3f,"served_sec":$servedSec%.3f,"served_recall":$recall%.2f,"served_full_sec":$fullSec%.3f,"speedup_default":${exactSec / servedSec}%.2f,"speedup_full":${exactSec / fullSec}%.2f}""")

@@ -51,13 +51,8 @@ class AnnRewriteSpec extends SparkSpec {
   private def withConfs[T](kv: (String, String)*)(f: => T): T =
     graft.core.Confs.withConfs(spark, kv: _*)(f)
 
-  /** Occurrences of the rule's candidate restriction in a plan string —
-    * literal In prints " IN ", the large-set form prints " INSET "
-    * (disjoint substrings). Counting sites must accept both. */
-  private def candInCount(plan: String): Int = {
-    def c(n: String) = plan.split(java.util.regex.Pattern.quote(n), -1).length - 1
-    c(" IN ") + c(" INSET ")
-  }
+  private def candInCount(plan: String): Int =
+    AnnTopKRewrite.candInCount(plan)
 
   test("ORDER BY vec_l2 LIMIT k over a registered table is index-served") {
     import spark.implicits._
@@ -1522,13 +1517,14 @@ class AnnRewriteSpec extends SparkSpec {
         val planStr = df.queryExecution.optimizedPlan.toString
         assert(AnnTopKRewrite.inServed(planStr), s"budgeted serve declined\n$planStr")
         assert(AnnTopKRewrite.planningJobs.get() == jobs0 + 1, "not one job")
-        // the candidate list respects the budget: count literals in the
-        // plan — the large-set form prints "INSET v1, v2, ..." (no
-        // parens), the literal form "IN (v1,v2,...)"
-        val inList =
-          if (planStr.contains(" INSET "))
-            planStr.split(" INSET ")(1).split("\n")(0)
-          else planStr.split(" IN \\(")(1).split("\\)")(0)
+        // the candidate list respects the budget: extract the NUMERIC
+        // literal run after the restriction keyword (robust to the
+        // candidate expression sitting inside an And or mid-line) —
+        // "INSET v1, v2, ..." has no parens, "IN (v1,v2,...)" does
+        val numRun = """ IN(SET)? \(?([0-9]+(?:, ?[0-9]+)*)""".r
+        val inList = numRun.findFirstMatchIn(planStr)
+          .map(_.group(2))
+          .getOrElse(fail(s"no candidate literal run in plan:\n$planStr"))
         assert(inList.split(",").length <= 60,
           s"candidate list exceeds maxInList: ${inList.split(",").length}")
         assert(df.collect().length == 5)
