@@ -1283,6 +1283,19 @@ final class IvfIndex(val spark: SparkSession, val dir: String, val meta: IvfMeta
   @volatile private var cachedData: (String, Boolean, Long, DataFrame) = null
   private val mutations = new java.util.concurrent.atomic.AtomicLong()
 
+  /** Drop this instance's cached (possibly prewarm-PERSISTED) plans —
+    * the catalog's eviction path. Spark's CacheManager pins a persisted
+    * DataFrame until it is explicitly unpersisted, so letting a dropped
+    * index's instance go to garbage alone would leak its executor-memory
+    * copy forever. Safe on never-persisted plans (unpersist no-ops). */
+  private[graft] def release(): Unit = {
+    val d = cachedData
+    if (d != null) { d._4.unpersist(false); cachedData = null }
+    val c = cachedCodes
+    if (c != null) { c._4.unpersist(false); cachedCodes = null }
+    cachedListing = null
+  }
+
   /** Current index contents: compacted generation plus any delta appends.
     * A filter on cluster_id prunes partitions in BOTH branches of the
     * union independently. */

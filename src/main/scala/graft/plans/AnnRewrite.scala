@@ -75,8 +75,25 @@ object AnnCatalog {
   }
 
   def unregister(tablePath: String): Unit = {
-    entries.remove(norm(tablePath))
+    val old = entries.remove(norm(tablePath))
     coverCache.clear()
+    if (old != null) maybeEvictIndex(old.indexDir)
+  }
+
+  /** Evict the memoized IvfIndex for `indexDir` unless another live
+    * registration (plain, partial, or maxsim — they share the instance
+    * cache) still references it, releasing its persisted plans: a
+    * prewarm-persisted dataDf is pinned by Spark's CacheManager until
+    * explicitly unpersisted, so dropping only the catalog entry would
+    * leak the executor-memory copy for every dropped index forever. */
+  private def maybeEvictIndex(indexDir: String): Unit = {
+    import scala.jdk.CollectionConverters._
+    val stillUsed =
+      entries.values.asScala.exists(_.indexDir == indexDir) ||
+      partials.values.asScala.exists(_.exists(_.entry.indexDir == indexDir)) ||
+      msEntries.values.asScala.exists(_.indexDir == indexDir)
+    if (!stillUsed)
+      Option(indexes.remove(indexDir)).foreach(_.release())
   }
 
   /** An entry may serve a relation only when it covers EVERY root:
@@ -209,12 +226,14 @@ object AnnCatalog {
       PartialEntry(predicateSql, Entry(indexDir, idCol, vecCol, tablePath)) ::
         (if (cur == null) Nil else cur.filterNot(_.entry.indexDir == indexDir)))
 
-  def unregisterPartial(tablePath: String, indexDir: String): Unit =
+  def unregisterPartial(tablePath: String, indexDir: String): Unit = {
     partials.computeIfPresent(norm(tablePath),
       (_, cur) => cur.filterNot(_.entry.indexDir == indexDir) match {
         case Nil => null
         case rest => rest
       })
+    maybeEvictIndex(indexDir)
+  }
 
   /** Covering semantics like [[lookup]]: every root must resolve to the
     * SAME partial-entry list — a partial index registered on one root of
@@ -237,7 +256,12 @@ object AnnCatalog {
   final case class GraphEntry(graphDir: String, idCol: String, vecCol: String)
 
   private val gEntries = new java.util.concurrent.ConcurrentHashMap[String, GraphEntry]()
-  private val graphs = new java.util.concurrent.ConcurrentHashMap[String, graft.index.VamanaGraph]()
+  // dir -> (stamp, graph): a rebuild REPLACES the stale entry (the old
+  // driver-resident graph becomes garbage) — a stamp-IN-KEY cache would
+  // retain one full graph per rebuild forever, the leak the sharded
+  // tier's handle cache already avoids
+  private val graphs =
+    new java.util.concurrent.ConcurrentHashMap[String, (Long, graft.index.VamanaGraph)]()
 
   def registerGraph(tablePath: String, graphDir: String, idCol: String, vecCol: String): Unit = {
     gEntries.put(norm(tablePath), GraphEntry(graphDir, idCol, vecCol))
@@ -245,8 +269,13 @@ object AnnCatalog {
   }
 
   def unregisterGraph(tablePath: String): Unit = {
-    gEntries.remove(norm(tablePath))
+    val old = gEntries.remove(norm(tablePath))
     gCoverCache.clear()
+    if (old != null) {
+      import scala.jdk.CollectionConverters._
+      if (!gEntries.values.asScala.exists(_.graphDir == old.graphDir))
+        graphs.remove(old.graphDir)
+    }
   }
 
   def lookupGraph(rootPaths: Seq[String]): Option[GraphEntry] =
@@ -281,9 +310,12 @@ object AnnCatalog {
     }
   }
 
-  def graph(spark: SparkSession, e: GraphEntry): graft.index.VamanaGraph =
-    graphs.computeIfAbsent(s"${e.graphDir}@${graphStamp(e.graphDir)}",
-      _ => graft.index.VamanaGraph.load(spark, e.graphDir))
+  def graph(spark: SparkSession, e: GraphEntry): graft.index.VamanaGraph = {
+    val stamp = graphStamp(e.graphDir)
+    graphs.compute(e.graphDir, (_, cur) =>
+      if (cur != null && cur._1 == stamp) cur
+      else (stamp, graft.index.VamanaGraph.load(spark, e.graphDir)))._2
+  }
 
   // ---- SHARDED graph entries: the distributed graph tier serves the
   // same ORDER BY <-> LIMIT k shape when the driver-tier graph can't
@@ -301,7 +333,14 @@ object AnnCatalog {
   def registerShardedGraph(tablePath: String, dir: String, idCol: String, vecCol: String): Unit =
     sgEntries.put(norm(tablePath), ShardedGraphEntry(dir, idCol, vecCol))
 
-  def unregisterShardedGraph(tablePath: String): Unit = sgEntries.remove(norm(tablePath))
+  def unregisterShardedGraph(tablePath: String): Unit = {
+    val old = sgEntries.remove(norm(tablePath))
+    if (old != null) {
+      import scala.jdk.CollectionConverters._
+      if (!sgEntries.values.asScala.exists(_.dir == old.dir))
+        Option(sgHandles.remove(old.dir)).foreach(_._2.unpersist())
+    }
+  }
 
   def lookupShardedGraph(rootPaths: Seq[String]): Option[ShardedGraphEntry] =
     covering(rootPaths, sgEntries.get)
@@ -332,7 +371,8 @@ object AnnCatalog {
   }
 
   def unregisterMaxSim(tablePath: String): Unit = {
-    msEntries.remove(norm(tablePath))
+    val old = msEntries.remove(norm(tablePath))
+    if (old != null) maybeEvictIndex(old.indexDir)
     msCoverCache.clear()
   }
 

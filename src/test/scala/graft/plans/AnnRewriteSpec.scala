@@ -1741,4 +1741,31 @@ class AnnRewriteSpec extends SparkSpec {
       }
     } finally (0 to 1).foreach(p => AnnCatalog.unregister(s"$tableDir/part=$p"))
   }
+
+  test("unregister evicts the memoized index instance and unpersists its " +
+       "prewarm blocks (no executor-cache leak for dropped indexes)") {
+    import spark.implicits._
+    val rng = new scala.util.Random(911)
+    val rows = (0L until 200L).map(i => (i, Seq.fill(8)(rng.nextFloat())))
+    val tableDir = Files.createTempDirectory("graft-ann-evict").toString
+    rows.toDF("id", "vec").write.mode("overwrite").parquet(tableDir)
+    val idxDir = Files.createTempDirectory("graft-ann-evict-idx").toString
+    IvfIndex.build(spark.read.parquet(tableDir), "id", "vec", idxDir,
+      IvfConfig(lists = 4))
+    AnnCatalog.register(tableDir, idxDir, "id", "vec")
+    val persisted0 = spark.sparkContext.getPersistentRDDs.size
+    // load the catalog's instance and pin its plan in executor memory
+    val entry = AnnCatalog.lookupAll(Seq(tableDir)).get.head
+    AnnCatalog.index(spark, entry).prewarm()
+    assert(spark.sparkContext.getPersistentRDDs.size > persisted0,
+      "prewarm must persist the cached plan")
+    AnnCatalog.unregister(tableDir)
+    assert(spark.sparkContext.getPersistentRDDs.size == persisted0,
+      "unregister must release the dropped index's persisted blocks — " +
+      "CacheManager pins them until an explicit unpersist")
+    // and the instance cache reloads fresh on re-register (no stale memo)
+    AnnCatalog.register(tableDir, idxDir, "id", "vec")
+    try assert(AnnCatalog.index(spark, entry).rowCount == 200L)
+    finally AnnCatalog.unregister(tableDir)
+  }
 }
