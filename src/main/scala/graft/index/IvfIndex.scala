@@ -1111,6 +1111,134 @@ object IvfIndex {
       .as[(Long, Array[Float], Array[Byte], String)]
   }
 
+  /** Flat VECTOR read over exactly `files` (the rerank face of
+    * [[flatCodesFor]]): id + stored vector + file path, schema pinned by
+    * the (homogeneous) storage tier. */
+  private def flatVecsDf(spark: SparkSession,
+      files: Array[org.apache.hadoop.fs.FileStatus],
+      f16: Boolean): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.types._
+    val vecType: DataType = if (f16) BinaryType else ArrayType(FloatType)
+    val schema = StructType(Seq(
+      StructField("id", LongType),
+      StructField("vec", vecType)))
+    val roots = files.map(_.getPath.getParent).distinct.toSeq
+    val rel = org.apache.spark.sql.execution.datasources.HadoopFsRelation(
+      new StaticFileIndex(roots, files),
+      partitionSchema = StructType(Nil),
+      dataSchema = schema,
+      bucketSpec = None,
+      fileFormat =
+        new org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat,
+      options = Map.empty)(spark)
+    spark.baseRelationToDataFrame(rel)
+      .select(col("id"), col("vec"), col("_metadata.file_path").as("__path"))
+  }
+
+  /** Batched MULTI-ROOT top-k — the partitioned analogue of
+    * [[IvfIndex.searchMany]] and the amortized form of the planner's
+    * per-query partitioned serve: R roots x B queries answered in TWO
+    * flat jobs. Job 1 pools exact per-(root, query) top-nCand estimate
+    * candidates over every root's probed cells
+    * ([[multiEstimatePools]]); job 2 re-scores candidates EXACTLY from
+    * the roots' stored vectors through a file-pruned flat read —
+    * queries are prepped PER ROOT, so per-root rotation and cosine
+    * normalization are honored. Requires homogeneous children (same
+    * dim/metric/storage, vectors stored) — the partitioned-corpus norm;
+    * mixed-config corpora go through the planner's per-query serve.
+    * Output (qid, id, dist, rn), the [[IvfIndex.searchMany]] contract. */
+  def searchManyMulti(idxs: Seq[IvfIndex], queries: Array[(Long, Array[Float])],
+                      k: Int, probes: Int = 4, refine: Int = 8,
+                      epsilon: Double = 1.9): org.apache.spark.sql.DataFrame = {
+    require(idxs.nonEmpty, "no root indexes")
+    require(queries.nonEmpty, "empty query batch")
+    require(queries.map(_._1).distinct.length == queries.length,
+      "duplicate qids in query batch — results would silently merge")
+    val h = idxs.head
+    require(idxs.forall(ix => ix.meta.dim == h.meta.dim &&
+        ix.meta.cfg.metric == h.meta.cfg.metric &&
+        ix.meta.cfg.storage == h.meta.cfg.storage),
+      "searchManyMulti requires homogeneous children (same dim, metric, " +
+      "storage) — mixed-config corpora serve per query through the planner")
+    require(idxs.forall(_.meta.cfg.storeVectors),
+      "searchManyMulti reranks in-index: every child must store vectors " +
+      "(codes-only children need a rerank table — use the planner serve)")
+    val spark = h.spark
+    import spark.implicits._
+    val metric = h.meta.cfg.metric
+    val f16 = h.meta.cfg.storage == "f16"
+    val qvecs = queries.map(_._2)
+    val qidArr = queries.map(_._1)
+    val nCand = math.max(k * refine, k)
+    val pools = multiEstimatePools(idxs, qvecs, nCand,
+      Seq.fill(idxs.length)(probes), epsilon)
+    if (pools.isEmpty)
+      return Seq.empty[(Long, Long, Double, Long)].toDF("qid", "id", "dist", "rn")
+    // (root, id) -> candidate query slots; ids may repeat ACROSS roots
+    // (no global-uniqueness assumption — each row scores under its own
+    // root's candidates only)
+    val cands: Map[(Int, Long), Array[Int]] =
+      pools.groupBy(t => (t._1, t._3)).view
+        .mapValues(_.map(_._2).distinct).toMap
+    val qq: Array[Array[Array[Float]]] =
+      idxs.map(ix => qvecs.map(ix.prepQuery)).toArray
+    val info = scala.collection.mutable.HashMap.empty[String, DirInfo]
+    val files =
+      scala.collection.mutable.ArrayBuffer.empty[org.apache.hadoop.fs.FileStatus]
+    idxs.zipWithIndex.foreach { case (ix, r) =>
+      val allProbed = scala.collection.mutable.LinkedHashSet.empty[Int]
+      qvecs.foreach(q => ix.probe(q, probes).foreach(allProbed += _))
+      probedDirs(ix, r, allProbed, info, files)
+    }
+    if (files.isEmpty)
+      return Seq.empty[(Long, Long, Double, Long)].toDF("qid", "id", "dist", "rn")
+    val bInfo = spark.sparkContext.broadcast(info.toMap)
+    val bCands = spark.sparkContext.broadcast(cands)
+    val bQq = spark.sparkContext.broadcast(qq)
+    val met = metric
+    def scoreRows[V](it: Iterator[(Long, V, String)],
+                     decode: V => Array[Float]): Iterator[(Int, Long, Double)] = {
+      val info = bInfo.value
+      val cands = bCands.value
+      val qq = bQq.value
+      val dirCache = new java.util.HashMap[String, DirInfo]()
+      it.flatMap { case (id, vecRaw, path) =>
+        val root = dirInfoFor(info, dirCache, path)._1
+        cands.get((root, id)) match {
+          case None => Iterator.empty
+          case Some(qis) =>
+            val v = decode(vecRaw)
+            qis.iterator.map { qi =>
+              val d = met match {
+                case "l2"     => graft.core.VectorKernels.l2(v, qq(root)(qi))
+                case "negdot" => graft.core.VectorKernels.negdot(v, qq(root)(qi))
+                // stored vectors are normalized: cosdist = 1 + negdot
+                case _        => 1.0 + graft.core.VectorKernels.negdot(v, qq(root)(qi))
+              }
+              (qi, id, d)
+            }
+        }
+      }
+    }
+    val base = flatVecsDf(spark, files.toArray, f16)
+    val scored: Array[(Int, Long, Double)] =
+      if (f16)
+        base.as[(Long, Array[Byte], String)]
+          .mapPartitions(scoreRows(_, graft.core.Half.decodeBytes))
+          .collect()
+      else
+        base.as[(Long, Seq[Float], String)]
+          .mapPartitions(scoreRows(_, (v: Seq[Float]) => v.toArray))
+          .collect()
+    // driver-side final top-k per query: bounded by the pools size
+    // (<= roots x queries x nCand), same as searchMany
+    val out = scored.groupBy(_._1).toSeq.flatMap { case (qi, rows) =>
+      rows.map(r => (r._3, r._2)).sorted.take(k).zipWithIndex
+        .map { case ((d, id), i) => (qidArr(qi), id, d, (i + 1).toLong) }
+    }
+    out.toDF("qid", "id", "dist", "rn")
+  }
+
   /** Resolve a row's owning dir info from its file path (normalized to
     * the URI path, schemes stripped), memoized per distinct dir. */
   private def dirInfoFor(info: Map[String, DirInfo],

@@ -2158,6 +2158,32 @@ object GraftQueries {
              |SELECT qid, vec_id, round(dist, 3) AS dist, CAST(rn AS BIGINT) AS rn
              |FROM r WHERE rn <= 5 ORDER BY qid, rn""".stripMargin)),
 
+    // Batched MULTI-ROOT search (round 13): the same 3-query batch
+    // answered across the two-root partitioned copy's per-child indexes
+    // in TWO flat jobs (one pooled estimate pass, one file-pruned exact
+    // rerank — IvfIndex.searchManyMulti, the amortized form of the
+    // partitioned planner serve). Full probe coverage over lists=8
+    // children makes the batch exact, so it hash-matches the SAME
+    // oracle as ivf_knn_batch (the partitioned copy holds identical
+    // rows).
+    "ivf_knn_batch_multi" -> Q(
+      (s, d) => {
+        val path = partitionedEmbTable(s, d)
+        val idxs = (0 to 1).map(p => IvfIndex.load(s, s"$path-idx$p"))
+        val qs = (0L to 2L).map(i => i -> qvec(s, d, i)).toArray
+        IvfIndex.searchManyMulti(idxs, qs, 5, probes = 8, refine = 16)
+          .select(col("qid"), col("id").as("vec_id"), col("dist").as("raw"), col("rn"))
+          .orderBy("qid", "rn")
+          .select(col("qid"), col("vec_id"), round(col("raw"), 3).as("dist"), col("rn")) },
+      Some("""WITH qt AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id IN (0, 1, 2)),
+             |e AS (SELECT vec_id, embedding, unnest(range(0, 64)) AS i FROM embeddings),
+             |dd AS (SELECT qt.qid, e.vec_id,
+             |  sqrt(sum(power(CAST(e.embedding[i+1] AS DOUBLE) - CAST(qt.qe[i+1] AS DOUBLE), 2))) AS dist
+             |  FROM e, qt GROUP BY 1, 2),
+             |r AS (SELECT qid, vec_id, dist, row_number() OVER (PARTITION BY qid ORDER BY dist, vec_id) AS rn FROM dd)
+             |SELECT qid, vec_id, round(dist, 3) AS dist, CAST(rn AS BIGINT) AS rn
+             |FROM r WHERE rn <= 5 ORDER BY qid, rn""".stripMargin)),
+
     // planner-served prefilter (Q7, reference vchordrq.prefilter): a
     // Filter under ORDER BY metric LIMIT k escalates the candidate pool
     // until k predicate survivors; served through AnnTopKRewrite against a

@@ -1,0 +1,141 @@
+package graft.index
+
+import graft.SparkSpec
+import graft.core.{VectorKernels => K}
+import java.nio.file.Files
+
+/**
+ * Batched multi-root search ([[IvfIndex.searchManyMulti]]): B queries x
+ * R roots in two flat jobs, output equal to brute force over the union
+ * corpus in the full-probe regime — across storage tiers, metrics, a
+ * delta-appended root, and overlapping ids between roots (each row
+ * scores under its own root's candidates; no global-uniqueness
+ * assumption).
+ */
+class SearchManyMultiSpec extends SparkSpec {
+
+  private def corpus(n: Int, off: Long, seed: Int): Seq[(Long, Seq[Float])] = {
+    val rng = new scala.util.Random(seed)
+    (0L until n.toLong).map(i => (off + i, Seq.fill(8)(rng.nextFloat() * 2 - 1)))
+  }
+
+  private def build(rows: Seq[(Long, Seq[Float])], cfg: IvfConfig): IvfIndex = {
+    import spark.implicits._
+    IvfIndex.build(rows.toDF("id", "vec"), "id", "vec",
+      Files.createTempDirectory("graft-smm").toString, cfg)
+  }
+
+  private def brute(all: Seq[(Long, Seq[Float])], q: Array[Float], k: Int,
+                    metric: String): Seq[(Long, Double)] = {
+    val kern: (Array[Float], Array[Float]) => Double = metric match {
+      case "l2"      => K.l2
+      case "negdot"  => K.negdot
+      case "cosdist" => K.cosdist
+    }
+    all.map { case (id, v) => (kern(v.toArray, q), id) }
+      .sorted.take(k).map(t => (t._2, t._1))
+  }
+
+  test("full-probe batch == brute force over the union corpus (l2/f32, " +
+       "delta-appended root included); exactly two jobs per batch") {
+    import spark.implicits._
+    val parts = Seq(corpus(150, 0, 1), corpus(150, 1000, 2), corpus(150, 2000, 3))
+    val idxs = parts.take(2).map(build(_, IvfConfig(lists = 4))) :+ {
+      // third root built over a prefix, the rest delta-appended
+      val idx = build(parts(2).take(100), IvfConfig(lists = 4))
+      idx.appendDelta(parts(2).drop(100).toDF("id", "vec"), "id", "vec")
+      idx
+    }
+    val all = parts.flatten
+    val rng = new scala.util.Random(17)
+    val queries = Array.tabulate(5)(i =>
+      (i.toLong, Array.fill(8)(rng.nextFloat() * 2 - 1)))
+    // warm (relation build, listing caches), then count jobs
+    IvfIndex.searchManyMulti(idxs, queries, k = 7, probes = 4, refine = 50)
+      .collect()
+    val jobs0 = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
+    val got = IvfIndex.searchManyMulti(idxs, queries, k = 7, probes = 4,
+        refine = 50)
+      .as[(Long, Long, Double, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._4).map(_._2).toSeq).toMap
+    val jobs1 = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
+    assert(jobs1 - jobs0 == 2,
+      s"batch must cost exactly 2 jobs at any root/query count, got ${jobs1 - jobs0}")
+    queries.foreach { case (qid, q) =>
+      val want = brute(all, q, 7, "l2").map(_._1)
+      assert(got(qid) == want, s"qid=$qid: got=${got(qid)} want=$want")
+    }
+  }
+
+  test("f16 storage and cosdist metric rerank exactly (prepped per root)") {
+    import spark.implicits._
+    Seq("l2" -> "f16", "cosdist" -> "f32", "negdot" -> "f16").foreach {
+      case (metric, storage) =>
+        val parts = Seq(corpus(120, 0, 5), corpus(120, 5000, 6))
+        val idxs = parts.map(build(_,
+          IvfConfig(lists = 4, metric = metric, storage = storage)))
+        val all = parts.flatten
+        val rng = new scala.util.Random(23)
+        val queries = Array.tabulate(3)(i =>
+          (100L + i, Array.fill(8)(rng.nextFloat() * 2 - 1)))
+        val got = IvfIndex.searchManyMulti(idxs, queries, k = 5, probes = 4,
+            refine = 50)
+          .as[(Long, Long, Double, Long)].collect()
+          .groupBy(_._1).view.mapValues(_.sortBy(_._4)).toMap
+        // brute must rank over the STORE's values or near-tie neighbors
+        // legally swap: cosine normalizes at ingest (then rounds to f32),
+        // and the f16 tier roundtrips through half floats — estimate and
+        // rerank see that one store (the documented tier contract)
+        val cmp = all.map { case (id, v) =>
+          val a0 =
+            if (metric == "cosdist") {
+              val a = v.toArray
+              val n = math.sqrt(K.dot(a, a))
+              if (n > 0) a.map(x => (x / n).toFloat) else a
+            } else v.toArray
+          val a1 =
+            if (storage == "f16")
+              graft.core.Half.decodeBytes(graft.core.Half.encodeBytes(a0))
+            else a0
+          (id, a1.toSeq)
+        }
+        queries.foreach { case (qid, q) =>
+          val want = brute(cmp, q, 5, metric)
+          assert(got(qid).map(_._2).toSeq == want.map(_._1),
+            s"[$metric/$storage] qid=$qid ids diverged")
+          // f16 quantizes the stored vector; distances match within half
+          // precision of the f16-roundtripped corpus (the store both the
+          // estimate and rerank see — exact within the tier's contract)
+          got(qid).map(_._3).zip(want.map(_._2)).foreach { case (d, w) =>
+            assert(math.abs(d - w) < 1e-6,
+              s"[$metric/$storage] qid=$qid dist $d vs $w")
+          }
+        }
+    }
+  }
+
+  test("overlapping ids across roots score under their own root only") {
+    import spark.implicits._
+    // SAME id range in both roots, different vectors
+    val a = corpus(80, 0, 31)
+    val b = corpus(80, 0, 32)
+    val idxs = Seq(build(a, IvfConfig(lists = 2)), build(b, IvfConfig(lists = 2)))
+    val q = Array.fill(8)(0.1f)
+    val got = IvfIndex.searchManyMulti(idxs, Array(0L -> q), k = 6,
+        probes = 2, refine = 50)
+      .as[(Long, Long, Double, Long)].collect().sortBy(_._4)
+    val want = (a ++ b).map { case (id, v) => (K.l2(v.toArray, q), id) }
+      .sorted.take(6)
+    assert(got.map(_._3).toSeq == want.map(_._1),
+      "distances must rank over BOTH roots' rows even with colliding ids")
+  }
+
+  test("heterogeneous children are refused loudly") {
+    val idxs = Seq(
+      build(corpus(60, 0, 41), IvfConfig(lists = 2, storage = "f32")),
+      build(corpus(60, 100, 42), IvfConfig(lists = 2, storage = "f16")))
+    val e = intercept[IllegalArgumentException](
+      IvfIndex.searchManyMulti(idxs, Array(0L -> Array.fill(8)(0.1f)), 3))
+    assert(e.getMessage.contains("homogeneous"), e.getMessage)
+  }
+}
