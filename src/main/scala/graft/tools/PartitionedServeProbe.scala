@@ -157,6 +157,24 @@ object PartitionedServeProbe {
         best(() => { query().collect(); () })
       }
       say(f"served @full-probes: $fullSec%.3f s — ${exactSec / fullSec}%.1fx vs exact (exact rows)")
+      // BATCHED serving (searchManyMulti): B queries in TWO flat jobs —
+      // the amortization story the per-query planner serve can't tell.
+      // Query 0 is the ladder probe (results cross-checked); the rest
+      // perturb it so every batch row is a genuine distinct query.
+      val batch = Array.tabulate(16) { i =>
+        val qi = q.clone(); qi(1) = qi(1) + 0.001f * i; (i.toLong, qi)
+      }
+      val idxs = (0 until roots).map(p =>
+        graft.index.IvfIndex.load(spark, s"$base-idx$p"))
+      def runBatch(): org.apache.spark.sql.DataFrame =
+        graft.index.IvfIndex.searchManyMulti(idxs, batch, k = 10,
+          probes = math.max(1, math.ceil(math.sqrt(lists)).toInt), refine = 8)
+      val b0 = runBatch().collect()
+      require(b0.count(_.getLong(0) == 0L) == 10, "batch must answer q0")
+      val batchSec = best(() => { runBatch().collect(); () })
+      say(f"batched x16 (searchManyMulti, 2 jobs): $batchSec%.3f s total = " +
+        f"${batchSec / 16}%.3f s/query amortized (vs $servedSec%.3f s " +
+        "per-query planner serve)")
       println(f"""{"partserve_roots":$roots,"rows_per_root":$rowsPerRoot,"lists":$lists,"exact_sec":$exactSec%.3f,"served_sec":$servedSec%.3f,"served_recall":$recall%.2f,"served_full_sec":$fullSec%.3f,"speedup_default":${exactSec / servedSec}%.2f,"speedup_full":${exactSec / fullSec}%.2f}""")
     } finally
       (0 until roots).foreach(p => graft.plans.AnnCatalog.unregister(s"$tableDir/part=$p"))
