@@ -833,9 +833,19 @@ object IvfIndex {
     * cosdist output shift (ordering-only, like estimateCandidates).
     * One Spark job for R roots x T queries: the partitioned MaxSim
     * serve's shape (T = query tokens) and, at T = 1, serveMulti's. */
+  /** Driver-side planning artifacts [[multiEstimatePools]] computes and
+    * a rerank-capable caller can REUSE instead of re-probing: per-root
+    * PREPPED queries, the dir-info map, and the probed cells' files. */
+  private[graft] final class MultiPoolArtifacts {
+    var qq: Array[Array[Array[Float]]] = _
+    var info: Map[String, DirInfo] = _
+    var files: Array[org.apache.hadoop.fs.FileStatus] = _
+  }
+
   private[graft] def multiEstimatePools(idxs: Seq[IvfIndex],
       queries: Array[Array[Float]], nCand: Int, probes: Seq[Int],
-      epsilon: Double): Array[(Int, Int, Long, Double)] = {
+      epsilon: Double,
+      artifacts: MultiPoolArtifacts = null): Array[(Int, Int, Long, Double)] = {
     require(idxs.nonEmpty && probes.length == idxs.length,
       "one probe budget per root index")
     require(queries.nonEmpty, "empty query batch")
@@ -855,11 +865,14 @@ object IvfIndex {
     // per root: cid -> the preps of queries probing it
     val prepByRoot = Array.fill(idxs.length)(
       scala.collection.mutable.HashMap.empty[Int, List[QPrep]])
+    val qqOut =
+      if (artifacts != null) Array.ofDim[Array[Float]](idxs.length, nQ) else null
     idxs.zipWithIndex.foreach { case (ix, r) =>
       val allProbed = scala.collection.mutable.LinkedHashSet.empty[Int]
       queries.zipWithIndex.foreach { case (q, qi) =>
         graft.eval.QueryRecorder.record(ix.dir, q)
         val qq = ix.prepQuery(q)
+        if (qqOut != null) qqOut(r)(qi) = qq
         val probed = ix.probe(q, probes(r))
         val pc = ix.clusterPrep(qq, probed)
         probed.foreach { cid =>
@@ -872,6 +885,11 @@ object IvfIndex {
       probedDirs(ix, r, allProbed, info, files)
     }
     mark("prep+probe")
+    if (artifacts != null) {
+      artifacts.qq = qqOut
+      artifacts.info = info.toMap
+      artifacts.files = files.toArray
+    }
     if (files.isEmpty) return Array.empty
     val nRoots = idxs.length
     val eps = epsilon
@@ -1170,8 +1188,20 @@ object IvfIndex {
     val qvecs = queries.map(_._2)
     val qidArr = queries.map(_._1)
     val nCand = math.max(k * refine, k)
+    // driver-pool budget, the no-silent-caps rule: the pools collect,
+    // the candidate broadcast, and the rerank output all scale as
+    // roots x B x nCand — a DSL caller gets a LOUD refusal, not an OOM
+    // (lower refine or split the batch; conf-raise for big drivers)
+    val maxPool = scala.util.Try(
+        spark.conf.get("graft.ann.batch.maxPoolTuples").toLong)
+      .getOrElse(4000000L)
+    require(idxs.length.toLong * queries.length * nCand <= maxPool,
+      s"searchManyMulti pool budget exceeded: ${idxs.length} roots x " +
+      s"${queries.length} queries x $nCand candidates > $maxPool " +
+      "(graft.ann.batch.maxPoolTuples) — lower refine or split the batch")
+    val arts = new MultiPoolArtifacts
     val pools = multiEstimatePools(idxs, qvecs, nCand,
-      Seq.fill(idxs.length)(probes), epsilon)
+      Seq.fill(idxs.length)(probes), epsilon, arts)
     if (pools.isEmpty)
       return Seq.empty[(Long, Long, Double, Long)].toDF("qid", "id", "dist", "rn")
     // (root, id) -> candidate query slots; ids may repeat ACROSS roots
@@ -1180,60 +1210,60 @@ object IvfIndex {
     val cands: Map[(Int, Long), Array[Int]] =
       pools.groupBy(t => (t._1, t._3)).view
         .mapValues(_.map(_._2).distinct).toMap
-    val qq: Array[Array[Array[Float]]] =
-      idxs.map(ix => qvecs.map(ix.prepQuery)).toArray
-    val info = scala.collection.mutable.HashMap.empty[String, DirInfo]
-    val files =
-      scala.collection.mutable.ArrayBuffer.empty[org.apache.hadoop.fs.FileStatus]
-    idxs.zipWithIndex.foreach { case (ix, r) =>
-      val allProbed = scala.collection.mutable.LinkedHashSet.empty[Int]
-      qvecs.foreach(q => ix.probe(q, probes).foreach(allProbed += _))
-      probedDirs(ix, r, allProbed, info, files)
-    }
-    if (files.isEmpty)
+    // planning artifacts REUSED from the pool pass: prepped queries,
+    // dir-info map, probed files (re-probing doubled the O(R*B*lists)
+    // driver math on this latency path)
+    val qq = arts.qq
+    if (arts.files.isEmpty)
       return Seq.empty[(Long, Long, Double, Long)].toDF("qid", "id", "dist", "rn")
-    val bInfo = spark.sparkContext.broadcast(info.toMap)
+    val bInfo = spark.sparkContext.broadcast(arts.info)
     val bCands = spark.sparkContext.broadcast(cands)
     val bQq = spark.sparkContext.broadcast(qq)
     val met = metric
-    def scoreRows[V](it: Iterator[(Long, V, String)],
-                     decode: V => Array[Float]): Iterator[(Int, Long, Double)] = {
-      val info = bInfo.value
-      val cands = bCands.value
-      val qq = bQq.value
-      val dirCache = new java.util.HashMap[String, DirInfo]()
-      it.flatMap { case (id, vecRaw, path) =>
-        val root = dirInfoFor(info, dirCache, path)._1
-        cands.get((root, id)) match {
-          case None => Iterator.empty
-          case Some(qis) =>
-            val v = decode(vecRaw)
-            qis.iterator.map { qi =>
-              val d = met match {
-                case "l2"     => graft.core.VectorKernels.l2(v, qq(root)(qi))
-                case "negdot" => graft.core.VectorKernels.negdot(v, qq(root)(qi))
-                // stored vectors are normalized: cosdist = 1 + negdot
-                case _        => 1.0 + graft.core.VectorKernels.negdot(v, qq(root)(qi))
-              }
-              (qi, id, d)
-            }
-        }
-      }
-    }
-    val base = flatVecsDf(spark, files.toArray, f16)
+    val isF16 = f16
+    // InternalRow scan (the searchMany rerank pattern): candidate
+    // membership checks on the raw row BEFORE any vector decode — the
+    // typed-Dataset form boxed every scanned row's vector into a
+    // Seq[Float] first, a per-row allocation storm at real dims
     val scored: Array[(Int, Long, Double)] =
-      if (f16)
-        base.as[(Long, Array[Byte], String)]
-          .mapPartitions(scoreRows(_, graft.core.Half.decodeBytes))
-          .collect()
-      else
-        base.as[(Long, Seq[Float], String)]
-          .mapPartitions(scoreRows(_, (v: Seq[Float]) => v.toArray))
-          .collect()
-    // driver-side final top-k per query: bounded by the pools size
-    // (<= roots x queries x nCand), same as searchMany
+      org.apache.spark.sql.graft.ColumnBridge
+        .toInternalRdd(flatVecsDf(spark, arts.files, f16))
+        .mapPartitions { it =>
+          val info = bInfo.value
+          val cands = bCands.value
+          val qq = bQq.value
+          val dirCache = new java.util.HashMap[String, DirInfo]()
+          it.flatMap { row =>
+            val id = row.getLong(0)
+            val path = row.getString(2)
+            val root = dirInfoFor(info, dirCache, path)._1
+            cands.get((root, id)) match {
+              case None => Iterator.empty
+              case Some(qis) =>
+                val v: Array[Float] =
+                  if (isF16) graft.core.Half.decodeBytes(row.getBinary(1))
+                  else row.getArray(1).toFloatArray()
+                qis.iterator.map { qi =>
+                  val d = met match {
+                    case "l2"     => graft.core.VectorKernels.l2(v, qq(root)(qi))
+                    case "negdot" => graft.core.VectorKernels.negdot(v, qq(root)(qi))
+                    // stored vectors are normalized: cosdist = 1 + negdot
+                    case _        => 1.0 + graft.core.VectorKernels.negdot(v, qq(root)(qi))
+                  }
+                  (qi, id, d)
+                }
+            }
+          }
+        }.collect()
+    // driver-side final top-k per query, DISTINCT ids: an id living in
+    // both gen and delta of a root (append-without-delete) scores twice
+    // — keep its best row so one id never occupies two of the k slots
+    // (the searchMany output contract)
     val out = scored.groupBy(_._1).toSeq.flatMap { case (qi, rows) =>
-      rows.map(r => (r._3, r._2)).sorted.take(k).zipWithIndex
+      rows.groupBy(_._2).valuesIterator
+        .map(dups => dups.minBy(r => (r._3, r._2)))
+        .map(r => (r._3, r._2)).toSeq
+        .sorted.take(k).zipWithIndex
         .map { case ((d, id), i) => (qidArr(qi), id, d, (i + 1).toLong) }
     }
     out.toDF("qid", "id", "dist", "rn")

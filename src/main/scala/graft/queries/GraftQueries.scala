@@ -2169,7 +2169,12 @@ object GraftQueries {
     "ivf_knn_batch_multi" -> Q(
       (s, d) => {
         val path = partitionedEmbTable(s, d)
-        val idxs = (0 to 1).map(p => IvfIndex.load(s, s"$path-idx$p"))
+        // memoized like the fixture itself: re-loading per execution
+        // would discard each instance's dirListing/dataDf caches and
+        // time repeated meta reads instead of the serve
+        val idxs = cached(s"parttbl-idxs:$d") {
+          (0 to 1).map(p => IvfIndex.load(s, s"$path-idx$p"))
+        }
         val qs = (0L to 2L).map(i => i -> qvec(s, d, i)).toArray
         IvfIndex.searchManyMulti(idxs, qs, 5, probes = 8, refine = 16)
           .select(col("qid"), col("id").as("vec_id"), col("dist").as("raw"), col("rn"))

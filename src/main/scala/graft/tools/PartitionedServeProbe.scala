@@ -170,7 +170,14 @@ object PartitionedServeProbe {
         graft.index.IvfIndex.searchManyMulti(idxs, batch, k = 10,
           probes = math.max(1, math.ceil(math.sqrt(lists)).toInt), refine = 8)
       val b0 = runBatch().collect()
-      require(b0.count(_.getLong(0) == 0L) == 10, "batch must answer q0")
+      // q0 IS the ladder probe: its batch answer must hit the exact
+      // top-10 at the same recall floor the per-query serve is held to
+      // (a row-count check alone would pass wrong ids)
+      val b0Ids = b0.filter(_.getLong(0) == 0L).sortBy(_.getLong(3))
+        .map(_.getLong(1)).toSeq
+      val b0Recall = b0Ids.toSet.intersect(exactRows.toSet).size / 10.0
+      require(b0Recall >= 0.9,
+        s"batch q0 recall $b0Recall under floor: $b0Ids vs $exactRows")
       val batchSec = best(() => { runBatch().collect(); () })
       say(f"batched x16 (searchManyMulti, 2 jobs): $batchSec%.3f s total = " +
         f"${batchSec / 16}%.3f s/query amortized (vs $servedSec%.3f s " +

@@ -138,4 +138,35 @@ class SearchManyMultiSpec extends SparkSpec {
       IvfIndex.searchManyMulti(idxs, Array(0L -> Array.fill(8)(0.1f)), 3))
     assert(e.getMessage.contains("homogeneous"), e.getMessage)
   }
+
+  test("an id living in both gen and delta (append-without-delete) " +
+       "occupies ONE slot with its best distance — distinct ids per query") {
+    import spark.implicits._
+    val rows = corpus(100, 0, 51)
+    val idx = build(rows, IvfConfig(lists = 2))
+    // re-append id 7 with a vector far from everything: the ORIGINAL row
+    // must still win its slot, and 7 must not appear twice
+    idx.appendDelta(Seq((7L, Seq.fill(8)(3.0f))).toDF("id", "vec"), "id", "vec")
+    val other = build(corpus(100, 1000, 52), IvfConfig(lists = 2))
+    val q = rows.find(_._1 == 7L).get._2.toArray
+    val got = IvfIndex.searchManyMulti(Seq(idx, other), Array(0L -> q),
+        k = 5, probes = 2, refine = 50)
+      .as[(Long, Long, Double, Long)].collect().sortBy(_._4)
+    assert(got.map(_._2).distinct.length == got.length,
+      s"duplicate ids in one query's top-k: ${got.toSeq}")
+    assert(got.head._2 == 7L && got.head._3 < 1e-6,
+      s"id 7 must surface once, scored from its ORIGINAL (nearest) row: " +
+      s"${got.toSeq}")
+  }
+
+  test("pool budget refuses loudly instead of collecting unbounded") {
+    val idxs = Seq(build(corpus(60, 0, 61), IvfConfig(lists = 2)))
+    graft.core.Confs.withConfs(spark, "graft.ann.batch.maxPoolTuples" -> "10") {
+      val e = intercept[IllegalArgumentException](
+        IvfIndex.searchManyMulti(idxs,
+          Array(0L -> Array.fill(8)(0.1f), 1L -> Array.fill(8)(0.2f)),
+          k = 5, refine = 8))
+      assert(e.getMessage.contains("maxPoolTuples"), e.getMessage)
+    }
+  }
 }
