@@ -1842,8 +1842,14 @@ final class IvfIndex(val spark: SparkSession, val dir: String, val meta: IvfMeta
         // for just the candidates — vec column read only here, with id +
         // partition filters pushed to Parquet
         val exact = exactDistCol(qq)
+        // per-id min BEFORE the top-k: an id living in both gen and
+        // delta (append-without-delete) has two physical rows here, and
+        // without the fold one id could occupy two of the k slots — one
+        // of them at the stale vector's distance. Candidate-bounded
+        // input (<= nCand rows), so the extra aggregation is noise.
         data.filter(col("id").isin(cand.map(java.lang.Long.valueOf): _*))
           .select($"id", exact($"vec").as("dist"))
+          .groupBy($"id").agg(org.apache.spark.sql.functions.min($"dist").as("dist"))
           .orderBy($"dist", $"id")
           .limit(k)
       case Some((src, idCol, vecCol)) =>
@@ -2621,7 +2627,12 @@ final class IvfIndex(val spark: SparkSession, val dir: String, val meta: IvfMeta
     // driver-side final top-k per query (at most B x nCand rows); in
     // budgeted mode the rough remainder merges in with estimate distances
     val out = (scored ++ roughRows).groupBy(_._1).toSeq.flatMap { case (qid, rows) =>
-      rows.map(r => (r._3, r._2)).sorted.take(k).zipWithIndex
+      // distinct ids per query: gen+delta double rows fold to their best
+      // distance (same contract as search / searchManyMulti)
+      rows.groupBy(_._2).valuesIterator
+        .map(dups => dups.minBy(r => (r._3, r._2)))
+        .map(r => (r._3, r._2)).toSeq
+        .sorted.take(k).zipWithIndex
         .map { case ((d, id), i) => (qid, id, d, (i + 1).toLong) }
     }
     out.toDF("qid", "id", "dist", "rn")

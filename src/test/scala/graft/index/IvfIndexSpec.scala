@@ -417,4 +417,28 @@ class IvfIndexSpec extends SparkSpec {
     assert(direct.nonEmpty &&
       direct.groupBy(t => (t._1, t._2)).forall(_._2.size <= 20))
   }
+
+  test("gen+delta double rows (append-without-delete) fold to ONE id at " +
+       "its best distance in search and searchMany") {
+    import spark.implicits._
+    val rng = new scala.util.Random(73)
+    val base = (0L until 120L).map(i => (i, Seq.fill(8)(rng.nextFloat())))
+    val idx = IvfIndex.build(base.toDF("id", "vec"), "id", "vec",
+      freshDir(), IvfConfig(lists = 2))
+    // re-append id 11 with a far vector; its ORIGINAL row stays nearest
+    idx.appendDelta(Seq((11L, Seq.fill(8)(5.0f))).toDF("id", "vec"),
+      "id", "vec")
+    val q = base.find(_._1 == 11L).get._2.toArray
+    val single = idx.search(q, 5, probes = 2, refine = 50)
+      .select("id", "dist").as[(Long, Double)].collect()
+    assert(single.map(_._1).distinct.length == single.length,
+      s"search emitted a duplicate id: ${single.toSeq}")
+    assert(single.head._1 == 11L && single.head._2 < 1e-6,
+      s"id 11 must rank by its ORIGINAL row: ${single.toSeq}")
+    val batch = idx.searchMany(Array(0L -> q), 5, probes = 2, refine = 50)
+      .select("id", "dist").as[(Long, Double)].collect()
+    assert(batch.map(_._1).distinct.length == batch.length &&
+      batch.head._1 == 11L && batch.head._2 < 1e-6,
+      s"searchMany must fold the double row too: ${batch.toSeq}")
+  }
 }
