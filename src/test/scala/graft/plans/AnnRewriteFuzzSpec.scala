@@ -82,11 +82,15 @@ class AnnRewriteFuzzSpec extends SparkSpec {
           }
         val projectFirst = rng.nextBoolean()
         // sometimes strangle the IN budget so declines interleave with
-        // serves; rows must be right EITHER way
+        // serves; rows must be right EITHER way. Separately, sometimes
+        // force the flat read's executor-side heap merge (directCollectMax
+        // = 0) so both pool-collect paths run under random shapes.
         val budget = if (rng.nextInt(4) == 0) "3" else "8192"
+        val directMax = if (rng.nextInt(3) == 0) "0" else "4000000"
         graft.core.Confs.withConfs(spark,
             "graft.ann.probes" -> "4", "graft.ann.refine" -> "50",
             "graft.ann.cost.enable" -> "false",
+            "graft.ann.flat.directCollectMax" -> directMax,
             "graft.ann.maxInList" -> budget) {
           val base0 = spark.read.parquet(dir)
           val base1 = if (projectFirst) base0.select("id", "vec") else base0
