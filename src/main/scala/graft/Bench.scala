@@ -112,6 +112,32 @@ object Bench {
     val sentinelRef =
       scala.util.Try(sys.env("SPARK_GRAFT_SENTINEL_REF").toDouble)
         .toOption.filter(_ > 0).getOrElse(0.50)
+    // EXTERNAL-CPU meter: the sentinel measures CPU+shuffle THROUGHPUT at
+    // three instants, so contention that lands between readings — or pure
+    // I/O pressure — can inflate queries while every sentinel reads clean
+    // (observed: an 83 s capture at load-average 14 with ratio 0.73).
+    // This measures the thing itself: busy ticks the WHOLE BOX spent
+    // minus this JVM's own, across the timed section, as a fraction of
+    // total capacity. > ~0.05 means another process was computing during
+    // the capture. Linux /proc; -1 where unavailable.
+    def cpuTicks(): Option[(Long, Long)] =
+      try {
+        val stat = {
+          val src = scala.io.Source.fromFile("/proc/stat")
+          try src.getLines().next() finally src.close()
+        }
+        val f = stat.trim.split("\\s+").drop(1).map(_.toLong)
+        // user+nice+system+irq+softirq+steal; idle and iowait excluded
+        val busy = f(0) + f(1) + f(2) + f.lift(5).getOrElse(0L) +
+          f.lift(6).getOrElse(0L) + f.lift(7).getOrElse(0L)
+        val self = {
+          val src = scala.io.Source.fromFile("/proc/self/stat")
+          try src.mkString.trim.split("\\s+") finally src.close()
+        }
+        Some((busy, self(13).toLong + self(14).toLong))
+      } catch { case NonFatal(_) => None }
+    val ticks0 = cpuTicks()
+    val wall0 = System.nanoTime()
     try sentinel() catch { case NonFatal(_) => } // untimed JIT absorb
     val sentinelPre = try sentinel() catch { case NonFatal(_) => -1.0 }
     // FIXED-HASH run order, not alphabetical: in-JVM drag grows over the
@@ -173,6 +199,15 @@ object Bench {
     val sentinelDrift =
       if (sentinelPre <= 0 || sentinelPost <= 0) -1.0
       else sentinelPost / sentinelPre
+    val externalCpuFrac = (ticks0, cpuTicks()) match {
+      case (Some((busy0, own0)), Some((busy1, own1))) =>
+        val elapsedSec = (System.nanoTime() - wall0) / 1e9
+        val hz = 100.0 // USER_HZ on every Linux this targets
+        val capacity = Runtime.getRuntime.availableProcessors() * elapsedSec * hz
+        if (capacity <= 0) -1.0
+        else math.max(0.0, ((busy1 - busy0) - (own1 - own0)) / capacity)
+      case _ => -1.0
+    }
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     val aggs = Seq("_index_builds" -> buildSec, "_warm_pass" -> warmPassSec,
       "_sentinel_pre" -> sentinelPre, "_sentinel_mid" -> sentinelMid,
@@ -180,7 +215,8 @@ object Bench {
       "_sentinel_ratio" -> sentinelRatio,
       "_sentinel_mid_ratio" -> sentinelMidRatio,
       "_sentinel_post_ratio" -> sentinelPostRatio,
-      "_sentinel_drift" -> sentinelDrift)
+      "_sentinel_drift" -> sentinelDrift,
+      "_external_cpu_frac" -> externalCpuFrac)
     // per-query drift factors (BENCH_FULL only): piecewise-linear
     // interpolation of the sentinel's in-run inflation at each query's
     // RUN POSITION (pre before query 0, mid at the halfway mark, post

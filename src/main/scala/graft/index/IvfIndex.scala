@@ -1842,16 +1842,23 @@ final class IvfIndex(val spark: SparkSession, val dir: String, val meta: IvfMeta
         // for just the candidates — vec column read only here, with id +
         // partition filters pushed to Parquet
         val exact = exactDistCol(qq)
-        // per-id min BEFORE the top-k: an id living in both gen and
-        // delta (append-without-delete) has two physical rows here, and
-        // without the fold one id could occupy two of the k slots — one
-        // of them at the stale vector's distance. Candidate-bounded
-        // input (<= nCand rows), so the extra aggregation is noise.
-        data.filter(col("id").isin(cand.map(java.lang.Long.valueOf): _*))
+        // per-id min BEFORE the top-k — but ONLY when a delta area
+        // exists: an id living in both gen and delta
+        // (append-without-delete) has two physical rows here, and
+        // without the fold one id could occupy two of the k slots, one
+        // at the stale vector's distance. A generation alone holds one
+        // row per id (build contract), and the fold's exchange costs a
+        // whole extra stage, measured ~0.1-0.2 s on every delta-free
+        // serve — so delta-free indexes keep the two-stage plan.
+        val scoredRows = data
+          .filter(col("id").isin(cand.map(java.lang.Long.valueOf): _*))
           .select($"id", exact($"vec").as("dist"))
-          .groupBy($"id").agg(org.apache.spark.sql.functions.min($"dist").as("dist"))
-          .orderBy($"dist", $"id")
-          .limit(k)
+        val folded =
+          if (deltaExists)
+            scoredRows.groupBy($"id")
+              .agg(org.apache.spark.sql.functions.min($"dist").as("dist"))
+          else scoredRows
+        folded.orderBy($"dist", $"id").limit(k)
       case Some((src, idCol, vecCol)) =>
         // rerank-in-table (reference rerank_heap / rerank_in_table=true,
         // crates/vchordrq/src/rerank.rs:111+): fetch ORIGINAL vectors from
