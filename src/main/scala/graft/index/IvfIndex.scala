@@ -1167,7 +1167,9 @@ object IvfIndex {
     * Output (qid, id, dist, rn), the [[IvfIndex.searchMany]] contract. */
   def searchManyMulti(idxs: Seq[IvfIndex], queries: Array[(Long, Array[Float])],
                       k: Int, probes: Int = 4, refine: Int = 8,
-                      epsilon: Double = 1.9): org.apache.spark.sql.DataFrame = {
+                      epsilon: Double = 1.9,
+                      rerankTable: Option[(org.apache.spark.sql.DataFrame, String, String)] = None)
+      : org.apache.spark.sql.DataFrame = {
     require(idxs.nonEmpty, "no root indexes")
     require(queries.nonEmpty, "empty query batch")
     require(queries.map(_._1).distinct.length == queries.length,
@@ -1178,9 +1180,10 @@ object IvfIndex {
         ix.meta.cfg.storage == h.meta.cfg.storage),
       "searchManyMulti requires homogeneous children (same dim, metric, " +
       "storage) — mixed-config corpora serve per query through the planner")
-    require(idxs.forall(_.meta.cfg.storeVectors),
-      "searchManyMulti reranks in-index: every child must store vectors " +
-      "(codes-only children need a rerank table — use the planner serve)")
+    require(rerankTable.nonEmpty || idxs.forall(_.meta.cfg.storeVectors),
+      "codes-only children (storeVectors=false) store no vectors: pass " +
+      "rerankTable=Some((sourceDf, idCol, vecCol)) so the exact phase " +
+      "fetches original vectors from the source table")
     val spark = h.spark
     import spark.implicits._
     val metric = h.meta.cfg.metric
@@ -1216,10 +1219,47 @@ object IvfIndex {
     val qq = arts.qq
     if (arts.files.isEmpty)
       return Seq.empty[(Long, Long, Double, Long)].toDF("qid", "id", "dist", "rn")
+    val met = metric
+    // rerank-in-TABLE (codes-only children or caller preference): exact
+    // distances from ORIGINAL source-table vectors against the RAW
+    // queries — candidates from any root only gate membership (the
+    // table's rows are the single source of truth, so per-root prep is
+    // irrelevant here), matching searchMany's in-table semantics
+    rerankTable.foreach { case (src, idCol, vecCol) =>
+      import org.apache.spark.sql.functions.broadcast
+      val candIds = cands.keysIterator.map(_._2).toArray.distinct.sorted
+      val id2q: Map[Long, Array[Int]] = cands.toSeq
+        .groupBy(_._1._2).view
+        .mapValues(_.flatMap(_._2).distinct.toArray).toMap
+      val bI2Q = spark.sparkContext.broadcast(id2q)
+      val bRaw = spark.sparkContext.broadcast(qvecs)
+      val kern: (Array[Float], Array[Float]) => Double = met match {
+        case "l2"      => graft.core.VectorKernels.l2
+        case "negdot"  => graft.core.VectorKernels.negdot
+        case "cosdist" => graft.core.VectorKernels.cosdist
+      }
+      val scoredT = src
+        .join(broadcast(candIds.toSeq.toDF("__cand_id")),
+          col(idCol).cast("long") === col("__cand_id"))
+        .select(col(idCol).cast("long"), col(vecCol))
+        .as[(Long, Seq[Float])]
+        .flatMap { case (id, v) =>
+          val va = v.toArray
+          bI2Q.value.getOrElse(id, Array.empty[Int]).iterator
+            .map(qi => (qi, id, kern(va, bRaw.value(qi))))
+        }.collect()
+      val outT = scoredT.groupBy(_._1).toSeq.flatMap { case (qi, rows) =>
+        rows.groupBy(_._2).valuesIterator
+          .map(dups => dups.minBy(r => (r._3, r._2)))
+          .map(r => (r._3, r._2)).toSeq
+          .sorted.take(k).zipWithIndex
+          .map { case ((d, id), i) => (qidArr(qi), id, d, (i + 1).toLong) }
+      }
+      return outT.toDF("qid", "id", "dist", "rn")
+    }
     val bInfo = spark.sparkContext.broadcast(arts.info)
     val bCands = spark.sparkContext.broadcast(cands)
     val bQq = spark.sparkContext.broadcast(qq)
-    val met = metric
     val isF16 = f16
     // InternalRow scan (the searchMany rerank pattern): candidate
     // membership checks on the raw row BEFORE any vector decode — the

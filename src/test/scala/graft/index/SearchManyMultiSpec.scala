@@ -169,4 +169,32 @@ class SearchManyMultiSpec extends SparkSpec {
       assert(e.getMessage.contains("maxPoolTuples"), e.getMessage)
     }
   }
+
+  test("codes-only children rerank-in-TABLE: exact rows from the source " +
+       "table's original vectors (searchMany's in-table semantics)") {
+    import spark.implicits._
+    val parts = Seq(corpus(120, 0, 71), corpus(120, 1000, 72))
+    val all = parts.flatten
+    val src = all.toDF("id", "vec")
+    val idxs = parts.map { part =>
+      val idx = build(part, IvfConfig(lists = 4))
+      // codes-only copy: the storeVectors rerank path is gone
+      idx.dropVectors(Files.createTempDirectory("graft-smm-novec").toString)
+    }
+    // without a rerank table: loud refusal
+    val e = intercept[IllegalArgumentException](
+      IvfIndex.searchManyMulti(idxs, Array(0L -> Array.fill(8)(0.1f)), 3))
+    assert(e.getMessage.contains("rerankTable"), e.getMessage)
+    val rng = new scala.util.Random(77)
+    val queries = Array.tabulate(4)(i =>
+      (i.toLong, Array.fill(8)(rng.nextFloat() * 2 - 1)))
+    val got = IvfIndex.searchManyMulti(idxs, queries, k = 6, probes = 4,
+        refine = 50, rerankTable = Some((src, "id", "vec")))
+      .as[(Long, Long, Double, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._4).map(_._2).toSeq).toMap
+    queries.foreach { case (qid, q) =>
+      val want = brute(all, q, 6, "l2").map(_._1)
+      assert(got(qid) == want, s"qid=$qid: got=${got(qid)} want=$want")
+    }
+  }
 }
