@@ -132,9 +132,15 @@ object Bench {
           f.lift(6).getOrElse(0L) + f.lift(7).getOrElse(0L)
         val self = {
           val src = scala.io.Source.fromFile("/proc/self/stat")
-          try src.mkString.trim.split("\\s+") finally src.close()
+          try src.mkString.trim finally src.close()
         }
-        Some((busy, self(13).toLong + self(14).toLong))
+        // parse from AFTER the last ')': the comm field (field 2) is the
+        // parenthesized process name and may itself contain spaces — a
+        // whole-line whitespace split would then read the wrong fields
+        // for utime/stime silently. Past the ')', fields are fixed:
+        // state=0, ..., utime=11, stime=12 (0-based in the remainder).
+        val rest = self.substring(self.lastIndexOf(')') + 1).trim.split("\\s+")
+        Some((busy, rest(11).toLong + rest(12).toLong))
       } catch { case NonFatal(_) => None }
     val ticks0 = cpuTicks()
     val wall0 = System.nanoTime()

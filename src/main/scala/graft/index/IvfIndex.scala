@@ -1378,6 +1378,38 @@ final class IvfIndex(val spark: SparkSession, val dir: String, val meta: IvfMeta
     Files.exists(p) && Files.list(p).findFirst().isPresent
   }
 
+  /** Cheap EXTERNAL-append signal folded into every delta-sensitive cache
+    * key: a hash over the delta area's child cluster-dir (name, mtime)
+    * pairs — one readdir, no per-file walk. Same-JVM appends already bump
+    * `mutations`, but a delta append through ANOTHER IvfIndex instance or
+    * process adds files to existing `delta/cluster_id=*` dirs without
+    * flipping delta-existence or this instance's counter — invisible to a
+    * (gen, exists, mutations) key, so searches could silently miss fresh
+    * rows in multi-writer-instance use. Appending a file updates its
+    * parent dir's mtime (POSIX), so the child-level signature catches
+    * both new cluster dirs and appends into existing ones. -1 = no delta. */
+  private def deltaSig: Long = {
+    val p = Paths.get(dir, "delta")
+    if (!Files.exists(p)) -1L
+    else {
+      val s = Files.list(p)
+      try {
+        var h = 1L
+        var n = 0
+        val it = s.iterator()
+        while (it.hasNext) {
+          val c = it.next()
+          h = h * 31 + c.getFileName.toString.hashCode
+          h = h * 31 + Files.getLastModifiedTime(c).toMillis
+          n += 1
+        }
+        // empty dir == absent (deltaExists' contract): -1 either way;
+        // a real hash landing on -1 must not masquerade as "absent"
+        if (n == 0) -1L else if (h == -1L) 0L else h
+      } finally s.close()
+    }
+  }
+
   // One atomic on-disk layout snapshot for the flat multi-root read:
   // the current generation name, the cluster ids under it and under
   // delta, and every cluster dir's data-file statuses — cached with the
@@ -1395,15 +1427,16 @@ final class IvfIndex(val spark: SparkSession, val dir: String, val meta: IvfMeta
   // old-gen dir keys would miss a new-gen file map — silently emptying
   // that root's candidates even though old-gen dirs are deliberately
   // retained one cycle for live readers.
-  @volatile private var cachedListing: (String, Boolean, Long, IvfIndex.DirListing) = null
+  @volatile private var cachedListing: (String, Long, Long, IvfIndex.DirListing) = null
 
   private[graft] def dirListing: IvfIndex.DirListing = {
     val gen = currentGen
-    val delta = deltaExists
+    val dsig = deltaSig
     val ver = mutations.get()
     val c = cachedListing
-    if (c != null && c._1 == gen && c._2 == delta && c._3 == ver) c._4
+    if (c != null && c._1 == gen && c._2 == dsig && c._3 == ver) c._4
     else {
+      val delta = dsig != -1L
       val conf = spark.sparkContext.hadoopConfiguration
       def listArea(area: String)
           : (Set[Int], Map[String, Array[org.apache.hadoop.fs.FileStatus]]) = {
@@ -1444,7 +1477,7 @@ final class IvfIndex(val spark: SparkSession, val dir: String, val meta: IvfMeta
         else (Set.empty[Int],
           Map.empty[String, Array[org.apache.hadoop.fs.FileStatus]])
       val r = IvfIndex.DirListing(gen, gc, dc, gf ++ dfm)
-      cachedListing = (gen, delta, ver, r)
+      cachedListing = (gen, dsig, ver, r)
       r
     }
   }
@@ -1473,12 +1506,13 @@ final class IvfIndex(val spark: SparkSession, val dir: String, val meta: IvfMeta
 
   // The plan for the current generation is cached so repeated searches
   // skip file re-listing and footer reads (at lists=256 that is hundreds
-  // of directories per query). Invalidated when CURRENT changes or this
-  // instance mutates the index (appendDelta bumps `mutations` — a delta
-  // dir gains files without changing names, so existence alone is not a
-  // valid key); `prewarm()` persists this same plan, so every subsequent
-  // search hits the in-memory columnar cache.
-  @volatile private var cachedData: (String, Boolean, Long, DataFrame) = null
+  // of directories per query). Invalidated when CURRENT changes, this
+  // instance mutates the index (appendDelta bumps `mutations`), or the
+  // delta area's child-dir signature moves (an append through ANOTHER
+  // instance/process — existence alone is not a valid key);
+  // `prewarm()` persists this same plan, so every subsequent search hits
+  // the in-memory columnar cache.
+  @volatile private var cachedData: (String, Long, Long, DataFrame) = null
   private val mutations = new java.util.concurrent.atomic.AtomicLong()
 
   /** Drop this instance's cached (possibly prewarm-PERSISTED) plans —
@@ -1499,10 +1533,11 @@ final class IvfIndex(val spark: SparkSession, val dir: String, val meta: IvfMeta
     * union independently. */
   def dataDf: DataFrame = {
     val genName = currentGen
-    val delta = deltaExists
+    val dsig = deltaSig
+    val delta = dsig != -1L
     val ver = mutations.get()
     val c = cachedData
-    if (c != null && c._1 == genName && c._2 == delta && c._3 == ver) c._4
+    if (c != null && c._1 == genName && c._2 == dsig && c._3 == ver) c._4
     else {
       // release the superseded plan's persisted blocks (prewarm caches the
       // plan; without unpersist every compaction cycle would pin one full
@@ -1515,7 +1550,7 @@ final class IvfIndex(val spark: SparkSession, val dir: String, val meta: IvfMeta
           gen.unionByName(spark.read.schema(dataSchema).parquet(s"$dir/delta")
             .select(dataCols.map(col): _*))
         else gen
-      cachedData = (genName, delta, ver, df)
+      cachedData = (genName, dsig, ver, df)
       df
     }
   }
@@ -1523,16 +1558,16 @@ final class IvfIndex(val spark: SparkSession, val dir: String, val meta: IvfMeta
   /** Indexed row count, cached until a mutation, generation change, or a
     * delta area appearing (another instance may append the first delta —
     * same invalidation key as dataDf). */
-  @volatile private var rowCountCache: (String, Boolean, Long, Long) = null
+  @volatile private var rowCountCache: (String, Long, Long, Long) = null
   def rowCount: Long = {
     val gen = currentGen
-    val delta = deltaExists
+    val dsig = deltaSig
     val ver = mutations.get()
     val c = rowCountCache
-    if (c != null && c._1 == gen && c._2 == delta && c._3 == ver) c._4
+    if (c != null && c._1 == gen && c._2 == dsig && c._3 == ver) c._4
     else {
       val n = dataDf.count()
-      rowCountCache = (gen, delta, ver, n)
+      rowCountCache = (gen, dsig, ver, n)
       n
     }
   }
@@ -1618,14 +1653,14 @@ final class IvfIndex(val spark: SparkSession, val dir: String, val meta: IvfMeta
   def prewarm(): Long = {
     val prev = cachedData
     val df = dataDf.repartition(col("cluster_id")).cache()
-    cachedData = (currentGen, deltaExists, mutations.get(), df)
+    cachedData = (currentGen, deltaSig, mutations.get(), df)
     if (prev != null && (prev._4 ne df)) prev._4.unpersist(false)
     df.count()
   }
 
   // Codes-only cache for the PARTIAL prewarm tier: estimate scans read it
   // when valid; rerank still reads the (cold) vec column from disk.
-  @volatile private var cachedCodes: (String, Boolean, Long, DataFrame) = null
+  @volatile private var cachedCodes: (String, Long, Long, DataFrame) = null
 
   /** Height-limited prewarm (reference `vchordrq_prewarm(height)`,
     * src/index/functions.rs:44-63, which warms internal levels + code
@@ -1637,7 +1672,7 @@ final class IvfIndex(val spark: SparkSession, val dir: String, val meta: IvfMeta
     val prev = cachedCodes
     val df = dataDf.select(dataCols.filter(_ != "vec").map(col): _*)
       .repartition(col("cluster_id")).cache()
-    cachedCodes = (currentGen, deltaExists, mutations.get(), df)
+    cachedCodes = (currentGen, deltaSig, mutations.get(), df)
     if (prev != null && (prev._4 ne df)) prev._4.unpersist(false)
     df.count()
   }
@@ -1646,7 +1681,7 @@ final class IvfIndex(val spark: SparkSession, val dir: String, val meta: IvfMeta
     * scan of the current data (same columns, vec never read). */
   private def codesDf: DataFrame = {
     val c = cachedCodes
-    if (c != null && c._1 == currentGen && c._2 == deltaExists && c._3 == mutations.get()) c._4
+    if (c != null && c._1 == currentGen && c._2 == deltaSig && c._3 == mutations.get()) c._4
     else dataDf.select(dataCols.filter(_ != "vec").map(col): _*)
   }
 

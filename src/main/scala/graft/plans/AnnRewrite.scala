@@ -65,16 +65,28 @@ object AnnCatalog {
   private val entries = new java.util.concurrent.ConcurrentHashMap[String, Entry]()
   private val indexes = new java.util.concurrent.ConcurrentHashMap[String, IvfIndex]()
 
+  /** Serializes catalog MUTATIONS (register/unregister across the plain,
+    * partial, and maxsim maps, and the eviction's check-then-act over all
+    * three): without it, a registration for the same indexDir landing
+    * between [[maybeEvictIndex]]'s stillUsed scan and its remove would
+    * have its freshly memoized instance evicted and its persisted plans
+    * dropped. Lookups and serves stay lock-free on the concurrent maps —
+    * so an unregister racing an IN-FLIGHT query on the same index can
+    * still release that query's cache mid-run (it recomputes, correct but
+    * slower); don't unregister an index while queries it serves run. */
+  private val mutationLock = new Object
+
   private def norm(p: String): String =
     new org.apache.hadoop.fs.Path(p).toUri.getPath
 
   /** Register: reads of `tablePath` may be served by the index at `indexDir`. */
-  def register(tablePath: String, indexDir: String, idCol: String, vecCol: String): Unit = {
-    entries.put(norm(tablePath), Entry(indexDir, idCol, vecCol, tablePath))
-    coverCache.clear() // catalog changed: every cached cover decision is stale
-  }
+  def register(tablePath: String, indexDir: String, idCol: String, vecCol: String): Unit =
+    mutationLock.synchronized {
+      entries.put(norm(tablePath), Entry(indexDir, idCol, vecCol, tablePath))
+      coverCache.clear() // catalog changed: every cached cover decision is stale
+    }
 
-  def unregister(tablePath: String): Unit = {
+  def unregister(tablePath: String): Unit = mutationLock.synchronized {
     val old = entries.remove(norm(tablePath))
     coverCache.clear()
     if (old != null) maybeEvictIndex(old.indexDir)
@@ -85,7 +97,9 @@ object AnnCatalog {
     * cache) still references it, releasing its persisted plans: a
     * prewarm-persisted dataDf is pinned by Spark's CacheManager until
     * explicitly unpersisted, so dropping only the catalog entry would
-    * leak the executor-memory copy for every dropped index forever. */
+    * leak the executor-memory copy for every dropped index forever.
+    * Callers hold [[mutationLock]] — the stillUsed scan plus the remove
+    * must be atomic against concurrent registrations of the same dir. */
   private def maybeEvictIndex(indexDir: String): Unit = {
     import scala.jdk.CollectionConverters._
     val stillUsed =
@@ -222,18 +236,22 @@ object AnnCatalog {
     * the restricted implication Postgres partial indexes use. */
   def registerPartial(tablePath: String, indexDir: String, idCol: String,
                       vecCol: String, predicateSql: String): Unit =
-    partials.compute(norm(tablePath), (_, cur) =>
-      PartialEntry(predicateSql, Entry(indexDir, idCol, vecCol, tablePath)) ::
-        (if (cur == null) Nil else cur.filterNot(_.entry.indexDir == indexDir)))
+    mutationLock.synchronized {
+      partials.compute(norm(tablePath), (_, cur) =>
+        PartialEntry(predicateSql, Entry(indexDir, idCol, vecCol, tablePath)) ::
+          (if (cur == null) Nil else cur.filterNot(_.entry.indexDir == indexDir)))
+      ()
+    }
 
-  def unregisterPartial(tablePath: String, indexDir: String): Unit = {
-    partials.computeIfPresent(norm(tablePath),
-      (_, cur) => cur.filterNot(_.entry.indexDir == indexDir) match {
-        case Nil => null
-        case rest => rest
-      })
-    maybeEvictIndex(indexDir)
-  }
+  def unregisterPartial(tablePath: String, indexDir: String): Unit =
+    mutationLock.synchronized {
+      partials.computeIfPresent(norm(tablePath),
+        (_, cur) => cur.filterNot(_.entry.indexDir == indexDir) match {
+          case Nil => null
+          case rest => rest
+        })
+      maybeEvictIndex(indexDir)
+    }
 
   /** Covering semantics like [[lookup]]: every root must resolve to the
     * SAME partial-entry list — a partial index registered on one root of
@@ -365,12 +383,13 @@ object AnnCatalog {
     * documents whose exploded tokens were indexed (MaxSim.buildTokenIndex)
     * at `indexDir`. */
   def registerMaxSim(tablePath: String, indexDir: String,
-                     docCol: String, tokensCol: String): Unit = {
-    msEntries.put(norm(tablePath), MaxSimEntry(indexDir, docCol, tokensCol))
-    msCoverCache.clear()
-  }
+                     docCol: String, tokensCol: String): Unit =
+    mutationLock.synchronized {
+      msEntries.put(norm(tablePath), MaxSimEntry(indexDir, docCol, tokensCol))
+      msCoverCache.clear()
+    }
 
-  def unregisterMaxSim(tablePath: String): Unit = {
+  def unregisterMaxSim(tablePath: String): Unit = mutationLock.synchronized {
     val old = msEntries.remove(norm(tablePath))
     if (old != null) maybeEvictIndex(old.indexDir)
     msCoverCache.clear()

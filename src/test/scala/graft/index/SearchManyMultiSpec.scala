@@ -124,10 +124,39 @@ class SearchManyMultiSpec extends SparkSpec {
     val got = IvfIndex.searchManyMulti(idxs, Array(0L -> q), k = 6,
         probes = 2, refine = 50)
       .as[(Long, Long, Double, Long)].collect().sortBy(_._4)
+    // brute expectation FOLDED per id (keep min distance) — the output
+    // contract: an id colliding across roots occupies one slot with its
+    // best distance, never two (same as the gen+delta fold)
     val want = (a ++ b).map { case (id, v) => (K.l2(v.toArray, q), id) }
+      .groupBy(_._2).valuesIterator.map(_.min).toSeq
       .sorted.take(6)
-    assert(got.map(_._3).toSeq == want.map(_._1),
-      "distances must rank over BOTH roots' rows even with colliding ids")
+    assert(got.map(t => (t._3, t._2)).toSeq == want,
+      "distances must rank over BOTH roots' rows even with colliding ids, " +
+      s"one slot per id: got=${got.toSeq} want=$want")
+  }
+
+  test("an id whose BOTH copies would land in top-k folds to one slot " +
+       "with the cross-root best distance") {
+    import spark.implicits._
+    // planted fixture: id 5 is the nearest row in BOTH roots — distances
+    // 0 (root A) and ~0.28 (root B), both inside any unfolded top-3 over
+    // the far-away fillers — so a fold-free merge WOULD emit id 5 twice
+    val q = Array.fill(8)(0.5f)
+    val far = (10L until 40L).map(i =>
+      (i, Seq.fill(8)(3.0f + (i % 5) * 0.5f)))
+    val a = (5L, Seq.fill(8)(0.5f)) +: far
+    val b = (5L, Seq.fill(8)(0.6f)) +: far.map { case (i, v) => (i + 100, v) }
+    val idxs = Seq(build(a, IvfConfig(lists = 2)), build(b, IvfConfig(lists = 2)))
+    val got = IvfIndex.searchManyMulti(idxs, Array(0L -> q), k = 3,
+        probes = 2, refine = 50)
+      .as[(Long, Long, Double, Long)].collect().sortBy(_._4)
+    assert(got.map(_._2).count(_ == 5L) == 1,
+      s"id 5 must occupy exactly one slot: ${got.toSeq}")
+    assert(got.head._2 == 5L && got.head._3 < 1e-6,
+      s"the folded slot must carry the cross-root BEST distance (root A's " +
+      s"exact hit), not root B's: ${got.toSeq}")
+    // remaining slots: the nearest fillers, not id 5's second copy
+    assert(got.map(_._2).distinct.length == got.length, s"dup ids: ${got.toSeq}")
   }
 
   test("heterogeneous children are refused loudly") {

@@ -1738,6 +1738,16 @@ class AnnRewriteSpec extends SparkSpec {
         val got = topIds()
         assert(got.contains(9001L) && got.contains(9000L),
           s"same-instance second append must invalidate via mutations: $got")
+        // THIRD append through ANOTHER FRESH instance into root 0's
+        // ALREADY-EXISTING delta area: neither delta-existence nor the
+        // catalog instance's mutations counter moves — only the deltaSig
+        // child (name, mtime) signature catches it (the multi-writer-
+        // instance staleness the (gen, exists, mutations) key missed)
+        appendRows(IvfIndex.load(spark, idxDirs(0)), Seq(8999L), 0)
+        val got3 = topIds()
+        assert(got3.contains(8999L),
+          "a delta append from a fresh instance into an EXISTING delta " +
+          s"area must invalidate via the delta child signature: $got3")
       }
     } finally (0 to 1).foreach(p => AnnCatalog.unregister(s"$tableDir/part=$p"))
   }
