@@ -1309,6 +1309,289 @@ object IvfIndex {
     out.toDF("qid", "id", "dist", "rn")
   }
 
+  /** Batched MULTI-ROOT sphere range — the range analogue of
+    * [[searchManyMulti]] and the amortized form of the planner's
+    * partitioned range serve (reference opclass strategy 2,
+    * scanners/default.rs:111-117 cutoff, over partition.slt-style
+    * per-child indexes): M spheres x R roots answered by a CONSTANT
+    * number of Spark jobs. Job 1 pools (qid, root, id) code-estimate
+    * survivors over every root's sphere-intersecting cells from ONE flat
+    * parquet relation (a row passes its cell's spheres' epsilon-scaled
+    * lower bound, cos-shifted at the cutoff like the single-root path);
+    * survivors then stay a DATAFRAME end to end — joined to the flat
+    * VECTOR read on (root, id) for the exact strict-< cutoff, broadcast
+    * while bounded ([[rangeBroadcastCap]]) — so a low-selectivity sphere
+    * over billions of rows is served without any driver candidate
+    * collect (the [[IvfIndex.rangeSearchMany]] output contract). Spheres
+    * whose code bound kept more than [[rangeScanFallbackFrac]] of the
+    * union corpus take the direct-scan fallback over their own probed
+    * cells instead (per query, like the single-index batch — mixed
+    * batches split row sets, not plans). Queries are prepped PER ROOT
+    * (rotation / cosine normalization may differ), and each row scores
+    * only under its own root's prep. Requires homogeneous children —
+    * the partitioned-corpus norm. Like [[IvfIndex.rangeSearchMany]], an
+    * id stored twice in one root (gen + delta, append-without-delete)
+    * yields its rows independently — both pass the exact cutoff
+    * honestly. Output: (qid, id, dist) ascending (qid, dist, id). */
+  def rangeSearchManyMulti(idxs: Seq[IvfIndex],
+      queries: Array[(Long, Array[Float], Double)],
+      epsilon: Double = 1.9,
+      rerankTable: Option[(org.apache.spark.sql.DataFrame, String, String)] = None)
+      : org.apache.spark.sql.DataFrame = {
+    require(idxs.nonEmpty, "no root indexes")
+    require(queries.nonEmpty, "empty query batch")
+    require(queries.map(_._1).distinct.length == queries.length,
+      "duplicate qids in query batch — results would silently merge")
+    val h = idxs.head
+    require(idxs.forall(ix => ix.meta.dim == h.meta.dim &&
+        ix.meta.cfg.metric == h.meta.cfg.metric &&
+        ix.meta.cfg.storage == h.meta.cfg.storage),
+      "rangeSearchManyMulti requires homogeneous children (same dim, " +
+      "metric, storage) — mixed-config corpora serve per query through " +
+      "the planner")
+    require(rerankTable.nonEmpty || idxs.forall(_.meta.cfg.storeVectors),
+      "codes-only children (storeVectors=false) store no vectors: pass " +
+      "rerankTable=Some((sourceDf, idCol, vecCol)) so the exact cutoff " +
+      "reads original vectors from the source table")
+    val spark = h.spark
+    import spark.implicits._
+    val metric = h.meta.cfg.metric
+    val f16 = h.meta.cfg.storage == "f16"
+    val nQ = queries.length
+    val info = scala.collection.mutable.HashMap.empty[String, DirInfo]
+    val files =
+      scala.collection.mutable.ArrayBuffer.empty[org.apache.hadoop.fs.FileStatus]
+    // per root: cid -> preps of the spheres whose range cells include it
+    // ((queryIdx, radius, qr, qSum, qNormSq, clusterDot) per sphere); and
+    // per (root, query) the prepped vector + probed cells (the exact
+    // phase and the scan fallback reuse them — no re-probing)
+    val prepByRoot = Array.fill(idxs.length)(scala.collection.mutable
+      .HashMap.empty[Int, List[(Int, Double, Array[Float], Double, Double, Double)]])
+    val qqByRoot = Array.ofDim[Array[Float]](idxs.length, nQ)
+    val cellsByRootQ = Array.ofDim[Array[Int]](idxs.length, nQ)
+    idxs.zipWithIndex.foreach { case (ix, r) =>
+      val allProbed = scala.collection.mutable.LinkedHashSet.empty[Int]
+      queries.zipWithIndex.foreach { case ((_, center, radius), qi) =>
+        graft.eval.QueryRecorder.record(ix.dir, center)
+        val qq = ix.prepQuery(center)
+        qqByRoot(r)(qi) = qq
+        val probed = ix.rangeCells(qq, radius)
+        cellsByRootQ(r)(qi) = probed
+        val pc = ix.clusterPrep(qq, probed)
+        probed.foreach { cid =>
+          val (qr, qSum, qNormSq, cDot) = pc(cid)
+          prepByRoot(r)(cid) = (qi, radius, qr, qSum, qNormSq, cDot) ::
+            prepByRoot(r).getOrElse(cid, Nil)
+          allProbed += cid
+        }
+      }
+      probedDirs(ix, r, allProbed, info, files)
+    }
+    if (files.isEmpty)
+      return Seq.empty[(Long, Long, Double)].toDF("qid", "id", "dist")
+    val eps = epsilon
+    val met = metric
+    val qidArr = queries.map(_._1)
+    val bInfo = spark.sparkContext.broadcast(info.toMap)
+    val bPreps = spark.sparkContext.broadcast(
+      prepByRoot.map(_.view.mapValues(_.toArray).toMap))
+    // job 1 (lazy plan): code-only estimate pass over the flat relation —
+    // a row emits EVERY passing sphere (per-qid survivors, unlike the
+    // planner's any-sphere pooled ids), deduped so a gen+delta double row
+    // does not multiply through the join below
+    val cand0 = flatCodesFor(spark, files.toArray)
+      .mapPartitions { it =>
+        val info = bInfo.value
+        val preps = bPreps.value
+        val dirCache = new java.util.HashMap[String, DirInfo]()
+        it.flatMap { case (id, cm, codes, path) =>
+          val (root, cid, bits, dim, isL2, isCos) =
+            dirInfoFor(info, dirCache, path)
+          val sps = preps(root).getOrElse(cid,
+            Array.empty[(Int, Double, Array[Float], Double, Double, Double)])
+          if (sps.isEmpty) Iterator.empty
+          else {
+            val code = RaBitQ.Code(cm, codes, bits, dim)
+            sps.iterator.flatMap { case (qi, rad, qr, qSum, qNormSq, cDot) =>
+              val lb0 = lbOf(code, bits, dim, isL2, qr, qSum, qNormSq, cDot, eps)
+              val lb = if (isCos) 1.0 + lb0 else lb0 // cosdist output shift
+              if (lb < rad) Iterator.single((qi, root, id)) else Iterator.empty
+            }
+          }
+        }
+      }.toDF("qi", "root", "id").distinct()
+    // per-query no-prune check over the UNION corpus (the rangeSearchMany
+    // policy): spheres whose code bound kept most rows take the direct
+    // scan of their own probed cells — the join adds cost without
+    // removing work there. One bounded count job (M rows).
+    val perQ = cand0.groupBy("qi").count().as[(Int, Long)].collect()
+    val nTable = idxs.map(_.rowCount).sum
+    val scanQis: Set[Int] =
+      perQ.filter(_._2 > nTable * IvfIndex.rangeScanFallbackFrac).map(_._1).toSet
+    if (scanQis.nonEmpty) IvfIndex.rangeScanFallbacks.addAndGet(scanQis.size)
+    val candJoin0 =
+      if (scanQis.isEmpty) cand0
+      else cand0.filter(!col("qi").isin(scanQis.toSeq.map(Integer.valueOf): _*))
+    val nJoinSurvivors = perQ.collect { case (q, c) if !scanQis.contains(q) => c }.sum
+    val bQq = spark.sparkContext.broadcast(qqByRoot)
+    val bQid = spark.sparkContext.broadcast(qidArr)
+    val bRad = spark.sparkContext.broadcast(queries.map(_._3))
+    val isF16 = f16
+    // exact strict-< cutoff for (qi, root, id, vec) rows against the
+    // root-prepped query — stored vectors are in index space (normalized
+    // for cosine), so cosdist = 1 + negdot, the searchManyMulti kernel
+    def cutRows(it: Iterator[(Int, Int, Long, Array[Float])]): Iterator[(Long, Long, Double)] = {
+      val qq = bQq.value
+      val qids = bQid.value
+      val rads = bRad.value
+      it.flatMap { case (qi, root, id, v) =>
+        val d = met match {
+          case "l2"     => K.l2(v, qq(root)(qi))
+          case "negdot" => K.negdot(v, qq(root)(qi))
+          case _        => 1.0 + K.negdot(v, qq(root)(qi))
+        }
+        if (d < rads(qi)) Iterator.single((qids(qi), id, d)) else Iterator.empty
+      }
+    }
+    val scored: org.apache.spark.sql.DataFrame = rerankTable match {
+      case None =>
+        // flat VECTOR read over the probed files, tagged with its owning
+        // root so survivors join on (root, id) — colliding ids across
+        // roots score only under their own root's spheres
+        val vecRows = flatVecsDf(spark, files.toArray, f16)
+        val tagged =
+          if (isF16)
+            vecRows.as[(Long, Array[Byte], String)].mapPartitions { it =>
+              val info = bInfo.value
+              val dirCache = new java.util.HashMap[String, DirInfo]()
+              it.map { case (id, vb, path) =>
+                (dirInfoFor(info, dirCache, path)._1, id, vb)
+              }
+            }.toDF("root", "id", "vb")
+          else
+            vecRows.as[(Long, Seq[Float], String)].mapPartitions { it =>
+              val info = bInfo.value
+              val dirCache = new java.util.HashMap[String, DirInfo]()
+              it.map { case (id, v, path) =>
+                (dirInfoFor(info, dirCache, path)._1, id, v)
+              }
+            }.toDF("root", "id", "v")
+        val cand =
+          if (nJoinSurvivors <= IvfIndex.rangeBroadcastCap) broadcast(candJoin0)
+          else candJoin0
+        val joined = tagged.join(cand, Seq("root", "id"))
+        if (isF16)
+          joined.select(col("qi"), col("root"), col("id"), col("vb"))
+            .as[(Int, Int, Long, Array[Byte])]
+            .mapPartitions(it => cutRows(it.map { case (qi, r, id, vb) =>
+              (qi, r, id, graft.core.Half.decodeBytes(vb)) }))
+            .toDF("qid", "id", "dist")
+        else
+          joined.select(col("qi"), col("root"), col("id"), col("v"))
+            .as[(Int, Int, Long, Seq[Float])]
+            .mapPartitions(it => cutRows(it.map { case (qi, r, id, v) =>
+              (qi, r, id, v.toArray) }))
+            .toDF("qid", "id", "dist")
+      case Some((src, idCol, vecCol)) =>
+        // rerank-in-TABLE: candidates from any root gate membership only
+        // (the source table's rows are the single exact truth), RAW
+        // queries against original vectors — cosine renormalizes
+        val candIds = candJoin0.select(col("qi"), col("id")).distinct()
+        val cand =
+          if (nJoinSurvivors <= IvfIndex.rangeBroadcastCap) broadcast(candIds)
+          else candIds
+        val bQs = spark.sparkContext.broadcast(
+          queries.map(q => (q._2, q._3)))
+        src.select(col(idCol).cast("long").as("id"),
+            col(vecCol).cast("array<float>").as("__v"))
+          .join(cand, Seq("id"))
+          .select(col("qi"), col("id"), col("__v"))
+          .as[(Int, Long, Seq[Float])]
+          .mapPartitions { it =>
+            val qs = bQs.value
+            val qids = bQid.value
+            it.flatMap { case (qi, id, v) =>
+              val (q, r) = qs(qi)
+              val va = v.toArray
+              val d = met match {
+                case "l2"      => K.l2(va, q)
+                case "negdot"  => K.negdot(va, q)
+                case "cosdist" => K.cosdist(va, q)
+              }
+              if (d < r) Iterator.single((qids(qi), id, d)) else Iterator.empty
+            }
+          }.toDF("qid", "id", "dist")
+    }
+    // direct-scan rows for the no-prune spheres: one pass over THOSE
+    // spheres' probed cells (a second flat relation over the subset),
+    // every scan sphere tested per row under its own root's prep
+    val scanned: Option[org.apache.spark.sql.DataFrame] =
+      if (scanQis.isEmpty) None
+      else {
+        val scanInfo = scala.collection.mutable.HashMap.empty[String, DirInfo]
+        val scanFiles =
+          scala.collection.mutable.ArrayBuffer.empty[org.apache.hadoop.fs.FileStatus]
+        idxs.zipWithIndex.foreach { case (ix, r) =>
+          val cells = scanQis.toSeq.flatMap(qi => cellsByRootQ(r)(qi)).distinct
+          probedDirs(ix, r, cells, scanInfo, scanFiles)
+        }
+        if (scanFiles.isEmpty) None
+        else Some {
+          val bSInfo = spark.sparkContext.broadcast(scanInfo.toMap)
+          val scanArr = scanQis.toArray.sorted
+          val bScan = spark.sparkContext.broadcast(scanArr)
+          rerankTable match {
+            case None =>
+              val rows = flatVecsDf(spark, scanFiles.toArray, f16)
+              def scanIt(it: Iterator[(Long, Array[Float], String)],
+                         info: Map[String, DirInfo]): Iterator[(Int, Int, Long, Array[Float])] = {
+                val dirCache = new java.util.HashMap[String, DirInfo]()
+                val qis = bScan.value
+                it.flatMap { case (id, v, path) =>
+                  val root = dirInfoFor(info, dirCache, path)._1
+                  qis.iterator.map(qi => (qi, root, id, v))
+                }
+              }
+              if (isF16)
+                rows.as[(Long, Array[Byte], String)].mapPartitions { it =>
+                  cutRows(scanIt(it.map { case (id, vb, p) =>
+                    (id, graft.core.Half.decodeBytes(vb), p) }, bSInfo.value))
+                }.toDF("qid", "id", "dist")
+              else
+                rows.as[(Long, Seq[Float], String)].mapPartitions { it =>
+                  cutRows(scanIt(it.map { case (id, v, p) =>
+                    (id, v.toArray, p) }, bSInfo.value))
+                }.toDF("qid", "id", "dist")
+            case Some((src, idCol, vecCol)) =>
+              val bQs = spark.sparkContext.broadcast(queries.map(q => (q._2, q._3)))
+              src.select(col(idCol).cast("long").as("id"),
+                  col(vecCol).cast("array<float>").as("__v"))
+                .as[(Long, Seq[Float])]
+                .mapPartitions { it =>
+                  val qs = bQs.value
+                  val qids = bQid.value
+                  val qis = bScan.value
+                  it.flatMap { case (id, v) =>
+                    val va = v.toArray
+                    qis.iterator.flatMap { qi =>
+                      val (q, r) = qs(qi)
+                      val d = met match {
+                        case "l2"      => K.l2(va, q)
+                        case "negdot"  => K.negdot(va, q)
+                        case "cosdist" => K.cosdist(va, q)
+                      }
+                      if (d < r) Iterator.single((qids(qi), id, d))
+                      else Iterator.empty
+                    }
+                  }
+                }.toDF("qid", "id", "dist")
+          }
+        }
+      }
+    scanned.map(s => scored.unionByName(s)).getOrElse(scored)
+      .orderBy("qid", "dist", "id")
+  }
+
   /** Resolve a row's owning dir info from its file path (normalized to
     * the URI path, schemes stripped), memoized per distinct dir. */
   private def dirInfoFor(info: Map[String, DirInfo],

@@ -2189,6 +2189,34 @@ object GraftQueries {
              |SELECT qid, vec_id, round(dist, 3) AS dist, CAST(rn AS BIGINT) AS rn
              |FROM r WHERE rn <= 5 ORDER BY qid, rn""".stripMargin)),
 
+    // Batched MULTI-ROOT range (round 14): the same three spheres as
+    // range_batch_indexed answered across the two-root partitioned
+    // copy's per-child indexes in a constant number of flat jobs
+    // (IvfIndex.rangeSearchManyMulti — one pooled code-estimate pass
+    // over every root's sphere-intersecting cells, survivors joined to
+    // the flat vector read for the exact strict-< cutoff). The cutoff is
+    // exact and the triangle cell bound complete, so it hash-matches the
+    // SAME oracle as range_batch_indexed (the partitioned copy holds
+    // identical rows).
+    "range_batch_multi" -> Q(
+      (s, d) => {
+        val path = partitionedEmbTable(s, d)
+        val idxs = cached(s"parttbl-idxs:$d") {
+          (0 to 1).map(p => IvfIndex.load(s, s"$path-idx$p"))
+        }
+        val qs = Array(0, 1, 2).map(i => (i.toLong, qvec(s, d, i), 1.3))
+        IvfIndex.rangeSearchManyMulti(idxs, qs)
+          .select(col("qid"), col("id").as("vec_id"), col("dist").as("raw"))
+          .orderBy(col("qid"), col("raw"), col("vec_id"))
+          .select(col("qid"), col("vec_id"), round(col("raw"), 3).as("dist")) },
+      Some("""WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id IN (0, 1, 2)),
+             |e AS (SELECT vec_id, embedding, unnest(range(0, 64)) AS i FROM embeddings),
+             |dd AS (SELECT q.qid AS qid, e.vec_id AS vec_id,
+             |  sqrt(sum(power(CAST(e.embedding[i+1] AS DOUBLE) - CAST(q.qe[i+1] AS DOUBLE), 2))) AS dist
+             |  FROM e, q GROUP BY q.qid, e.vec_id)
+             |SELECT qid, vec_id, round(dist, 3) AS dist FROM dd WHERE dist < 1.3
+             |ORDER BY qid, dd.dist, vec_id""".stripMargin)),
+
     // planner-served prefilter (Q7, reference vchordrq.prefilter): a
     // Filter under ORDER BY metric LIMIT k escalates the candidate pool
     // until k predicate survivors; served through AnnTopKRewrite against a
