@@ -316,6 +316,216 @@ object MaxSim {
     }.toArray
   }
 
+  /** Aggregator over rescore rows `(queryIdx, root, doc, tokvec)` grouped
+    * by (queryIdx, doc): buffer = per-query-token min negdot against the
+    * (root, query)-specific rotated token set from the broadcast table —
+    * the batched form of [[MaxSimAgg]] (one instance serves EVERY
+    * (query, root) pairing, so the whole batch reranks in one shuffle
+    * with map-side combine). Every doc token row updates all slots, so
+    * finish never sees +inf. Buffers lazily size to the owning query's
+    * token count on first reduce (zero() cannot know the query). */
+  final class BatchMaxSimAgg(
+      bQ: org.apache.spark.broadcast.Broadcast[Array[Array[Array[Array[Float]]]]])
+      extends Aggregator[(Int, Int, Long, Array[Float]), Array[Double], Double] {
+    override def zero: Array[Double] = Array.empty
+    override def reduce(buf0: Array[Double], r: (Int, Int, Long, Array[Float])): Array[Double] = {
+      val (qi, root, _, tok) = r
+      val q = bQ.value(root)(qi)
+      val buf =
+        if (buf0.length == q.length) buf0
+        else Array.fill(q.length)(Double.PositiveInfinity)
+      var i = 0
+      while (i < q.length) {
+        val nd = K.negdot(tok, q(i))
+        if (nd < buf(i)) buf(i) = nd
+        i += 1
+      }
+      buf
+    }
+    override def merge(a: Array[Double], b: Array[Double]): Array[Double] =
+      if (a.isEmpty) b
+      else if (b.isEmpty) a
+      else {
+        var i = 0
+        while (i < a.length) { if (b(i) < a(i)) a(i) = b(i); i += 1 }
+        a
+      }
+    override def finish(buf: Array[Double]): Double = {
+      var s = 0.0
+      var i = 0
+      while (i < buf.length) { s += buf(i); i += 1 }
+      s
+    }
+    override def bufferEncoder: Encoder[Array[Double]] = ExpressionEncoder()
+    override def outputEncoder: Encoder[Double] = Encoders.scalaDouble
+  }
+
+  /**
+   * Batched MULTI-ROOT MaxSim — the batch face of the partitioned serve
+   * ([[multiRootCandidateDocs]] + exact rescore) and the multi-root form
+   * of [[approxTopK]] with `refineDocs = k * refine`: B query documents x
+   * R per-child token indexes answered in TWO flat passes whose job
+   * count is CONSTANT in B and R (AQE materializes the rescore's one
+   * shuffle stage as its own scheduler job — 3 jobs total, flat).
+   *
+   *   job 1: ONE pooled retrieval over every (root, query-token) from a
+   *          single flat parquet read spanning all roots' probed cells
+   *          (IvfIndex.multiEstimatePools, epsilon = 0 — the reference's
+   *          maxsim_refine=0 unbiased-estimate retrieval,
+   *          crates/vchordrq/src/search.rs:199-380); docs then score on
+   *          the driver over the BOUNDED pools, per (query, root), with
+   *          each token's worst retrieved distance IN THAT ROOT standing
+   *          in for misses (the approxTopK estimate contract applied per
+   *          root) — the best `k * refine` docs per (query, root) become
+   *          rescore candidates
+   *   job 2: EXACT rescore of every candidate doc from the indexes' own
+   *          stored token vectors (per-root packed-key range predicates
+   *          pushed to parquet row groups, the [[coalesceDocRanges]]
+   *          machinery), one shuffle with map-side combine scoring every
+   *          (query, doc) pair against the root-rotated query tokens —
+   *          final ordering is exact, estimate error can only cost
+   *          recall at the candidate boundary
+   *
+   * Requires homogeneous children (same dim/storage, negdot token
+   * indexes — the partitioned-corpus norm). The per-root dataDf reads
+   * union into one plan, so planning is linear in R — the DSL batch
+   * face's trade (the planner's serveMaxSimMulti stays the flat-relation
+   * path for very wide corpora). Output: (qid, doc, maxsim) — top `k`
+   * docs per query ascending (maxsim, doc), the [[approxTopK]] contract
+   * keyed by qid.
+   */
+  def maxsimManyMulti(idxs: Seq[graft.index.IvfIndex],
+      queries: Array[(Long, Array[Array[Float]])], k: Int,
+      kPerToken: Int = 100, probes: Seq[Int] = Nil,
+      refine: Int = 8): DataFrame = {
+    require(idxs.nonEmpty, "no root indexes")
+    require(queries.nonEmpty && queries.forall(_._2.nonEmpty),
+      "empty query batch or empty token query")
+    require(queries.map(_._1).distinct.length == queries.length,
+      "duplicate qids in query batch — results would silently merge")
+    val h = idxs.head
+    require(idxs.forall(ix => ix.meta.dim == h.meta.dim &&
+        ix.meta.cfg.metric == "negdot" &&
+        ix.meta.cfg.storage == h.meta.cfg.storage &&
+        ix.meta.cfg.storeVectors),
+      "maxsimManyMulti requires homogeneous negdot children with stored " +
+      "vectors (token indexes) — mixed-config corpora serve per query " +
+      "through the planner")
+    val spark = h.spark
+    import spark.implicits._
+    val prb = if (probes.nonEmpty) probes else idxs.map(ix =>
+      math.max(1, math.ceil(math.sqrt(ix.meta.cfg.lists.toDouble)).toInt))
+    require(prb.length == idxs.length, "one probe budget per root index")
+    val nQ = queries.length
+    val qidArr = queries.map(_._1)
+    // flatten to global token slots: query qi owns [offsets(qi),
+    // offsets(qi+1)) — one multiEstimatePools call retrieves the whole
+    // batch's tokens in one flat job
+    val offsets = queries.scanLeft(0)(_ + _._2.length).toArray
+    val allTokens: Array[Array[Float]] = queries.flatMap(_._2)
+    // driver-pool budget (the serveMaxSimMulti guard, loud): the pooled
+    // retrieval collects ≤ roots x totalTokens x kPerToken tuples
+    val maxPool = scala.util.Try(
+        spark.conf.get("graft.ann.maxsim.maxPoolTuples").toLong)
+      .getOrElse(4000000L)
+    require(idxs.length.toLong * allTokens.length * kPerToken <= maxPool,
+      s"maxsimManyMulti pool budget exceeded: ${idxs.length} roots x " +
+      s"${allTokens.length} tokens x $kPerToken > $maxPool " +
+      "(graft.ann.maxsim.maxPoolTuples) — lower kPerToken or split the batch")
+    val pools = graft.index.IvfIndex.multiEstimatePools(idxs, allTokens,
+      kPerToken, prb, epsilon = 0.0)
+    val docsPerRoot = k * math.max(refine, 1)
+    def qiOf(gti: Int): Int = {
+      var lo = 0
+      while (offsets(lo + 1) <= gti) lo += 1
+      lo
+    }
+    // per (root, global token): worst retrieved estimate (the miss
+    // stand-in); token retrieved nothing in that root -> 0.0
+    val worst = pools.groupBy(t => (t._1, t._2)).view
+      .mapValues(_.map(_._4).max).toMap
+    // per (query, root): estimate-score docs over that root's pools with
+    // per-root stand-ins, keep the best docsPerRoot as rescore candidates
+    val cand = scala.collection.mutable.HashMap.empty[(Int, Long), List[Int]]
+    pools.groupBy(t => (t._1, qiOf(t._2))).foreach { case ((root, qi), rows) =>
+      val nTok = queries(qi)._2.length
+      val base = offsets(qi)
+      val est = Array.tabulate(nTok)(ti =>
+        worst.getOrElse((root, base + ti), 0.0))
+      val perDoc = scala.collection.mutable.HashMap.empty[Long, Array[Double]]
+      rows.foreach { case (_, gti, id, lb) =>
+        val buf = perDoc.getOrElseUpdate(unpackDoc(id),
+          Array.fill(nTok)(Double.PositiveInfinity))
+        val ti = gti - base
+        if (lb < buf(ti)) buf(ti) = lb
+      }
+      perDoc.iterator.map { case (doc, buf) =>
+        var s = 0.0
+        var i = 0
+        while (i < nTok) {
+          s += (if (buf(i) == Double.PositiveInfinity) est(i) else buf(i))
+          i += 1
+        }
+        (doc, s)
+      }.toArray.sortBy(t => (t._2, t._1)).take(docsPerRoot).foreach {
+        case (doc, _) =>
+          cand((root, doc)) = qi :: cand.getOrElse((root, doc), Nil)
+      }
+    }
+    if (cand.isEmpty)
+      return Seq.empty[(Long, Long, Double)].toDF("qid", "doc", "maxsim")
+    // rotated query tokens PER ROOT (rotation preserves dot products, so
+    // rotating queries aligns with the index-space stored vectors)
+    val qByRoot: Array[Array[Array[Array[Float]]]] =
+      idxs.toArray.map { ix =>
+        val rot =
+          if (ix.meta.cfg.rotate) Some(new graft.core.Rotation(ix.meta.origDim))
+          else None
+        queries.map(_._2.map(t => rot.map(_.apply(t)).getOrElse(t)))
+      }
+    val bQ = spark.sparkContext.broadcast(qByRoot)
+    val bCand = spark.sparkContext.broadcast(
+      cand.view.mapValues(_.toArray).toMap)
+    val f16 = h.meta.cfg.storage == "f16"
+    // job 2: union of per-root candidate-doc reads (packed-key ranges
+    // push to row-group stats; the membership filter keeps semantics
+    // exact however wide the capped spans get), exact-rescored in one
+    // shuffle by the batch aggregator
+    val rows: DataFrame = idxs.zipWithIndex.flatMap { case (ix, r) =>
+      val docs = cand.keysIterator.collect { case (`r`, d) => d }.toSeq
+      if (docs.isEmpty) None
+      else {
+        val pred = coalesceDocRanges(docs).map { case (a, b) =>
+          col("id").between(a << 16, (b << 16) | 0xffffL)
+        }.reduce(_ || _)
+        Some(ix.dataDf
+          .filter(pred && shiftright(col("id"), 16)
+            .isInCollection(docs.distinct))
+          .select(lit(r).as("root"), shiftright(col("id"), 16).as("doc"),
+            col("vec")))
+      }
+    }.reduce(_ unionByName _)
+    val decoded =
+      if (f16) {
+        val dec = udf((b: Array[Byte]) => graft.core.Half.decodeBytes(b).toSeq)
+        rows.select(col("root"), col("doc"), dec(col("vec")).as("v"))
+      } else rows.select(col("root"), col("doc"), col("vec").as("v"))
+    val scored = decoded.as[(Int, Long, Array[Float])]
+      .flatMap { case (root, doc, v) =>
+        bCand.value.getOrElse((root, doc), Array.empty[Int]).iterator
+          .map(qi => (qi, root, doc, v))
+      }
+      .groupByKey(r => (r._1, r._3))
+      .agg(new BatchMaxSimAgg(bQ).toColumn.name("maxsim"))
+      .map { case ((qi, doc), s) => (qi, doc, s) }
+      .collect() // bounded: ≤ B x R x docsPerRoot rows
+    val out = scored.groupBy(_._1).toSeq.flatMap { case (qi, rs) =>
+      rs.map(r => (r._3, r._2)).toSeq.sorted.take(k)
+        .map { case (s, doc) => (qidArr(qi), doc, s) }
+    }
+    out.toDF("qid", "doc", "maxsim")
+  }
+
   /** Cap on the pushed rescore range count — few enough that parquet's
     * per-row-group Or evaluation stays cheap and nowhere near its
     * recursion limit, enough that scattered candidate docs still prune

@@ -575,6 +575,41 @@ object GraftQueries {
              |m AS (SELECT doc, qid, min(negdot) AS mind FROM nd GROUP BY doc, qid)
              |SELECT doc, round(sum(mind), 3) + 0.0 AS maxsim FROM m GROUP BY doc ORDER BY sum(mind), doc""".stripMargin)),
 
+    // Batched MULTI-ROOT MaxSim (round 14): TWO query documents (token
+    // sets = embeddings 1-3 and 4-6) answered across the partitioned
+    // multivector corpus's per-child token indexes in two flat passes
+    // (MaxSim.maxsimManyMulti — one pooled retrieval for every
+    // (root, query-token), one exact rescore of the candidate docs from
+    // the indexes' stored token vectors). Full coverage (probes = lists,
+    // kPerToken over every token row, docsPerRoot over every doc) makes
+    // the batch exact, so it hash-matches the per-qid form of the same
+    // DuckDB sum-min oracle as maxsim_partitioned.
+    "maxsim_batch_multi" -> Q(
+      (s, d) => {
+        val path = partitionedMaxSimTable(s, d)
+        val idxs = cached(s"msparttbl-idxs:$d") {
+          (0 to 1).map(p => IvfIndex.load(s, s"$path-idx$p"))
+        }
+        val qs = Array(
+          1L -> (1L to 3L).map(qvec(s, d, _)).toArray,
+          2L -> (4L to 6L).map(qvec(s, d, _)).toArray)
+        MaxSim.maxsimManyMulti(idxs, qs, k = 10, kPerToken = 1024,
+            probes = Seq(8, 8), refine = 8)
+          .select(col("qid"), col("doc").cast("int").as("doc"),
+            col("maxsim").as("raw"))
+          .orderBy(col("qid"), col("raw"), col("doc"))
+          .select(col("qid"), col("doc"),
+            (round(col("raw"), 3) + 0.0).as("maxsim")) },
+      Some("""WITH qt AS (SELECT CAST(CASE WHEN vec_id <= 3 THEN 1 ELSE 2 END AS BIGINT) AS qid,
+             |  vec_id AS tid, embedding AS qe FROM embeddings WHERE vec_id BETWEEN 1 AND 6),
+             |e AS (SELECT label, vec_id, embedding, unnest(range(0, 64)) AS i FROM embeddings),
+             |nd AS (SELECT qt.qid AS qid, e.label AS doc, e.vec_id AS did, qt.tid AS tid,
+             |  -sum(CAST(e.embedding[i+1] AS DOUBLE) * CAST(qt.qe[i+1] AS DOUBLE)) AS negdot
+             |  FROM e, qt GROUP BY 1, 2, 3, 4),
+             |m AS (SELECT qid, doc, tid, min(negdot) AS mind FROM nd GROUP BY qid, doc, tid)
+             |SELECT qid, doc, round(sum(mind), 3) + 0.0 AS maxsim FROM m
+             |GROUP BY qid, doc ORDER BY qid, sum(mind), doc""".stripMargin)),
+
     // Partitioned GRAPH serving (round 12): the same two-root split with
     // one driver-tier Vamana graph per root; the whole-table read is
     // served by the union of per-child beams (zero planning jobs — the
