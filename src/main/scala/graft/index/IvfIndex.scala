@@ -1161,9 +1161,12 @@ object IvfIndex {
     * ([[multiEstimatePools]]); job 2 re-scores candidates EXACTLY from
     * the roots' stored vectors through a file-pruned flat read —
     * queries are prepped PER ROOT, so per-root rotation and cosine
-    * normalization are honored. Requires homogeneous children (same
-    * dim/metric/storage, vectors stored) — the partitioned-corpus norm;
-    * mixed-config corpora go through the planner's per-query serve.
+    * normalization are honored. Children must share dim and metric (one
+    * query vector, one comparable distance); STORAGE-mixed corpora
+    * (f32 + f16 children, or full + codes-only with a rerank table)
+    * serve by homogeneous group — one pooled two-pass serve per
+    * (storage, storeVectors) group, merged exactly in the shared final
+    * per-query fold (2 x G flat jobs for G groups).
     * Output (qid, id, dist, rn), the [[IvfIndex.searchMany]] contract. */
   def searchManyMulti(idxs: Seq[IvfIndex], queries: Array[(Long, Array[Float])],
                       k: Int, probes: Int = 4, refine: Int = 8,
@@ -1175,26 +1178,28 @@ object IvfIndex {
     require(queries.map(_._1).distinct.length == queries.length,
       "duplicate qids in query batch — results would silently merge")
     val h = idxs.head
+    // dim and metric must agree across ALL children — one query vector
+    // cannot probe two dims, and distances under different metrics are
+    // not comparable in one top-k (these stay a loud refusal)
     require(idxs.forall(ix => ix.meta.dim == h.meta.dim &&
-        ix.meta.cfg.metric == h.meta.cfg.metric &&
-        ix.meta.cfg.storage == h.meta.cfg.storage),
-      "searchManyMulti requires homogeneous children (same dim, metric, " +
-      "storage) — mixed-config corpora serve per query through the planner")
+        ix.meta.cfg.metric == h.meta.cfg.metric),
+      "searchManyMulti requires homogeneous dim and metric across " +
+      "children — distances under different metrics cannot merge into " +
+      "one top-k; mixed-metric corpora serve per query through the planner")
     require(rerankTable.nonEmpty || idxs.forall(_.meta.cfg.storeVectors),
       "codes-only children (storeVectors=false) store no vectors: pass " +
       "rerankTable=Some((sourceDf, idCol, vecCol)) so the exact phase " +
       "fetches original vectors from the source table")
     val spark = h.spark
     import spark.implicits._
-    val metric = h.meta.cfg.metric
-    val f16 = h.meta.cfg.storage == "f16"
     val qvecs = queries.map(_._2)
     val qidArr = queries.map(_._1)
     val nCand = math.max(k * refine, k)
     // driver-pool budget, the no-silent-caps rule: the pools collect,
     // the candidate broadcast, and the rerank output all scale as
-    // roots x B x nCand — a DSL caller gets a LOUD refusal, not an OOM
-    // (lower refine or split the batch; conf-raise for big drivers)
+    // roots x B x nCand (summed across storage groups) — a DSL caller
+    // gets a LOUD refusal, not an OOM (lower refine or split the batch;
+    // conf-raise for big drivers)
     val maxPool = scala.util.Try(
         spark.conf.get("graft.ann.batch.maxPoolTuples").toLong)
       .getOrElse(4000000L)
@@ -1202,11 +1207,53 @@ object IvfIndex {
       s"searchManyMulti pool budget exceeded: ${idxs.length} roots x " +
       s"${queries.length} queries x $nCand candidates > $maxPool " +
       "(graft.ann.batch.maxPoolTuples) — lower refine or split the batch")
+    // STORAGE-heterogeneous corpora serve by GROUP: the flat reads pin
+    // one schema per relation (f32 array vs f16 bytes) and one vec
+    // decode per scan, so each homogeneous (storage, storeVectors) group
+    // runs its own two-pass serve; per-group rows are EXACT distances of
+    // that group's candidates, so concatenating before the shared final
+    // per-query fold + top-k is exact — G groups cost 2 x G flat jobs
+    // instead of a refusal
+    val groups: Seq[Seq[IvfIndex]] =
+      idxs.groupBy(ix => (ix.meta.cfg.storage, ix.meta.cfg.storeVectors))
+        .toSeq.sortBy(_._1).map(_._2)
+    val scoredAll: Array[(Int, Long, Double)] = groups.toArray.flatMap { g =>
+      // group-local query index == global (queries are shared)
+      scoredManyMulti(g, queries, nCand, probes, epsilon, rerankTable)
+    }
+    // driver-side final top-k per query, DISTINCT ids: an id living in
+    // both gen and delta of a root (append-without-delete) scores twice
+    // — keep its best row so one id never occupies two of the k slots
+    // (the searchMany output contract); the same fold merges groups
+    val out = scoredAll.groupBy(_._1).toSeq.flatMap { case (qi, rows) =>
+      rows.groupBy(_._2).valuesIterator
+        .map(dups => dups.minBy(r => (r._3, r._2)))
+        .map(r => (r._3, r._2)).toSeq
+        .sorted.take(k).zipWithIndex
+        .map { case ((d, id), i) => (qidArr(qi), id, d, (i + 1).toLong) }
+    }
+    out.toDF("qid", "id", "dist", "rn")
+  }
+
+  /** One HOMOGENEOUS group's half of [[searchManyMulti]]: the two-flat-job
+    * pool + exact-rescore pipeline over children sharing (storage,
+    * storeVectors), returning raw (queryIdx, id, exactDist) rows BEFORE
+    * the per-query fold/top-k (the caller merges groups there). */
+  private def scoredManyMulti(idxs: Seq[IvfIndex],
+      queries: Array[(Long, Array[Float])], nCand: Int, probes: Int,
+      epsilon: Double,
+      rerankTable: Option[(org.apache.spark.sql.DataFrame, String, String)])
+      : Array[(Int, Long, Double)] = {
+    val h = idxs.head
+    val spark = h.spark
+    import spark.implicits._
+    val metric = h.meta.cfg.metric
+    val f16 = h.meta.cfg.storage == "f16"
+    val qvecs = queries.map(_._2)
     val arts = new MultiPoolArtifacts
     val pools = multiEstimatePools(idxs, qvecs, nCand,
       Seq.fill(idxs.length)(probes), epsilon, arts)
-    if (pools.isEmpty)
-      return Seq.empty[(Long, Long, Double, Long)].toDF("qid", "id", "dist", "rn")
+    if (pools.isEmpty) return Array.empty
     // (root, id) -> candidate query slots; ids may repeat ACROSS roots
     // (no global-uniqueness assumption — each row scores under its own
     // root's candidates only)
@@ -1217,8 +1264,7 @@ object IvfIndex {
     // dir-info map, probed files (re-probing doubled the O(R*B*lists)
     // driver math on this latency path)
     val qq = arts.qq
-    if (arts.files.isEmpty)
-      return Seq.empty[(Long, Long, Double, Long)].toDF("qid", "id", "dist", "rn")
+    if (arts.files.isEmpty) return Array.empty
     val met = metric
     // rerank-in-TABLE (codes-only children or caller preference): exact
     // distances from ORIGINAL source-table vectors against the RAW
@@ -1238,7 +1284,7 @@ object IvfIndex {
         case "negdot"  => graft.core.VectorKernels.negdot
         case "cosdist" => graft.core.VectorKernels.cosdist
       }
-      val scoredT = src
+      return src
         .join(broadcast(candIds.toSeq.toDF("__cand_id")),
           col(idCol).cast("long") === col("__cand_id"))
         .select(col(idCol).cast("long"), col(vecCol))
@@ -1248,14 +1294,6 @@ object IvfIndex {
           bI2Q.value.getOrElse(id, Array.empty[Int]).iterator
             .map(qi => (qi, id, kern(va, bRaw.value(qi))))
         }.collect()
-      val outT = scoredT.groupBy(_._1).toSeq.flatMap { case (qi, rows) =>
-        rows.groupBy(_._2).valuesIterator
-          .map(dups => dups.minBy(r => (r._3, r._2)))
-          .map(r => (r._3, r._2)).toSeq
-          .sorted.take(k).zipWithIndex
-          .map { case ((d, id), i) => (qidArr(qi), id, d, (i + 1).toLong) }
-      }
-      return outT.toDF("qid", "id", "dist", "rn")
     }
     val bInfo = spark.sparkContext.broadcast(arts.info)
     val bCands = spark.sparkContext.broadcast(cands)
@@ -1295,18 +1333,7 @@ object IvfIndex {
             }
           }
         }.collect()
-    // driver-side final top-k per query, DISTINCT ids: an id living in
-    // both gen and delta of a root (append-without-delete) scores twice
-    // — keep its best row so one id never occupies two of the k slots
-    // (the searchMany output contract)
-    val out = scored.groupBy(_._1).toSeq.flatMap { case (qi, rows) =>
-      rows.groupBy(_._2).valuesIterator
-        .map(dups => dups.minBy(r => (r._3, r._2)))
-        .map(r => (r._3, r._2)).toSeq
-        .sorted.take(k).zipWithIndex
-        .map { case ((d, id), i) => (qidArr(qi), id, d, (i + 1).toLong) }
-    }
-    out.toDF("qid", "id", "dist", "rn")
+    scored
   }
 
   /** Batched MULTI-ROOT sphere range — the range analogue of

@@ -159,13 +159,55 @@ class SearchManyMultiSpec extends SparkSpec {
     assert(got.map(_._2).distinct.length == got.length, s"dup ids: ${got.toSeq}")
   }
 
-  test("heterogeneous children are refused loudly") {
+  test("STORAGE-mixed corpora (f32 + f16 children) serve by homogeneous " +
+       "group — brute-exact within each tier's store, 2 x G flat jobs") {
+    import spark.implicits._
+    val f32parts = Seq(corpus(100, 0, 41), corpus(100, 1000, 43))
+    val f16part = corpus(100, 2000, 42)
+    val idxs =
+      f32parts.map(build(_, IvfConfig(lists = 2, storage = "f32"))) :+
+      build(f16part, IvfConfig(lists = 2, storage = "f16"))
+    val rng = new scala.util.Random(45)
+    val queries = Array.tabulate(4)(i =>
+      (i.toLong, Array.fill(8)(rng.nextFloat() * 2 - 1)))
+    // warm (relation/listing caches + codegen), then count jobs: two
+    // homogeneous groups -> 2 x 2 flat jobs
+    IvfIndex.searchManyMulti(idxs, queries, k = 6, probes = 2, refine = 50)
+      .collect()
+    val jobs0 = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
+    val got = IvfIndex.searchManyMulti(idxs, queries, k = 6, probes = 2,
+        refine = 50)
+      .as[(Long, Long, Double, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._4)).toMap
+    val jobs1 = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
+    assert(jobs1 - jobs0 == 4,
+      s"mixed-storage batch must cost 2 jobs per homogeneous group " +
+      s"(2 groups here), got ${jobs1 - jobs0}")
+    // brute over each child's TIER store: f16 children roundtrip through
+    // half floats, f32 children rank raw
+    val cmp = f32parts.flatten.map { case (id, v) => (id, v.toSeq) } ++
+      f16part.map { case (id, v) =>
+        (id, graft.core.Half.decodeBytes(
+          graft.core.Half.encodeBytes(v.toArray)).toSeq)
+      }
+    queries.foreach { case (qid, q) =>
+      val want = cmp.map { case (id, v) => (K.l2(v.toArray, q), id) }
+        .sorted.take(6)
+      assert(got(qid).map(_._2).toSeq == want.map(_._2),
+        s"qid=$qid ids diverged: got=${got(qid).toSeq} want=$want")
+      got(qid).map(_._3).zip(want.map(_._1)).foreach { case (d, w) =>
+        assert(math.abs(d - w) < 1e-6, s"qid=$qid dist $d vs $w")
+      }
+    }
+  }
+
+  test("METRIC-mixed children are refused loudly (distances cannot merge)") {
     val idxs = Seq(
-      build(corpus(60, 0, 41), IvfConfig(lists = 2, storage = "f32")),
-      build(corpus(60, 100, 42), IvfConfig(lists = 2, storage = "f16")))
+      build(corpus(60, 0, 41), IvfConfig(lists = 2, metric = "l2")),
+      build(corpus(60, 100, 42), IvfConfig(lists = 2, metric = "negdot")))
     val e = intercept[IllegalArgumentException](
       IvfIndex.searchManyMulti(idxs, Array(0L -> Array.fill(8)(0.1f)), 3))
-    assert(e.getMessage.contains("homogeneous"), e.getMessage)
+    assert(e.getMessage.contains("metric"), e.getMessage)
   }
 
   test("an id living in both gen and delta (append-without-delete) " +
