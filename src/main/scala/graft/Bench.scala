@@ -171,6 +171,14 @@ object Bench {
       catch { case NonFatal(e) => System.err.println(s"query $name failed: $e"); -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
+    // sentinel at the END OF THE QUERY LOOP, before the scale probe: the
+    // scale keys run in the most-drifted region of the capture, and
+    // without a reading bracketing them they had no drift factor at all
+    // (round 13: _scale_kwbuild200k read 3.0x on untouched code with no
+    // way to adjudicate mechanically). GC first so the reading measures
+    // steady-state work, not the timed section's backlog.
+    System.gc()
+    val sentinelQEnd = try sentinel() catch { case NonFatal(_) => -1.0 }
     // scale probe: synthetic 100k x 64-dim IVF build + ANN search vs brute
     // force — demonstrates the index path's advantage growing with N
     // (partition pruning + code-only estimate scan).
@@ -200,11 +208,24 @@ object Bench {
     // reference)
     val sentinelMidRatio =
       if (sentinelMid <= 0) -1.0 else sentinelMid / sentinelRef
+    val sentinelQEndRatio =
+      if (sentinelQEnd <= 0) -1.0 else sentinelQEnd / sentinelRef
     val sentinelPostRatio =
       if (sentinelPost <= 0) -1.0 else sentinelPost / sentinelRef
     val sentinelDrift =
       if (sentinelPre <= 0 || sentinelPost <= 0) -1.0
       else sentinelPost / sentinelPre
+    // LOUD mid-capture contention gate (README discount rule): the pre
+    // reading alone cannot flag load arriving mid-run, and the drift key
+    // folds external arrival into in-JVM aging. At the halfway mark the
+    // aging share is well under the full-run envelope, so a mid ratio
+    // past this threshold means the BOX was busy during the capture —
+    // the banner makes a contaminated capture impossible to miss.
+    val midContendedAt = 1.5
+    if (sentinelMidRatio > midContendedAt)
+      System.err.println(f"*** CONTENDED CAPTURE: _sentinel_mid_ratio " +
+        f"$sentinelMidRatio%.2f > $midContendedAt%.1f — external load " +
+        "landed mid-run; re-capture on a quiet box before adjudicating ***")
     val externalCpuFrac = (ticks0, cpuTicks()) match {
       case (Some((busy0, own0)), Some((busy1, own1))) =>
         val elapsedSec = (System.nanoTime() - wall0) / 1e9
@@ -217,23 +238,29 @@ object Bench {
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     val aggs = Seq("_index_builds" -> buildSec, "_warm_pass" -> warmPassSec,
       "_sentinel_pre" -> sentinelPre, "_sentinel_mid" -> sentinelMid,
+      "_sentinel_qend" -> sentinelQEnd,
       "_sentinel_post" -> sentinelPost,
       "_sentinel_ratio" -> sentinelRatio,
       "_sentinel_mid_ratio" -> sentinelMidRatio,
+      "_sentinel_qend_ratio" -> sentinelQEndRatio,
       "_sentinel_post_ratio" -> sentinelPostRatio,
       "_sentinel_drift" -> sentinelDrift,
       "_external_cpu_frac" -> externalCpuFrac)
-    // per-query drift factors (BENCH_FULL only): piecewise-linear
-    // interpolation of the sentinel's in-run inflation at each query's
-    // RUN POSITION (pre before query 0, mid at the halfway mark, post
-    // after the last) — divide a query's seconds by its factor to
-    // normalize late-run drag out of cross-capture comparisons
+    // per-key drift factors (BENCH_FULL only): piecewise-linear
+    // interpolation of the sentinel's in-run inflation at each key's RUN
+    // POSITION — pre before query 0, mid at the halfway mark, qend after
+    // the last query, post after the scale section — so EVERY reported
+    // key (queries AND _scale_*) is normalizable: divide a key's seconds
+    // by its factor to take late-run drag out of cross-capture
+    // comparisons. The scale keys interpolate qend -> post across their
+    // own (run-ordered) section.
     val driftFactors: Seq[(String, Double)] =
-      if (sentinelPre <= 0 || sentinelMid <= 0 || sentinelPost <= 0) Nil
+      if (sentinelPre <= 0 || sentinelMid <= 0 || sentinelQEnd <= 0 ||
+          sentinelPost <= 0) Nil
       else {
         val n = results.length
         val anchors = Seq(-0.5 -> 1.0, (halfAt - 0.5) -> sentinelMid / sentinelPre,
-          (n - 0.5) -> sentinelPost / sentinelPre)
+          (n - 0.5) -> sentinelQEnd / sentinelPre)
         def factorAt(pos: Double): Double = {
           val segs = anchors.sliding(2).collectFirst {
             case Seq((x0, y0), (x1, y1)) if pos <= x1 =>
@@ -241,9 +268,18 @@ object Bench {
           }
           segs.getOrElse(anchors.last._2)
         }
-        results.zipWithIndex.map { case ((name, _), i) =>
+        val qFactors = results.zipWithIndex.map { case ((name, _), i) =>
           s"_drift_$name" -> factorAt(i.toDouble)
         }
+        val qendF = sentinelQEnd / sentinelPre
+        val postF = sentinelPost / sentinelPre
+        val m = scale.length
+        val sFactors = scale.zipWithIndex.map { case ((name, _), i) =>
+          s"_drift_$name" ->
+            (if (m <= 1) postF
+             else qendF + (postF - qendF) * ((i + 0.5) / m))
+        }
+        qFactors ++ sFactors
       }
     def jline(entries: Seq[(String, Double)], fmt: Double => String): String = {
       val qs = entries.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
