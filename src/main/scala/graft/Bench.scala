@@ -217,11 +217,14 @@ object Bench {
       else sentinelPost / sentinelPre
     // LOUD mid-capture contention gate (README discount rule): the pre
     // reading alone cannot flag load arriving mid-run, and the drift key
-    // folds external arrival into in-JVM aging. At the halfway mark the
-    // aging share is well under the full-run envelope, so a mid ratio
-    // past this threshold means the BOX was busy during the capture —
-    // the banner makes a contaminated capture impossible to miss.
-    val midContendedAt = 1.5
+    // folds external arrival into in-JVM aging. Threshold calibrated
+    // empirically (round 14): two provably-quiet captures
+    // (_external_cpu_frac 0.0) measured mid readings of 1.58-1.73x the
+    // reference — in-JVM aging lands mostly in the first half — while
+    // real contention events push the sentinel 3-10x. A mid ratio past
+    // 2.0 is therefore external load, not aging — the banner makes a
+    // contaminated capture impossible to miss.
+    val midContendedAt = 2.0
     if (sentinelMidRatio > midContendedAt)
       System.err.println(f"*** CONTENDED CAPTURE: _sentinel_mid_ratio " +
         f"$sentinelMidRatio%.2f > $midContendedAt%.1f — external load " +
