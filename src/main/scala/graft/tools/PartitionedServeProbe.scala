@@ -182,7 +182,75 @@ object PartitionedServeProbe {
       say(f"batched x16 (searchManyMulti, 2 jobs): $batchSec%.3f s total = " +
         f"${batchSec / 16}%.3f s/query amortized (vs $servedSec%.3f s " +
         "per-query planner serve)")
-      println(f"""{"partserve_roots":$roots,"rows_per_root":$rowsPerRoot,"lists":$lists,"exact_sec":$exactSec%.3f,"served_sec":$servedSec%.3f,"served_recall":$recall%.2f,"served_full_sec":$fullSec%.3f,"speedup_default":${exactSec / servedSec}%.2f,"speedup_full":${exactSec / fullSec}%.2f}""")
+
+      // ---- batched multi-root RANGE (round 14): M spheres x R roots in
+      // a constant number of flat jobs. Radius set from the exact
+      // distance ladder (the ~rank-50 distance), so each sphere holds a
+      // meaningful, non-degenerate row set; sphere 0's rows are
+      // cross-checked against the distributed exact cutoff.
+      val exactTop = spark.read.parquet(tableDir)
+        .select(col("id"),
+          graft.functions.GraftFunctions.vecL2(col("vec"), typedlit(q.toSeq)).as("d"))
+        .orderBy(col("d"), col("id")).limit(100)
+        .as[(Long, Double)].collect()
+      val radius = exactTop(50)._2
+      val rBatch = Array.tabulate(8) { i =>
+        val c = q.clone(); c(1) = c(1) + 0.0005f * i; (i.toLong, c, radius)
+      }
+      def runRange(): org.apache.spark.sql.DataFrame =
+        graft.index.IvfIndex.rangeSearchManyMulti(idxs, rBatch)
+      val r0 = runRange().collect()
+      val r0Ids = r0.filter(_.getLong(0) == 0L).map(_.getLong(1)).toSet
+      val exactR0 = exactTop.filter(_._2 < radius).map(_._1).toSet
+      require(r0Ids == exactR0,
+        s"batched range sphere 0 != exact cutoff: got ${r0Ids.size} rows " +
+        s"(${r0Ids.diff(exactR0).size} extra, ${exactR0.diff(r0Ids).size} missing)")
+      val rangeSec = best(() => { runRange().collect(); () })
+      say(f"batched range x8 (rangeSearchManyMulti): $rangeSec%.3f s total = " +
+        f"${rangeSec / 8}%.3f s/sphere, sphere0 = exact (${exactR0.size} rows, " +
+        f"radius $radius%.4f)")
+
+      // ---- batched multi-root MAXSIM (round 14): doc = id >> 4 (16
+      // tokens/doc, docs unique across roots), one negdot token index
+      // per root; B=4 query docs x 4 tokens each, two flat passes;
+      // query-doc 0's top-10 graded against the EXACT distributed
+      // sum-min over the whole token corpus.
+      val msIdxs = (0 until roots).map { p =>
+        val d = s"$base-msidx$p"
+        if (!java.nio.file.Files.exists(java.nio.file.Paths.get(d, "CURRENT"))) {
+          val toks = spark.read.parquet(s"$tableDir/part=$p")
+            .select((col("id") / 16).cast("long").as("doc"),
+              (col("id") % 16).cast("int").as("pos"), col("vec").as("v"))
+          graft.ops.MaxSim.buildTokenIndex(toks, "doc", "pos", "v", d,
+            graft.index.IvfConfig(metric = "negdot", lists = lists))
+        } else graft.index.IvfIndex.load(spark, d)
+      }
+      val msBatch = Array.tabulate(4) { i =>
+        (i.toLong, Array.tabulate(4) { t =>
+          val c = q.clone(); c(2) = c(2) + 0.02f * t + 0.001f * i; c
+        })
+      }
+      val exactMs0 = graft.ops.MaxSim.topK(
+          spark.read.parquet(tableDir)
+            .select((col("id") / 16).cast("long").as("doc"), col("vec")),
+          "doc", "vec", msBatch(0)._2, 10)
+        .as[(Long, Double)].collect().map(_._1).toSet
+      def runMs(): org.apache.spark.sql.DataFrame =
+        graft.ops.MaxSim.maxsimManyMulti(msIdxs, msBatch, k = 10,
+          kPerToken = 200,
+          probes = Seq.fill(roots)(math.max(1, math.ceil(math.sqrt(lists)).toInt)),
+          refine = 8)
+      val ms0 = runMs().collect().filter(_.getLong(0) == 0L)
+        .map(_.getLong(1)).toSet
+      val msRecall = ms0.intersect(exactMs0).size / 10.0
+      require(msRecall >= 0.5,
+        s"batched maxsim q0 recall $msRecall under sanity floor: " +
+        s"$ms0 vs $exactMs0")
+      val msSec = best(() => { runMs().collect(); () })
+      say(f"batched maxsim x4 (maxsimManyMulti, 2 passes): $msSec%.3f s " +
+        f"total = ${msSec / 4}%.3f s/query, q0 recall@10 $msRecall%.1f " +
+        f"(probes ${math.ceil(math.sqrt(lists)).toInt}/$lists)")
+      println(f"""{"partserve_roots":$roots,"rows_per_root":$rowsPerRoot,"lists":$lists,"exact_sec":$exactSec%.3f,"served_sec":$servedSec%.3f,"served_recall":$recall%.2f,"served_full_sec":$fullSec%.3f,"speedup_default":${exactSec / servedSec}%.2f,"speedup_full":${exactSec / fullSec}%.2f,"batch16_sec":$batchSec%.3f,"range8_sec":$rangeSec%.3f,"maxsim4_sec":$msSec%.3f,"maxsim_recall":$msRecall%.2f}""")
     } finally
       (0 until roots).foreach(p => graft.plans.AnnCatalog.unregister(s"$tableDir/part=$p"))
     spark.stop()
