@@ -14,12 +14,12 @@ import org.apache.spark.sql.functions.{col, typedlit}
  */
 object ManyRootFixture {
 
-  /** Warm once (index loads, cover memo, codegen), then time `runs`
-    * optimizer passes over the whole-table top-k query; children are
-    * registered in [[graft.plans.AnnCatalog]] for the duration and
-    * always unregistered. Returns the per-run seconds. */
-  def planRuns(spark: SparkSession, roots: Int, rowsPerRoot: Int = 2000,
-               runs: Int = 3, lists: Int = 4): Seq[Double] = {
+  /** Ensure the R-child table + per-child indexes exist on disk (cached
+    * in tmpdir across runs); returns (tableDir, per-child index dirs).
+    * Shared by [[planRuns]] and the batched-face bench keys so every
+    * many-root number measures the SAME fixture. */
+  def ensureFixture(spark: SparkSession, roots: Int, rowsPerRoot: Int = 2000,
+                    lists: Int = 4): (String, Seq[String]) = {
     import spark.implicits._
     val base =
       s"${sys.props("java.io.tmpdir")}/graft-manyroot-$roots-$rowsPerRoot-l$lists"
@@ -34,12 +34,26 @@ object ManyRootFixture {
           .write.mode("overwrite").parquet(s"$tableDir/part=$p")
       }
     }
-    (0 until roots).foreach { p =>
+    val idxDirs = (0 until roots).map { p =>
       val d = s"$base-idx$p"
       if (fresh || !java.nio.file.Files.exists(java.nio.file.Paths.get(d, "CURRENT")))
         graft.index.IvfIndex.build(spark.read.parquet(s"$tableDir/part=$p"),
           "id", "vec", d, graft.index.IvfConfig(lists = lists))
-      graft.plans.AnnCatalog.register(s"$tableDir/part=$p", d, "id", "vec")
+      d
+    }
+    (tableDir, idxDirs)
+  }
+
+  /** Warm once (index loads, cover memo, codegen), then time `runs`
+    * optimizer passes over the whole-table top-k query; children are
+    * registered in [[graft.plans.AnnCatalog]] for the duration and
+    * always unregistered. Returns the per-run seconds. */
+  def planRuns(spark: SparkSession, roots: Int, rowsPerRoot: Int = 2000,
+               runs: Int = 3, lists: Int = 4): Seq[Double] = {
+    import spark.implicits._
+    val (tableDir, idxDirs) = ensureFixture(spark, roots, rowsPerRoot, lists)
+    (0 until roots).foreach { p =>
+      graft.plans.AnnCatalog.register(s"$tableDir/part=$p", idxDirs(p), "id", "vec")
     }
     // register our own rule instance only if none is present, and remove
     // it BY REFERENCE on exit: AnnTopKRewrite is a case class, so

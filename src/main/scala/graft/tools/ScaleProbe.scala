@@ -582,6 +582,38 @@ object ScaleProbe {
         val best = graft.tools.ManyRootFixture.planRuns(spark, nR).min
         out += (s"_scale_manyroot${nR}_plan" -> best)
         say(f"_scale_manyroot${nR}_plan = $best%.3fs")
+        // batched-face latency floors over the SAME fixture (round 14):
+        // regression canaries for the constant-job batch machinery —
+        // searchManyMulti (16 queries, 2 flat jobs) and
+        // rangeSearchManyMulti (8 spheres) across the 8 children.
+        // Throughput-scale numbers live in PartitionedServeProbe; these
+        // track the per-call overhead per round. Warm once, min of 3.
+        val idxs = graft.tools.ManyRootFixture.ensureFixture(spark, nR)._2
+          .map(graft.index.IvfIndex.load(spark, _))
+        val rngB = new scala.util.Random(271)
+        val qB = Array.tabulate(16)(i =>
+          (i.toLong, Array.fill(8)(rngB.nextFloat() * 2 - 1)))
+        def bestOf(f: () => Unit): Double = {
+          f()
+          (1 to 3).map { _ =>
+            val t = System.nanoTime(); f(); (System.nanoTime() - t) / 1e9
+          }.min
+        }
+        val tBatch = bestOf(() => {
+          graft.index.IvfIndex.searchManyMulti(idxs, qB, k = 5, probes = 2,
+            refine = 8).count()
+          ()
+        })
+        out += (s"_scale_manyroot${nR}_batch16" -> tBatch)
+        say(f"_scale_manyroot${nR}_batch16 = $tBatch%.3fs")
+        val spheres = Array.tabulate(8)(i =>
+          (i.toLong, qB(i)._2, 1.2))
+        val tRange = bestOf(() => {
+          graft.index.IvfIndex.rangeSearchManyMulti(idxs, spheres).count()
+          ()
+        })
+        out += (s"_scale_manyroot${nR}_range8" -> tRange)
+        say(f"_scale_manyroot${nR}_range8 = $tRange%.3fs")
       }
       // B5 deep-tree probe economics: flat vs 3-level descent over 1024
       // synthetic centroids, 2000 probes each (driver-side cost only)
