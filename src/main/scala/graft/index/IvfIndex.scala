@@ -1344,12 +1344,16 @@ object IvfIndex {
     * number of Spark jobs. Job 1 pools (qid, root, id) code-estimate
     * survivors over every root's sphere-intersecting cells from ONE flat
     * parquet relation (a row passes its cell's spheres' epsilon-scaled
-    * lower bound, cos-shifted at the cutoff like the single-root path);
-    * survivors then stay a DATAFRAME end to end — joined to the flat
-    * VECTOR read on (root, id) for the exact strict-< cutoff, broadcast
-    * while bounded ([[rangeBroadcastCap]]) — so a low-selectivity sphere
-    * over billions of rows is served without any driver candidate
-    * collect (the [[IvfIndex.rangeSearchMany]] output contract). Spheres
+    * lower bound, cos-shifted at the cutoff like the single-root path).
+    * Survivor delivery is two-tier: BOUNDED survivor sets (under
+    * `graft.ann.range.maxDriverSurvivors`, default 1M tuples) collect
+    * once and the exact strict-< cutoff runs as a membership
+    * mapPartitions over the flat VECTOR read — two jobs total; past the
+    * bound, survivors stay a DATAFRAME end to end — joined to the
+    * root-tagged vector read on (root, id), broadcast while bounded
+    * ([[rangeBroadcastCap]]) — so a low-selectivity sphere over billions
+    * of rows is served without any driver candidate collect (the
+    * [[IvfIndex.rangeSearchMany]] output contract). Spheres
     * whose code bound kept more than [[rangeScanFallbackFrac]] of the
     * union corpus take the direct-scan fallback over their own probed
     * cells instead (per query, like the single-index batch — mixed
@@ -1447,18 +1451,39 @@ object IvfIndex {
           }
         }
       }.toDF("qi", "root", "id").distinct()
+    val nTable = idxs.map(_.rowCount).sum
+    // TWO-TIER survivor delivery. Common case (bounded survivors): ONE
+    // estimate pass collects the (qi, root, id) survivors to the driver
+    // — per-query no-prune counts come free, and the exact phase is a
+    // straight membership mapPartitions over the flat vector read (no
+    // join, no broadcast-exchange job, no second codes pass). Past
+    // `graft.ann.range.maxDriverSurvivors` (default 1M tuples ≈ 24 MB
+    // boxed) the huge-sphere path takes over: survivors stay a
+    // DataFrame end to end — one count job for the no-prune split, the
+    // estimate pass re-runs inside the join (the honest duplicate at
+    // sizes where the join dominates anyway), candidates broadcast
+    // while bounded. Both tiers are exact and spec'd equal.
+    val maxDriver = scala.util.Try(
+        spark.conf.get("graft.ann.range.maxDriverSurvivors").toLong)
+      .getOrElse(1000000L)
+    val probeRows: Array[(Int, Int, Long)] =
+      if (maxDriver <= 0) null
+      else {
+        val lim = math.min(maxDriver, (Int.MaxValue - 2).toLong).toInt
+        val r = cand0.as[(Int, Int, Long)].limit(lim + 1).collect()
+        if (r.length > lim) null else r
+      }
     // per-query no-prune check over the UNION corpus (the rangeSearchMany
     // policy): spheres whose code bound kept most rows take the direct
     // scan of their own probed cells — the join adds cost without
-    // removing work there. One bounded count job (M rows).
-    val perQ = cand0.groupBy("qi").count().as[(Int, Long)].collect()
-    val nTable = idxs.map(_.rowCount).sum
+    // removing work there.
+    val perQ: Array[(Int, Long)] =
+      if (probeRows != null)
+        probeRows.groupBy(_._1).view.mapValues(_.length.toLong).toArray
+      else cand0.groupBy("qi").count().as[(Int, Long)].collect()
     val scanQis: Set[Int] =
       perQ.filter(_._2 > nTable * IvfIndex.rangeScanFallbackFrac).map(_._1).toSet
     if (scanQis.nonEmpty) IvfIndex.rangeScanFallbacks.addAndGet(scanQis.size)
-    val candJoin0 =
-      if (scanQis.isEmpty) cand0
-      else cand0.filter(!col("qi").isin(scanQis.toSeq.map(Integer.valueOf): _*))
     val nJoinSurvivors = perQ.collect { case (q, c) if !scanQis.contains(q) => c }.sum
     val bQq = spark.sparkContext.broadcast(qqByRoot)
     val bQid = spark.sparkContext.broadcast(qidArr)
@@ -1480,74 +1505,135 @@ object IvfIndex {
         if (d < rads(qi)) Iterator.single((qids(qi), id, d)) else Iterator.empty
       }
     }
-    val scored: org.apache.spark.sql.DataFrame = rerankTable match {
-      case None =>
-        // flat VECTOR read over the probed files, tagged with its owning
-        // root so survivors join on (root, id) — colliding ids across
-        // roots score only under their own root's spheres
-        val vecRows = flatVecsDf(spark, files.toArray, f16)
-        val tagged =
+    // in-table exact kernel: RAW queries against original vectors —
+    // cosine renormalizes; candidates from any root gate membership only
+    // (the source table's rows are the single exact truth)
+    val bQs = spark.sparkContext.broadcast(queries.map(q => (q._2, q._3)))
+    def cutRaw(it: Iterator[(Int, Long, Array[Float])]): Iterator[(Long, Long, Double)] = {
+      val qs = bQs.value
+      val qids = bQid.value
+      it.flatMap { case (qi, id, va) =>
+        val (q, r) = qs(qi)
+        val d = met match {
+          case "l2"      => K.l2(va, q)
+          case "negdot"  => K.negdot(va, q)
+          case "cosdist" => K.cosdist(va, q)
+        }
+        if (d < r) Iterator.single((qids(qi), id, d)) else Iterator.empty
+      }
+    }
+    val emptyScored = Seq.empty[(Long, Long, Double)].toDF("qid", "id", "dist")
+    val scored: org.apache.spark.sql.DataFrame = if (probeRows != null) {
+      // DRIVER-survivor tier: membership maps ship as broadcasts; the
+      // flat vector read is scanned ONCE with per-row membership checks
+      // (the searchManyMulti rerank shape — same I/O as the broadcast
+      // join, none of the exchange machinery)
+      val surv = probeRows.filter(t => !scanQis.contains(t._1))
+      if (surv.isEmpty) emptyScored
+      else rerankTable match {
+        case None =>
+          val cmap: Map[(Int, Long), Array[Int]] =
+            surv.groupBy(t => (t._2, t._3)).view.mapValues(_.map(_._1)).toMap
+          val bC = spark.sparkContext.broadcast(cmap)
+          val vecRows = flatVecsDf(spark, files.toArray, f16)
+          def memb(it: Iterator[(Long, Array[Float], String)],
+                   info: Map[String, DirInfo]): Iterator[(Int, Int, Long, Array[Float])] = {
+            val dirCache = new java.util.HashMap[String, DirInfo]()
+            val cm = bC.value
+            it.flatMap { case (id, v, path) =>
+              val root = dirInfoFor(info, dirCache, path)._1
+              cm.get((root, id)) match {
+                case None => Iterator.empty
+                case Some(qis) => qis.iterator.map(qi => (qi, root, id, v))
+              }
+            }
+          }
           if (isF16)
             vecRows.as[(Long, Array[Byte], String)].mapPartitions { it =>
-              val info = bInfo.value
-              val dirCache = new java.util.HashMap[String, DirInfo]()
-              it.map { case (id, vb, path) =>
-                (dirInfoFor(info, dirCache, path)._1, id, vb)
-              }
-            }.toDF("root", "id", "vb")
+              cutRows(memb(it.map { case (id, vb, p) =>
+                (id, graft.core.Half.decodeBytes(vb), p) }, bInfo.value))
+            }.toDF("qid", "id", "dist")
           else
             vecRows.as[(Long, Seq[Float], String)].mapPartitions { it =>
-              val info = bInfo.value
-              val dirCache = new java.util.HashMap[String, DirInfo]()
-              it.map { case (id, v, path) =>
-                (dirInfoFor(info, dirCache, path)._1, id, v)
-              }
-            }.toDF("root", "id", "v")
-        val cand =
-          if (nJoinSurvivors <= IvfIndex.rangeBroadcastCap) broadcast(candJoin0)
-          else candJoin0
-        val joined = tagged.join(cand, Seq("root", "id"))
-        if (isF16)
-          joined.select(col("qi"), col("root"), col("id"), col("vb"))
-            .as[(Int, Int, Long, Array[Byte])]
-            .mapPartitions(it => cutRows(it.map { case (qi, r, id, vb) =>
-              (qi, r, id, graft.core.Half.decodeBytes(vb)) }))
-            .toDF("qid", "id", "dist")
-        else
-          joined.select(col("qi"), col("root"), col("id"), col("v"))
-            .as[(Int, Int, Long, Seq[Float])]
-            .mapPartitions(it => cutRows(it.map { case (qi, r, id, v) =>
-              (qi, r, id, v.toArray) }))
-            .toDF("qid", "id", "dist")
-      case Some((src, idCol, vecCol)) =>
-        // rerank-in-TABLE: candidates from any root gate membership only
-        // (the source table's rows are the single exact truth), RAW
-        // queries against original vectors — cosine renormalizes
-        val candIds = candJoin0.select(col("qi"), col("id")).distinct()
-        val cand =
-          if (nJoinSurvivors <= IvfIndex.rangeBroadcastCap) broadcast(candIds)
-          else candIds
-        val bQs = spark.sparkContext.broadcast(
-          queries.map(q => (q._2, q._3)))
-        src.select(col(idCol).cast("long").as("id"),
-            col(vecCol).cast("array<float>").as("__v"))
-          .join(cand, Seq("id"))
-          .select(col("qi"), col("id"), col("__v"))
-          .as[(Int, Long, Seq[Float])]
-          .mapPartitions { it =>
-            val qs = bQs.value
-            val qids = bQid.value
-            it.flatMap { case (qi, id, v) =>
-              val (q, r) = qs(qi)
-              val va = v.toArray
-              val d = met match {
-                case "l2"      => K.l2(va, q)
-                case "negdot"  => K.negdot(va, q)
-                case "cosdist" => K.cosdist(va, q)
-              }
-              if (d < r) Iterator.single((qids(qi), id, d)) else Iterator.empty
-            }
-          }.toDF("qid", "id", "dist")
+              cutRows(memb(it.map { case (id, v, p) =>
+                (id, v.toArray, p) }, bInfo.value))
+            }.toDF("qid", "id", "dist")
+        case Some((src, idCol, vecCol)) =>
+          val id2q: Map[Long, Array[Int]] =
+            surv.groupBy(_._3).view.mapValues(_.map(_._1).distinct).toMap
+          val bI2Q = spark.sparkContext.broadcast(id2q)
+          val candIds = id2q.keysIterator.toArray.sorted
+          src.join(broadcast(candIds.toSeq.toDF("__cand_id")),
+              col(idCol).cast("long") === col("__cand_id"))
+            .select(col(idCol).cast("long"), col(vecCol).cast("array<float>"))
+            .as[(Long, Seq[Float])]
+            .mapPartitions { it =>
+              val i2q = bI2Q.value
+              cutRaw(it.flatMap { case (id, v) =>
+                val va = v.toArray
+                i2q.getOrElse(id, Array.empty[Int]).iterator
+                  .map(qi => (qi, id, va))
+              })
+            }.toDF("qid", "id", "dist")
+      }
+    } else {
+      // HUGE-survivor tier: candidates stay distributed end to end
+      val candJoin0 =
+        if (scanQis.isEmpty) cand0
+        else cand0.filter(!col("qi").isin(scanQis.toSeq.map(Integer.valueOf): _*))
+      rerankTable match {
+        case None =>
+          // flat VECTOR read over the probed files, tagged with its
+          // owning root so survivors join on (root, id) — colliding ids
+          // across roots score only under their own root's spheres
+          val vecRows = flatVecsDf(spark, files.toArray, f16)
+          val tagged =
+            if (isF16)
+              vecRows.as[(Long, Array[Byte], String)].mapPartitions { it =>
+                val info = bInfo.value
+                val dirCache = new java.util.HashMap[String, DirInfo]()
+                it.map { case (id, vb, path) =>
+                  (dirInfoFor(info, dirCache, path)._1, id, vb)
+                }
+              }.toDF("root", "id", "vb")
+            else
+              vecRows.as[(Long, Seq[Float], String)].mapPartitions { it =>
+                val info = bInfo.value
+                val dirCache = new java.util.HashMap[String, DirInfo]()
+                it.map { case (id, v, path) =>
+                  (dirInfoFor(info, dirCache, path)._1, id, v)
+                }
+              }.toDF("root", "id", "v")
+          val cand =
+            if (nJoinSurvivors <= IvfIndex.rangeBroadcastCap) broadcast(candJoin0)
+            else candJoin0
+          val joined = tagged.join(cand, Seq("root", "id"))
+          if (isF16)
+            joined.select(col("qi"), col("root"), col("id"), col("vb"))
+              .as[(Int, Int, Long, Array[Byte])]
+              .mapPartitions(it => cutRows(it.map { case (qi, r, id, vb) =>
+                (qi, r, id, graft.core.Half.decodeBytes(vb)) }))
+              .toDF("qid", "id", "dist")
+          else
+            joined.select(col("qi"), col("root"), col("id"), col("v"))
+              .as[(Int, Int, Long, Seq[Float])]
+              .mapPartitions(it => cutRows(it.map { case (qi, r, id, v) =>
+                (qi, r, id, v.toArray) }))
+              .toDF("qid", "id", "dist")
+        case Some((src, idCol, vecCol)) =>
+          val candIds = candJoin0.select(col("qi"), col("id")).distinct()
+          val cand =
+            if (nJoinSurvivors <= IvfIndex.rangeBroadcastCap) broadcast(candIds)
+            else candIds
+          src.select(col(idCol).cast("long").as("id"),
+              col(vecCol).cast("array<float>").as("__v"))
+            .join(cand, Seq("id"))
+            .select(col("qi"), col("id"), col("__v"))
+            .as[(Int, Long, Seq[Float])]
+            .mapPartitions { it =>
+              cutRaw(it.map { case (qi, id, v) => (qi, id, v.toArray) })
+            }.toDF("qid", "id", "dist")
+      }
     }
     // direct-scan rows for the no-prune spheres: one pass over THOSE
     // spheres' probed cells (a second flat relation over the subset),

@@ -95,7 +95,8 @@ class RangeSearchManyMultiSpec extends SparkSpec {
     assert(got.sortBy(t => (t._1, t._3, t._2)).toSeq == got.toSeq)
   }
 
-  test("f16 storage / cosdist / negdot cut exactly under per-root prep") {
+  test("f16 storage / cosdist / negdot cut exactly under per-root prep — " +
+       "on BOTH survivor tiers (driver membership and distributed join)") {
     import spark.implicits._
     Seq("l2" -> "f16", "cosdist" -> "f32", "negdot" -> "f16").foreach {
       case (metric, storage) =>
@@ -107,19 +108,49 @@ class RangeSearchManyMultiSpec extends SparkSpec {
         val rads = radiusFor(metric)
         val qs = Array.tabulate(3)(i =>
           (100L + i, Array.fill(8)(rng.nextFloat() * 2 - 1), rads(i)))
-        val got = IvfIndex.rangeSearchManyMulti(idxs, qs)
-          .as[(Long, Long, Double)].collect()
-          .groupBy(_._1).view.mapValues(_.map(t => (t._2, t._3)).toSeq).toMap
-        qs.foreach { case (qid, c, r) =>
-          val want = brute(all, c, r, metric, storage)
-          val g = got.getOrElse(qid, Nil).sortBy(t => (t._2, t._1))
-          assert(g.map(_._1) == want.map(_._1),
-            s"[$metric/$storage] qid=$qid ids diverged: got=$g want=$want")
-          g.map(_._2).zip(want.map(_._2)).foreach { case (d, w) =>
-            assert(math.abs(d - w) < 1e-6, s"[$metric/$storage] $d vs $w")
+        // maxDriverSurvivors=0 forces the huge-survivor DataFrame tier;
+        // the default takes the driver-membership tier — both must cut
+        // identically
+        Seq("1000000", "0").foreach { tier =>
+          val got = graft.core.Confs.withConfs(spark,
+              "graft.ann.range.maxDriverSurvivors" -> tier) {
+            IvfIndex.rangeSearchManyMulti(idxs, qs)
+              .as[(Long, Long, Double)].collect()
+          }.groupBy(_._1).view.mapValues(_.map(t => (t._2, t._3)).toSeq).toMap
+          qs.foreach { case (qid, c, r) =>
+            val want = brute(all, c, r, metric, storage)
+            val g = got.getOrElse(qid, Nil).sortBy(t => (t._2, t._1))
+            assert(g.map(_._1) == want.map(_._1),
+              s"[$metric/$storage tier=$tier] qid=$qid ids diverged: " +
+              s"got=$g want=$want")
+            g.map(_._2).zip(want.map(_._2)).foreach { case (d, w) =>
+              assert(math.abs(d - w) < 1e-6,
+                s"[$metric/$storage tier=$tier] $d vs $w")
+            }
           }
         }
     }
+  }
+
+  test("rerank-in-TABLE cuts identically on both survivor tiers") {
+    import spark.implicits._
+    val parts = Seq(corpus(100, 0, 81), corpus(100, 1000, 82))
+    val all = parts.flatten
+    val src = all.toDF("id", "vec")
+    val idxs = parts.map(build(_, IvfConfig(lists = 4)))
+    val qs = Array.tabulate(2)(i =>
+      (i.toLong, Array.fill(8)(0.1f * (i + 1)), 1.3))
+    val results = Seq("1000000", "0").map { tier =>
+      graft.core.Confs.withConfs(spark,
+          "graft.ann.range.maxDriverSurvivors" -> tier) {
+        IvfIndex.rangeSearchManyMulti(idxs, qs,
+            rerankTable = Some((src, "id", "vec")))
+          .as[(Long, Long, Double)].collect().toSeq
+      }
+    }
+    assert(results(0).nonEmpty, "fixture produced no rows")
+    assert(results(0) == results(1),
+      s"tiers diverged: driver=${results(0)} distributed=${results(1)}")
   }
 
   test("no-prune spheres take the per-query direct-scan fallback and " +
