@@ -817,6 +817,48 @@ object IvfIndex {
     }
   }
 
+  /** Flat VECTOR read spanning EVERY cell of every root (gen + delta) as
+    * ONE parquet relation, with an optional predicate pushed into the
+    * scan — the rescore face of the flat multi-root read for callers
+    * whose candidates are not cell-localized (packed-key MaxSim docs).
+    * Returns the raw (id, vec, __path) frame plus the dir -> root map
+    * (broadcast by the caller; resolve rows with [[rootOf]]). A per-root
+    * union of dataDf reads expresses the same scan but analyzes R
+    * relations per plan — the linear planning term the flat read exists
+    * to remove. Requires homogeneous storage across roots. */
+  private[graft] def flatAllVecsFor(idxs: Seq[IvfIndex],
+      pred: Option[org.apache.spark.sql.Column])
+      : (org.apache.spark.sql.DataFrame, Map[String, Int]) = {
+    val h = idxs.head
+    val info = scala.collection.mutable.HashMap.empty[String, DirInfo]
+    val files =
+      scala.collection.mutable.ArrayBuffer.empty[org.apache.hadoop.fs.FileStatus]
+    idxs.zipWithIndex.foreach { case (ix, r) =>
+      val dl = ix.dirListing
+      probedDirs(ix, r, dl.genCids ++ dl.deltaCids, info, files)
+    }
+    val df0 = flatVecsDf(h.spark, files.toArray, h.meta.cfg.storage == "f16")
+    (pred.map(df0.filter).getOrElse(df0),
+      info.iterator.map { case (k, v) => k -> v._1 }.toMap)
+  }
+
+  /** Resolve a row's owning ROOT from its file path against a
+    * [[flatAllVecsFor]] dir map, memoized per distinct dir. */
+  private[graft] def rootOf(info: Map[String, Int],
+      cache: java.util.HashMap[String, Integer], path: String): Int = {
+    val cut = path.lastIndexOf('/')
+    val dirStr = if (cut >= 0) path.substring(0, cut) else path
+    var r = cache.get(dirStr)
+    if (r == null) {
+      val key = new org.apache.hadoop.fs.Path(dirStr).toUri.getPath
+      r = Integer.valueOf(info.getOrElse(key, throw new IllegalStateException(
+        s"flat all-cells read: file dir '$dirStr' (key '$key') matches no " +
+        "registered cluster dir — a path-normalization mismatch")))
+      cache.put(dirStr, r)
+    }
+    r.intValue()
+  }
+
   /** One-read multi-root MULTI-QUERY estimate pools: per (root, query),
     * the exact top `nCand` (id, lb) by epsilon-scaled code lower bound
     * over that root's probed cells for that query — from a SINGLE

@@ -486,54 +486,80 @@ object MaxSim {
     val bQ = spark.sparkContext.broadcast(qByRoot)
     val bCand = spark.sparkContext.broadcast(
       cand.view.mapValues(_.toArray).toMap)
-    val f16 = h.meta.cfg.storage == "f16"
-    // job 2: union of per-root candidate-doc reads (packed-key range
-    // predicates push to parquet stats/page indexes; the membership
-    // check keeps semantics exact however wide the capped spans get),
-    // exact-rescored in one shuffle by the batch aggregator. InternalRow
+    val isF16 = h.meta.cfg.storage == "f16"
+    // job 2: ONE flat parquet relation over every root's cells (a
+    // per-root union of dataDf reads expresses the same scan but
+    // analyzes R relations per plan — linear planning in R), with the
+    // candidate docs' packed-key ranges coalesced PER ROOT (tight spans
+    // inside each root's doc slice keep parquet page pruning effective —
+    // a global coalesce widened spans across root boundaries and DOUBLED
+    // the rescore read, measured at the 16 x 100k anchor) under a total
+    // budget of 2048 Or-terms split across roots (at R=16 that is the
+    // union shape's original 64-span tightness). The filter's ONLY value
+    // is the parquet row-group/page pruning — membership re-gates every
+    // row — so the rescore action runs with whole-stage codegen OFF for
+    // its stage: a useful span count cannot fit Janino's 64 KB method
+    // limit (512 terms already collapsed to interpreted eval with a
+    // failed-compile stall per task batch), and the interpreted
+    // evaluation only ever touches rows page pruning already admitted
+    // (measured at the anchor: tight spans + interpreted 0.55 s/query vs
+    // codegen-compilable coarse spans 2.7 s/query — pruning is the whole
+    // game). Admitted foreign rows fall to the membership check.
+    // InternalRow
     // scan (the searchMany rerank pattern): candidate membership checks
     // on the raw row BEFORE any vector decode — the typed-Dataset form
     // boxed every scanned row's vector first, which at 100k-doc corpora
     // made the rescore read dominate the whole batch (measured 3.1
-    // s/query -> the decode-gated form at the 16 x 100k anchor).
-    val rows: DataFrame = idxs.zipWithIndex.flatMap { case (ix, r) =>
+    // s/query -> 1.46 decode-gated at the 16 x 100k anchor).
+    val perRootBudget = math.max(1, 2048 / idxs.length)
+    // BALANCED or-tree, not a left-deep reduce: Spark 4's column-node
+    // converter and parquet's filter visitor both recurse per node — a
+    // left-deep 512-term chain overflows the stack at plan time
+    def orAll(cs: IndexedSeq[org.apache.spark.sql.Column]): org.apache.spark.sql.Column =
+      if (cs.length == 1) cs.head
+      else orAll(cs.take(cs.length / 2)) || orAll(cs.drop(cs.length / 2))
+    val pred = orAll((0 until idxs.length).flatMap { r =>
       val docs = cand.keysIterator.collect { case (`r`, d) => d }.toSeq
-      if (docs.isEmpty) None
-      else {
-        val pred = coalesceDocRanges(docs).map { case (a, b) =>
-          col("id").between(a << 16, (b << 16) | 0xffffL)
-        }.reduce(_ || _)
-        Some(ix.dataDf
-          .filter(pred)
-          .select(lit(r).as("root"), col("id"), col("vec")))
+      if (docs.isEmpty) Nil
+      else coalesceDocRanges(docs, perRootBudget).map { case (a, b) =>
+        col("id").between(a << 16, (b << 16) | 0xffffL)
       }
-    }.reduce(_ unionByName _)
-    val isF16 = f16
-    val scoredRows = org.apache.spark.sql.graft.ColumnBridge
-      .toInternalRdd(rows)
-      .mapPartitions { it =>
-        val cands = bCand.value
-        it.flatMap { row =>
-          val root = row.getInt(0)
-          val doc = row.getLong(1) >> 16
-          cands.get((root, doc)) match {
-            case None => Iterator.empty
-            case Some(qis) =>
-              val v: Array[Float] =
-                if (isF16) graft.core.Half.decodeBytes(row.getBinary(2))
-                else row.getArray(2).toFloatArray()
-              qis.iterator.map(qi => (qi, root, doc, v))
+    })
+    // the conf wrap covers PLAN FINALIZATION (toInternalRdd compiles the
+    // scan stage) through the collect — codegen decisions are made at
+    // physical planning, not execution
+    val scored = graft.core.Confs.withConfs(spark,
+        "spark.sql.codegen.wholeStage" -> "false") {
+      val (vecDf, rootMap) = graft.index.IvfIndex.flatAllVecsFor(idxs, Some(pred))
+      val bRoot = spark.sparkContext.broadcast(rootMap)
+      val scoredRows = org.apache.spark.sql.graft.ColumnBridge
+        .toInternalRdd(vecDf)
+        .mapPartitions { it =>
+          val cands = bCand.value
+          val roots = bRoot.value
+          val dirCache = new java.util.HashMap[String, Integer]()
+          it.flatMap { row =>
+            val doc = row.getLong(0) >> 16
+            val root = graft.index.IvfIndex.rootOf(roots, dirCache, row.getString(2))
+            cands.get((root, doc)) match {
+              case None => Iterator.empty
+              case Some(qis) =>
+                val v: Array[Float] =
+                  if (isF16) graft.core.Half.decodeBytes(row.getBinary(1))
+                  else row.getArray(1).toFloatArray()
+                qis.iterator.map(qi => (qi, root, doc, v))
+            }
           }
         }
-      }
-    val scored = spark.createDataset(scoredRows)(
-        org.apache.spark.sql.Encoders.tuple(Encoders.scalaInt,
-          Encoders.scalaInt, Encoders.scalaLong,
-          ExpressionEncoder[Array[Float]]()))
-      .groupByKey(r => (r._1, r._3))
-      .agg(new BatchMaxSimAgg(bQ).toColumn.name("maxsim"))
-      .map { case ((qi, doc), s) => (qi, doc, s) }
-      .collect() // bounded: ≤ B x R x docsPerRoot rows
+      spark.createDataset(scoredRows)(
+          org.apache.spark.sql.Encoders.tuple(Encoders.scalaInt,
+            Encoders.scalaInt, Encoders.scalaLong,
+            ExpressionEncoder[Array[Float]]()))
+        .groupByKey(r => (r._1, r._3))
+        .agg(new BatchMaxSimAgg(bQ).toColumn.name("maxsim"))
+        .map { case ((qi, doc), s) => (qi, doc, s) }
+        .collect() // bounded: ≤ B x R x docsPerRoot rows
+    }
     val out = scored.groupBy(_._1).toSeq.flatMap { case (qi, rs) =>
       rs.map(r => (r._3, r._2)).toSeq.sorted.take(k)
         .map { case (s, doc) => (qidArr(qi), doc, s) }
