@@ -296,6 +296,101 @@ final class VamanaGraph(
 
 object VamanaGraph {
 
+  /** Batched MULTI-GRAPH search — the graph-tier analogue of
+    * [[IvfIndex.searchManyMulti]] and the amortized form of the planner's
+    * partitioned-graph serve (AnnTopKRewrite.serveGraphMulti, reference
+    * partition.slt semantics over per-child vchordg indexes): B queries x
+    * R driver-resident graphs. Beams fan out over executors (queries
+    * parallelize, the graph set broadcasts once — the searchBatch
+    * economics times R); per (query, graph) the candidate budget matches
+    * the planner serve (k on exact graphs; the full ef pool on quantized
+    * ones, whose code estimates the exact phase corrects). Ids colliding
+    * across graphs fold to one slot with their best distance (the
+    * searchManyMulti output contract). With `rerankTable` the pooled
+    * candidates re-score EXACTLY from the source table in ONE join for
+    * the whole batch — mandatory on quantized graphs unless
+    * `allowEstimates=true` (the searchBatch rule). Output
+    * (qid, id, dist, rn). */
+  def searchManyMulti(spark: SparkSession, graphs: Seq[VamanaGraph],
+                      queries: Array[(Long, Array[Float])], k: Int,
+                      ef: Int = -1,
+                      rerankTable: Option[(DataFrame, String, String)] = None,
+                      allowEstimates: Boolean = false): DataFrame = {
+    import spark.implicits._
+    require(graphs.nonEmpty, "no graphs")
+    require(queries.nonEmpty, "empty query batch")
+    require(queries.map(_._1).distinct.length == queries.length,
+      "duplicate qids in query batch — results would silently merge")
+    val anyQuantized = graphs.exists(_.quantized)
+    require(!anyQuantized || rerankTable.nonEmpty || allowEstimates,
+      "searchManyMulti over quantized graphs without rerankTable returns " +
+      "code-ESTIMATE distances, not exact ones: pass " +
+      "rerankTable=Some((sourceDf, idCol, vecCol)) to rerank exactly, " +
+      "or allowEstimates=true to opt in")
+    val metrics = graphs.map(_.cfg.metric).distinct
+    require(metrics.length == 1,
+      s"searchManyMulti requires one metric across graphs, got $metrics — " +
+      "distances under different metrics cannot merge into one top-k")
+    val bgs = spark.sparkContext.broadcast(graphs.toIndexedSeq)
+    val rerank = rerankTable.nonEmpty
+    val kArg = k
+    // job 1: beams fan out per query; each task runs its query against
+    // EVERY graph — per-graph budget k (exact) or the ef pool (quantized,
+    // or any rerank: the wider pool only helps the exact phase)
+    val candRows: Array[(Long, Long, Double)] = spark.sparkContext
+      .parallelize(queries.toSeq, math.min(queries.length, 32))
+      .flatMap { case (qid, q) =>
+        bgs.value.iterator.flatMap { g =>
+          val efUse = math.max(if (ef <= 0) g.cfg.efSearch else ef, kArg)
+          val kCand = if (g.quantized || rerank) efUse else kArg
+          g.search(q, kCand, efUse).iterator.map { case (id, d) => (qid, id, d) }
+        }
+      }.collect()
+    rerankTable match {
+      case None =>
+        // beam distances are exact on unquantized graphs (estimates only
+        // under allowEstimates): fold per (qid, id) to the best distance
+        // and take k — zero further Spark work
+        val out = candRows.groupBy(_._1).toSeq.flatMap { case (qid, rows) =>
+          rows.groupBy(_._2).valuesIterator
+            .map(dups => dups.minBy(r => (r._3, r._2)))
+            .map(r => (r._3, r._2)).toSeq
+            .sorted.take(kArg).zipWithIndex
+            .map { case ((d, id), i) => (qid, id, d, (i + 1).toLong) }
+        }
+        out.toDF("qid", "id", "dist", "rn")
+      case Some((src, idCol, vecCol)) =>
+        // job 2: ONE exact pass over the batch's pooled candidates from
+        // the source table (original vectors, raw queries)
+        val qById = queries.toMap
+        val idToQ = candRows.map(t => (t._1, t._2)).distinct
+          .groupBy(_._2).view.mapValues(_.map(_._1)).toMap
+        val bIdToQ = spark.sparkContext.broadcast(idToQ)
+        val bQs = spark.sparkContext.broadcast(qById)
+        val metric = metrics.head
+        val candIds = idToQ.keysIterator.toSeq
+        val scored = src
+          .join(broadcast(candIds.toDF("__cand_id")),
+            col(idCol).cast("long") === col("__cand_id"))
+          .select(col(idCol).cast("long"), col(vecCol))
+          .as[(Long, Array[Float])]
+          .flatMap { case (id, v) =>
+            val kern: (Array[Float], Array[Float]) => Double = metric match {
+              case "l2"      => K.l2
+              case "negdot"  => K.negdot
+              case "cosdist" => K.cosdist
+            }
+            bIdToQ.value.getOrElse(id, Array.empty[Long]).toSeq
+              .map(qid => (qid, id, kern(v, bQs.value(qid))))
+          }.collect()
+        val out = scored.groupBy(_._1).toSeq.flatMap { case (qid, rows) =>
+          rows.map(r => (r._3, r._2)).distinct.sorted.take(kArg).zipWithIndex
+            .map { case ((d, id), i) => (qid, id, d, (i + 1).toLong) }
+        }
+        out.toDF("qid", "id", "dist", "rn")
+    }
+  }
+
   /** Build from a DataFrame — collects vectors (moderate-scale index; see
     * class doc) and runs the deterministic batch Vamana construction.
     *

@@ -646,6 +646,37 @@ object GraftQueries {
       },
       Some(knnOracle)),
 
+    // Batched MULTI-GRAPH search (round 14): three queries answered
+    // across the partitioned graph fixture's per-child driver-resident
+    // Vamana graphs in one fan-out (VamanaGraph.searchManyMulti — beams
+    // parallelize over executors, the graph set broadcasts once, ids
+    // fold per query to their best distance). Generous beams (ef=256
+    // over half-tier children, the graph_knn_partitioned premise) make
+    // the batch exact, so it hash-matches the per-qid exact top-k
+    // oracle.
+    "graph_batch_multi" -> Q(
+      (s, d) => {
+        val path = partitionedGraphTable(s, d)
+        val graphs = cached(s"gparttbl-graphs:$d") {
+          (0 to 1).map(p => graft.index.VamanaGraph.load(s, s"$path-g$p"))
+        }
+        val qs = (0L to 2L).map(i => i -> qvec(s, d, i)).toArray
+        graft.index.VamanaGraph.searchManyMulti(s, graphs, qs, k = 10,
+            ef = 256)
+          .select(col("qid"), col("id").as("vec_id"), col("dist").as("raw"),
+            col("rn"))
+          .orderBy("qid", "rn")
+          .select(col("qid"), col("vec_id"), round(col("raw"), 3).as("dist"),
+            col("rn")) },
+      Some("""WITH qt AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id IN (0, 1, 2)),
+             |e AS (SELECT vec_id, embedding, unnest(range(0, 64)) AS i FROM embeddings),
+             |dd AS (SELECT qt.qid, e.vec_id,
+             |  sqrt(sum(power(CAST(e.embedding[i+1] AS DOUBLE) - CAST(qt.qe[i+1] AS DOUBLE), 2))) AS dist
+             |  FROM e, qt GROUP BY 1, 2),
+             |r AS (SELECT qid, vec_id, dist, row_number() OVER (PARTITION BY qid ORDER BY dist, vec_id) AS rn FROM dd)
+             |SELECT qid, vec_id, round(dist, 3) AS dist, CAST(rn AS BIGINT) AS rn
+             |FROM r WHERE rn <= 10 ORDER BY qid, rn""".stripMargin)),
+
     "knn_join" -> Q(
       (s, d) => {
         import s.implicits._
