@@ -331,6 +331,20 @@ object VamanaGraph {
     require(metrics.length == 1,
       s"searchManyMulti requires one metric across graphs, got $metrics — " +
       "distances under different metrics cannot merge into one top-k")
+    // driver-pool budget, the no-silent-caps rule (the searchManyMulti
+    // guard): the beam fan-out collects up to B x sum-of-per-graph
+    // budgets candidate rows — refuse loudly instead of OOMing
+    val maxPool = scala.util.Try(
+        spark.conf.get("graft.ann.batch.maxPoolTuples").toLong)
+      .getOrElse(4000000L)
+    val perGraphBudget = graphs.map { g =>
+      val efUse = math.max(if (ef <= 0) g.cfg.efSearch else ef, k)
+      if (g.quantized || rerankTable.nonEmpty) efUse.toLong else k.toLong
+    }.sum
+    require(queries.length.toLong * perGraphBudget <= maxPool,
+      s"graph searchManyMulti pool budget exceeded: ${queries.length} " +
+      s"queries x $perGraphBudget summed per-graph candidates > $maxPool " +
+      "(graft.ann.batch.maxPoolTuples) — lower ef or split the batch")
     val bgs = spark.sparkContext.broadcast(graphs.toIndexedSeq)
     val rerank = rerankTable.nonEmpty
     val kArg = k

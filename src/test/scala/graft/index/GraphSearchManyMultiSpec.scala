@@ -95,6 +95,16 @@ class GraphSearchManyMultiSpec extends SparkSpec {
     }
   }
 
+  test("pool budget refuses loudly instead of collecting unbounded") {
+    val g = build(corpus(40, 0, 51))
+    graft.core.Confs.withConfs(spark, "graft.ann.batch.maxPoolTuples" -> "5") {
+      val e = intercept[IllegalArgumentException](
+        VamanaGraph.searchManyMulti(spark, Seq(g),
+          Array(0L -> Array.fill(8)(0.1f), 1L -> Array.fill(8)(0.2f)), 3))
+      assert(e.getMessage.contains("maxPoolTuples"), e.getMessage)
+    }
+  }
+
   test("metric mixes and duplicate qids refuse loudly") {
     val a = build(corpus(40, 0, 41))
     val bRows = corpus(40, 100, 42)
