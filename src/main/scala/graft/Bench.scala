@@ -277,10 +277,11 @@ object Bench {
         val qendF = sentinelQEnd / sentinelPre
         val postF = sentinelPost / sentinelPre
         val m = scale.length
+        // the m = 1 case belongs to the general midpoint formula (a
+        // single key ran at the section's CENTER, not its end); m = 0
+        // yields an empty map regardless
         val sFactors = scale.zipWithIndex.map { case ((name, _), i) =>
-          s"_drift_$name" ->
-            (if (m <= 1) postF
-             else qendF + (postF - qendF) * ((i + 0.5) / m))
+          s"_drift_$name" -> (qendF + (postF - qendF) * ((i + 0.5) / m))
         }
         qFactors ++ sFactors
       }

@@ -1577,28 +1577,30 @@ object IvfIndex {
           val cmap: Map[(Int, Long), Array[Int]] =
             surv.groupBy(t => (t._2, t._3)).view.mapValues(_.map(_._1)).toMap
           val bC = spark.sparkContext.broadcast(cmap)
-          val vecRows = flatVecsDf(spark, files.toArray, f16)
-          def memb(it: Iterator[(Long, Array[Float], String)],
-                   info: Map[String, DirInfo]): Iterator[(Int, Int, Long, Array[Float])] = {
-            val dirCache = new java.util.HashMap[String, DirInfo]()
-            val cm = bC.value
-            it.flatMap { case (id, v, path) =>
-              val root = dirInfoFor(info, dirCache, path)._1
-              cm.get((root, id)) match {
-                case None => Iterator.empty
-                case Some(qis) => qis.iterator.map(qi => (qi, root, id, v))
-              }
-            }
-          }
-          if (isF16)
-            vecRows.as[(Long, Array[Byte], String)].mapPartitions { it =>
-              cutRows(memb(it.map { case (id, vb, p) =>
-                (id, graft.core.Half.decodeBytes(vb), p) }, bInfo.value))
-            }.toDF("qid", "id", "dist")
-          else
-            vecRows.as[(Long, Seq[Float], String)].mapPartitions { it =>
-              cutRows(memb(it.map { case (id, v, p) =>
-                (id, v.toArray, p) }, bInfo.value))
+          // InternalRow scan (the searchManyMulti rerank pattern):
+          // membership on the raw row BEFORE any vector decode — the
+          // typed-Dataset form decoded f16 bytes / boxed f32 Seqs for
+          // EVERY scanned row first, a per-row allocation storm the
+          // selective-sphere case pays for nothing
+          val isF16L = isF16
+          org.apache.spark.sql.graft.ColumnBridge
+            .toInternalRdd(flatVecsDf(spark, files.toArray, f16))
+            .mapPartitions { it =>
+              val info = bInfo.value
+              val cm = bC.value
+              val dirCache = new java.util.HashMap[String, DirInfo]()
+              cutRows(it.flatMap { row =>
+                val id = row.getLong(0)
+                val root = dirInfoFor(info, dirCache, row.getString(2))._1
+                cm.get((root, id)) match {
+                  case None => Iterator.empty
+                  case Some(qis) =>
+                    val v: Array[Float] =
+                      if (isF16L) graft.core.Half.decodeBytes(row.getBinary(1))
+                      else row.getArray(1).toFloatArray()
+                    qis.iterator.map(qi => (qi, root, id, v))
+                }
+              })
             }.toDF("qid", "id", "dist")
         case Some((src, idCol, vecCol)) =>
           val id2q: Map[Long, Array[Int]] =
@@ -1838,7 +1840,12 @@ final class IvfIndex(val spark: SparkSession, val dir: String, val meta: IvfMeta
         while (it.hasNext) {
           val c = it.next()
           h = h * 31 + c.getFileName.toString.hashCode
-          h = h * 31 + Files.getLastModifiedTime(c).toMillis
+          // NANOSECOND mtime, not millis: two external appends into the
+          // same cluster dir inside one coarse-timestamp window with a
+          // read between them would otherwise leave the second invisible
+          // — the exact staleness class this signature exists to close
+          h = h * 31 + Files.getLastModifiedTime(c)
+            .to(java.util.concurrent.TimeUnit.NANOSECONDS)
           n += 1
         }
         // empty dir == absent (deltaExists' contract): -1 either way;

@@ -298,22 +298,35 @@ object MaxSim {
       // token retrieved nothing in this root -> 0.0 (the approxTopK
       // no-retrieval stand-in)
       val est = Array.tabulate(nQ)(qi => worst.getOrElse((root, qi), 0.0))
-      val perDoc = scala.collection.mutable.HashMap.empty[Long, Array[Double]]
-      rows.foreach { case (_, qi, id, lb) =>
-        val buf = perDoc.getOrElseUpdate(unpackDoc(id),
-          Array.fill(nQ)(Double.PositiveInfinity))
-        if (lb < buf(qi)) buf(qi) = lb
-      }
-      perDoc.iterator.map { case (doc, buf) =>
-        var s = 0.0
-        var i = 0
-        while (i < nQ) {
-          s += (if (buf(i) == Double.PositiveInfinity) est(i) else buf(i))
-          i += 1
-        }
-        (root, doc, s)
-      }.toArray.sortBy(t => (t._3, t._2)).take(docsPerRoot)
+      scoreRootPool(rows.iterator.map(t => (t._2, t._3, t._4)), nQ, est,
+        docsPerRoot).map { case (doc, s) => (root, doc, s) }
     }.toArray
+  }
+
+  /** ONE root's estimate-scoring core, shared by
+    * [[multiRootCandidateDocs]] and [[maxsimManyMulti]]: fold pool rows
+    * (tokenIdx, packedId, lb) to per-doc per-token min estimates, price
+    * misses with `est` (worst retrieved per token, the approxTopK
+    * contract), sum in token order, return the best `take` docs
+    * ascending (score, doc). One implementation so the miss-stand-in
+    * semantics cannot silently fork between the faces. */
+  private def scoreRootPool(rows: Iterator[(Int, Long, Double)], nTok: Int,
+      est: Array[Double], take: Int): Array[(Long, Double)] = {
+    val perDoc = scala.collection.mutable.HashMap.empty[Long, Array[Double]]
+    rows.foreach { case (ti, id, lb) =>
+      val buf = perDoc.getOrElseUpdate(unpackDoc(id),
+        Array.fill(nTok)(Double.PositiveInfinity))
+      if (lb < buf(ti)) buf(ti) = lb
+    }
+    perDoc.iterator.map { case (doc, buf) =>
+      var s = 0.0
+      var i = 0
+      while (i < nTok) {
+        s += (if (buf(i) == Double.PositiveInfinity) est(i) else buf(i))
+        i += 1
+      }
+      (doc, s)
+    }.toArray.sortBy(t => (t._2, t._1)).take(take)
   }
 
   /** Aggregator over rescore rows `(queryIdx, root, doc, tokvec)` grouped
@@ -377,7 +390,11 @@ object MaxSim {
    *          each token's worst retrieved distance IN THAT ROOT standing
    *          in for misses (the approxTopK estimate contract applied per
    *          root) — the best `k * refine` docs per (query, root) become
-   *          rescore candidates
+   *          rescore candidates, folded PER DOC across roots (a doc
+   *          selected by ANY root's estimates rescores over ALL its
+   *          stored tokens in every root, so a cross-root split doc is
+   *          always scored whole — candidate-boundary misses are the
+   *          only estimate effect, never a token-subset score)
    *   job 2: EXACT rescore of every candidate doc from the indexes' own
    *          stored token vectors (per-root packed-key range predicates
    *          pushed to parquet row groups, the [[coalesceDocRanges]]
@@ -445,34 +462,31 @@ object MaxSim {
     val worst = pools.groupBy(t => (t._1, t._2)).view
       .mapValues(_.map(_._4).max).toMap
     // per (query, root): estimate-score docs over that root's pools with
-    // per-root stand-ins, keep the best docsPerRoot as rescore candidates
-    val cand = scala.collection.mutable.HashMap.empty[(Int, Long), List[Int]]
+    // per-root stand-ins ([[scoreRootPool]], the multiRootCandidateDocs
+    // core), keep the best docsPerRoot per (query, root) as rescore
+    // candidates. Candidacy is then folded PER DOC (union of selecting
+    // queries over ALL roots): a doc whose tokens split across roots may
+    // be selected by only one root's estimates, and gating the rescore
+    // on (root, doc) would score it over a token SUBSET — an inflated,
+    // wrong maxsim. Doc-level membership admits every root's rows of a
+    // selected doc, so the rescore is always whole-doc exact; per-root
+    // selections are kept separately for the span predicates below.
+    val candDoc = scala.collection.mutable.HashMap.empty[Long, List[Int]]
+    val selByRoot = Array.fill(idxs.length)(
+      scala.collection.mutable.HashSet.empty[Long])
     pools.groupBy(t => (t._1, qiOf(t._2))).foreach { case ((root, qi), rows) =>
       val nTok = queries(qi)._2.length
       val base = offsets(qi)
       val est = Array.tabulate(nTok)(ti =>
         worst.getOrElse((root, base + ti), 0.0))
-      val perDoc = scala.collection.mutable.HashMap.empty[Long, Array[Double]]
-      rows.foreach { case (_, gti, id, lb) =>
-        val buf = perDoc.getOrElseUpdate(unpackDoc(id),
-          Array.fill(nTok)(Double.PositiveInfinity))
-        val ti = gti - base
-        if (lb < buf(ti)) buf(ti) = lb
-      }
-      perDoc.iterator.map { case (doc, buf) =>
-        var s = 0.0
-        var i = 0
-        while (i < nTok) {
-          s += (if (buf(i) == Double.PositiveInfinity) est(i) else buf(i))
-          i += 1
-        }
-        (doc, s)
-      }.toArray.sortBy(t => (t._2, t._1)).take(docsPerRoot).foreach {
-        case (doc, _) =>
-          cand((root, doc)) = qi :: cand.getOrElse((root, doc), Nil)
+      scoreRootPool(rows.iterator.map(t => (t._2 - base, t._3, t._4)), nTok,
+        est, docsPerRoot).foreach { case (doc, _) =>
+          selByRoot(root) += doc
+          val cur = candDoc.getOrElse(doc, Nil)
+          if (!cur.contains(qi)) candDoc(doc) = qi :: cur
       }
     }
-    if (cand.isEmpty)
+    if (candDoc.isEmpty)
       return Seq.empty[(Long, Long, Double)].toDF("qid", "doc", "maxsim")
     // rotated query tokens PER ROOT (rotation preserves dot products, so
     // rotating queries aligns with the index-space stored vectors)
@@ -485,7 +499,7 @@ object MaxSim {
       }
     val bQ = spark.sparkContext.broadcast(qByRoot)
     val bCand = spark.sparkContext.broadcast(
-      cand.view.mapValues(_.toArray).toMap)
+      candDoc.view.mapValues(_.toArray).toMap)
     val isF16 = h.meta.cfg.storage == "f16"
     // job 2: ONE flat parquet relation over every root's cells (a
     // per-root union of dataDf reads expresses the same scan but
@@ -518,8 +532,11 @@ object MaxSim {
     def orAll(cs: IndexedSeq[org.apache.spark.sql.Column]): org.apache.spark.sql.Column =
       if (cs.length == 1) cs.head
       else orAll(cs.take(cs.length / 2)) || orAll(cs.drop(cs.length / 2))
+    // spans from per-root SELECTIONS: packed keys are root-agnostic, so
+    // any root's rows of a doc selected anywhere pass some span — the
+    // doc-level membership above then admits them (whole-doc rescore)
     val pred = orAll((0 until idxs.length).flatMap { r =>
-      val docs = cand.keysIterator.collect { case (`r`, d) => d }.toSeq
+      val docs = selByRoot(r).toSeq
       if (docs.isEmpty) Nil
       else coalesceDocRanges(docs, perRootBudget).map { case (a, b) =>
         col("id").between(a << 16, (b << 16) | 0xffffL)
@@ -540,10 +557,13 @@ object MaxSim {
           val dirCache = new java.util.HashMap[String, Integer]()
           it.flatMap { row =>
             val doc = row.getLong(0) >> 16
-            val root = graft.index.IvfIndex.rootOf(roots, dirCache, row.getString(2))
-            cands.get((root, doc)) match {
+            cands.get(doc) match {
               case None => Iterator.empty
               case Some(qis) =>
+                // root resolved only for MEMBERS (query rotation is per
+                // root); non-candidates pay neither the lookup nor decode
+                val root =
+                  graft.index.IvfIndex.rootOf(roots, dirCache, row.getString(2))
                 val v: Array[Float] =
                   if (isF16) graft.core.Half.decodeBytes(row.getBinary(1))
                   else row.getArray(1).toFloatArray()

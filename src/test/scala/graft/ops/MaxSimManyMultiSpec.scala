@@ -135,6 +135,42 @@ class MaxSimManyMultiSpec extends SparkSpec {
     }
   }
 
+  test("a split doc selected by only ONE root's estimates still rescores " +
+       "over ALL its tokens — whole-doc, never a token-subset score") {
+    import spark.implicits._
+    // planted: query token 0 matches doc 7's ROOT-A half exactly, token 1
+    // matches its ROOT-B half exactly; root B also holds a filler doc F
+    // that monopolizes root B's docsPerRoot=1 estimate slot. A
+    // (root, doc)-gated rescore would score doc 7 over its A-half only
+    // (t1's min lost -> score ~-1 instead of -2) and filler F (-1.8)
+    // would wrongly win the top-1.
+    def axis(i: Int, scale: Float): Seq[Float] =
+      Seq.tabulate(8)(j => if (j == i) scale else 0.0f)
+    val t0 = axis(1, 1.0f).toArray
+    val t1 = axis(2, 1.0f).toArray
+    val a: Seq[(Long, Int, Seq[Float])] =
+      Seq((7L, 0, t0.toSeq), (7L, 1, axis(3, 10f)), (7L, 2, axis(3, 11f)),
+          (7L, 3, axis(3, 12f))) ++
+      (0 until 3).flatMap(d => (0 until 4).map(p =>
+        ((20 + d).toLong, p, axis(4, 10f + d + p))))
+    val b: Seq[(Long, Int, Seq[Float])] =
+      Seq((7L, 4, t1.toSeq), (7L, 5, axis(5, 10f)), (7L, 6, axis(5, 11f)),
+          (7L, 7, axis(5, 12f)),
+          (100L, 0, axis(1, 0.9f)), (100L, 1, axis(2, 0.9f))) ++
+      (0 until 3).flatMap(d => (0 until 4).map(p =>
+        ((30 + d).toLong, p, axis(6, 10f + d + p))))
+    val idxs = Seq(buildIdx(a), buildIdx(b))
+    // k=1, refine=1 -> docsPerRoot=1: root B's slot goes to filler 100
+    val got = MaxSim.maxsimManyMulti(idxs, Array(0L -> Array(t0, t1)),
+        k = 1, kPerToken = 64, probes = Seq(4, 4), refine = 1)
+      .as[(Long, Long, Double)].collect()
+    assert(got.length == 1 && got.head._2 == 7L,
+      s"doc 7 (true maxsim -2.0) must beat filler 100 (-1.8): ${got.toSeq}")
+    assert(math.abs(got.head._3 - (-2.0)) < 1e-6,
+      s"doc 7 must score over BOTH halves (whole-doc -2.0, not the " +
+      s"A-subset -1.0): ${got.toSeq}")
+  }
+
   test("parity with single-root approxTopK (R = 1)") {
     import spark.implicits._
     val rows = tokens(8, 6, 0, 61)
