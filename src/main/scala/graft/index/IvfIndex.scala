@@ -1401,8 +1401,11 @@ object IvfIndex {
     * cells instead (per query, like the single-index batch — mixed
     * batches split row sets, not plans). Queries are prepped PER ROOT
     * (rotation / cosine normalization may differ), and each row scores
-    * only under its own root's prep. Requires homogeneous children —
-    * the partitioned-corpus norm. Like [[IvfIndex.rangeSearchMany]], an
+    * only under its own root's prep. Children must share dim and metric;
+    * STORAGE-mixed corpora (f32 + f16, full + codes-only with a rerank
+    * table) serve by homogeneous group — per-group survivor frames union
+    * exactly, since the range contract is a per-row cutoff with no
+    * cross-group merge state. Like [[IvfIndex.rangeSearchMany]], an
     * id stored twice in one root (gen + delta, append-without-delete)
     * yields its rows independently — both pass the exact cutoff
     * honestly. Output: (qid, id, dist) ascending (qid, dist, id). */
@@ -1416,16 +1419,44 @@ object IvfIndex {
     require(queries.map(_._1).distinct.length == queries.length,
       "duplicate qids in query batch — results would silently merge")
     val h = idxs.head
+    // dim and metric must agree (one sphere center, one comparable
+    // cutoff); STORAGE-mixed corpora serve by homogeneous group below —
+    // range output is a per-row cutoff with no cross-group merge state,
+    // so group frames union exactly (the searchManyMulti policy)
     require(idxs.forall(ix => ix.meta.dim == h.meta.dim &&
-        ix.meta.cfg.metric == h.meta.cfg.metric &&
-        ix.meta.cfg.storage == h.meta.cfg.storage),
-      "rangeSearchManyMulti requires homogeneous children (same dim, " +
-      "metric, storage) — mixed-config corpora serve per query through " +
-      "the planner")
+        ix.meta.cfg.metric == h.meta.cfg.metric),
+      "rangeSearchManyMulti requires homogeneous dim and metric across " +
+      "children — mixed-metric corpora serve per query through the planner")
     require(rerankTable.nonEmpty || idxs.forall(_.meta.cfg.storeVectors),
       "codes-only children (storeVectors=false) store no vectors: pass " +
       "rerankTable=Some((sourceDf, idCol, vecCol)) so the exact cutoff " +
       "reads original vectors from the source table")
+    val groups: Seq[Seq[IvfIndex]] =
+      idxs.groupBy(ix => (ix.meta.cfg.storage, ix.meta.cfg.storeVectors))
+        .toSeq.sortBy(_._1).map(_._2)
+    if (groups.length > 1) {
+      import h.spark.implicits._
+      // per-group serve, frames unioned, one global ordering: each
+      // group's rows are its own exact strict-< survivors, and the range
+      // contract has no cross-root fold — the union IS the answer
+      return groups.map(g => rangeManyMultiHomogeneous(g, queries, epsilon,
+          rerankTable))
+        .reduce(_ unionByName _)
+        .orderBy("qid", "dist", "id")
+    }
+    rangeManyMultiHomogeneous(idxs, queries, epsilon, rerankTable)
+      .orderBy("qid", "dist", "id")
+  }
+
+  /** One HOMOGENEOUS group's [[rangeSearchManyMulti]] body, returning
+    * the UNORDERED (qid, id, dist) survivor frame (the caller unions
+    * groups and orders once). */
+  private def rangeManyMultiHomogeneous(idxs: Seq[IvfIndex],
+      queries: Array[(Long, Array[Float], Double)],
+      epsilon: Double,
+      rerankTable: Option[(org.apache.spark.sql.DataFrame, String, String)])
+      : org.apache.spark.sql.DataFrame = {
+    val h = idxs.head
     val spark = h.spark
     import spark.implicits._
     val metric = h.meta.cfg.metric
@@ -1746,7 +1777,6 @@ object IvfIndex {
         }
       }
     scanned.map(s => scored.unionByName(s)).getOrElse(scored)
-      .orderBy("qid", "dist", "id")
   }
 
   /** Resolve a row's owning dir info from its file path (normalized to

@@ -232,13 +232,38 @@ class RangeSearchManyMultiSpec extends SparkSpec {
       s"per-root rows must cut independently: got=${got.toSeq} want=$want")
   }
 
-  test("heterogeneous children and duplicate qids are refused loudly") {
+  test("STORAGE-mixed corpora (f32 + f16 children) cut by homogeneous " +
+       "group — exact within each tier's store") {
+    import spark.implicits._
+    val f32part = corpus(80, 0, 51)
+    val f16part = corpus(80, 1000, 52)
     val idxs = Seq(
-      build(corpus(60, 0, 51), IvfConfig(lists = 2, storage = "f32")),
-      build(corpus(60, 100, 52), IvfConfig(lists = 2, storage = "f16")))
+      build(f32part, IvfConfig(lists = 2, storage = "f32")),
+      build(f16part, IvfConfig(lists = 2, storage = "f16")))
+    val qs = Array((0L, Array.fill(8)(0.1f), 1.3), (1L, Array.fill(8)(-0.1f), 1.2))
+    val got = IvfIndex.rangeSearchManyMulti(idxs, qs)
+      .as[(Long, Long, Double)].collect()
+      .groupBy(_._1).view
+      .mapValues(_.map(t => (t._2, t._3)).sortBy(t => (t._2, t._1)).toSeq).toMap
+    qs.foreach { case (qid, c, r) =>
+      val want = (brute(f32part, c, r, "l2", "f32") ++
+        brute(f16part, c, r, "l2", "f16")).sortBy(t => (t._2, t._1))
+      val g = got.getOrElse(qid, Nil)
+      assert(g.map(_._1) == want.map(_._1),
+        s"qid=$qid ids diverged: got=$g want=$want")
+      g.map(_._2).zip(want.map(_._2)).foreach { case (d, w) =>
+        assert(math.abs(d - w) < 1e-6, s"qid=$qid $d vs $w")
+      }
+    }
+  }
+
+  test("metric mixes and duplicate qids are refused loudly") {
+    val idxs = Seq(
+      build(corpus(60, 0, 55), IvfConfig(lists = 2, metric = "l2")),
+      build(corpus(60, 100, 56), IvfConfig(lists = 2, metric = "negdot")))
     val e = intercept[IllegalArgumentException](
       IvfIndex.rangeSearchManyMulti(idxs, Array((0L, Array.fill(8)(0.1f), 1.0))))
-    assert(e.getMessage.contains("homogeneous"), e.getMessage)
+    assert(e.getMessage.contains("metric"), e.getMessage)
     val ok = Seq(build(corpus(60, 0, 53), IvfConfig(lists = 2)))
     val e2 = intercept[IllegalArgumentException](
       IvfIndex.rangeSearchManyMulti(ok, Array(
