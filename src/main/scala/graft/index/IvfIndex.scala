@@ -1435,13 +1435,23 @@ object IvfIndex {
       idxs.groupBy(ix => (ix.meta.cfg.storage, ix.meta.cfg.storeVectors))
         .toSeq.sortBy(_._1).map(_._2)
     if (groups.length > 1) {
-      import h.spark.implicits._
       // per-group serve, frames unioned, one global ordering: each
       // group's rows are its own exact strict-< survivors, and the range
-      // contract has no cross-root fold — the union IS the answer
-      return groups.map(g => rangeManyMultiHomogeneous(g, queries, epsilon,
-          rerankTable))
+      // contract has no cross-root fold — the union IS the answer. With
+      // a rerankTable the groups share ONE source of truth, so the union
+      // can carry identical duplicate rows (an id indexed by roots in
+      // two groups scores from the same table row in each; a group's
+      // no-prune scan fallback re-emits other groups' survivors from the
+      // shared table): distinct() folds them — exact, because in-table
+      // rows are unique per (qid, id). The no-rerank union keeps
+      // per-root rows independently (different stored vectors, the
+      // colliding-ids contract). The driver-survivor cap divides by the
+      // group count so a mixed call collects no more than a homogeneous
+      // one.
+      val unioned = groups.map(g => rangeManyMultiHomogeneous(g, queries,
+          epsilon, rerankTable, capDivisor = groups.length))
         .reduce(_ unionByName _)
+      return (if (rerankTable.nonEmpty) unioned.distinct() else unioned)
         .orderBy("qid", "dist", "id")
     }
     rangeManyMultiHomogeneous(idxs, queries, epsilon, rerankTable)
@@ -1450,11 +1460,13 @@ object IvfIndex {
 
   /** One HOMOGENEOUS group's [[rangeSearchManyMulti]] body, returning
     * the UNORDERED (qid, id, dist) survivor frame (the caller unions
-    * groups and orders once). */
+    * groups and orders once; `capDivisor` splits the driver-survivor
+    * budget across groups). */
   private def rangeManyMultiHomogeneous(idxs: Seq[IvfIndex],
       queries: Array[(Long, Array[Float], Double)],
       epsilon: Double,
-      rerankTable: Option[(org.apache.spark.sql.DataFrame, String, String)])
+      rerankTable: Option[(org.apache.spark.sql.DataFrame, String, String)],
+      capDivisor: Int = 1)
       : org.apache.spark.sql.DataFrame = {
     val h = idxs.head
     val spark = h.spark
@@ -1538,7 +1550,7 @@ object IvfIndex {
     // while bounded. Both tiers are exact and spec'd equal.
     val maxDriver = scala.util.Try(
         spark.conf.get("graft.ann.range.maxDriverSurvivors").toLong)
-      .getOrElse(1000000L)
+      .getOrElse(1000000L) / math.max(1, capDivisor)
     val probeRows: Array[(Int, Int, Long)] =
       if (maxDriver <= 0) null
       else {
@@ -1546,10 +1558,12 @@ object IvfIndex {
         val r = cand0.as[(Int, Int, Long)].limit(lim + 1).collect()
         if (r.length > lim) null else r
       }
-    // per-query no-prune check over the UNION corpus (the rangeSearchMany
-    // policy): spheres whose code bound kept most rows take the direct
-    // scan of their own probed cells — the join adds cost without
-    // removing work there.
+    // per-query no-prune check over THIS GROUP's corpus (the
+    // rangeSearchMany policy; on a storage-mixed call each group decides
+    // its own scan fallback against its own rows — the fallback concerns
+    // the scan the group itself would run): spheres whose code bound
+    // kept most rows take the direct scan of their own probed cells —
+    // the join adds cost without removing work there.
     val perQ: Array[(Int, Long)] =
       if (probeRows != null)
         probeRows.groupBy(_._1).view.mapValues(_.length.toLong).toArray

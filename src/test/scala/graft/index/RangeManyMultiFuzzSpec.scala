@@ -51,33 +51,11 @@ class RangeManyMultiFuzzSpec extends SparkSpec {
     }.groupBy(_._1).view
       .mapValues(_.map(t => (t._2, t._3)).sortBy(t => (t._2, t._1)).toSeq)
       .toMap
-    // brute over the TIER store: cosdist normalizes both sides, f16
-    // roundtrips stored vectors (the documented tier contract)
+    // brute over the TIER store — the shared [[RangeBruteOracle]], so
+    // this fuzzer and the deterministic spec grade one store contract
     val all = parts.flatten
     qs.foreach { case (qid, c, r) =>
-      val qn =
-        if (metric == "cosdist") {
-          val n = math.sqrt(K.dot(c, c))
-          if (n > 0) c.map(x => (x / n).toFloat) else c
-        } else c
-      val want = all.flatMap { case (id, v) =>
-        val a0 =
-          if (metric == "cosdist") {
-            val a = v.toArray
-            val n = math.sqrt(K.dot(a, a))
-            if (n > 0) a.map(x => (x / n).toFloat) else a
-          } else v.toArray
-        val a1 =
-          if (storage == "f16")
-            graft.core.Half.decodeBytes(graft.core.Half.encodeBytes(a0))
-          else a0
-        val d = metric match {
-          case "l2"      => K.l2(a1, qn)
-          case "negdot"  => K.negdot(a1, qn)
-          case "cosdist" => 1.0 + K.negdot(a1, qn)
-        }
-        if (d < r) Some((id, d)) else None
-      }.sortBy(t => (t._2, t._1))
+      val want = RangeBruteOracle.brute(all, c, r, metric, storage)
       val g = got.getOrElse(qid, Nil)
       assert(g.map(_._1) == want.map(_._1),
         s"[seed=$seed $metric/$storage roots=$nRoots lists=$lists " +

@@ -24,36 +24,12 @@ class RangeSearchManyMultiSpec extends SparkSpec {
       Files.createTempDirectory("graft-rmm").toString, cfg)
   }
 
-  /** Brute strict-< rows over the TIER-adjusted corpus (what the store
-    * holds: cosine normalizes at ingest, f16 roundtrips through halfs). */
+  /** Brute strict-< rows over the TIER-adjusted corpus — shared oracle
+    * ([[RangeBruteOracle]]) so this spec and the fuzzer grade against
+    * one store contract. */
   private def brute(all: Seq[(Long, Seq[Float])], q: Array[Float], r: Double,
-                    metric: String, storage: String): Seq[(Long, Double)] = {
-    // cosdist preps BOTH sides: rows normalize at ingest, the query
-    // normalizes in prepQuery — the distance is then 1 + negdot
-    val qn =
-      if (metric == "cosdist") {
-        val n = math.sqrt(K.dot(q, q))
-        if (n > 0) q.map(x => (x / n).toFloat) else q
-      } else q
-    all.flatMap { case (id, v) =>
-      val a0 =
-        if (metric == "cosdist") {
-          val a = v.toArray
-          val n = math.sqrt(K.dot(a, a))
-          if (n > 0) a.map(x => (x / n).toFloat) else a
-        } else v.toArray
-      val a1 =
-        if (storage == "f16")
-          graft.core.Half.decodeBytes(graft.core.Half.encodeBytes(a0))
-        else a0
-      val d = metric match {
-        case "l2"      => K.l2(a1, qn)
-        case "negdot"  => K.negdot(a1, qn)
-        case "cosdist" => 1.0 + K.negdot(a1, qn)
-      }
-      if (d < r) Some((id, d)) else None
-    }.sortBy(t => (t._2, t._1))
-  }
+                    metric: String, storage: String): Seq[(Long, Double)] =
+    RangeBruteOracle.brute(all, q, r, metric, storage)
 
   private def radiusFor(metric: String): Array[Double] = metric match {
     case "l2"      => Array(1.1, 1.3, 0.9)
@@ -254,6 +230,44 @@ class RangeSearchManyMultiSpec extends SparkSpec {
       g.map(_._2).zip(want.map(_._2)).foreach { case (d, w) =>
         assert(math.abs(d - w) < 1e-6, s"qid=$qid $d vs $w")
       }
+    }
+  }
+
+  test("storage-mixed groups WITH a rerank table fold duplicate rows: " +
+       "one (qid, id) row even across group boundaries and through a " +
+       "group's no-prune table-scan fallback") {
+    import spark.implicits._
+    // group A: codes-only; group B: full f32 — plus id 4242 indexed by
+    // BOTH groups' roots (one source-table truth row)
+    val aRows = corpus(80, 0, 91) :+ (4242L -> Seq.fill(8)(0.12f))
+    val bRows = corpus(80, 1000, 92) :+ (4242L -> Seq.fill(8)(0.12f))
+    val src = (corpus(80, 0, 91) ++ corpus(80, 1000, 92) :+
+      (4242L -> Seq.fill(8)(0.12f))).toDF("id", "vec")
+    val idxs = Seq(
+      build(aRows, IvfConfig(lists = 2))
+        .dropVectors(Files.createTempDirectory("graft-rmm-mx").toString),
+      build(bRows, IvfConfig(lists = 2)))
+    // sphere 0: huge radius -> at least one group's no-prune fallback
+    // scans the WHOLE shared table; sphere 1: selective
+    val qs = Array((0L, Array.fill(8)(0.1f), 4.0), (1L, Array.fill(8)(0.1f), 1.0))
+    val got = IvfIndex.rangeSearchManyMulti(idxs, qs,
+        rerankTable = Some((src, "id", "vec")))
+      .as[(Long, Long, Double)].collect()
+    val byQ = got.groupBy(_._1).view.mapValues(_.toSeq).toMap
+    qs.foreach { case (qid, c, r) =>
+      val rows = byQ.getOrElse(qid, Nil)
+      assert(rows.map(_._2).distinct.length == rows.length,
+        s"qid=$qid duplicate (qid, id) rows in the grouped rerank " +
+        s"union: ${rows.sortBy(_._2)}")
+      // in-table truth: RAW vectors, RAW query, strict-<
+      val want = (corpus(80, 0, 91) ++ corpus(80, 1000, 92) :+
+        (4242L -> Seq.fill(8)(0.12f)))
+        .flatMap { case (id, v) =>
+          val d = K.l2(v.toArray, c)
+          if (d < r) Some((id, d)) else None
+        }.sortBy(t => (t._2, t._1))
+      assert(rows.map(t => (t._2, t._3)).sortBy(t => (t._2, t._1)) == want,
+        s"qid=$qid diverged from the in-table cutoff")
     }
   }
 

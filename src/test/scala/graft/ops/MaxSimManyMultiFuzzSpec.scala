@@ -29,11 +29,18 @@ class MaxSimManyMultiFuzzSpec extends SparkSpec {
     val nDocs = 4 + rng.nextInt(5)
     val perDoc = 3 + rng.nextInt(5)
     val full = rng.nextBoolean() // full-coverage vs tight budgets
+    // ~half the seeds SHARE doc ids across roots (each root holds its
+    // own token rows for the same doc = a doc whose tokens split across
+    // roots) — the geometry that makes the whole-doc-score invariant
+    // able to catch a (root, doc)-gated candidacy regression; the other
+    // half keep the disjoint partitioned-corpus norm
+    val splitDocs = nRoots > 1 && rng.nextBoolean()
     val parts = (0 until nRoots).map { r =>
+      val off = if (splitDocs) 0L else r * 100L
       for {
         d <- 0 until nDocs
         p <- 0 until perDoc
-      } yield ((r * 100 + d).toLong, p, Seq.fill(8)(rng.nextFloat() * 2 - 1))
+      } yield (off + d, p, Seq.fill(8)(rng.nextFloat() * 2 - 1))
     }
     val cfg = IvfConfig(metric = "negdot", lists = lists, storage = storage,
       rotate = rotate)
