@@ -47,6 +47,18 @@ final class VamanaGraph(
 
   def quantized: Boolean = codes != null
 
+  /** Approximate broadcast footprint in bytes (ids + vectors-or-codes +
+    * adjacency, with per-array header overhead): an O(n) ESTIMATE for
+    * budget checks, no serialization pass. */
+  def approxBytes: Long = {
+    val n = ids.length.toLong
+    val vecBytes =
+      if (quantized)
+        codes.iterator.map(c => 48L + c.codes.length + 4L * c.meta.length).sum
+      else vecs.iterator.map(v => 16L + 4L * v.length).sum
+    8L * n + vecBytes + adj.iterator.map(a => 16L + 4L * a.length).sum
+  }
+
   private def distFn(a: Array[Float], b: Array[Float]): Double = cfg.metric match {
     case "l2"      => K.l2(a, b)
     case "negdot"  => K.negdot(a, b)
@@ -345,6 +357,20 @@ object VamanaGraph {
       s"graph searchManyMulti pool budget exceeded: ${queries.length} " +
       s"queries x $perGraphBudget summed per-graph candidates > $maxPool " +
       "(graft.ann.batch.maxPoolTuples) — lower ef or split the batch")
+    // BROADCAST byte budget (the no-silent-caps rule): R driver-tier
+    // graphs ship to every executor as ONE broadcast value — estimate
+    // the footprint and refuse loudly past the cap instead of stalling
+    // the fan-out on a multi-GB torrent or OOMing executors
+    val maxBytes = scala.util.Try(
+        spark.conf.get("graft.ann.graph.batch.maxBroadcastBytes").toLong)
+      .getOrElse(4L << 30)
+    val totBytes = graphs.map(_.approxBytes).sum
+    require(totBytes <= maxBytes,
+      s"graph searchManyMulti broadcast budget exceeded: ${graphs.length} " +
+      s"graphs ~ $totBytes bytes > $maxBytes " +
+      "(graft.ann.graph.batch.maxBroadcastBytes) — split the batch by " +
+      "graph, serve this tier from ShardedVamana, or raise the conf on " +
+      "a big-memory cluster")
     val bgs = spark.sparkContext.broadcast(graphs.toIndexedSeq)
     val rerank = rerankTable.nonEmpty
     val kArg = k
@@ -397,8 +423,15 @@ object VamanaGraph {
             bIdToQ.value.getOrElse(id, Array.empty[Long]).toSeq
               .map(qid => (qid, id, kern(v, bQs.value(qid))))
           }.collect()
+        // fold per (qid, id) to the BEST distance — mirroring the
+        // no-rerank branch: a source table holding two rows for one id
+        // (append-without-delete) must not let that id occupy two of the
+        // k slots
         val out = scored.groupBy(_._1).toSeq.flatMap { case (qid, rows) =>
-          rows.map(r => (r._3, r._2)).distinct.sorted.take(kArg).zipWithIndex
+          rows.groupBy(_._2).valuesIterator
+            .map(dups => dups.minBy(r => (r._3, r._2)))
+            .map(r => (r._3, r._2)).toSeq
+            .sorted.take(kArg).zipWithIndex
             .map { case ((d, id), i) => (qid, id, d, (i + 1).toLong) }
         }
         out.toDF("qid", "id", "dist", "rn")

@@ -809,7 +809,247 @@ case class AnnTopKRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
           if spark.conf.get("graft.ann.range.join.enable", "true").toBoolean &&
             !isServedPlan(j) =>
         serveRangeJoin(j).getOrElse(j)
+
+      // TOP-K KNN JOIN (the SQL surface of searchMany / searchManyMulti —
+      // SURVEY §2.6's batch KNN-join; the reference drives one scan per
+      // query, crates/vchordrq/src/search.rs:36):
+      //   SELECT ... FROM (
+      //     SELECT q.*, e.*, row_number() OVER (PARTITION BY q.<key>
+      //       ORDER BY vec_l2(e.vec, q.center) [, tiebreaks]) AS rn
+      //     FROM queries q JOIN docs e) WHERE rn <= k
+      // — the lateral "k nearest per query row". The bounded queries side
+      // is collected at planning time, per-query candidates come from ONE
+      // batched index job (searchMany on a single root, searchManyMulti on
+      // a partitioned corpus), and the indexed side is restricted to the
+      // candidate UNION; the window reranks with the ORIGINAL distance
+      // expression, so each query's output is the exact top-k of its
+      // candidate superset (the standard ANN serve contract). Without the
+      // serve this shape is a broadcast nested-loop cross join over the
+      // full table per query row.
+      case f @ Filter(_, _: Window)
+          if spark.conf.get("graft.ann.knn.join.enable", "true").toBoolean &&
+            !isServedPlan(f) =>
+        serveKnnJoin(f).getOrElse(f)
     }
+  }
+
+  /** Index-served top-k KNN join (see the match site). Declines — leaving
+    * the original exact plan — when: the window is not a single
+    * row_number() ranked ascending by a column-column distance; the rank
+    * bound conjunct is missing; the join carries a residual condition or
+    * the indexed side a prefilter (either breaks the per-query k-floor the
+    * candidate restriction guarantees); the window partition keys off the
+    * indexed side; the queries side is non-deterministic, oversized
+    * (`graft.ann.knn.join.maxQueries`), or holds a NULL center (its pairs
+    * rank by null-dist NULLS FIRST — semantics a candidate restriction
+    * cannot reproduce); the candidate union exceeds `graft.ann.maxInList`;
+    * or the cost model prefers the exact scan. Planning cost: EXACTLY TWO
+    * bounded driver-blocking jobs regardless of query-row count and root
+    * count (one capped queries-side collect, one batched candidate job),
+    * both counted in [[AnnTopKRewrite.planningJobs]]. For bulk batches
+    * past the cap use the DSL's `searchMany`/`searchManyMulti`. */
+  private def serveKnnJoin(f: Filter): Option[LogicalPlan] = {
+    val w = f.child.asInstanceOf[Window]
+    // exactly one window expression: row_number() — rank() admits past-k
+    // ties and dense_rank changes what the bound counts, so only
+    // row_number's "k rows per partition" matches the KNN-join contract
+    val rnAttr = w.windowExpressions match {
+      case Seq(a @ Alias(WindowExpression(_: RowNumber, _), _)) => a.toAttribute
+      case _ => return None
+    }
+    // the rank bound: some conjunct `rn <= k` (any literal spelling);
+    // other conjuncts only further restrict the output and are kept
+    val k = conjuncts(f.condition).collectFirst {
+      case LessThanOrEqual(a: AttributeReference, IntegerLiteral(n))
+          if a.exprId == rnAttr.exprId => n
+      case LessThan(a: AttributeReference, IntegerLiteral(n))
+          if a.exprId == rnAttr.exprId => n - 1
+      case GreaterThanOrEqual(IntegerLiteral(n), a: AttributeReference)
+          if a.exprId == rnAttr.exprId => n
+      case GreaterThan(IntegerLiteral(n), a: AttributeReference)
+          if a.exprId == rnAttr.exprId => n - 1
+      case EqualTo(a: AttributeReference, IntegerLiteral(1))
+          if a.exprId == rnAttr.exprId => 1
+      case EqualTo(IntegerLiteral(1), a: AttributeReference)
+          if a.exprId == rnAttr.exprId => 1
+    } match {
+      case Some(n) if n >= 1 => n
+      case _ => return None
+    }
+    // strip the optimizer's WindowGroupLimit (physical per-partition
+    // pruning inserted by InferWindowGroupLimit — same rows)
+    val wchild = w.child match {
+      case wgl: WindowGroupLimit => wgl.child
+      case c => c
+    }
+    val (projOpt, join) = wchild match {
+      case j: Join => (None, j)
+      case p @ Project(pl, j: Join) if pl.forall(_.deterministic) =>
+        (Some(pl), j)
+      case _ => return None
+    }
+    // per-query top-k needs the bare cross product: a residual join
+    // condition (or an indexed-side prefilter, below) could leave fewer
+    // than k qualifying rows among the candidates — the under-k recall
+    // problem the single-query serve solves with escalation; here it
+    // conservatively declines
+    if (join.condition.nonEmpty) return None
+    join.joinType match {
+      case org.apache.spark.sql.catalyst.plans.Inner |
+           org.apache.spark.sql.catalyst.plans.Cross => ()
+      case _ => return None
+    }
+    // window order/partition expressions are extracted into the Project
+    // below the Window by the analyzer (`_w0`) — resolve them back
+    def resolveThroughProj(e: Expression): Expression = e match {
+      case a: AttributeReference =>
+        projOpt.flatMap(_.collectFirst {
+          case al @ Alias(c, _) if al.exprId == a.exprId => c
+        }).getOrElse(a)
+      case other => other
+    }
+    val headOrder = w.orderSpec.headOption.getOrElse(return None)
+    if (headOrder.direction != Ascending) return None
+    val (metric, x, y) = resolveThroughProj(headOrder.child) match {
+      case DistCols(m, a, b) => (m, a, b)
+      case _ => return None
+    }
+    // side assignment as in the range join: the metrics are operand-
+    // symmetric, so try both (vec, center) readings on both join sides
+    val sides = Seq((x, y), (y, x)).flatMap { case (v, c) =>
+      if (join.left.outputSet.contains(v) && join.right.outputSet.contains(c))
+        Seq((join.left, join.right, v, c, true))
+      else if (join.right.outputSet.contains(v) && join.left.outputSet.contains(c))
+        Seq((join.right, join.left, v, c, false))
+      else Nil
+    }
+    sides.view.flatMap { case (indexedSide, queriesSide, vecAttr, centerAttr, indexedIsLeft) =>
+      tryServeKnnJoin(f, w, join, projOpt, resolveThroughProj, k, metric,
+        vecAttr, centerAttr, indexedSide, queriesSide, indexedIsLeft)
+    }.headOption
+  }
+
+  private def tryServeKnnJoin(f: Filter, w: Window, join: Join,
+      projOpt: Option[Seq[NamedExpression]],
+      resolveThroughProj: Expression => Expression,
+      k: Int, metric: String,
+      vecAttr: AttributeReference, centerAttr: AttributeReference,
+      indexedSide: LogicalPlan, queriesSide: LogicalPlan,
+      indexedIsLeft: Boolean): Option[LogicalPlan] = {
+    for {
+      _ <- Some(())
+      // "k per QUERY row": the partition must key off the queries side —
+      // partitioning by anything on the indexed side is a different
+      // operator (k query rows per doc) the candidate restriction breaks
+      if w.partitionSpec.nonEmpty
+      if w.partitionSpec.forall(pe =>
+        resolveThroughProj(pe).references.subsetOf(queriesSide.outputSet))
+      // queries-side rows must reproduce identically at execution time
+      if !queriesSide.exists(p => !p.expressions.forall(_.deterministic))
+      (rel, predOpt) <- destructure(indexedSide)
+      if predOpt.isEmpty // prefiltered indexed side: see the decline note
+      fsRel <- rel.relation match {
+        case h: HadoopFsRelation => Some(h)
+        case _ => None
+      }
+      roots = fsRel.location.rootPaths.map(_.toString)
+      es <- AnnCatalog.lookup(roots).map(Seq(_))
+        .orElse(AnnCatalog.lookupAll(roots).filter(_.size > 1))
+        .orElse(AnnCatalog.coverByFiles(roots,
+          fsRel.location.inputFiles.toSeq))
+      if es.forall(_.vecCol == vecAttr.name)
+      if es.map(_.idCol).distinct.size == 1
+      idAttr <- indexedSide.output.find(_.name == es.head.idCol)
+      idLit <- litFor(idAttr)
+      if es.forall(e => AnnCatalog.index(spark, e).meta.cfg.metric == metric)
+      served <- {
+        val idxs = es.map(e => AnnCatalog.index(spark, e))
+        val maxQ = spark.conf.get("graft.ann.knn.join.maxQueries", "256").toInt
+        val maxInList = spark.conf.get("graft.ann.maxInList", "8192").toInt
+        val probesConf = spark.conf.get("graft.ann.probes", "auto")
+        def probesFor(lists: Int): Int =
+          if (probesConf == "auto")
+            math.max(1, math.ceil(math.sqrt(lists.toDouble)).toInt)
+          else probesConf.toInt
+        val refine = spark.conf.get("graft.ann.refine", "8").toInt
+        // cost gate: per query row, summed per-root index work vs the
+        // exact cross join touching every indexed row — the query-row
+        // count multiplies both sides, so it cancels (serve()'s formula)
+        val costOk = !spark.conf.get("graft.ann.cost.enable", "true").toBoolean || {
+          val nTotal = idxs.map(_.rowCount).sum.toDouble
+          idxs.map { ix =>
+            val lists = ix.meta.cfg.lists
+            ix.rowCount.toDouble * probesFor(lists) / lists * 0.3 +
+              math.min(k.toDouble * refine, ix.rowCount.toDouble) +
+              lists.toDouble * 0.01
+          }.sum < nTotal
+        }
+        // searchManyMulti reranks from the roots' own stored vectors;
+        // codes-only children would need a union rerank table the
+        // per-child entries cannot supply — single-root codes-only serves
+        // through its entry's tablePath below
+        val multiOk = idxs.length == 1 || idxs.forall(_.meta.cfg.storeVectors)
+        // batched-face driver-pool budget (the face itself refuses
+        // loudly past it; the planner declines instead of throwing)
+        val maxPool = scala.util.Try(
+            spark.conf.get("graft.ann.batch.maxPoolTuples").toLong)
+          .getOrElse(4000000L)
+        if (!costOk || !multiOk) None
+        else {
+          AnnTopKRewrite.planningJobs.incrementAndGet()
+          val qRows = ColumnBridge.ofRows(spark,
+              Project(Seq(Alias(centerAttr, "c")()), queriesSide))
+            .limit(maxQ + 1).collect()
+          if (qRows.length > maxQ || qRows.exists(_.isNullAt(0))) None
+          else if (qRows.isEmpty) Some(LocalRelation(f.output))
+          else {
+            // identical centers share one candidate fetch (dedupe by
+            // CONTENT — Array equality is reference equality)
+            val queries = qRows.iterator.map(_.getSeq[Float](0)).toArray
+              .distinct.zipWithIndex
+              .map { case (c, i) => (i.toLong, c.toArray) }
+            val nCand = math.max(k * refine, k)
+            if (idxs.length.toLong * queries.length * nCand > maxPool) None
+            else {
+              AnnTopKRewrite.planningJobs.incrementAndGet()
+              import spark.implicits._
+              val probes = idxs.map(ix => probesFor(ix.meta.cfg.lists)).max
+              val ids: Array[Long] =
+                if (idxs.length == 1) {
+                  val e0 = es.head
+                  val rt =
+                    if (idxs.head.meta.cfg.storeVectors || e0.tablePath.isEmpty) None
+                    else Some((spark.read.parquet(e0.tablePath), e0.idCol, e0.vecCol))
+                  idxs.head.searchMany(queries, k, probes = probes,
+                      refine = refine, rerankTable = rt)
+                    .select("id").as[Long].collect()
+                } else
+                  IvfIndex.searchManyMulti(idxs, queries, k, probes = probes,
+                      refine = refine)
+                    .select("id").as[Long].collect()
+              val dids = ids.distinct.sorted
+              // empty candidates only arise from an empty/degenerate
+              // index — decline rather than guess at the table's rows
+              if (dids.isEmpty || dids.length > maxInList) None
+              else {
+                ensureInPushdown(dids.length)
+                val restricted = stamped(Filter(
+                  AnnTopKRewrite.idsInExpr(idAttr, dids, idLit), indexedSide))
+                val newJoin = if (indexedIsLeft) join.copy(left = restricted)
+                              else join.copy(right = restricted)
+                val newBody: LogicalPlan = projOpt
+                  .map(pl => Project(pl, newJoin): LogicalPlan).getOrElse(newJoin)
+                val newWchild = w.child match {
+                  case wgl: WindowGroupLimit => wgl.withNewChildren(Seq(newBody))
+                  case _ => newBody
+                }
+                Some(f.withNewChildren(Seq(w.withNewChildren(Seq(newWchild)))))
+              }
+            }
+          }
+        }
+      }
+    } yield served
   }
 
   /** Index-served range join (see the match site). The indexed side may

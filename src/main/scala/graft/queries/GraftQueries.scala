@@ -698,6 +698,104 @@ object GraftQueries {
              |SELECT qid, vec_id, round(dist, 3) AS dist, CAST(rn AS BIGINT) AS rn
              |FROM r WHERE rn <= 3 ORDER BY qid, rn""".stripMargin)),
 
+    // PLANNER-SERVED top-k KNN JOIN (round 15; SURVEY §2.6 batch
+    // KNN-join — the SQL surface of searchMany): the windowed
+    // rank-filter shape a SQL user writes for "k nearest per query row"
+    // (row_number() OVER (PARTITION BY qid ORDER BY vec_l2(...)) <= k
+    // over a cross join) is matched by AnnTopKRewrite.serveKnnJoin,
+    // which collects the bounded queries side at planning time, answers
+    // every query in ONE batched searchMany job, and restricts the
+    // indexed side to the candidate union — the window reranks with the
+    // original expression, so output is exact at these probe budgets.
+    // Asserted in-query: a silent regression to the broadcast
+    // nested-loop cross join fails the run rather than just slowing it.
+    "knn_join_indexed" -> Q(
+      (s, d) => {
+        val idx = IvfCache.get(s, d)
+        val path = prefilterTable(s, d)
+        graft.plans.AnnCatalog.register(path, idx.dir, "vec_id", "embedding")
+        if (!s.experimental.extraOptimizations.exists(_.isInstanceOf[graft.plans.AnnTopKRewrite]))
+          s.experimental.extraOptimizations =
+            s.experimental.extraOptimizations :+ graft.plans.AnnTopKRewrite(s)
+        graft.functions.GraftFunctions.registerAll(s)
+        s.read.parquet(path).createOrReplaceTempView("emb_kj")
+        val served = withConfs(s, "graft.ann.probes" -> "16",
+          "graft.ann.refine" -> "16") {
+            val df = s.sql(
+              """SELECT qid, vec_id, dist, CAST(rn AS BIGINT) AS rn FROM (
+                |  SELECT q.qid, e.vec_id,
+                |         round(vec_l2(e.embedding, q.center), 3) AS dist,
+                |         row_number() OVER (PARTITION BY q.qid
+                |           ORDER BY vec_l2(e.embedding, q.center), e.vec_id) AS rn
+                |  FROM (SELECT vec_id AS qid, embedding AS center FROM emb_kj
+                |        WHERE vec_id IN (0, 1, 2)) q
+                |  JOIN emb_kj e
+                |) WHERE rn <= 3 ORDER BY qid, rn""".stripMargin)
+            // the queries-side subquery carries its own user IN — the
+            // serve adds a SECOND one (the candidate restriction)
+            require(candInCount(df.queryExecution.optimizedPlan.toString) >= 2,
+              "knn_join_indexed was NOT index-served — the KNN-join rule " +
+              "failed to match the windowed rank shape:\n" +
+              df.queryExecution.optimizedPlan)
+            df.collect()
+          }
+        import s.implicits._
+        served.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+          .toSeq.toDF("qid", "vec_id", "dist", "rn").orderBy("qid", "rn")
+      },
+      Some("""WITH qt AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id IN (0, 1, 2)),
+             |e AS (SELECT vec_id, embedding, unnest(range(0, 64)) AS i FROM embeddings),
+             |dd AS (SELECT qt.qid, e.vec_id,
+             |  sqrt(sum(power(CAST(e.embedding[i+1] AS DOUBLE) - CAST(qt.qe[i+1] AS DOUBLE), 2))) AS dist
+             |  FROM e, qt GROUP BY 1, 2),
+             |r AS (SELECT qid, vec_id, dist, row_number() OVER (PARTITION BY qid ORDER BY dist, vec_id) AS rn FROM dd)
+             |SELECT qid, vec_id, round(dist, 3) AS dist, CAST(rn AS BIGINT) AS rn
+             |FROM r WHERE rn <= 3 ORDER BY qid, rn""".stripMargin)),
+
+    // The same KNN JOIN against the PARTITIONED copy: the indexed side
+    // resolves through the per-child cover and all queries x all roots
+    // answer in ONE flat searchManyMulti job (two planning jobs total,
+    // root-count independent). Identical rows to knn_join_indexed (the
+    // partitioned copy holds the same data), so the same oracle.
+    "knn_join_partitioned" -> Q(
+      (s, d) => {
+        val path = partitionedEmbTable(s, d)
+        if (!s.experimental.extraOptimizations.exists(_.isInstanceOf[graft.plans.AnnTopKRewrite]))
+          s.experimental.extraOptimizations =
+            s.experimental.extraOptimizations :+ graft.plans.AnnTopKRewrite(s)
+        graft.functions.GraftFunctions.registerAll(s)
+        s.read.parquet(path).createOrReplaceTempView("emb_kj_part")
+        val served = withConfs(s, "graft.ann.probes" -> "16",
+          "graft.ann.refine" -> "16", "graft.ann.cost.enable" -> "false") {
+            val df = s.sql(
+              """SELECT qid, vec_id, dist, CAST(rn AS BIGINT) AS rn FROM (
+                |  SELECT q.qid, e.vec_id,
+                |         round(vec_l2(e.embedding, q.center), 3) AS dist,
+                |         row_number() OVER (PARTITION BY q.qid
+                |           ORDER BY vec_l2(e.embedding, q.center), e.vec_id) AS rn
+                |  FROM (SELECT vec_id AS qid, embedding AS center FROM emb_kj_part
+                |        WHERE vec_id IN (0, 1, 2)) q
+                |  JOIN emb_kj_part e
+                |) WHERE rn <= 3 ORDER BY qid, rn""".stripMargin)
+            require(candInCount(df.queryExecution.optimizedPlan.toString) >= 2,
+              "knn_join_partitioned was NOT index-served — the partitioned " +
+              "KNN-join cover failed to match:\n" +
+              df.queryExecution.optimizedPlan)
+            df.collect()
+          }
+        import s.implicits._
+        served.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+          .toSeq.toDF("qid", "vec_id", "dist", "rn").orderBy("qid", "rn")
+      },
+      Some("""WITH qt AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id IN (0, 1, 2)),
+             |e AS (SELECT vec_id, embedding, unnest(range(0, 64)) AS i FROM embeddings),
+             |dd AS (SELECT qt.qid, e.vec_id,
+             |  sqrt(sum(power(CAST(e.embedding[i+1] AS DOUBLE) - CAST(qt.qe[i+1] AS DOUBLE), 2))) AS dist
+             |  FROM e, qt GROUP BY 1, 2),
+             |r AS (SELECT qid, vec_id, dist, row_number() OVER (PARTITION BY qid ORDER BY dist, vec_id) AS rn FROM dd)
+             |SELECT qid, vec_id, round(dist, 3) AS dist, CAST(rn AS BIGINT) AS rn
+             |FROM r WHERE rn <= 3 ORDER BY qid, rn""".stripMargin)),
+
     "ivf_knn" -> Q(
       (s, d) => { val q = qvec(s, d, 0)
         IvfCache.get(s, d).searchExact(q, 10)

@@ -105,6 +105,41 @@ class GraphSearchManyMultiSpec extends SparkSpec {
     }
   }
 
+  test("broadcast byte budget refuses loudly and names the conf") {
+    val g = build(corpus(40, 0, 52))
+    assert(g.approxBytes > 0)
+    graft.core.Confs.withConfs(spark,
+        "graft.ann.graph.batch.maxBroadcastBytes" -> "1024") {
+      val e = intercept[IllegalArgumentException](
+        VamanaGraph.searchManyMulti(spark, Seq(g),
+          Array(0L -> Array.fill(8)(0.1f)), 3))
+      assert(e.getMessage.contains("maxBroadcastBytes"), e.getMessage)
+    }
+  }
+
+  test("rerank-table rows duplicating an id fold to ONE slot with the " +
+       "best distance") {
+    import spark.implicits._
+    val q = Array.fill(8)(0.5f)
+    val far = Array.tabulate(30)(i =>
+      ((10 + i).toLong, Array.fill(8)(3.0f + (i % 5) * 0.5f)))
+    val rows = (5L, Array.fill(8)(0.5f)) +: far
+    val g = build(rows, bits = 8)
+    // the SOURCE table carries id 5 twice with different vectors
+    // (append-without-delete): the fold must keep its best distance in
+    // one slot, not let both rows occupy two of the k
+    val src = ((5L, Array.fill(8)(0.6f).toSeq) +:
+        rows.map { case (id, v) => (id, v.toSeq) }.toSeq)
+      .toDF("id", "vec")
+    val got = VamanaGraph.searchManyMulti(spark, Seq(g), Array(0L -> q),
+        k = 3, ef = 128, rerankTable = Some((src, "id", "vec")))
+      .as[(Long, Long, Double, Long)].collect().sortBy(_._4)
+    assert(got.map(_._2).count(_ == 5L) == 1,
+      s"id 5 must occupy exactly one slot: ${got.toSeq}")
+    assert(got.head._2 == 5L && got.head._3 < 1e-6,
+      s"the folded slot must carry the best of its duplicate rows: ${got.toSeq}")
+  }
+
   test("metric mixes and duplicate qids refuse loudly") {
     val a = build(corpus(40, 0, 41))
     val bRows = corpus(40, 100, 42)

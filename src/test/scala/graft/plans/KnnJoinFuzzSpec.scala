@@ -1,0 +1,106 @@
+package graft.plans
+
+import graft.SparkSpec
+import graft.functions.GraftFunctions
+import graft.index.{IvfConfig, IvfIndex}
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/**
+ * Seeded CONFIG-AXIS FUZZ over the KNN-join serve: random (query-count,
+ * k, metric, table-form) combinations, every trial executed with the rule
+ * active and compared row-for-row against a driver-side brute force.
+ * Probes cover every cell, refine is generous, and the cost model is off,
+ * so every valid shape serves in the exact regime — a row mismatch is a
+ * planner bug, not ANN slack — and the serve assert catches a silent
+ * decline regression on any axis combination.
+ */
+class KnnJoinFuzzSpec extends SparkSpec {
+
+  private val dim = 8
+  private val n = 300
+
+  /** (metric -> flat tableDir), plus a two-root partitioned l2 corpus. */
+  private lazy val fixture: (Map[String, String], String) = {
+    import spark.implicits._
+    val rng = new scala.util.Random(2027)
+    val rows = (0L until n.toLong).map(i => (i, Seq.fill(dim)(rng.nextFloat() * 2 - 1)))
+    val flat = Seq("l2", "cosdist", "negdot").map { m =>
+      val dir = Files.createTempDirectory(s"graft-kjf-$m").toString
+      rows.toDF("id", "vec").write.mode("overwrite").parquet(dir)
+      val idir = Files.createTempDirectory(s"graft-kjf-$m-idx").toString
+      IvfIndex.build(spark.read.parquet(dir), "id", "vec", idir,
+        IvfConfig(lists = 4, metric = m))
+      AnnCatalog.register(dir, idir, "id", "vec")
+      m -> dir
+    }.toMap
+    val part = Files.createTempDirectory("graft-kjf-part").toString
+    spark.read.parquet(flat("l2"))
+      .withColumn("pt", (col("id") % 2).cast("int"))
+      .write.partitionBy("pt").mode("overwrite").parquet(part)
+    (0 to 1).foreach { p =>
+      val idir = Files.createTempDirectory(s"graft-kjf-pidx$p").toString
+      IvfIndex.build(spark.read.parquet(s"$part/pt=$p"), "id", "vec", idir,
+        IvfConfig(lists = 4))
+      AnnCatalog.register(s"$part/pt=$p", idir, "id", "vec")
+    }
+    (flat, part)
+  }
+
+  private lazy val allRows: Array[(Long, Array[Float])] = {
+    import spark.implicits._
+    spark.read.parquet(fixture._1("l2")).select("id", "vec")
+      .as[(Long, Seq[Float])].collect().map { case (i, v) => (i, v.toArray) }
+  }
+
+  test("30 seeded (queries x k x metric x form) trials: served rows == brute force") {
+    val (flat, part) = fixture
+    val rng = new scala.util.Random(555)
+    val rule = AnnTopKRewrite(spark)
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations :+ rule
+    try graft.core.Confs.withConfs(spark,
+        "graft.ann.probes" -> "4", "graft.ann.refine" -> "40",
+        "graft.ann.cost.enable" -> "false") {
+      import spark.implicits._
+      (1 to 30).foreach { trial =>
+        val metric = Seq("l2", "cosdist", "negdot")(rng.nextInt(3))
+        val partitioned = metric == "l2" && rng.nextBoolean()
+        val dir = if (partitioned) part else flat(metric)
+        val m = 1 + rng.nextInt(6)
+        val k = 1 + rng.nextInt(12)
+        val qs = (0 until m).map { i =>
+          // half data rows (self-match exercises dist=0 ties), half random
+          val v = if (rng.nextBoolean()) allRows(rng.nextInt(n))._2
+                  else Array.fill(dim)(rng.nextFloat() * 2 - 1)
+          (i.toLong, v)
+        }
+        val distFn = metric match {
+          case "l2"      => GraftFunctions.vecL2 _
+          case "cosdist" => GraftFunctions.vecCosdist _
+          case "negdot"  => GraftFunctions.vecNegdot _
+        }
+        val qdf = qs.map { case (qid, q) => (qid, q.toSeq) }.toDF("qid", "center")
+        val w = org.apache.spark.sql.expressions.Window.partitionBy("qid")
+          .orderBy(distFn(col("vec"), col("center")), col("id"))
+        val df = qdf.crossJoin(spark.read.parquet(dir))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= k)
+          .select(col("qid"), col("id"), col("rn").cast("long").as("rn"))
+        assert(AnnTopKRewrite.inServed(df.queryExecution.optimizedPlan.toString),
+          s"trial $trial (m=$m k=$k metric=$metric part=$partitioned) " +
+          s"was not served:\n${df.queryExecution.optimizedPlan}")
+        val got = df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+          .toSeq.sortBy(t => (t._1, t._3))
+        val fn = graft.ops.Knn.metricFn(metric)
+        val want = qs.flatMap { case (qid, q) =>
+          allRows.map { case (id, v) => (fn(v, q), id) }.sorted.take(k)
+            .zipWithIndex.map { case ((_, id), i) => (qid, id, (i + 1).toLong) }
+        }
+        assert(got == want,
+          s"trial $trial (m=$m k=$k metric=$metric part=$partitioned) mismatch")
+      }
+    } finally spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations.filterNot(_ == rule)
+  }
+}

@@ -1,0 +1,259 @@
+package graft.plans
+
+import graft.SparkSpec
+import graft.core.{VectorKernels => K}
+import graft.functions.GraftFunctions
+import graft.index.{IvfConfig, IvfIndex}
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/**
+ * Planner-served top-k KNN JOIN — the lateral "k nearest per query row"
+ * (SURVEY §2.6 batch KNN-join; the reference's scan loop answers it one
+ * query at a time, crates/vchordrq/src/search.rs:36). The windowed
+ * rank-filter shape over a cross join between a bounded queries side and
+ * a registered indexed table must be restricted to the batched index
+ * faces' candidate union, keep the original window for exact rerank, and
+ * decline on every shape it cannot serve exactly.
+ */
+class KnnJoinServeSpec extends SparkSpec {
+
+  private val dim = 8
+
+  private lazy val setup: (String, String) = {
+    import spark.implicits._
+    val rng = new scala.util.Random(41)
+    val rows = (0L until 500L).map(i => i -> Seq.fill(dim)(rng.nextFloat() * 2 - 1))
+    val tableDir = Files.createTempDirectory("graft-kj-table").toString
+    rows.toDF("id", "vec").write.mode("overwrite").parquet(tableDir)
+    val indexDir = Files.createTempDirectory("graft-kj-index").toString
+    IvfIndex.build(spark.read.parquet(tableDir), "id", "vec", indexDir, IvfConfig(lists = 8))
+    (tableDir, indexDir)
+  }
+
+  /** Two-root partitioned copy (pt = id % 2), one index per root. */
+  private lazy val partSetup: String = {
+    import spark.implicits._
+    val (tableDir, _) = setup
+    val dst = Files.createTempDirectory("graft-kj-part").toString
+    spark.read.parquet(tableDir)
+      .withColumn("pt", (col("id") % 2).cast("int"))
+      .write.partitionBy("pt").mode("overwrite").parquet(dst)
+    (0 to 1).foreach { p =>
+      val idir = Files.createTempDirectory(s"graft-kj-pidx$p").toString
+      IvfIndex.build(spark.read.parquet(s"$dst/pt=$p"), "id", "vec", idir,
+        IvfConfig(lists = 8))
+      AnnCatalog.register(s"$dst/pt=$p", idir, "id", "vec")
+    }
+    dst
+  }
+
+  private def withRule[T](f: => T): T = {
+    val rule = AnnTopKRewrite(spark)
+    spark.experimental.extraOptimizations = spark.experimental.extraOptimizations :+ rule
+    try f
+    finally spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations.filterNot(_ == rule)
+  }
+
+  private def withConfs[T](kv: (String, String)*)(f: => T): T =
+    graft.core.Confs.withConfs(spark, kv: _*)(f)
+
+  private def data(tableDir: String): Array[(Long, Array[Float])] = {
+    import spark.implicits._
+    spark.read.parquet(tableDir).select("id", "vec").as[(Long, Seq[Float])]
+      .collect().map { case (i, v) => (i, v.toArray) }
+  }
+
+  /** Brute-force per-query top-k: (qid, id, dist-rounded, rn). */
+  private def brute(tableDir: String, qs: Seq[(Long, Array[Float])], k: Int,
+                    metric: String = "l2"): Seq[(Long, Long, Long)] = {
+    val fn = graft.ops.Knn.metricFn(metric)
+    val rows = data(tableDir)
+    qs.flatMap { case (qid, q) =>
+      rows.map { case (id, v) => (fn(v, q), id) }.sorted.take(k)
+        .zipWithIndex.map { case ((_, id), i) => (qid, id, (i + 1).toLong) }
+    }
+  }
+
+  /** The DSL windowed KNN-join shape over `path` for literal queries. */
+  private def kjDf(path: String, qs: Seq[(Long, Array[Float])], k: Int) = {
+    import spark.implicits._
+    val qdf = qs.map { case (qid, q) => (qid, q.toSeq) }.toDF("qid", "center")
+    val e = spark.read.parquet(path)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("qid")
+      .orderBy(GraftFunctions.vecL2(col("vec"), col("center")), col("id"))
+    qdf.crossJoin(e)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("qid"), col("id"), col("rn").cast("long").as("rn"))
+  }
+
+  private def collectKj(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long, Long)] =
+    df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      .sortBy(t => (t._1, t._3))
+
+  test("windowed KNN join over a registered table is index-served and exact") {
+    val (tableDir, indexDir) = setup
+    AnnCatalog.register(tableDir, indexDir, "id", "vec")
+    try withRule {
+      withConfs("graft.ann.probes" -> "8", "graft.ann.refine" -> "20") {
+        val byId = data(tableDir).toMap
+        val qs = Seq(0L, 7L, 12L).map(i => i -> byId(i))
+        val before = AnnTopKRewrite.planningJobs.get()
+        val df = kjDf(tableDir, qs, 5)
+        val optimized = df.queryExecution.optimizedPlan.toString
+        assert(AnnTopKRewrite.inServed(optimized),
+          s"expected candidate-id restriction:\n$optimized")
+        // exactly two planning jobs: queries collect + one batched candidate job
+        assert(AnnTopKRewrite.planningJobs.get() - before == 2)
+        // physical scan carries the pushed In filter
+        val physical = df.queryExecution.executedPlan.toString
+        assert(physical.contains("PushedFilters: [In(id"), physical)
+        assert(collectKj(df) == brute(tableDir, qs, 5))
+      }
+    } finally AnnCatalog.unregister(tableDir)
+  }
+
+  test("SQL spelling (subquery + WHERE rn <= k) is served and exact") {
+    val (tableDir, indexDir) = setup
+    AnnCatalog.register(tableDir, indexDir, "id", "vec")
+    GraftFunctions.registerAll(spark)
+    try withRule {
+      withConfs("graft.ann.probes" -> "8", "graft.ann.refine" -> "20") {
+        spark.read.parquet(tableDir).createOrReplaceTempView("kj_docs")
+        val df = spark.sql(
+          """SELECT qid, id, CAST(rn AS BIGINT) AS rn FROM (
+            |  SELECT q.qid, e.id,
+            |         row_number() OVER (PARTITION BY q.qid
+            |           ORDER BY vec_l2(e.vec, q.center), e.id) AS rn
+            |  FROM (SELECT id AS qid, vec AS center FROM kj_docs
+            |        WHERE id IN (1, 3, 9)) q
+            |  JOIN kj_docs e
+            |) WHERE rn <= 4""".stripMargin)
+        val optimized = df.queryExecution.optimizedPlan.toString
+        // the queries-side user IN plus the serve's candidate restriction
+        assert(AnnTopKRewrite.candInCount(optimized) >= 2,
+          s"expected user IN + candidate IN:\n$optimized")
+        val byId = data(tableDir).toMap
+        val qs = Seq(1L, 3L, 9L).map(i => i -> byId(i))
+        assert(collectKj(df) == brute(tableDir, qs, 4))
+      }
+    } finally AnnCatalog.unregister(tableDir)
+  }
+
+  test("partitioned corpus serves through searchManyMulti and is exact") {
+    val (tableDir, _) = setup
+    val dst = partSetup
+    withRule {
+      withConfs("graft.ann.probes" -> "8", "graft.ann.refine" -> "20",
+          "graft.ann.cost.enable" -> "false") {
+        val byId = data(tableDir).toMap
+        val qs = Seq(2L, 5L).map(i => i -> byId(i))
+        val before = AnnTopKRewrite.planningJobs.get()
+        val df = kjDf(dst, qs, 6)
+        val optimized = df.queryExecution.optimizedPlan.toString
+        assert(AnnTopKRewrite.inServed(optimized),
+          s"expected partitioned candidate restriction:\n$optimized")
+        assert(AnnTopKRewrite.planningJobs.get() - before == 2)
+        assert(collectKj(df) == brute(tableDir, qs, 6))
+      }
+    }
+  }
+
+  test("codes-only index serves via its entry's rerank table") {
+    import spark.implicits._
+    val (tableDir, _) = setup
+    val novecDir = Files.createTempDirectory("graft-kj-novec").toString
+    IvfIndex.load(spark, setup._2).dropVectors(novecDir)
+    AnnCatalog.register(tableDir, novecDir, "id", "vec")
+    try withRule {
+      withConfs("graft.ann.probes" -> "8", "graft.ann.refine" -> "20") {
+        val byId = data(tableDir).toMap
+        val qs = Seq(4L, 11L).map(i => i -> byId(i))
+        val df = kjDf(tableDir, qs, 3)
+        assert(AnnTopKRewrite.inServed(df.queryExecution.optimizedPlan.toString))
+        assert(collectKj(df) == brute(tableDir, qs, 3))
+      }
+    } finally AnnCatalog.unregister(tableDir)
+  }
+
+  test("declines: kill switch, join condition, rank(), desc, prefiltered side") {
+    import spark.implicits._
+    val (tableDir, indexDir) = setup
+    AnnCatalog.register(tableDir, indexDir, "id", "vec")
+    try withRule {
+      withConfs("graft.ann.probes" -> "8", "graft.ann.refine" -> "20") {
+        val byId = data(tableDir).toMap
+        val qs = Seq(0L -> byId(0L))
+        def served(df: org.apache.spark.sql.DataFrame): Boolean =
+          AnnTopKRewrite.inServed(df.queryExecution.optimizedPlan.toString)
+        // baseline: the shape serves
+        assert(served(kjDf(tableDir, qs, 3)))
+        // kill switch
+        withConfs("graft.ann.knn.join.enable" -> "false") {
+          assert(!served(kjDf(tableDir, qs, 3)))
+        }
+        val qdf = qs.map { case (qid, q) => (qid, q.toSeq) }.toDF("qid", "center")
+        val e = spark.read.parquet(tableDir)
+        val wSpec = org.apache.spark.sql.expressions.Window.partitionBy("qid")
+          .orderBy(GraftFunctions.vecL2(col("vec"), col("center")), col("id"))
+        // residual join condition breaks the per-query k-floor -> decline
+        val cond = qdf.join(e, qdf("qid") =!= e("id"))
+          .withColumn("rn", row_number().over(wSpec)).filter(col("rn") <= 3)
+        assert(!served(cond))
+        // rank() admits past-k ties -> decline
+        val rk = qdf.crossJoin(e)
+          .withColumn("rn", rank().over(wSpec)).filter(col("rn") <= 3)
+        assert(!served(rk))
+        // descending order is "k FURTHEST" -> decline
+        val wDesc = org.apache.spark.sql.expressions.Window.partitionBy("qid")
+          .orderBy(GraftFunctions.vecL2(col("vec"), col("center")).desc, col("id"))
+        val furthest = qdf.crossJoin(e)
+          .withColumn("rn", row_number().over(wDesc)).filter(col("rn") <= 3)
+        assert(!served(furthest))
+        // prefiltered indexed side -> decline (candidates ignore the filter)
+        val filt = qdf.crossJoin(e.filter(col("id") % 3 === 0))
+          .withColumn("rn", row_number().over(wSpec)).filter(col("rn") <= 3)
+        assert(!served(filt))
+        // partition keyed on the INDEXED side is a different operator
+        val wDoc = org.apache.spark.sql.expressions.Window.partitionBy("id")
+          .orderBy(GraftFunctions.vecL2(col("vec"), col("center")), col("qid"))
+        val perDoc = qdf.crossJoin(e)
+          .withColumn("rn", row_number().over(wDoc)).filter(col("rn") <= 3)
+        assert(!served(perDoc))
+      }
+    } finally AnnCatalog.unregister(tableDir)
+  }
+
+  test("declines: oversized query set and candidate overflow; null center") {
+    import spark.implicits._
+    val (tableDir, indexDir) = setup
+    AnnCatalog.register(tableDir, indexDir, "id", "vec")
+    try withRule {
+      withConfs("graft.ann.probes" -> "8", "graft.ann.refine" -> "20") {
+        val byId = data(tableDir).toMap
+        val qs = (0L until 4L).map(i => i -> byId(i))
+        def served(df: org.apache.spark.sql.DataFrame): Boolean =
+          AnnTopKRewrite.inServed(df.queryExecution.optimizedPlan.toString)
+        withConfs("graft.ann.knn.join.maxQueries" -> "3") {
+          assert(!served(kjDf(tableDir, qs, 3)))
+        }
+        withConfs("graft.ann.maxInList" -> "7") {
+          // 4 queries x k=3 distinct neighbors overflow a 7-id budget
+          assert(!served(kjDf(tableDir, qs, 3)))
+        }
+        // a NULL center ranks its pairs by null dist NULLS FIRST --
+        // semantics the candidate restriction cannot reproduce
+        val qdf = Seq((0L, Some(byId(0L).toSeq)), (1L, None))
+          .toDF("qid", "center")
+        val e = spark.read.parquet(tableDir)
+        val wSpec = org.apache.spark.sql.expressions.Window.partitionBy("qid")
+          .orderBy(GraftFunctions.vecL2(col("vec"), col("center")), col("id"))
+        val withNull = qdf.crossJoin(e)
+          .withColumn("rn", row_number().over(wSpec)).filter(col("rn") <= 3)
+        assert(!served(withNull))
+      }
+    } finally AnnCatalog.unregister(tableDir)
+  }
+}
