@@ -229,6 +229,25 @@ object Bench {
       System.err.println(f"*** CONTENDED CAPTURE: _sentinel_mid_ratio " +
         f"$sentinelMidRatio%.2f > $midContendedAt%.1f — external load " +
         "landed mid-run; re-capture on a quiet box before adjudicating ***")
+    // LATE-SECTION contention gates (round 15 — README clause 3 made
+    // mechanical): a second-half burst can leave the pre AND mid readings
+    // green (the round-14 driver capture read pre 0.62 / mid 1.29 yet
+    // post 2.49 / drift 4.04 — five late-position queries 4-7x their
+    // committed same-code numbers) and was only caught by adjudication
+    // archaeology. Calibration from provably-quiet captures
+    // (_external_cpu_frac 0.0): qend ratio 1.77-1.79 and post ratio ~1.6
+    // — in-JVM aging saturates near ~1.8 by the end of the query loop —
+    // so either reading past 2.2 is external load, not aging, and the
+    // banner makes the capture mechanically not-clean.
+    val lateContendedAt = 2.2
+    if (sentinelQEndRatio > lateContendedAt)
+      System.err.println(f"*** CONTENDED CAPTURE: _sentinel_qend_ratio " +
+        f"$sentinelQEndRatio%.2f > $lateContendedAt%.1f — external load " +
+        "landed late in the query section; re-capture on a quiet box ***")
+    if (sentinelPostRatio > lateContendedAt)
+      System.err.println(f"*** CONTENDED CAPTURE: _sentinel_post_ratio " +
+        f"$sentinelPostRatio%.2f > $lateContendedAt%.1f — external load " +
+        "landed in the scale section; re-capture on a quiet box ***")
     val externalCpuFrac = (ticks0, cpuTicks()) match {
       case (Some((busy0, own0)), Some((busy1, own1))) =>
         val elapsedSec = (System.nanoTime() - wall0) / 1e9

@@ -1572,6 +1572,26 @@ object IvfIndex {
       perQ.filter(_._2 > nTable * IvfIndex.rangeScanFallbackFrac).map(_._1).toSet
     if (scanQis.nonEmpty) IvfIndex.rangeScanFallbacks.addAndGet(scanQis.size)
     val nJoinSurvivors = perQ.collect { case (q, c) if !scanQis.contains(q) => c }.sum
+    // the exact-phase vector read serves only JOIN-tier spheres: when
+    // some queries fell back to direct scan, cells probed ONLY by scan
+    // queries hold no possible members — reading them in the membership
+    // pass just rereads bytes the scan pass below reads again. Restrict
+    // to the join-tier queries' own probed cells (the cellsByRootQ
+    // bookkeeping the scan fallback already uses); dir resolution stays
+    // on the full `info` map (a superset is fine).
+    lazy val vecFiles: Array[org.apache.hadoop.fs.FileStatus] =
+      if (scanQis.isEmpty) files.toArray
+      else {
+        val jInfo = scala.collection.mutable.HashMap.empty[String, DirInfo]
+        val jFiles =
+          scala.collection.mutable.ArrayBuffer.empty[org.apache.hadoop.fs.FileStatus]
+        idxs.zipWithIndex.foreach { case (ix, r) =>
+          val cells = (0 until nQ).filterNot(scanQis.contains)
+            .flatMap(qi => cellsByRootQ(r)(qi)).distinct
+          probedDirs(ix, r, cells, jInfo, jFiles)
+        }
+        jFiles.toArray
+      }
     val bQq = spark.sparkContext.broadcast(qqByRoot)
     val bQid = spark.sparkContext.broadcast(qidArr)
     val bRad = spark.sparkContext.broadcast(queries.map(_._3))
@@ -1629,7 +1649,7 @@ object IvfIndex {
           // selective-sphere case pays for nothing
           val isF16L = isF16
           org.apache.spark.sql.graft.ColumnBridge
-            .toInternalRdd(flatVecsDf(spark, files.toArray, f16))
+            .toInternalRdd(flatVecsDf(spark, vecFiles, f16))
             .mapPartitions { it =>
               val info = bInfo.value
               val cm = bC.value
@@ -1670,12 +1690,13 @@ object IvfIndex {
       val candJoin0 =
         if (scanQis.isEmpty) cand0
         else cand0.filter(!col("qi").isin(scanQis.toSeq.map(Integer.valueOf): _*))
-      rerankTable match {
+      if (vecFiles.isEmpty) emptyScored // every sphere fell back to scan
+      else rerankTable match {
         case None =>
-          // flat VECTOR read over the probed files, tagged with its
-          // owning root so survivors join on (root, id) — colliding ids
-          // across roots score only under their own root's spheres
-          val vecRows = flatVecsDf(spark, files.toArray, f16)
+          // flat VECTOR read over the JOIN-tier probed files, tagged with
+          // its owning root so survivors join on (root, id) — colliding
+          // ids across roots score only under their own root's spheres
+          val vecRows = flatVecsDf(spark, vecFiles, f16)
           val tagged =
             if (isF16)
               vecRows.as[(Long, Array[Byte], String)].mapPartitions { it =>
@@ -1863,15 +1884,19 @@ final class IvfIndex(val spark: SparkSession, val dir: String, val meta: IvfMeta
   }
 
   /** Cheap EXTERNAL-append signal folded into every delta-sensitive cache
-    * key: a hash over the delta area's child cluster-dir (name, mtime)
-    * pairs — one readdir, no per-file walk. Same-JVM appends already bump
+    * key: a hash over the delta area's child cluster dirs — each child's
+    * name, nanosecond mtime, AND the hash of its ENTRY NAMES (one readdir
+    * per child, no per-file stat). Same-JVM appends already bump
     * `mutations`, but a delta append through ANOTHER IvfIndex instance or
     * process adds files to existing `delta/cluster_id=*` dirs without
     * flipping delta-existence or this instance's counter — invisible to a
     * (gen, exists, mutations) key, so searches could silently miss fresh
-    * rows in multi-writer-instance use. Appending a file updates its
-    * parent dir's mtime (POSIX), so the child-level signature catches
-    * both new cluster dirs and appends into existing ones. -1 = no delta. */
+    * rows in multi-writer-instance use. The mtime alone is bounded by the
+    * filesystem's stored resolution (1 s on some mounts — two appends in
+    * one granule with a read between them would collide); appended
+    * parquet part-files carry fresh unique names, so the entry-name hash
+    * catches every append regardless of timestamp granularity.
+    * -1 = no delta. */
   private def deltaSig: Long = {
     val p = Paths.get(dir, "delta")
     if (!Files.exists(p)) -1L
@@ -1884,12 +1909,20 @@ final class IvfIndex(val spark: SparkSession, val dir: String, val meta: IvfMeta
         while (it.hasNext) {
           val c = it.next()
           h = h * 31 + c.getFileName.toString.hashCode
-          // NANOSECOND mtime, not millis: two external appends into the
-          // same cluster dir inside one coarse-timestamp window with a
-          // read between them would otherwise leave the second invisible
-          // — the exact staleness class this signature exists to close
           h = h * 31 + Files.getLastModifiedTime(c)
             .to(java.util.concurrent.TimeUnit.NANOSECONDS)
+          // entry-name hash: ORDER-INSENSITIVE sum (readdir order is not
+          // stable across filesystems) of the child's file-name hashes
+          if (Files.isDirectory(c)) {
+            val cs = Files.list(c)
+            try {
+              var eh = 0L
+              val cit = cs.iterator()
+              while (cit.hasNext)
+                eh += cit.next().getFileName.toString.hashCode.toLong
+              h = h * 31 + eh
+            } finally cs.close()
+          }
           n += 1
         }
         // empty dir == absent (deltaExists' contract): -1 either way;

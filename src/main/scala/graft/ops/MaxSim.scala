@@ -403,8 +403,16 @@ object MaxSim {
    *          final ordering is exact, estimate error can only cost
    *          recall at the candidate boundary
    *
-   * Requires homogeneous children (same dim/storage, negdot token
-   * indexes — the partitioned-corpus norm). The per-root dataDf reads
+   * Requires homogeneous negdot children sharing the query dim. The
+   * exact rescore reads the indexes' own stored vectors, so children
+   * must ALSO share storage and store vectors — UNLESS `rerankTable`
+   * supplies the original token table `(tokensDf, docCol, vecCol)` (one
+   * row per token keyed by doc): then job 2 rescored candidate docs
+   * from the SOURCE table against the RAW queries (original-space
+   * vectors — rotation and storage are index-internal and irrelevant),
+   * which serves codes-only and storage-mixed token children — the
+   * rerank-in-table contract the top-k and range batch faces share.
+   * The per-root dataDf reads
    * union into one plan, so planning is linear in R — the DSL batch
    * face's trade (the planner's serveMaxSimMulti stays the flat-relation
    * path for very wide corpora). Output: (qid, doc, maxsim) — top `k`
@@ -414,7 +422,8 @@ object MaxSim {
   def maxsimManyMulti(idxs: Seq[graft.index.IvfIndex],
       queries: Array[(Long, Array[Array[Float]])], k: Int,
       kPerToken: Int = 100, probes: Seq[Int] = Nil,
-      refine: Int = 8): DataFrame = {
+      refine: Int = 8,
+      rerankTable: Option[(DataFrame, String, String)] = None): DataFrame = {
     require(idxs.nonEmpty, "no root indexes")
     require(queries.nonEmpty && queries.forall(_._2.nonEmpty),
       "empty query batch or empty token query")
@@ -422,12 +431,15 @@ object MaxSim {
       "duplicate qids in query batch — results would silently merge")
     val h = idxs.head
     require(idxs.forall(ix => ix.meta.dim == h.meta.dim &&
-        ix.meta.cfg.metric == "negdot" &&
-        ix.meta.cfg.storage == h.meta.cfg.storage &&
-        ix.meta.cfg.storeVectors),
-      "maxsimManyMulti requires homogeneous negdot children with stored " +
-      "vectors (token indexes) — mixed-config corpora serve per query " +
-      "through the planner")
+        ix.meta.cfg.metric == "negdot"),
+      "maxsimManyMulti requires homogeneous negdot children (token " +
+      "indexes) sharing the query dim")
+    require(rerankTable.nonEmpty || idxs.forall(ix =>
+        ix.meta.cfg.storeVectors && ix.meta.cfg.storage == h.meta.cfg.storage),
+      "codes-only or storage-mixed token children hold no uniform stored " +
+      "vectors for the exact rescore: pass rerankTable=Some((tokensDf, " +
+      "docCol, vecCol)) — one row per token keyed by doc — so the exact " +
+      "phase fetches original token vectors from the source table")
     val spark = h.spark
     import spark.implicits._
     val prb = if (probes.nonEmpty) probes else idxs.map(ix =>
@@ -488,6 +500,41 @@ object MaxSim {
     }
     if (candDoc.isEmpty)
       return Seq.empty[(Long, Long, Double)].toDF("qid", "doc", "maxsim")
+    // job 2, rerank-in-TABLE: exact rescore from the ORIGINAL token
+    // table against the RAW queries — the source rows are
+    // original-space vectors, so per-root rotation and storage are
+    // irrelevant (candidacy from any root's estimates only gates
+    // membership; the table is the single source of truth, the
+    // scoredManyMulti in-table semantics applied to whole docs). One
+    // broadcast-join pass over the candidates' token rows, the same
+    // map-side-combined aggregation as the in-index path.
+    rerankTable.foreach { case (src, docCol, vecCol) =>
+      import org.apache.spark.sql.functions.broadcast
+      val bCand = spark.sparkContext.broadcast(
+        candDoc.view.mapValues(_.toArray).toMap)
+      // one pseudo-root slot holding the UNROTATED queries
+      val bQraw = spark.sparkContext.broadcast(Array(queries.map(_._2)))
+      val candIds = candDoc.keysIterator.toArray.sorted
+      val scoredT = src
+        .join(broadcast(candIds.toSeq.toDF("__cand_doc")),
+          col(docCol).cast("long") === col("__cand_doc"))
+        .select(col(docCol).cast("long"), col(vecCol))
+        .as[(Long, Seq[Float])]
+        .flatMap { case (doc, tok) =>
+          val t = tok.toArray
+          bCand.value.getOrElse(doc, Array.empty[Int]).iterator
+            .map(qi => (qi, 0, doc, t))
+        }
+        .groupByKey(r => (r._1, r._3))
+        .agg(new BatchMaxSimAgg(bQraw).toColumn.name("maxsim"))
+        .map { case ((qi, doc), s) => (qi, doc, s) }
+        .collect() // bounded: ≤ B x R x docsPerRoot rows
+      val outT = scoredT.groupBy(_._1).toSeq.flatMap { case (qi, rs) =>
+        rs.map(r => (r._3, r._2)).toSeq.sorted.take(k)
+          .map { case (s, doc) => (qidArr(qi), doc, s) }
+      }
+      return outT.toDF("qid", "doc", "maxsim")
+    }
     // rotated query tokens PER ROOT (rotation preserves dot products, so
     // rotating queries aligns with the index-space stored vectors)
     val qByRoot: Array[Array[Array[Array[Float]]]] =

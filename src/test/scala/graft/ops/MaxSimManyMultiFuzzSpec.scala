@@ -35,6 +35,11 @@ class MaxSimManyMultiFuzzSpec extends SparkSpec {
     // able to catch a (root, doc)-gated candidacy regression; the other
     // half keep the disjoint partitioned-corpus norm
     val splitDocs = nRoots > 1 && rng.nextBoolean()
+    // rerank-in-TABLE axis (round 15): ~half the seeds rescore from the
+    // original token table (raw vectors, raw queries); of those, half
+    // run CODES-ONLY children — the tier that REQUIRES the table
+    val useRerank = rng.nextBoolean()
+    val codesOnly = useRerank && rng.nextBoolean()
     val parts = (0 until nRoots).map { r =>
       val off = if (splitDocs) 0L else r * 100L
       for {
@@ -43,7 +48,7 @@ class MaxSimManyMultiFuzzSpec extends SparkSpec {
       } yield (off + d, p, Seq.fill(8)(rng.nextFloat() * 2 - 1))
     }
     val cfg = IvfConfig(metric = "negdot", lists = lists, storage = storage,
-      rotate = rotate)
+      rotate = rotate, storeVectors = !codesOnly)
     val idxs = parts.map { rows =>
       MaxSim.buildTokenIndex(rows.toDF("doc", "pos", "v"), "doc", "pos", "v",
         Files.createTempDirectory(s"graft-msmmf-$seed").toString, cfg)
@@ -57,14 +62,19 @@ class MaxSimManyMultiFuzzSpec extends SparkSpec {
       if (full) (256, Seq.fill(nRoots)(lists), 64)
       else (2 + rng.nextInt(4), Seq.fill(nRoots)(1 + rng.nextInt(lists)),
         1 + rng.nextInt(2))
+    val src = parts.flatten.toDF("doc", "pos", "v")
     val got = MaxSim.maxsimManyMulti(idxs, qs, k, kPerToken = kpt,
-        probes = prb, refine = ref)
+        probes = prb, refine = ref,
+        rerankTable = if (useRerank) Some((src, "doc", "v")) else None)
       .as[(Long, Long, Double)].collect()
     // brute whole-doc scores over the TIER store (f16 roundtrip; rotation
-    // preserves dots, so raw vectors + raw queries are the truth)
+    // preserves dots, so raw vectors + raw queries are the truth). With a
+    // rerank TABLE the truth is the ORIGINAL rows: raw f32 vectors, raw
+    // queries — storage and rotation are index-internal there.
     def tierVec(v: Seq[Float]): Array[Float] = {
       val a = v.toArray
-      if (storage == "f16")
+      if (useRerank) a
+      else if (storage == "f16")
         graft.core.Half.decodeBytes(graft.core.Half.encodeBytes(
           // rotation happens BEFORE f16 storage: roundtrip the rotated
           // vector, then rotate back is impossible — so compare in the
@@ -73,7 +83,7 @@ class MaxSimManyMultiFuzzSpec extends SparkSpec {
       else if (rotate) new graft.core.Rotation(8)(a)
       else a
     }
-    val rot = if (rotate) Some(new graft.core.Rotation(8)) else None
+    val rot = if (rotate && !useRerank) Some(new graft.core.Rotation(8)) else None
     def qTok(t: Array[Float]): Array[Float] =
       rot.map(_.apply(t)).getOrElse(t)
     val bruteScore: Map[(Long, Long), Double] = (for {

@@ -189,6 +189,58 @@ class MaxSimManyMultiSpec extends SparkSpec {
     }
   }
 
+  test("codes-only token children rerank-in-TABLE brute-exactly; without " +
+       "a rerank table they refuse loudly naming the contract") {
+    import spark.implicits._
+    val cfg = IvfConfig(metric = "negdot", lists = 4, storeVectors = false)
+    val parts = Seq(tokens(5, 6, 0, 81), tokens(5, 6, 50, 82))
+    val idxs = parts.map(buildIdx(_, cfg))
+    val all = parts.flatten
+    val qs = queriesB(2, 3, 83)
+    // no stored vectors, no source table -> the exact phase is impossible
+    val e = intercept[IllegalArgumentException](
+      MaxSim.maxsimManyMulti(idxs, qs, k = 5, kPerToken = 64,
+        probes = Seq(4, 4)))
+    assert(e.getMessage.contains("rerankTable"), e.getMessage)
+    val src = all.toDF("doc", "pos", "v")
+    val got = MaxSim.maxsimManyMulti(idxs, qs, k = 5, kPerToken = 64,
+        probes = Seq(4, 4), refine = 8, rerankTable = Some((src, "doc", "v")))
+      .as[(Long, Long, Double)].collect()
+      .groupBy(_._1).view.mapValues(_.map(t => (t._2, t._3)).toSeq).toMap
+    qs.foreach { case (qid, q) =>
+      val want = brute(all, q, f16 = false).toSeq
+        .map { case (d, s) => (s, d) }.sorted.take(5)
+        .map { case (s, d) => (d, s) }
+      assert(got(qid).map(_._1) == want.map(_._1),
+        s"qid=$qid ids diverged: got=${got(qid)} want=$want")
+      got(qid).map(_._2).zip(want.map(_._2)).foreach { case (s, w) =>
+        assert(math.abs(s - w) < 1e-9, s"qid=$qid $s vs $w")
+      }
+    }
+  }
+
+  test("storage-MIXED children (f32 + f16) serve through the rerank table " +
+       "with original-precision scores") {
+    import spark.implicits._
+    val parts = Seq(tokens(5, 6, 0, 75), tokens(5, 6, 50, 76))
+    val mixed = Seq(buildIdx(parts(0)),
+      buildIdx(parts(1), IvfConfig(metric = "negdot", lists = 4, storage = "f16")))
+    val all = parts.flatten
+    val qs = queriesB(1, 3, 77)
+    val src = all.toDF("doc", "pos", "v")
+    val got = MaxSim.maxsimManyMulti(mixed, qs, k = 5, kPerToken = 64,
+        probes = Seq(4, 4), refine = 8, rerankTable = Some((src, "doc", "v")))
+      .as[(Long, Long, Double)].collect().map(t => (t._2, t._3)).toSeq
+    // rescore reads the ORIGINAL table: full f32 precision on both roots
+    val want = brute(all, qs.head._2, f16 = false).toSeq
+      .map { case (d, s) => (s, d) }.sorted.take(5)
+      .map { case (s, d) => (d, s) }
+    assert(got.map(_._1) == want.map(_._1), s"got=$got want=$want")
+    got.map(_._2).zip(want.map(_._2)).foreach { case (s, w) =>
+      assert(math.abs(s - w) < 1e-9, s"$s vs $w")
+    }
+  }
+
   test("budget, heterogeneity, and duplicate qids refuse loudly") {
     val idxs = Seq(buildIdx(tokens(3, 4, 0, 71)))
     graft.core.Confs.withConfs(spark, "graft.ann.maxsim.maxPoolTuples" -> "10") {
@@ -196,12 +248,13 @@ class MaxSimManyMultiSpec extends SparkSpec {
         MaxSim.maxsimManyMulti(idxs, queriesB(2, 4, 73), k = 3, kPerToken = 64))
       assert(e.getMessage.contains("maxPoolTuples"), e.getMessage)
     }
+    // storage-mixed WITHOUT a rerank table: the refusal names the contract
     val mixed = Seq(buildIdx(tokens(3, 4, 0, 75)),
       buildIdx(tokens(3, 4, 50, 76),
         IvfConfig(metric = "negdot", lists = 4, storage = "f16")))
     val e2 = intercept[IllegalArgumentException](
       MaxSim.maxsimManyMulti(mixed, queriesB(1, 3, 77), k = 3))
-    assert(e2.getMessage.contains("homogeneous"), e2.getMessage)
+    assert(e2.getMessage.contains("rerankTable"), e2.getMessage)
     val e3 = intercept[IllegalArgumentException](
       MaxSim.maxsimManyMulti(idxs,
         Array(0L -> queriesB(1, 3, 78).head._2, 0L -> queriesB(1, 3, 79).head._2),
