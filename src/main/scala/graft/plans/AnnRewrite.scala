@@ -417,6 +417,68 @@ object AnnCatalog {
 
   def maxSimIndex(spark: SparkSession, e: MaxSimEntry): IvfIndex =
     indexes.computeIfAbsent(e.indexDir, d => IvfIndex.load(spark, d))
+
+  /** "SQL in, batch out" (round 15): answer a bounded queries TABLE of
+    * spheres over a REGISTERED corpus through the batched range face.
+    * The corpus resolves EXACTLY as the planner's range serves do — one
+    * covering entry, explicit multi-root registrations, or the
+    * per-child cover of every file the scan would read — then the whole
+    * batch runs through [[IvfIndex.rangeSearchManyMulti]]: constant job
+    * count in queries x roots, two-tier survivor delivery, per-query
+    * scan fallback — the >maxInList regime the planner's IN rewrite
+    * (`serveRangeJoin`) deliberately declines. Unregistered corpora and
+    * oversized query tables refuse LOUDLY (the queries side must be
+    * bounded: it collects to the driver, like the join serve's cap).
+    * Rows with a null qid/center/radius match nothing (the join-serve
+    * null contract) and are dropped. Output: (qid, id, dist). */
+  def servedRangeMany(spark: SparkSession, tablePath: String,
+      queriesDf: org.apache.spark.sql.DataFrame, qidCol: String,
+      centerCol: String, radiusCol: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val rel = spark.read.parquet(tablePath)
+    val fsRel = rel.queryExecution.analyzed.collectFirst {
+      case lr: LogicalRelation if lr.relation.isInstanceOf[HadoopFsRelation] =>
+        lr.relation.asInstanceOf[HadoopFsRelation]
+    }.getOrElse(throw new IllegalArgumentException(
+      s"servedRangeMany: '$tablePath' did not resolve to a file-backed relation"))
+    val roots = fsRel.location.rootPaths.map(_.toString)
+    val es = lookup(roots).map(Seq(_))
+      .orElse(lookupAll(roots))
+      .orElse(coverByFiles(roots, fsRel.location.inputFiles.toSeq))
+      .getOrElse(throw new IllegalArgumentException(
+        s"servedRangeMany: no registered index covers '$tablePath' — " +
+        "register the table (or every partition child) with " +
+        "AnnCatalog.register first; unregistered corpora have the exact " +
+        "DSL (IvfIndex.rangeSearch*) instead of a silent full scan"))
+    val idxs = es.map(e => index(spark, e))
+    val maxQ = spark.conf.get("graft.ann.range.served.maxQueries", "4096").toInt
+    val rows = queriesDf.select(col(qidCol).cast("long"),
+        col(centerCol).cast("array<float>"), col(radiusCol).cast("double"))
+      .limit(maxQ + 1).collect()
+    require(rows.length <= maxQ,
+      s"servedRangeMany: queries table exceeds $maxQ rows " +
+      "(graft.ann.range.served.maxQueries) — the batch collects to the " +
+      "driver; split it or raise the conf")
+    val queries = rows.iterator
+      .filter(r => !r.isNullAt(0) && !r.isNullAt(1) && !r.isNullAt(2))
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray, r.getDouble(2)))
+      .toArray
+    if (queries.isEmpty) {
+      import spark.implicits._
+      return Seq.empty[(Long, Long, Double)].toDF("qid", "id", "dist")
+    }
+    val eps = spark.conf.get("graft.ann.epsilon", "1.9").toDouble
+    // codes-only children rerank from their registered source table —
+    // expressible only when every entry shares ONE table (the per-child
+    // entries of a partitioned corpus each point at their own child)
+    val rt =
+      if (idxs.forall(_.meta.cfg.storeVectors)) None
+      else es.map(_.tablePath).filter(_.nonEmpty).distinct match {
+        case Seq(tp) => Some((spark.read.parquet(tp), es.head.idCol, es.head.vecCol))
+        case _ => None // rangeSearchManyMulti refuses loudly below
+      }
+    IvfIndex.rangeSearchManyMulti(idxs, queries, eps, rt)
+  }
 }
 
 object AnnTopKRewrite {

@@ -2381,6 +2381,43 @@ object GraftQueries {
              |SELECT qid, vec_id, round(dist, 3) AS dist FROM dd WHERE dist < 1.3
              |ORDER BY qid, dd.dist, vec_id""".stripMargin)),
 
+    // "SQL in, batch out" (round 15): a queries TABLE of per-row
+    // (center, radius) spheres over the REGISTERED partitioned corpus,
+    // routed through AnnCatalog.servedRangeMany — catalog resolution via
+    // the same per-child cover the planner serves use, then the whole
+    // batch answered by rangeSearchManyMulti (constant job count,
+    // two-tier survivors — the >maxInList regime the range-JOIN rewrite
+    // declines). Asserted in-query that the per-child cover resolves
+    // (the registered-partitioned premise) — an unregistered corpus
+    // refuses loudly inside servedRangeMany itself. Same rows as
+    // range_join_indexed (identical data, same per-row radii), so the
+    // same oracle.
+    "range_batch_served" -> Q(
+      (s, d) => {
+        val path = partitionedEmbTable(s, d)
+        require(graft.plans.AnnCatalog.coverByFiles(Seq(path),
+            s.read.parquet(path).inputFiles.toSeq).exists(_.size == 2),
+          "range_batch_served: the partitioned corpus is not covered by " +
+          "its per-child registrations — the served route would refuse")
+        val qdf = s.read.parquet(path)
+          .filter(col("vec_id").isin(0, 1, 2))
+          .select(col("vec_id").as("qid"), col("embedding").as("center"),
+            (lit(0.9) + col("vec_id").cast("double") * 0.2).as("radius"))
+        graft.plans.AnnCatalog.servedRangeMany(s, path, qdf,
+            "qid", "center", "radius")
+          .select(col("qid"), col("id").as("vec_id"), col("dist").as("raw"))
+          .orderBy(col("qid"), col("raw"), col("vec_id"))
+          .select(col("qid"), col("vec_id"), round(col("raw"), 3).as("dist")) },
+      Some("""WITH q AS (SELECT vec_id AS qid, embedding AS qe,
+             |  0.9 + CAST(vec_id AS DOUBLE) * 0.2 AS radius
+             |  FROM embeddings WHERE vec_id IN (0, 1, 2)),
+             |e AS (SELECT vec_id, embedding, unnest(range(0, 64)) AS i FROM embeddings),
+             |dd AS (SELECT q.qid AS qid, q.radius AS radius, e.vec_id AS vec_id,
+             |  sqrt(sum(power(CAST(e.embedding[i+1] AS DOUBLE) - CAST(q.qe[i+1] AS DOUBLE), 2))) AS dist
+             |  FROM e, q GROUP BY q.qid, q.radius, e.vec_id)
+             |SELECT qid, vec_id, round(dist, 3) AS dist FROM dd WHERE dist < radius
+             |ORDER BY qid, dd.dist, vec_id""".stripMargin)),
+
     // planner-served prefilter (Q7, reference vchordrq.prefilter): a
     // Filter under ORDER BY metric LIMIT k escalates the candidate pool
     // until k predicate survivors; served through AnnTopKRewrite against a
