@@ -234,20 +234,30 @@ object Bench {
     // green (the round-14 driver capture read pre 0.62 / mid 1.29 yet
     // post 2.49 / drift 4.04 — five late-position queries 4-7x their
     // committed same-code numbers) and was only caught by adjudication
-    // archaeology. Calibration from provably-quiet captures
-    // (_external_cpu_frac 0.0): qend ratio 1.77-1.79 and post ratio ~1.6
-    // — in-JVM aging saturates near ~1.8 by the end of the query loop —
-    // so either reading past 2.2 is external load, not aging, and the
-    // banner makes the capture mechanically not-clean.
+    // archaeology. In-JVM aging is PROGRESSIVE — the qend/post readings
+    // track the mid reading on quiet runs (measured across six quiet
+    // captures, _external_cpu_frac <= 0.024: late/mid 0.97-1.40, with
+    // absolute late ratios up to 2.24 as the suite grew to 118 queries)
+    // — while an external second-half burst makes them DISPROPORTIONATE
+    // (the r14 contended capture: post/mid 1.93). So a late reading is
+    // contended when it is high absolutely (> 2.2) AND either
+    // disproportionate to mid (> 1.5x) or past the hard ceiling no
+    // quiet capture approaches (> 3.0).
     val lateContendedAt = 2.2
-    if (sentinelQEndRatio > lateContendedAt)
+    val lateHardCap = 3.0
+    def lateContended(r: Double): Boolean =
+      r > lateContendedAt && (r > lateHardCap || sentinelMidRatio <= 0 ||
+        r > 1.5 * sentinelMidRatio)
+    if (lateContended(sentinelQEndRatio))
       System.err.println(f"*** CONTENDED CAPTURE: _sentinel_qend_ratio " +
-        f"$sentinelQEndRatio%.2f > $lateContendedAt%.1f — external load " +
-        "landed late in the query section; re-capture on a quiet box ***")
-    if (sentinelPostRatio > lateContendedAt)
+        f"$sentinelQEndRatio%.2f is past $lateContendedAt%.1f and " +
+        f"disproportionate to mid ($sentinelMidRatio%.2f) — external " +
+        "load landed late in the query section; re-capture ***")
+    if (lateContended(sentinelPostRatio))
       System.err.println(f"*** CONTENDED CAPTURE: _sentinel_post_ratio " +
-        f"$sentinelPostRatio%.2f > $lateContendedAt%.1f — external load " +
-        "landed in the scale section; re-capture on a quiet box ***")
+        f"$sentinelPostRatio%.2f is past $lateContendedAt%.1f and " +
+        f"disproportionate to mid ($sentinelMidRatio%.2f) — external " +
+        "load landed in the scale section; re-capture ***")
     val externalCpuFrac = (ticks0, cpuTicks()) match {
       case (Some((busy0, own0)), Some((busy1, own1))) =>
         val elapsedSec = (System.nanoTime() - wall0) / 1e9
