@@ -418,6 +418,34 @@ object AnnCatalog {
   def maxSimIndex(spark: SparkSession, e: MaxSimEntry): IvfIndex =
     indexes.computeIfAbsent(e.indexDir, d => IvfIndex.load(spark, d))
 
+  /** Shared resolution for the served batch entry points: the corpus's
+    * file relation + root paths (the exact inputs the planner's serves
+    * resolve registrations from). */
+  private def resolveFs(spark: SparkSession, tablePath: String,
+      face: String): HadoopFsRelation =
+    spark.read.parquet(tablePath).queryExecution.analyzed.collectFirst {
+      case lr: LogicalRelation if lr.relation.isInstanceOf[HadoopFsRelation] =>
+        lr.relation.asInstanceOf[HadoopFsRelation]
+    }.getOrElse(throw new IllegalArgumentException(
+      s"$face: '$tablePath' did not resolve to a file-backed relation"))
+
+  /** Bounded queries-side collect for the served entry points: the cap
+    * is LOUD (the batch collects to the driver, the join-serve policy). */
+  private def boundedRows(df: org.apache.spark.sql.DataFrame, maxQ: Int,
+      face: String, conf: String): Array[org.apache.spark.sql.Row] = {
+    val rows = df.limit(maxQ + 1).collect()
+    require(rows.length <= maxQ,
+      s"$face: queries table exceeds $maxQ rows ($conf) — the batch " +
+      "collects to the driver; split it or raise the conf")
+    rows
+  }
+
+  private def probesFor(spark: SparkSession, lists: Int): Int =
+    spark.conf.get("graft.ann.probes", "auto") match {
+      case "auto" => math.max(1, math.ceil(math.sqrt(lists.toDouble)).toInt)
+      case s      => s.toInt
+    }
+
   /** "SQL in, batch out" (round 15): answer a bounded queries TABLE of
     * spheres over a REGISTERED corpus through the batched range face.
     * The corpus resolves EXACTLY as the planner's range serves do — one
@@ -435,12 +463,7 @@ object AnnCatalog {
       queriesDf: org.apache.spark.sql.DataFrame, qidCol: String,
       centerCol: String, radiusCol: String): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions.col
-    val rel = spark.read.parquet(tablePath)
-    val fsRel = rel.queryExecution.analyzed.collectFirst {
-      case lr: LogicalRelation if lr.relation.isInstanceOf[HadoopFsRelation] =>
-        lr.relation.asInstanceOf[HadoopFsRelation]
-    }.getOrElse(throw new IllegalArgumentException(
-      s"servedRangeMany: '$tablePath' did not resolve to a file-backed relation"))
+    val fsRel = resolveFs(spark, tablePath, "servedRangeMany")
     val roots = fsRel.location.rootPaths.map(_.toString)
     val es = lookup(roots).map(Seq(_))
       .orElse(lookupAll(roots))
@@ -452,13 +475,9 @@ object AnnCatalog {
         "DSL (IvfIndex.rangeSearch*) instead of a silent full scan"))
     val idxs = es.map(e => index(spark, e))
     val maxQ = spark.conf.get("graft.ann.range.served.maxQueries", "4096").toInt
-    val rows = queriesDf.select(col(qidCol).cast("long"),
-        col(centerCol).cast("array<float>"), col(radiusCol).cast("double"))
-      .limit(maxQ + 1).collect()
-    require(rows.length <= maxQ,
-      s"servedRangeMany: queries table exceeds $maxQ rows " +
-      "(graft.ann.range.served.maxQueries) — the batch collects to the " +
-      "driver; split it or raise the conf")
+    val rows = boundedRows(queriesDf.select(col(qidCol).cast("long"),
+        col(centerCol).cast("array<float>"), col(radiusCol).cast("double")),
+      maxQ, "servedRangeMany", "graft.ann.range.served.maxQueries")
     val queries = rows.iterator
       .filter(r => !r.isNullAt(0) && !r.isNullAt(1) && !r.isNullAt(2))
       .map(r => (r.getLong(0), r.getSeq[Float](1).toArray, r.getDouble(2)))
@@ -478,6 +497,105 @@ object AnnCatalog {
         case _ => None // rangeSearchManyMulti refuses loudly below
       }
     IvfIndex.rangeSearchManyMulti(idxs, queries, eps, rt)
+  }
+
+  /** The TOP-K sibling of [[servedRangeMany]]: a bounded queries table
+    * of (qid, center) rows over a REGISTERED corpus, answered by
+    * [[IvfIndex.searchManyMulti]] (two flat jobs however many queries
+    * and roots). Probe/refine budgets come from the session confs the
+    * planner serves use (`graft.ann.probes` / `graft.ann.refine`).
+    * Null rows are dropped; unregistered corpora and oversized query
+    * tables refuse loudly. Output: (qid, id, dist, rn) — the
+    * searchMany contract. The SQL-shape route to the same face is the
+    * planner's KNN-join serve (`serveKnnJoin`); this is the DSL door
+    * for callers holding a queries DataFrame. */
+  def servedSearchMany(spark: SparkSession, tablePath: String,
+      queriesDf: org.apache.spark.sql.DataFrame, qidCol: String,
+      centerCol: String, k: Int): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val fsRel = resolveFs(spark, tablePath, "servedSearchMany")
+    val roots = fsRel.location.rootPaths.map(_.toString)
+    val es = lookup(roots).map(Seq(_))
+      .orElse(lookupAll(roots))
+      .orElse(coverByFiles(roots, fsRel.location.inputFiles.toSeq))
+      .getOrElse(throw new IllegalArgumentException(
+        s"servedSearchMany: no registered index covers '$tablePath' — " +
+        "register the table (or every partition child) with " +
+        "AnnCatalog.register first"))
+    val idxs = es.map(e => index(spark, e))
+    val maxQ = spark.conf.get("graft.ann.knn.served.maxQueries", "4096").toInt
+    val rows = boundedRows(queriesDf.select(col(qidCol).cast("long"),
+        col(centerCol).cast("array<float>")),
+      maxQ, "servedSearchMany", "graft.ann.knn.served.maxQueries")
+    val queries = rows.iterator
+      .filter(r => !r.isNullAt(0) && !r.isNullAt(1))
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      .toArray
+    if (queries.isEmpty) {
+      import spark.implicits._
+      return Seq.empty[(Long, Long, Double, Long)].toDF("qid", "id", "dist", "rn")
+    }
+    val probes = idxs.map(ix => probesFor(spark, ix.meta.cfg.lists)).max
+    val refine = spark.conf.get("graft.ann.refine", "8").toInt
+    val rt =
+      if (idxs.forall(_.meta.cfg.storeVectors)) None
+      else es.map(_.tablePath).filter(_.nonEmpty).distinct match {
+        case Seq(tp) => Some((spark.read.parquet(tp), es.head.idCol, es.head.vecCol))
+        case _ => None // searchManyMulti refuses loudly below
+      }
+    IvfIndex.searchManyMulti(idxs, queries, k, probes = probes,
+      refine = refine, rerankTable = rt)
+  }
+
+  /** The MULTIVECTOR sibling (strategy 3): a bounded queries table of
+    * (qid, tokens: array<array<float>>) documents over a REGISTERED
+    * multivector corpus, answered by [[graft.ops.MaxSim.maxsimManyMulti]]
+    * (one pooled retrieval + one exact rescore for the whole batch).
+    * Codes-only or storage-mixed token children rescore from the
+    * registered corpus itself (its doc/tokens columns explode into the
+    * rerank token table). Output: (qid, doc, maxsim). */
+  def servedMaxsimMany(spark: SparkSession, tablePath: String,
+      queriesDf: org.apache.spark.sql.DataFrame, qidCol: String,
+      tokensCol: String, k: Int): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.{col, explode}
+    val fsRel = resolveFs(spark, tablePath, "servedMaxsimMany")
+    val roots = fsRel.location.rootPaths.map(_.toString)
+    val es = lookupMaxSim(roots).map(Seq(_))
+      .orElse(lookupAllMaxSim(roots))
+      .orElse(coverMaxSimByFiles(roots, fsRel.location.inputFiles.toSeq))
+      .getOrElse(throw new IllegalArgumentException(
+        s"servedMaxsimMany: no registered token index covers '$tablePath' " +
+        "— register the corpus (or every partition child) with " +
+        "AnnCatalog.registerMaxSim first"))
+    val idxs = es.map(e => maxSimIndex(spark, e))
+    val maxQ = spark.conf.get("graft.ann.maxsim.served.maxQueries", "1024").toInt
+    val rows = boundedRows(queriesDf.select(col(qidCol).cast("long"),
+        col(tokensCol).cast("array<array<float>>")),
+      maxQ, "servedMaxsimMany", "graft.ann.maxsim.served.maxQueries")
+    val queries: Array[(Long, Array[Array[Float]])] = rows.iterator
+      .filter(r => !r.isNullAt(0) && !r.isNullAt(1))
+      .map(r => (r.getLong(0),
+        r.getSeq[scala.collection.Seq[Float]](1).map(_.toArray).toArray))
+      .filter(_._2.nonEmpty)
+      .toArray
+    if (queries.isEmpty) {
+      import spark.implicits._
+      return Seq.empty[(Long, Long, Double)].toDF("qid", "doc", "maxsim")
+    }
+    val kPerToken = spark.conf.get("graft.ann.maxsim.kPerToken", "100").toInt
+    val refine = spark.conf.get("graft.ann.refine", "8").toInt
+    val probes = idxs.map(ix => probesFor(spark, ix.meta.cfg.lists))
+    val h = idxs.head
+    // codes-only / storage-mixed children: the rerank token table is the
+    // registered corpus itself, exploded to one row per token
+    val rt =
+      if (idxs.forall(ix => ix.meta.cfg.storeVectors &&
+          ix.meta.cfg.storage == h.meta.cfg.storage)) None
+      else Some((spark.read.parquet(tablePath)
+        .select(col(es.head.docCol), explode(col(es.head.tokensCol)).as("__tok")),
+        es.head.docCol, "__tok"))
+    graft.ops.MaxSim.maxsimManyMulti(idxs, queries, k, kPerToken = kPerToken,
+      probes = probes, refine = refine, rerankTable = rt)
   }
 }
 

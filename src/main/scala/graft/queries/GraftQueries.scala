@@ -2418,6 +2418,76 @@ object GraftQueries {
              |SELECT qid, vec_id, round(dist, 3) AS dist FROM dd WHERE dist < radius
              |ORDER BY qid, dd.dist, vec_id""".stripMargin)),
 
+    // The TOP-K sibling of range_batch_served: a queries TABLE over the
+    // registered partitioned corpus routed through
+    // AnnCatalog.servedSearchMany -> searchManyMulti (two flat jobs for
+    // the whole batch). Full probes make it exact, so it hash-matches
+    // the same per-qid windowed oracle as ivf_knn_batch_multi.
+    "knn_batch_served" -> Q(
+      (s, d) => {
+        val path = partitionedEmbTable(s, d)
+        require(graft.plans.AnnCatalog.coverByFiles(Seq(path),
+            s.read.parquet(path).inputFiles.toSeq).exists(_.size == 2),
+          "knn_batch_served: the partitioned corpus is not covered by " +
+          "its per-child registrations — the served route would refuse")
+        val qdf = s.read.parquet(path)
+          .filter(col("vec_id").isin(0, 1, 2))
+          .select(col("vec_id").as("qid"), col("embedding").as("center"))
+        withConfs(s, "graft.ann.probes" -> "8", "graft.ann.refine" -> "16") {
+          graft.plans.AnnCatalog.servedSearchMany(s, path, qdf,
+              "qid", "center", k = 5)
+            .select(col("qid"), col("id").as("vec_id"),
+              col("dist").as("raw"), col("rn"))
+            .orderBy("qid", "rn")
+            .select(col("qid"), col("vec_id"), round(col("raw"), 3).as("dist"),
+              col("rn"))
+        } },
+      Some("""WITH qt AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id IN (0, 1, 2)),
+             |e AS (SELECT vec_id, embedding, unnest(range(0, 64)) AS i FROM embeddings),
+             |dd AS (SELECT qt.qid, e.vec_id,
+             |  sqrt(sum(power(CAST(e.embedding[i+1] AS DOUBLE) - CAST(qt.qe[i+1] AS DOUBLE), 2))) AS dist
+             |  FROM e, qt GROUP BY 1, 2),
+             |r AS (SELECT qid, vec_id, dist, row_number() OVER (PARTITION BY qid ORDER BY dist, vec_id) AS rn FROM dd)
+             |SELECT qid, vec_id, round(dist, 3) AS dist, CAST(rn AS BIGINT) AS rn
+             |FROM r WHERE rn <= 5 ORDER BY qid, rn""".stripMargin)),
+
+    // The MULTIVECTOR sibling: a queries TABLE of token-set documents
+    // over the registered partitioned multivector corpus, routed through
+    // AnnCatalog.servedMaxsimMany -> maxsimManyMulti. Full coverage
+    // budgets make it exact — the same per-qid sum-min oracle as
+    // maxsim_batch_multi.
+    "maxsim_batch_served" -> Q(
+      (s, d) => {
+        import s.implicits._
+        val path = partitionedMaxSimTable(s, d)
+        require(graft.plans.AnnCatalog.coverMaxSimByFiles(Seq(path),
+            s.read.parquet(path).inputFiles.toSeq).exists(_.size == 2),
+          "maxsim_batch_served: the partitioned multivector corpus is " +
+          "not covered by its per-child registrations")
+        val qdf = Seq(
+            (1L, (1L to 3L).map(qvec(s, d, _).toSeq).toSeq),
+            (2L, (4L to 6L).map(qvec(s, d, _).toSeq).toSeq))
+          .toDF("qid", "tokens")
+        withConfs(s, "graft.ann.probes" -> "8",
+          "graft.ann.maxsim.kPerToken" -> "1024", "graft.ann.refine" -> "8") {
+          graft.plans.AnnCatalog.servedMaxsimMany(s, path, qdf,
+              "qid", "tokens", k = 10)
+            .select(col("qid"), col("doc").cast("int").as("doc"),
+              col("maxsim").as("raw"))
+            .orderBy(col("qid"), col("raw"), col("doc"))
+            .select(col("qid"), col("doc"),
+              (round(col("raw"), 3) + 0.0).as("maxsim"))
+        } },
+      Some("""WITH qt AS (SELECT CAST(CASE WHEN vec_id <= 3 THEN 1 ELSE 2 END AS BIGINT) AS qid,
+             |  vec_id AS tid, embedding AS qe FROM embeddings WHERE vec_id BETWEEN 1 AND 6),
+             |e AS (SELECT label, vec_id, embedding, unnest(range(0, 64)) AS i FROM embeddings),
+             |nd AS (SELECT qt.qid AS qid, e.label AS doc, e.vec_id AS did, qt.tid AS tid,
+             |  -sum(CAST(e.embedding[i+1] AS DOUBLE) * CAST(qt.qe[i+1] AS DOUBLE)) AS negdot
+             |  FROM e, qt GROUP BY 1, 2, 3, 4),
+             |m AS (SELECT qid, doc, tid, min(negdot) AS mind FROM nd GROUP BY qid, doc, tid)
+             |SELECT qid, doc, round(sum(mind), 3) + 0.0 AS maxsim FROM m
+             |GROUP BY qid, doc ORDER BY qid, sum(mind), doc""".stripMargin)),
+
     // planner-served prefilter (Q7, reference vchordrq.prefilter): a
     // Filter under ORDER BY metric LIMIT k escalates the candidate pool
     // until k predicate survivors; served through AnnTopKRewrite against a
