@@ -1106,7 +1106,94 @@ case class AnnTopKRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     sides.view.flatMap { case (indexedSide, queriesSide, vecAttr, centerAttr, indexedIsLeft) =>
       tryServeKnnJoin(f, w, join, projOpt, resolveThroughProj, k, metric,
         vecAttr, centerAttr, indexedSide, queriesSide, indexedIsLeft)
+        .orElse(tryServeKnnJoinGraph(f, w, join, projOpt, resolveThroughProj,
+          k, metric, vecAttr, centerAttr, indexedSide, queriesSide, indexedIsLeft))
     }.headOption
+  }
+
+  /** Graph-tier KNN join: the same windowed rank shape served from
+    * driver-resident Vamana graphs (single registration or per-child
+    * partitioned cover) — every query beams against every graph ON THE
+    * DRIVER (zero Spark jobs at planning, the serveGraphMulti economics
+    * times the query count; one bounded queries-side collect only).
+    * Per-(query, graph) candidate budgets match the planner's graph
+    * serve: k on exact graphs, the full ef pool on quantized ones (the
+    * window's exact rerank corrects estimate ordering). Declines mirror
+    * [[tryServeKnnJoin]] plus the graph cost gate. */
+  private def tryServeKnnJoinGraph(f: Filter, w: Window, join: Join,
+      projOpt: Option[Seq[NamedExpression]],
+      resolveThroughProj: Expression => Expression,
+      k: Int, metric: String,
+      vecAttr: AttributeReference, centerAttr: AttributeReference,
+      indexedSide: LogicalPlan, queriesSide: LogicalPlan,
+      indexedIsLeft: Boolean): Option[LogicalPlan] = {
+    for {
+      _ <- Some(())
+      if w.partitionSpec.nonEmpty
+      if w.partitionSpec.forall(pe =>
+        resolveThroughProj(pe).references.subsetOf(queriesSide.outputSet))
+      if !queriesSide.exists(p => !p.expressions.forall(_.deterministic))
+      (rel, predOpt) <- destructure(indexedSide)
+      if predOpt.isEmpty
+      fsRel <- rel.relation match {
+        case h: HadoopFsRelation => Some(h)
+        case _ => None
+      }
+      roots = fsRel.location.rootPaths.map(_.toString)
+      ges <- AnnCatalog.lookupGraph(roots).map(Seq(_))
+        .orElse(AnnCatalog.lookupAllGraphs(roots).filter(_.size > 1))
+        .orElse(AnnCatalog.coverGraphsByFiles(roots,
+          fsRel.location.inputFiles.toSeq))
+      if ges.forall(_.vecCol == vecAttr.name)
+      if ges.map(_.idCol).distinct.size == 1
+      idAttr <- indexedSide.output.find(_.name == ges.head.idCol)
+      idLit <- litFor(idAttr)
+      if ges.forall(ge => AnnCatalog.graph(spark, ge).cfg.metric == metric)
+      served <- {
+        val gs = ges.map(ge => AnnCatalog.graph(spark, ge))
+        val ef = spark.conf.get("graft.ann.efSearch", "64").toInt
+        val maxQ = spark.conf.get("graft.ann.knn.join.maxQueries", "256").toInt
+        val maxInList = spark.conf.get("graft.ann.maxInList", "8192").toInt
+        // per query row: summed beam work vs the exact cross join's
+        // per-query row scan (serveGraphMulti's gate — M cancels)
+        val costOk = !spark.conf.get("graft.ann.cost.enable", "true").toBoolean ||
+          gs.length.toDouble * ef + k < gs.map(_.ids.length.toDouble).sum
+        if (!costOk) None
+        else {
+          AnnTopKRewrite.planningJobs.incrementAndGet()
+          val qRows = ColumnBridge.ofRows(spark,
+              Project(Seq(Alias(centerAttr, "c")()), queriesSide))
+            .limit(maxQ + 1).collect()
+          if (qRows.length > maxQ || qRows.exists(_.isNullAt(0))) None
+          else if (qRows.isEmpty) Some(LocalRelation(f.output))
+          else {
+            val centers = qRows.iterator.map(_.getSeq[Float](0)).toArray
+              .distinct.map(_.toArray)
+            val ids = centers.flatMap { c =>
+              gs.flatMap { g =>
+                val kCand = if (g.quantized) math.max(ef, k) else k
+                g.search(c, kCand, ef).map(_._1)
+              }
+            }.distinct.sorted
+            if (ids.isEmpty || ids.length > maxInList) None
+            else {
+              ensureInPushdown(ids.length)
+              val restricted = stamped(Filter(
+                AnnTopKRewrite.idsInExpr(idAttr, ids, idLit), indexedSide))
+              val newJoin = if (indexedIsLeft) join.copy(left = restricted)
+                            else join.copy(right = restricted)
+              val newBody: LogicalPlan = projOpt
+                .map(pl => Project(pl, newJoin): LogicalPlan).getOrElse(newJoin)
+              val newWchild = w.child match {
+                case wgl: WindowGroupLimit => wgl.withNewChildren(Seq(newBody))
+                case _ => newBody
+              }
+              Some(f.withNewChildren(Seq(w.withNewChildren(Seq(newWchild)))))
+            }
+          }
+        }
+      }
+    } yield served
   }
 
   private def tryServeKnnJoin(f: Filter, w: Window, join: Join,

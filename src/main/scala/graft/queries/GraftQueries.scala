@@ -719,8 +719,12 @@ object GraftQueries {
             s.experimental.extraOptimizations :+ graft.plans.AnnTopKRewrite(s)
         graft.functions.GraftFunctions.registerAll(s)
         s.read.parquet(path).createOrReplaceTempView("emb_kj")
+        // cost model off WHILE BUILDING the plan (the knn_partitioned
+        // policy): at the sf0.001 tier a 50-row table is rightly cheaper
+        // to cross-join exactly, but this query exists to exercise and
+        // plan-assert the serve on every tier
         val served = withConfs(s, "graft.ann.probes" -> "16",
-          "graft.ann.refine" -> "16") {
+          "graft.ann.refine" -> "16", "graft.ann.cost.enable" -> "false") {
             val df = s.sql(
               """SELECT qid, vec_id, dist, CAST(rn AS BIGINT) AS rn FROM (
                 |  SELECT q.qid, e.vec_id,
@@ -779,6 +783,52 @@ object GraftQueries {
                 |) WHERE rn <= 3 ORDER BY qid, rn""".stripMargin)
             require(candInCount(df.queryExecution.optimizedPlan.toString) >= 2,
               "knn_join_partitioned was NOT index-served — the partitioned " +
+              "KNN-join cover failed to match:\n" +
+              df.queryExecution.optimizedPlan)
+            df.collect()
+          }
+        import s.implicits._
+        served.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+          .toSeq.toDF("qid", "vec_id", "dist", "rn").orderBy("qid", "rn")
+      },
+      Some("""WITH qt AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id IN (0, 1, 2)),
+             |e AS (SELECT vec_id, embedding, unnest(range(0, 64)) AS i FROM embeddings),
+             |dd AS (SELECT qt.qid, e.vec_id,
+             |  sqrt(sum(power(CAST(e.embedding[i+1] AS DOUBLE) - CAST(qt.qe[i+1] AS DOUBLE), 2))) AS dist
+             |  FROM e, qt GROUP BY 1, 2),
+             |r AS (SELECT qid, vec_id, dist, row_number() OVER (PARTITION BY qid ORDER BY dist, vec_id) AS rn FROM dd)
+             |SELECT qid, vec_id, round(dist, 3) AS dist, CAST(rn AS BIGINT) AS rn
+             |FROM r WHERE rn <= 3 ORDER BY qid, rn""".stripMargin)),
+
+    // The GRAPH-tier KNN JOIN: the same windowed rank shape served from
+    // the partitioned graph fixture's per-child driver-resident Vamana
+    // graphs (zero planning Spark jobs beyond the queries collect —
+    // every query beams on the driver, serveGraphMulti economics times
+    // the batch). Generous beams make it exact; collected inside
+    // withConfs so the pinned rows reflect the forced serve (the cost
+    // model rightly declines on tiny tiers, as knn_partitioned).
+    "knn_join_graph" -> Q(
+      (s, d) => {
+        val path = partitionedGraphTable(s, d)
+        if (!s.experimental.extraOptimizations.exists(_.isInstanceOf[graft.plans.AnnTopKRewrite]))
+          s.experimental.extraOptimizations =
+            s.experimental.extraOptimizations :+ graft.plans.AnnTopKRewrite(s)
+        graft.functions.GraftFunctions.registerAll(s)
+        s.read.parquet(path).createOrReplaceTempView("emb_kj_graph")
+        val served = withConfs(s, "graft.ann.efSearch" -> "256",
+          "graft.ann.cost.enable" -> "false") {
+            val df = s.sql(
+              """SELECT qid, vec_id, dist, CAST(rn AS BIGINT) AS rn FROM (
+                |  SELECT q.qid, e.vec_id,
+                |         round(vec_l2(e.embedding, q.center), 3) AS dist,
+                |         row_number() OVER (PARTITION BY q.qid
+                |           ORDER BY vec_l2(e.embedding, q.center), e.vec_id) AS rn
+                |  FROM (SELECT vec_id AS qid, embedding AS center FROM emb_kj_graph
+                |        WHERE vec_id IN (0, 1, 2)) q
+                |  JOIN emb_kj_graph e
+                |) WHERE rn <= 3 ORDER BY qid, rn""".stripMargin)
+            require(candInCount(df.queryExecution.optimizedPlan.toString) >= 2,
+              "knn_join_graph was NOT graph-served — the graph-tier " +
               "KNN-join cover failed to match:\n" +
               df.queryExecution.optimizedPlan)
             df.collect()

@@ -161,6 +161,40 @@ class KnnJoinServeSpec extends SparkSpec {
     }
   }
 
+  test("graph-registered corpus serves the same shape from driver beams") {
+    import spark.implicits._
+    val (tableDir, _) = setup
+    val rows = data(tableDir)
+    val gdst = Files.createTempDirectory("graft-kj-gpart").toString
+    spark.read.parquet(tableDir)
+      .withColumn("pt", (col("id") % 2).cast("int"))
+      .write.partitionBy("pt").mode("overwrite").parquet(gdst)
+    (0 to 1).foreach { p =>
+      val gdir = Files.createTempDirectory(s"graft-kj-g$p").toString
+      graft.index.VamanaGraph
+        .build(spark.read.parquet(s"$gdst/pt=$p"), "id", "vec",
+          graft.index.VamanaConfig())
+        .save(spark, gdir)
+      AnnCatalog.registerGraph(s"$gdst/pt=$p", gdir, "id", "vec")
+    }
+    withRule {
+      withConfs("graft.ann.efSearch" -> "512",
+          "graft.ann.cost.enable" -> "false") {
+        val byId = rows.toMap
+        val qs = Seq(1L, 8L).map(i => i -> byId(i))
+        val before = AnnTopKRewrite.planningJobs.get()
+        val df = kjDf(gdst, qs, 4)
+        assert(AnnTopKRewrite.inServed(df.queryExecution.optimizedPlan.toString),
+          s"expected graph-served candidate restriction:\n" +
+          df.queryExecution.optimizedPlan)
+        // exactly ONE planning job: the queries collect — beams run on
+        // the driver (the serveGraphMulti economics)
+        assert(AnnTopKRewrite.planningJobs.get() - before == 1)
+        assert(collectKj(df) == brute(tableDir, qs, 4))
+      }
+    }
+  }
+
   test("codes-only index serves via its entry's rerank table") {
     import spark.implicits._
     val (tableDir, _) = setup
