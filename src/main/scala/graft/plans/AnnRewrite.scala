@@ -1108,7 +1108,55 @@ case class AnnTopKRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
         vecAttr, centerAttr, indexedSide, queriesSide, indexedIsLeft)
         .orElse(tryServeKnnJoinGraph(f, w, join, projOpt, resolveThroughProj,
           k, metric, vecAttr, centerAttr, indexedSide, queriesSide, indexedIsLeft))
+        .orElse(tryServeKnnJoinSharded(f, w, join, projOpt, resolveThroughProj,
+          k, metric, vecAttr, centerAttr, indexedSide, queriesSide, indexedIsLeft))
     }.headOption
+  }
+
+  /** Shared tail of every KNN-join route: ONE bounded queries-side
+    * collect (oversized sets and NULL centers decline; content-deduped
+    * centers share a candidate fetch), then the `cands` fetch, the
+    * IN-restriction of the indexed side, and the plan rebuild with the
+    * original window kept for exact rerank. */
+  private def serveKnnJoinRestrict(f: Filter, w: Window, join: Join,
+      projOpt: Option[Seq[NamedExpression]], queriesSide: LogicalPlan,
+      centerAttr: AttributeReference, indexedSide: LogicalPlan,
+      indexedIsLeft: Boolean, idAttr: Attribute, idLit: Long => Literal,
+      maxQ: Int)(
+      cands: Array[Array[Float]] => Option[Array[Long]]): Option[LogicalPlan] = {
+    val maxInList = spark.conf.get("graft.ann.maxInList", "8192").toInt
+    AnnTopKRewrite.planningJobs.incrementAndGet()
+    val qRows = ColumnBridge.ofRows(spark,
+        Project(Seq(Alias(centerAttr, "c")()), queriesSide))
+      .limit(maxQ + 1).collect()
+    if (qRows.length > maxQ || qRows.exists(_.isNullAt(0))) None
+    else if (qRows.isEmpty) Some(LocalRelation(f.output))
+    else {
+      // identical centers share one candidate fetch (dedupe by CONTENT —
+      // Array equality is reference equality)
+      val centers = qRows.iterator.map(_.getSeq[Float](0)).toArray
+        .distinct.map(_.toArray)
+      cands(centers).flatMap { ids0 =>
+        val ids = ids0.distinct.sorted
+        // empty candidates only arise from an empty/degenerate index —
+        // decline rather than guess at the table's rows
+        if (ids.isEmpty || ids.length > maxInList) None
+        else {
+          ensureInPushdown(ids.length)
+          val restricted = stamped(Filter(
+            AnnTopKRewrite.idsInExpr(idAttr, ids, idLit), indexedSide))
+          val newJoin = if (indexedIsLeft) join.copy(left = restricted)
+                        else join.copy(right = restricted)
+          val newBody: LogicalPlan = projOpt
+            .map(pl => Project(pl, newJoin): LogicalPlan).getOrElse(newJoin)
+          val newWchild = w.child match {
+            case wgl: WindowGroupLimit => wgl.withNewChildren(Seq(newBody))
+            case _ => newBody
+          }
+          Some(f.withNewChildren(Seq(w.withNewChildren(Seq(newWchild)))))
+        }
+      }
+    }
   }
 
   /** Graph-tier KNN join: the same windowed rank shape served from
@@ -1153,44 +1201,70 @@ case class AnnTopKRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
         val gs = ges.map(ge => AnnCatalog.graph(spark, ge))
         val ef = spark.conf.get("graft.ann.efSearch", "64").toInt
         val maxQ = spark.conf.get("graft.ann.knn.join.maxQueries", "256").toInt
-        val maxInList = spark.conf.get("graft.ann.maxInList", "8192").toInt
         // per query row: summed beam work vs the exact cross join's
         // per-query row scan (serveGraphMulti's gate — M cancels)
         val costOk = !spark.conf.get("graft.ann.cost.enable", "true").toBoolean ||
           gs.length.toDouble * ef + k < gs.map(_.ids.length.toDouble).sum
         if (!costOk) None
-        else {
-          AnnTopKRewrite.planningJobs.incrementAndGet()
-          val qRows = ColumnBridge.ofRows(spark,
-              Project(Seq(Alias(centerAttr, "c")()), queriesSide))
-            .limit(maxQ + 1).collect()
-          if (qRows.length > maxQ || qRows.exists(_.isNullAt(0))) None
-          else if (qRows.isEmpty) Some(LocalRelation(f.output))
-          else {
-            val centers = qRows.iterator.map(_.getSeq[Float](0)).toArray
-              .distinct.map(_.toArray)
-            val ids = centers.flatMap { c =>
-              gs.flatMap { g =>
-                val kCand = if (g.quantized) math.max(ef, k) else k
-                g.search(c, kCand, ef).map(_._1)
-              }
-            }.distinct.sorted
-            if (ids.isEmpty || ids.length > maxInList) None
-            else {
-              ensureInPushdown(ids.length)
-              val restricted = stamped(Filter(
-                AnnTopKRewrite.idsInExpr(idAttr, ids, idLit), indexedSide))
-              val newJoin = if (indexedIsLeft) join.copy(left = restricted)
-                            else join.copy(right = restricted)
-              val newBody: LogicalPlan = projOpt
-                .map(pl => Project(pl, newJoin): LogicalPlan).getOrElse(newJoin)
-              val newWchild = w.child match {
-                case wgl: WindowGroupLimit => wgl.withNewChildren(Seq(newBody))
-                case _ => newBody
-              }
-              Some(f.withNewChildren(Seq(w.withNewChildren(Seq(newWchild)))))
+        else serveKnnJoinRestrict(f, w, join, projOpt, queriesSide,
+            centerAttr, indexedSide, indexedIsLeft, idAttr, idLit, maxQ) { centers =>
+          Some(centers.flatMap { c =>
+            gs.flatMap { g =>
+              val kCand = if (g.quantized) math.max(ef, k) else k
+              g.search(c, kCand, ef).map(_._1)
             }
-          }
+          })
+        }
+      }
+    } yield served
+  }
+
+  /** Sharded-graph KNN join: the same windowed rank shape served from
+    * the DISTRIBUTED graph tier — the whole batch beams in ONE
+    * [[graft.index.ShardedVamana.Handle.search]] call over the resident
+    * shard RDD (Spark jobs at planning time, like the single-query
+    * sharded serve); quantized shards keep the ef pool as candidates
+    * and the window's exact rerank restores ordering. */
+  private def tryServeKnnJoinSharded(f: Filter, w: Window, join: Join,
+      projOpt: Option[Seq[NamedExpression]],
+      resolveThroughProj: Expression => Expression,
+      k: Int, metric: String,
+      vecAttr: AttributeReference, centerAttr: AttributeReference,
+      indexedSide: LogicalPlan, queriesSide: LogicalPlan,
+      indexedIsLeft: Boolean): Option[LogicalPlan] = {
+    for {
+      _ <- Some(())
+      if w.partitionSpec.nonEmpty
+      if w.partitionSpec.forall(pe =>
+        resolveThroughProj(pe).references.subsetOf(queriesSide.outputSet))
+      if !queriesSide.exists(p => !p.expressions.forall(_.deterministic))
+      (rel, predOpt) <- destructure(indexedSide)
+      if predOpt.isEmpty
+      fsRel <- rel.relation match {
+        case h: HadoopFsRelation => Some(h)
+        case _ => None
+      }
+      roots = fsRel.location.rootPaths.map(_.toString)
+      se <- AnnCatalog.lookupShardedGraph(roots)
+      if se.vecCol == vecAttr.name
+      idAttr <- indexedSide.output.find(_.name == se.idCol)
+      idLit <- litFor(idAttr)
+      if AnnCatalog.shardedGraph(spark, se).cfg.metric == metric
+      served <- {
+        val h = AnnCatalog.shardedGraph(spark, se)
+        val ef = spark.conf.get("graft.ann.efSearch", "64").toInt
+        val maxQ = spark.conf.get("graft.ann.knn.join.maxQueries", "256").toInt
+        val costOk = !spark.conf.get("graft.ann.cost.enable", "true").toBoolean ||
+          h.shards.toDouble * ef + k < h.totalVertices.toDouble
+        if (!costOk) None
+        else serveKnnJoinRestrict(f, w, join, projOpt, queriesSide,
+            centerAttr, indexedSide, indexedIsLeft, idAttr, idLit, maxQ) { centers =>
+          AnnTopKRewrite.planningJobs.incrementAndGet()
+          val queries = centers.zipWithIndex.map { case (c, i) => (i.toLong, c) }
+          val kCand = if (h.cfg.bits > 0) math.max(ef, k) else k
+          Some(h.search(spark, queries, kCand, ef, allowEstimates = true)
+            .select("id").distinct()
+            .collect().map(_.getLong(0)))
         }
       }
     } yield served
@@ -1232,7 +1306,6 @@ case class AnnTopKRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
       served <- {
         val idxs = es.map(e => AnnCatalog.index(spark, e))
         val maxQ = spark.conf.get("graft.ann.knn.join.maxQueries", "256").toInt
-        val maxInList = spark.conf.get("graft.ann.maxInList", "8192").toInt
         val probesConf = spark.conf.get("graft.ann.probes", "auto")
         def probesFor(lists: Int): Int =
           if (probesConf == "auto")
@@ -1262,57 +1335,28 @@ case class AnnTopKRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
             spark.conf.get("graft.ann.batch.maxPoolTuples").toLong)
           .getOrElse(4000000L)
         if (!costOk || !multiOk) None
-        else {
-          AnnTopKRewrite.planningJobs.incrementAndGet()
-          val qRows = ColumnBridge.ofRows(spark,
-              Project(Seq(Alias(centerAttr, "c")()), queriesSide))
-            .limit(maxQ + 1).collect()
-          if (qRows.length > maxQ || qRows.exists(_.isNullAt(0))) None
-          else if (qRows.isEmpty) Some(LocalRelation(f.output))
+        else serveKnnJoinRestrict(f, w, join, projOpt, queriesSide,
+            centerAttr, indexedSide, indexedIsLeft, idAttr, idLit, maxQ) { centers =>
+          val queries = centers.zipWithIndex.map { case (c, i) => (i.toLong, c) }
+          val nCand = math.max(k * refine, k)
+          if (idxs.length.toLong * queries.length * nCand > maxPool) None
           else {
-            // identical centers share one candidate fetch (dedupe by
-            // CONTENT — Array equality is reference equality)
-            val queries = qRows.iterator.map(_.getSeq[Float](0)).toArray
-              .distinct.zipWithIndex
-              .map { case (c, i) => (i.toLong, c.toArray) }
-            val nCand = math.max(k * refine, k)
-            if (idxs.length.toLong * queries.length * nCand > maxPool) None
-            else {
-              AnnTopKRewrite.planningJobs.incrementAndGet()
-              import spark.implicits._
-              val probes = idxs.map(ix => probesFor(ix.meta.cfg.lists)).max
-              val ids: Array[Long] =
-                if (idxs.length == 1) {
-                  val e0 = es.head
-                  val rt =
-                    if (idxs.head.meta.cfg.storeVectors || e0.tablePath.isEmpty) None
-                    else Some((spark.read.parquet(e0.tablePath), e0.idCol, e0.vecCol))
-                  idxs.head.searchMany(queries, k, probes = probes,
-                      refine = refine, rerankTable = rt)
-                    .select("id").as[Long].collect()
-                } else
-                  IvfIndex.searchManyMulti(idxs, queries, k, probes = probes,
-                      refine = refine)
-                    .select("id").as[Long].collect()
-              val dids = ids.distinct.sorted
-              // empty candidates only arise from an empty/degenerate
-              // index — decline rather than guess at the table's rows
-              if (dids.isEmpty || dids.length > maxInList) None
-              else {
-                ensureInPushdown(dids.length)
-                val restricted = stamped(Filter(
-                  AnnTopKRewrite.idsInExpr(idAttr, dids, idLit), indexedSide))
-                val newJoin = if (indexedIsLeft) join.copy(left = restricted)
-                              else join.copy(right = restricted)
-                val newBody: LogicalPlan = projOpt
-                  .map(pl => Project(pl, newJoin): LogicalPlan).getOrElse(newJoin)
-                val newWchild = w.child match {
-                  case wgl: WindowGroupLimit => wgl.withNewChildren(Seq(newBody))
-                  case _ => newBody
-                }
-                Some(f.withNewChildren(Seq(w.withNewChildren(Seq(newWchild)))))
-              }
-            }
+            AnnTopKRewrite.planningJobs.incrementAndGet()
+            import spark.implicits._
+            val probes = idxs.map(ix => probesFor(ix.meta.cfg.lists)).max
+            Some(
+              if (idxs.length == 1) {
+                val e0 = es.head
+                val rt =
+                  if (idxs.head.meta.cfg.storeVectors || e0.tablePath.isEmpty) None
+                  else Some((spark.read.parquet(e0.tablePath), e0.idCol, e0.vecCol))
+                idxs.head.searchMany(queries, k, probes = probes,
+                    refine = refine, rerankTable = rt)
+                  .select("id").as[Long].collect()
+              } else
+                IvfIndex.searchManyMulti(idxs, queries, k, probes = probes,
+                    refine = refine)
+                  .select("id").as[Long].collect())
           }
         }
       }

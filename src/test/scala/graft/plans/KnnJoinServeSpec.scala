@@ -195,6 +195,29 @@ class KnnJoinServeSpec extends SparkSpec {
     }
   }
 
+  test("sharded-graph corpus serves the same shape through one batched " +
+       "shard search") {
+    import spark.implicits._
+    val (tableDir, _) = setup
+    val rows = data(tableDir)
+    val sdir = Files.createTempDirectory("graft-kj-sharded").toString
+    graft.index.ShardedVamana.build(spark.read.parquet(tableDir), "id", "vec",
+      sdir, graft.index.VamanaConfig(), shards = 3)
+    AnnCatalog.registerShardedGraph(tableDir, sdir, "id", "vec")
+    try withRule {
+      withConfs("graft.ann.efSearch" -> "512",
+          "graft.ann.cost.enable" -> "false") {
+        val byId = rows.toMap
+        val qs = Seq(2L, 9L).map(i => i -> byId(i))
+        val df = kjDf(tableDir, qs, 4)
+        assert(AnnTopKRewrite.inServed(df.queryExecution.optimizedPlan.toString),
+          s"expected sharded-graph candidate restriction:\n" +
+          df.queryExecution.optimizedPlan)
+        assert(collectKj(df) == brute(tableDir, qs, 4))
+      }
+    } finally AnnCatalog.unregisterShardedGraph(tableDir)
+  }
+
   test("codes-only index serves via its entry's rerank table") {
     import spark.implicits._
     val (tableDir, _) = setup
