@@ -614,6 +614,44 @@ object ScaleProbe {
         })
         out += (s"_scale_manyroot${nR}_range8" -> tRange)
         say(f"_scale_manyroot${nR}_range8 = $tRange%.3fs")
+        // planner KNN JOIN over the same fixture (round 15): 16 query
+        // rows through the windowed rank shape end to end — the serve's
+        // bounded queries collect + ONE batched candidate job + the
+        // restricted window execution; job count constant in R and B
+        locally {
+          val (tableDir, idxDirs) =
+            graft.tools.ManyRootFixture.ensureFixture(spark, nR)
+          (0 until nR).foreach { p =>
+            graft.plans.AnnCatalog.register(s"$tableDir/part=$p",
+              idxDirs(p), "id", "vec")
+          }
+          val rule = graft.plans.AnnTopKRewrite(spark)
+          val hadRule = spark.experimental.extraOptimizations
+            .exists(_.isInstanceOf[graft.plans.AnnTopKRewrite])
+          if (!hadRule) spark.experimental.extraOptimizations =
+            spark.experimental.extraOptimizations :+ rule
+          try {
+            import org.apache.spark.sql.functions.{col, row_number}
+            val qdf = qB.map { case (qid, v) => (qid, v.toSeq) }.toSeq
+              .toDF("qid", "center")
+            val wSpec = org.apache.spark.sql.expressions.Window
+              .partitionBy("qid")
+              .orderBy(graft.functions.GraftFunctions
+                .vecL2(col("vec"), col("center")), col("id"))
+            def kj() = qdf.crossJoin(spark.read.parquet(tableDir))
+              .withColumn("rn", row_number().over(wSpec))
+              .filter(col("rn") <= 5)
+            val tKj = bestOf(() => { kj().count(); () })
+            out += (s"_scale_manyroot${nR}_knnjoin16" -> tKj)
+            say(f"_scale_manyroot${nR}_knnjoin16 = $tKj%.3fs")
+          } finally {
+            if (!hadRule) spark.experimental.extraOptimizations =
+              spark.experimental.extraOptimizations.filterNot(_
+                .asInstanceOf[AnyRef] eq rule)
+            (0 until nR).foreach(p =>
+              graft.plans.AnnCatalog.unregister(s"$tableDir/part=$p"))
+          }
+        }
       }
       // B5 deep-tree probe economics: flat vs 3-level descent over 1024
       // synthetic centroids, 2000 probes each (driver-side cost only)
