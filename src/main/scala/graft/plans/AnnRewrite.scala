@@ -1016,9 +1016,9 @@ case class AnnTopKRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
   /** Index-served top-k KNN join (see the match site). Declines — leaving
     * the original exact plan — when: the window is not a single
     * row_number() ranked ascending by a column-column distance; the rank
-    * bound conjunct is missing; the join carries a residual condition or
-    * the indexed side a prefilter (either breaks the per-query k-floor the
-    * candidate restriction guarantees); the window partition keys off the
+    * bound conjunct is missing; the join carries a residual condition
+    * (it breaks the per-query k-floor the candidate restriction
+    * guarantees); the window partition keys off the
     * indexed side; the queries side is non-deterministic, oversized
     * (`graft.ann.knn.join.maxQueries`), or holds a NULL center (its pairs
     * rank by null-dist NULLS FIRST — semantics a candidate restriction
@@ -1026,7 +1026,13 @@ case class AnnTopKRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     * or the cost model prefers the exact scan. Planning cost: EXACTLY TWO
     * bounded driver-blocking jobs regardless of query-row count and root
     * count (one capped queries-side collect, one batched candidate job),
-    * both counted in [[AnnTopKRewrite.planningJobs]]. For bulk batches
+    * both counted in [[AnnTopKRewrite.planningJobs]]. A deterministic
+    * PREFILTER on the indexed side escalates instead of declining (the
+    * single-query serve's contract, batched): the predicate is
+    * query-independent, so each round is one pooled candidate job plus
+    * one bounded survivor fetch flooring EVERY query's survivor count at
+    * once; probes/refine x4 until every query holds k survivors or the
+    * pools provably cover the table. For bulk batches
     * past the cap use the DSL's `searchMany`/`searchManyMulti`. */
   private def serveKnnJoin(f: Filter): Option[LogicalPlan] = {
     val w = f.child.asInstanceOf[Window]
@@ -1288,7 +1294,6 @@ case class AnnTopKRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
       // queries-side rows must reproduce identically at execution time
       if !queriesSide.exists(p => !p.expressions.forall(_.deterministic))
       (rel, predOpt) <- destructure(indexedSide)
-      if predOpt.isEmpty // prefiltered indexed side: see the decline note
       fsRel <- rel.relation match {
         case h: HadoopFsRelation => Some(h)
         case _ => None
@@ -1306,6 +1311,7 @@ case class AnnTopKRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
       served <- {
         val idxs = es.map(e => AnnCatalog.index(spark, e))
         val maxQ = spark.conf.get("graft.ann.knn.join.maxQueries", "256").toInt
+        val maxInList = spark.conf.get("graft.ann.maxInList", "8192").toInt
         val probesConf = spark.conf.get("graft.ann.probes", "auto")
         def probesFor(lists: Int): Int =
           if (probesConf == "auto")
@@ -1337,26 +1343,108 @@ case class AnnTopKRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
         if (!costOk || !multiOk) None
         else serveKnnJoinRestrict(f, w, join, projOpt, queriesSide,
             centerAttr, indexedSide, indexedIsLeft, idAttr, idLit, maxQ) { centers =>
+          import spark.implicits._
           val queries = centers.zipWithIndex.map { case (c, i) => (i.toLong, c) }
-          val nCand = math.max(k * refine, k)
-          if (idxs.length.toLong * queries.length * nCand > maxPool) None
-          else {
-            AnnTopKRewrite.planningJobs.incrementAndGet()
-            import spark.implicits._
-            val probes = idxs.map(ix => probesFor(ix.meta.cfg.lists)).max
-            Some(
-              if (idxs.length == 1) {
-                val e0 = es.head
-                val rt =
-                  if (idxs.head.meta.cfg.storeVectors || e0.tablePath.isEmpty) None
-                  else Some((spark.read.parquet(e0.tablePath), e0.idCol, e0.vecCol))
-                idxs.head.searchMany(queries, k, probes = probes,
-                    refine = refine, rerankTable = rt)
-                  .select("id").as[Long].collect()
-              } else
-                IvfIndex.searchManyMulti(idxs, queries, k, probes = probes,
-                    refine = refine)
-                  .select("id").as[Long].collect())
+          def rtOf: Option[(org.apache.spark.sql.DataFrame, String, String)] = {
+            val e0 = es.head
+            if (idxs.head.meta.cfg.storeVectors || e0.tablePath.isEmpty) None
+            else Some((spark.read.parquet(e0.tablePath), e0.idCol, e0.vecCol))
+          }
+          // per-query candidate POOLS of k*r ids by estimate order (the
+          // escalate() pool semantics — refine=1, the survivor floor needs
+          // the whole pool, not its reranked top-k) at the given probe
+          // scale — ONE batched job however many queries and roots
+          def pools(probeScale: Int, r: Int): Option[Map[Long, Array[Long]]] = {
+            val nCand = math.max(k * r, k)
+            if (idxs.length.toLong * queries.length * nCand > maxPool) None
+            else {
+              AnnTopKRewrite.planningJobs.incrementAndGet()
+              val probes = idxs.map(ix =>
+                math.min(ix.meta.cfg.lists,
+                  probesFor(ix.meta.cfg.lists) * probeScale)).max
+              val df =
+                if (idxs.length == 1)
+                  idxs.head.searchMany(queries, nCand, probes = probes,
+                    refine = 1, rerankTable = rtOf)
+                else
+                  IvfIndex.searchManyMulti(idxs, queries, nCand,
+                    probes = probes, refine = 1)
+              Some(df.select("qid", "id").as[(Long, Long)].collect()
+                .groupBy(_._1).view.mapValues(_.map(_._2)).toMap)
+            }
+          }
+          predOpt match {
+            case None =>
+              // no prefilter: per-query exact-reranked top-k candidates in
+              // one batched job (the window reranks the union again)
+              val nCand = math.max(k * refine, k)
+              if (idxs.length.toLong * queries.length * nCand > maxPool) None
+              else {
+                AnnTopKRewrite.planningJobs.incrementAndGet()
+                val probes = idxs.map(ix => probesFor(ix.meta.cfg.lists)).max
+                Some(
+                  if (idxs.length == 1)
+                    idxs.head.searchMany(queries, k, probes = probes,
+                        refine = refine, rerankTable = rtOf)
+                      .select("id").as[Long].collect()
+                  else
+                    IvfIndex.searchManyMulti(idxs, queries, k, probes = probes,
+                        refine = refine)
+                      .select("id").as[Long].collect())
+              }
+            case Some(_) =>
+              // PREFILTER on the indexed side — the escalation contract of
+              // the single-query serve, per query: the predicate is
+              // query-INDEPENDENT, so one bounded survivor fetch per round
+              // (ids of `indexedSide` rows — the user Filter is inside it —
+              // within the pooled candidates) floors every query's
+              // survivor count at once; probes/refine escalate x4 until
+              // every query holds k survivors or the pools provably cover
+              // the table. Overflowing maxInList declines to the exact
+              // plan (a giant IN loses to the cross join).
+              def survivorSet(allIds: Array[Long]): Option[Set[Long]] =
+                if (allIds.isEmpty) Some(Set.empty)
+                else if (allIds.length > maxInList) None
+                else {
+                  AnnTopKRewrite.planningJobs.incrementAndGet()
+                  ensureInPushdown(allIds.length)
+                  AnnTopKRewrite.withPlanningGuard {
+                    Some(ColumnBridge.ofRows(spark,
+                        Filter(AnnTopKRewrite.idsInExpr(idAttr, allIds, idLit),
+                          indexedSide))
+                      .select(idAttr.name).as[Long].collect().toSet)
+                  }
+                }
+              var scale = 1
+              var r = refine
+              def covered: Boolean = idxs.forall { ix =>
+                probesFor(ix.meta.cfg.lists) * scale >= ix.meta.cfg.lists &&
+                  k.toLong * r >= ix.rowCount
+              }
+              var out: Option[Array[Long]] = None
+              var done = false
+              while (!done) {
+                pools(scale, r) match {
+                  case None => done = true // pool budget: decline
+                  case Some(byQ) =>
+                    val allIds = byQ.valuesIterator.flatten.toArray.distinct
+                    if (allIds.length > maxInList) done = true // decline
+                    else if (covered) { out = Some(allIds); done = true }
+                    else survivorSet(allIds) match {
+                      case None => done = true // IN budget: decline
+                      case Some(surv) =>
+                        // a query absent from the pool map retrieved
+                        // nothing — zero survivors, keep escalating
+                        val minSurv =
+                          if (byQ.size < queries.length) 0L
+                          else byQ.valuesIterator
+                            .map(_.count(surv.contains).toLong).min
+                        if (minSurv >= k) { out = Some(allIds); done = true }
+                        else { scale *= 4; r *= 4 }
+                    }
+                }
+              }
+              out
           }
         }
       }

@@ -69,6 +69,14 @@ class KnnJoinFuzzSpec extends SparkSpec {
         val dir = if (partitioned) part else flat(metric)
         val m = 1 + rng.nextInt(6)
         val k = 1 + rng.nextInt(12)
+        // PREFILTER axis (round 15): ~1/3 of trials filter the indexed
+        // side (id % pm == pr) — the serve escalates; refine is raised so
+        // the pools provably cover the table and the outcome stays a
+        // deterministic brute-force equality (multi-round partial-pool
+        // escalation is spec'd separately)
+        val pred: Option[(Long, Long)] =
+          if (rng.nextInt(3) == 0) Some((2L + rng.nextInt(4), rng.nextInt(2).toLong))
+          else None
         val qs = (0 until m).map { i =>
           // half data rows (self-match exercises dist=0 ties), half random
           val v = if (rng.nextBoolean()) allRows(rng.nextInt(n))._2
@@ -83,22 +91,40 @@ class KnnJoinFuzzSpec extends SparkSpec {
         val qdf = qs.map { case (qid, q) => (qid, q.toSeq) }.toDF("qid", "center")
         val w = org.apache.spark.sql.expressions.Window.partitionBy("qid")
           .orderBy(distFn(col("vec"), col("center")), col("id"))
-        val df = qdf.crossJoin(spark.read.parquet(dir))
+        val e0 = spark.read.parquet(dir)
+        val e = pred.map { case (pm, pr) => e0.filter(col("id") % pm === pr) }
+          .getOrElse(e0)
+        def build() = qdf.crossJoin(e)
           .withColumn("rn", row_number().over(w))
           .filter(col("rn") <= k)
           .select(col("qid"), col("id"), col("rn").cast("long").as("rn"))
-        assert(AnnTopKRewrite.inServed(df.queryExecution.optimizedPlan.toString),
-          s"trial $trial (m=$m k=$k metric=$metric part=$partitioned) " +
-          s"was not served:\n${df.queryExecution.optimizedPlan}")
-        val got = df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        val got = (pred match {
+          case Some(_) => graft.core.Confs.withConfs(spark,
+              "graft.ann.refine" -> "400") {
+            val df = build()
+            assert(AnnTopKRewrite.inServed(df.queryExecution.optimizedPlan.toString),
+              s"trial $trial (m=$m k=$k metric=$metric part=$partitioned " +
+              s"pred=$pred) was not served:\n${df.queryExecution.optimizedPlan}")
+            df.collect()
+          }
+          case None =>
+            val df = build()
+            assert(AnnTopKRewrite.inServed(df.queryExecution.optimizedPlan.toString),
+              s"trial $trial (m=$m k=$k metric=$metric part=$partitioned) " +
+              s"was not served:\n${df.queryExecution.optimizedPlan}")
+            df.collect()
+        }).map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
           .toSeq.sortBy(t => (t._1, t._3))
         val fn = graft.ops.Knn.metricFn(metric)
+        val rows = pred.map { case (pm, pr) => allRows.filter(_._1 % pm == pr) }
+          .getOrElse(allRows)
         val want = qs.flatMap { case (qid, q) =>
-          allRows.map { case (id, v) => (fn(v, q), id) }.sorted.take(k)
+          rows.map { case (id, v) => (fn(v, q), id) }.sorted.take(k)
             .zipWithIndex.map { case ((_, id), i) => (qid, id, (i + 1).toLong) }
         }
         assert(got == want,
-          s"trial $trial (m=$m k=$k metric=$metric part=$partitioned) mismatch")
+          s"trial $trial (m=$m k=$k metric=$metric part=$partitioned " +
+          s"pred=$pred) mismatch")
       }
     } finally spark.experimental.extraOptimizations =
       spark.experimental.extraOptimizations.filterNot(_ == rule)

@@ -235,7 +235,44 @@ class KnnJoinServeSpec extends SparkSpec {
     } finally AnnCatalog.unregister(tableDir)
   }
 
-  test("declines: kill switch, join condition, rank(), desc, prefiltered side") {
+  test("prefiltered indexed side escalates to k survivors per query and " +
+       "stays exact") {
+    import spark.implicits._
+    val (tableDir, indexDir) = setup
+    AnnCatalog.register(tableDir, indexDir, "id", "vec")
+    try withRule {
+      // base budgets are TIGHT (the default sqrt(lists) probes, refine 2):
+      // the id % 7 predicate keeps ~1/7 of rows, so the first pool rounds
+      // hold fewer than k survivors and the serve must escalate
+      withConfs("graft.ann.refine" -> "2") {
+        val byId = data(tableDir).toMap
+        val qs = Seq(0L -> byId(3L), 1L -> byId(9L))
+        val qdf = qs.map { case (qid, q) => (qid, q.toSeq) }.toDF("qid", "center")
+        val e = spark.read.parquet(tableDir).filter(col("id") % 7 === 0)
+        val wSpec = org.apache.spark.sql.expressions.Window.partitionBy("qid")
+          .orderBy(GraftFunctions.vecL2(col("vec"), col("center")), col("id"))
+        val before = AnnTopKRewrite.planningJobs.get()
+        val df = qdf.crossJoin(e)
+          .withColumn("rn", row_number().over(wSpec))
+          .filter(col("rn") <= 5)
+          .select(col("qid"), col("id"), col("rn").cast("long").as("rn"))
+        assert(AnnTopKRewrite.inServed(df.queryExecution.optimizedPlan.toString),
+          s"expected escalated prefiltered serve:\n${df.queryExecution.optimizedPlan}")
+        // escalation ran: more than the two quiet-path planning jobs
+        assert(AnnTopKRewrite.planningJobs.get() - before > 2)
+        val fn = graft.ops.Knn.metricFn("l2")
+        val rows = data(tableDir).filter(_._1 % 7 == 0)
+        val want = qs.flatMap { case (qid, q) =>
+          rows.map { case (id, v) => (fn(v, q), id) }.sorted.take(5)
+            .zipWithIndex.map { case ((_, id), i) => (qid, id, (i + 1).toLong) }
+        }
+        assert(collectKj(df) == want)
+      }
+    } finally AnnCatalog.unregister(tableDir)
+  }
+
+  test("declines: kill switch, join condition, rank(), desc, " +
+       "non-deterministic filter") {
     import spark.implicits._
     val (tableDir, indexDir) = setup
     AnnCatalog.register(tableDir, indexDir, "id", "vec")
@@ -269,8 +306,9 @@ class KnnJoinServeSpec extends SparkSpec {
         val furthest = qdf.crossJoin(e)
           .withColumn("rn", row_number().over(wDesc)).filter(col("rn") <= 3)
         assert(!served(furthest))
-        // prefiltered indexed side -> decline (candidates ignore the filter)
-        val filt = qdf.crossJoin(e.filter(col("id") % 3 === 0))
+        // NON-deterministic indexed-side filter -> decline (escalation
+        // cannot count survivors of a predicate that changes per run)
+        val filt = qdf.crossJoin(e.filter(rand(7) < 0.999))
           .withColumn("rn", row_number().over(wSpec)).filter(col("rn") <= 3)
         assert(!served(filt))
         // partition keyed on the INDEXED side is a different operator
