@@ -458,7 +458,11 @@ object AnnCatalog {
     * oversized query tables refuse LOUDLY (the queries side must be
     * bounded: it collects to the driver, like the join serve's cap).
     * Rows with a null qid/center/radius match nothing (the join-serve
-    * null contract) and are dropped. Output: (qid, id, dist). */
+    * null contract) and are dropped. Output: (qid, id, dist). IVF
+    * registrations ONLY — a beam search has no radius-complete
+    * contract (nothing bounds what an exhausted beam missed inside the
+    * sphere), so graph/sharded registrations deliberately do not serve
+    * range; use an IVF registration for range workloads. */
   def servedRangeMany(spark: SparkSession, tablePath: String,
       queriesDf: org.apache.spark.sql.DataFrame, qidCol: String,
       centerCol: String, radiusCol: String): org.apache.spark.sql.DataFrame = {
@@ -500,13 +504,20 @@ object AnnCatalog {
   }
 
   /** The TOP-K sibling of [[servedRangeMany]]: a bounded queries table
-    * of (qid, center) rows over a REGISTERED corpus, answered by
-    * [[IvfIndex.searchManyMulti]] (two flat jobs however many queries
-    * and roots). Probe/refine budgets come from the session confs the
-    * planner serves use (`graft.ann.probes` / `graft.ann.refine`).
+    * of (qid, center) rows over a REGISTERED corpus. The corpus resolves
+    * across ALL the access tiers the planner's KNN-join serve routes —
+    * IVF registrations first (single, explicit multi-root, or per-child
+    * cover) through [[IvfIndex.searchManyMulti]] (two flat jobs however
+    * many queries and roots), then driver-resident GRAPH registrations
+    * through [[graft.index.VamanaGraph.searchManyMulti]], then the
+    * SHARDED distributed graph through its resident-RDD search (round
+    * 16 — tier parity with the KNN-join serve). Quantized graph tiers
+    * rerank exactly from the corpus table itself. Probe/refine/ef
+    * budgets come from the session confs the planner serves use
+    * (`graft.ann.probes` / `graft.ann.refine` / `graft.ann.efSearch`).
     * Null rows are dropped; unregistered corpora and oversized query
     * tables refuse loudly. Output: (qid, id, dist, rn) — the
-    * searchMany contract. The SQL-shape route to the same face is the
+    * searchMany contract. The SQL-shape route to the same faces is the
     * planner's KNN-join serve (`serveKnnJoin`); this is the DSL door
     * for callers holding a queries DataFrame. */
   def servedSearchMany(spark: SparkSession, tablePath: String,
@@ -515,14 +526,24 @@ object AnnCatalog {
     import org.apache.spark.sql.functions.col
     val fsRel = resolveFs(spark, tablePath, "servedSearchMany")
     val roots = fsRel.location.rootPaths.map(_.toString)
-    val es = lookup(roots).map(Seq(_))
+    lazy val files = fsRel.location.inputFiles.toSeq
+    val esOpt = lookup(roots).map(Seq(_))
       .orElse(lookupAll(roots))
-      .orElse(coverByFiles(roots, fsRel.location.inputFiles.toSeq))
-      .getOrElse(throw new IllegalArgumentException(
-        s"servedSearchMany: no registered index covers '$tablePath' — " +
-        "register the table (or every partition child) with " +
-        "AnnCatalog.register first"))
-    val idxs = es.map(e => index(spark, e))
+      .orElse(coverByFiles(roots, files))
+    val gesOpt =
+      if (esOpt.isDefined) None
+      else lookupGraph(roots).map(Seq(_))
+        .orElse(lookupAllGraphs(roots).filter(_.size > 1))
+        .orElse(coverGraphsByFiles(roots, files))
+    val seOpt =
+      if (esOpt.isDefined || gesOpt.isDefined) None
+      else lookupShardedGraph(roots)
+    if (esOpt.isEmpty && gesOpt.isEmpty && seOpt.isEmpty)
+      throw new IllegalArgumentException(
+        s"servedSearchMany: no registered index, graph, or sharded graph " +
+        s"covers '$tablePath' — register the table (or every partition " +
+        "child) with AnnCatalog.register / registerGraph / " +
+        "registerShardedGraph first")
     val maxQ = spark.conf.get("graft.ann.knn.served.maxQueries", "4096").toInt
     val rows = boundedRows(queriesDf.select(col(qidCol).cast("long"),
         col(centerCol).cast("array<float>")),
@@ -535,16 +556,40 @@ object AnnCatalog {
       import spark.implicits._
       return Seq.empty[(Long, Long, Double, Long)].toDF("qid", "id", "dist", "rn")
     }
-    val probes = idxs.map(ix => probesFor(spark, ix.meta.cfg.lists)).max
-    val refine = spark.conf.get("graft.ann.refine", "8").toInt
-    val rt =
-      if (idxs.forall(_.meta.cfg.storeVectors)) None
-      else es.map(_.tablePath).filter(_.nonEmpty).distinct match {
-        case Seq(tp) => Some((spark.read.parquet(tp), es.head.idCol, es.head.vecCol))
-        case _ => None // searchManyMulti refuses loudly below
+    val ef = spark.conf.get("graft.ann.efSearch", "64").toInt
+    esOpt match {
+      case Some(es) =>
+        val idxs = es.map(e => index(spark, e))
+        val probes = idxs.map(ix => probesFor(spark, ix.meta.cfg.lists)).max
+        val refine = spark.conf.get("graft.ann.refine", "8").toInt
+        val rt =
+          if (idxs.forall(_.meta.cfg.storeVectors)) None
+          else es.map(_.tablePath).filter(_.nonEmpty).distinct match {
+            case Seq(tp) => Some((spark.read.parquet(tp), es.head.idCol, es.head.vecCol))
+            case _ => None // searchManyMulti refuses loudly below
+          }
+        IvfIndex.searchManyMulti(idxs, queries, k, probes = probes,
+          refine = refine, rerankTable = rt)
+      case None => gesOpt match {
+        case Some(ges) =>
+          val gs = ges.map(ge => graph(spark, ge))
+          val rt =
+            if (gs.exists(_.quantized))
+              Some((spark.read.parquet(tablePath),
+                ges.head.idCol, ges.head.vecCol))
+            else None
+          graft.index.VamanaGraph.searchManyMulti(spark, gs, queries, k,
+            ef = ef, rerankTable = rt)
+        case None =>
+          val se = seOpt.get
+          val h = shardedGraph(spark, se)
+          val rt =
+            if (h.cfg.bits > 0)
+              Some((spark.read.parquet(tablePath), se.idCol, se.vecCol))
+            else None
+          h.search(spark, queries, k, ef = ef, rerankTable = rt)
       }
-    IvfIndex.searchManyMulti(idxs, queries, k, probes = probes,
-      refine = refine, rerankTable = rt)
+    }
   }
 
   /** The MULTIVECTOR sibling (strategy 3): a bounded queries table of
@@ -1017,23 +1062,28 @@ case class AnnTopKRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     * the original exact plan — when: the window is not a single
     * row_number() ranked ascending by a column-column distance; the rank
     * bound conjunct is missing; the join carries a residual condition
-    * (it breaks the per-query k-floor the candidate restriction
-    * guarantees); the window partition keys off the
-    * indexed side; the queries side is non-deterministic, oversized
-    * (`graft.ann.knn.join.maxQueries`), or holds a NULL center (its pairs
+    * touching the INDEXED side (it breaks the per-query k-floor the
+    * candidate restriction guarantees; a deterministic queries-side-only
+    * condition filters query rows, not candidates, and is applied before
+    * the bounded collect instead); the window partition keys off the
+    * indexed side; the queries side is non-deterministic, past the HARD
+    * cap (`graft.ann.knn.join.maxQueriesTotal` — declined with a loud
+    * log naming the DSL batch faces), or holds a NULL center (its pairs
     * rank by null-dist NULLS FIRST — semantics a candidate restriction
     * cannot reproduce); the candidate union exceeds `graft.ann.maxInList`;
-    * or the cost model prefers the exact scan. Planning cost: EXACTLY TWO
-    * bounded driver-blocking jobs regardless of query-row count and root
-    * count (one capped queries-side collect, one batched candidate job),
-    * both counted in [[AnnTopKRewrite.planningJobs]]. A deterministic
-    * PREFILTER on the indexed side escalates instead of declining (the
-    * single-query serve's contract, batched): the predicate is
-    * query-independent, so each round is one pooled candidate job plus
-    * one bounded survivor fetch flooring EVERY query's survivor count at
-    * once; probes/refine x4 until every query holds k survivors or the
-    * pools provably cover the table. For bulk batches
-    * past the cap use the DSL's `searchMany`/`searchManyMulti`. */
+    * or the cost model prefers the exact scan. Planning cost: one capped
+    * queries-side collect plus ONE batched candidate job per
+    * `graft.ann.knn.join.maxQueries`-sized SLICE of the (content-deduped)
+    * query set — 1 + ceil(Q / maxQueries) bounded driver-blocking jobs,
+    * the former EXACTLY-TWO for sets within one slice — all counted in
+    * [[AnnTopKRewrite.planningJobs]]; a bulk query set amortizes through
+    * the batch machinery instead of falling back to the O(Q x N) cross
+    * join. A deterministic PREFILTER on the indexed side escalates
+    * instead of declining (the single-query serve's contract, batched per
+    * slice): the predicate is query-independent, so each round is one
+    * pooled candidate job plus one bounded survivor fetch flooring EVERY
+    * query's survivor count at once; probes/refine x4 until every query
+    * holds k survivors or the pools provably cover the table. */
   private def serveKnnJoin(f: Filter): Option[LogicalPlan] = {
     val w = f.child.asInstanceOf[Window]
     // exactly one window expression: row_number() — rank() admits past-k
@@ -1074,12 +1124,16 @@ case class AnnTopKRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
         (Some(pl), j)
       case _ => return None
     }
-    // per-query top-k needs the bare cross product: a residual join
-    // condition (or an indexed-side prefilter, below) could leave fewer
-    // than k qualifying rows among the candidates — the under-k recall
-    // problem the single-query serve solves with escalation; here it
-    // conservatively declines
-    if (join.condition.nonEmpty) return None
+    // per-query top-k needs the bare cross product ON THE INDEXED SIDE: a
+    // residual join condition touching the indexed side (or mixed) could
+    // leave fewer than k qualifying rows among the candidates — the
+    // under-k recall problem the single-query serve solves with
+    // escalation; those conservatively decline. A deterministic condition
+    // referencing ONLY the queries side filters query ROWS, not
+    // candidates — it is applied to the queries side before the bounded
+    // collect and the original join keeps it for execution, so the serve
+    // stays exact (checked per side assignment below, where the queries
+    // side is known).
     join.joinType match {
       case org.apache.spark.sql.catalyst.plans.Inner |
            org.apache.spark.sql.catalyst.plans.Cross => ()
@@ -1110,56 +1164,105 @@ case class AnnTopKRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
       else Nil
     }
     sides.view.flatMap { case (indexedSide, queriesSide, vecAttr, centerAttr, indexedIsLeft) =>
-      tryServeKnnJoin(f, w, join, projOpt, resolveThroughProj, k, metric,
-        vecAttr, centerAttr, indexedSide, queriesSide, indexedIsLeft)
-        .orElse(tryServeKnnJoinGraph(f, w, join, projOpt, resolveThroughProj,
-          k, metric, vecAttr, centerAttr, indexedSide, queriesSide, indexedIsLeft))
-        .orElse(tryServeKnnJoinSharded(f, w, join, projOpt, resolveThroughProj,
-          k, metric, vecAttr, centerAttr, indexedSide, queriesSide, indexedIsLeft))
+      val condQueriesOnly = join.condition.forall(c =>
+        c.deterministic && c.references.subsetOf(queriesSide.outputSet))
+      if (!condQueriesOnly) None
+      else {
+        val effQueries = join.condition
+          .map(c => Filter(c, queriesSide): LogicalPlan).getOrElse(queriesSide)
+        // ONE bounded queries-side collect per side assignment, MEMOIZED
+        // across the three tier routes: a route that declines AFTER the
+        // collect (pool or IN budget) must not make the next route
+        // re-run the planning job
+        lazy val centersOnce = collectCenters(effQueries, centerAttr)
+        val centersOf = () => centersOnce
+        tryServeKnnJoin(f, w, join, projOpt, resolveThroughProj, k, metric,
+          vecAttr, centerAttr, indexedSide, effQueries, indexedIsLeft, centersOf)
+          .orElse(tryServeKnnJoinGraph(f, w, join, projOpt, resolveThroughProj,
+            k, metric, vecAttr, centerAttr, indexedSide, effQueries,
+            indexedIsLeft, centersOf))
+          .orElse(tryServeKnnJoinSharded(f, w, join, projOpt, resolveThroughProj,
+            k, metric, vecAttr, centerAttr, indexedSide, effQueries,
+            indexedIsLeft, centersOf))
+      }
     }.headOption
   }
 
-  /** Shared tail of every KNN-join route: ONE bounded queries-side
-    * collect (oversized sets and NULL centers decline; content-deduped
-    * centers share a candidate fetch), then the `cands` fetch, the
-    * IN-restriction of the indexed side, and the plan rebuild with the
-    * original window kept for exact rerank. */
-  private def serveKnnJoinRestrict(f: Filter, w: Window, join: Join,
-      projOpt: Option[Seq[NamedExpression]], queriesSide: LogicalPlan,
-      centerAttr: AttributeReference, indexedSide: LogicalPlan,
-      indexedIsLeft: Boolean, idAttr: Attribute, idLit: Long => Literal,
-      maxQ: Int)(
-      cands: Array[Array[Float]] => Option[Array[Long]]): Option[LogicalPlan] = {
-    val maxInList = spark.conf.get("graft.ann.maxInList", "8192").toInt
+  /** The one bounded queries-side collect every KNN-join route shares.
+    * NULL centers decline (their pairs rank by null dist NULLS FIRST —
+    * semantics a candidate restriction cannot reproduce); identical
+    * centers dedupe by CONTENT and share a candidate fetch; a set past
+    * `graft.ann.knn.join.maxQueriesTotal` declines LOUDLY, naming the
+    * DSL batch faces built for bulk query tables (the exact windowed
+    * cross join that then runs is O(Q x N) — at that Q the user should
+    * reach for `searchMany`/`searchManyMulti` or register the table for
+    * the served batch routes). An empty array means an empty queries
+    * side — the caller short-circuits to an empty relation. */
+  private def collectCenters(queriesSide: LogicalPlan,
+      centerAttr: AttributeReference): Option[Array[Array[Float]]] = {
+    val maxQTotal = math.max(1,
+      spark.conf.get("graft.ann.knn.join.maxQueriesTotal", "4096").toInt)
     AnnTopKRewrite.planningJobs.incrementAndGet()
     val qRows = ColumnBridge.ofRows(spark,
         Project(Seq(Alias(centerAttr, "c")()), queriesSide))
-      .limit(maxQ + 1).collect()
-    if (qRows.length > maxQ || qRows.exists(_.isNullAt(0))) None
-    else if (qRows.isEmpty) Some(LocalRelation(f.output))
-    else {
-      // identical centers share one candidate fetch (dedupe by CONTENT —
-      // Array equality is reference equality)
-      val centers = qRows.iterator.map(_.getSeq[Float](0)).toArray
-        .distinct.map(_.toArray)
-      cands(centers).flatMap { ids0 =>
-        val ids = ids0.distinct.sorted
-        // empty candidates only arise from an empty/degenerate index —
-        // decline rather than guess at the table's rows
-        if (ids.isEmpty || ids.length > maxInList) None
-        else {
-          ensureInPushdown(ids.length)
-          val restricted = stamped(Filter(
-            AnnTopKRewrite.idsInExpr(idAttr, ids, idLit), indexedSide))
-          val newJoin = if (indexedIsLeft) join.copy(left = restricted)
-                        else join.copy(right = restricted)
-          val newBody: LogicalPlan = projOpt
-            .map(pl => Project(pl, newJoin): LogicalPlan).getOrElse(newJoin)
-          val newWchild = w.child match {
-            case wgl: WindowGroupLimit => wgl.withNewChildren(Seq(newBody))
-            case _ => newBody
+      .limit(maxQTotal + 1).collect()
+    if (qRows.length > maxQTotal) {
+      logWarning(s"KNN-join serve declined: queries side exceeds " +
+        s"graft.ann.knn.join.maxQueriesTotal=$maxQTotal rows — the exact " +
+        "O(queries x table) windowed cross join will run. For bulk query " +
+        "tables use the batched DSL faces (IvfIndex.searchMany / " +
+        "searchManyMulti, VamanaGraph.searchManyMulti) or raise the cap.")
+      None
+    } else if (qRows.exists(_.isNullAt(0))) None
+    else Some(qRows.iterator.map(_.getSeq[Float](0)).toArray
+      .distinct.map(_.toArray))
+  }
+
+  /** Shared tail of every KNN-join route: takes the side assignment's
+    * memoized queries-side centers (see [[collectCenters]]), fetches
+    * candidates in `graft.ann.knn.join.maxQueries`-sized SLICES through
+    * the route's batched candidate job — a bulk query set amortizes
+    * through the batch machinery instead of declining to the O(Q x N)
+    * windowed cross join (one bounded candidate job per slice, so
+    * planning cost is 1 + ceil(Q / maxQueries) driver-blocking jobs; a
+    * set within the per-slice cap keeps the former EXACTLY-TWO) — then
+    * the IN-restriction of the candidate UNION over the indexed side,
+    * and the plan rebuild with the original window kept for exact
+    * rerank. */
+  private def serveKnnJoinRestrict(f: Filter, w: Window, join: Join,
+      projOpt: Option[Seq[NamedExpression]], indexedSide: LogicalPlan,
+      indexedIsLeft: Boolean, idAttr: Attribute, idLit: Long => Literal,
+      centersOf: () => Option[Array[Array[Float]]])(
+      cands: Array[Array[Float]] => Option[Array[Long]]): Option[LogicalPlan] = {
+    val maxInList = spark.conf.get("graft.ann.maxInList", "8192").toInt
+    val sliceSize = math.max(1,
+      spark.conf.get("graft.ann.knn.join.maxQueries", "256").toInt)
+    centersOf().flatMap { centers =>
+      if (centers.isEmpty) Some(LocalRelation(f.output))
+      else {
+        val ids0 = centers.grouped(sliceSize)
+          .foldLeft(Option(Array.empty[Long])) { (acc, slice) =>
+            acc.flatMap(got => cands(slice).map(got ++ _))
           }
-          Some(f.withNewChildren(Seq(w.withNewChildren(Seq(newWchild)))))
+        ids0.flatMap { raw =>
+          val ids = raw.distinct.sorted
+          // empty candidates only arise from an empty/degenerate index —
+          // decline rather than guess at the table's rows
+          if (ids.isEmpty || ids.length > maxInList) None
+          else {
+            ensureInPushdown(ids.length)
+            val restricted = stamped(Filter(
+              AnnTopKRewrite.idsInExpr(idAttr, ids, idLit), indexedSide))
+            val newJoin = if (indexedIsLeft) join.copy(left = restricted)
+                          else join.copy(right = restricted)
+            val newBody: LogicalPlan = projOpt
+              .map(pl => Project(pl, newJoin): LogicalPlan).getOrElse(newJoin)
+            val newWchild = w.child match {
+              case wgl: WindowGroupLimit => wgl.withNewChildren(Seq(newBody))
+              case _ => newBody
+            }
+            Some(f.withNewChildren(Seq(w.withNewChildren(Seq(newWchild)))))
+          }
         }
       }
     }
@@ -1180,7 +1283,8 @@ case class AnnTopKRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
       k: Int, metric: String,
       vecAttr: AttributeReference, centerAttr: AttributeReference,
       indexedSide: LogicalPlan, queriesSide: LogicalPlan,
-      indexedIsLeft: Boolean): Option[LogicalPlan] = {
+      indexedIsLeft: Boolean,
+      centersOf: () => Option[Array[Array[Float]]]): Option[LogicalPlan] = {
     for {
       _ <- Some(())
       if w.partitionSpec.nonEmpty
@@ -1206,14 +1310,13 @@ case class AnnTopKRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
       served <- {
         val gs = ges.map(ge => AnnCatalog.graph(spark, ge))
         val ef = spark.conf.get("graft.ann.efSearch", "64").toInt
-        val maxQ = spark.conf.get("graft.ann.knn.join.maxQueries", "256").toInt
         // per query row: summed beam work vs the exact cross join's
         // per-query row scan (serveGraphMulti's gate — M cancels)
         val costOk = !spark.conf.get("graft.ann.cost.enable", "true").toBoolean ||
           gs.length.toDouble * ef + k < gs.map(_.ids.length.toDouble).sum
         if (!costOk) None
-        else serveKnnJoinRestrict(f, w, join, projOpt, queriesSide,
-            centerAttr, indexedSide, indexedIsLeft, idAttr, idLit, maxQ) { centers =>
+        else serveKnnJoinRestrict(f, w, join, projOpt,
+            indexedSide, indexedIsLeft, idAttr, idLit, centersOf) { centers =>
           Some(centers.flatMap { c =>
             gs.flatMap { g =>
               val kCand = if (g.quantized) math.max(ef, k) else k
@@ -1237,7 +1340,8 @@ case class AnnTopKRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
       k: Int, metric: String,
       vecAttr: AttributeReference, centerAttr: AttributeReference,
       indexedSide: LogicalPlan, queriesSide: LogicalPlan,
-      indexedIsLeft: Boolean): Option[LogicalPlan] = {
+      indexedIsLeft: Boolean,
+      centersOf: () => Option[Array[Array[Float]]]): Option[LogicalPlan] = {
     for {
       _ <- Some(())
       if w.partitionSpec.nonEmpty
@@ -1259,12 +1363,11 @@ case class AnnTopKRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
       served <- {
         val h = AnnCatalog.shardedGraph(spark, se)
         val ef = spark.conf.get("graft.ann.efSearch", "64").toInt
-        val maxQ = spark.conf.get("graft.ann.knn.join.maxQueries", "256").toInt
         val costOk = !spark.conf.get("graft.ann.cost.enable", "true").toBoolean ||
           h.shards.toDouble * ef + k < h.totalVertices.toDouble
         if (!costOk) None
-        else serveKnnJoinRestrict(f, w, join, projOpt, queriesSide,
-            centerAttr, indexedSide, indexedIsLeft, idAttr, idLit, maxQ) { centers =>
+        else serveKnnJoinRestrict(f, w, join, projOpt,
+            indexedSide, indexedIsLeft, idAttr, idLit, centersOf) { centers =>
           AnnTopKRewrite.planningJobs.incrementAndGet()
           val queries = centers.zipWithIndex.map { case (c, i) => (i.toLong, c) }
           val kCand = if (h.cfg.bits > 0) math.max(ef, k) else k
@@ -1282,7 +1385,8 @@ case class AnnTopKRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
       k: Int, metric: String,
       vecAttr: AttributeReference, centerAttr: AttributeReference,
       indexedSide: LogicalPlan, queriesSide: LogicalPlan,
-      indexedIsLeft: Boolean): Option[LogicalPlan] = {
+      indexedIsLeft: Boolean,
+      centersOf: () => Option[Array[Array[Float]]]): Option[LogicalPlan] = {
     for {
       _ <- Some(())
       // "k per QUERY row": the partition must key off the queries side —
@@ -1310,7 +1414,6 @@ case class AnnTopKRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
       if es.forall(e => AnnCatalog.index(spark, e).meta.cfg.metric == metric)
       served <- {
         val idxs = es.map(e => AnnCatalog.index(spark, e))
-        val maxQ = spark.conf.get("graft.ann.knn.join.maxQueries", "256").toInt
         val maxInList = spark.conf.get("graft.ann.maxInList", "8192").toInt
         val probesConf = spark.conf.get("graft.ann.probes", "auto")
         def probesFor(lists: Int): Int =
@@ -1341,8 +1444,8 @@ case class AnnTopKRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
             spark.conf.get("graft.ann.batch.maxPoolTuples").toLong)
           .getOrElse(4000000L)
         if (!costOk || !multiOk) None
-        else serveKnnJoinRestrict(f, w, join, projOpt, queriesSide,
-            centerAttr, indexedSide, indexedIsLeft, idAttr, idLit, maxQ) { centers =>
+        else serveKnnJoinRestrict(f, w, join, projOpt,
+            indexedSide, indexedIsLeft, idAttr, idLit, centersOf) { centers =>
           import spark.implicits._
           val queries = centers.zipWithIndex.map { case (c, i) => (i.toLong, c) }
           def rtOf: Option[(org.apache.spark.sql.DataFrame, String, String)] = {
@@ -1417,10 +1520,17 @@ case class AnnTopKRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
                 }
               var scale = 1
               var r = refine
-              def covered: Boolean = idxs.forall { ix =>
-                probesFor(ix.meta.cfg.lists) * scale >= ix.meta.cfg.lists &&
-                  k.toLong * r >= ix.rowCount
-              }
+              // coverage = "the pool provably holds EVERY row": full
+              // probes per root AND k*r at least the SUMMED corpus row
+              // count — pools() truncates to k*r candidates per query
+              // GLOBALLY across roots (searchMany/searchManyMulti's final
+              // fold), so a per-root rowCount comparison would declare
+              // coverage with rows of the larger corpus missing and skip
+              // the survivor floor
+              def covered: Boolean =
+                idxs.forall(ix =>
+                  probesFor(ix.meta.cfg.lists) * scale >= ix.meta.cfg.lists) &&
+                  k.toLong * r >= idxs.map(_.rowCount).sum
               var out: Option[Array[Long]] = None
               var done = false
               while (!done) {

@@ -69,6 +69,10 @@ class KnnJoinFuzzSpec extends SparkSpec {
         val dir = if (partitioned) part else flat(metric)
         val m = 1 + rng.nextInt(6)
         val k = 1 + rng.nextInt(12)
+        // SLICE-BOUNDARY axis (round 16): a per-trial maxQueries cap of 2
+        // or 4 makes m straddle the slice size — the sliced candidate
+        // fetch must union to the same exact rows as one big batch
+        val sliceCap = Seq("2", "4", "256")(rng.nextInt(3))
         // PREFILTER axis (round 15): ~1/3 of trials filter the indexed
         // side (id % pm == pr) — the serve escalates; refine is raised so
         // the pools provably cover the table and the outcome stays a
@@ -94,10 +98,19 @@ class KnnJoinFuzzSpec extends SparkSpec {
         val e0 = spark.read.parquet(dir)
         val e = pred.map { case (pm, pr) => e0.filter(col("id") % pm === pr) }
           .getOrElse(e0)
-        def build() = qdf.crossJoin(e)
-          .withColumn("rn", row_number().over(w))
-          .filter(col("rn") <= k)
-          .select(col("qid"), col("id"), col("rn").cast("long").as("rn"))
+        def build() = {
+          graft.core.Confs.withConfs(spark,
+              "graft.ann.knn.join.maxQueries" -> sliceCap) {
+            val df = qdf.crossJoin(e)
+              .withColumn("rn", row_number().over(w))
+              .filter(col("rn") <= k)
+              .select(col("qid"), col("id"), col("rn").cast("long").as("rn"))
+            // force planning inside the conf scope (the serve runs in the
+            // optimizer; collect() outside would re-plan with defaults)
+            df.queryExecution.optimizedPlan
+            df
+          }
+        }
         val got = (pred match {
           case Some(_) => graft.core.Confs.withConfs(spark,
               "graft.ann.refine" -> "400") {

@@ -271,6 +271,48 @@ class KnnJoinServeSpec extends SparkSpec {
     } finally AnnCatalog.unregister(tableDir)
   }
 
+  test("multi-root prefilter escalation: coverage needs the SUMMED corpus " +
+       "row count, not each root's own") {
+    import spark.implicits._
+    val (tableDir, _) = setup
+    val dst = partSetup
+    withRule {
+      // k*refine = 256 exceeds EACH root's 250 rows but not the 500-row
+      // sum: the pool truncates to k*refine candidates per query GLOBALLY
+      // (searchManyMulti's fold), so declaring coverage per root would
+      // skip the survivor floor with rows provably missing from the pool.
+      // The predicate keeps only 6 rows — fewer than k — so the floor is
+      // unsatisfiable and the serve MUST escalate to true full coverage
+      // before restricting.
+      withConfs("graft.ann.probes" -> "8", "graft.ann.refine" -> "32",
+          "graft.ann.cost.enable" -> "false") {
+        val byId = data(tableDir).toMap
+        val qs = Seq(0L -> byId(3L), 1L -> byId(11L))
+        val qdf = qs.map { case (qid, q) => (qid, q.toSeq) }.toDF("qid", "center")
+        val e = spark.read.parquet(dst).filter(col("id") >= 494)
+        val wSpec = org.apache.spark.sql.expressions.Window.partitionBy("qid")
+          .orderBy(GraftFunctions.vecL2(col("vec"), col("center")), col("id"))
+        val before = AnnTopKRewrite.planningJobs.get()
+        val df = qdf.crossJoin(e)
+          .withColumn("rn", row_number().over(wSpec))
+          .filter(col("rn") <= 8)
+          .select(col("qid"), col("id"), col("rn").cast("long").as("rn"))
+        assert(AnnTopKRewrite.inServed(df.queryExecution.optimizedPlan.toString),
+          s"expected escalated multi-root serve:\n${df.queryExecution.optimizedPlan}")
+        // premature per-root coverage would stop at 2 jobs; the correct
+        // path runs at least one survivor fetch and a second pool round
+        assert(AnnTopKRewrite.planningJobs.get() - before >= 4)
+        val fn = graft.ops.Knn.metricFn("l2")
+        val rows = data(tableDir).filter(_._1 >= 494)
+        val want = qs.flatMap { case (qid, q) =>
+          rows.map { case (id, v) => (fn(v, q), id) }.sorted.take(8)
+            .zipWithIndex.map { case ((_, id), i) => (qid, id, (i + 1).toLong) }
+        }
+        assert(collectKj(df) == want)
+      }
+    }
+  }
+
   test("declines: kill switch, join condition, rank(), desc, " +
        "non-deterministic filter") {
     import spark.implicits._
@@ -321,6 +363,69 @@ class KnnJoinServeSpec extends SparkSpec {
     } finally AnnCatalog.unregister(tableDir)
   }
 
+  test("query sets past maxQueries serve in slices through the batched " +
+       "candidate job") {
+    val (tableDir, indexDir) = setup
+    AnnCatalog.register(tableDir, indexDir, "id", "vec")
+    try withRule {
+      withConfs("graft.ann.probes" -> "8", "graft.ann.refine" -> "20",
+          "graft.ann.knn.join.maxQueries" -> "3") {
+        val byId = data(tableDir).toMap
+        val qs = (0L until 8L).map(i => i -> byId(i))
+        val before = AnnTopKRewrite.planningJobs.get()
+        val df = kjDf(tableDir, qs, 4)
+        assert(AnnTopKRewrite.inServed(df.queryExecution.optimizedPlan.toString),
+          s"expected sliced serve:\n${df.queryExecution.optimizedPlan}")
+        // one queries collect + ceil(8/3) = 3 per-slice candidate jobs
+        assert(AnnTopKRewrite.planningJobs.get() - before == 4)
+        assert(collectKj(df) == brute(tableDir, qs, 4))
+      }
+    } finally AnnCatalog.unregister(tableDir)
+  }
+
+  test("a queries-side-only join condition filters query rows and serves") {
+    import spark.implicits._
+    val (tableDir, indexDir) = setup
+    AnnCatalog.register(tableDir, indexDir, "id", "vec")
+    try withRule {
+      withConfs("graft.ann.probes" -> "8", "graft.ann.refine" -> "20") {
+        val byId = data(tableDir).toMap
+        val qs = (0L until 6L).map(i => i -> byId(i))
+        val qdf = qs.map { case (qid, q) => (qid, q.toSeq) }.toDF("qid", "center")
+        val e = spark.read.parquet(tableDir)
+        val wSpec = org.apache.spark.sql.expressions.Window.partitionBy("qid")
+          .orderBy(GraftFunctions.vecL2(col("vec"), col("center")), col("id"))
+        // the ON condition references ONLY the queries side: it filters
+        // query ROWS, never candidates, so the per-query k-floor holds.
+        // (Catalyst usually pushes such conditions below the join before
+        // this rule runs; the serve's own queries-side-condition path
+        // covers plans that reach it with the condition still residual.)
+        val df = qdf.join(e, qdf("qid") % 2 === 0)
+          .withColumn("rn", row_number().over(wSpec))
+          .filter(col("rn") <= 3)
+          .select(col("qid"), col("id"), col("rn").cast("long").as("rn"))
+        assert(AnnTopKRewrite.inServed(df.queryExecution.optimizedPlan.toString),
+          s"expected queries-side-condition serve:\n${df.queryExecution.optimizedPlan}")
+        assert(collectKj(df) == brute(tableDir, qs.filter(_._1 % 2 == 0), 3))
+        // an INDEXED-side-only ON condition is pushed below the join by
+        // the main optimizer and reaches this rule as a PREFILTER — the
+        // escalation path must keep it exact (a MIXED condition's decline
+        // is asserted in the declines test)
+        val dfIdx = qdf.join(e, e("id") % 2 === 0)
+          .withColumn("rn", row_number().over(wSpec))
+          .filter(col("rn") <= 3)
+          .select(col("qid"), col("id"), col("rn").cast("long").as("rn"))
+        val fn = graft.ops.Knn.metricFn("l2")
+        val evenRows = data(tableDir).filter(_._1 % 2 == 0)
+        val wantIdx = qs.flatMap { case (qid, q) =>
+          evenRows.map { case (id, v) => (fn(v, q), id) }.sorted.take(3)
+            .zipWithIndex.map { case ((_, id), i) => (qid, id, (i + 1).toLong) }
+        }
+        assert(collectKj(dfIdx) == wantIdx)
+      }
+    } finally AnnCatalog.unregister(tableDir)
+  }
+
   test("declines: oversized query set and candidate overflow; null center") {
     import spark.implicits._
     val (tableDir, indexDir) = setup
@@ -331,7 +436,8 @@ class KnnJoinServeSpec extends SparkSpec {
         val qs = (0L until 4L).map(i => i -> byId(i))
         def served(df: org.apache.spark.sql.DataFrame): Boolean =
           AnnTopKRewrite.inServed(df.queryExecution.optimizedPlan.toString)
-        withConfs("graft.ann.knn.join.maxQueries" -> "3") {
+        // the HARD cap declines (slicing only stretches maxQueries)
+        withConfs("graft.ann.knn.join.maxQueriesTotal" -> "3") {
           assert(!served(kjDf(tableDir, qs, 3)))
         }
         withConfs("graft.ann.maxInList" -> "7") {

@@ -128,6 +128,62 @@ class ServedSearchManySpec extends SparkSpec {
     }
   }
 
+  test("servedSearchMany: GRAPH-registered corpus routes through driver " +
+       "beams; quantized graphs rerank from the corpus table") {
+    import spark.implicits._
+    val (_, rows) = topkFixture
+    val part = Files.createTempDirectory("graft-ssm-gpart").toString
+    rows.map { case (i, v) => (i, v.toSeq) }.toSeq.toDF("id", "vec")
+      .withColumn("pt", (col("id") % 2).cast("int"))
+      .write.partitionBy("pt").mode("overwrite").parquet(part)
+    (0 to 1).foreach { p =>
+      val gdir = Files.createTempDirectory(s"graft-ssm-g$p").toString
+      graft.index.VamanaGraph
+        .build(spark.read.parquet(s"$part/pt=$p"), "id", "vec",
+          graft.index.VamanaConfig(bits = 8)) // quantized: forces rerank
+        .save(spark, gdir)
+      AnnCatalog.registerGraph(s"$part/pt=$p", gdir, "id", "vec")
+    }
+    val qs = Seq(0L -> rows(5)._2, 1L -> rows(42)._2)
+    val qdf = qs.map { case (qid, c) => (qid, c.toSeq) }.toDF("qid", "center")
+    val got = withConfs("graft.ann.efSearch" -> "512") {
+      AnnCatalog.servedSearchMany(spark, part, qdf, "qid", "center", k = 6)
+        .as[(Long, Long, Double, Long)].collect()
+    }.groupBy(_._1).view.mapValues(_.sortBy(_._4).map(_._2).toSeq).toMap
+    qs.foreach { case (qid, q) =>
+      val want = rows.map { case (id, v) => (K.l2(v, q), id) }
+        .sorted.take(6).map(_._2).toSeq
+      assert(got(qid) == want, s"qid=$qid got=${got(qid)} want=$want")
+    }
+  }
+
+  test("servedSearchMany: SHARDED-graph-registered corpus routes through " +
+       "the resident shard search") {
+    import spark.implicits._
+    val (_, rows) = topkFixture
+    val flat = Files.createTempDirectory("graft-ssm-sflat").toString
+    rows.map { case (i, v) => (i, v.toSeq) }.toSeq.toDF("id", "vec")
+      .write.mode("overwrite").parquet(flat)
+    val sdir = Files.createTempDirectory("graft-ssm-sg").toString
+    graft.index.ShardedVamana.build(spark.read.parquet(flat), "id", "vec",
+      sdir, graft.index.VamanaConfig(), shards = 3)
+    AnnCatalog.registerShardedGraph(flat, sdir, "id", "vec")
+    try {
+      val qs = Seq(0L -> rows(9)._2, 1L -> rows(77)._2)
+      val qdf = qs.map { case (qid, c) => (qid, c.toSeq) }.toDF("qid", "center")
+      val got = withConfs("graft.ann.efSearch" -> "512") {
+        AnnCatalog.servedSearchMany(spark, flat, qdf, "qid", "center", k = 5)
+          .select(col("qid"), col("id"), col("dist"), col("rn").cast("long"))
+          .as[(Long, Long, Double, Long)].collect()
+      }.groupBy(_._1).view.mapValues(_.sortBy(_._4).map(_._2).toSeq).toMap
+      qs.foreach { case (qid, q) =>
+        val want = rows.map { case (id, v) => (K.l2(v, q), id) }
+          .sorted.take(5).map(_._2).toSeq
+        assert(got(qid) == want, s"qid=$qid got=${got(qid)} want=$want")
+      }
+    } finally AnnCatalog.unregisterShardedGraph(flat)
+  }
+
   test("unregistered corpora refuse loudly naming the register call") {
     import spark.implicits._
     val (_, rows) = topkFixture
