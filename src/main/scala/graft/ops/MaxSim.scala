@@ -518,7 +518,7 @@ object MaxSim {
       val scoredT = src
         .join(broadcast(candIds.toSeq.toDF("__cand_doc")),
           col(docCol).cast("long") === col("__cand_doc"))
-        .select(col(docCol).cast("long"), col(vecCol))
+        .select(col(docCol).cast("long"), col(vecCol).cast("array<float>"))
         .as[(Long, Seq[Float])]
         .flatMap { case (doc, tok) =>
           val t = tok.toArray

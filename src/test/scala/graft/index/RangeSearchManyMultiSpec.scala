@@ -52,12 +52,12 @@ class RangeSearchManyMultiSpec extends SparkSpec {
     val qs6 = Array.tabulate(6)(i => (i.toLong, q(), 1.15 + 0.05 * (i % 3)))
     // warm (listing caches, codegen), then count jobs for two batch sizes
     IvfIndex.rangeSearchManyMulti(idxs, qs6.take(2)).collect()
-    val j0 = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
+    val j0 = spark.sparkContext.statusTracker.getJobIdsForGroup(null).maxOption.getOrElse(-1)
     IvfIndex.rangeSearchManyMulti(idxs, qs6.take(2)).collect()
-    val j1 = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
+    val j1 = spark.sparkContext.statusTracker.getJobIdsForGroup(null).maxOption.getOrElse(-1)
     val got = IvfIndex.rangeSearchManyMulti(idxs, qs6)
       .as[(Long, Long, Double)].collect()
-    val j2 = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
+    val j2 = spark.sparkContext.statusTracker.getJobIdsForGroup(null).maxOption.getOrElse(-1)
     assert(j2 - j1 == j1 - j0,
       s"job count must not grow with batch size: ${j1 - j0} at M=2 vs " +
       s"${j2 - j1} at M=6")

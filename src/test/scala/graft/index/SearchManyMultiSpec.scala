@@ -53,12 +53,12 @@ class SearchManyMultiSpec extends SparkSpec {
     // warm (relation build, listing caches), then count jobs
     IvfIndex.searchManyMulti(idxs, queries, k = 7, probes = 4, refine = 50)
       .collect()
-    val jobs0 = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
+    val jobs0 = spark.sparkContext.statusTracker.getJobIdsForGroup(null).maxOption.getOrElse(-1)
     val got = IvfIndex.searchManyMulti(idxs, queries, k = 7, probes = 4,
         refine = 50)
       .as[(Long, Long, Double, Long)].collect()
       .groupBy(_._1).view.mapValues(_.sortBy(_._4).map(_._2).toSeq).toMap
-    val jobs1 = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
+    val jobs1 = spark.sparkContext.statusTracker.getJobIdsForGroup(null).maxOption.getOrElse(-1)
     assert(jobs1 - jobs0 == 2,
       s"batch must cost exactly 2 jobs at any root/query count, got ${jobs1 - jobs0}")
     queries.foreach { case (qid, q) =>
@@ -174,12 +174,12 @@ class SearchManyMultiSpec extends SparkSpec {
     // homogeneous groups -> 2 x 2 flat jobs
     IvfIndex.searchManyMulti(idxs, queries, k = 6, probes = 2, refine = 50)
       .collect()
-    val jobs0 = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
+    val jobs0 = spark.sparkContext.statusTracker.getJobIdsForGroup(null).maxOption.getOrElse(-1)
     val got = IvfIndex.searchManyMulti(idxs, queries, k = 6, probes = 2,
         refine = 50)
       .as[(Long, Long, Double, Long)].collect()
       .groupBy(_._1).view.mapValues(_.sortBy(_._4)).toMap
-    val jobs1 = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
+    val jobs1 = spark.sparkContext.statusTracker.getJobIdsForGroup(null).maxOption.getOrElse(-1)
     assert(jobs1 - jobs0 == 4,
       s"mixed-storage batch must cost 2 jobs per homogeneous group " +
       s"(2 groups here), got ${jobs1 - jobs0}")

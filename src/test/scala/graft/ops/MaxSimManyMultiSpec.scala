@@ -61,14 +61,14 @@ class MaxSimManyMultiSpec extends SparkSpec {
     // docsPerRoot >= docs per root
     MaxSim.maxsimManyMulti(idxs, qs.take(1), k = 6, kPerToken = 64,
       probes = Seq(4, 4), refine = 8).collect() // warm
-    val j0 = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
+    val j0 = spark.sparkContext.statusTracker.getJobIdsForGroup(null).maxOption.getOrElse(-1)
     MaxSim.maxsimManyMulti(idxs, qs.take(1), k = 6, kPerToken = 64,
       probes = Seq(4, 4), refine = 8).collect()
-    val j1 = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
+    val j1 = spark.sparkContext.statusTracker.getJobIdsForGroup(null).maxOption.getOrElse(-1)
     val got = MaxSim.maxsimManyMulti(idxs, qs, k = 6, kPerToken = 64,
         probes = Seq(4, 4), refine = 8)
       .as[(Long, Long, Double)].collect()
-    val j2 = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
+    val j2 = spark.sparkContext.statusTracker.getJobIdsForGroup(null).maxOption.getOrElse(-1)
     // two flat passes; AQE materializes the rescore's shuffle map stage
     // as its own job, so the scheduler count is 3 — what matters is that
     // it does NOT grow with batch size (B=1 and B=3 cost the same)
