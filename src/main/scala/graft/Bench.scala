@@ -277,7 +277,18 @@ object Bench {
       "_sentinel_qend_ratio" -> sentinelQEndRatio,
       "_sentinel_post_ratio" -> sentinelPostRatio,
       "_sentinel_drift" -> sentinelDrift,
-      "_external_cpu_frac" -> externalCpuFrac)
+      "_external_cpu_frac" -> externalCpuFrac,
+      // VERSION of the per-key drift model below (round 16): bump this
+      // whenever the anchor shape / interpolation producing the _drift_*
+      // factors changes. Cross-capture comparisons may divide by the
+      // factors only when both captures carry the SAME model version —
+      // the round-15 aging-model change silently shifted mean factors
+      // 1.68 -> 1.34 on identical hardware and broke naive normalized
+      // reads; across versions compare RAW seconds on quiet captures.
+      // Version 2 = the progressive pre/mid/qend/post piecewise model
+      // (ac80e68); the unversioned round-14-and-earlier captures are
+      // model 1.
+      "_drift_model" -> 2.0)
     // per-key drift factors (BENCH_FULL only): piecewise-linear
     // interpolation of the sentinel's in-run inflation at each key's RUN
     // POSITION — pre before query 0, mid at the halfway mark, qend after
