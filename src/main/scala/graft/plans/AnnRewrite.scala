@@ -1248,7 +1248,17 @@ case class AnnTopKRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
           val ids = raw.distinct.sorted
           // empty candidates only arise from an empty/degenerate index —
           // decline rather than guess at the table's rows
-          if (ids.isEmpty || ids.length > maxInList) None
+          if (ids.length > maxInList) {
+            // loud: this decline lands AFTER the per-slice candidate jobs
+            // ran, and the exact cross join that follows is the expensive
+            // path — tell the operator which budget to move
+            logWarning(s"KNN-join serve declined AFTER candidate fetch: " +
+              s"${ids.length} distinct candidate ids exceed " +
+              s"graft.ann.maxInList=$maxInList — the exact windowed cross " +
+              "join will run. Raise the budget, lower k/refine, or use the " +
+              "DSL batch faces for this query volume.")
+            None
+          } else if (ids.isEmpty) None
           else {
             ensureInPushdown(ids.length)
             val restricted = stamped(Filter(

@@ -644,6 +644,22 @@ object ScaleProbe {
             val tKj = bestOf(() => { kj().count(); () })
             out += (s"_scale_manyroot${nR}_knnjoin16" -> tKj)
             say(f"_scale_manyroot${nR}_knnjoin16 = $tKj%.3fs")
+            // sliced BULK join (round 16): 600 query rows — past the
+            // 256-per-slice cap — through the same windowed shape;
+            // planning is 1 + ceil(600/256) = 4 bounded jobs and the
+            // indexed side restricts to the union of per-slice
+            // candidates, amortizing instead of declining to the
+            // 600 x 16k cross join
+            val qBig = Array.tabulate(600)(i =>
+              (i.toLong, Array.fill(8)(rngB.nextFloat() * 2 - 1)))
+            val qdfBig = qBig.map { case (qid, v) => (qid, v.toSeq) }.toSeq
+              .toDF("qid", "center")
+            def kjBig() = qdfBig.crossJoin(spark.read.parquet(tableDir))
+              .withColumn("rn", row_number().over(wSpec))
+              .filter(col("rn") <= 5)
+            val tKjS = bestOf(() => { kjBig().count(); () })
+            out += (s"_scale_manyroot${nR}_knnjoinsliced600" -> tKjS)
+            say(f"_scale_manyroot${nR}_knnjoinsliced600 = $tKjS%.3fs")
           } finally {
             if (!hadRule) spark.experimental.extraOptimizations =
               spark.experimental.extraOptimizations.filterNot(_
