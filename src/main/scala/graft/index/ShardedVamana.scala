@@ -144,6 +144,9 @@ object ShardedVamana {
       // quantized shards score by code ESTIMATES; without a rerank table
       // the output distances would silently be estimates — the reference
       // always reranks to exact (crates/vchordg/src/search.rs:98-140)
+      require(queries.map(_._1).distinct.length == queries.length,
+        "duplicate qids in query batch — results would silently merge " +
+        "(the searchManyMulti guard, same contract)")
       require(cfg.bits == 0 || rerankTable.nonEmpty || allowEstimates,
         "search on a quantized sharded graph without rerankTable returns " +
         "code-ESTIMATE distances, not exact ones: pass " +
@@ -183,7 +186,8 @@ object ShardedVamana {
               case "cosdist" => GF.vecCosdist
             }
           val scored = cand
-            .join(src.select(col(idCol).cast("long").as("id"), col(vecCol).as("__v")), Seq("id"))
+            .join(src.select(col(idCol).cast("long").as("id"),
+              col(vecCol).cast("array<float>").as("__v")), Seq("id"))
             .join(broadcast(qDf), Seq("qid"))
             .select(col("qid"), col("id"), kern(col("__v"), col("qvec")).as("dist"))
           topk(scored, k)

@@ -188,7 +188,7 @@ final class VamanaGraph(
         val scored = src
           .join(broadcast(candIds.toDF("__cand_id")),
             col(idCol).cast("long") === col("__cand_id"))
-          .select(col(idCol).cast("long"), col(vecCol))
+          .select(col(idCol).cast("long"), col(vecCol).cast("array<float>"))
           .as[(Long, Array[Float])]
           .flatMap { case (id, v) =>
             val kern: (Array[Float], Array[Float]) => Double = metric match {
@@ -412,7 +412,7 @@ object VamanaGraph {
         val scored = src
           .join(broadcast(candIds.toDF("__cand_id")),
             col(idCol).cast("long") === col("__cand_id"))
-          .select(col(idCol).cast("long"), col(vecCol))
+          .select(col(idCol).cast("long"), col(vecCol).cast("array<float>"))
           .as[(Long, Array[Float])]
           .flatMap { case (id, v) =>
             val kern: (Array[Float], Array[Float]) => Double = metric match {

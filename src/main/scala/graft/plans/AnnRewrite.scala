@@ -1200,8 +1200,12 @@ case class AnnTopKRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     * side — the caller short-circuits to an empty relation. */
   private def collectCenters(queriesSide: LogicalPlan,
       centerAttr: AttributeReference): Option[Array[Array[Float]]] = {
-    val maxQTotal = math.max(1,
-      spark.conf.get("graft.ann.knn.join.maxQueriesTotal", "4096").toInt)
+    // the hard cap never undercuts a user-RAISED per-slice cap: someone
+    // who set maxQueries=10000 before slicing existed must not silently
+    // regress to the cross join because a newer conf defaults lower
+    val maxQTotal = math.max(1, math.max(
+      spark.conf.get("graft.ann.knn.join.maxQueriesTotal", "4096").toInt,
+      spark.conf.get("graft.ann.knn.join.maxQueries", "256").toInt))
     AnnTopKRewrite.planningJobs.incrementAndGet()
     val qRows = ColumnBridge.ofRows(spark,
         Project(Seq(Alias(centerAttr, "c")()), queriesSide))

@@ -3202,7 +3202,11 @@ object GraftQueries {
         graft.index.ShardedVamana.build(
           spark.read.parquet(s"$sfDir/embeddings.parquet"), "vec_id", "embedding",
           dir, cfg, shards = 4)
-        val h = graft.index.ShardedVamana.load(spark, dir)
+        // load THROUGH the catalog's handle cache: the sharded KNN-join
+        // fixture registers this same dir, and two independent loads
+        // would hold the shard RDD resident twice
+        val h = graft.plans.AnnCatalog.shardedGraph(spark,
+          graft.plans.AnnCatalog.ShardedGraphEntry(dir, "vec_id", "embedding"))
         cache.put(key, h)
         h
       }

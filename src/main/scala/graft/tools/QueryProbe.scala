@@ -40,9 +40,13 @@ object QueryProbe {
       fn(spark, sfDir).count()
       (System.nanoTime() - t0) / 1e9
     }
+    val sortedTs = ts.sorted
+    val median =
+      if (ts.length % 2 == 1) sortedTs(ts.length / 2)
+      else (sortedTs(ts.length / 2 - 1) + sortedTs(ts.length / 2)) / 2
     println(f"[probe] $name sf=$sfDir iters=$iters: " +
       ts.map(t => f"$t%.3f").mkString(" ") +
-      f" (min ${ts.min}%.3f median ${ts.sorted.apply(ts.length / 2)}%.3f)")
+      f" (min ${ts.min}%.3f median $median%.3f)")
     spark.stop()
   }
 }

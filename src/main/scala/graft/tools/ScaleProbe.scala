@@ -657,9 +657,19 @@ object ScaleProbe {
             def kjBig() = qdfBig.crossJoin(spark.read.parquet(tableDir))
               .withColumn("rn", row_number().over(wSpec))
               .filter(col("rn") <= 5)
-            val tKjS = bestOf(() => { kjBig().count(); () })
-            out += (s"_scale_manyroot${nR}_knnjoinsliced600" -> tKjS)
-            say(f"_scale_manyroot${nR}_knnjoinsliced600 = $tKjS%.3fs")
+            // the key must measure the SLICED SERVE, not a silent decline
+            // to the 600 x 16k cross join — skip (loudly) rather than
+            // record the wrong path's time as the canary
+            if (!graft.plans.AnnTopKRewrite.inServed(
+                kjBig().queryExecution.optimizedPlan.toString))
+              say(s"_scale_manyroot${nR}_knnjoinsliced600 SKIPPED: the " +
+                "bulk windowed join was not index-served — slicing " +
+                "regressed or a budget declined")
+            else {
+              val tKjS = bestOf(() => { kjBig().count(); () })
+              out += (s"_scale_manyroot${nR}_knnjoinsliced600" -> tKjS)
+              say(f"_scale_manyroot${nR}_knnjoinsliced600 = $tKjS%.3fs")
+            }
           } finally {
             if (!hadRule) spark.experimental.extraOptimizations =
               spark.experimental.extraOptimizations.filterNot(_

@@ -436,9 +436,18 @@ class KnnJoinServeSpec extends SparkSpec {
         val qs = (0L until 4L).map(i => i -> byId(i))
         def served(df: org.apache.spark.sql.DataFrame): Boolean =
           AnnTopKRewrite.inServed(df.queryExecution.optimizedPlan.toString)
-        // the HARD cap declines (slicing only stretches maxQueries)
-        withConfs("graft.ann.knn.join.maxQueriesTotal" -> "3") {
+        // the HARD cap declines (slicing only stretches maxQueries; the
+        // effective cap is max(maxQueriesTotal, maxQueries) so a raised
+        // per-slice conf is never silently undercut — pin both here)
+        withConfs("graft.ann.knn.join.maxQueriesTotal" -> "3",
+            "graft.ann.knn.join.maxQueries" -> "3") {
           assert(!served(kjDf(tableDir, qs, 3)))
+        }
+        // a RAISED maxQueries alone lifts the hard cap too (migration
+        // contract: pre-slicing configs keep serving)
+        withConfs("graft.ann.knn.join.maxQueriesTotal" -> "3",
+            "graft.ann.knn.join.maxQueries" -> "64") {
+          assert(served(kjDf(tableDir, qs, 3)))
         }
         withConfs("graft.ann.maxInList" -> "7") {
           // 4 queries x k=3 distinct neighbors overflow a 7-id budget

@@ -144,17 +144,19 @@ class ServedSearchManySpec extends SparkSpec {
         .save(spark, gdir)
       AnnCatalog.registerGraph(s"$part/pt=$p", gdir, "id", "vec")
     }
-    val qs = Seq(0L -> rows(5)._2, 1L -> rows(42)._2)
-    val qdf = qs.map { case (qid, c) => (qid, c.toSeq) }.toDF("qid", "center")
-    val got = withConfs("graft.ann.efSearch" -> "512") {
-      AnnCatalog.servedSearchMany(spark, part, qdf, "qid", "center", k = 6)
-        .as[(Long, Long, Double, Long)].collect()
-    }.groupBy(_._1).view.mapValues(_.sortBy(_._4).map(_._2).toSeq).toMap
-    qs.foreach { case (qid, q) =>
-      val want = rows.map { case (id, v) => (K.l2(v, q), id) }
-        .sorted.take(6).map(_._2).toSeq
-      assert(got(qid) == want, s"qid=$qid got=${got(qid)} want=$want")
-    }
+    try {
+      val qs = Seq(0L -> rows(5)._2, 1L -> rows(42)._2)
+      val qdf = qs.map { case (qid, c) => (qid, c.toSeq) }.toDF("qid", "center")
+      val got = withConfs("graft.ann.efSearch" -> "512") {
+        AnnCatalog.servedSearchMany(spark, part, qdf, "qid", "center", k = 6)
+          .as[(Long, Long, Double, Long)].collect()
+      }.groupBy(_._1).view.mapValues(_.sortBy(_._4).map(_._2).toSeq).toMap
+      qs.foreach { case (qid, q) =>
+        val want = rows.map { case (id, v) => (K.l2(v, q), id) }
+          .sorted.take(6).map(_._2).toSeq
+        assert(got(qid) == want, s"qid=$qid got=${got(qid)} want=$want")
+      }
+    } finally (0 to 1).foreach(p => AnnCatalog.unregisterGraph(s"$part/pt=$p"))
   }
 
   test("servedSearchMany: SHARDED-graph-registered corpus routes through " +
@@ -181,6 +183,13 @@ class ServedSearchManySpec extends SparkSpec {
           .sorted.take(5).map(_._2).toSeq
         assert(got(qid) == want, s"qid=$qid got=${got(qid)} want=$want")
       }
+      // duplicate qids refuse loudly (the batch faces' shared contract —
+      // two queries merging into one top-k window is silent corruption)
+      val dup = Seq((0L, rows(1)._2.toSeq), (0L, rows(2)._2.toSeq))
+        .toDF("qid", "center")
+      val e = intercept[IllegalArgumentException](
+        AnnCatalog.servedSearchMany(spark, flat, dup, "qid", "center", 3))
+      assert(e.getMessage.contains("duplicate qids"), e.getMessage)
     } finally AnnCatalog.unregisterShardedGraph(flat)
   }
 
