@@ -1581,7 +1581,9 @@ case class AnnTopKRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     * scanned child must be covered or the serve declines). Declines —
     * leaving the original exact plan — when: no sphere conjunct over a
     * registered indexed relation, the queries side exceeds
-    * `graft.ann.range.join.maxQueries`, any non-deterministic expression
+    * max(`graft.ann.range.join.maxQueries`,
+    * `graft.ann.range.join.maxQueriesTotal`=4096) — a LOUD decline
+    * naming the DSL faces — any non-deterministic expression
     * feeds the queries side (its rows must be identical at planning and
     * execution), or the candidate union exceeds `graft.ann.maxInList` (a
     * giant IN loses to the exact join). Planning cost: EXACTLY TWO
@@ -1653,7 +1655,15 @@ case class AnnTopKRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
       if es.forall(e => AnnCatalog.index(spark, e).meta.cfg.metric == metric)
       served <- {
         val idxs = es.map(e => AnnCatalog.index(spark, e))
-        val maxQ = spark.conf.get("graft.ann.range.join.maxQueries", "256").toInt
+        // the pooled candidate job below is ONE codes pass at ANY sphere
+        // count, so unlike the KNN join there is nothing to slice — the
+        // cap only bounds the queries-side collect. Round 16: the
+        // effective cap is max(maxQueries, maxQueriesTotal=4096), the
+        // KNN-join hard-cap contract (a raised legacy conf still wins),
+        // and overflow declines LOUDLY naming the DSL faces.
+        val maxQ = math.max(1, math.max(
+          spark.conf.get("graft.ann.range.join.maxQueries", "256").toInt,
+          spark.conf.get("graft.ann.range.join.maxQueriesTotal", "4096").toInt))
         val maxInList = spark.conf.get("graft.ann.maxInList", "8192").toInt
         val eps = spark.conf.get("graft.ann.epsilon", "1.9").toDouble
         AnnTopKRewrite.planningJobs.incrementAndGet()
@@ -1665,7 +1675,14 @@ case class AnnTopKRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
           }, org.apache.spark.sql.types.DoubleType), "r")())
         val qRows = ColumnBridge.ofRows(spark, Project(projOut, queriesSide))
           .limit(maxQ + 1).collect()
-        if (qRows.length > maxQ) None
+        if (qRows.length > maxQ) {
+          logWarning(s"range-join serve declined: queries side exceeds " +
+            s"$maxQ rows (graft.ann.range.join.maxQueries[Total]) — the " +
+            "exact nested-loop join will run. For bulk sphere tables use " +
+            "IvfIndex.rangeSearchMany/rangeSearchManyMulti or " +
+            "AnnCatalog.servedRangeMany, or raise the cap.")
+          None
+        }
         else {
           // rows with a null center or radius can match nothing (the join
           // condition evaluates to null) — they contribute no sphere

@@ -509,9 +509,12 @@ class AnnRewriteSpec extends SparkSpec {
       } yield (qid, id)).sortBy(identity).toSeq
       assert(df8.as[(Long, Long)].collect().toSeq == want8)
 
-      // queries side past maxQueries: decline — plan keeps the exact
-      // nested-loop join (no IN), results identical
-      withConfs("graft.ann.range.join.maxQueries" -> "2") {
+      // queries side past the hard cap: decline — plan keeps the exact
+      // nested-loop join (no IN), results identical. The effective cap
+      // is max(maxQueries, maxQueriesTotal), so pin both (a raised
+      // legacy maxQueries alone must keep serving — KNN-join contract)
+      withConfs("graft.ann.range.join.maxQueries" -> "2",
+          "graft.ann.range.join.maxQueriesTotal" -> "2") {
         val dfBig = spark.sql(sql)
         assert(candInCount(dfBig.queryExecution.optimizedPlan.toString) == 1,
           "3 query rows over maxQueries=2 must keep the exact plan " +
