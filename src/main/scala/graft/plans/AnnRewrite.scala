@@ -1568,6 +1568,16 @@ case class AnnTopKRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
                     }
                 }
               }
+              // loud: a budget decline here lands AFTER one or more
+              // escalation rounds already ran planning jobs, and the
+              // prefiltered exact cross join that follows is the
+              // expensive path
+              if (out.isEmpty)
+                logWarning("KNN-join prefilter escalation declined after " +
+                  s"running its planning rounds (pool budget $maxPool, IN " +
+                  s"budget $maxInList) — the exact windowed cross join " +
+                  "will run. Raise the budgets or pre-filter the table " +
+                  "into a registered corpus.")
               out
           }
         }
