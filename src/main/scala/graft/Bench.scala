@@ -2,6 +2,104 @@ package graft
 import org.apache.spark.sql.SparkSession
 import scala.util.control.NonFatal
 object Bench {
+  // ---- Capture sentinel gates (pure, spec-covered) -------------------
+  // LOUD mid-capture contention gate (README discount rule): the pre
+  // reading alone cannot flag load arriving mid-run, and the drift key
+  // folds external arrival into in-JVM aging. Threshold calibrated
+  // empirically (round 14): two provably-quiet captures
+  // (_external_cpu_frac 0.0) measured mid readings of 1.58-1.73x the
+  // reference — in-JVM aging lands mostly in the first half — while
+  // real contention events push the sentinel 3-10x. A mid ratio past
+  // 2.0 is therefore external load, not aging.
+  final val MidContendedAt = 2.0
+  // LATE-SECTION contention gates (round 15 — README clause 3 made
+  // mechanical): a second-half burst can leave the pre AND mid readings
+  // green (the round-14 driver capture read pre 0.62 / mid 1.29 yet
+  // post 2.49 / drift 4.04 — five late-position queries 4-7x their
+  // committed same-code numbers) and was only caught by adjudication
+  // archaeology. In-JVM aging is PROGRESSIVE — the qend/post readings
+  // track the mid reading on quiet runs (measured across six quiet
+  // captures, _external_cpu_frac <= 0.024: late/mid 0.97-1.40, with
+  // absolute late ratios up to 2.24 as the suite grew to 118 queries)
+  // — while an external second-half burst makes them DISPROPORTIONATE
+  // (the r14 contended capture: post/mid 1.93). So a late reading is
+  // contended when it is high absolutely (> 2.2) AND either
+  // disproportionate to mid (> 1.5x) or past the hard ceiling no
+  // quiet capture approaches (> 3.0).
+  final val LateContendedAt = 2.2
+  final val LateHardCap = 3.0
+  // The pre reading is LUCK-VARIABLE on this box (0.29-0.75 s against
+  // the 0.50 reference across same-day quiet runs — ratios to 1.5), so
+  // the pre gate sits at 2.0, a level no quiet capture approaches.
+  final val PreContendedAt = 2.0
+  // README rule: external busy CPU past ~5% of box capacity during the
+  // timed section means another process was computing — discard the
+  // capture regardless of the sentinel readings (they sample instants;
+  // this measures the whole window).
+  final val ExternalCpuContendedAt = 0.05
+
+  /** Every CONTENDED banner the given readings fire, in run order.
+    * Empty = the capture passed all sentinel gates. Negative readings
+    * mean "probe unavailable" and never fire a gate by themselves
+    * (except that an unknown mid leaves the late gates without their
+    * proportionality escape, as before). Pure so a spec can pin the
+    * verdicts — and writeCapture routes on EXACTLY this verdict, which
+    * is what makes a gate-failing BENCH_FULL.json mechanically
+    * impossible (round-16 verdict, What's wrong #1). */
+  def captureGateBanners(preRatio: Double, midRatio: Double,
+      qendRatio: Double, postRatio: Double,
+      externalCpuFrac: Double): Seq[String] = {
+    def lateContended(r: Double): Boolean =
+      r > LateContendedAt && (r > LateHardCap || midRatio <= 0 ||
+        r > 1.5 * midRatio)
+    val b = Seq.newBuilder[String]
+    if (preRatio > PreContendedAt)
+      b += f"*** CONTENDED CAPTURE: _sentinel_ratio $preRatio%.2f > " +
+        f"$PreContendedAt%.1f — the box was loaded at capture start; " +
+        "re-capture on a quiet box before adjudicating ***"
+    if (midRatio > MidContendedAt)
+      b += f"*** CONTENDED CAPTURE: _sentinel_mid_ratio $midRatio%.2f > " +
+        f"$MidContendedAt%.1f — external load landed mid-run; " +
+        "re-capture on a quiet box before adjudicating ***"
+    if (lateContended(qendRatio))
+      b += f"*** CONTENDED CAPTURE: _sentinel_qend_ratio $qendRatio%.2f " +
+        f"is past $LateContendedAt%.1f and disproportionate to mid " +
+        f"($midRatio%.2f) — external load landed late in the query " +
+        "section; re-capture ***"
+    if (lateContended(postRatio))
+      b += f"*** CONTENDED CAPTURE: _sentinel_post_ratio $postRatio%.2f " +
+        f"is past $LateContendedAt%.1f and disproportionate to mid " +
+        f"($midRatio%.2f) — external load landed in the scale section; " +
+        "re-capture ***"
+    if (externalCpuFrac > ExternalCpuContendedAt)
+      b += f"*** CONTENDED CAPTURE: _external_cpu_frac " +
+        f"$externalCpuFrac%.3f > $ExternalCpuContendedAt%.2f — another " +
+        "process was computing during the timed section; re-capture ***"
+    b.result()
+  }
+
+  /** Write a capture to `dir`. A gates-green capture replaces
+    * BENCH_FULL.json (and clears any stale BENCH_CONTENDED.json); a
+    * gate-FAILING capture goes to BENCH_CONTENDED.json and NEVER
+    * touches BENCH_FULL.json — the round-15/16 trap (a contended
+    * re-run overwriting the committed green capture in the working
+    * tree, then riding the driver's round-close commit) is thereby
+    * structurally impossible rather than a restore chore. Returns the
+    * path written. */
+  def writeCapture(dir: java.nio.file.Path, json: String,
+      contended: Boolean): java.nio.file.Path = {
+    val fullPath = dir.resolve("BENCH_FULL.json")
+    val rejPath = dir.resolve("BENCH_CONTENDED.json")
+    val target = if (contended) rejPath else fullPath
+    java.nio.file.Files.write(target, (json + "\n").getBytes("UTF-8"))
+    if (contended)
+      System.err.println("*** capture failed a sentinel gate — written " +
+        "to BENCH_CONTENDED.json; BENCH_FULL.json left untouched ***")
+    else
+      java.nio.file.Files.deleteIfExists(rejPath)
+    target
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -215,49 +313,6 @@ object Bench {
     val sentinelDrift =
       if (sentinelPre <= 0 || sentinelPost <= 0) -1.0
       else sentinelPost / sentinelPre
-    // LOUD mid-capture contention gate (README discount rule): the pre
-    // reading alone cannot flag load arriving mid-run, and the drift key
-    // folds external arrival into in-JVM aging. Threshold calibrated
-    // empirically (round 14): two provably-quiet captures
-    // (_external_cpu_frac 0.0) measured mid readings of 1.58-1.73x the
-    // reference — in-JVM aging lands mostly in the first half — while
-    // real contention events push the sentinel 3-10x. A mid ratio past
-    // 2.0 is therefore external load, not aging — the banner makes a
-    // contaminated capture impossible to miss.
-    val midContendedAt = 2.0
-    if (sentinelMidRatio > midContendedAt)
-      System.err.println(f"*** CONTENDED CAPTURE: _sentinel_mid_ratio " +
-        f"$sentinelMidRatio%.2f > $midContendedAt%.1f — external load " +
-        "landed mid-run; re-capture on a quiet box before adjudicating ***")
-    // LATE-SECTION contention gates (round 15 — README clause 3 made
-    // mechanical): a second-half burst can leave the pre AND mid readings
-    // green (the round-14 driver capture read pre 0.62 / mid 1.29 yet
-    // post 2.49 / drift 4.04 — five late-position queries 4-7x their
-    // committed same-code numbers) and was only caught by adjudication
-    // archaeology. In-JVM aging is PROGRESSIVE — the qend/post readings
-    // track the mid reading on quiet runs (measured across six quiet
-    // captures, _external_cpu_frac <= 0.024: late/mid 0.97-1.40, with
-    // absolute late ratios up to 2.24 as the suite grew to 118 queries)
-    // — while an external second-half burst makes them DISPROPORTIONATE
-    // (the r14 contended capture: post/mid 1.93). So a late reading is
-    // contended when it is high absolutely (> 2.2) AND either
-    // disproportionate to mid (> 1.5x) or past the hard ceiling no
-    // quiet capture approaches (> 3.0).
-    val lateContendedAt = 2.2
-    val lateHardCap = 3.0
-    def lateContended(r: Double): Boolean =
-      r > lateContendedAt && (r > lateHardCap || sentinelMidRatio <= 0 ||
-        r > 1.5 * sentinelMidRatio)
-    if (lateContended(sentinelQEndRatio))
-      System.err.println(f"*** CONTENDED CAPTURE: _sentinel_qend_ratio " +
-        f"$sentinelQEndRatio%.2f is past $lateContendedAt%.1f and " +
-        f"disproportionate to mid ($sentinelMidRatio%.2f) — external " +
-        "load landed late in the query section; re-capture ***")
-    if (lateContended(sentinelPostRatio))
-      System.err.println(f"*** CONTENDED CAPTURE: _sentinel_post_ratio " +
-        f"$sentinelPostRatio%.2f is past $lateContendedAt%.1f and " +
-        f"disproportionate to mid ($sentinelMidRatio%.2f) — external " +
-        "load landed in the scale section; re-capture ***")
     val externalCpuFrac = (ticks0, cpuTicks()) match {
       case (Some((busy0, own0)), Some((busy1, own1))) =>
         val elapsedSec = (System.nanoTime() - wall0) / 1e9
@@ -267,6 +322,13 @@ object Bench {
         else math.max(0.0, ((busy1 - busy0) - (own1 - own0)) / capacity)
       case _ => -1.0
     }
+    // Gate verdicts are computed by the pure captureGateBanners below
+    // (testable without a capture) and printed loudly; the SAME verdict
+    // routes the capture file at write time — a gate-failing run can no
+    // longer overwrite BENCH_FULL.json (see writeCapture).
+    val gateBanners = captureGateBanners(sentinelRatio, sentinelMidRatio,
+      sentinelQEndRatio, sentinelPostRatio, externalCpuFrac)
+    gateBanners.foreach(System.err.println)
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     val aggs = Seq("_index_builds" -> buildSec, "_warm_pass" -> warmPassSec,
       "_sentinel_pre" -> sentinelPre, "_sentinel_mid" -> sentinelMid,
@@ -339,9 +401,9 @@ object Bench {
     // the COMPACT form (real queries rounded to 2dp + the two aggregates),
     // sized to survive that window with sbt's trailing [success] line.
     val full = jline(results ++ scale ++ aggs ++ driftFactors, v => v.toString)
-    try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_FULL.json"),
-      (full + "\n").getBytes("UTF-8"))
-    catch { case NonFatal(e) => System.err.println(s"BENCH_FULL write failed: $e") }
+    try writeCapture(java.nio.file.Paths.get("."), full,
+      contended = gateBanners.nonEmpty)
+    catch { case NonFatal(e) => System.err.println(s"capture write failed: $e") }
     // Rounded values with trailing zeros trimmed ("0.10" -> 0.1, "0.00"
     // -> 0 — still valid JSON numbers); precision then query-set degrade
     // until the line fits the window.
