@@ -156,9 +156,15 @@ object ShardedVamana {
         return Seq.empty[(Long, Long, Double, Long)].toDF("qid", "id", "dist", "rn")
       val bq = spark.sparkContext.broadcast(queries)
       val metric = cfg.metric
+      // rn cast to long: the (qid, id, dist, rn) searchMany contract is
+      // LongType rn on every tier (IVF and driver-graph emit
+      // (i+1).toLong) — row_number() alone would make the sharded tier
+      // the one IntegerType outlier and flip servedSearchMany's schema
+      // by registration (round-16 ADVICE)
       def topk(cand: DataFrame, kk: Int): DataFrame = cand
         .withColumn("rn", row_number().over(
-          Window.partitionBy("qid").orderBy(col("dist"), col("id"))))
+          Window.partitionBy("qid").orderBy(col("dist"), col("id")))
+          .cast("long"))
         .filter(col("rn") <= kk)
       rerankTable match {
         case None =>

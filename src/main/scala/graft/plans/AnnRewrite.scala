@@ -1244,25 +1244,45 @@ case class AnnTopKRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     centersOf().flatMap { centers =>
       if (centers.isEmpty) Some(LocalRelation(f.output))
       else {
-        val ids0 = centers.grouped(sliceSize)
-          .foldLeft(Option(Array.empty[Long])) { (acc, slice) =>
-            acc.flatMap(got => cands(slice).map(got ++ _))
+        // per-slice fold with an EARLY EXIT on the running distinct-id
+        // count: once the ids already exceed maxInList no remaining slice
+        // can rescue the serve, so the decline fires without paying for
+        // the unfetched candidate jobs (with maxQueriesTotal=4096 and
+        // 256-query slices, up to 16 driver-blocking jobs — plus
+        // prefilter escalation rounds — would otherwise run before a
+        // post-hoc decline; round-16 ADVICE)
+        val slices = centers.grouped(sliceSize).toArray
+        val seen = scala.collection.mutable.HashSet.empty[Long]
+        var sliceIdx = 0
+        var candDeclined = false
+        while (!candDeclined && sliceIdx < slices.length &&
+            seen.size <= maxInList) {
+          cands(slices(sliceIdx)) match {
+            case None => candDeclined = true
+            case Some(got) => seen ++= got; sliceIdx += 1
           }
+        }
+        val ids0: Option[Array[Long]] =
+          if (candDeclined) None
+          else if (seen.size > maxInList) {
+            // loud: this decline lands AFTER (some) candidate jobs ran,
+            // and the exact cross join that follows is the expensive
+            // path — tell the operator which budget to move, and how
+            // much work the early exit saved
+            logWarning(s"KNN-join serve declined AFTER candidate fetch: " +
+              s"${seen.size} distinct candidate ids already exceed " +
+              s"graft.ann.maxInList=$maxInList after $sliceIdx of " +
+              s"${slices.length} slices (remaining slices skipped) — the " +
+              "exact windowed cross join will run. Raise the budget, " +
+              "lower k/refine, or use the DSL batch faces for this " +
+              "query volume.")
+            None
+          } else Some(seen.toArray)
         ids0.flatMap { raw =>
-          val ids = raw.distinct.sorted
+          val ids = raw.sorted
           // empty candidates only arise from an empty/degenerate index —
           // decline rather than guess at the table's rows
-          if (ids.length > maxInList) {
-            // loud: this decline lands AFTER the per-slice candidate jobs
-            // ran, and the exact cross join that follows is the expensive
-            // path — tell the operator which budget to move
-            logWarning(s"KNN-join serve declined AFTER candidate fetch: " +
-              s"${ids.length} distinct candidate ids exceed " +
-              s"graft.ann.maxInList=$maxInList — the exact windowed cross " +
-              "join will run. Raise the budget, lower k/refine, or use the " +
-              "DSL batch faces for this query volume.")
-            None
-          } else if (ids.isEmpty) None
+          if (ids.isEmpty) None
           else {
             ensureInPushdown(ids.length)
             val restricted = stamped(Filter(

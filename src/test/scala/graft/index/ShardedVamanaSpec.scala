@@ -39,7 +39,14 @@ class ShardedVamanaSpec extends SparkSpec {
       val rng = new scala.util.Random(9)
       val queries = Array.tabulate(6)(i =>
         i.toLong -> Array.fill(16)(rng.nextFloat() * 2 - 1))
-      val got = h.search(spark, queries, 10)
+      val res = h.search(spark, queries, 10)
+      // cross-tier searchMany contract: rn is LongType on EVERY tier
+      // (IVF/graph emit (i+1).toLong) — the sharded tier once leaked
+      // IntegerType and flipped servedSearchMany's schema by
+      // registration (round-16 ADVICE)
+      assert(res.schema("rn").dataType ==
+        org.apache.spark.sql.types.LongType)
+      val got = res
         .select("qid", "id", "rn").as[(Long, Long, Long)].collect()
         .groupBy(_._1).view.mapValues(_.sortBy(_._3).map(_._2).toSeq).toMap
       queries.foreach { case (qid, q) =>
