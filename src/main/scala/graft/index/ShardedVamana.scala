@@ -200,6 +200,86 @@ object ShardedVamana {
       }
     }
 
+    /** Batch RANGE search, (qid, id, dist) like
+      * [[VamanaGraph.rangeSearchManyMulti]] — the sharded strategy-2
+      * route (reference vchordg sphere SEARCH, beam +
+      * `take_while(dist < radius)` at
+      * src/index/vchordg/scanners/default.rs:108-110,912-913). Queries
+      * broadcast over the resident shard RDD; every shard walks its
+      * in-sphere region (BEST-EFFORT per [[VamanaGraph.rangeBeam]] —
+      * exact at ef >= shard size on connected shards; hash sharding
+      * keeps shards small, so saturation is cheap per shard). Fully
+      * DISTRIBUTED: per-shard hits stay executor-side; the quantized
+      * path collects by ε lower bound and reranks EXACTLY from the
+      * source table via joins, strict-< cutoff per query radius — no
+      * driver collect anywhere. Per-(shard, query) hit counts are
+      * bounded loudly by `graft.ann.batch.maxPoolTuples` / batch size. */
+    def rangeSearch(spark: SparkSession,
+                    queries: Array[(Long, Array[Float], Double)],
+                    ef: Int = -1, epsilon: Double = 1.9,
+                    rerankTable: Option[(DataFrame, String, String)] = None,
+                    allowEstimates: Boolean = false): DataFrame = {
+      import spark.implicits._
+      require(queries.map(_._1).distinct.length == queries.length,
+        "duplicate qids in query batch — results would silently merge " +
+        "(the searchManyMulti guard, same contract)")
+      require(cfg.bits == 0 || rerankTable.nonEmpty || allowEstimates,
+        "rangeSearch on a quantized sharded graph cuts at code-ESTIMATE " +
+        "distances, not exact ones: pass rerankTable=Some((sourceDf, " +
+        "idCol, vecCol)) for the exact strict-< cutoff (reference " +
+        "semantics), or allowEstimates=true to opt in")
+      if (queries.isEmpty)
+        return Seq.empty[(Long, Long, Double)].toDF("qid", "id", "dist")
+      val maxPool = scala.util.Try(
+          spark.conf.get("graft.ann.batch.maxPoolTuples").toLong)
+        .getOrElse(4000000L)
+      val perQueryBudget = math.max(1L, maxPool / queries.length)
+      val bq = spark.sparkContext.broadcast(queries)
+      val metric = cfg.metric
+      val efArg = ef
+      val rerank = rerankTable.nonEmpty
+      val epsArg = epsilon
+      def shardHits(g: VamanaGraph): Iterator[(Long, Long, Double)] =
+        bq.value.iterator.flatMap { case (qid, q, r) =>
+          val eps = if (g.quantized && rerank) epsArg else 0.0
+          val hits = g.rangeBeam(q, r, efArg, eps)
+          require(hits.length <= perQueryBudget,
+            s"sharded range pool budget exceeded: query $qid matched " +
+            s"${hits.length} candidates in one shard > $perQueryBudget " +
+            "(graft.ann.batch.maxPoolTuples / batch size) — shrink the " +
+            "radius, split the batch, or raise the conf")
+          hits.iterator.map { case (i, d) => (qid, g.ids(i), d) }
+        }
+      rerankTable match {
+        case None =>
+          // scores exact on bits=0 shards (estimates only under the
+          // opt-in) and already strictly inside each radius; shard
+          // disjointness means no cross-shard duplicate ids
+          graphs.flatMap { case (_, g) => shardHits(g) }
+            .toDF("qid", "id", "dist")
+        case Some((src, idCol, vecCol)) =>
+          val cand = graphs.flatMap { case (_, g) =>
+            shardHits(g).map { case (qid, id, _) => (qid, id) }
+          }.toDF("qid", "id").distinct()
+          val qDf = queries.toSeq.toDF("qid", "qvec", "radius")
+          import graft.functions.{GraftFunctions => GF}
+          val kern: (org.apache.spark.sql.Column, org.apache.spark.sql.Column) => org.apache.spark.sql.Column =
+            metric match {
+              case "l2"      => GF.vecL2
+              case "negdot"  => GF.vecNegdot
+              case "cosdist" => GF.vecCosdist
+            }
+          cand
+            .join(src.select(col(idCol).cast("long").as("id"),
+              col(vecCol).cast("array<float>").as("__v")), Seq("id"))
+            .join(broadcast(qDf), Seq("qid"))
+            .select(col("qid"), col("id"),
+              kern(col("__v"), col("qvec")).as("dist"), col("radius"))
+            .filter(col("dist") < col("radius"))
+            .select("qid", "id", "dist")
+      }
+    }
+
     /** Route new rows to their hash shard and run the live-graph insert
       * inside each task (vchordg aminsert per shard). Returns a NEW
       * handle; persist survives on the new RDD, the old one is released. */

@@ -140,6 +140,116 @@ final class VamanaGraph(
       .map(t => (t._2, t._1))
   }
 
+  /** ε-scaled LOWER-BOUND scorer for range traversal: on a quantized
+    * graph, the code estimate minus `epsilon` times the RaBitQ per-code
+    * error bound (the IvfIndex estFrame rule — a vertex is a range
+    * CANDIDATE when its lower bound is inside the sphere; the exact
+    * rerank applies the strict cutoff). Exact graphs score exactly;
+    * epsilon = 0 degrades to the plain estimate. */
+  private[index] def mkRangeScorer(q: Array[Float],
+      epsilon: Double): Int => Double =
+    if (!quantized) { i => distFn(vecs(i), q) }
+    else {
+      var qSum = 0.0; var qNormSq = 0.0
+      var j = 0
+      while (j < q.length) { qSum += q(j); qNormSq += q(j).toDouble * q(j); j += 1 }
+      val qNorm = math.sqrt(qNormSq)
+      val sqrtDim = math.sqrt(q.length.toDouble)
+      cfg.metric match {
+        case "l2" => i => {
+          val (e, err) = RaBitQ.estimateL2s(codes(i), q, qSum, qNormSq)
+          math.sqrt(math.max(e - epsilon * err, 0.0))
+        }
+        case "negdot" => i => {
+          val d = RaBitQ.estimateDot(codes(i), q, qSum)
+          val err = qNorm * codes(i).scale * sqrtDim
+          -d - epsilon * err
+        }
+        case "cosdist" => i => {
+          val n = math.sqrt(qNormSq * codes(i).disU2.toDouble)
+          if (n == 0.0) 1.0
+          else {
+            val d = RaBitQ.estimateDot(codes(i), q, qSum)
+            val err = qNorm * codes(i).scale * sqrtDim
+            1.0 - (d + epsilon * err) / n
+          }
+        }
+      }
+    }
+
+  /** Range traversal (reference vchordg strategy-2 sphere SEARCH:
+    * sql/install/vchord--1.1.1.sql:1230-1290 `OPERATOR 2 <<->>
+    * (vector, sphere_vector) FOR SEARCH`, served by beam +
+    * `take_while(dist < radius)` at
+    * src/index/vchordg/scanners/default.rs:108-110,912-913): the greedy
+    * beam of [[search]] whose exploration EXPANDS while the frontier
+    * stays inside the sphere — the loop keeps expanding a node when it
+    * either improves the ef-bounded beam (the top-k descent part, which
+    * routes the walk toward the sphere when the entry point is far) OR
+    * its (lower-bound) score is inside the radius, so ef acts as the
+    * minimum exploration and the in-sphere region is walked exhaustively
+    * past it. BEST-EFFORT like the reference: an in-sphere vertex
+    * reachable only through out-of-sphere hops beyond the beam can be
+    * missed — at ef >= graph size every reachable vertex is visited and
+    * the result is exact. Returns (vertexIdx, score) for every visited
+    * vertex with score < radius (strict); the result is bounded by the
+    * graph size, which is driver-resident by construction. */
+  private[index] def rangeBeam(q: Array[Float], radius: Double, ef: Int,
+      epsilon: Double): Array[(Int, Double)] = {
+    if (ids.isEmpty) return Array.empty
+    val efUse = math.max(if (ef <= 0) cfg.efSearch else ef, 1)
+    val score = mkRangeScorer(q, epsilon)
+    val visited = new java.util.HashSet[Integer]()
+    val candOrd = Ordering.by[(Double, Int), (Double, Int)](identity).reverse
+    val cand = new scala.collection.mutable.PriorityQueue[(Double, Int)]()(candOrd)
+    val resOrd = Ordering.by[(Double, Int), (Double, Int)](identity)
+    val beam = new scala.collection.mutable.PriorityQueue[(Double, Int)]()(resOrd)
+    val hits = scala.collection.mutable.ArrayBuffer.empty[(Int, Double)]
+    val d0 = score(medoid)
+    cand.enqueue((d0, medoid)); beam.enqueue((d0, medoid)); visited.add(medoid)
+    if (d0 < radius) hits += ((medoid, d0))
+    while (cand.nonEmpty) {
+      val (dc, c) = cand.dequeue()
+      // terminate when the closest unexpanded candidate can neither
+      // improve the ef beam nor lie inside the sphere: everything left
+      // in the frontier is at least as far
+      if (dc >= radius && beam.size >= efUse && dc > beam.head._1) cand.clear()
+      else {
+        adj(c).foreach { n =>
+          if (!visited.contains(n)) {
+            visited.add(n)
+            val dn = score(n)
+            if (dn < radius) hits += ((n, dn))
+            if (dn < radius || beam.size < efUse || dn < beam.head._1 ||
+                (dn == beam.head._1 && ids(n) < ids(beam.head._2))) {
+              cand.enqueue((dn, n))
+              beam.enqueue((dn, n))
+              if (beam.size > efUse) beam.dequeue()
+            }
+          }
+        }
+      }
+    }
+    hits.toArray
+  }
+
+  /** Driver-side range search over this graph: every id whose distance
+    * to `q` is STRICTLY under `radius`, best-effort per [[rangeBeam]]
+    * (exact at saturating ef on a connected graph). On a QUANTIZED
+    * graph the distances are code ESTIMATES and the cutoff is applied
+    * to them — refuse unless the caller opts in; the exact form is
+    * [[VamanaGraph.rangeSearchManyMulti]] with a `rerankTable`. */
+  def rangeSearch(q: Array[Float], radius: Double, ef: Int = -1,
+      allowEstimates: Boolean = false): Array[(Long, Double)] = {
+    require(!quantized || allowEstimates,
+      "rangeSearch on a quantized graph cuts at code-ESTIMATE distances, " +
+      "not exact ones: use VamanaGraph.rangeSearchManyMulti(rerankTable=" +
+      "...) for an exact strict-< cutoff, or allowEstimates=true to opt in")
+    rangeBeam(q, radius, ef, epsilon = 0.0)
+      .map { case (i, d) => (ids(i), d) }
+      .sortBy(t => (t._2, t._1))
+  }
+
   /** Batch search: queries fan out across executors, graph broadcast.
     * With `rerankTable` the beam's ef-bounded candidates are re-scored
     * EXACTLY from the source table in one join (mandatory economics on a
@@ -435,6 +545,127 @@ object VamanaGraph {
             .map { case ((d, id), i) => (qid, id, d, (i + 1).toLong) }
         }
         out.toDF("qid", "id", "dist", "rn")
+    }
+  }
+
+  /** Batched MULTI-GRAPH range search — the graph-tier analogue of
+    * [[IvfIndex.rangeSearchManyMulti]] and the strategy-2 sibling of
+    * [[searchManyMulti]] (reference vchordg sphere SEARCH operators,
+    * sql/install/vchord--1.1.1.sql:1230-1290, beam +
+    * `take_while(dist < radius)` at
+    * src/index/vchordg/scanners/default.rs:108-110,912-913): B (qid,
+    * center, radius) queries x R driver-resident graphs, beams fanning
+    * out over executors with the graph set broadcast once. BEST-EFFORT
+    * like the reference — an in-sphere vertex reachable only through
+    * out-of-sphere hops beyond the beam can be missed; at ef >= graph
+    * size the walk is exhaustive and the result exact (the
+    * completeness-guaranteed tier is an IVF registration,
+    * `IvfIndex.rangeSearchManyMulti`). On quantized graphs candidates
+    * collect by ε-scaled code LOWER bound and one exact pass over the
+    * pooled candidates applies the strict-< cutoff (`rerankTable`
+    * mandatory unless `allowEstimates=true`, the searchManyMulti rule).
+    * Per-query candidate pools are bounded LOUDLY by
+    * `graft.ann.batch.maxPoolTuples` (shared with the top-k faces).
+    * Output: (qid, id, dist), dist strictly < the query's radius. */
+  def rangeSearchManyMulti(spark: SparkSession, graphs: Seq[VamanaGraph],
+      queries: Array[(Long, Array[Float], Double)], ef: Int = -1,
+      epsilon: Double = 1.9,
+      rerankTable: Option[(DataFrame, String, String)] = None,
+      allowEstimates: Boolean = false): DataFrame = {
+    import spark.implicits._
+    require(graphs.nonEmpty, "no graphs")
+    require(queries.nonEmpty, "empty query batch")
+    require(queries.map(_._1).distinct.length == queries.length,
+      "duplicate qids in query batch — results would silently merge")
+    val anyQuantized = graphs.exists(_.quantized)
+    require(!anyQuantized || rerankTable.nonEmpty || allowEstimates,
+      "rangeSearchManyMulti over quantized graphs without rerankTable " +
+      "cuts at code-ESTIMATE distances, not exact ones: pass " +
+      "rerankTable=Some((sourceDf, idCol, vecCol)) for the exact " +
+      "strict-< cutoff, or allowEstimates=true to opt in")
+    val metrics = graphs.map(_.cfg.metric).distinct
+    require(metrics.length == 1,
+      s"rangeSearchManyMulti requires one metric across graphs, got " +
+      s"$metrics — sphere membership under different metrics cannot merge")
+    val maxBytes = scala.util.Try(
+        spark.conf.get("graft.ann.graph.batch.maxBroadcastBytes").toLong)
+      .getOrElse(4L << 30)
+    val totBytes = graphs.map(_.approxBytes).sum
+    require(totBytes <= maxBytes,
+      s"graph rangeSearchManyMulti broadcast budget exceeded: " +
+      s"${graphs.length} graphs ~ $totBytes bytes > $maxBytes " +
+      "(graft.ann.graph.batch.maxBroadcastBytes) — split the batch by " +
+      "graph or serve this tier from ShardedVamana")
+    // per-QUERY pool budget (the no-silent-caps rule): a range hit set is
+    // data-dependent — a sphere covering the whole corpus yields O(N)
+    // rows per query — so the bound is enforced INSIDE the task, loudly,
+    // instead of silently truncating the sphere
+    val maxPool = scala.util.Try(
+        spark.conf.get("graft.ann.batch.maxPoolTuples").toLong)
+      .getOrElse(4000000L)
+    val perQueryBudget = math.max(1L, maxPool / queries.length)
+    val bgs = spark.sparkContext.broadcast(graphs.toIndexedSeq)
+    val rerank = rerankTable.nonEmpty
+    val efArg = ef
+    val epsArg = epsilon
+    // job 1: beams fan out per query against EVERY graph; quantized
+    // graphs under a rerank widen membership to the ε lower bound (the
+    // exact pass below re-tightens), estimate-cut otherwise
+    val candRows: Array[(Long, Long, Double)] = spark.sparkContext
+      .parallelize(queries.toSeq, math.min(queries.length, 32))
+      .flatMap { case (qid, q, r) =>
+        val hits = bgs.value.iterator.flatMap { g =>
+          val eps = if (g.quantized && rerank) epsArg else 0.0
+          g.rangeBeam(q, r, efArg, eps).iterator
+            .map { case (i, d) => (qid, g.ids(i), d) }
+        }.toArray
+        require(hits.length <= perQueryBudget,
+          s"graph range pool budget exceeded: query $qid matched " +
+          s"${hits.length} candidates > $perQueryBudget " +
+          "(graft.ann.batch.maxPoolTuples / batch size) — shrink the " +
+          "radius, split the batch, or raise the conf")
+        hits.iterator
+      }.collect()
+    rerankTable match {
+      case None =>
+        // scores are exact on unquantized graphs (estimates only under
+        // allowEstimates) and already strictly inside each radius: fold
+        // cross-graph duplicates to their best distance
+        val out = candRows.groupBy(t => (t._1, t._2)).valuesIterator
+          .map(dups => dups.minBy(_._3)).toSeq
+        out.toDF("qid", "id", "dist")
+      case Some((src, idCol, vecCol)) =>
+        // job 2: ONE exact pass over the batch's pooled candidates from
+        // the source table, strict-< cutoff per query radius
+        val qById = queries.iterator.map(t => (t._1, (t._2, t._3))).toMap
+        val idToQ = candRows.map(t => (t._1, t._2)).distinct
+          .groupBy(_._2).view.mapValues(_.map(_._1)).toMap
+        val bIdToQ = spark.sparkContext.broadcast(idToQ)
+        val bQs = spark.sparkContext.broadcast(qById)
+        val metric = metrics.head
+        val candIds = idToQ.keysIterator.toSeq
+        val scored = src
+          .join(broadcast(candIds.toDF("__cand_id")),
+            col(idCol).cast("long") === col("__cand_id"))
+          .select(col(idCol).cast("long"), col(vecCol).cast("array<float>"))
+          .as[(Long, Array[Float])]
+          .flatMap { case (id, v) =>
+            val kern: (Array[Float], Array[Float]) => Double = metric match {
+              case "l2"      => K.l2
+              case "negdot"  => K.negdot
+              case "cosdist" => K.cosdist
+            }
+            bIdToQ.value.getOrElse(id, Array.empty[Long]).toSeq.flatMap { qid =>
+              val (q, r) = bQs.value(qid)
+              val d = kern(v, q)
+              if (d < r) Some((qid, id, d)) else None
+            }
+          }.collect()
+        // fold per (qid, id) to the best distance — a source table
+        // holding two rows for one id must not emit the id twice
+        val out = scored.groupBy(t => (t._1, t._2)).valuesIterator
+          .map(dups => dups.minBy(_._3)).toSeq
+        out.toDF("qid", "id", "dist")
     }
   }
 

@@ -458,26 +458,49 @@ object AnnCatalog {
     * oversized query tables refuse LOUDLY (the queries side must be
     * bounded: it collects to the driver, like the join serve's cap).
     * Rows with a null qid/center/radius match nothing (the join-serve
-    * null contract) and are dropped. Output: (qid, id, dist). IVF
-    * registrations ONLY — a beam search has no radius-complete
-    * contract (nothing bounds what an exhausted beam missed inside the
-    * sphere), so graph/sharded registrations deliberately do not serve
-    * range; use an IVF registration for range workloads. */
+    * null contract) and are dropped. Output: (qid, id, dist).
+    *
+    * TIER CONTRACT (round 17): IVF registrations resolve first and are
+    * the COMPLETE tier — every row inside the sphere is returned (the
+    * ε-bounded estimate pass is a superset filter, the exact cutoff
+    * runs over it). GRAPH and SHARDED-GRAPH registrations now serve
+    * range too, with the reference's own strategy-2 semantics
+    * (sql/install/vchord--1.1.1.sql:1230-1290; beam +
+    * `take_while(dist < radius)` at
+    * src/index/vchordg/scanners/default.rs:108-110,912-913): the beam
+    * is BEST-EFFORT — an in-sphere vertex reachable only through
+    * out-of-sphere hops beyond `graft.ann.efSearch` can be missed, and
+    * the result is exact only at saturating ef. Callers needing the
+    * completeness guarantee should register (or add) a codes-only IVF
+    * index for the corpus — the guarantee is structural there, not a
+    * budget. Quantized graph tiers rerank exactly from the corpus
+    * table, so returned distances are always exact and strictly inside
+    * the radius on every tier. */
   def servedRangeMany(spark: SparkSession, tablePath: String,
       queriesDf: org.apache.spark.sql.DataFrame, qidCol: String,
       centerCol: String, radiusCol: String): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions.col
     val fsRel = resolveFs(spark, tablePath, "servedRangeMany")
     val roots = fsRel.location.rootPaths.map(_.toString)
-    val es = lookup(roots).map(Seq(_))
+    lazy val files = fsRel.location.inputFiles.toSeq
+    val esOpt = lookup(roots).map(Seq(_))
       .orElse(lookupAll(roots))
-      .orElse(coverByFiles(roots, fsRel.location.inputFiles.toSeq))
-      .getOrElse(throw new IllegalArgumentException(
-        s"servedRangeMany: no registered index covers '$tablePath' — " +
-        "register the table (or every partition child) with " +
-        "AnnCatalog.register first; unregistered corpora have the exact " +
-        "DSL (IvfIndex.rangeSearch*) instead of a silent full scan"))
-    val idxs = es.map(e => index(spark, e))
+      .orElse(coverByFiles(roots, files))
+    val gesOpt =
+      if (esOpt.isDefined) None
+      else lookupGraph(roots).map(Seq(_))
+        .orElse(lookupAllGraphs(roots).filter(_.size > 1))
+        .orElse(coverGraphsByFiles(roots, files))
+    val seOpt =
+      if (esOpt.isDefined || gesOpt.isDefined) None
+      else lookupShardedGraph(roots)
+    if (esOpt.isEmpty && gesOpt.isEmpty && seOpt.isEmpty)
+      throw new IllegalArgumentException(
+        s"servedRangeMany: no registered index, graph, or sharded graph " +
+        s"covers '$tablePath' — register the table (or every partition " +
+        "child) with AnnCatalog.register / registerGraph / " +
+        "registerShardedGraph first; unregistered corpora have the exact " +
+        "DSL (IvfIndex.rangeSearch*) instead of a silent full scan")
     val maxQ = spark.conf.get("graft.ann.range.served.maxQueries", "4096").toInt
     val rows = boundedRows(queriesDf.select(col(qidCol).cast("long"),
         col(centerCol).cast("array<float>"), col(radiusCol).cast("double")),
@@ -491,16 +514,42 @@ object AnnCatalog {
       return Seq.empty[(Long, Long, Double)].toDF("qid", "id", "dist")
     }
     val eps = spark.conf.get("graft.ann.epsilon", "1.9").toDouble
-    // codes-only children rerank from their registered source table —
-    // expressible only when every entry shares ONE table (the per-child
-    // entries of a partitioned corpus each point at their own child)
-    val rt =
-      if (idxs.forall(_.meta.cfg.storeVectors)) None
-      else es.map(_.tablePath).filter(_.nonEmpty).distinct match {
-        case Seq(tp) => Some((spark.read.parquet(tp), es.head.idCol, es.head.vecCol))
-        case _ => None // rangeSearchManyMulti refuses loudly below
+    val ef = spark.conf.get("graft.ann.efSearch", "64").toInt
+    esOpt match {
+      case Some(es) =>
+        val idxs = es.map(e => index(spark, e))
+        // codes-only children rerank from their registered source table —
+        // expressible only when every entry shares ONE table (the
+        // per-child entries of a partitioned corpus each point at their
+        // own child)
+        val rt =
+          if (idxs.forall(_.meta.cfg.storeVectors)) None
+          else es.map(_.tablePath).filter(_.nonEmpty).distinct match {
+            case Seq(tp) => Some((spark.read.parquet(tp), es.head.idCol, es.head.vecCol))
+            case _ => None // rangeSearchManyMulti refuses loudly below
+          }
+        IvfIndex.rangeSearchManyMulti(idxs, queries, eps, rt)
+      case None => gesOpt match {
+        case Some(ges) =>
+          val gs = ges.map(ge => graph(spark, ge))
+          val rt =
+            if (gs.exists(_.quantized))
+              Some((spark.read.parquet(tablePath),
+                ges.head.idCol, ges.head.vecCol))
+            else None
+          graft.index.VamanaGraph.rangeSearchManyMulti(spark, gs, queries,
+            ef = ef, epsilon = eps, rerankTable = rt)
+        case None =>
+          val se = seOpt.get
+          val h = shardedGraph(spark, se)
+          val rt =
+            if (h.cfg.bits > 0)
+              Some((spark.read.parquet(tablePath), se.idCol, se.vecCol))
+            else None
+          h.rangeSearch(spark, queries, ef = ef, epsilon = eps,
+            rerankTable = rt)
       }
-    IvfIndex.rangeSearchManyMulti(idxs, queries, eps, rt)
+    }
   }
 
   /** The TOP-K sibling of [[servedRangeMany]]: a bounded queries table

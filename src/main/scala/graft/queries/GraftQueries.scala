@@ -2566,6 +2566,69 @@ object GraftQueries {
              |SELECT qid, vec_id, round(dist, 3) AS dist FROM dd WHERE dist < radius
              |ORDER BY qid, dd.dist, vec_id""".stripMargin)),
 
+    // GRAPH-tier range search (round 17 — the reference's vchordg
+    // strategy-2 sphere operators, sql/install/vchord--1.1.1.sql:
+    // 1230-1290, served by beam + take_while(dist < radius) at
+    // src/index/vchordg/scanners/default.rs:108-110,912-913): the same
+    // sphere queries table resolved against the partitioned graph
+    // fixture's per-child Vamana registrations — no IVF entry covers
+    // this corpus, so rows returning proves the graph route. The beam
+    // is best-effort at production ef; SATURATING ef (>= corpus size)
+    // walks every vertex, so the result is exact and hash-matches the
+    // brute strict-< oracle.
+    "range_graph" -> Q(
+      (s, d) => {
+        val path = partitionedGraphTable(s, d)
+        val qdf = s.read.parquet(path)
+          .filter(col("vec_id").isin(0, 1, 2))
+          .select(col("vec_id").as("qid"), col("embedding").as("center"),
+            (lit(0.9) + col("vec_id").cast("double") * 0.2).as("radius"))
+        withConfs(s, "graft.ann.efSearch" -> "4096") {
+          graft.plans.AnnCatalog.servedRangeMany(s, path, qdf,
+              "qid", "center", "radius")
+            .select(col("qid"), col("id").as("vec_id"), col("dist").as("raw"))
+            .orderBy(col("qid"), col("raw"), col("vec_id"))
+            .select(col("qid"), col("vec_id"), round(col("raw"), 3).as("dist"))
+        } },
+      Some("""WITH q AS (SELECT vec_id AS qid, embedding AS qe,
+             |  0.9 + CAST(vec_id AS DOUBLE) * 0.2 AS radius
+             |  FROM embeddings WHERE vec_id IN (0, 1, 2)),
+             |e AS (SELECT vec_id, embedding, unnest(range(0, 64)) AS i FROM embeddings),
+             |dd AS (SELECT q.qid AS qid, q.radius AS radius, e.vec_id AS vec_id,
+             |  sqrt(sum(power(CAST(e.embedding[i+1] AS DOUBLE) - CAST(q.qe[i+1] AS DOUBLE), 2))) AS dist
+             |  FROM e, q GROUP BY q.qid, q.radius, e.vec_id)
+             |SELECT qid, vec_id, round(dist, 3) AS dist FROM dd WHERE dist < radius
+             |ORDER BY qid, dd.dist, vec_id""".stripMargin)),
+
+    // The SHARDED-tier range route: the same sphere queries resolved
+    // against the sharded-graph registration — per-shard beams walk each
+    // shard's in-sphere region fully distributed (no driver collect).
+    // Hash shards are small (corpus/32), so saturating ef per shard is
+    // cheap and the union is exact against the brute strict-< oracle.
+    "range_graph_sharded" -> Q(
+      (s, d) => {
+        val path = shardedKjTable(s, d)
+        val qdf = s.read.parquet(path)
+          .filter(col("vec_id").isin(0, 1, 2))
+          .select(col("vec_id").as("qid"), col("embedding").as("center"),
+            (lit(0.9) + col("vec_id").cast("double") * 0.2).as("radius"))
+        withConfs(s, "graft.ann.efSearch" -> "4096") {
+          graft.plans.AnnCatalog.servedRangeMany(s, path, qdf,
+              "qid", "center", "radius")
+            .select(col("qid"), col("id").as("vec_id"), col("dist").as("raw"))
+            .orderBy(col("qid"), col("raw"), col("vec_id"))
+            .select(col("qid"), col("vec_id"), round(col("raw"), 3).as("dist"))
+        } },
+      Some("""WITH q AS (SELECT vec_id AS qid, embedding AS qe,
+             |  0.9 + CAST(vec_id AS DOUBLE) * 0.2 AS radius
+             |  FROM embeddings WHERE vec_id IN (0, 1, 2)),
+             |e AS (SELECT vec_id, embedding, unnest(range(0, 64)) AS i FROM embeddings),
+             |dd AS (SELECT q.qid AS qid, q.radius AS radius, e.vec_id AS vec_id,
+             |  sqrt(sum(power(CAST(e.embedding[i+1] AS DOUBLE) - CAST(q.qe[i+1] AS DOUBLE), 2))) AS dist
+             |  FROM e, q GROUP BY q.qid, q.radius, e.vec_id)
+             |SELECT qid, vec_id, round(dist, 3) AS dist FROM dd WHERE dist < radius
+             |ORDER BY qid, dd.dist, vec_id""".stripMargin)),
+
     // The TOP-K sibling of range_batch_served: a queries TABLE over the
     // registered partitioned corpus routed through
     // AnnCatalog.servedSearchMany -> searchManyMulti (two flat jobs for

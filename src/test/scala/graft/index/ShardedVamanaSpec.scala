@@ -251,4 +251,51 @@ class ShardedVamanaSpec extends SparkSpec {
       } finally h1.unpersist()
     } finally h0.unpersist()
   }
+
+  private def bruteRange(q: Array[Float], r: Double): Seq[Long] =
+    data.map { case (id, v) => (id, K.l2(v, q)) }.filter(_._2 < r)
+      .map(_._1).sorted
+
+  test("sharded rangeSearch at saturating ef matches brute strict-<") {
+    val s = spark
+    import s.implicits._
+    val h = ShardedVamana.load(spark, dir)
+    try {
+      val rng = new scala.util.Random(53)
+      val queries = Array.tabulate(4)(i =>
+        (i.toLong, Array.fill(16)(rng.nextFloat() * 2 - 1), 1.3 + 0.2 * i))
+      val got = h.rangeSearch(spark, queries, ef = data.size)
+        .as[(Long, Long, Double)].collect()
+        .groupBy(_._1).view.mapValues(_.map(_._2).sorted.toSeq).toMap
+      queries.foreach { case (qid, q, r) =>
+        assert(got.getOrElse(qid, Nil) == bruteRange(q, r), s"qid $qid")
+      }
+    } finally h.unpersist()
+  }
+
+  test("quantized sharded rangeSearch refuses silent estimates; rerank is exact") {
+    val s = spark
+    import s.implicits._
+    val d = Files.createTempDirectory("sv-quant-range").toString
+    ShardedVamana.build(df, "id", "vec", d,
+      VamanaConfig(m = 24, bits = 8), shards = 4)
+    val h = ShardedVamana.load(spark, d)
+    try {
+      val q = Array.fill(16)(0.1f)
+      val e = intercept[IllegalArgumentException] {
+        h.rangeSearch(spark, Array((0L, q, 1.0))).collect()
+      }
+      assert(e.getMessage.contains("rerankTable"))
+      val rng = new scala.util.Random(59)
+      val queries = Array.tabulate(3)(i =>
+        (i.toLong, Array.fill(16)(rng.nextFloat() * 2 - 1), 1.5))
+      val got = h.rangeSearch(spark, queries, ef = data.size,
+          rerankTable = Some((df, "id", "vec")))
+        .as[(Long, Long, Double)].collect()
+        .groupBy(_._1).view.mapValues(_.map(_._2).sorted.toSeq).toMap
+      queries.foreach { case (qid, qv, r) =>
+        assert(got.getOrElse(qid, Nil) == bruteRange(qv, r), s"qid $qid")
+      }
+    } finally h.unpersist()
+  }
 }

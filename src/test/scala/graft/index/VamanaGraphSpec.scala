@@ -318,4 +318,95 @@ class VamanaGraphSpec extends SparkSpec {
     val q1 = q0.insertAll(data.take(100).toArray)
     assert(q1.quantized && q1.search(q, 3).nonEmpty)
   }
+
+  // ---- strategy-2 range search (vchordg sphere operators) ------------
+
+  private def bruteRange(q: Array[Float], r: Double): Seq[(Long, Double)] =
+    data.map { case (id, v) => (id, K.l2(v, q)) }.filter(_._2 < r)
+      .sortBy(t => (t._2, t._1))
+
+  test("rangeSearch at saturating ef matches brute strict-< membership") {
+    val rng = new scala.util.Random(29)
+    (0 until 8).foreach { i =>
+      val q = Array.fill(16)(rng.nextFloat() * 2 - 1)
+      val r = 0.8 + 0.2 * i // spheres from a handful of hits to hundreds
+      val got = graph.rangeSearch(q, r, ef = data.size)
+      val want = bruteRange(q, r)
+      assert(got.map(_._1).toSeq == want.map(_._1), s"sphere $i r=$r")
+      got.zip(want).foreach { case ((_, gd), (_, wd)) =>
+        assert(math.abs(gd - wd) < 1e-9)
+      }
+    }
+    // a radius exactly AT a stored distance is excluded (strict <, the
+    // reference's take_while(dist < radius))
+    val q0 = data.head._2
+    val dExact = graph.rangeSearch(q0, 2.0, ef = data.size)
+      .map(_._2).headOption.getOrElse(0.0)
+    if (dExact > 0.0)
+      assert(!graph.rangeSearch(q0, dExact, ef = data.size)
+        .exists(_._2 >= dExact))
+  }
+
+  test("rangeSearch at default ef is best-effort: a subset, high recall") {
+    val rng = new scala.util.Random(31)
+    val recalls = (0 until 10).map { _ =>
+      val q = Array.fill(16)(rng.nextFloat() * 2 - 1)
+      val r = 1.5
+      val got = graph.rangeSearch(q, r).map(_._1).toSet
+      val want = bruteRange(q, r).map(_._1).toSet
+      assert(got.subsetOf(want), "best-effort must never invent a hit")
+      if (want.isEmpty) 1.0 else got.size.toDouble / want.size
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.9, s"mean range recall $mean at default ef")
+  }
+
+  test("quantized rangeSearch refuses silent estimates; manyMulti reranks exactly") {
+    val qg = VamanaGraph.build(
+      data.map(_._1).toArray, data.map(_._2).toArray,
+      VamanaConfig(m = 24, bits = 8))
+    val e = intercept[IllegalArgumentException] {
+      qg.rangeSearch(Array.fill(16)(0.1f), 1.0)
+    }
+    assert(e.getMessage.contains("rerankTable"))
+    // ε-bounded candidate walk + one exact pass = exact membership at
+    // saturating ef
+    val s = spark
+    import s.implicits._
+    val src = data.toDF("id", "vec")
+    val rng = new scala.util.Random(37)
+    val queries = Array.tabulate(3)(i =>
+      (i.toLong, Array.fill(16)(rng.nextFloat() * 2 - 1), 1.4 + 0.2 * i))
+    val got = VamanaGraph.rangeSearchManyMulti(spark, Seq(qg), queries,
+        ef = data.size, rerankTable = Some((src, "id", "vec")))
+      .as[(Long, Long, Double)].collect()
+      .groupBy(_._1).view.mapValues(_.map(t => (t._2, t._3))
+        .sortBy(t => (t._2, t._1)).toSeq).toMap
+    queries.foreach { case (qid, q, r) =>
+      val want = bruteRange(q, r)
+      assert(got.getOrElse(qid, Nil).map(_._1) == want.map(_._1),
+        s"qid $qid")
+    }
+  }
+
+  test("rangeSearchManyMulti over two graphs folds the partitioned union") {
+    val s = spark
+    import s.implicits._
+    val (evens, odds) = data.partition(_._1 % 2 == 0)
+    val g0 = VamanaGraph.build(evens.map(_._1).toArray,
+      evens.map(_._2).toArray, VamanaConfig(m = 24))
+    val g1 = VamanaGraph.build(odds.map(_._1).toArray,
+      odds.map(_._2).toArray, VamanaConfig(m = 24))
+    val rng = new scala.util.Random(43)
+    val queries = Array.tabulate(3)(i =>
+      (i.toLong, Array.fill(16)(rng.nextFloat() * 2 - 1), 1.6))
+    val got = VamanaGraph.rangeSearchManyMulti(spark, Seq(g0, g1), queries,
+        ef = data.size)
+      .as[(Long, Long, Double)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted.toSeq).toMap
+    queries.foreach { case (qid, q, r) =>
+      val want = bruteRange(q, r).map(_._1).sorted
+      assert(got.getOrElse(qid, Nil) == want, s"qid $qid")
+    }
+  }
 }
