@@ -1201,6 +1201,18 @@ case class AnnTopKRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     if (headOrder.direction != Ascending) return None
     val (metric, x, y) = resolveThroughProj(headOrder.child) match {
       case DistCols(m, a, b) => (m, a, b)
+      // the MULTIVECTOR ordering (strategy 3, reference
+      // src/index/vchordrq/scanners/maxsim.rs:14-796): `row_number()
+      // OVER (PARTITION BY q.<key> ORDER BY vec_maxsim(e.tokens,
+      // q.qtokens))` — "k best documents per query DOCUMENT", answered
+      // through the batched maxsim face instead of the exact O(Q x N)
+      // maxsim cross join. vec_maxsim is ASYMMETRIC (doc tokens left,
+      // query tokens right), so side assignment is fixed by argument
+      // position — no both-ways reading
+      case graft.functions.VecMaxSimExpr(d: AttributeReference,
+          q: AttributeReference) =>
+        return serveMaxsimJoin(f, w, join, projOpt, resolveThroughProj,
+          k, d, q)
       case _ => return None
     }
     // side assignment as in the range join: the metrics are operand-
@@ -1271,6 +1283,177 @@ case class AnnTopKRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
       .distinct.map(_.toArray))
   }
 
+  /** The maxsim sibling of [[collectCenters]]: one bounded queries-side
+    * collect of TOKEN-SET queries (array<array<float>>), content-deduped.
+    * NULL or EMPTY token sets decline — an empty query scores 0.0 for
+    * EVERY document (vec_maxsim sums over query tokens), a full-table
+    * tie a candidate restriction cannot reproduce. Shares the KNN-join
+    * caps (`graft.ann.knn.join.maxQueries[Total]`) and their one-way
+    * interaction contract. */
+  private def collectTokenQueries(queriesSide: LogicalPlan,
+      qAttr: AttributeReference): Option[Array[Array[Array[Float]]]] = {
+    val maxQTotal = math.max(1, math.max(
+      spark.conf.get("graft.ann.knn.join.maxQueriesTotal", "4096").toInt,
+      spark.conf.get("graft.ann.knn.join.maxQueries", "256").toInt))
+    AnnTopKRewrite.planningJobs.incrementAndGet()
+    val qRows = ColumnBridge.ofRows(spark,
+        Project(Seq(Alias(qAttr, "q")()), queriesSide))
+      .limit(maxQTotal + 1).collect()
+    if (qRows.length > maxQTotal) {
+      logWarning(s"maxsim-join serve declined: queries side exceeds " +
+        s"graft.ann.knn.join.maxQueriesTotal=$maxQTotal rows — the exact " +
+        "O(queries x table) maxsim cross join will run. For bulk query " +
+        "tables use the batched DSL faces (MaxSim.maxsimManyMulti, " +
+        "AnnCatalog.servedMaxsimMany) or raise the cap.")
+      None
+    } else if (qRows.exists(_.isNullAt(0))) None
+    else {
+      val sets = qRows.iterator
+        .map(_.getSeq[scala.collection.Seq[Float]](0)
+          .map(_.toVector).toVector)
+        .toArray.distinct
+      if (sets.exists(_.isEmpty)) None
+      else Some(sets.map(_.map(_.toArray).toArray))
+    }
+  }
+
+  /** MaxSim windowed KNN join (strategy 3, reference
+    * src/index/vchordrq/scanners/maxsim.rs:14-796): the [[serveKnnJoin]]
+    * shape ordered by `vec_maxsim(e.tokens, q.qtokens)` — "k best
+    * documents per query DOCUMENT" — served through the batched maxsim
+    * face ([[graft.ops.MaxSim.maxsimManyMulti]]: one pooled token
+    * retrieval + one exact rescore per slice) with the same contract as
+    * the scalar routes: one memoized bounded queries-side collect,
+    * slice-bounded planning jobs, the candidate-doc UNION IN-restricting
+    * the indexed side, and the ORIGINAL window kept for the exact
+    * rerank. Declines mirror the scalar matcher (residual indexed-side
+    * conditions, indexed-side partition keys, non-deterministic or
+    * oversized queries sides, NULL/empty token sets, pool/IN budgets,
+    * cost gate). */
+  private def serveMaxsimJoin(f: Filter, w: Window, join: Join,
+      projOpt: Option[Seq[NamedExpression]],
+      resolveThroughProj: Expression => Expression, k: Int,
+      docTokensAttr: AttributeReference,
+      qTokensAttr: AttributeReference): Option[LogicalPlan] = {
+    import org.apache.spark.sql.functions.{col => fcol, explode}
+    // fixed side assignment (vec_maxsim(doc, query) — asymmetric)
+    val sideOpt =
+      if (join.left.outputSet.contains(docTokensAttr) &&
+          join.right.outputSet.contains(qTokensAttr))
+        Some((join.left, join.right, true))
+      else if (join.right.outputSet.contains(docTokensAttr) &&
+          join.left.outputSet.contains(qTokensAttr))
+        Some((join.right, join.left, false))
+      else None
+    sideOpt.flatMap { case (indexedSide, queriesSide0, indexedIsLeft) =>
+      val condQueriesOnly = join.condition.forall(c =>
+        c.deterministic && c.references.subsetOf(queriesSide0.outputSet))
+      if (!condQueriesOnly) None
+      else {
+        val queriesSide = join.condition
+          .map(c => Filter(c, queriesSide0): LogicalPlan)
+          .getOrElse(queriesSide0)
+        for {
+          _ <- Some(())
+          if w.partitionSpec.nonEmpty
+          if w.partitionSpec.forall(pe =>
+            resolveThroughProj(pe).references.subsetOf(queriesSide0.outputSet))
+          if !queriesSide.exists(p => !p.expressions.forall(_.deterministic))
+          (rel, predOpt) <- destructure(indexedSide)
+          // a prefilter would need a maxsim survivor-escalation loop; the
+          // scalar routes have one, the maxsim face does not (yet) —
+          // conservative decline keeps the per-query k-floor honest
+          if predOpt.isEmpty
+          fsRel <- rel.relation match {
+            case h: HadoopFsRelation => Some(h)
+            case _ => None
+          }
+          roots = fsRel.location.rootPaths.map(_.toString)
+          es <- AnnCatalog.lookupMaxSim(roots).map(Seq(_))
+            .orElse(AnnCatalog.lookupAllMaxSim(roots).filter(_.size > 1))
+            .orElse(AnnCatalog.coverMaxSimByFiles(roots,
+              fsRel.location.inputFiles.toSeq))
+          if es.forall(_.tokensCol == docTokensAttr.name)
+          if es.map(_.docCol).distinct.size == 1
+          idAttr <- indexedSide.output.find(_.name == es.head.docCol)
+          idLit <- litFor(idAttr)
+          served <- {
+            val idxs = es.map(e => AnnCatalog.maxSimIndex(spark, e))
+            val probesConf = spark.conf.get("graft.ann.probes", "auto")
+            def probesFor(lists: Int): Int =
+              if (probesConf == "auto")
+                math.max(1, math.ceil(math.sqrt(lists.toDouble)).toInt)
+              else probesConf.toInt
+            val refine = spark.conf.get("graft.ann.refine", "8").toInt
+            val kPerToken =
+              spark.conf.get("graft.ann.maxsim.kPerToken", "100").toInt
+            val maxInList = spark.conf.get("graft.ann.maxInList", "8192").toInt
+            // k-floor + cost gate (serveMaxSimMulti's formulas; the
+            // query-row count multiplies both sides of the cost
+            // comparison, so a representative single-query figure
+            // decides — token counts enter via the collected queries,
+            // checked per slice below)
+            if (idxs.length.toLong * k > maxInList) None
+            else {
+              lazy val tokenQueriesOnce =
+                collectTokenQueries(queriesSide, qTokensAttr)
+              val costOk =
+                !spark.conf.get("graft.ann.cost.enable", "true").toBoolean ||
+                tokenQueriesOnce.exists { qs =>
+                  val qn =
+                    if (qs.isEmpty) 0.0
+                    else qs.map(_.length).sum.toDouble / qs.length
+                  val nTotal = idxs.map(_.rowCount).sum.toDouble
+                  val costIdx = idxs.map { ix =>
+                    qn * (ix.rowCount.toDouble *
+                      probesFor(ix.meta.cfg.lists) / ix.meta.cfg.lists * 0.3 +
+                      kPerToken)
+                  }.sum + k.toDouble * refine * 32
+                  costIdx < nTotal * qn
+                }
+              if (!costOk) None
+              else {
+                val h = idxs.head
+                // codes-only / storage-mixed children rescore from the
+                // corpus itself (the indexed side's own files), exploded
+                // to one row per token — the servedMaxsimMany rule
+                def rtOf: Option[(org.apache.spark.sql.DataFrame, String, String)] =
+                  if (idxs.forall(ix => ix.meta.cfg.storeVectors &&
+                      ix.meta.cfg.storage == h.meta.cfg.storage)) None
+                  else Some((spark.read.parquet(roots: _*)
+                    .select(fcol(es.head.docCol),
+                      explode(fcol(es.head.tokensCol)).as("__tok")),
+                    es.head.docCol, "__tok"))
+                val maxPoolTuples = spark.conf
+                  .get("graft.ann.maxsim.maxPoolTuples", "4000000").toLong
+                serveKnnJoinRestrict(f, w, join, projOpt, indexedSide,
+                    indexedIsLeft, idAttr, idLit,
+                    () => tokenQueriesOnce) { slice =>
+                  val sliceTokens = slice.map(_.length.toLong).sum
+                  // the batched face's own pool budget, checked here so
+                  // the planner DECLINES instead of throwing mid-rule
+                  if (idxs.length.toLong * sliceTokens * kPerToken >
+                      maxPoolTuples) None
+                  else {
+                    AnnTopKRewrite.planningJobs.incrementAndGet()
+                    val queries = slice.zipWithIndex
+                      .map { case (ts, i) => (i.toLong, ts) }
+                    val probes = idxs.map(ix => probesFor(ix.meta.cfg.lists))
+                    Some(graft.ops.MaxSim.maxsimManyMulti(idxs, queries, k,
+                        kPerToken = kPerToken, probes = probes,
+                        refine = refine, rerankTable = rtOf)
+                      .select("doc").distinct()
+                      .collect().map(_.getLong(0)))
+                  }
+                }
+              }
+            }
+          }
+        } yield served
+      }
+    }
+  }
+
   /** Shared tail of every KNN-join route: takes the side assignment's
     * memoized queries-side centers (see [[collectCenters]]), fetches
     * candidates in `graft.ann.knn.join.maxQueries`-sized SLICES through
@@ -1282,11 +1465,12 @@ case class AnnTopKRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     * the IN-restriction of the candidate UNION over the indexed side,
     * and the plan rebuild with the original window kept for exact
     * rerank. */
-  private def serveKnnJoinRestrict(f: Filter, w: Window, join: Join,
+  private def serveKnnJoinRestrict[C: scala.reflect.ClassTag](
+      f: Filter, w: Window, join: Join,
       projOpt: Option[Seq[NamedExpression]], indexedSide: LogicalPlan,
       indexedIsLeft: Boolean, idAttr: Attribute, idLit: Long => Literal,
-      centersOf: () => Option[Array[Array[Float]]])(
-      cands: Array[Array[Float]] => Option[Array[Long]]): Option[LogicalPlan] = {
+      centersOf: () => Option[Array[C]])(
+      cands: Array[C] => Option[Array[Long]]): Option[LogicalPlan] = {
     val maxInList = spark.conf.get("graft.ann.maxInList", "8192").toInt
     val sliceSize = math.max(1,
       spark.conf.get("graft.ann.knn.join.maxQueries", "256").toInt)

@@ -2699,6 +2699,60 @@ object GraftQueries {
              |SELECT qid, doc, round(sum(mind), 3) + 0.0 AS maxsim FROM m
              |GROUP BY qid, doc ORDER BY qid, sum(mind), doc""".stripMargin)),
 
+    // The MAXSIM windowed KNN join (round 17 — reference strategy-3
+    // order-by, src/index/vchordrq/scanners/maxsim.rs:14-796): the
+    // serveKnnJoin SQL shape ordered by vec_maxsim(e.tokens, q.qtokens)
+    // — "k best documents per query DOCUMENT" — served through the
+    // batched maxsim face (one pooled retrieval + one exact rescore per
+    // slice) with the candidate-doc union IN-restricting the corpus and
+    // the ORIGINAL window kept for exact rerank. Plan-asserted; full
+    // budgets (kPerToken covers every token) make it exact against the
+    // per-qid brute maxsim window.
+    "maxsim_join_served" -> Q(
+      (s, d) => {
+        import s.implicits._
+        val path = partitionedMaxSimTable(s, d)
+        if (!s.experimental.extraOptimizations.exists(_.isInstanceOf[graft.plans.AnnTopKRewrite]))
+          s.experimental.extraOptimizations =
+            s.experimental.extraOptimizations :+ graft.plans.AnnTopKRewrite(s)
+        graft.functions.GraftFunctions.registerAll(s)
+        s.read.parquet(path).createOrReplaceTempView("ms_kj")
+        Seq(
+            (1L, (1L to 3L).map(qvec(s, d, _).toSeq).toSeq),
+            (2L, (4L to 6L).map(qvec(s, d, _).toSeq).toSeq))
+          .toDF("qid", "qtokens").createOrReplaceTempView("msq_kj")
+        val served = withConfs(s, "graft.ann.probes" -> "16",
+          "graft.ann.maxsim.kPerToken" -> "1024", "graft.ann.refine" -> "8",
+          "graft.ann.cost.enable" -> "false") {
+            val df = s.sql(
+              """SELECT qid, doc, maxsim, CAST(rn AS BIGINT) AS rn FROM (
+                |  SELECT q.qid, e.doc,
+                |         round(vec_maxsim(e.tokens, q.qtokens), 3) + 0.0 AS maxsim,
+                |         row_number() OVER (PARTITION BY q.qid
+                |           ORDER BY vec_maxsim(e.tokens, q.qtokens), e.doc) AS rn
+                |  FROM msq_kj q JOIN ms_kj e
+                |) WHERE rn <= 5 ORDER BY qid, rn""".stripMargin)
+            require(candInCount(df.queryExecution.optimizedPlan.toString) >= 1,
+              "maxsim_join_served was NOT index-served — the maxsim " +
+              "KNN-join rule failed to match the windowed rank shape:\n" +
+              df.queryExecution.optimizedPlan)
+            df.collect()
+          }
+        served.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+          .toSeq.toDF("qid", "doc", "maxsim", "rn").orderBy("qid", "rn")
+      },
+      Some("""WITH qt AS (SELECT CAST(CASE WHEN vec_id <= 3 THEN 1 ELSE 2 END AS BIGINT) AS qid,
+             |  vec_id AS tid, embedding AS qe FROM embeddings WHERE vec_id BETWEEN 1 AND 6),
+             |e AS (SELECT label, vec_id, embedding, unnest(range(0, 64)) AS i FROM embeddings),
+             |nd AS (SELECT qt.qid AS qid, e.label AS doc, e.vec_id AS did, qt.tid AS tid,
+             |  -sum(CAST(e.embedding[i+1] AS DOUBLE) * CAST(qt.qe[i+1] AS DOUBLE)) AS negdot
+             |  FROM e, qt GROUP BY 1, 2, 3, 4),
+             |m AS (SELECT qid, doc, tid, min(negdot) AS mind FROM nd GROUP BY qid, doc, tid),
+             |ms AS (SELECT qid, CAST(doc AS BIGINT) AS doc, sum(mind) AS raw FROM m GROUP BY qid, doc),
+             |r AS (SELECT qid, doc, raw, row_number() OVER (PARTITION BY qid ORDER BY raw, doc) AS rn FROM ms)
+             |SELECT qid, doc, round(raw, 3) + 0.0 AS maxsim, CAST(rn AS BIGINT) AS rn
+             |FROM r WHERE rn <= 5 ORDER BY qid, rn""".stripMargin)),
+
     // The GRAPH-tier served batch route (round 16 — tier parity with the
     // KNN-join serve): the same queries-table face resolved against the
     // partitioned graph fixture's per-child Vamana registrations — no IVF

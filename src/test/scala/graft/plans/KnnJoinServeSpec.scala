@@ -466,4 +466,156 @@ class KnnJoinServeSpec extends SparkSpec {
       }
     } finally AnnCatalog.unregister(tableDir)
   }
+
+  // ---- MAXSIM windowed join (strategy-3 ordering, round 17) ----------
+
+  /** Multivector corpus: 60 docs x 3 tokens of dim 8, token index
+    * registered for the maxsim routes. */
+  private lazy val msSetup: String = {
+    import spark.implicits._
+    val rng = new scala.util.Random(67)
+    val docs = (0L until 60L).map { d =>
+      d -> Seq.fill(3)(Seq.fill(dim)(rng.nextFloat() * 2 - 1))
+    }
+    val tableDir = Files.createTempDirectory("graft-mskj-table").toString
+    docs.toDF("doc", "tokens").write.mode("overwrite").parquet(tableDir)
+    val toks = docs.flatMap { case (d, ts) =>
+      ts.zipWithIndex.map { case (t, p) => (d, p, t) }
+    }.toDF("doc", "pos", "v")
+    val idir = Files.createTempDirectory("graft-mskj-idx").toString
+    graft.ops.MaxSim.buildTokenIndex(toks, "doc", "pos", "v", idir,
+      IvfConfig(metric = "negdot", lists = 4))
+    AnnCatalog.registerMaxSim(tableDir, idir, "doc", "tokens")
+    tableDir
+  }
+
+  /** Brute maxsim score: sum over query tokens of min negdot. */
+  private def bruteMaxsim(tableDir: String,
+      qs: Seq[(Long, Seq[Array[Float]])], k: Int): Seq[(Long, Long, Long)] = {
+    import spark.implicits._
+    val docs = spark.read.parquet(tableDir)
+      .as[(Long, Seq[Seq[Float]])].collect()
+      .map { case (d, ts) => (d, ts.map(_.toArray)) }
+    qs.flatMap { case (qid, qts) =>
+      docs.map { case (d, ts) =>
+        val score = qts.map(q => ts.map(t => K.negdot(t, q)).min).sum
+        (score, d)
+      }.sortBy(identity).take(k)
+        .zipWithIndex.map { case ((_, d), i) => (qid, d, (i + 1).toLong) }
+    }
+  }
+
+  /** The windowed maxsim KNN-join shape for literal token-set queries. */
+  private def msKjDf(path: String, qs: Seq[(Long, Seq[Array[Float]])],
+      k: Int) = {
+    import spark.implicits._
+    val qdf = qs.map { case (qid, ts) => (qid, ts.map(_.toSeq)) }
+      .toDF("qid", "qtokens")
+    val e = spark.read.parquet(path)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("qid")
+      .orderBy(GraftFunctions.vecMaxsim(col("tokens"), col("qtokens")),
+        col("doc"))
+    qdf.crossJoin(e)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("qid"), col("doc"), col("rn").cast("long").as("rn"))
+  }
+
+  private def qTokens(n: Int, seed: Int): Seq[(Long, Seq[Array[Float]])] = {
+    val rng = new scala.util.Random(seed)
+    (0 until n).map(i =>
+      (i.toLong, Seq.fill(2)(Array.fill(dim)(rng.nextFloat() * 2 - 1))))
+  }
+
+  test("maxsim windowed join serves through the batched face, exactly") {
+    val tableDir = msSetup
+    withRule {
+      withConfs("graft.ann.probes" -> "4",
+          "graft.ann.maxsim.kPerToken" -> "256", "graft.ann.refine" -> "8",
+          "graft.ann.cost.enable" -> "false") {
+        val qs = qTokens(3, 71)
+        val df = msKjDf(tableDir, qs, 5)
+        val plan = df.queryExecution.optimizedPlan.toString
+        assert(AnnTopKRewrite.inServed(plan),
+          s"maxsim join was NOT served:\n$plan")
+        assert(collectKj(df) == bruteMaxsim(tableDir, qs, 5)
+          .sortBy(t => (t._1, t._3)))
+      }
+    }
+  }
+
+  test("maxsim join slices bulk query sets and stays exact") {
+    val tableDir = msSetup
+    withRule {
+      withConfs("graft.ann.probes" -> "4",
+          "graft.ann.maxsim.kPerToken" -> "256", "graft.ann.refine" -> "8",
+          "graft.ann.cost.enable" -> "false",
+          "graft.ann.knn.join.maxQueries" -> "2") {
+        val qs = qTokens(5, 73) // 3 slices at sliceSize=2
+        val jobs0 = AnnTopKRewrite.planningJobs.get()
+        val df = msKjDf(tableDir, qs, 4)
+        val plan = df.queryExecution.optimizedPlan.toString
+        assert(AnnTopKRewrite.inServed(plan),
+          s"sliced maxsim join was NOT served:\n$plan")
+        // 1 queries-side collect + ceil(5/2)=3 per-slice candidate jobs
+        assert(AnnTopKRewrite.planningJobs.get() - jobs0 >= 4)
+        assert(collectKj(df) == bruteMaxsim(tableDir, qs, 4)
+          .sortBy(t => (t._1, t._3)))
+      }
+    }
+  }
+
+  test("maxsim join declines: mixed condition, indexed partition key, " +
+       "empty/null token sets, kill switch") {
+    import spark.implicits._
+    val tableDir = msSetup
+    withRule {
+      withConfs("graft.ann.probes" -> "4",
+          "graft.ann.maxsim.kPerToken" -> "256", "graft.ann.refine" -> "8",
+          "graft.ann.cost.enable" -> "false") {
+        val qs = qTokens(2, 79)
+        def served(df: org.apache.spark.sql.DataFrame): Boolean =
+          AnnTopKRewrite.inServed(df.queryExecution.optimizedPlan.toString)
+        assert(served(msKjDf(tableDir, qs, 3)))
+        // kill switch shared with the scalar join serve
+        withConfs("graft.ann.knn.join.enable" -> "false") {
+          assert(!served(msKjDf(tableDir, qs, 3)))
+        }
+        val qdf = qs.map { case (qid, ts) => (qid, ts.map(_.toSeq)) }
+          .toDF("qid", "qtokens")
+        val e = spark.read.parquet(tableDir)
+        val wSpec = org.apache.spark.sql.expressions.Window.partitionBy("qid")
+          .orderBy(GraftFunctions.vecMaxsim(col("tokens"), col("qtokens")),
+            col("doc"))
+        // residual condition touching the INDEXED side -> decline (the
+        // per-query k-floor breaks); the exact cross join still runs
+        val mixed = qdf.join(e, qdf("qid") =!= e("doc"))
+          .withColumn("rn", row_number().over(wSpec)).filter(col("rn") <= 3)
+        assert(!served(mixed))
+        // window partitioned by the INDEXED side is a different operator
+        val wDoc = org.apache.spark.sql.expressions.Window.partitionBy("doc")
+          .orderBy(GraftFunctions.vecMaxsim(col("tokens"), col("qtokens")),
+            col("doc"))
+        val byDoc = qdf.crossJoin(e)
+          .withColumn("rn", row_number().over(wDoc)).filter(col("rn") <= 3)
+        assert(!served(byDoc))
+        // an EMPTY token set scores 0.0 for every doc — a full-table tie
+        // the candidate restriction cannot reproduce -> decline
+        val withEmpty = (qs :+ (9L, Seq.empty[Array[Float]]))
+          .map { case (qid, ts) => (qid, ts.map(_.toSeq)) }
+          .toDF("qid", "qtokens")
+        val emptyDf = withEmpty.crossJoin(e)
+          .withColumn("rn", row_number().over(wSpec)).filter(col("rn") <= 3)
+        assert(!served(emptyDf))
+        // NULL token sets rank by null maxsim NULLS FIRST -> decline
+        val withNull =
+          (qs.map { case (qid, ts) => (qid, Some(ts.map(_.toSeq))) } :+
+            ((9L, None)))
+          .toDF("qid", "qtokens")
+        val nullDf = withNull.crossJoin(e)
+          .withColumn("rn", row_number().over(wSpec)).filter(col("rn") <= 3)
+        assert(!served(nullDf))
+      }
+    }
+  }
 }
