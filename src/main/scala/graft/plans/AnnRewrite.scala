@@ -693,6 +693,54 @@ object AnnCatalog {
   }
 }
 
+/** The serve/decline COST FORMULAS, extracted pure so the BOUNDARY —
+  * the smallest corpus at which each tier's gate flips to serve — is
+  * spec-pinned instead of assumed (round-16 verdict, What's wrong #2;
+  * `CostGateBoundarySpec`). Units are "rows touched per query row", the
+  * reference's amcostestimate shape: every gate compares the index
+  * path's work against the exact scan of all nTotal rows, and in the
+  * JOIN routes the query-row count multiplies both sides, so it
+  * cancels — the single-query and batch gates are the SAME formulas.
+  * True = serve. */
+private[plans] object CostGates {
+  /** Per-root IVF work: the probed fraction of the corpus scanned as
+    * codes (0.3 discount — code rows are far narrower than exact rows),
+    * the bounded rerank fetch, and a small per-list descent term. */
+  def ivfRootCost(rowCount: Long, lists: Int, probes: Int, k: Int,
+      refine: Int): Double =
+    rowCount.toDouble * probes / lists * 0.3 +
+      math.min(k.toDouble * refine, rowCount.toDouble) +
+      lists.toDouble * 0.01
+
+  /** IVF serve gate (single-query serve and KNN-join route):
+    * roots = (rowCount, lists, probes) per registered root. */
+  def ivf(roots: Seq[(Long, Int, Int)], k: Int, refine: Int): Boolean =
+    roots.map { case (n, lists, probes) =>
+      ivfRootCost(n, lists, probes, k, refine)
+    }.sum < roots.map(_._1).sum.toDouble
+
+  /** Graph-tier gate (single serve, multi serve, and join route): the
+    * summed ef-bounded beams plus the k-row fetch vs the exact scan. */
+  def graph(nGraphs: Int, sumVertices: Long, ef: Int, k: Int): Boolean =
+    nGraphs.toDouble * ef + k < sumVertices.toDouble
+
+  /** Sharded-graph gate: per-shard beams vs the exact scan. */
+  def sharded(shards: Int, totalVertices: Long, ef: Int, k: Int): Boolean =
+    shards.toDouble * ef + k < totalVertices.toDouble
+
+  /** MaxSim gate (single serve and join route): per query token, the
+    * probed code scan plus the kPerToken pool, plus the doc-level exact
+    * rescore, vs the exact maxsim scan (nTotal docs x qn tokens). */
+  def maxsim(roots: Seq[(Long, Int, Int)], meanTokens: Double,
+      kPerToken: Int, k: Int, refine: Int): Boolean = {
+    val nTotal = roots.map(_._1).sum.toDouble
+    val costIdx = roots.map { case (n, lists, probes) =>
+      meanTokens * (n.toDouble * probes / lists * 0.3 + kPerToken)
+    }.sum + k.toDouble * refine * 32
+    costIdx < nTotal * meanTokens
+  }
+}
+
 object AnnTopKRewrite {
   /** Spark jobs launched DURING PLANNING (prefilter escalation only):
     * each pool fetch and each survivor count is a bounded driver-blocking
@@ -1403,13 +1451,9 @@ case class AnnTopKRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
                   val qn =
                     if (qs.isEmpty) 0.0
                     else qs.map(_.length).sum.toDouble / qs.length
-                  val nTotal = idxs.map(_.rowCount).sum.toDouble
-                  val costIdx = idxs.map { ix =>
-                    qn * (ix.rowCount.toDouble *
-                      probesFor(ix.meta.cfg.lists) / ix.meta.cfg.lists * 0.3 +
-                      kPerToken)
-                  }.sum + k.toDouble * refine * 32
-                  costIdx < nTotal * qn
+                  CostGates.maxsim(idxs.map(ix => (ix.rowCount,
+                      ix.meta.cfg.lists, probesFor(ix.meta.cfg.lists))),
+                    qn, kPerToken, k, refine)
                 }
               if (!costOk) None
               else {
@@ -1580,7 +1624,7 @@ case class AnnTopKRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
         // per query row: summed beam work vs the exact cross join's
         // per-query row scan (serveGraphMulti's gate — M cancels)
         val costOk = !spark.conf.get("graft.ann.cost.enable", "true").toBoolean ||
-          gs.length.toDouble * ef + k < gs.map(_.ids.length.toDouble).sum
+          CostGates.graph(gs.length, gs.map(_.ids.length.toLong).sum, ef, k)
         if (!costOk) None
         else serveKnnJoinRestrict(f, w, join, projOpt,
             indexedSide, indexedIsLeft, idAttr, idLit, centersOf) { centers =>
@@ -1631,7 +1675,7 @@ case class AnnTopKRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
         val h = AnnCatalog.shardedGraph(spark, se)
         val ef = spark.conf.get("graft.ann.efSearch", "64").toInt
         val costOk = !spark.conf.get("graft.ann.cost.enable", "true").toBoolean ||
-          h.shards.toDouble * ef + k < h.totalVertices.toDouble
+          CostGates.sharded(h.shards, h.totalVertices, ef, k)
         if (!costOk) None
         else serveKnnJoinRestrict(f, w, join, projOpt,
             indexedSide, indexedIsLeft, idAttr, idLit, centersOf) { centers =>
@@ -1691,15 +1735,9 @@ case class AnnTopKRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
         // cost gate: per query row, summed per-root index work vs the
         // exact cross join touching every indexed row — the query-row
         // count multiplies both sides, so it cancels (serve()'s formula)
-        val costOk = !spark.conf.get("graft.ann.cost.enable", "true").toBoolean || {
-          val nTotal = idxs.map(_.rowCount).sum.toDouble
-          idxs.map { ix =>
-            val lists = ix.meta.cfg.lists
-            ix.rowCount.toDouble * probesFor(lists) / lists * 0.3 +
-              math.min(k.toDouble * refine, ix.rowCount.toDouble) +
-              lists.toDouble * 0.01
-          }.sum < nTotal
-        }
+        val costOk = !spark.conf.get("graft.ann.cost.enable", "true").toBoolean ||
+          CostGates.ivf(idxs.map(ix => (ix.rowCount, ix.meta.cfg.lists,
+            probesFor(ix.meta.cfg.lists))), k, refine)
         // searchManyMulti reranks from the roots' own stored vectors;
         // codes-only children would need a union rerank table the
         // per-child entries cannot supply — single-root codes-only serves
@@ -2076,13 +2114,10 @@ case class AnnTopKRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     // cost gate (same shape as the single-vector serve): per query token,
     // a code-only scan of the probed fraction + its candidate fetch,
     // versus the exact scan touching every token row per query token
-    if (spark.conf.get("graft.ann.cost.enable", "true").toBoolean) {
-      val n = idx.rowCount.toDouble
-      val q = query.length.toDouble
-      val costIndex = q * (n * probes / idx.meta.cfg.lists * 0.3 + kPerToken) +
-        k.toDouble * refine * 32 // nominal per-doc exact-rescore rows
-      if (costIndex >= n * q) return None
-    }
+    if (spark.conf.get("graft.ann.cost.enable", "true").toBoolean &&
+        !CostGates.maxsim(Seq((idx.rowCount, idx.meta.cfg.lists, probes)),
+          query.length.toDouble, kPerToken, k, refine))
+      return None
     import spark.implicits._
     // refineDocs = k*refine exact rescues (the reference's maxsim_refine)
     val ids = graft.ops.MaxSim.approxTopK(idx, query, k,
@@ -2127,15 +2162,11 @@ case class AnnTopKRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     val refine = spark.conf.get("graft.ann.refine", "8").toInt
     val kPerToken = spark.conf.get("graft.ann.maxsim.kPerToken", "100").toInt
     val maxInList = spark.conf.get("graft.ann.maxInList", "8192").toInt
-    if (spark.conf.get("graft.ann.cost.enable", "true").toBoolean) {
-      val qn = query.length.toDouble
-      val nTotal = idxs.map(_.rowCount).sum.toDouble
-      val costIdx = idxs.map { ix =>
-        qn * (ix.rowCount.toDouble * probesFor(ix.meta.cfg.lists) /
-          ix.meta.cfg.lists * 0.3 + kPerToken)
-      }.sum + k.toDouble * refine * 32
-      if (costIdx >= nTotal * qn) return None
-    }
+    if (spark.conf.get("graft.ann.cost.enable", "true").toBoolean &&
+        !CostGates.maxsim(idxs.map(ix => (ix.rowCount, ix.meta.cfg.lists,
+            probesFor(ix.meta.cfg.lists))),
+          query.length.toDouble, kPerToken, k, refine))
+      return None
     // the k-floor is the serve/decline line (as serveMulti): if even k
     // docs per root overflow the IN budget, the exact plan wins
     if (idxs.length.toLong * k > maxInList) return Some(gl)
@@ -2199,7 +2230,7 @@ case class AnnTopKRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     val g = AnnCatalog.graph(spark, entry)
     val ef = spark.conf.get("graft.ann.efSearch", "64").toInt
     if (spark.conf.get("graft.ann.cost.enable", "true").toBoolean &&
-        ef.toDouble + k >= g.ids.length.toDouble)
+        !CostGates.graph(1, g.ids.length.toLong, ef, k))
       return None
     // quantized graphs rank by code estimates: keep the ef pool as
     // candidates and let the rewritten plan's exact Sort+Limit pick top-k
@@ -2232,7 +2263,7 @@ case class AnnTopKRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     val gs = ges.map(ge => AnnCatalog.graph(spark, ge))
     val ef = spark.conf.get("graft.ann.efSearch", "64").toInt
     if (spark.conf.get("graft.ann.cost.enable", "true").toBoolean &&
-        gs.length.toDouble * ef + k >= gs.map(_.ids.length.toDouble).sum)
+        !CostGates.graph(gs.length, gs.map(_.ids.length.toLong).sum, ef, k))
       return None
     val maxInList = spark.conf.get("graft.ann.maxInList", "8192").toInt
     val q = qv.toFloatArray()
@@ -2264,7 +2295,7 @@ case class AnnTopKRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     val h = AnnCatalog.shardedGraph(spark, entry)
     val ef = spark.conf.get("graft.ann.efSearch", "64").toInt
     if (spark.conf.get("graft.ann.cost.enable", "true").toBoolean &&
-        h.shards.toDouble * ef + k >= h.totalVertices.toDouble)
+        !CostGates.sharded(h.shards, h.totalVertices, ef, k))
       return None
     AnnTopKRewrite.planningJobs.incrementAndGet()
     // on QUANTIZED shards the merge ranks by code estimates — keep the
@@ -2428,16 +2459,10 @@ case class AnnTopKRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
       else probesConf.toInt
     val refine0 = spark.conf.get("graft.ann.refine", "8").toInt
     val maxInList = spark.conf.get("graft.ann.maxInList", "8192").toInt
-    if (spark.conf.get("graft.ann.cost.enable", "true").toBoolean) {
-      val nTotal = idxs.map(_._2.rowCount).sum.toDouble
-      val costIdx = idxs.map { case (_, ix) =>
-        val lists = ix.meta.cfg.lists
-        ix.rowCount.toDouble * probesFor(lists) / lists * 0.3 +
-          math.min(k.toDouble * refine0, ix.rowCount.toDouble) +
-          lists.toDouble * 0.01
-      }.sum
-      if (costIdx >= nTotal) return None
-    }
+    if (spark.conf.get("graft.ann.cost.enable", "true").toBoolean &&
+        !CostGates.ivf(idxs.map { case (_, ix) => (ix.rowCount,
+          ix.meta.cfg.lists, probesFor(ix.meta.cfg.lists)) }, k, refine0))
+      return None
     val qArr = qv.toFloatArray()
     import spark.implicits._
     // ONE planning job AND one analyzed relation however many roots: all
@@ -2633,9 +2658,8 @@ case class AnnTopKRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     // (~0.3 units/row: pruned columns, integer kernel) + exact rerank of
     // k*refine candidate rows + per-query probe overhead.
     val costEnabled = spark.conf.get("graft.ann.cost.enable", "true").toBoolean
-    def indexCost(p: Int, r: Int): Double =
-      n.toDouble * p / lists * 0.3 + math.min(k.toDouble * r, n.toDouble) + lists.toDouble * 0.01
-    if (costEnabled && indexCost(probes0, refine0) >= n.toDouble) return None
+    if (costEnabled && !CostGates.ivf(Seq((n, lists, probes0)), k, refine0))
+      return None
 
     val qArr = qv.toFloatArray()
     import spark.implicits._
