@@ -728,6 +728,15 @@ private[plans] object CostGates {
   def sharded(shards: Int, totalVertices: Long, ef: Int, k: Int): Boolean =
     shards.toDouble * ef + k < totalVertices.toDouble
 
+  /** Planning-time RECALL hint (round 17): true when the rerank pool
+    * (k x refine) is far below a mean cluster's occupancy — the regime
+    * where the KnnJoinAnchor measured recall as refine-limited (0.93 ->
+    * 0.98 going refine 16 -> 64 on 1M rows / 64 lists). The serve still
+    * runs; the hint points the operator at the knob BEFORE the recall
+    * report does. The /8 keeps toy fixtures (hundreds of rows) quiet. */
+  def refineLimited(rowCount: Long, lists: Int, k: Int, refine: Int): Boolean =
+    lists > 0 && k.toDouble * refine < rowCount.toDouble / lists / 8
+
   /** MaxSim gate (single serve and join route): per query token, the
     * probed code scan plus the kPerToken pool, plus the doc-level exact
     * rescore, vs the exact maxsim scan (nTotal docs x qn tokens). */
@@ -1738,6 +1747,18 @@ case class AnnTopKRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
         val costOk = !spark.conf.get("graft.ann.cost.enable", "true").toBoolean ||
           CostGates.ivf(idxs.map(ix => (ix.rowCount, ix.meta.cfg.lists,
             probesFor(ix.meta.cfg.lists))), k, refine)
+        // recall hint (not a gate): at production cluster occupancy the
+        // rerank pool is the recall limiter — say so at planning time so
+        // the operator finds the knob before the recall report does
+        idxs.find(ix => CostGates.refineLimited(ix.rowCount,
+            ix.meta.cfg.lists, k, refine)).foreach { ix =>
+          logWarning(s"KNN-join serve: k*refine = ${k * refine} is far " +
+            s"below the mean cluster occupancy " +
+            s"(~${ix.rowCount / math.max(1, ix.meta.cfg.lists)} rows/list " +
+            s"on ${ix.dir}) — recall may be refine-limited; raise " +
+            "graft.ann.refine (the 1M-row anchor measured recall " +
+            "0.93 -> 0.98 going refine 16 -> 64)")
+        }
         // searchManyMulti reranks from the roots' own stored vectors;
         // codes-only children would need a union rerank table the
         // per-child entries cannot supply — single-root codes-only serves

@@ -106,4 +106,16 @@ class CostGateBoundarySpec extends AnyFunSuite {
         k = 10, refine = 8)
     assert(boundary(1000000L)(serve1) < 10000)
   }
+
+  test("refine-limited hint fires at the anchor's 1M shape, stays quiet " +
+       "on toy fixtures") {
+    // the anchor measured recall 0.93 -> 0.98 going refine 16 -> 64 at
+    // 1M rows / 64 lists, k=5 — the hint must fire there
+    assert(CostGates.refineLimited(1000000L, 64, k = 5, refine = 16))
+    // and still fire at the improved-but-still-bound refine=64
+    assert(CostGates.refineLimited(1000000L, 64, k = 5, refine = 64))
+    // toy oracle fixtures (hundreds of rows, lists=8-16) stay quiet
+    assert(!CostGates.refineLimited(500L, 8, k = 3, refine = 16))
+    assert(!CostGates.refineLimited(2000L, 16, k = 5, refine = 16))
+  }
 }
