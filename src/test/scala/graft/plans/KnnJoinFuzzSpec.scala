@@ -142,4 +142,76 @@ class KnnJoinFuzzSpec extends SparkSpec {
     } finally spark.experimental.extraOptimizations =
       spark.experimental.extraOptimizations.filterNot(_ == rule)
   }
+
+  /** Multivector corpus for the MAXSIM-join axis: 40 docs x 1-4 tokens
+    * (ragged — the asymmetric kernel must handle unequal token counts),
+    * token index registered. */
+  private lazy val msFixture: (String, Array[(Long, Seq[Array[Float]])]) = {
+    import spark.implicits._
+    val rng = new scala.util.Random(2029)
+    val docs = (0L until 40L).map { d =>
+      d -> Seq.fill(1 + rng.nextInt(4))(
+        Seq.fill(dim)(rng.nextFloat() * 2 - 1))
+    }
+    val dir = Files.createTempDirectory("graft-kjf-ms").toString
+    docs.toDF("doc", "tokens").write.mode("overwrite").parquet(dir)
+    val toks = docs.flatMap { case (d, ts) =>
+      ts.zipWithIndex.map { case (t, p) => (d, p, t) }
+    }.toDF("doc", "pos", "v")
+    val idir = Files.createTempDirectory("graft-kjf-ms-idx").toString
+    graft.ops.MaxSim.buildTokenIndex(toks, "doc", "pos", "v", idir,
+      IvfConfig(metric = "negdot", lists = 4))
+    AnnCatalog.registerMaxSim(dir, idir, "doc", "tokens")
+    (dir, docs.map { case (d, ts) => (d, ts.map(_.toArray)) }.toArray)
+  }
+
+  test("15 seeded maxsim-join trials (queries x k x slice): served rows == brute") {
+    import spark.implicits._
+    val (dir, docs) = msFixture
+    val rng = new scala.util.Random(777)
+    val rule = AnnTopKRewrite(spark)
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations :+ rule
+    try graft.core.Confs.withConfs(spark,
+        "graft.ann.probes" -> "4", "graft.ann.refine" -> "8",
+        "graft.ann.maxsim.kPerToken" -> "256",
+        "graft.ann.cost.enable" -> "false") {
+      (1 to 15).foreach { trial =>
+        val m = 1 + rng.nextInt(5)
+        val k = 1 + rng.nextInt(8)
+        val sliceCap = Seq("2", "3", "256")(rng.nextInt(3))
+        val qs = (0 until m).map { i =>
+          (i.toLong, Seq.fill(1 + rng.nextInt(3))(
+            Array.fill(dim)(rng.nextFloat() * 2 - 1)))
+        }
+        val qdf = qs.map { case (qid, ts) => (qid, ts.map(_.toSeq)) }
+          .toDF("qid", "qtokens")
+        val w = org.apache.spark.sql.expressions.Window.partitionBy("qid")
+          .orderBy(GraftFunctions.vecMaxsim(col("tokens"), col("qtokens")),
+            col("doc"))
+        val got = graft.core.Confs.withConfs(spark,
+            "graft.ann.knn.join.maxQueries" -> sliceCap) {
+          val df = qdf.crossJoin(spark.read.parquet(dir))
+            .withColumn("rn", row_number().over(w))
+            .filter(col("rn") <= k)
+            .select(col("qid"), col("doc"), col("rn").cast("long").as("rn"))
+          assert(AnnTopKRewrite.inServed(df.queryExecution.optimizedPlan.toString),
+            s"maxsim trial $trial (m=$m k=$k slice=$sliceCap) not served:\n" +
+            df.queryExecution.optimizedPlan)
+          df.collect()
+        }.map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+          .toSeq.sortBy(t => (t._1, t._3))
+        val want = qs.flatMap { case (qid, qts) =>
+          docs.map { case (d, ts) =>
+            (qts.map(q => ts.map(t =>
+              graft.core.VectorKernels.negdot(t, q)).min).sum, d)
+          }.sortBy(identity).take(k)
+            .zipWithIndex.map { case ((_, d), i) => (qid, d, (i + 1).toLong) }
+        }
+        assert(got == want,
+          s"maxsim trial $trial (m=$m k=$k slice=$sliceCap) mismatch")
+      }
+    } finally spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations.filterNot(_ == rule)
+  }
 }
