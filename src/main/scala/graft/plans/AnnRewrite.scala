@@ -807,6 +807,26 @@ object AnnTopKRewrite {
       In(attr, ids.iterator.map(idLit).toSeq)
   }
 
+  /** The TOP-K candidate restriction INCLUDING the exact plan's
+    * null-ordering rows: `id IN (...) OR vec IS NULL`. Spark ascending
+    * sorts are NULLS FIRST, so an indexed-side row whose vector (or
+    * token array) is NULL sits at the TOP of every exact top-k / window
+    * partition — but no index ever stores nulls, so a bare id
+    * restriction would silently DROP those rows and the served plan
+    * would diverge from the exact plan it replaces (round-17 self
+    * review; regression-tested in AnnRewriteSpec / KnnJoinServeSpec).
+    * COST: ParquetFilters cannot convert IsNull on an array column, so
+    * the whole Or stays a post-scan filter — the IN list loses its
+    * row-group pruning. `graft.ann.topk.keepNulls=false` (see
+    * [[AnnTopKRewrite.keepNulls]]) restores the bare pushable IN for
+    * corpora the operator asserts null-free. RANGE serves always use
+    * the bare id restriction — their retained sphere predicate
+    * (`dist < r`) is null-killing, so the exact plan never returns
+    * null-vector rows. */
+  private[graft] def topkRestriction(idAttr: Expression, ids: Seq[Long],
+      idLit: Long => Literal, vecAttr: Expression): Expression =
+    Or(idsInExpr(idAttr, ids, idLit), IsNull(vecAttr))
+
   /** Does an optimized-plan string show the rule's id restriction, in
     * either literal form? The one predicate every plan assert
     * (specs, goldens, probes) should use. */
@@ -831,6 +851,35 @@ case class AnnTopKRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     * the pushdown-threshold management (raise to the list size, clamp
     * down past the or-chain-SOE cap) is [[IvfIndex.ensureInPushdown]],
     * shared with the index's own candidate fetches. */
+  /** Stamped candidate Filter for the Sort-based TOP-K serves: the id
+    * restriction plus the exact plan's null-ordering keep (see
+    * [[AnnTopKRewrite.topkRestriction]]). The vec/tokens attribute is
+    * recovered from the head sort key's references into `child`; a key
+    * with no child reference (cannot happen for the matched distance
+    * orderings) degrades to the bare id restriction. */
+  private def topkFilter(sort: Sort, child: LogicalPlan, idAttr: Attribute,
+      ids: Seq[Long], idLit: Long => Literal): Filter = {
+    val vecOpt =
+      if (!keepNulls) None
+      else sort.order.headOption
+        .flatMap(_.child.references.find(a => child.outputSet.contains(a)))
+    stamped(Filter(vecOpt.map(v =>
+        AnnTopKRewrite.topkRestriction(idAttr, ids, idLit, v))
+      .getOrElse(AnnTopKRewrite.idsInExpr(idAttr, ids, idLit)), child))
+  }
+
+  /** `graft.ann.topk.keepNulls` (default true): serve top-k with the
+    * null-keeping restriction so NULL-vector rows rank first exactly as
+    * the ASC NULLS FIRST plan they replace would rank them. The
+    * `IsNull` disjunct is not convertible by ParquetFilters (array
+    * column), so it costs the candidate IN list its parquet row-group
+    * pruning — an operator whose corpus provably holds no NULL vectors
+    * (index builds already exclude them) sets this false to restore the
+    * bare pushable IN. Range serves are unaffected either way (their
+    * retained sphere predicate is null-killing). */
+  private def keepNulls: Boolean =
+    spark.conf.get("graft.ann.topk.keepNulls", "true").toBoolean
+
   private def ensureInPushdown(n: Int): Unit =
     IvfIndex.ensureInPushdown(spark, n)
 
@@ -1480,7 +1529,7 @@ case class AnnTopKRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
                 val maxPoolTuples = spark.conf
                   .get("graft.ann.maxsim.maxPoolTuples", "4000000").toLong
                 serveKnnJoinRestrict(f, w, join, projOpt, indexedSide,
-                    indexedIsLeft, idAttr, idLit,
+                    indexedIsLeft, idAttr, idLit, docTokensAttr,
                     () => tokenQueriesOnce) { slice =>
                   val sliceTokens = slice.map(_.length.toLong).sum
                   // the batched face's own pool budget, checked here so
@@ -1522,6 +1571,7 @@ case class AnnTopKRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
       f: Filter, w: Window, join: Join,
       projOpt: Option[Seq[NamedExpression]], indexedSide: LogicalPlan,
       indexedIsLeft: Boolean, idAttr: Attribute, idLit: Long => Literal,
+      vecAttr: Attribute,
       centersOf: () => Option[Array[C]])(
       cands: Array[C] => Option[Array[Long]]): Option[LogicalPlan] = {
     val maxInList = spark.conf.get("graft.ann.maxInList", "8192").toInt
@@ -1572,7 +1622,10 @@ case class AnnTopKRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
           else {
             ensureInPushdown(ids.length)
             val restricted = stamped(Filter(
-              AnnTopKRewrite.idsInExpr(idAttr, ids, idLit), indexedSide))
+              if (keepNulls)
+                AnnTopKRewrite.topkRestriction(idAttr, ids, idLit, vecAttr)
+              else AnnTopKRewrite.idsInExpr(idAttr, ids, idLit),
+              indexedSide))
             val newJoin = if (indexedIsLeft) join.copy(left = restricted)
                           else join.copy(right = restricted)
             val newBody: LogicalPlan = projOpt
@@ -1636,7 +1689,8 @@ case class AnnTopKRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
           CostGates.graph(gs.length, gs.map(_.ids.length.toLong).sum, ef, k)
         if (!costOk) None
         else serveKnnJoinRestrict(f, w, join, projOpt,
-            indexedSide, indexedIsLeft, idAttr, idLit, centersOf) { centers =>
+            indexedSide, indexedIsLeft, idAttr, idLit, vecAttr,
+            centersOf) { centers =>
           Some(centers.flatMap { c =>
             gs.flatMap { g =>
               val kCand = if (g.quantized) math.max(ef, k) else k
@@ -1687,7 +1741,8 @@ case class AnnTopKRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
           CostGates.sharded(h.shards, h.totalVertices, ef, k)
         if (!costOk) None
         else serveKnnJoinRestrict(f, w, join, projOpt,
-            indexedSide, indexedIsLeft, idAttr, idLit, centersOf) { centers =>
+            indexedSide, indexedIsLeft, idAttr, idLit, vecAttr,
+            centersOf) { centers =>
           AnnTopKRewrite.planningJobs.incrementAndGet()
           val queries = centers.zipWithIndex.map { case (c, i) => (i.toLong, c) }
           val kCand = if (h.cfg.bits > 0) math.max(ef, k) else k
@@ -1771,7 +1826,8 @@ case class AnnTopKRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
           .getOrElse(4000000L)
         if (!costOk || !multiOk) None
         else serveKnnJoinRestrict(f, w, join, projOpt,
-            indexedSide, indexedIsLeft, idAttr, idLit, centersOf) { centers =>
+            indexedSide, indexedIsLeft, idAttr, idLit, vecAttr,
+            centersOf) { centers =>
           import spark.implicits._
           val queries = centers.zipWithIndex.map { case (c, i) => (i.toLong, c) }
           def rtOf: Option[(org.apache.spark.sql.DataFrame, String, String)] = {
@@ -2148,8 +2204,7 @@ case class AnnTopKRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     if (ids.isEmpty) Some(gl)
     else {
       ensureInPushdown(ids.length)
-      val filter = stamped(Filter(
-        AnnTopKRewrite.idsInExpr(docAttr, ids, idLit), child))
+      val filter = topkFilter(sort, child, docAttr, ids, idLit)
       val sorted = Sort(sort.order, global = true, filter)
       val body = projOpt.map(pl => Project(pl, sorted): LogicalPlan).getOrElse(sorted)
       Some(GlobalLimit(Literal(k), LocalLimit(Literal(k), body)))
@@ -2225,8 +2280,7 @@ case class AnnTopKRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
           rest.take(maxInList - floorIds.size).map(_._2)).distinct
       }
     ensureInPushdown(ids.length)
-    val filter = stamped(Filter(
-      AnnTopKRewrite.idsInExpr(docAttr, ids, idLit), child))
+    val filter = topkFilter(sort, child, docAttr, ids, idLit)
     val sorted = Sort(sort.order, global = true, filter)
     val body = projOpt.map(pl => Project(pl, sorted): LogicalPlan).getOrElse(sorted)
     Some(GlobalLimit(Literal(k), LocalLimit(Literal(k), body)))
@@ -2260,8 +2314,7 @@ case class AnnTopKRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     if (ids.isEmpty) Some(gl)
     else Some {
       ensureInPushdown(ids.length)
-      val filter = stamped(Filter(
-        AnnTopKRewrite.idsInExpr(idAttr, ids, idLit), child))
+      val filter = topkFilter(sort, child, idAttr, ids, idLit)
       val sorted = Sort(sort.order, global = true, filter)
       val body = projOpt.map(pl => Project(pl, sorted): LogicalPlan).getOrElse(sorted)
       GlobalLimit(Literal(k), LocalLimit(Literal(k), body))
@@ -2296,8 +2349,7 @@ case class AnnTopKRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     if (ids.isEmpty) Some(gl)
     else Some {
       ensureInPushdown(ids.length)
-      val filter = stamped(Filter(
-        AnnTopKRewrite.idsInExpr(idAttr, ids, idLit), child))
+      val filter = topkFilter(sort, child, idAttr, ids, idLit)
       val sorted = Sort(sort.order, global = true, filter)
       val body = projOpt.map(pl => Project(pl, sorted): LogicalPlan).getOrElse(sorted)
       GlobalLimit(Literal(k), LocalLimit(Literal(k), body))
@@ -2329,8 +2381,7 @@ case class AnnTopKRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     if (ids.isEmpty) Some(gl)
     else Some {
       ensureInPushdown(ids.length)
-      val filter = stamped(Filter(
-        AnnTopKRewrite.idsInExpr(idAttr, ids, idLit), child))
+      val filter = topkFilter(sort, child, idAttr, ids, idLit)
       val sorted = Sort(sort.order, global = true, filter)
       val body = projOpt.map(pl => Project(pl, sorted): LogicalPlan).getOrElse(sorted)
       GlobalLimit(Literal(k), LocalLimit(Literal(k), body))
@@ -2523,8 +2574,7 @@ case class AnnTopKRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
       pool.groupBy(_._1).valuesIterator.map(_.minBy(t => (t._2, t._3))).toArray
     def planWith(ids: Array[Long]): LogicalPlan = {
       ensureInPushdown(ids.length)
-      val filter = stamped(Filter(
-        AnnTopKRewrite.idsInExpr(idAttr, ids, idLit), child))
+      val filter = topkFilter(sort, child, idAttr, ids, idLit)
       val sorted = Sort(sort.order, global = true, filter)
       val body = projOpt.map(pl => Project(pl, sorted): LogicalPlan).getOrElse(sorted)
       GlobalLimit(Literal(k), LocalLimit(Literal(k), body))
@@ -2693,8 +2743,7 @@ case class AnnTopKRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
       else Some((spark.read.parquet(entry.tablePath), entry.idCol, entry.vecCol))
     def planWith(ids: Array[Long]): LogicalPlan = {
       ensureInPushdown(ids.length)
-      val filter = stamped(
-        Filter(AnnTopKRewrite.idsInExpr(idAttr, ids, idLit), child))
+      val filter = topkFilter(sort, child, idAttr, ids, idLit)
       val sorted = Sort(sort.order, global = true, filter)
       val body = projOpt.map(pl => Project(pl, sorted): LogicalPlan).getOrElse(sorted)
       GlobalLimit(Literal(k), LocalLimit(Literal(k), body))

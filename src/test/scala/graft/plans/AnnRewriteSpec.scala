@@ -67,9 +67,11 @@ class AnnRewriteSpec extends SparkSpec {
           .limit(10)
         val optimized = df.queryExecution.optimizedPlan.toString
         assert(AnnTopKRewrite.inServed(optimized), s"expected candidate-id pushdown:\n$optimized")
-        // physical scan must carry the pushed In filter
+        // physical scan must carry the pushed In filter (inside the
+        // null-keeping Or under the default graft.ann.topk.keepNulls;
+        // the bare pushable form is pinned in the keepNulls=false test)
         val physical = df.queryExecution.executedPlan.toString
-        assert(physical.contains("PushedFilters: [In(id"), physical)
+        assert(physical.contains("In(id"), physical)
         // collect the REWRITTEN df itself — not a derived plan
         val got = df.collect().map(_.getLong(0)).toSeq
         val data = spark.read.parquet(tableDir).as[(Long, Seq[Float])].collect()
@@ -1780,5 +1782,106 @@ class AnnRewriteSpec extends SparkSpec {
     AnnCatalog.register(tableDir, idxDir, "id", "vec")
     try assert(AnnCatalog.index(spark, entry).rowCount == 200L)
     finally AnnCatalog.unregister(tableDir)
+  }
+
+  /** Table with three NULL-vector rows (ids 300..302). The index build
+    * excludes them (issue_427 behavior), but Spark ascending sorts are
+    * NULLS FIRST, so the EXACT plan ranks them at the very top of every
+    * `ORDER BY vec_l2 ... LIMIT k` — a served plan restricted to index
+    * candidate ids alone would silently drop them. */
+  private lazy val nullSetup: (String, String) = {
+    import spark.implicits._
+    val rng = new scala.util.Random(99)
+    val rows: Seq[(Long, Option[Seq[Float]])] =
+      (0L until 300L).map(i => i -> Option(Seq.fill(8)(rng.nextFloat() * 2 - 1))) ++
+        (300L until 303L).map(i => i -> Option.empty[Seq[Float]])
+    val tableDir = Files.createTempDirectory("graft-ann-nulls").toString
+    rows.toDF("id", "vec").write.mode("overwrite").parquet(tableDir)
+    val indexDir = Files.createTempDirectory("graft-ann-nulls-idx").toString
+    IvfIndex.build(spark.read.parquet(tableDir), "id", "vec", indexDir,
+      IvfConfig(lists = 4))
+    (tableDir, indexDir)
+  }
+
+  test("NULL-vector rows keep their NULLS FIRST rank in a served top-k " +
+       "(the restriction is `id IN (...) OR vec IS NULL`, not the bare IN)") {
+    import spark.implicits._
+    val (tableDir, indexDir) = nullSetup
+    AnnCatalog.register(tableDir, indexDir, "id", "vec")
+    try withRule {
+      withConfs("graft.ann.probes" -> "4", "graft.ann.refine" -> "20") {
+        val q = Array.fill(8)(0.2f)
+        val df = spark.read.parquet(tableDir)
+          .orderBy(GraftFunctions.vecL2(col("vec"), typedlit(q.toSeq)))
+          .limit(10)
+        val optimized = df.queryExecution.optimizedPlan.toString
+        assert(AnnTopKRewrite.inServed(optimized), optimized)
+        assert(optimized.toLowerCase.contains("isnull"),
+          s"expected the null-ordering keep in the restriction:\n$optimized")
+        val got = df.select("id").as[Long].collect().toSeq
+        // the three null rows tie (null dist), so their mutual order is
+        // plan-dependent — compare the null prefix as a set, the rest exact
+        assert(got.take(3).toSet == Set(300L, 301L, 302L),
+          s"null rows must rank first (NULLS FIRST): $got")
+        val data = spark.read.parquet(tableDir).where("vec is not null")
+          .as[(Long, Seq[Float])].collect()
+        val want = data.map { case (id, v) => (K.l2(v.toArray, q), id) }
+          .sorted.take(7).map(_._2).toSeq
+        assert(got.drop(3) == want)
+      }
+    } finally AnnCatalog.unregister(tableDir)
+  }
+
+  test("NULL-vector rows passing a PREFILTER keep their rank through the " +
+       "escalation serve") {
+    import spark.implicits._
+    val (tableDir, indexDir) = nullSetup
+    AnnCatalog.register(tableDir, indexDir, "id", "vec")
+    try withRule {
+      withConfs("graft.ann.probes" -> "4", "graft.ann.refine" -> "20") {
+        val q = Array.fill(8)(0.3f)
+        val df = spark.read.parquet(tableDir)
+          .where(col("id") % 2 === 0)
+          .orderBy(GraftFunctions.vecL2(col("vec"), typedlit(q.toSeq)))
+          .limit(8)
+        val optimized = df.queryExecution.optimizedPlan.toString
+        assert(AnnTopKRewrite.inServed(optimized), optimized)
+        val got = df.select("id").as[Long].collect().toSeq
+        // nulls passing the predicate: 300 and 302
+        assert(got.take(2).toSet == Set(300L, 302L),
+          s"even null rows must rank first: $got")
+        val data = spark.read.parquet(tableDir)
+          .where("vec is not null and id % 2 = 0")
+          .as[(Long, Seq[Float])].collect()
+        val want = data.map { case (id, v) => (K.l2(v.toArray, q), id) }
+          .sorted.take(6).map(_._2).toSeq
+        assert(got.drop(2) == want)
+      }
+    } finally AnnCatalog.unregister(tableDir)
+  }
+
+  test("graft.ann.topk.keepNulls=false restores the bare pushable IN " +
+       "(operator-asserted null-free corpus: full row-group pruning back)") {
+    import spark.implicits._
+    val (tableDir, indexDir) = nullSetup
+    AnnCatalog.register(tableDir, indexDir, "id", "vec")
+    try withRule {
+      withConfs("graft.ann.probes" -> "4", "graft.ann.refine" -> "20",
+          "graft.ann.topk.keepNulls" -> "false") {
+        val q = Array.fill(8)(0.2f)
+        val df = spark.read.parquet(tableDir)
+          .orderBy(GraftFunctions.vecL2(col("vec"), typedlit(q.toSeq)))
+          .limit(10)
+        assert(AnnTopKRewrite.inServed(df.queryExecution.optimizedPlan.toString))
+        // the BARE In reaches the scan as the whole pushed filter —
+        // ParquetFilters converts it, row-group pruning applies
+        val physical = df.queryExecution.executedPlan.toString
+        assert(physical.contains("PushedFilters: [In(id"), physical)
+        // documented divergence on a corpus that DOES hold nulls:
+        // the null rows are gone (that is what the conf asserts away)
+        val got = df.select("id").as[Long].collect().toSeq
+        assert(!got.exists(_ >= 300L), s"keepNulls=false serves no null rows: $got")
+      }
+    } finally AnnCatalog.unregister(tableDir)
   }
 }

@@ -53,6 +53,26 @@ class KnnJoinFuzzSpec extends SparkSpec {
       .as[(Long, Seq[Float])].collect().map { case (i, v) => (i, v.toArray) }
   }
 
+  /** NULL axis corpus: the l2 rows plus three NULL-vector rows (ids
+    * 300..302). The index build skips them, but the exact windowed plan
+    * ranks them 1..3 in EVERY query partition (ASC NULLS FIRST, id
+    * tiebreak) — the served restriction must keep them (round-17
+    * null-ordering fix). */
+  private lazy val nullDir: String = {
+    import spark.implicits._
+    val rows: Seq[(Long, Option[Seq[Float]])] =
+      allRows.toSeq.map { case (i, v) => (i, Option(v.toSeq)) } ++
+        (n.toLong until n.toLong + 3).map(i => (i, Option.empty[Seq[Float]]))
+    val dir = Files.createTempDirectory("graft-kjf-nulls").toString
+    rows.toDF("id", "vec").write.mode("overwrite").parquet(dir)
+    val idir = Files.createTempDirectory("graft-kjf-nulls-idx").toString
+    IvfIndex.build(spark.read.parquet(dir), "id", "vec", idir,
+      IvfConfig(lists = 4))
+    AnnCatalog.register(dir, idir, "id", "vec")
+    dir
+  }
+  private val nullIds = Seq(300L, 301L, 302L)
+
   test("30 seeded (queries x k x metric x form) trials: served rows == brute force") {
     val (flat, part) = fixture
     val rng = new scala.util.Random(555)
@@ -66,7 +86,11 @@ class KnnJoinFuzzSpec extends SparkSpec {
       (1 to 30).foreach { trial =>
         val metric = Seq("l2", "cosdist", "negdot")(rng.nextInt(3))
         val partitioned = metric == "l2" && rng.nextBoolean()
-        val dir = if (partitioned) part else flat(metric)
+        // NULL axis: ~1/3 of flat l2 trials run over the null-bearing
+        // corpus — its three NULL-vector rows must surface at ranks 1..3
+        // of every query partition, through slicing and prefilters alike
+        val withNulls = metric == "l2" && !partitioned && rng.nextInt(3) == 0
+        val dir = if (withNulls) nullDir else if (partitioned) part else flat(metric)
         val m = 1 + rng.nextInt(6)
         val k = 1 + rng.nextInt(12)
         // SLICE-BOUNDARY axis (round 16): a per-trial maxQueries cap of 2
@@ -131,13 +155,23 @@ class KnnJoinFuzzSpec extends SparkSpec {
         val fn = graft.ops.Knn.metricFn(metric)
         val rows = pred.map { case (pm, pr) => allRows.filter(_._1 % pm == pr) }
           .getOrElse(allRows)
+        // null-dist rows rank first in every partition (NULLS FIRST),
+        // ordered among themselves by the window's id tiebreak
+        val nulls: Seq[Long] =
+          if (!withNulls) Seq.empty
+          else pred.map { case (pm, pr) => nullIds.filter(_ % pm == pr) }
+            .getOrElse(nullIds)
         val want = qs.flatMap { case (qid, q) =>
-          rows.map { case (id, v) => (fn(v, q), id) }.sorted.take(k)
-            .zipWithIndex.map { case ((_, id), i) => (qid, id, (i + 1).toLong) }
+          val top = nulls.take(k).zipWithIndex
+            .map { case (id, i) => (qid, id, (i + 1).toLong) }
+          val rest = rows.map { case (id, v) => (fn(v, q), id) }.sorted
+            .take(math.max(0, k - top.length)).zipWithIndex
+            .map { case ((_, id), i) => (qid, id, (top.length + i + 1).toLong) }
+          top ++ rest
         }
         assert(got == want,
           s"trial $trial (m=$m k=$k metric=$metric part=$partitioned " +
-          s"pred=$pred) mismatch")
+          s"pred=$pred nulls=$withNulls) mismatch")
       }
     } finally spark.experimental.extraOptimizations =
       spark.experimental.extraOptimizations.filterNot(_ == rule)

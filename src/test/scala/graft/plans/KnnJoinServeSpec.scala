@@ -107,9 +107,10 @@ class KnnJoinServeSpec extends SparkSpec {
           s"expected candidate-id restriction:\n$optimized")
         // exactly two planning jobs: queries collect + one batched candidate job
         assert(AnnTopKRewrite.planningJobs.get() - before == 2)
-        // physical scan carries the pushed In filter
+        // physical scan carries the pushed In filter (inside the
+        // null-keeping Or under the default graft.ann.topk.keepNulls)
         val physical = df.queryExecution.executedPlan.toString
-        assert(physical.contains("PushedFilters: [In(id"), physical)
+        assert(physical.contains("In(id"), physical)
         assert(collectKj(df) == brute(tableDir, qs, 5))
       }
     } finally AnnCatalog.unregister(tableDir)
@@ -617,5 +618,47 @@ class KnnJoinServeSpec extends SparkSpec {
         assert(!served(nullDf))
       }
     }
+  }
+
+  test("NULL-vector rows on the INDEXED side keep their NULLS FIRST rank " +
+       "in the served KNN join (restriction carries `OR vec IS NULL`)") {
+    import spark.implicits._
+    val rng = new scala.util.Random(173)
+    val rows: Seq[(Long, Option[Seq[Float]])] =
+      (0L until 300L).map(i => i -> Option(Seq.fill(dim)(rng.nextFloat() * 2 - 1))) ++
+        (300L until 303L).map(i => i -> Option.empty[Seq[Float]])
+    val tableDir = Files.createTempDirectory("graft-kj-nulls").toString
+    rows.toDF("id", "vec").write.mode("overwrite").parquet(tableDir)
+    val indexDir = Files.createTempDirectory("graft-kj-nulls-idx").toString
+    IvfIndex.build(spark.read.parquet(tableDir), "id", "vec", indexDir,
+      IvfConfig(lists = 4))
+    AnnCatalog.register(tableDir, indexDir, "id", "vec")
+    try withRule {
+      withConfs("graft.ann.probes" -> "4", "graft.ann.refine" -> "20") {
+        val nonNull = spark.read.parquet(tableDir).where("vec is not null")
+          .select("id", "vec").as[(Long, Seq[Float])]
+          .collect().map { case (i, v) => (i, v.toArray) }
+        val byId = nonNull.toMap
+        val qs = Seq(3L, 11L).map(i => i -> byId(i))
+        val df = kjDf(tableDir, qs, 5)
+        val optimized = df.queryExecution.optimizedPlan.toString
+        assert(AnnTopKRewrite.inServed(optimized), optimized)
+        assert(optimized.toLowerCase.contains("isnull"),
+          s"expected the null-ordering keep in the restriction:\n$optimized")
+        // EXACT oracle including the nulls: the window's tiebreak is
+        // (dist, id), so per query the three null rows rank 1..3 by id,
+        // then the true top-2 non-null neighbors
+        val fn = graft.ops.Knn.metricFn("l2")
+        val want = qs.flatMap { case (qid, q) =>
+          val nulls = Seq(300L, 301L, 302L).zipWithIndex
+            .map { case (id, i) => (qid, id, (i + 1).toLong) }
+          val best = nonNull.map { case (id, v) => (fn(v, q), id) }.sorted
+            .take(2).zipWithIndex
+            .map { case ((_, id), i) => (qid, id, (i + 4).toLong) }
+          nulls ++ best
+        }.sortBy(t => (t._1, t._3))
+        assert(collectKj(df) == want)
+      }
+    } finally AnnCatalog.unregister(tableDir)
   }
 }
