@@ -822,10 +822,27 @@ object AnnTopKRewrite {
     * corpora the operator asserts null-free. RANGE serves always use
     * the bare id restriction — their retained sphere predicate
     * (`dist < r`) is null-killing, so the exact plan never returns
-    * null-vector rows. */
+    * null-vector rows.
+    *
+    * `keepEmpty` (MAXSIM orderings only): `vec_maxsim([], q)` is 0.0 —
+    * a VALUE, not null — so a doc with an EMPTY token array ranks like
+    * any scored row in the exact window (ahead of every doc scoring
+    * positive) yet contributes no token to the index; the restriction
+    * must keep `size(tokens) = 0` rows too or the serve drops them
+    * whenever fewer than k candidates score below zero. The SCALAR
+    * metrics need no empty keep: their kernels `require` matching
+    * dims, so a degenerate vector crashes the exact plan and the
+    * served plan identically (parity holds by both failing). */
   private[graft] def topkRestriction(idAttr: Expression, ids: Seq[Long],
-      idLit: Long => Literal, vecAttr: Expression): Expression =
-    Or(idsInExpr(idAttr, ids, idLit), IsNull(vecAttr))
+      idLit: Long => Literal, vecAttr: Expression,
+      keepEmpty: Boolean = false): Expression = {
+    val keep =
+      if (keepEmpty)
+        Or(IsNull(vecAttr), EqualTo(Size(vecAttr, legacySizeOfNull = false),
+          Literal(0)))
+      else IsNull(vecAttr)
+    Or(idsInExpr(idAttr, ids, idLit), keep)
+  }
 
   /** Does an optimized-plan string show the rule's id restriction, in
     * either literal form? The one predicate every plan assert
@@ -856,15 +873,20 @@ case class AnnTopKRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     * [[AnnTopKRewrite.topkRestriction]]). The vec/tokens attribute is
     * recovered from the head sort key's references into `child`; a key
     * with no child reference (cannot happen for the matched distance
-    * orderings) degrades to the bare id restriction. */
+    * orderings) degrades to the bare id restriction. A maxsim ordering
+    * additionally keeps empty token arrays (see
+    * [[AnnTopKRewrite.topkRestriction]]'s `keepEmpty`). */
   private def topkFilter(sort: Sort, child: LogicalPlan, idAttr: Attribute,
       ids: Seq[Long], idLit: Long => Literal): Filter = {
     val vecOpt =
       if (!keepNulls) None
       else sort.order.headOption
         .flatMap(_.child.references.find(a => child.outputSet.contains(a)))
+    val maxsim = sort.order.headOption
+      .exists(_.child.exists(_.isInstanceOf[VecMaxSimExpr]))
     stamped(Filter(vecOpt.map(v =>
-        AnnTopKRewrite.topkRestriction(idAttr, ids, idLit, v))
+        AnnTopKRewrite.topkRestriction(idAttr, ids, idLit, v,
+          keepEmpty = maxsim))
       .getOrElse(AnnTopKRewrite.idsInExpr(idAttr, ids, idLit)), child))
   }
 
@@ -1530,7 +1552,7 @@ case class AnnTopKRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
                   .get("graft.ann.maxsim.maxPoolTuples", "4000000").toLong
                 serveKnnJoinRestrict(f, w, join, projOpt, indexedSide,
                     indexedIsLeft, idAttr, idLit, docTokensAttr,
-                    () => tokenQueriesOnce) { slice =>
+                    () => tokenQueriesOnce, keepEmpty = true) { slice =>
                   val sliceTokens = slice.map(_.length.toLong).sum
                   // the batched face's own pool budget, checked here so
                   // the planner DECLINES instead of throwing mid-rule
@@ -1572,7 +1594,8 @@ case class AnnTopKRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
       projOpt: Option[Seq[NamedExpression]], indexedSide: LogicalPlan,
       indexedIsLeft: Boolean, idAttr: Attribute, idLit: Long => Literal,
       vecAttr: Attribute,
-      centersOf: () => Option[Array[C]])(
+      centersOf: () => Option[Array[C]],
+      keepEmpty: Boolean = false)(
       cands: Array[C] => Option[Array[Long]]): Option[LogicalPlan] = {
     val maxInList = spark.conf.get("graft.ann.maxInList", "8192").toInt
     val sliceSize = math.max(1,
@@ -1623,7 +1646,8 @@ case class AnnTopKRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
             ensureInPushdown(ids.length)
             val restricted = stamped(Filter(
               if (keepNulls)
-                AnnTopKRewrite.topkRestriction(idAttr, ids, idLit, vecAttr)
+                AnnTopKRewrite.topkRestriction(idAttr, ids, idLit, vecAttr,
+                  keepEmpty = keepEmpty)
               else AnnTopKRewrite.idsInExpr(idAttr, ids, idLit),
               indexedSide))
             val newJoin = if (indexedIsLeft) join.copy(left = restricted)

@@ -1860,6 +1860,52 @@ class AnnRewriteSpec extends SparkSpec {
     } finally AnnCatalog.unregister(tableDir)
   }
 
+  test("maxsim serve keeps EMPTY and NULL token docs at their exact ranks " +
+       "(vec_maxsim([], q) = 0.0 outranks every positive-scoring doc)") {
+    import spark.implicits._
+    val rng = new scala.util.Random(414)
+    def tok(): Seq[Float] =
+      Seq.tabulate(8)(i => (if (i == 0) 1f else 0f) + rng.nextFloat() * 0.1f)
+    // 40 docs aligned with +e0; query tokens along -e0 => every real
+    // doc's maxsim sum is POSITIVE, the empty doc's is exactly 0.0 (a
+    // VALUE — not null — so IsNull alone would not keep it)
+    val docs: Seq[(Long, Option[Seq[Seq[Float]]])] =
+      (0L until 40L).map(d => d -> Option(Seq.fill(2)(tok()))) ++
+        Seq(40L -> Option(Seq.empty[Seq[Float]]), 41L -> Option.empty)
+    val tableDir = Files.createTempDirectory("graft-ms-empty").toString
+    docs.toDF("doc", "tokens").write.mode("overwrite").parquet(tableDir)
+    val toks = docs.flatMap { case (d, ts) =>
+      ts.getOrElse(Seq.empty).zipWithIndex.map { case (t, p) => (d, p, t) }
+    }.toDF("doc", "pos", "v")
+    val idir = Files.createTempDirectory("graft-ms-empty-idx").toString
+    graft.ops.MaxSim.buildTokenIndex(toks, "doc", "pos", "v", idir,
+      IvfConfig(metric = "negdot", lists = 4))
+    AnnCatalog.registerMaxSim(tableDir, idir, "doc", "tokens")
+    try withRule {
+      withConfs("graft.ann.probes" -> "4", "graft.ann.refine" -> "20",
+          "graft.ann.maxsim.kPerToken" -> "600",
+          "graft.ann.cost.enable" -> "false") {
+        val query = Seq.fill(2)(Seq.tabulate(8)(i => if (i == 0) -1f else 0f))
+        val df = spark.read.parquet(tableDir)
+          .orderBy(GraftFunctions.vecMaxsim(col("tokens"), typedlit(query)))
+          .limit(5).select("doc")
+        val plan = df.queryExecution.optimizedPlan.toString
+        assert(AnnTopKRewrite.inServed(plan), plan)
+        assert(plan.toLowerCase.contains("isnull") && plan.contains("size("),
+          s"expected the null+empty keep in the maxsim restriction:\n$plan")
+        val got = df.collect().map(_.getLong(0)).toSeq
+        // exact order: null doc (NULLS FIRST), empty doc (0.0), then the
+        // 3 real docs with the smallest positive maxsim sums
+        val qArr = query.map(_.toArray).toArray
+        val want = docs.collect { case (d, Some(ts)) if ts.nonEmpty =>
+          (K.maxsim(ts.map(_.toArray).toArray, qArr), d)
+        }.sorted.take(3).map(_._2)
+        assert(got == Seq(41L, 40L) ++ want,
+          s"got $got want ${Seq(41L, 40L) ++ want}\n$plan")
+      }
+    } finally AnnCatalog.unregisterMaxSim(tableDir)
+  }
+
   test("graft.ann.topk.keepNulls=false restores the bare pushable IN " +
        "(operator-asserted null-free corpus: full row-group pruning back)") {
     import spark.implicits._

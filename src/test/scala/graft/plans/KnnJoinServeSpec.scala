@@ -620,6 +620,50 @@ class KnnJoinServeSpec extends SparkSpec {
     }
   }
 
+  test("maxsim join keeps NULL and EMPTY token docs at their exact window " +
+       "ranks (vec_maxsim([], q) = 0.0 — a value, not null)") {
+    import spark.implicits._
+    val rng = new scala.util.Random(515)
+    def tok(): Seq[Float] =
+      Seq.tabulate(dim)(i => (if (i == 0) 1f else 0f) + rng.nextFloat() * 0.1f)
+    val docs: Seq[(Long, Option[Seq[Seq[Float]]])] =
+      (0L until 40L).map(d => d -> Option(Seq.fill(3)(tok()))) ++
+        Seq(40L -> Option(Seq.empty[Seq[Float]]), 41L -> Option.empty)
+    val tableDir = Files.createTempDirectory("graft-mskj-deg").toString
+    docs.toDF("doc", "tokens").write.mode("overwrite").parquet(tableDir)
+    val toks = docs.flatMap { case (d, ts) =>
+      ts.getOrElse(Seq.empty).zipWithIndex.map { case (t, p) => (d, p, t) }
+    }.toDF("doc", "pos", "v")
+    val idir = Files.createTempDirectory("graft-mskj-deg-idx").toString
+    graft.ops.MaxSim.buildTokenIndex(toks, "doc", "pos", "v", idir,
+      IvfConfig(metric = "negdot", lists = 4))
+    AnnCatalog.registerMaxSim(tableDir, idir, "doc", "tokens")
+    try withRule {
+      withConfs("graft.ann.probes" -> "4",
+          "graft.ann.maxsim.kPerToken" -> "256", "graft.ann.refine" -> "8",
+          "graft.ann.cost.enable" -> "false") {
+        // query tokens along -e0: every real doc scores positive, so the
+        // exact window ranks (null doc, empty doc) at rn 1-2 per query
+        val qs: Seq[(Long, Seq[Array[Float]])] = Seq(0L, 1L).map(q =>
+          q -> Seq.fill(2)(Array.tabulate(dim)(i => if (i == 0) -1f else 0f)))
+        val df = msKjDf(tableDir, qs, 5)
+        val plan = df.queryExecution.optimizedPlan.toString
+        assert(AnnTopKRewrite.inServed(plan), s"not served:\n$plan")
+        assert(plan.toLowerCase.contains("isnull") && plan.contains("size("),
+          s"expected the null+empty keep in the maxsim join restriction:\n$plan")
+        val real = docs.collect { case (d, Some(ts)) if ts.nonEmpty =>
+          (qs.head._2.map(q => ts.map(t => K.negdot(t.toArray, q)).min).sum, d)
+        }
+        val top3 = real.sortBy(identity).take(3).map(_._2)
+        val want = qs.flatMap { case (qid, _) =>
+          Seq((qid, 41L, 1L), (qid, 40L, 2L)) ++
+            top3.zipWithIndex.map { case (d, i) => (qid, d, (i + 3).toLong) }
+        }.sortBy(t => (t._1, t._3))
+        assert(collectKj(df) == want)
+      }
+    } finally AnnCatalog.unregisterMaxSim(tableDir)
+  }
+
   test("NULL-vector rows on the INDEXED side keep their NULLS FIRST rank " +
        "in the served KNN join (restriction carries `OR vec IS NULL`)") {
     import spark.implicits._
