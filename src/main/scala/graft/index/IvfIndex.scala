@@ -165,7 +165,8 @@ final case class IvfConfig(
 final case class IvfMeta(dim: Int, origDim: Int, cfg: IvfConfig,
                          centroids: Array[Array[Float]],
                          upperCentroids: Seq[Array[Array[Float]]] = Nil,
-                         upperChildren: Seq[Array[Array[Int]]] = Nil) {
+                         upperChildren: Seq[Array[Array[Int]]] = Nil,
+                         sourceComplete: Boolean = false) {
   /** Finest internal level (back-compat accessors for the 2-level shape). */
   def l1Centroids: Array[Array[Float]] =
     if (upperCentroids.nonEmpty) upperCentroids.last else Array.empty
@@ -334,9 +335,11 @@ object IvfIndex {
     * reference's meta page analog. Pre-round-2 indexes carried parquet
     * meta; `load` still reads those. */
   private def writeMeta(spark: SparkSession, dir: String, dim: Int, origDim: Int,
-                        cfg: IvfConfig, centroids: Array[Array[Float]]): Unit = {
+                        cfg: IvfConfig, centroids: Array[Array[Float]],
+                        sourceComplete: Boolean = false): Unit = {
     Files.createDirectories(Paths.get(dir))
     val p = new java.util.Properties()
+    p.setProperty("source_complete", sourceComplete.toString)
     p.setProperty("dim", dim.toString)
     p.setProperty("orig_dim", origDim.toString)
     p.setProperty("lists", cfg.lists.toString)
@@ -467,17 +470,40 @@ object IvfIndex {
       }
     }
     if (dbg) System.err.println(s"[build] encode+write: ${(System.nanoTime()-t0)/1e9}s")
+    // SOURCE COMPLETENESS (round 17): did every source row enter the
+    // index? The encode pass silently drops NULL-vector / NULL-id rows
+    // (they have no home in any cell), so a bare candidate-id
+    // restriction in a served top-k plan would drop rows the exact
+    // ASC-NULLS-FIRST plan ranks at the very top. Recording the answer
+    // HERE — two footer/metadata-level count jobs, one over the source
+    // frame and one over the freshly written generation — lets the
+    // planner keep the fully parquet-pushable bare IN whenever nothing
+    // was excluded (the overwhelmingly common corpus), and fall back to
+    // the null-keeping Or only on corpora that actually hold nulls.
+    // Absent on pre-round-17 indexes -> false (conservative: the Or).
+    // CONTRACT: `df` must be the same frame the table registration
+    // serves — completeness of a pre-filtered build input says nothing
+    // about the table (the existing serve-coverage contract, verbatim).
+    val srcCount = df.count()
+    val keptCount =
+      try spark.read.parquet(s"$dir/gen-0").count()
+      catch { case scala.util.control.NonFatal(_) => 0L }
+    val sourceComplete = srcCount == keptCount
     val t1 = System.nanoTime()
-    writeMeta(spark, dir, dim, origDim, cfg, centroids)
+    writeMeta(spark, dir, dim, origDim, cfg, centroids, sourceComplete)
     if (dbg) System.err.println(s"[build] meta: ${(System.nanoTime()-t1)/1e9}s")
     Files.createDirectories(Paths.get(dir))
+    // a rebuild into a dir tainted by an earlier instance's null-bearing
+    // delta append starts from this build's own fresh verdict
+    Files.deleteIfExists(Paths.get(dir, "SOURCE_INCOMPLETE"))
     Files.writeString(Paths.get(dir, "CURRENT"), "gen-0")
     upC.indices.foreach { lvl =>
       Files.write(Paths.get(dir, s"upper$lvl.centroids.bin"), floatBlock(upC(lvl)))
       Files.writeString(Paths.get(dir, s"upper$lvl.children.txt"),
         upCh(lvl).map(_.mkString(",")).mkString("\n"))
     }
-    new IvfIndex(spark, dir, IvfMeta(dim, origDim, cfg, centroids, upC, upCh))
+    new IvfIndex(spark, dir,
+      IvfMeta(dim, origDim, cfg, centroids, upC, upCh, sourceComplete))
   }
 
   /** Internal build: sampled driver-side k-means (reference B1-B5). */
@@ -684,7 +710,10 @@ object IvfIndex {
             Seq(readChildren(Paths.get(dir, "l1children.txt"))))
       return new IvfIndex(spark, dir,
         IvfMeta(p.getProperty("dim").toInt, p.getProperty("orig_dim").toInt,
-          cfg, centroids, upC, upCh))
+          cfg, centroids, upC, upCh,
+          // pre-round-17 metas never measured completeness -> false
+          sourceComplete = Option(p.getProperty("source_complete"))
+            .exists(_.toBoolean)))
     }
     // pre-round-2 layout: parquet config/centroids/l1
     import spark.implicits._
@@ -2094,9 +2123,29 @@ final class IvfIndex(val spark: SparkSession, val dir: String, val meta: IvfMeta
     }
   }
 
+  /** TRUE when every row of the build source entered the index AND no
+    * later delta append dropped rows to the null filter — the planner's
+    * license to serve the bare parquet-pushable candidate IN instead of
+    * the null-keeping `IN ... OR vec IS NULL` (see
+    * AnnTopKRewrite.topkRestriction). Build-time verdict in meta;
+    * later taint as a marker file so it is visible across instances and
+    * survives compaction (a fresh build clears it). */
+  def sourceComplete: Boolean =
+    meta.sourceComplete && !Files.exists(Paths.get(dir, "SOURCE_INCOMPLETE"))
+
   /** Incremental ingest (reference `aminsert`, B11): encode rows against
     * the existing centroids and append to the delta area. */
   def appendDelta(df: DataFrame, idCol: String, vecCol: String): Unit = {
+    // taint BEFORE the write: a batch holding rows the encode filter
+    // drops (NULL vec/id) breaks the build-time completeness verdict.
+    // One cheap agg job, skipped once the index is already incomplete.
+    if (sourceComplete) {
+      val r = df.agg(count(lit(1)),
+        count(when(col(vecCol).isNotNull && col(idCol).isNotNull, lit(1)))).head()
+      if (r.getLong(0) != r.getLong(1))
+        Files.writeString(Paths.get(dir, "SOURCE_INCOMPLETE"),
+          s"delta append dropped ${r.getLong(0) - r.getLong(1)} null rows")
+    }
     IvfIndex.encodeRows(df, idCol, vecCol, meta.cfg, meta.centroids, meta.origDim,
         upper = if (meta.upperCentroids.nonEmpty)
           Some((meta.upperCentroids, meta.upperChildren)) else None)
@@ -2135,7 +2184,13 @@ final class IvfIndex(val spark: SparkSession, val dir: String, val meta: IvfMeta
     codesDf.write.mode("overwrite").partitionBy("cluster_id")
       .parquet(s"$dstDir/gen-0")
     IvfIndex.writeMeta(spark, dstDir, meta.dim, meta.origDim,
-      meta.cfg.copy(storeVectors = false), meta.centroids)
+      meta.cfg.copy(storeVectors = false), meta.centroids,
+      sourceComplete = meta.sourceComplete)
+    // a live taint travels with the copy (the sibling serves the same
+    // source table the tainting append diverged from)
+    if (Files.exists(Paths.get(dir, "SOURCE_INCOMPLETE")))
+      Files.copy(Paths.get(dir, "SOURCE_INCOMPLETE"),
+        Paths.get(dstDir, "SOURCE_INCOMPLETE"))
     Files.writeString(Paths.get(dstDir, "CURRENT"), "gen-0")
     meta.upperCentroids.indices.foreach { lvl =>
       Files.write(Paths.get(dstDir, s"upper$lvl.centroids.bin"),

@@ -817,9 +817,10 @@ object AnnTopKRewrite {
     * review; regression-tested in AnnRewriteSpec / KnnJoinServeSpec).
     * COST: ParquetFilters cannot convert IsNull on an array column, so
     * the whole Or stays a post-scan filter — the IN list loses its
-    * row-group pruning. `graft.ann.topk.keepNulls=false` (see
-    * [[AnnTopKRewrite.keepNulls]]) restores the bare pushable IN for
-    * corpora the operator asserts null-free. RANGE serves always use
+    * row-group pruning. `graft.ann.topk.keepNulls` (see
+    * `AnnTopKRewrite.keepNullsFor`) restores the bare pushable IN for
+    * corpora the operator asserts — or the index attests — null-free.
+    * RANGE serves always use
     * the bare id restriction — their retained sphere predicate
     * (`dist < r`) is null-killing, so the exact plan never returns
     * null-vector rows.
@@ -875,11 +876,16 @@ case class AnnTopKRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     * with no child reference (cannot happen for the matched distance
     * orderings) degrades to the bare id restriction. A maxsim ordering
     * additionally keeps empty token arrays (see
-    * [[AnnTopKRewrite.topkRestriction]]'s `keepEmpty`). */
+    * [[AnnTopKRewrite.topkRestriction]]'s `keepEmpty`). `complete` =
+    * does the serving tier ATTEST that every source row entered the
+    * index (IvfIndex.sourceComplete folded over every resolved root)?
+    * Under the default keepNulls=auto an attested-complete corpus keeps
+    * the bare parquet-pushable IN — there is nothing to keep. */
   private def topkFilter(sort: Sort, child: LogicalPlan, idAttr: Attribute,
-      ids: Seq[Long], idLit: Long => Literal): Filter = {
+      ids: Seq[Long], idLit: Long => Literal,
+      complete: => Boolean = false): Filter = {
     val vecOpt =
-      if (!keepNulls) None
+      if (!keepNullsFor(complete)) None
       else sort.order.headOption
         .flatMap(_.child.references.find(a => child.outputSet.contains(a)))
     val maxsim = sort.order.headOption
@@ -890,17 +896,30 @@ case class AnnTopKRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
       .getOrElse(AnnTopKRewrite.idsInExpr(idAttr, ids, idLit)), child))
   }
 
-  /** `graft.ann.topk.keepNulls` (default true): serve top-k with the
-    * null-keeping restriction so NULL-vector rows rank first exactly as
-    * the ASC NULLS FIRST plan they replace would rank them. The
-    * `IsNull` disjunct is not convertible by ParquetFilters (array
-    * column), so it costs the candidate IN list its parquet row-group
-    * pruning — an operator whose corpus provably holds no NULL vectors
-    * (index builds already exclude them) sets this false to restore the
-    * bare pushable IN. Range serves are unaffected either way (their
-    * retained sphere predicate is null-killing). */
-  private def keepNulls: Boolean =
-    spark.conf.get("graft.ann.topk.keepNulls", "true").toBoolean
+  /** `graft.ann.topk.keepNulls` — does a served top-k restrict with the
+    * null-keeping `id IN (...) OR vec IS NULL` (so NULL-vector rows rank
+    * first exactly as the ASC NULLS FIRST plan they replace would rank
+    * them) or the bare parquet-pushable IN?
+    *   - `auto` (default): bare IN when EVERY resolved root attests
+    *     source completeness (IvfIndex.sourceComplete — recorded at
+    *     build, tainted by null-bearing delta appends; IVF tiers only,
+    *     graph/sharded/maxsim tiers have no attestation and keep the
+    *     Or), the null-keeping Or otherwise. Exact either way; complete
+    *     corpora — the overwhelmingly common case — keep row-group
+    *     pruning.
+    *   - `true`: always the null-keeping Or (the IsNull disjunct on an
+    *     array column is not ParquetFilters-convertible, so the whole
+    *     Or runs post-scan — candidate row-group pruning is lost).
+    *   - `false`: always the bare IN — the operator asserts the corpus
+    *     null-free regardless of what the index attests.
+    * Range serves are unaffected in every mode (their retained sphere
+    * predicate is null-killing). */
+  private def keepNullsFor(complete: => Boolean): Boolean =
+    spark.conf.get("graft.ann.topk.keepNulls", "auto") match {
+      case "false" => false
+      case "true"  => true
+      case _       => !complete
+    }
 
   private def ensureInPushdown(n: Int): Unit =
     IvfIndex.ensureInPushdown(spark, n)
@@ -1595,7 +1614,8 @@ case class AnnTopKRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
       indexedIsLeft: Boolean, idAttr: Attribute, idLit: Long => Literal,
       vecAttr: Attribute,
       centersOf: () => Option[Array[C]],
-      keepEmpty: Boolean = false)(
+      keepEmpty: Boolean = false,
+      complete: => Boolean = false)(
       cands: Array[C] => Option[Array[Long]]): Option[LogicalPlan] = {
     val maxInList = spark.conf.get("graft.ann.maxInList", "8192").toInt
     val sliceSize = math.max(1,
@@ -1645,7 +1665,7 @@ case class AnnTopKRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
           else {
             ensureInPushdown(ids.length)
             val restricted = stamped(Filter(
-              if (keepNulls)
+              if (keepNullsFor(complete))
                 AnnTopKRewrite.topkRestriction(idAttr, ids, idLit, vecAttr,
                   keepEmpty = keepEmpty)
               else AnnTopKRewrite.idsInExpr(idAttr, ids, idLit),
@@ -1851,7 +1871,8 @@ case class AnnTopKRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
         if (!costOk || !multiOk) None
         else serveKnnJoinRestrict(f, w, join, projOpt,
             indexedSide, indexedIsLeft, idAttr, idLit, vecAttr,
-            centersOf) { centers =>
+            centersOf,
+            complete = idxs.forall(_.sourceComplete)) { centers =>
           import spark.implicits._
           val queries = centers.zipWithIndex.map { case (c, i) => (i.toLong, c) }
           def rtOf: Option[(org.apache.spark.sql.DataFrame, String, String)] = {
@@ -2598,7 +2619,8 @@ case class AnnTopKRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
       pool.groupBy(_._1).valuesIterator.map(_.minBy(t => (t._2, t._3))).toArray
     def planWith(ids: Array[Long]): LogicalPlan = {
       ensureInPushdown(ids.length)
-      val filter = topkFilter(sort, child, idAttr, ids, idLit)
+      val filter = topkFilter(sort, child, idAttr, ids, idLit,
+        complete = idxs.forall(_._2.sourceComplete))
       val sorted = Sort(sort.order, global = true, filter)
       val body = projOpt.map(pl => Project(pl, sorted): LogicalPlan).getOrElse(sorted)
       GlobalLimit(Literal(k), LocalLimit(Literal(k), body))
@@ -2767,7 +2789,8 @@ case class AnnTopKRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
       else Some((spark.read.parquet(entry.tablePath), entry.idCol, entry.vecCol))
     def planWith(ids: Array[Long]): LogicalPlan = {
       ensureInPushdown(ids.length)
-      val filter = topkFilter(sort, child, idAttr, ids, idLit)
+      val filter = topkFilter(sort, child, idAttr, ids, idLit,
+        complete = idx.sourceComplete)
       val sorted = Sort(sort.order, global = true, filter)
       val body = projOpt.map(pl => Project(pl, sorted): LogicalPlan).getOrElse(sorted)
       GlobalLimit(Literal(k), LocalLimit(Literal(k), body))

@@ -67,11 +67,12 @@ class AnnRewriteSpec extends SparkSpec {
           .limit(10)
         val optimized = df.queryExecution.optimizedPlan.toString
         assert(AnnTopKRewrite.inServed(optimized), s"expected candidate-id pushdown:\n$optimized")
-        // physical scan must carry the pushed In filter (inside the
-        // null-keeping Or under the default graft.ann.topk.keepNulls;
-        // the bare pushable form is pinned in the keepNulls=false test)
+        // physical scan must carry the pushed In filter: this fixture's
+        // build attests source completeness, so keepNulls=auto serves
+        // the bare parquet-pushable IN (null-bearing corpora are pinned
+        // in the NULL-vector tests below)
         val physical = df.queryExecution.executedPlan.toString
-        assert(physical.contains("In(id"), physical)
+        assert(physical.contains("PushedFilters: [In(id"), physical)
         // collect the REWRITTEN df itself — not a derived plan
         val got = df.collect().map(_.getLong(0)).toSeq
         val data = spark.read.parquet(tableDir).as[(Long, Seq[Float])].collect()
@@ -1904,6 +1905,52 @@ class AnnRewriteSpec extends SparkSpec {
           s"got $got want ${Seq(41L, 40L) ++ want}\n$plan")
       }
     } finally AnnCatalog.unregisterMaxSim(tableDir)
+  }
+
+  test("source-completeness lifecycle: a clean build attests and serves " +
+       "the bare pushable IN; a null-bearing delta append taints it back " +
+       "to the null-keeping Or (keepNulls=auto)") {
+    import spark.implicits._
+    val rng = new scala.util.Random(616)
+    val rows = (0L until 200L).map(i => i -> Seq.fill(8)(rng.nextFloat() * 2 - 1))
+    val tableDir = Files.createTempDirectory("graft-ann-complete").toString
+    rows.toDF("id", "vec").write.mode("overwrite").parquet(tableDir)
+    val indexDir = Files.createTempDirectory("graft-ann-complete-idx").toString
+    val idx = IvfIndex.build(spark.read.parquet(tableDir), "id", "vec", indexDir,
+      IvfConfig(lists = 4))
+    assert(idx.sourceComplete, "a clean build must attest completeness")
+    AnnCatalog.register(tableDir, indexDir, "id", "vec")
+    try withRule {
+      withConfs("graft.ann.probes" -> "4", "graft.ann.refine" -> "20") {
+        val q = Array.fill(8)(0.1f)
+        def topk() = spark.read.parquet(tableDir)
+          .orderBy(GraftFunctions.vecL2(col("vec"), typedlit(q.toSeq)))
+          .limit(5)
+        val p1 = topk().queryExecution.executedPlan.toString
+        assert(p1.contains("PushedFilters: [In(id"), p1)
+        // keepNulls=true overrides the attestation: always the Or
+        withConfs("graft.ann.topk.keepNulls" -> "true") {
+          val p = topk().queryExecution.optimizedPlan.toString
+          assert(p.toLowerCase.contains("isnull"), p)
+        }
+        // null-bearing append: the table gains rows 200..202 (201 NULL),
+        // the index only the two non-null ones — completeness taints
+        val extra: Seq[(Long, Option[Seq[Float]])] = Seq(
+          200L -> Option(Seq.fill(8)(0.05f)),
+          201L -> Option.empty,
+          202L -> Option(Seq.fill(8)(-0.05f)))
+        extra.toDF("id", "vec").write.mode("append").parquet(tableDir)
+        idx.appendDelta(extra.toDF("id", "vec"), "id", "vec")
+        assert(!idx.sourceComplete, "a null-bearing append must taint")
+        val df2 = topk()
+        val p2 = df2.queryExecution.optimizedPlan.toString
+        assert(AnnTopKRewrite.inServed(p2) && p2.toLowerCase.contains("isnull"),
+          s"tainted corpus must serve the null-keeping Or:\n$p2")
+        // and the appended NULL row ranks first, as in the exact plan
+        val got = df2.select("id").as[Long].collect().toSeq
+        assert(got.head == 201L, s"null row must rank first: $got")
+      }
+    } finally AnnCatalog.unregister(tableDir)
   }
 
   test("graft.ann.topk.keepNulls=false restores the bare pushable IN " +

@@ -107,10 +107,11 @@ class KnnJoinServeSpec extends SparkSpec {
           s"expected candidate-id restriction:\n$optimized")
         // exactly two planning jobs: queries collect + one batched candidate job
         assert(AnnTopKRewrite.planningJobs.get() - before == 2)
-        // physical scan carries the pushed In filter (inside the
-        // null-keeping Or under the default graft.ann.topk.keepNulls)
+        // physical scan carries the pushed In filter: the fixture's
+        // build attests source completeness, so keepNulls=auto serves
+        // the bare parquet-pushable IN
         val physical = df.queryExecution.executedPlan.toString
-        assert(physical.contains("In(id"), physical)
+        assert(physical.contains("PushedFilters: [In(id"), physical)
         assert(collectKj(df) == brute(tableDir, qs, 5))
       }
     } finally AnnCatalog.unregister(tableDir)
