@@ -51,7 +51,8 @@ object ShardedVamana {
     // recovery is ambiguous for dims the bit width does not divide evenly
     org.apache.spark.sql.types.StructField("dim", org.apache.spark.sql.types.IntegerType)))
 
-  private def writeMeta(dir: String, cfg: VamanaConfig, shards: Int): Unit = {
+  private def writeMeta(dir: String, cfg: VamanaConfig, shards: Int,
+                        sourceComplete: Boolean = false): Unit = {
     val p = new java.util.Properties()
     p.setProperty("m", cfg.m.toString)
     p.setProperty("ef_construction", cfg.efConstruction.toString)
@@ -60,6 +61,7 @@ object ShardedVamana {
     p.setProperty("metric", cfg.metric)
     p.setProperty("bits", cfg.bits.toString)
     p.setProperty("shards", shards.toString)
+    p.setProperty("source_complete", sourceComplete.toString)
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
     val w = java.nio.file.Files.newBufferedWriter(
       java.nio.file.Paths.get(dir, "meta.properties"))
@@ -114,15 +116,27 @@ object ShardedVamana {
       }
     spark.createDataFrame(rows, vertexSchema)
       .write.mode("overwrite").parquet(s"$dir/graph")
+    // source completeness (round 17, IvfIndex.sourceComplete analog):
+    // equal source and written vertex counts mean the null filter
+    // dropped nothing — served top-k plans may keep the bare
+    // parquet-pushable candidate IN. Two footer/metadata-level jobs.
+    val srcCount = df.count()
+    val keptCount =
+      try spark.read.schema(vertexSchema).parquet(s"$dir/graph").count()
+      catch { case scala.util.control.NonFatal(_) => 0L }
     // driver-side meta, kilobytes — plain properties like IvfIndex
-    writeMeta(dir, cfg, shards)
+    writeMeta(dir, cfg, shards, sourceComplete = srcCount == keptCount)
   }
 
   /** Shard graphs resident as a persisted RDD[(shard, graph)] — load
     * once, search many (the prewarm analogue). */
   final class Handle private[index] (
       private[index] val graphs: org.apache.spark.rdd.RDD[(Int, VamanaGraph)],
-      val cfg: VamanaConfig, val shards: Int) {
+      val cfg: VamanaConfig, val shards: Int,
+      /** Source-completeness attestation (IvfIndex.sourceComplete
+        * contract): build/load carry it; insertAll clears it (the raw
+        * batch frame is not visible here); vacuum preserves it. */
+      val sourceComplete: Boolean = false) {
 
     /** Total vertex count across shards (one cheap job over the resident
       * RDD, computed on demand and memoized — the planner's cost gate). */
@@ -306,6 +320,8 @@ object ShardedVamana {
         .persist(StorageLevel.MEMORY_AND_DISK)
       next.count()
       graphs.unpersist()
+      // unattested: rows the caller dropped from the raw batch (nulls)
+      // are invisible here — only a fresh build/load can re-attest
       new Handle(next, cfg, shards)
     }
 
@@ -321,7 +337,7 @@ object ShardedVamana {
       }.persist(StorageLevel.MEMORY_AND_DISK)
       next.count()
       graphs.unpersist()
-      new Handle(next, cfg, shards)
+      new Handle(next, cfg, shards, sourceComplete)
     }
 
     /** Persist the current shard graphs to `dir` (post-insert /
@@ -349,7 +365,7 @@ object ShardedVamana {
         .write.mode("overwrite").parquet(s"$dir/graph-next")
       spark.read.schema(vertexSchema).parquet(s"$dir/graph-next")
         .write.mode("overwrite").parquet(s"$dir/graph")
-      writeMeta(dir, cfg, shards)
+      writeMeta(dir, cfg, shards, sourceComplete)
       // drop the staging dir so repeated snapshots don't accumulate
       val stage = new java.io.File(s"$dir/graph-next")
       def rm(f: java.io.File): Unit = {
@@ -420,6 +436,8 @@ object ShardedVamana {
       }
       .persist(StorageLevel.MEMORY_AND_DISK)
     graphs.count() // materialize: load IS the prewarm
-    new Handle(graphs, cfg, shards)
+    new Handle(graphs, cfg, shards,
+      // pre-round-17 metas never measured completeness -> false
+      Option(p.getProperty("source_complete")).exists(_.toBoolean))
   }
 }

@@ -43,9 +43,21 @@ final class VamanaGraph(
     val adj: Array[Array[Int]],
     val medoid: Int,
     val cfg: VamanaConfig,
-    val codes: Array[RaBitQ.Code] = null) extends Serializable {
+    val codes: Array[RaBitQ.Code] = null,
+    val sourceComplete: Boolean = false) extends Serializable {
 
   def quantized: Boolean = codes != null
+
+  /** Copy with the source-completeness attestation (did every row of the
+    * build source enter the graph? — the planner's license for the bare
+    * parquet-pushable candidate IN; see IvfIndex.sourceComplete for the
+    * contract). Only the DataFrame build and load can attest; insertAll
+    * returns unattested graphs (it receives pre-collected arrays and
+    * cannot see rows a caller dropped from the raw batch), vacuum
+    * preserves the flag (removing index entries for deleted table rows
+    * does not create unindexed null rows). */
+  private[index] def attested(b: Boolean): VamanaGraph =
+    new VamanaGraph(ids, vecs, adj, medoid, cfg, codes, b)
 
   /** Approximate broadcast footprint in bytes (ids + vectors-or-codes +
     * adjacency, with per-array header overhead): an O(n) ESTIMATE for
@@ -409,9 +421,9 @@ final class VamanaGraph(
       if (ids.isEmpty) -1 else if (quantized) codes(0).dim else vecs(0).length
     val medoidId = if (ids.isEmpty) -1L else ids(medoid)
     Seq((cfg.m, cfg.efConstruction, cfg.efSearch, cfg.alphas.mkString(","),
-        cfg.metric, medoidId, cfg.bits, dimVal))
+        cfg.metric, medoidId, cfg.bits, dimVal, sourceComplete))
       .toDF("m", "ef_construction", "ef_search", "alphas", "metric",
-        "medoid_id", "bits", "dim")
+        "medoid_id", "bits", "dim", "source_complete")
       .write.mode("overwrite").parquet(s"$dir/config")
   }
 }
@@ -694,8 +706,14 @@ object VamanaGraph {
       "use the IVF index for this tier, build a quantized graph " +
       "(VamanaConfig(bits=2)) from a dedicated pipeline, or raise maxRows " +
       "explicitly")
+    // source completeness (round 17, IvfIndex.sourceComplete analog):
+    // one count job over the source frame — equal counts mean the null
+    // filter dropped nothing and served top-k plans may keep the bare
+    // parquet-pushable candidate IN
+    val srcCount = df.count()
     val sorted = rows.sortBy(_._1)
     build(sorted.map(_._1), sorted.map(_._2.toArray), cfg)
+      .attested(srcCount == rows.length)
   }
 
   /** Robust prune (reference prune.rs:19-72): ascending alpha passes; a
@@ -843,10 +861,14 @@ object VamanaGraph {
     val withDim =
       if (withBits.columns.contains("dim")) withBits
       else withBits.withColumn("dim", lit(-1))
-    val (m, efc, efs, alphas, metric, medoidId, bits, dimCfg) =
-      withDim.select("m", "ef_construction", "ef_search", "alphas", "metric",
-          "medoid_id", "bits", "dim")
-        .as[(Int, Int, Int, String, String, Long, Int, Int)].head()
+    // pre-round-17 dirs never measured completeness -> false
+    val withComplete =
+      if (withDim.columns.contains("source_complete")) withDim
+      else withDim.withColumn("source_complete", lit(false))
+    val (m, efc, efs, alphas, metric, medoidId, bits, dimCfg, srcComplete) =
+      withComplete.select("m", "ef_construction", "ef_search", "alphas", "metric",
+          "medoid_id", "bits", "dim", "source_complete")
+        .as[(Int, Int, Int, String, String, Long, Int, Int, Boolean)].head()
     val cfg = VamanaConfig(m, efc, efs, alphas.split(",").map(_.toDouble).toSeq, metric, bits)
     // explicit read schemas: an EMPTY graph's save writes no part files,
     // and a schema-inferred read would fail on the fileless directory
@@ -863,7 +885,8 @@ object VamanaGraph {
       val ids = rows.map(_._1)
       val idToIdx = ids.zipWithIndex.toMap
       new VamanaGraph(ids, rows.map(_._2.toArray),
-        rows.map(_._3.flatMap(idToIdx.get).toArray), idToIdx(medoidId), cfg)
+        rows.map(_._3.flatMap(idToIdx.get).toArray), idToIdx(medoidId), cfg,
+        null, srcComplete)
     } else {
       val rows = spark.read.schema(StructType(Seq(
           StructField("id", LongType),
@@ -892,7 +915,8 @@ object VamanaGraph {
       val idToIdx = ids.zipWithIndex.toMap
       val codes = rows.map(r => RaBitQ.Code(r._2.toArray, r._3, bits, dim))
       new VamanaGraph(ids, Array.empty,
-        rows.map(_._4.flatMap(idToIdx.get).toArray), idToIdx(medoidId), cfg, codes)
+        rows.map(_._4.flatMap(idToIdx.get).toArray), idToIdx(medoidId), cfg,
+        codes, srcComplete)
     }
   }
 
@@ -905,6 +929,7 @@ object VamanaGraph {
       "VamanaGraph.vacuum (in-place relink through dead vertices)")
     val keep = g.ids.indices.filter(i => !dead.contains(g.ids(i)))
     build(keep.map(g.ids).toArray, keep.map(g.vecs).toArray, g.cfg)
+      .attested(g.sourceComplete) // delete preserves (as vacuum)
   }
 
   /** In-place vacuum (reference G4, crates/vchordg/src/maintain.rs:38-227
@@ -943,7 +968,7 @@ object VamanaGraph {
     // next insertAll re-bootstraps
     if (keep.isEmpty)
       return new VamanaGraph(Array.empty, Array.empty, Array.empty, -1, g.cfg,
-        if (g.quantized) Array.empty[RaBitQ.Code] else null)
+        if (g.quantized) Array.empty[RaBitQ.Code] else null, g.sourceComplete)
     val old2new = Array.fill(n)(-1)
     keep.zipWithIndex.foreach { case (o, nw) => old2new(o) = nw }
     val ids2 = keep.map(g.ids)
@@ -953,6 +978,6 @@ object VamanaGraph {
     val medoid2 =
       if (!isDead(g.medoid)) old2new(g.medoid)
       else old2new(keep.minBy(i => (g.vdist(g.medoid, i), g.ids(i))))
-    new VamanaGraph(ids2, vecs2, adj3, medoid2, g.cfg, codes2)
+    new VamanaGraph(ids2, vecs2, adj3, medoid2, g.cfg, codes2, g.sourceComplete)
   }
 }

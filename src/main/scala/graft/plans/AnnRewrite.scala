@@ -901,9 +901,12 @@ case class AnnTopKRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     * first exactly as the ASC NULLS FIRST plan they replace would rank
     * them) or the bare parquet-pushable IN?
     *   - `auto` (default): bare IN when EVERY resolved root attests
-    *     source completeness (IvfIndex.sourceComplete — recorded at
-    *     build, tainted by null-bearing delta appends; IVF tiers only,
-    *     graph/sharded/maxsim tiers have no attestation and keep the
+    *     source completeness (recorded at build by comparing source vs
+    *     written counts; IVF: IvfIndex.sourceComplete, tainted by
+    *     null-bearing delta appends; graph/sharded:
+    *     VamanaGraph/ShardedVamana.sourceComplete, cleared by
+    *     insertAll, preserved by vacuum; MAXSIM tiers cannot attest — a
+    *     token index never sees empty/null DOCS — and always keep the
     *     Or), the null-keeping Or otherwise. Exact either way; complete
     *     corpora — the overwhelmingly common case — keep row-group
     *     pruning.
@@ -1734,7 +1737,8 @@ case class AnnTopKRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
         if (!costOk) None
         else serveKnnJoinRestrict(f, w, join, projOpt,
             indexedSide, indexedIsLeft, idAttr, idLit, vecAttr,
-            centersOf) { centers =>
+            centersOf,
+            complete = gs.forall(_.sourceComplete)) { centers =>
           Some(centers.flatMap { c =>
             gs.flatMap { g =>
               val kCand = if (g.quantized) math.max(ef, k) else k
@@ -1786,7 +1790,8 @@ case class AnnTopKRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
         if (!costOk) None
         else serveKnnJoinRestrict(f, w, join, projOpt,
             indexedSide, indexedIsLeft, idAttr, idLit, vecAttr,
-            centersOf) { centers =>
+            centersOf,
+            complete = h.sourceComplete) { centers =>
           AnnTopKRewrite.planningJobs.incrementAndGet()
           val queries = centers.zipWithIndex.map { case (c, i) => (i.toLong, c) }
           val kCand = if (h.cfg.bits > 0) math.max(ef, k) else k
@@ -2359,7 +2364,8 @@ case class AnnTopKRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     if (ids.isEmpty) Some(gl)
     else Some {
       ensureInPushdown(ids.length)
-      val filter = topkFilter(sort, child, idAttr, ids, idLit)
+      val filter = topkFilter(sort, child, idAttr, ids, idLit,
+        complete = g.sourceComplete)
       val sorted = Sort(sort.order, global = true, filter)
       val body = projOpt.map(pl => Project(pl, sorted): LogicalPlan).getOrElse(sorted)
       GlobalLimit(Literal(k), LocalLimit(Literal(k), body))
@@ -2394,7 +2400,8 @@ case class AnnTopKRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     if (ids.isEmpty) Some(gl)
     else Some {
       ensureInPushdown(ids.length)
-      val filter = topkFilter(sort, child, idAttr, ids, idLit)
+      val filter = topkFilter(sort, child, idAttr, ids, idLit,
+        complete = gs.forall(_.sourceComplete))
       val sorted = Sort(sort.order, global = true, filter)
       val body = projOpt.map(pl => Project(pl, sorted): LogicalPlan).getOrElse(sorted)
       GlobalLimit(Literal(k), LocalLimit(Literal(k), body))
@@ -2426,7 +2433,8 @@ case class AnnTopKRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     if (ids.isEmpty) Some(gl)
     else Some {
       ensureInPushdown(ids.length)
-      val filter = topkFilter(sort, child, idAttr, ids, idLit)
+      val filter = topkFilter(sort, child, idAttr, ids, idLit,
+        complete = h.sourceComplete)
       val sorted = Sort(sort.order, global = true, filter)
       val body = projOpt.map(pl => Project(pl, sorted): LogicalPlan).getOrElse(sorted)
       GlobalLimit(Literal(k), LocalLimit(Literal(k), body))

@@ -174,6 +174,10 @@ class AnnRewriteSpec extends SparkSpec {
           .limit(10)
         val optimized = df.queryExecution.optimizedPlan.toString
         assert(AnnTopKRewrite.inServed(optimized), s"expected graph candidate pushdown:\n$optimized")
+        // clean corpus: the graph build attests completeness, so
+        // keepNulls=auto serves the bare parquet-pushable IN
+        val physical = df.queryExecution.executedPlan.toString
+        assert(physical.contains("PushedFilters: [In(id"), physical)
         val got = df.collect().map(_.getLong(0)).toSeq
         val data = spark.read.parquet(tableDir).as[(Long, Seq[Float])].collect()
         val want = data.map { case (id, v) => (K.l2(v.toArray, q), id) }
@@ -205,6 +209,9 @@ class AnnRewriteSpec extends SparkSpec {
         assert(AnnTopKRewrite.inServed(optimized), s"expected sharded candidate pushdown:\n$optimized")
         assert(AnnTopKRewrite.planningJobs.get() > jobs0,
           "planning-time sharded search must be counted")
+        // clean corpus: the sharded build attests completeness -> bare IN
+        val physical = df.queryExecution.executedPlan.toString
+        assert(physical.contains("PushedFilters: [In(id"), physical)
         val got = df.collect().map(_.getLong(0)).toSeq
         val data = spark.read.parquet(tableDir).as[(Long, Seq[Float])].collect()
         val want = data.map { case (id, v) => (K.l2(v.toArray, q), id) }
@@ -1905,6 +1912,38 @@ class AnnRewriteSpec extends SparkSpec {
           s"got $got want ${Seq(41L, 40L) ++ want}\n$plan")
       }
     } finally AnnCatalog.unregisterMaxSim(tableDir)
+  }
+
+  test("graph tier: a null-bearing corpus is UNATTESTED — the serve keeps " +
+       "the null Or and NULL rows rank first") {
+    import spark.implicits._
+    val (tableDir, _) = nullSetup
+    val graphDir = Files.createTempDirectory("graft-ann-graph-nulls").toString
+    val g = graft.index.VamanaGraph
+      .build(spark.read.parquet(tableDir), "id", "vec", graft.index.VamanaConfig())
+    assert(!g.sourceComplete, "null-bearing build must NOT attest")
+    g.save(spark, graphDir)
+    AnnCatalog.registerGraph(tableDir, graphDir, "id", "vec")
+    try withRule {
+      withConfs("graft.ann.efSearch" -> "256") {
+        val q = Array.fill(8)(0.2f)
+        val df = spark.read.parquet(tableDir)
+          .orderBy(GraftFunctions.vecL2(col("vec"), typedlit(q.toSeq)))
+          .limit(6)
+        val optimized = df.queryExecution.optimizedPlan.toString
+        assert(AnnTopKRewrite.inServed(optimized) &&
+          optimized.toLowerCase.contains("isnull"),
+          s"expected the null-keeping graph serve:\n$optimized")
+        val got = df.select("id").as[Long].collect().toSeq
+        assert(got.take(3).toSet == Set(300L, 301L, 302L),
+          s"null rows must rank first: $got")
+        val data = spark.read.parquet(tableDir).where("vec is not null")
+          .as[(Long, Seq[Float])].collect()
+        val want = data.map { case (id, v) => (K.l2(v.toArray, q), id) }
+          .sorted.take(3).map(_._2).toSeq
+        assert(got.drop(3) == want)
+      }
+    } finally AnnCatalog.unregisterGraph(tableDir)
   }
 
   test("source-completeness lifecycle: a clean build attests and serves " +
