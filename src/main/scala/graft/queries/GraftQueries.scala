@@ -441,6 +441,52 @@ object GraftQueries {
       },
       Some(knnOracle)),
 
+    // NULL-ordering parity of the served top-k (round 17): a corpus
+    // holding NULL-vector rows (absent from the index — the reference's
+    // issue_427 behavior) must rank them FIRST in an ascending distance
+    // sort, exactly as the ASC NULLS FIRST plan the rule replaces. The
+    // build sees the nulls -> no completeness attestation -> the serve
+    // restricts with `vec_id IN (…) OR embedding IS NULL` (asserted
+    // in-query). Oracle: DuckDB needs the explicit NULLS FIRST (its ASC
+    // default is NULLS LAST — the opposite of Spark's).
+    "knn_nulls" -> Q(
+      (s, d) => {
+        val q = qvec(s, d, 0)
+        val path = nullEmbTable(s, d)
+        if (!s.experimental.extraOptimizations.exists(_.isInstanceOf[graft.plans.AnnTopKRewrite]))
+          s.experimental.extraOptimizations =
+            s.experimental.extraOptimizations :+ graft.plans.AnnTopKRewrite(s)
+        graft.functions.GraftFunctions.registerAll(s)
+        s.read.parquet(path).createOrReplaceTempView("null_emb")
+        val qSql = q.map(_.toString).mkString("array(", "F, ", "F)")
+        val served = withConfs(s, "graft.ann.probes" -> "16",
+          "graft.ann.refine" -> "16") {
+            val df = s.sql(
+              s"""SELECT vec_id, round(vec_l2(embedding, $qSql), 3) AS dist FROM (
+                 |  SELECT vec_id, embedding FROM null_emb
+                 |  ORDER BY vec_l2(embedding, $qSql) LIMIT 10
+                 |) ORDER BY dist ASC NULLS FIRST, vec_id""".stripMargin)
+            val plan = df.queryExecution.optimizedPlan.toString
+            require(graft.plans.AnnTopKRewrite.inServed(plan),
+              "knn_nulls was NOT index-served:\n" + plan)
+            require(plan.toLowerCase.contains("isnull"),
+              "knn_nulls must carry the null-keeping Or (the corpus holds " +
+              "NULL vectors, so the bare IN would drop them):\n" + plan)
+            df.collect()
+          }
+        import s.implicits._
+        served.map(r => (r.getLong(0),
+            if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toSeq
+          .toDF("vec_id", "dist")
+          .orderBy(col("dist").asc_nulls_first, col("vec_id"))
+      },
+      Some(s"""$distCte,
+           |nulls AS (SELECT (SELECT max(vec_id) FROM embeddings) + 1 + r AS vec_id,
+           |  CAST(NULL AS DOUBLE) AS dist FROM range(3) t(r))
+           |SELECT vec_id, round(dist, 3) AS dist FROM (
+           |  SELECT vec_id, dist FROM dd UNION ALL SELECT vec_id, dist FROM nulls
+           |) ORDER BY dist ASC NULLS FIRST, vec_id LIMIT 10""".stripMargin)),
+
     // Partitioned-table ANN serving (reference tests/vchordrq/
     // partition.slt: per-child indexes answer parent-table queries):
     // embeddings split into two parquet roots (pt = vec_id % 2), each
@@ -3164,6 +3210,26 @@ object GraftQueries {
     cached(s"pftbl:$d") {
       val dst = vdir(d, "pftbl")
       tbl(s, d, "embeddings").write.mode("overwrite").parquet(dst)
+      dst
+    }
+
+  /** Embeddings plus three NULL-vector rows (ids max+1..max+3), IVF
+    * indexed and registered — the `knn_nulls` fixture. The build counts
+    * source vs kept rows, sees the three drops, and does NOT attest
+    * completeness, so the serve keeps the `OR embedding IS NULL`
+    * restriction the oracle requires. */
+  private def nullEmbTable(s: SparkSession, d: String): String =
+    cached(s"nulltbl:$d") {
+      val dst = vdir(d, "nulltbl")
+      val e = tbl(s, d, "embeddings").select("vec_id", "embedding")
+      val maxId = e.agg(max("vec_id")).head().getLong(0)
+      val nulls = s.range(3).select((col("id") + maxId + 1).as("vec_id"),
+        lit(null).cast("array<float>").as("embedding"))
+      e.unionByName(nulls).write.mode("overwrite").parquet(dst)
+      val idir = s"$dst-idx"
+      rmTree(idir)
+      IvfIndex.build(s.read.parquet(dst), "vec_id", "embedding", idir, cfg16)
+      graft.plans.AnnCatalog.register(dst, idir, "vec_id", "embedding")
       dst
     }
 
