@@ -179,9 +179,11 @@ object Curation {
     * RNG state, stable under repartitioning — the property `rand()`
     * does NOT have (its stream is per-partition). */
   def hashUnit(id: Column, seed: String): Column =
-    conv(substring(md5(to_binary(
-      concat(lit(seed), lit(":"), id.cast("string")), lit("utf-8"))), 1, 8),
-      16, 10).cast("long").cast("double") / 4294967296.0
+    // one generated call straight off the md5 digest bytes — identical
+    // value to conv(substring(md5(bytes),1,8),16,10)/2^32, minus the
+    // per-row hex-string round trip (see Md5UnitExpr)
+    kcol(graft.functions.Md5UnitExpr(kexpr(
+      concat(lit(seed), lit(":"), id.cast("string")))))
 
   /**
    * Deterministic weighted sampling for training-mix construction: keep a
@@ -306,15 +308,20 @@ object Curation {
    */
   /** Engine-neutral shingle→bucket hash: first 8 hex chars of md5 as a
     * 32-bit integer mod `buckets` (the bucket form of [[hashUnit]]). */
-  private def bucketOf(g: Column, buckets: Int): Column =
-    pmod(conv(substring(md5(g.cast("binary")), 1, 8), 16, 10)
-      .cast("long"), lit(buckets.toLong))
+  private def kcol(e: org.apache.spark.sql.catalyst.expressions.Expression): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(e)
+  private def kexpr(c: Column): org.apache.spark.sql.catalyst.expressions.Expression =
+    org.apache.spark.sql.graft.ColumnBridge.expression(c)
 
-  private def bucketedShingles(d: DataFrame, t: String, n: Int,
-                               buckets: Int, keep: Column*): DataFrame =
-    d.select(keep :+ explode(shingles(col(t), n)).as("__g"): _*)
-      .withColumn("__b", bucketOf(col("__g"), buckets))
-      .drop("__g")
+  /** `pmod(conv(substring(md5(g),1,8),16,10), buckets)` as ONE generated
+    * call straight off the digest bytes — the hex-string round trip
+    * (md5 → 32-char hex → substring → conv string-parse) cost ~1 µs per
+    * N-GRAM and dominated every LM/DSIR histogram and scoring pass
+    * (measured r17: lm_xent's scoring stage 719 ms for 265k bigrams).
+    * Bucket values are bit-identical (same first-4-digest-bytes unsigned
+    * int, non-negative so pmod == %). */
+  private def bucketOf(g: Column, buckets: Int): Column =
+    kcol(graft.functions.Md5BucketExpr(kexpr(g.cast("string")), buckets.toLong))
 
   /**
    * The DSIR model as DATA: the per-bucket smoothed log-ratio table
@@ -331,15 +338,36 @@ object Curation {
     require(buckets >= 2, s"need >= 2 hash buckets, got $buckets")
     require(alpha > 0, s"smoothing alpha must be > 0, got $alpha")
     val spark = target.sparkSession
+    spark.createDataset(
+        importanceTable(target, targetTextCol, raw, rawTextCol, n, buckets,
+          alpha).zipWithIndex.map { case (w, b) => (b.toLong, w) }.toSeq)(
+        org.apache.spark.sql.Encoders.product[(Long, Double)])
+      .toDF("bucket", "logratio")
+  }
+
+  /** [[importanceModel]] as the dense per-bucket log-ratio array the
+    * in-row scorer consumes directly. */
+  private def importanceTable(target: DataFrame, targetTextCol: String,
+                              raw: DataFrame, rawTextCol: String,
+                              n: Int, buckets: Int,
+                              alpha: Double): Array[Double] = {
+    require(n >= 1, s"shingle size must be >= 1, got $n")
+    require(buckets >= 2, s"need >= 2 hash buckets, got $buckets")
+    require(alpha > 0, s"smoothing alpha must be > 0, got $alpha")
+    val spark = target.sparkSession
     import spark.implicits._
     // the histograms are <= `buckets` rows by construction: collect them
-    // ONCE and finish on the driver — the alternative (separate total()
-    // jobs + a re-computed histogram under the ratio join) scans each
-    // corpus twice for no reason
+    // ONCE and finish on the driver. Per-doc bucket arrays come from ONE
+    // generated kernel call (ShingleBucketsExpr) instead of a
+    // per-shingle string explode + hex-md5 chain, and FanOut spreads the
+    // hash work across the box when the scan is a single tiny row group
+    // (no-op at real scale) — guide §2/§4.
     def hist(d: DataFrame, t: String): Array[Long] = {
       val h = new Array[Long](buckets)
-      bucketedShingles(d, t, n, buckets).groupBy("__b")
-        .agg(count(lit(1)).as("__c")).as[(Long, Long)].collect()
+      graft.core.FanOut(d)
+        .select(explode(kcol(graft.functions.ShingleBucketsExpr(
+          kexpr(toks(col(t))), n, buckets))).as("__b"))
+        .groupBy("__b").agg(count(lit(1)).as("__c")).as[(Long, Long)].collect()
         .foreach { case (b, c) => h(b.toInt) = c }
       h
     }
@@ -353,24 +381,30 @@ object Curation {
     val rh = hist(raw, rawTextCol)
     val tTot = th.sum
     val rTot = rh.sum
-    spark.createDataset((0 until buckets).map(b =>
-        (b.toLong,
-          math.log((th(b) + alpha) / (tTot + alpha * buckets)) -
-          math.log((rh(b) + alpha) / (rTot + alpha * buckets)))))
-      .toDF("bucket", "logratio")
+    Array.tabulate(buckets)(b =>
+      math.log((th(b) + alpha) / (tTot + alpha * buckets)) -
+        math.log((rh(b) + alpha) / (rTot + alpha * buckets)))
   }
 
   def importanceWeights(df: DataFrame, idCol: String, textCol: String,
                         target: DataFrame, targetTextCol: String,
                         n: Int = 2, buckets: Int = 8192,
                         alpha: Double = 0.01): DataFrame = {
-    val lr = broadcast(
-      importanceModel(target, targetTextCol, df, textCol, n, buckets, alpha)
-        .select(col("bucket").as("__b"), col("logratio").as("__w")))
-    bucketedShingles(df, textCol, n, buckets, col(idCol).as("doc_id"))
-      .join(lr, Seq("__b"))
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_shingles"), sum(col("__w")).as("weight"))
+    val w = importanceTable(target, targetTextCol, df, textCol, n, buckets,
+      alpha)
+    // per-doc scoring IN-ROW (one kernel call accumulating in token
+    // order — the same order the explode + broadcast-join + partial-agg
+    // formulation summed in, since a document's exploded rows never
+    // split across partitions). explode(array(·)) pins the kernel to
+    // ONE evaluation per row: a plain projection would collapse into
+    // the filter above it and re-evaluate the kernel per consumer.
+    val score = kcol(graft.functions.ShingleScoreExpr(
+      kexpr(toks(col(textCol))), n, w))
+    graft.core.FanOut(df)
+      .select(col(idCol).as("doc_id"), explode(array(score)).as("__r"))
+      .filter(col("__r")(0) > 0)
+      .select(col("doc_id"), col("__r")(0).cast("long").as("n_shingles"),
+        col("__r")(1).as("weight"))
   }
 
   /**
@@ -487,17 +521,21 @@ object Curation {
     require(buckets >= 2, s"need >= 2 hash buckets, got $buckets")
     val spark = lmDf.sparkSession
     import spark.implicits._
-    def hist(mk: Column => Column): Array[Long] = {
-      val h = new Array[Long](buckets)
-      lmDf.select(explode(mk(toks(col(lmTextCol)))).as("__g"))
-        .select(bucketOf(col("__g"), buckets).as("__b"))
-        .groupBy("__b").agg(count(lit(1)).as("__c"))
-        .as[(Long, Long)].collect()
-        .foreach { case (b, c) => h(b.toInt) = c }
-      h
-    }
-    val cb = hist(t => tokenShingles(t, 2))
-    val cu = hist(t => slice(t, lit(1), greatest(size(t) - 1, lit(0))))
+    // ONE pass over the LM corpus builds BOTH histograms: the kernel
+    // emits each document's bigram buckets followed by its context
+    // buckets offset by `buckets` (a tag in the key), one explode + one
+    // small groupBy, split back on the driver. Previously two full
+    // tokenize+md5 jobs. FanOut spreads the hash work when the scan is
+    // one tiny row group (no-op at real scale).
+    val h2 = new Array[Long](2 * buckets)
+    graft.core.FanOut(lmDf)
+      .select(explode(kcol(graft.functions.NgramLmBucketsExpr(
+        kexpr(toks(col(lmTextCol))), buckets))).as("__k"))
+      .groupBy("__k").agg(count(lit(1)).as("__c"))
+      .as[(Long, Long)].collect()
+      .foreach { case (k, c) => h2(k.toInt) = c }
+    val cb = java.util.Arrays.copyOfRange(h2, 0, buckets)
+    val cu = java.util.Arrays.copyOfRange(h2, buckets, 2 * buckets)
     require(cb.exists(_ > 0), "ngram LM corpus has no bigrams")
     (cb, cu)
   }
@@ -559,29 +597,24 @@ object Curation {
                         buckets: Int = 8192, alpha: Double = 0.1): DataFrame = {
     require(buckets >= 2, s"need >= 2 hash buckets, got $buckets")
     require(alpha > 0, s"smoothing alpha must be > 0, got $alpha")
-    val spark = df.sparkSession
-    import spark.implicits._
-    def ctxArr(t: Column): Column =
-      slice(t, lit(1), greatest(size(t) - 1, lit(0)))
     val (cb, cu) = ngramLm(lmDf, lmTextCol, buckets)
-    val cbDf = broadcast(spark.createDataset(
-      (0 until buckets).map(b => (b.toLong, cb(b)))).toDF("__b2", "__cb"))
-    val cuDf = broadcast(spark.createDataset(
-      (0 until buckets).map(b => (b.toLong, cu(b)))).toDF("__b1", "__cu"))
-    val t = toks(col(textCol))
-    df.select(col(idCol).as("doc_id"),
-        explode(arrays_zip(ctxArr(t).as("c"), tokenShingles(t, 2).as("g"))).as("__z"))
-      .select(col("doc_id"),
-        bucketOf(col("__z.c"), buckets).as("__b1"),
-        bucketOf(col("__z.g"), buckets).as("__b2"))
-      .join(cbDf, Seq("__b2"))
-      .join(cuDf, Seq("__b1"))
-      .withColumn("__lp",
-        log((col("__cb") + lit(alpha)) / (col("__cu") + lit(alpha * buckets))))
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_bigrams"), sum(col("__lp")).as("__s"))
-      .select(col("doc_id"), col("n_bigrams"),
-        (-col("__s") / col("n_bigrams")).as("xent"))
+    // per-doc scoring IN-ROW: one generated kernel call accumulating
+    // ln p(bigram | ctx) in token order — the same order (and the same
+    // long+double arithmetic) the explode + two-broadcast-join +
+    // partial-agg formulation produced, since a document's exploded rows
+    // never split across partitions. Replaces ~2 internal rows and two
+    // join probes per bigram with zero row expansion (guide step 4).
+    // explode(array(·)) pins the kernel to ONE evaluation per row (a
+    // plain projection would collapse into the filter and re-evaluate
+    // per consumer); FanOut spreads the md5 work when the scan is one
+    // tiny row group (no-op at real scale).
+    val score = kcol(graft.functions.NgramScoreExpr(
+      kexpr(toks(col(textCol))), cb, cu, alpha))
+    graft.core.FanOut(df)
+      .select(col(idCol).as("doc_id"), explode(array(score)).as("__r"))
+      .filter(col("__r")(0) > 0)
+      .select(col("doc_id"), col("__r")(0).cast("long").as("n_bigrams"),
+        (-col("__r")(1) / col("__r")(0)).as("xent"))
   }
 
   /**

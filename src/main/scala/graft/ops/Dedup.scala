@@ -122,9 +122,9 @@ object Dedup {
     // pair emission) — a self-join would evaluate and shuffle the shingle
     // set twice; shingles are already distinct within a doc, so each
     // shared shingle contributes exactly one (da, db) emission
-    val inter = shF.select(col("shingle"), col("id").cast("long")).as[(Long, Long)]
-      .groupByKey(_._1)
-      .flatMapGroups((_, it) => bucketPairs(it.map(_._2), cap = 0))
+    val inter = groupRuns(
+        shF.select(col("shingle"), col("id").cast("long")).as[(Long, Long)],
+        pairParts(spark))((_, ids) => bucketPairs(ids.iterator, cap = 0))
       .toDF("da", "db")
       .groupBy("da", "db").agg(count(lit(1)).as("i"))
     inter
@@ -252,13 +252,60 @@ object Dedup {
     val r = numHashes / bands
     val spark = sigs.sparkSession
     import spark.implicits._
-    sigs.as[(Long, Array[Long])].flatMap { case (id, sig) =>
-      bandKeys(sig, bands, r).map(k => (k, id))
-    }
-      .groupByKey(_._1)
-      .flatMapGroups((_, it) => bucketPairs(it.map(_._2), maxBucket))
+    groupRuns(
+        sigs.as[(Long, Array[Long])].flatMap { case (id, sig) =>
+          bandKeys(sig, bands, r).map(k => (k, id))
+        },
+        pairParts(spark))((_, ids) => bucketPairs(ids.iterator, maxBucket))
       .toDF("da", "db")
       .distinct()
+  }
+
+  /** Explicit shuffle-partition count for the bucket-pair exchanges:
+    * the per-bucket work downstream is QUADRATIC in bucket size, which
+    * AQE's bytes-based coalescing cannot see — measured at sf0.1 it
+    * folded a ~2M-pair generation stage into ONE task (964 ms serial)
+    * because the keyed rows were only ~1 MB. An explicit count is
+    * exempt from coalescing; the value is the session's shuffle
+    * parallelism, so it scales with the deployment, not the box. */
+  private def pairParts(spark: org.apache.spark.sql.SparkSession): Int =
+    spark.conf.getOption("spark.sql.shuffle.partitions").map(_.toInt)
+      .getOrElse(spark.sparkContext.defaultParallelism)
+
+  /** Hash-partition (key, value) rows by key with an EXPLICIT partition
+    * count, sort within partitions, and stream each key's value-run
+    * through `f` — the Dataset groupByKey shape without its
+    * object-codec group materialization and without AQE folding the
+    * quadratic per-key work into one task. One key's values are
+    * buffered at a time (the same bound groupByKey's external map
+    * has). */
+  private def groupRuns[T](kv: org.apache.spark.sql.Dataset[(Long, Long)],
+                           parts: Int)(f: (Long, Array[Long]) => Iterator[T])(
+      implicit enc: org.apache.spark.sql.Encoder[T]): org.apache.spark.sql.Dataset[T] = {
+    kv.toDF("__k", "__v")
+      .repartition(parts, col("__k"))
+      .sortWithinPartitions("__k", "__v")
+      .as[(Long, Long)](org.apache.spark.sql.Encoders.product[(Long, Long)])
+      .mapPartitions { it0 =>
+        val b = it0.buffered
+        new Iterator[T] {
+          private var cur: Iterator[T] = Iterator.empty
+          private def advance(): Boolean = {
+            while (!cur.hasNext && b.hasNext) {
+              val k = b.head._1
+              val vs = new scala.collection.mutable.ArrayBuffer[Long]()
+              while (b.hasNext && b.head._1 == k) vs += b.next()._2
+              cur = f(k, vs.toArray)
+            }
+            cur.hasNext
+          }
+          def hasNext: Boolean = advance()
+          def next(): T = {
+            if (!advance()) throw new NoSuchElementException("empty group run")
+            cur.next()
+          }
+        }
+      }
   }
 
   /** Ordered (da < db) pairs among the ids sharing one bucket.
@@ -767,24 +814,49 @@ object Dedup {
           }
         }
       }
-      val cand = keyed
-        .groupByKey(_._1)
-        .flatMapGroups((_, it) => bucketPairs(it.map(_._2), maxBucket))
-        .toDF("da", "db")
-        .distinct()
-      // only surviving candidate pairs ever carry vectors: fetch both
-      // sides by id for the exact cosine verify (no false positives).
-      // The kernel is the NATIVE codegen expression — the candidate set
-      // at an adversarial tau can approach n^2/2 pairs, and a Scala UDF
-      // here deserializes two boxed Seq[Float] per pair (measured: the
-      // MapObjects loop dominated the whole query)
-      cand
-        .join(base.select(col("id").as("da"), col("v").as("va")), Seq("da"))
-        .join(base.select(col("id").as("db"), col("v").as("vb")), Seq("db"))
-        .withColumn("cosdist",
-          graft.functions.GraftFunctions.vecCosdist(col("va"), col("vb")))
-        .filter(col("cosdist") < tau)
-        .select("da", "db", "cosdist")
+      // r17: when the table fits the same loud broadcast budget the
+      // exact mode already uses, verify candidates IN-BUCKET against a
+      // broadcast of the vectors: the candidate pair stream (tables ×
+      // Σ bucket²/2 emissions — measured ~2M rows at sf0.1) never
+      // becomes DataFrame rows at all; only TRUE pairs are emitted, so
+      // the 2M-row distinct exchange and both vector-fetch joins
+      // disappear. K.cosdist accumulates bit-identically to the
+      // VecCosDistExpr codegen kernel (same double order, same
+      // zero-norm => 1.0), so emitted distances are unchanged. Past the
+      // budget, the join-verify path below is the 100 TB shape:
+      // candidates as narrow rows, vectors fetched by id for survivors.
+      val n = base.count()
+      if (n <= bruteCap) {
+        val side = spark.sparkContext.broadcast(
+          base.as[(Long, Array[Float])].collect().toMap)
+        groupRuns(keyed, pairParts(spark)) { (_, ids) =>
+          val m = side.value
+          bucketPairs(ids.iterator, maxBucket).flatMap { case (a, b) =>
+            val c = K.cosdist(m(a), m(b))
+            if (c < tau) Iterator.single((a, b, c)) else Iterator.empty
+          }
+        }
+          .toDF("da", "db", "cosdist")
+          .distinct()
+      } else {
+        val cand = groupRuns(keyed, pairParts(spark))(
+            (_, ids) => bucketPairs(ids.iterator, maxBucket))
+          .toDF("da", "db")
+          .distinct()
+        // only surviving candidate pairs ever carry vectors: fetch both
+        // sides by id for the exact cosine verify (no false positives).
+        // The kernel is the NATIVE codegen expression — the candidate set
+        // at an adversarial tau can approach n^2/2 pairs, and a Scala UDF
+        // here deserializes two boxed Seq[Float] per pair (measured: the
+        // MapObjects loop dominated the whole query)
+        cand
+          .join(base.select(col("id").as("da"), col("v").as("va")), Seq("da"))
+          .join(base.select(col("id").as("db"), col("v").as("vb")), Seq("db"))
+          .withColumn("cosdist",
+            graft.functions.GraftFunctions.vecCosdist(col("va"), col("vb")))
+          .filter(col("cosdist") < tau)
+          .select("da", "db", "cosdist")
+      }
     }
   }
 
@@ -858,8 +930,20 @@ object Dedup {
         s"(cap $maxCluster): use more centroids (SemDeDup's own scale " +
         "knob) or raise maxCluster explicitly"
     })
-    val left = assigned.select(col("cluster"), col("id").as("da"), col("v").as("va"))
-    val right = assigned.select(col("cluster").as("__cb"), col("id").as("db"), col("v").as("vb"))
+    // EXPLICIT join partitioning (r17): the in-cluster pair join's cost
+    // is Σ|cluster|² — quadratic in rows per partition, invisible to
+    // AQE's bytes-based coalescing, which folded the whole verify stage
+    // into ONE task at small scale (measured 247 ms single-task while
+    // 31 cores idled). repartition with an explicit count is exempt
+    // from AQE coalescing, keeps the join shuffle-free (both sides
+    // share the partitioning), and at real scale equals what the join
+    // exchange would have done anyway.
+    val parts = assigned.sparkSession.conf
+      .getOption("spark.sql.shuffle.partitions").map(_.toInt)
+      .getOrElse(assigned.sparkSession.sparkContext.defaultParallelism)
+    val byCluster = assigned.repartition(parts, col("cluster"))
+    val left = byCluster.select(col("cluster"), col("id").as("da"), col("v").as("va"))
+    val right = byCluster.select(col("cluster").as("__cb"), col("id").as("db"), col("v").as("vb"))
     left.join(right, col("cluster") === col("__cb") && col("da") < col("db"))
       .withColumn("cosdist", vecCosdist(col("va"), col("vb")))
       .filter(col("cosdist") < eps)
@@ -905,6 +989,54 @@ object Dedup {
     import spark.implicits._
     val edges = pairs
       .select(col(aCol).cast("long").as("a"), col(bCol).cast("long").as("b"))
+    // SMALL-GRAPH FAST PATH (r17 optimization): the distributed loop
+    // below costs ~5 jobs per round (join, groupBy, checkpoint,
+    // convergence agg) — measured 40+ jobs of almost pure orchestration
+    // on sub-second pair sets. Real near-dup pair sets are tiny relative
+    // to their corpus (they are the DUPLICATES), so when the pair set
+    // fits a loud driver budget, one bounded collect + union-find
+    // produces the IDENTICAL min-reachable-id labels in one job. The
+    // budget is a conf (graft.dedup.components.maxDriverPairs, rows;
+    // 0 disables); past it the distributed propagation runs unchanged —
+    // the 100 TB path. The peek costs one bounded CollectLimit job that
+    // the distributed path simply would not have run.
+    val maxDriver = spark.conf
+      .getOption("graft.dedup.components.maxDriverPairs")
+      .orElse(spark.conf.getOption("spark.graft.dedup.components.maxDriverPairs"))
+      .map(_.toLong).getOrElse(1L << 20)
+    if (maxDriver > 0 && maxDriver < Int.MaxValue) {
+      val peek = edges.limit(maxDriver.toInt + 1).as[(Long, Long)].collect()
+      if (peek.length <= maxDriver) {
+        val parent = new java.util.HashMap[Long, Long]()
+        def find(x0: Long): Long = {
+          var x = x0
+          var p = parent.get(x)
+          while (p != x) { // path halving
+            val gp = parent.get(p)
+            parent.put(x, gp)
+            x = gp
+            p = parent.get(x)
+          }
+          x
+        }
+        peek.foreach { case (a, b) =>
+          if (!parent.containsKey(a)) parent.put(a, a)
+          if (!parent.containsKey(b)) parent.put(b, b)
+          val ra = find(a); val rb = find(b)
+          if (ra != rb) parent.put(math.max(ra, rb), math.min(ra, rb))
+        }
+        val minOf = new java.util.HashMap[Long, Long]()
+        parent.keySet().forEach { id =>
+          val r = find(id)
+          val cur = minOf.getOrDefault(r, Long.MaxValue)
+          if (id < cur) minOf.put(r, id)
+        }
+        val out = new scala.collection.mutable.ArrayBuffer[(Long, Long)](parent.size)
+        parent.keySet().forEach(id => out += ((id, minOf.get(find(id)))))
+        return spark.createDataset(out.toSeq).toDF("id", "rep")
+      }
+      // else: fall through — the pair set outgrew the driver budget
+    }
     // symmetric adjacency in ONE pass over the pair source (a union of
     // two selects would run the upstream pair pipeline twice — at scale
     // that is the whole minhash/LSH job, the expensive part); one

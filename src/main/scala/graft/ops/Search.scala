@@ -84,11 +84,14 @@ object Search {
     org.apache.spark.sql.types.StructField("dl",
       org.apache.spark.sql.types.IntegerType)))
 
-  /** Column form of [[termBucket]] — identical arithmetic via native
-    * functions (md5 hex prefix as a 32-bit value). */
+  /** Column form of [[termBucket]] — identical arithmetic in one
+    * generated call off the digest bytes (no hex round trip; see
+    * [[graft.functions.Md5BucketExpr]]). */
   private def termBucketCol(term: Column, nBuckets: Int): Column =
-    pmod(conv(substring(md5(to_binary(term, lit("utf-8"))), 1, 8), 16, 10)
-      .cast("long"), lit(nBuckets.toLong)).cast("int")
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.functions.Md5BucketExpr(
+        org.apache.spark.sql.graft.ColumnBridge.expression(term),
+        nBuckets.toLong)).cast("int")
 
   /** Corpus-level BM25 statistics: document count, mean document length
     * (in whitespace tokens), and per-query-term document frequency. */

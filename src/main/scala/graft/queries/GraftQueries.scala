@@ -55,6 +55,22 @@ object GraftQueries {
       .select(col("embedding")).as[Seq[Float]].head().toArray
   }
 
+  /** Embeddings of several vec_ids in ONE bounded collect — a query
+    * needing k query vectors previously paid k filter+head jobs plus k
+    * planning gaps (~100 ms each at sf0.1; measured 13 prelude jobs on
+    * maxsim_join_served). */
+  private def qvecs(spark: SparkSession, sfDir: String,
+                    ids: Seq[Long]): Map[Long, Array[Float]] = {
+    import spark.implicits._
+    val m = tbl(spark, sfDir, "embeddings")
+      .filter(col("vec_id").isin(ids.map(Long.box): _*))
+      .select(col("vec_id"), col("embedding")).as[(Long, Seq[Float])]
+      .collect().map { case (i, v) => i -> v.toArray }.toMap
+    require(ids.forall(m.contains),
+      s"qvecs: missing vec_ids ${ids.filterNot(m.contains).mkString(", ")}")
+    m
+  }
+
   private def lv(q: Array[Float]): Column = typedlit(q.toSeq)
 
   // --- shared oracle SQL fragments (dim is 64 in all testdata tiers) ----
@@ -135,6 +151,31 @@ object GraftQueries {
 
   private def embQ(spark: SparkSession, sfDir: String): (DataFrame, Array[Float]) =
     (tbl(spark, sfDir, "embeddings"), qvec(spark, sfDir, 0))
+
+  /** Deterministic per-label mean centroids (the semdedup-family
+    * prelude) via ONE bounded collect + driver averaging — identical
+    * doubles to the posexplode + groupBy(avg(cast double)) formulation
+    * (same per-group accumulation order: the scan is a single
+    * partition), at one job instead of three AQE stage jobs per query
+    * (r17 optimization; the embeddings fixture is label-complete and
+    * tiny by construction). */
+  private def labelCentroids(e: DataFrame): Array[Array[Float]] = {
+    import e.sparkSession.implicits._
+    val rows = e.select(col("label").cast("int"), col("embedding"))
+      .as[(Int, Seq[Float])].collect()
+    val k = rows.iterator.map(_._1).max + 1
+    val dim = rows.head._2.length
+    val sums = Array.fill(k)(new Array[Double](dim))
+    val cnts = new Array[Long](k)
+    rows.foreach { case (cid, v) =>
+      val s = sums(cid)
+      var j = 0
+      while (j < dim) { s(j) += v(j); j += 1 }
+      cnts(cid) += 1
+    }
+    Array.tabulate(k)(c => Array.tabulate(dim)(j =>
+      if (cnts(c) == 0) 0.0f else (sums(c)(j) / cnts(c)).toFloat))
+  }
 
   // ---- keyword-retrieval oracle scaffolding (ops/Search.scala) ----
 
@@ -250,7 +291,8 @@ object GraftQueries {
     "s7_maxsim" -> Q(
       (s, d) => {
         val e = tbl(s, d, "embeddings")
-        val qs = (1L to 3L).map(qvec(s, d, _))
+        val qv = qvecs(s, d, 1L to 3L)
+        val qs = (1L to 3L).map(qv)
         val docs = e.groupBy(col("label").as("doc"))
           .agg(collect_list(col("embedding")).as("tokens"))
         val raw = vecMaxsim(col("tokens"), typedlit(qs.map(_.toSeq)))
@@ -579,7 +621,8 @@ object GraftQueries {
     "maxsim_partitioned" -> Q(
       (s, d) => {
         val path = partitionedMaxSimTable(s, d)
-        val qs = (1L to 3L).map(qvec(s, d, _))
+        val qv = qvecs(s, d, 1L to 3L)
+        val qs = (1L to 3L).map(qv)
         if (!s.experimental.extraOptimizations.exists(_.isInstanceOf[graft.plans.AnnTopKRewrite]))
           s.experimental.extraOptimizations =
             s.experimental.extraOptimizations :+ graft.plans.AnnTopKRewrite(s)
@@ -636,9 +679,10 @@ object GraftQueries {
         val idxs = cached(s"msparttbl-idxs:$d") {
           (0 to 1).map(p => IvfIndex.load(s, s"$path-idx$p"))
         }
+        val qv6 = qvecs(s, d, 1L to 6L)
         val qs = Array(
-          1L -> (1L to 3L).map(qvec(s, d, _)).toArray,
-          2L -> (4L to 6L).map(qvec(s, d, _)).toArray)
+          1L -> (1L to 3L).map(qv6).toArray,
+          2L -> (4L to 6L).map(qv6).toArray)
         MaxSim.maxsimManyMulti(idxs, qs, k = 10, kPerToken = 1024,
             probes = Seq(8, 8), refine = 8)
           .select(col("qid"), col("doc").cast("int").as("doc"),
@@ -706,7 +750,8 @@ object GraftQueries {
         val graphs = cached(s"gparttbl-graphs:$d") {
           (0 to 1).map(p => graft.index.VamanaGraph.load(s, s"$path-g$p"))
         }
-        val qs = (0L to 2L).map(i => i -> qvec(s, d, i)).toArray
+        val qv = qvecs(s, d, 0L to 2L)
+        val qs = (0L to 2L).map(i => i -> qv(i)).toArray
         graft.index.VamanaGraph.searchManyMulti(s, graphs, qs, k = 10,
             ef = 256)
           .select(col("qid"), col("id").as("vec_id"), col("dist").as("raw"),
@@ -1021,7 +1066,8 @@ object GraftQueries {
     "maxsim_agg" -> Q(
       (s, d) => {
         val e = tbl(s, d, "embeddings")
-        val qs = (1L to 3L).map(qvec(s, d, _)).toArray
+        val qv = qvecs(s, d, 1L to 3L)
+        val qs = (1L to 3L).map(qv).toArray
         MaxSim.score(e.select(col("label"), col("embedding")), "label", "embedding", qs)
           .select(col("doc").cast("int").as("doc"), col("maxsim").as("raw"))
           .orderBy(col("raw"), col("doc"))
@@ -1156,7 +1202,8 @@ object GraftQueries {
     "range_batch_indexed" -> Q(
       (s, d) => {
         val idx = IvfCache.get(s, d)
-        val qs = Array(0, 1, 2).map(i => (i.toLong, qvec(s, d, i), 1.3))
+        val qv = qvecs(s, d, 0L to 2L)
+        val qs = Array(0, 1, 2).map(i => (i.toLong, qv(i.toLong), 1.3))
         idx.rangeSearchMany(qs)
           .select(col("qid"), col("id").as("vec_id"), col("dist").as("raw"))
           .orderBy(col("qid"), col("raw"), col("vec_id"))
@@ -1564,14 +1611,7 @@ object GraftQueries {
     "semdedup" -> Q(
       (s, d) => {
         val e = tbl(s, d, "embeddings")
-        val rows = e.select(col("label").cast("int").as("cid"),
-            posexplode(col("embedding")))
-          .groupBy("cid", "pos").agg(avg(col("col").cast("double")).as("cv"))
-          .collect()
-        val k = rows.map(_.getInt(0)).max + 1
-        val dim = rows.map(_.getInt(1)).max + 1
-        val cents = Array.fill(k)(new Array[Float](dim))
-        rows.foreach(r => cents(r.getInt(0))(r.getInt(1)) = r.getDouble(2).toFloat)
+        val cents = labelCentroids(e)
         Dedup.semDedup(e, "vec_id", "embedding", 0.6, cents)
           .select(col("cluster"), col("da"), col("db"),
             round(col("cosdist"), 3).as("cosdist"))
@@ -1610,14 +1650,7 @@ object GraftQueries {
     "semdedup_keep" -> Q(
       (s, d) => {
         val e = tbl(s, d, "embeddings")
-        val rows = e.select(col("label").cast("int").as("cid"),
-            posexplode(col("embedding")))
-          .groupBy("cid", "pos").agg(avg(col("col").cast("double")).as("cv"))
-          .collect()
-        val k = rows.map(_.getInt(0)).max + 1
-        val dim = rows.map(_.getInt(1)).max + 1
-        val cents = Array.fill(k)(new Array[Float](dim))
-        rows.foreach(r => cents(r.getInt(0))(r.getInt(1)) = r.getDouble(2).toFloat)
+        val cents = labelCentroids(e)
         val pairs = Dedup.semDedup(e, "vec_id", "embedding", 0.6, cents)
         Dedup.dedupe(e, "vec_id", pairs)
           .select(col("vec_id").cast("long").as("vec_id"))
@@ -1660,14 +1693,7 @@ object GraftQueries {
     "cluster_diversify" -> Q(
       (s, d) => {
         val e = tbl(s, d, "embeddings")
-        val rows = e.select(col("label").cast("int").as("cid"),
-            posexplode(col("embedding")))
-          .groupBy("cid", "pos").agg(avg(col("col").cast("double")).as("cv"))
-          .collect()
-        val k = rows.map(_.getInt(0)).max + 1
-        val dim = rows.map(_.getInt(1)).max + 1
-        val cents = Array.fill(k)(new Array[Float](dim))
-        rows.foreach(r => cents(r.getInt(0))(r.getInt(1)) = r.getDouble(2).toFloat)
+        val cents = labelCentroids(e)
         val assigned = Dedup.assignClusters(e, "vec_id", "embedding", cents)
           .select(col("id").as("vec_id"), col("cluster"))
           .withColumn("u", Curation.hashUnit(col("vec_id"), "div"))
@@ -2502,7 +2528,8 @@ object GraftQueries {
     // results must equal the single-query path (and the exact oracle).
     "ivf_knn_batch" -> Q(
       (s, d) => {
-        val qs = (0L to 2L).map(i => i -> qvec(s, d, i)).toArray
+        val qv = qvecs(s, d, 0L to 2L)
+        val qs = (0L to 2L).map(i => i -> qv(i)).toArray
         IvfCache.get(s, d).searchMany(qs, 5, probes = 16, refine = 16)
           .select(col("qid"), col("id").as("vec_id"), col("dist").as("raw"), col("rn"))
           .orderBy("qid", "rn")
@@ -2533,7 +2560,8 @@ object GraftQueries {
         val idxs = cached(s"parttbl-idxs:$d") {
           (0 to 1).map(p => IvfIndex.load(s, s"$path-idx$p"))
         }
-        val qs = (0L to 2L).map(i => i -> qvec(s, d, i)).toArray
+        val qv = qvecs(s, d, 0L to 2L)
+        val qs = (0L to 2L).map(i => i -> qv(i)).toArray
         IvfIndex.searchManyMulti(idxs, qs, 5, probes = 8, refine = 16)
           .select(col("qid"), col("id").as("vec_id"), col("dist").as("raw"), col("rn"))
           .orderBy("qid", "rn")
@@ -2562,7 +2590,8 @@ object GraftQueries {
         val idxs = cached(s"parttbl-idxs:$d") {
           (0 to 1).map(p => IvfIndex.load(s, s"$path-idx$p"))
         }
-        val qs = Array(0, 1, 2).map(i => (i.toLong, qvec(s, d, i), 1.3))
+        val qv = qvecs(s, d, 0L to 2L)
+        val qs = Array(0, 1, 2).map(i => (i.toLong, qv(i.toLong), 1.3))
         IvfIndex.rangeSearchManyMulti(idxs, qs)
           .select(col("qid"), col("id").as("vec_id"), col("dist").as("raw"))
           .orderBy(col("qid"), col("raw"), col("vec_id"))
@@ -2721,9 +2750,10 @@ object GraftQueries {
             s.read.parquet(path).inputFiles.toSeq).exists(_.size == 2),
           "maxsim_batch_served: the partitioned multivector corpus is " +
           "not covered by its per-child registrations")
+        val qv6 = qvecs(s, d, 1L to 6L)
         val qdf = Seq(
-            (1L, (1L to 3L).map(qvec(s, d, _).toSeq).toSeq),
-            (2L, (4L to 6L).map(qvec(s, d, _).toSeq).toSeq))
+            (1L, (1L to 3L).map(qv6(_).toSeq).toSeq),
+            (2L, (4L to 6L).map(qv6(_).toSeq).toSeq))
           .toDF("qid", "tokens")
         withConfs(s, "graft.ann.probes" -> "8",
           "graft.ann.maxsim.kPerToken" -> "1024", "graft.ann.refine" -> "8") {
@@ -2763,9 +2793,10 @@ object GraftQueries {
             s.experimental.extraOptimizations :+ graft.plans.AnnTopKRewrite(s)
         graft.functions.GraftFunctions.registerAll(s)
         s.read.parquet(path).createOrReplaceTempView("ms_kj")
+        val qv6 = qvecs(s, d, 1L to 6L)
         Seq(
-            (1L, (1L to 3L).map(qvec(s, d, _).toSeq).toSeq),
-            (2L, (4L to 6L).map(qvec(s, d, _).toSeq).toSeq))
+            (1L, (1L to 3L).map(qv6(_).toSeq).toSeq),
+            (2L, (4L to 6L).map(qv6(_).toSeq).toSeq))
           .toDF("qid", "qtokens").createOrReplaceTempView("msq_kj")
         val served = withConfs(s, "graft.ann.probes" -> "16",
           "graft.ann.maxsim.kPerToken" -> "1024", "graft.ann.refine" -> "8",

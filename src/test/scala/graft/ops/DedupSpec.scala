@@ -167,15 +167,23 @@ class DedupSpec extends SparkSpec {
     // disjoint pair {20,21}
     val pairs = Seq((1L, 5L), (1L, 9L), (10L, 11L), (11L, 12L), (12L, 13L),
       (13L, 14L), (20L, 21L)).toDF("da", "db")
-    val got = Dedup.components(pairs).as[(Long, Long)].collect().toMap
-    assert(got == Map(1L -> 1L, 5L -> 1L, 9L -> 1L,
+    val want = Map(1L -> 1L, 5L -> 1L, 9L -> 1L,
       10L -> 10L, 11L -> 10L, 12L -> 10L, 13L -> 10L, 14L -> 10L,
-      20L -> 20L, 21L -> 20L))
-    // non-convergence fails loudly instead of emitting wrong labels
-    val e = intercept[IllegalArgumentException] {
-      Dedup.components(pairs, maxIters = 1).collect()
-    }
-    assert(e.getMessage.contains("converge"))
+      20L -> 20L, 21L -> 20L)
+    // default: the pair set fits the driver budget -> union-find path
+    val got = Dedup.components(pairs).as[(Long, Long)].collect().toMap
+    assert(got == want)
+    // distributed propagation path (budget disabled): identical labels
+    spark.conf.set("graft.dedup.components.maxDriverPairs", "0")
+    try {
+      val gotDist = Dedup.components(pairs).as[(Long, Long)].collect().toMap
+      assert(gotDist == want)
+      // non-convergence fails loudly instead of emitting wrong labels
+      val e = intercept[IllegalArgumentException] {
+        Dedup.components(pairs, maxIters = 1).collect()
+      }
+      assert(e.getMessage.contains("converge"))
+    } finally spark.conf.unset("graft.dedup.components.maxDriverPairs")
   }
 
   test("dedupe keeps each cluster's min id and all isolates") {
@@ -275,18 +283,33 @@ class DedupSpec extends SparkSpec {
     import org.apache.spark.storage.StorageLevel
     import spark.implicits._
     val df = docs.toDF("doc_id", "text")
-    val pipe = Dedup.pipeline(df, "doc_id",
+    // distributed-components path pinned: the checkpoint-block contract
+    // this test guards only exists there (the driver union-find path
+    // emits a local relation with no executor storage to release)
+    spark.conf.set("graft.dedup.components.maxDriverPairs", "0")
+    try {
+      val pipe = Dedup.pipeline(df, "doc_id",
+        d => Dedup.minhashDedup(d, "doc_id", "text", 0.6))
+      pipe.cleaned.count() // materialize all stages
+      val lvls = ColumnBridge.checkpointLeafLevels(pipe.labels)
+      assert(lvls.nonEmpty && lvls.forall(_ != StorageLevel.NONE),
+        s"labels checkpoint must be pinned while in use: $lvls")
+      assert(pipe.pairs.storageLevel != StorageLevel.NONE)
+      pipe.unpersist()
+      assert(pipe.pairs.storageLevel == StorageLevel.NONE, "pairs cache released")
+      assert(ColumnBridge.checkpointLeafLevels(pipe.labels)
+          .forall(_ == StorageLevel.NONE),
+        "labels checkpoint blocks must be released by unpersist")
+    } finally spark.conf.unset("graft.dedup.components.maxDriverPairs")
+    // driver union-find path: no pinned storage at any point, and
+    // unpersist is a safe no-op on the local-relation labels
+    val pipe2 = Dedup.pipeline(df, "doc_id",
       d => Dedup.minhashDedup(d, "doc_id", "text", 0.6))
-    pipe.cleaned.count() // materialize all stages
-    val lvls = ColumnBridge.checkpointLeafLevels(pipe.labels)
-    assert(lvls.nonEmpty && lvls.forall(_ != StorageLevel.NONE),
-      s"labels checkpoint must be pinned while in use: $lvls")
-    assert(pipe.pairs.storageLevel != StorageLevel.NONE)
-    pipe.unpersist()
-    assert(pipe.pairs.storageLevel == StorageLevel.NONE, "pairs cache released")
-    assert(ColumnBridge.checkpointLeafLevels(pipe.labels)
-        .forall(_ == StorageLevel.NONE),
-      "labels checkpoint blocks must be released by unpersist")
+    pipe2.cleaned.count()
+    assert(ColumnBridge.checkpointLeafLevels(pipe2.labels).isEmpty,
+      "driver-path labels carry no checkpoint leaves")
+    pipe2.unpersist()
+    assert(pipe2.pairs.storageLevel == StorageLevel.NONE)
   }
 
   test("embedding LSH monster bucket completes bounded (star-pair cap)") {
