@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType, StringType}
+import org.apache.spark.sql.types.{ArrayType, BinaryType, DataType, DoubleType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /**
@@ -159,6 +159,38 @@ object LmExprKernels {
     head(md.digest())
   }
 
+  /** Full 16-byte md5 digest of every n-token shingle of one document —
+    * BIT-IDENTICAL to `unhex(md5(cast(<space-joined shingle> as
+    * binary)))` (UTF-8 of the space-joined string is exactly the
+    * concatenation of the tokens' UTF-8 bytes with 0x20 separators),
+    * minus the per-occurrence shingle-string materialization AND the
+    * md5→32-hex→unhex round trip. */
+  def shingleMd5(arr: ArrayData, n: Int): ArrayData = {
+    val m = arr.numElements()
+    if (m < n) return new GenericArrayData(Array.empty[Any])
+    val tb = tokenBytes(arr, m)
+    val md = MD5.get()
+    md.reset()
+    val out = new Array[Any](m - n + 1)
+    var s = 0
+    while (s <= m - n) {
+      md.update(tb(s))
+      var j = 1
+      while (j < n) { md.update(SP); md.update(tb(s + j)); j += 1 }
+      out(s) = md.digest() // digest() resets for the next window
+      s += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Full 16-byte md5 of one string — `unhex(md5(cast(s as binary)))`
+    * without the hex round trip. */
+  def md5Bin(s: UTF8String): Array[Byte] = {
+    val md = MD5.get()
+    md.reset()
+    md.digest(s.getBytes)
+  }
+
   /** Per-document DSIR importance accumulation against the dense
     * log-ratio table: `[n_shingles, Σ w(bucket)]` in token order — the
     * in-row form of explode + broadcast join + sum/count aggregation. */
@@ -269,6 +301,41 @@ case class ShingleBucketsExpr(child: Expression, n: Int, buckets: Int)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c =>
       s"graft.functions.LmExprKernels.shingleBuckets($c, $n, $buckets)")
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+/** `shingle_md5(tokens)` -> array<binary>: the full 16-byte digest of
+  * every n-shingle, bit-identical to `unhex(md5(cast(shingle as
+  * binary)))` over `token_shingles(t, n)` (see
+  * [[LmExprKernels.shingleMd5]]). */
+case class ShingleMd5Expr(child: Expression, n: Int)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  require(n >= 1, s"shingle size must be >= 1, got $n")
+  override def prettyName: String = "shingle_md5"
+  override def inputTypes = Seq(ArrayType(StringType))
+  override def dataType: DataType = ArrayType(BinaryType, containsNull = false)
+  override protected def nullSafeEval(a: Any): Any =
+    LmExprKernels.shingleMd5(a.asInstanceOf[ArrayData], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.LmExprKernels.shingleMd5($c, $n)")
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+/** `md5_bin(string)` -> binary: 16-byte digest without the hex round
+  * trip (see [[LmExprKernels.md5Bin]]). */
+case class Md5BinExpr(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def prettyName: String = "md5_bin"
+  override def inputTypes = Seq(StringType)
+  override def dataType: DataType = BinaryType
+  override protected def nullSafeEval(a: Any): Any =
+    LmExprKernels.md5Bin(a.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.LmExprKernels.md5Bin($c)")
   override protected def withNewChildInternal(c: Expression): Expression =
     copy(child = c)
 }

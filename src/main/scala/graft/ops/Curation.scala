@@ -146,15 +146,15 @@ object Curation {
                          evalDf: DataFrame, evalTextCol: String,
                          k: Int = 8): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
+    // same ShingleMd5Expr digests as substringDedup: bit-identical keys,
+    // no shingle-string materialization, no md5 hex round trip
     val evalKeys = evalDf
-      .select(explode(shingles(col(evalTextCol), k)).as("__sh"))
-      .select(unhex(md5(col("__sh").cast("binary"))).as("__h")).distinct()
+      .select(explode(shingleMd5s(toks(col(evalTextCol)), k)).as("__h"))
+      .distinct()
     val docs = df.select(col(idCol).as("doc_id"), toks(col(textCol)).as("__t"))
     val occ = docs
       .select(col("doc_id"),
-        posexplode(tokenShingles(col("__t"), k)).as(Seq("__i", "__sh")))
-      .select(col("doc_id"), col("__i"),
-        unhex(md5(col("__sh").cast("binary"))).as("__h"))
+        posexplode(shingleMd5s(col("__t"), k)).as(Seq("__i", "__h")))
     val cover = occ.join(broadcast(evalKeys), Seq("__h"))
       .groupBy("doc_id")
       .agg(collect_list(col("__i")).as("__starts"))
@@ -322,6 +322,12 @@ object Curation {
     * int, non-negative so pmod == %). */
   private def bucketOf(g: Column, buckets: Int): Column =
     kcol(graft.functions.Md5BucketExpr(kexpr(g.cast("string")), buckets.toLong))
+
+  /** Full-digest shingle hashes straight from token bytes — the
+    * 128-bit sibling of [[bucketOf]] (see
+    * [[graft.functions.ShingleMd5Expr]]). */
+  private def shingleMd5s(tokens: Column, n: Int): Column =
+    kcol(graft.functions.ShingleMd5Expr(kexpr(tokens), n))
 
   /**
    * The DSIR model as DATA: the per-bucket smoothed log-ratio table
@@ -827,7 +833,8 @@ object Curation {
     val occ = docs
       .select(col("doc_id"), posexplode(col("__l")).as(Seq("__p", "__line")))
       .select(col("doc_id"), col("__p"),
-        unhex(md5(col("__line").cast("binary"))).as("__h"))
+        // bit-identical digest, no md5→hex→unhex round trip per line
+        kcol(graft.functions.Md5BinExpr(kexpr(col("__line")))).as("__h"))
     val dups = occ.groupBy("__h")
       .agg(count(lit(1)).as("__c"),
         min(struct(col("doc_id").as("d"), col("__p").as("p"))).as("__keep"))
@@ -1092,10 +1099,14 @@ object Curation {
       s"maxKeyFreq ($maxKeyFreq) must be >= minCount ($minCount)")
     val docs = df.select(col(idCol).as("doc_id"), toks(col(textCol)).as("__t"))
     // (key, doc, 0-based shingle start) — every occurrence, not distinct
+    // digests straight from token bytes (ShingleMd5Expr): bit-identical
+    // to unhex(md5(cast(shingle as binary))) over token_shingles, minus
+    // the per-occurrence shingle-string allocation and the md5→hex→
+    // unhex round trip — measured, that chain dominated the 200k-doc
+    // bulk run (_scale_curate_substr200k)
     val occ = docs
       .select(col("doc_id"),
-        posexplode(tokenShingles(col("__t"), k)).as(Seq("__i", "__sh")))
-      .select(col("doc_id"), col("__i"), unhex(md5(col("__sh").cast("binary"))).as("__h"))
+        posexplode(shingleMd5s(col("__t"), k)).as(Seq("__i", "__h")))
     val counts = occ.groupBy("__h")
       .agg(count(lit(1)).as("__c"))
       .filter(col("__c") >= minCount)
@@ -1110,7 +1121,19 @@ object Curation {
     // now bounded. The two count ranges are disjoint, so each
     // occurrence matches exactly one branch — the union is exactly the
     // old single join's output, and the oracle goldens are unchanged.
+    // dupKeys gets its OWN exchange (an explicit repartition on the join
+    // key): the c-range filters run inside the count-agg stage, so
+    // without the boundary AQE prices the semi-join's build side at the
+    // PRE-filter stage size (~every distinct k-gram) and keeps a
+    // SortMergeJoin that exchanges and sorts the full occurrence side —
+    // measured 8.1s steady on the 200k-doc fixture, where the true
+    // dup-key set is a few hundred rows. With the boundary AQE sees the
+    // post-filter size and converts to a broadcast semi-join: the
+    // occurrence side is never shuffled (3.0s steady, same fixture). At
+    // a dup-heavy 100 TB the boundary costs one keys-only exchange and
+    // the join stays a sort-merge — the conversion is AQE's, per scale.
     val dupKeys = counts.filter(col("__c") <= maxKeyFreq).select("__h")
+      .hint("rebalance", "__h")
     val hotKeys = counts.filter(col("__c") > maxKeyFreq).select("__h")
     val matched = occ.join(dupKeys, Seq("__h"), "left_semi")
       .unionByName(occ.join(broadcast(hotKeys), Seq("__h"), "left_semi"))
