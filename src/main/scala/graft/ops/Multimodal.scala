@@ -134,7 +134,8 @@ object Multimodal {
                  batchSize: Int = 256): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    df.select(col(idCol).cast("long"), col(blobCol)).as[(Long, Array[Byte])]
+    graft.core.FanOut(df.select(col(idCol).cast("long"), col(blobCol)))
+      .as[(Long, Array[Byte])]
       .mapPartitions { it =>
         it.grouped(batchSize).flatMap { batch =>
           batch.iterator.flatMap { case (id, blob) =>
@@ -163,7 +164,8 @@ object Multimodal {
                  batchSize: Int = 256): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    df.select(col(idCol).cast("long"), col(blobCol)).as[(Long, Array[Byte])]
+    graft.core.FanOut(df.select(col(idCol).cast("long"), col(blobCol)))
+      .as[(Long, Array[Byte])]
       .mapPartitions { it =>
         it.grouped(batchSize).flatMap { batch =>
           batch.iterator.flatMap { case (id, blob) =>
@@ -284,7 +286,8 @@ object Multimodal {
                       batchSize: Int = 256): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    df.select(col(idCol).cast("long"), col(blobCol)).as[(Long, Array[Byte])]
+    graft.core.FanOut(df.select(col(idCol).cast("long"), col(blobCol)))
+      .as[(Long, Array[Byte])]
       .mapPartitions { it =>
         it.grouped(batchSize).flatMap { batch =>
           // per-batch setup point for heavier codec/model sessions
@@ -595,7 +598,8 @@ object Multimodal {
     val spark = df.sparkSession
     import spark.implicits._
     val dec = decoder // ship the decoder, not the enclosing object
-    df.select(col(idCol).cast("long"), col(blobCol)).as[(Long, Array[Byte])]
+    graft.core.FanOut(df.select(col(idCol).cast("long"), col(blobCol)))
+      .as[(Long, Array[Byte])]
       .flatMap { case (id, blob) =>
         // sample by POSITION in the decoder's emission (robust to sparse
         // frame numbering, e.g. a keyframe-only decoder), report the

@@ -2249,6 +2249,10 @@ object GraftQueries {
         // dominated the whole bench
         val blobs = tbl(s, d, "documents")
           .select(col("doc_id").cast("long")).filter(col("doc_id") < 2000)
+          // spread the PNG encode across the box: the filtered scan is
+          // 1-2 row groups, which serialized 2000 codec calls on one
+          // task (r17; results id-deterministic, output ordered below)
+          .repartition(s.sparkContext.defaultParallelism)
           .as[Long]
           .mapPartitions(_.map(id => (id, Multimodal.syntheticPng(id))))
           .toDF("doc_id", "blob")
