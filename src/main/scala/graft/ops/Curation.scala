@@ -377,14 +377,23 @@ object Curation {
         .foreach { case (b, c) => h(b.toInt) = c }
       h
     }
-    val th = hist(target, targetTextCol)
+    // the two histogram jobs are independent — overlap them (guide
+    // §2.6: submit independent actions from driver threads so the
+    // second job's tasks back-fill the first's stragglers). Failures
+    // surface unchanged through Await.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
+    val thF = Future(hist(target, targetTextCol))
+    val rhF = Future(hist(raw, rawTextCol))
+    val th = Await.result(thF, Duration.Inf)
     // a target with no shingles has no signal to model — loud. An EMPTY
     // raw corpus is fine: zero counts smooth to the uniform 1/buckets
     // distribution (and there is nothing to score anyway), so empty
     // pipeline slices flow through instead of failing.
     require(th.exists(_ > 0),
       s"importance model: target corpus has no $n-gram shingles")
-    val rh = hist(raw, rawTextCol)
+    val rh = Await.result(rhF, Duration.Inf)
     val tTot = th.sum
     val rTot = rh.sum
     Array.tabulate(buckets)(b =>
