@@ -207,6 +207,28 @@ class CurationSpec extends SparkSpec {
     assert(out(2L) == (("y", 6L)))
   }
 
+  test("substringDedup: AQE broadcasts the dup-key semi-join when the key set is small") {
+    import spark.implicits._
+    // r17 optimization guard: the dup-key side carries a REBALANCE stage
+    // boundary so AQE sees its POST-filter size and converts the
+    // occurrence-side LeftSemi from sort-merge to a broadcast probe —
+    // without the boundary the build side is priced at the pre-filter
+    // count-agg stage size and the whole occurrence side is exchanged
+    // AND sorted (measured 83 s of task time on the 200k-doc fixture).
+    val shared = "one two three four five"
+    val d = docs((1L to 40L).map(i =>
+      i -> (if (i % 2 == 0) s"alpha $i $shared" else s"beta $i uniq$i only here")): _*)
+    val out = substringDedup(d, "doc_id", "text", k = 5, minCount = 2)
+    out.collect() // execute so the adaptive plan is final
+    val plan = out.queryExecution.executedPlan.toString
+    // the hot-key branch is an explicit broadcast, so BHJ presence alone
+    // proves nothing — the guard is that NO semi-join stayed sort-merge
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"),
+      s"expected broadcast semi-joins in:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"dup-key semi-join must convert to broadcast at small dup-key counts:\n$plan")
+  }
+
   test("capPerKey: n smallest per key survive; equals the window formulation") {
     import spark.implicits._
     val rows = (0L until 100L).map(i => (s"k${i % 3}", i))
