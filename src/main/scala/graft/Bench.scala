@@ -78,6 +78,18 @@ object Bench {
     b.result()
   }
 
+  /** Per-query minimum of two same-key passes (pure, spec-covered):
+    * external contention only ever INFLATES a query's wall time, so the
+    * min of a contended and a quiet pass is the best quiet estimate
+    * available inside one capture. Keys must match pairwise — the two
+    * passes run the same ordered query list by construction. */
+  def minMerge(a: Seq[(String, Double)],
+               b: Seq[(String, Double)]): Seq[(String, Double)] = {
+    require(a.map(_._1) == b.map(_._1),
+      "minMerge: passes ran different query lists")
+    a.zip(b).map { case ((k, va), (_, vb)) => k -> math.min(va, vb) }
+  }
+
   /** Write a capture to `dir`. A gates-green capture replaces
     * BENCH_FULL.json (and clears any stale BENCH_CONTENDED.json); a
     * gate-FAILING capture goes to BENCH_CONTENDED.json and NEVER
@@ -240,10 +252,6 @@ object Bench {
         val rest = self.substring(self.lastIndexOf(')') + 1).trim.split("\\s+")
         Some((busy, rest(11).toLong + rest(12).toLong))
       } catch { case NonFatal(_) => None }
-    val ticks0 = cpuTicks()
-    val wall0 = System.nanoTime()
-    try sentinel() catch { case NonFatal(_) => } // untimed JIT absorb
-    val sentinelPre = try sentinel() catch { case NonFatal(_) => -1.0 }
     // FIXED-HASH run order, not alphabetical: in-JVM drag grows over the
     // ~1500-job run, so whatever runs late carries it — alphabetical
     // order made the same families (semdedup_*, sql_*, v_*) absorb it
@@ -256,35 +264,108 @@ object Bench {
     val ordered = SparkEntry.queries.toSeq
       .sortBy { case (n, _) => (scala.util.hashing.MurmurHash3.stringHash(n), n) }
     val halfAt = ordered.length / 2
-    var sentinelMid = -1.0
-    val results = ordered.zipWithIndex.map { case ((name, fn), i) =>
-      if (i == halfAt)
-        sentinelMid = try sentinel() catch { case NonFatal(_) => -1.0 }
-      // drop dead heap between queries (untimed): a GC backlog one query
-      // leaves behind otherwise lands in a later query's timing and
-      // compounds into the late-run drag the drift keys measure
-      if (i % 24 == 23) System.gc()
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() }
-      catch { case NonFatal(e) => System.err.println(s"query $name failed: $e"); -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+    // One timed pass over the query list, bracketed by its own sentinel
+    // readings (pre / mid / qend) and its own /proc tick segment — the
+    // round-18 retry logic needs each pass to carry its OWN contention
+    // verdict rather than a whole-window blur.
+    case class QueryPass(results: Seq[(String, Double)], pre: Double,
+                         mid: Double, qend: Double, frac: Double,
+                         wall: Double)
+    def segFrac(t0: Option[(Long, Long)], w0: Long): Double =
+      (t0, cpuTicks()) match {
+        case (Some((busy0, own0)), Some((busy1, own1))) =>
+          val capacity = Runtime.getRuntime.availableProcessors() *
+            ((System.nanoTime() - w0) / 1e9) * 100.0 // USER_HZ
+          if (capacity <= 0) -1.0
+          else math.max(0.0, ((busy1 - busy0) - (own1 - own0)) / capacity)
+        case _ => -1.0
+      }
+    def runQueryPass(): QueryPass = {
+      val t0 = cpuTicks()
+      val w0 = System.nanoTime()
+      val pre = try sentinel() catch { case NonFatal(_) => -1.0 }
+      var mid = -1.0
+      val rs = ordered.zipWithIndex.map { case ((name, fn), i) =>
+        if (i == halfAt)
+          mid = try sentinel() catch { case NonFatal(_) => -1.0 }
+        // drop dead heap between queries (untimed): a GC backlog one query
+        // leaves behind otherwise lands in a later query's timing and
+        // compounds into the late-run drag the drift keys measure
+        if (i % 24 == 23) System.gc()
+        val t = System.nanoTime()
+        try { fn(spark, sfDir).count() }
+        catch { case NonFatal(e) => System.err.println(s"query $name failed: $e"); -1L }
+        name -> (System.nanoTime() - t) / 1e9
+      }
+      // sentinel at the END OF THE QUERY LOOP, before the scale probe: the
+      // scale keys run in the most-drifted region of the capture, and
+      // without a reading bracketing them they had no drift factor at all
+      // (round 13: _scale_kwbuild200k read 3.0x on untouched code with no
+      // way to adjudicate mechanically). GC first so the reading measures
+      // steady-state work, not the timed section's backlog.
+      System.gc()
+      val qend = try sentinel() catch { case NonFatal(_) => -1.0 }
+      QueryPass(rs, pre, mid, qend, segFrac(t0, w0),
+        (System.nanoTime() - w0) / 1e9)
     }
-    // sentinel at the END OF THE QUERY LOOP, before the scale probe: the
-    // scale keys run in the most-drifted region of the capture, and
-    // without a reading bracketing them they had no drift factor at all
-    // (round 13: _scale_kwbuild200k read 3.0x on untouched code with no
-    // way to adjudicate mechanically). GC first so the reading measures
-    // steady-state work, not the timed section's backlog.
-    System.gc()
-    val sentinelQEnd = try sentinel() catch { case NonFatal(_) => -1.0 }
+    def ratio(v: Double): Double = if (v <= 0) -1.0 else v / sentinelRef
+    try sentinel() catch { case NonFatal(_) => } // untimed JIT absorb
+    // ROUND-18 CONTENDED-SECTION RETRY (r17 verdict, Next round #2): two
+    // driver captures in a row failed a sentinel gate and yielded no
+    // per-query numbers at all. A contended QUERY SECTION is now re-run
+    // ONCE: per-query results become the min of the two passes (external
+    // load only inflates wall time, so the min is the best quiet
+    // estimate one capture can produce), and the gates re-evaluate on
+    // the re-run's own sentinel readings and tick segment. A quiet first
+    // pass keeps the exact pre-r18 behavior (no retry, identical
+    // methodology; the first pass's readings are still reported as
+    // `_sentinel_*_p1` when a retry ran).
+    val pass1 = runQueryPass()
+    val pass1Banners = captureGateBanners(ratio(pass1.pre), ratio(pass1.mid),
+      ratio(pass1.qend), -1.0, pass1.frac)
+    val retriedQueries = pass1Banners.nonEmpty
+    val passA =
+      if (retriedQueries) {
+        pass1Banners.foreach(b => System.err.println("first query pass: " + b))
+        System.err.println("*** query section contended — re-running it " +
+          "once; per-query results are the min of both passes, gates " +
+          "re-evaluate on the re-run ***")
+        runQueryPass()
+      } else pass1
+    val results =
+      if (retriedQueries) minMerge(pass1.results, passA.results)
+      else pass1.results
+    val sentinelPre = passA.pre
+    val sentinelMid = passA.mid
+    val sentinelQEnd = passA.qend
+    val queriesAccepted = captureGateBanners(ratio(passA.pre),
+      ratio(passA.mid), ratio(passA.qend), -1.0, passA.frac).isEmpty
     // scale probe: synthetic 100k x 64-dim IVF build + ANN search vs brute
     // force — demonstrates the index path's advantage growing with N
-    // (partition pruning + code-only estimate scan).
-    val scale = graft.tools.ScaleProbe.run(spark)
-    // drop dead heap before the post reading so it measures steady-state
-    // work, not a GC backlog the timed section left behind
-    System.gc()
-    val sentinelPost = try sentinel() catch { case NonFatal(_) => -1.0 }
+    // (partition pruning + code-only estimate scan). Same retry contract
+    // as the query section (the post sentinel gates it), but only when
+    // the query section was accepted — a doomed capture should not pay
+    // for a second scale pass.
+    def runScalePass(): (Seq[(String, Double)], Double, Double, Double) = {
+      val t0 = cpuTicks()
+      val w0 = System.nanoTime()
+      val s = graft.tools.ScaleProbe.run(spark)
+      // drop dead heap before the post reading so it measures steady-state
+      // work, not a GC backlog the timed section left behind
+      System.gc()
+      val post = try sentinel() catch { case NonFatal(_) => -1.0 }
+      (s, post, segFrac(t0, w0), (System.nanoTime() - w0) / 1e9)
+    }
+    val (scale1, post1, sfrac1, swall1) = runScalePass()
+    val retriedScale = queriesAccepted && captureGateBanners(-1.0,
+      ratio(passA.mid), -1.0, ratio(post1), sfrac1).nonEmpty
+    val (scale, sentinelPost, scaleFrac, scaleWall) =
+      if (retriedScale) {
+        System.err.println("*** scale section contended — re-running it " +
+          "once; per-key results are the min of both passes ***")
+        val (s2, p2, f2, w2) = runScalePass()
+        (minMerge(scale1, s2), p2, f2, w2)
+      } else (scale1, post1, sfrac1, swall1)
     // RATIO IS THE PRE READING vs the quiet-box reference — the box's
     // state when the capture STARTED. The post reading is reported as
     // _sentinel_drift = post/pre instead: measured in round 12, a fresh
@@ -313,15 +394,15 @@ object Bench {
     val sentinelDrift =
       if (sentinelPre <= 0 || sentinelPost <= 0) -1.0
       else sentinelPost / sentinelPre
-    val externalCpuFrac = (ticks0, cpuTicks()) match {
-      case (Some((busy0, own0)), Some((busy1, own1))) =>
-        val elapsedSec = (System.nanoTime() - wall0) / 1e9
-        val hz = 100.0 // USER_HZ on every Linux this targets
-        val capacity = Runtime.getRuntime.availableProcessors() * elapsedSec * hz
-        if (capacity <= 0) -1.0
-        else math.max(0.0, ((busy1 - busy0) - (own1 - own0)) / capacity)
-      case _ => -1.0
-    }
+    // external-CPU fraction over the ACCEPTED sections only (r18): the
+    // wall-weighted combination of the accepted query pass's segment and
+    // the accepted scale pass's segment. A rejected first pass's
+    // contention must not taint the gates of the pass that replaced it.
+    val externalCpuFrac =
+      if (passA.frac < 0 || scaleFrac < 0) math.max(passA.frac, scaleFrac)
+      else if (passA.wall + scaleWall <= 0) -1.0
+      else (passA.frac * passA.wall + scaleFrac * scaleWall) /
+        (passA.wall + scaleWall)
     // Gate verdicts are computed by the pure captureGateBanners below
     // (testable without a capture) and printed loudly; the SAME verdict
     // routes the capture file at write time — a gate-failing run can no
@@ -340,6 +421,17 @@ object Bench {
       "_sentinel_post_ratio" -> sentinelPostRatio,
       "_sentinel_drift" -> sentinelDrift,
       "_external_cpu_frac" -> externalCpuFrac,
+      // r18 retry bookkeeping: how many sections were re-run (0 = the
+      // pre-r18 single-pass capture, methodology unchanged), plus the
+      // REJECTED first query pass's readings when a retry happened so
+      // the discarded contention stays on the record
+      "_retried_queries" -> (if (retriedQueries) 1.0 else 0.0),
+      "_retried_scale" -> (if (retriedScale) 1.0 else 0.0)) ++
+      (if (retriedQueries)
+        Seq("_sentinel_pre_p1" -> pass1.pre, "_sentinel_mid_p1" -> pass1.mid,
+          "_sentinel_qend_p1" -> pass1.qend,
+          "_external_cpu_frac_p1" -> pass1.frac)
+      else Nil) ++ Seq(
       // VERSION of the per-key drift model below (round 16): bump this
       // whenever the anchor shape / interpolation producing the _drift_*
       // factors changes. Cross-capture comparisons may divide by the

@@ -39,6 +39,17 @@ object FanOut {
     try {
       val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
       if (bytes <= minBytesPerPart) return df // one extra part wouldn't pay
+      // r18 (ADVICE): probe the partition count WITHOUT executing. Under
+      // AQE, `toRdd` calls getFinalPhysicalPlan, which synchronously
+      // MATERIALIZES every upstream query stage (runs the shuffle jobs)
+      // just to read getNumPartitions — the probe's work is then thrown
+      // away and re-run by the real action. So FanOut now restricts
+      // itself to EXCHANGE-FREE plans (a plan with a shuffle already has
+      // its parallelism decided by that exchange/AQE, not by the scan),
+      // where toRdd builds the scan RDD lazily with no job.
+      val hasExchange = df.queryExecution.sparkPlan.exists(
+        _.isInstanceOf[org.apache.spark.sql.execution.exchange.Exchange])
+      if (hasExchange) return df
       val parts = df.queryExecution.toRdd.getNumPartitions
       if (parts >= target || (bytes / parts) <= minBytesPerPart) df
       else df.repartition(target)

@@ -219,7 +219,10 @@ object LmExprKernels {
   * round-trip (see [[LmExprKernels.md5Bucket]]). */
 case class Md5BucketExpr(child: Expression, buckets: Long)
     extends UnaryExpression with ImplicitCastInputTypes {
-  require(buckets >= 2, s"need >= 2 hash buckets, got $buckets")
+  // >= 1, not >= 2: buildPostingsIndex's contract permits nBuckets = 1
+  // (every term in bucket 0 — `x % 1 == 0` is well-defined), and the
+  // pmod formulation this kernel replaced accepted it (r17 ADVICE).
+  require(buckets >= 1, s"need >= 1 hash buckets, got $buckets")
   override def prettyName: String = "md5_bucket"
   override def inputTypes = Seq(StringType)
   override def dataType: DataType = LongType

@@ -759,16 +759,19 @@ object Dedup {
       // broadcast-block pair scan: one side broadcast as primitive arrays,
       // the other streamed per-partition — no per-pair row machinery. At
       // sizes past broadcast limits, use the lshBits path instead.
+      // r18: ONE bounded CollectLimit peek replaces the count()+collect()
+      // double pass — past the cap the peek cost O(bruteCap), not O(n),
+      // and under it the peeked rows ARE the broadcast side.
       val spark = df.sparkSession
       import spark.implicits._
-      val n = base.count()
-      require(n <= bruteCap,
-        s"embeddingNearDup exact mode would broadcast $n rows (cap $bruteCap): " +
-        "pass lshBits > 0 (random-hyperplane bucketing, the scale path) or " +
-        "raise bruteCap explicitly")
       val rows = base.as[(Long, Seq[Float])]
+      val peek = rows.limit(bruteCap + 1).collect()
+      require(peek.length <= bruteCap,
+        s"embeddingNearDup exact mode would broadcast more than $bruteCap " +
+        s"rows (cap $bruteCap): pass lshBits > 0 (random-hyperplane " +
+        "bucketing, the scale path) or raise bruteCap explicitly")
       val side = spark.sparkContext.broadcast(
-        rows.collect().map { case (id, v) => (id, v.toArray, K.norm(v.toArray)) })
+        peek.map { case (id, v) => (id, v.toArray, K.norm(v.toArray)) })
       rows.mapPartitions { it =>
         val all = side.value
         it.flatMap { case (ida, va0) =>
@@ -825,10 +828,25 @@ object Dedup {
       // zero-norm => 1.0), so emitted distances are unchanged. Past the
       // budget, the join-verify path below is the 100 TB shape:
       // candidates as narrow rows, vectors fetched by id for survivors.
-      val n = base.count()
-      if (n <= bruteCap) {
-        val side = spark.sparkContext.broadcast(
-          base.as[(Long, Array[Float])].collect().toMap)
+      // r18 (ADVICE): the gate is ONE bounded CollectLimit peek, not a
+      // full count() pass — at scale the decision costs O(bruteCap) —
+      // and it is bytes-aware: past `graft.dedup.broadcastBytes`
+      // (estimated n*dim*4, default 256 MB) the broadcast is declined
+      // even under the row cap, because 200k wide vectors are GBs on the
+      // driver and every executor where the join path streams them. The
+      // peeked rows themselves become the broadcast, so the table is
+      // scanned once either way. The broadcast's lifetime is tied to the
+      // returned (lazy) DataFrame, so it is released by the context
+      // cleaner when the plan is dropped — there is no action here to
+      // destroy() after.
+      val bcastBytes = spark.conf.getOption("graft.dedup.broadcastBytes")
+        .orElse(spark.conf.getOption("spark.graft.dedup.broadcastBytes"))
+        .map(_.toLong).getOrElse(256L << 20)
+      val peek = base.as[(Long, Array[Float])].limit(bruteCap + 1).collect()
+      val estBytes = if (peek.isEmpty) 0L
+        else peek.length.toLong * (peek.head._2.length.toLong * 4L + 32L)
+      if (peek.length <= bruteCap && estBytes <= bcastBytes) {
+        val side = spark.sparkContext.broadcast(peek.toMap)
         groupRuns(keyed, pairParts(spark)) { (_, ids) =>
           val m = side.value
           bucketPairs(ids.iterator, maxBucket).flatMap { case (a, b) =>
@@ -1004,8 +1022,32 @@ object Dedup {
       .getOption("graft.dedup.components.maxDriverPairs")
       .orElse(spark.conf.getOption("spark.graft.dedup.components.maxDriverPairs"))
       .map(_.toLong).getOrElse(1L << 20)
-    if (maxDriver > 0 && maxDriver < Int.MaxValue) {
-      val peek = edges.limit(maxDriver.toInt + 1).as[(Long, Long)].collect()
+    // r18 (ADVICE): the peek's CollectLimit runs the pair pipeline's
+    // upstream shuffle map stages, and when the pair set then exceeds
+    // the budget the distributed path would recompute that same
+    // upstream from scratch — for a direct components() call on
+    // UNCACHED pairs at scale that is the whole minhash/LSH job twice.
+    // So when the plan is neither already-cached nor exchange-free (an
+    // exchange-free CollectLimit is an incremental executeTake; a
+    // cached source costs nothing to re-read), the edges are PERSISTED
+    // across the peek: a fallthrough rides the cache instead of
+    // recomputing, and the cache is released as soon as the chosen
+    // path no longer needs it.
+    val fastPathOn = maxDriver > 0 && maxDriver < Int.MaxValue
+    def peekIsCheap: Boolean = try {
+      val qe = edges.queryExecution
+      val cached = qe.optimizedPlan.exists(
+        _.isInstanceOf[org.apache.spark.sql.execution.columnar.InMemoryRelation])
+      cached || !qe.sparkPlan.exists(
+        _.isInstanceOf[org.apache.spark.sql.execution.exchange.Exchange])
+    } catch { case scala.util.control.NonFatal(_) => true }
+    val edgesCachedForPeek = fastPathOn && !peekIsCheap
+    val edgesP =
+      if (edgesCachedForPeek)
+        edges.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else edges
+    if (fastPathOn) {
+      val peek = edgesP.limit(maxDriver.toInt + 1).as[(Long, Long)].collect()
       if (peek.length <= maxDriver) {
         val parent = new java.util.HashMap[Long, Long]()
         def find(x0: Long): Long = {
@@ -1033,15 +1075,17 @@ object Dedup {
         }
         val out = new scala.collection.mutable.ArrayBuffer[(Long, Long)](parent.size)
         parent.keySet().forEach(id => out += ((id, minOf.get(find(id)))))
+        if (edgesCachedForPeek) edgesP.unpersist()
         return spark.createDataset(out.toSeq).toDF("id", "rep")
       }
-      // else: fall through — the pair set outgrew the driver budget
+      // else: fall through — the pair set outgrew the driver budget;
+      // adj below reads the peek's cache, not a recomputation
     }
     // symmetric adjacency in ONE pass over the pair source (a union of
     // two selects would run the upstream pair pipeline twice — at scale
     // that is the whole minhash/LSH job, the expensive part); one
     // shuffle, reused every round
-    val adj = edges
+    val adj = edgesP
       .select(explode(array(
         struct(col("a"), col("b")),
         struct(col("b").as("a"), col("a").as("b")))).as("e"))
@@ -1057,6 +1101,9 @@ object Dedup {
         .agg(least(col("a"), min(col("b"))).as("rep"))
         .withColumnRenamed("a", "id")
         .localCheckpoint()
+      // adj is materialized by the eager checkpoint above; the peek's
+      // edge cache (if any) has served its purpose
+      if (edgesCachedForPeek) edgesP.unpersist()
       var it = 0
       var converged = false
       while (!converged) {

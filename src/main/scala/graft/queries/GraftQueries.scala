@@ -153,25 +153,39 @@ object GraftQueries {
     (tbl(spark, sfDir, "embeddings"), qvec(spark, sfDir, 0))
 
   /** Deterministic per-label mean centroids (the semdedup-family
-    * prelude) via ONE bounded collect + driver averaging — identical
-    * doubles to the posexplode + groupBy(avg(cast double)) formulation
-    * (same per-group accumulation order: the scan is a single
-    * partition), at one job instead of three AQE stage jobs per query
-    * (r17 optimization; the embeddings fixture is label-complete and
-    * tiny by construction). */
-  private def labelCentroids(e: DataFrame): Array[Array[Float]] = {
-    import e.sparkSession.implicits._
-    val rows = e.select(col("label").cast("int"), col("embedding"))
-      .as[(Int, Seq[Float])].collect()
-    val k = rows.iterator.map(_._1).max + 1
-    val dim = rows.head._2.length
+    * prelude): ONE distributed `groupBy(label)` aggregation of per-dim
+    * double sums + a BOUNDED collect of the <= k result rows, averaged
+    * on the driver (r18 — the r17 version collected the entire
+    * embeddings table to the driver, an unbounded collect in a declared
+    * query path). The doubles are identical to the r17 driver loop on
+    * the fixture: hash aggregation accumulates each group's values in
+    * scan order within a partition, which on the single-partition
+    * fixture is exactly the collect order the driver loop summed in
+    * (and `element_at(...).cast("double")` is the same float->double
+    * widening). `dim` is the embeddings-table contract (the oracle SQL
+    * hard-codes range(0, 64)); a row of any other length fails loudly
+    * via the same aggregation rather than silently mis-summing. */
+  private def labelCentroids(e: DataFrame, dim: Int = 64): Array[Array[Float]] = {
+    val sumCols = (0 until dim).map(j =>
+      sum(element_at(col("embedding"), j + 1).cast("double")).as(s"s$j"))
+    val aggCols = Seq(count(lit(1)).as("n"),
+      min(size(col("embedding"))).as("dmin"),
+      max(size(col("embedding"))).as("dmax")) ++ sumCols
+    val rows = e.select(col("label").cast("int").as("l"), col("embedding"))
+      .groupBy("l").agg(aggCols.head, aggCols.tail: _*)
+      .collect()
+    require(rows.nonEmpty, "labelCentroids: empty embeddings table")
+    require(rows.forall(r => r.getInt(r.fieldIndex("dmin")) == dim &&
+        r.getInt(r.fieldIndex("dmax")) == dim),
+      s"labelCentroids: embedding dimensionality is not the expected $dim")
+    val k = rows.iterator.map(_.getInt(0)).max + 1
     val sums = Array.fill(k)(new Array[Double](dim))
     val cnts = new Array[Long](k)
-    rows.foreach { case (cid, v) =>
-      val s = sums(cid)
+    rows.foreach { r =>
+      val cid = r.getInt(0)
+      cnts(cid) = r.getLong(r.fieldIndex("n"))
       var j = 0
-      while (j < dim) { s(j) += v(j); j += 1 }
-      cnts(cid) += 1
+      while (j < dim) { sums(cid)(j) = r.getDouble(r.fieldIndex(s"s$j")); j += 1 }
     }
     Array.tabulate(k)(c => Array.tabulate(dim)(j =>
       if (cnts(c) == 0) 0.0f else (sums(c)(j) / cnts(c)).toFloat))

@@ -51,6 +51,17 @@ class BenchCaptureGateSpec extends AnyFunSuite {
     assert(Bench.captureGateBanners(-1.0, -1.0, -1.0, -1.0, -1.0).isEmpty)
   }
 
+  test("minMerge takes the per-key minimum of two same-order passes") {
+    // r18 contended-section retry: min of a contended and a quiet pass
+    val a = Seq("q1" -> 1.5, "q2" -> 0.4, "q3" -> 2.0)
+    val b = Seq("q1" -> 0.6, "q2" -> 0.9, "q3" -> 2.0)
+    assert(Bench.minMerge(a, b) == Seq("q1" -> 0.6, "q2" -> 0.4, "q3" -> 2.0))
+    // key-order mismatch is a harness bug, not a mergeable state
+    intercept[IllegalArgumentException] {
+      Bench.minMerge(a, b.reverse)
+    }
+  }
+
   test("a contended capture never touches BENCH_FULL.json") {
     val dir = Files.createTempDirectory("graft-capture-gate")
     val full = dir.resolve("BENCH_FULL.json")
