@@ -3081,7 +3081,6 @@ final class IvfIndex(val spark: SparkSession, val dir: String, val meta: IvfMeta
                  epsilon: Double = 1.9, refine: Int = 8,
                  rerankTable: Option[(DataFrame, String, String)] = None,
                  probes1: Int = -1, exactBudget: Int = -1): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     require(queries.nonEmpty, "empty query batch")
     require(queries.map(_._1).distinct.length == queries.length,
       "duplicate qids in query batch — results would silently merge")
@@ -3195,16 +3194,46 @@ final class IvfIndex(val spark: SparkSession, val dir: String, val meta: IvfMeta
         }
         out.iterator
       }
-    val est = estRdd.toDF("qid", "id", "lb")
     val dbg = sys.env.contains("GRAFT_SEARCH_DEBUG")
     val tEst0 = System.nanoTime()
-    val wCand = Window.partitionBy($"qid").orderBy($"lb", $"id")
-    val candRows = est
-      .withColumn("crn", row_number().over(wCand))
-      .filter($"crn" <= nCand)
-      .select($"qid", $"id", $"crn", $"lb")
-      .as[(Long, Long, Int, Double)].collect()          // job 1
-    if (dbg) System.err.println(s"[searchMany] est+window+collect: ${(System.nanoTime()-tEst0)/1e9}s, pairs=${candRows.length}")
+    // per-query top-nCand fold (job 1) — r18: the RDD heap fold replaces
+    // the former toDF + row_number window + collect, whose per-call
+    // Catalyst planning and codegen dominated the sliced KNN-join's
+    // driver gaps (JobProfile: ~0.1 s planning + a second exchange job
+    // per slice). Same shape as multiEstimatePools: partition-local
+    // heaps already bound emissions to nCand per (partition, query), so
+    // a narrow scan collects directly; a wide scan merges heaps per qid
+    // on executors first (exact and identically tie-ordered — the
+    // (lb, id) order is total, so merge order is irrelevant). Sorting
+    // by (lb, id) and ranking 1..nCand reproduces the window's
+    // row_number exactly.
+    val directMax = scala.util.Try(
+        spark.conf.get("graft.ann.flat.directCollectMax").toLong)
+      .getOrElse(IvfIndex.directPoolCollectMax)
+    val directBound = estRdd.getNumPartitions.toLong * nQ * nCand
+    val topPairs: Array[(Long, Array[(Double, Long)])] =
+      if (directBound <= directMax)
+        estRdd.collect().groupBy(_._1).iterator.map { case (qid, rows) =>
+          qid -> rows.map(r => (r._3, r._2))
+            .sortBy(identity)(Ordering.Tuple2[Double, Long]).take(nCand)
+        }.toArray
+      else {
+        val reducers = math.max(1, math.min(nQ,
+          spark.sparkContext.defaultParallelism))
+        estRdd.map { case (qid, id, lb) => (qid, (lb, id)) }
+          .aggregateByKey(new graft.core.BoundedTopK(nCand), reducers)(
+            (h, t) => { h.offer(t._1, t._2); h },
+            (a, b) => a.mergeFrom(b))
+          .collect()
+          .map { case (qid, h) => qid -> h.sorted() }
+      }
+    val candRows: Array[(Long, Long, Int, Double)] =
+      topPairs.flatMap { case (qid, arr) =>
+        arr.iterator.zipWithIndex.map { case ((lb, id), i) =>
+          (qid, id, i + 1, lb)
+        }
+      }
+    if (dbg) System.err.println(s"[searchMany] est+fold+collect: ${(System.nanoTime()-tEst0)/1e9}s, pairs=${candRows.length}")
     if (candRows.isEmpty)
       return Seq.empty[(Long, Long, Double, Long)].toDF("qid", "id", "dist", "rn")
     // budgeted mode: only the first exactBudget candidates per query (in

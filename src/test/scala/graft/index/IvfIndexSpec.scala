@@ -390,6 +390,31 @@ class IvfIndexSpec extends SparkSpec {
       "cap must stay below the measured parquet or-chain SOE point")
   }
 
+  test("searchMany: executor-side heap merge (forced via " +
+       "graft.ann.flat.directCollectMax=0) returns EXACTLY the direct " +
+       "fold's rows") {
+    // r18: the est phase's per-query top-nCand fold replaced the
+    // row_number window; this pins the fold's two paths against each
+    // other (same contract as the multiEstimatePools spec below)
+    import spark.implicits._
+    val df = rows.toDF("id", "vec")
+    val idx = IvfIndex.build(df, "id", "vec", freshDir(), IvfConfig(lists = 8))
+    val rng = new scala.util.Random(11)
+    val queries = Array.tabulate(5)(i =>
+      i.toLong -> Array.fill(12)(rng.nextFloat() * 2 - 1))
+    def run(): Seq[(Long, Long, Double, Long)] =
+      idx.searchMany(queries, k = 5, probes = 6, refine = 8)
+        .as[(Long, Long, Double, Long)].collect().toSeq
+        .sortBy(t => (t._1, t._4))
+    val direct = run()
+    spark.conf.set("graft.ann.flat.directCollectMax", "0")
+    val merged =
+      try run()
+      finally spark.conf.unset("graft.ann.flat.directCollectMax")
+    assert(merged == direct)
+    assert(direct.nonEmpty)
+  }
+
   test("multiEstimatePools: executor-side heap merge (forced via " +
        "graft.ann.flat.directCollectMax=0) returns EXACTLY the direct " +
        "collect's per-(root, query) pools") {
