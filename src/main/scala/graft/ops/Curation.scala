@@ -356,10 +356,13 @@ object Curation {
   private def importanceTable(target: DataFrame, targetTextCol: String,
                               raw: DataFrame, rawTextCol: String,
                               n: Int, buckets: Int,
-                              alpha: Double): Array[Double] = {
+                              alpha: Double,
+                              targetHist: Option[Array[Long]] = None): Array[Double] = {
     require(n >= 1, s"shingle size must be >= 1, got $n")
     require(buckets >= 2, s"need >= 2 hash buckets, got $buckets")
     require(alpha > 0, s"smoothing alpha must be > 0, got $alpha")
+    require(targetHist.forall(_.length == buckets),
+      "precomputed target histogram must have exactly `buckets` entries")
     val spark = target.sparkSession
     import spark.implicits._
     // the histograms are <= `buckets` rows by construction: collect them
@@ -380,11 +383,15 @@ object Curation {
     // the two histogram jobs are independent — overlap them (guide
     // §2.6: submit independent actions from driver threads so the
     // second job's tasks back-fill the first's stragglers). Failures
-    // surface unchanged through Await.
+    // surface unchanged through Await. A caller holding the target's
+    // histogram already (r18: a bigram LM's `cb` half IS the n=2
+    // shingle histogram of the same corpus — identical md5 bytes, see
+    // LmExprKernels) passes it in and skips that whole corpus pass.
     import scala.concurrent.{Await, Future}
     import scala.concurrent.ExecutionContext.Implicits.global
     import scala.concurrent.duration.Duration
-    val thF = Future(hist(target, targetTextCol))
+    val thF = targetHist.map(Future.successful)
+      .getOrElse(Future(hist(target, targetTextCol)))
     val rhF = Future(hist(raw, rawTextCol))
     val th = Await.result(thF, Duration.Inf)
     // a target with no shingles has no signal to model — loud. An EMPTY
@@ -404,9 +411,10 @@ object Curation {
   def importanceWeights(df: DataFrame, idCol: String, textCol: String,
                         target: DataFrame, targetTextCol: String,
                         n: Int = 2, buckets: Int = 8192,
-                        alpha: Double = 0.01): DataFrame = {
+                        alpha: Double = 0.01,
+                        targetHist: Option[Array[Long]] = None): DataFrame = {
     val w = importanceTable(target, targetTextCol, df, textCol, n, buckets,
-      alpha)
+      alpha, targetHist)
     // per-doc scoring IN-ROW (one kernel call accumulating in token
     // order — the same order the explode + broadcast-join + partial-agg
     // formulation summed in, since a document's exploded rows never
@@ -492,11 +500,12 @@ object Curation {
                    target: DataFrame, targetTextCol: String, nKeep: Int,
                    n: Int = 2, buckets: Int = 8192, alpha: Double = 0.01,
                    temperature: Double = 1.0,
-                   seed: String = "dsir"): DataFrame = {
+                   seed: String = "dsir",
+                   targetHist: Option[Array[Long]] = None): DataFrame = {
     require(nKeep >= 1, s"nKeep must be >= 1, got $nKeep")
     require(temperature > 0, s"temperature must be > 0, got $temperature")
     val w = importanceWeights(df, idCol, textCol, target, targetTextCol,
-      n, buckets, alpha)
+      n, buckets, alpha, targetHist)
     w.withColumn("__key",
         col("weight") / lit(temperature) - log(-log(hashUnit(col("doc_id"), seed))))
       .orderBy(col("__key").desc, col("doc_id"))
@@ -611,8 +620,23 @@ object Curation {
                         lmDf: DataFrame, lmTextCol: String,
                         buckets: Int = 8192, alpha: Double = 0.1): DataFrame = {
     require(buckets >= 2, s"need >= 2 hash buckets, got $buckets")
+    ngramCrossEntropyWithLm(df, idCol, textCol,
+      ngramLm(lmDf, lmTextCol, buckets), alpha)
+  }
+
+  /** [[ngramCrossEntropy]] over a PRECOMPUTED [[ngramLm]] model — for
+    * pipelines that score several stages under one LM (or reuse the
+    * model's bigram histogram as a DSIR target hist, r18) without
+    * re-running the LM-corpus pass per consumer. Identical output to
+    * the one-call form: the scoring kernel is the same expression over
+    * the same dense tables. */
+  def ngramCrossEntropyWithLm(df: DataFrame, idCol: String, textCol: String,
+                              lm: (Array[Long], Array[Long]),
+                              alpha: Double = 0.1): DataFrame = {
     require(alpha > 0, s"smoothing alpha must be > 0, got $alpha")
-    val (cb, cu) = ngramLm(lmDf, lmTextCol, buckets)
+    val (cb, cu) = lm
+    require(cb.length == cu.length && cb.nonEmpty,
+      "ngram LM histograms must be same-length and non-empty")
     // per-doc scoring IN-ROW: one generated kernel call accumulating
     // ln p(bigram | ctx) in token order — the same order (and the same
     // long+double arithmetic) the explode + two-broadcast-join +

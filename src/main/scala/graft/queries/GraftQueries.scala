@@ -1499,8 +1499,14 @@ object GraftQueries {
         val evalDf = nd.filter(col("doc_id") % 7 === 0)
         val train = nd.filter(col("doc_id") % 7 =!= 0).persist()
         val enLm = train.filter(col("lang") === "en")
-        val scored = Curation.ngramCrossEntropy(train, "doc_id", "tn",
-          enLm, "tn", buckets = 256, alpha = 0.1)
+        // ONE pass over the LM corpus feeds BOTH models (r18): the
+        // bigram LM's `cb` histogram IS the n=2 shingle histogram DSIR
+        // needs for its target side — identical md5 buckets and counts
+        // (LmExprKernels: head2(a, b) == windowHead over [a, b]) — so
+        // the DSIR stage below skips its own enLm pass + collect.
+        val lm = Curation.ngramLm(enLm, "tn", buckets = 256)
+        val scored = Curation.ngramCrossEntropyWithLm(train, "doc_id", "tn",
+          lm, alpha = 0.1)
         val gated = train.join(
           scored.filter(col("xent") <= 2.15).select("doc_id"), Seq("doc_id"))
           .persist()
@@ -1509,7 +1515,7 @@ object GraftQueries {
           .select(col("da").as("doc_id")).distinct()
         val dd = gated.join(dupHits, Seq("doc_id"), "left_anti").persist()
         Curation.dsirResample(dd, "doc_id", "tn", enLm, "tn", nKeep = 100,
-            n = 2, buckets = 256, alpha = 0.01)
+            n = 2, buckets = 256, alpha = 0.01, targetHist = Some(lm._1))
           .select(col("doc_id"), (round(col("weight"), 3) + 0.0).as("weight"))
           .orderBy("doc_id")
       },

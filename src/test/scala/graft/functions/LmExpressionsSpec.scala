@@ -118,6 +118,21 @@ class LmExpressionsSpec extends SparkSpec {
     }
   }
 
+  test("NgramLmBucketsExpr's bigram half equals ShingleBucketsExpr(n=2) " +
+       "— the r18 curate_corpus_v2 histogram reuse contract") {
+    // a bigram LM's cb histogram doubles as the DSIR n=2 target
+    // histogram only if the two kernels bucket every bigram identically
+    import spark.implicits._
+    val b = 256
+    val toks = split(col("text"), " ")
+    val lmBi = df.select(col("id"),
+        filter(kcol(NgramLmBucketsExpr(kx(toks), b)), k => k < b))
+      .as[(Long, Seq[Long])].collect().toMap
+    val sh = df.select(col("id"), kcol(ShingleBucketsExpr(kx(toks), 2, b)))
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(lmBi == sh)
+  }
+
   test("NgramScoreExpr / ShingleScoreExpr accumulate the join-form sums exactly") {
     // token-order accumulation over the same doubles: equality is exact
     val b = 16
