@@ -2300,6 +2300,10 @@ object GraftQueries {
         // path, not bulk throughput
         val blobs = tbl(s, d, "documents")
           .select(col("doc_id").cast("long")).filter(col("doc_id") < 2000)
+          // NO generation spread here, unlike mm_decode/mm_frames: the
+          // synthetic WAV is raw PCM (no codec work worth spreading) and
+          // the r17 AND r18 A/B probes both measured the exchange
+          // costing more than it saves (r18 medians: 0.785 -> 0.898 s)
           .as[Long]
           .mapPartitions(_.map(id => (id, Multimodal.syntheticWav(id))))
           .toDF("doc_id", "blob")
@@ -2327,6 +2331,12 @@ object GraftQueries {
         import s.implicits._
         val blobs = tbl(s, d, "documents")
           .select(col("doc_id").cast("long")).filter(col("doc_id") < 500)
+          // spread the MJPEG encode (6 JPEG frames per doc) across the
+          // box before generation — the filtered scan is 1-2 row groups,
+          // which serialized ~3000 codec calls on one 500 ms task while
+          // 31 cores idled (r18 JobProfile; the exchange moves 500 longs,
+          // not blobs; generation is id-deterministic, output ordered)
+          .repartition(s.sparkContext.defaultParallelism)
           .as[Long]
           .mapPartitions(_.map(id => (id, Multimodal.syntheticMjpeg(id, frames = 6))))
           .toDF("doc_id", "blob")
