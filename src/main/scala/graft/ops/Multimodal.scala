@@ -19,6 +19,15 @@ import org.apache.spark.sql.functions._
  */
 object Multimodal {
 
+  // ImageIO's default stream factory (useCache=true) backs EVERY
+  // read/write with a FileCache temp FILE on disk — measured as the
+  // dominant per-blob cost of the codec ops (r18: ~120 us/decode of a
+  // 64x16 PNG, and tasks contend on the filesystem so the pass barely
+  // scales with cores). Memory-cached streams decode the same bytes to
+  // the same pixels; this is the JDK's documented in-memory switch
+  // (guide §4: make the per-row kernel cheap before spreading it).
+  javax.imageio.ImageIO.setUseCache(false)
+
   final case class MediaMeta(kind: String, width: Int, height: Int,
                              sampleRate: Int, durationMs: Long)
 
