@@ -166,29 +166,36 @@ object GraftQueries {
     * hard-codes range(0, 64)); a row of any other length fails loudly
     * via the same aggregation rather than silently mis-summing. */
   private def labelCentroids(e: DataFrame, dim: Int = 64): Array[Array[Float]] = {
-    val sumCols = (0 until dim).map(j =>
-      sum(element_at(col("embedding"), j + 1).cast("double")).as(s"s$j"))
-    val aggCols = Seq(count(lit(1)).as("n"),
-      min(size(col("embedding"))).as("dmin"),
-      max(size(col("embedding"))).as("dmax")) ++ sumCols
-    val rows = e.select(col("label").cast("int").as("l"), col("embedding"))
-      .groupBy("l").agg(aggCols.head, aggCols.tail: _*)
+    // posexplode + a NARROW (l, p) groupBy rather than dim-many sum
+    // columns: the 64-sum formulation generated a per-query codegen
+    // function heavy enough to cost ~0.4 s at the fixture (r18 bench
+    // A/B); this shape shuffles n*dim 16-byte rows, collects <= k*dim
+    // aggregated rows, and keeps the generated code tiny. Per-(l, p)
+    // sums accumulate in row order within a partition — the same
+    // doubles as the r17 driver loop on the single-partition fixture.
+    val rows = e.select(col("label").cast("int").as("l"),
+        posexplode(col("embedding")))
+      .groupBy(col("l"), col("pos"))
+      .agg(count(lit(1)).as("n"), sum(col("col").cast("double")).as("s"))
       .collect()
     require(rows.nonEmpty, "labelCentroids: empty embeddings table")
-    require(rows.forall(r => r.getInt(r.fieldIndex("dmin")) == dim &&
-        r.getInt(r.fieldIndex("dmax")) == dim),
-      s"labelCentroids: embedding dimensionality is not the expected $dim")
     val k = rows.iterator.map(_.getInt(0)).max + 1
     val sums = Array.fill(k)(new Array[Double](dim))
-    val cnts = new Array[Long](k)
+    val cnts = Array.fill(k)(-1L)
+    val perLabelRows = new Array[Int](k)
     rows.foreach { r =>
-      val cid = r.getInt(0)
-      cnts(cid) = r.getLong(r.fieldIndex("n"))
-      var j = 0
-      while (j < dim) { sums(cid)(j) = r.getDouble(r.fieldIndex(s"s$j")); j += 1 }
+      val l = r.getInt(0); val p = r.getInt(1); val n = r.getLong(2)
+      require(p < dim,
+        s"labelCentroids: embedding longer than the expected $dim")
+      sums(l)(p) = r.getDouble(3)
+      if (cnts(l) < 0) cnts(l) = n
+      require(cnts(l) == n, "labelCentroids: ragged embedding lengths")
+      perLabelRows(l) += 1
     }
+    require(perLabelRows.forall(c => c == 0 || c == dim),
+      s"labelCentroids: embedding dimensionality is not the expected $dim")
     Array.tabulate(k)(c => Array.tabulate(dim)(j =>
-      if (cnts(c) == 0) 0.0f else (sums(c)(j) / cnts(c)).toFloat))
+      if (cnts(c) <= 0) 0.0f else (sums(c)(j) / cnts(c)).toFloat))
   }
 
   // ---- keyword-retrieval oracle scaffolding (ops/Search.scala) ----
