@@ -93,19 +93,72 @@ object Multimodal {
     val ais = new javax.sound.sampled.AudioInputStream(
       new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
     val bos = new java.io.ByteArrayOutputStream()
-    javax.sound.sampled.AudioSystem.write(ais,
-      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    // the cached WAVE writer, not AudioSystem.write: the latter's
+    // provider lookup re-walks the classpath per call on JDK 17 (see
+    // audioReaders) — same bytes, same JDK WaveFileWriter
+    wavWriter.write(ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
     bos.toByteArray
+  }
+
+  /** The JDK's WAVE writer, resolved once per JVM (see [[audioReaders]]
+    * for why AudioSystem's per-call provider lookup is avoided). */
+  private lazy val wavWriter: javax.sound.sampled.spi.AudioFileWriter = {
+    import scala.jdk.CollectionConverters._
+    java.util.ServiceLoader
+      .load(classOf[javax.sound.sampled.spi.AudioFileWriter]).iterator().asScala
+      .find(_.isFileTypeSupported(javax.sound.sampled.AudioFileFormat.Type.WAVE))
+      .getOrElse(throw new IllegalStateException(
+        "no WAVE AudioFileWriter in the JDK registry"))
+  }
+
+  /** The JDK's registered audio file readers, resolved ONCE per JVM
+    * through the public SPI — minus SoftMidiAudioFileReader. Two
+    * measured pathologies (r18, thread dumps on the 50k-decode pass):
+    * `AudioSystem.getAudioInputStream` resolves providers through a
+    * synchronized static per call, and the SoftMidi reader's PROBE
+    * calls `MidiSystem.getSequence`, whose uncached provider lookup
+    * re-walks the whole classpath's jars under a GLOBAL lock — every
+    * decode paid a classpath scan and the pass did not scale past one
+    * thread (50k decodes: 2.3 s at 1 thread, 3.0 s at 32). Probing the
+    * remaining reader instances directly keeps the real JDK codecs
+    * (WAV/AIFF/AU — exactly this operator's documented contract; a
+    * MIDI blob now reads as "not media" instead of being synth-rendered)
+    * with first-match semantics and no lock. */
+  private val audioReaders: Array[javax.sound.sampled.spi.AudioFileReader] = {
+    val b = Array.newBuilder[javax.sound.sampled.spi.AudioFileReader]
+    val it = java.util.ServiceLoader
+      .load(classOf[javax.sound.sampled.spi.AudioFileReader]).iterator()
+    while (it.hasNext) {
+      val r = it.next()
+      if (!r.getClass.getSimpleName.contains("SoftMidi")) b += r
+    }
+    b.result()
+  }
+
+  /** AudioSystem.getAudioInputStream minus the synchronized provider
+    * lookup: first reader that accepts the (mark/reset-capable) stream
+    * wins; all declining is the registry's UnsupportedAudioFileException
+    * contract. */
+  private def audioStream(in: java.io.InputStream)
+      : javax.sound.sampled.AudioInputStream = {
+    var i = 0
+    while (i < audioReaders.length) {
+      try return audioReaders(i).getAudioInputStream(in)
+      catch { case _: javax.sound.sampled.UnsupportedAudioFileException => }
+      i += 1
+    }
+    throw new javax.sound.sampled.UnsupportedAudioFileException(
+      "Stream of unsupported format")
   }
 
   /** REAL audio decode: blob bytes -> (sampleRate, channels, samples in
     * [-1, 1]) via javax.sound.sampled (WAV/AIFF/AU in the JDK registry).
     * Non-16-bit-LE-PCM encodings go through the JDK's own converters;
     * undecodable blobs return null ("not media", like readImage). */
-  private[ops] def readAudio(blob: Array[Byte]): (Int, Int, Array[Double]) = {
+  private[graft] def readAudio(blob: Array[Byte]): (Int, Int, Array[Double]) = {
     import javax.sound.sampled._
     try {
-      val ais0 = AudioSystem.getAudioInputStream(
+      val ais0 = audioStream(
         new java.io.ByteArrayInputStream(blob))
       val f0 = ais0.getFormat
       val ais =
