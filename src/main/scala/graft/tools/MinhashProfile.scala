@@ -30,6 +30,12 @@ object MinhashProfile {
     Dedup.minhashDedup(docs, "doc_id", "text", 0.4).count()
     Dedup.minhashSignatures(docs, "doc_id", "text").count()
     (1 to iters).foreach { i =>
+      val tRdd = secs {
+        import spark.implicits._
+        docs.select(org.apache.spark.sql.functions.col("doc_id").cast("long"),
+          org.apache.spark.sql.functions.col("text")).as[(Long, String)].rdd
+      }
+      println(f"[minhash] iter $i: .rdd-alone ${tRdd}%.3f")
       val tBuild = secs(Dedup.minhashDedup(docs, "doc_id", "text", 0.4))
       val df = Dedup.minhashDedup(docs, "doc_id", "text", 0.4)
       val tPlan = secs(df.queryExecution.executedPlan)
